@@ -1,0 +1,162 @@
+package graft
+
+/** DuckDB oracle SQL for every entry in SparkEntry.queries (driver
+  * contract: the driver executes these over views named after the parquet
+  * tables in the same sf directory and hash-compares with the Spark
+  * result, columns sorted by name).
+  *
+  * Shared conventions with the Spark side (see graft.operators.*):
+  * deterministic injected clock (max window end), rounded float
+  * aggregates, identical output column names, total ORDER BY on every
+  * query. `ts::TIMESTAMP` truncates the parquet ns timestamps to the
+  * microsecond precision Spark uses, so event-time values agree bit-wise.
+  */
+object Oracles {
+
+  /** The normalized stock feed — the oracle twin of
+    * StockPipeline.normalize (decode P1/P2/P5/P6 + enrichment stub U1). */
+  val stockCte: String = """
+WITH stock AS (
+  SELECT
+    event_type AS ticker,
+    ts::TIMESTAMP AS ts,
+    value::DOUBLE AS price,
+    CAST(json_extract_string(props, '$.k') AS BIGINT) AS volume,
+    (event_id % 21 - 10) / 10.0 AS ai_sentiment,
+    event_type || ' momentum ' || CAST(event_id % 21 - 10 AS VARCHAR) AS ai_summary
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+    AND json_extract_string(props, '$.k') IS NOT NULL
+),
+agg1m AS (
+  SELECT
+    ticker,
+    date_trunc('minute', ts) + INTERVAL 1 MINUTE AS window_timestamp,
+    max_by(price, ts) AS latest_price,
+    max(price) AS high_price_1m,
+    CAST(sum(volume) AS BIGINT) AS total_volume_1m,
+    round(sum(price * volume), 4) AS total_value_1m,
+    max_by(ai_sentiment, ts) AS ai_sentiment,
+    max_by(ai_summary, ts) AS ai_summary
+  FROM stock GROUP BY 1, 2
+),
+sma5m AS (
+  SELECT
+    ticker,
+    date_trunc('minute', ts) + i * INTERVAL 1 MINUTE AS window_timestamp,
+    round(avg(price), 4) AS sma_5m
+  FROM stock, (SELECT unnest([1, 2, 3, 4, 5]) AS i)
+  GROUP BY 1, 2
+),
+joined AS (
+  SELECT a.*, s.sma_5m
+  FROM agg1m a JOIN sma5m s USING (ticker, window_timestamp)
+),
+spiked AS (
+  SELECT *,
+    coalesce(avg(total_volume_1m) OVER (
+      PARTITION BY ticker ORDER BY window_timestamp
+      ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING), 0.0) AS hist_avg_volume
+  FROM joined
+),
+spike AS (
+  SELECT *,
+    (total_volume_1m > 2.0 * hist_avg_volume AND hist_avg_volume > 0.0)
+      AS is_volume_spike
+  FROM spiked
+),
+ana AS (
+  SELECT ticker, window_timestamp, latest_price, high_price_1m,
+    total_volume_1m, total_value_1m, sma_5m, is_volume_spike,
+    CAST(epoch(n.now_ts) - epoch(window_timestamp) AS DOUBLE) AS system_latency,
+    ai_sentiment, ai_summary
+  FROM spike CROSS JOIN (SELECT max(window_timestamp) AS now_ts FROM spike) n
+),
+ana_now AS (
+  SELECT a.*, n.now_ts
+  FROM ana a CROSS JOIN (SELECT max(window_timestamp) AS now_ts FROM ana) n
+)
+"""
+
+  val stock: Map[String, String] = Map(
+    "stock_normalize" -> (stockCte +
+      "SELECT ticker, ts, price, volume, ai_sentiment, ai_summary FROM stock ORDER BY ts, ticker"),
+    "stock_agg_1m" -> (stockCte +
+      "SELECT * FROM agg1m ORDER BY ticker, window_timestamp"),
+    "stock_sma_5m" -> (stockCte +
+      "SELECT * FROM sma5m ORDER BY ticker, window_timestamp"),
+    "stock_join" -> (stockCte +
+      "SELECT * FROM joined ORDER BY ticker, window_timestamp"),
+    "stock_spike" -> (stockCte +
+      "SELECT ticker, window_timestamp, total_volume_1m, hist_avg_volume, is_volume_spike FROM spike ORDER BY ticker, window_timestamp"),
+    "stock_analysis" -> (stockCte +
+      "SELECT * FROM ana ORDER BY ticker, window_timestamp"),
+    "q1_dashboard" -> (stockCte + """
+SELECT ticker, latest_price, total_volume_1m, total_value_1m, sma_5m,
+       is_volume_spike, window_timestamp
+FROM ana
+QUALIFY ROW_NUMBER() OVER (PARTITION BY ticker ORDER BY window_timestamp DESC) = 1
+ORDER BY total_value_1m DESC, ticker"""),
+    "q2_trend_signals" -> (stockCte + """
+SELECT ticker, latest_price, sma_5m,
+       round(latest_price - sma_5m, 4) AS price_diff, window_timestamp
+FROM ana
+WHERE latest_price > sma_5m
+ORDER BY window_timestamp DESC, ticker
+LIMIT 10"""),
+    "q3_whales" -> (stockCte + """
+SELECT ticker, total_value_1m, total_volume_1m, latest_price, window_timestamp
+FROM ana
+ORDER BY total_value_1m DESC, ticker, window_timestamp
+LIMIT 5"""),
+    "q4_health" -> (stockCte + """
+SELECT round(avg(system_latency), 4) AS avg_latency_seconds,
+       max(system_latency) AS max_latency_seconds,
+       min(system_latency) AS min_latency_seconds,
+       count(*) AS total_records
+FROM ana_now
+WHERE window_timestamp > now_ts - INTERVAL 1 DAY"""),
+    "q5_volatility" -> (stockCte + """
+SELECT ticker,
+       round(stddev(latest_price), 6) AS price_stddev,
+       round(avg(latest_price), 6) AS avg_price,
+       round(stddev(latest_price) / avg(latest_price) * 100, 6) AS volatility_pct
+FROM ana_now
+WHERE window_timestamp >= now_ts - INTERVAL 12 HOUR
+GROUP BY ticker
+ORDER BY volatility_pct DESC NULLS LAST, ticker"""),
+    "q6_momentum" -> (stockCte + """
+SELECT ticker, latest_price, sma_5m,
+       round((latest_price - sma_5m) / sma_5m * 100, 6) AS momentum_pct,
+       window_timestamp
+FROM ana
+QUALIFY ROW_NUMBER() OVER (PARTITION BY ticker ORDER BY window_timestamp DESC) = 1
+ORDER BY momentum_pct DESC NULLS LAST, ticker"""),
+    "q7_latency_spikes" -> (stockCte + """
+SELECT window_timestamp, system_latency, ticker, total_volume_1m
+FROM ana
+WHERE system_latency > 30
+ORDER BY system_latency DESC, ticker, window_timestamp"""),
+    "q8_sentiment" -> (stockCte + """
+SELECT ticker,
+       round(avg(ai_sentiment), 6) AS avg_sentiment,
+       round(avg(latest_price), 6) AS avg_price,
+       count(*) AS data_points,
+       round(corr(ai_sentiment, latest_price), 6) AS sentiment_price_correlation
+FROM ana_now
+WHERE window_timestamp >= now_ts - INTERVAL 7 DAY
+GROUP BY ticker
+ORDER BY avg_sentiment DESC NULLS LAST, ticker"""),
+    "q9_overview" -> (stockCte + """
+SELECT * FROM ana ORDER BY window_timestamp DESC, ticker LIMIT 500"""),
+    "q10_drilldown" -> (stockCte + """
+SELECT * FROM ana WHERE ticker = 'purchase'
+ORDER BY window_timestamp DESC LIMIT 100"""),
+    "q10_tickers" -> (stockCte + """
+SELECT DISTINCT ticker FROM ana ORDER BY ticker"""),
+  )
+
+  /** All oracles, by query name. Extended by the relational / text /
+    * dedup / similarity sections as they land. */
+  def all: Map[String, String] = stock
+}

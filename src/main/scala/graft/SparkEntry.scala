@@ -1,13 +1,72 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Analytics, StockPipeline}
+import graft.sources.Tables
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 registers here as a named
+  * `(SparkSession, sfDir) => DataFrame`, paired with ANSI SQL in
+  * [[Oracles]] that DuckDB runs over the same parquet tables. Each query
+  * ends in a total ORDER BY (unique tiebreakers) so output is
+  * deterministic under any partitioning; column names match the oracle
+  * exactly (the driver sorts columns by name before hashing).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the full streaming-analysis table (decode → windowed agg → sliding
+    * SMA → join → stateful spike → format), reference
+    * `analysis-dataflow-pipeline/pipeline.py:69-133`. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    StockPipeline.analysis(spark, "/root/testdata/sf0.001")
+
+  private def ana(s: SparkSession, dir: String): DataFrame =
+    StockPipeline.analysis(s, dir)
+  private def anaNow(s: SparkSession, dir: String): DataFrame =
+    StockPipeline.withNow(StockPipeline.analysis(s, dir))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- streaming-pipeline stages (SURVEY.md §2.2-2.6), batch form ----
+    "stock_normalize" -> ((s, d) =>
+      StockPipeline.normalize(Tables.events(s, d))
+        .orderBy(col("ts"), col("ticker"))),
+    "stock_agg_1m" -> ((s, d) =>
+      StockPipeline.agg1m(StockPipeline.normalize(Tables.events(s, d)))
+        .orderBy(col("ticker"), col("window_timestamp"))),
+    "stock_sma_5m" -> ((s, d) =>
+      StockPipeline.sma5m(StockPipeline.normalize(Tables.events(s, d)))
+        .orderBy(col("ticker"), col("window_timestamp"))),
+    "stock_join" -> ((s, d) =>
+      StockPipeline.joined(StockPipeline.normalize(Tables.events(s, d)))
+        .orderBy(col("ticker"), col("window_timestamp"))),
+    "stock_spike" -> ((s, d) =>
+      StockPipeline.withSpike(StockPipeline.joined(
+          StockPipeline.normalize(Tables.events(s, d))))
+        .select("ticker", "window_timestamp", "total_volume_1m",
+          "hist_avg_volume", "is_volume_spike")
+        .orderBy(col("ticker"), col("window_timestamp"))),
+    "stock_analysis" -> ((s, d) =>
+      ana(s, d).orderBy(col("ticker"), col("window_timestamp"))),
+    // ---- SQL analytics surface Q1-Q10 (SURVEY.md §2.9) ----
+    "q1_dashboard" -> ((s, d) => Analytics.q1Dashboard(ana(s, d))),
+    "q2_trend_signals" -> ((s, d) => Analytics.q2TrendSignals(ana(s, d))),
+    "q3_whales" -> ((s, d) => Analytics.q3Whales(ana(s, d))),
+    "q4_health" -> ((s, d) => Analytics.q4Health(anaNow(s, d))),
+    "q5_volatility" -> ((s, d) => Analytics.q5Volatility(anaNow(s, d))),
+    "q6_momentum" -> ((s, d) => Analytics.q6Momentum(ana(s, d))),
+    "q7_latency_spikes" -> ((s, d) => Analytics.q7LatencySpikes(ana(s, d))),
+    "q8_sentiment" -> ((s, d) => Analytics.q8Sentiment(anaNow(s, d))),
+    "q9_overview" -> ((s, d) => Analytics.q9Overview(ana(s, d))),
+    "q10_drilldown" -> ((s, d) => Analytics.q10Drilldown(ana(s, d))),
+    "q10_tickers" -> ((s, d) => Analytics.q10Tickers(ana(s, d))),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Oracles.all
 }

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** The reference's streaming stock-analysis DAG
+  * (`/root/reference/analysis-dataflow-pipeline/pipeline.py`) re-expressed
+  * as pure batch/streaming-shared DataFrame transforms. Each stage is a
+  * `DataFrame => DataFrame` so the identical operator chain runs in batch
+  * (DuckDB-verifiable) and under `readStream` (graft.streaming).
+  *
+  * Domain mapping (FIXTURES.md §3): the engine's generic `events` table
+  * plays the role of the reference's per-ticker stock feed —
+  * `event_type ⇔ ticker`, `ts ⇔ event time`, `value ⇔ price`, and a
+  * volume parsed from the JSON `props` payload (the reference's P1 JSON
+  * decode, `pipeline.py:78`).
+  *
+  * Scale notes (100 TB): every stage below is a single hash-aggregate or
+  * hash-join shuffle keyed on (ticker, minute) — high cardinality, evenly
+  * distributed, so it parallelizes to any executor count. No stage
+  * collects to the driver; the only broadcast is one scalar row
+  * (watermark "now"). Partial aggregation (map-side combine) applies to
+  * every aggregate because all of them are DeclarativeAggregates.
+  */
+object StockPipeline {
+
+  /** P1/P2/P5/P6 + U1: decode, event-time, NaN-filter, casts, enrichment.
+    *
+    * JSON decode of the volume payload mirrors `pipeline.py:78`; the NaN
+    * filter mirrors `main.py:90-91`; the casts mirror `main.py:94-95`.
+    *
+    * U1 (LLM enrichment, `main.py:104-149`) is a deterministic stub: the
+    * engine is zero-egress, so sentiment is a pure arithmetic function of
+    * the event id into [-1, 1] and the summary is a templated string —
+    * the seam where a real deployment would batch HTTP calls via
+    * `mapPartitions`. Kept SQL-expressible so the oracle reproduces it.
+    */
+  def normalize(events: DataFrame): DataFrame =
+    events
+      .select(
+        col("event_type").as("ticker"),
+        col("ts"),
+        col("value").cast("double").as("price"),
+        get_json_object(col("props"), "$.k").cast("long").as("volume"),
+        ((col("event_id") % 21 - 10) / 10.0).as("ai_sentiment"),
+        concat(col("event_type"), lit(" momentum "),
+          (col("event_id") % 21 - 10).cast("string")).as("ai_summary"))
+      .filter(col("price").isNotNull && !isnan(col("price")) &&
+        col("volume").isNotNull)
+
+  /** A1 (W1): 1-minute tumbling windowed aggregation, `pipeline.py:87-97`.
+    *
+    * The reference buffers every event in the window and scans it 4× for
+    * the argmaxes (`GroupByKey` + Python lambda); here each output is an
+    * incremental DeclarativeAggregate (`max_by` = single-pass argmax), so
+    * there is no whole-window materialization — partial aggregation
+    * happens before the shuffle.
+    */
+  def agg1m(stock: DataFrame): DataFrame =
+    stock
+      .groupBy(window(col("ts"), "1 minute"), col("ticker"))
+      .agg(
+        max_by(col("price"), col("ts")).as("latest_price"),        // pipeline.py:90
+        max(col("price")).as("high_price_1m"),                     // pipeline.py:91
+        sum(col("volume")).as("total_volume_1m"),                  // pipeline.py:92
+        round(sum(col("price") * col("volume")), 4).as("total_value_1m"), // pipeline.py:93
+        max_by(col("ai_sentiment"), col("ts")).as("ai_sentiment"), // pipeline.py:95
+        max_by(col("ai_summary"), col("ts")).as("ai_summary"))     // pipeline.py:96
+      .select(col("ticker"), col("window.end").as("window_timestamp"),
+        col("latest_price"), col("high_price_1m"), col("total_volume_1m"),
+        col("total_value_1m"), col("ai_sentiment"), col("ai_summary"))
+
+  /** A2 (W2): 5-minute sliding mean of price, slide 1 minute,
+    * `pipeline.py:103-107`. Spark's `window(ts, 5m, 1m)` assigns each
+    * event to its 5 overlapping windows (the explicit re-window-to-fixed
+    * step of `pipeline.py:107` is unnecessary — we join on window end).
+    */
+  def sma5m(stock: DataFrame): DataFrame =
+    stock
+      .groupBy(window(col("ts"), "5 minutes", "1 minute"), col("ticker"))
+      .agg(round(avg(col("price")), 4).as("sma_5m"))
+      .select(col("ticker"), col("window.end").as("window_timestamp"),
+        col("sma_5m"))
+
+  /** J1/J2: inner equi-join of the two windowed branches on
+    * (ticker, window end), `pipeline.py:110-119` (CoGroupByKey +
+    * merge_metrics, which drops rows unless both sides are present ⇒
+    * inner semantics).
+    *
+    * Scale note: both sides arrive hash-partitioned on the same key from
+    * their aggregations, so AQE plans this as a shuffle-free (or
+    * single-exchange) hash join; key cardinality = tickers × minutes.
+    */
+  def joined(stock: DataFrame): DataFrame =
+    agg1m(stock).join(sma5m(stock), Seq("ticker", "window_timestamp"), "inner")
+
+  /** ST1: stateful volume-spike detection, batch form
+    * (`DetectVolumeSpike`, `pipeline.py:19-41`). The reference keeps the
+    * last ≤10 one-minute volumes per ticker in keyed state and flags
+    * `volume > 2 * avg(history) AND avg > 0`, with the current element
+    * excluded from its own history. With one row per (ticker, minute)
+    * that is exactly a window frame of ROWS BETWEEN 10 PRECEDING AND
+    * 1 PRECEDING — expressed relationally so Catalyst plans it, and so
+    * the DuckDB oracle states the identical frame. The streaming twin
+    * (`graft.streaming.SpikeState`) carries real keyed state and is
+    * parity-tested against this form.
+    */
+  def withSpike(joinedDf: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("ticker")).orderBy(col("window_timestamp"))
+      .rowsBetween(-10, -1)
+    val histAvg = avg(col("total_volume_1m")).over(w)
+    joinedDf
+      .withColumn("hist_avg_volume", coalesce(histAvg, lit(0.0)))
+      .withColumn("is_volume_spike",
+        col("total_volume_1m") > lit(2.0) * col("hist_avg_volume") &&
+          col("hist_avg_volume") > lit(0.0))
+  }
+
+  /** P8 + ST2: the full 11-column analysis row (`FormatOutput`,
+    * `pipeline.py:44-67`; sink schema `pipeline.py:129`).
+    *
+    * `system_latency` is processing-time minus window end
+    * (`pipeline.py:48-52`) — deliberately wall-clock in the reference.
+    * For a deterministic, oracle-verifiable engine the clock is
+    * *injected* as the maximum window end in the data (a watermark-style
+    * "now"); the one-row max is broadcast, not windowed, so no global
+    * sort/single-partition stage exists at scale.
+    */
+  def analysis(spark: SparkSession, dir: String): DataFrame = {
+    val sp = withSpike(joined(normalize(Tables.events(spark, dir))))
+    val nowDf = sp.agg(max(col("window_timestamp")).as("now_ts"))
+    sp.crossJoin(broadcast(nowDf))
+      .select(
+        col("ticker"), col("window_timestamp"), col("latest_price"),
+        col("high_price_1m"), col("total_volume_1m"), col("total_value_1m"),
+        col("sma_5m"), col("is_volume_spike"),
+        (unix_timestamp(col("now_ts")) - unix_timestamp(col("window_timestamp")))
+          .cast("double").as("system_latency"),
+        col("ai_sentiment"), col("ai_summary"))
+  }
+
+  /** The shared "now" used by time-range analytics predicates (Q4/Q8):
+    * max window end in the analysis table, as a broadcastable 1-row frame.
+    */
+  def withNow(analysisDf: DataFrame): DataFrame =
+    analysisDf.crossJoin(broadcast(
+      analysisDf.agg(max(col("window_timestamp")).as("now_ts"))))
+}
