@@ -1,0 +1,219 @@
+package graft
+
+import graft.operators.{Dedup, TextAnalysis}
+
+/** DuckDB oracle SQL for the text-analysis / dedup / similarity
+  * operators. Generated from the same Scala constants the Spark side
+  * uses ([[TextAnalysis.markers]], [[TextAnalysis.stopwords]],
+  * [[Dedup.coeffs]]) so formulas and hash coefficients can never drift.
+  *
+  * Portability contract (tested): md5 hex is lowercase in both engines;
+  * `('0x'||substr(md5(x),1,8))::BIGINT` = Spark `conv(substring(md5(x),
+  * 1,8),16,10)::long`; DuckDB `regexp_replace(...,'g')` = Spark's
+  * always-global `regexp_replace`; DuckDB parallel `unnest`s zip like
+  * Spark `posexplode`; `list_inner_product(DOUBLE[])` sums sequentially
+  * like Spark's `aggregate` HOF. */
+object OraclesExt {
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  private val toksCte =
+    "toks AS (SELECT *, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents)"
+
+  // ---------------- text analysis ----------------
+
+  private val langCountExprs: String = TextAnalysis.markers.map {
+    case (l, ws) => s"len(list_filter(tk, t -> t IN ${inList(ws)})) AS c_$l"
+  }.mkString(",\n    ")
+
+  private val textStatsCte = s"""
+WITH $toksCte,
+raw AS (
+  SELECT doc_id, lang,
+    len(tk)::BIGINT AS n_tokens,
+    len(regexp_extract_all(text, '${TextAnalysis.bpePattern}'))::BIGINT AS n_bpe_tokens,
+    round(len(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE / len(tk), 4) AS avg_token_len,
+    round(len(list_filter(tk, t -> t IN ${inList(TextAnalysis.stopwords)}))::DOUBLE / len(tk), 4) AS stopword_ratio,
+    round(len(regexp_replace(text, '[a-z0-9\\s]', '', 'g'))::DOUBLE / n_chars, 4) AS punct_ratio,
+    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+    ('0x' || substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 8))::BIGINT AS fingerprint64,
+    $langCountExprs
+  FROM toks),
+st AS (
+  SELECT doc_id, lang,
+    CASE WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr AND c_en > 0 THEN 'en'
+         WHEN c_es >= c_de AND c_es >= c_fr AND c_es > 0 THEN 'es'
+         WHEN c_de >= c_fr AND c_de > 0 THEN 'de'
+         WHEN c_fr > 0 THEN 'fr'
+         ELSE 'unk' END AS lang_pred,
+    n_tokens, n_bpe_tokens, avg_token_len, stopword_ratio, punct_ratio,
+    round(least(n_tokens / 100.0, 1.0) * 0.5 + stopword_ratio * 0.3 +
+      (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2, 6) AS quality_score,
+    fingerprint, fingerprint64
+  FROM raw)
+"""
+
+  val text: Map[String, String] = Map(
+    "text_stats" -> (textStatsCte + "SELECT * FROM st ORDER BY doc_id"),
+    "text_lang_confusion" -> (textStatsCte +
+      """SELECT lang, lang_pred, count(*)::BIGINT AS n_docs FROM st
+GROUP BY lang, lang_pred ORDER BY lang, lang_pred"""),
+    "text_token_hist" -> s"""
+WITH $toksCte
+SELECT token, count(*)::BIGINT AS freq
+FROM (SELECT unnest(tk) AS token FROM toks)
+GROUP BY token ORDER BY freq DESC, token LIMIT 20""",
+  )
+
+  // ---------------- dedup ----------------
+
+  private val shinglesCte = s"""$toksCte,
+sh AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
+      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+    FROM toks))"""
+
+  private val minhashExprs: String = Dedup.coeffs.zipWithIndex.map {
+    case ((a, b), i) => s"min(($a * h + $b) % ${graft.functions.Portable.P31}) AS mh_$i"
+  }.mkString(",\n    ")
+
+  private val bandSelects: String = (0 until Dedup.numBands).map { b =>
+    val key = (0 until Dedup.rowsPerBand)
+      .map(r => s"mh_${b * Dedup.rowsPerBand + r}")
+      .mkString(" || ',' || ")
+    s"SELECT doc_id, $b AS band, $key AS key FROM sigs"
+  }.mkString("\n  UNION ALL ")
+
+  private val minhashCte = s"""
+WITH $shinglesCte,
+shh AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM sh),
+sigs AS (
+  SELECT doc_id,
+    $minhashExprs
+  FROM shh GROUP BY doc_id)
+"""
+
+  private val jaccardTail = s"""
+cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+com AS (
+  SELECT doc_a, doc_b, count(*) AS n_common
+  FROM cand JOIN sh sa ON cand.doc_a = sa.doc_id
+            JOIN sh sb ON cand.doc_b = sb.doc_id AND sa.sh = sb.sh
+  GROUP BY doc_a, doc_b),
+jac AS (
+  SELECT doc_a, doc_b,
+    round(n_common::DOUBLE / (ca.n_sh + cb.n_sh - n_common), 6) AS jaccard
+  FROM com JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id)
+"""
+
+  private val simhashBitSums: String = (0 until 32)
+    .map(j => s"sum(((h >> $j) % 2) * 2 - 1) AS s_$j").mkString(",\n    ")
+  private val simhashAssemble: String = (0 until 32)
+    .map(j => s"(CASE WHEN s_$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+
+  private val simhashCte = s"""
+WITH $toksCte,
+th AS (SELECT DISTINCT doc_id, token FROM (SELECT doc_id, unnest(tk) AS token FROM toks)),
+hh AS (SELECT doc_id, ('0x' || substr(md5(token), 1, 8))::BIGINT AS h FROM th),
+bs AS (
+  SELECT doc_id,
+    $simhashBitSums
+  FROM hh GROUP BY doc_id),
+sig AS (SELECT doc_id, ($simhashAssemble)::BIGINT AS simhash FROM bs)
+"""
+
+  val dedup: Map[String, String] = Map(
+    "dedup_exact" -> """
+SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+  min(doc_id) AS rep_doc_id, count(*)::BIGINT AS n_copies
+FROM documents GROUP BY fingerprint ORDER BY rep_doc_id""",
+    "dedup_minhash_sigs" -> (minhashCte +
+      "SELECT * FROM sigs ORDER BY doc_id"),
+    "dedup_minhash_pairs" -> (minhashCte + """,
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
+    AND a.doc_id < b.doc_id),""" + jaccardTail +
+      "SELECT * FROM jac WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b")
+      .replace("cand AS (", s"bk AS (\n  $bandSelects),\ncand AS ("),
+    "dedup_jaccard_pairs" -> (s"\nWITH $shinglesCte,\n" + """
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id),""" +
+      jaccardTail +
+      "SELECT * FROM jac WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b"),
+    "dedup_simhash" -> (simhashCte + "SELECT * FROM sig ORDER BY doc_id"),
+    "dedup_simhash_pairs" -> (simhashCte + """,
+sb AS (
+  SELECT doc_id, simhash, band, (simhash >> (band * 8)) % 256 AS byte
+  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band)),
+sp AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+  FROM sb a JOIN sb b ON a.band = b.band AND a.byte = b.byte
+    AND a.doc_id < b.doc_id)
+SELECT * FROM sp WHERE hamming <= 3 ORDER BY doc_a, doc_b"""),
+  )
+
+  // ---------------- similarity ----------------
+
+  private val cosSql = (a: String, b: String) =>
+    s"round(list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b))), 6)"
+
+  private val simBase = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 20),
+base AS (SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings)
+"""
+
+  val similarity: Map[String, String] = Map(
+    "sim_bruteforce_topk" -> (simBase + s""",
+scored AS (
+  SELECT query_id, vec_id AS neighbor_id, ${cosSql("qv", "ev")} AS cosine
+  FROM base CROSS JOIN q WHERE vec_id <> query_id),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)::BIGINT AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank""").replace("\nWITH q AS", "\nWITH q AS"),
+    "sim_ivf_topk" -> (simBase + s""",
+cent AS (
+  SELECT label, list(cv ORDER BY pos) AS centroid FROM (
+    SELECT label, pos, avg(v) AS cv FROM (
+      SELECT label, unnest(embedding::DOUBLE[]) AS v,
+             unnest(range(len(embedding))) AS pos
+      FROM embeddings)
+    GROUP BY label, pos)
+  GROUP BY label),
+probes AS (
+  SELECT query_id, qv, label FROM (
+    SELECT q.query_id, q.qv, cent.label,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY ${cosSql("q.qv", "cent.centroid")} DESC, cent.label) AS crank
+    FROM q CROSS JOIN cent)
+  WHERE crank <= 2),
+scored AS (
+  SELECT query_id, vec_id AS neighbor_id, ${cosSql("qv", "ev")} AS cosine
+  FROM base JOIN probes ON base.label = probes.label
+  WHERE vec_id <> query_id),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)::BIGINT AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank"""),
+    "sim_neardup_pairs" -> s"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  ${cosSql("a.ev", "b.ev")} AS cosine
+FROM base a JOIN base b ON a.vec_id < b.vec_id
+WHERE ${cosSql("a.ev", "b.ev")} >= 0.9
+ORDER BY vec_a, vec_b""",
+  )
+
+  def all: Map[String, String] = text ++ dedup ++ similarity
+}

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Analytics, StockPipeline}
+import graft.operators.{Analytics, Dedup, Similarity, StockPipeline, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -64,6 +64,32 @@ object SparkEntry {
     "q9_overview" -> ((s, d) => Analytics.q9Overview(ana(s, d))),
     "q10_drilldown" -> ((s, d) => Analytics.q10Drilldown(ana(s, d))),
     "q10_tickers" -> ((s, d) => Analytics.q10Tickers(ana(s, d))),
+    // ---- text analysis (training-data pipeline ops) ----
+    "text_stats" -> ((s, d) =>
+      TextAnalysis.stats(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "text_lang_confusion" -> ((s, d) =>
+      TextAnalysis.langConfusion(Tables.documents(s, d))),
+    "text_token_hist" -> ((s, d) =>
+      TextAnalysis.tokenHistogram(Tables.documents(s, d))),
+    // ---- deduplication ----
+    "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
+    "dedup_minhash_sigs" -> ((s, d) =>
+      Dedup.minhashSignatures(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "dedup_minhash_pairs" -> ((s, d) =>
+      Dedup.minhashPairs(Tables.documents(s, d))),
+    "dedup_jaccard_pairs" -> ((s, d) =>
+      Dedup.jaccardPairs(Tables.documents(s, d))),
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhash(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "dedup_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d))),
+    // ---- similarity search ----
+    "sim_bruteforce_topk" -> ((s, d) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, d))),
+    "sim_ivf_topk" -> ((s, d) =>
+      Similarity.ivfTopK(Tables.embeddings(s, d))),
+    "sim_neardup_pairs" -> ((s, d) =>
+      Similarity.nearDupPairs(Tables.embeddings(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+
+/** Deduplication operators for a training-data pipeline, over the
+  * `documents` table: exact (fingerprint groupBy), MinHash+LSH
+  * (shingle → minhash → band → bucket-join → Jaccard verify), SimHash
+  * (hamming-distance pairs), and plain n-gram Jaccard. Embedding-cosine
+  * near-dup lives in [[Similarity]].
+  *
+  * All hashes are the portable md5/universal-hash family
+  * ([[Portable]]) so the DuckDB oracle reproduces every stage exactly.
+  *
+  * Scale notes (100 TB):
+  *   - Exact dedup is one hash-shuffle on the 128-bit fingerprint —
+  *     optimal, no alternative at any scale.
+  *   - MinHash: the shingle explode is map-side; signatures are one
+  *     groupBy(doc_id) with partial min() combine; LSH banding turns the
+  *     O(n²) all-pairs problem into equi-joins on (band, key) — the
+  *     shuffles are all on high-cardinality keys. Candidate verification
+  *     touches only bucket collisions (~linear for realistic corpora).
+  *   - SimHash pair generation below is the exact O(n²) self-join —
+  *     correct at test scale; the scale path is banding the 32-bit
+  *     signature into 4 bytes and equi-joining on any matching byte
+  *     (pigeonhole: hamming ≤ 3 ⇒ at least one of 4 bytes equal), which
+  *     [[simhashPairs]] implements.
+  */
+object Dedup {
+
+  val numHashes = 16
+  val numBands = 4 // 4 rows per band
+  val rowsPerBand: Int = numHashes / numBands
+  val coeffs: Seq[(Long, Long)] = Portable.hashCoeffs(numHashes)
+
+  /** Exact dedup: group by normalized-text fingerprint, keep the min
+    * doc_id as representative (deterministic, unlike dropDuplicates). */
+  def exact(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(md5(TextAnalysis.normalizedText(col("text"))).as("fingerprint"))
+      .agg(min(col("doc_id")).as("rep_doc_id"),
+        count(lit(1)).as("n_copies"))
+      .orderBy(col("rep_doc_id"))
+
+  /** Distinct word-3-gram shingles per doc: (doc_id, shingle). Docs with
+    * fewer than 3 tokens produce no shingles (same as the oracle's empty
+    * `range`). */
+  def shingles(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("toks", Portable.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 3), " +
+          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")).as("shingle"))
+      .distinct()
+
+  /** Shingles with their 32-bit portable hash: (doc_id, h). */
+  def shingleHashes(documents: DataFrame): DataFrame =
+    shingles(documents).select(col("doc_id"),
+      Portable.hash32(col("shingle")).as("h"))
+
+  /** MinHash signature, one column per seed: (doc_id, mh_0 .. mh_15). */
+  def minhashSignatures(documents: DataFrame): DataFrame = {
+    val mins = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      min(Portable.universalHash(col("h"), a, b)).as(s"mh_$i")
+    }
+    shingleHashes(documents).groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH bucket rows: (doc_id, band, key) — key concatenates the band's
+    * minhash rows. Docs sharing (band, key) are candidate pairs. */
+  def lshBuckets(documents: DataFrame): DataFrame = {
+    val sigs = minhashSignatures(documents)
+    val bandCols = (0 until numBands).map { b =>
+      val ks = (0 until rowsPerBand).map(r => s"mh_${b * rowsPerBand + r}")
+      struct(lit(b).as("band"),
+        concat_ws(",", ks.map(col): _*).as("key")).as(s"b$b")
+    }
+    sigs.select(col("doc_id") +: bandCols: _*)
+      .select(col("doc_id"), explode(array((0 until numBands)
+        .map(b => col(s"b$b")): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Candidate pairs from LSH bucket collisions: (doc_a, doc_b), a < b. */
+  def lshCandidates(documents: DataFrame): DataFrame = {
+    val bk = lshBuckets(documents)
+    val a = bk.as("a")
+    val b = bk.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard over distinct shingle sets for the given pairs df
+    * (doc_a, doc_b). Returns (doc_a, doc_b, jaccard rounded 6). */
+  private def withJaccard(documents: DataFrame, pairs: DataFrame): DataFrame = {
+    val sh = shingles(documents)
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = pairs
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") &&
+        col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_common").cast("double") /
+          (col("ca.n_sh") + col("cb.n_sh") - col("n_common")), 6).as("jaccard"))
+  }
+
+  /** MinHash+LSH near-duplicate pairs, Jaccard-verified. */
+  def minhashPairs(documents: DataFrame, threshold: Double = 0.5): DataFrame =
+    withJaccard(documents, lshCandidates(documents))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Plain n-gram Jaccard pairs: every pair sharing ≥1 shingle, exact
+    * Jaccard ≥ threshold. (Inverted-index join, no LSH — the oracle
+    * baseline for [[minhashPairs]]; at scale prefer the LSH variant.) */
+  def jaccardPairs(documents: DataFrame, threshold: Double = 0.3): DataFrame = {
+    val sh = shingles(documents)
+    val pairs = sh.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    withJaccard(documents, pairs)
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** 32-bit SimHash over distinct tokens: (doc_id, simhash). Bit j is set
+    * iff Σ_tokens (2·bit_j(hash32(token)) − 1) > 0. */
+  def simhash(documents: DataFrame): DataFrame = {
+    val tokenHashes = documents
+      .select(col("doc_id"), explode(Portable.tokens(col("text"))).as("token"))
+      .distinct()
+      .select(col("doc_id"), Portable.hash32(col("token")).as("h"))
+    val bitSums = (0 until 32).map(j =>
+      sum(shiftright(col("h"), j) % 2 * 2 - 1).as(s"s_$j"))
+    val sig = (0 until 32).map(j =>
+        when(col(s"s_$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    tokenHashes.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs at hamming distance ≤ maxHamming, found via
+    * byte-banding (hamming ≤ 3 over 4 bytes ⇒ some byte equal — the
+    * pigeonhole trick that replaces the O(n²) self-join at scale). */
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = simhash(documents)
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+        (shiftright(col("simhash"), b * 8) % 256).as("byte"))): _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"),
+        col("bb.band").as("band"), col("bb.byte").as("byte"))
+    banded.as("a")
+      .join(banded.as("b"), col("a.band") === col("b.band") &&
+        col("a.byte") === col("b.byte") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(expr("a.simhash ^ b.simhash")).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+}

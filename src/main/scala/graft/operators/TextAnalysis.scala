@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+
+/** Text-analysis operators for a training-data pipeline, over the
+  * `documents` table (doc_id, text, lang, source, n_chars): language-ID
+  * (marker-token heuristic), quality scoring, token counting (whitespace
+  * + BPE-ish regex), and document fingerprinting.
+  *
+  * Everything is a pure codegen'd column expression (no UDFs) with an
+  * exact DuckDB twin in [[graft.Oracles]] — the marker lists and formulas
+  * live here once and the oracle SQL is generated from them.
+  *
+  * Scale note (100 TB): all per-document metrics are embarrassingly
+  * parallel map-side work over the parquet scan — no shuffle at all.
+  * The only shuffles in this module are the token-histogram groupBy
+  * (high-cardinality key, partial aggregation applies) and final
+  * presentation sorts.
+  */
+object TextAnalysis {
+
+  /** Language marker tokens. Shared with the oracle generator. */
+  val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "fr" -> Seq("le", "la", "de", "et", "les"))
+
+  /** English stopwords used by the quality score. */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "is", "to", "in", "or")
+
+  /** BPE-ish token pattern: letter runs, digit runs, single punctuation. */
+  val bpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  private def toks: Column = Portable.tokens(col("text"))
+
+  private def countIn(ts: Column, words: Seq[String]): Column =
+    size(filter(ts, t => t.isin(words.map(lit(_)): _*)))
+
+  /** Normalized text: lowercase, whitespace collapsed — the dedup key. */
+  def normalizedText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Per-document metrics. Input: documents table. */
+  def stats(documents: DataFrame): DataFrame = {
+    val langCounts = markers.map { case (l, ws) => l -> countIn(toks, ws) }
+    val Seq(cEn, cEs, cDe, cFr) = langCounts.map(_._2)
+    documents
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_bpe_tokens",
+        size(regexp_extract_all(col("text"), lit(bpePattern), lit(0))).cast("long"))
+      .withColumn("avg_token_len",
+        round(length(regexp_replace(col("text"), "\\s+", "")).cast("double") /
+          col("n_tokens"), 4))
+      .withColumn("stopword_ratio",
+        round(countIn(toks, stopwords).cast("double") / col("n_tokens"), 4))
+      .withColumn("punct_ratio",
+        round(length(regexp_replace(col("text"), "[a-z0-9\\s]", ""))
+          .cast("double") / col("n_chars"), 4))
+      .withColumn("quality_score",
+        round(least(col("n_tokens") / 100.0, lit(1.0)) * 0.5 +
+          col("stopword_ratio") * 0.3 +
+          (lit(1.0) - least(col("punct_ratio") * 10.0, lit(1.0))) * 0.2, 6))
+      .withColumn("fingerprint", md5(normalizedText(col("text"))))
+      .withColumn("fingerprint64", Portable.hash32(normalizedText(col("text"))))
+      .withColumn("lang_pred",
+        when(cEn >= cEs && cEn >= cDe && cEn >= cFr && cEn > 0, "en")
+          .when(cEs >= cDe && cEs >= cFr && cEs > 0, "es")
+          .when(cDe >= cFr && cDe > 0, "de")
+          .when(cFr > 0, "fr")
+          .otherwise("unk"))
+      .select("doc_id", "lang", "lang_pred", "n_tokens", "n_bpe_tokens",
+        "avg_token_len", "stopword_ratio", "punct_ratio", "quality_score",
+        "fingerprint", "fingerprint64")
+  }
+
+  /** Language-ID confusion counts: declared lang vs heuristic prediction. */
+  def langConfusion(documents: DataFrame): DataFrame =
+    stats(documents)
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("lang_pred"))
+
+  /** Corpus token histogram, top 20 (explode → groupBy → top-k). */
+  def tokenHistogram(documents: DataFrame): DataFrame =
+    documents
+      .select(explode(toks).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(20)
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Semantics tests for the training-data-pipeline operators (text
+  * analysis, dedup, similarity) on hand-checkable fixtures. */
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toSeq.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("text stats: token counts, ratios, language heuristic") {
+    val st = TextAnalysis.stats(docs(
+      (1L, "the cat and the hat is a cat"),
+      (2L, "el perro de la casa que y el")))
+      .orderBy("doc_id").collect()
+    assert(st(0).getAs[Long]("n_tokens") === 8L)
+    assert(st(0).getAs[String]("lang_pred") === "en") // 4 en markers
+    assert(st(0).getAs[Double]("stopword_ratio") === 0.625) // the,and,the,is,a of 8
+    assert(st(1).getAs[String]("lang_pred") === "es")
+  }
+
+  test("text: identical normalized text -> identical fingerprint") {
+    val st = TextAnalysis.stats(docs(
+      (1L, "hello   world foo"),
+      (2L, "  hello world   foo "))).collect()
+    assert(st.map(_.getAs[String]("fingerprint")).distinct.length === 1)
+    assert(st.map(_.getAs[Long]("fingerprint64")).distinct.length === 1)
+  }
+
+  test("dedup exact: normalized duplicates collapse to min doc_id") {
+    val d = Dedup.exact(docs(
+      (5L, "a b c"), (3L, "A  b C"), (9L, "other text here"))).collect()
+    assert(d.length === 2)
+    val dup = d.find(_.getAs[Long]("n_copies") === 2L).get
+    assert(dup.getAs[Long]("rep_doc_id") === 3L)
+  }
+
+  test("dedup shingles: word 3-grams, distinct, short docs excluded") {
+    val sh = Dedup.shingles(docs((1L, "a b c d"), (2L, "x y"))).collect()
+    assert(sh.map(_.getAs[String]("shingle")).sorted.toSeq ===
+      Seq("a b c", "b c d")) // doc 2 has <3 tokens
+  }
+
+  test("dedup minhash: near-identical docs pair, unrelated don't") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val nearDup = base.replace("w30", "zz")
+    val other = (1 to 30).map(i => s"q$i").mkString(" ")
+    val pairs = Dedup.minhashPairs(docs((1L, base), (2L, nearDup), (3L, other)))
+      .collect()
+    assert(pairs.length === 1)
+    assert((pairs(0).getAs[Long]("doc_a"), pairs(0).getAs[Long]("doc_b")) === (1L, 2L))
+    assert(pairs(0).getAs[Double]("jaccard") > 0.85)
+  }
+
+  test("dedup simhash: identical text -> hamming 0 pair; signature stable") {
+    val s = Dedup.simhash(docs((1L, "alpha beta gamma"), (2L, "alpha beta gamma")))
+      .collect()
+    assert(s(0).getAs[Long]("simhash") === s(1).getAs[Long]("simhash"))
+    val p = Dedup.simhashPairs(docs((1L, "alpha beta gamma"), (2L, "alpha beta gamma")))
+      .collect()
+    assert(p.length === 1 && p(0).getAs[Long]("hamming") === 0L)
+  }
+
+  private def vecs(rows: (Long, Seq[Float], Int)*): DataFrame =
+    rows.toSeq.toDF("vec_id", "embedding", "label")
+
+  test("similarity: brute-force top-k exact ranking") {
+    val df = vecs(
+      (0L, Seq(1f, 0f), 0),   // query
+      (1L, Seq(1f, 0.01f), 0), // nearly parallel
+      (2L, Seq(0.7f, 0.7f), 1), // 45 degrees
+      (3L, Seq(0f, 1f), 1))   // orthogonal
+    val top = Similarity.bruteForceTopK(df, k = 3, nQueries = 1).collect()
+    assert(top.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(1L, 2L, 3L))
+    assert(top(0).getAs[Double]("cosine") > 0.999)
+    assert(top(2).getAs[Double]("cosine") === 0.0)
+  }
+
+  test("similarity: near-dup pairs finds duplicated vectors only") {
+    val df = vecs(
+      (0L, Seq(1f, 2f, 3f), 0), (1L, Seq(1f, 2f, 3f), 0),
+      (2L, Seq(-3f, 1f, 0.5f), 1))
+    val p = Similarity.nearDupPairs(df, 0.99).collect()
+    assert(p.length === 1)
+    assert((p(0).getAs[Long]("vec_a"), p(0).getAs[Long]("vec_b")) === (0L, 1L))
+  }
+
+  test("similarity: IVF probes restrict search to nearest cells") {
+    // label 0 points near +x, label 1 near +y; query near +x must rank
+    // label-0 vectors first even with nprobe=2 (all cells searched here).
+    val df = vecs(
+      (0L, Seq(10f, 0.1f), 0), (1L, Seq(9f, 0.2f), 0), (2L, Seq(8f, 0f), 0),
+      (3L, Seq(0.1f, 10f), 1), (4L, Seq(0f, 9f), 1))
+    val top = Similarity.ivfTopK(df, k = 2, nQueries = 1, nprobe = 1).collect()
+    // (8,0) is more parallel to (10,0.1) than (9,0.2); both are label 0.
+    assert(top.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(2L, 1L))
+  }
+}
