@@ -158,5 +158,5 @@ SELECT DISTINCT ticker FROM ana ORDER BY ticker"""),
 
   /** All oracles, by query name. Extended by the relational / text /
     * dedup / similarity sections as they land. */
-  def all: Map[String, String] = stock ++ OraclesExt.all
+  def all: Map[String, String] = stock ++ OraclesExt.all ++ OraclesRel.all
 }

@@ -1,0 +1,89 @@
+package graft
+
+/** DuckDB oracle SQL for the relational (TPC-H-style) surface
+  * ([[graft.operators.Relational]]). Money sums go through
+  * DECIMAL(18,4) on both sides — exact and order-independent — then cast
+  * to DOUBLE, so partition-parallel Spark and sequential DuckDB agree
+  * bit-for-bit. */
+object OraclesRel {
+
+  private def dsum(e: String) = s"CAST(sum(CAST($e AS DECIMAL(18,4))) AS DOUBLE)"
+
+  val all: Map[String, String] = Map(
+    "rel_pricing_summary" -> s"""
+SELECT l_returnflag, l_linestatus,
+  ${dsum("l_quantity")} AS sum_qty,
+  ${dsum("l_extendedprice")} AS sum_base_price,
+  ${dsum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+  ${dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+  ${dsum("l_quantity")} / count(*) AS avg_qty,
+  ${dsum("l_extendedprice")} / count(*) AS avg_price,
+  ${dsum("l_discount")} / count(*) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus""",
+    "rel_revenue_by_nation" -> s"""
+SELECT n_name, ${dsum("l_extendedprice * (1 - l_discount)")} AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1999-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name""",
+    "rel_top_customers" -> s"""
+SELECT c_custkey, c_name,
+  ${dsum("l_extendedprice * (1 - l_discount)")} AS revenue,
+  count(DISTINCT o_orderkey) AS n_orders
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 10""",
+    "rel_order_priority" -> """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority""",
+    "rel_customers_no_orders" -> """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey""",
+    "rel_order_running_total" -> """
+SELECT o_custkey, o_orderkey, o_orderdate,
+  round(sum(o_totalprice) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total,
+  row_number() OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)::BIGINT AS order_seq
+FROM orders
+ORDER BY o_custkey, order_seq""",
+    "rel_part_topk_per_brand" -> """
+SELECT p_brand, p_partkey, p_name, p_retailprice, rn FROM (
+  SELECT p_brand, p_partkey, p_name, p_retailprice,
+    row_number() OVER (
+      PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)::BIGINT AS rn
+  FROM part)
+WHERE rn <= 3
+ORDER BY p_brand, rn""",
+    "rel_orders_rollup" -> s"""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+  ${dsum("o_totalprice")} AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+  )
+}

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Analytics, Dedup, Similarity, StockPipeline, TextAnalysis}
+import graft.operators.{Analytics, Dedup, Relational, Similarity, StockPipeline, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -90,6 +90,15 @@ object SparkEntry {
       Similarity.ivfTopK(Tables.embeddings(s, d))),
     "sim_neardup_pairs" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.embeddings(s, d))),
+    // ---- relational surface (TPC-H-style star schema) ----
+    "rel_pricing_summary" -> (Relational.pricingSummary _),
+    "rel_revenue_by_nation" -> (Relational.revenueByNation _),
+    "rel_top_customers" -> (Relational.topCustomers _),
+    "rel_order_priority" -> (Relational.orderPriority _),
+    "rel_customers_no_orders" -> (Relational.customersNoOrders _),
+    "rel_order_running_total" -> (Relational.orderRunningTotal _),
+    "rel_part_topk_per_brand" -> (Relational.partTopPerBrand _),
+    "rel_orders_rollup" -> (Relational.ordersRollup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

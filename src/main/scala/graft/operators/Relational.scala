@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Relational analytics over the TPC-H-ish star schema — the join /
+  * aggregate / window / semi / anti / rollup surface the reference
+  * delegates to BigQuery (SURVEY.md §2.9, §4), exercised at scale on the
+  * driver's test tables.
+  *
+  * Determinism convention: money aggregates are summed as DECIMAL(18,4)
+  * (exact, order-independent — a double sum over 600 k rows differs
+  * between partition-parallel Spark and sequential DuckDB by ~1e-3) and
+  * cast back to DOUBLE for the output schema. Per-row double arithmetic
+  * (price × (1−disc)) is deterministic and stays double.
+  *
+  * Scale notes (100 TB): the star joins shuffle the fact tables on their
+  * join keys once each; region/nation (25 rows) and the filtered
+  * dimension sides are explicitly `broadcast()` so the big scans never
+  * shuffle for them. Semi/anti joins use Spark's left_semi/left_anti
+  * (no row multiplication, map-side with broadcast). All top-k sorts
+  * lower to TakeOrderedAndProject.
+  */
+object Relational {
+
+  private def decSum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,4)")).cast("double")
+
+  /** TPC-H Q1-style pricing summary: the canonical wide aggregate. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        decSum(col("l_quantity")).as("sum_qty"),
+        decSum(col("l_extendedprice")).as("sum_base_price"),
+        decSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("sum_disc_price"),
+        decSum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+          (lit(1) + col("l_tax"))).as("sum_charge"),
+        (decSum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (decSum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        (decSum(col("l_discount")) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** TPC-H Q5-style: revenue per nation for one region, 6-way star join
+    * with broadcast dimensions. */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.customer(spark, dir)
+    val orders = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+    val lineitem = Tables.lineitem(spark, dir)
+    val supplier = Tables.supplier(spark, dir)
+    val nation = Tables.nation(spark, dir)
+    val region = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .join(lineitem, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q3-style: top-10 customers by revenue in one segment. */
+  def topCustomers(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(
+        decSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(10)
+
+  /** TPC-H Q4-style: order-priority counts via a left-semi join (EXISTS
+    * with a non-equi conjunct). */
+  def orderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val lineitem = Tables.lineitem(spark, dir)
+    orders
+      .join(lineitem, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Customers with no orders — left-anti join (NOT EXISTS). */
+  def customersNoOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+
+  /** Per-customer running order total + sequence number (window funcs on
+    * the fact table; explicit ROWS frame so RANGE-vs-ROWS defaults can't
+    * diverge between engines). */
+  def orderRunningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wSum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        round(sum(col("o_totalprice")).over(wSum), 4).as("running_total"),
+        row_number().over(w).cast("long").as("order_seq"))
+      .orderBy(col("o_custkey"), col("order_seq"))
+  }
+
+  /** Top-3 parts per brand by retail price (row_number top-k per group). */
+  def partTopPerBrand(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    Tables.part(spark, dir)
+      .select(col("p_brand"), col("p_partkey"), col("p_name"),
+        col("p_retailprice"), row_number().over(w).cast("long").as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("p_brand"), col("rn"))
+  }
+
+  /** Order counts + revenue by (status, priority) with ROLLUP subtotals. */
+  def ordersRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        decSum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+}

@@ -1,0 +1,50 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+/** Semi/anti-join and rollup semantics on literal frames (the sf-data
+  * versions of these are degenerate: every dim row is referenced). */
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
+
+  test("left_semi with non-equi conjunct keeps each order at most once") {
+    val orders = Seq((1L, ts("1996-02-01")), (2L, ts("1996-03-01")),
+      (3L, ts("1996-04-01")))
+      .toDF("o_orderkey", "o_orderdate")
+    // order 1: two qualifying lineitems (must not double-count);
+    // order 2: lineitem shipped same day (strict > fails); order 3: none.
+    val lineitem = Seq((1L, ts("1996-02-10")), (1L, ts("1996-02-20")),
+      (2L, ts("1996-03-01")))
+      .toDF("l_orderkey", "l_shipdate")
+    val out = orders.join(lineitem,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .select("o_orderkey").as[Long].collect().sorted
+    assert(out.toSeq === Seq(1L))
+  }
+
+  test("left_anti keeps exactly the unmatched rows") {
+    val customer = Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("c_custkey", "c_name")
+    val orders = Seq(Tuple1(1L), Tuple1(1L)).toDF("o_custkey")
+    val out = customer.join(orders,
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .select("c_custkey").as[Long].collect().sorted
+    assert(out.toSeq === Seq(2L, 3L))
+  }
+
+  test("rollup emits group, subtotal and grand-total rows") {
+    val df = Seq(("O", "HIGH", 10.0), ("O", "LOW", 20.0), ("F", "HIGH", 5.0))
+      .toDF("status", "prio", "price")
+    val out = df.rollup(col("status"), col("prio"))
+      .agg(count(lit(1)).as("n"), sum(col("price")).as("total"))
+      .collect()
+    assert(out.length === 6) // 3 leaves + 2 subtotals + 1 grand total
+    val grand = out.find(r => r.isNullAt(0) && r.isNullAt(1)).get
+    assert(grand.getAs[Long]("n") === 3L && grand.getAs[Double]("total") === 35.0)
+  }
+}
