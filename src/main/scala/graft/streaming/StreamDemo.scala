@@ -1,0 +1,32 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+
+/** Runnable end-to-end streaming demo: file-stream the events table
+  * through the full analysis DAG (normalize → watermark → windowed aggs
+  * → join → spike → parquet append sink), then print sink stats.
+  * Run: `sbt "runMain graft.streaming.StreamDemo <sfDir> <outDir>"`. */
+object StreamDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val out = args.drop(1).headOption
+      .getOrElse(java.nio.file.Files.createTempDirectory("graft-demo").toString)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val q = StreamingPipeline.analysisSink(spark, sfDir, s"$out/analysis",
+      s"$out/checkpoint")
+    q.processAllAvailable()
+    q.stop()
+    val result = spark.read.parquet(s"$out/analysis")
+    println(s"[stream-demo] sink rows: ${result.count()}")
+    println(s"[stream-demo] spikes: ${result.filter("is_volume_spike").count()}")
+    result.orderBy("ticker", "window_timestamp").show(5, truncate = false)
+    spark.stop()
+  }
+}

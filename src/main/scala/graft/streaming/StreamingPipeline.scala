@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.StockPipeline
+
+/** The reference's streaming DAG (`analysis-dataflow-pipeline/
+  * pipeline.py:69-133`) under Structured Streaming. The transform logic
+  * is the *same* code as the batch path ([[StockPipeline]]) — a
+  * streaming DataFrame flows through `normalize`/`agg1m`/`sma5m`
+  * unchanged; only the source (readStream), the watermark, and the sink
+  * differ. That shared-logic property is the engine's stream/batch
+  * parity guarantee, and the MemoryStream tests assert it row-for-row.
+  *
+  * Beam-default-trigger equivalence (SURVEY.md §2.3 W6): the reference
+  * uses fire-once-at-watermark with zero allowed lateness; the
+  * Structured Streaming analog is `withWatermark(delay)` + append output
+  * mode — each window emits exactly once, late rows beyond the delay are
+  * dropped.
+  *
+  * The stream–stream join of two windowed aggregates (J1) is not
+  * expressible as a single continuous plan (agg-after-agg restriction);
+  * [[analysisSink]] runs the join per micro-batch in `foreachBatch` —
+  * the exact analog of Beam's per-window pane firing (SURVEY.md §7.4).
+  *
+  * Scale notes: state for the windowed aggs lives in the HDFS-backed
+  * state store partitioned by (ticker, window) — the same hash layout as
+  * the batch shuffle; watermarking bounds state size (old windows are
+  * evicted), which is what makes the pipeline run indefinitely on a
+  * cluster.
+  */
+object StreamingPipeline {
+
+  /** Schema of the raw events parquet, with ts as raw nanos (file stream
+    * sources need an explicit schema; nanosAsLong applies). */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Unbounded file-stream source over an events parquet directory (the
+    * test stand-in for Pub/Sub / Kafka — S1 in SURVEY.md §2.1). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet") // stream sources monitor a directory
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Normalize + event-time watermark (P1/P2/P5/P6 + W6). */
+  def withEventTime(events: DataFrame, delay: String = "2 minutes"): DataFrame =
+    StockPipeline.normalize(events).withWatermark("ts", delay)
+
+  /** Streaming 1-minute tumbling aggregation — batch transform reused. */
+  def agg1mStream(eventsWithWatermark: DataFrame): DataFrame =
+    StockPipeline.agg1m(eventsWithWatermark)
+
+  /** Streaming 5-minute sliding SMA — batch transform reused. */
+  def sma5mStream(eventsWithWatermark: DataFrame): DataFrame =
+    StockPipeline.sma5m(eventsWithWatermark)
+
+  /** S3 replay source: a `rate` stream deterministically indexing into
+    * the historical events table — one micro-batch of bars per trigger,
+    * replaying history as live data (`main.py:70-75`). The bars side is
+    * broadcast; the modulo join never shuffles the rate stream. */
+  def replayStream(spark: SparkSession, dir: String,
+      rowsPerSecond: Int = 100): DataFrame = {
+    val bars = graft.sources.Tables.events(spark, dir)
+      .withColumn("idx", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("ts"),
+          col("event_id"))).cast("long") - 1)
+    val n = bars.count()
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toLong).load()
+      .withColumn("idx", pmod(col("value"), lit(n)))
+      .join(broadcast(bars), Seq("idx"))
+      .drop("idx", "timestamp", "value")
+  }
+
+  /** Full end-to-end streaming analysis: per micro-batch, the finalized
+    * agg branches are joined, spiked and formatted with the *batch*
+    * operators inside foreachBatch, appending to a parquet sink. Returns
+    * the started query (caller awaits/stops). */
+  def analysisSink(spark: SparkSession, inputDir: String, outPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val events = withEventTime(eventsStream(spark, inputDir))
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sp = StockPipeline.withSpike(StockPipeline.joined(batch))
+        if (!sp.isEmpty) {
+          sp.write.mode("append").parquet(outPath)
+        }
+        ()
+      }
+      .start()
+  }
+}
