@@ -215,5 +215,22 @@ WHERE ${cosSql("a.ev", "b.ev")} >= 0.9
 ORDER BY vec_a, vec_b""",
   )
 
-  def all: Map[String, String] = text ++ dedup ++ similarity
+  // ---------------- multimodal ----------------
+
+  private val strideConcat: String =
+    (0 until 8).map(i => s"substr(text, ${1 + i * 16}, 1)").mkString(" || ")
+
+  /** Metadata-only features over the blob stand-in (payload = UTF-8 text
+    * bytes, ASCII ⇒ octet_length = n_chars on both engines). */
+  val multimodal: Map[String, String] = Map(
+    "mm_features" -> s"""
+SELECT doc_id,
+  ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS modality,
+  octet_length(encode(text))::BIGINT AS n_bytes,
+  lower(hex(encode(substr(text, 1, 8)))) AS header_hex,
+  lower(hex(encode($strideConcat))) AS stride_sample_hex
+FROM documents ORDER BY doc_id""",
+  )
+
+  def all: Map[String, String] = text ++ dedup ++ similarity ++ multimodal
 }

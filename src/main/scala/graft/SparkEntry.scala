@@ -90,6 +90,17 @@ object SparkEntry {
       Similarity.ivfTopK(Tables.embeddings(s, d))),
     "sim_neardup_pairs" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.embeddings(s, d))),
+    // ---- multimodal columns ----
+    "mm_features" -> ((s, d) =>
+      operators.Multimodal.features(Tables.documents(s, d))),
+    // mapPartitions decode path: deterministic but not SQL-expressible;
+    // registered without an oracle -> driver's rows-only check.
+    "mm_decode" -> ((s, d) =>
+      operators.Multimodal.decode(
+          operators.Multimodal.blobs(Tables.documents(s, d)))
+        .toDF().select(col("id"), col("modality"), col("width"),
+          col("height"), col("n_frames"), col("feature"))
+        .orderBy(col("id"))),
     // ---- relational surface (TPC-H-style star schema) ----
     "rel_pricing_summary" -> (Relational.pricingSummary _),
     "rel_revenue_by_nation" -> (Relational.revenueByNation _),
