@@ -154,6 +154,38 @@ SELECT * FROM ana WHERE ticker = 'purchase'
 ORDER BY window_timestamp DESC LIMIT 100"""),
     "q10_tickers" -> (stockCte + """
 SELECT DISTINCT ticker FROM ana ORDER BY ticker"""),
+    // W4 session windows: gaps-and-islands twin of Spark's
+    // session_window (new session when gap >= 1800 s; end = last + gap).
+    "stock_sessions" -> (stockCte + """,
+brk AS (
+  SELECT ticker, ts, price,
+    CASE WHEN epoch(ts) - epoch(lag(ts) OVER (
+      PARTITION BY ticker ORDER BY ts)) >= 1800 THEN 1 ELSE 0 END AS brk
+  FROM stock),
+sid AS (
+  SELECT ticker, ts, price,
+    sum(brk) OVER (PARTITION BY ticker ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM brk)
+SELECT ticker, min(ts) AS session_start,
+  max(ts) + INTERVAL 30 MINUTE AS session_end,
+  count(*) AS n_events,
+  CAST(sum(CAST(price AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_price
+FROM sid GROUP BY ticker, sid
+ORDER BY ticker, session_start"""),
+    // Long->wide pivot of the minute aggregation (pinned ticker columns).
+    "stock_pivot" -> (stockCte + """
+SELECT window_timestamp,
+  max(CASE WHEN ticker = 'click' THEN latest_price END) AS click,
+  max(CASE WHEN ticker = 'error' THEN latest_price END) AS error,
+  max(CASE WHEN ticker = 'purchase' THEN latest_price END) AS purchase,
+  max(CASE WHEN ticker = 'signup' THEN latest_price END) AS signup,
+  max(CASE WHEN ticker = 'view' THEN latest_price END) AS view
+FROM agg1m GROUP BY window_timestamp ORDER BY window_timestamp"""),
+    // JSON wire-format round-trip is lossless -> oracle is the identity.
+    "stock_json_roundtrip" -> (stockCte + """
+SELECT ticker, ts, price, volume, ai_sentiment, ai_summary
+FROM stock ORDER BY ts, ticker"""),
   )
 
   /** All oracles, by query name. Extended by the relational / text /

@@ -2,12 +2,14 @@ package graft
 
 /** DuckDB oracle SQL for the relational (TPC-H-style) surface
   * ([[graft.operators.Relational]]). Money sums go through
-  * DECIMAL(18,4) on both sides — exact and order-independent — then cast
+  * DECIMAL(18,6) on both sides — exact and order-independent — then cast
   * to DOUBLE, so partition-parallel Spark and sequential DuckDB agree
   * bit-for-bit. */
 object OraclesRel {
 
-  private def dsum(e: String) = s"CAST(sum(CAST($e AS DECIMAL(18,4))) AS DOUBLE)"
+  // Scale 6 matches the expressions' exact decimal scale — see
+  // Relational.decSum for why scale 4 would hit tie-rounding divergence.
+  private def dsum(e: String) = s"CAST(sum(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
 
   val all: Map[String, String] = Map(
     "rel_pricing_summary" -> s"""
@@ -79,6 +81,14 @@ SELECT p_brand, p_partkey, p_name, p_retailprice, rn FROM (
   FROM part)
 WHERE rn <= 3
 ORDER BY p_brand, rn""",
+    "rel_quantiles" -> """
+SELECT l_returnflag,
+  round(quantile_cont(l_extendedprice, 0.25)::DOUBLE, 6) AS p25_price,
+  round(quantile_cont(l_extendedprice, 0.5)::DOUBLE, 6) AS p50_price,
+  round(quantile_cont(l_extendedprice, 0.75)::DOUBLE, 6) AS p75_price,
+  round(quantile_cont(l_extendedprice, 0.95)::DOUBLE, 6) AS p95_price,
+  round(quantile_cont(l_discount, 0.5)::DOUBLE, 6) AS median_discount
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "rel_orders_rollup" -> s"""
 SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
   ${dsum("o_totalprice")} AS total_price

@@ -53,6 +53,13 @@ object SparkEntry {
         .orderBy(col("ticker"), col("window_timestamp"))),
     "stock_analysis" -> ((s, d) =>
       ana(s, d).orderBy(col("ticker"), col("window_timestamp"))),
+    "stock_sessions" -> ((s, d) =>
+      StockPipeline.sessions(StockPipeline.normalize(Tables.events(s, d)))),
+    "stock_pivot" -> ((s, d) =>
+      StockPipeline.pivotPrices(StockPipeline.agg1m(
+        StockPipeline.normalize(Tables.events(s, d))))),
+    "stock_json_roundtrip" -> ((s, d) =>
+      StockPipeline.jsonRoundtrip(StockPipeline.normalize(Tables.events(s, d)))),
     // ---- SQL analytics surface Q1-Q10 (SURVEY.md §2.9) ----
     "q1_dashboard" -> ((s, d) => Analytics.q1Dashboard(ana(s, d))),
     "q2_trend_signals" -> ((s, d) => Analytics.q2TrendSignals(ana(s, d))),
@@ -111,6 +118,7 @@ object SparkEntry {
     "rel_order_running_total" -> (Relational.orderRunningTotal _),
     "rel_part_topk_per_brand" -> (Relational.partTopPerBrand _),
     "rel_orders_rollup" -> (Relational.ordersRollup _),
+    "rel_quantiles" -> (Relational.pricingQuantiles _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -26,8 +26,13 @@ import graft.sources.Tables
   */
 object Relational {
 
+  // Scale 6, not 4: money expressions here have at most 6 true decimal
+  // places (2dp price × 2dp discount × 2dp tax), so every double is
+  // ~1e-11 from a 6dp grid point and both engines round it identically.
+  // At scale 4 the true values sit EXACTLY on rounding midpoints, where
+  // Spark (decimal-string half-up) and DuckDB (binary nearest) disagree.
   private def decSum(c: org.apache.spark.sql.Column) =
-    sum(c.cast("decimal(18,4)")).cast("double")
+    sum(c.cast("decimal(18,6)")).cast("double")
 
   /** TPC-H Q1-style pricing summary: the canonical wide aggregate. */
   def pricingSummary(spark: SparkSession, dir: String): DataFrame =
@@ -132,6 +137,19 @@ object Relational {
       .filter(col("rn") <= 3)
       .orderBy(col("p_brand"), col("rn"))
   }
+
+  /** Exact interpolated percentiles per return flag (Spark's `percentile`
+    * = DuckDB's `quantile_cont`: index p·(n−1), linear interpolation). */
+  def pricingQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25D)"), 6).as("p25_price"),
+        round(expr("percentile(l_extendedprice, 0.5D)"), 6).as("p50_price"),
+        round(expr("percentile(l_extendedprice, 0.75D)"), 6).as("p75_price"),
+        round(expr("percentile(l_extendedprice, 0.95D)"), 6).as("p95_price"),
+        round(expr("percentile(l_discount, 0.5D)"), 6).as("median_discount"))
+      .orderBy(col("l_returnflag"))
 
   /** Order counts + revenue by (status, priority) with ROLLUP subtotals. */
   def ordersRollup(spark: SparkSession, dir: String): DataFrame =

@@ -200,6 +200,61 @@ object StockPipeline {
         col("ai_sentiment"), col("ai_summary"))
   }
 
+  /** W4 session windows (SURVEY.md §2.3 — capability extension): per
+    * ticker, events closer than `gap` merge into one session. Spark's
+    * `session_window` end = last event + gap, window half-open, so a gap
+    * of exactly `gap` starts a new session (oracle uses `>=` islands). */
+  def sessions(stock: DataFrame, gap: String = "30 minutes"): DataFrame =
+    stock
+      .groupBy(session_window(col("ts"), gap), col("ticker"))
+      .agg(count(lit(1)).as("n_events"),
+        // sessions can span hundreds of events: sum as exact decimal so
+        // the mean is order-independent, and leave it UNROUNDED — the
+        // exact sum divided by the count is one deterministic IEEE op,
+        // while round() on an exact .xxx5 boundary differs between
+        // engines (decimal-string half-up vs binary-double nearest)
+        (sum(col("price").cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("avg_price"))
+      .select(col("ticker"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("avg_price"))
+      .orderBy(col("ticker"), col("session_start"))
+
+  /** Long→wide pivot (SURVEY.md §1.1): the reference's pandas MultiIndex
+    * matrix shape, (minute × ticker) → latest price. Pivot values are
+    * pinned so the output schema is deterministic. */
+  val tickerValues: Seq[String] =
+    Seq("click", "error", "purchase", "signup", "view")
+  def pivotPrices(agg1mDf: DataFrame): DataFrame =
+    agg1mDf
+      .groupBy(col("window_timestamp"))
+      .pivot("ticker", tickerValues)
+      .agg(max(col("latest_price")))
+      .orderBy(col("window_timestamp"))
+
+  /** K2/P1 round-trip: serialize each event to the reference's JSON wire
+    * format (`main.py:162-172`) and parse it back — the engine's
+    * encode/decode path is lossless (Double.toString is round-trippable;
+    * timestamps carry microseconds). Oracle = identity on the input. */
+  def jsonRoundtrip(stock: DataFrame): DataFrame = {
+    val wire = stock.select(to_json(struct(
+      col("ticker"), col("price"), col("volume"),
+      date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("timestamp"),
+      col("ai_sentiment"), col("ai_summary"))).as("value"))
+    wire
+      .select(from_json(col("value"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "ticker string, price double, volume bigint, timestamp string, " +
+            "ai_sentiment double, ai_summary string")).as("e"))
+      .select(col("e.ticker").as("ticker"),
+        to_timestamp(col("e.timestamp")).as("ts"),
+        col("e.price").as("price"), col("e.volume").as("volume"),
+        col("e.ai_sentiment").as("ai_sentiment"),
+        col("e.ai_summary").as("ai_summary"))
+      .orderBy(col("ts"), col("ticker"))
+  }
+
   /** The shared "now" used by time-range analytics predicates (Q4/Q8):
     * max window end in the analysis table, as a broadcastable 1-row frame.
     */

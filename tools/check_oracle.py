@@ -30,12 +30,11 @@ def norm(v):
 
 
 def eq(a, b):
-    a, b = norm(a), norm(b)
-    if isinstance(a, float) and isinstance(b, float):
-        if a == b:
-            return True
-        return abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
-    return a == b
+    # EXACT comparison, including floats — mirrors the driver's
+    # hash-compare. Every registered query is designed to be
+    # bit-identical across engines (decimal-exact sums, shared float
+    # paths, tie-free rounding scales); tolerance would hide drift.
+    return norm(a) == norm(b)
 
 
 def main(sf_dir, out_dir):
