@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.DotProduct
+
+/** Catalyst extension entry point: registers the engine's custom
+  * expressions with the SQL function registry so `spark.sql` users get
+  * them too (not just the Column API).
+  *
+  * Wire up either way:
+  * {{{
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)            // programmatic
+  *   // or: --conf spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * This is also the seam for future `Rule[LogicalPlan]` work (e.g.
+  * rewriting a naive all-pairs cosine filter into an LSH-banded join) —
+  * `injectOptimizerRule` on the same hook, per SURVEY.md §4.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_dot takes exactly 2 arguments")
+        DotProduct(args.head, args(1))
+      }))
+  }
+}

@@ -14,6 +14,7 @@ object SparkSpec {
     .config("spark.sql.shuffle.partitions", "2")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .appName("graft-test")
     .getOrCreate()
 }

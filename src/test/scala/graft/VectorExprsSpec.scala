@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorExprs
+import graft.operators.Similarity
+
+/** Native DotProduct expression: value parity with the HOF form it
+  * replaced, codegen + interpreted paths, and SQL registration via
+  * GraftExtensions. */
+class VectorExprsSpec extends SparkSpec {
+
+  test("dotNative equals the interpreted HOF dot, float and double arrays") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1.5f, -2f, 3f), Seq(2.0, 0.5, 1.0)),
+      (Seq(0f, 0f, 0f), Seq(1.0, 1.0, 1.0)))
+      .toDF("fv", "dv")
+    val hof = aggregate(zip_with(col("fv"), col("dv"),
+      (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val rows = df.select(
+      VectorExprs.dotNative(col("fv"), col("dv")).as("native"), hof.as("hof"))
+      .collect()
+    rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+    assert(rows(0).getDouble(0) === 1.5 * 2.0 + -2.0 * 0.5 + 3.0)
+  }
+
+  test("graft_dot is callable from SQL via SparkSessionExtensions") {
+    val v = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .collect().head.getDouble(0)
+    assert(v === 11.0)
+  }
+
+  test("graft_dot rejects non-array inputs with a typed analysis error") {
+    val e = intercept[Exception](
+      spark.sql("SELECT graft_dot(1, 2)").collect())
+    assert(e.getMessage.contains("graft_dot"))
+  }
+
+  test("cosine of a vector with itself is 1.0 after unitizing") {
+    import spark.implicits._
+    val df = Seq(Tuple1(Seq(3f, 4f))).toDF("embedding")
+    val u = df.select(Similarity.unitize(col("embedding")).as("u"))
+    val c = u.select(Similarity.cosineUnit(col("u"), col("u")).as("c"))
+      .collect().head.getDouble(0)
+    assert(c === 1.0)
+  }
+}
