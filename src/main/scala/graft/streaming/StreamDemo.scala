@@ -17,6 +17,7 @@ object StreamDemo {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val q = StreamingPipeline.analysisSink(spark, sfDir, s"$out/analysis",
