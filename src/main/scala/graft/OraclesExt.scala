@@ -38,6 +38,9 @@ raw AS (
     round(len(regexp_replace(text, '[a-z0-9\\s]', '', 'g'))::DOUBLE / n_chars, 4) AS punct_ratio,
     md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
     ('0x' || substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 8))::BIGINT AS fingerprint64,
+    list_reduce(list_prepend(0::BIGINT, list_transform(tk,
+      t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
+      (acc, h) -> (acc * 31 + h) % ${graft.functions.Portable.P31}) AS fingerprint_roll,
     $langCountExprs
   FROM toks),
 st AS (
@@ -50,7 +53,7 @@ st AS (
     n_tokens, n_bpe_tokens, avg_token_len, stopword_ratio, punct_ratio,
     round(least(n_tokens / 100.0, 1.0) * 0.5 + stopword_ratio * 0.3 +
       (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2, 6) AS quality_score,
-    fingerprint, fingerprint64
+    fingerprint, fingerprint64, fingerprint_roll
   FROM raw)
 """
 

@@ -66,6 +66,12 @@ object TextAnalysis {
           (lit(1.0) - least(col("punct_ratio") * 10.0, lit(1.0))) * 0.2, 6))
       .withColumn("fingerprint", md5(normalizedText(col("text"))))
       .withColumn("fingerprint64", Portable.hash32(normalizedText(col("text"))))
+      // polynomial rolling hash over token hashes: order-sensitive, so
+      // permuted documents get distinct prints (unlike a bag-of-tokens
+      // hash); oracle twin uses list_reduce with the same (31, p) params
+      .withColumn("fingerprint_roll",
+        aggregate(transform(toks, t => Portable.hash32(t)), lit(0L),
+          (acc, h) => pmod(acc * 31 + h, lit(Portable.P31))))
       .withColumn("lang_pred",
         when(cEn >= cEs && cEn >= cDe && cEn >= cFr && cEn > 0, "en")
           .when(cEs >= cDe && cEs >= cFr && cEs > 0, "es")
@@ -74,7 +80,7 @@ object TextAnalysis {
           .otherwise("unk"))
       .select("doc_id", "lang", "lang_pred", "n_tokens", "n_bpe_tokens",
         "avg_token_len", "stopword_ratio", "punct_ratio", "quality_score",
-        "fingerprint", "fingerprint64")
+        "fingerprint", "fingerprint64", "fingerprint_roll")
   }
 
   /** Language-ID confusion counts: declared lang vs heuristic prediction. */
