@@ -216,6 +216,36 @@ ranked AS (
   FROM scored)
 SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
 ORDER BY query_id, rank"""),
+    "sim_lsh_topk" -> (simBase + s""",
+coef AS (SELECT * FROM (VALUES ${
+      graft.operators.Similarity.srpCoeffs.zipWithIndex
+        .map { case ((a, b), j) => s"($j, ${a}::BIGINT, ${b}::BIGINT)" }
+        .mkString(", ")}) t(j, a, b)),
+pw AS (
+  SELECT j, list(((a * (d + 1) + b) % 2147483647)::DOUBLE / 2147483647 - 0.5
+    ORDER BY d) AS plane
+  FROM coef, generate_series(0, 63) s(d) GROUP BY j),
+sigs AS (
+  SELECT b.vec_id,
+    sum(CASE WHEN list_inner_product(b.ev, p.plane) > 0
+        THEN (1::BIGINT << p.j) ELSE 0 END)::BIGINT AS sig
+  FROM base b CROSS JOIN pw p GROUP BY b.vec_id),
+sb AS (
+  SELECT base.vec_id, ev, sig % 256 AS band0, sig // 256 AS band1
+  FROM base JOIN sigs USING (vec_id)),
+q2 AS (
+  SELECT vec_id AS query_id, ev AS qv, band0 AS qb0, band1 AS qb1
+  FROM sb WHERE vec_id < 20),
+scored AS (
+  SELECT query_id, sb.vec_id AS neighbor_id, ${cosSql("qv", "ev")} AS cosine
+  FROM sb JOIN q2 ON (sb.band0 = q2.qb0 OR sb.band1 = q2.qb1)
+    AND sb.vec_id <> q2.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)::BIGINT AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank"""),
     "sim_neardup_pairs" -> s"""
 WITH base AS (
   SELECT vec_id, ${unitSql("embedding::DOUBLE[]")} AS ev FROM embeddings)

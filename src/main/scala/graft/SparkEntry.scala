@@ -96,6 +96,8 @@ object SparkEntry {
       Similarity.bruteForceTopK(Tables.embeddings(s, d))),
     "sim_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(Tables.embeddings(s, d))),
+    "sim_lsh_topk" -> ((s, d) =>
+      Similarity.lshTopK(Tables.embeddings(s, d))),
     "sim_neardup_pairs" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.embeddings(s, d))),
     // ---- multimodal columns ----
@@ -119,6 +121,8 @@ object SparkEntry {
     "rel_part_topk_per_brand" -> (Relational.partTopPerBrand _),
     "rel_orders_rollup" -> (Relational.ordersRollup _),
     "rel_quantiles" -> (Relational.pricingQuantiles _),
+    // sketches are engine-specific by design -> no oracle, rows-only check
+    "rel_approx_stats" -> (Relational.approxStats _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -151,6 +151,20 @@ object Relational {
         round(expr("percentile(l_discount, 0.5D)"), 6).as("median_discount"))
       .orderBy(col("l_returnflag"))
 
+  /** Sketch-based approximations (HLL++ count-distinct, GK quantiles) —
+    * the constant-memory forms of A6/rel_quantiles for 100 TB cardinality
+    * work. Registered WITHOUT an oracle (approximation algorithms differ
+    * across engines by design) → driver's rows-only check. */
+  def approxStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+          .as("approx_median_price"))
+      .orderBy(col("l_returnflag"))
+
   /** Order counts + revenue by (status, priority) with ROLLUP subtotals. */
   def ordersRollup(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)

@@ -111,6 +111,49 @@ object Similarity {
     topK(scored, k)
   }
 
+  // ---- signed-random-projection LSH (the bucketed ANN scale path) ----
+
+  /** SRP parameters: 16 deterministic pseudo-random hyperplanes (2 bands
+    * × 8 bits), weights derived from the shared universal-hash
+    * coefficients so the DuckDB oracle regenerates them exactly:
+    * w(j,d) = ((a_j·(d+1) + b_j) mod p) / p − 0.5. */
+  val srpPlanes = 16
+  val srpCoeffs: Seq[(Long, Long)] = graft.functions.Portable.hashCoeffs(srpPlanes)
+  private val P = graft.functions.Portable.P31
+
+  private def planeExpr(a: Long, b: Long, dim: Column): Column =
+    transform(sequence(lit(0), dim - 1),
+      d => ((lit(a) * (d + 1) + lit(b)) % P).cast("double") / P - 0.5)
+
+  /** 16-bit SRP signature of a unit vector: bit j = (v · plane_j) > 0.
+    * Nearby vectors agree on most bits (hyperplane rounding). */
+  def srpSignature(unit: Column): Column =
+    srpCoeffs.zipWithIndex.map { case ((a, b), j) =>
+      when(dot(unit, planeExpr(a, b, size(unit))) > 0, lit(1L << j))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed approximate top-k: candidates are base vectors sharing
+    * at least one of the two 8-bit signature bands with the query, then
+    * exact cosine ranking within the candidate set. At cluster scale the
+    * band columns are the bucketing/partition keys, so a query touches
+    * only its buckets' partitions instead of the full base table. */
+  def lshTopK(embeddings: DataFrame, k: Int = 5, nQueries: Int = 20): DataFrame = {
+    val sig = unitized(embeddings)
+      .withColumn("sig", srpSignature(col("unit")))
+      .withColumn("band0", col("sig") % 256)
+      .withColumn("band1", expr("sig div 256"))
+    val queries = sig.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("unit").as("qu"),
+        col("band0").as("qb0"), col("band1").as("qb1"))
+    val scored = sig.join(broadcast(queries),
+        (col("band0") === col("qb0") || col("band1") === col("qb1")) &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosineUnit(col("qu"), col("unit")).as("cosine"))
+    topK(scored, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs (dedup modality): all pairs
     * with cosine ≥ threshold, one dot per pair on unit vectors. */
   def nearDupPairs(embeddings: DataFrame, threshold: Double = 0.9): DataFrame = {

@@ -101,4 +101,33 @@ class ExtensionsSpec extends SparkSpec {
     // (8,0) is more parallel to (10,0.1) than (9,0.2); both are label 0.
     assert(top.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(2L, 1L))
   }
+
+  test("similarity: SRP signatures equal for identical vectors; LSH top-1 recall is sane") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val sigs = Similarity.unitized(emb)
+      .withColumn("sig", Similarity.srpSignature(col("unit")))
+    // deterministic: same vector -> same signature on every evaluation
+    val s1 = sigs.orderBy("vec_id").limit(5).collect().map(_.getAs[Long]("sig"))
+    val s2 = sigs.orderBy("vec_id").limit(5).collect().map(_.getAs[Long]("sig"))
+    assert(s1.toSeq === s2.toSeq)
+    // SRP-LSH retrieves NEAR-DUPLICATES (high bit-agreement), not
+    // nearest neighbors in orthogonal noise: plant 20 perturbed copies
+    // of base vectors as queries and require top-1 recall of the twin.
+    // (cos ~0.999 -> per-bit disagreement ~1.4% -> P(either 8-bit band
+    // matches) ~0.98; on random data recall is near 0 by design.)
+    val base = emb.filter(col("vec_id") >= 100 && col("vec_id") < 120)
+      .collect().zipWithIndex.map { case (r, i) =>
+        val v = r.getAs[scala.collection.Seq[Float]]("embedding")
+        val twin = v.zipWithIndex.map { case (x, d) =>
+          x + (if (d % 7 == 0) 0.001f else -0.001f) }
+        (i.toLong, twin.toSeq, r.getAs[Int]("label"))
+      }
+    import spark.implicits._
+    val planted = base.toSeq.toDF("vec_id", "embedding", "label")
+      .union(emb.filter(col("vec_id") >= 100))
+    val lsh = Similarity.lshTopK(planted, k = 1, nQueries = 20).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val recall = (0 until 20).count(i => lsh.get(i.toLong).contains(i + 100L)) / 20.0
+    assert(recall >= 0.8, s"LSH planted-twin recall $recall")
+  }
 }
