@@ -23,6 +23,8 @@ import graft.functions.DotProduct
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator custom plan: GroupedTopK -> GroupedTopKExec
+    ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

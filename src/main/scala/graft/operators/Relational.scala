@@ -127,16 +127,18 @@ object Relational {
       .orderBy(col("o_custkey"), col("order_seq"))
   }
 
-  /** Top-3 parts per brand by retail price (row_number top-k per group). */
-  def partTopPerBrand(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("p_brand"))
-      .orderBy(col("p_retailprice").desc, col("p_partkey"))
-    Tables.part(spark, dir)
+  /** Top-3 parts per brand by retail price — the row_number-≤-k pattern,
+    * planned through the custom [[graft.plans.GroupedTopK]] operator
+    * (bounded per-key heap; no partition sort). Same semantics as
+    * `row_number().over(Window...)` + filter, and the DuckDB oracle
+    * states it in exactly that classic form — so the oracle check IS the
+    * custom operator's correctness proof. */
+  def partTopPerBrand(spark: SparkSession, dir: String): DataFrame =
+    TopK.perKey(Tables.part(spark, dir), Seq("p_brand"),
+        Seq("p_retailprice" -> true, "p_partkey" -> false), 3)
       .select(col("p_brand"), col("p_partkey"), col("p_name"),
-        col("p_retailprice"), row_number().over(w).cast("long").as("rn"))
-      .filter(col("rn") <= 3)
+        col("p_retailprice"), col("rn").cast("long").as("rn"))
       .orderBy(col("p_brand"), col("rn"))
-  }
 
   /** Exact interpolated percentiles per return flag (Spark's `percentile`
     * = DuckDB's `quantile_cont`: index p·(n−1), linear interpolation). */
