@@ -28,6 +28,25 @@ object StreamDemo {
     println(s"[stream-demo] sink rows: ${result.count()}")
     println(s"[stream-demo] spikes: ${result.filter("is_volume_spike").count()}")
     result.orderBy("ticker", "window_timestamp").show(5, truncate = false)
+
+    // stream-stream interval join + streaming dedup over the same source
+    val src = StreamingPipeline.eventsStream(spark, sfDir)
+    val qj = StreamingPipeline.purchaseClickJoin(src).writeStream
+      .format("memory").queryName("demo_join").outputMode("append").start()
+    qj.processAllAvailable(); qj.stop()
+    println(s"[stream-demo] purchase-click pairs (pre-watermark-flush): " +
+      spark.table("demo_join").count())
+    val qd = StreamingPipeline.dedupStream(src).writeStream
+      .format("memory").queryName("demo_dedup").outputMode("append").start()
+    qd.processAllAvailable(); qd.stop()
+    println(s"[stream-demo] deduped events: ${spark.table("demo_dedup").count()}")
+
+    // date-partitioned batch sink + pruned read-back
+    graft.sources.Sinks.writePartitionedByDate(result, s"$out/by_date")
+    val dirs = new java.io.File(s"$out/by_date").listFiles()
+      .filter(_.getName.startsWith("part_date=")).map(_.getName).sorted
+    println(s"[stream-demo] date partitions: ${dirs.length} " +
+      s"(${dirs.take(3).mkString(", ")} ...)")
     spark.stop()
   }
 }

@@ -84,6 +84,37 @@ object StreamingPipeline {
       .drop("idx", "timestamp", "value")
   }
 
+  /** True stream–stream interval join (StreamingSymmetricHashJoinExec —
+    * the one join shape Structured Streaming runs continuously, unlike
+    * the agg-after-agg J1 which needs foreachBatch): for each purchase,
+    * the same user's click events from the preceding `window`. Both
+    * sides carry watermarks; the time-bound condition lets Spark evict
+    * join state once the watermark passes, so state stays bounded —
+    * the property that makes this run forever on a cluster. */
+  def purchaseClickJoin(events: DataFrame, window: String = "10 minutes"): DataFrame = {
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_event"))
+      .withWatermark("p_ts", "1 minute")
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_event"))
+      .withWatermark("c_ts", "1 minute")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $window") &&
+        col("c_ts") <= col("p_ts"))
+  }
+
+  /** Streaming exact dedup: drop event_id duplicates arriving within the
+    * watermark delay (`dropDuplicatesWithinWatermark` keys state by id
+    * and evicts it at the watermark — bounded state, unlike plain
+    * `dropDuplicates` whose state grows forever on a stream). */
+  def dedupStream(events: DataFrame, delay: String = "2 minutes"): DataFrame =
+    events.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
+
   /** Full end-to-end streaming analysis: per micro-batch, the finalized
     * agg branches are joined, spiked and formatted with the *batch*
     * operators inside foreachBatch, appending to a parquet sink. Returns

@@ -74,6 +74,66 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    val real = Seq(
+      ev(1, "2024-01-01 00:01:00", "click", 1.0, 1),    // user 1 (all user_id=1)
+      ev(2, "2024-01-01 00:05:00", "purchase", 9.0, 1), // joins click 1 (4 min before)
+      ev(3, "2024-01-01 00:20:00", "purchase", 9.0, 1), // click 1 too old (19 min)
+      ev(4, "2024-01-01 00:18:00", "click", 1.0, 1))    // joins purchase 3
+    val stream = MemoryStream[RawEvent]
+    val q = StreamingPipeline.purchaseClickJoin(stream.toDF()).writeStream
+      .format("memory").queryName("ssj_sink").outputMode("append").start()
+    try {
+      stream.addData(real: _*)
+      q.processAllAvailable()
+      stream.addData(ev(98, "2024-01-01 02:00:00", "noise", 1.0, 1))
+      q.processAllAvailable()
+      stream.addData(ev(99, "2024-01-01 03:00:00", "noise", 1.0, 1))
+      q.processAllAvailable()
+      val streamed = spark.table("ssj_sink")
+        .select("p_event", "c_event").orderBy("p_event", "c_event").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val batch = StreamingPipeline.purchaseClickJoin(real.toDF())
+        .select("p_event", "c_event").orderBy("p_event", "c_event").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(streamed.toSeq === Seq((2L, 1L), (3L, 4L)))
+      assert(streamed.toSeq === batch.toSeq) // stream/batch parity
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops within-watermark duplicate event_ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[RawEvent]
+    val q = StreamingPipeline.dedupStream(stream.toDF()).writeStream
+      .format("memory").queryName("dedup_sink").outputMode("append").start()
+    try {
+      stream.addData(
+        ev(1, "2024-01-01 00:00:10", "A", 1.0, 1),
+        ev(1, "2024-01-01 00:00:20", "A", 1.0, 1)) // dup in same batch
+      q.processAllAvailable()
+      stream.addData(ev(1, "2024-01-01 00:00:30", "A", 1.0, 1)) // dup next batch
+      stream.addData(ev(2, "2024-01-01 00:01:00", "A", 2.0, 1))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_sink").select("event_id")
+        .as[Long].collect().sorted
+      assert(ids.toSeq === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("date-partitioned sink prunes partitions for time predicates") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val ana = graft.operators.StockPipeline.analysis(spark, "/root/testdata/sf0.001")
+    graft.sources.Sinks.writePartitionedByDate(ana, tmp)
+    val back = graft.sources.Sinks.readPartitioned(spark, tmp)
+      .filter(col("part_date") === "2024-01-02")
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("part_date"), s"expected partition pruning:\n$plan")
+    assert(back.count() > 0)
+    assert(back.count() === ana.filter(to_date(col("window_timestamp")) === "2024-01-02").count())
+  }
+
   test("full streaming analysis sink writes spike-annotated rows end-to-end") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
     val q = StreamingPipeline.analysisSink(spark, "/root/testdata/sf0.001",
