@@ -12,10 +12,15 @@ import org.apache.spark.sql.functions._
   * modest (days, not minutes) so the file count is bounded. */
 object Sinks {
 
-  /** Append `df` to `path` partitioned by the date of `tsCol`. */
+  /** Append `df` to `path` partitioned by the UTC date of `tsCol`.
+    * The day is derived from the epoch directly (`date_from_unix_date`)
+    * rather than `to_date`, which silently uses the session timezone —
+    * a non-UTC writer session would otherwise shift rows across
+    * partition boundaries relative to a UTC reader. */
   def writePartitionedByDate(df: DataFrame, path: String,
       tsCol: String = "window_timestamp"): Unit =
-    df.withColumn("part_date", to_date(col(tsCol)))
+    df.withColumn("part_date",
+        date_from_unix_date(expr(s"unix_timestamp($tsCol) div 86400").cast("int")))
       .write.mode("append").partitionBy("part_date").parquet(path)
 
   /** Read a date-partitioned sink back. */

@@ -34,7 +34,7 @@ object StreamDemo {
     val qj = StreamingPipeline.purchaseClickJoin(src).writeStream
       .format("memory").queryName("demo_join").outputMode("append").start()
     qj.processAllAvailable(); qj.stop()
-    println(s"[stream-demo] purchase-click pairs (pre-watermark-flush): " +
+    println(s"[stream-demo] purchase-click pairs: " +
       spark.table("demo_join").count())
     val qd = StreamingPipeline.dedupStream(src).writeStream
       .format("memory").queryName("demo_dedup").outputMode("append").start()
@@ -43,8 +43,10 @@ object StreamDemo {
 
     // date-partitioned batch sink + pruned read-back
     graft.sources.Sinks.writePartitionedByDate(result, s"$out/by_date")
-    val dirs = new java.io.File(s"$out/by_date").listFiles()
-      .filter(_.getName.startsWith("part_date=")).map(_.getName).sorted
+    // list partitions through the DataFrame so non-local paths work too
+    val dirs = graft.sources.Sinks.readPartitioned(spark, s"$out/by_date")
+      .select("part_date").distinct().orderBy("part_date")
+      .collect().map(_.get(0).toString)
     println(s"[stream-demo] date partitions: ${dirs.length} " +
       s"(${dirs.take(3).mkString(", ")} ...)")
     spark.stop()

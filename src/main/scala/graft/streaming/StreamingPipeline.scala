@@ -91,20 +91,23 @@ object StreamingPipeline {
     * sides carry watermarks; the time-bound condition lets Spark evict
     * join state once the watermark passes, so state stays bounded —
     * the property that makes this run forever on a cluster. */
-  def purchaseClickJoin(events: DataFrame, window: String = "10 minutes"): DataFrame = {
+  def purchaseClickJoin(events: DataFrame, windowMinutes: Int = 10,
+      watermarkDelay: String = "1 minute"): DataFrame = {
+    require(windowMinutes > 0, s"windowMinutes must be positive: $windowMinutes")
     val purchases = events
       .filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
         col("event_id").as("p_event"))
-      .withWatermark("p_ts", "1 minute")
+      .withWatermark("p_ts", watermarkDelay)
     val clicks = events
       .filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
         col("event_id").as("c_event"))
-      .withWatermark("c_ts", "1 minute")
+      .withWatermark("c_ts", watermarkDelay)
     purchases.join(clicks,
       col("p_user") === col("c_user") &&
-        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $window") &&
+        col("c_ts") >= col("p_ts") -
+          make_interval(lit(0), lit(0), lit(0), lit(0), lit(0), lit(windowMinutes)) &&
         col("c_ts") <= col("p_ts"))
   }
 

@@ -128,8 +128,10 @@ class StreamingSpec extends SparkSpec {
     val back = graft.sources.Sinks.readPartitioned(spark, tmp)
       .filter(col("part_date") === "2024-01-02")
     val plan = back.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") &&
-      plan.contains("part_date"), s"expected partition pruning:\n$plan")
+    // the filter must appear INSIDE the PartitionFilters list — a plan
+    // string always contains 'PartitionFilters: [...]', even empty
+    assert("PartitionFilters: \\[[^\\]]*part_date".r.findFirstIn(plan).isDefined,
+      s"expected part_date pushed into PartitionFilters:\n$plan")
     assert(back.count() > 0)
     assert(back.count() === ana.filter(to_date(col("window_timestamp")) === "2024-01-02").count())
   }
