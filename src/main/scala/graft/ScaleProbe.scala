@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.StockPipeline
+
+/** Scaling probe: multiply the events table N× (time-shifted copies, so
+  * window/key cardinality grows with the data instead of just row
+  * density) and measure the full analysis pipeline at each multiple.
+  * Near-linear wall-clock growth = the plan has no super-linear stage
+  * (sorts of the raw stream, driver collects, broadcast blowups) —
+  * the local evidence for the 100 TB claim.
+  * Run: `sbt "runMain graft.ScaleProbe [sfDir] [multiples...]"`. */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val multiples = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+      else Seq(1, 4, 16)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def multiplied(n: Int): DataFrame = {
+      val base = graft.sources.Tables.events(spark, sfDir)
+      (0 until n).map { k =>
+        base
+          .withColumn("ts", col("ts") + make_interval(
+            lit(0), lit(0), lit(0), lit(31 * k), lit(0), lit(0)))
+          .withColumn("event_id", col("event_id") + lit(k.toLong * 1000000000L))
+      }.reduce(_ unionAll _)
+    }
+
+    // warm-up
+    StockPipeline.analysis(spark, sfDir).count()
+    multiples.foreach { n =>
+      val df = multiplied(n)
+      val rows = df.count()
+      val t0 = System.nanoTime()
+      val joined = StockPipeline.joined(StockPipeline.normalize(df)).count()
+      val t1 = System.nanoTime()
+      val out = StockPipeline.withSpike(StockPipeline.joined(
+        StockPipeline.normalize(df))).count()
+      val t2 = System.nanoTime()
+      val jSec = (t1 - t0) / 1e9
+      val sSec = (t2 - t1) / 1e9
+      println(f"[scale-probe] x$n%-3d events=$rows%9d joined=$jSec%7.2fs +spike=$sSec%7.2fs analysisRows=$out%9d")
+    }
+    spark.stop()
+  }
+}

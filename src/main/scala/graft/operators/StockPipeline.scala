@@ -165,6 +165,14 @@ object StockPipeline {
     * the DuckDB oracle states the identical frame. The streaming twin
     * (`graft.streaming.SpikeState`) carries real keyed state and is
     * parity-tested against this form.
+    *
+    * Scale ceiling (measured by `graft.ScaleProbe`): this window
+    * partitions by `ticker` — low cardinality (5 here) caps the stage's
+    * parallelism at #tickers, each task sorting its ticker's minute
+    * rows. Linear through 64× locally (minute-grade data is ~1000×
+    * smaller than raw events), but on a real cluster with few keys the
+    * streaming twin (incremental state, no sort) or a time-bucketed
+    * carry-in rewrite is the scale path for this one stage.
     */
   def withSpike(joinedDf: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("ticker")).orderBy(col("window_timestamp"))
