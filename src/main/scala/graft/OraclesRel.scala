@@ -81,6 +81,31 @@ SELECT p_brand, p_partkey, p_name, p_retailprice, rn FROM (
   FROM part)
 WHERE rn <= 3
 ORDER BY p_brand, rn""",
+    "rel_range_join" -> """
+WITH p AS (
+  SELECT user_id, ts::TIMESTAMP AS p_ts, event_id AS p_event
+  FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT user_id AS c_user, ts::TIMESTAMP AS c_ts, event_id AS c_event
+  FROM events WHERE event_type = 'click')
+SELECT user_id, p_event, p_ts, c_event, c_ts
+FROM p JOIN c ON user_id = c_user
+  AND c_ts >= p_ts - INTERVAL 10 MINUTE AND c_ts <= p_ts
+ORDER BY p_event, c_event""",
+    "rel_asof_join" -> """
+WITH p AS (
+  SELECT user_id, ts::TIMESTAMP AS p_ts, event_id AS p_event
+  FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT user_id AS c_user, ts::TIMESTAMP AS c_ts, event_id AS c_event
+  FROM events WHERE event_type = 'click')
+SELECT user_id, p_event, p_ts, c_event, c_ts FROM (
+  SELECT user_id, p_event, p_ts, c_event, c_ts,
+    row_number() OVER (
+      PARTITION BY p_event ORDER BY c_ts DESC, c_event DESC) AS rn
+  FROM p JOIN c ON user_id = c_user AND c_ts <= p_ts)
+WHERE rn = 1
+ORDER BY p_event""",
     "rel_quantiles" -> """
 SELECT l_returnflag,
   round(quantile_cont(l_extendedprice, 0.25)::DOUBLE, 6) AS p25_price,

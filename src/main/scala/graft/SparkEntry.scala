@@ -123,6 +123,8 @@ object SparkEntry {
     "rel_quantiles" -> (Relational.pricingQuantiles _),
     // sketches are engine-specific by design -> no oracle, rows-only check
     "rel_approx_stats" -> (Relational.approxStats _),
+    "rel_range_join" -> (Relational.rangeJoin _),
+    "rel_asof_join" -> (Relational.asofJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -153,6 +153,54 @@ object Relational {
         round(expr("percentile(l_discount, 0.5D)"), 6).as("median_discount"))
       .orderBy(col("l_returnflag"))
 
+  /** Range (interval) join over the events stream, batch form: each
+    * purchase joined to the same user's clicks in the preceding 10
+    * minutes — the batch twin of
+    * [[graft.streaming.StreamingPipeline.purchaseClickJoin]]. Catalyst
+    * plans the user_id equi-conjunct as the hash key with the range as
+    * a post-join filter, so this shuffles on user_id (high cardinality),
+    * not a cross product. */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_event"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_event"))
+    purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+          col("c_ts") <= col("p_ts"))
+      .select(col("user_id"), col("p_event"), col("p_ts"),
+        col("c_event"), col("c_ts"))
+      .orderBy(col("p_event"), col("c_event"))
+  }
+
+  /** As-of join: for each purchase, the same user's LATEST click at or
+    * before it (ties broken by highest event id — stated identically in
+    * the oracle's row_number form). The per-purchase argmax runs on the
+    * engine's own [[graft.plans.GroupedTopK]] operator with k=1 —
+    * hash-clustered on the high-cardinality purchase id, bounded heap,
+    * no partition sort. The scale path for the pair-generation step is
+    * a sort-merge over (user, time)-bucketed tables. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_event"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_event"))
+    val pairs = purchases.join(clicks,
+        col("user_id") === col("c_user") && col("c_ts") <= col("p_ts"))
+      .select(col("user_id"), col("p_event"), col("p_ts"),
+        col("c_event"), col("c_ts"))
+    TopK.perKey(pairs, Seq("p_event"),
+        Seq("c_ts" -> true, "c_event" -> true), 1)
+      .select(col("user_id"), col("p_event"), col("p_ts"),
+        col("c_event"), col("c_ts"))
+      .orderBy(col("p_event"))
+  }
+
   /** Sketch-based approximations (HLL++ count-distinct, GK quantiles) —
     * the constant-memory forms of A6/rel_quantiles for 100 TB cardinality
     * work. Registered WITHOUT an oracle (approximation algorithms differ

@@ -185,6 +185,41 @@ object StockPipeline {
           col("hist_avg_volume") > lit(0.0))
   }
 
+  /** ST1 at scale: the same spike rule with the window partitioned by
+    * (ticker, time-bucket) instead of ticker alone — parallelism becomes
+    * #tickers × #buckets instead of #tickers (the ceiling measured by
+    * `graft.ScaleProbe`). Exactness across bucket boundaries comes from
+    * carrying each bucket's last 10 rows into the next bucket as
+    * frame-only rows (they feed the ROWS 10 PRECEDING frame, then are
+    * dropped from the output).
+    *
+    * Precondition for exact equivalence with [[withSpike]]: every
+    * (ticker, bucket) in a ticker's active range is non-empty with ≥10
+    * rows — i.e. buckets much longer than 10 emission intervals (a day
+    * of minutes easily qualifies). `SpikeParitySpec` asserts equality on
+    * the real data. */
+  def withSpikeBucketed(joinedDf: DataFrame, bucketMinutes: Int = 1440): DataFrame = {
+    val bucketed = joinedDf.withColumn("bucket",
+      expr(s"unix_timestamp(window_timestamp) div ${bucketMinutes * 60}"))
+    val wDesc = Window.partitionBy(col("ticker"), col("bucket"))
+      .orderBy(col("window_timestamp").desc)
+    val carry = bucketed
+      .withColumn("rd", row_number().over(wDesc)).filter(col("rd") <= 10).drop("rd")
+      .withColumn("bucket", col("bucket") + 1)
+      .withColumn("is_carry", lit(true))
+    val all = bucketed.withColumn("is_carry", lit(false)).unionByName(carry)
+    val w = Window.partitionBy(col("ticker"), col("bucket"))
+      .orderBy(col("window_timestamp")).rowsBetween(-10, -1)
+    all
+      .withColumn("hist_avg_volume",
+        coalesce(avg(col("total_volume_1m")).over(w), lit(0.0)))
+      .withColumn("is_volume_spike",
+        col("total_volume_1m") > lit(2.0) * col("hist_avg_volume") &&
+          col("hist_avg_volume") > lit(0.0))
+      .filter(!col("is_carry"))
+      .drop("bucket", "is_carry")
+  }
+
   /** P8 + ST2: the full 11-column analysis row (`FormatOutput`,
     * `pipeline.py:44-67`; sink schema `pipeline.py:129`).
     *
