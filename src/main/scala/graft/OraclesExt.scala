@@ -193,7 +193,8 @@ ORDER BY query_id, rank"""),
 cent AS (
   SELECT label, ${unitSql("centroid")} AS cunit FROM (
     SELECT label, list(cv ORDER BY pos) AS centroid FROM (
-      SELECT label, pos, avg(v) AS cv FROM (
+      SELECT label, pos,
+        CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS cv FROM (
         SELECT label, unnest(embedding::DOUBLE[]) AS v,
                unnest(range(len(embedding))) AS pos
         FROM embeddings)

@@ -23,7 +23,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * DuckDB oracle's `list_inner_product` on DOUBLE[].
   *
   * Array elements are assumed non-null (embedding vectors); only
-  * top-level null arrays propagate null.
+  * top-level null arrays propagate null. Mismatched lengths throw
+  * (the oracle's `list_inner_product` errors likewise — silently
+  * truncating would return confidently wrong dot products).
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -56,7 +58,11 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) {
+      throw new IllegalArgumentException(
+        s"graft_dot: array length mismatch (${x.numElements()} vs ${y.numElements()})")
+    }
+    val n = x.numElements()
     val xd = left.dataType.asInstanceOf[ArrayType].elementType == DoubleType
     val yd = right.dataType.asInstanceOf[ArrayType].elementType == DoubleType
     var sum = 0.0
@@ -78,7 +84,12 @@ case class DotProduct(left: Expression, right: Expression)
       val ga = elemAccessor(left)
       val gb = elemAccessor(right)
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "graft_dot: array length mismatch (" + $a.numElements() +
+         |    " vs " + $b.numElements() + ")");
+         |}
+         |int $n = $a.numElements();
          |double $sum = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $sum += ((double) $a.$ga($i)) * ((double) $b.$gb($i));

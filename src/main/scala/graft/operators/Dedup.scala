@@ -165,6 +165,10 @@ object Dedup {
     * byte-banding (hamming ≤ 3 over 4 bytes ⇒ some byte equal — the
     * pigeonhole trick that replaces the O(n²) self-join at scale). */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // 4-byte banding is complete only up to hamming 3 (pigeonhole over 4
+    // bands); a larger radius would silently lose pairs.
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"simhashPairs: byte banding guarantees recall only for maxHamming <= 3, got $maxHamming")
     val sigs = simhash(documents)
     val banded = sigs.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b => struct(lit(b).as("band"),

@@ -47,19 +47,26 @@ object Similarity {
   def cosineUnit(ua: Column, ub: Column): Column = round(dot(ua, ub), 6)
 
   /** (vec_id, label, unit) projection — norms amortized across all
-    * downstream pair comparisons. */
+    * downstream pair comparisons. The norm is a separate projection
+    * step so the codegen'd dot runs once per VECTOR; inlining it into
+    * the transform lambda would re-evaluate it per element (O(dim²)
+    * interpreted work — HOF lambda bodies don't codegen). */
   def unitized(embeddings: DataFrame): DataFrame =
-    embeddings.select(col("vec_id"), col("label"),
-      unitize(col("embedding")).as("unit"))
+    embeddings
+      .select(col("vec_id"), col("label"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double") / col("norm"))
+          .as("unit"))
 
-  private def topK(scored: DataFrame, k: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+  /** Per-query top-k through the engine's own [[graft.plans.GroupedTopK]]
+    * operator (bounded heap, no per-partition sort) — same semantics as
+    * row_number-over-window + filter, which the oracles still state. */
+  private def topK(scored: DataFrame, k: Int): DataFrame =
+    TopK.perKey(scored, Seq("query_id"),
+        Seq("cosine" -> true, "neighbor_id" -> false), k, rankCol = "rank")
+      .withColumn("rank", col("rank").cast("long"))
       .orderBy(col("query_id"), col("rank"))
-  }
 
   /** Exact brute-force cosine top-k neighbors for queries vec_id <
     * nQueries: (query_id, neighbor_id, cosine, rank). */
@@ -82,7 +89,11 @@ object Similarity {
     embeddings
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos"))
-      .agg(avg(col("v")).as("cv"))
+      // exact decimal sum -> the mean is order-independent, so centroid
+      // coordinates (and hence IVF probe selection) stay bit-identical
+      // to the oracle under any partitioning
+      .agg((sum(col("v").cast("decimal(28,10)")).cast("double") /
+        count(lit(1))).as("cv"))
       .groupBy(col("label"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
         s => s.getField("cv")).as("centroid"))
@@ -121,16 +132,19 @@ object Similarity {
   val srpCoeffs: Seq[(Long, Long)] = graft.functions.Portable.hashCoeffs(srpPlanes)
   private val P = graft.functions.Portable.P31
 
-  private def planeExpr(a: Long, b: Long, dim: Column): Column =
-    transform(sequence(lit(0), dim - 1),
-      d => ((lit(a) * (d + 1) + lit(b)) % P).cast("double") / P - 0.5)
+  /** Hyperplane weights materialized once in Scala — identical Long/
+    * IEEE arithmetic to the oracle's SQL formula, but emitted as array
+    * LITERALS so no row recomputes the row-invariant planes. */
+  def srpPlaneWeights(dim: Int): Seq[Array[Double]] =
+    srpCoeffs.map { case (a, b) =>
+      Array.tabulate(dim)(d => ((a * (d + 1) + b) % P).toDouble / P - 0.5)
+    }
 
   /** 16-bit SRP signature of a unit vector: bit j = (v · plane_j) > 0.
     * Nearby vectors agree on most bits (hyperplane rounding). */
-  def srpSignature(unit: Column): Column =
-    srpCoeffs.zipWithIndex.map { case ((a, b), j) =>
-      when(dot(unit, planeExpr(a, b, size(unit))) > 0, lit(1L << j))
-        .otherwise(lit(0L))
+  def srpSignature(unit: Column, dim: Int = 64): Column =
+    srpPlaneWeights(dim).zipWithIndex.map { case (w, j) =>
+      when(dot(unit, typedLit(w.toSeq)) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** LSH-bucketed approximate top-k: candidates are base vectors sharing

@@ -22,6 +22,9 @@ object TopK {
   def perKey(df: DataFrame, partitionCols: Seq[String],
       orderBy: Seq[(String, Boolean)], k: Int,
       rankCol: String = "rn"): DataFrame = {
+    require(k > 0, s"TopK.perKey: k must be positive, got $k")
+    require(partitionCols.nonEmpty,
+      "TopK.perKey: partition keys must be non-empty (use orderBy().limit() for global top-k)")
     val analyzed = df.queryExecution.analyzed
     def attr(name: String) = analyzed.output.find(_.name == name)
       .getOrElse(throw new IllegalArgumentException(

@@ -31,6 +31,9 @@ case class GroupedTopK(
     k: Int,
     rnAttr: Attribute,
     child: LogicalPlan) extends UnaryNode {
+  require(k > 0, s"GroupedTopK: k must be positive, got $k")
+  require(partitionExprs.nonEmpty,
+    "GroupedTopK: partition keys must be non-empty (global top-k is ORDER BY + LIMIT)")
   override def output: Seq[Attribute] = child.output :+ rnAttr
   override def producedAttributes: AttributeSet = AttributeSet(rnAttr)
   override protected def withNewChildInternal(newChild: LogicalPlan): GroupedTopK =
@@ -67,14 +70,18 @@ case class GroupedTopKExec(
       // row ordering itself the root is the WORST of the current top-k
       // (last in the desired sequence), evicted when a better row comes
       val heaps = new java.util.HashMap[UnsafeRow,
-        scala.collection.mutable.PriorityQueue[UnsafeRow]]()
+        scala.collection.mutable.PriorityQueue[InternalRow]]()
       while (iter.hasNext) {
-        val row = iter.next().asInstanceOf[UnsafeRow]
+        // child rows are usually UnsafeRow (post-exchange), but when the
+        // input is already clustered no exchange is inserted and an
+        // interpreted child may emit JoinedRow etc — InternalRow is the
+        // honest contract (copy() below handles either).
+        val row = iter.next()
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
-          heap = scala.collection.mutable.PriorityQueue.empty[UnsafeRow](
-            rowOrdering.asInstanceOf[Ordering[UnsafeRow]])
+          heap = scala.collection.mutable.PriorityQueue.empty[InternalRow](
+            rowOrdering)
           heaps.put(key.copy(), heap)
         }
         if (heap.size < limit) {
