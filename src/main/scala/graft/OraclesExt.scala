@@ -67,6 +67,13 @@ WITH $toksCte
 SELECT token, count(*)::BIGINT AS freq
 FROM (SELECT unnest(tk) AS token FROM toks)
 GROUP BY token ORDER BY freq DESC, token LIMIT 20""",
+    "text_bigram_hist" -> s"""
+WITH $toksCte
+SELECT bigram, count(*)::BIGINT AS freq
+FROM (SELECT unnest(list_transform(range(1, greatest(len(tk), 1)),
+        i -> tk[i] || ' ' || tk[i+1])) AS bigram
+      FROM toks)
+GROUP BY bigram ORDER BY freq DESC, bigram LIMIT 30""",
   )
 
   // ---------------- dedup ----------------

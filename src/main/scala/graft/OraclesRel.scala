@@ -120,5 +120,11 @@ SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "rel_orders_cube" -> s"""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+  ${dsum("o_totalprice")} AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
   )
 }

@@ -79,6 +79,8 @@ object SparkEntry {
       TextAnalysis.langConfusion(Tables.documents(s, d))),
     "text_token_hist" -> ((s, d) =>
       TextAnalysis.tokenHistogram(Tables.documents(s, d))),
+    "text_bigram_hist" -> ((s, d) =>
+      TextAnalysis.bigramHistogram(Tables.documents(s, d))),
     // ---- deduplication ----
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dedup_minhash_sigs" -> ((s, d) =>
@@ -120,6 +122,7 @@ object SparkEntry {
     "rel_order_running_total" -> (Relational.orderRunningTotal _),
     "rel_part_topk_per_brand" -> (Relational.partTopPerBrand _),
     "rel_orders_rollup" -> (Relational.ordersRollup _),
+    "rel_orders_cube" -> (Relational.ordersCube _),
     "rel_quantiles" -> (Relational.pricingQuantiles _),
     // sketches are engine-specific by design -> no oracle, rows-only check
     "rel_approx_stats" -> (Relational.approxStats _),

@@ -98,4 +98,17 @@ object TextAnalysis {
       .agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("token"))
       .limit(20)
+
+  /** Corpus bigram histogram, top 30 (n-gram language-model profile). */
+  def bigramHistogram(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("toks", toks)
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 2), " +
+          "i -> concat_ws(' ', toks[i], toks[i+1]))")).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("bigram"))
+      .limit(30)
 }
