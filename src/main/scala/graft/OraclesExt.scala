@@ -272,7 +272,15 @@ ORDER BY vec_a, vec_b""",
 
   /** Metadata-only features over the blob stand-in (payload = UTF-8 text
     * bytes, ASCII ⇒ octet_length = n_chars on both engines). */
+  private val resizeConcat: String =
+    (0 until 32).map(i =>
+      s"substr(text, ($i * octet_length(encode(text))) // 32 + 1, 1)")
+      .mkString(" || ")
+
   val multimodal: Map[String, String] = Map(
+    "mm_resize" -> s"""
+SELECT doc_id, lower(hex(encode($resizeConcat))) AS thumb_hex
+FROM documents ORDER BY doc_id""",
     "mm_features" -> s"""
 SELECT doc_id,
   ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS modality,

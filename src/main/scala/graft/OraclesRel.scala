@@ -120,6 +120,18 @@ SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "rel_monthly_growth" -> s"""
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS month,
+    ${dsum("o_totalprice")} AS revenue, count(*) AS n_orders
+  FROM orders GROUP BY 1)
+SELECT month, revenue, n_orders,
+  round((revenue - lag(revenue) OVER (ORDER BY month)) /
+    lag(revenue) OVER (ORDER BY month) * 100, 6) AS growth_pct,
+  round(revenue / first_value(revenue) OVER (
+    ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+    AS vs_first
+FROM m ORDER BY month""",
     "rel_orders_cube" -> s"""
 SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
   ${dsum("o_totalprice")} AS total_price

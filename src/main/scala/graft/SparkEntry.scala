@@ -105,6 +105,8 @@ object SparkEntry {
     // ---- multimodal columns ----
     "mm_features" -> ((s, d) =>
       operators.Multimodal.features(Tables.documents(s, d))),
+    "mm_resize" -> ((s, d) =>
+      operators.Multimodal.resizeFeatures(Tables.documents(s, d))),
     // mapPartitions decode path: deterministic but not SQL-expressible;
     // registered without an oracle -> driver's rows-only check.
     "mm_decode" -> ((s, d) =>
@@ -123,6 +125,7 @@ object SparkEntry {
     "rel_part_topk_per_brand" -> (Relational.partTopPerBrand _),
     "rel_orders_rollup" -> (Relational.ordersRollup _),
     "rel_orders_cube" -> (Relational.ordersCube _),
+    "rel_monthly_growth" -> (Relational.monthlyGrowth _),
     "rel_quantiles" -> (Relational.pricingQuantiles _),
     // sketches are engine-specific by design -> no oracle, rows-only check
     "rel_approx_stats" -> (Relational.approxStats _),

@@ -15,6 +15,9 @@ case class MediaBlob(id: Long, modality: String, source: String,
 case class DecodedMedia(id: Long, modality: String, width: Int, height: Int,
     n_frames: Int, feature: Array[Double])
 
+/** Fixed-length downsampled payload ("thumbnail"). */
+case class ResizedMedia(id: Long, modality: String, thumb: Array[Byte])
+
 /** Multimodal-column operators: treat image/audio/video as opaque
   * `binary` columns with typed metadata; decode / feature-extract /
   * frame-sample plumbing runs as batched partition iterators.
@@ -78,6 +81,34 @@ object Multimodal {
     import ds.sparkSession.implicits._
     ds.mapPartitions(decodePartition)
   }
+
+  /** Resized media: fixed-length nearest-neighbor downsample of the
+    * payload (the byte-domain stand-in for image resizing). */
+  def resizePartition(n: Int)(it: Iterator[MediaBlob]): Iterator[ResizedMedia] =
+    it.map { b =>
+      val src = b.content
+      val thumb = Array.tabulate(n)(i =>
+        if (src.isEmpty) 0.toByte
+        else src((i.toLong * src.length / n).toInt))
+      ResizedMedia(b.id, b.modality, thumb)
+    }
+
+  /** Batched resize over partitions (same seam shape as [[decode]]). */
+  def resize(ds: Dataset[MediaBlob], n: Int = 32): Dataset[ResizedMedia] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(resizePartition(n))
+  }
+
+  /** Oracle-expressible resize: the same nearest-neighbor byte sampling
+    * as pure column expressions (positions i·len div n, 0-based). */
+  def resizeFeatures(documents: DataFrame, n: Int = 32): DataFrame =
+    documents
+      .select(col("doc_id"),
+        lower(hex(concat_ws("", expr(
+          s"transform(sequence(0, ${n - 1}), " +
+            s"i -> substring(text, CAST(i * length(text) div $n AS INT) + 1, 1))"))
+          .cast("binary"))).as("thumb_hex"))
+      .orderBy(col("doc_id"))
 
   /** Metadata/byte-level features as pure column expressions (oracle-
     * expressible, never reads beyond the first bytes of the payload):

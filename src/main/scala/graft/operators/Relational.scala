@@ -224,6 +224,26 @@ object Relational {
       .orderBy(col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
 
+  /** Monthly revenue with lag/first_value analytics (MoM growth, index
+    * vs first month). The window is global but runs on POST-aggregation
+    * rows (#months), so the single-partition sort is trivially small at
+    * any input scale. */
+  def monthlyGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(decSum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+    val w = Window.orderBy(col("month"))
+    val wFirst = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    monthly
+      .select(col("month"), col("revenue"), col("n_orders"),
+        round((col("revenue") - lag(col("revenue"), 1).over(w)) /
+          lag(col("revenue"), 1).over(w) * 100, 6).as("growth_pct"),
+        round(col("revenue") / first_value(col("revenue")).over(wFirst), 6)
+          .as("vs_first"))
+      .orderBy(col("month"))
+  }
+
   /** CUBE over (status, priority): all four grouping sets. */
   def ordersCube(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)

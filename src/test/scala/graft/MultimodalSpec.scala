@@ -37,6 +37,18 @@ class MultimodalSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("resize: fixed-length thumbs, deterministic nearest-neighbor sampling") {
+    val r = Multimodal.resize(Multimodal.blobs(docs), n = 32).collect()
+    assert(r.nonEmpty && r.forall(_.thumb.length === 32))
+    // matches the column-expression twin used by the mm_resize oracle
+    val viaExpr = Multimodal.resizeFeatures(docs).collect()
+      .map(row => row.getAs[Long]("doc_id") -> row.getAs[String]("thumb_hex")).toMap
+    r.foreach { m =>
+      val hex = m.thumb.map(b => f"${b & 0xff}%02x").mkString
+      assert(hex === viaExpr(m.id), s"doc ${m.id}")
+    }
+  }
+
   test("decode: video modality frame count scales with payload size") {
     val d = Multimodal.decode(Multimodal.blobs(docs))
       .filter(_.modality == "video").collect()
