@@ -67,6 +67,22 @@ WITH $toksCte
 SELECT token, count(*)::BIGINT AS freq
 FROM (SELECT unnest(tk) AS token FROM toks)
 GROUP BY token ORDER BY freq DESC, token LIMIT 20""",
+    "text_tfidf_top" -> s"""
+WITH $toksCte,
+tok AS (SELECT doc_id, unnest(tk) AS token FROM toks),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+df AS (SELECT token, count(*) AS df FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY token),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, tf.token AS token, tf,
+    round(tf * (ln((n_docs + 1)::DOUBLE / (df + 1)) + 1), 6) AS tfidf
+  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, token)::BIGINT AS rn
+  FROM scored)
+SELECT doc_id, token, tf, tfidf, rn FROM ranked WHERE rn <= 3
+ORDER BY doc_id, rn""",
     "text_bigram_hist" -> s"""
 WITH $toksCte
 SELECT bigram, count(*)::BIGINT AS freq

@@ -81,6 +81,8 @@ object SparkEntry {
       TextAnalysis.tokenHistogram(Tables.documents(s, d))),
     "text_bigram_hist" -> ((s, d) =>
       TextAnalysis.bigramHistogram(Tables.documents(s, d))),
+    "text_tfidf_top" -> ((s, d) =>
+      TextAnalysis.tfidfTop(Tables.documents(s, d))),
     // ---- deduplication ----
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dedup_minhash_sigs" -> ((s, d) =>

@@ -99,6 +99,32 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("token"))
       .limit(20)
 
+  /** TF-IDF top-3 terms per document: tf × (ln((N+1)/(df+1)) + 1),
+    * ranked per doc through the custom [[TopK]] operator. One token
+    * explode, two hash aggregations (doc-term tf, corpus df), a
+    * broadcast scalar N, and a bounded-heap top-k — every stage
+    * partial-aggregates map-side. */
+  def tfidfTop(documents: DataFrame, k: Int = 3): DataFrame = {
+    val tokens = documents.select(col("doc_id"),
+      explode(Portable.tokens(col("text"))).as("token"))
+    val tf = tokens.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tokens.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = documents.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(broadcast(df), Seq("token"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"), col("tf"),
+        round(col("tf") * (log((col("n_docs") + 1).cast("double") /
+          (col("df") + 1)) + 1), 6).as("tfidf"))
+    TopK.perKey(scored, Seq("doc_id"),
+        Seq("tfidf" -> true, "token" -> false), k)
+      .select(col("doc_id"), col("token"), col("tf"),
+        col("tfidf"), col("rn").cast("long").as("rn"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
   /** Corpus bigram histogram, top 30 (n-gram language-model profile). */
   def bigramHistogram(documents: DataFrame): DataFrame =
     documents

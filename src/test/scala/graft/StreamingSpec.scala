@@ -74,6 +74,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late data beyond the watermark is dropped from its window (W6)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[RawEvent]
+    val agg = StreamingPipeline.agg1mStream(
+      StreamingPipeline.withEventTime(stream.toDF(), delay = "2 minutes"))
+    val q = agg.writeStream.format("memory").queryName("late_sink")
+      .outputMode("append").start()
+    try {
+      stream.addData(ev(1, "2024-01-01 00:00:30", "A", 10.0, 1))
+      q.processAllAvailable()
+      // advance the watermark far past A's window...
+      stream.addData(ev(2, "2024-01-01 01:00:00", "B", 1.0, 1))
+      q.processAllAvailable()
+      // ...then send a LATE event for the already-finalized window
+      stream.addData(ev(3, "2024-01-01 00:00:40", "A", 99.0, 5))
+      q.processAllAvailable()
+      stream.addData(ev(4, "2024-01-01 02:00:00", "B", 1.0, 1))
+      q.processAllAvailable()
+      stream.addData(ev(5, "2024-01-01 03:00:00", "B", 1.0, 1))
+      q.processAllAvailable()
+      val a = spark.table("late_sink").filter(col("ticker") === "A").collect()
+      // window emitted once, from the on-time event only: the late 99.0
+      // price and its volume never appear (Beam default-trigger analog)
+      assert(a.length === 1)
+      assert(a.head.getAs[Double]("high_price_1m") === 10.0)
+      assert(a.head.getAs[Long]("total_volume_1m") === 1L)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join equals the batch join") {
     implicit val sqlCtx = spark.sqlContext
     val real = Seq(
