@@ -15,7 +15,12 @@ import graft.plans.GroupedTopK
   *
   * Expressions are resolved here against the analyzed child plan (by
   * column name) — Spark 4's lazy Column nodes don't resolve inside
-  * foreign logical nodes, so the node is built fully resolved. */
+  * foreign logical nodes, so the node is built fully resolved.
+  *
+  * Null caveat: order columns should be non-null. Spark's default null
+  * order (ASC⇒NULLS FIRST) differs from DuckDB's (NULLS LAST), so an
+  * oracle-paired query ordering on a nullable column must state the
+  * null order explicitly on both sides. */
 object TopK {
 
   /** @param orderBy (column, descending?) pairs. */

@@ -71,6 +71,32 @@ object StockProps extends Properties("graft") {
     }
   }
 
+  property("GroupedTopK equals row_number window form for random k and data") = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    val gen = for {
+      k <- Gen.chooseNum(1, 6)
+      n <- Gen.chooseNum(1, 120)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.chooseNum(0, 6), Gen.chooseNum(0, 50)))
+    } yield (k, rows)
+    Prop.forAll(gen) { case (k, rows) =>
+      val df = rows.zipWithIndex
+        .map { case ((key, v), i) => (s"k$key", i.toLong, v.toDouble) }
+        .toDF("key", "id", "score")
+      val w = Window.partitionBy(col("key"))
+        .orderBy(col("score").desc, col("id"))
+      val expected = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).select("key", "id", "score", "rn")
+        .orderBy("key", "rn").collect().toSeq
+      val actual = graft.operators.TopK
+        .perKey(df, Seq("key"), Seq("score" -> true, "id" -> false), k)
+        .select("key", "id", "score", "rn")
+        .orderBy("key", "rn").collect().toSeq
+      expected == actual
+    }
+  }
+
   property("sessions partition events: n_events sums to input count") = {
     import spark.implicits._
     val gaps = Gen.listOfN(10, Gen.chooseNum(60L, 7200L)) // 1 min .. 2 h
