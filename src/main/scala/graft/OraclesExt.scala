@@ -134,6 +134,15 @@ jac AS (
   FROM com JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id)
 """
 
+  /** Shared CTE chain ending in `jac` (candidate pairs with exact
+    * Jaccard) — used by the pairs query and the clusters query. */
+  private val minhashPairsCtes: String = (minhashCte + """,
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
+    AND a.doc_id < b.doc_id),""" + jaccardTail)
+    .replace("cand AS (", s"bk AS (\n  $bandSelects),\ncand AS (")
+
   private val simhashBitSums: String = (0 until 32)
     .map(j => s"sum(((h >> $j) % 2) * 2 - 1) AS s_$j").mkString(",\n    ")
   private val simhashAssemble: String = (0 until 32)
@@ -157,13 +166,19 @@ SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
 FROM documents GROUP BY fingerprint ORDER BY rep_doc_id""",
     "dedup_minhash_sigs" -> (minhashCte +
       "SELECT * FROM sigs ORDER BY doc_id"),
-    "dedup_minhash_pairs" -> (minhashCte + """,
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
-    AND a.doc_id < b.doc_id),""" + jaccardTail +
-      "SELECT * FROM jac WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b")
-      .replace("cand AS (", s"bk AS (\n  $bandSelects),\ncand AS ("),
+    "dedup_minhash_pairs" -> (minhashPairsCtes +
+      "SELECT * FROM jac WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"),
+    // pairs -> components: recursive min-label propagation; cluster_id =
+    // min doc_id reachable (the representative the dedup keeps)
+    "dedup_clusters" -> (minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + """
+, np AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
+edges(a, b) AS (SELECT doc_a, doc_b FROM np UNION SELECT doc_b, doc_a FROM np),
+reach(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN edges e ON r.node = e.a)
+SELECT node AS doc_id, min(label) AS cluster_id
+FROM reach GROUP BY node ORDER BY doc_id"""),
     "dedup_jaccard_pairs" -> (s"\nWITH $shinglesCte,\n" + """
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

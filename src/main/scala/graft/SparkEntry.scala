@@ -89,6 +89,8 @@ object SparkEntry {
       Dedup.minhashSignatures(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "dedup_minhash_pairs" -> ((s, d) =>
       Dedup.minhashPairs(Tables.documents(s, d))),
+    "dedup_clusters" -> ((s, d) =>
+      Dedup.clusters(Dedup.minhashPairs(Tables.documents(s, d)))),
     "dedup_jaccard_pairs" -> ((s, d) =>
       Dedup.jaccardPairs(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) =>

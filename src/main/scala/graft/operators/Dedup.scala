@@ -145,6 +145,40 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Connected components over near-duplicate pairs — the step that
+    * turns pairwise matches into dedup clusters (cluster_id = min doc_id
+    * in the component; the cluster representative to keep). Plain
+    * min-label propagation to fixpoint; each iteration is one join +
+    * aggregation, checkpointed so lineage stays flat. Components from
+    * near-dup detection have tiny diameters, so this converges in a few
+    * rounds; the web-scale variant is the large-star/small-star
+    * alternation with the identical per-round plan shape. */
+  def clusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges
+        .join(labels.select(col("node").as("b"), col("label").as("blabel")), Seq("b"))
+        .groupBy(col("a").as("node"))
+        .agg(min(col("blabel")).as("nlabel"))
+      val updated = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("new_label"),
+          col("label"))
+        .localCheckpoint(true)
+      changed = updated.filter(col("new_label") < col("label")).count()
+      labels = updated.select(col("node"), col("new_label").as("label"))
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** 32-bit SimHash over distinct tokens: (doc_id, simhash). Bit j is set
     * iff Σ_tokens (2·bit_j(hash32(token)) − 1) > 0. */
   def simhash(documents: DataFrame): DataFrame = {

@@ -67,6 +67,14 @@ class ExtensionsSpec extends SparkSpec {
     assert(p.length === 1 && p(0).getAs[Long]("hamming") === 0L)
   }
 
+  test("dedup clusters: transitive chains collapse to the min doc_id") {
+    // chain 1-2-3 (via pairs (1,2),(2,3)) and isolated pair (7,9)
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val c = Dedup.clusters(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(c === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   private def vecs(rows: (Long, Seq[Float], Int)*): DataFrame =
     rows.toSeq.toDF("vec_id", "embedding", "label")
 
