@@ -133,6 +133,7 @@ object SparkEntry {
     "rel_quantiles" -> (Relational.pricingQuantiles _),
     // sketches are engine-specific by design -> no oracle, rows-only check
     "rel_approx_stats" -> (Relational.approxStats _),
+    "rel_cms_user_counts" -> (Relational.cmsUserCounts _),
     "rel_range_join" -> (Relational.rangeJoin _),
     "rel_asof_join" -> (Relational.asofJoin _),
   )

@@ -224,6 +224,27 @@ object Relational {
       .orderBy(col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
 
+  /** Count-Min Sketch frequency estimation over event user_ids: the
+    * constant-memory heavy-key summary (sketch size O(1/eps), collected
+    * to the driver — that IS the operator's contract, unlike a
+    * collect of the data). Deterministic via fixed seed; estimates are
+    * upper bounds (CMS never undercounts), asserted in the spec.
+    * Registered rows-only: sketch layouts are engine-specific. */
+  def cmsUserCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.events(spark, dir)
+    val sketch = events.stat.countMinSketch("user_id",
+      eps = 0.001, confidence = 0.99, seed = 42)
+    val est = (1L to 20L).map(u =>
+      (u, sketch.estimateCount(java.lang.Long.valueOf(u))))
+      .toDF("user_id", "cms_estimate")
+    val exact = events.filter(col("user_id").between(1, 20))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("exact_count"))
+    est.join(exact, Seq("user_id"), "left")
+      .na.fill(0, Seq("exact_count"))
+      .orderBy(col("user_id"))
+  }
+
   /** Monthly revenue with lag/first_value analytics (MoM growth, index
     * vs first month). The window is global but runs on POST-aggregation
     * rows (#months), so the single-partition sort is trivially small at

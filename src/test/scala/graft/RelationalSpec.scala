@@ -37,6 +37,18 @@ class RelationalSpec extends SparkSpec {
     assert(out.toSeq === Seq(2L, 3L))
   }
 
+  test("count-min sketch never undercounts; tight on this cardinality") {
+    val out = graft.operators.Relational
+      .cmsUserCounts(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val est = r.getAs[Long]("cms_estimate")
+      val exact = r.getAs[Long]("exact_count")
+      assert(est >= exact, s"user ${r.getAs[Long]("user_id")}")
+      assert(est <= exact + 100) // eps=0.001 over ~1000 rows: near-exact
+    }
+  }
+
   test("rollup emits group, subtotal and grand-total rows") {
     val df = Seq(("O", "HIGH", 10.0), ("O", "LOW", 20.0), ("F", "HIGH", 5.0))
       .toDF("status", "prio", "price")
