@@ -4,6 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -14,21 +15,33 @@ object Bench {
     // Untimed warm-up: JIT/codegen/parquet-footer caches, so the first
     // timed query isn't charged ~5 s of JVM start-up.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
-    // min of two runs per query: host memory pressure adds up to ~1.7x
-    // run-to-run noise at this scale; the better run reflects the plan.
+    // Some(seconds) on success, None on failure — a crashing query must
+    // never be recorded as a fast success.
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) =>
-        org.apache.spark.sql.DataFrame): Double = {
+        org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+      catch { case _: Throwable => None }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> math.min(timeOnce(fn), timeOnce(fn))
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Trials are INTERLEAVED (full pass over all queries, repeated) so a
+    // sustained host-contention window poisons at most one sample per
+    // query; min per query reflects the plan, not the noisiest moment.
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples: Seq[Seq[(String, Option[Double])]] =
+      (1 to trials).map(_ => names.map { case (n, fn) => n -> timeOnce(fn) })
+    val byName = samples.flatten.groupBy(_._1).map { case (n, ss) =>
+      n -> ss.flatMap(_._2)
+    }
+    val failed = names.map(_._1).filter(n => byName(n).isEmpty)
+    val ok = names.map(_._1).filterNot(failed.contains)
+    val qs = (ok.map(n => s"\"$n\":" + byName(n).min) ++
+        failed.map(n => s"\"$n\":-1"))
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = ok.map(n => byName(n).min).sum
+    val errs = failed.map(n => s"\"$n\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    if (failed.nonEmpty)
+      System.err.println(s"BENCH FAILURES: ${failed.mkString(", ")}")
     spark.stop()
   }
 }

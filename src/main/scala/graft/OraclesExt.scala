@@ -179,7 +179,12 @@ reach(node, label) AS (
   SELECT e.b, r.label FROM reach r JOIN edges e ON r.node = e.a)
 SELECT node AS doc_id, min(label) AS cluster_id
 FROM reach GROUP BY node ORDER BY doc_id"""),
-    "dedup_jaccard_pairs" -> (s"\nWITH $shinglesCte,\n" + """
+    // df cap mirrors Dedup.jaccardMaxDf: shingles in more than maxDf docs
+    // are dropped from the universe before the self-join (skew bound).
+    "dedup_jaccard_pairs" -> (
+      s"\nWITH ${shinglesCte.replaceFirst("sh AS \\(", "sh_all AS (")},\n" + s"""
+rare AS (SELECT sh FROM sh_all GROUP BY sh HAVING count(*) <= ${Dedup.jaccardMaxDf}),
+sh AS (SELECT s.doc_id, s.sh FROM sh_all s JOIN rare USING (sh)),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id),""" +
@@ -215,6 +220,27 @@ WITH base AS (
 q AS (
   SELECT vec_id AS query_id, ev AS qv FROM base WHERE vec_id < 20)
 """
+
+  /** SRP signature chain shared by the LSH top-k and banded near-dup
+    * oracles — regenerates the identical hyperplanes from the same
+    * universal-hash coefficients as [[graft.operators.Similarity]]. */
+  private val srpCtes = s""",
+coef AS (SELECT * FROM (VALUES ${
+      graft.operators.Similarity.srpCoeffs.zipWithIndex
+        .map { case ((a, b), j) => s"($j, ${a}::BIGINT, ${b}::BIGINT)" }
+        .mkString(", ")}) t(j, a, b)),
+pw AS (
+  SELECT j, list(((a * (d + 1) + b) % 2147483647)::DOUBLE / 2147483647 - 0.5
+    ORDER BY d) AS plane
+  FROM coef, generate_series(0, 63) s(d) GROUP BY j),
+sigs AS (
+  SELECT b.vec_id,
+    sum(CASE WHEN list_inner_product(b.ev, p.plane) > 0
+        THEN (1::BIGINT << p.j) ELSE 0 END)::BIGINT AS sig
+  FROM base b CROSS JOIN pw p GROUP BY b.vec_id),
+sb AS (
+  SELECT base.vec_id, ev, sig % 256 AS band0, sig // 256 AS band1
+  FROM base JOIN sigs USING (vec_id))"""
 
   val similarity: Map[String, String] = Map(
     "sim_bruteforce_topk" -> (simBase + s""",
@@ -255,23 +281,7 @@ ranked AS (
   FROM scored)
 SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
 ORDER BY query_id, rank"""),
-    "sim_lsh_topk" -> (simBase + s""",
-coef AS (SELECT * FROM (VALUES ${
-      graft.operators.Similarity.srpCoeffs.zipWithIndex
-        .map { case ((a, b), j) => s"($j, ${a}::BIGINT, ${b}::BIGINT)" }
-        .mkString(", ")}) t(j, a, b)),
-pw AS (
-  SELECT j, list(((a * (d + 1) + b) % 2147483647)::DOUBLE / 2147483647 - 0.5
-    ORDER BY d) AS plane
-  FROM coef, generate_series(0, 63) s(d) GROUP BY j),
-sigs AS (
-  SELECT b.vec_id,
-    sum(CASE WHEN list_inner_product(b.ev, p.plane) > 0
-        THEN (1::BIGINT << p.j) ELSE 0 END)::BIGINT AS sig
-  FROM base b CROSS JOIN pw p GROUP BY b.vec_id),
-sb AS (
-  SELECT base.vec_id, ev, sig % 256 AS band0, sig // 256 AS band1
-  FROM base JOIN sigs USING (vec_id)),
+    "sim_lsh_topk" -> (simBase + srpCtes + s""",
 q2 AS (
   SELECT vec_id AS query_id, ev AS qv, band0 AS qb0, band1 AS qb1
   FROM sb WHERE vec_id < 20),
@@ -285,15 +295,20 @@ ranked AS (
   FROM scored)
 SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
 ORDER BY query_id, rank"""),
-    "sim_neardup_pairs" -> s"""
-WITH base AS (
-  SELECT vec_id, ${unitSql("embedding::DOUBLE[]")} AS ev FROM embeddings)
-SELECT vec_a, vec_b, cosine FROM (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    // SRP-banded near-dup: identical banding to the Spark plan (candidates
+    // share band0 or band1), exact cosine verified within buckets.
+    "sim_neardup_pairs" -> (simBase + srpCtes + s""",
+bd AS (
+  SELECT vec_id, ev, 0 AS band, band0 AS key FROM sb
+  UNION ALL
+  SELECT vec_id, ev, 1 AS band, band1 AS key FROM sb),
+pr AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
     ${cosSql("a.ev", "b.ev")} AS cosine
-  FROM base a JOIN base b ON a.vec_id < b.vec_id)
-WHERE cosine >= 0.9
-ORDER BY vec_a, vec_b""",
+  FROM bd a JOIN bd b ON a.band = b.band AND a.key = b.key
+    AND a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, cosine FROM pr WHERE cosine >= 0.9
+ORDER BY vec_a, vec_b"""),
   )
 
   // ---------------- multimodal ----------------
@@ -309,6 +324,40 @@ ORDER BY vec_a, vec_b""",
       .mkString(" || ")
 
   val multimodal: Map[String, String] = Map(
+    // Twin of Multimodal.decodePartition (the deterministic fake codec):
+    // mod-P rolling hash -> dims, byte histogram / n -> feature, exploded
+    // to (id, bin, value). ASCII payloads => ord(char) == byte value.
+    "mm_decode" -> s"""
+WITH bytes AS (
+  SELECT doc_id,
+    list_transform(range(1, length(text) + 1), i -> ord(substr(text, i, 1))::BIGINT) AS bs,
+    length(text)::BIGINT AS n
+  FROM documents),
+dims AS (
+  SELECT doc_id,
+    ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS modality, n,
+    list_reduce(list_prepend(17::BIGINT, bs),
+      (acc, x) -> (acc * 31 + x) % ${graft.functions.Portable.P31}) AS h
+  FROM bytes),
+meta AS (
+  SELECT doc_id, modality, n,
+    (64 + h % 64)::BIGINT AS width,
+    (64 + (h // 64) % 64)::BIGINT AS height,
+    (CASE modality WHEN 'video' THEN n // 256 + 1
+                   WHEN 'audio' THEN n // 1024 + 1 ELSE 1 END)::BIGINT AS n_frames
+  FROM dims),
+bc AS (
+  SELECT doc_id, b // 16 AS bin, count(*)::BIGINT AS c
+  FROM (SELECT doc_id, unnest(bs) AS b FROM bytes)
+  GROUP BY doc_id, bin),
+grid AS (SELECT doc_id, unnest(range(16)) AS bin FROM documents)
+SELECT m.doc_id AS id, m.modality, m.width, m.height, m.n_frames,
+  g.bin::BIGINT AS bin,
+  coalesce(c, 0)::DOUBLE / greatest(m.n, 1) AS value
+FROM grid g
+JOIN meta m ON g.doc_id = m.doc_id
+LEFT JOIN bc ON g.doc_id = bc.doc_id AND g.bin = bc.bin
+ORDER BY id, bin""",
     "mm_resize" -> s"""
 SELECT doc_id, lower(hex(encode($resizeConcat))) AS thumb_hex
 FROM documents ORDER BY doc_id""",

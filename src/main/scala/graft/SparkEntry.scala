@@ -46,7 +46,7 @@ object SparkEntry {
       StockPipeline.joined(StockPipeline.normalize(Tables.events(s, d)))
         .orderBy(col("ticker"), col("window_timestamp"))),
     "stock_spike" -> ((s, d) =>
-      StockPipeline.withSpike(StockPipeline.joined(
+      StockPipeline.withSpikeBucketed(StockPipeline.joined(
           StockPipeline.normalize(Tables.events(s, d))))
         .select("ticker", "window_timestamp", "total_volume_1m",
           "hist_avg_volume", "is_volume_spike")
@@ -111,14 +111,13 @@ object SparkEntry {
       operators.Multimodal.features(Tables.documents(s, d))),
     "mm_resize" -> ((s, d) =>
       operators.Multimodal.resizeFeatures(Tables.documents(s, d))),
-    // mapPartitions decode path: deterministic but not SQL-expressible;
-    // registered without an oracle -> driver's rows-only check.
+    // mapPartitions decode path, exploded to all-scalar rows so the
+    // result is sortable/hashable — and oracle-verified bit-exact (the
+    // fake codec is a mod-P rolling hash + byte histogram DuckDB can
+    // restate; the mapPartitions seam itself is what production swaps).
     "mm_decode" -> ((s, d) =>
-      operators.Multimodal.decode(
-          operators.Multimodal.blobs(Tables.documents(s, d)))
-        .toDF().select(col("id"), col("modality"), col("width"),
-          col("height"), col("n_frames"), col("feature"))
-        .orderBy(col("id"))),
+      operators.Multimodal.decodedRows(
+        operators.Multimodal.blobs(Tables.documents(s, d)))),
     // ---- relational surface (TPC-H-style star schema) ----
     "rel_pricing_summary" -> (Relational.pricingSummary _),
     "rel_revenue_by_nation" -> (Relational.revenueByNation _),

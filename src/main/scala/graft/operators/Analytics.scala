@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference's batch SQL analytics surface (Q1–Q10) re-expressed as
@@ -10,8 +9,8 @@ import org.apache.spark.sql.functions._
   *
   * Conventions shared with the DuckDB oracles (graft.Oracles):
   *   - BigQuery `QUALIFY ROW_NUMBER() … = 1` (README.md:688,762) is not OSS
-  *     Spark SQL; rewritten as row_number-over-window + filter — Catalyst
-  *     plans a single WindowExec, no extra shuffle beyond the partitionBy.
+  *     Spark SQL; planned as the engine's GroupedTopK operator (bounded
+  *     per-key heap — no WindowExec sort of each ticker's full history).
   *   - `CURRENT_TIMESTAMP()` predicates (README.md:733,746,792) take an
   *     injected, data-derived clock (`now_ts` = max window end) so results
   *     are deterministic and oracle-verifiable (SURVEY.md §7.4).
@@ -33,15 +32,17 @@ object Analytics {
   private def nanToNull(c: org.apache.spark.sql.Column) =
     when(isnan(c), lit(null)).otherwise(c)
 
-  private val latestPerTicker =
-    Window.partitionBy(col("ticker")).orderBy(col("window_timestamp").desc)
+  /** Latest row per ticker via the engine's own [[graft.plans.GroupedTopK]]
+    * operator (bounded per-key heap, no WindowExec partition sort) —
+    * semantically `row_number() OVER (PARTITION BY ticker ORDER BY
+    * window_timestamp DESC) = 1`, which the oracles still state. */
+  private def latestPerTicker(ana: DataFrame): DataFrame =
+    TopK.perKey(ana, Seq("ticker"), Seq("window_timestamp" -> true), 1)
 
   /** Q1 Real-Time Dashboard View — latest row per ticker, ranked by traded
     * value (README.md:679-689). */
   def q1Dashboard(ana: DataFrame): DataFrame =
-    ana
-      .withColumn("rn", row_number().over(latestPerTicker))
-      .filter(col("rn") === 1)
+    latestPerTicker(ana)
       .select("ticker", "latest_price", "total_volume_1m", "total_value_1m",
         "sma_5m", "is_volume_spike", "window_timestamp")
       .orderBy(col("total_value_1m").desc, col("ticker"))
@@ -94,9 +95,7 @@ object Analytics {
   /** Q6 Momentum Ranking — latest row per ticker, pct distance from SMA
     * (README.md:755-763). */
   def q6Momentum(ana: DataFrame): DataFrame =
-    ana
-      .withColumn("rn", row_number().over(latestPerTicker))
-      .filter(col("rn") === 1)
+    latestPerTicker(ana)
       .select(col("ticker"), col("latest_price"), col("sma_5m"),
         round((col("latest_price") - col("sma_5m")) / col("sma_5m") * 100, 6)
           .as("momentum_pct"),

@@ -126,9 +126,24 @@ object Dedup {
     *
     * Single pass: the shingle self-join's groupBy *is* the intersection
     * count (|A∩B| = number of shared shingles), so no separate
-    * candidate-distinct + re-join round trip. */
-  def jaccardPairs(documents: DataFrame, threshold: Double = 0.3): DataFrame = {
-    val sh = shingles(documents)
+    * candidate-distinct + re-join round trip.
+    *
+    * Skew bound: shingles with document frequency > `maxDf` are dropped
+    * from the universe before the self-join (a shingle in d docs fans
+    * out d²/2 join rows — ubiquitous shingles are both the skew bomb
+    * and the least informative signal, standard inverted-index
+    * practice). Jaccard is computed over the capped universe on both
+    * sides of the contract: the oracle states the identical df filter. */
+  val jaccardMaxDf = 50
+
+  def jaccardPairs(documents: DataFrame, threshold: Double = 0.3,
+      maxDf: Int = jaccardMaxDf): DataFrame = {
+    val allSh = shingles(documents)
+    val rareSh = allSh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("shingle"))
+    val sh = allSh.join(rareSh, Seq("shingle"))
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val common = sh.as("a")
       .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&

@@ -56,13 +56,18 @@ object Multimodal {
   /** FAKE DECODE — deterministic stand-in for the real codec call. A
     * production build replaces the body of this one function with e.g.
     * JavaCV/ffmpeg per-batch decoding; the signature (partition iterator
-    * in, typed rows out) is the real seam. */
+    * in, typed rows out) is the real seam.
+    *
+    * The fake is a mod-P rolling hash + byte histogram so the DuckDB
+    * oracle can restate it exactly (`acc*31+x` stays < 2³⁶ under mod
+    * 2³¹−1, so BIGINT arithmetic never overflows in either engine). */
   def decodePartition(it: Iterator[MediaBlob]): Iterator[DecodedMedia] =
     it.map { b =>
       val bytes = b.content
-      val h = bytes.foldLeft(17L)((acc, x) => acc * 31 + (x & 0xff))
-      val width = 64 + (math.abs(h) % 64).toInt
-      val height = 64 + (math.abs(h / 64) % 64).toInt
+      val P = graft.functions.Portable.P31
+      val h = bytes.foldLeft(17L)((acc, x) => (acc * 31 + (x & 0xff)) % P)
+      val width = 64 + (h % 64).toInt
+      val height = 64 + ((h / 64) % 64).toInt
       val nFrames = b.modality match {
         case "video" => (bytes.length / 256) + 1
         case "audio" => (bytes.length / 1024) + 1
@@ -81,6 +86,21 @@ object Multimodal {
     import ds.sparkSession.implicits._
     ds.mapPartitions(decodePartition)
   }
+
+  /** Driver-comparable projection of [[decode]]: the feature vector
+    * exploded to one (bin, value) row per histogram bin so every output
+    * column is a sortable scalar (and the whole result is DuckDB-
+    * expressible — see the `mm_decode` oracle). */
+  def decodedRows(ds: Dataset[MediaBlob]): DataFrame =
+    decode(ds).toDF()
+      .select(col("id"), col("modality"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_frames").cast("long").as("n_frames"),
+        posexplode(col("feature")).as(Seq("bin", "value")))
+      .select(col("id"), col("modality"), col("width"), col("height"),
+        col("n_frames"), col("bin").cast("long").as("bin"), col("value"))
+      .orderBy(col("id"), col("bin"))
 
   /** Resized media: fixed-length nearest-neighbor downsample of the
     * payload (the byte-domain stand-in for image resizing). */

@@ -25,9 +25,9 @@ import org.apache.spark.sql.functions._
   *     `nprobe` cells, cutting the scan to nprobe/k of the base. The
   *     cell id is the natural disk-bucketing column, so at cluster scale
   *     probing is partition-pruned I/O, not a filter.
-  *   - Near-dup pairs below is the exact O(n²)/2 form — right at test
-  *     scale; the scale path is signed-random-projection banding, the
-  *     same pigeonhole pattern as [[Dedup.simhashPairs]].
+  *   - Near-dup pairs uses signed-random-projection banding (the same
+  *     pigeonhole pattern as [[Dedup.simhashPairs]]): candidate
+  *     generation is an equi-join on (band, key), never all-pairs.
   */
 object Similarity {
 
@@ -168,14 +168,34 @@ object Similarity {
     topK(scored, k)
   }
 
-  /** Embedding-cosine near-duplicate pairs (dedup modality): all pairs
-    * with cosine ≥ threshold, one dot per pair on unit vectors. */
-  def nearDupPairs(embeddings: DataFrame, threshold: Double = 0.9): DataFrame = {
-    val u = unitized(embeddings)
-    u.as("a").join(u.as("b"), col("a.vec_id") < col("b.vec_id"))
+  /** Embedding-cosine near-duplicate pairs (dedup modality), SRP-banded:
+    * candidates are pairs agreeing on at least one 8-bit signature band
+    * (the same pigeonhole pattern as [[Dedup.simhashPairs]]), then exact
+    * cosine ≥ threshold within buckets. The join is an equi-join on
+    * (band, key) — never the O(n²) all-pairs cross product.
+    *
+    * Recall bound: a pair at cosine c agrees on each SRP bit with
+    * probability 1 − θ/π (θ = arccos c); at c = 0.9 that's ≈ 0.857 per
+    * bit, ≈ 0.29 per 8-bit band, ≈ 0.50 for band0-OR-band1. Production
+    * tuning is more/narrower bands (more buckets OR'd) for recall→1 —
+    * the plan shape is unchanged; the band columns stay the bucketing/
+    * partition keys at cluster scale. */
+  def nearDupPairs(embeddings: DataFrame, threshold: Double = 0.9,
+      dim: Int = 64): DataFrame = {
+    val sig = unitized(embeddings).withColumn("sig", srpSignature(col("unit"), dim))
+    val banded = sig
+      .select(col("vec_id"), col("unit"), explode(array(
+        struct(lit(0).as("band"), (col("sig") % 256).as("key")),
+        struct(lit(1).as("band"), expr("sig div 256").as("key")))).as("bb"))
+      .select(col("vec_id"), col("unit"),
+        col("bb.band").as("band"), col("bb.key").as("key"))
+    banded.as("a")
+      .join(banded.as("b"), col("a.band") === col("b.band") &&
+        col("a.key") === col("b.key") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         cosineUnit(col("a.unit"), col("b.unit")).as("cosine"))
-      .filter(col("cosine") >= threshold)
+      .filter(col("cosine") >= threshold) // before distinct: shrink first
+      .distinct()
       .orderBy(col("vec_a"), col("vec_b"))
   }
 }

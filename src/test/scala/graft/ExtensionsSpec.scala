@@ -94,7 +94,7 @@ class ExtensionsSpec extends SparkSpec {
     val df = vecs(
       (0L, Seq(1f, 2f, 3f), 0), (1L, Seq(1f, 2f, 3f), 0),
       (2L, Seq(-3f, 1f, 0.5f), 1))
-    val p = Similarity.nearDupPairs(df, 0.99).collect()
+    val p = Similarity.nearDupPairs(df, 0.99, dim = 3).collect()
     assert(p.length === 1)
     assert((p(0).getAs[Long]("vec_a"), p(0).getAs[Long]("vec_b")) === (0L, 1L))
   }
