@@ -17,14 +17,16 @@ import graft.functions.DotProduct
   *   // or: --conf spark.sql.extensions=graft.GraftExtensions
   * }}}
   *
-  * This is also the seam for future `Rule[LogicalPlan]` work (e.g.
-  * rewriting a naive all-pairs cosine filter into an LSH-banded join) —
-  * `injectOptimizerRule` on the same hook, per SURVEY.md §4.
+  * Also injects the [[graft.plans.RowNumberTopKRewrite]] optimizer rule:
+  * the declarative `row_number() OVER (...) <= k` pattern is rewritten
+  * to the engine's bounded-heap [[graft.plans.GroupedTopK]] operator.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // whole-operator custom plan: GroupedTopK -> GroupedTopKExec
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
+    // optimizer rewrite: row_number-over-window + rank filter -> GroupedTopK
+    ext.injectOptimizerRule(_ => graft.plans.RowNumberTopKRewrite)
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
