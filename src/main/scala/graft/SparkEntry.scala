@@ -89,8 +89,10 @@ object SparkEntry {
       Dedup.minhashSignatures(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "dedup_minhash_pairs" -> ((s, d) =>
       Dedup.minhashPairs(Tables.documents(s, d))),
+    // large-star/small-star CC (O(log n) rounds — the web-scale form);
+    // the label-propagation twin is property-tested equivalent.
     "dedup_clusters" -> ((s, d) =>
-      Dedup.clusters(Dedup.minhashPairs(Tables.documents(s, d)))),
+      Dedup.clustersBigStar(Dedup.minhashPairs(Tables.documents(s, d)))),
     "dedup_jaccard_pairs" -> ((s, d) =>
       Dedup.jaccardPairs(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) =>

@@ -194,6 +194,70 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Connected components via large-star/small-star alternation (the
+    * web-scale variant of [[clusters]]): converges in O(log n) rounds on
+    * ANY graph shape — label propagation needs O(diameter) rounds, which
+    * a chain-shaped near-dup corpus turns into a long serial tail. Each
+    * round is two (join + aggregation) passes over the edge set, edges
+    * only ever re-point toward smaller node ids, and the fixpoint is a
+    * star forest: every node points at its component's min id.
+    *
+    *   - large-star(u): m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u),
+    *     v > u — strictly-larger neighbors re-point at the local min.
+    *   - small-star(u) on (u > v)-oriented edges: m = min(N(u)); emit
+    *     (v, m) for v ∈ N(u) \ {m}, plus (u, m).
+    *
+    * Convergence is detected by an order-insensitive checksum
+    * (count + bit_xor of per-edge hashes) — no driver-side edge
+    * materialization at any point. Output schema equals [[clusters]]:
+    * (doc_id, cluster_id = component min). */
+  def clustersBigStar(pairs: DataFrame): DataFrame = {
+    val oriented = pairs
+      .select(col("doc_a").cast("long").as("a"), col("doc_b").cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .distinct()
+    var edges = oriented.localCheckpoint(true)
+    val allNodes = edges
+      .select(explode(array(col("u"), col("v"))).as("node")).distinct()
+      .localCheckpoint(true)
+
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    def largeStar(e: DataFrame): DataFrame = {
+      val und = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = und.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      und.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+      e.join(mins, "u").filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+        .distinct()
+    }
+
+    var cs = checksum(edges)
+    var converged = edges.isEmpty
+    while (!converged) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val ncs = checksum(next)
+      converged = ncs == cs
+      edges = next
+      cs = ncs
+    }
+    val roots = allNodes
+      .join(edges.select(col("u").as("node")), Seq("node"), "left_anti")
+    edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .union(roots.select(col("node").as("doc_id"), col("node").as("cluster_id")))
+      .orderBy(col("doc_id"))
+  }
+
   /** 32-bit SimHash over distinct tokens: (doc_id, simhash). Bit j is set
     * iff Σ_tokens (2·bit_j(hash32(token)) − 1) > 0. */
   def simhash(documents: DataFrame): DataFrame = {

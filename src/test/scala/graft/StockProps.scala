@@ -71,28 +71,30 @@ object StockProps extends Properties("graft") {
     }
   }
 
-  property("GroupedTopK equals row_number window form for random k and data") = {
+  property("GroupedTopK equals reference top-k for random k and data") = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions.{col, row_number}
+    // expected side computed in pure Scala: the row_number window form
+    // would itself be rewritten to GroupedTopK by RowNumberTopKRewrite,
+    // making a window-vs-operator comparison circular
     val gen = for {
       k <- Gen.chooseNum(1, 6)
       n <- Gen.chooseNum(1, 120)
       rows <- Gen.listOfN(n, Gen.zip(Gen.chooseNum(0, 6), Gen.chooseNum(0, 50)))
     } yield (k, rows)
     Prop.forAll(gen) { case (k, rows) =>
-      val df = rows.zipWithIndex
+      val data = rows.zipWithIndex
         .map { case ((key, v), i) => (s"k$key", i.toLong, v.toDouble) }
-        .toDF("key", "id", "score")
-      val w = Window.partitionBy(col("key"))
-        .orderBy(col("score").desc, col("id"))
-      val expected = df.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= k).select("key", "id", "score", "rn")
-        .orderBy("key", "rn").collect().toSeq
+      val df = data.toDF("key", "id", "score")
+      val expected = data.groupBy(_._1).toSeq.flatMap { case (key, rs) =>
+        rs.sortBy { case (_, id, score) => (-score, id) }.take(k)
+          .zipWithIndex.map { case ((_, id, score), i) => (key, id, score, i + 1) }
+      }.sortBy(r => (r._1, r._4))
       val actual = graft.operators.TopK
         .perKey(df, Seq("key"), Seq("score" -> true, "id" -> false), k)
         .select("key", "id", "score", "rn")
-        .orderBy("key", "rn").collect().toSeq
+        .orderBy("key", "rn").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSeq
       expected == actual
     }
   }
