@@ -81,6 +81,9 @@ ana_now AS (
   val stock: Map[String, String] = Map(
     "stock_normalize" -> (stockCte +
       "SELECT ticker, ts, price, volume, ai_sentiment, ai_summary FROM stock ORDER BY ts, ticker"),
+    // the batched-seam path states the identical contract
+    "stock_enrich_batched" -> (stockCte +
+      "SELECT ticker, ts, price, volume, ai_sentiment, ai_summary FROM stock ORDER BY ts, ticker"),
     "stock_agg_1m" -> (stockCte +
       "SELECT * FROM agg1m ORDER BY ticker, window_timestamp"),
     "stock_sma_5m" -> (stockCte +

@@ -36,6 +36,12 @@ object SparkEntry {
       StockPipeline.normalize(Tables.events(s, d))
         .select("ticker", "ts", "price", "volume", "ai_sentiment", "ai_summary")
         .orderBy(col("ts"), col("ticker"))),
+    // U1 via the batched mapPartitions seam (Enrichment.enrich) — same
+    // contract as normalize, so the same oracle verifies the seam.
+    "stock_enrich_batched" -> ((s, d) =>
+      operators.Enrichment.normalizeBatched(Tables.events(s, d))
+        .select("ticker", "ts", "price", "volume", "ai_sentiment", "ai_summary")
+        .orderBy(col("ts"), col("ticker"))),
     "stock_agg_1m" -> ((s, d) =>
       StockPipeline.agg1m(StockPipeline.normalize(Tables.events(s, d)))
         .orderBy(col("ticker"), col("window_timestamp"))),

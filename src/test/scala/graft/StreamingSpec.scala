@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.StockPipeline
 import graft.sources.Tables
-import graft.streaming.{SpikeState, StreamingPipeline, VolumeRow}
+import graft.streaming.{SpikeState, SpikeStateTws, StreamingPipeline, VolumeRow}
 
 case class RawEvent(event_id: Long, ts: Timestamp, user_id: Long,
     event_type: String, value: Double, props: String)
@@ -129,6 +129,41 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.toSeq === Seq((2L, 1L), (3L, 4L)))
       assert(streamed.toSeq === batch.toSeq) // stream/batch parity
     } finally q.stop()
+  }
+
+  test("spike: transformWithState (ListState) equals batch window frame") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val agg = StockPipeline.agg1m(
+        StockPipeline.normalize(Tables.events(spark, dir)))
+      .select("ticker", "window_timestamp", "total_volume_1m")
+    val rows = agg.as[VolumeRow].collect().sortBy(_.window_timestamp.getTime)
+    val chunks = rows.grouped(math.max(rows.length / 3, 1)).toSeq
+    // transformWithState requires the RocksDB state-store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = MemoryStream[VolumeRow]
+    val q = SpikeStateTws.detect(stream.toDS()).writeStream
+      .format("memory").queryName("spike_tws_sink").outputMode("append").start()
+    try {
+      chunks.foreach { c => stream.addData(c.toSeq: _*); q.processAllAvailable() }
+      val streamed = spark.table("spike_tws_sink")
+        .select("ticker", "window_timestamp", "hist_avg_volume", "is_volume_spike")
+        .orderBy("ticker", "window_timestamp").collect()
+      val batch = StockPipeline.withSpike(agg)
+        .select("ticker", "window_timestamp", "hist_avg_volume", "is_volume_spike")
+        .orderBy("ticker", "window_timestamp").collect()
+      assert(streamed.length === batch.length)
+      streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
   }
 
   test("streaming dedup drops within-watermark duplicate event_ids") {
