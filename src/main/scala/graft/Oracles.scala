@@ -21,12 +21,14 @@ WITH stock AS (
     event_type AS ticker,
     ts::TIMESTAMP AS ts,
     value::DOUBLE AS price,
-    CAST(json_extract_string(props, '$.k') AS BIGINT) AS volume,
+    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS volume,
     (event_id % 21 - 10) / 10.0 AS ai_sentiment,
     event_type || ' momentum ' || CAST(event_id % 21 - 10 AS VARCHAR) AS ai_summary
   FROM events
+  -- TRY_CAST matches Spark's null-on-miss get_json_object(...).cast:
+  -- a non-numeric props.k is DROPPED by both engines, not an error
   WHERE value IS NOT NULL AND NOT isnan(value)
-    AND json_extract_string(props, '$.k') IS NOT NULL
+    AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
 ),
 agg1m AS (
   SELECT

@@ -72,7 +72,8 @@ object Enrichment {
         col("event_type").as("ticker"),
         col("ts"),
         col("value").cast("double").as("price"),
-        get_json_object(col("props"), "$.k").cast("long").as("volume"))
+        // same try_cast semantics as StockPipeline.normalize
+        expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").as("volume"))
       .filter(col("price").isNotNull && !isnan(col("price")) &&
         col("volume").isNotNull)
       .as[StockEvent]

@@ -51,7 +51,10 @@ object StockPipeline {
         col("event_type").as("ticker"),
         col("ts"),
         col("value").cast("double").as("price"),
-        get_json_object(col("props"), "$.k").cast("long").as("volume"),
+        // try_cast: a non-numeric props.k is dropped by the IS NOT NULL
+        // filter below — same semantics as the oracle's TRY_CAST (plain
+        // cast would THROW under Spark 4's ANSI default instead)
+        expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").as("volume"),
         sentimentOf(col("event_id")).as("ai_sentiment"),
         summaryOf(col("event_type"), col("event_id")).as("ai_summary"))
       .filter(col("price").isNotNull && !isnan(col("price")) &&
@@ -134,7 +137,13 @@ object StockPipeline {
     * two-level aggregation DuckDB/Beam combiner-lifting would also pick.
     */
   def joined(stock: DataFrame): DataFrame =
-    minuteAggs(stock)
+    joinedFromMinutes(minuteAggs(stock))
+
+  /** The join/SMA stage over an already-materialized minute-aggregate
+    * table — the seam the streaming sink uses (its foreachBatch re-reads
+    * the finalized minute store and resumes the pipeline here). */
+  def joinedFromMinutes(minuteDf: DataFrame): DataFrame =
+    minuteDf
       .select(col("*"), explode(sequence(lit(0), lit(4))).as("off"))
       .withColumn("w_end",
         timestamp_seconds(unix_timestamp(col("window_timestamp")) + col("off") * 60))
@@ -230,13 +239,18 @@ object StockPipeline {
     * "now"); the one-row max is broadcast, not windowed, so no global
     * sort/single-partition stage exists at scale.
     */
-  def analysis(spark: SparkSession, dir: String): DataFrame = {
-    // Scalable spike form (partitioned by ticker × day-bucket, exact
-    // under the ≥10-rows-per-bucket density precondition that the test
-    // data satisfies from sf0.01 up — SpikeParitySpec). The global-
-    // window statement is what the oracle states; parity is proved
-    // row-for-row.
-    val sp = withSpikeBucketed(joined(normalize(Tables.events(spark, dir))))
+  def analysis(spark: SparkSession, dir: String): DataFrame =
+    analysisFromJoined(joined(normalize(Tables.events(spark, dir))))
+
+  /** Spike + injected-clock latency + 11-column format over a joined
+    * table — shared by the batch path and the streaming sink's
+    * foreachBatch rebuild. Uses the bucketed (scalable) spike form
+    * (partitioned by ticker × day-bucket; exact under the ≥10-rows-per-
+    * bucket density precondition the test data satisfies from sf0.01 up
+    * — SpikeParitySpec). The global-window statement is what the oracle
+    * states; parity is proved row-for-row. */
+  def analysisFromJoined(joinedDf: DataFrame): DataFrame = {
+    val sp = withSpikeBucketed(joinedDf)
     val nowDf = sp.agg(max(col("window_timestamp")).as("now_ts"))
     sp.crossJoin(broadcast(nowDf))
       .select(

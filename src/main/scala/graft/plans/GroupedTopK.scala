@@ -43,7 +43,19 @@ case class GroupedTopK(
 /** Physical operator: hash map key → bounded binary heap of row copies.
   * Requires clustering on the partition keys (planner inserts the
   * exchange); emits each key's rows in rank order with the rank
-  * appended. No sort of the input ever happens. */
+  * appended. No sort of the input ever happens.
+  *
+  * MEMORY BOUND (documented contract, no spill): the per-task working
+  * set is O(#distinct-keys-in-partition × k) row copies in an unmanaged
+  * hash map — unlike WindowExec, which sorts but can spill. With the
+  * clustered exchange hashing keys across `spark.sql.shuffle.partitions`
+  * tasks, the bound per task is ≈ |keys| / shufflePartitions × k rows.
+  * That is the operator's intended regime (dashboard/top-k queries:
+  * few-to-millions of keys, small k). For |keys| × k × rowWidth
+  * approaching executor memory, size up shuffle partitions (the bound
+  * shrinks linearly) or fall back to the row_number window form, which
+  * WindowExec spills — the [[graft.plans.RowNumberTopKRewrite]] rule can
+  * be disabled per-query via spark.sql.optimizer.excludedRules. */
 case class GroupedTopKExec(
     partitionExprs: Seq[Expression],
     orderSpec: Seq[SortOrder],

@@ -22,8 +22,10 @@ import graft.operators.StockPipeline
   *
   * The stream–stream join of two windowed aggregates (J1) is not
   * expressible as a single continuous plan (agg-after-agg restriction);
-  * [[analysisSink]] runs the join per micro-batch in `foreachBatch` —
-  * the exact analog of Beam's per-window pane firing (SURVEY.md §7.4).
+  * [[analysisSink]] therefore streams the watermarked minute aggregation
+  * (append mode = exactly-once finalized windows) and resumes the
+  * join/spike stages from a minute store inside `foreachBatch`
+  * (SURVEY.md §7.4) — see its doc for the exactly-once argument.
   *
   * Scale notes: state for the windowed aggs lives in the HDFS-backed
   * state store partitioned by (ticker, window) — the same hash layout as
@@ -118,20 +120,44 @@ object StreamingPipeline {
   def dedupStream(events: DataFrame, delay: String = "2 minutes"): DataFrame =
     events.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
 
-  /** Full end-to-end streaming analysis: per micro-batch, the finalized
-    * agg branches are joined, spiked and formatted with the *batch*
-    * operators inside foreachBatch, appending to a parquet sink. Returns
-    * the started query (caller awaits/stops). */
+  /** Full end-to-end streaming analysis, cross-batch exact:
+    *
+    *  1. The minute aggregation runs as a WATERMARKED STREAMING
+    *     aggregation in append mode — each (ticker, minute) row is
+    *     emitted exactly once, when the watermark finalizes its window.
+    *     Windows spanning triggers can therefore never emit duplicate or
+    *     partial rows (the state store, not the micro-batch boundary,
+    *     owns window completion).
+    *  2. foreachBatch lands each trigger's finalized minute rows in a
+    *     minute store (one `batch=<id>` partition per trigger, written
+    *     with overwrite — a replayed batch after failure overwrites its
+    *     own partition, so the store is exactly-once too).
+    *  3. The sliding join + spike + format resume from the FULL minute
+    *     store ([[StockPipeline.joinedFromMinutes]]), so SMA windows and
+    *     spike history see all history, not just the current batch; the
+    *     analysis sink is rebuilt by overwrite, which is idempotent.
+    *
+    * The rebuild cost is bounded by the minute-grade store (~|events| /
+    * events-per-minute, a ~100-1000× reduction) — at true cluster scale
+    * the same seam incrementalizes to a MERGE of only the w_ends the new
+    * minutes complete, with identical semantics. Returns the started
+    * query (caller awaits/stops). */
   def analysisSink(spark: SparkSession, inputDir: String, outPath: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    val events = withEventTime(eventsStream(spark, inputDir))
-    events.writeStream
+    val minuteStore = outPath + "_minutes"
+    val minutes = StockPipeline.minuteAggs(
+      withEventTime(eventsStream(spark, inputDir)))
+    minutes.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val sp = StockPipeline.withSpike(StockPipeline.joined(batch))
-        if (!sp.isEmpty) {
-          sp.write.mode("append").parquet(outPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          batch.write.mode("overwrite").parquet(s"$minuteStore/batch=$batchId")
+          val allMinutes = batch.sparkSession.read.parquet(minuteStore)
+            .drop("batch")
+          StockPipeline.analysisFromJoined(
+              StockPipeline.joinedFromMinutes(allMinutes))
+            .write.mode("overwrite").parquet(outPath)
         }
         ()
       }

@@ -200,15 +200,33 @@ class StreamingSpec extends SparkSpec {
     assert(back.count() === ana.filter(to_date(col("window_timestamp")) === "2024-01-02").count())
   }
 
-  test("full streaming analysis sink writes spike-annotated rows end-to-end") {
+  test("full streaming analysis sink equals batch pipeline on finalized windows") {
+    val dir = "/root/testdata/sf0.001"
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
-    val q = StreamingPipeline.analysisSink(spark, "/root/testdata/sf0.001",
-      s"$tmp/out", s"$tmp/ckpt")
+    val q = StreamingPipeline.analysisSink(spark, dir, s"$tmp/out", s"$tmp/ckpt")
     try {
       q.processAllAvailable()
+      val cols = Seq("ticker", "window_timestamp", "latest_price",
+        "high_price_1m", "total_volume_1m", "total_value_1m", "sma_5m",
+        "is_volume_spike", "ai_sentiment", "ai_summary")
       val out = spark.read.parquet(s"$tmp/out")
       assert(out.count() > 0)
-      assert(out.columns.contains("is_volume_spike"))
+      // exactly-once: no (ticker, minute) appears twice in the sink
+      assert(out.groupBy("ticker", "window_timestamp").count()
+        .filter(col("count") > 1).isEmpty)
+      // cross-batch exactness: every emitted row equals the batch
+      // pipeline's row (system_latency excluded: the injected "now"
+      // legitimately differs between a finalized prefix and full data)
+      val streamed = out.select(cols.map(col): _*)
+        .orderBy("ticker", "window_timestamp").collect()
+      val batchAll = StockPipeline.analysisFromJoined(StockPipeline.joined(
+          StockPipeline.normalize(Tables.events(spark, dir))))
+      val emitted = out.select("ticker", "window_timestamp")
+      val batch = batchAll.join(emitted, Seq("ticker", "window_timestamp"))
+        .select(cols.map(col): _*)
+        .orderBy("ticker", "window_timestamp").collect()
+      assert(streamed.length === batch.length)
+      streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
     } finally q.stop()
   }
 }

@@ -5,9 +5,12 @@ Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 
 For each query result parquet under verifyOutDir, runs the matching SQL
 from oracle_sql.json in DuckDB (with views over the sfDir parquet tables)
-and compares: row count, column names (sorted), and values (floats to
-1e-9 relative tolerance). Dev-only tooling; NOT part of the shipped
-engine.
+and compares: row count, column names (sorted), and values EXACTLY —
+including floats (every registered query is designed bit-identical
+across engines; tolerance would hide drift). Both row lists are sorted
+on a canonical key before comparison, so the check does not depend on
+parquet part-file order or on ORDER BY surviving the column projection.
+Dev-only tooling; NOT part of the shipped engine.
 """
 import json
 import math
@@ -37,6 +40,12 @@ def eq(a, b):
     return norm(a) == norm(b)
 
 
+def row_key(row):
+    # order-insensitive canonical sort key (None/mixed types aren't
+    # directly comparable in python3)
+    return tuple(repr(norm(v)) for v in row)
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -49,12 +58,14 @@ def main(sf_dir, out_dir):
             spark_rel = con.sql(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
             scols = sorted(spark_rel.columns)
-            srows = con.sql(
-                f"SELECT {', '.join(scols)} FROM spark_rel").fetchall()
+            srows = sorted(con.sql(
+                f"SELECT {', '.join(scols)} FROM spark_rel").fetchall(),
+                key=row_key)
             duck_rel = con.sql(sql)
             dcols = sorted(duck_rel.columns)
-            drows = con.sql(
-                f"SELECT {', '.join(dcols)} FROM duck_rel").fetchall()
+            drows = sorted(con.sql(
+                f"SELECT {', '.join(dcols)} FROM duck_rel").fetchall(),
+                key=row_key)
         except Exception as e:
             print(f"FAIL {name}: exception {e}")
             n_fail += 1
