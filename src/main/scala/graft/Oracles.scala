@@ -195,5 +195,6 @@ FROM stock ORDER BY ts, ticker"""),
 
   /** All oracles, by query name. Extended by the relational / text /
     * dedup / similarity sections as they land. */
-  def all: Map[String, String] = stock ++ OraclesExt.all ++ OraclesRel.all
+  def all: Map[String, String] =
+    stock ++ OraclesExt.all ++ OraclesRel.all ++ OraclesCuration.all
 }

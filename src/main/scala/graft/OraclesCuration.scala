@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.{Curation, TextAnalysis}
+
+/** DuckDB oracle SQL for the curation operators (quality filtering,
+  * repetition detection, deterministic sampling) — generated from the
+  * same thresholds/salts the Spark side uses so they can never drift. */
+object OraclesCuration {
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  private val toksCte =
+    "toks AS (SELECT *, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents)"
+
+  private val sampleKeySql =
+    s"('0x' || substr(md5('${Curation.sampleSalt}' || doc_id::VARCHAR), 1, 8))::BIGINT"
+
+  val all: Map[String, String] = Map(
+    "text_quality_filter" -> s"""
+WITH $toksCte,
+m AS (
+  SELECT doc_id,
+    len(tk)::BIGINT AS n_tokens,
+    round(len(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE / len(tk), 4) AS mean_word_len,
+    round(len(regexp_replace(text, '[a-z0-9\\s]', '', 'g'))::DOUBLE / n_chars, 4) AS punct_ratio,
+    len(list_filter(tk, t -> t IN ${inList(TextAnalysis.stopwords)}))::BIGINT AS n_stopwords
+  FROM toks)
+SELECT doc_id, n_tokens, mean_word_len, punct_ratio, n_stopwords,
+  (n_tokens >= ${Curation.minTokens} AND n_tokens <= ${Curation.maxTokens}) AS r_token_count,
+  (mean_word_len >= ${Curation.minMeanWordLen} AND mean_word_len <= ${Curation.maxMeanWordLen}) AS r_mean_word_len,
+  (punct_ratio <= ${Curation.maxPunctRatio}) AS r_punct_ratio,
+  (n_stopwords >= ${Curation.minStopwords}) AS r_stopwords,
+  (r_token_count AND r_mean_word_len AND r_punct_ratio AND r_stopwords) AS keep
+FROM m ORDER BY doc_id""",
+    "text_repetition" -> s"""
+WITH $toksCte,
+tok AS (SELECT doc_id, unnest(tk) AS g FROM toks),
+tpc AS (SELECT doc_id, g, count(*) AS c FROM tok GROUP BY doc_id, g),
+tagg AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_token, count(*)::BIGINT AS nd,
+    max(c)::BIGINT AS tc
+  FROM tpc GROUP BY doc_id),
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk), 1)),
+    i -> tk[i] || ' ' || tk[i+1])) AS g
+  FROM toks WHERE len(tk) >= 2),
+bpc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+bagg AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_bigram, count(*)::BIGINT AS nd,
+    max(c)::BIGINT AS tc
+  FROM bpc GROUP BY doc_id)
+SELECT t.doc_id,
+  t.n_token,
+  round((t.n_token - t.nd)::DOUBLE / t.n_token, 6) AS dup_token_ratio,
+  round(t.tc::DOUBLE / t.n_token, 6) AS top_token_ratio,
+  b.n_bigram,
+  round((b.n_bigram - b.nd)::DOUBLE / b.n_bigram, 6) AS dup_bigram_ratio,
+  round(b.tc::DOUBLE / b.n_bigram, 6) AS top_bigram_ratio
+FROM tagg t LEFT JOIN bagg b USING (doc_id)
+ORDER BY doc_id""",
+    "sample_bernoulli" -> s"""
+SELECT doc_id, lang, source, sample_bucket FROM (
+  SELECT doc_id, lang, source, $sampleKeySql % 100 AS sample_bucket
+  FROM documents)
+WHERE sample_bucket < 20 ORDER BY doc_id""",
+    "sample_stratified" -> s"""
+SELECT lang, doc_id, sample_key, rn FROM (
+  SELECT lang, doc_id, sample_key,
+    row_number() OVER (PARTITION BY lang ORDER BY sample_key, doc_id)::BIGINT AS rn
+  FROM (SELECT lang, doc_id, $sampleKeySql AS sample_key FROM documents))
+WHERE rn <= 25 ORDER BY lang, rn""",
+  )
+}

@@ -89,6 +89,15 @@ object SparkEntry {
       TextAnalysis.bigramHistogram(Tables.documents(s, d))),
     "text_tfidf_top" -> ((s, d) =>
       TextAnalysis.tfidfTop(Tables.documents(s, d))),
+    // ---- training-data curation (quality gates, repetition, sampling) ----
+    "text_quality_filter" -> ((s, d) =>
+      operators.Curation.qualityFilter(Tables.documents(s, d))),
+    "text_repetition" -> ((s, d) =>
+      operators.Curation.repetition(Tables.documents(s, d))),
+    "sample_bernoulli" -> ((s, d) =>
+      operators.Curation.sampleBernoulli(Tables.documents(s, d))),
+    "sample_stratified" -> ((s, d) =>
+      operators.Curation.sampleStratified(Tables.documents(s, d))),
     // ---- deduplication ----
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dedup_minhash_sigs" -> ((s, d) =>

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+
+/** Training-data curation operators over the `documents` table — the
+  * selection/downsampling layer of an LLM data pipeline: rule-based
+  * quality filtering (Gopher/C4-style), n-gram repetition detection, and
+  * deterministic sampling (Bernoulli-by-hash and exact-k stratified).
+  *
+  * Everything is codegen'd column expressions plus hash aggregations
+  * with an exact DuckDB twin ([[graft.OraclesCuration]]); the rule
+  * thresholds and hash salts live here once and the oracle SQL is
+  * generated from them.
+  *
+  * Scale notes (100 TB):
+  *   - [[qualityFilter]] is pure map-side work over the scan — the keep
+  *     decision is pushed-down-able (a literal predicate over scan
+  *     columns), so the downstream pipeline reads only survivors.
+  *   - [[repetition]] shuffles n-gram rows once on the high-cardinality
+  *     (doc_id, gram) key with full partial aggregation.
+  *   - Sampling by a salted content-independent hash is reproducible
+  *     across runs/clusters (no RNG state) and map-side; stratified
+  *     exact-k goes through [[TopK]]'s bounded heap, not a per-stratum
+  *     sort.
+  */
+object Curation {
+
+  // ---- Gopher/C4-style quality rules (thresholds shared w/ oracle) ----
+  val minTokens = 10
+  val maxTokens = 100000
+  val minMeanWordLen = 2.0
+  val maxMeanWordLen = 12.0
+  val maxPunctRatio = 0.3
+  val minStopwords = 2
+
+  private def toks: Column = Portable.tokens(col("text"))
+
+  /** Rule-based document filter: each rule as an auditable boolean plus
+    * the final keep flag (the shape quality-filter reports need — you
+    * tune thresholds by looking at per-rule kill rates). */
+  def qualityFilter(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("mean_word_len",
+        round(length(regexp_replace(col("text"), "\\s+", "")).cast("double") /
+          col("n_tokens"), 4))
+      .withColumn("punct_ratio",
+        round(length(regexp_replace(col("text"), "[a-z0-9\\s]", ""))
+          .cast("double") / col("n_chars"), 4))
+      .withColumn("n_stopwords",
+        size(filter(toks, t =>
+          t.isin(TextAnalysis.stopwords.map(lit(_)): _*))).cast("long"))
+      .withColumn("r_token_count",
+        col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
+      .withColumn("r_mean_word_len",
+        col("mean_word_len") >= minMeanWordLen &&
+          col("mean_word_len") <= maxMeanWordLen)
+      .withColumn("r_punct_ratio", col("punct_ratio") <= maxPunctRatio)
+      .withColumn("r_stopwords", col("n_stopwords") >= minStopwords)
+      .withColumn("keep",
+        col("r_token_count") && col("r_mean_word_len") &&
+          col("r_punct_ratio") && col("r_stopwords"))
+      .select("doc_id", "n_tokens", "mean_word_len", "punct_ratio",
+        "n_stopwords", "r_token_count", "r_mean_word_len", "r_punct_ratio",
+        "r_stopwords", "keep")
+      .orderBy("doc_id")
+
+  /** N-gram repetition metrics (the Gopher repetition signals, at the
+    * token and bigram level): duplicate-gram fraction and most-frequent-
+    * gram fraction. High values mark boilerplate/spam documents. */
+  def repetition(documents: DataFrame): DataFrame = {
+    def gramStats(grams: DataFrame, gramCol: String, prefix: String) =
+      grams.groupBy(col("doc_id"), col(gramCol)).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as(s"n_$prefix"),
+          count(lit(1)).as(s"n_distinct_$prefix"),
+          max(col("c")).as("top_c"))
+        .select(col("doc_id"),
+          col(s"n_$prefix").cast("long").as(s"n_$prefix"),
+          round((col(s"n_$prefix") - col(s"n_distinct_$prefix"))
+            .cast("double") / col(s"n_$prefix"), 6).as(s"dup_${prefix}_ratio"),
+          round(col("top_c").cast("double") / col(s"n_$prefix"), 6)
+            .as(s"top_${prefix}_ratio"))
+    val tokens = documents.select(col("doc_id"), explode(toks).as("token"))
+    val bigrams = documents
+      .withColumn("toks", toks)
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), " +
+          "i -> concat_ws(' ', toks[i], toks[i+1]))")).as("bigram"))
+    gramStats(tokens, "token", "token")
+      .join(gramStats(bigrams, "bigram", "bigram"), Seq("doc_id"), "left")
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- deterministic sampling ----
+  val sampleSalt = "graft-sample:"
+
+  /** Salted content-independent sampling hash in [0, 100). */
+  def sampleBucket(docId: Column): Column =
+    pmod(Portable.hash32(concat(lit(sampleSalt), docId.cast("string"))), lit(100L))
+
+  /** Bernoulli-by-hash sampling: keep ~pct% of documents,
+    * deterministically (same docs every run, any cluster, any partition
+    * layout — the reproducibility property training pipelines need). */
+  def sampleBernoulli(documents: DataFrame, pct: Int = 20): DataFrame =
+    documents
+      .withColumn("sample_bucket", sampleBucket(col("doc_id")))
+      .filter(col("sample_bucket") < pct)
+      .select("doc_id", "lang", "source", "sample_bucket")
+      .orderBy("doc_id")
+
+  /** Exact-k-per-stratum sampling (stratified by lang), ordered by the
+    * same deterministic hash (doc_id tiebreak) through the bounded-heap
+    * [[TopK]] operator — no per-stratum sort. */
+  def sampleStratified(documents: DataFrame, k: Int = 25): DataFrame =
+    TopK.perKey(
+        documents.withColumn("sample_key",
+          Portable.hash32(concat(lit(sampleSalt), col("doc_id").cast("string")))),
+        Seq("lang"), Seq("sample_key" -> false, "doc_id" -> false), k)
+      .select(col("lang"), col("doc_id"), col("sample_key"),
+        col("rn").cast("long").as("rn"))
+      .orderBy(col("lang"), col("rn"))
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.Curation
+
+/** Semantics tests for the curation operators on hand-checkable
+  * fixtures: rule booleans fire for the right reasons, repetition
+  * ratios match hand counts, sampling is deterministic and exact. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toSeq.map { case (id, t) => (id, t, if (id % 2 == 0) "en" else "es",
+        "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("quality filter: each rule fires for its own failure mode") {
+    val good = "the cat and the hat is a cat of the house and it is warm"
+    val short = "too short"                        // < 10 tokens
+    val noStop = "cat hat mat bat rat sat fat vat pat chat splat" // no stopwords
+    val punct = "$$$ %%% ^^^ &&& *** $$$ %%% ^^^ &&& *** !!! ???" // symbols
+    val q = Curation.qualityFilter(docs(
+      (1L, good), (2L, short), (3L, noStop), (4L, punct))).collect()
+    val byId = q.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(1L).getAs[Boolean]("keep"))
+    assert(!byId(2L).getAs[Boolean]("r_token_count") && !byId(2L).getAs[Boolean]("keep"))
+    assert(!byId(3L).getAs[Boolean]("r_stopwords") && !byId(3L).getAs[Boolean]("keep"))
+    assert(!byId(4L).getAs[Boolean]("r_punct_ratio") && !byId(4L).getAs[Boolean]("keep"))
+  }
+
+  test("repetition: hand-checked ratios on a boilerplate document") {
+    // 6 tokens: "buy now buy now buy now" -> tokens: buy x3, now x3
+    // dup_token_ratio = (6-2)/6, top_token_ratio = 3/6
+    // bigrams (5): "buy now" x3, "now buy" x2
+    // dup_bigram_ratio = (5-2)/5 = 0.6, top_bigram_ratio = 3/5
+    val r = Curation.repetition(docs((1L, "buy now buy now buy now"))).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("n_token") === 6L)
+    assert(r(0).getAs[Double]("dup_token_ratio") === math.rint((4.0 / 6) * 1e6) / 1e6)
+    assert(r(0).getAs[Double]("top_token_ratio") === 0.5)
+    assert(r(0).getAs[Long]("n_bigram") === 5L)
+    assert(r(0).getAs[Double]("dup_bigram_ratio") === 0.6)
+    assert(r(0).getAs[Double]("top_bigram_ratio") === 0.6)
+  }
+
+  test("repetition: single-token doc has null bigram metrics (left join)") {
+    val r = Curation.repetition(docs((1L, "lonely"))).collect()
+    assert(r.length === 1)
+    assert(r(0).isNullAt(r(0).fieldIndex("n_bigram")))
+  }
+
+  test("sampling: deterministic, partition-invariant, bounded") {
+    val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = Curation.sampleBernoulli(d).collect()
+    val b = Curation.sampleBernoulli(d.repartition(7)).orderBy("doc_id").collect()
+    assert(a.toSeq === b.toSeq) // same docs regardless of layout
+    assert(a.forall(_.getAs[Long]("sample_bucket") < 20L))
+    // ~20% +- wide slack (hash uniformity, small n)
+    val frac = a.length.toDouble / d.count()
+    assert(frac > 0.08 && frac < 0.35, s"fraction $frac")
+  }
+
+  test("stratified sampling: exactly k per stratum, deterministic order") {
+    val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val s = Curation.sampleStratified(d, k = 5)
+    val counts = s.groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    val langSizes = d.groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    langSizes.foreach { case (lang, n) =>
+      assert(counts(lang) === math.min(n, 5L), s"lang $lang")
+    }
+    assert(s.collect().toSeq === Curation.sampleStratified(d.repartition(5), k = 5)
+      .collect().toSeq)
+  }
+}
