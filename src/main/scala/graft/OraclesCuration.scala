@@ -59,6 +59,19 @@ SELECT t.doc_id,
   round(b.tc::DOUBLE / b.n_bigram, 6) AS top_bigram_ratio
 FROM tagg t LEFT JOIN bagg b USING (doc_id)
 ORDER BY doc_id""",
+    "text_decontaminate" -> (s"\nWITH ${OraclesExt.shinglesCte},\n" + """
+ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 20),
+tr AS (SELECT doc_id, sh FROM sh WHERE doc_id >= 20),
+cnt AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM tr GROUP BY doc_id),
+hit AS (
+  SELECT tr.doc_id, count(*)::BIGINT AS n_eval_sh
+  FROM tr JOIN ev USING (sh) GROUP BY tr.doc_id)
+SELECT c.doc_id, c.n_sh,
+  coalesce(h.n_eval_sh, 0)::BIGINT AS n_eval_sh,
+  round(coalesce(h.n_eval_sh, 0)::DOUBLE / c.n_sh, 6) AS contamination,
+  (round(coalesce(h.n_eval_sh, 0)::DOUBLE / c.n_sh, 6) >= 0.5) AS flagged
+FROM cnt c LEFT JOIN hit h USING (doc_id)
+ORDER BY doc_id"""),
     "sample_bernoulli" -> s"""
 SELECT doc_id, lang, source, sample_bucket FROM (
   SELECT doc_id, lang, source, $sampleKeySql % 100 AS sample_bucket

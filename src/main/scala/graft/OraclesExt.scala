@@ -94,7 +94,7 @@ GROUP BY bigram ORDER BY freq DESC, bigram LIMIT 30""",
 
   // ---------------- dedup ----------------
 
-  private val shinglesCte = s"""$toksCte,
+  private[graft] val shinglesCte = s"""$toksCte,
 sh AS (
   SELECT DISTINCT doc_id, sh FROM (
     SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),

@@ -94,6 +94,8 @@ object SparkEntry {
       operators.Curation.qualityFilter(Tables.documents(s, d))),
     "text_repetition" -> ((s, d) =>
       operators.Curation.repetition(Tables.documents(s, d))),
+    "text_decontaminate" -> ((s, d) =>
+      operators.Curation.decontaminate(Tables.documents(s, d))),
     "sample_bernoulli" -> ((s, d) =>
       operators.Curation.sampleBernoulli(Tables.documents(s, d))),
     "sample_stratified" -> ((s, d) =>

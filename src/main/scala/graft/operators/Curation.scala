@@ -96,6 +96,36 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Benchmark decontamination (the step that keeps eval data out of
+    * training corpora): for each training document, the fraction of its
+    * distinct word-3-gram shingles that appear anywhere in the eval
+    * set's shingle universe; docs above `threshold` are flagged for
+    * removal. Asymmetric containment, not Jaccard — a short eval prompt
+    * embedded in a long page must still flag the page.
+    *
+    * Scale shape: the eval universe is tiny (benchmarks are small) —
+    * broadcast it; the probe side is one map-side semi-join over the
+    * exploded shingles plus a per-doc count aggregation. Documents with
+    * fewer than 3 tokens have no shingles and are out of scope (same as
+    * the dedup operators). */
+  def decontaminate(documents: DataFrame, evalMaxId: Long = 20,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = Dedup.shingles(documents)
+    val evalSh = sh.filter(col("doc_id") < evalMaxId)
+      .select(col("shingle")).distinct()
+    val train = sh.filter(col("doc_id") >= evalMaxId)
+    val counts = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val hits = train.join(broadcast(evalSh), Seq("shingle"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_eval_sh"))
+    counts.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("n_eval_sh"), lit(0L)).as("n_eval_sh"),
+        round(coalesce(col("n_eval_sh"), lit(0L)).cast("double") /
+          col("n_sh"), 6).as("contamination"))
+      .withColumn("flagged", col("contamination") >= threshold)
+      .orderBy(col("doc_id"))
+  }
+
   // ---- deterministic sampling ----
   val sampleSalt = "graft-sample:"
 

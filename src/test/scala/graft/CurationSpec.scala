@@ -50,6 +50,20 @@ class CurationSpec extends SparkSpec {
     assert(r(0).isNullAt(r(0).fieldIndex("n_bigram")))
   }
 
+  test("decontamination: eval-contained train doc flagged, unrelated doc clean") {
+    val evalDoc = "the quick brown fox jumps over the lazy dog today"
+    val contaminated = "intro words here " + evalDoc + " outro trailer words"
+    val clean = "completely different text about sailing ships across wide oceans"
+    val r = Curation.decontaminate(docs(
+        (1L, evalDoc), (25L, contaminated), (30L, clean)))
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(!r.contains(1L)) // eval docs are not scored
+    assert(r(25L).getAs[Boolean]("flagged"))
+    assert(r(25L).getAs[Double]("contamination") > 0.5)
+    assert(r(30L).getAs[Double]("contamination") === 0.0)
+    assert(!r(30L).getAs[Boolean]("flagged"))
+  }
+
   test("sampling: deterministic, partition-invariant, bounded") {
     val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val a = Curation.sampleBernoulli(d).collect()
