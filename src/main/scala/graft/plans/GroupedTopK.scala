@@ -61,18 +61,29 @@ case class GroupedTopKExec(
     orderSpec: Seq[SortOrder],
     k: Int,
     rnAttr: Attribute,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    partial: Boolean = false) extends UnaryExecNode {
 
-  override def output: Seq[Attribute] = child.output :+ rnAttr
-  override def producedAttributes: AttributeSet = AttributeSet(rnAttr)
+  override def output: Seq[Attribute] =
+    if (partial) child.output else child.output :+ rnAttr
+  override def producedAttributes: AttributeSet =
+    if (partial) AttributeSet.empty else AttributeSet(rnAttr)
+  // The partial stage runs MAP-SIDE before the exchange (any distribution),
+  // pruning each input partition to its local top-k per key — a row
+  // outside a local top-k cannot be in the global top-k, so only
+  // O(#local-keys × k) rows ever reach the shuffle (the same trick as
+  // Spark's WindowGroupLimit Partial). The final stage requires
+  // clustering and assigns ranks.
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(partitionExprs) :: Nil
+    if (partial) super.requiredChildDistribution
+    else ClusteredDistribution(partitionExprs) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val partExprs = partitionExprs
     val order = orderSpec
     val limit = k
+    val isPartial = partial
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(partExprs, childOutput)
       val rowOrdering: Ordering[InternalRow] =
@@ -103,24 +114,40 @@ case class GroupedTopKExec(
           heap.enqueue(row.copy())
         }
       }
-      val outProj = UnsafeProjection.create(childOutput :+ rnAttr,
-        childOutput :+ rnAttr)
-      val rnRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
-      val joined = new JoinedRow
-      val entries = heaps.values().iterator()
-      new Iterator[InternalRow] {
-        private var current: Iterator[InternalRow] = Iterator.empty
-        override def hasNext: Boolean = {
-          while (!current.hasNext && entries.hasNext) {
-            val ranked = entries.next().dequeueAll.reverse // ascending order
-            current = ranked.iterator.zipWithIndex.map { case (r, i) =>
-              rnRow.update(0, i + 1)
-              outProj(joined(r, rnRow))
+      if (isPartial) {
+        // map-side prune: emit surviving rows as-is (ranks are assigned
+        // by the final stage after the exchange)
+        val entries = heaps.values().iterator()
+        new Iterator[InternalRow] {
+          private var current: Iterator[InternalRow] = Iterator.empty
+          override def hasNext: Boolean = {
+            while (!current.hasNext && entries.hasNext) {
+              current = entries.next().iterator
             }
+            current.hasNext
           }
-          current.hasNext
+          override def next(): InternalRow = current.next()
         }
-        override def next(): InternalRow = current.next()
+      } else {
+        val outProj = UnsafeProjection.create(childOutput :+ rnAttr,
+          childOutput :+ rnAttr)
+        val rnRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+        val joined = new JoinedRow
+        val entries = heaps.values().iterator()
+        new Iterator[InternalRow] {
+          private var current: Iterator[InternalRow] = Iterator.empty
+          override def hasNext: Boolean = {
+            while (!current.hasNext && entries.hasNext) {
+              val ranked = entries.next().dequeueAll.reverse // ascending order
+              current = ranked.iterator.zipWithIndex.map { case (r, i) =>
+                rnRow.update(0, i + 1)
+                outProj(joined(r, rnRow))
+              }
+            }
+            current.hasNext
+          }
+          override def next(): InternalRow = current.next()
+        }
       }
     }
   }
@@ -134,7 +161,12 @@ case class GroupedTopKExec(
 object GraftStrategies extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case GroupedTopK(part, order, k, rn, child) =>
-      GroupedTopKExec(part, order, k, rn, planLater(child)) :: Nil
+      // two-stage: map-side partial prune (bounds the shuffle to
+      // O(local-keys × k) rows) under the rank-assigning final stage;
+      // EnsureRequirements inserts the exchange between them
+      GroupedTopKExec(part, order, k, rn,
+        GroupedTopKExec(part, order, k, rn, planLater(child), partial = true),
+        partial = false) :: Nil
     case _ => Nil
   }
 }

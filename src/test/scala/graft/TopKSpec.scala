@@ -50,4 +50,18 @@ class TopKSpec extends SparkSpec {
     assert(!plan.split("GroupedTopK")(1).contains("Sort"),
       s"no sort should feed the operator:\n$plan")
   }
+
+  test("GroupedTopK plans a map-side partial prune below the exchange") {
+    val df = (1 to 100).map(i => (s"k${i % 5}", i.toLong, i.toDouble))
+      .toDF("key", "id", "score")
+    val plan = customForm(df, 2).queryExecution.executedPlan.toString
+    // two stages with the exchange between them: the partial stage
+    // prunes the shuffle input to k rows per key per input partition
+    assert("GroupedTopK".r.findAllIn(plan).length === 2, plan)
+    val afterFinal = plan.substring(plan.indexOf("GroupedTopK") + 1)
+    val exchangeAt = afterFinal.indexOf("Exchange")
+    assert(exchangeAt >= 0 &&
+      afterFinal.substring(exchangeAt).contains("GroupedTopK"),
+      s"expected GroupedTopK(final) -> Exchange -> GroupedTopK(partial):\n$plan")
+  }
 }
