@@ -295,6 +295,26 @@ ranked AS (
   FROM scored)
 SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
 ORDER BY query_id, rank"""),
+    // int8-quantized brute force: same scale/code formulas (floor(x/s+0.5))
+    "sim_quantized_topk" -> (simBase + s""",
+qz AS (
+  SELECT vec_id, qscale,
+    list_transform(ev, x -> floor(x / qscale + 0.5)) AS q
+  FROM (
+    SELECT vec_id, ev,
+      list_max(list_transform(ev, x -> abs(x))) / 127.0 AS qscale
+    FROM base)),
+q2 AS (SELECT vec_id AS query_id, q AS qq, qscale AS qs FROM qz WHERE vec_id < 20),
+scored AS (
+  SELECT query_id, qz.vec_id AS neighbor_id,
+    round(list_inner_product(qq, q) * qs * qscale, 6) AS cosine
+  FROM qz CROSS JOIN q2 WHERE qz.vec_id <> q2.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)::BIGINT AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank"""),
     // SRP-banded near-dup: identical banding to the Spark plan (candidates
     // share band0 or band1), exact cosine verified within buckets.
     "sim_neardup_pairs" -> (simBase + srpCtes + s""",

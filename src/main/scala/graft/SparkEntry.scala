@@ -125,6 +125,8 @@ object SparkEntry {
       Similarity.lshTopK(Tables.embeddings(s, d))),
     "sim_neardup_pairs" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.embeddings(s, d))),
+    "sim_quantized_topk" -> ((s, d) =>
+      Similarity.quantizedTopK(Tables.embeddings(s, d))),
     // ---- multimodal columns ----
     "mm_features" -> ((s, d) =>
       operators.Multimodal.features(Tables.documents(s, d))),

@@ -122,6 +122,43 @@ object Similarity {
     topK(scored, k)
   }
 
+  // ---- int8 quantization (the embedding memory-reduction path) ----
+
+  /** Symmetric int8 quantization of the unit vectors: per-vector scale
+    * s = max|x|/127, code_i = floor(x_i/s + 0.5) ∈ [-127, 127], stored
+    * as a true `array<tinyint>` column (4× smaller than float32 at rest
+    * — the difference between an embedding table that fits executor
+    * memory and one that doesn't). `floor(x + 0.5)` rather than round():
+    * identical IEEE result in both engines, where round()'s half-case
+    * convention differs. */
+  def quantized(embeddings: DataFrame): DataFrame =
+    unitized(embeddings)
+      .withColumn("qscale",
+        array_max(transform(col("unit"), x => abs(x))) / 127.0)
+      .withColumn("q",
+        transform(col("unit"), x => floor(x / col("qscale") + lit(0.5)))
+          .cast("array<tinyint>"))
+      .select(col("vec_id"), col("label"), col("qscale"), col("q"))
+
+  /** Brute-force top-k over the QUANTIZED vectors: cosine reconstructed
+    * as dot(q_a, q_b)·s_a·s_b. Approximate by construction (≤ ~1%
+    * error at dim 64); the ranking-quality twin of [[bruteForceTopK]]
+    * at 1/4 the memory traffic. */
+  def quantizedTopK(embeddings: DataFrame, k: Int = 5,
+      nQueries: Int = 20): DataFrame = {
+    val base = quantized(embeddings)
+      .withColumn("qd", col("q").cast("array<double>"))
+    val queries = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("qd").as("qqd"),
+        col("qscale").as("qs"))
+    val scored = base.join(broadcast(queries),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("qqd"), col("qd")) * col("qs") * col("qscale"), 6)
+          .as("cosine"))
+    topK(scored, k)
+  }
+
   // ---- signed-random-projection LSH (the bucketed ANN scale path) ----
 
   /** SRP parameters: 16 deterministic pseudo-random hyperplanes (2 bands

@@ -99,6 +99,27 @@ class ExtensionsSpec extends SparkSpec {
     assert((p(0).getAs[Long]("vec_a"), p(0).getAs[Long]("vec_b")) === (0L, 1L))
   }
 
+  test("similarity: int8 quantization bounds codes and approximates cosine") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = Similarity.quantized(emb)
+    // true tinyint column, codes within the symmetric int8 range
+    assert(q.schema("q").dataType ===
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType))
+    val codes = q.select(explode(col("q")).as("c")).agg(
+      min(col("c")), max(col("c"))).head()
+    assert(codes.getByte(0) >= -127 && codes.getByte(1) <= 127)
+    // reconstructed cosine tracks the exact cosine closely at dim 64
+    val exact = Similarity.bruteForceTopK(emb, k = 3, nQueries = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val approx = Similarity.quantizedTopK(emb, k = 3, nQueries = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val common = exact.keySet intersect approx.keySet
+    assert(common.nonEmpty)
+    common.foreach { k =>
+      assert(math.abs(exact(k) - approx(k)) < 0.02, s"pair $k")
+    }
+  }
+
   test("similarity: IVF probes restrict search to nearest cells") {
     // label 0 points near +x, label 1 near +y; query near +x must rank
     // label-0 vectors first even with nprobe=2 (all cells searched here).
