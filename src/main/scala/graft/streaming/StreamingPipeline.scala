@@ -71,13 +71,33 @@ object StreamingPipeline {
   /** S3 replay source: a `rate` stream deterministically indexing into
     * the historical events table — one micro-batch of bars per trigger,
     * replaying history as live data (`main.py:70-75`). The bars side is
-    * broadcast; the modulo join never shuffles the rate stream. */
+    * broadcast; the modulo join never shuffles the rate stream.
+    *
+    * The contiguous 0..n-1 replay index is built with a DISTRIBUTED
+    * range sort + per-partition zipWithIndex (offsets from partition
+    * sizes) — never an unpartitioned window, which would funnel the
+    * whole bars table through one task. */
+  /** Bars with a contiguous replay index 0..n-1 in (ts, event_id) order
+    * — distributed construction (see [[replayStream]] doc). */
+  def indexedBars(spark: SparkSession, dir: String,
+      numPartitions: Int = 0): DataFrame = {
+    val events = graft.sources.Tables.events(spark, dir)
+    val ranged =
+      if (numPartitions > 0)
+        events.repartitionByRange(numPartitions, col("ts"), col("event_id"))
+      else events.repartitionByRange(col("ts"), col("event_id"))
+    val sorted = ranged.sortWithinPartitions(col("ts"), col("event_id"))
+    spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+      },
+      sorted.schema.add("idx", org.apache.spark.sql.types.LongType,
+        nullable = false))
+  }
+
   def replayStream(spark: SparkSession, dir: String,
       rowsPerSecond: Int = 100): DataFrame = {
-    val bars = graft.sources.Tables.events(spark, dir)
-      .withColumn("idx", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("ts"),
-          col("event_id"))).cast("long") - 1)
+    val bars = indexedBars(spark, dir)
     val n = bars.count()
     spark.readStream.format("rate")
       .option("rowsPerSecond", rowsPerSecond.toLong).load()

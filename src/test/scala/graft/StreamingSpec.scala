@@ -166,6 +166,19 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("replay index: contiguous 0..n-1 in (ts, event_id) order, built partition-parallel") {
+    // force 8 range partitions: the index must stay globally contiguous
+    // even though no single task ever sees the whole table
+    val bars = StreamingPipeline.indexedBars(spark, "/root/testdata/sf0.001", 8)
+    assert(bars.rdd.getNumPartitions === 8)
+    val n = bars.count()
+    val rows = bars.select("idx", "ts", "event_id").orderBy("idx").collect()
+    assert(rows.map(_.getLong(0)).toSeq === (0L until n).toSeq)
+    // index order == (ts, event_id) order
+    val byTime = rows.map(r => (r.getTimestamp(1), r.getLong(2)))
+    assert(byTime.toSeq === byTime.sortBy(x => (x._1.getTime, x._2)).toSeq)
+  }
+
   test("streaming dedup drops within-watermark duplicate event_ids") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[RawEvent]
