@@ -73,6 +73,16 @@ SELECT o_custkey, o_orderkey, o_orderdate,
     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)::BIGINT AS order_seq
 FROM orders
 ORDER BY o_custkey, order_seq""",
+    "rel_window_funcs" -> """
+SELECT o_custkey, o_orderkey, o_orderdate,
+  ntile(4) OVER w::BIGINT AS quartile,
+  percent_rank() OVER w AS pct_rank,
+  cume_dist() OVER w AS cume,
+  lag(o_totalprice, 1) OVER w AS prev_price,
+  lead(o_totalprice, 1) OVER w AS next_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderdate, o_orderkey""",
     "rel_part_topk_per_brand" -> """
 SELECT p_brand, p_partkey, p_name, p_retailprice, rn FROM (
   SELECT p_brand, p_partkey, p_name, p_retailprice,

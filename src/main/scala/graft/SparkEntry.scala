@@ -146,6 +146,7 @@ object SparkEntry {
     "rel_order_priority" -> (Relational.orderPriority _),
     "rel_customers_no_orders" -> (Relational.customersNoOrders _),
     "rel_order_running_total" -> (Relational.orderRunningTotal _),
+    "rel_window_funcs" -> (Relational.orderWindowFuncs _),
     "rel_part_topk_per_brand" -> (Relational.partTopPerBrand _),
     "rel_orders_rollup" -> (Relational.ordersRollup _),
     "rel_orders_cube" -> (Relational.ordersCube _),

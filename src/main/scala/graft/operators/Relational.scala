@@ -127,6 +127,24 @@ object Relational {
       .orderBy(col("o_custkey"), col("order_seq"))
   }
 
+  /** The ranked-window-function family in one statement — ntile,
+    * percent_rank, cume_dist, lag/lead — per customer over order time.
+    * percent_rank/cume_dist are exact small-integer ratios (one IEEE
+    * division, no accumulation), so no rounding is needed for oracle
+    * parity. All tie-free: (o_orderdate, o_orderkey) is unique. */
+  def orderWindowFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
   /** Top-3 parts per brand by retail price — the row_number-≤-k pattern,
     * planned through the custom [[graft.plans.GroupedTopK]] operator
     * (bounded per-key heap; no partition sort). Same semantics as
