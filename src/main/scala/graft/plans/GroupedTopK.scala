@@ -45,17 +45,14 @@ case class GroupedTopK(
   * exchange); emits each key's rows in rank order with the rank
   * appended. No sort of the input ever happens.
   *
-  * MEMORY BOUND (documented contract, no spill): the per-task working
-  * set is O(#distinct-keys-in-partition × k) row copies in an unmanaged
-  * hash map — unlike WindowExec, which sorts but can spill. With the
-  * clustered exchange hashing keys across `spark.sql.shuffle.partitions`
-  * tasks, the bound per task is ≈ |keys| / shufflePartitions × k rows.
-  * That is the operator's intended regime (dashboard/top-k queries:
-  * few-to-millions of keys, small k). For |keys| × k × rowWidth
-  * approaching executor memory, size up shuffle partitions (the bound
-  * shrinks linearly) or fall back to the row_number window form, which
-  * WindowExec spills — the [[graft.plans.RowNumberTopKRewrite]] rule can
-  * be disabled per-query via spark.sql.optimizer.excludedRules. */
+  * MEMORY: per-key state is a bounded buffer of ≤ k rows held in
+  * Spark's spillable combiner map ([[org.apache.spark.GraftSpillGlue]]
+  * → ExternalAppendOnlyMap): memory is acquired through the
+  * TaskMemoryManager and high key cardinality (e.g. as-of joins keyed
+  * by event id) degrades to sorted spill files merged on iteration —
+  * not an executor OOM. The working set that stays resident is
+  * O(in-memory-keys × k) row copies; sizing up shuffle partitions still
+  * shrinks the per-task key count linearly. */
 case class GroupedTopKExec(
     partitionExprs: Seq[Expression],
     orderSpec: Seq[SortOrder],
@@ -89,64 +86,59 @@ case class GroupedTopKExec(
       val rowOrdering: Ordering[InternalRow] =
         GenerateOrdering.generate(
           BindReferences.bindReferences(order, childOutput))
-      // Scala PriorityQueue is a MAX-heap on its ordering, so with the
-      // row ordering itself the root is the WORST of the current top-k
-      // (last in the desired sequence), evicted when a better row comes
-      val heaps = new java.util.HashMap[UnsafeRow,
-        scala.collection.mutable.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        // child rows are usually UnsafeRow (post-exchange), but when the
-        // input is already clustered no exchange is inserted and an
-        // interpreted child may emit JoinedRow etc — InternalRow is the
-        // honest contract (copy() below handles either).
-        val row = iter.next()
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = scala.collection.mutable.PriorityQueue.empty[InternalRow](
-            rowOrdering)
-          heaps.put(key.copy(), heap)
-        }
-        if (heap.size < limit) {
-          heap.enqueue(row.copy())
-        } else if (rowOrdering.compare(row, heap.head) < 0) {
-          heap.dequeue()
-          heap.enqueue(row.copy())
+      // Per-key combiner: ascending-sorted bounded buffer (binary-search
+      // insert; k is small by contract). Plain data rows only — no
+      // codegen'd ordering inside — so the map can serialize combiners
+      // when it spills.
+      def insertBounded(buf: scala.collection.mutable.ArrayBuffer[InternalRow],
+          row: InternalRow): scala.collection.mutable.ArrayBuffer[InternalRow] = {
+        if (buf.length == limit && rowOrdering.compare(row, buf.last) >= 0) buf
+        else {
+          var lo = 0
+          var hi = buf.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (rowOrdering.compare(buf(mid), row) <= 0) lo = mid + 1 else hi = mid
+          }
+          buf.insert(lo, row)
+          if (buf.length > limit) buf.remove(limit)
+          buf
         }
       }
+      // Spark's spillable combiner map (the combineByKey structure):
+      // memory accounted via TaskMemoryManager, spills to sorted files
+      // and merges on iteration — high key cardinality (e.g. as-of joins
+      // keyed by event id) degrades to disk instead of OOM.
+      val map = org.apache.spark.GraftSpillGlue
+        .externalMap[UnsafeRow, InternalRow,
+          scala.collection.mutable.ArrayBuffer[InternalRow]](
+          v => {
+            val b = new scala.collection.mutable.ArrayBuffer[InternalRow](
+              math.min(limit, 16))
+            b += v
+            b
+          },
+          (b, v) => insertBounded(b, v),
+          (b1, b2) => { b2.foreach(r => insertBounded(b1, r)); b1 })
+      // child rows are usually UnsafeRow (post-exchange), but when the
+      // input is already clustered an interpreted child may emit
+      // JoinedRow etc — copy() handles either; the map buffers values,
+      // so rows are copied on insert.
+      map.insertAll(iter.map(r => (keyProj(r).copy(), r.copy())))
       if (isPartial) {
         // map-side prune: emit surviving rows as-is (ranks are assigned
         // by the final stage after the exchange)
-        val entries = heaps.values().iterator()
-        new Iterator[InternalRow] {
-          private var current: Iterator[InternalRow] = Iterator.empty
-          override def hasNext: Boolean = {
-            while (!current.hasNext && entries.hasNext) {
-              current = entries.next().iterator
-            }
-            current.hasNext
-          }
-          override def next(): InternalRow = current.next()
-        }
+        map.iterator.flatMap(_._2)
       } else {
         val outProj = UnsafeProjection.create(childOutput :+ rnAttr,
           childOutput :+ rnAttr)
         val rnRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
         val joined = new JoinedRow
-        val entries = heaps.values().iterator()
-        new Iterator[InternalRow] {
-          private var current: Iterator[InternalRow] = Iterator.empty
-          override def hasNext: Boolean = {
-            while (!current.hasNext && entries.hasNext) {
-              val ranked = entries.next().dequeueAll.reverse // ascending order
-              current = ranked.iterator.zipWithIndex.map { case (r, i) =>
-                rnRow.update(0, i + 1)
-                outProj(joined(r, rnRow))
-              }
-            }
-            current.hasNext
+        map.iterator.flatMap { case (_, buf) =>
+          buf.iterator.zipWithIndex.map { case (r, i) =>
+            rnRow.update(0, i + 1)
+            outProj(joined(r, rnRow))
           }
-          override def next(): InternalRow = current.next()
         }
       }
     }
