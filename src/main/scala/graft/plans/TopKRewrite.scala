@@ -58,7 +58,10 @@ object RowNumberTopKRewrite extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case f @ Filter(cond, w: Window) if w.windowExpressions.size == 1 =>
+    // !isStreaming: GroupedTopKExec is a batch operator (Spark rejects
+    // non-time windows on streams anyway — this is belt and braces)
+    case f @ Filter(cond, w: Window)
+        if !w.isStreaming && w.windowExpressions.size == 1 =>
       w.windowExpressions.head match {
         case alias @ Alias(WindowExpression(_: RowNumber,
             WindowSpecDefinition(part, order, _)), _) if part.nonEmpty =>
