@@ -91,7 +91,8 @@ object SparkEntry {
       TextAnalysis.tfidfTop(Tables.documents(s, d))),
     // ---- training-data curation (quality gates, repetition, sampling) ----
     "text_quality_filter" -> ((s, d) =>
-      operators.Curation.qualityFilter(Tables.documents(s, d))),
+      operators.Curation.qualityFilter(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
     "text_repetition" -> ((s, d) =>
       operators.Curation.repetition(Tables.documents(s, d))),
     "text_decontaminate" -> ((s, d) =>

@@ -63,10 +63,11 @@ object Curation {
       .withColumn("keep",
         col("r_token_count") && col("r_mean_word_len") &&
           col("r_punct_ratio") && col("r_stopwords"))
+      // no presentation sort here: the op is stream-safe (stateless
+      // map-side); the registered query adds its ORDER BY
       .select("doc_id", "n_tokens", "mean_word_len", "punct_ratio",
         "n_stopwords", "r_token_count", "r_mean_word_len", "r_punct_ratio",
         "r_stopwords", "keep")
-      .orderBy("doc_id")
 
   /** N-gram repetition metrics (the Gopher repetition signals, at the
     * token and bigram level): duplicate-gram fraction and most-frequent-

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 import graft.operators.Curation
 
@@ -62,6 +63,31 @@ class CurationSpec extends SparkSpec {
     assert(r(25L).getAs[Double]("contamination") > 0.5)
     assert(r(30L).getAs[Double]("contamination") === 0.0)
     assert(!r(30L).getAs[Boolean]("flagged"))
+  }
+
+  test("quality filter runs unchanged on a stream (batch/stream shared op)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = Seq(
+      (1L, "the cat and the hat is a cat of the house and it is warm"),
+      (2L, "too short"),
+      (3L, "$$$ %%% ^^^ &&& *** $$$ %%% ^^^ &&& *** !!! ???"))
+    val stream = MemoryStream[(Long, String)]
+    val streamDocs = stream.toDF()
+      .select(col("_1").as("doc_id"), col("_2").as("text"),
+        lit("en").as("lang"), lit("src0").as("source"),
+        length(col("_2")).cast("long").as("n_chars"))
+    // stateless map-side op: the SAME transform accepts a streaming DF
+    val q = Curation.qualityFilter(streamDocs).writeStream
+      .format("memory").queryName("quality_sink").outputMode("append").start()
+    try {
+      stream.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("quality_sink").orderBy("doc_id").collect()
+      val batch = Curation.qualityFilter(docs(rows: _*)).collect()
+      assert(streamed.length === batch.length && batch.length === 3)
+      streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
+    } finally q.stop()
   }
 
   test("sampling: deterministic, partition-invariant, bounded") {
