@@ -60,7 +60,8 @@ object SparkEntry {
     "stock_analysis" -> ((s, d) =>
       ana(s, d).orderBy(col("ticker"), col("window_timestamp"))),
     "stock_sessions" -> ((s, d) =>
-      StockPipeline.sessions(StockPipeline.normalize(Tables.events(s, d)))),
+      StockPipeline.sessions(StockPipeline.normalize(Tables.events(s, d)))
+        .orderBy(col("ticker"), col("session_start"))),
     "stock_pivot" -> ((s, d) =>
       StockPipeline.pivotPrices(StockPipeline.agg1m(
         StockPipeline.normalize(Tables.events(s, d))))),

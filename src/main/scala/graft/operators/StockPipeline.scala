@@ -277,11 +277,12 @@ object StockPipeline {
         // engines (decimal-string half-up vs binary-double nearest)
         (sum(col("price").cast("decimal(18,6)")).cast("double") /
           count(lit(1))).as("avg_price"))
+      // no presentation sort: session_window works on streams too (the
+      // registered query adds its ORDER BY)
       .select(col("ticker"),
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("n_events"), col("avg_price"))
-      .orderBy(col("ticker"), col("session_start"))
 
   /** Long→wide pivot (SURVEY.md §1.1): the reference's pandas MultiIndex
     * matrix shape, (minute × ticker) → latest price. Pivot values are

@@ -179,6 +179,39 @@ class StreamingSpec extends SparkSpec {
     assert(byTime.toSeq === byTime.sortBy(x => (x._1.getTime, x._2)).toSeq)
   }
 
+  test("session windows: streaming append output equals batch sessions (W4)") {
+    implicit val sqlCtx = spark.sqlContext
+    val real = Seq(
+      ev(1, "2024-01-01 00:00:10", "A", 10.0, 1),
+      ev(2, "2024-01-01 00:10:00", "A", 11.0, 1),  // same session (gap < 30m)
+      ev(3, "2024-01-01 01:00:00", "A", 12.0, 1),  // new session
+      ev(4, "2024-01-01 00:05:00", "B", 20.0, 1))
+    val stream = MemoryStream[RawEvent]
+    val sessions = StockPipeline.sessions(
+      StreamingPipeline.withEventTime(stream.toDF()))
+    val q = sessions.writeStream.format("memory").queryName("session_sink")
+      .outputMode("append").start()
+    try {
+      stream.addData(real.take(2): _*)
+      q.processAllAvailable()
+      stream.addData(real.drop(2): _*)
+      q.processAllAvailable()
+      // sentinel far in the future finalizes every real session
+      stream.addData(ev(99, "2024-01-02 12:00:00", "Z", 1.0, 1))
+      q.processAllAvailable()
+      stream.addData(ev(100, "2024-01-03 12:00:00", "Z", 1.0, 1))
+      q.processAllAvailable()
+      val streamed = spark.table("session_sink")
+        .filter(col("ticker") =!= "Z")
+        .orderBy("ticker", "session_start").collect()
+      val batch = StockPipeline.sessions(
+          StockPipeline.normalize(real.toDF()))
+        .orderBy("ticker", "session_start").collect()
+      assert(streamed.length === batch.length && batch.length === 3)
+      streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
+    } finally q.stop()
+  }
+
   test("streaming dedup drops within-watermark duplicate event_ids") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[RawEvent]
