@@ -378,6 +378,23 @@ FROM grid g
 JOIN meta m ON g.doc_id = m.doc_id
 LEFT JOIN bc ON g.doc_id = bc.doc_id AND g.bin = bc.bin
 ORDER BY id, bin""",
+    // Twin of Multimodal.sampleFrames: evenly-spaced 8-byte keyframe
+    // slices per video blob, up to 4 frames.
+    "mm_frame_sample" -> s"""
+WITH v AS (
+  SELECT doc_id, text, octet_length(encode(text))::BIGINT AS n_bytes
+  FROM documents WHERE ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] = 'video'),
+f AS (
+  SELECT doc_id, n_bytes, n_bytes // 256 + 1 AS n_frames
+  FROM v),
+fr AS (
+  SELECT v.doc_id, f.n_frames,
+    unnest(range(least(f.n_frames, 4))) AS frame_idx,
+    v.text, v.n_bytes
+  FROM f JOIN v USING (doc_id))
+SELECT doc_id, n_frames, frame_idx::BIGINT AS frame_idx,
+  lower(hex(encode(substr(text, (frame_idx * n_bytes // n_frames)::INT + 1, 8)))) AS frame_hex
+FROM fr ORDER BY doc_id, frame_idx""",
     "mm_resize" -> s"""
 SELECT doc_id, lower(hex(encode($resizeConcat))) AS thumb_hex
 FROM documents ORDER BY doc_id""",

@@ -134,6 +134,8 @@ object SparkEntry {
       operators.Multimodal.features(Tables.documents(s, d))),
     "mm_resize" -> ((s, d) =>
       operators.Multimodal.resizeFeatures(Tables.documents(s, d))),
+    "mm_frame_sample" -> ((s, d) =>
+      operators.Multimodal.sampleFrames(Tables.documents(s, d))),
     // mapPartitions decode path, exploded to all-scalar rows so the
     // result is sortable/hashable — and oracle-verified bit-exact (the
     // fake codec is a mod-P rolling hash + byte histogram DuckDB can

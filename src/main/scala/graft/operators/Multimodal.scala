@@ -119,6 +119,27 @@ object Multimodal {
     ds.mapPartitions(resizePartition(n))
   }
 
+  /** Frame sampling (video modality): up to `maxFrames` evenly-spaced
+    * frames per video, each an 8-byte slice at offset f·len div n_frames
+    * — the byte-domain stand-in for keyframe extraction (a real build
+    * decodes at those timestamps through the [[decode]] seam). Exploded
+    * to (id, frame_idx, frame_hex) scalar rows; oracle-expressible. */
+  def sampleFrames(documents: DataFrame, maxFrames: Int = 4): DataFrame =
+    documents
+      .select(col("doc_id"), col("text"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("modality"),
+        length(col("text").cast("binary")).cast("long").as("n_bytes"))
+      .filter(col("modality") === "video")
+      .withColumn("n_frames", (col("n_bytes") / 256).cast("long") + 1)
+      .withColumn("frame_idx", explode(expr(
+        s"sequence(0L, least(n_frames, ${maxFrames}L) - 1)")))
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+        lower(hex(expr("CAST(substring(text, " +
+          "CAST(frame_idx * n_bytes div n_frames AS INT) + 1, 8) AS BINARY)")))
+          .as("frame_hex"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
   /** Oracle-expressible resize: the same nearest-neighbor byte sampling
     * as pure column expressions (positions i·len div n, 0-based). */
   def resizeFeatures(documents: DataFrame, n: Int = 32): DataFrame =
