@@ -1,5 +1,10 @@
 package graft
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,23 +17,48 @@ object Bench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Shuffle accounting per query (job-group attribution): measured,
+    // not guessed — lets a round-over-round diff spot a plan regression
+    // (new shuffle) even when wall-clock noise hides it.
+    val stageToQuery = new ConcurrentHashMap[Int, String]()
+    val shuffleBytes = new ConcurrentHashMap[String, AtomicLong]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(job: SparkListenerJobStart): Unit = {
+        val group = Option(job.properties)
+          .flatMap(p => Option(p.getProperty("spark.jobGroup.id"))).orNull
+        if (group != null) job.stageIds.foreach(stageToQuery.put(_, group))
+      }
+      override def onStageCompleted(stage: SparkListenerStageCompleted): Unit = {
+        val q = stageToQuery.get(stage.stageInfo.stageId)
+        if (q != null) {
+          val m = stage.stageInfo.taskMetrics
+          if (m != null) {
+            shuffleBytes.computeIfAbsent(q, _ => new AtomicLong).addAndGet(
+              m.shuffleReadMetrics.totalBytesRead +
+                m.shuffleWriteMetrics.bytesWritten)
+          }
+        }
+      }
+    })
     // Untimed warm-up: JIT/codegen/parquet-footer caches, so the first
     // timed query isn't charged ~5 s of JVM start-up.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
     // Some(seconds) on success, None on failure — a crashing query must
     // never be recorded as a fast success.
-    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) =>
+    def timeOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Option[Double] = {
+      spark.sparkContext.setJobGroup(name, name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
       catch { case _: Throwable => None }
+      finally spark.sparkContext.clearJobGroup()
     }
     // Trials are INTERLEAVED (full pass over all queries, repeated) so a
     // sustained host-contention window poisons at most one sample per
     // query; min per query reflects the plan, not the noisiest moment.
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val samples: Seq[Seq[(String, Option[Double])]] =
-      (1 to trials).map(_ => names.map { case (n, fn) => n -> timeOnce(fn) })
+      (1 to trials).map(_ => names.map { case (n, fn) => n -> timeOnce(n, fn) })
     val byName = samples.flatten.groupBy(_._1).map { case (n, ss) =>
       n -> ss.flatMap(_._2)
     }
@@ -39,7 +69,13 @@ object Bench {
       .mkString("{", ",", "}")
     val total = ok.map(n => byName(n).min).sum
     val errs = failed.map(n => s"\"$n\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    Thread.sleep(2000) // let async listener events drain
+    val sh = names.map(_._1).map { n =>
+      val mb = Option(shuffleBytes.get(n)).map(_.get).getOrElse(0L) /
+        (1024.0 * 1024.0) / math.max(trials, 1)
+      s"\"$n\":${math.rint(mb * 100) / 100}"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"shuffle_mb_per_trial":$sh,"sf":"$sfDir"}""")
     if (failed.nonEmpty)
       System.err.println(s"BENCH FAILURES: ${failed.mkString(", ")}")
     spark.stop()

@@ -1,0 +1,51 @@
+package graft
+
+/** Plan-shape regression locks for the registered queries: the shapes
+  * the engine was tuned to (shuffle counts, no quadratic joins, custom
+  * operators in place) are asserted so a refactor that silently
+  * re-plans a scale-killer fails CI, not the next 100 TB run. */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  private def countOf(s: String, pattern: String): Int =
+    pattern.r.findAllIn(s).length
+
+  test("stock_join: at most 2 hash-partition shuffles (minute agg + window fan-in)") {
+    val p = plan("stock_join")
+    assert(countOf(p, "Exchange hashpartitioning") <= 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("q1_dashboard / q6_momentum: GroupedTopK, no row_number window") {
+    Seq("q1_dashboard", "q6_momentum").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("GroupedTopK"), s"$q:\n$p")
+      assert(!p.contains("row_number()"), s"$q:\n$p")
+    }
+  }
+
+  test("sim_neardup_pairs / dedup_jaccard_pairs: no quadratic join operator") {
+    Seq("sim_neardup_pairs", "dedup_jaccard_pairs").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+  }
+
+  test("text_tfidf_top / sample_stratified: top-k through the custom operator") {
+    Seq("text_tfidf_top", "sample_stratified").foreach { q =>
+      assert(plan(q).contains("GroupedTopK"), q)
+    }
+  }
+
+  test("stock_analysis: the only nested-loop join is the broadcast 1-row clock") {
+    val p = plan("stock_analysis")
+    // crossJoin(broadcast(1-row nowDf)) is the intended exception
+    assert(countOf(p, "BroadcastNestedLoopJoin") <= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+}
