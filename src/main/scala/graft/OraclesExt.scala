@@ -221,6 +221,44 @@ q AS (
   SELECT vec_id AS query_id, ev AS qv FROM base WHERE vec_id < 20)
 """
 
+  /** Unrolled spherical-k-means CTE chain (seeds → kmIters Lloyd
+    * iterations), generated from the same constants as
+    * [[graft.operators.Similarity.kmeans]]. Ends with `asg<iters>`
+    * (vec_id, ev, cell) and `c<iters>` (cell, centroid). */
+  private val kmeansCtes: String = {
+    val k = graft.operators.Similarity.kmK
+    val iters = graft.operators.Similarity.kmIters
+    val salt = graft.operators.Similarity.kmSalt
+    val sb = new StringBuilder
+    sb.append(s""",
+sd AS (
+  SELECT vec_id, ev,
+    ('0x' || substr(md5('$salt' || vec_id::VARCHAR), 1, 8))::BIGINT AS hk
+  FROM base),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cell, ev AS centroid
+  FROM (SELECT * FROM sd ORDER BY hk, vec_id LIMIT $k))""")
+    for (i <- 1 to iters) {
+      sb.append(s""",
+asg$i AS (
+  SELECT vec_id, ev, cell FROM (
+    SELECT b.vec_id, b.ev, c.cell,
+      row_number() OVER (PARTITION BY b.vec_id
+        ORDER BY list_inner_product(b.ev, c.centroid) DESC, c.cell) AS rn
+    FROM base b CROSS JOIN c${i - 1} c)
+  WHERE rn = 1),
+cm$i AS (
+  SELECT cell, pos, CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS cv
+  FROM (SELECT cell, unnest(ev) AS v, unnest(range(len(ev))) AS pos FROM asg$i)
+  GROUP BY cell, pos),
+c$i AS (
+  SELECT cell, list_transform(centroid,
+    x -> x / sqrt(list_inner_product(centroid, centroid))) AS centroid
+  FROM (SELECT cell, list(cv ORDER BY pos) AS centroid FROM cm$i GROUP BY cell))""")
+    }
+    sb.toString
+  }
+
   /** SRP signature chain shared by the LSH top-k and banded near-dup
     * oracles — regenerates the identical hyperplanes from the same
     * universal-hash coefficients as [[graft.operators.Similarity]]. */
@@ -289,6 +327,30 @@ scored AS (
   SELECT query_id, sb.vec_id AS neighbor_id, ${cosSql("qv", "ev")} AS cosine
   FROM sb JOIN q2 ON (sb.band0 = q2.qb0 OR sb.band1 = q2.qb1)
     AND sb.vec_id <> q2.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)::BIGINT AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank"""),
+    // k-means IVF: the SAME Lloyd iterations unrolled as chained CTEs
+    // (seeds by salted hash, decimal-exact means, re-unitized, argmax
+    // ties by cell) — the build pass itself is oracle-verified.
+    "sim_ivf_kmeans_topk" -> (simBase + kmeansCtes + s""",
+q3 AS (SELECT vec_id AS query_id, ev AS qu FROM asg${graft.operators.Similarity.kmIters} WHERE vec_id < 20),
+probes AS (
+  SELECT query_id, qu, cell FROM (
+    SELECT q3.query_id, q3.qu, c.cell,
+      row_number() OVER (PARTITION BY q3.query_id
+        ORDER BY round(list_inner_product(q3.qu, c.centroid), 6) DESC, c.cell) AS crank
+    FROM q3 CROSS JOIN c${graft.operators.Similarity.kmIters} c)
+  WHERE crank <= 2),
+scored AS (
+  SELECT query_id, a.vec_id AS neighbor_id,
+    round(list_inner_product(qu, a.ev), 6) AS cosine
+  FROM asg${graft.operators.Similarity.kmIters} a
+  JOIN probes p ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id),
 ranked AS (
   SELECT *, row_number() OVER (
     PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)::BIGINT AS rank

@@ -129,6 +129,9 @@ object SparkEntry {
       Similarity.nearDupPairs(Tables.embeddings(s, d))),
     "sim_quantized_topk" -> ((s, d) =>
       Similarity.quantizedTopK(Tables.embeddings(s, d))),
+    // full ANN path incl. the k-means build pass (oracle unrolls Lloyd)
+    "sim_ivf_kmeans_topk" -> ((s, d) =>
+      Similarity.ivfKmeansTopK(Tables.embeddings(s, d))),
     // ---- multimodal columns ----
     "mm_features" -> ((s, d) =>
       operators.Multimodal.features(Tables.documents(s, d))),

@@ -122,6 +122,86 @@ object Similarity {
     topK(scored, k)
   }
 
+  // ---- k-means IVF build pass (spherical Lloyd, deterministic) ----
+
+  val kmSalt = "graft-kmeans:"
+  val kmK = 4
+  val kmIters = 3
+
+  /** Deterministic spherical k-means over the unit vectors — the IVF
+    * build pass that [[ivfTopK]]'s label-cell stand-in deferred to
+    * production. Fully declarative (no driver-side centroid collect):
+    * each Lloyd iteration is one broadcast assignment (argmax cosine via
+    * the bounded-heap [[TopK]]) plus one decimal-exact per-coordinate
+    * mean, re-unitized. Determinism contract (shared with the oracle,
+    * which unrolls the same iterations as chained CTEs):
+    *   - seeds = the k vectors with smallest salted hash (vec_id
+    *     tiebreak) — content-independent of partition layout;
+    *   - means as DECIMAL(28,10) sums (order-independent; the
+    *     double→decimal rounding has no representable half-way cases,
+    *     so both engines agree bit-wise);
+    *   - argmax ties broken by cell id.
+    * Returns (assignments (vec_id, unit, cell), centroids (cell,
+    * centroid)). */
+  def kmeans(embeddings: DataFrame, k: Int = kmK,
+      iters: Int = kmIters): (DataFrame, DataFrame) = {
+    val base = unitized(embeddings).select(col("vec_id"), col("unit"))
+    val seeds = base
+      .withColumn("hk", graft.functions.Portable.hash32(
+        concat(lit(kmSalt), col("vec_id").cast("string"))))
+      .orderBy(col("hk"), col("vec_id")).limit(k)
+    // unpartitioned window over exactly k rows — not a scale concern
+    var cents = seeds
+      .withColumn("cell", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("hk"), col("vec_id"))).cast("long") - 1)
+      .select(col("cell"), col("unit").as("centroid"))
+    var asg = base.withColumn("cell", lit(-1L))
+    for (_ <- 1 to iters) {
+      val scored = base.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("unit"), col("cell"),
+          dot(col("unit"), col("centroid")).as("d"))
+      asg = TopK.perKey(scored, Seq("vec_id"),
+          Seq("d" -> true, "cell" -> false), 1)
+        .select(col("vec_id"), col("unit"), col("cell"))
+      val cm = asg
+        .select(col("cell"), posexplode(col("unit")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg((sum(col("v").cast("decimal(28,10)")).cast("double") /
+          count(lit(1))).as("cv"))
+      cents = cm.groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+          s => s.getField("cv")).as("centroid"))
+        .select(col("cell"), unitize(col("centroid")).as("centroid"))
+    }
+    (asg, cents)
+  }
+
+  /** IVF top-k over k-means-built cells: each query probes the `nprobe`
+    * nearest final centroids and searches only those cells' members —
+    * the full production ANN path ([[ivfTopK]] with the build pass
+    * included). */
+  def ivfKmeansTopK(embeddings: DataFrame, k: Int = 5, nQueries: Int = 20,
+      nprobe: Int = 2): DataFrame = {
+    val (asg, cents) = kmeans(embeddings)
+    val queries = asg.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("unit").as("qu"))
+    val cw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cdist").desc, col("cell"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qu"), col("cell"),
+        cosineUnit(col("qu"), col("centroid")).as("cdist"))
+      .withColumn("crank", row_number().over(cw))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("qu"), col("cell").as("probe_cell"))
+    val scored = asg.join(broadcast(probes),
+        col("cell") === col("probe_cell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosineUnit(col("qu"), col("unit")).as("cosine"))
+    topK(scored, k)
+  }
+
   // ---- int8 quantization (the embedding memory-reduction path) ----
 
   /** Symmetric int8 quantization of the unit vectors: per-vector scale

@@ -120,6 +120,20 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("similarity: k-means build is deterministic and partition-invariant") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val (asg, cents) = Similarity.kmeans(emb)
+    val a = asg.select("vec_id", "cell").orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val (asg2, _) = Similarity.kmeans(emb.repartition(7))
+    val b = asg2.select("vec_id", "cell").orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.toSeq === b.toSeq) // layout-independent assignments
+    // non-degenerate clustering: more than one cell in use
+    assert(a.map(_._2).distinct.length > 1)
+    assert(cents.count() === a.map(_._2).distinct.length.toLong)
+  }
+
   test("similarity: IVF probes restrict search to nearest cells") {
     // label 0 points near +x, label 1 near +y; query near +x must rank
     // label-0 vectors first even with nprobe=2 (all cells searched here).
