@@ -161,9 +161,13 @@ object Similarity {
       val scored = base.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("unit"), col("cell"),
           dot(col("unit"), col("centroid")).as("d"))
+      // eager checkpoint per iteration: keeps lineage flat (iteration
+      // i+1 must not re-execute iterations 1..i — the Dedup.clusters
+      // pattern); values are unchanged, so oracle parity is unaffected
       asg = TopK.perKey(scored, Seq("vec_id"),
           Seq("d" -> true, "cell" -> false), 1)
         .select(col("vec_id"), col("unit"), col("cell"))
+        .localCheckpoint(true)
       val cm = asg
         .select(col("cell"), posexplode(col("unit")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos"))
