@@ -16,16 +16,25 @@ object OraclesCuration {
   private val sampleKeySql =
     s"('0x' || substr(md5('${Curation.sampleSalt}' || doc_id::VARCHAR), 1, 8))::BIGINT"
 
-  val all: Map[String, String] = Map(
-    "text_quality_filter" -> s"""
-WITH $toksCte,
-m AS (
+  /** Per-doc quality metrics CTE (`m`), shared by the filter query and
+    * the curated-corpus capstone. Requires `toks` in scope. */
+  private val qualityMCte = s"""m AS (
   SELECT doc_id,
     len(tk)::BIGINT AS n_tokens,
     round(len(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE / len(tk), 4) AS mean_word_len,
     round(len(regexp_replace(text, '[a-z0-9\\s]', '', 'g'))::DOUBLE / n_chars, 4) AS punct_ratio,
     len(list_filter(tk, t -> t IN ${inList(TextAnalysis.stopwords)}))::BIGINT AS n_stopwords
-  FROM toks)
+  FROM toks)"""
+
+  private val qKeepExpr =
+    s"""(n_tokens >= ${Curation.minTokens} AND n_tokens <= ${Curation.maxTokens}
+     AND mean_word_len >= ${Curation.minMeanWordLen} AND mean_word_len <= ${Curation.maxMeanWordLen}
+     AND punct_ratio <= ${Curation.maxPunctRatio} AND n_stopwords >= ${Curation.minStopwords})"""
+
+  val all: Map[String, String] = Map(
+    "text_quality_filter" -> s"""
+WITH $toksCte,
+$qualityMCte
 SELECT doc_id, n_tokens, mean_word_len, punct_ratio, n_stopwords,
   (n_tokens >= ${Curation.minTokens} AND n_tokens <= ${Curation.maxTokens}) AS r_token_count,
   (mean_word_len >= ${Curation.minMeanWordLen} AND mean_word_len <= ${Curation.maxMeanWordLen}) AS r_mean_word_len,
@@ -71,6 +80,47 @@ SELECT c.doc_id, c.n_sh,
   round(coalesce(h.n_eval_sh, 0)::DOUBLE / c.n_sh, 6) AS contamination,
   (round(coalesce(h.n_eval_sh, 0)::DOUBLE / c.n_sh, 6) >= 0.5) AS flagged
 FROM cnt c LEFT JOIN hit h USING (doc_id)
+ORDER BY doc_id"""),
+    // The capstone: quality gate AND exact-dup representative AND
+    // near-dup cluster representative AND decontaminated — assembled
+    // from the same CTE fragments the individual oracles use.
+    "corpus_curated" -> (
+      OraclesExt.minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + s""",
+np AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
+edges(a, b) AS (SELECT doc_a, doc_b FROM np UNION SELECT doc_b, doc_a FROM np),
+reach(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN edges e ON r.node = e.a),
+cl AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node),
+$qualityMCte,
+qm AS (SELECT doc_id, $qKeepExpr AS q_keep FROM m),
+exr AS (
+  SELECT min(doc_id) AS doc_id FROM documents
+  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
+dev AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 20),
+dtr AS (SELECT doc_id, sh FROM sh WHERE doc_id >= 20),
+dcnt AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM dtr GROUP BY doc_id),
+dhit AS (
+  SELECT dtr.doc_id, count(*)::BIGINT AS n_eval_sh
+  FROM dtr JOIN dev USING (sh) GROUP BY dtr.doc_id),
+dc AS (
+  SELECT c.doc_id,
+    (round(coalesce(h.n_eval_sh, 0)::DOUBLE / c.n_sh, 6) >= 0.5) AS flagged
+  FROM dcnt c LEFT JOIN dhit h USING (doc_id))
+SELECT d.doc_id, d.lang, d.source,
+  qm.q_keep AS q_keep,
+  (exr.doc_id IS NOT NULL) AS is_exact_rep,
+  coalesce(cl.cluster_id = d.doc_id, TRUE) AS near_dup_rep,
+  coalesce(NOT dc.flagged, TRUE) AS decontaminated,
+  (qm.q_keep AND exr.doc_id IS NOT NULL
+   AND coalesce(cl.cluster_id = d.doc_id, TRUE)
+   AND coalesce(NOT dc.flagged, TRUE)) AS keep
+FROM documents d
+JOIN qm USING (doc_id)
+LEFT JOIN exr ON d.doc_id = exr.doc_id
+LEFT JOIN cl ON d.doc_id = cl.doc_id
+LEFT JOIN dc ON d.doc_id = dc.doc_id
 ORDER BY doc_id"""),
     "sample_bernoulli" -> s"""
 SELECT doc_id, lang, source, sample_bucket FROM (

@@ -135,8 +135,9 @@ jac AS (
 """
 
   /** Shared CTE chain ending in `jac` (candidate pairs with exact
-    * Jaccard) — used by the pairs query and the clusters query. */
-  private val minhashPairsCtes: String = (minhashCte + """,
+    * Jaccard) — used by the pairs query, the clusters query, and the
+    * curated-corpus capstone ([[OraclesCuration]]). */
+  private[graft] val minhashPairsCtes: String = (minhashCte + """,
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key

@@ -98,6 +98,10 @@ object SparkEntry {
       operators.Curation.repetition(Tables.documents(s, d))),
     "text_decontaminate" -> ((s, d) =>
       operators.Curation.decontaminate(Tables.documents(s, d))),
+    // the capstone: full training-corpus selection (quality AND dedup
+    // representative AND near-dup representative AND decontaminated)
+    "corpus_curated" -> ((s, d) =>
+      operators.Curation.curatedCorpus(Tables.documents(s, d))),
     "sample_bernoulli" -> ((s, d) =>
       operators.Curation.sampleBernoulli(Tables.documents(s, d))),
     "sample_stratified" -> ((s, d) =>

@@ -127,6 +127,45 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** The capstone: training-corpus selection composing the verified
+    * curation operators — a document enters the corpus iff it
+    *   (a) passes the quality gates ([[qualityFilter]]),
+    *   (b) is its exact-duplicate group's representative
+    *       ([[Dedup.exact]]: min doc_id per fingerprint),
+    *   (c) is its near-duplicate cluster's representative
+    *       ([[Dedup.clustersBigStar]] over MinHash+LSH pairs; docs in no
+    *       pair are trivially their own representative),
+    *   (d) is not contaminated by the eval set ([[decontaminate]]; docs
+    *       out of decontamination scope — eval docs, <3-token docs —
+    *       pass trivially).
+    * Per-criterion booleans are kept for auditability (the kill-rate
+    * report every curation pipeline needs). */
+  def curatedCorpus(documents: DataFrame): DataFrame = {
+    val quality = qualityFilter(documents)
+      .select(col("doc_id"), col("keep").as("q_keep"))
+    val exactReps = Dedup.exact(documents)
+      .select(col("rep_doc_id").as("doc_id"), lit(true).as("is_exact_rep"))
+    val nearReps = Dedup.clustersBigStar(Dedup.minhashPairs(documents))
+      .select(col("doc_id"),
+        (col("cluster_id") === col("doc_id")).as("near_rep"))
+    val decon = decontaminate(documents)
+      .select(col("doc_id"), col("flagged"))
+    documents.select(col("doc_id"), col("lang"), col("source"))
+      .join(quality, Seq("doc_id"))
+      .join(exactReps, Seq("doc_id"), "left")
+      .join(nearReps, Seq("doc_id"), "left")
+      .join(decon, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("q_keep"),
+        coalesce(col("is_exact_rep"), lit(false)).as("is_exact_rep"),
+        coalesce(col("near_rep"), lit(true)).as("near_dup_rep"),
+        coalesce(!col("flagged"), lit(true)).as("decontaminated"))
+      .withColumn("keep",
+        col("q_keep") && col("is_exact_rep") && col("near_dup_rep") &&
+          col("decontaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- deterministic sampling ----
   val sampleSalt = "graft-sample:"
 

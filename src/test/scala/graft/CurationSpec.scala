@@ -65,6 +65,22 @@ class CurationSpec extends SparkSpec {
     assert(!r(30L).getAs[Boolean]("flagged"))
   }
 
+  test("curated corpus: keep is exactly the conjunction of its criteria") {
+    val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = Curation.curatedCorpus(d).collect()
+    assert(rows.length === d.count())
+    rows.foreach { r =>
+      val expected = r.getAs[Boolean]("q_keep") &&
+        r.getAs[Boolean]("is_exact_rep") &&
+        r.getAs[Boolean]("near_dup_rep") &&
+        r.getAs[Boolean]("decontaminated")
+      assert(r.getAs[Boolean]("keep") === expected, r.toString)
+    }
+    // the pipeline must actually filter something and keep something
+    val kept = rows.count(_.getAs[Boolean]("keep"))
+    assert(kept > 0 && kept < rows.length)
+  }
+
   test("quality filter runs unchanged on a stream (batch/stream shared op)") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
