@@ -196,5 +196,6 @@ FROM stock ORDER BY ts, ticker"""),
   /** All oracles, by query name. Extended by the relational / text /
     * dedup / similarity sections as they land. */
   def all: Map[String, String] =
-    stock ++ OraclesExt.all ++ OraclesRel.all ++ OraclesCuration.all
+    stock ++ OraclesExt.all ++ OraclesRel.all ++ OraclesCuration.all ++
+      OraclesPacking.all
 }

@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.Packing
+
+/** DuckDB oracle SQL for the corpus-assembly operators. The oracle
+  * states each result as the plain global-order SQL (one window over the
+  * total order); the Spark side computes the same values with the
+  * two-level bucketed scan — the comparison proves the distributed form
+  * exact, not just plausible. Constants come from [[Packing]] so the two
+  * sides can never drift. */
+object OraclesPacking {
+
+  private val toksCte =
+    "toks AS (SELECT *, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents)"
+
+  private val c = Packing.chunkTokens
+  private val shuffleKeySql =
+    s"('0x' || substr(md5('${Packing.shuffleSalt}' || doc_id::VARCHAR), 1, 8))::BIGINT"
+  private val splitKeySql =
+    s"('0x' || substr(md5('${Packing.splitSalt}' || doc_id::VARCHAR), 1, 8))::BIGINT"
+
+  val all: Map[String, String] = Map(
+    "doc_chunks" -> s"""
+WITH $toksCte,
+t AS (SELECT doc_id, tk, len(tk)::BIGINT AS n FROM toks),
+e AS (SELECT doc_id, tk, n,
+  unnest(range(0, (n + ${c - 1}) // $c)) AS chunk_id FROM t)
+SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+  least($c, n - chunk_id * $c)::BIGINT AS n_chunk_tokens,
+  array_to_string(list_slice(tk, chunk_id * $c + 1, (chunk_id + 1) * $c), ' ') AS chunk_text
+FROM e ORDER BY doc_id, chunk_id""",
+    "pack_assign" -> s"""
+WITH $toksCte,
+t AS (SELECT doc_id, len(tk)::BIGINT AS n_tokens FROM toks),
+cum AS (
+  SELECT doc_id, n_tokens,
+    sum(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_tokens
+  FROM t)
+SELECT doc_id, n_tokens, cum_tokens,
+  ((cum_tokens - n_tokens) // ${Packing.packBudget})::BIGINT AS pack_id
+FROM cum ORDER BY doc_id""",
+    "corpus_shuffle" -> s"""
+SELECT doc_id, shuffle_key,
+  row_number() OVER (ORDER BY shuffle_key, doc_id)::BIGINT AS ord
+FROM (SELECT doc_id, $shuffleKeySql AS shuffle_key FROM documents)
+ORDER BY ord""",
+    "sample_split" -> s"""
+SELECT doc_id, lang, source, split_bucket,
+  CASE WHEN split_bucket < 90 THEN 'train'
+       WHEN split_bucket < 95 THEN 'val'
+       ELSE 'test' END AS split
+FROM (SELECT doc_id, lang, source, $splitKeySql % 100 AS split_bucket
+      FROM documents)
+ORDER BY doc_id""",
+  )
+}

@@ -106,6 +106,15 @@ object SparkEntry {
       operators.Curation.sampleBernoulli(Tables.documents(s, d))),
     "sample_stratified" -> ((s, d) =>
       operators.Curation.sampleStratified(Tables.documents(s, d))),
+    // ---- corpus assembly (chunking, packing, shuffle order, splits) ----
+    "doc_chunks" -> ((s, d) =>
+      operators.Packing.chunk(Tables.documents(s, d))),
+    "pack_assign" -> ((s, d) =>
+      operators.Packing.packAssign(Tables.documents(s, d))),
+    "corpus_shuffle" -> ((s, d) =>
+      operators.Packing.shuffleOrder(Tables.documents(s, d))),
+    "sample_split" -> ((s, d) =>
+      operators.Packing.splitAssign(Tables.documents(s, d))),
     // ---- deduplication ----
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dedup_minhash_sigs" -> ((s, d) =>

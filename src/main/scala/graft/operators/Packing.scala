@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+
+/** Corpus-assembly operators — the step after curation in an LLM data
+  * pipeline: turn the kept documents into the artifacts training jobs
+  * consume (fixed-token chunks, token-budget pack assignment, a
+  * deterministic global shuffle order, and train/val/test splits).
+  *
+  * The global-order operators ([[packAssign]], [[shuffleOrder]]) need a
+  * prefix scan over a total order — the textbook single-partition-window
+  * scale-killer. Both instead use a two-level scan: order-preserving
+  * range buckets, per-bucket partials (a `buckets`-row aggregate —
+  * metadata, not data), an exclusive prefix over that tiny table, and a
+  * within-bucket window keyed by bucket. Every data-sized stage is
+  * partition-parallel; the only unpartitioned window runs over
+  * `buckets` rows.
+  */
+object Packing {
+
+  val chunkTokens = 64
+  val packBudget = 2048
+  val nBuckets = 32
+  val shuffleSalt = "graft-shuffle:"
+  val splitSalt = "graft-split:"
+
+  private def toks: Column = Portable.tokens(col("text"))
+
+  /** Split each document into fixed-size token chunks (context-window
+    * shards). Pure map-side explode — embarrassingly parallel. */
+  def chunk(documents: DataFrame, chunkSize: Int = chunkTokens): DataFrame =
+    documents
+      .withColumn("tk", toks)
+      .withColumn("n", size(col("tk")).cast("long"))
+      .withColumn("chunk_id",
+        explode(sequence(lit(0L), expr(s"(n + ${chunkSize - 1}) div $chunkSize") - 1)))
+      .select(col("doc_id"), col("chunk_id"),
+        least(lit(chunkSize.toLong), col("n") - col("chunk_id") * chunkSize)
+          .as("n_chunk_tokens"),
+        concat_ws(" ",
+          slice(col("tk"), (col("chunk_id") * chunkSize + 1).cast("int"),
+            lit(chunkSize))).as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  /** Exclusive prefix offsets over per-bucket partials. `partials` must
+    * be metadata-sized (one row per bucket): the unpartitioned window
+    * here is the deliberate, bounded exception. */
+  private def exclusivePrefix(partials: DataFrame, valueCol: String): DataFrame =
+    partials.withColumn("offset",
+      coalesce(sum(col(valueCol)).over(
+        Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("offset"))
+
+  /** Token-budget pack assignment: documents in doc_id order fill
+    * training packs of `budget` tokens each (the streaming-concat
+    * packing every pretraining tokenizer job does). `pack_id` is the
+    * bin the document STARTS in: floor(exclusive-cumsum / budget).
+    *
+    * cum_tokens is the inclusive running token total — computed with
+    * the two-level scan (range buckets over doc_id → per-bucket sums →
+    * broadcast offsets → within-bucket window), not a global window. */
+  def packAssign(documents: DataFrame, budget: Int = packBudget,
+      buckets: Int = nBuckets): DataFrame = {
+    val t = documents.select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+    val bounds = t.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+    val b = t.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        expr(s"((doc_id - lo) * $buckets) div (hi - lo + 1)"))
+      .drop("lo", "hi")
+    val offsets = exclusivePrefix(
+      b.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("part")), "part")
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    b.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("cum_tokens", col("offset") + sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"),
+        expr(s"(cum_tokens - n_tokens) div $budget").as("pack_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic global shuffle order for training: rank by a salted
+    * content-independent hash (same permutation every run, any cluster,
+    * any partition layout). The hash is uniform on [0, 2^32), so range
+    * buckets are static — no sampling pass; rank = broadcast bucket
+    * offset + within-bucket row_number. */
+  def shuffleOrder(documents: DataFrame, buckets: Int = nBuckets): DataFrame = {
+    val step = 4294967296L / buckets
+    val keyed = documents.select(col("doc_id"),
+      Portable.hash32(concat(lit(shuffleSalt), col("doc_id").cast("string")))
+        .as("shuffle_key"))
+      .withColumn("bucket", expr(s"shuffle_key div $step"))
+    val offsets = exclusivePrefix(
+      keyed.groupBy(col("bucket")).agg(count(lit(1)).as("part")), "part")
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("shuffle_key"), col("doc_id"))
+    keyed.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("ord", col("offset") + row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shuffle_key"), col("ord"))
+      .orderBy(col("ord"))
+  }
+
+  /** Deterministic train/val/test split (90/5/5) by salted hash —
+    * map-side, reproducible, independent of the sampling salt so
+    * subsampling and splitting don't correlate. */
+  def splitAssign(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("split_bucket",
+        pmod(Portable.hash32(concat(lit(splitSalt), col("doc_id").cast("string"))),
+          lit(100L)))
+      .withColumn("split",
+        when(col("split_bucket") < 90, "train")
+          .when(col("split_bucket") < 95, "val")
+          .otherwise("test"))
+      .select("doc_id", "lang", "source", "split_bucket", "split")
+      .orderBy("doc_id")
+}

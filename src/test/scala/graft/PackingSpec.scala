@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Packing
+
+class PackingSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = graft.sources.Tables.documents(spark, dir)
+
+  test("chunk: chunks reassemble to the tokenized document") {
+    val rebuilt = Packing.chunk(docs)
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", collect_list(col("chunk_text"))).as("rebuilt"))
+    val orig = docs.select(col("doc_id"),
+      concat_ws(" ", graft.functions.Portable.tokens(col("text"))).as("orig"))
+    val bad = rebuilt.join(orig, Seq("doc_id"))
+      .filter(col("rebuilt") =!= col("orig")).count()
+    assert(bad === 0)
+  }
+
+  test("chunk: every chunk except a doc's last is exactly full") {
+    val rows = Packing.chunk(docs)
+      .withColumn("is_last", col("chunk_id") ===
+        max(col("chunk_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+      .filter(!col("is_last") &&
+        col("n_chunk_tokens") =!= Packing.chunkTokens)
+      .count()
+    assert(rows === 0)
+  }
+
+  test("packAssign: bucketed scan equals the global-window cumsum") {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs.select(col("doc_id"),
+      size(graft.functions.Portable.tokens(col("text"))).cast("long").as("n_tokens"))
+    val naive = t.withColumn("cum_naive",
+      sum(col("n_tokens")).over(Window.orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val bad = Packing.packAssign(docs).join(naive, Seq("doc_id"))
+      .filter(col("cum_tokens") =!= col("cum_naive")).count()
+    assert(bad === 0)
+    // pack ids are non-decreasing in doc order and start at 0
+    val packs = Packing.packAssign(docs).orderBy("doc_id")
+      .select("pack_id").collect().map(_.getLong(0))
+    assert(packs.head === 0L)
+    assert(packs.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+  }
+
+  test("shuffleOrder: ord is the exact rank of (shuffle_key, doc_id)") {
+    val rows = Packing.shuffleOrder(docs).collect()
+    val n = rows.length
+    assert(rows.map(_.getAs[Long]("ord")).sorted.toSeq === (1L to n).toSeq)
+    val byKey = rows.sortBy(r =>
+      (r.getAs[Long]("shuffle_key"), r.getAs[Long]("doc_id")))
+    assert(byKey.map(_.getAs[Long]("ord")).toSeq === (1L to n).toSeq)
+  }
+
+  test("splitAssign: deterministic, all splits present, ~90/5/5") {
+    val counts = Packing.splitAssign(docs).groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    assert(counts.keySet === Set("train", "val", "test"))
+    assert(counts("train").toDouble / total > 0.8)
+    assert(counts("val") > 0 && counts("test") > 0)
+  }
+
+  test("plan: pack/shuffle data-sized stages stay partition-parallel") {
+    Seq(Packing.packAssign(docs), Packing.shuffleOrder(docs)).foreach { q =>
+      val p = q.queryExecution.executedPlan.toString
+      // bucket offsets join in via broadcast, never a shuffled join
+      assert(p.contains("BroadcastExchange"), p)
+      assert(!p.contains("SortMergeJoin"), p)
+      // the data-sized window is keyed by bucket (partition-parallel):
+      // some Window line carries a [bucket#...] partition spec
+      assert(p.linesIterator.exists(l =>
+        l.contains("Window") && l.contains(", [bucket#")), p)
+    }
+  }
+}
