@@ -122,6 +122,29 @@ LEFT JOIN exr ON d.doc_id = exr.doc_id
 LEFT JOIN cl ON d.doc_id = cl.doc_id
 LEFT JOIN dc ON d.doc_id = dc.doc_id
 ORDER BY doc_id"""),
+    "pii_scan" -> s"""
+WITH aug AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN
+      text || ' contact user' || doc_id::VARCHAR || '@example.com phone 555-'
+        || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+        || ' ip 10.' || (doc_id % 200)::VARCHAR || '.0.1'
+    ELSE text END AS txt
+  FROM documents),
+m AS (
+  SELECT doc_id,
+    len(regexp_extract_all(txt, '${Curation.emailPattern}'))::BIGINT AS n_emails,
+    len(regexp_extract_all(txt, '${Curation.phonePattern}'))::BIGINT AS n_phones,
+    len(regexp_extract_all(txt, '${Curation.ipPattern}'))::BIGINT AS n_ips,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(txt, '${Curation.emailPattern}', '<EMAIL>', 'g'),
+        '${Curation.phonePattern}', '<PHONE>', 'g'),
+      '${Curation.ipPattern}', '<IP>', 'g') AS redacted
+  FROM aug)
+SELECT doc_id, n_emails, n_phones, n_ips,
+  (n_emails + n_phones + n_ips > 0) AS has_pii, redacted
+FROM m ORDER BY doc_id""",
     "sample_bernoulli" -> s"""
 SELECT doc_id, lang, source, sample_bucket FROM (
   SELECT doc_id, lang, source, $sampleKeySql % 100 AS sample_bucket

@@ -102,6 +102,8 @@ object SparkEntry {
     // representative AND near-dup representative AND decontaminated)
     "corpus_curated" -> ((s, d) =>
       operators.Curation.curatedCorpus(Tables.documents(s, d))),
+    "pii_scan" -> ((s, d) =>
+      operators.Curation.piiScan(Tables.documents(s, d))),
     "sample_bernoulli" -> ((s, d) =>
       operators.Curation.sampleBernoulli(Tables.documents(s, d))),
     "sample_stratified" -> ((s, d) =>

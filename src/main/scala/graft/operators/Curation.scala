@@ -166,6 +166,55 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  // ---- PII detection / redaction ----
+  // RE2-safe patterns (no backrefs/lookaround) so Java regex (Spark)
+  // and RE2 (DuckDB) match identically.
+  val emailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val phonePattern = "\\b[0-9]{3}-[0-9]{4}\\b"
+  val ipPattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** The synthetic corpus contains no digits, so the fixture for the PII
+    * operator is built inside the query: every third document gets a
+    * deterministic contact-info suffix (both engines state the same
+    * construction — the mm_decode fake-codec precedent). Production
+    * swaps this for the raw text column. */
+  private def withContact: Column =
+    when(pmod(col("doc_id"), lit(3L)) === 0,
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com phone 555-"),
+        lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"),
+        lit(" ip 10."), pmod(col("doc_id"), lit(200L)).cast("string"),
+        lit(".0.1")))
+      .otherwise(col("text"))
+
+  /** PII scan + redaction: per-document match counts for email / phone /
+    * IP patterns and the text with each match class replaced by a
+    * placeholder (the scrubbing pass every training corpus needs before
+    * release). Pure map-side regex — codegen'd, embarrassingly
+    * parallel, no shuffle. Redaction order (email, phone, ip) is part
+    * of the contract: placeholders contain no digits, so later passes
+    * can't re-match inside earlier replacements. */
+  def piiScan(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("txt", withContact)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("txt"), lit(emailPattern), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("txt"), lit(phonePattern), lit(0)))
+          .cast("long").as("n_phones"),
+        size(regexp_extract_all(col("txt"), lit(ipPattern), lit(0)))
+          .cast("long").as("n_ips"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("txt"), emailPattern, "<EMAIL>"),
+            phonePattern, "<PHONE>"),
+          ipPattern, "<IP>").as("redacted"))
+      .withColumn("has_pii",
+        col("n_emails") + col("n_phones") + col("n_ips") > 0)
+      .select("doc_id", "n_emails", "n_phones", "n_ips", "has_pii", "redacted")
+      .orderBy("doc_id")
+
   // ---- deterministic sampling ----
   val sampleSalt = "graft-sample:"
 

@@ -81,6 +81,25 @@ class CurationSpec extends SparkSpec {
     assert(kept > 0 && kept < rows.length)
   }
 
+  test("pii scan: injected contacts detected and fully redacted") {
+    val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = Curation.piiScan(d).collect()
+    rows.foreach { r =>
+      val injected = r.getAs[Long]("doc_id") % 3 == 0
+      assert(r.getAs[Boolean]("has_pii") === injected, r.toString)
+      if (injected) {
+        assert(r.getAs[Long]("n_emails") === 1L, r.toString)
+        assert(r.getAs[Long]("n_phones") === 1L, r.toString)
+        assert(r.getAs[Long]("n_ips") === 1L, r.toString)
+        val red = r.getAs[String]("redacted")
+        assert(red.contains("<EMAIL>") && red.contains("<PHONE>") &&
+          red.contains("<IP>"), red)
+        // nothing digit-bearing survives redaction
+        assert(!red.exists(_.isDigit), red)
+      }
+    }
+  }
+
   test("quality filter runs unchanged on a stream (batch/stream shared op)") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
