@@ -182,15 +182,26 @@ SELECT node AS doc_id, min(label) AS cluster_id
 FROM reach GROUP BY node ORDER BY doc_id"""),
     // df cap mirrors Dedup.jaccardMaxDf: shingles in more than maxDf docs
     // are dropped from the universe before the self-join (skew bound).
-    "dedup_jaccard_pairs" -> (
-      s"\nWITH ${shinglesCte.replaceFirst("sh AS \\(", "sh_all AS (")},\n" + s"""
-rare AS (SELECT sh FROM sh_all GROUP BY sh HAVING count(*) <= ${Dedup.jaccardMaxDf}),
-sh AS (SELECT s.doc_id, s.sh FROM sh_all s JOIN rare USING (sh)),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id),""" +
-      jaccardTail +
-      "SELECT * FROM jac WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b"),
+    // hashed-shingle Jaccard: hash each shingle to 32 bits first (same
+    // md5 prefix as the Spark side), then df-cap + self-join on the hash
+    "dedup_jaccard_pairs" -> (s"\nWITH $toksCte,\n" + s"""
+shj AS (
+  SELECT DISTINCT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
+      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+    FROM toks)),
+rare AS (SELECT h FROM shj GROUP BY h HAVING count(*) <= ${Dedup.jaccardMaxDf}),
+shc AS (SELECT s.doc_id, s.h FROM shj s JOIN rare USING (h)),
+cnt AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id),
+com AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shc a JOIN shc b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b),
+jacj AS (
+  SELECT doc_a, doc_b,
+    round(n_common::DOUBLE / (ca.n_sh + cb.n_sh - n_common), 6) AS jaccard
+  FROM com JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id)
+SELECT * FROM jacj WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b"""),
     "dedup_simhash" -> (simhashCte + "SELECT * FROM sig ORDER BY doc_id"),
     "dedup_simhash_pairs" -> (simhashCte + """,
 sb AS (

@@ -138,15 +138,27 @@ object Dedup {
 
   def jaccardPairs(documents: DataFrame, threshold: Double = 0.3,
       maxDf: Int = jaccardMaxDf): DataFrame = {
-    val allSh = shingles(documents)
-    val rareSh = allSh.groupBy(col("shingle"))
+    // Hashed-shingle Jaccard (the at-scale form): shingles are hashed
+    // to 32 bits map-side, BEFORE the first shuffle, so every shuffled
+    // row in the distinct / df-cap / self-join stages is two longs, not
+    // a 3-word string. The oracle states the identical hashing, so the
+    // (astronomically rare) hash-collision semantics are shared exactly.
+    val allSh = documents
+      .withColumn("toks", Portable.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 3), " +
+          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")).as("shingle"))
+      .select(col("doc_id"), Portable.hash32(col("shingle")).as("h"))
+      .distinct()
+    val rareSh = allSh.groupBy(col("h"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
-      .select(col("shingle"))
-    val sh = allSh.join(rareSh, Seq("shingle"))
+      .select(col("h"))
+    val sh = allSh.join(rareSh, Seq("h"))
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val common = sh.as("a")
-      .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
+      .join(sh.as("b"), col("a.h") === col("b.h") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
