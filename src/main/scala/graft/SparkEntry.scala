@@ -103,20 +103,23 @@ object SparkEntry {
     "corpus_curated" -> ((s, d) =>
       operators.Curation.curatedCorpus(Tables.documents(s, d))),
     "pii_scan" -> ((s, d) =>
-      operators.Curation.piiScan(Tables.documents(s, d))),
+      operators.Curation.piiScan(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
     "sample_bernoulli" -> ((s, d) =>
       operators.Curation.sampleBernoulli(Tables.documents(s, d))),
     "sample_stratified" -> ((s, d) =>
       operators.Curation.sampleStratified(Tables.documents(s, d))),
     // ---- corpus assembly (chunking, packing, shuffle order, splits) ----
     "doc_chunks" -> ((s, d) =>
-      operators.Packing.chunk(Tables.documents(s, d))),
+      operators.Packing.chunk(Tables.documents(s, d))
+        .orderBy(col("doc_id"), col("chunk_id"))),
     "pack_assign" -> ((s, d) =>
       operators.Packing.packAssign(Tables.documents(s, d))),
     "corpus_shuffle" -> ((s, d) =>
       operators.Packing.shuffleOrder(Tables.documents(s, d))),
     "sample_split" -> ((s, d) =>
-      operators.Packing.splitAssign(Tables.documents(s, d))),
+      operators.Packing.splitAssign(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
     // ---- deduplication ----
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dedup_minhash_sigs" -> ((s, d) =>

@@ -212,8 +212,8 @@ object Curation {
           ipPattern, "<IP>").as("redacted"))
       .withColumn("has_pii",
         col("n_emails") + col("n_phones") + col("n_ips") > 0)
+      // stream-safe (stateless map-side): registration adds the ORDER BY
       .select("doc_id", "n_emails", "n_phones", "n_ips", "has_pii", "redacted")
-      .orderBy("doc_id")
 
   // ---- deterministic sampling ----
   val sampleSalt = "graft-sample:"

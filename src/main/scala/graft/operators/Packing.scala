@@ -44,7 +44,7 @@ object Packing {
         concat_ws(" ",
           slice(col("tk"), (col("chunk_id") * chunkSize + 1).cast("int"),
             lit(chunkSize))).as("chunk_text"))
-      .orderBy(col("doc_id"), col("chunk_id"))
+      // stream-safe (stateless explode): registration adds the ORDER BY
 
   /** Exclusive prefix offsets over per-bucket partials. `partials` must
     * be metadata-sized (one row per bucket): the unpartitioned window
@@ -116,6 +116,6 @@ object Packing {
         when(col("split_bucket") < 90, "train")
           .when(col("split_bucket") < 95, "val")
           .otherwise("test"))
+      // stream-safe (stateless map-side): registration adds the ORDER BY
       .select("doc_id", "lang", "source", "split_bucket", "split")
-      .orderBy("doc_id")
 }

@@ -100,6 +100,25 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("pii scan runs unchanged on a stream (batch/stream shared op)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = Seq((3L, "reach me at a@b.io"), (4L, "clean text"))
+    val stream = MemoryStream[(Long, String)]
+    val streamDocs = stream.toDF()
+      .select(col("_1").as("doc_id"), col("_2").as("text"),
+        lit("en").as("lang"), lit("src0").as("source"),
+        length(col("_2")).cast("long").as("n_chars"))
+    val q = Curation.piiScan(streamDocs).writeStream
+      .format("memory").queryName("pii_sink").outputMode("append").start()
+    try {
+      stream.addData(rows: _*)
+      q.processAllAvailable()
+      assert(spark.table("pii_sink").orderBy("doc_id").collect().toSeq ===
+        Curation.piiScan(docs(rows: _*)).orderBy("doc_id").collect().toSeq)
+    } finally q.stop()
+  }
+
   test("quality filter runs unchanged on a stream (batch/stream shared op)") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -66,6 +66,36 @@ class PackingSpec extends SparkSpec {
     assert(counts("val") > 0 && counts("test") > 0)
   }
 
+  test("chunk + splitAssign run unchanged on a stream (shared ops)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "alpha beta"))
+    def asDocs(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("_1").as("doc_id"), col("_2").as("text"),
+        lit("en").as("lang"), lit("src0").as("source"),
+        length(col("_2")).cast("long").as("n_chars"))
+    val stream = MemoryStream[(Long, String)]
+    val streamed = Packing.chunk(asDocs(stream.toDF()), chunkSize = 4)
+    val q = streamed.writeStream.format("memory")
+      .queryName("chunk_sink").outputMode("append").start()
+    val stream2 = MemoryStream[(Long, String)]
+    val q2 = Packing.splitAssign(asDocs(stream2.toDF())).writeStream
+      .format("memory").queryName("split_sink").outputMode("append").start()
+    try {
+      stream.addData(rows: _*); q.processAllAvailable()
+      stream2.addData(rows: _*); q2.processAllAvailable()
+      val batchDocs = asDocs(spark.createDataFrame(rows).toDF("_1", "_2"))
+      assert(spark.table("chunk_sink").orderBy("doc_id", "chunk_id").collect().toSeq ===
+        Packing.chunk(batchDocs, chunkSize = 4)
+          .orderBy("doc_id", "chunk_id").collect().toSeq)
+      assert(spark.table("split_sink").orderBy("doc_id").collect().toSeq ===
+        Packing.splitAssign(batchDocs).orderBy("doc_id").collect().toSeq)
+    } finally { q.stop(); q2.stop() }
+  }
+
   test("plan: pack/shuffle data-sized stages stay partition-parallel") {
     Seq(Packing.packAssign(docs), Packing.shuffleOrder(docs)).foreach { q =>
       val p = q.queryExecution.executedPlan.toString
