@@ -150,6 +150,21 @@ SELECT doc_id, lang, source, sample_bucket FROM (
   SELECT doc_id, lang, source, $sampleKeySql % 100 AS sample_bucket
   FROM documents)
 WHERE sample_bucket < 20 ORDER BY doc_id""",
+    "sample_mixture" -> s"""
+SELECT doc_id, lang, source, mix_bucket, n_copies, copy_id FROM (
+  SELECT doc_id, lang, source, mix_bucket, n_copies,
+    unnest(range(1, n_copies + 1)) AS copy_id
+  FROM (
+    SELECT doc_id, lang, source, mix_bucket,
+      ((rate // 100) + CASE WHEN mix_bucket < rate % 100 THEN 1 ELSE 0 END)::BIGINT AS n_copies
+    FROM (
+      SELECT doc_id, lang, source,
+        ('0x' || substr(md5('${Curation.mixSalt}' || doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS mix_bucket,
+        CASE ${Curation.mixWeights.map { case (s, w) => s"WHEN source = '$s' THEN $w" }
+          .mkString("\n             ")}
+             ELSE ${Curation.mixDefaultPct} END AS rate
+      FROM documents)))
+ORDER BY doc_id, copy_id""",
     "sample_stratified" -> s"""
 SELECT lang, doc_id, sample_key, rn FROM (
   SELECT lang, doc_id, sample_key,

@@ -109,6 +109,9 @@ object SparkEntry {
       operators.Curation.sampleBernoulli(Tables.documents(s, d))),
     "sample_stratified" -> ((s, d) =>
       operators.Curation.sampleStratified(Tables.documents(s, d))),
+    "sample_mixture" -> ((s, d) =>
+      operators.Curation.sampleMixture(Tables.documents(s, d))
+        .orderBy(col("doc_id"), col("copy_id"))),
     // ---- corpus assembly (chunking, packing, shuffle order, splits) ----
     "doc_chunks" -> ((s, d) =>
       operators.Packing.chunk(Tables.documents(s, d))

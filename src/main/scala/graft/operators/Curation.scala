@@ -232,6 +232,41 @@ object Curation {
       .select("doc_id", "lang", "source", "sample_bucket")
       .orderBy("doc_id")
 
+  // ---- corpus mixture (domain reweighting) ----
+  val mixSalt = "graft-mix:"
+
+  /** Per-source mixture weights in percent. 100 = keep once; > 100
+    * upsamples (repeat factor); < 100 downsamples; sources not listed
+    * get [[mixDefaultPct]]. Shared with the oracle generator. */
+  val mixWeights: Seq[(String, Int)] =
+    Seq("src0" -> 150, "src1" -> 100, "src2" -> 60, "src3" -> 30, "src4" -> 10)
+  val mixDefaultPct = 50
+
+  /** Corpus mixture sampling — the domain-reweighting step of a
+    * training-data pipeline: each document appears `weight div 100`
+    * times plus one more with probability `weight mod 100` (decided by a
+    * salted deterministic hash, so the mixture is reproducible on any
+    * cluster/partitioning). Upsampled copies carry `copy_id` so
+    * downstream shuffling spreads them apart. Pure map-side explode —
+    * no shuffle, stream-safe. */
+  def sampleMixture(documents: DataFrame,
+      weights: Seq[(String, Int)] = mixWeights,
+      defaultPct: Int = mixDefaultPct): DataFrame = {
+    val rate = weights.foldRight(lit(defaultPct): Column) { case ((s, w), e) =>
+      when(col("source") === s, lit(w)).otherwise(e)
+    }
+    documents
+      .withColumn("mix_bucket",
+        pmod(Portable.hash32(concat(lit(mixSalt), col("doc_id").cast("string"))),
+          lit(100L)))
+      .withColumn("n_copies",
+        (rate.cast("long") / 100L).cast("long") +
+          when(col("mix_bucket") < rate.cast("long") % 100L, 1L).otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .withColumn("copy_id", explode(sequence(lit(1L), col("n_copies"))))
+      .select("doc_id", "lang", "source", "mix_bucket", "n_copies", "copy_id")
+  }
+
   /** Exact-k-per-stratum sampling (stratified by lang), ordered by the
     * same deterministic hash (doc_id tiebreak) through the bounded-heap
     * [[TopK]] operator — no per-stratum sort. */

@@ -100,6 +100,30 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("mixture sampling: weights drive copy counts; deterministic") {
+    val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = Curation.sampleMixture(d).collect()
+    // src0 at 150%: every doc appears at least once, some twice
+    val src0 = rows.filter(_.getAs[String]("source") == "src0")
+    val src0Docs = src0.map(_.getAs[Long]("doc_id")).distinct
+    assert(src0.exists(_.getAs[Long]("n_copies") == 2L))
+    assert(src0.forall(r => r.getAs[Long]("n_copies") >= 1L))
+    // a 10% source keeps only a strict subset
+    val src4Kept = rows.count(_.getAs[String]("source") == "src4")
+    val src4Total = d.filter(col("source") === "src4").count()
+    assert(src4Kept < src4Total)
+    // copy_id enumerates 1..n_copies
+    rows.groupBy(r => r.getAs[Long]("doc_id")).foreach { case (_, rs) =>
+      val n = rs.head.getAs[Long]("n_copies")
+      assert(rs.map(_.getAs[Long]("copy_id")).sorted.toSeq === (1L to n).toSeq)
+    }
+    // partition-layout invariant
+    val re = Curation.sampleMixture(d.repartition(7))
+      .orderBy("doc_id", "copy_id").collect()
+    assert(re.toSeq === Curation.sampleMixture(d)
+      .orderBy("doc_id", "copy_id").collect().toSeq)
+  }
+
   test("pii scan runs unchanged on a stream (batch/stream shared op)") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
