@@ -239,8 +239,20 @@ object StockPipeline {
     * "now"); the one-row max is broadcast, not windowed, so no global
     * sort/single-partition stage exists at scale.
     */
-  def analysis(spark: SparkSession, dir: String): DataFrame =
-    analysisFromJoined(joined(normalize(Tables.events(spark, dir))))
+  def analysis(spark: SparkSession, dir: String): DataFrame = {
+    val stock = normalize(Tables.events(spark, dir))
+    analysisFromJoined(joined(stock), nowOf(stock))
+  }
+
+  /** The injected deterministic "now" = the max 1-minute window end of
+    * the filtered stream = minute-truncated max event time + 1 minute.
+    * Computed straight off the normalized scan (column-pruned to `ts`,
+    * map-side partial max — one row per partition shuffled) instead of
+    * running the minute pipeline a second time just to take its max:
+    * at cluster scale that second pipeline doubles every shuffle. */
+  def nowOf(stock: DataFrame): DataFrame =
+    stock.agg((date_trunc("minute", max(col("ts"))) +
+      expr("INTERVAL 1 MINUTE")).as("now_ts"))
 
   /** Spike + injected-clock latency + 11-column format over a joined
     * table — shared by the batch path and the streaming sink's
@@ -249,9 +261,18 @@ object StockPipeline {
     * bucket density precondition the test data satisfies from sf0.01 up
     * — SpikeParitySpec). The global-window statement is what the oracle
     * states; parity is proved row-for-row. */
-  def analysisFromJoined(joinedDf: DataFrame): DataFrame = {
+  def analysisFromJoined(joinedDf: DataFrame): DataFrame =
+    // spike preserves rows, so the max window end is joinedDf's own max
+    // (cheap when joinedDf is a materialized minute store — the
+    // streaming sink's case; the batch path passes nowOf(stock) instead)
+    analysisFromJoined(joinedDf,
+      joinedDf.agg(max(col("window_timestamp")).as("now_ts")))
+
+  /** As above with the injected clock supplied by the caller
+    * ([[nowOf]] for the batch path — avoids re-deriving the minute
+    * table just to take its max). */
+  def analysisFromJoined(joinedDf: DataFrame, nowDf: DataFrame): DataFrame = {
     val sp = withSpikeBucketed(joinedDf)
-    val nowDf = sp.agg(max(col("window_timestamp")).as("now_ts"))
     sp.crossJoin(broadcast(nowDf))
       .select(
         col("ticker"), col("window_timestamp"), col("latest_price"),
@@ -322,6 +343,10 @@ object StockPipeline {
     * max window end in the analysis table, as a broadcastable 1-row frame.
     */
   def withNow(analysisDf: DataFrame): DataFrame =
-    analysisDf.crossJoin(broadcast(
-      analysisDf.agg(max(col("window_timestamp")).as("now_ts"))))
+    // the analysis row already carries the clock: system_latency is
+    // (now - window end) in whole seconds, so now_ts reconstructs
+    // per-row — no second aggregation pass over the pipeline
+    analysisDf.withColumn("now_ts",
+      timestamp_seconds(unix_timestamp(col("window_timestamp")) +
+        col("system_latency").cast("long")))
 }
