@@ -42,6 +42,17 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q4_health / q2_trend_signals: one pipeline instance + cheap clock") {
+    // the injected clock must come from a bare scan+max branch, not a
+    // second run of the minute pipeline: exactly 2 scans (pipeline +
+    // clock) and 1 window fan-out Generate
+    Seq("q4_health", "q2_trend_signals").foreach { q =>
+      val p = plan(q)
+      assert(countOf(p, "Scan parquet") == 2, s"$q:\n$p")
+      assert(countOf(p, "Generate") == 1, s"$q:\n$p")
+    }
+  }
+
   test("stock_analysis: the only nested-loop join is the broadcast 1-row clock") {
     val p = plan("stock_analysis")
     // crossJoin(broadcast(1-row nowDf)) is the intended exception
