@@ -15,8 +15,11 @@ import graft.operators.StockPipeline
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val multiples = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
-      else Seq(1, 4, 16)
+    val docsMode = args.lift(1).contains("docs")
+    val multiples = {
+      val rest = if (docsMode) args.drop(2) else args.drop(1)
+      if (rest.nonEmpty) rest.map(_.toInt).toSeq else Seq(1, 4, 16)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -35,6 +38,41 @@ object ScaleProbe {
             lit(0), lit(0), lit(0), lit(31 * k), lit(0), lit(0)))
           .withColumn("event_id", col("event_id") + lit(k.toLong * 1000000000L))
       }.reduce(_ unionAll _)
+    }
+
+    // Document-pipeline probe: multiply the corpus N× with per-copy
+    // token suffixes (every copy's shingles/hashes are distinct, so
+    // key cardinality — not duplicate density — grows with the data and
+    // pair output stays linear; quadratic growth here would mean the
+    // banding/df-cap machinery failed, which is exactly what the probe
+    // would expose).
+    if (docsMode) {
+      def multipliedDocs(n: Int): DataFrame = {
+        val base = graft.sources.Tables.documents(spark, sfDir)
+        (0 until n).map { k =>
+          if (k == 0) base
+          else base
+            .withColumn("doc_id", col("doc_id") + lit(k.toLong * 1000000000L))
+            .withColumn("text", expr(
+              s"concat_ws(' ', transform(split(trim(text), '\\\\s+'), t -> concat(t, '_$k')))"))
+        }.reduce(_ unionAll _)
+      }
+      import graft.operators.{Dedup, Packing}
+      Dedup.minhashPairs(graft.sources.Tables.documents(spark, sfDir)).count() // warm-up
+      multiples.foreach { n =>
+        val df = multipliedDocs(n).localCheckpoint()
+        val rows = df.count()
+        def t(f: => Long): (Long, Double) = {
+          val t0 = System.nanoTime(); val c = f
+          (c, (System.nanoTime() - t0) / 1e9)
+        }
+        val (mp, mpS) = t(Dedup.minhashPairs(df).count())
+        val (jp, jpS) = t(Dedup.jaccardPairs(df).count())
+        val (_, paS) = t(Packing.packAssign(df).count())
+        val (_, soS) = t(Packing.shuffleOrder(df).count())
+        println(f"[scale-probe-docs] x$n%-3d docs=$rows%8d minhashPairs=$mpS%6.2fs($mp) jaccardPairs=$jpS%6.2fs($jp) packAssign=$paS%6.2fs shuffleOrder=$soS%6.2fs")
+      }
+      spark.stop(); return
     }
 
     // warm-up
