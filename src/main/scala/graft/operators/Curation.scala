@@ -110,8 +110,14 @@ object Curation {
     * fewer than 3 tokens have no shingles and are out of scope (same as
     * the dedup operators). */
   def decontaminate(documents: DataFrame, evalMaxId: Long = 20,
+      threshold: Double = 0.5): DataFrame =
+    decontaminateOf(Dedup.shingles(documents), evalMaxId, threshold)
+
+  /** [[decontaminate]] over a precomputed distinct-shingle set — lets
+    * [[curatedCorpus]] share one shingle materialization with the
+    * near-dup branch. */
+  private def decontaminateOf(sh: DataFrame, evalMaxId: Long = 20,
       threshold: Double = 0.5): DataFrame = {
-    val sh = Dedup.shingles(documents)
     val evalSh = sh.filter(col("doc_id") < evalMaxId)
       .select(col("shingle")).distinct()
     val train = sh.filter(col("doc_id") >= evalMaxId)
@@ -141,14 +147,20 @@ object Curation {
     * Per-criterion booleans are kept for auditability (the kill-rate
     * report every curation pipeline needs). */
   def curatedCorpus(documents: DataFrame): DataFrame = {
+    // The distinct-shingle set is the dominant intermediate of both the
+    // near-dup branch (minhash → LSH → Jaccard verify uses it twice)
+    // and the decontamination branch. Materialize it once instead of
+    // re-tokenizing + re-exploding + re-distinct-shuffling the corpus
+    // per branch (the oracle's single shared `sh` CTE, mirrored).
+    val sh = Dedup.shingles(documents).localCheckpoint()
     val quality = qualityFilter(documents)
       .select(col("doc_id"), col("keep").as("q_keep"))
     val exactReps = Dedup.exact(documents)
       .select(col("rep_doc_id").as("doc_id"), lit(true).as("is_exact_rep"))
-    val nearReps = Dedup.clustersBigStar(Dedup.minhashPairs(documents))
+    val nearReps = Dedup.clustersBigStar(Dedup.minhashPairsOf(sh))
       .select(col("doc_id"),
         (col("cluster_id") === col("doc_id")).as("near_rep"))
-    val decon = decontaminate(documents)
+    val decon = decontaminateOf(sh)
       .select(col("doc_id"), col("flagged"))
     documents.select(col("doc_id"), col("lang"), col("source"))
       .join(quality, Seq("doc_id"))
@@ -252,16 +264,19 @@ object Curation {
   def sampleMixture(documents: DataFrame,
       weights: Seq[(String, Int)] = mixWeights,
       defaultPct: Int = mixDefaultPct): DataFrame = {
-    val rate = weights.foldRight(lit(defaultPct): Column) { case ((s, w), e) =>
-      when(col("source") === s, lit(w)).otherwise(e)
-    }
+    // repeat factor and fractional part resolved per-branch as literals
+    // (no runtime float division — exact for any weight magnitude)
+    def perSource(f: Int => Long): Column =
+      weights.foldRight(lit(f(defaultPct)): Column) { case ((s, w), e) =>
+        when(col("source") === s, lit(f(w))).otherwise(e)
+      }
     documents
       .withColumn("mix_bucket",
         pmod(Portable.hash32(concat(lit(mixSalt), col("doc_id").cast("string"))),
           lit(100L)))
       .withColumn("n_copies",
-        (rate.cast("long") / 100L).cast("long") +
-          when(col("mix_bucket") < rate.cast("long") % 100L, 1L).otherwise(0L))
+        perSource(_ / 100L) +
+          when(col("mix_bucket") < perSource(_ % 100L), 1L).otherwise(0L))
       .filter(col("n_copies") > 0)
       .withColumn("copy_id", explode(sequence(lit(1L), col("n_copies"))))
       .select("doc_id", "lang", "source", "mix_bucket", "n_copies", "copy_id")

@@ -44,35 +44,48 @@ object Dedup {
         count(lit(1)).as("n_copies"))
       .orderBy(col("rep_doc_id"))
 
-  /** Distinct word-3-gram shingles per doc: (doc_id, shingle). Docs with
-    * fewer than 3 tokens produce no shingles (same as the oracle's empty
-    * `range`). */
-  def shingles(documents: DataFrame): DataFrame =
+  /** Word-3-gram shingle rows per doc, pre-distinct: (doc_id, shingle).
+    * Docs with fewer than 3 tokens produce no shingles. The single place
+    * the shingle definition lives — [[shingles]] and [[jaccardPairs]]
+    * both build on it. */
+  private[operators] def shingleRows(documents: DataFrame): DataFrame =
     documents
       .withColumn("toks", Portable.tokens(col("text")))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(toks) - 3), " +
           "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")).as("shingle"))
-      .distinct()
+
+  /** Distinct word-3-gram shingles per doc: (doc_id, shingle) (same as
+    * the oracle's empty `range` for short docs). */
+  def shingles(documents: DataFrame): DataFrame =
+    shingleRows(documents).distinct()
 
   /** Shingles with their 32-bit portable hash: (doc_id, h). */
   def shingleHashes(documents: DataFrame): DataFrame =
-    shingles(documents).select(col("doc_id"),
-      Portable.hash32(col("shingle")).as("h"))
+    hashesOf(shingles(documents))
+
+  private def hashesOf(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), Portable.hash32(col("shingle")).as("h"))
 
   /** MinHash signature, one column per seed: (doc_id, mh_0 .. mh_15). */
-  def minhashSignatures(documents: DataFrame): DataFrame = {
+  def minhashSignatures(documents: DataFrame): DataFrame =
+    signaturesOf(shingles(documents))
+
+  private def signaturesOf(sh: DataFrame): DataFrame = {
     val mins = coeffs.zipWithIndex.map { case ((a, b), i) =>
       min(Portable.universalHash(col("h"), a, b)).as(s"mh_$i")
     }
-    shingleHashes(documents).groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    hashesOf(sh).groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
   /** LSH bucket rows: (doc_id, band, key) — key concatenates the band's
     * minhash rows. Docs sharing (band, key) are candidate pairs. */
-  def lshBuckets(documents: DataFrame): DataFrame = {
-    val sigs = minhashSignatures(documents)
+  def lshBuckets(documents: DataFrame): DataFrame =
+    bucketsOf(shingles(documents))
+
+  private def bucketsOf(sh: DataFrame): DataFrame = {
+    val sigs = signaturesOf(sh)
     val bandCols = (0 until numBands).map { b =>
       val ks = (0 until rowsPerBand).map(r => s"mh_${b * rowsPerBand + r}")
       struct(lit(b).as("band"),
@@ -85,8 +98,11 @@ object Dedup {
   }
 
   /** Candidate pairs from LSH bucket collisions: (doc_a, doc_b), a < b. */
-  def lshCandidates(documents: DataFrame): DataFrame = {
-    val bk = lshBuckets(documents)
+  def lshCandidates(documents: DataFrame): DataFrame =
+    candidatesOf(shingles(documents))
+
+  private def candidatesOf(sh: DataFrame): DataFrame = {
+    val bk = bucketsOf(sh)
     val a = bk.as("a")
     val b = bk.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -95,10 +111,9 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact Jaccard over distinct shingle sets for the given pairs df
-    * (doc_a, doc_b). Returns (doc_a, doc_b, jaccard rounded 6). */
-  private def withJaccard(documents: DataFrame, pairs: DataFrame): DataFrame = {
-    val sh = shingles(documents)
+  /** Exact Jaccard over the given distinct shingle sets for the given
+    * pairs df (doc_a, doc_b). Returns (doc_a, doc_b, jaccard rounded 6). */
+  private def withJaccard(sh: DataFrame, pairs: DataFrame): DataFrame = {
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val common = pairs
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
@@ -116,7 +131,14 @@ object Dedup {
 
   /** MinHash+LSH near-duplicate pairs, Jaccard-verified. */
   def minhashPairs(documents: DataFrame, threshold: Double = 0.5): DataFrame =
-    withJaccard(documents, lshCandidates(documents))
+    minhashPairsOf(shingles(documents), threshold)
+
+  /** [[minhashPairs]] over a precomputed distinct-shingle set — lets a
+    * composing pipeline ([[Curation.curatedCorpus]]) share one shingle
+    * materialization across its dedup/decontamination branches. */
+  private[operators] def minhashPairsOf(sh: DataFrame,
+      threshold: Double = 0.5): DataFrame =
+    withJaccard(sh, candidatesOf(sh))
       .filter(col("jaccard") >= threshold)
       .orderBy(col("doc_a"), col("doc_b"))
 
@@ -143,12 +165,7 @@ object Dedup {
     // row in the distinct / df-cap / self-join stages is two longs, not
     // a 3-word string. The oracle states the identical hashing, so the
     // (astronomically rare) hash-collision semantics are shared exactly.
-    val allSh = documents
-      .withColumn("toks", Portable.tokens(col("text")))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(toks) - 3), " +
-          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")).as("shingle"))
+    val allSh = shingleRows(documents)
       .select(col("doc_id"), Portable.hash32(col("shingle")).as("h"))
       .distinct()
     val rareSh = allSh.groupBy(col("h"))

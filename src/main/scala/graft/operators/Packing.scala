@@ -66,7 +66,11 @@ object Packing {
     * broadcast offsets → within-bucket window), not a global window. */
   def packAssign(documents: DataFrame, budget: Int = packBudget,
       buckets: Int = nBuckets): DataFrame = {
+    // checkpoint the 2-long-per-doc projection: the offsets branch, the
+    // bounds scan and the window branch then share one tokenization
+    // pass instead of re-splitting the full corpus per branch
     val t = documents.select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+      .localCheckpoint()
     val bounds = t.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
     val b = t.crossJoin(broadcast(bounds))
       .withColumn("bucket",
@@ -87,20 +91,35 @@ object Packing {
     * content-independent hash (same permutation every run, any cluster,
     * any partition layout). The hash is uniform on [0, 2^32), so range
     * buckets are static — no sampling pass; rank = broadcast bucket
-    * offset + within-bucket row_number. */
+    * offset + within-bucket row_number.
+    *
+    * If the input carries a `copy_id` column ([[Curation.sampleMixture]]
+    * upsampling), it is folded into the hash and the tiebreak, so the
+    * copies of one document scatter across the permutation instead of
+    * landing adjacent, and the rank stays a deterministic total order.
+    * The tiny keyed projection is checkpointed so the hash is computed
+    * once, not once per scan branch. */
   def shuffleOrder(documents: DataFrame, buckets: Int = nBuckets): DataFrame = {
     val step = 4294967296L / buckets
-    val keyed = documents.select(col("doc_id"),
-      Portable.hash32(concat(lit(shuffleSalt), col("doc_id").cast("string")))
-        .as("shuffle_key"))
+    val hasCopies = documents.columns.contains("copy_id")
+    val hashInput =
+      if (hasCopies)
+        concat(lit(shuffleSalt), col("doc_id").cast("string"),
+          lit(":"), col("copy_id").cast("string"))
+      else concat(lit(shuffleSalt), col("doc_id").cast("string"))
+    val idCols =
+      if (hasCopies) Seq(col("doc_id"), col("copy_id")) else Seq(col("doc_id"))
+    val keyed = documents.select(
+        (idCols :+ Portable.hash32(hashInput).as("shuffle_key")): _*)
       .withColumn("bucket", expr(s"shuffle_key div $step"))
+      .localCheckpoint()
     val offsets = exclusivePrefix(
       keyed.groupBy(col("bucket")).agg(count(lit(1)).as("part")), "part")
     val w = Window.partitionBy(col("bucket"))
-      .orderBy(col("shuffle_key"), col("doc_id"))
+      .orderBy((col("shuffle_key") +: idCols): _*)
     keyed.join(broadcast(offsets), Seq("bucket"))
       .withColumn("ord", col("offset") + row_number().over(w).cast("long"))
-      .select(col("doc_id"), col("shuffle_key"), col("ord"))
+      .select((idCols :+ col("shuffle_key") :+ col("ord")): _*)
       .orderBy(col("ord"))
   }
 

@@ -106,6 +106,8 @@ class CurationSpec extends SparkSpec {
     // src0 at 150%: every doc appears at least once, some twice
     val src0 = rows.filter(_.getAs[String]("source") == "src0")
     val src0Docs = src0.map(_.getAs[Long]("doc_id")).distinct
+    // at 150% no src0 doc is dropped: every one survives with >= 1 copy
+    assert(src0Docs.length === d.filter(col("source") === "src0").count())
     assert(src0.exists(_.getAs[Long]("n_copies") == 2L))
     assert(src0.forall(r => r.getAs[Long]("n_copies") >= 1L))
     // a 10% source keeps only a strict subset

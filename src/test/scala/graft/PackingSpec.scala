@@ -102,10 +102,21 @@ class PackingSpec extends SparkSpec {
       // bucket offsets join in via broadcast, never a shuffled join
       assert(p.contains("BroadcastExchange"), p)
       assert(!p.contains("SortMergeJoin"), p)
-      // the data-sized window is keyed by bucket (partition-parallel):
-      // some Window line carries a [bucket#...] partition spec
+      // the data-sized window is keyed by bucket (partition-parallel).
+      // A Window node prints `Window [fns], [partSpec], [orderSpec]`;
+      // the metadata-sized offsets window (unpartitioned, ORDER BY
+      // bucket) prints only `..., [bucket#.. ASC ...]` and must NOT
+      // satisfy this — we require a real `[bucket#..]` PARTITION spec
+      // followed by an order spec.
+      val bucketPartSpec = """\[bucket#\d+L?\], \[""".r
       assert(p.linesIterator.exists(l =>
-        l.contains("Window") && l.contains(", [bucket#")), p)
+        l.contains("Window") && bucketPartSpec.findFirstIn(l).isDefined), p)
+      // and no data-sized global window: any Window touching doc_id or
+      // shuffle_key must carry that bucket partition spec
+      assert(p.linesIterator.forall(l =>
+        !l.contains("Window") ||
+          !(l.contains("doc_id#") || l.contains("shuffle_key#")) ||
+          bucketPartSpec.findFirstIn(l).isDefined), p)
     }
   }
 }
