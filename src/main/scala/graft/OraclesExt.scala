@@ -83,6 +83,29 @@ ranked AS (
   FROM scored)
 SELECT doc_id, token, tf, tfidf, rn FROM ranked WHERE rn <= 3
 ORDER BY doc_id, rn""",
+    // bigram-LM perplexity: same add-k smoothing / pruning constants as
+    // TextAnalysis.perplexity (k, minCount injected from the Scala side)
+    "text_perplexity" -> s"""
+WITH $toksCte,
+bg AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS w1,
+    unnest(list_transform(range(1, len(tk)), i -> tk[i+1])) AS w2
+  FROM toks WHERE len(tk) >= 2),
+lm AS (
+  SELECT w1, w2, count(*)::BIGINT AS c12 FROM bg GROUP BY w1, w2
+  HAVING count(*) >= ${TextAnalysis.ppMinCount}),
+c1 AS (SELECT w1, count(*)::BIGINT AS cnt1 FROM bg GROUP BY w1),
+v AS (SELECT count(DISTINCT t)::BIGINT AS n_vocab
+  FROM (SELECT unnest(tk) AS t FROM toks)),
+scored AS (
+  SELECT doc_id,
+    ln((coalesce(c12, 0) + ${TextAnalysis.ppK}) /
+       (cnt1 + ${TextAnalysis.ppK} * n_vocab)) AS lp
+  FROM bg LEFT JOIN lm USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+  round(exp(-sum(lp) / count(*)), 6) AS perplexity
+FROM scored GROUP BY doc_id ORDER BY doc_id""",
     "text_bigram_hist" -> s"""
 WITH $toksCte
 SELECT bigram, count(*)::BIGINT AS freq
@@ -202,6 +225,29 @@ jacj AS (
     round(n_common::DOUBLE / (ca.n_sh + cb.n_sh - n_common), 6) AS jaccard
   FROM com JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id)
 SELECT * FROM jacj WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b"""),
+    // incremental batch-vs-index dedup: exact fingerprint first, then
+    // LSH+Jaccard near-dup vs any earlier doc (same CTE chain as pairs)
+    "dedup_incremental" -> (minhashPairsCtes + s""",
+fp AS (
+  SELECT doc_id,
+    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+  FROM documents),
+ff AS (SELECT fingerprint, min(doc_id) AS first_doc FROM fp GROUP BY fingerprint),
+ex AS (
+  SELECT doc_id, first_doc AS exact_dup_of FROM fp JOIN ff USING (fingerprint)
+  WHERE doc_id >= ${Dedup.incBatchMinId} AND first_doc < doc_id),
+nd AS (
+  SELECT doc_b AS doc_id, min(doc_a) AS near_dup_of FROM jac
+  WHERE jaccard >= 0.5 AND doc_b >= ${Dedup.incBatchMinId} GROUP BY doc_b)
+SELECT d.doc_id,
+  CASE WHEN exact_dup_of IS NOT NULL THEN 'exact_dup'
+       WHEN near_dup_of IS NOT NULL THEN 'near_dup'
+       ELSE 'new' END AS status,
+  coalesce(exact_dup_of, near_dup_of) AS dup_of
+FROM documents d LEFT JOIN ex ON d.doc_id = ex.doc_id
+  LEFT JOIN nd ON d.doc_id = nd.doc_id
+WHERE d.doc_id >= ${Dedup.incBatchMinId}
+ORDER BY d.doc_id"""),
     "dedup_simhash" -> (simhashCte + "SELECT * FROM sig ORDER BY doc_id"),
     "dedup_simhash_pairs" -> (simhashCte + """,
 sb AS (

@@ -90,6 +90,9 @@ object SparkEntry {
       TextAnalysis.bigramHistogram(Tables.documents(s, d))),
     "text_tfidf_top" -> ((s, d) =>
       TextAnalysis.tfidfTop(Tables.documents(s, d))),
+    // bigram-LM perplexity scoring (CCNet-style quality signal)
+    "text_perplexity" -> ((s, d) =>
+      TextAnalysis.perplexity(Tables.documents(s, d))),
     // ---- training-data curation (quality gates, repetition, sampling) ----
     "text_quality_filter" -> ((s, d) =>
       operators.Curation.qualityFilter(Tables.documents(s, d))
@@ -135,6 +138,9 @@ object SparkEntry {
       Dedup.clustersBigStar(Dedup.minhashPairs(Tables.documents(s, d)))),
     "dedup_jaccard_pairs" -> ((s, d) =>
       Dedup.jaccardPairs(Tables.documents(s, d))),
+    // new-batch-vs-index incremental dedup (exact + LSH near-dup)
+    "dedup_incremental" -> ((s, d) =>
+      Dedup.incremental(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "dedup_simhash_pairs" -> ((s, d) =>

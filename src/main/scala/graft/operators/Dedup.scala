@@ -142,6 +142,57 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Batch boundary for [[incremental]] — docs with id below this are
+    * the "already indexed" corpus; at/above are the new batch. Shared
+    * with the oracle generator. */
+  val incBatchMinId = 400L
+
+  /** Incremental dedup: classify a NEW batch of documents (doc_id >=
+    * `batchMinId`) against the already-ingested corpus (doc_id below
+    * it) — the daily-crawl-versus-index operation every growing corpus
+    * runs. Per batch doc:
+    *   - `exact_dup`: its normalized fingerprint was already seen (in
+    *     the corpus, or earlier in the batch — min doc_id wins);
+    *   - `near_dup`: a MinHash+LSH candidate verified at Jaccard >=
+    *     `threshold` against any earlier doc;
+    *   - `new`: neither. `dup_of` = the matched earlier doc_id (exact
+    *     match preferred), NULL for new docs.
+    *
+    * Scale (100 TB): in production the corpus side is the persisted
+    * dedup index — fingerprints and LSH band keys only, two narrow
+    * columns, never the document text; here both sides derive from one
+    * table because the sandbox ships one. What matters is the join
+    * structure: everything is an equi-join on fingerprint / (band,
+    * key), and the batch-side filter lands BEFORE the Jaccard
+    * verification, so only candidate pairs touching the new batch are
+    * verified — cost scales with the batch, not the corpus. */
+  def incremental(documents: DataFrame, batchMinId: Long = incBatchMinId,
+      threshold: Double = 0.5): DataFrame = {
+    val fps = documents.select(col("doc_id"),
+      md5(TextAnalysis.normalizedText(col("text"))).as("fingerprint"))
+    val firstByFp = fps.groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    val exactDup = fps.join(firstByFp, Seq("fingerprint"))
+      .filter(col("doc_id") >= batchMinId && col("first_doc") < col("doc_id"))
+      .select(col("doc_id"), col("first_doc").as("exact_dup_of"))
+    val sh = shingles(documents)
+    val nearDup = withJaccard(sh,
+        candidatesOf(sh).filter(col("doc_b") >= batchMinId))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("doc_b"))
+      .agg(min(col("doc_a")).as("near_dup_of"))
+      .withColumnRenamed("doc_b", "doc_id")
+    documents.filter(col("doc_id") >= batchMinId).select(col("doc_id"))
+      .join(exactDup, Seq("doc_id"), "left")
+      .join(nearDup, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_dup_of").isNotNull, lit("exact_dup"))
+          .when(col("near_dup_of").isNotNull, lit("near_dup"))
+          .otherwise(lit("new")).as("status"),
+        coalesce(col("exact_dup_of"), col("near_dup_of")).as("dup_of"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Plain n-gram Jaccard pairs: every pair sharing ≥1 shingle, exact
     * Jaccard ≥ threshold. (Inverted-index join, no LSH — the oracle
     * baseline for [[minhashPairs]]; at scale prefer the LSH variant.)

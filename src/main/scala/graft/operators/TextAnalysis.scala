@@ -137,4 +137,52 @@ object TextAnalysis {
       .agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("bigram"))
       .limit(30)
+
+  /** Add-k smoothing constant and LM pruning floor for [[perplexity]] —
+    * shared with the oracle generator so the formulas cannot drift. */
+  val ppK = 0.5
+  val ppMinCount = 2L
+
+  /** Bigram language-model perplexity per document — the CCNet-style
+    * quality signal (docs scoring far from the corpus LM are outliers:
+    * boilerplate, gibberish, wrong-language). The LM is trained on the
+    * corpus itself: P(w2|w1) = (c(w1 w2) + k) / (c(w1 ·) + k·V) with
+    * add-k smoothing; bigrams seen fewer than [[ppMinCount]] times are
+    * pruned from the LM and score as unseen — the same pruning KenLM
+    * applies to bound model size at scale. Docs with fewer than two
+    * tokens have no bigrams and are out of scope.
+    *
+    * Scale (100 TB): both LM tables are vocab-sized aggregates, orders
+    * of magnitude smaller than the corpus. The unigram context table
+    * broadcasts — a shuffled join on w1 would put every "the" bigram in
+    * one partition (the hottest skew key a text corpus has); the pruned
+    * bigram LM joins by (w1, w2), a far flatter key. Doc bigrams are a
+    * map-side explode; the per-doc reduction partial-aggregates. */
+  def perplexity(documents: DataFrame, k: Double = ppK,
+      minCount: Long = ppMinCount): DataFrame = {
+    val docBigrams = documents
+      .withColumn("tk", toks)
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(tk) - 2), " +
+          "i -> struct(tk[i] AS w1, tk[i + 1] AS w2))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val lm = docBigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    val cnt1 = docBigrams.groupBy(col("w1"))
+      .agg(count(lit(1)).as("cnt1"))
+    val vocab = documents.select(explode(toks).as("t"))
+      .agg(countDistinct(col("t")).as("n_vocab"))
+    docBigrams
+      .join(lm, Seq("w1", "w2"), "left")
+      .join(broadcast(cnt1), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp", log((coalesce(col("c12"), lit(0L)) + lit(k)) /
+        (col("cnt1") + lit(k) * col("n_vocab"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(exp(-sum(col("lp")) / count(lit(1))), 6).as("perplexity"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -51,6 +51,22 @@ class CurationSpec extends SparkSpec {
     assert(r(0).isNullAt(r(0).fieldIndex("n_bigram")))
   }
 
+  test("perplexity: hand-computed bigram-LM scores") {
+    // corpus bigrams: (a,b) x3 (kept, count >= 2), (b,a) x1 and (b,c) x1
+    // (pruned -> unseen). left-context counts: a:3, b:2. vocab {a,b,c,x}
+    // = 4. k = 0.5: P(b|a) = 3.5/5 = 0.7, unseen after b = 0.5/4 = 0.125
+    val r = graft.operators.TextAnalysis.perplexity(docs(
+        (1L, "a b a b"), (2L, "a b c"), (3L, "x")))
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r.keySet === Set(1L, 2L))           // "x" has no bigrams
+    assert(r(1L).getAs[Long]("n_bigrams") === 3L)
+    assert(r(2L).getAs[Long]("n_bigrams") === 2L)
+    val exp1 = math.exp(-(2 * math.log(0.7) + math.log(0.125)) / 3)
+    val exp2 = math.exp(-(math.log(0.7) + math.log(0.125)) / 2)
+    assert(math.abs(r(1L).getAs[Double]("perplexity") - exp1) < 1e-6)
+    assert(math.abs(r(2L).getAs[Double]("perplexity") - exp2) < 1e-6)
+  }
+
   test("decontamination: eval-contained train doc flagged, unrelated doc clean") {
     val evalDoc = "the quick brown fox jumps over the lazy dog today"
     val contaminated = "intro words here " + evalDoc + " outro trailer words"

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.Dedup
+
+/** Semantics tests for incremental (batch-vs-index) dedup on a
+  * hand-built corpus: exact fingerprint hits, LSH-verified near-dups,
+  * and fresh documents each classify correctly, with `dup_of` pointing
+  * at the earliest matching document. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toSeq.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  // 12 tokens -> 10 shingles; `near` changes only the last token, so the
+  // two shingle sets share 9 of 11 distinct shingles (Jaccard 0.818,
+  // well over the 0.5 verify threshold and band-collision-prone by
+  // construction — fixed strings, fixed md5, deterministic forever).
+  private val base =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+  private val near =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"
+  private val other =
+    "completely different subject matter about weather patterns and rainfall"
+  private val fresh =
+    "unique fresh content nothing like any earlier document in the corpus"
+
+  test("incremental: exact, near, and new batch docs classify correctly") {
+    val d = docs(
+      0L -> base, 1L -> other,
+      10L -> base,  // exact dup of 0
+      11L -> base,  // exact dup of 0 (and of 10 — min wins)
+      12L -> near,  // near dup of 0
+      13L -> fresh) // genuinely new
+    val out = Dedup.incremental(d, batchMinId = 10L).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(10L, 11L, 12L, 13L))
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(byId(10L) === ("exact_dup", Some(0L)))
+    assert(byId(11L) === ("exact_dup", Some(0L)))
+    assert(byId(12L) === ("near_dup", Some(0L)))
+    assert(byId(13L) === ("new", None))
+  }
+
+  test("incremental: existing-corpus docs never appear in the output") {
+    val d = docs(0L -> base, 1L -> base, 10L -> fresh)
+    val out = Dedup.incremental(d, batchMinId = 10L).collect()
+    // doc 1 duplicates doc 0 but both predate the batch — not reported
+    assert(out.map(_.getLong(0)).toSeq === Seq(10L))
+    assert(out(0).getString(1) === "new")
+  }
+}
