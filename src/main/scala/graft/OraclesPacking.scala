@@ -45,6 +45,21 @@ SELECT doc_id, shuffle_key,
   row_number() OVER (ORDER BY shuffle_key, doc_id)::BIGINT AS ord
 FROM (SELECT doc_id, $shuffleKeySql AS shuffle_key FROM documents)
 ORDER BY ord""",
+    // oracle states the plain per-split window; Spark computes it with
+    // the (split, bucket) two-level scan — comparison proves it exact
+    "corpus_shards" -> s"""
+WITH sp AS (
+  SELECT doc_id,
+    CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+  FROM (SELECT doc_id, $splitKeySql % 100 AS b FROM documents)),
+ranked AS (
+  SELECT doc_id, split, shuffle_key,
+    row_number() OVER (
+      PARTITION BY split ORDER BY shuffle_key, doc_id)::BIGINT AS split_ord
+  FROM (SELECT doc_id, split, $shuffleKeySql AS shuffle_key FROM sp))
+SELECT doc_id, split, shuffle_key, split_ord,
+  ((split_ord - 1) // ${Packing.shardDocs})::BIGINT AS shard_id
+FROM ranked ORDER BY split, split_ord""",
     "sample_split" -> s"""
 SELECT doc_id, lang, source, split_bucket,
   CASE WHEN split_bucket < 90 THEN 'train'

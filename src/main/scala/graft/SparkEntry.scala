@@ -126,6 +126,9 @@ object SparkEntry {
     "sample_split" -> ((s, d) =>
       operators.Packing.splitAssign(Tables.documents(s, d))
         .orderBy(col("doc_id"))),
+    // per-split shuffled shard assignment (WebDataset-style contract)
+    "corpus_shards" -> ((s, d) =>
+      operators.Packing.shardAssign(Tables.documents(s, d))),
     // ---- deduplication ----
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dedup_minhash_sigs" -> ((s, d) =>

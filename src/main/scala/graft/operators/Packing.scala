@@ -123,6 +123,49 @@ object Packing {
       .orderBy(col("ord"))
   }
 
+  /** Documents per training shard for [[shardAssign]]. */
+  val shardDocs = 64L
+
+  /** Per-split deterministic shard assignment: each document gets its
+    * split (salted-hash 90/5/5), its position in the split's shuffled
+    * training order, and the shard that position lands in
+    * ([[shardDocs]] consecutive positions per shard) — the
+    * WebDataset/TFRecord sharding contract, computed as plain columns
+    * so the sink ([[graft.sources.Sinks.writeTrainingShards]]) is a
+    * pure partitioned write.
+    *
+    * Same two-level scan as [[shuffleOrder]], with every data-sized
+    * stage keyed by (split, bucket): per-key counts → per-split
+    * broadcast exclusive prefix over the static hash-range buckets →
+    * within-bucket row_number. A window partitioned by `split` alone
+    * would be a 3-task ceiling at any scale; this never builds one
+    * (the only split-partitioned window runs on the metadata-sized
+    * bucket counts). */
+  def shardAssign(documents: DataFrame, shardSize: Long = shardDocs,
+      buckets: Int = nBuckets): DataFrame = {
+    val step = 4294967296L / buckets
+    val keyed = splitAssign(documents)
+      .select(col("doc_id"), col("split"),
+        Portable.hash32(concat(lit(shuffleSalt), col("doc_id").cast("string")))
+          .as("shuffle_key"))
+      .withColumn("bucket", expr(s"shuffle_key div $step"))
+      .localCheckpoint()
+    val offsets = keyed.groupBy(col("split"), col("bucket"))
+      .agg(count(lit(1)).as("part"))
+      .withColumn("offset",
+        coalesce(sum(col("part")).over(
+          Window.partitionBy(col("split")).orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("split"), col("bucket"), col("offset"))
+    val w = Window.partitionBy(col("split"), col("bucket"))
+      .orderBy(col("shuffle_key"), col("doc_id"))
+    keyed.join(broadcast(offsets), Seq("split", "bucket"))
+      .withColumn("split_ord", col("offset") + row_number().over(w).cast("long"))
+      .withColumn("shard_id", expr(s"(split_ord - 1) div $shardSize"))
+      .select("doc_id", "split", "shuffle_key", "split_ord", "shard_id")
+      .orderBy(col("split"), col("split_ord"))
+  }
+
   /** Deterministic train/val/test split (90/5/5) by salted hash —
     * map-side, reproducible, independent of the sampling salt so
     * subsampling and splitting don't correlate. */

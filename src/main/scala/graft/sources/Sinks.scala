@@ -26,4 +26,19 @@ object Sinks {
   /** Read a date-partitioned sink back. */
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Write a shard-assigned training corpus
+    * ([[graft.operators.Packing.shardAssign]] columns, optionally
+    * joined back to the payload) as exactly one parquet file per
+    * (split, shard): repartitioning on the two partition columns puts
+    * each shard's rows in a single task, `sortWithinPartitions` keeps
+    * them in training order inside the file, and the resulting
+    * `split=<s>/shard_id=<n>/` layout is what a training loader lists.
+    * One shuffle, no global sort — shard count scales with data while
+    * file size stays fixed. */
+  def writeTrainingShards(corpus: DataFrame, path: String): Unit =
+    corpus
+      .repartition(col("split"), col("shard_id"))
+      .sortWithinPartitions(col("split"), col("shard_id"), col("split_ord"))
+      .write.mode("overwrite").partitionBy("split", "shard_id").parquet(path)
 }

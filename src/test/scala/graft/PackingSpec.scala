@@ -66,6 +66,54 @@ class PackingSpec extends SparkSpec {
     assert(counts("val") > 0 && counts("test") > 0)
   }
 
+  test("shardAssign: per-split contiguous ords, full shards except the tail") {
+    val rows = Packing.shardAssign(docs, shardSize = 8L).collect()
+    val bySplit = rows.groupBy(_.getAs[String]("split"))
+    assert(bySplit.keySet === Set("train", "val", "test"))
+    for ((_, rs) <- bySplit) {
+      val ords = rs.map(_.getAs[Long]("split_ord")).sorted.toSeq
+      assert(ords === (1L to rs.length).toSeq)
+      assert(rs.forall(r => r.getAs[Long]("shard_id") ===
+        (r.getAs[Long]("split_ord") - 1) / 8))
+      val sizes = rs.groupBy(_.getAs[Long]("shard_id"))
+        .map { case (s, g) => s -> g.length }
+      val lastShard = sizes.keys.max
+      assert(sizes.filter(_._1 != lastShard).values.forall(_ == 8))
+    }
+    // split_ord is the global shuffled order restricted to the split
+    val globalOrd = Packing.shuffleOrder(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("ord")).toMap
+    for ((_, rs) <- bySplit) {
+      val bySplitOrd = rs.sortBy(_.getAs[Long]("split_ord"))
+        .map(_.getAs[Long]("doc_id"))
+      val byGlobal = rs.sortBy(r => globalOrd(r.getAs[Long]("doc_id")))
+        .map(_.getAs[Long]("doc_id"))
+      assert(bySplitOrd.toSeq === byGlobal.toSeq)
+    }
+  }
+
+  test("writeTrainingShards: one file per shard, rows in training order") {
+    val out = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val assigned = Packing.shardAssign(docs, shardSize = 8L)
+    graft.sources.Sinks.writeTrainingShards(assigned, out)
+    val splitDirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+    assert(splitDirs.map(_.getName).toSet ===
+      Set("split=train", "split=val", "split=test"))
+    for (sd <- splitDirs; shard <- sd.listFiles().filter(_.isDirectory)) {
+      val parts = shard.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length === 1, s"$shard has ${parts.length} files")
+    }
+    assert(spark.read.parquet(out).count() === assigned.count())
+    // inside a shard file, rows sit in training order (a loader can
+    // stream the file sequentially without sorting)
+    val shard0 = new java.io.File(out, "split=train/shard_id=0").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val inFile = spark.read.parquet(shard0.toString)
+      .select("split_ord").collect().map(_.getLong(0)).toSeq
+    assert(inFile === inFile.sorted)
+    assert(inFile.length === 8)
+  }
+
   test("chunk + splitAssign run unchanged on a stream (shared ops)") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
