@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.StockPipeline
+import graft.operators.{StockPipeline, TextAnalysis}
 
 /** The reference's streaming DAG (`analysis-dataflow-pipeline/
   * pipeline.py:69-133`) under Structured Streaming. The transform logic
@@ -162,6 +162,66 @@ object StreamingPipeline {
     * the same seam incrementalizes to a MERGE of only the w_ends the new
     * minutes complete, with identical semantics. Returns the started
     * query (caller awaits/stops). */
+  /** One trigger of [[ingestDedupSink]]: dedup `batch` within itself
+    * (min doc_id per fingerprint wins) and against the persisted
+    * fingerprint index, then append the survivors to the corpus store
+    * and their fingerprints to the index — both into a `batch=<id>`
+    * partition written with overwrite, so a REPLAYED trigger after a
+    * failure overwrites its own partitions instead of double-ingesting
+    * (the index read excludes the current batch's partition for the
+    * same reason: a replay must not anti-join against its own earlier
+    * attempt). Factored out of the sink so the exactly-once argument is
+    * directly testable, replay included.
+    *
+    * Scale: the index is (fingerprint, doc_id) only — two narrow
+    * columns, never the text — and the anti-join is an equi-join on the
+    * fingerprint. At cluster scale the index would be bucketed by
+    * fingerprint (co-located anti-join, no index shuffle per trigger)
+    * and fronted by a bloom filter; the join structure here is already
+    * that shape. */
+  def ingestBatch(batch: DataFrame, batchId: Long, corpusPath: String,
+      indexPath: String): Unit = {
+    val s = batch.sparkSession
+    val fp = batch.withColumn("fingerprint",
+      md5(TextAnalysis.normalizedText(col("text"))))
+    val firstInBatch = fp.groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("keep_id"))
+    val batchUnique = fp.join(firstInBatch, Seq("fingerprint"))
+      .filter(col("doc_id") === col("keep_id")).drop("keep_id")
+    val fresh =
+      try {
+        val index = s.read.parquet(indexPath)
+          .filter(col("batch") =!= batchId) // replay: ignore own attempt
+        batchUnique.join(index, Seq("fingerprint"), "left_anti")
+      } catch {
+        case _: org.apache.spark.sql.AnalysisException => batchUnique
+      }
+    // localCheckpoint: `fresh` reads the index path this trigger also
+    // writes; materialize before touching either sink
+    val kept = fresh.localCheckpoint()
+    kept.drop("fingerprint")
+      .write.mode("overwrite").parquet(s"$corpusPath/batch=$batchId")
+    kept.select(col("fingerprint"), col("doc_id"))
+      .write.mode("overwrite").parquet(s"$indexPath/batch=$batchId")
+  }
+
+  /** Streaming corpus ingest with exactly-once exact dedup against a
+    * persisted fingerprint index — the idempotent-ingest front door of
+    * a growing training corpus (the streaming twin of
+    * [[graft.operators.Dedup.incremental]]'s exact tier; its LSH
+    * near-dup tier runs as the batch compaction pass over the stored
+    * corpus). Each trigger runs [[ingestBatch]]. */
+  def ingestDedupSink(documents: DataFrame, corpusPath: String,
+      indexPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    documents.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) ingestBatch(batch, batchId, corpusPath, indexPath)
+        ()
+      }
+      .start()
+
   def analysisSink(spark: SparkSession, inputDir: String, outPath: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
     val minuteStore = outPath + "_minutes"

@@ -275,4 +275,40 @@ class StreamingSpec extends SparkSpec {
       streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
     } finally q.stop()
   }
+
+  test("ingest sink: cross-batch exact dedup against the index; replay idempotent") {
+    val base = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val (corpus, index, ckpt) =
+      (s"$base/corpus", s"$base/index", s"$base/ckpt")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def asDocs(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("_1").as("doc_id"), col("_2").as("text"),
+        lit("en").as("lang"), lit("src0").as("source"),
+        length(col("_2")).cast("long").as("n_chars"))
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingPipeline.ingestDedupSink(
+      asDocs(stream.toDF()), corpus, index, ckpt)
+    try {
+      // trigger 1: within-batch dup (3 repeats 1) -> keep 1, 2
+      stream.addData(1L -> "aaa bbb", 2L -> "ccc ddd", 3L -> "aaa bbb")
+      q.processAllAvailable()
+      // trigger 2: 4 duplicates an INDEXED doc, 5 is fresh -> keep 5
+      stream.addData(4L -> "ccc ddd", 5L -> "eee fff")
+      q.processAllAvailable()
+      val kept = spark.read.parquet(corpus)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept === Set(1L, 2L, 5L))
+      assert(spark.read.parquet(index).count() === 3)
+      // replay of trigger 2 (same batch id) overwrites its own
+      // partitions: nothing double-ingests, doc 5 survives
+      val b2 = asDocs(Seq(4L -> "ccc ddd", 5L -> "eee fff").toDF("_1", "_2"))
+      val lastBatch = spark.read.parquet(index)
+        .agg(max(col("batch"))).collect()(0).getInt(0).toLong
+      StreamingPipeline.ingestBatch(b2, lastBatch, corpus, index)
+      val replayed = spark.read.parquet(corpus)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(replayed === Set(1L, 2L, 5L))
+      assert(spark.read.parquet(index).count() === 3)
+    } finally q.stop()
+  }
 }
