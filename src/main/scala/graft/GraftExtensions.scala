@@ -27,7 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
     // optimizer rewrite: row_number-over-window + rank filter -> GroupedTopK
     ext.injectOptimizerRule(_ => graft.plans.RowNumberTopKRewrite)
-    // opt-in (spark.graft.lsh.autoRewrite) rewrite: all-pairs
+    // opt-in (spark.graft.lsh.approxRewrite) rewrite: all-pairs
     // cosine-threshold join -> SRP-banded equi-join + exact verify
     ext.injectOptimizerRule(_ => graft.plans.CosineBandJoinRewrite)
     ext.injectFunction((

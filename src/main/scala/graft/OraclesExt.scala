@@ -167,20 +167,28 @@ cand AS (
     AND a.doc_id < b.doc_id),""" + jaccardTail)
     .replace("cand AS (", s"bk AS (\n  $bandSelects),\ncand AS (")
 
-  private val simhashBitSums: String = (0 until 32)
-    .map(j => s"sum(((h >> $j) % 2) * 2 - 1) AS s_$j").mkString(",\n    ")
-  private val simhashAssemble: String = (0 until 32)
-    .map(j => s"(CASE WHEN s_$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+  // 64-bit simhash as two 32-bit halves (sim_lo from md5 chars 1-8,
+  // sim_hi from chars 9-16) — mirrors Dedup.simhash exactly; no half
+  // ever touches the BIGINT sign bit.
+  private def simhashBitSums(h: String, p: String): String = (0 until 32)
+    .map(j => s"sum((($h >> $j) % 2) * 2 - 1) AS ${p}_$j").mkString(",\n    ")
+  private def simhashAssemble(p: String): String = (0 until 32)
+    .map(j => s"(CASE WHEN ${p}_$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
 
   private val simhashCte = s"""
 WITH $toksCte,
 th AS (SELECT DISTINCT doc_id, token FROM (SELECT doc_id, unnest(tk) AS token FROM toks)),
-hh AS (SELECT doc_id, ('0x' || substr(md5(token), 1, 8))::BIGINT AS h FROM th),
+hh AS (SELECT doc_id,
+  ('0x' || substr(md5(token), 1, 8))::BIGINT AS h1,
+  ('0x' || substr(md5(token), 9, 8))::BIGINT AS h2 FROM th),
 bs AS (
   SELECT doc_id,
-    $simhashBitSums
+    ${simhashBitSums("h1", "lo")},
+    ${simhashBitSums("h2", "hi")}
   FROM hh GROUP BY doc_id),
-sig AS (SELECT doc_id, ($simhashAssemble)::BIGINT AS simhash FROM bs)
+sig AS (SELECT doc_id,
+  (${simhashAssemble("lo")})::BIGINT AS sim_lo,
+  (${simhashAssemble("hi")})::BIGINT AS sim_hi FROM bs)
 """
 
   val dedup: Map[String, String] = Map(
@@ -251,12 +259,15 @@ ORDER BY d.doc_id"""),
     "dedup_simhash" -> (simhashCte + "SELECT * FROM sig ORDER BY doc_id"),
     "dedup_simhash_pairs" -> (simhashCte + """,
 sb AS (
-  SELECT doc_id, simhash, band, (simhash >> (band * 8)) % 256 AS byte
+  SELECT doc_id, sim_lo, sim_hi, band,
+    CASE band WHEN 0 THEN sim_lo % 65536 WHEN 1 THEN sim_lo >> 16
+              WHEN 2 THEN sim_hi % 65536 ELSE sim_hi >> 16 END AS key
   FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band)),
 sp AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-    bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
-  FROM sb a JOIN sb b ON a.band = b.band AND a.byte = b.byte
+    (bit_count(xor(a.sim_lo, b.sim_lo)) +
+     bit_count(xor(a.sim_hi, b.sim_hi)))::BIGINT AS hamming
+  FROM sb a JOIN sb b ON a.band = b.band AND a.key = b.key
     AND a.doc_id < b.doc_id)
 SELECT * FROM sp WHERE hamming <= 3 ORDER BY doc_a, doc_b"""),
   )

@@ -24,6 +24,14 @@ object Portable {
   def hash32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
+  /** Second, independent 32-bit hash of the same string (md5 hex chars
+    * 9-16 — disjoint from [[hash32]]'s 1-8). Twin:
+    * `('0x' || substr(md5(x), 9, 8))::BIGINT`. Used where 64 portable
+    * bits are needed (e.g. the 64-bit SimHash) without ever forming a
+    * value that touches a BIGINT sign bit on either engine. */
+  def hash32Hi(c: Column): Column =
+    conv(substring(md5(c), 9, 8), 16, 10).cast("long")
+
   /** Universal-hash family over a 32-bit base hash: `(a*h + b) mod p`
     * with p = 2^31-1 (Mersenne prime). a,b < 2^31 and h < 2^32 keep the
     * product < 2^63 — no overflow, no negative operands, so Spark `pmod`

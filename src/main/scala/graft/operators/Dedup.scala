@@ -22,11 +22,11 @@ import graft.functions.Portable
   *     O(n²) all-pairs problem into equi-joins on (band, key) — the
   *     shuffles are all on high-cardinality keys. Candidate verification
   *     touches only bucket collisions (~linear for realistic corpora).
-  *   - SimHash pair generation below is the exact O(n²) self-join —
-  *     correct at test scale; the scale path is banding the 32-bit
-  *     signature into 4 bytes and equi-joining on any matching byte
-  *     (pigeonhole: hamming ≤ 3 ⇒ at least one of 4 bytes equal), which
-  *     [[simhashPairs]] implements.
+  *   - SimHash pair generation bands the 64-bit signature into 4
+  *     disjoint 16-bit slices and equi-joins on any matching slice
+  *     (pigeonhole: hamming ≤ 3 ⇒ at least one of 4 bands equal), which
+  *     [[simhashPairs]] implements; 65,536 buckets per band keeps
+  *     in-bucket pairing linear as the corpus grows.
   */
 object Dedup {
 
@@ -338,41 +338,60 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** 32-bit SimHash over distinct tokens: (doc_id, simhash). Bit j is set
-    * iff Σ_tokens (2·bit_j(hash32(token)) − 1) > 0. */
+  /** 64-bit SimHash over distinct tokens: (doc_id, sim_lo, sim_hi).
+    * Stored as two 32-bit halves (sim_lo = bits 0..31 from md5 hex chars
+    * 1-8 of each token, sim_hi = bits 32..63 from chars 9-16) so no
+    * assembled value ever touches a BIGINT sign bit on either engine.
+    * Bit j is set iff Σ_tokens (2·bit_j(hash(token)) − 1) > 0.
+    *
+    * 64 bits (vs the earlier 32) is the scale fix: 16-bit bands give
+    * 65,536 buckets per band, so in-bucket occupancy — and the quadratic
+    * in-bucket pairing cost of [[simhashPairs]] — stays flat as the
+    * corpus grows 100×. */
   def simhash(documents: DataFrame): DataFrame = {
     val tokenHashes = documents
       .select(col("doc_id"), explode(Portable.tokens(col("text"))).as("token"))
       .distinct()
-      .select(col("doc_id"), Portable.hash32(col("token")).as("h"))
-    val bitSums = (0 until 32).map(j =>
-      sum(shiftright(col("h"), j) % 2 * 2 - 1).as(s"s_$j"))
-    val sig = (0 until 32).map(j =>
-        when(col(s"s_$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .select(col("doc_id"),
+        Portable.hash32(col("token")).as("h1"),
+        Portable.hash32Hi(col("token")).as("h2"))
+    def bitSums(h: String, p: String) = (0 until 32).map(j =>
+      sum(shiftright(col(h), j) % 2 * 2 - 1).as(s"${p}_$j"))
+    def assemble(p: String) = (0 until 32).map(j =>
+        when(col(s"${p}_$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
-    tokenHashes.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), sig.as("simhash"))
+    val aggs = bitSums("h1", "lo") ++ bitSums("h2", "hi")
+    tokenHashes.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        assemble("lo").as("sim_lo"), assemble("hi").as("sim_hi"))
   }
 
   /** SimHash near-dup pairs at hamming distance ≤ maxHamming, found via
-    * byte-banding (hamming ≤ 3 over 4 bytes ⇒ some byte equal — the
-    * pigeonhole trick that replaces the O(n²) self-join at scale). */
+    * 16-bit banding of the 64-bit signature (hamming ≤ 3 over 4 disjoint
+    * bands ⇒ some band equal — the pigeonhole trick that replaces the
+    * O(n²) self-join at scale). 65,536 buckets per band keeps in-bucket
+    * pair generation linear in corpus size. */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
-    // 4-byte banding is complete only up to hamming 3 (pigeonhole over 4
-    // bands); a larger radius would silently lose pairs.
+    // 4-band pigeonhole is complete only up to hamming 3; a larger
+    // radius would silently lose pairs.
     require(maxHamming >= 0 && maxHamming <= 3,
-      s"simhashPairs: byte banding guarantees recall only for maxHamming <= 3, got $maxHamming")
+      s"simhashPairs: 4-band pigeonhole guarantees recall only for maxHamming <= 3, got $maxHamming")
     val sigs = simhash(documents)
-    val banded = sigs.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(b => struct(lit(b).as("band"),
-        (shiftright(col("simhash"), b * 8) % 256).as("byte"))): _*)).as("bb"))
-      .select(col("doc_id"), col("simhash"),
-        col("bb.band").as("band"), col("bb.byte").as("byte"))
+    // bands 0,1 = low/high 16 bits of sim_lo; bands 2,3 = of sim_hi
+    val slices = Seq(
+      col("sim_lo") % 65536, shiftright(col("sim_lo"), 16),
+      col("sim_hi") % 65536, shiftright(col("sim_hi"), 16))
+    val banded = sigs.select(col("doc_id"), col("sim_lo"), col("sim_hi"),
+      explode(array(slices.zipWithIndex.map { case (k, b) =>
+        struct(lit(b).as("band"), k.as("key")) }: _*)).as("bb"))
+      .select(col("doc_id"), col("sim_lo"), col("sim_hi"),
+        col("bb.band").as("band"), col("bb.key").as("key"))
     banded.as("a")
       .join(banded.as("b"), col("a.band") === col("b.band") &&
-        col("a.byte") === col("b.byte") && col("a.doc_id") < col("b.doc_id"))
+        col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(expr("a.simhash ^ b.simhash")).cast("long").as("hamming"))
+        (bit_count(expr("a.sim_lo ^ b.sim_lo")) +
+          bit_count(expr("a.sim_hi ^ b.sim_hi"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming) // before distinct: shrink first
       .distinct()
       .orderBy(col("doc_a"), col("doc_b"))

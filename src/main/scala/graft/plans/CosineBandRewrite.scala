@@ -13,7 +13,8 @@ import graft.operators.Similarity
   * `graft_dot(a, b) >= t` (the cosine of pre-unitized vectors, plain or
   * rounded) across the two sides is an all-pairs similarity join — at
   * scale, the O(n²) plan that kills a cluster. When the user opts in
-  * (`spark.graft.lsh.autoRewrite=true`), rewrite it to the
+  * (`spark.graft.lsh.approxRewrite=true` — "approx" in the name because
+  * the rewrite changes results), rewrite it to the
   * signed-random-projection banded join the engine's own
   * [[graft.operators.Similarity.nearDupPairs]] uses: compute each
   * side's 16-bit SRP signature, join on band agreement (8-bit band 0,
@@ -38,7 +39,7 @@ import graft.operators.Similarity
   */
 object CosineBandJoinRewrite extends Rule[LogicalPlan] {
 
-  val enabledKey = "spark.graft.lsh.autoRewrite"
+  val enabledKey = "spark.graft.lsh.approxRewrite"
   val dimKey = "spark.graft.lsh.dim"
   private val sigName = "__graft_sig"
 
@@ -97,6 +98,9 @@ object CosineBandJoinRewrite extends Rule[LogicalPlan] {
         }
         sides match {
           case Some((lVec, rVec)) =>
+            logWarning(s"$enabledKey: rewriting all-pairs cosine join to " +
+              "an APPROXIMATE SRP-banded join (recall < 1; e.g. ~0.50 of " +
+              s"qualifying pairs at cosine 0.9). Join condition: $cond")
             val lSig = Alias(sigExpr(lVec, dim), sigName)()
             val rSig = Alias(sigExpr(rVec, dim), sigName)()
             val lp = Project(l.output :+ lSig, l)

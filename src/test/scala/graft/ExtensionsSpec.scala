@@ -61,7 +61,8 @@ class ExtensionsSpec extends SparkSpec {
   test("dedup simhash: identical text -> hamming 0 pair; signature stable") {
     val s = Dedup.simhash(docs((1L, "alpha beta gamma"), (2L, "alpha beta gamma")))
       .collect()
-    assert(s(0).getAs[Long]("simhash") === s(1).getAs[Long]("simhash"))
+    assert(s(0).getAs[Long]("sim_lo") === s(1).getAs[Long]("sim_lo"))
+    assert(s(0).getAs[Long]("sim_hi") === s(1).getAs[Long]("sim_hi"))
     val p = Dedup.simhashPairs(docs((1L, "alpha beta gamma"), (2L, "alpha beta gamma")))
       .collect()
     assert(p.length === 1 && p(0).getAs[Long]("hamming") === 0L)
