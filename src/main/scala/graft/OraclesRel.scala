@@ -124,6 +124,24 @@ SELECT l_returnflag,
   round(quantile_cont(l_extendedprice, 0.95)::DOUBLE, 6) AS p95_price,
   round(quantile_cont(l_discount, 0.5)::DOUBLE, 6) AS median_discount
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // self-checking sketch rows: the exact columns are recomputed here;
+    // the booleans restate the engine-side sketch contracts (HLL/GK/CMS
+    // within documented error bounds) as TRUE — a sketch regression on
+    // the Spark side flips a bit and breaks the hash.
+    "rel_approx_stats" -> """
+SELECT l_returnflag,
+  count(DISTINCT l_orderkey) AS exact_orders,
+  round(quantile_cont(l_extendedprice, 0.5)::DOUBLE, 6) AS exact_median_price,
+  TRUE AS hll_within_5pct,
+  TRUE AS gk_median_within_1pct
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "rel_cms_user_counts" -> """
+WITH u AS (SELECT unnest(generate_series(1, 20))::BIGINT AS user_id),
+ex AS (SELECT user_id, count(*)::BIGINT AS exact_count FROM events
+  WHERE user_id BETWEEN 1 AND 20 GROUP BY user_id)
+SELECT u.user_id, coalesce(ex.exact_count, 0)::BIGINT AS exact_count,
+  TRUE AS cms_never_undercounts, TRUE AS cms_within_eps
+FROM u LEFT JOIN ex USING (user_id) ORDER BY user_id""",
     "rel_orders_rollup" -> s"""
 SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
   ${dsum("o_totalprice")} AS total_price

@@ -189,7 +189,8 @@ object SparkEntry {
     "rel_orders_cube" -> (Relational.ordersCube _),
     "rel_monthly_growth" -> (Relational.monthlyGrowth _),
     "rel_quantiles" -> (Relational.pricingQuantiles _),
-    // sketches are engine-specific by design -> no oracle, rows-only check
+    // sketches are engine-specific -> registered in self-checking form:
+    // exact columns + contract booleans the oracle states as TRUE
     "rel_approx_stats" -> (Relational.approxStats _),
     "rel_cms_user_counts" -> (Relational.cmsUserCounts _),
     "rel_range_join" -> (Relational.rangeJoin _),

@@ -221,16 +221,29 @@ object Relational {
 
   /** Sketch-based approximations (HLL++ count-distinct, GK quantiles) —
     * the constant-memory forms of A6/rel_quantiles for 100 TB cardinality
-    * work. Registered WITHOUT an oracle (approximation algorithms differ
-    * across engines by design) → driver's rows-only check. */
+    * work. Sketch layouts are engine-specific, so the row is registered
+    * in SELF-CHECKING form: exact columns the oracle recomputes, plus
+    * booleans asserting each estimate landed inside its documented error
+    * bound (HLL++ at rsd 2% checked against a 5% bound — the default 5%
+    * rsd is a 1-sigma figure and genuinely exceeds 5% on one sf0.01
+    * group; GK at accuracy 1000 ⇒ rank error 0.1%, checked as ≤1% of
+    * the value). The oracle states the booleans as TRUE — a sketch
+    * regression flips a bit and breaks the hash. */
   def approxStats(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
         countDistinct(col("l_orderkey")).as("exact_orders"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-          .as("approx_median_price"))
+          .as("approx_median"),
+        expr("percentile(l_extendedprice, 0.5)").as("exact_median"))
+      .select(col("l_returnflag"), col("exact_orders"),
+        round(col("exact_median"), 6).as("exact_median_price"),
+        (abs(col("approx_orders") - col("exact_orders")) <=
+          col("exact_orders") * lit(0.05)).as("hll_within_5pct"),
+        (abs(col("approx_median") - col("exact_median")) <=
+          col("exact_median") * lit(0.01)).as("gk_median_within_1pct"))
       .orderBy(col("l_returnflag"))
 
   /** Order counts + revenue by (status, priority) with ROLLUP subtotals. */
@@ -245,14 +258,17 @@ object Relational {
   /** Count-Min Sketch frequency estimation over event user_ids: the
     * constant-memory heavy-key summary (sketch size O(1/eps), collected
     * to the driver — that IS the operator's contract, unlike a
-    * collect of the data). Deterministic via fixed seed; estimates are
-    * upper bounds (CMS never undercounts), asserted in the spec.
-    * Registered rows-only: sketch layouts are engine-specific. */
+    * collect of the data). Deterministic via fixed seed. Registered in
+    * SELF-CHECKING form: the exact counts (oracle-able) plus booleans
+    * asserting the CMS contract — estimates never undercount, and
+    * overcount ≤ eps·N (eps = 0.001). The oracle states the booleans as
+    * TRUE, so a sketch regression breaks the hash. */
   def cmsUserCounts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val events = Tables.events(spark, dir)
     val sketch = events.stat.countMinSketch("user_id",
       eps = 0.001, confidence = 0.99, seed = 42)
+    val epsBound = math.ceil(sketch.totalCount * 0.001).toLong
     val est = (1L to 20L).map(u =>
       (u, sketch.estimateCount(java.lang.Long.valueOf(u))))
       .toDF("user_id", "cms_estimate")
@@ -260,6 +276,11 @@ object Relational {
       .groupBy(col("user_id")).agg(count(lit(1)).as("exact_count"))
     est.join(exact, Seq("user_id"), "left")
       .na.fill(0, Seq("exact_count"))
+      .select(col("user_id"), col("exact_count"),
+        (col("cms_estimate") >= col("exact_count"))
+          .as("cms_never_undercounts"),
+        (col("cms_estimate") - col("exact_count") <= lit(epsBound))
+          .as("cms_within_eps"))
       .orderBy(col("user_id"))
   }
 

