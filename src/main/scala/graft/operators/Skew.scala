@@ -31,4 +31,25 @@ object Skew {
       explode(sequence(lit(0), lit(nSalts - 1))))
     salted.join(replicated, Seq(key, "__salt"), "inner").drop("__salt")
   }
+
+  /** Hot/cold split inner equi-join for an UNBOUNDED small side (e.g. a
+    * vocabulary table): the `hotK` keys with the largest `weight`
+    * broadcast — a bounded build side no matter how far the vocab grows,
+    * where `broadcast(small)` would blow the 8 GB ceiling on a web
+    * corpus — and the long tail shuffle-joins, safe because a text
+    * corpus's skew mass (the "the"-grade keys that would melt one
+    * shuffle task) travels with the broadcast branch by construction.
+    * Hot and cold partition `small` on the join key, so the union is
+    * row-for-row the plain inner join; Spark's ReuseExchange dedupes the
+    * shared `small` aggregation between the two branches. `hotK` is a
+    * pure performance knob — any value gives identical results. */
+  def hotColdJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
+      weight: Column, hotK: Int): DataFrame = {
+    val hot = small.orderBy(weight.desc +: keys.map(col(_).asc): _*)
+      .limit(hotK) // TakeOrderedAndProject: no global sort
+    val cold = small.join(broadcast(hot.select(keys.map(col): _*)),
+      keys, "left_anti")
+    large.join(broadcast(hot), keys)
+      .unionByName(large.join(cold, keys))
+  }
 }

@@ -103,8 +103,17 @@ object TextAnalysis {
     * ranked per doc through the custom [[TopK]] operator. One token
     * explode, two hash aggregations (doc-term tf, corpus df), a
     * broadcast scalar N, and a bounded-heap top-k — every stage
-    * partial-aggregates map-side. */
-  def tfidfTop(documents: DataFrame, k: Int = 3): DataFrame = {
+    * partial-aggregates map-side.
+    *
+    * The df table is vocab-sized (unbounded on a web corpus: typos,
+    * numbers, URLs), so the tf⋈df join goes through
+    * [[Skew.hotColdJoin]]: top-`hotVocab` tokens by df broadcast (they
+    * carry the skew mass), the tail shuffle-joins on a flat key. The
+    * default keeps BOTH branches value-exercised at test scale (sf0.01
+    * vocab is 31 tokens); production tunes it up (e.g. 10⁵) — results
+    * are identical at any value. */
+  def tfidfTop(documents: DataFrame, k: Int = 3,
+      hotVocab: Int = 16): DataFrame = {
     val tokens = documents.select(col("doc_id"),
       explode(Portable.tokens(col("text"))).as("token"))
     val tf = tokens.groupBy(col("doc_id"), col("token"))
@@ -112,8 +121,7 @@ object TextAnalysis {
     val df = tokens.select(col("doc_id"), col("token")).distinct()
       .groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = documents.agg(count(lit(1)).as("n_docs"))
-    val scored = tf
-      .join(broadcast(df), Seq("token"))
+    val scored = Skew.hotColdJoin(tf, df, Seq("token"), col("df"), hotVocab)
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("token"), col("tf"),
         round(col("tf") * (log((col("n_docs") + 1).cast("double") /
@@ -153,13 +161,16 @@ object TextAnalysis {
     * tokens have no bigrams and are out of scope.
     *
     * Scale (100 TB): both LM tables are vocab-sized aggregates, orders
-    * of magnitude smaller than the corpus. The unigram context table
-    * broadcasts — a shuffled join on w1 would put every "the" bigram in
-    * one partition (the hottest skew key a text corpus has); the pruned
+    * of magnitude smaller than the corpus — but still unbounded, so the
+    * unigram context join goes through [[Skew.hotColdJoin]]: the
+    * top-`hotVocab` context words broadcast (a shuffled join on w1
+    * would put every "the" bigram in one partition — the hottest skew
+    * key a text corpus has — so the skew mass must ride the broadcast
+    * branch), the long tail shuffle-joins on a flat key. The pruned
     * bigram LM joins by (w1, w2), a far flatter key. Doc bigrams are a
     * map-side explode; the per-doc reduction partial-aggregates. */
   def perplexity(documents: DataFrame, k: Double = ppK,
-      minCount: Long = ppMinCount): DataFrame = {
+      minCount: Long = ppMinCount, hotVocab: Int = 16): DataFrame = {
     val docBigrams = documents
       .withColumn("tk", toks)
       .filter(size(col("tk")) >= 2)
@@ -174,9 +185,8 @@ object TextAnalysis {
       .agg(count(lit(1)).as("cnt1"))
     val vocab = documents.select(explode(toks).as("t"))
       .agg(countDistinct(col("t")).as("n_vocab"))
-    docBigrams
-      .join(lm, Seq("w1", "w2"), "left")
-      .join(broadcast(cnt1), Seq("w1"))
+    Skew.hotColdJoin(docBigrams.join(lm, Seq("w1", "w2"), "left"),
+        cnt1, Seq("w1"), col("cnt1"), hotVocab)
       .crossJoin(broadcast(vocab))
       .withColumn("lp", log((coalesce(col("c12"), lit(0L)) + lit(k)) /
         (col("cnt1") + lit(k) * col("n_vocab"))))

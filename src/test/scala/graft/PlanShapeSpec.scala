@@ -42,6 +42,18 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("text_tfidf_top / text_perplexity: vocab join is hot/cold split, " +
+      "never a full-vocab broadcast") {
+    Seq("text_tfidf_top", "text_perplexity").foreach { q =>
+      val p = plan(q)
+      // the hot branch is a bounded TakeOrdered limit; the two branches
+      // union — the shape Skew.hotColdJoin plants. A full-df broadcast
+      // would show neither.
+      assert(p.contains("TakeOrderedAndProject"), q)
+      assert(p.contains("Union"), q)
+    }
+  }
+
   test("q4_health / q2_trend_signals: one pipeline instance + cheap clock") {
     // the injected clock must come from a bare scan+max branch, not a
     // second run of the minute pipeline: exactly 2 scans (pipeline +
