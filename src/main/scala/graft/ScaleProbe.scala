@@ -15,9 +15,10 @@ import graft.operators.StockPipeline
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val docsMode = args.lift(1).contains("docs")
+    val mode = args.lift(1).filter(Set("docs", "asof")).getOrElse("events")
+    val docsMode = mode == "docs"
     val multiples = {
-      val rest = if (docsMode) args.drop(2) else args.drop(1)
+      val rest = if (mode != "events") args.drop(2) else args.drop(1)
       if (rest.nonEmpty) rest.map(_.toInt).toSeq else Seq(1, 4, 16)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -71,6 +72,25 @@ object ScaleProbe {
         val (_, paS) = t(Packing.packAssign(df).count())
         val (_, soS) = t(Packing.shuffleOrder(df).count())
         println(f"[scale-probe-docs] x$n%-3d docs=$rows%8d minhashPairs=$mpS%6.2fs($mp) jaccardPairs=$jpS%6.2fs($jp) packAssign=$paS%6.2fs shuffleOrder=$soS%6.2fs")
+      }
+      spark.stop(); return
+    }
+
+    // As-of probe: time-shifted copies keep the SAME users, so each
+    // user's click history grows N× — exactly the axis the old
+    // pair-fan-out form was quadratic in (a purchase saw its user's
+    // whole history). The bucketed form's candidate generation is
+    // per-(user, bucket), so time ~ N.
+    if (mode == "asof") {
+      import graft.operators.Relational
+      Relational.asofJoinOn(graft.sources.Tables.events(spark, sfDir)).count() // warm-up
+      multiples.foreach { n =>
+        val df = multiplied(n).localCheckpoint()
+        val rows = df.count()
+        val t0 = System.nanoTime()
+        val out = Relational.asofJoinOn(df).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[scale-probe-asof] x$n%-3d events=$rows%9d asofRows=$out%9d time=$sec%7.2fs")
       }
       spark.stop(); return
     }

@@ -196,28 +196,82 @@ object Relational {
 
   /** As-of join: for each purchase, the same user's LATEST click at or
     * before it (ties broken by highest event id — stated identically in
-    * the oracle's row_number form). The per-purchase argmax runs on the
-    * engine's own [[graft.plans.GroupedTopK]] operator with k=1 —
-    * hash-clustered on the high-cardinality purchase id, bounded heap,
-    * no partition sort. The scale path for the pair-generation step is
-    * a sort-merge over (user, time)-bucketed tables. */
-  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
-    val events = Tables.events(spark, dir)
+    * the oracle's row_number form).
+    *
+    * Time-bucketed two-level form (the carry pattern of
+    * `StockPipeline.withSpikeBucketed` / the Packing two-level scan),
+    * replacing the earlier purchases×all-prior-clicks fan-out whose
+    * join output was quadratic for hot users:
+    *  1. in-bucket: purchases equi-join clicks on (user, bucket) —
+    *     output is O(purchases × clicks-per-bucket), bounded by time
+    *     density, NOT by a user's full click history; per-purchase
+    *     argmax via the engine's [[graft.plans.GroupedTopK]] (k=1,
+    *     hash-clustered, bounded heap, no sort);
+    *  2. cross-bucket carry: best click per (user, bucket) — again
+    *     GroupedTopK over raw clicks — then a running max over the
+    *     per-user BUCKET SUMMARIES (#buckets rows per user, not
+    *     #clicks) gives "best click in any strictly earlier bucket";
+    *  3. assemble: each purchase takes the greater of its in-bucket
+    *     best and its bucket's carry (struct compare = (ts, event)
+    *     lexicographic, the exact tie rule).
+    * Every stage is an equi-shuffle on (user, bucket) or a summary-
+    * sized window; nothing scales with clicks-per-user. Exactness at
+    * any `bucketSeconds` is property-tested against the single-window
+    * form (AsofParitySpec). */
+  def asofJoinOn(events: DataFrame, bucketSeconds: Long = 3600): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_event"))
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_event"),
+        expr(s"unix_timestamp(ts) div $bucketSeconds").as("bucket"))
     val clicks = events.filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
-        col("event_id").as("c_event"))
-    val pairs = purchases.join(clicks,
-        col("user_id") === col("c_user") && col("c_ts") <= col("p_ts"))
-      .select(col("user_id"), col("p_event"), col("p_ts"),
-        col("c_event"), col("c_ts"))
-    TopK.perKey(pairs, Seq("p_event"),
+      .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("c_event"),
+        expr(s"unix_timestamp(ts) div $bucketSeconds").as("bucket"))
+
+    // (2a) best click per (user, bucket): bounded heap, no sort
+    val bucketBest = TopK.perKey(clicks, Seq("user_id", "bucket"),
         Seq("c_ts" -> true, "c_event" -> true), 1)
+      .select(col("user_id"), col("bucket"),
+        col("c_ts").as("bb_ts"), col("c_event").as("bb_event"))
+
+    // (2b) carry: running max over per-user bucket summaries, on the
+    // grid of every (user, bucket) either side touches — so a purchase
+    // bucket with no clicks still sees the carry from older buckets
+    val grid = purchases.select(col("user_id"), col("bucket"))
+      .union(clicks.select(col("user_id"), col("bucket"))).distinct()
+    val wPrev = Window.partitionBy(col("user_id")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = grid.join(bucketBest, Seq("user_id", "bucket"), "left")
+      .withColumn("carry", max(when(col("bb_ts").isNotNull,
+        struct(col("bb_ts").as("c_ts"), col("bb_event").as("c_event"))))
+        .over(wPrev))
+      .select(col("user_id"), col("bucket"), col("carry"))
+
+    // (1) in-bucket candidates + per-purchase argmax
+    val c2 = clicks.select(col("user_id").as("cu"), col("bucket").as("cb"),
+      col("c_ts"), col("c_event"))
+    val inCand = purchases.join(c2,
+        col("user_id") === col("cu") && col("bucket") === col("cb") &&
+          col("c_ts") <= col("p_ts"))
+      .select(col("p_event"), col("c_ts"), col("c_event"))
+    val inBest = TopK.perKey(inCand, Seq("p_event"),
+        Seq("c_ts" -> true, "c_event" -> true), 1)
+      .select(col("p_event"), col("c_ts").as("i_ts"), col("c_event").as("i_event"))
+
+    // (3) assemble; purchases with no prior click drop (inner-join contract)
+    purchases
+      .join(inBest, Seq("p_event"), "left")
+      .join(carry, Seq("user_id", "bucket"), "left")
+      .withColumn("best", greatest(
+        when(col("i_ts").isNotNull,
+          struct(col("i_ts").as("c_ts"), col("i_event").as("c_event"))),
+        col("carry")))
+      .filter(col("best").isNotNull)
       .select(col("user_id"), col("p_event"), col("p_ts"),
-        col("c_event"), col("c_ts"))
+        col("best.c_event").as("c_event"), col("best.c_ts").as("c_ts"))
       .orderBy(col("p_event"))
   }
+
+  def asofJoin(spark: SparkSession, dir: String): DataFrame =
+    asofJoinOn(Tables.events(spark, dir))
 
   /** Sketch-based approximations (HLL++ count-distinct, GK quantiles) —
     * the constant-memory forms of A6/rel_quantiles for 100 TB cardinality
