@@ -75,7 +75,11 @@ object Bench {
         (1024.0 * 1024.0) / math.max(trials, 1)
       s"\"$n\":${math.rint(mb * 100) / 100}"
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"shuffle_mb_per_trial":$sh,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"shuffle_mb_per_trial":$sh,"sf":"$sfDir"}"""
+    println(json)
+    // also persist to cwd: the driver captures only a tail of stdout,
+    // and one round lost the totals to truncation
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json + "\n")
     if (failed.nonEmpty)
       System.err.println(s"BENCH FAILURES: ${failed.mkString(", ")}")
     spark.stop()

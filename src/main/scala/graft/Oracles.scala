@@ -153,7 +153,8 @@ WHERE window_timestamp >= now_ts - INTERVAL 7 DAY
 GROUP BY ticker
 ORDER BY avg_sentiment DESC NULLS LAST, ticker"""),
     "q9_overview" -> (stockCte + """
-SELECT * FROM ana ORDER BY window_timestamp DESC, ticker LIMIT 500"""),
+SELECT window_timestamp, ticker, latest_price FROM ana
+ORDER BY window_timestamp DESC, ticker LIMIT 500"""),
     "q10_drilldown" -> (stockCte + """
 SELECT * FROM ana WHERE ticker = 'purchase'
 ORDER BY window_timestamp DESC LIMIT 100"""),

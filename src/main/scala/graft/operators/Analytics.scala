@@ -127,6 +127,10 @@ object Analytics {
   /** Q9 Market Overview — most recent 500 rows (app.py:28-36). */
   def q9Overview(ana: DataFrame): DataFrame =
     ana
+      // column-minimal per the reference (app.py:29-35): the dashboard
+      // reads only these three; projecting first keeps the TakeOrdered
+      // heap rows narrow
+      .select(col("window_timestamp"), col("ticker"), col("latest_price"))
       .orderBy(col("window_timestamp").desc, col("ticker"))
       .limit(500)
 

@@ -120,11 +120,14 @@ case class GroupedTopKExec(
           },
           (b, v) => insertBounded(b, v),
           (b1, b2) => { b2.foreach(r => insertBounded(b1, r)); b1 })
-      // child rows are usually UnsafeRow (post-exchange), but when the
-      // input is already clustered an interpreted child may emit
-      // JoinedRow etc — copy() handles either; the map buffers values,
-      // so rows are copied on insert.
-      map.insertAll(iter.map(r => (keyProj(r).copy(), r.copy())))
+      // Project every row to UnsafeRow before insert: the spill path
+      // Java-serializes the buffered combiners, and UnsafeRow is always
+      // self-contained, while an interpreted child (no exchange below
+      // the partial stage) may emit GenericInternalRow holding
+      // UnsafeArrayData/UnsafeMapData fields whose serialization would
+      // fail — and only under memory pressure, during a spill.
+      val rowProj = UnsafeProjection.create(childOutput, childOutput)
+      map.insertAll(iter.map(r => (keyProj(r).copy(), rowProj(r).copy())))
       if (isPartial) {
         // map-side prune: emit surviving rows as-is (ranks are assigned
         // by the final stage after the exchange)

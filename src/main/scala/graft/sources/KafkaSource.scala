@@ -90,6 +90,10 @@ object KafkaSource {
         col("user_id"), col("event_type"), col("value"), col("props")))
         .cast("binary").as("value"),
       lit("graft-events").as("topic"),
+      // test stand-in ONLY: real Kafka producers ignore a supplied
+      // partition column — broker-side assignment is murmur2 over the
+      // key bytes, not this Spark murmur3 value. Kept so the wire
+      // schema round-trips deterministically in tests.
       pmod(hash(col("event_type")), lit(32)).cast("int").as("partition"),
       col("event_id").as("offset"),
       col("ts").as("timestamp"),

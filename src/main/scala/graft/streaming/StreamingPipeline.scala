@@ -188,14 +188,19 @@ object StreamingPipeline {
       .agg(min(col("doc_id")).as("keep_id"))
     val batchUnique = fp.join(firstInBatch, Seq("fingerprint"))
       .filter(col("doc_id") === col("keep_id")).drop("keep_id")
+    // Existence is checked explicitly: only a genuinely absent index
+    // (first batch) skips the dedup join. Any OTHER read failure —
+    // schema drift, corrupt metadata, permissions — propagates and
+    // fails the trigger for retry; swallowing it as "no index yet"
+    // would silently double-ingest and break the exactly-once contract.
+    val indexDir = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = indexDir.getFileSystem(s.sparkContext.hadoopConfiguration)
     val fresh =
-      try {
+      if (fs.exists(indexDir)) {
         val index = s.read.parquet(indexPath)
           .filter(col("batch") =!= batchId) // replay: ignore own attempt
         batchUnique.join(index, Seq("fingerprint"), "left_anti")
-      } catch {
-        case _: org.apache.spark.sql.AnalysisException => batchUnique
-      }
+      } else batchUnique
     // localCheckpoint: `fresh` reads the index path this trigger also
     // writes; materialize before touching either sink
     val kept = fresh.localCheckpoint()
