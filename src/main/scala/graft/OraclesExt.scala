@@ -426,6 +426,26 @@ ranked AS (
   FROM scored)
 SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
 ORDER BY query_id, rank"""),
+    // per-label centroid outliers: decimal-exact dimension-wise means
+    // (the kmeans cm/c chain over label instead of cell), unitized,
+    // bottom-k cosine per label
+    "sim_outliers" -> (simBase + s""",
+cm AS (
+  SELECT label, pos, CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS cv
+  FROM (SELECT label, unnest(ev) AS v, unnest(range(len(ev))) AS pos FROM base)
+  GROUP BY label, pos),
+ct AS (
+  SELECT label, list_transform(c0,
+    x -> x / sqrt(list_inner_product(c0, c0))) AS centroid
+  FROM (SELECT label, list(cv ORDER BY pos) AS c0 FROM cm GROUP BY label)),
+sc AS (
+  SELECT b.label, b.vec_id, ${cosSql("b.ev", "c.centroid")} AS cosine
+  FROM base b JOIN ct c ON b.label = c.label),
+rk AS (
+  SELECT label, vec_id, cosine,
+    row_number() OVER (PARTITION BY label ORDER BY cosine, vec_id)::BIGINT AS rn
+  FROM sc)
+SELECT label, vec_id, cosine, rn FROM rk WHERE rn <= 5 ORDER BY label, rn"""),
     // int8-quantized brute force: same scale/code formulas (floor(x/s+0.5))
     "sim_quantized_topk" -> (simBase + s""",
 qz AS (

@@ -14,6 +14,7 @@ object OraclesPacking {
     "toks AS (SELECT *, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents)"
 
   private val c = Packing.chunkTokens
+  private val st = Packing.overlapStride
   private val shuffleKeySql =
     s"('0x' || substr(md5('${Packing.shuffleSalt}' || doc_id::VARCHAR), 1, 8))::BIGINT"
   private val splitKeySql =
@@ -28,6 +29,15 @@ e AS (SELECT doc_id, tk, n,
 SELECT doc_id, chunk_id::BIGINT AS chunk_id,
   least($c, n - chunk_id * $c)::BIGINT AS n_chunk_tokens,
   array_to_string(list_slice(tk, chunk_id * $c + 1, (chunk_id + 1) * $c), ' ') AS chunk_text
+FROM e ORDER BY doc_id, chunk_id""",
+    "doc_chunks_overlap" -> s"""
+WITH $toksCte,
+t AS (SELECT doc_id, tk, len(tk)::BIGINT AS n FROM toks WHERE len(tk) > 0),
+e AS (SELECT doc_id, tk, n,
+  unnest(range(0, (greatest(n - $c, 0) + ${st - 1}) // $st + 1)) AS chunk_id FROM t)
+SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+  least($c, n - chunk_id * $st)::BIGINT AS n_chunk_tokens,
+  array_to_string(list_slice(tk, chunk_id * $st + 1, chunk_id * $st + $c), ' ') AS chunk_text
 FROM e ORDER BY doc_id, chunk_id""",
     "pack_assign" -> s"""
 WITH $toksCte,

@@ -119,6 +119,9 @@ object SparkEntry {
     "doc_chunks" -> ((s, d) =>
       operators.Packing.chunk(Tables.documents(s, d))
         .orderBy(col("doc_id"), col("chunk_id"))),
+    "doc_chunks_overlap" -> ((s, d) =>
+      operators.Packing.chunkOverlap(Tables.documents(s, d))
+        .orderBy(col("doc_id"), col("chunk_id"))),
     "pack_assign" -> ((s, d) =>
       operators.Packing.packAssign(Tables.documents(s, d))),
     "corpus_shuffle" -> ((s, d) =>
@@ -162,6 +165,9 @@ object SparkEntry {
     // full ANN path incl. the k-means build pass (oracle unrolls Lloyd)
     "sim_ivf_kmeans_topk" -> ((s, d) =>
       Similarity.ivfKmeansTopK(Tables.embeddings(s, d))),
+    // embedding-space curation: bottom-k cosine to own label centroid
+    "sim_outliers" -> ((s, d) =>
+      Similarity.outliers(Tables.embeddings(s, d))),
     // ---- multimodal columns ----
     "mm_features" -> ((s, d) =>
       operators.Multimodal.features(Tables.documents(s, d))),

@@ -23,6 +23,7 @@ import graft.functions.Portable
 object Packing {
 
   val chunkTokens = 64
+  val overlapStride = 40
   val packBudget = 2048
   val nBuckets = 32
   val shuffleSalt = "graft-shuffle:"
@@ -45,6 +46,29 @@ object Packing {
           slice(col("tk"), (col("chunk_id") * chunkSize + 1).cast("int"),
             lit(chunkSize))).as("chunk_text"))
       // stream-safe (stateless explode): registration adds the ORDER BY
+
+  /** Sliding-window chunking with overlap (stride < chunkSize):
+    * consecutive chunks share `chunkSize − stride` tokens — the
+    * RAG/context-window layout, vs [[chunk]]'s disjoint shards. Window
+    * count per doc is ceil(max(n − size, 0) / stride) + 1: every token
+    * is covered and the final window is the first to reach the document
+    * end (truncated, never empty). Stateless per-doc explode —
+    * stream-safe, zero shuffles; output volume is a fixed
+    * size/stride multiple of the input, never quadratic. */
+  def chunkOverlap(documents: DataFrame, chunkSize: Int = chunkTokens,
+      stride: Int = overlapStride): DataFrame =
+    documents
+      .withColumn("tk", toks)
+      .withColumn("n", size(col("tk")).cast("long"))
+      .filter(col("n") > 0)
+      .withColumn("chunk_id", explode(sequence(lit(0L),
+        expr(s"(greatest(n - $chunkSize, 0) + ${stride - 1}) div $stride"))))
+      .select(col("doc_id"), col("chunk_id"),
+        least(lit(chunkSize.toLong), col("n") - col("chunk_id") * stride)
+          .as("n_chunk_tokens"),
+        concat_ws(" ",
+          slice(col("tk"), (col("chunk_id") * stride + 1).cast("int"),
+            lit(chunkSize))).as("chunk_text"))
 
   /** Exclusive prefix offsets over per-bucket partials. `partials` must
     * be metadata-sized (one row per bucket): the unpartitioned window

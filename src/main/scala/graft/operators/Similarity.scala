@@ -206,6 +206,36 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Embedding outlier detection — the embedding-space curation op: each
+    * vector's cosine to its OWN label centroid, bottom-k per label = the
+    * mislabeled/noisy candidates a training-data pipeline reviews or
+    * drops (the vector-space sibling of the text quality filters).
+    * Centroids are decimal-exact dimension-wise means (the [[kmeans]]
+    * aggregation mechanics: posexplode → (label, pos) hash agg →
+    * ordered reassembly → unitize): order-independent, no driver-side
+    * collect, and the result is O(labels × dim) — it broadcasts into
+    * the scoring join at any corpus size. Bottom-k per label runs on
+    * [[graft.plans.GroupedTopK]] ascending (bounded heap, no sort). */
+  def outliers(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    val base = unitized(embeddings)
+    val cm = base
+      .select(col("label"), posexplode(col("unit")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("v").cast("decimal(28,10)")).cast("double") /
+        count(lit(1))).as("cv"))
+    val cents = cm.groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+        s => s.getField("cv")).as("c0"))
+      .select(col("label"), unitize(col("c0")).as("centroid"))
+    val scored = base.join(broadcast(cents), Seq("label"))
+      .select(col("label"), col("vec_id"),
+        cosineUnit(col("unit"), col("centroid")).as("cosine"))
+    TopK.perKey(scored, Seq("label"),
+        Seq("cosine" -> false, "vec_id" -> false), k)
+      .withColumn("rn", col("rn").cast("long"))
+      .orderBy(col("label"), col("rn"))
+  }
+
   // ---- int8 quantization (the embedding memory-reduction path) ----
 
   /** Symmetric int8 quantization of the unit vectors: per-vector scale

@@ -31,6 +31,44 @@ class PackingSpec extends SparkSpec {
     assert(rows === 0)
   }
 
+  test("chunkOverlap: full coverage, fixed overlap, last window hits the end") {
+    val size = Packing.chunkTokens
+    val stride = Packing.overlapStride
+    val ch = Packing.chunkOverlap(docs)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    // every token covered: per doc, last start + its length == n tokens
+    val n = docs.select(col("doc_id"),
+      size_of_tokens.as("n"))
+    val lastEnd = ch.groupBy("doc_id")
+      .agg(max(col("chunk_id") * stride + col("n_chunk_tokens")).as("covered"))
+    assert(lastEnd.join(n, Seq("doc_id"))
+      .filter(col("covered") =!= col("n")).count() === 0)
+    // every non-last window is exactly `size` tokens starting at
+    // chunk_id*stride -> consecutive windows overlap by size - stride
+    val notFull = ch
+      .withColumn("is_last", col("chunk_id") === max(col("chunk_id")).over(w))
+      .filter(!col("is_last") && col("n_chunk_tokens") =!= size).count()
+    assert(notFull === 0)
+    // reassembly: stripping the first (size - stride) tokens of every
+    // non-first chunk rebuilds the tokenized document
+    // (all chunks of a doc explode from one row, so the per-doc
+    // collect_list partial preserves chunk order — same as the chunk
+    // reassembly test above)
+    val rebuilt = ch
+      .withColumn("tail", when(col("chunk_id") === 0, col("chunk_text"))
+        .otherwise(concat_ws(" ", slice(split(col("chunk_text"), " "),
+          size - stride + 1, size))))
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", collect_list(col("tail"))).as("rebuilt"))
+    val orig = docs.select(col("doc_id"),
+      concat_ws(" ", graft.functions.Portable.tokens(col("text"))).as("orig"))
+    assert(rebuilt.join(orig, Seq("doc_id"))
+      .filter(col("rebuilt") =!= col("orig")).count() === 0)
+  }
+
+  private def size_of_tokens =
+    size(graft.functions.Portable.tokens(col("text"))).cast("long")
+
   test("packAssign: bucketed scan equals the global-window cumsum") {
     import org.apache.spark.sql.expressions.Window
     val t = docs.select(col("doc_id"),

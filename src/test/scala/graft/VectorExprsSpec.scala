@@ -49,4 +49,20 @@ class VectorExprsSpec extends SparkSpec {
       .collect().head.getDouble(0)
     assert(c === 1.0)
   }
+
+  test("outliers: a planted opposite vector ranks first for its label") {
+    import spark.implicits._
+    // label 0: four near-identical vectors plus one pointing the other
+    // way; label 1: a clean cluster (no rank-1 surprises expected)
+    val vecs = Seq(
+      (0L, Seq(1f, 0.1f), 0), (1L, Seq(1f, -0.1f), 0),
+      (2L, Seq(1f, 0.05f), 0), (3L, Seq(0.9f, 0f), 0),
+      (4L, Seq(-1f, 0f), 0), // the outlier
+      (10L, Seq(0f, 1f), 1), (11L, Seq(0.1f, 1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.outliers(vecs, k = 2).collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Long]("rn")) ->
+        r.getAs[Long]("vec_id")).toMap
+    assert(out((0, 1L)) === 4L)
+  }
 }
