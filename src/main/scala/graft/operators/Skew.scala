@@ -45,9 +45,14 @@ object Skew {
     * pure performance knob — any value gives identical results. */
   def hotColdJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
       weight: Column, hotK: Int): DataFrame = {
-    val hot = small.orderBy(weight.desc +: keys.map(col(_).asc): _*)
+    // materialize the small side once (it is vocab-sized — orders of
+    // magnitude under the corpus): hot, anti-join, and cold all derive
+    // from it, and without this the aggregate subtree is planned three
+    // times (AQE stage reuse is best-effort, not guaranteed)
+    val s = small.localCheckpoint(true)
+    val hot = s.orderBy(weight.desc +: keys.map(col(_).asc): _*)
       .limit(hotK) // TakeOrderedAndProject: no global sort
-    val cold = small.join(broadcast(hot.select(keys.map(col): _*)),
+    val cold = s.join(broadcast(hot.select(keys.map(col): _*)),
       keys, "left_anti")
     large.join(broadcast(hot), keys)
       .unionByName(large.join(cold, keys))
