@@ -42,6 +42,17 @@ SELECT doc_id, n_tokens, mean_word_len, punct_ratio, n_stopwords,
   (n_stopwords >= ${Curation.minStopwords}) AS r_stopwords,
   (r_token_count AND r_mean_word_len AND r_punct_ratio AND r_stopwords) AS keep
 FROM m ORDER BY doc_id""",
+    "text_length_adaptive" -> s"""
+WITH $toksCte,
+t AS (SELECT doc_id, lang, len(tk)::BIGINT AS n_tokens FROM toks),
+b AS (
+  SELECT lang,
+    round(quantile_cont(n_tokens, 0.05)::DOUBLE, 6) AS p5,
+    round(quantile_cont(n_tokens, 0.95)::DOUBLE, 6) AS p95
+  FROM t GROUP BY lang)
+SELECT doc_id, t.lang, n_tokens, p5, p95,
+  (n_tokens >= p5 AND n_tokens <= p95) AS keep
+FROM t JOIN b ON t.lang = b.lang ORDER BY doc_id""",
     "text_repetition" -> s"""
 WITH $toksCte,
 tok AS (SELECT doc_id, unnest(tk) AS g FROM toks),

@@ -50,6 +50,20 @@ cum AS (
 SELECT doc_id, n_tokens, cum_tokens,
   ((cum_tokens - n_tokens) // ${Packing.packBudget})::BIGINT AS pack_id
 FROM cum ORDER BY doc_id""",
+    // same cumsum chain, then one row per pack: docs concatenated in
+    // doc_id order with the end-of-document separator
+    "pack_sequences" -> s"""
+WITH $toksCte,
+t AS (SELECT doc_id, text, len(tk)::BIGINT AS n_tokens FROM toks),
+cum AS (
+  SELECT doc_id, text, n_tokens,
+    sum(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_tokens
+  FROM t)
+SELECT ((cum_tokens - n_tokens) // ${Packing.packBudget})::BIGINT AS pack_id,
+  count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens,
+  string_agg(text, ' ${Packing.eodToken} ' ORDER BY doc_id) AS sequence_text
+FROM cum GROUP BY pack_id ORDER BY pack_id""",
     "corpus_shuffle" -> s"""
 SELECT doc_id, shuffle_key,
   row_number() OVER (ORDER BY shuffle_key, doc_id)::BIGINT AS ord

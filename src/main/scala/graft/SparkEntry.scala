@@ -97,6 +97,8 @@ object SparkEntry {
     "text_quality_filter" -> ((s, d) =>
       operators.Curation.qualityFilter(Tables.documents(s, d))
         .orderBy(col("doc_id"))),
+    "text_length_adaptive" -> ((s, d) =>
+      operators.Curation.lengthAdaptive(Tables.documents(s, d))),
     "text_repetition" -> ((s, d) =>
       operators.Curation.repetition(Tables.documents(s, d))),
     "text_decontaminate" -> ((s, d) =>
@@ -124,6 +126,8 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_id"))),
     "pack_assign" -> ((s, d) =>
       operators.Packing.packAssign(Tables.documents(s, d))),
+    "pack_sequences" -> ((s, d) =>
+      operators.Packing.packSequences(Tables.documents(s, d))),
     "corpus_shuffle" -> ((s, d) =>
       operators.Packing.shuffleOrder(Tables.documents(s, d))),
     "sample_split" -> ((s, d) =>

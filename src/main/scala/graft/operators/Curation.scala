@@ -69,6 +69,29 @@ object Curation {
         "n_stopwords", "r_token_count", "r_mean_word_len", "r_punct_ratio",
         "r_stopwords", "keep")
 
+  /** Per-language ADAPTIVE length filter: corpus-derived p5/p95 token
+    * bounds per language instead of [[qualityFilter]]'s global
+    * constants — the Dolma-style per-source calibration (a threshold
+    * right for English prose kills CJK or code). One exact-percentile
+    * aggregation per language (Spark `percentile` ≡ DuckDB
+    * `quantile_cont` at round-6, proven by rel_quantiles); the bounds
+    * table is O(#languages) and broadcasts into the keep join. The keep
+    * decision compares against the ROUNDED bounds so both engines
+    * decide from bit-identical thresholds. */
+  def lengthAdaptive(documents: DataFrame): DataFrame = {
+    val t = documents.select(col("doc_id"), col("lang"),
+      size(toks).cast("long").as("n_tokens"))
+    val bounds = t.groupBy(col("lang"))
+      .agg(round(expr("percentile(n_tokens, 0.05)"), 6).as("p5"),
+        round(expr("percentile(n_tokens, 0.95)"), 6).as("p95"))
+    t.join(broadcast(bounds), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("p5"), col("p95"),
+        (col("n_tokens") >= col("p5") && col("n_tokens") <= col("p95"))
+          .as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** N-gram repetition metrics (the Gopher repetition signals, at the
     * token and bigram level): duplicate-gram fraction and most-frequent-
     * gram fraction. High values mark boilerplate/spam documents. */

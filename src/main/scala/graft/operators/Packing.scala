@@ -24,6 +24,7 @@ object Packing {
 
   val chunkTokens = 64
   val overlapStride = 40
+  val eodToken = "<|eod|>"
   val packBudget = 2048
   val nBuckets = 32
   val shuffleSalt = "graft-shuffle:"
@@ -110,6 +111,28 @@ object Packing {
         expr(s"(cum_tokens - n_tokens) div $budget").as("pack_id"))
       .orderBy(col("doc_id"))
   }
+
+  /** Physical sequence packing — the packed training rows themselves.
+    * [[packAssign]] gives each document its pack id through the
+    * two-level scan; here each pack becomes ONE row: its documents
+    * concatenated in doc_id order with an end-of-document separator
+    * token (what the tokenizer job feeds the trainer). Per-pack state
+    * is bounded by the token budget, so the in-group ordered assembly
+    * (array_sort over collected (doc_id, text) structs — collect_list
+    * alone has no cross-partition order) is O(budget) per group, and
+    * the groupBy shuffles on the high-cardinality, evenly-filled
+    * pack_id. */
+  def packSequences(documents: DataFrame, budget: Int = packBudget,
+      sep: String = eodToken): DataFrame =
+    packAssign(documents, budget)
+      .join(documents.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        concat_ws(s" $sep ", transform(
+          array_sort(collect_list(struct(col("doc_id"), col("text")))),
+          s => s.getField("text"))).as("sequence_text"))
+      .orderBy(col("pack_id"))
 
   /** Deterministic global shuffle order for training: rank by a salted
     * content-independent hash (same permutation every run, any cluster,

@@ -30,6 +30,17 @@ class CurationSpec extends SparkSpec {
     assert(!byId(4L).getAs[Boolean]("r_punct_ratio") && !byId(4L).getAs[Boolean]("keep"))
   }
 
+  test("lengthAdaptive: per-lang bounds; the one extreme doc is dropped") {
+    // en docs (even ids): many length-3 docs and one length-30 outlier;
+    // with >20 length-3 docs, p5 = p95 = 3 and only the outlier drops
+    val base = (0L until 40L by 2L).map(i => (i, "a b c"))
+    val d = docs((base :+ (100L, Seq.fill(30)("x").mkString(" "))): _*)
+    val out = graft.operators.Curation.lengthAdaptive(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    assert(out(100L) === false)
+    assert(out(0L) === true && out(38L) === true)
+  }
+
   test("repetition: hand-checked ratios on a boilerplate document") {
     // 6 tokens: "buy now buy now buy now" -> tokens: buy x3, now x3
     // dup_token_ratio = (6-2)/6, top_token_ratio = 3/6

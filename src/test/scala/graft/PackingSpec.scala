@@ -86,6 +86,24 @@ class PackingSpec extends SparkSpec {
     assert(packs.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
   }
 
+  test("packSequences: separators count n_docs-1; totals match packAssign") {
+    val seqs = Packing.packSequences(docs).collect()
+    assert(seqs.nonEmpty)
+    val assigned = Packing.packAssign(docs)
+      .groupBy("pack_id")
+      .agg(count(lit(1)).as("nd"), sum(col("n_tokens")).as("nt"))
+      .collect().map(r => r.getAs[Long]("pack_id") ->
+        (r.getAs[Long]("nd"), r.getAs[Long]("nt"))).toMap
+    seqs.foreach { r =>
+      val (nd, nt) = assigned(r.getAs[Long]("pack_id"))
+      assert(r.getAs[Long]("n_docs") === nd)
+      assert(r.getAs[Long]("n_tokens") === nt)
+      val seps = r.getAs[String]("sequence_text")
+        .split("\\s+").count(_ == Packing.eodToken)
+      assert(seps === nd - 1, s"pack ${r.getAs[Long]("pack_id")}")
+    }
+  }
+
   test("shuffleOrder: ord is the exact rank of (shuffle_key, doc_id)") {
     val rows = Packing.shuffleOrder(docs).collect()
     val n = rows.length
