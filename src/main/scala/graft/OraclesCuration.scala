@@ -42,6 +42,24 @@ SELECT doc_id, n_tokens, mean_word_len, punct_ratio, n_stopwords,
   (n_stopwords >= ${Curation.minStopwords}) AS r_stopwords,
   (r_token_count AND r_mean_word_len AND r_punct_ratio AND r_stopwords) AS keep
 FROM m ORDER BY doc_id""",
+    "corpus_report" -> s"""
+WITH $toksCte,
+$qualityMCte,
+fp AS (
+  SELECT doc_id,
+    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+  FROM documents),
+ff AS (SELECT f, min(doc_id) AS first_doc FROM fp GROUP BY f),
+du AS (SELECT doc_id, (fp.doc_id <> ff.first_doc) AS is_dup
+  FROM fp JOIN ff USING (f))
+SELECT d.lang, d.source, count(*)::BIGINT AS n_docs,
+  sum(m.n_tokens)::BIGINT AS total_tokens,
+  round(avg(CASE WHEN $qKeepExpr THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END), 6)
+    AS quality_keep_rate,
+  round(avg(CASE WHEN is_dup THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END), 6)
+    AS dup_rate
+FROM documents d JOIN m ON d.doc_id = m.doc_id JOIN du ON d.doc_id = du.doc_id
+GROUP BY d.lang, d.source ORDER BY d.lang, d.source""",
     "text_length_adaptive" -> s"""
 WITH $toksCte,
 t AS (SELECT doc_id, lang, len(tk)::BIGINT AS n_tokens FROM toks),

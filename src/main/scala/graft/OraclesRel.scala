@@ -116,6 +116,17 @@ SELECT user_id, p_event, p_ts, c_event, c_ts FROM (
   FROM p JOIN c ON user_id = c_user AND c_ts <= p_ts)
 WHERE rn = 1
 ORDER BY p_event""",
+    "rel_shipping_priority" -> s"""
+SELECT l_orderkey, o_orderdate,
+  ${dsum("l_extendedprice * (1 - l_discount)")} AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1999-01-01'
+  AND l_shipdate > TIMESTAMP '1997-06-30'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey LIMIT 10""",
     "rel_quantiles" -> """
 SELECT l_returnflag,
   round(quantile_cont(l_extendedprice, 0.25)::DOUBLE, 6) AS p25_price,

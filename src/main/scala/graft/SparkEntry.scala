@@ -99,6 +99,8 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
     "text_length_adaptive" -> ((s, d) =>
       operators.Curation.lengthAdaptive(Tables.documents(s, d))),
+    "corpus_report" -> ((s, d) =>
+      operators.Curation.corpusReport(Tables.documents(s, d))),
     "text_repetition" -> ((s, d) =>
       operators.Curation.repetition(Tables.documents(s, d))),
     "text_decontaminate" -> ((s, d) =>
@@ -203,6 +205,7 @@ object SparkEntry {
     // exact columns + contract booleans the oracle states as TRUE
     "rel_approx_stats" -> (Relational.approxStats _),
     "rel_cms_user_counts" -> (Relational.cmsUserCounts _),
+    "rel_shipping_priority" -> (Relational.shippingPriority _),
     "rel_range_join" -> (Relational.rangeJoin _),
     "rel_asof_join" -> (Relational.asofJoin _),
   )

@@ -69,6 +69,33 @@ object Curation {
         "n_stopwords", "r_token_count", "r_mean_word_len", "r_punct_ratio",
         "r_stopwords", "keep")
 
+  /** Corpus composition report — the per-(language, source) dashboard a
+    * curation run starts and ends with: document and token counts,
+    * quality-gate pass rate, exact-duplicate rate. Pure composition of
+    * verified operators over grouped aggregates: one metrics pass
+    * ([[qualityFilter]]), one fingerprint aggregation, one group-by on
+    * the (lang, source) grid — every stage partial-aggregates; the
+    * output is O(#langs × #sources). Rates are IEEE sums of 0/1 doubles
+    * (exact integers ≤ 2^53, order-independent) over one division. */
+  def corpusReport(documents: DataFrame): DataFrame = {
+    val q = qualityFilter(documents).select(col("doc_id"), col("n_tokens"),
+      col("keep"))
+    val fp = documents.select(col("doc_id"),
+      md5(TextAnalysis.normalizedText(col("text"))).as("fingerprint"))
+    val firstFp = fp.groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    val dup = fp.join(firstFp, Seq("fingerprint"))
+      .select(col("doc_id"), (col("doc_id") =!= col("first_doc")).as("is_dup"))
+    documents.select(col("doc_id"), col("lang"), col("source"))
+      .join(q, Seq("doc_id")).join(dup, Seq("doc_id"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        round(avg(col("keep").cast("double")), 6).as("quality_keep_rate"),
+        round(avg(col("is_dup").cast("double")), 6).as("dup_rate"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   /** Per-language ADAPTIVE length filter: corpus-derived p5/p95 token
     * bounds per language instead of [[qualityFilter]]'s global
     * constants — the Dolma-style per-source calibration (a threshold

@@ -194,6 +194,30 @@ object Relational {
       .orderBy(col("p_event"), col("c_event"))
   }
 
+  /** TPC-H Q3-shape shipping priority: the canonical SELECTIVE star
+    * join — the segment-filtered customer dim broadcasts into the
+    * orders⋈lineitem shuffle join, both date predicates push down to
+    * the parquet scans (PushedFilters), revenue partial-aggregates
+    * map-side on the high-cardinality (orderkey, date) key, and the
+    * global top-10 plans as TakeOrderedAndProject — no full sort at
+    * any scale. */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+    val orders = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+    val lineitem = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1997-06-30").cast("timestamp"))
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .join(lineitem, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
   /** As-of join: for each purchase, the same user's LATEST click at or
     * before it (ties broken by highest event id — stated identically in
     * the oracle's row_number form).

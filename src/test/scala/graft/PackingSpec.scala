@@ -188,16 +188,24 @@ class PackingSpec extends SparkSpec {
     val stream2 = MemoryStream[(Long, String)]
     val q2 = Packing.splitAssign(asDocs(stream2.toDF())).writeStream
       .format("memory").queryName("split_sink").outputMode("append").start()
+    val stream3 = MemoryStream[(Long, String)]
+    val q3 = Packing.chunkOverlap(asDocs(stream3.toDF()), chunkSize = 4,
+        stride = 3).writeStream
+      .format("memory").queryName("overlap_sink").outputMode("append").start()
     try {
       stream.addData(rows: _*); q.processAllAvailable()
       stream2.addData(rows: _*); q2.processAllAvailable()
+      stream3.addData(rows: _*); q3.processAllAvailable()
       val batchDocs = asDocs(spark.createDataFrame(rows).toDF("_1", "_2"))
       assert(spark.table("chunk_sink").orderBy("doc_id", "chunk_id").collect().toSeq ===
         Packing.chunk(batchDocs, chunkSize = 4)
           .orderBy("doc_id", "chunk_id").collect().toSeq)
       assert(spark.table("split_sink").orderBy("doc_id").collect().toSeq ===
         Packing.splitAssign(batchDocs).orderBy("doc_id").collect().toSeq)
-    } finally { q.stop(); q2.stop() }
+      assert(spark.table("overlap_sink").orderBy("doc_id", "chunk_id").collect().toSeq ===
+        Packing.chunkOverlap(batchDocs, chunkSize = 4, stride = 3)
+          .orderBy("doc_id", "chunk_id").collect().toSeq)
+    } finally { q.stop(); q2.stop(); q3.stop() }
   }
 
   test("plan: pack/shuffle data-sized stages stay partition-parallel") {
