@@ -188,6 +188,27 @@ SELECT window_timestamp,
   max(CASE WHEN ticker = 'signup' THEN latest_price END) AS signup,
   max(CASE WHEN ticker = 'view' THEN latest_price END) AS view
 FROM agg1m GROUP BY window_timestamp ORDER BY window_timestamp"""),
+    // dead-letter accounting: identical wire construction + hash-selected
+    // truncation; ok <=> the corrupted message still parses as JSON
+    "stock_dead_letter" -> """
+WITH w AS (
+  SELECT event_type,
+    '{"event_id":' || event_id::VARCHAR || ',"type":"' || event_type || '"}' AS msg0,
+    ('0x' || substr(md5(event_id::VARCHAR), 1, 8))::BIGINT AS h
+  FROM events),
+c AS (SELECT event_type,
+    CASE WHEN h % 11 = 0 THEN substr(msg0, 1, length(msg0) - 2)
+         ELSE msg0 END AS msg
+  FROM w)
+SELECT event_type,
+  sum(CASE WHEN json_valid(msg) THEN 1 ELSE 0 END)::BIGINT AS n_ok,
+  sum(CASE WHEN json_valid(msg) THEN 0 ELSE 1 END)::BIGINT AS n_dead
+FROM c GROUP BY event_type ORDER BY event_type""",
+    // pivot -> unpivot recovers the long table exactly: the oracle is
+    // the plain minute aggregate, proving the round-trip is the identity
+    "stock_unpivot" -> (stockCte + """
+SELECT window_timestamp, ticker, latest_price
+FROM agg1m ORDER BY window_timestamp, ticker"""),
     // JSON wire-format round-trip is lossless -> oracle is the identity.
     "stock_json_roundtrip" -> (stockCte + """
 SELECT ticker, ts, price, volume, ai_sentiment, ai_summary

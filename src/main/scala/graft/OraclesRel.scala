@@ -116,6 +116,27 @@ SELECT user_id, p_event, p_ts, c_event, c_ts FROM (
   FROM p JOIN c ON user_id = c_user AND c_ts <= p_ts)
 WHERE rn = 1
 ORDER BY p_event""",
+    // session_window twin: gaps-and-islands per user (break at >= 30 min
+    // inactivity; session end = last event + gap), same as stock_sessions
+    "rel_user_sessions" -> """
+WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, event_type FROM events),
+brk AS (
+  SELECT user_id, ts, event_type,
+    CASE WHEN epoch(ts) - epoch(lag(ts) OVER (
+      PARTITION BY user_id ORDER BY ts)) >= 1800 THEN 1 ELSE 0 END AS brk
+  FROM e),
+sid AS (
+  SELECT user_id, ts, event_type,
+    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM brk)
+SELECT user_id, min(ts) AS session_start,
+  max(ts) + INTERVAL 30 MINUTE AS session_end,
+  count(*)::BIGINT AS n_events,
+  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchases,
+  (sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0) AS converted
+FROM sid GROUP BY user_id, sid
+ORDER BY user_id, session_start""",
     "rel_shipping_priority" -> s"""
 SELECT l_orderkey, o_orderdate,
   ${dsum("l_extendedprice * (1 - l_discount)")} AS revenue

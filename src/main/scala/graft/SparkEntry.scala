@@ -65,6 +65,10 @@ object SparkEntry {
     "stock_pivot" -> ((s, d) =>
       StockPipeline.pivotPrices(StockPipeline.agg1m(
         StockPipeline.normalize(Tables.events(s, d))))),
+    "stock_dead_letter" -> (StockPipeline.deadLetter _),
+    "stock_unpivot" -> ((s, d) =>
+      StockPipeline.unpivotPrices(StockPipeline.agg1m(
+        StockPipeline.normalize(Tables.events(s, d))))),
     "stock_json_roundtrip" -> ((s, d) =>
       StockPipeline.jsonRoundtrip(StockPipeline.normalize(Tables.events(s, d)))),
     // ---- SQL analytics surface Q1-Q10 (SURVEY.md §2.9) ----
@@ -206,6 +210,7 @@ object SparkEntry {
     "rel_approx_stats" -> (Relational.approxStats _),
     "rel_cms_user_counts" -> (Relational.cmsUserCounts _),
     "rel_shipping_priority" -> (Relational.shippingPriority _),
+    "rel_user_sessions" -> ((s, d) => Relational.userSessions(s, d)),
     "rel_range_join" -> (Relational.rangeJoin _),
     "rel_asof_join" -> (Relational.asofJoin _),
   )

@@ -194,6 +194,28 @@ object Relational {
       .orderBy(col("p_event"), col("c_event"))
   }
 
+  /** User-journey sessionization with conversion: Spark's native
+    * `session_window` (30-minute inactivity gap) keyed by user, with
+    * per-session event and purchase counts and a converted flag — the
+    * funnel table every event warehouse derives. Same engine path as
+    * the stock session windows (stream-safe: the identical transform
+    * runs under readStream with a watermark); the oracle states the
+    * batch semantics as gaps-and-islands SQL. Shuffles once on the
+    * (user, session) grain; per-session state is bounded by the gap. */
+  def userSessions(spark: SparkSession, dir: String,
+      gap: String = "30 minutes"): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("n_purchases"),
+        (col("n_purchases") > 0).as("converted"))
+      .orderBy(col("user_id"), col("session_start"))
+
   /** TPC-H Q3-shape shipping priority: the canonical SELECTIVE star
     * join — the segment-filtered customer dim broadcasts into the
     * orders⋈lineitem shuffle join, both date predicates push down to

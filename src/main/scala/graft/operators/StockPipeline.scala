@@ -317,6 +317,48 @@ object StockPipeline {
       .agg(max(col("latest_price")))
       .orderBy(col("window_timestamp"))
 
+  /** P1 robustness: malformed-message DEAD-LETTER accounting — the
+    * quarantine path every production decode stage needs (a Beam/
+    * Dataflow pipeline would route these to a dead-letter topic rather
+    * than crash the job). A deterministic subset of wire messages is
+    * corrupted (truncated — hash-selected so both engines pick the same
+    * rows), parsed with non-throwing `from_json`, and classified: a
+    * failed parse surfaces as a NULL struct field, never an exception.
+    * Map-side until the final small group-by; the same expressions run
+    * unchanged under streaming. */
+  def deadLetter(spark: SparkSession, dir: String): DataFrame = {
+    val wire = graft.sources.Tables.events(spark, dir)
+      .select(col("event_type"),
+        concat(lit("{\"event_id\":"), col("event_id").cast("string"),
+          lit(",\"type\":\""), col("event_type"), lit("\"}")).as("msg"),
+        graft.functions.Portable.hash32(col("event_id").cast("string")).as("h"))
+    val corrupted = wire.withColumn("msg",
+      when(col("h") % 11 === 0,
+        expr("substring(msg, 1, length(msg) - 2)")).otherwise(col("msg")))
+    val parsed = corrupted.withColumn("rec", from_json(col("msg"),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, type STRING")))
+    parsed.groupBy(col("event_type"))
+      .agg(
+        sum(when(col("rec.event_id").isNotNull, 1L).otherwise(0L)).as("n_ok"),
+        sum(when(col("rec.event_id").isNull, 1L).otherwise(0L)).as("n_dead"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Wide→long melt — the inverse of [[pivotPrices]], via Spark's native
+    * `unpivot` (no UDF, no explode-of-structs): dropping the NULL cells
+    * the pivot manufactured for absent (minute, ticker) combinations
+    * recovers exactly the long minute-aggregate rows, so the registered
+    * oracle is simply the LONG table — proving pivot∘unpivot = identity
+    * bit-for-bit. Stateless and map-side: each wide row melts to ≤
+    * #tickers rows with no shuffle. */
+  def unpivotPrices(agg1mDf: DataFrame): DataFrame =
+    pivotPrices(agg1mDf)
+      .unpivot(Array(col("window_timestamp")),
+        tickerValues.map(col).toArray, "ticker", "latest_price")
+      .filter(col("latest_price").isNotNull)
+      .orderBy(col("window_timestamp"), col("ticker"))
+
   /** K2/P1 round-trip: serialize each event to the reference's JSON wire
     * format (`main.py:162-172`) and parse it back — the engine's
     * encode/decode path is lossless (Double.toString is round-trippable;
