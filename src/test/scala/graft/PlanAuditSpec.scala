@@ -1,0 +1,42 @@
+package graft
+
+/** Roster-wide physical-plan audit: every registered query's executed
+  * plan is scanned for the operators that kill clusters at scale.
+  *
+  *  - `CartesianProduct` (unbroadcast O(n·m) join): never allowed.
+  *  - Non-cross `BroadcastNestedLoopJoin` (a non-equi join that streams
+  *    one side against a broadcast): allowed only where the build side
+  *    is a BOUNDED query set by construction — the brute-force/LSH
+  *    similarity probes, whose broadcast side is ≤ nQueries rows
+  *    regardless of corpus size. (Cross BNLJ of 1-row scalar aggregates
+  *    — injected clocks, bounds, vocab sizes — is the intended
+  *    broadcast pattern and not flagged.)
+  *
+  * A new operator that accidentally plans a quadratic join fails here
+  * before it ever reaches the bench.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Queries whose INNER nested-loop join is the documented bounded-
+    * broadcast probe, not an accident. */
+  private val boundedProbeWhitelist = Set(
+    "sim_bruteforce_topk", // brute force IS all-pairs: the baseline
+    "sim_lsh_topk",        // band0-OR-band1 candidate match vs 20 queries
+    "sim_quantized_topk")  // reconstructed-cosine brute force
+
+  test("no registered query plans a cartesian or unbounded nested-loop join") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        val cartesian = plan.contains("CartesianProduct")
+        val nonCrossBnlj =
+          "BroadcastNestedLoopJoin (Inner|LeftOuter|RightOuter|LeftSemi|LeftAnti|FullOuter)".r
+            .findFirstIn(plan).isDefined && !boundedProbeWhitelist(name)
+        (if (cartesian) Seq(s"$name: CartesianProduct") else Nil) ++
+          (if (nonCrossBnlj) Seq(s"$name: unbounded non-equi BNLJ") else Nil)
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+}
