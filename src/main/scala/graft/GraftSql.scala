@@ -21,9 +21,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     physical operator out, no user change.
   *
   * This is a CORPUS shim, not a general BigQuery parser: it handles the
-  * reference's query shapes (single top-level SELECT, plain select
-  * list, one QUALIFY clause). Out-of-corpus SQL passes through
-  * untouched except for the lexical rewrites above. */
+  * reference's query shapes (one top-level SELECT — optionally under a
+  * WITH clause, whose CTE bodies sit at paren depth > 0 and are
+  * untouched by the top-level scan (GraftSqlSpec proves the combined
+  * WITH + QUALIFY path) — plain select list, one QUALIFY clause).
+  * Out-of-corpus SQL passes through untouched except for the lexical
+  * rewrites above. */
 object GraftSql {
 
   def rewrite(query: String, tableMap: Map[String, String] = Map.empty,

@@ -105,6 +105,30 @@ WHERE window_timestamp > TIMESTAMP_SUB(CURRENT_TIMESTAMP(), INTERVAL 1 HOUR);
     assert(got.getLong(3) === expected.getLong(3))
   }
 
+  test("WITH-CTE + QUALIFY: the CTE body sits at paren depth > 0, so the " +
+      "top-level scan rewrites correctly and lowers to GroupedTopK") {
+    ana
+    val q = """
+WITH recent AS (
+  SELECT ticker, latest_price, window_timestamp
+  FROM `stock_market_dataset.realtime_analysis`)
+SELECT ticker, latest_price, window_timestamp
+FROM recent
+QUALIFY ROW_NUMBER() OVER (PARTITION BY ticker ORDER BY window_timestamp DESC) = 1
+ORDER BY ticker;
+"""
+    val df = GraftSql.sql(spark, q)
+    val got = df.collect()
+      .map(r => r.getAs[String]("ticker") -> r.getAs[Double]("latest_price")).toMap
+    val want = Analytics.q1Dashboard(ana).collect()
+      .map(r => r.getAs[String]("ticker") -> r.getAs[Double]("latest_price")).toMap
+    assert(got === want && got.nonEmpty)
+    assert(df.queryExecution.optimizedPlan
+      .collect { case g: graft.plans.GroupedTopK => g }.nonEmpty)
+    assert(df.queryExecution.optimizedPlan
+      .collect { case w: LogicalWindow => w }.isEmpty)
+  }
+
   test("rewrite is lexical and shape-preserving for out-of-corpus SQL") {
     assert(GraftSql.rewrite("SELECT 1") === "SELECT 1")
     assert(GraftSql.rewrite("SELECT * FROM `a.b.c` WHERE x > 0") ===
