@@ -69,9 +69,10 @@ object ScaleProbe {
         }
         val (mp, mpS) = t(Dedup.minhashPairs(df).count())
         val (jp, jpS) = t(Dedup.jaccardPairs(df).count())
+        val (sp, spS) = t(Dedup.simhashPairs(df).count())
         val (_, paS) = t(Packing.packAssign(df).count())
         val (_, soS) = t(Packing.shuffleOrder(df).count())
-        println(f"[scale-probe-docs] x$n%-3d docs=$rows%8d minhashPairs=$mpS%6.2fs($mp) jaccardPairs=$jpS%6.2fs($jp) packAssign=$paS%6.2fs shuffleOrder=$soS%6.2fs")
+        println(f"[scale-probe-docs] x$n%-3d docs=$rows%8d minhashPairs=$mpS%6.2fs($mp) jaccardPairs=$jpS%6.2fs($jp) simhashPairs=$spS%6.2fs($sp) packAssign=$paS%6.2fs shuffleOrder=$soS%6.2fs")
       }
       spark.stop(); return
     }

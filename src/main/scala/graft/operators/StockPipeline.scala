@@ -326,8 +326,13 @@ object StockPipeline {
     * failed parse surfaces as a NULL struct field, never an exception.
     * Map-side until the final small group-by; the same expressions run
     * unchanged under streaming. */
-  def deadLetter(spark: SparkSession, dir: String): DataFrame = {
-    val wire = graft.sources.Tables.events(spark, dir)
+  def deadLetter(spark: SparkSession, dir: String): DataFrame =
+    deadLetterOn(graft.sources.Tables.events(spark, dir))
+
+  /** Transform form of [[deadLetter]] — runs unchanged on a stream
+    * (complete/update mode for the final aggregate). */
+  def deadLetterOn(events: DataFrame): DataFrame = {
+    val wire = events
       .select(col("event_type"),
         concat(lit("{\"event_id\":"), col("event_id").cast("string"),
           lit(",\"type\":\""), col("event_type"), lit("\"}")).as("msg"),

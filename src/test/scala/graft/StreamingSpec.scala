@@ -231,6 +231,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dead-letter classification runs unchanged on a stream (complete mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (1L to 200L).map(i =>
+      ev(i, "2024-01-01 00:00:10", if (i % 2 == 0) "click" else "purchase",
+        1.0, i))
+    val stream = MemoryStream[RawEvent]
+    val q = graft.operators.StockPipeline.deadLetterOn(stream.toDF())
+      .writeStream.format("memory").queryName("dl_sink")
+      .outputMode("complete").start()
+    try {
+      stream.addData(rows.take(100): _*); q.processAllAvailable()
+      stream.addData(rows.drop(100): _*); q.processAllAvailable()
+      val got = spark.table("dl_sink").orderBy("event_type").collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_ok"),
+          r.getAs[Long]("n_dead"))).toSeq
+      val want = graft.operators.StockPipeline
+        .deadLetterOn(rows.toDF()).orderBy("event_type").collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_ok"),
+          r.getAs[Long]("n_dead"))).toSeq
+      assert(got === want)
+      assert(got.map(_._3).sum > 0, "fixture must exercise the dead path")
+    } finally q.stop()
+  }
+
   test("date-partitioned sink prunes partitions for time predicates") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
     val ana = graft.operators.StockPipeline.analysis(spark, "/root/testdata/sf0.001")
