@@ -116,6 +116,27 @@ SELECT user_id, p_event, p_ts, c_event, c_ts FROM (
   FROM p JOIN c ON user_id = c_user AND c_ts <= p_ts)
 WHERE rn = 1
 ORDER BY p_event""",
+    "rel_promo_revenue" -> s"""
+SELECT date_trunc('month', l_shipdate)::TIMESTAMP AS month,
+  ${dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")} AS promo_revenue,
+  ${dsum("l_extendedprice * (1 - l_discount)")} AS total_revenue,
+  round(${dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+    / ${dsum("l_extendedprice * (1 - l_discount)")} * 100, 6) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY month ORDER BY month""",
+    "rel_volume_shipping" -> s"""
+SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+  year(l_shipdate)::BIGINT AS ship_year,
+  ${dsum("l_extendedprice * (1 - l_discount)")} AS revenue,
+  count(*)::BIGINT AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+GROUP BY supp_nation, cust_nation, ship_year
+ORDER BY supp_nation, cust_nation, ship_year""",
     // session_window twin: gaps-and-islands per user (break at >= 30 min
     // inactivity; session end = last event + gap), same as stock_sessions
     "rel_user_sessions" -> """

@@ -210,6 +210,8 @@ object SparkEntry {
     "rel_approx_stats" -> (Relational.approxStats _),
     "rel_cms_user_counts" -> (Relational.cmsUserCounts _),
     "rel_shipping_priority" -> (Relational.shippingPriority _),
+    "rel_promo_revenue" -> (Relational.promoRevenue _),
+    "rel_volume_shipping" -> (Relational.volumeShipping _),
     "rel_user_sessions" -> ((s, d) => Relational.userSessions(s, d)),
     "rel_range_join" -> (Relational.rangeJoin _),
     "rel_asof_join" -> (Relational.asofJoin _),

@@ -194,6 +194,52 @@ object Relational {
       .orderBy(col("p_event"), col("c_event"))
   }
 
+  /** TPC-H Q14-shape promo revenue share: one broadcast dim join, then
+    * BOTH the promo and total sums in a single conditional aggregation
+    * pass (no second scan, no join of two aggregates) — the
+    * join-elimination pattern the stock pipeline uses, applied
+    * relationally. Monthly grain; decimal-exact sums; the share is one
+    * double division. */
+  def promoRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(date_trunc("month", col("l_shipdate")).as("month"))
+      .agg(
+        decSum(when(col("p_type") === "PROMO",
+          col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .otherwise(lit(0))).as("promo_revenue"),
+        decSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("total_revenue"))
+      .select(col("month"), col("promo_revenue"), col("total_revenue"),
+        round(col("promo_revenue") / col("total_revenue") * 100, 6)
+          .as("promo_pct"))
+      .orderBy(col("month"))
+
+  /** TPC-H Q7-shape volume shipping: revenue by (supplier nation,
+    * customer nation, ship year). Fact-to-fact orders⋈lineitem shuffles
+    * on the order key; every dimension (customer, supplier, nation×2)
+    * broadcasts; the aggregate output is O(nations² × years). */
+  def volumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+    val n2 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("c_nationkey") === col("c_nkey"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n2), col("s_nationkey") === col("s_nkey"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("ship_year"))
+      .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("ship_year"))
+  }
+
   /** User-journey sessionization with conversion: Spark's native
     * `session_window` (30-minute inactivity gap) keyed by user, with
     * per-session event and purchase counts and a converted flag — the
