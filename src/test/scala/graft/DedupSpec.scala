@@ -52,4 +52,28 @@ class DedupSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSeq === Seq(10L))
     assert(out(0).getString(1) === "new")
   }
+
+  test("simhashPairs: 16-bit banding is COMPLETE at hamming <= 3 " +
+      "(equals the all-pairs scan on sf0.001)") {
+    import org.apache.spark.sql.functions._
+    // independent evidence beyond the oracle (which mirrors the same
+    // banding): brute-force every pair's hamming distance and assert
+    // the pigeonhole join found exactly the qualifying set
+    val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val sigs = Dedup.simhash(d)
+    val a = sigs.select(col("doc_id").as("doc_a"),
+      col("sim_lo").as("la"), col("sim_hi").as("ha"))
+    val b = sigs.select(col("doc_id").as("doc_b"),
+      col("sim_lo").as("lb"), col("sim_hi").as("hb"))
+    val brute = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (bit_count(expr("la ^ lb")) + bit_count(expr("ha ^ hb")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val banded = Dedup.simhashPairs(d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded === brute)
+    assert(brute.nonEmpty, "fixture must contain close pairs")
+  }
 }
