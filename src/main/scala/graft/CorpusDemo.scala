@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Packing}
+import graft.sources.{Sinks, Tables}
+
+/** End-to-end corpus pipeline demo — the library's operators composed
+  * the way a real training-data job runs them, from raw documents to a
+  * shard layout a data loader can list:
+  *
+  *   1. curate: quality ∧ exact-dup rep ∧ near-dup cluster rep ∧
+  *      decontaminated ([[Curation.curatedCorpus]]);
+  *   2. assign: deterministic train/val/test splits + per-split
+  *      shuffled shard ids ([[Packing.shardAssign]]);
+  *   3. write: exactly one parquet file per (split, shard), rows in
+  *      training order inside each file ([[Sinks.writeTrainingShards]]).
+  *
+  * Every stage is the already-oracle-verified operator — this main just
+  * wires them and prints the funnel, so a library user sees the whole
+  * path run in one command.
+  * Run: `sbt "runMain graft.CorpusDemo [sfDir] [outDir]"`. */
+object CorpusDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outDir = args.lift(1).getOrElse("/tmp/graft_corpus")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs = Tables.documents(spark, sfDir)
+    val nIn = docs.count()
+
+    val audit = Curation.curatedCorpus(docs)
+    val kept = docs.join(
+      audit.filter(col("keep")).select("doc_id"), Seq("doc_id"))
+      .localCheckpoint() // curation verdicts are final; don't recompute
+    val nKept = kept.count()
+
+    val sharded = Packing.shardAssign(kept)
+    Sinks.writeTrainingShards(sharded, outDir)
+
+    val bySplit = sharded.groupBy("split")
+      .agg(count(lit(1)).as("docs"),
+        countDistinct(col("shard_id")).as("shards"))
+      .orderBy("split").collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}d/${r.getLong(2)}s")
+      .mkString(" ")
+    println(s"[corpus-demo] in=$nIn kept=$nKept ($bySplit) -> $outDir")
+    spark.stop()
+  }
+}
