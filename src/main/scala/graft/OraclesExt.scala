@@ -106,6 +106,24 @@ scored AS (
 SELECT doc_id, count(*)::BIGINT AS n_bigrams,
   round(exp(-sum(lp) / count(*)), 6) AS perplexity
 FROM scored GROUP BY doc_id ORDER BY doc_id""",
+    // hashed linear classifier: identical weight-table formula, token
+    // bucketing, and sequential fold as TextAnalysis.classifierScore
+    "text_classifier" -> s"""
+WITH $toksCte,
+w AS (
+  SELECT list(((${TextAnalysis.clsCoeffs._1} * (j + 1) + ${TextAnalysis.clsCoeffs._2}) % ${graft.functions.Portable.P31})::DOUBLE
+    / ${graft.functions.Portable.P31} - 0.5 ORDER BY j) AS wv
+  FROM range(${TextAnalysis.clsDim}) t(j)),
+sc AS (
+  SELECT doc_id, len(tk)::BIGINT AS n_tokens,
+    round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(tk,
+      t -> wv[(('0x' || substr(md5(t), 1, 8))::BIGINT % ${TextAnalysis.clsDim} + 1)::INT])),
+      (acc, x) -> acc + x) / len(tk), 6) AS margin
+  FROM toks CROSS JOIN w)
+SELECT doc_id, n_tokens, margin,
+  round(1.0 / (1.0 + exp(-margin * 10)), 6) AS score,
+  (margin > 0) AS label
+FROM sc ORDER BY doc_id""",
     "text_bigram_hist" -> s"""
 WITH $toksCte
 SELECT bigram, count(*)::BIGINT AS freq
@@ -256,6 +274,30 @@ FROM documents d LEFT JOIN ex ON d.doc_id = ex.doc_id
   LEFT JOIN nd ON d.doc_id = nd.doc_id
 WHERE d.doc_id >= ${Dedup.incBatchMinId}
 ORDER BY d.doc_id"""),
+    // span-level dedup: the oracle states the classic row_number-per-
+    // fingerprint form; the engine computes the same first-occurrence
+    // rule with one min(struct) hash aggregation (no window, no sort)
+    "dedup_paragraphs" -> s"""
+WITH $toksCte,
+sp AS (
+  SELECT doc_id,
+    unnest(range((len(tk) + ${Dedup.spanTokens} - 1) // ${Dedup.spanTokens})) AS span_idx,
+    tk
+  FROM toks),
+spans AS (
+  SELECT doc_id, span_idx,
+    array_to_string(tk[span_idx * ${Dedup.spanTokens} + 1 : span_idx * ${Dedup.spanTokens} + ${Dedup.spanTokens}], ' ') AS span_text
+  FROM sp),
+rk AS (
+  SELECT doc_id, span_idx, span_text,
+    row_number() OVER (PARTITION BY md5(span_text)
+      ORDER BY doc_id, span_idx) AS rn
+  FROM spans)
+SELECT doc_id, count(*)::BIGINT AS n_spans,
+  sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_spans,
+  coalesce(string_agg(span_text, ' ' ORDER BY span_idx)
+    FILTER (WHERE rn = 1), '') AS clean_text
+FROM rk GROUP BY doc_id ORDER BY doc_id""",
     "dedup_simhash" -> (simhashCte + "SELECT * FROM sig ORDER BY doc_id"),
     "dedup_simhash_pairs" -> (simhashCte + """,
 sb AS (
@@ -446,6 +488,25 @@ rk AS (
     row_number() OVER (PARTITION BY label ORDER BY cosine, vec_id)::BIGINT AS rn
   FROM sc)
 SELECT label, vec_id, cosine, rn FROM rk WHERE rn <= 5 ORDER BY label, rn"""),
+    // SemDeDup: the same unrolled Lloyd chain as sim_ivf_kmeans_topk,
+    // then in-cell pairs -> per-vector max cosine + keep-first-by-id
+    "sim_semdedup" -> (simBase + kmeansCtes + s""",
+pr AS (
+  SELECT a.vec_id AS vid, b.vec_id AS nbr,
+    round(list_inner_product(a.ev, b.ev), 6) AS cosine
+  FROM asg${graft.operators.Similarity.kmIters} a
+  JOIN asg${graft.operators.Similarity.kmIters} b
+    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+pv AS (
+  SELECT vid, max(cosine) AS max_cell_cosine,
+    min(CASE WHEN cosine >= ${graft.operators.Similarity.semThreshold}
+             AND nbr < vid THEN nbr END) AS dup_of
+  FROM pr GROUP BY vid)
+SELECT a.vec_id, a.cell, pv.max_cell_cosine, pv.dup_of,
+  (pv.dup_of IS NULL) AS is_kept
+FROM asg${graft.operators.Similarity.kmIters} a
+LEFT JOIN pv ON a.vec_id = pv.vid
+ORDER BY a.vec_id"""),
     // int8-quantized brute force: same scale/code formulas (floor(x/s+0.5))
     "sim_quantized_topk" -> (simBase + s""",
 qz AS (

@@ -213,6 +213,38 @@ SELECT month, revenue, n_orders,
     ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
     AS vs_first
 FROM m ORDER BY month""",
+    // Q18-shape: HAVING-subquery semi-join reduction, alias reused in
+    // HAVING (DuckDB permits it; Spark side filters the agg output)
+    "rel_big_orders" -> s"""
+WITH big AS (
+  SELECT l_orderkey, ${dsum("l_quantity")} AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING total_qty > 300)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM big JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    // Q22-shape: scalar-subquery balance gate + NOT EXISTS anti-join on
+    // the date-filtered orders slice
+    "rel_idle_customers" -> s"""
+WITH ab AS (
+  SELECT ${dsum("c_acctbal")} / count(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0)
+SELECT n_name, count(*) AS n_customers, ${dsum("c_acctbal")} AS total_bal
+FROM customer CROSS JOIN ab
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1998-01-01')
+GROUP BY n_name ORDER BY n_name""",
+    // the oracle states the PLAIN join: hash equality proves the salted
+    // plan is value-invisible
+    "rel_salted_supplier_revenue" -> s"""
+SELECT s_name, ${dsum("l_extendedprice * (1 - l_discount)")} AS revenue,
+  count(*) AS n_items
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name ORDER BY revenue DESC, s_name LIMIT 10""",
     "rel_orders_cube" -> s"""
 SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
   ${dsum("o_totalprice")} AS total_price

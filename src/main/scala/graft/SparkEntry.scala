@@ -97,6 +97,9 @@ object SparkEntry {
     // bigram-LM perplexity scoring (CCNet-style quality signal)
     "text_perplexity" -> ((s, d) =>
       TextAnalysis.perplexity(Tables.documents(s, d))),
+    // fastText-style hashed linear quality-classifier seam
+    "text_classifier" -> ((s, d) =>
+      TextAnalysis.classifierScore(Tables.documents(s, d))),
     // ---- training-data curation (quality gates, repetition, sampling) ----
     "text_quality_filter" -> ((s, d) =>
       operators.Curation.qualityFilter(Tables.documents(s, d))
@@ -157,6 +160,9 @@ object SparkEntry {
     // new-batch-vs-index incremental dedup (exact + LSH near-dup)
     "dedup_incremental" -> ((s, d) =>
       Dedup.incremental(Tables.documents(s, d))),
+    // span-level (paragraph-grade) dedup with cleaned-text reassembly
+    "dedup_paragraphs" -> ((s, d) =>
+      Dedup.spanDedup(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "dedup_simhash_pairs" -> ((s, d) =>
@@ -178,6 +184,9 @@ object SparkEntry {
     // embedding-space curation: bottom-k cosine to own label centroid
     "sim_outliers" -> ((s, d) =>
       Similarity.outliers(Tables.embeddings(s, d))),
+    // SemDeDup: k-means cells + in-cell near-identical keep-first
+    "sim_semdedup" -> ((s, d) =>
+      Similarity.semDedup(Tables.embeddings(s, d))),
     // ---- multimodal columns ----
     "mm_features" -> ((s, d) =>
       operators.Multimodal.features(Tables.documents(s, d))),
@@ -215,6 +224,13 @@ object SparkEntry {
     "rel_user_sessions" -> ((s, d) => Relational.userSessions(s, d)),
     "rel_range_join" -> (Relational.rangeJoin _),
     "rel_asof_join" -> (Relational.asofJoin _),
+    // TPC-H Q18-shape HAVING-subquery semi-join reduction
+    "rel_big_orders" -> ((s, d) => Relational.bigOrders(s, d)),
+    // TPC-H Q22-shape scalar-subquery gate + NOT EXISTS anti-join
+    "rel_idle_customers" -> ((s, d) => Relational.idleCustomers(s, d)),
+    // salted skew join, oracle-proven value-invisible (plain-join SQL)
+    "rel_salted_supplier_revenue" -> ((s, d) =>
+      Relational.saltedSupplierRevenue(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

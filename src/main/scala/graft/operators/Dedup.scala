@@ -338,6 +338,48 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Span width (tokens) for [[spanDedup]] — shared with the oracle. */
+  val spanTokens = 8
+
+  /** Span-level (paragraph-grade) exact dedup — the Dolma/RefinedWeb
+    * within-corpus repetition remover: documents are cut into fixed
+    * `w`-token spans (the whitespace-free analog of paragraph splits;
+    * this corpus has no newlines), each span is fingerprinted, and a
+    * span is a duplicate iff the same fingerprint appeared EARLIER in
+    * the corpus — earlier doc, or earlier offset of the same doc (so
+    * within-document repetition dedups too). Output per document: span
+    * counts and the cleaned text reassembled from surviving spans in
+    * original order.
+    *
+    * Scale (100 TB): the explode is map-side (O(tokens) rows, each a
+    * 16-byte hash + two ids after the md5 — the text never shuffles);
+    * first-occurrence is ONE hash aggregation on the fingerprint
+    * (min(struct(doc, idx)) — no window, no sort); reassembly is one
+    * hash aggregation back on doc_id with a bounded per-doc sort of its
+    * own spans. Two shuffles total, both on high-cardinality keys. */
+  def spanDedup(documents: DataFrame, w: Int = spanTokens): DataFrame = {
+    val spans = documents
+      .withColumn("toks", Portable.tokens(col("text")))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, (size(toks) + $w - 1) div $w - 1), " +
+          s"i -> concat_ws(' ', slice(toks, i * $w + 1, $w)))"))
+        .as(Seq("span_idx", "span_text")))
+      .withColumn("hh", md5(col("span_text")))
+    val firsts = spans.groupBy(col("hh"))
+      .agg(min(struct(col("doc_id"), col("span_idx"))).as("first"))
+    val flagged = spans.join(firsts, Seq("hh"))
+      .withColumn("is_dup",
+        struct(col("doc_id"), col("span_idx")) =!= col("first"))
+    flagged.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_spans"),
+        array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN NOT is_dup THEN " +
+            "struct(span_idx, span_text) END)), s -> s.span_text)"), " ")
+          .as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** 64-bit SimHash over distinct tokens: (doc_id, sim_lo, sim_hi).
     * Stored as two 32-bit halves (sim_lo = bits 0..31 from md5 hex chars
     * 1-8 of each token, sim_hi = bits 32..63 from chars 9-16) so no

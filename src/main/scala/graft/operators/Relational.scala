@@ -392,6 +392,78 @@ object Relational {
           col("exact_median") * lit(0.01)).as("gk_median_within_1pct"))
       .orderBy(col("l_returnflag"))
 
+  /** TPC-H Q18-shape large-volume orders: the HAVING-subquery semi-join.
+    * The per-order quantity aggregate runs FIRST (one shuffle on
+    * l_orderkey, partial map-side combine), its >threshold filter lands
+    * on the aggregate output — the classic semi-join reduction that
+    * shrinks the probe side to the qualifying orders before either
+    * dimension join. Both remaining joins are equi-shuffles on their
+    * keys; the global top-100 plans as TakeOrderedAndProject. Reference
+    * analog: the dashboard's top-k drill-downs (`app.py:79-95`) composed
+    * with a grouped-HAVING predicate. */
+  def bigOrders(spark: SparkSession, dir: String,
+      minQty: Double = 300.0): DataFrame = {
+    val bigKeys = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(decSum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    Tables.orders(spark, dir)
+      .join(bigKeys, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q22-shape idle high-balance customers: a scalar aggregate
+    * subquery (global average balance — one tiny broadcast row) gates
+    * the customer scan, then a NOT EXISTS anti-join against recent
+    * orders drops anyone who ordered after the cutoff. The anti-join is
+    * Spark's left_anti on o_custkey — no row multiplication; the orders
+    * side is date-filtered BEFORE the join so the anti probe carries
+    * only the recent slice. Output is O(nations). */
+  def idleCustomers(spark: SparkSession, dir: String,
+      cutoff: String = "1998-01-01"): DataFrame = {
+    val customer = Tables.customer(spark, dir)
+    // decimal-exact global mean: order-independent, one broadcast row
+    val stats = customer.filter(col("c_acctbal") > 0)
+      .agg((decSum(col("c_acctbal")) / count(lit(1))).as("avg_bal"))
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(cutoff).cast("timestamp"))
+      .select(col("o_custkey"))
+    customer.crossJoin(broadcast(stats))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("o_custkey") === col("c_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        decSum(col("c_acctbal")).as("total_bal"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Supplier revenue through [[Skew.saltedJoin]] — the skew-mitigation
+    * technique registered as an oracle row: the DuckDB oracle states the
+    * PLAIN join, so the hash check proves salting is value-invisible
+    * (rows identical, only the shuffle layout changes). The salt spreads
+    * each supplier key's lineitem rows across 8 tasks — the plan shape
+    * for a hot key too large for one task where AQE skew-split can't
+    * reach (e.g. under a stateful streaming join). */
+  def saltedSupplierRevenue(spark: SparkSession, dir: String,
+      nSalts: Int = 8): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey").as("s_suppkey"), col("l_orderkey"),
+        col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    val supp = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name"))
+    Skew.saltedJoin(li, supp, "s_suppkey", col("l_orderkey"), nSalts)
+      .groupBy(col("s_name"))
+      .agg(decSum(col("rev")).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("s_name"))
+      .limit(10)
+  }
+
   /** Order counts + revenue by (status, priority) with ROLLUP subtotals. */
   def ordersRollup(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)

@@ -206,6 +206,47 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** SemDeDup (semantic deduplication, Abbas et al. 2023): k-means the
+    * embedding space, then within each cluster flag every vector that
+    * has a near-identical neighbor (cosine ≥ `threshold`) with a SMALLER
+    * id — keep-first-by-id, the deterministic variant of the paper's
+    * keep-one-per-group. Emits per vector: its cell, its maximum in-cell
+    * cosine (so the pair computation is value-verified even where no
+    * pair crosses the threshold), the earlier duplicate it collapses
+    * into (NULL if none), and the keep flag.
+    *
+    * Scale (100 TB): this is exactly why SemDeDup clusters FIRST — the
+    * pair search is an equi-join on cell, never the corpus-wide
+    * all-pairs product. Cost is Σ|cell|², bounded by choosing k
+    * proportional to corpus size (the paper's √n-style sizing keeps
+    * cells near-constant); the join shuffles once on cell and each
+    * cell's pairing parallelizes independently. k=4 here only because
+    * the oracle unrolls the identical Lloyd iterations ([[kmeans]]). */
+  /** SemDeDup cosine threshold — shared with the oracle generator.
+    * 0.4 sits just under this corpus's max in-cell cosine (~0.47), so
+    * both the flagged-duplicate and the kept branch carry rows. */
+  val semThreshold = 0.4
+
+  def semDedup(embeddings: DataFrame,
+      threshold: Double = semThreshold): DataFrame = {
+    val (asg, _) = kmeans(embeddings)
+    val a = asg.select(col("cell"), col("vec_id"), col("unit"))
+    val pairs = a.as("a")
+      .join(a.as("b"), col("a.cell") === col("b.cell") &&
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr"),
+        cosineUnit(col("a.unit"), col("b.unit")).as("cosine"))
+    val perVec = pairs.groupBy(col("vec_id"))
+      .agg(max(col("cosine")).as("max_cell_cosine"),
+        min(when(col("cosine") >= threshold && col("nbr") < col("vec_id"),
+          col("nbr"))).as("dup_of"))
+    asg.select(col("vec_id"), col("cell"))
+      .join(perVec, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("max_cell_cosine"),
+        col("dup_of"), col("dup_of").isNull.as("is_kept"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Embedding outlier detection — the embedding-space curation op: each
     * vector's cosine to its OWN label centroid, bottom-k per label = the
     * mislabeled/noisy candidates a training-data pipeline reviews or

@@ -146,6 +146,58 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("bigram"))
       .limit(30)
 
+  /** Hashed-feature dimension and weight coefficients for
+    * [[classifierScore]] — shared with the oracle generator. The
+    * coefficient pair is drawn from the same deterministic universal-
+    * hash sequence as the MinHash seeds (indices 16-17, disjoint from
+    * [[Dedup.coeffs]]' 0-15). */
+  val clsDim = 1024
+  val clsCoeffs: (Long, Long) = {
+    val cs = Portable.hashCoeffs(18)
+    cs(16)
+  }
+
+  /** Feature-hashing weight table: w(j) = ((a·(j+1) + b) mod p)/p − 0.5
+    * for j in 0 until [[clsDim]] — the same derivation as the SRP
+    * hyperplanes, emitted as one array literal so no row recomputes it. */
+  def clsWeights: Seq[Double] = {
+    val (a, b) = clsCoeffs
+    Seq.tabulate(clsDim)(j =>
+      ((a * (j + 1) + b) % Portable.P31).toDouble / Portable.P31 - 0.5)
+  }
+
+  /** fastText-style hashed linear classifier score per document — the
+    * model-based quality-classifier stage of a training-data pipeline
+    * (the seam where a learned fastText/logreg model plugs in; the
+    * weight table here is the deterministic stand-in, exactly like the
+    * LLM-enrichment stub). Each token hashes into one of [[clsDim]]
+    * buckets; the document's margin is the mean bucket weight
+    * (sequential left-to-right fold, so both engines sum in the same
+    * order); score = sigmoid(margin × 10), label = margin > 0.
+    *
+    * Scale (100 TB): pure map-side codegen — the weight table is an
+    * O(clsDim) literal in the plan, tokens never shuffle, no aggregation
+    * anywhere. The real model swaps in by replacing the weight array
+    * (same plan); a 10⁶-bucket production table would move from a plan
+    * literal to a broadcast join on bucket id. */
+  def classifierScore(documents: DataFrame): DataFrame = {
+    val w = typedLit(clsWeights)
+    documents
+      .withColumn("tk", toks)
+      .withColumn("margin", round(
+        aggregate(
+          transform(col("tk"), t =>
+            element_at(w, (pmod(Portable.hash32(t), lit(clsDim)) + 1)
+              .cast("int"))),
+          lit(0.0), (acc, x) => acc + x) / size(col("tk")), 6))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
+        col("margin"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("margin") * 10)), 6)
+          .as("score"),
+        (col("margin") > 0).as("label"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Add-k smoothing constant and LM pruning floor for [[perplexity]] —
     * shared with the oracle generator so the formulas cannot drift. */
   val ppK = 0.5

@@ -53,6 +53,35 @@ class DedupSpec extends SparkSpec {
     assert(out(0).getString(1) === "new")
   }
 
+  // 8-token blocks (Dedup.spanTokens = 8) so span boundaries are exact
+  private val blockA = "a1 a2 a3 a4 a5 a6 a7 a8"
+  private val blockB = "b1 b2 b3 b4 b5 b6 b7 b8"
+  private val blockC = "c1 c2 c3 c4 c5 c6 c7 c8"
+
+  test("spanDedup: cross-doc and within-doc repeated spans drop; " +
+      "first occurrence survives; clean text reassembles in order") {
+    val d = docs(
+      0L -> s"$blockA $blockB",            // first occurrences of A and B
+      1L -> s"$blockC $blockA",            // A already seen in doc 0
+      2L -> s"$blockB $blockB $blockC")    // within-doc repeat + C from doc 1
+    val out = Dedup.spanDedup(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(out(0L) === ((2L, 0L, s"$blockA $blockB")))
+    assert(out(1L) === ((2L, 1L, blockC)))
+    assert(out(2L) === ((3L, 3L, ""))) // B (doc 0), B again, C (doc 1)
+  }
+
+  test("spanDedup: a doc with no duplicated spans is untouched " +
+      "(trailing short span included)") {
+    val d = docs(3L -> s"$blockA x1 x2 x3") // 11 tokens -> spans of 8 + 3
+    val out = Dedup.spanDedup(d).collect()
+    assert(out.length === 1)
+    assert(out(0).getLong(1) === 2L)            // n_spans
+    assert(out(0).getLong(2) === 0L)            // n_dup_spans
+    assert(out(0).getString(3) === s"$blockA x1 x2 x3")
+  }
+
   test("simhashPairs: 16-bit banding is COMPLETE at hamming <= 3 " +
       "(equals the all-pairs scan on sf0.001)") {
     import org.apache.spark.sql.functions._
