@@ -15,7 +15,7 @@ import graft.operators.StockPipeline
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val mode = args.lift(1).filter(Set("docs", "asof")).getOrElse("events")
+    val mode = args.lift(1).filter(Set("docs", "asof", "emb")).getOrElse("events")
     val docsMode = mode == "docs"
     val multiples = {
       val rest = if (mode != "events") args.drop(2) else args.drop(1)
@@ -72,7 +72,38 @@ object ScaleProbe {
         val (sp, spS) = t(Dedup.simhashPairs(df).count())
         val (_, paS) = t(Packing.packAssign(df).count())
         val (_, soS) = t(Packing.shuffleOrder(df).count())
-        println(f"[scale-probe-docs] x$n%-3d docs=$rows%8d minhashPairs=$mpS%6.2fs($mp) jaccardPairs=$jpS%6.2fs($jp) simhashPairs=$spS%6.2fs($sp) packAssign=$paS%6.2fs shuffleOrder=$soS%6.2fs")
+        val (_, sdS) = t(Dedup.spanDedup(df).count())
+        println(f"[scale-probe-docs] x$n%-3d docs=$rows%8d minhashPairs=$mpS%6.2fs($mp) jaccardPairs=$jpS%6.2fs($jp) simhashPairs=$spS%6.2fs($sp) packAssign=$paS%6.2fs shuffleOrder=$soS%6.2fs spanDedup=$sdS%6.2fs")
+      }
+      spark.stop(); return
+    }
+
+    // SemDeDup probe: multiply the embedding table N× (per-copy
+    // deterministic sign-flip patterns keep vectors unit-norm but spread
+    // the copies across embedding space) and grow k WITH the corpus —
+    // the paper's sizing rule that keeps cells near-constant. Flat
+    // per-row time = the in-cell pairing stays bounded; running this
+    // with FIXED k instead shows the quadratic blow-up the rule avoids.
+    if (mode == "emb") {
+      import graft.operators.Similarity
+      Similarity.semDedup(graft.sources.Tables.embeddings(spark, sfDir)).count() // warm-up
+      def multipliedEmb(n: Int): DataFrame = {
+        val base = graft.sources.Tables.embeddings(spark, sfDir)
+        (0 until n).map { k =>
+          if (k == 0) base
+          else base
+            .withColumn("vec_id", col("vec_id") + lit(k.toLong * 1000000000L))
+            .withColumn("embedding", expr(
+              s"transform(embedding, (x, d) -> CASE WHEN (d + $k) % 4 < 2 THEN -x ELSE x END)"))
+        }.reduce(_ unionAll _)
+      }
+      multiples.foreach { n =>
+        val df = multipliedEmb(n).localCheckpoint()
+        val rows = df.count()
+        val t0 = System.nanoTime()
+        val out = Similarity.semDedup(df, k = Similarity.kmK * n).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[scale-probe-emb] x$n%-3d vecs=$rows%8d cells=${Similarity.kmK * n}%4d outRows=$out%8d time=$sec%7.2fs")
       }
       spark.stop(); return
     }

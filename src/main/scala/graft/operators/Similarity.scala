@@ -206,6 +206,11 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** SemDeDup cosine threshold — shared with the oracle generator.
+    * 0.4 sits just under this corpus's max in-cell cosine (~0.47), so
+    * both the flagged-duplicate and the kept branch carry rows. */
+  val semThreshold = 0.4
+
   /** SemDeDup (semantic deduplication, Abbas et al. 2023): k-means the
     * embedding space, then within each cluster flag every vector that
     * has a near-identical neighbor (cosine ≥ `threshold`) with a SMALLER
@@ -222,14 +227,9 @@ object Similarity {
     * cells near-constant); the join shuffles once on cell and each
     * cell's pairing parallelizes independently. k=4 here only because
     * the oracle unrolls the identical Lloyd iterations ([[kmeans]]). */
-  /** SemDeDup cosine threshold — shared with the oracle generator.
-    * 0.4 sits just under this corpus's max in-cell cosine (~0.47), so
-    * both the flagged-duplicate and the kept branch carry rows. */
-  val semThreshold = 0.4
-
   def semDedup(embeddings: DataFrame,
-      threshold: Double = semThreshold): DataFrame = {
-    val (asg, _) = kmeans(embeddings)
+      threshold: Double = semThreshold, k: Int = kmK): DataFrame = {
+    val (asg, _) = kmeans(embeddings, k)
     val a = asg.select(col("cell"), col("vec_id"), col("unit"))
     val pairs = a.as("a")
       .join(a.as("b"), col("a.cell") === col("b.cell") &&
