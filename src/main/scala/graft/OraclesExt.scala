@@ -370,6 +370,54 @@ c$i AS (
     sb.toString
   }
 
+  /** Unrolled product-quantization build: per subspace s, the identical
+    * raw-Lloyd iterations as [[graft.operators.Similarity.pqBuild]] —
+    * seeds by the shared salted hash, assignment by minimum L2 distance
+    * expanded as v·v − 2·v·c + c·c (the exact IEEE expression the Spark
+    * side evaluates), ties by cell, decimal-exact non-unitized means.
+    * Ends with `pa{s}{iters}` (vec_id, v, cell) and `pc{s}{iters}`
+    * (cell, centroid) for each subspace. */
+  private val pqCtes: String = {
+    val m = graft.operators.Similarity.pqM
+    val sd = graft.operators.Similarity.pqSubDim
+    val k = graft.operators.Similarity.kmK
+    val iters = graft.operators.Similarity.kmIters
+    val salt = graft.operators.Similarity.pqSalt
+    val sb = new StringBuilder
+    sb.append(s""",
+psd AS (
+  SELECT vec_id,
+    ('0x' || substr(md5('$salt' || vec_id::VARCHAR), 1, 8))::BIGINT AS hk
+  FROM base)""")
+    for (s <- 0 until m) {
+      val lo = s * sd + 1
+      val hi = (s + 1) * sd
+      sb.append(s""",
+sub$s AS (SELECT vec_id, ev[$lo:$hi] AS v FROM base),
+pc${s}0 AS (
+  SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cell, v AS centroid
+  FROM (SELECT b.vec_id, b.v, p.hk FROM sub$s b JOIN psd p USING (vec_id)
+        ORDER BY hk, vec_id LIMIT $k))""")
+      for (i <- 1 to iters) {
+        sb.append(s""",
+pa$s$i AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT b.vec_id, b.v, c.cell,
+      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+        list_inner_product(b.v, b.v) - 2 * list_inner_product(b.v, c.centroid)
+          + list_inner_product(c.centroid, c.centroid) ASC, c.cell) AS rn
+    FROM sub$s b CROSS JOIN pc$s${i - 1} c)
+  WHERE rn = 1),
+pm$s$i AS (
+  SELECT cell, pos, CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS cv
+  FROM (SELECT cell, unnest(v) AS x, unnest(range(len(v))) AS pos FROM pa$s$i)
+  GROUP BY cell, pos),
+pc$s$i AS (SELECT cell, list(cv ORDER BY pos) AS centroid FROM pm$s$i GROUP BY cell)""")
+      }
+    }
+    sb.toString
+  }
+
   /** SRP signature chain shared by the LSH top-k and banded near-dup
     * oracles — regenerates the identical hyperplanes from the same
     * universal-hash coefficients as [[graft.operators.Similarity]]. */
@@ -527,6 +575,32 @@ ranked AS (
   FROM scored)
 SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
 ORDER BY query_id, rank"""),
+    // PQ/ADC top-k: the unrolled per-subspace Lloyd builds, then
+    // approximate cosine = sum over subspaces of q_slice . centroid(code)
+    "sim_pq_topk" -> (simBase + pqCtes + {
+      val m = graft.operators.Similarity.pqM
+      val sd = graft.operators.Similarity.pqSubDim
+      val it = graft.operators.Similarity.kmIters
+      val joins = (0 until m).map(s =>
+        s"JOIN pa$s$it a$s USING (vec_id) JOIN pc$s$it c$s ON a$s.cell = c$s.cell")
+        .mkString("\n  ")
+      val adc = (0 until m)
+        .map(s => s"list_inner_product(q.qv[${s * sd + 1}:${(s + 1) * sd}], c$s.centroid)")
+        .mkString(" + ")
+      s""",
+scored AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id, round($adc, 6) AS cosine
+  FROM base b
+  $joins
+  CROSS JOIN q
+  WHERE b.vec_id <> q.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)::BIGINT AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank"""
+    }),
     // SRP-banded near-dup: identical banding to the Spark plan (candidates
     // share band0 or band1), exact cosine verified within buckets.
     "sim_neardup_pairs" -> (simBase + srpCtes + s""",

@@ -187,6 +187,9 @@ object SparkEntry {
     // SemDeDup: k-means cells + in-cell near-identical keep-first
     "sim_semdedup" -> ((s, d) =>
       Similarity.semDedup(Tables.embeddings(s, d))),
+    // product quantization: per-subspace codebooks + ADC scan
+    "sim_pq_topk" -> ((s, d) =>
+      Similarity.pqTopK(Tables.embeddings(s, d))),
     // ---- multimodal columns ----
     "mm_features" -> ((s, d) =>
       operators.Multimodal.features(Tables.documents(s, d))),

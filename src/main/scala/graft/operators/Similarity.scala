@@ -277,6 +277,100 @@ object Similarity {
       .orderBy(col("label"), col("rn"))
   }
 
+  // ---- product quantization (the extreme-compression ANN path) ----
+
+  val pqM = 4            // subspaces
+  val pqSubDim = 16      // dims per subspace (64 / 4)
+  val pqSalt = "graft-pq:"
+
+  /** Raw (non-spherical) Lloyd over one subspace: seeds by salted hash
+    * of vec_id (the same content-independent rule as [[kmeans]]),
+    * assignment by MINIMUM L2 distance — expanded as
+    * v·v − 2·v·c + c·c so both engines evaluate the identical IEEE
+    * expression — ties by cell; centroids are decimal-exact means, NOT
+    * re-unitized (PQ codebooks live in the subspace's own geometry).
+    * Returns (assignments (vec_id, v, cell), centroids (cell,
+    * centroid)). */
+  private def lloydSub(sub: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
+    val seeds = sub
+      .withColumn("hk", graft.functions.Portable.hash32(
+        concat(lit(pqSalt), col("vec_id").cast("string"))))
+      .orderBy(col("hk"), col("vec_id")).limit(k)
+    var cents = seeds
+      .withColumn("cell", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("hk"), col("vec_id"))).cast("long") - 1)
+      .select(col("cell"), col("v").as("centroid"))
+    var asg = sub
+    for (_ <- 1 to iters) {
+      val scored = sub.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("v"), col("cell"),
+          (dot(col("v"), col("v")) - lit(2) * dot(col("v"), col("centroid")) +
+            dot(col("centroid"), col("centroid"))).as("dist"))
+      asg = TopK.perKey(scored, Seq("vec_id"),
+          Seq("dist" -> false, "cell" -> false), 1)
+        .select(col("vec_id"), col("v"), col("cell"))
+        .localCheckpoint(true)
+      val cm = asg
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg((sum(col("x").cast("decimal(28,10)")).cast("double") /
+          count(lit(1))).as("cv"))
+      cents = cm.groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+          s => s.getField("cv")).as("centroid"))
+    }
+    (asg.select(col("vec_id"), col("cell")), cents)
+  }
+
+  /** PQ codebooks + codes: the unit vectors split into [[pqM]] disjoint
+    * [[pqSubDim]]-dim subspaces, each quantized by its own [[lloydSub]]
+    * codebook. Returns (codes (vec_id, c0..c{M-1}), per-subspace
+    * centroid tables). At rest a code row is M small ints — 64×
+    * smaller than the float32 vector, the compression that lets a
+    * 100 TB embedding corpus live in scannable storage. */
+  def pqBuild(embeddings: DataFrame, k: Int = kmK,
+      iters: Int = kmIters): (DataFrame, Seq[DataFrame]) = {
+    val base = unitized(embeddings).select(col("vec_id"), col("unit"))
+      .localCheckpoint(true)
+    val parts = (0 until pqM).map { s =>
+      val sub = base.select(col("vec_id"),
+        slice(col("unit"), s * pqSubDim + 1, pqSubDim).as("v"))
+      lloydSub(sub, k, iters)
+    }
+    val codes = parts.zipWithIndex
+      .map { case ((asg, _), s) => asg.withColumnRenamed("cell", s"c$s") }
+      .reduce(_.join(_, Seq("vec_id")))
+    (codes, parts.map(_._2))
+  }
+
+  /** PQ top-k via asymmetric distance computation (ADC): each query
+    * keeps its full unit vector; every BASE vector is represented only
+    * by its [[pqM]] codebook codes, and the approximate cosine is
+    * Σ_s q_s · centroid_s(code_s). The scan side touches codes + M
+    * broadcast codebooks of k rows each — never the base floats: the
+    * classic IVF-PQ probe layout (Jégou et al. 2011) minus the IVF
+    * stage, which [[ivfKmeansTopK]] already covers. */
+  def pqTopK(embeddings: DataFrame, k: Int = 5,
+      nQueries: Int = 20): DataFrame = {
+    val (codes, cents) = pqBuild(embeddings)
+    val queries = unitized(embeddings).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("unit").as("qu"))
+    val withCents = (0 until pqM).foldLeft(codes) { (df, s) =>
+      df.join(broadcast(cents(s)
+          .select(col("cell").as(s"cc$s"), col("centroid").as(s"cent$s"))),
+        col(s"c$s") === col(s"cc$s"))
+    }
+    val adc = (0 until pqM)
+      .map(s => dot(slice(col("qu"), s * pqSubDim + 1, pqSubDim), col(s"cent$s")))
+      .reduce(_ + _)
+    val scored = withCents.join(broadcast(queries),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(adc, 6).as("cosine"))
+    topK(scored, k)
+  }
+
   // ---- int8 quantization (the embedding memory-reduction path) ----
 
   /** Symmetric int8 quantization of the unit vectors: per-vector scale
