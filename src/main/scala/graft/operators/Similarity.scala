@@ -283,65 +283,68 @@ object Similarity {
   val pqSubDim = 16      // dims per subspace (64 / 4)
   val pqSalt = "graft-pq:"
 
-  /** Raw (non-spherical) Lloyd over one subspace: seeds by salted hash
-    * of vec_id (the same content-independent rule as [[kmeans]]),
-    * assignment by MINIMUM L2 distance — expanded as
+  /** PQ codebooks + codes: the unit vectors split into [[pqM]] disjoint
+    * [[pqSubDim]]-dim subspaces, each quantized by its own raw
+    * (non-spherical) Lloyd codebook. All [[pqM]] codebooks train in ONE
+    * loop over rows keyed by (sub, vec_id) — 3 checkpointed rounds
+    * instead of 12, which matters because each round is scheduling-
+    * latency-bound, not data-bound; per-subspace math is untouched
+    * (the loop is the same recurrence, vectorized across subspaces).
+    * Determinism contract (the oracle unrolls each subspace's chain):
+    * seeds = the k vectors with smallest salted vec_id hash (the same
+    * content-independent rule as [[kmeans]], one seed set shared by
+    * all subspaces); assignment by MINIMUM L2 distance expanded as
     * v·v − 2·v·c + c·c so both engines evaluate the identical IEEE
-    * expression — ties by cell; centroids are decimal-exact means, NOT
+    * expression, ties by cell; centroids are decimal-exact means, NOT
     * re-unitized (PQ codebooks live in the subspace's own geometry).
-    * Returns (assignments (vec_id, v, cell), centroids (cell,
-    * centroid)). */
-  private def lloydSub(sub: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
-    val seeds = sub
+    * Returns (codes (vec_id, c0..c{M-1}), centroids (sub, cell,
+    * centroid)). At rest a code row is M small ints — 64× smaller than
+    * the float32 vector, the compression that lets a 100 TB embedding
+    * corpus live in scannable storage. */
+  def pqBuild(embeddings: DataFrame, k: Int = kmK,
+      iters: Int = kmIters): (DataFrame, DataFrame) = {
+    val base = unitized(embeddings).select(col("vec_id"), col("unit"))
+    // (vec_id, sub, v): one map-side explode into the M subvectors
+    val subs = base.select(col("vec_id"), posexplode(array(
+        (0 until pqM).map(s =>
+          slice(col("unit"), s * pqSubDim + 1, pqSubDim)): _*))
+        .as(Seq("sub", "v")))
+      .localCheckpoint(true)
+    val seedIds = base
       .withColumn("hk", graft.functions.Portable.hash32(
         concat(lit(pqSalt), col("vec_id").cast("string"))))
       .orderBy(col("hk"), col("vec_id")).limit(k)
-    var cents = seeds
+      // unpartitioned window over exactly k rows — not a scale concern
       .withColumn("cell", row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("hk"), col("vec_id"))).cast("long") - 1)
-      .select(col("cell"), col("v").as("centroid"))
-    var asg = sub
+      .select(col("vec_id"), col("cell"))
+    var cents = subs.join(broadcast(seedIds), Seq("vec_id"))
+      .select(col("sub"), col("cell"), col("v").as("centroid"))
+    var asg = subs
     for (_ <- 1 to iters) {
-      val scored = sub.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("v"), col("cell"),
+      val scored = subs.join(broadcast(cents), Seq("sub"))
+        .select(col("sub"), col("vec_id"), col("v"), col("cell"),
           (dot(col("v"), col("v")) - lit(2) * dot(col("v"), col("centroid")) +
             dot(col("centroid"), col("centroid"))).as("dist"))
-      asg = TopK.perKey(scored, Seq("vec_id"),
+      asg = TopK.perKey(scored, Seq("sub", "vec_id"),
           Seq("dist" -> false, "cell" -> false), 1)
-        .select(col("vec_id"), col("v"), col("cell"))
+        .select(col("sub"), col("vec_id"), col("v"), col("cell"))
         .localCheckpoint(true)
       val cm = asg
-        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos"))
+        .select(col("sub"), col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("cell"), col("pos"))
         .agg((sum(col("x").cast("decimal(28,10)")).cast("double") /
           count(lit(1))).as("cv"))
-      cents = cm.groupBy(col("cell"))
+      cents = cm.groupBy(col("sub"), col("cell"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
           s => s.getField("cv")).as("centroid"))
     }
-    (asg.select(col("vec_id"), col("cell")), cents)
-  }
-
-  /** PQ codebooks + codes: the unit vectors split into [[pqM]] disjoint
-    * [[pqSubDim]]-dim subspaces, each quantized by its own [[lloydSub]]
-    * codebook. Returns (codes (vec_id, c0..c{M-1}), per-subspace
-    * centroid tables). At rest a code row is M small ints — 64×
-    * smaller than the float32 vector, the compression that lets a
-    * 100 TB embedding corpus live in scannable storage. */
-  def pqBuild(embeddings: DataFrame, k: Int = kmK,
-      iters: Int = kmIters): (DataFrame, Seq[DataFrame]) = {
-    val base = unitized(embeddings).select(col("vec_id"), col("unit"))
-      .localCheckpoint(true)
-    val parts = (0 until pqM).map { s =>
-      val sub = base.select(col("vec_id"),
-        slice(col("unit"), s * pqSubDim + 1, pqSubDim).as("v"))
-      lloydSub(sub, k, iters)
-    }
-    val codes = parts.zipWithIndex
-      .map { case ((asg, _), s) => asg.withColumnRenamed("cell", s"c$s") }
-      .reduce(_.join(_, Seq("vec_id")))
-    (codes, parts.map(_._2))
+    val codeCols = (0 until pqM).map(s =>
+      max(when(col("sub") === s, col("cell"))).as(s"c$s"))
+    val codes = asg.groupBy(col("vec_id"))
+      .agg(codeCols.head, codeCols.tail: _*)
+    (codes, cents)
   }
 
   /** PQ top-k via asymmetric distance computation (ADC): each query
@@ -357,7 +360,7 @@ object Similarity {
     val queries = unitized(embeddings).filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("unit").as("qu"))
     val withCents = (0 until pqM).foldLeft(codes) { (df, s) =>
-      df.join(broadcast(cents(s)
+      df.join(broadcast(cents.filter(col("sub") === s)
           .select(col("cell").as(s"cc$s"), col("centroid").as(s"cent$s"))),
         col(s"c$s") === col(s"cc$s"))
     }

@@ -22,7 +22,7 @@ class PqSpec extends SparkSpec {
       val bad = codes.filter(col(s"c$s") < 0 || col(s"c$s") >= Similarity.kmK)
         .count()
       assert(bad === 0, s"subspace $s has out-of-range codes")
-      assert(cents(s).count() === Similarity.kmK.toLong)
+      assert(cents.filter(col("sub") === s).count() === Similarity.kmK.toLong)
     }
   }
 
