@@ -238,6 +238,18 @@ WHERE c_acctbal > avg_bal
                   WHERE o_custkey = c_custkey
                     AND o_orderdate >= TIMESTAMP '1998-01-01')
 GROUP BY n_name ORDER BY n_name""",
+    // Q17-shape: the oracle states the CORRELATED scalar subquery; the
+    // engine runs the decorrelated per-key-aggregate + join form —
+    // hash equality proves the decorrelation exact
+    "rel_small_qty_revenue" -> s"""
+SELECT ${dsum("l_extendedprice")} / 7.0 AS avg_yearly,
+  count(*) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < (
+    SELECT CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+      / count(*) * 0.2
+    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""",
     // the oracle states the PLAIN join: hash equality proves the salted
     // plan is value-invisible
     "rel_salted_supplier_revenue" -> s"""

@@ -97,9 +97,11 @@ object SparkEntry {
     // bigram-LM perplexity scoring (CCNet-style quality signal)
     "text_perplexity" -> ((s, d) =>
       TextAnalysis.perplexity(Tables.documents(s, d))),
-    // fastText-style hashed linear quality-classifier seam
+    // fastText-style hashed linear quality-classifier seam (stream-safe
+    // map-side transform; the sort is presentation-only, added here)
     "text_classifier" -> ((s, d) =>
-      TextAnalysis.classifierScore(Tables.documents(s, d))),
+      TextAnalysis.classifierScore(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
     // ---- training-data curation (quality gates, repetition, sampling) ----
     "text_quality_filter" -> ((s, d) =>
       operators.Curation.qualityFilter(Tables.documents(s, d))
@@ -234,6 +236,9 @@ object SparkEntry {
     // salted skew join, oracle-proven value-invisible (plain-join SQL)
     "rel_salted_supplier_revenue" -> ((s, d) =>
       Relational.saltedSupplierRevenue(s, d)),
+    // TPC-H Q17-shape correlated scalar subquery, decorrelated
+    "rel_small_qty_revenue" -> ((s, d) =>
+      Relational.smallQtyRevenue(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

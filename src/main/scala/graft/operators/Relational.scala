@@ -443,6 +443,29 @@ object Relational {
       .orderBy(col("n_name"))
   }
 
+  /** TPC-H Q17-shape small-quantity revenue: the correlated scalar
+    * subquery (per-part average quantity) decorrelated the way every
+    * engine's optimizer does it — compute the per-key aggregate once
+    * (one shuffle on l_partkey, map-side partial combine), then
+    * equi-join it back and filter. The brand-filtered part dim
+    * broadcasts as a semi-join reduction BEFORE the aggregate, so the
+    * per-part averages are only computed for the ~1/25 of parts that
+    * can qualify. The average itself is decimal-exact (sum/count), so
+    * the 0.2× threshold is bit-identical across engines. */
+  def smallQtyRevenue(spark: SparkSession, dir: String,
+      brand: String = "Brand#1"): DataFrame = {
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_brand") === brand).select(col("p_partkey"))
+    val li = Tables.lineitem(spark, dir)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+    val avgQ = li.groupBy(col("l_partkey"))
+      .agg((decSum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+    li.join(avgQ, Seq("l_partkey"))
+      .filter(col("l_quantity") < col("avg_qty") * 0.2)
+      .agg((decSum(col("l_extendedprice")) / 7.0).as("avg_yearly"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** Supplier revenue through [[Skew.saltedJoin]] — the skew-mitigation
     * technique registered as an oracle row: the DuckDB oracle states the
     * PLAIN join, so the hash check proves salting is value-invisible

@@ -177,9 +177,11 @@ object TextAnalysis {
     *
     * Scale (100 TB): pure map-side codegen — the weight table is an
     * O(clsDim) literal in the plan, tokens never shuffle, no aggregation
-    * anywhere. The real model swaps in by replacing the weight array
-    * (same plan); a 10⁶-bucket production table would move from a plan
-    * literal to a broadcast join on bucket id. */
+    * anywhere. Stream-safe for the same reason (no sort, no state): the
+    * identical transform runs under readStream (StreamingSpec parity).
+    * The real model swaps in by replacing the weight array (same plan);
+    * a 10⁶-bucket production table would move from a plan literal to a
+    * broadcast join on bucket id. */
   def classifierScore(documents: DataFrame): DataFrame = {
     val w = typedLit(clsWeights)
     documents
@@ -195,7 +197,6 @@ object TextAnalysis {
         round(lit(1.0) / (lit(1.0) + exp(-col("margin") * 10)), 6)
           .as("score"),
         (col("margin") > 0).as("label"))
-      .orderBy(col("doc_id"))
   }
 
   /** Add-k smoothing constant and LM pruning floor for [[perplexity]] —

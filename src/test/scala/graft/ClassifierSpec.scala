@@ -22,9 +22,10 @@ class ClassifierSpec extends SparkSpec {
     3L -> "the the the the the the") // repeated token: margin = w(bucket)
 
   test("classifier: deterministic under repartitioning") {
-    val a = TextAnalysis.classifierScore(fixture).collect().map(_.toString)
+    val a = TextAnalysis.classifierScore(fixture).collect()
+      .map(_.toString).sorted
     val b = TextAnalysis.classifierScore(fixture.repartition(5)).collect()
-      .map(_.toString)
+      .map(_.toString).sorted
     assert(a.toSeq === b.toSeq)
   }
 
@@ -48,6 +49,30 @@ class ClassifierSpec extends SparkSpec {
     val single = TextAnalysis.classifierScore(docs(4L -> "the")).collect()(0)
     assert(out.getDouble(2) === single.getDouble(2),
       "mean of n equal weights = the weight")
+  }
+
+  test("classifier runs unchanged on a stream (batch/stream shared op)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    val rows = Seq((0L, "the quick brown fox"), (1L, "spark catalyst codegen"))
+    val stream = MemoryStream[(Long, String)]
+    val streamDocs = stream.toDF()
+      .select(col("_1").as("doc_id"), col("_2").as("text"),
+        lit("en").as("lang"), lit("src0").as("source"),
+        length(col("_2")).cast("long").as("n_chars"))
+    // stateless map-side op: the SAME transform accepts a streaming DF
+    val q = TextAnalysis.classifierScore(streamDocs).writeStream
+      .format("memory").queryName("cls_sink").outputMode("append").start()
+    try {
+      stream.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("cls_sink").orderBy("doc_id").collect()
+      val batch = TextAnalysis.classifierScore(docs(rows: _*))
+        .orderBy("doc_id").collect()
+      assert(streamed.length === batch.length && batch.length === 2)
+      streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
+    } finally q.stop()
   }
 
   test("classifier: weight table matches the universal-hash formula") {
