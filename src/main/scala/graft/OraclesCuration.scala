@@ -32,6 +32,26 @@ object OraclesCuration {
      AND punct_ratio <= ${Curation.maxPunctRatio} AND n_stopwords >= ${Curation.minStopwords})"""
 
   val all: Map[String, String] = Map(
+    // temperature mixture plan: T=2 => sqrt tempering (IEEE-exact in
+    // both engines); the normalizer sums 12-decimal-truncated weights
+    // so it is order-independent, mirroring the Spark decimal sum
+    "corpus_mixture_plan" -> s"""
+WITH $toksCte,
+pl AS (
+  SELECT lang, count(*)::BIGINT AS n_docs, sum(len(tk))::BIGINT AS n_tokens
+  FROM toks GROUP BY lang),
+tt AS (SELECT sum(n_tokens)::BIGINT AS total_tokens FROM pl),
+tp AS (
+  SELECT lang, n_docs, n_tokens,
+    n_tokens::DOUBLE / total_tokens AS share,
+    sqrt(n_tokens::DOUBLE / total_tokens) AS tw
+  FROM pl CROSS JOIN tt),
+nz AS (SELECT CAST(sum(CAST(tw AS DECIMAL(28,12))) AS DOUBLE) AS z FROM tp)
+SELECT lang, n_docs, n_tokens,
+  round(share, 6) AS share,
+  round(tw / z, 6) AS tempered_share,
+  round(tw / z / share, 6) AS sample_factor
+FROM tp CROSS JOIN nz ORDER BY lang""",
     "text_quality_filter" -> s"""
 WITH $toksCte,
 $qualityMCte

@@ -238,6 +238,38 @@ WHERE c_acctbal > avg_bal
                   WHERE o_custkey = c_custkey
                     AND o_orderdate >= TIMESTAMP '1998-01-01')
 GROUP BY n_name ORDER BY n_name""",
+    // funnel: the oracle states the classic row_number form of the
+    // per-user first-event chain; tuple compares match the engine's
+    // struct compares exactly
+    "rel_funnel" -> """
+WITH e AS (SELECT user_id, event_type, ts::TIMESTAMP AS ts, event_id FROM events),
+v AS (
+  SELECT user_id, ts, event_id FROM (
+    SELECT user_id, ts, event_id,
+      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM e WHERE event_type = 'view') WHERE rn = 1),
+c AS (
+  SELECT user_id, ts, event_id FROM (
+    SELECT e.user_id, e.ts, e.event_id,
+      row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+    FROM e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click' AND (e.ts, e.event_id) > (v.ts, v.event_id))
+  WHERE rn = 1),
+p AS (
+  SELECT user_id, ts, event_id FROM (
+    SELECT e.user_id, e.ts, e.event_id,
+      row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+    FROM e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND (e.ts, e.event_id) > (c.ts, c.event_id))
+  WHERE rn = 1),
+base AS (SELECT count(*)::BIGINT AS base_users FROM v),
+st AS (
+  SELECT '1_view' AS stage, count(*)::BIGINT AS n_users FROM v
+  UNION ALL SELECT '2_click', count(*)::BIGINT FROM c
+  UNION ALL SELECT '3_purchase', count(*)::BIGINT FROM p)
+SELECT stage, n_users,
+  round(n_users::DOUBLE / base_users, 6) AS conversion
+FROM st CROSS JOIN base ORDER BY stage""",
     // Q17-shape: the oracle states the CORRELATED scalar subquery; the
     // engine runs the decorrelated per-key-aggregate + join form —
     // hash equality proves the decorrelation exact

@@ -110,6 +110,9 @@ object SparkEntry {
       operators.Curation.lengthAdaptive(Tables.documents(s, d))),
     "corpus_report" -> ((s, d) =>
       operators.Curation.corpusReport(Tables.documents(s, d))),
+    // temperature-based multilingual mixture plan (T=2 -> sqrt)
+    "corpus_mixture_plan" -> ((s, d) =>
+      operators.Curation.mixturePlan(Tables.documents(s, d))),
     "text_repetition" -> ((s, d) =>
       operators.Curation.repetition(Tables.documents(s, d))),
     "text_decontaminate" -> ((s, d) =>
@@ -239,6 +242,8 @@ object SparkEntry {
     // TPC-H Q17-shape correlated scalar subquery, decorrelated
     "rel_small_qty_revenue" -> ((s, d) =>
       Relational.smallQtyRevenue(s, d)),
+    // ordered-sequence funnel (view -> click -> purchase) via GroupedTopK
+    "rel_funnel" -> (Relational.funnel _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -96,6 +96,39 @@ object Curation {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** Temperature-based mixture plan — the multilingual-rebalancing
+    * recipe every LLM data mix uses (upsample low-resource languages,
+    * damp the head): per language, share = its token fraction of the
+    * corpus; the T-tempered share is share^(1/T) renormalized, and the
+    * sampling factor tempered/original is what a sampler like
+    * [[sampleMixture]] applies. T = 2 here so the tempering is sqrt —
+    * IEEE-correctly-rounded in both engines, no libm pow divergence.
+    *
+    * Scale (100 TB): one token-count aggregation on lang (partial
+    * map-side combine), then all tempering math runs on the O(#langs)
+    * aggregate — a broadcast-sized plan table, never a second corpus
+    * pass. */
+  def mixturePlan(documents: DataFrame): DataFrame = {
+    val perLang = documents
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(toks).cast("long")).as("n_tokens"))
+    val tot = perLang.agg(sum(col("n_tokens")).as("total_tokens"))
+    val tempered = perLang.crossJoin(broadcast(tot))
+      .withColumn("share", col("n_tokens").cast("double") / col("total_tokens"))
+      .withColumn("tw", sqrt(col("share")))
+    // decimal-exact normalizer: order-independent under any partitioning
+    // (tw is rounded to 12 decimals before summing on BOTH engines)
+    val z = tempered.agg(
+      sum(col("tw").cast("decimal(28,12)")).cast("double").as("z"))
+    tempered.crossJoin(broadcast(z))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        round(col("share"), 6).as("share"),
+        round(col("tw") / col("z"), 6).as("tempered_share"),
+        round(col("tw") / col("z") / col("share"), 6).as("sample_factor"))
+      .orderBy(col("lang"))
+  }
+
   /** Per-language ADAPTIVE length filter: corpus-derived p5/p95 token
     * bounds per language instead of [[qualityFilter]]'s global
     * constants — the Dolma-style per-source calibration (a threshold

@@ -365,6 +365,53 @@ object Relational {
   def asofJoin(spark: SparkSession, dir: String): DataFrame =
     asofJoinOn(Tables.events(spark, dir))
 
+  /** Conversion-funnel analysis over the events stream: per user, the
+    * FIRST view, then the first click strictly after it, then the first
+    * purchase strictly after that — the ordered-sequence semantics a
+    * MATCH_RECOGNIZE engine would express, built from three bounded-heap
+    * argmins ([[graft.plans.GroupedTopK]] k=1 per user — no per-user
+    * sort). "After" compares (ts, event_id) tuples so simultaneous
+    * timestamps resolve deterministically. Output: one row per stage
+    * with the surviving-user count and conversion from stage 1.
+    *
+    * Scale (100 TB): each stage is an equi-shuffle on user_id followed
+    * by a k=1 bounded heap; the stage tables shrink monotonically, and
+    * the stage-2/3 joins carry only (user, first-event) summaries —
+    * never a user's full history. */
+  def funnelOn(events: DataFrame): DataFrame = {
+    val ev = events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    def firstOf(df: DataFrame): DataFrame =
+      TopK.perKey(df, Seq("user_id"),
+          Seq("ts" -> false, "event_id" -> false), 1)
+        .select(col("user_id"), col("ts"), col("event_id"))
+    val v = firstOf(ev.filter(col("event_type") === "view"))
+    val c = firstOf(ev.filter(col("event_type") === "click")
+      .join(v.select(col("user_id"), col("ts").as("v_ts"),
+        col("event_id").as("v_event")), Seq("user_id"))
+      .filter(struct(col("ts"), col("event_id")) >
+        struct(col("v_ts"), col("v_event"))))
+    val p = firstOf(ev.filter(col("event_type") === "purchase")
+      .join(c.select(col("user_id"), col("ts").as("c_ts"),
+        col("event_id").as("c_event")), Seq("user_id"))
+      .filter(struct(col("ts"), col("event_id")) >
+        struct(col("c_ts"), col("c_event"))))
+    val stages = Seq("1_view" -> v, "2_click" -> c, "3_purchase" -> p)
+    val counts = stages.map { case (name, df) =>
+      df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"),
+        col("n_users"))
+    }.reduce(_.unionByName(_))
+    val base = v.agg(count(lit(1)).as("base_users"))
+    counts.crossJoin(broadcast(base))
+      .select(col("stage"), col("n_users"),
+        round(col("n_users").cast("double") / col("base_users"), 6)
+          .as("conversion"))
+      .orderBy(col("stage"))
+  }
+
+  def funnel(spark: SparkSession, dir: String): DataFrame =
+    funnelOn(Tables.events(spark, dir))
+
   /** Sketch-based approximations (HLL++ count-distinct, GK quantiles) —
     * the constant-memory forms of A6/rel_quantiles for 100 TB cardinality
     * work. Sketch layouts are engine-specific, so the row is registered
