@@ -109,10 +109,14 @@ object Curation {
     * aggregate — a broadcast-sized plan table, never a second corpus
     * pass. */
   def mixturePlan(documents: DataFrame): DataFrame = {
+    // materialize the O(#langs) aggregate ONCE: total/tempered/normalizer
+    // all re-reference it, and without this each reference re-plans the
+    // corpus aggregation — three full passes at 100 TB instead of one
     val perLang = documents
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(toks).cast("long")).as("n_tokens"))
+      .localCheckpoint(true)
     val tot = perLang.agg(sum(col("n_tokens")).as("total_tokens"))
     val tempered = perLang.crossJoin(broadcast(tot))
       .withColumn("share", col("n_tokens").cast("double") / col("total_tokens"))
