@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, Packing}
+import graft.operators.{Curation, Dedup, Packing}
 import graft.sources.{Sinks, Tables}
 
 /** End-to-end corpus pipeline demo — the library's operators composed
@@ -12,9 +12,14 @@ import graft.sources.{Sinks, Tables}
   *
   *   1. curate: quality ∧ exact-dup rep ∧ near-dup cluster rep ∧
   *      decontaminated ([[Curation.curatedCorpus]]);
-  *   2. assign: deterministic train/val/test splits + per-split
+  *   2. rewrite: span-level dedup removes corpus-repeated passages
+  *      from the survivors' text ([[Dedup.spanDedup]]), dropping docs
+  *      left empty;
+  *   3. plan: the temperature mixture report states each language's
+  *      up/downsampling factor ([[Curation.mixturePlan]]);
+  *   4. assign: deterministic train/val/test splits + per-split
   *      shuffled shard ids ([[Packing.shardAssign]]);
-  *   3. write: exactly one parquet file per (split, shard), rows in
+  *   5. write: exactly one parquet file per (split, shard), rows in
   *      training order inside each file ([[Sinks.writeTrainingShards]]).
   *
   * Every stage is the already-oracle-verified operator — this main just
@@ -44,7 +49,22 @@ object CorpusDemo {
       .localCheckpoint() // curation verdicts are final; don't recompute
     val nKept = kept.count()
 
-    val sharded = Packing.shardAssign(kept)
+    // span-level dedup rewrites the surviving text (repeated passages
+    // drop; docs reduced to nothing drop entirely)
+    val spans = Dedup.spanDedup(kept)
+    val nDupSpans = spans.agg(sum(col("n_dup_spans"))).head().getLong(0)
+    val cleaned = kept.drop("text", "n_chars")
+      .join(spans.filter(length(col("clean_text")) > 0)
+        .select(col("doc_id"), col("clean_text").as("text")), Seq("doc_id"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .localCheckpoint()
+    val nCleaned = cleaned.count()
+
+    val mix = Curation.mixturePlan(cleaned).collect()
+      .map(r => f"${r.getString(0)}=${r.getDouble(5)}%.2fx").mkString(" ")
+
+    val sharded = Packing.shardAssign(cleaned)
     Sinks.writeTrainingShards(sharded, outDir)
 
     val bySplit = sharded.groupBy("split")
@@ -53,7 +73,8 @@ object CorpusDemo {
       .orderBy("split").collect()
       .map(r => s"${r.getString(0)}=${r.getLong(1)}d/${r.getLong(2)}s")
       .mkString(" ")
-    println(s"[corpus-demo] in=$nIn kept=$nKept ($bySplit) -> $outDir")
+    println(s"[corpus-demo] in=$nIn kept=$nKept spanDeduped=$nCleaned " +
+      s"(dupSpansRemoved=$nDupSpans) mixture[$mix] ($bySplit) -> $outDir")
     spark.stop()
   }
 }
