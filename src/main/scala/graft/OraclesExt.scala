@@ -601,6 +601,40 @@ ranked AS (
 SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
 ORDER BY query_id, rank"""
     }),
+    // IVF-PQ: the composed oracle — kmeans probe chain + PQ code chains,
+    // candidates from probed cells, ADC scoring
+    "sim_ivfpq_topk" -> (simBase + kmeansCtes + pqCtes + {
+      val m = graft.operators.Similarity.pqM
+      val sd = graft.operators.Similarity.pqSubDim
+      val it = graft.operators.Similarity.kmIters
+      val joins = (0 until m).map(s =>
+        s"JOIN pa$s$it a$s USING (vec_id) JOIN pc$s$it c$s ON a$s.cell = c$s.cell")
+        .mkString("\n  ")
+      val adc = (0 until m)
+        .map(s => s"list_inner_product(p.qu[${s * sd + 1}:${(s + 1) * sd}], c$s.centroid)")
+        .mkString(" + ")
+      s""",
+q3 AS (SELECT vec_id AS query_id, ev AS qu FROM asg$it WHERE vec_id < 20),
+probes AS (
+  SELECT query_id, qu, cell FROM (
+    SELECT q3.query_id, q3.qu, c.cell,
+      row_number() OVER (PARTITION BY q3.query_id
+        ORDER BY round(list_inner_product(q3.qu, c.centroid), 6) DESC, c.cell) AS crank
+    FROM q3 CROSS JOIN c$it c)
+  WHERE crank <= 2),
+scored AS (
+  SELECT p.query_id, b.vec_id AS neighbor_id, round($adc, 6) AS cosine
+  FROM asg$it b
+  JOIN probes p ON b.cell = p.cell
+  $joins
+  WHERE b.vec_id <> p.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)::BIGINT AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank"""
+    }),
     // SRP-banded near-dup: identical banding to the Spark plan (candidates
     // share band0 or band1), exact cosine verified within buckets.
     "sim_neardup_pairs" -> (simBase + srpCtes + s""",

@@ -195,6 +195,9 @@ object SparkEntry {
     // product quantization: per-subspace codebooks + ADC scan
     "sim_pq_topk" -> ((s, d) =>
       Similarity.pqTopK(Tables.embeddings(s, d))),
+    // IVF-PQ: coarse-cell pruning + code-based scoring composed
+    "sim_ivfpq_topk" -> ((s, d) =>
+      Similarity.ivfPqTopK(Tables.embeddings(s, d))),
     // ---- multimodal columns ----
     "mm_features" -> ((s, d) =>
       operators.Multimodal.features(Tables.documents(s, d))),

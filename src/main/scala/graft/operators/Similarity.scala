@@ -374,6 +374,49 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** IVF-PQ top-k — the full production ANN layout (Jégou et al. 2011;
+    * what FAISS serves at billion scale): the [[kmeans]] coarse
+    * quantizer prunes the search to `nprobe` cells, then candidates are
+    * scored by [[pqBuild]] codes via ADC — so the scan side reads the
+    * cell id + M code bytes per vector, never the base floats. Both
+    * build passes are the oracle-verified ones; this operator is their
+    * composition, and the oracle composes the same two unrolled CTE
+    * chains. At cluster scale the cell id is the partition key
+    * (partition-pruned probes) and the codes column rides in the same
+    * row group — I/O is nprobe/k of the corpus × 1/64 of the bytes. */
+  def ivfPqTopK(embeddings: DataFrame, k: Int = 5, nQueries: Int = 20,
+      nprobe: Int = 2): DataFrame = {
+    val (asg, cents) = kmeans(embeddings)
+    val (codes, pqCents) = pqBuild(embeddings)
+    val queries = asg.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("unit").as("qu"))
+    val cw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cdist").desc, col("cell"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qu"), col("cell"),
+        cosineUnit(col("qu"), col("centroid")).as("cdist"))
+      .withColumn("crank", row_number().over(cw))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("qu"), col("cell").as("probe_cell"))
+    val cand = asg.select(col("vec_id"), col("cell"))
+      .join(broadcast(probes),
+        col("cell") === col("probe_cell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qu"), col("vec_id"))
+    val withCents = (0 until pqM).foldLeft(cand.join(codes, Seq("vec_id"))) {
+      (df, s) =>
+        df.join(broadcast(pqCents.filter(col("sub") === s)
+            .select(col("cell").as(s"cc$s"), col("centroid").as(s"cent$s"))),
+          col(s"c$s") === col(s"cc$s"))
+    }
+    val adc = (0 until pqM)
+      .map(s => dot(slice(col("qu"), s * pqSubDim + 1, pqSubDim), col(s"cent$s")))
+      .reduce(_ + _)
+    val scored = withCents.select(col("query_id"),
+      col("vec_id").as("neighbor_id"), round(adc, 6).as("cosine"))
+    topK(scored, k)
+  }
+
   // ---- int8 quantization (the embedding memory-reduction path) ----
 
   /** Symmetric int8 quantization of the unit vectors: per-vector scale

@@ -44,4 +44,17 @@ class PqSpec extends SparkSpec {
     val b = Similarity.pqTopK(emb.repartition(7)).collect().map(_.toString)
     assert(a.toSeq === b.toSeq)
   }
+
+  test("ivfPqTopK: neighbors come only from probed cells, scores are " +
+      "the PQ scores") {
+    val out = Similarity.ivfPqTopK(emb).collect()
+    assert(out.nonEmpty)
+    // every (query, neighbor, cosine) must appear in the unpruned PQ
+    // ranking with the same ADC score — IVF only prunes, never rescores
+    val full = Similarity.pqTopK(emb, k = Int.MaxValue - 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    out.foreach { r =>
+      assert(full.contains((r.getLong(0), r.getLong(1), r.getDouble(2))))
+    }
+  }
 }
