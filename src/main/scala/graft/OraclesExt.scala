@@ -298,6 +298,38 @@ SELECT doc_id, count(*)::BIGINT AS n_spans,
   coalesce(string_agg(span_text, ' ' ORDER BY span_idx)
     FILTER (WHERE rn = 1), '') AS clean_text
 FROM rk GROUP BY doc_id ORDER BY doc_id""",
+    // substring-level dedup: unaligned windows, classic row_number form
+    // for first-occurrence, coverage expanded per window offset
+    "dedup_substrings" -> s"""
+WITH $toksCte,
+tkd AS (SELECT doc_id, tk, len(tk)::BIGINT AS n FROM toks),
+wins AS (
+  SELECT doc_id, i, md5(array_to_string(tk[i + 1 : i + ${Dedup.subW}], ' ')) AS hh
+  FROM (SELECT doc_id, tk, unnest(range(n - ${Dedup.subW} + 1)) AS i
+        FROM tkd WHERE n >= ${Dedup.subW})),
+rk AS (
+  SELECT doc_id, i,
+    row_number() OVER (PARTITION BY hh ORDER BY doc_id, i) AS rn
+  FROM wins),
+cov AS (
+  SELECT DISTINCT doc_id, unnest(range(i, i + ${Dedup.subW})) AS pos
+  FROM rk WHERE rn > 1),
+tok AS (
+  SELECT doc_id, unnest(range(len(tk))) AS pos, unnest(tk) AS tok
+  FROM tkd),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok FROM tok t
+  WHERE NOT EXISTS (SELECT 1 FROM cov c
+                    WHERE c.doc_id = t.doc_id AND c.pos = t.pos)),
+ka AS (
+  SELECT doc_id, count(*)::BIGINT AS n_kept,
+    string_agg(tok, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id)
+SELECT d.doc_id, d.n AS n_tokens,
+  (d.n - coalesce(ka.n_kept, 0))::BIGINT AS n_removed,
+  coalesce(ka.clean_text, '') AS clean_text
+FROM tkd d LEFT JOIN ka ON d.doc_id = ka.doc_id
+ORDER BY d.doc_id""",
     "dedup_simhash" -> (simhashCte + "SELECT * FROM sig ORDER BY doc_id"),
     "dedup_simhash_pairs" -> (simhashCte + """,
 sb AS (

@@ -168,6 +168,9 @@ object SparkEntry {
     // span-level (paragraph-grade) dedup with cleaned-text reassembly
     "dedup_paragraphs" -> ((s, d) =>
       Dedup.spanDedup(Tables.documents(s, d))),
+    // unaligned substring-level dedup (suffix-style window semantics)
+    "dedup_substrings" -> ((s, d) =>
+      Dedup.substringDedup(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "dedup_simhash_pairs" -> ((s, d) =>

@@ -380,6 +380,60 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Window width (tokens) for [[substringDedup]] — shared with the
+    * oracle. */
+  val subW = 8
+
+  /** Substring-level exact dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): unlike [[spanDedup]]'s
+    * ALIGNED spans, every `w`-token window at EVERY offset is a
+    * candidate — a passage repeated at a different offset in another
+    * document is still caught (the suffix-array semantics at window
+    * granularity). A window that appeared earlier in the corpus
+    * ((doc_id, offset) lexicographic) marks all `w` of its token
+    * positions covered; covered tokens are removed and the document
+    * reassembles from the survivors in order. Docs shorter than `w`
+    * have no windows and pass through untouched.
+    *
+    * Scale (100 TB): windows are a map-side explode (O(tokens) rows,
+    * fingerprinted BEFORE the first shuffle so window text never
+    * shuffles); first-occurrence is one hash aggregation on the
+    * fingerprint; coverage expansion is a map-side explode of w
+    * offsets; the survivor filter is a left_anti equi-join on
+    * (doc, pos); reassembly is one hash aggregation on doc_id. Every
+    * shuffle key is high-cardinality. */
+  def substringDedup(documents: DataFrame, w: Int = subW): DataFrame = {
+    val toked = documents
+      .withColumn("toks", Portable.tokens(col("text")))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+    val wins = toked.filter(col("n") >= w)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, n - $w), " +
+          s"i -> md5(concat_ws(' ', slice(toks, i + 1, $w))))"))
+        .as(Seq("i", "hh")))
+    val firsts = wins.groupBy(col("hh"))
+      .agg(min(struct(col("doc_id"), col("i"))).as("first"))
+    val covered = wins.join(firsts, Seq("hh"))
+      .filter(struct(col("doc_id"), col("i")) =!= col("first"))
+      .select(col("doc_id"), explode(expr(s"sequence(i, i + $w - 1)")).as("pos"))
+      .distinct()
+    val tokens = toked
+      .select(col("doc_id"), col("n"), posexplode(col("toks")).as(Seq("pos", "tok")))
+    val kept = tokens.join(covered, Seq("doc_id", "pos"), "left_anti")
+    toked.select(col("doc_id"), col("n").cast("long").as("n_tokens"))
+      .join(kept.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(expr(
+            "transform(array_sort(collect_list(struct(pos, tok))), s -> s.tok)"),
+            " ").as("clean_text")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .cast("long").as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** 64-bit SimHash over distinct tokens: (doc_id, sim_lo, sim_hi).
     * Stored as two 32-bit halves (sim_lo = bits 0..31 from md5 hex chars
     * 1-8 of each token, sim_hi = bits 32..63 from chars 9-16) so no

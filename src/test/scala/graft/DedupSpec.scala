@@ -82,6 +82,40 @@ class DedupSpec extends SparkSpec {
     assert(out(0).getString(3) === s"$blockA x1 x2 x3")
   }
 
+  test("substringDedup: an UNALIGNED repeated passage is caught " +
+      "(where aligned spans would miss it)") {
+    // doc 1 repeats doc 0's 8-token block shifted by 3 tokens — span
+    // boundaries don't line up, but every-offset windows match exactly
+    val d = docs(
+      0L -> s"$blockA x1 x2 x3",
+      1L -> s"y1 y2 y3 $blockA")
+    val sub = Dedup.substringDedup(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(sub(0L) === ((11L, 0L, s"$blockA x1 x2 x3")))
+    assert(sub(1L) === ((11L, 8L, "y1 y2 y3")), "shifted block removed")
+    // the aligned-span form misses it: doc 1's spans are (y1..a5)(a6 a7 a8)
+    val span = Dedup.spanDedup(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(span(1L) === 0L, "aligned spans cannot see the shifted copy")
+  }
+
+  test("substringDedup: overlapping dup windows cover the union of " +
+      "positions; short docs pass through") {
+    val d = docs(
+      0L -> s"$blockA a9",          // 9 tokens: windows at offsets 0,1
+      1L -> s"$blockA a9 tail end", // repeats BOTH windows, shifted range
+      2L -> "tiny doc")             // < w tokens: no windows
+    val out = Dedup.substringDedup(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(out(0L)._2 === 0L)
+    // doc 1: windows 0 (a1..a8) and 1 (a2..a9) both dup -> union covers
+    // positions 0..8 (9 tokens), leaving "tail end"
+    assert(out(1L) === ((11L, 9L, "tail end")))
+    assert(out(2L) === ((2L, 0L, "tiny doc")))
+  }
+
   test("simhashPairs: 16-bit banding is COMPLETE at hamming <= 3 " +
       "(equals the all-pairs scan on sf0.001)") {
     import org.apache.spark.sql.functions._
