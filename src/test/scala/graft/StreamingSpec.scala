@@ -255,6 +255,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("token histogram runs unchanged as a continuous complete-mode " +
+      "top-k (trending-tokens dashboard)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val streamDocs = stream.toDF()
+      .select(col("_1").as("doc_id"), col("_2").as("text"),
+        lit("en").as("lang"), lit("src0").as("source"),
+        length(col("_2")).cast("long").as("n_chars"))
+    // the SAME batch operator (explode -> groupBy -> sort+limit) is
+    // legal streaming in complete mode: each trigger re-emits the
+    // full current top-k
+    val q = graft.operators.TextAnalysis.tokenHistogram(streamDocs)
+      .writeStream.format("memory").queryName("trend_sink")
+      .outputMode("complete").start()
+    try {
+      stream.addData(1L -> "aa aa bb", 2L -> "aa cc")
+      q.processAllAvailable()
+      val t1 = spark.table("trend_sink").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(t1.head === (("aa", 3L)), s"got $t1")
+      // next trigger shifts the ranking: the complete-mode sink shows
+      // the NEW top-k, exactly what the batch op computes on all data
+      stream.addData(3L -> "bb bb bb bb")
+      q.processAllAvailable()
+      val t2 = spark.table("trend_sink").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      val batch = graft.operators.TextAnalysis.tokenHistogram(
+        Seq((1L, "aa aa bb"), (2L, "aa cc"), (3L, "bb bb bb bb"))
+          .map { case (i, t) => (i, t, "en", "src0", t.length.toLong) }
+          .toDF("doc_id", "text", "lang", "source", "n_chars")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(t2 === batch)
+      assert(t2.head === (("bb", 5L)))
+    } finally q.stop()
+  }
+
   test("date-partitioned sink prunes partitions for time predicates") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
     val ana = graft.operators.StockPipeline.analysis(spark, "/root/testdata/sf0.001")
