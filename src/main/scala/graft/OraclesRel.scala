@@ -238,6 +238,30 @@ WHERE c_acctbal > avg_bal
                   WHERE o_custkey = c_custkey
                     AND o_orderdate >= TIMESTAMP '1998-01-01')
 GROUP BY n_name ORDER BY n_name""",
+    "rel_retention" -> """
+WITH act AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts::TIMESTAMP)::TIMESTAMP AS d
+  FROM events),
+co AS (SELECT user_id, min(d) AS c FROM act GROUP BY user_id),
+sz AS (SELECT c, count(*)::BIGINT AS cohort_size FROM co GROUP BY c),
+m AS (
+  SELECT c, date_diff('day', c, d)::BIGINT AS day_offset,
+    count(*)::BIGINT AS n_active
+  FROM act JOIN co USING (user_id) GROUP BY c, day_offset)
+SELECT c AS cohort_date, day_offset, n_active, cohort_size,
+  round(n_active::DOUBLE / cohort_size, 6) AS retention
+FROM m JOIN sz USING (c) ORDER BY cohort_date, day_offset""",
+    "rel_key_skew" -> """
+WITH counts AS (
+  SELECT l_suppkey, count(*)::BIGINT AS n_rows
+  FROM lineitem GROUP BY l_suppkey),
+st AS (SELECT sum(n_rows)::BIGINT AS total, count(*)::BIGINT AS n_keys
+  FROM counts)
+SELECT l_suppkey, n_rows,
+  round(n_rows::DOUBLE / total, 6) AS pct_of_total,
+  round((n_rows * n_keys)::DOUBLE / total, 6) AS x_vs_avg
+FROM counts CROSS JOIN st
+ORDER BY n_rows DESC, l_suppkey LIMIT 10""",
     // funnel: the oracle states the classic row_number form of the
     // per-user first-event chain; tuple compares match the engine's
     // struct compares exactly

@@ -73,7 +73,8 @@ object ScaleProbe {
         val (_, paS) = t(Packing.packAssign(df).count())
         val (_, soS) = t(Packing.shuffleOrder(df).count())
         val (_, sdS) = t(Dedup.spanDedup(df).count())
-        println(f"[scale-probe-docs] x$n%-3d docs=$rows%8d minhashPairs=$mpS%6.2fs($mp) jaccardPairs=$jpS%6.2fs($jp) simhashPairs=$spS%6.2fs($sp) packAssign=$paS%6.2fs shuffleOrder=$soS%6.2fs spanDedup=$sdS%6.2fs")
+        val (_, ssS) = t(Dedup.substringDedup(df).count())
+        println(f"[scale-probe-docs] x$n%-3d docs=$rows%8d minhashPairs=$mpS%6.2fs($mp) jaccardPairs=$jpS%6.2fs($jp) simhashPairs=$spS%6.2fs($sp) packAssign=$paS%6.2fs shuffleOrder=$soS%6.2fs spanDedup=$sdS%6.2fs substringDedup=$ssS%6.2fs")
       }
       spark.stop(); return
     }

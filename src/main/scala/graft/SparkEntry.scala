@@ -250,6 +250,10 @@ object SparkEntry {
       Relational.smallQtyRevenue(s, d)),
     // ordered-sequence funnel (view -> click -> purchase) via GroupedTopK
     "rel_funnel" -> (Relational.funnel _),
+    // daily cohort-retention matrix over events
+    "rel_retention" -> (Relational.retention _),
+    // heavy-hitter join-key report (the pre-salting diagnostic)
+    "rel_key_skew" -> ((s, d) => Relational.keySkew(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -412,6 +412,55 @@ object Relational {
   def funnel(spark: SparkSession, dir: String): DataFrame =
     funnelOn(Tables.events(spark, dir))
 
+  /** Daily cohort-retention matrix over the events stream: cohort =
+    * each user's first active day; cell (cohort, offset) = how many of
+    * that cohort were active `offset` days later. The canonical
+    * engagement analysis — two hash aggregations (distinct activity,
+    * per-user min) and one matrix aggregation, all on high-cardinality
+    * keys; output is O(days²). */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val act = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+      .distinct()
+    val cohorts = act.groupBy(col("user_id")).agg(min(col("d")).as("c"))
+    val sizes = cohorts.groupBy(col("c")).agg(count(lit(1)).as("cohort_size"))
+    act.join(cohorts, Seq("user_id"))
+      .withColumn("day_offset", datediff(col("d"), col("c")).cast("long"))
+      .groupBy(col("c"), col("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, Seq("c"))
+      .select(col("c").as("cohort_date"), col("day_offset"),
+        col("n_active"), col("cohort_size"),
+        round(col("n_active").cast("double") / col("cohort_size"), 6)
+          .as("retention"))
+      .orderBy(col("cohort_date"), col("day_offset"))
+  }
+
+  /** Heavy-hitter (join-key skew) report — the diagnostic a pipeline
+    * runs BEFORE choosing [[Skew.saltedJoin]]/AQE settings: the top-k
+    * hottest join keys with their share of all rows and their multiple
+    * of the average key's load (a key at 100× average is the one that
+    * melts a shuffle task). One count aggregation (map-side combine) on
+    * the key; the stats derive from the O(#keys) aggregate,
+    * materialized once; the multiple is integer math (rows × keys /
+    * total) in one rounded double division, exact on both engines. */
+  def keySkew(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val counts = Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_rows"))
+      .localCheckpoint(true) // O(#keys); stats + top-k both read it
+    val stats = counts.agg(sum(col("n_rows")).as("total"),
+      count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(stats))
+      .select(col("l_suppkey"), col("n_rows"),
+        round(col("n_rows").cast("double") / col("total"), 6)
+          .as("pct_of_total"),
+        round((col("n_rows") * col("n_keys")).cast("double") / col("total"), 6)
+          .as("x_vs_avg"))
+      .orderBy(col("n_rows").desc, col("l_suppkey"))
+      .limit(k)
+  }
+
   /** Sketch-based approximations (HLL++ count-distinct, GK quantiles) —
     * the constant-memory forms of A6/rel_quantiles for 100 TB cardinality
     * work. Sketch layouts are engine-specific, so the row is registered
