@@ -130,6 +130,21 @@ SELECT c.doc_id, c.n_sh,
   (round(coalesce(h.n_eval_sh, 0)::DOUBLE / c.n_sh, 6) >= 0.5) AS flagged
 FROM cnt c LEFT JOIN hit h USING (doc_id)
 ORDER BY doc_id"""),
+    // Bloom variant: SAME exact SQL — no false negatives means the
+    // Bloom-prefiltered engine result must hash-match the plain form
+    "text_decontaminate_bloom" -> (s"\nWITH ${OraclesExt.shinglesCte},\n" + """
+ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 20),
+tr AS (SELECT doc_id, sh FROM sh WHERE doc_id >= 20),
+cnt AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM tr GROUP BY doc_id),
+hit AS (
+  SELECT tr.doc_id, count(*)::BIGINT AS n_eval_sh
+  FROM tr JOIN ev USING (sh) GROUP BY tr.doc_id)
+SELECT c.doc_id, c.n_sh,
+  coalesce(h.n_eval_sh, 0)::BIGINT AS n_eval_sh,
+  round(coalesce(h.n_eval_sh, 0)::DOUBLE / c.n_sh, 6) AS contamination,
+  (round(coalesce(h.n_eval_sh, 0)::DOUBLE / c.n_sh, 6) >= 0.5) AS flagged
+FROM cnt c LEFT JOIN hit h USING (doc_id)
+ORDER BY doc_id"""),
     // The capstone: quality gate AND exact-dup representative AND
     // near-dup cluster representative AND decontaminated — assembled
     // from the same CTE fragments the individual oracles use.

@@ -117,6 +117,10 @@ object SparkEntry {
       operators.Curation.repetition(Tables.documents(s, d))),
     "text_decontaminate" -> ((s, d) =>
       operators.Curation.decontaminate(Tables.documents(s, d))),
+    // Bloom-prefiltered variant; oracle = the plain exact SQL (no false
+    // negatives => identical rows; proves the Bloom path value-invisible)
+    "text_decontaminate_bloom" -> ((s, d) =>
+      operators.Curation.decontaminateBloom(Tables.documents(s, d))),
     // the capstone: full training-corpus selection (quality AND dedup
     // representative AND near-dup representative AND decontaminated)
     "corpus_curated" -> ((s, d) =>

@@ -220,6 +220,54 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** [[decontaminate]] with a BLOOM-FILTER pre-filter — the at-scale
+    * form: when the eval universe outgrows a broadcast hash join (many
+    * benchmarks × many shingles), the probe side first passes through a
+    * fixed-size Bloom sketch of the eval shingles, built DISTRIBUTED by
+    * Spark's native `BloomFilterAggregate` and probed by
+    * `BloomFilterMightContain` (the engine's own runtime-filter
+    * machinery — codegen'd Catalyst expressions, no UDF; the sketch
+    * reaches the scan as a scalar subquery exactly like an injected
+    * runtime filter). Only surviving candidates hit the exact
+    * verification join, so the expensive join's probe side shrinks to
+    * ~the truly-contaminated rows + the fpp tail.
+    *
+    * Because a Bloom filter has NO false negatives, the output is
+    * row-for-row [[decontaminate]]'s — the oracle states the plain
+    * exact SQL, and hash equality proves the whole Bloom path
+    * value-invisible (the salted-join proof pattern). */
+  def decontaminateBloom(documents: DataFrame, evalMaxId: Long = 20,
+      threshold: Double = 0.5, expectedItems: Long = 1L << 16,
+      numBits: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.GraftGlue
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ScalarSubquery}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val sh = Dedup.shingles(documents)
+    val evalSh = sh.filter(col("doc_id") < evalMaxId)
+      .select(col("shingle")).distinct()
+    val train = sh.filter(col("doc_id") >= evalMaxId)
+    val bloomDf = evalSh.select(GraftGlue.toColumn(
+      new BloomFilterAggregate(
+        GraftGlue.toExpression(xxhash64(col("shingle"))),
+        org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+        .toAggregateExpression()).as("bf"))
+    val mightContain = GraftGlue.toColumn(BloomFilterMightContain(
+      ScalarSubquery(GraftGlue.logicalPlan(bloomDf), Seq.empty),
+      GraftGlue.toExpression(xxhash64(col("shingle")))))
+    val counts = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val hits = train.filter(mightContain) // Bloom pre-filter: no false negatives
+      .join(broadcast(evalSh), Seq("shingle"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_eval_sh"))
+    counts.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("n_eval_sh"), lit(0L)).as("n_eval_sh"),
+        round(coalesce(col("n_eval_sh"), lit(0L)).cast("double") /
+          col("n_sh"), 6).as("contamination"))
+      .withColumn("flagged", col("contamination") >= threshold)
+      .orderBy(col("doc_id"))
+  }
+
   /** The capstone: training-corpus selection composing the verified
     * curation operators — a document enters the corpus iff it
     *   (a) passes the quality gates ([[qualityFilter]]),

@@ -153,6 +153,20 @@ class CurationSpec extends SparkSpec {
       .orderBy("doc_id", "copy_id").collect().toSeq)
   }
 
+  test("bloom decontamination: plan carries the native bloom filter and " +
+      "rows equal the exact form") {
+    val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val bloom = Curation.decontaminateBloom(d)
+    val plan = bloom.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("might_contain"),
+      s"expected the BloomFilterMightContain probe in the plan:\n$plan")
+    // no false negatives: the bloom-prefiltered result is row-for-row
+    // the exact operator's result
+    val exact = Curation.decontaminate(d).collect().map(_.toString)
+    assert(bloom.collect().map(_.toString).toSeq === exact.toSeq)
+    assert(exact.nonEmpty)
+  }
+
   test("pii scan runs unchanged on a stream (batch/stream shared op)") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
