@@ -20,7 +20,23 @@ object OraclesPacking {
   private val splitKeySql =
     s"('0x' || substr(md5('${Packing.splitSalt}' || doc_id::VARCHAR), 1, 8))::BIGINT"
 
+  private val bucketCase: String =
+    Packing.bucketSizes.init
+      .map(b => s"WHEN n <= $b THEN ${b}")
+      .mkString("CASE ", " ", s" ELSE ${Packing.bucketSizes.last} END")
+
   val all: Map[String, String] = Map(
+    // length-bucketing report: identical integer bucket ladder
+    "pack_length_buckets" -> s"""
+WITH $toksCte,
+t AS (SELECT doc_id, len(tk)::BIGINT AS n FROM toks),
+b AS (SELECT doc_id, n, ($bucketCase)::BIGINT AS bucket FROM t)
+SELECT bucket, count(*)::BIGINT AS n_docs,
+  sum(n)::BIGINT AS total_tokens,
+  sum(greatest(bucket - n, 0))::BIGINT AS total_padding,
+  round(sum(greatest(bucket - n, 0))::DOUBLE / (bucket * count(*)), 6)
+    AS pad_frac
+FROM b GROUP BY bucket ORDER BY bucket""",
     "doc_chunks" -> s"""
 WITH $toksCte,
 t AS (SELECT doc_id, tk, len(tk)::BIGINT AS n FROM toks),

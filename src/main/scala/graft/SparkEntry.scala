@@ -144,6 +144,9 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_id"))),
     "pack_assign" -> ((s, d) =>
       operators.Packing.packAssign(Tables.documents(s, d))),
+    // dynamic-batching length buckets + padding-waste pricing
+    "pack_length_buckets" -> ((s, d) =>
+      operators.Packing.lengthBuckets(Tables.documents(s, d))),
     "pack_sequences" -> ((s, d) =>
       operators.Packing.packSequences(Tables.documents(s, d))),
     "corpus_shuffle" -> ((s, d) =>

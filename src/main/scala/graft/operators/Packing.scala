@@ -32,6 +32,38 @@ object Packing {
 
   private def toks: Column = Portable.tokens(col("text"))
 
+  /** Bucket ladder for [[lengthBuckets]] — shared with the oracle.
+    * Hand-chosen thresholds (the usual inference-serving practice), so
+    * bucket assignment is integer comparisons — no float log2 whose
+    * rounding could diverge between engines at exact powers of two. */
+  val bucketSizes: Seq[Int] = Seq(16, 32, 64, 128, 256)
+
+  /** Length-bucketing report — the dynamic-batching layout for
+    * inference/training serving: each document pads to the smallest
+    * bucket that fits it (docs over the ladder clamp to the top), and
+    * the report prices the padding waste per bucket (the number every
+    * batching-strategy decision starts from). One map-side bucket
+    * assignment + one hash aggregation on ≤|ladder| keys. */
+  def lengthBuckets(documents: DataFrame): DataFrame = {
+    val n = size(toks).cast("long")
+    val bucket = bucketSizes.reverse.tail.foldLeft(
+      lit(bucketSizes.last.toLong): Column) { (e, b) =>
+      when(n <= b, lit(b.toLong)).otherwise(e)
+    }
+    documents
+      .select(col("doc_id"), n.as("n_tokens"), bucket.as("bucket"))
+      .withColumn("pad", greatest(col("bucket") - col("n_tokens"), lit(0L)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("pad")).as("total_padding"))
+      .select(col("bucket"), col("n_docs"), col("total_tokens"),
+        col("total_padding"),
+        round(col("total_padding").cast("double") /
+          (col("bucket") * col("n_docs")), 6).as("pad_frac"))
+      .orderBy(col("bucket"))
+  }
+
   /** Split each document into fixed-size token chunks (context-window
     * shards). Pure map-side explode — embarrassingly parallel. */
   def chunk(documents: DataFrame, chunkSize: Int = chunkTokens): DataFrame =

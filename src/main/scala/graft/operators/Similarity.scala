@@ -144,8 +144,15 @@ object Similarity {
     * Returns (assignments (vec_id, unit, cell), centroids (cell,
     * centroid)). */
   def kmeans(embeddings: DataFrame, k: Int = kmK,
+      iters: Int = kmIters): (DataFrame, DataFrame) =
+    kmeansOnUnits(unitized(embeddings).select(col("vec_id"), col("unit")),
+      k, iters)
+
+  /** [[kmeans]] over a pre-unitized (vec_id, unit) base — lets a
+    * composing pipeline ([[ivfPqTopK]]) share ONE normalized corpus
+    * materialization across its build passes. */
+  def kmeansOnUnits(base: DataFrame, k: Int = kmK,
       iters: Int = kmIters): (DataFrame, DataFrame) = {
-    val base = unitized(embeddings).select(col("vec_id"), col("unit"))
     val seeds = base
       .withColumn("hk", graft.functions.Portable.hash32(
         concat(lit(kmSalt), col("vec_id").cast("string"))))
@@ -302,8 +309,13 @@ object Similarity {
     * the float32 vector, the compression that lets a 100 TB embedding
     * corpus live in scannable storage. */
   def pqBuild(embeddings: DataFrame, k: Int = kmK,
+      iters: Int = kmIters): (DataFrame, DataFrame) =
+    pqBuildOnUnits(unitized(embeddings).select(col("vec_id"), col("unit")),
+      k, iters)
+
+  /** [[pqBuild]] over a pre-unitized (vec_id, unit) base. */
+  def pqBuildOnUnits(base: DataFrame, k: Int = kmK,
       iters: Int = kmIters): (DataFrame, DataFrame) = {
-    val base = unitized(embeddings).select(col("vec_id"), col("unit"))
     // (vec_id, sub, v): one map-side explode into the M subvectors
     val subs = base.select(col("vec_id"), posexplode(array(
         (0 until pqM).map(s =>
@@ -386,8 +398,12 @@ object Similarity {
     * row group — I/O is nprobe/k of the corpus × 1/64 of the bytes. */
   def ivfPqTopK(embeddings: DataFrame, k: Int = 5, nQueries: Int = 20,
       nprobe: Int = 2): DataFrame = {
-    val (asg, cents) = kmeans(embeddings)
-    val (codes, pqCents) = pqBuild(embeddings)
+    // normalize the corpus ONCE; both build passes read the same
+    // materialized base (two scans at 100 TB otherwise)
+    val base = unitized(embeddings).select(col("vec_id"), col("unit"))
+      .localCheckpoint(true)
+    val (asg, cents) = kmeansOnUnits(base)
+    val (codes, pqCents) = pqBuildOnUnits(base)
     val queries = asg.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("unit").as("qu"))
     val cw = org.apache.spark.sql.expressions.Window
