@@ -313,6 +313,12 @@ SELECT s_name, ${dsum("l_extendedprice * (1 - l_discount)")} AS revenue,
   count(*) AS n_items
 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
 GROUP BY s_name ORDER BY revenue DESC, s_name LIMIT 10""",
+    "rel_grouping_sets" -> s"""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+  ${dsum("o_totalprice")} AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
     "rel_orders_cube" -> s"""
 SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
   ${dsum("o_totalprice")} AS total_price

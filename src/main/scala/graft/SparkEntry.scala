@@ -233,6 +233,7 @@ object SparkEntry {
     "rel_part_topk_per_brand" -> (Relational.partTopPerBrand _),
     "rel_orders_rollup" -> (Relational.ordersRollup _),
     "rel_orders_cube" -> (Relational.ordersCube _),
+    "rel_grouping_sets" -> (Relational.ordersGroupingSets _),
     "rel_monthly_growth" -> (Relational.monthlyGrowth _),
     "rel_quantiles" -> (Relational.pricingQuantiles _),
     // sketches are engine-specific -> registered in self-checking form:

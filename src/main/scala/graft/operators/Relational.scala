@@ -641,6 +641,20 @@ object Relational {
       .orderBy(col("month"))
   }
 
+  /** Explicit GROUPING SETS — the two single-dimension marginals in one
+    * pass (the subset of CUBE a dashboard actually wants, at half the
+    * aggregation fan-out): per-status totals and per-priority totals,
+    * each with the other dimension NULL. */
+  def ordersGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        decSum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
   /** CUBE over (status, priority): all four grouping sets. */
   def ordersCube(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)

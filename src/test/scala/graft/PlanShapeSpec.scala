@@ -65,6 +65,23 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("dedup_paragraphs / dedup_substrings: first-occurrence is a hash " +
+      "aggregation, never a per-fingerprint window sort") {
+    Seq("dedup_paragraphs", "dedup_substrings").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("WindowExec") && !p.contains("row_number"),
+        s"$q must use min(struct) hash agg, not a window:\n$p")
+      assert(p.contains("HashAggregate"), s"$q:\n$p")
+    }
+  }
+
+  test("rel_funnel: every per-user argmin goes through GroupedTopK") {
+    val p = plan("rel_funnel")
+    assert(countOf(p, "GroupedTopK") >= 6, // 3 stages x (partial + final)
+      s"expected 3 bounded-heap stage argmins:\n$p")
+    assert(!p.contains("WindowExec"), p)
+  }
+
   test("stock_analysis: the only nested-loop join is the broadcast 1-row clock") {
     val p = plan("stock_analysis")
     // crossJoin(broadcast(1-row nowDf)) is the intended exception
