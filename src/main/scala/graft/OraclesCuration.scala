@@ -31,7 +31,82 @@ object OraclesCuration {
      AND mean_word_len >= ${Curation.minMeanWordLen} AND mean_word_len <= ${Curation.maxMeanWordLen}
      AND punct_ratio <= ${Curation.maxPunctRatio} AND n_stopwords >= ${Curation.minStopwords})"""
 
+  /** The four signal chains of the curation ensemble, each restated
+    * from the same constants its standalone oracle uses (perplexity:
+    * [[TextAnalysis.ppK]]/[[TextAnalysis.ppMinCount]]; classifier:
+    * [[TextAnalysis.clsCoeffs]]/[[TextAnalysis.clsDim]]; centroid
+    * cosine: the sim_outliers chain over embeddings). */
+  private val ensembleSql: String = {
+    val (ca, cb) = TextAnalysis.clsCoeffs
+    val p = graft.functions.Portable.P31
+    s"""
+WITH $toksCte,
+$qualityMCte,
+bg AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS w1,
+    unnest(list_transform(range(1, len(tk)), i -> tk[i+1])) AS w2
+  FROM toks WHERE len(tk) >= 2),
+lm AS (
+  SELECT w1, w2, count(*)::BIGINT AS c12 FROM bg GROUP BY w1, w2
+  HAVING count(*) >= ${TextAnalysis.ppMinCount}),
+c1 AS (SELECT w1, count(*)::BIGINT AS cnt1 FROM bg GROUP BY w1),
+v AS (SELECT count(DISTINCT t)::BIGINT AS n_vocab
+  FROM (SELECT unnest(tk) AS t FROM toks)),
+ppd AS (
+  SELECT doc_id, round(exp(-sum(lp) / count(*)), 6) AS perplexity FROM (
+    SELECT doc_id,
+      ln((coalesce(c12, 0) + ${TextAnalysis.ppK}) /
+         (cnt1 + ${TextAnalysis.ppK} * n_vocab)) AS lp
+    FROM bg LEFT JOIN lm USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+  GROUP BY doc_id),
+wt AS (
+  SELECT list((($ca * (j + 1) + $cb) % $p)::DOUBLE / $p - 0.5 ORDER BY j) AS wv
+  FROM range(${TextAnalysis.clsDim}) t(j)),
+clsd AS (
+  SELECT doc_id,
+    round(1.0 / (1.0 + exp(-margin * 10)), 6) AS cls_score FROM (
+    SELECT doc_id,
+      round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(tk,
+        t -> wv[(('0x' || substr(md5(t), 1, 8))::BIGINT % ${TextAnalysis.clsDim} + 1)::INT])),
+        (acc, x) -> acc + x) / len(tk), 6) AS margin
+    FROM toks CROSS JOIN wt)),
+eb AS (
+  SELECT vec_id, label,
+    list_transform(embedding::DOUBLE[],
+      x -> x / sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS ev
+  FROM embeddings),
+ecm AS (
+  SELECT label, pos, CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS cv
+  FROM (SELECT label, unnest(ev) AS x, unnest(range(len(ev))) AS pos FROM eb)
+  GROUP BY label, pos),
+ect AS (
+  SELECT label, list_transform(c0,
+    x -> x / sqrt(list_inner_product(c0, c0))) AS centroid
+  FROM (SELECT label, list(cv ORDER BY pos) AS c0 FROM ecm GROUP BY label)),
+cosd AS (
+  SELECT b.vec_id AS doc_id,
+    round(list_inner_product(b.ev, c.centroid), 6) AS centroid_cosine
+  FROM eb b JOIN ect c ON b.label = c.label),
+th AS (
+  SELECT
+    (SELECT round(quantile_cont(perplexity, 0.5)::DOUBLE, 6) FROM ppd) AS pp_median,
+    (SELECT round(quantile_cont(centroid_cosine, 0.1)::DOUBLE, 6) FROM cosd) AS cos_p10)
+SELECT m.doc_id, $qKeepExpr AS q_keep,
+  ppd.perplexity, clsd.cls_score, cosd.centroid_cosine,
+  ($qKeepExpr
+   AND coalesce(ppd.perplexity <= th.pp_median, FALSE)
+   AND coalesce(cosd.centroid_cosine >= th.cos_p10, FALSE)) AS keep
+FROM m
+LEFT JOIN ppd USING (doc_id)
+JOIN clsd USING (doc_id)
+LEFT JOIN cosd USING (doc_id)
+CROSS JOIN th
+ORDER BY doc_id"""
+  }
+
   val all: Map[String, String] = Map(
+    "corpus_signal_ensemble" -> ensembleSql,
     // temperature mixture plan: T=2 => sqrt tempering (IEEE-exact in
     // both engines); the normalizer sums 12-decimal-truncated weights
     // so it is order-independent, mirroring the Spark decimal sum

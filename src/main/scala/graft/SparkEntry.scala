@@ -125,6 +125,11 @@ object SparkEntry {
     // representative AND near-dup representative AND decontaminated)
     "corpus_curated" -> ((s, d) =>
       operators.Curation.curatedCorpus(Tables.documents(s, d))),
+    // multi-signal ensemble: quality + perplexity + classifier +
+    // embedding-centroid cosine, corpus-derived thresholds
+    "corpus_signal_ensemble" -> ((s, d) =>
+      operators.Curation.signalEnsemble(
+        Tables.documents(s, d), Tables.embeddings(s, d))),
     "pii_scan" -> ((s, d) =>
       operators.Curation.piiScan(Tables.documents(s, d))
         .orderBy(col("doc_id"))),

@@ -268,6 +268,52 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Multi-signal curation ensemble (the DataComp/DCLM-style filter
+    * stack): per document, every model/heuristic signal the library
+    * computes — rule-based quality gate, bigram-LM perplexity, hashed
+    * classifier score, and the EMBEDDING-space signal (cosine to the
+    * document's label centroid; `vec_id` keys the same corpus as
+    * `doc_id`) — plus an ensemble keep decision with corpus-derived
+    * thresholds: perplexity at or below the corpus median (fluent half)
+    * and centroid cosine at or above the corpus p10 (drop the 10%
+    * embedding outliers). Thresholds are exact percentiles ROUNDED to 6
+    * before comparing (the [[lengthAdaptive]] contract), so both
+    * engines gate on bit-identical values; docs with no bigrams have no
+    * perplexity and fail the fluency gate (conservative).
+    *
+    * Scale: four verified operator pipelines joined on doc_id (each one
+    * or two corpus-pass aggregations), two O(1) percentile aggregates
+    * broadcast into the gate — no new shuffle shapes. */
+  def signalEnsemble(documents: DataFrame,
+      embeddings: DataFrame): DataFrame = {
+    val q = qualityFilter(documents)
+      .select(col("doc_id"), col("keep").as("q_keep"))
+    val pp = TextAnalysis.perplexity(documents)
+      .select(col("doc_id"), col("perplexity"))
+    val cls = TextAnalysis.classifierScore(documents)
+      .select(col("doc_id"), col("score").as("cls_score"))
+    val cos = Similarity.centroidCosines(embeddings)
+      .select(col("vec_id").as("doc_id"),
+        col("cosine").as("centroid_cosine"))
+    val thresholds = pp
+      .agg(round(expr("percentile(perplexity, 0.5)"), 6).as("pp_median"))
+      .crossJoin(cos.agg(
+        round(expr("percentile(centroid_cosine, 0.1)"), 6).as("cos_p10")))
+    documents.select(col("doc_id"))
+      .join(q, Seq("doc_id"))
+      .join(pp, Seq("doc_id"), "left")
+      .join(cls, Seq("doc_id"))
+      .join(cos, Seq("doc_id"), "left")
+      .crossJoin(broadcast(thresholds))
+      .select(col("doc_id"), col("q_keep"), col("perplexity"),
+        col("cls_score"), col("centroid_cosine"),
+        (col("q_keep") &&
+          coalesce(col("perplexity") <= col("pp_median"), lit(false)) &&
+          coalesce(col("centroid_cosine") >= col("cos_p10"), lit(false)))
+          .as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The capstone: training-corpus selection composing the verified
     * curation operators — a document enters the corpus iff it
     *   (a) passes the quality gates ([[qualityFilter]]),

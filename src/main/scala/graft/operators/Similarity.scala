@@ -264,7 +264,11 @@ object Similarity {
     * collect, and the result is O(labels × dim) — it broadcasts into
     * the scoring join at any corpus size. Bottom-k per label runs on
     * [[graft.plans.GroupedTopK]] ascending (bounded heap, no sort). */
-  def outliers(embeddings: DataFrame, k: Int = 5): DataFrame = {
+  /** Every vector's cosine to its OWN label centroid: (label, vec_id,
+    * cosine) — the scoring stage of [[outliers]], exposed so composing
+    * pipelines (the curation signal ensemble) can consume the full
+    * score table instead of only the bottom-k. */
+  def centroidCosines(embeddings: DataFrame): DataFrame = {
     val base = unitized(embeddings)
     val cm = base
       .select(col("label"), posexplode(col("unit")).as(Seq("pos", "v")))
@@ -275,14 +279,16 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
         s => s.getField("cv")).as("c0"))
       .select(col("label"), unitize(col("c0")).as("centroid"))
-    val scored = base.join(broadcast(cents), Seq("label"))
+    base.join(broadcast(cents), Seq("label"))
       .select(col("label"), col("vec_id"),
         cosineUnit(col("unit"), col("centroid")).as("cosine"))
-    TopK.perKey(scored, Seq("label"),
+  }
+
+  def outliers(embeddings: DataFrame, k: Int = 5): DataFrame =
+    TopK.perKey(centroidCosines(embeddings), Seq("label"),
         Seq("cosine" -> false, "vec_id" -> false), k)
       .withColumn("rn", col("rn").cast("long"))
       .orderBy(col("label"), col("rn"))
-  }
 
   // ---- product quantization (the extreme-compression ANN path) ----
 

@@ -153,6 +153,26 @@ class CurationSpec extends SparkSpec {
       .orderBy("doc_id", "copy_id").collect().toSeq)
   }
 
+  test("signal ensemble: keep implies every gate, both branches populated, " +
+      "roughly half fail the median fluency gate") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Curation.signalEnsemble(
+      graft.sources.Tables.documents(spark, dir),
+      graft.sources.Tables.embeddings(spark, dir)).collect()
+    assert(out.length === 500)
+    val kept = out.filter(_.getBoolean(5))
+    assert(kept.nonEmpty && kept.length < out.length, "both branches populated")
+    kept.foreach { r =>
+      assert(r.getBoolean(1), s"kept doc ${r.getLong(0)} must pass quality")
+      assert(!r.isNullAt(2), "kept doc must have a perplexity score")
+      assert(!r.isNullAt(4), "kept doc must have an embedding signal")
+    }
+    // the median gate admits about half the scored docs, so keeps are
+    // well under the quality-only count
+    assert(kept.length < out.count(_.getBoolean(1)),
+      "ensemble is stricter than the quality gate alone")
+  }
+
   test("bloom decontamination: plan carries the native bloom filter and " +
       "rows equal the exact form") {
     val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
