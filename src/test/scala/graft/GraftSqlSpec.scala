@@ -129,6 +129,197 @@ ORDER BY ticker;
       .collect { case w: LogicalWindow => w }.isEmpty)
   }
 
+  // ---- the remaining reference queries, verbatim (README.md:696-794,
+  // app.py:28-95) — with this block every SQL statement the reference
+  // ships runs unchanged through the shim ----
+
+  private val refQ2 = """
+SELECT
+    ticker,
+    latest_price,
+    sma_5m,
+    (latest_price - sma_5m) as price_diff,
+    window_timestamp
+FROM `stock_market_dataset.realtime_analysis`
+WHERE latest_price > sma_5m
+ORDER BY window_timestamp DESC
+LIMIT 10;
+"""
+
+  private val refQ3 = """
+SELECT
+    ticker,
+    total_value_1m,
+    total_volume_1m,
+    latest_price,
+    window_timestamp
+FROM `stock_market_dataset.realtime_analysis`
+ORDER BY total_value_1m DESC
+LIMIT 5;
+"""
+
+  private val refQ5 = """
+SELECT
+    ticker,
+    STDDEV(latest_price) as price_stddev,
+    AVG(latest_price) as avg_price,
+    (STDDEV(latest_price) / AVG(latest_price)) * 100 as volatility_pct
+FROM `stock_market_dataset.realtime_analysis`
+WHERE window_timestamp >= TIMESTAMP_SUB(CURRENT_TIMESTAMP(), INTERVAL 10 MINUTE)
+GROUP BY ticker
+ORDER BY volatility_pct DESC;
+"""
+
+  private val refQ7 = """
+SELECT
+    window_timestamp,
+    system_latency,
+    ticker,
+    total_volume_1m
+FROM `stock_market_dataset.realtime_analysis`
+WHERE system_latency > 30
+ORDER BY system_latency DESC;
+"""
+
+  private val refQ8 = """
+SELECT
+    ticker,
+    AVG(ai_sentiment) as avg_sentiment,
+    AVG(latest_price) as avg_price,
+    COUNT(*) as data_points,
+    CORR(ai_sentiment, latest_price) as sentiment_price_correlation
+FROM `stock_market_dataset.realtime_analysis`
+WHERE window_timestamp >= TIMESTAMP_SUB(CURRENT_TIMESTAMP(), INTERVAL 1 HOUR)
+GROUP BY ticker
+ORDER BY avg_sentiment DESC;
+"""
+
+  private val nowSql = "SELECT max(window_timestamp) FROM realtime_analysis"
+  private def nowTs = spark.sql(nowSql).head().getTimestamp(0)
+
+  test("reference Q2 verbatim: buy-signal rows (tie-safe multiset compare)") {
+    ana
+    val got = GraftSql.sql(spark, refQ2).collect()
+    assert(got.length === 10)
+    got.foreach(r => assert(
+      r.getAs[Double]("latest_price") > r.getAs[Double]("sma_5m")))
+    // ORDER BY ts DESC LIMIT 10 has cross-ticker timestamp ties: assert
+    // the timestamp MULTISET matches the true top-10
+    val wantTs = ana.filter(col("latest_price") > col("sma_5m"))
+      .select("window_timestamp").collect().map(_.getTimestamp(0))
+      .sortBy(-_.getTime).take(10).toSeq
+    assert(got.map(_.getAs[java.sql.Timestamp]("window_timestamp"))
+      .sortBy(-_.getTime).toSeq === wantTs)
+  }
+
+  test("reference Q3 verbatim: top-5 traded-value minutes") {
+    ana
+    val got = GraftSql.sql(spark, refQ3).collect()
+      .map(_.getAs[Double]("total_value_1m")).toSeq
+    val want = ana.select("total_value_1m").collect().map(_.getDouble(0))
+      .sorted.reverse.take(5).toSeq
+    assert(got === want)
+  }
+
+  test("reference Q5 verbatim: volatility over the trailing 10 minutes") {
+    ana
+    // a single-row ticker in the window gives NULL stddev on both sides
+    def nd(r: org.apache.spark.sql.Row, i: Int): Double =
+      if (r.isNullAt(i)) Double.NaN else r.getDouble(i)
+    def close(a: Double, b: Double): Boolean =
+      (a.isNaN && b.isNaN) || math.abs(a - b) < 1e-9
+    val got = GraftSql.sql(spark, refQ5, now = Some(nowSql)).collect()
+      .map(r => r.getAs[String]("ticker") -> (nd(r, 1), nd(r, 2))).toMap
+    val want = ana
+      .filter(col("window_timestamp") >= lit(nowTs) - expr("INTERVAL 10 MINUTES"))
+      .groupBy(col("ticker"))
+      .agg(stddev_samp(col("latest_price")).as("sd"),
+        avg(col("latest_price")).as("ap")).collect()
+      .map(r => r.getString(0) -> (nd(r, 1), nd(r, 2))).toMap
+    assert(got.keySet === want.keySet && got.nonEmpty)
+    got.foreach { case (t, (sd, ap)) =>
+      assert(close(sd, want(t)._1), t)
+      assert(close(ap, want(t)._2), t)
+    }
+  }
+
+  test("reference Q7 verbatim: latency spikes") {
+    ana
+    val got = GraftSql.sql(spark, refQ7).collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("window_timestamp"),
+        r.getAs[String]("ticker"))).toSet
+    val want = ana.filter(col("system_latency") > 30)
+      .select("window_timestamp", "ticker").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1))).toSet
+    assert(got === want && got.nonEmpty)
+  }
+
+  test("reference Q8 verbatim: sentiment correlation over the trailing hour") {
+    ana
+    val got = GraftSql.sql(spark, refQ8, now = Some(nowSql)).collect()
+      .map(r => r.getAs[String]("ticker") ->
+        (r.getAs[Long]("data_points"), r.getAs[Double]("avg_sentiment"))).toMap
+    val want = ana
+      .filter(col("window_timestamp") >= lit(nowTs) - expr("INTERVAL 1 HOUR"))
+      .groupBy(col("ticker"))
+      .agg(count(lit(1)).as("n"), avg(col("ai_sentiment")).as("s")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet === want.keySet && got.nonEmpty)
+    got.foreach { case (t, (n, s)) =>
+      assert(n === want(t)._1, t)
+      assert(math.abs(s - want(t)._2) < 1e-9, t)
+    }
+  }
+
+  test("dashboard overview + drill-down + distinct tickers verbatim (app.py)") {
+    ana
+    // app.py:28-36 — f-string table name maps through the backtick rule
+    val overview = GraftSql.sql(spark, """
+SELECT
+    window_timestamp,
+    ticker,
+    latest_price
+FROM `proj.stock_market_dataset.realtime_analysis`
+ORDER BY window_timestamp DESC
+LIMIT 500
+""").collect()
+    assert(overview.length === 500)
+    val wantTs = ana.select("window_timestamp").collect()
+      .map(_.getTimestamp(0)).sortBy(-_.getTime).take(500).toSeq
+    assert(overview.map(_.getTimestamp(0)).sortBy(-_.getTime).toSeq === wantTs)
+    // app.py:79-95 — drill-down for one key (ts unique within a ticker)
+    val drill = GraftSql.sql(spark, """
+SELECT
+    window_timestamp,
+    latest_price,
+    high_price_1m,
+    total_volume_1m,
+    total_value_1m,
+    sma_5m,
+    is_volume_spike,
+    system_latency,
+    ai_sentiment,
+    ai_summary
+FROM `proj.stock_market_dataset.realtime_analysis`
+WHERE ticker = 'purchase'
+ORDER BY window_timestamp DESC
+LIMIT 100
+""").collect()
+    val wantDrill = ana.filter(col("ticker") === "purchase")
+      .orderBy(col("window_timestamp").desc).limit(100)
+      .select("window_timestamp", "latest_price", "high_price_1m",
+        "total_volume_1m", "total_value_1m", "sma_5m", "is_volume_spike",
+        "system_latency", "ai_sentiment", "ai_summary").collect()
+    assert(drill.length === wantDrill.length && drill.nonEmpty)
+    drill.zip(wantDrill).foreach { case (g, w) => assert(g === w) }
+    // app.py:70 — distinct-ticker fallback
+    val tickers = GraftSql.sql(spark,
+      "SELECT DISTINCT ticker FROM `proj.stock_market_dataset.realtime_analysis`")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(tickers === ana.select("ticker").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq)
+  }
+
   test("rewrite is lexical and shape-preserving for out-of-corpus SQL") {
     assert(GraftSql.rewrite("SELECT 1") === "SELECT 1")
     assert(GraftSql.rewrite("SELECT * FROM `a.b.c` WHERE x > 0") ===
