@@ -357,14 +357,21 @@ object Dedup {
     * (min(struct(doc, idx)) — no window, no sort); reassembly is one
     * hash aggregation back on doc_id with a bounded per-doc sort of its
     * own spans. Two shuffles total, both on high-cardinality keys. */
-  def spanDedup(documents: DataFrame, w: Int = spanTokens): DataFrame = {
-    val spans = documents
+  /** Fixed-width span rows with fingerprints: (doc_id, span_idx,
+    * span_text, hh) — shared by [[spanDedup]] and the streaming ingest
+    * twin ([[graft.streaming.StreamingPipeline.ingestSpanBatch]]). */
+  private[graft] def spanRows(documents: DataFrame,
+      w: Int = spanTokens): DataFrame =
+    documents
       .withColumn("toks", Portable.tokens(col("text")))
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, (size(toks) + $w - 1) div $w - 1), " +
           s"i -> concat_ws(' ', slice(toks, i * $w + 1, $w)))"))
         .as(Seq("span_idx", "span_text")))
       .withColumn("hh", md5(col("span_text")))
+
+  def spanDedup(documents: DataFrame, w: Int = spanTokens): DataFrame = {
+    val spans = spanRows(documents, w)
     val firsts = spans.groupBy(col("hh"))
       .agg(min(struct(col("doc_id"), col("span_idx"))).as("first"))
     val flagged = spans.join(firsts, Seq("hh"))

@@ -227,6 +227,69 @@ object StreamingPipeline {
       }
       .start()
 
+  /** One trigger of [[ingestSpanDedupSink]] — SPAN-level streaming
+    * dedup, the streaming twin of [[graft.operators.Dedup.spanDedup]]:
+    * incoming documents are cut into fixed-width token spans; a span
+    * survives iff it is the first occurrence WITHIN the batch
+    * ((doc_id, span_idx) lexicographic — same rule as the batch
+    * operator) and its fingerprint is absent from the persisted span
+    * index; surviving spans reassemble into cleaned documents (a doc
+    * whose every span was already ingested drops entirely), and the
+    * surviving fingerprints append to the index. Both writes land in
+    * `batch=<id>` partitions with overwrite, and the index read
+    * excludes the current batch's partition — a replayed trigger
+    * overwrites its own attempt instead of double-ingesting (the
+    * [[ingestBatch]] exactly-once pattern at span granularity).
+    *
+    * Scale: the index is ONE narrow md5 column; the anti-join is an
+    * equi-join on it (bucket the index by hash + a Bloom front at
+    * cluster scale — [[graft.operators.Curation.decontaminateBloom]]
+    * shows that plan shape); span explode and reassembly are the batch
+    * operator's map-side/hash-agg stages unchanged. */
+  def ingestSpanBatch(batch: DataFrame, batchId: Long, corpusPath: String,
+      indexPath: String): Unit = {
+    val s = batch.sparkSession
+    val spans = graft.operators.Dedup.spanRows(batch)
+    val firsts = spans.groupBy(col("hh"))
+      .agg(min(struct(col("doc_id"), col("span_idx"))).as("first"))
+    val inBatchKept = spans.join(firsts, Seq("hh"))
+      .filter(struct(col("doc_id"), col("span_idx")) === col("first"))
+      .drop("first")
+    val indexDir = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = indexDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val fresh =
+      if (fs.exists(indexDir)) {
+        val index = s.read.parquet(indexPath)
+          .filter(col("batch") =!= batchId) // replay: ignore own attempt
+        inBatchKept.join(index.select(col("hh")), Seq("hh"), "left_anti")
+      } else inBatchKept
+    // materialize before writing: `fresh` reads the index path this
+    // trigger also writes
+    val kept = fresh.localCheckpoint()
+    val cleaned = kept.groupBy(col("doc_id"))
+      .agg(array_join(expr(
+        "transform(array_sort(collect_list(struct(span_idx, span_text))), " +
+          "s -> s.span_text)"), " ").as("text"))
+      .join(batch.drop("text", "n_chars"), Seq("doc_id"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    cleaned.write.mode("overwrite").parquet(s"$corpusPath/batch=$batchId")
+    kept.select(col("hh"))
+      .write.mode("overwrite").parquet(s"$indexPath/batch=$batchId")
+  }
+
+  /** Streaming span-dedup corpus ingest (exactly-once): each trigger
+    * runs [[ingestSpanBatch]]. */
+  def ingestSpanDedupSink(documents: DataFrame, corpusPath: String,
+      indexPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    documents.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) ingestSpanBatch(batch, batchId, corpusPath, indexPath)
+        ()
+      }
+      .start()
+
   def analysisSink(spark: SparkSession, inputDir: String, outPath: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
     val minuteStore = outPath + "_minutes"

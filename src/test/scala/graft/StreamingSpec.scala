@@ -336,6 +336,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("span-ingest sink: cross-batch SPAN dedup; fully-duplicate doc " +
+      "drops; replay idempotent") {
+    val base = java.nio.file.Files.createTempDirectory("graft-span").toString
+    val (corpus, index, ckpt) = (s"$base/corpus", s"$base/index", s"$base/ckpt")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // 8-token blocks (Dedup.spanTokens = 8) so span boundaries are exact
+    val A = "a1 a2 a3 a4 a5 a6 a7 a8"
+    val B = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val C = "c1 c2 c3 c4 c5 c6 c7 c8"
+    val D = "d1 d2 d3 d4 d5 d6 d7 d8"
+    def asDocs(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("_1").as("doc_id"), col("_2").as("text"),
+        lit("en").as("lang"), lit("src0").as("source"),
+        length(col("_2")).cast("long").as("n_chars"))
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingPipeline.ingestSpanDedupSink(
+      asDocs(stream.toDF()), corpus, index, ckpt)
+    try {
+      // trigger 1: doc 2's A-span already appears in doc 1 -> only C kept
+      stream.addData(1L -> s"$A $B", 2L -> s"$A $C")
+      q.processAllAvailable()
+      // trigger 2: doc 3's B is INDEXED -> keeps D; doc 4 is all-dup -> drops
+      stream.addData(3L -> s"$B $D", 4L -> A)
+      q.processAllAvailable()
+      val got = spark.read.parquet(corpus)
+        .select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got === Map(1L -> s"$A $B", 2L -> C, 3L -> D))
+      assert(spark.read.parquet(index).count() === 4) // A B C D
+      // replay of trigger 2 overwrites its own partitions: unchanged
+      val lastBatch = spark.read.parquet(index)
+        .agg(max(col("batch"))).collect()(0).getInt(0).toLong
+      StreamingPipeline.ingestSpanBatch(
+        asDocs(Seq(3L -> s"$B $D", 4L -> A).toDF("_1", "_2")),
+        lastBatch, corpus, index)
+      val replayed = spark.read.parquet(corpus)
+        .select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(replayed === got)
+      assert(spark.read.parquet(index).count() === 4)
+    } finally q.stop()
+  }
+
   test("ingest sink: cross-batch exact dedup against the index; replay idempotent") {
     val base = java.nio.file.Files.createTempDirectory("graft-ingest").toString
     val (corpus, index, ckpt) =
