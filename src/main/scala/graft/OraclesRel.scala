@@ -313,6 +313,33 @@ SELECT s_name, ${dsum("l_extendedprice * (1 - l_discount)")} AS revenue,
   count(*) AS n_items
 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
 GROUP BY s_name ORDER BY revenue DESC, s_name LIMIT 10""",
+    "rel_set_ops" -> """
+WITH b96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+b97 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997),
+aft AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) > 1996)
+SELECT 'both_96_97' AS cohort, o_custkey FROM (
+  SELECT o_custkey FROM b96 INTERSECT SELECT o_custkey FROM b97)
+UNION ALL
+SELECT 'churned_after_96' AS cohort, o_custkey FROM (
+  SELECT o_custkey FROM b96 EXCEPT SELECT o_custkey FROM aft)
+ORDER BY cohort, o_custkey""",
+    "rel_nation_balance" -> s"""
+WITH cu AS (
+  SELECT c_nationkey AS nationkey, ${dsum("c_acctbal")} AS cust_bal,
+    count(*) AS n_customers
+  FROM customer GROUP BY c_nationkey),
+su AS (
+  SELECT s_nationkey AS nationkey, ${dsum("s_acctbal")} AS supp_bal,
+    count(*) AS n_suppliers
+  FROM supplier GROUP BY s_nationkey)
+SELECT n_name,
+  coalesce(n_customers, 0) AS n_customers,
+  coalesce(cust_bal, 0.0) AS cust_bal,
+  coalesce(n_suppliers, 0) AS n_suppliers,
+  coalesce(supp_bal, 0.0) AS supp_bal
+FROM cu FULL OUTER JOIN su USING (nationkey)
+JOIN nation ON nationkey = n_nationkey
+ORDER BY n_name""",
     "rel_grouping_sets" -> s"""
 SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
   ${dsum("o_totalprice")} AS total_price

@@ -239,6 +239,8 @@ object SparkEntry {
     "rel_orders_rollup" -> (Relational.ordersRollup _),
     "rel_orders_cube" -> (Relational.ordersCube _),
     "rel_grouping_sets" -> (Relational.ordersGroupingSets _),
+    "rel_set_ops" -> (Relational.customerSetOps _),
+    "rel_nation_balance" -> (Relational.nationBalanceSheet _),
     "rel_monthly_growth" -> (Relational.monthlyGrowth _),
     "rel_quantiles" -> (Relational.pricingQuantiles _),
     // sketches are engine-specific -> registered in self-checking form:

@@ -641,6 +641,51 @@ object Relational {
       .orderBy(col("month"))
   }
 
+  /** Set operations — INTERSECT and EXCEPT registered explicitly:
+    * customers who ordered in BOTH 1996 and 1997 (intersect) and those
+    * who ordered in 1996 but never again after (except). Spark plans
+    * both as semi/anti aggregates over the distinct key sets — no row
+    * multiplication. */
+  def customerSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    def buyers(y: Int) = orders
+      .filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey")).distinct()
+    def later(y: Int) = orders
+      .filter(year(col("o_orderdate")) > y)
+      .select(col("o_custkey")).distinct()
+    val both = buyers(1996).intersect(buyers(1997))
+      .select(lit("both_96_97").as("cohort"), col("o_custkey"))
+    val churned = buyers(1996).except(later(1996))
+      .select(lit("churned_after_96").as("cohort"), col("o_custkey"))
+    both.unionByName(churned)
+      .orderBy(col("cohort"), col("o_custkey"))
+  }
+
+  /** FULL OUTER join — per-nation customer vs supplier balance totals,
+    * nations present on EITHER side retained (the reconciliation-report
+    * join shape). Both inputs are O(nations) aggregates, so the outer
+    * join runs on summary-sized tables regardless of corpus scale. */
+  def nationBalanceSheet(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(decSum(col("c_acctbal")).as("cust_bal"),
+        count(lit(1)).as("n_customers"))
+    val supp = Tables.supplier(spark, dir)
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(decSum(col("s_acctbal")).as("supp_bal"),
+        count(lit(1)).as("n_suppliers"))
+    cust.join(supp, Seq("nationkey"), "full_outer")
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("nationkey") === col("n_nationkey"))
+      .select(col("n_name"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("cust_bal"), lit(0.0)).as("cust_bal"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"),
+        coalesce(col("supp_bal"), lit(0.0)).as("supp_bal"))
+      .orderBy(col("n_name"))
+  }
+
   /** Explicit GROUPING SETS — the two single-dimension marginals in one
     * pass (the subset of CUBE a dashboard actually wants, at half the
     * aggregation fan-out): per-status totals and per-priority totals,
