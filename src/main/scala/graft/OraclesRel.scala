@@ -313,6 +313,16 @@ SELECT s_name, ${dsum("l_extendedprice * (1 - l_discount)")} AS revenue,
   count(*) AS n_items
 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
 GROUP BY s_name ORDER BY revenue DESC, s_name LIMIT 10""",
+    // identical IEEE bucket expression as the engine: sub, div, mul 10,
+    // floor, clamp — no width_bucket (absent in DuckDB; a reassociated
+    // equivalent could flip edge values across buckets)
+    "rel_price_histogram" -> """
+WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+  FROM lineitem)
+SELECT least(floor((l_extendedprice - lo) / (hi - lo) * 10), 9)::BIGINT AS bucket,
+  count(*) AS n_items
+FROM lineitem CROSS JOIN b
+GROUP BY bucket ORDER BY bucket""",
     "rel_set_ops" -> """
 WITH b96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
 b97 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997),

@@ -241,6 +241,7 @@ object SparkEntry {
     "rel_grouping_sets" -> (Relational.ordersGroupingSets _),
     "rel_set_ops" -> (Relational.customerSetOps _),
     "rel_nation_balance" -> (Relational.nationBalanceSheet _),
+    "rel_price_histogram" -> ((s, d) => Relational.priceHistogram(s, d)),
     "rel_monthly_growth" -> (Relational.monthlyGrowth _),
     "rel_quantiles" -> (Relational.pricingQuantiles _),
     // sketches are engine-specific -> registered in self-checking form:

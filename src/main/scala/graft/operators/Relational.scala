@@ -641,6 +641,29 @@ object Relational {
       .orderBy(col("month"))
   }
 
+  /** Equi-width price histogram — the distribution profile behind
+    * partition-sizing and skew decisions. The bucket formula is stated
+    * explicitly (floor((v−lo)/(hi−lo)·n), top edge clamped) rather than
+    * `width_bucket` so both engines evaluate the identical IEEE
+    * expression (DuckDB has no width_bucket; an equivalent-but-
+    * differently-associated form could flip edge values across
+    * buckets). Bounds are a separate O(1) aggregate broadcast into the
+    * assignment, so the histogram is two passes at any scale. */
+  def priceHistogram(spark: SparkSession, dir: String,
+      nBuckets: Int = 10): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_extendedprice"))
+    val bounds = li.agg(min(col("l_extendedprice")).as("lo"),
+      max(col("l_extendedprice")).as("hi"))
+    li.crossJoin(broadcast(bounds))
+      .select(least(
+        floor((col("l_extendedprice") - col("lo")) /
+          (col("hi") - col("lo")) * nBuckets),
+        lit(nBuckets - 1)).cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_items"))
+      .orderBy(col("bucket"))
+  }
+
   /** Set operations — INTERSECT and EXCEPT registered explicitly:
     * customers who ordered in BOTH 1996 and 1997 (intersect) and those
     * who ordered in 1996 but never again after (except). Spark plans
