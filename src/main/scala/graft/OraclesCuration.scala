@@ -107,6 +107,18 @@ ORDER BY doc_id"""
 
   val all: Map[String, String] = Map(
     "corpus_signal_ensemble" -> ensembleSql,
+    // order-insensitive manifest: bit_xor of per-doc content hashes
+    "corpus_checksum" -> s"""
+WITH $toksCte,
+h AS (
+  SELECT doc_id,
+    ('0x' || substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 8))::BIGINT AS h,
+    len(tk)::BIGINT AS n_tokens
+  FROM toks)
+SELECT count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS total_tokens,
+  bit_xor(h)::BIGINT AS content_xor,
+  bit_xor(h * 31 + doc_id)::BIGINT AS content_id_xor
+FROM h""",
     // temperature mixture plan: T=2 => sqrt tempering (IEEE-exact in
     // both engines); the normalizer sums 12-decimal-truncated weights
     // so it is order-independent, mirroring the Spark decimal sum

@@ -110,6 +110,9 @@ object SparkEntry {
       operators.Curation.lengthAdaptive(Tables.documents(s, d))),
     "corpus_report" -> ((s, d) =>
       operators.Curation.corpusReport(Tables.documents(s, d))),
+    // order-insensitive reproducibility manifest
+    "corpus_checksum" -> ((s, d) =>
+      operators.Curation.corpusChecksum(Tables.documents(s, d))),
     // temperature-based multilingual mixture plan (T=2 -> sqrt)
     "corpus_mixture_plan" -> ((s, d) =>
       operators.Curation.mixturePlan(Tables.documents(s, d))),

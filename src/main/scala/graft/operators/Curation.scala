@@ -268,6 +268,26 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus manifest — the reproducibility primitive a versioned data
+    * pipeline publishes with every release: document/token counts plus
+    * ORDER-INSENSITIVE content checksums (bit_xor of each document's
+    * content fingerprint — layout, partitioning, and row order cannot
+    * change the value; any single-character edit flips it). Two runs of
+    * a deterministic pipeline must produce identical manifests; a
+    * consumer verifies a delivered corpus against the manifest without
+    * trusting row order. One aggregation pass, constant-size output. */
+  def corpusChecksum(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"),
+        graft.functions.Portable.hash32(
+          TextAnalysis.normalizedText(col("text"))).as("h"),
+        size(toks).cast("long").as("n_tokens"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        bit_xor(col("h")).as("content_xor"),
+        // id-coupled variant: detects content swapped BETWEEN ids
+        bit_xor(col("h") * 31 + col("doc_id")).as("content_id_xor"))
+
   /** Multi-signal curation ensemble (the DataComp/DCLM-style filter
     * stack): per document, every model/heuristic signal the library
     * computes — rule-based quality gate, bigram-LM perplexity, hashed
