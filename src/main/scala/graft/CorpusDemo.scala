@@ -64,6 +64,10 @@ object CorpusDemo {
     val mix = Curation.mixturePlan(cleaned).collect()
       .map(r => f"${r.getString(0)}=${r.getDouble(5)}%.2fx").mkString(" ")
 
+    // the release manifest: order-insensitive content checksum
+    val ck = Curation.corpusChecksum(cleaned).head()
+    val manifest = s"checksum=${java.lang.Long.toHexString(ck.getLong(3))}"
+
     val sharded = Packing.shardAssign(cleaned)
     Sinks.writeTrainingShards(sharded, outDir)
 
@@ -74,7 +78,7 @@ object CorpusDemo {
       .map(r => s"${r.getString(0)}=${r.getLong(1)}d/${r.getLong(2)}s")
       .mkString(" ")
     println(s"[corpus-demo] in=$nIn kept=$nKept spanDeduped=$nCleaned " +
-      s"(dupSpansRemoved=$nDupSpans) mixture[$mix] ($bySplit) -> $outDir")
+      s"(dupSpansRemoved=$nDupSpans) mixture[$mix] $manifest ($bySplit) -> $outDir")
     spark.stop()
   }
 }

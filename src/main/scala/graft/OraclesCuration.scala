@@ -117,7 +117,8 @@ h AS (
   FROM toks)
 SELECT count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS total_tokens,
   bit_xor(h)::BIGINT AS content_xor,
-  bit_xor(h * 31 + doc_id)::BIGINT AS content_id_xor
+  bit_xor(('0x' || substr(md5(doc_id::VARCHAR || ':' || h::VARCHAR), 1, 8))::BIGINT)::BIGINT
+    AS content_id_xor
 FROM h""",
     // temperature mixture plan: T=2 => sqrt tempering (IEEE-exact in
     // both engines); the normalizer sums 12-decimal-truncated weights

@@ -285,8 +285,13 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),
         bit_xor(col("h")).as("content_xor"),
-        // id-coupled variant: detects content swapped BETWEEN ids
-        bit_xor(col("h") * 31 + col("doc_id")).as("content_id_xor"))
+        // id-coupled variant detects content swapped BETWEEN ids; the
+        // (id, hash) pair is RE-HASHED before the xor — an arithmetic
+        // coupling like h*31+id cancels under xor (the +id touches low
+        // bits that xor out pairwise), a hash mix cannot
+        bit_xor(graft.functions.Portable.hash32(concat(
+          col("doc_id").cast("string"), lit(":"), col("h").cast("string"))))
+          .as("content_id_xor"))
 
   /** Multi-signal curation ensemble (the DataComp/DCLM-style filter
     * stack): per document, every model/heuristic signal the library

@@ -173,6 +173,23 @@ class CurationSpec extends SparkSpec {
       "ensemble is stricter than the quality gate alone")
   }
 
+  test("corpus checksum: invariant under row order and partitioning; " +
+      "flips on any edit; id-coupled xor catches swaps") {
+    val d = docs(1L -> "aa bb cc", 2L -> "dd ee ff", 3L -> "gg hh")
+    val base = Curation.corpusChecksum(d).head()
+    val shuffled = Curation.corpusChecksum(
+      d.orderBy(org.apache.spark.sql.functions.rand(7)).repartition(5)).head()
+    assert(base === shuffled, "layout/order must not change the manifest")
+    val edited = Curation.corpusChecksum(
+      docs(1L -> "aa bb cx", 2L -> "dd ee ff", 3L -> "gg hh")).head()
+    assert(edited.getLong(2) !== base.getLong(2), "content xor flips on edit")
+    // swap content between ids: plain xor blind, id-coupled xor catches it
+    val swapped = Curation.corpusChecksum(
+      docs(2L -> "aa bb cc", 1L -> "dd ee ff", 3L -> "gg hh")).head()
+    assert(swapped.getLong(2) === base.getLong(2))
+    assert(swapped.getLong(3) !== base.getLong(3))
+  }
+
   test("bloom decontamination: plan carries the native bloom filter and " +
       "rows equal the exact form") {
     val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
