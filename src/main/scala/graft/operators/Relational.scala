@@ -419,9 +419,12 @@ object Relational {
     * per-user min) and one matrix aggregation, all on high-cardinality
     * keys; output is O(days²). */
   def retention(spark: SparkSession, dir: String): DataFrame = {
+    // one events scan: the distinct (user, day) activity grid feeds
+    // cohorts, sizes, and the matrix join from a single materialization
     val act = Tables.events(spark, dir)
       .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
       .distinct()
+      .localCheckpoint(true)
     val cohorts = act.groupBy(col("user_id")).agg(min(col("d")).as("c"))
     val sizes = cohorts.groupBy(col("c")).agg(count(lit(1)).as("cohort_size"))
     act.join(cohorts, Seq("user_id"))
@@ -670,16 +673,20 @@ object Relational {
     * both as semi/anti aggregates over the distinct key sets — no row
     * multiplication. */
   def customerSetOps(spark: SparkSession, dir: String): DataFrame = {
-    val orders = Tables.orders(spark, dir)
-    def buyers(y: Int) = orders
-      .filter(year(col("o_orderdate")) === y)
-      .select(col("o_custkey")).distinct()
-    def later(y: Int) = orders
-      .filter(year(col("o_orderdate")) > y)
+    // ONE fact scan: the (custkey, year) distinct grid — O(customers ×
+    // years) — materialized once; every cohort derives from it (the
+    // set operators otherwise re-plan the orders scan per side, 8
+    // scans at this query's shape)
+    val byYear = Tables.orders(spark, dir)
+      .select(col("o_custkey"), year(col("o_orderdate")).as("yr"))
+      .distinct()
+      .localCheckpoint(true)
+    def buyers(y: Int) = byYear.filter(col("yr") === y).select(col("o_custkey"))
+    val later96 = byYear.filter(col("yr") > 1996)
       .select(col("o_custkey")).distinct()
     val both = buyers(1996).intersect(buyers(1997))
       .select(lit("both_96_97").as("cohort"), col("o_custkey"))
-    val churned = buyers(1996).except(later(1996))
+    val churned = buyers(1996).except(later96)
       .select(lit("churned_after_96").as("cohort"), col("o_custkey"))
     both.unionByName(churned)
       .orderBy(col("cohort"), col("o_custkey"))
