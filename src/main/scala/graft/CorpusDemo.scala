@@ -52,7 +52,9 @@ object CorpusDemo {
     // span-level dedup rewrites the surviving text (repeated passages
     // drop; docs reduced to nothing drop entirely)
     val spans = Dedup.spanDedup(kept)
-    val nDupSpans = spans.agg(sum(col("n_dup_spans"))).head().getLong(0)
+    // coalesce: sum over an empty curated set is NULL, not 0
+    val nDupSpans = spans
+      .agg(coalesce(sum(col("n_dup_spans")), lit(0L))).head().getLong(0)
     val cleaned = kept.drop("text", "n_chars")
       .join(spans.filter(length(col("clean_text")) > 0)
         .select(col("doc_id"), col("clean_text").as("text")), Seq("doc_id"))
@@ -64,9 +66,11 @@ object CorpusDemo {
     val mix = Curation.mixturePlan(cleaned).collect()
       .map(r => f"${r.getString(0)}=${r.getDouble(5)}%.2fx").mkString(" ")
 
-    // the release manifest: order-insensitive content checksum
+    // the release manifest: order-insensitive content checksum (NULL
+    // xor on an empty corpus prints as 0 rather than crashing the demo)
     val ck = Curation.corpusChecksum(cleaned).head()
-    val manifest = s"checksum=${java.lang.Long.toHexString(ck.getLong(3))}"
+    val ckVal = if (ck.isNullAt(3)) 0L else ck.getLong(3)
+    val manifest = s"checksum=${java.lang.Long.toHexString(ckVal)}"
 
     val sharded = Packing.shardAssign(cleaned)
     Sinks.writeTrainingShards(sharded, outDir)

@@ -79,23 +79,28 @@ object ScaleProbe {
       spark.stop(); return
     }
 
-    // SemDeDup probe: multiply the embedding table N× (per-copy
-    // deterministic sign-flip patterns keep vectors unit-norm but spread
-    // the copies across embedding space) and grow k WITH the corpus —
-    // the paper's sizing rule that keeps cells near-constant. Flat
-    // per-row time = the in-cell pairing stays bounded; running this
-    // with FIXED k instead shows the quadratic blow-up the rule avoids.
+    // SemDeDup probe: multiply the embedding table N× (copy k rotates
+    // each vector's dimensions by k positions — unit norm preserved,
+    // and every copy is a DISTINCT point for k < dim, so the probe
+    // corpus genuinely disperses instead of repeating; an earlier
+    // sign-flip pattern had period 4 in k and made 16× a 75%-duplicate
+    // corpus) and grow k WITH the corpus — the paper's sizing rule that
+    // keeps cells near-constant. Flat per-row time = the in-cell
+    // pairing stays bounded; running this with FIXED k instead shows
+    // the quadratic blow-up the rule avoids.
     if (mode == "emb") {
       import graft.operators.Similarity
       Similarity.semDedup(graft.sources.Tables.embeddings(spark, sfDir)).count() // warm-up
       def multipliedEmb(n: Int): DataFrame = {
         val base = graft.sources.Tables.embeddings(spark, sfDir)
         (0 until n).map { k =>
-          if (k == 0) base
+          val r = k % 64
+          if (r == 0) base
+            .withColumn("vec_id", col("vec_id") + lit(k.toLong * 1000000000L))
           else base
             .withColumn("vec_id", col("vec_id") + lit(k.toLong * 1000000000L))
             .withColumn("embedding", expr(
-              s"transform(embedding, (x, d) -> CASE WHEN (d + $k) % 4 < 2 THEN -x ELSE x END)"))
+              s"concat(slice(embedding, ${r + 1}, ${64 - r}), slice(embedding, 1, $r))"))
         }.reduce(_ unionAll _)
       }
       multiples.foreach { n =>

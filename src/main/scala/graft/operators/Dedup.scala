@@ -370,22 +370,38 @@ object Dedup {
         .as(Seq("span_idx", "span_text")))
       .withColumn("hh", md5(col("span_text")))
 
-  def spanDedup(documents: DataFrame, w: Int = spanTokens): DataFrame = {
-    val spans = spanRows(documents, w)
+  /** Mark each span row with whether it is its fingerprint's
+    * lexicographically-first (doc_id, span_idx) occurrence — the ONE
+    * definition of the first-occurrence rule, shared by [[spanDedup]]
+    * and the streaming ingest twin so the batch/stream semantics can
+    * never drift. One min(struct) hash aggregation; no window. */
+  private[graft] def withSpanFirstFlag(spans: DataFrame): DataFrame = {
     val firsts = spans.groupBy(col("hh"))
       .agg(min(struct(col("doc_id"), col("span_idx"))).as("first"))
-    val flagged = spans.join(firsts, Seq("hh"))
-      .withColumn("is_dup",
-        struct(col("doc_id"), col("span_idx")) =!= col("first"))
-    flagged.groupBy(col("doc_id"))
+    spans.join(firsts, Seq("hh"))
+      .withColumn("is_first",
+        struct(col("doc_id"), col("span_idx")) === col("first"))
+      .drop("first")
+  }
+
+  /** Ordered span reassembly: `rowExpr` selects (span_idx, span_text)
+    * structs (or NULL to drop a span); surviving spans concatenate in
+    * span order. Shared with the streaming ingest twin. */
+  private[graft] def orderedSpanConcat(rowExpr: String)
+      : org.apache.spark.sql.Column =
+    array_join(expr(
+      s"transform(array_sort(collect_list($rowExpr)), s -> s.span_text)"),
+      " ")
+
+  def spanDedup(documents: DataFrame, w: Int = spanTokens): DataFrame =
+    withSpanFirstFlag(spanRows(documents, w))
+      .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
-        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_spans"),
-        array_join(expr(
-          "transform(array_sort(collect_list(CASE WHEN NOT is_dup THEN " +
-            "struct(span_idx, span_text) END)), s -> s.span_text)"), " ")
+        sum(when(!col("is_first"), 1L).otherwise(0L)).as("n_dup_spans"),
+        orderedSpanConcat(
+          "CASE WHEN is_first THEN struct(span_idx, span_text) END")
           .as("clean_text"))
       .orderBy(col("doc_id"))
-  }
 
   /** Window width (tokens) for [[substringDedup]] — shared with the
     * oracle. */

@@ -372,12 +372,13 @@ object Similarity {
     * broadcast codebooks of k rows each — never the base floats: the
     * classic IVF-PQ probe layout (Jégou et al. 2011) minus the IVF
     * stage, which [[ivfKmeansTopK]] already covers. */
-  def pqTopK(embeddings: DataFrame, k: Int = 5,
-      nQueries: Int = 20): DataFrame = {
-    val (codes, cents) = pqBuild(embeddings)
-    val queries = unitized(embeddings).filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("unit").as("qu"))
-    val withCents = (0 until pqM).foldLeft(codes) { (df, s) =>
+  /** ADC scoring shared by [[pqTopK]] and [[ivfPqTopK]]: join a
+    * candidate frame carrying (query_id, qu, vec_id, c0..c{M-1}) to the
+    * M broadcast codebooks and emit (query_id, neighbor_id, cosine =
+    * Σ_s q_s · centroid_s(code_s), rounded 6). One definition so the
+    * two paths can never diverge on the formula or column naming. */
+  private def adcScore(cand: DataFrame, cents: DataFrame): DataFrame = {
+    val withCents = (0 until pqM).foldLeft(cand) { (df, s) =>
       df.join(broadcast(cents.filter(col("sub") === s)
           .select(col("cell").as(s"cc$s"), col("centroid").as(s"cent$s"))),
         col(s"c$s") === col(s"cc$s"))
@@ -385,11 +386,18 @@ object Similarity {
     val adc = (0 until pqM)
       .map(s => dot(slice(col("qu"), s * pqSubDim + 1, pqSubDim), col(s"cent$s")))
       .reduce(_ + _)
-    val scored = withCents.join(broadcast(queries),
-        col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(adc, 6).as("cosine"))
-    topK(scored, k)
+    withCents.select(col("query_id"), col("vec_id").as("neighbor_id"),
+      round(adc, 6).as("cosine"))
+  }
+
+  def pqTopK(embeddings: DataFrame, k: Int = 5,
+      nQueries: Int = 20): DataFrame = {
+    val (codes, cents) = pqBuild(embeddings)
+    val queries = unitized(embeddings).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("unit").as("qu"))
+    val cand = codes.join(broadcast(queries),
+      col("vec_id") =!= col("query_id"))
+    topK(adcScore(cand, cents), k)
   }
 
   /** IVF-PQ top-k — the full production ANN layout (Jégou et al. 2011;
@@ -425,18 +433,8 @@ object Similarity {
       .join(broadcast(probes),
         col("cell") === col("probe_cell") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("qu"), col("vec_id"))
-    val withCents = (0 until pqM).foldLeft(cand.join(codes, Seq("vec_id"))) {
-      (df, s) =>
-        df.join(broadcast(pqCents.filter(col("sub") === s)
-            .select(col("cell").as(s"cc$s"), col("centroid").as(s"cent$s"))),
-          col(s"c$s") === col(s"cc$s"))
-    }
-    val adc = (0 until pqM)
-      .map(s => dot(slice(col("qu"), s * pqSubDim + 1, pqSubDim), col(s"cent$s")))
-      .reduce(_ + _)
-    val scored = withCents.select(col("query_id"),
-      col("vec_id").as("neighbor_id"), round(adc, 6).as("cosine"))
-    topK(scored, k)
+      .join(codes, Seq("vec_id"))
+    topK(adcScore(cand, pqCents), k)
   }
 
   // ---- int8 quantization (the embedding memory-reduction path) ----

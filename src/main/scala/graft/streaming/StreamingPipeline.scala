@@ -162,6 +162,22 @@ object StreamingPipeline {
     * the same seam incrementalizes to a MERGE of only the w_ends the new
     * minutes complete, with identical semantics. Returns the started
     * query (caller awaits/stops). */
+  /** True iff the index directory exists AND holds at least one
+    * COMMITTED data file. A plain `fs.exists` is not enough: a
+    * first-trigger crash mid-write can leave only `_temporary`
+    * droppings under `batch=0`, and treating that as a readable index
+    * turns every retry into the same "unable to infer schema" failure —
+    * a permanent crash loop. Exists-but-no-committed-data must read as
+    * "no index yet" (the retry then overwrites its own partition);
+    * every other failure mode still propagates and fails the trigger. */
+  private def indexHasCommittedData(s: SparkSession, path: String): Boolean = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.exists(dir) && Option(
+      fs.globStatus(new org.apache.hadoop.fs.Path(path, "*/part-*")))
+      .exists(_.nonEmpty)
+  }
+
   /** One trigger of [[ingestDedupSink]]: dedup `batch` within itself
     * (min doc_id per fingerprint wins) and against the persisted
     * fingerprint index, then append the survivors to the corpus store
@@ -188,15 +204,13 @@ object StreamingPipeline {
       .agg(min(col("doc_id")).as("keep_id"))
     val batchUnique = fp.join(firstInBatch, Seq("fingerprint"))
       .filter(col("doc_id") === col("keep_id")).drop("keep_id")
-    // Existence is checked explicitly: only a genuinely absent index
+    // Readability is checked explicitly: only a genuinely absent index
     // (first batch) skips the dedup join. Any OTHER read failure —
     // schema drift, corrupt metadata, permissions — propagates and
     // fails the trigger for retry; swallowing it as "no index yet"
     // would silently double-ingest and break the exactly-once contract.
-    val indexDir = new org.apache.hadoop.fs.Path(indexPath)
-    val fs = indexDir.getFileSystem(s.sparkContext.hadoopConfiguration)
     val fresh =
-      if (fs.exists(indexDir)) {
+      if (indexHasCommittedData(s, indexPath)) {
         val index = s.read.parquet(indexPath)
           .filter(col("batch") =!= batchId) // replay: ignore own attempt
         batchUnique.join(index, Seq("fingerprint"), "left_anti")
@@ -249,16 +263,13 @@ object StreamingPipeline {
   def ingestSpanBatch(batch: DataFrame, batchId: Long, corpusPath: String,
       indexPath: String): Unit = {
     val s = batch.sparkSession
-    val spans = graft.operators.Dedup.spanRows(batch)
-    val firsts = spans.groupBy(col("hh"))
-      .agg(min(struct(col("doc_id"), col("span_idx"))).as("first"))
-    val inBatchKept = spans.join(firsts, Seq("hh"))
-      .filter(struct(col("doc_id"), col("span_idx")) === col("first"))
-      .drop("first")
-    val indexDir = new org.apache.hadoop.fs.Path(indexPath)
-    val fs = indexDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // first-occurrence rule and reassembly are the batch operator's own
+    // helpers — the twins share one definition by construction
+    val inBatchKept = graft.operators.Dedup.withSpanFirstFlag(
+        graft.operators.Dedup.spanRows(batch))
+      .filter(col("is_first")).drop("is_first")
     val fresh =
-      if (fs.exists(indexDir)) {
+      if (indexHasCommittedData(s, indexPath)) {
         val index = s.read.parquet(indexPath)
           .filter(col("batch") =!= batchId) // replay: ignore own attempt
         inBatchKept.join(index.select(col("hh")), Seq("hh"), "left_anti")
@@ -267,9 +278,8 @@ object StreamingPipeline {
     // trigger also writes
     val kept = fresh.localCheckpoint()
     val cleaned = kept.groupBy(col("doc_id"))
-      .agg(array_join(expr(
-        "transform(array_sort(collect_list(struct(span_idx, span_text))), " +
-          "s -> s.span_text)"), " ").as("text"))
+      .agg(graft.operators.Dedup.orderedSpanConcat(
+        "struct(span_idx, span_text)").as("text"))
       .join(batch.drop("text", "n_chars"), Seq("doc_id"))
       .withColumn("n_chars", length(col("text")).cast("long"))
     cleaned.write.mode("overwrite").parquet(s"$corpusPath/batch=$batchId")

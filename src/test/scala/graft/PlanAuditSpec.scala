@@ -24,16 +24,34 @@ class PlanAuditSpec extends SparkSpec {
   private val boundedProbeWhitelist = Set(
     "sim_bruteforce_topk", // brute force IS all-pairs: the baseline
     "sim_lsh_topk",        // band0-OR-band1 candidate match vs 20 queries
-    "sim_quantized_topk")  // reconstructed-cosine brute force
+    "sim_quantized_topk",  // reconstructed-cosine brute force
+    "sim_pq_topk")         // ADC scan vs the 20-query broadcast
+
+  // Spark 4 prints "BroadcastNestedLoopJoin BuildLeft/BuildRight, <type>"
+  // — the build side comes BEFORE the join type (an earlier form of this
+  // regex omitted it and never matched anything, making the audit
+  // vacuous; pinned by the self-test below).
+  private val bnljNonCross =
+    "BroadcastNestedLoopJoin Build(Left|Right), (Inner|LeftOuter|RightOuter|LeftSemi|LeftAnti|FullOuter)".r
+
+  test("audit self-test: the BNLJ pattern matches a real non-equi plan") {
+    import spark.implicits._
+    val a = Seq(1, 2).toDF("a")
+    val b = Seq(3, 4).toDF("b")
+    val plan = a.join(org.apache.spark.sql.functions.broadcast(b),
+      org.apache.spark.sql.functions.col("a") =!=
+        org.apache.spark.sql.functions.col("b"))
+      .queryExecution.executedPlan.toString
+    assert(bnljNonCross.findFirstIn(plan).isDefined, plan)
+  }
 
   test("no registered query plans a cartesian or unbounded nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, dir).queryExecution.executedPlan.toString
         val cartesian = plan.contains("CartesianProduct")
-        val nonCrossBnlj =
-          "BroadcastNestedLoopJoin (Inner|LeftOuter|RightOuter|LeftSemi|LeftAnti|FullOuter)".r
-            .findFirstIn(plan).isDefined && !boundedProbeWhitelist(name)
+        val nonCrossBnlj = bnljNonCross.findFirstIn(plan).isDefined &&
+          !boundedProbeWhitelist(name)
         (if (cartesian) Seq(s"$name: CartesianProduct") else Nil) ++
           (if (nonCrossBnlj) Seq(s"$name: unbounded non-equi BNLJ") else Nil)
     }

@@ -336,6 +336,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingest: a crashed first trigger leaving only _temporary droppings " +
+      "reads as 'no index yet' and recovers on retry") {
+    val base = java.nio.file.Files.createTempDirectory("graft-crash").toString
+    val (corpus, index) = (s"$base/corpus", s"$base/index")
+    // simulate the crash: the index dir exists with an uncommitted
+    // attempt only — no part files anywhere
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$index/batch=0/_temporary/0"))
+    import spark.implicits._
+    val batch = Seq((1L, "aaa bbb"), (2L, "ccc ddd")).toDF("_1", "_2")
+      .select(col("_1").as("doc_id"), col("_2").as("text"),
+        lit("en").as("lang"), lit("src0").as("source"),
+        length(col("_2")).cast("long").as("n_chars"))
+    // the retry of trigger 0 must not crash-loop on schema inference
+    StreamingPipeline.ingestBatch(batch, 0L, corpus, index)
+    assert(spark.read.parquet(corpus).count() === 2)
+    assert(spark.read.parquet(index).count() === 2)
+  }
+
   test("span-ingest sink: cross-batch SPAN dedup; fully-duplicate doc " +
       "drops; replay idempotent") {
     val base = java.nio.file.Files.createTempDirectory("graft-span").toString
