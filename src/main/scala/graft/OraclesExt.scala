@@ -587,6 +587,46 @@ SELECT a.vec_id, a.cell, pv.max_cell_cosine, pv.dup_of,
 FROM asg${graft.operators.Similarity.kmIters} a
 LEFT JOIN pv ON a.vec_id = pv.vid
 ORDER BY a.vec_id"""),
+    // corpus-wide kNN graph: same Lloyd chain, in-cell pairs, top-k per
+    // vector in the classic row_number form
+    "sim_knn_graph" -> (simBase + kmeansCtes + s""",
+kp AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+    round(list_inner_product(a.ev, b.ev), 6) AS cosine
+  FROM asg${graft.operators.Similarity.kmIters} a
+  JOIN asg${graft.operators.Similarity.kmIters} b
+    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+kr AS (
+  SELECT vec_id, neighbor_id, cosine,
+    row_number() OVER (PARTITION BY vec_id
+      ORDER BY cosine DESC, neighbor_id)::BIGINT AS rank
+  FROM kp)
+SELECT vec_id, neighbor_id, cosine, rank FROM kr WHERE rank <= 3
+ORDER BY vec_id, rank"""),
+    // kNN edges at cosine >= 0.3 -> recursive min-label components
+    // (the dedup_clusters oracle pattern over the embedding graph)
+    "sim_knn_components" -> ((simBase + kmeansCtes)
+      .replaceFirst("WITH ", "WITH RECURSIVE ") + s""",
+kp AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+    round(list_inner_product(a.ev, b.ev), 6) AS cosine
+  FROM asg${graft.operators.Similarity.kmIters} a
+  JOIN asg${graft.operators.Similarity.kmIters} b
+    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+kr AS (
+  SELECT vec_id, neighbor_id, cosine,
+    row_number() OVER (PARTITION BY vec_id
+      ORDER BY cosine DESC, neighbor_id)::BIGINT AS rank
+  FROM kp),
+ed AS (SELECT vec_id AS a, neighbor_id AS b FROM kr
+  WHERE rank <= 3 AND cosine >= 0.3),
+edges(a, b) AS (SELECT a, b FROM ed UNION SELECT b, a FROM ed),
+reach(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN edges e ON r.node = e.a)
+SELECT node AS vec_id, min(label) AS cluster_id
+FROM reach GROUP BY node ORDER BY vec_id"""),
     // int8-quantized brute force: same scale/code formulas (floor(x/s+0.5))
     "sim_quantized_topk" -> (simBase + s""",
 qz AS (

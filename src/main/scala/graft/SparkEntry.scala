@@ -216,6 +216,18 @@ object SparkEntry {
     // IVF-PQ: coarse-cell pruning + code-based scoring composed
     "sim_ivfpq_topk" -> ((s, d) =>
       Similarity.ivfPqTopK(Tables.embeddings(s, d))),
+    // corpus-wide cell-pruned kNN graph (the graph-algorithm input)
+    "sim_knn_graph" -> ((s, d) =>
+      Similarity.knnGraph(Tables.embeddings(s, d))),
+    // embedding cluster components: thresholded kNN edges through the
+    // SAME large-star/small-star CC operator the text dedup uses
+    "sim_knn_components" -> ((s, d) =>
+      Dedup.clustersBigStar(
+        Similarity.knnGraph(Tables.embeddings(s, d))
+          .filter(col("cosine") >= 0.3)
+          .select(col("vec_id").as("doc_a"),
+            col("neighbor_id").as("doc_b")))
+        .withColumnRenamed("doc_id", "vec_id")),
     // ---- multimodal columns ----
     "mm_features" -> ((s, d) =>
       operators.Multimodal.features(Tables.documents(s, d))),

@@ -254,6 +254,32 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** k-nearest-neighbor GRAPH over the whole corpus (not a query set):
+    * per vector, its `k` highest-cosine neighbors within its k-means
+    * cell — the construction every graph algorithm downstream consumes
+    * (label propagation, graph clustering, HNSW layer seeding, dedup
+    * components). Cell pruning bounds candidate generation exactly as
+    * in [[semDedup]] (equi-join on cell, Σ|cell|² with cells held
+    * near-constant by the k-growth rule); per-vector selection is the
+    * bounded-heap [[TopK]] — no per-vector sort. Approximate at cell
+    * boundaries by construction (a true neighbor in another cell is
+    * unseen — the standard IVF trade, nprobe > 1 being the recall
+    * knob); the oracle states the same cell-restricted semantics. */
+  def knnGraph(embeddings: DataFrame, k: Int = 3,
+      cells: Int = kmK): DataFrame = {
+    val (asg, _) = kmeans(embeddings, cells)
+    val a = asg.select(col("cell"), col("vec_id"), col("unit"))
+    val pairs = a.as("a")
+      .join(a.as("b"), col("a.cell") === col("b.cell") &&
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
+        cosineUnit(col("a.unit"), col("b.unit")).as("cosine"))
+    TopK.perKey(pairs, Seq("vec_id"),
+        Seq("cosine" -> true, "neighbor_id" -> false), k, rankCol = "rank")
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
   /** Embedding outlier detection — the embedding-space curation op: each
     * vector's cosine to its OWN label centroid, bottom-k per label = the
     * mislabeled/noisy candidates a training-data pipeline reviews or
