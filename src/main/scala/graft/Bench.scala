@@ -77,9 +77,18 @@ object Bench {
     }.mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"shuffle_mb_per_trial":$sh,"sf":"$sfDir"}"""
     println(json)
-    // also persist to cwd: the driver captures only a tail of stdout,
-    // and one round lost the totals to truncation
+    // persist the full per-query map to cwd: the driver captures only a
+    // tail of stdout, and round 3 lost the totals to truncation
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json + "\n")
+    // LAST stdout line: a compact bounded-size summary that survives any
+    // tail-capture window (round-3 BENCH had parsed:null because the full
+    // per-query line outgrew it). Top-5 slowest included so the headline
+    // costs are visible even when only this line is captured.
+    val top5 = ok.sortBy(n => -byName(n).min).take(5)
+      .map(n => s"\"$n\":${math.rint(byName(n).min * 100) / 100}")
+      .mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n":${names.size},"errors":$errs,"slowest":$top5,"sf":"$sfDir","full":"bench.json"}"""
+    println(compact)
     if (failed.nonEmpty)
       System.err.println(s"BENCH FAILURES: ${failed.mkString(", ")}")
     spark.stop()

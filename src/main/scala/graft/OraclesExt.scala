@@ -619,7 +619,8 @@ kr AS (
       ORDER BY cosine DESC, neighbor_id)::BIGINT AS rank
   FROM kp),
 ed AS (SELECT vec_id AS a, neighbor_id AS b FROM kr
-  WHERE rank <= 3 AND cosine >= 0.3),
+  WHERE rank <= 3
+    AND cosine >= ${graft.operators.Similarity.knnComponentThreshold}),
 edges(a, b) AS (SELECT a, b FROM ed UNION SELECT b, a FROM ed),
 reach(node, label) AS (
   SELECT a, a FROM edges

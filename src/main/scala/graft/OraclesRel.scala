@@ -259,7 +259,7 @@ st AS (SELECT sum(n_rows)::BIGINT AS total, count(*)::BIGINT AS n_keys
   FROM counts)
 SELECT l_suppkey, n_rows,
   round(n_rows::DOUBLE / total, 6) AS pct_of_total,
-  round((n_rows * n_keys)::DOUBLE / total, 6) AS x_vs_avg
+  round(n_rows::DOUBLE * n_keys / total, 6) AS x_vs_avg
 FROM counts CROSS JOIN st
 ORDER BY n_rows DESC, l_suppkey LIMIT 10""",
     // funnel: the oracle states the classic row_number form of the
@@ -319,7 +319,8 @@ GROUP BY s_name ORDER BY revenue DESC, s_name LIMIT 10""",
     "rel_price_histogram" -> """
 WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
   FROM lineitem)
-SELECT least(floor((l_extendedprice - lo) / (hi - lo) * 10), 9)::BIGINT AS bucket,
+SELECT CASE WHEN hi = lo THEN 0
+  ELSE least(floor((l_extendedprice - lo) / (hi - lo) * 10), 9) END::BIGINT AS bucket,
   count(*) AS n_items
 FROM lineitem CROSS JOIN b
 GROUP BY bucket ORDER BY bucket""",

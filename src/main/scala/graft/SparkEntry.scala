@@ -222,12 +222,7 @@ object SparkEntry {
     // embedding cluster components: thresholded kNN edges through the
     // SAME large-star/small-star CC operator the text dedup uses
     "sim_knn_components" -> ((s, d) =>
-      Dedup.clustersBigStar(
-        Similarity.knnGraph(Tables.embeddings(s, d))
-          .filter(col("cosine") >= 0.3)
-          .select(col("vec_id").as("doc_a"),
-            col("neighbor_id").as("doc_b")))
-        .withColumnRenamed("doc_id", "vec_id")),
+      Similarity.knnComponents(Tables.embeddings(s, d))),
     // ---- multimodal columns ----
     "mm_features" -> ((s, d) =>
       operators.Multimodal.features(Tables.documents(s, d))),

@@ -235,7 +235,19 @@ object Curation {
     * Because a Bloom filter has NO false negatives, the output is
     * row-for-row [[decontaminate]]'s — the oracle states the plain
     * exact SQL, and hash equality proves the whole Bloom path
-    * value-invisible (the salted-join proof pattern). */
+    * value-invisible (the salted-join proof pattern).
+    *
+    * Upgrade note: this method splices non-public Catalyst internals
+    * ([[BloomFilterAggregate]], [[BloomFilterMightContain]],
+    * [[ScalarSubquery]] via GraftGlue) whose constructor signatures have
+    * shifted across Spark minor releases — it is the most
+    * upgrade-fragile code in the repo, deliberately: Spark exposes no
+    * public Scala surface for an injected bloom runtime filter, and the
+    * SQL-function route (`bloom_filter_agg`/`might_contain`) is not
+    * registered in vanilla 4.x either. The result is value-verified
+    * against the exact plain-SQL oracle, so an API break on upgrade is
+    * a compile/runtime failure, never silent corruption; CurationSpec
+    * pins the constructor arity for the running Spark version. */
   def decontaminateBloom(documents: DataFrame, evalMaxId: Long = 20,
       threshold: Double = 0.5, expectedItems: Long = 1L << 16,
       numBits: Long = 1L << 20): DataFrame = {

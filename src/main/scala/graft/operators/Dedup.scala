@@ -364,8 +364,14 @@ object Dedup {
       w: Int = spanTokens): DataFrame =
     documents
       .withColumn("toks", Portable.tokens(col("text")))
+      // guard the empty/null-token case: sequence(0, -1) is the
+      // DESCENDING array [0, -1] in Spark (two phantom spans), while the
+      // oracle's range((len+w-1)//w) is empty for len 0 — the filter
+      // keeps only indices whose span actually starts inside the doc,
+      // which is the empty set exactly when the token array is
       .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, (size(toks) + $w - 1) div $w - 1), " +
+        s"transform(filter(sequence(0, greatest((size(toks) + $w - 1) div $w - 1, 0)), " +
+          s"i -> i * $w < size(toks)), " +
           s"i -> concat_ws(' ', slice(toks, i * $w + 1, $w)))"))
         .as(Seq("span_idx", "span_text")))
       .withColumn("hh", md5(col("span_text")))

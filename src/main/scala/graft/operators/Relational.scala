@@ -446,7 +446,10 @@ object Relational {
     * melts a shuffle task). One count aggregation (map-side combine) on
     * the key; the stats derive from the O(#keys) aggregate,
     * materialized once; the multiple is integer math (rows × keys /
-    * total) in one rounded double division, exact on both engines. */
+    * total) computed with the cast BEFORE the product — n_rows × n_keys
+    * as a BIGINT product silently wraps at the corpus sizes this
+    * diagnostic exists for (10^12-row hot key × 10^7 keys), where the
+    * double product is exact to 53 bits and the oracle agrees. */
   def keySkew(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val counts = Tables.lineitem(spark, dir)
       .groupBy(col("l_suppkey"))
@@ -458,7 +461,7 @@ object Relational {
       .select(col("l_suppkey"), col("n_rows"),
         round(col("n_rows").cast("double") / col("total"), 6)
           .as("pct_of_total"),
-        round((col("n_rows") * col("n_keys")).cast("double") / col("total"), 6)
+        round(col("n_rows").cast("double") * col("n_keys") / col("total"), 6)
           .as("x_vs_avg"))
       .orderBy(col("n_rows").desc, col("l_suppkey"))
       .limit(k)
@@ -658,10 +661,14 @@ object Relational {
     val bounds = li.agg(min(col("l_extendedprice")).as("lo"),
       max(col("l_extendedprice")).as("hi"))
     li.crossJoin(broadcast(bounds))
-      .select(least(
+      // degenerate range (hi == lo, e.g. a single-price partition):
+      // the divide is 0/0 — NULL in Spark's non-ANSI mode but NaN
+      // through DuckDB's IEEE floor/least, so both engines state the
+      // same explicit CASE → bucket 0
+      .select(when(col("hi") === col("lo"), lit(0L)).otherwise(least(
         floor((col("l_extendedprice") - col("lo")) /
           (col("hi") - col("lo")) * nBuckets),
-        lit(nBuckets - 1)).cast("long").as("bucket"))
+        lit(nBuckets - 1)).cast("long")).as("bucket"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_items"))
       .orderBy(col("bucket"))

@@ -280,6 +280,27 @@ object Similarity {
       .orderBy(col("vec_id"), col("rank"))
   }
 
+  /** Cosine threshold for [[knnComponents]] edges — shared with the
+    * oracle generator (the [[semThreshold]] pattern). 0.3 keeps enough
+    * in-cell edges that components merge across the kNN graph while
+    * still splitting the corpus into several hundred clusters. */
+  val knnComponentThreshold = 0.3
+
+  /** Embedding cluster components: the [[knnGraph]] edges at cosine ≥
+    * [[knnComponentThreshold]] run through the SAME large-star/
+    * small-star connected-components operator the text dedup uses
+    * ([[Dedup.clustersBigStar]] — O(log n) checkpointed rounds). One
+    * definition so the registry entry, the oracle generator, and any
+    * composing pipeline can never drift on the threshold or the edge
+    * projection. */
+  def knnComponents(embeddings: DataFrame,
+      threshold: Double = knnComponentThreshold): DataFrame =
+    Dedup.clustersBigStar(
+        knnGraph(embeddings)
+          .filter(col("cosine") >= threshold)
+          .select(col("vec_id").as("doc_a"), col("neighbor_id").as("doc_b")))
+      .withColumnRenamed("doc_id", "vec_id")
+
   /** Embedding outlier detection — the embedding-space curation op: each
     * vector's cosine to its OWN label centroid, bottom-k per label = the
     * mislabeled/noisy candidates a training-data pipeline reviews or

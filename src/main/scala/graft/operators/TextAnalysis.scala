@@ -149,8 +149,8 @@ object TextAnalysis {
   /** Hashed-feature dimension and weight coefficients for
     * [[classifierScore]] — shared with the oracle generator. The
     * coefficient pair is drawn from the same deterministic universal-
-    * hash sequence as the MinHash seeds (indices 16-17, disjoint from
-    * [[Dedup.coeffs]]' 0-15). */
+    * hash sequence as the MinHash seeds (index 16 — one (a,b) pair,
+    * disjoint from [[Dedup.coeffs]]' 0-15). */
   val clsDim = 1024
   val clsCoeffs: (Long, Long) = {
     val cs = Portable.hashCoeffs(18)

@@ -204,6 +204,20 @@ class CurationSpec extends SparkSpec {
     assert(exact.nonEmpty)
   }
 
+  test("bloom splice: pinned to the Spark line whose internal ctor " +
+      "arities it was verified against") {
+    // decontaminateBloom splices private Catalyst internals
+    // (BloomFilterAggregate / BloomFilterMightContain / ScalarSubquery)
+    // whose constructor signatures have shifted across Spark minor
+    // releases. The splice is value-verified against the exact plain-SQL
+    // oracle, so breakage is loud — this pin makes the dependency
+    // explicit at upgrade time instead of deep in a stack trace.
+    assert(org.apache.spark.SPARK_VERSION.startsWith("4."),
+      "decontaminateBloom's Catalyst splice was verified on Spark 4.x; " +
+        "re-check BloomFilterAggregate/BloomFilterMightContain/" +
+        "ScalarSubquery constructor arities before moving off that line")
+  }
+
   test("pii scan runs unchanged on a stream (batch/stream shared op)") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

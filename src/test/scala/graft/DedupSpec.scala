@@ -82,6 +82,23 @@ class DedupSpec extends SparkSpec {
     assert(out(0).getString(3) === s"$blockA x1 x2 x3")
   }
 
+  test("spanDedup: null text and empty token arrays emit no phantom spans") {
+    // sequence(0, -1) is DESCENDING in Spark ([0, -1] — two phantom
+    // spans); the guard must mirror the oracle's empty range instead.
+    val d = Seq((0L, null.asInstanceOf[String], "en", "src0", 0L),
+        (1L, s"$blockA $blockB", "en", "src0", 47L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.spanDedup(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 2L), "null-text doc contributes zero spans")
+    // the guarded index expression itself: empty array -> empty spans
+    val idx = spark.sql(
+      "SELECT transform(filter(sequence(0, greatest((size(x) + 7) div 8 - 1, 0)), " +
+        "i -> i * 8 < size(x)), i -> i) AS s " +
+        "FROM (SELECT cast(array() AS array<string>) AS x)").head()
+    assert(idx.getSeq[Int](0).isEmpty)
+  }
+
   test("substringDedup: an UNALIGNED repeated passage is caught " +
       "(where aligned spans would miss it)") {
     // doc 1 repeats doc 0's 8-token block shifted by 3 tokens — span
