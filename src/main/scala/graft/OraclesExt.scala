@@ -603,6 +603,31 @@ kr AS (
   FROM kp)
 SELECT vec_id, neighbor_id, cosine, rank FROM kr WHERE rank <= 3
 ORDER BY vec_id, rank"""),
+    // multi-probe kNN graph: membership from the Lloyd assignment,
+    // probes = top-2 cells vs the FINAL centroids (rounded cosine,
+    // ties by cell) — the ivfKmeansTopK probe rule applied corpus-wide
+    "sim_knn_graph_mp" -> (simBase + kmeansCtes + {
+      val it = graft.operators.Similarity.kmIters
+      s""",
+mpr AS (
+  SELECT vec_id, ev, cell FROM (
+    SELECT a.vec_id, a.ev, c.cell,
+      row_number() OVER (PARTITION BY a.vec_id
+        ORDER BY round(list_inner_product(a.ev, c.centroid), 6) DESC, c.cell) AS crank
+    FROM asg$it a CROSS JOIN c$it c)
+  WHERE crank <= 2),
+kp AS (
+  SELECT p.vec_id AS vec_id, b.vec_id AS neighbor_id,
+    round(list_inner_product(p.ev, b.ev), 6) AS cosine
+  FROM mpr p JOIN asg$it b ON b.cell = p.cell AND b.vec_id <> p.vec_id),
+kr AS (
+  SELECT vec_id, neighbor_id, cosine,
+    row_number() OVER (PARTITION BY vec_id
+      ORDER BY cosine DESC, neighbor_id)::BIGINT AS rank
+  FROM kp)
+SELECT vec_id, neighbor_id, cosine, rank FROM kr WHERE rank <= 3
+ORDER BY vec_id, rank"""
+    }),
     // kNN edges at cosine >= 0.3 -> recursive min-label components
     // (the dedup_clusters oracle pattern over the embedding graph)
     "sim_knn_components" -> ((simBase + kmeansCtes)

@@ -219,6 +219,10 @@ object SparkEntry {
     // corpus-wide cell-pruned kNN graph (the graph-algorithm input)
     "sim_knn_graph" -> ((s, d) =>
       Similarity.knnGraph(Tables.embeddings(s, d))),
+    // multi-probe variant: top-2 candidate cells per vector (the IVF
+    // recall lever) — a true neighbor one cell over becomes reachable
+    "sim_knn_graph_mp" -> ((s, d) =>
+      Similarity.knnGraphMultiProbe(Tables.embeddings(s, d))),
     // embedding cluster components: thresholded kNN edges through the
     // SAME large-star/small-star CC operator the text dedup uses
     "sim_knn_components" -> ((s, d) =>

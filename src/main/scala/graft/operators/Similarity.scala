@@ -280,6 +280,40 @@ object Similarity {
       .orderBy(col("vec_id"), col("rank"))
   }
 
+  /** Multi-probe kNN graph — [[knnGraph]] with the standard IVF recall
+    * lever that the single-probe graph lacks: each vector generates
+    * candidates from its `nprobe` nearest cells (ranked against the
+    * FINAL centroids, ties by cell — the same probe rule as
+    * [[ivfKmeansTopK]]'s query side), so a true neighbor one cell over
+    * is reachable instead of invisible. Membership stays the Lloyd
+    * assignment; only the probe side fans out, so candidate volume is
+    * nprobe× the single-probe graph — still an equi-join on cell,
+    * never all-pairs, and the per-vector selection is still the
+    * bounded-heap [[TopK]]. The oracle states the identical 2-cell
+    * semantics (probe ranking by rounded cosine vs the final
+    * centroids). */
+  def knnGraphMultiProbe(embeddings: DataFrame, k: Int = 3,
+      cells: Int = kmK, nprobe: Int = 2): DataFrame = {
+    val (asg, cents) = kmeans(embeddings, cells)
+    val scored = asg.select(col("vec_id"), col("unit"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("unit"), col("cell"),
+        cosineUnit(col("unit"), col("centroid")).as("cdist"))
+    val probes = TopK.perKey(scored, Seq("vec_id"),
+        Seq("cdist" -> true, "cell" -> false), nprobe)
+      .select(col("vec_id"), col("unit"), col("cell").as("probe_cell"))
+    val b = asg.select(col("cell"), col("vec_id").as("neighbor_id"),
+      col("unit").as("bunit"))
+    val pairs = probes.join(b,
+        col("probe_cell") === col("cell") && col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        cosineUnit(col("unit"), col("bunit")).as("cosine"))
+    TopK.perKey(pairs, Seq("vec_id"),
+        Seq("cosine" -> true, "neighbor_id" -> false), k, rankCol = "rank")
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
   /** Cosine threshold for [[knnComponents]] edges — shared with the
     * oracle generator (the [[semThreshold]] pattern). 0.3 keeps enough
     * in-cell edges that components merge across the kNN graph while
