@@ -409,15 +409,19 @@ c$i AS (
     * side evaluates), ties by cell, decimal-exact non-unitized means.
     * Ends with `pa{s}{iters}` (vec_id, v, cell) and `pc{s}{iters}`
     * (cell, centroid) for each subspace. */
-  private val pqCtes: String = {
+  private def pqChainCtes(src: String, vcol: String, sdName: String,
+      subP: String, cP: String, aP: String, mP: String): String = {
     val m = graft.operators.Similarity.pqM
     val sd = graft.operators.Similarity.pqSubDim
     val k = graft.operators.Similarity.kmK
     val iters = graft.operators.Similarity.kmIters
     val salt = graft.operators.Similarity.pqSalt
     val sb = new StringBuilder
+    // the seed hash depends only on vec_id, so it always reads base —
+    // the residual chains share the raw chains' seed ROWS (same ids)
+    // while their seed CENTROIDS are those ids' vectors from `src`
     sb.append(s""",
-psd AS (
+$sdName AS (
   SELECT vec_id,
     ('0x' || substr(md5('$salt' || vec_id::VARCHAR), 1, 8))::BIGINT AS hk
   FROM base)""")
@@ -425,30 +429,47 @@ psd AS (
       val lo = s * sd + 1
       val hi = (s + 1) * sd
       sb.append(s""",
-sub$s AS (SELECT vec_id, ev[$lo:$hi] AS v FROM base),
-pc${s}0 AS (
+$subP$s AS (SELECT vec_id, $vcol[$lo:$hi] AS v FROM $src),
+$cP${s}0 AS (
   SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cell, v AS centroid
-  FROM (SELECT b.vec_id, b.v, p.hk FROM sub$s b JOIN psd p USING (vec_id)
+  FROM (SELECT b.vec_id, b.v, p.hk FROM $subP$s b JOIN $sdName p USING (vec_id)
         ORDER BY hk, vec_id LIMIT $k))""")
       for (i <- 1 to iters) {
         sb.append(s""",
-pa$s$i AS (
+$aP$s$i AS (
   SELECT vec_id, v, cell FROM (
     SELECT b.vec_id, b.v, c.cell,
       row_number() OVER (PARTITION BY b.vec_id ORDER BY
         list_inner_product(b.v, b.v) - 2 * list_inner_product(b.v, c.centroid)
           + list_inner_product(c.centroid, c.centroid) ASC, c.cell) AS rn
-    FROM sub$s b CROSS JOIN pc$s${i - 1} c)
+    FROM $subP$s b CROSS JOIN $cP$s${i - 1} c)
   WHERE rn = 1),
-pm$s$i AS (
+$mP$s$i AS (
   SELECT cell, pos, CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS cv
-  FROM (SELECT cell, unnest(v) AS x, unnest(range(len(v))) AS pos FROM pa$s$i)
+  FROM (SELECT cell, unnest(v) AS x, unnest(range(len(v))) AS pos FROM $aP$s$i)
   GROUP BY cell, pos),
-pc$s$i AS (SELECT cell, list(cv ORDER BY pos) AS centroid FROM pm$s$i GROUP BY cell)""")
+$cP$s$i AS (SELECT cell, list(cv ORDER BY pos) AS centroid FROM $mP$s$i GROUP BY cell)""")
       }
     }
     sb.toString
   }
+
+  private val pqCtes: String =
+    pqChainCtes("base", "ev", "psd", "sub", "pc", "pa", "pm")
+
+  /** The same Lloyd chains over the IVFADC residuals (v − the assigned
+    * cell's decimal-exact NON-unitized mean — the least-squares center;
+    * `cmm` reassembles it from the final iteration's `cm` CTE): `resid`
+    * holds (vec_id, rv) and the chains are prefixed r*. */
+  private val residPqCtes: String = s""",
+cmm AS (SELECT cell, list(cv ORDER BY pos) AS mcent
+  FROM cm${graft.operators.Similarity.kmIters} GROUP BY cell),
+resid AS (
+  SELECT a.vec_id,
+    list_transform(range(len(a.ev)), i -> a.ev[i + 1] - m.mcent[i + 1]) AS rv
+  FROM asg${graft.operators.Similarity.kmIters} a
+  JOIN cmm m USING (cell))""" +
+    pqChainCtes("resid", "rv", "rsd", "rsub", "rpc", "rpa", "rpm")
 
   /** SRP signature chain shared by the LSH top-k and banded near-dup
     * oracles — regenerates the identical hyperplanes from the same
@@ -724,6 +745,44 @@ scored AS (
   SELECT p.query_id, b.vec_id AS neighbor_id, round($adc, 6) AS cosine
   FROM asg$it b
   JOIN probes p ON b.cell = p.cell
+  $joins
+  WHERE b.vec_id <> p.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)::BIGINT AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank"""
+    }),
+    // residual IVF-PQ (classic IVFADC): the kmeans probe chain + the
+    // residual Lloyd chains, ADC = coarse term q·c(cell) PLUS the
+    // subspace sum (parenthesized so both engines associate the float
+    // adds identically)
+    "sim_ivfpq_residual" -> (simBase + kmeansCtes + residPqCtes + {
+      val m = graft.operators.Similarity.pqM
+      val sd = graft.operators.Similarity.pqSubDim
+      val it = graft.operators.Similarity.kmIters
+      val joins = (0 until m).map(s =>
+        s"JOIN rpa$s$it a$s USING (vec_id) JOIN rpc$s$it c$s ON a$s.cell = c$s.cell")
+        .mkString("\n  ")
+      val adc = (0 until m)
+        .map(s => s"list_inner_product(p.qu[${s * sd + 1}:${(s + 1) * sd}], c$s.centroid)")
+        .mkString(" + ")
+      s""",
+q3 AS (SELECT vec_id AS query_id, ev AS qu FROM asg$it WHERE vec_id < 20),
+probes AS (
+  SELECT query_id, qu, cell FROM (
+    SELECT q3.query_id, q3.qu, c.cell,
+      row_number() OVER (PARTITION BY q3.query_id
+        ORDER BY round(list_inner_product(q3.qu, c.centroid), 6) DESC, c.cell) AS crank
+    FROM q3 CROSS JOIN c$it c)
+  WHERE crank <= 2),
+scored AS (
+  SELECT p.query_id, b.vec_id AS neighbor_id,
+    round(list_inner_product(p.qu, mm.mcent) + ($adc), 6) AS cosine
+  FROM asg$it b
+  JOIN probes p ON b.cell = p.cell
+  JOIN cmm mm ON b.cell = mm.cell
   $joins
   WHERE b.vec_id <> p.query_id),
 ranked AS (

@@ -216,6 +216,10 @@ object SparkEntry {
     // IVF-PQ: coarse-cell pruning + code-based scoring composed
     "sim_ivfpq_topk" -> ((s, d) =>
       Similarity.ivfPqTopK(Tables.embeddings(s, d))),
+    // residual IVFADC: PQ over v - coarse_centroid, ADC adds the
+    // coarse term back — better recall at the same code budget
+    "sim_ivfpq_residual" -> ((s, d) =>
+      Similarity.ivfPqResidualTopK(Tables.embeddings(s, d))),
     // corpus-wide cell-pruned kNN graph (the graph-algorithm input)
     "sim_knn_graph" -> ((s, d) =>
       Similarity.knnGraph(Tables.embeddings(s, d))),

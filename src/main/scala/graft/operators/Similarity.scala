@@ -458,15 +458,19 @@ object Similarity {
     * M broadcast codebooks and emit (query_id, neighbor_id, cosine =
     * Σ_s q_s · centroid_s(code_s), rounded 6). One definition so the
     * two paths can never diverge on the formula or column naming. */
-  private def adcScore(cand: DataFrame, cents: DataFrame): DataFrame = {
+  private def adcScore(cand: DataFrame, cents: DataFrame,
+      coarse: Option[Column] = None): DataFrame = {
     val withCents = (0 until pqM).foldLeft(cand) { (df, s) =>
       df.join(broadcast(cents.filter(col("sub") === s)
           .select(col("cell").as(s"cc$s"), col("centroid").as(s"cent$s"))),
         col(s"c$s") === col(s"cc$s"))
     }
-    val adc = (0 until pqM)
+    val sub = (0 until pqM)
       .map(s => dot(slice(col("qu"), s * pqSubDim + 1, pqSubDim), col(s"cent$s")))
       .reduce(_ + _)
+    // residual encoding prepends the coarse reconstruction term
+    // q·c(cell); raw encoding scores the subspace sum alone
+    val adc = coarse.map(_ + sub).getOrElse(sub)
     withCents.select(col("query_id"), col("vec_id").as("neighbor_id"),
       round(adc, 6).as("cosine"))
   }
@@ -516,6 +520,72 @@ object Similarity {
       .select(col("query_id"), col("qu"), col("vec_id"))
       .join(codes, Seq("vec_id"))
     topK(adcScore(cand, pqCents), k)
+  }
+
+  /** Residual IVF-PQ top-k — classic IVFADC (Jégou et al. 2011, §III):
+    * the PQ codebooks quantize the RESIDUAL v − m(cell) instead of the
+    * raw vector, where m(cell) is the assigned cell's decimal-exact
+    * MEAN (the least-squares center the query side adds back, so
+    * encode and decode agree by construction). Residuals cluster
+    * tightly around the origin (E‖v − m‖² = 1 − ‖m‖² < 1 on unit
+    * vectors), so the same code budget spends its precision on the
+    * part of the vector the coarse quantizer didn't already explain —
+    * materially lower ADC error at identical storage (PqSpec measures
+    * the reconstruction-error drop vs the raw [[ivfPqTopK]]). ADC
+    * score = q·m(cell) + Σ_s q_s·centroid_s(code_s): the coarse term
+    * is one broadcast join on cell; the scan side still reads only
+    * cell + M code bytes per vector, never the base floats. The oracle
+    * unrolls the identical residual Lloyd chains and states the same
+    * two-term ADC expression. */
+  def ivfPqResidualTopK(embeddings: DataFrame, k: Int = 5,
+      nQueries: Int = 20, nprobe: Int = 2): DataFrame = {
+    val base = unitized(embeddings).select(col("vec_id"), col("unit"))
+      .localCheckpoint(true)
+    val (asg, cents) = kmeansOnUnits(base)
+    // Residuals subtract the assigned cell's MEAN (decimal-exact,
+    // NON-unitized — the least-squares center, as in Jégou's plain-
+    // k-means coarse quantizer), not the re-unitized spherical
+    // centroid: E‖v − m‖² = 1 − ‖m‖² < 1, while ‖v − c‖² = 2 − 2cosθ
+    // can exceed 1 — subtracting the unit centroid would INFLATE the
+    // residuals PQ has to encode. Assignment and probe ranking stay
+    // spherical (consistent with every other ANN query); only the
+    // encode/decode center changes.
+    val cellMeans = asg
+      .select(col("cell"), posexplode(col("unit")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg((sum(col("v").cast("decimal(28,10)")).cast("double") /
+        count(lit(1))).as("cv"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+        s => s.getField("cv")).as("mcent"))
+    // elementwise double subtraction — the identical IEEE expression
+    // the oracle states (a.ev[i] - m.mcent[i])
+    val resid = asg.join(broadcast(cellMeans), Seq("cell"))
+      .select(col("vec_id"),
+        zip_with(col("unit"), col("mcent"), (x, c) => x - c).as("unit"))
+    val (codes, pqCents) = pqBuildOnUnits(resid)
+    val queries = asg.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("unit").as("qu"))
+    val cw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cdist").desc, col("cell"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qu"), col("cell"),
+        cosineUnit(col("qu"), col("centroid")).as("cdist"))
+      .withColumn("crank", row_number().over(cw))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("qu"), col("cell").as("probe_cell"))
+    val cand = asg.select(col("vec_id"), col("cell"))
+      .join(broadcast(probes),
+        col("cell") === col("probe_cell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qu"), col("vec_id"), col("cell"))
+      .join(codes, Seq("vec_id"))
+      // cell mean for the reconstruction term, renamed so the ADC
+      // fold's per-subspace centroids can't collide
+      .join(broadcast(cellMeans.select(col("cell"), col("mcent").as("ccent"))),
+        Seq("cell"))
+    topK(adcScore(cand, pqCents,
+      coarse = Some(dot(col("qu"), col("ccent")))), k)
   }
 
   // ---- int8 quantization (the embedding memory-reduction path) ----

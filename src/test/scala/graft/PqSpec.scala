@@ -45,6 +45,76 @@ class PqSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("residual IVFADC: reconstruction error strictly shrinks vs raw " +
+      "PQ at the same code budget") {
+    val base = Similarity.unitized(emb).select(col("vec_id"), col("unit"))
+      .localCheckpoint(true)
+    val (asg, _) = Similarity.kmeansOnUnits(base)
+    // the least-squares center: the cell's decimal-exact mean,
+    // NON-unitized (the operator's encode/decode center)
+    val cellMeans = asg
+      .select(col("cell"), posexplode(col("unit")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg((sum(col("v").cast("decimal(28,10)")).cast("double") /
+        count(lit(1))).as("cv"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+        s => s.getField("cv")).as("mcent"))
+    val resid = asg.join(broadcast(cellMeans), Seq("cell"))
+      .select(col("vec_id"),
+        zip_with(col("unit"), col("mcent"), (x, c) => x - c).as("unit"))
+    val (rawCodes, rawCents) = Similarity.pqBuildOnUnits(base)
+    val (resCodes, resCents) = Similarity.pqBuildOnUnits(resid)
+
+    def centMap(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Array[Double]] =
+      df.collect().map(r => (r.getAs[Number]("sub").longValue(),
+          r.getAs[Number]("cell").longValue()) ->
+        r.getAs[Seq[Double]]("centroid").toArray).toMap
+    def codeMap(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      df.collect().map(r => r.getAs[Long]("vec_id") ->
+        (0 until Similarity.pqM).map(s => r.getAs[Long](s"c$s"))).toMap
+    def decode(codes: Seq[Long], cm: Map[(Long, Long), Array[Double]]): Array[Double] =
+      codes.zipWithIndex.flatMap { case (c, s) => cm((s.toLong, c)) }.toArray
+
+    val units = base.collect().map(r => r.getAs[Long]("vec_id") ->
+      r.getAs[Seq[Double]]("unit").toArray).toMap
+    val cellOf = asg.select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val coarse = cellMeans.collect().map(r => r.getAs[Long]("cell") ->
+      r.getAs[Seq[Double]]("mcent").toArray).toMap
+    val (rawCm, resCm) = (centMap(rawCents), centMap(resCents))
+    val (rawCd, resCd) = (codeMap(rawCodes), codeMap(resCodes))
+
+    def sqErr(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val errs = units.keys.toSeq.map { v =>
+      val u = units(v)
+      val raw = decode(rawCd(v), rawCm)
+      val res = coarse(cellOf(v)).zip(decode(resCd(v), resCm))
+        .map { case (c, r) => c + r }
+      (sqErr(u, raw), sqErr(u, res))
+    }
+    val meanRaw = errs.map(_._1).sum / errs.size
+    val meanRes = errs.map(_._2).sum / errs.size
+    assert(meanRes < meanRaw,
+      s"residual mean sq reconstruction error $meanRes must beat raw $meanRaw")
+    // Magnitude note: the achievable reduction is bounded by how much
+    // the coarse quantizer explains (≈ ‖cell mean‖² of unit vectors);
+    // this synthetic corpus is weakly clustered, so the gain is a few
+    // percent — material on real clustered embeddings. The computation
+    // is fully deterministic, so a 1% materiality bar is noise-free.
+    assert(meanRes < meanRaw * 0.99,
+      s"expected >=1% error reduction, got raw=$meanRaw res=$meanRes")
+  }
+
+  test("ivfPqResidualTopK: deterministic under input repartitioning") {
+    val a = Similarity.ivfPqResidualTopK(emb).collect().map(_.toString)
+    val b = Similarity.ivfPqResidualTopK(emb.repartition(7))
+      .collect().map(_.toString)
+    assert(a.toSeq === b.toSeq)
+    assert(a.nonEmpty)
+  }
+
   test("ivfPqTopK: neighbors come only from probed cells, scores are " +
       "the PQ scores") {
     val out = Similarity.ivfPqTopK(emb).collect()
