@@ -124,6 +124,14 @@ SELECT doc_id, n_tokens, margin,
   round(1.0 / (1.0 + exp(-margin * 10)), 6) AS score,
   (margin > 0) AS label
 FROM sc ORDER BY doc_id""",
+    // tokenizer-aware subword count: the identical greedy longest-match
+    // fold over the same merge table, per token, summed per doc
+    "text_bpe_count" -> s"""
+WITH RECURSIVE $toksCte${OraclesPacking.bpeTotalsCtes}
+SELECT t.doc_id, len(t.tk)::BIGINT AS n_tokens, bpc.n_subwords,
+  round(bpc.n_subwords::DOUBLE / len(t.tk), 6) AS subwords_per_token
+FROM toks t JOIN bpc ON t.doc_id = bpc.doc_id
+ORDER BY t.doc_id""",
     "text_bigram_hist" -> s"""
 WITH $toksCte
 SELECT bigram, count(*)::BIGINT AS freq

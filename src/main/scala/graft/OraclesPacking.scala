@@ -25,6 +25,35 @@ object OraclesPacking {
       .map(b => s"WHEN n <= $b THEN ${b}")
       .mkString("CASE ", " ", s" ELSE ${Packing.bucketSizes.last} END")
 
+  /** Greedy BPE piece counting as a RECURSIVE CTE chain ending in per-
+    * doc subword totals `bpc` (doc_id, n_subwords) — the DuckDB twin of
+    * [[graft.functions.BpeCountImpl.count]], shared by the bpe-count
+    * report and the bpe-budget pack assignment. Each recursion step
+    * consumes the longest merge-table prefix at `pos` (the CASE chain
+    * is generated longest-first from the SAME vocab constant) or one
+    * character; a token's row leaves the working set when pos reaches
+    * its length, so depth is bounded by the longest token. Stated as a
+    * recursive CTE rather than a `list_reduce` fold deliberately:
+    * DuckDB's vectorized list_reduce returned INCONSISTENT values for
+    * identical inputs when the accumulator lambda referenced the outer
+    * row ('customer' → 5/6/7 across rows), so the fold form is not a
+    * trustworthy oracle. Queries embedding this chain must start with
+    * `WITH RECURSIVE`. */
+  private[graft] val bpeTotalsCtes: String = {
+    val step = graft.functions.BpeCountImpl.vocab
+      .map(v => s"WHEN substr(w, pos::INT + 1, ${v.length}) = '$v' THEN ${v.length}")
+      .mkString("CASE ", " ", " ELSE 1 END")
+    s""",
+tok AS (SELECT doc_id, unnest(range(len(tk))) AS ti, unnest(tk) AS w FROM toks),
+bst(doc_id, ti, w, pos, cnt) AS (
+  SELECT doc_id, ti, w, 0::BIGINT, 0::BIGINT FROM tok
+  UNION ALL
+  SELECT doc_id, ti, w, pos + ($step), cnt + 1 FROM bst WHERE pos < len(w)),
+bpc AS (
+  SELECT doc_id, sum(cnt)::BIGINT AS n_subwords
+  FROM bst WHERE pos >= len(w) GROUP BY doc_id)"""
+  }
+
   val all: Map[String, String] = Map(
     // length-bucketing report: identical integer bucket ladder
     "pack_length_buckets" -> s"""
@@ -58,6 +87,19 @@ FROM e ORDER BY doc_id, chunk_id""",
     "pack_assign" -> s"""
 WITH $toksCte,
 t AS (SELECT doc_id, len(tk)::BIGINT AS n_tokens FROM toks),
+cum AS (
+  SELECT doc_id, n_tokens,
+    sum(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_tokens
+  FROM t)
+SELECT doc_id, n_tokens, cum_tokens,
+  ((cum_tokens - n_tokens) // ${Packing.packBudget})::BIGINT AS pack_id
+FROM cum ORDER BY doc_id""",
+    // the same global cumsum chain budgeted in greedy merge-table
+    // subwords instead of whitespace tokens
+    "pack_assign_bpe" -> s"""
+WITH RECURSIVE $toksCte$bpeTotalsCtes,
+t AS (SELECT doc_id, n_subwords AS n_tokens FROM bpc),
 cum AS (
   SELECT doc_id, n_tokens,
     sum(n_tokens) OVER (ORDER BY doc_id

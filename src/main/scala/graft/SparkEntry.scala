@@ -94,6 +94,10 @@ object SparkEntry {
       TextAnalysis.bigramHistogram(Tables.documents(s, d))),
     "text_tfidf_top" -> ((s, d) =>
       TextAnalysis.tfidfTop(Tables.documents(s, d))),
+    // tokenizer-aware counting: greedy merge-table subwords (native
+    // codegen'd scan) beside the whitespace baseline
+    "text_bpe_count" -> ((s, d) =>
+      TextAnalysis.bpeSubwords(Tables.documents(s, d))),
     // bigram-LM perplexity scoring (CCNet-style quality signal)
     "text_perplexity" -> ((s, d) =>
       TextAnalysis.perplexity(Tables.documents(s, d))),
@@ -152,6 +156,10 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_id"))),
     "pack_assign" -> ((s, d) =>
       operators.Packing.packAssign(Tables.documents(s, d))),
+    // the same pack assignment budgeted in BPE subwords — what a
+    // tokenizer-fed training job actually packs by
+    "pack_assign_bpe" -> ((s, d) =>
+      operators.Packing.packAssignBpe(Tables.documents(s, d))),
     // dynamic-batching length buckets + padding-waste pricing
     "pack_length_buckets" -> ((s, d) =>
       operators.Packing.lengthBuckets(Tables.documents(s, d))),

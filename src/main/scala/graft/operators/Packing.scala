@@ -122,11 +122,25 @@ object Packing {
     * the two-level scan (range buckets over doc_id → per-bucket sums →
     * broadcast offsets → within-bucket window), not a global window. */
   def packAssign(documents: DataFrame, budget: Int = packBudget,
-      buckets: Int = nBuckets): DataFrame = {
+      buckets: Int = nBuckets): DataFrame =
+    packAssignBy(documents, size(toks).cast("long"), budget, buckets)
+
+  /** [[packAssign]] budgeting in BPE-style subwords
+    * ([[graft.functions.BpeExprs.bpeCount]] — greedy longest-match over
+    * the fixed merge table) instead of whitespace tokens: the count a
+    * real tokenizer-fed training job packs by. Same two-level scan;
+    * only the per-document cost column changes. */
+  def packAssignBpe(documents: DataFrame, budget: Int = packBudget,
+      buckets: Int = nBuckets): DataFrame =
+    packAssignBy(documents, graft.functions.BpeExprs.bpeCount(col("text")),
+      budget, buckets)
+
+  private def packAssignBy(documents: DataFrame, tokenCount: Column,
+      budget: Int, buckets: Int): DataFrame = {
     // checkpoint the 2-long-per-doc projection: the offsets branch, the
     // bounds scan and the window branch then share one tokenization
     // pass instead of re-splitting the full corpus per branch
-    val t = documents.select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+    val t = documents.select(col("doc_id"), tokenCount.as("n_tokens"))
       .localCheckpoint()
     val bounds = t.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
     val b = t.crossJoin(broadcast(bounds))

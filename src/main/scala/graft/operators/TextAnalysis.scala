@@ -37,6 +37,22 @@ object TextAnalysis {
 
   private def toks: Column = Portable.tokens(col("text"))
 
+  /** Per-document BPE-style subword counts — the tokenizer-aware budget
+    * next to the whitespace baseline: greedy longest-match over the
+    * fixed literal merge table ([[graft.functions.BpeCountImpl.vocab]]),
+    * one native codegen'd scan per document
+    * ([[graft.functions.BpeExprs.bpeCount]]). The oracle states the
+    * identical greedy match as a character-indexed fold per token,
+    * summed — whitespace never matches, so the whole-text scan and the
+    * per-token sum agree by construction. Pure map-side; no shuffle. */
+  def bpeSubwords(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        graft.functions.BpeExprs.bpeCount(col("text")).as("n_subwords"))
+      .withColumn("subwords_per_token",
+        round(col("n_subwords").cast("double") / col("n_tokens"), 6))
+      .orderBy(col("doc_id"))
+
   private def countIn(ts: Column, words: Seq[String]): Column =
     size(filter(ts, t => t.isin(words.map(lit(_)): _*)))
 
