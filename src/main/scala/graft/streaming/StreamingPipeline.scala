@@ -260,8 +260,14 @@ object StreamingPipeline {
     * cluster scale — [[graft.operators.Curation.decontaminateBloom]]
     * shows that plan shape); span explode and reassembly are the batch
     * operator's map-side/hash-agg stages unchanged. */
-  def ingestSpanBatch(batch: DataFrame, batchId: Long, corpusPath: String,
-      indexPath: String): Unit = {
+  /** Span-dedup front shared by [[ingestSpanBatch]] and
+    * [[refreshCuratedBatch]]: in-batch first-occurrence + anti-join vs
+    * the persisted span index (own batch excluded for replay), then
+    * cleaned-document reassembly. Returns (kept span rows — already
+    * materialized, safe against the index read/write overlap —
+    * reassembled cleaned documents). */
+  private def spanDedupFront(batch: DataFrame, batchId: Long,
+      indexPath: String): (DataFrame, DataFrame) = {
     val s = batch.sparkSession
     // first-occurrence rule and reassembly are the batch operator's own
     // helpers — the twins share one definition by construction
@@ -282,6 +288,12 @@ object StreamingPipeline {
         "struct(span_idx, span_text)").as("text"))
       .join(batch.drop("text", "n_chars"), Seq("doc_id"))
       .withColumn("n_chars", length(col("text")).cast("long"))
+    (kept, cleaned)
+  }
+
+  def ingestSpanBatch(batch: DataFrame, batchId: Long, corpusPath: String,
+      indexPath: String): Unit = {
+    val (kept, cleaned) = spanDedupFront(batch, batchId, indexPath)
     cleaned.write.mode("overwrite").parquet(s"$corpusPath/batch=$batchId")
     kept.select(col("hh"))
       .write.mode("overwrite").parquet(s"$indexPath/batch=$batchId")
@@ -296,6 +308,59 @@ object StreamingPipeline {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) ingestSpanBatch(batch, batchId, corpusPath, indexPath)
+        ()
+      }
+      .start()
+
+  /** One trigger of [[curatedRefreshSink]] — the full streaming
+    * curated-corpus refresh (the round-3 span-ingest pattern one level
+    * up): span-level dedup against the persisted index
+    * ([[spanDedupFront]], shared with [[ingestSpanBatch]]), then the
+    * batch quality gate ([[graft.operators.Curation.qualityFilter]])
+    * over the CLEANED text — a document whose surviving spans no longer
+    * clear the gate drops, which is deliberate curation semantics:
+    * residual content isn't worth keeping. Survivors land in
+    * `batch=<id>` with overwrite; ALL fresh span fingerprints index —
+    * including those of quality-rejected documents, so a later
+    * duplicate of rejected content cannot re-enter the corpus. Finally
+    * the corpus-wide report and checksum manifest rebuild from the
+    * updated store and overwrite their paths (the [[analysisSink]]
+    * rebuild seam — at cluster scale the same seam incrementalizes to
+    * a MERGE per (lang, source) group).
+    *
+    * Exactly-once: the span front excludes the current batch from the
+    * index read and every write is overwrite-by-batch-partition or
+    * whole-artifact overwrite, so a replayed trigger reproduces
+    * byte-identical corpus, index, report, and checksum (spec-tested). */
+  def refreshCuratedBatch(batch: DataFrame, batchId: Long,
+      curatedPath: String, indexPath: String, reportPath: String): Unit = {
+    val s = batch.sparkSession
+    val (kept, cleaned) = spanDedupFront(batch, batchId, indexPath)
+    val curated = cleaned
+      .join(graft.operators.Curation.qualityFilter(cleaned)
+        .select(col("doc_id"), col("keep")), Seq("doc_id"))
+      .filter(col("keep")).drop("keep")
+    curated.write.mode("overwrite").parquet(s"$curatedPath/batch=$batchId")
+    kept.select(col("hh"))
+      .write.mode("overwrite").parquet(s"$indexPath/batch=$batchId")
+    val corpus = s.read.parquet(curatedPath).drop("batch")
+    graft.operators.Curation.corpusReport(corpus)
+      .write.mode("overwrite").parquet(reportPath)
+    graft.operators.Curation.corpusChecksum(corpus)
+      .write.mode("overwrite").parquet(s"${reportPath}_checksum")
+  }
+
+  /** Streaming curated-corpus refresh: each trigger runs
+    * [[refreshCuratedBatch]] — ingest-dedup-curate-report as ONE
+    * exactly-once foreachBatch pipeline. */
+  def curatedRefreshSink(documents: DataFrame, curatedPath: String,
+      indexPath: String, reportPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    documents.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          refreshCuratedBatch(batch, batchId, curatedPath, indexPath, reportPath)
         ()
       }
       .start()

@@ -398,6 +398,64 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curated refresh sink: span dedup + quality gate + corpus report " +
+      "across triggers; replay leaves corpus, report and checksum " +
+      "byte-stable; rejected content cannot re-enter") {
+    val base = java.nio.file.Files.createTempDirectory("graft-curated").toString
+    val (curated, index, report, ckpt) =
+      (s"$base/curated", s"$base/index", s"$base/report", s"$base/ckpt")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // 8-token blocks (Dedup.spanTokens = 8) that each clear the quality
+    // gate when combined (>= 10 tokens, >= 2 stopwords, low punct)
+    val G1 = "the cat and the hat is a cat"
+    val G2 = "of the house and it is warm now"
+    val G3 = "the dog and the fox is a dog"
+    val G4 = "in the barn and it is dry here"
+    val S1 = "$$$ %%% ^^^ &&& *** $$$ %%% ^^^"
+    val S2 = "&&& *** !!! ??? $$$ %%% ^^^ &&&"
+    def asDocs(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("_1").as("doc_id"), col("_2").as("text"),
+        lit("en").as("lang"), lit("src0").as("source"),
+        length(col("_2")).cast("long").as("n_chars"))
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingPipeline.curatedRefreshSink(
+      asDocs(stream.toDF()), curated, index, report, ckpt)
+    try {
+      // trigger 1: doc 1 passes; doc 2 is pure symbols -> quality-
+      // rejected but its spans still index
+      stream.addData(1L -> s"$G1 $G2", 2L -> s"$S1 $S2")
+      q.processAllAvailable()
+      // trigger 2: doc 3 loses its G1 span to doc 1 but the residue
+      // still passes; doc 4 is a full duplicate -> drops; doc 5 repeats
+      // the REJECTED doc's block -> must not resurrect
+      stream.addData(3L -> s"$G1 $G3 $G4", 4L -> s"$G1 $G2", 5L -> S1)
+      q.processAllAvailable()
+      def corpusRows = spark.read.parquet(curated)
+        .select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      def reportRows = spark.read.parquet(report).collect()
+        .map(_.toString).sorted.toSeq
+      def checksumRows = spark.read.parquet(s"${report}_checksum")
+        .collect().map(_.toString).toSeq
+      val got = corpusRows
+      assert(got === Map(1L -> s"$G1 $G2", 3L -> s"$G3 $G4"))
+      assert(spark.read.parquet(index).count() === 6) // G1 G2 S1 S2 + G3 G4
+      val (rep, sum) = (reportRows, checksumRows)
+      assert(rep.nonEmpty && sum.length === 1)
+      // replay of trigger 2 (same batch id, same data) must leave every
+      // artifact byte-stable
+      val lastBatch = spark.read.parquet(index)
+        .agg(max(col("batch"))).collect()(0).getInt(0).toLong
+      StreamingPipeline.refreshCuratedBatch(
+        asDocs(Seq(3L -> s"$G1 $G3 $G4", 4L -> s"$G1 $G2", 5L -> S1)
+          .toDF("_1", "_2")),
+        lastBatch, curated, index, report)
+      assert(corpusRows === got)
+      assert(reportRows === rep)
+      assert(checksumRows === sum)
+    } finally q.stop()
+  }
+
   test("ingest sink: cross-batch exact dedup against the index; replay idempotent") {
     val base = java.nio.file.Files.createTempDirectory("graft-ingest").toString
     val (corpus, index, ckpt) =
