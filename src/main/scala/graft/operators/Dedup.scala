@@ -291,13 +291,24 @@ object Dedup {
     * (count + bit_xor of per-edge hashes) — no driver-side edge
     * materialization at any point. Output schema equals [[clusters]]:
     * (doc_id, cluster_id = component min). */
-  def clustersBigStar(pairs: DataFrame): DataFrame = {
+  /** Edge-count threshold below which [[clustersBigStar]] takes the
+    * single-task union-find fast path — the CC analog of Spark's
+    * broadcast-join threshold: the candidate-pair sets that near-dup
+    * banding emits are usually FAR smaller than the corpus, and at that
+    * size the distributed star alternation is pure scheduling latency
+    * (∼15 tiny jobs). 4M edges ≈ 64 MB of longs — one comfortable
+    * task. Above it, the O(log n) distributed rounds run unchanged. */
+  val ccLocalMaxEdges: Long = 4L * 1024 * 1024
+
+  def clustersBigStar(pairs: DataFrame,
+      localMaxEdges: Long = ccLocalMaxEdges): DataFrame = {
     val oriented = pairs
       .select(col("doc_a").cast("long").as("a"), col("doc_b").cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .distinct()
     var edges = oriented.localCheckpoint(true)
+    if (edges.count() <= localMaxEdges) return clustersLocal(edges)
     val allNodes = edges
       .select(explode(array(col("u"), col("v"))).as("node")).distinct()
       .localCheckpoint(true)
@@ -335,6 +346,48 @@ object Dedup {
       .join(edges.select(col("u").as("node")), Seq("node"), "left_anti")
     edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
       .union(roots.select(col("node").as("doc_id"), col("node").as("cluster_id")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Single-task union-find over a (u, v) edge frame that fits one
+    * partition — the [[clustersBigStar]] fast path. Union-by-min with
+    * path compression: the smaller root always absorbs the larger, so
+    * each set's root IS its minimum id and the output equals the
+    * distributed fixpoint exactly, independent of edge order
+    * (ClusterProps proves both paths identical on random graphs). One
+    * job, no driver materialization — the single task streams the edge
+    * iterator and emits (doc_id, cluster_id) rows. */
+  private def clustersLocal(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val out = edges.select(col("u"), col("v")).coalesce(1).rdd
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != r) {
+            val n = parent(c); parent(c) = r; c = n
+          }
+          r
+        }
+        val nodes = scala.collection.mutable.TreeSet.empty[Long]
+        it.foreach { row =>
+          val (u, v) = (row.getLong(0), row.getLong(1))
+          nodes += u; nodes += v
+          val (ru, rv) = (find(u), find(v))
+          if (ru != rv) {
+            if (ru < rv) parent(rv) = ru else parent(ru) = rv
+          }
+        }
+        nodes.iterator.map(n =>
+          org.apache.spark.sql.Row(n, find(n)))
+      }
+    spark.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cluster_id",
+          org.apache.spark.sql.types.LongType, nullable = false))))
       .orderBy(col("doc_id"))
   }
 

@@ -164,17 +164,22 @@ object Similarity {
           .orderBy(col("hk"), col("vec_id"))).cast("long") - 1)
       .select(col("cell"), col("unit").as("centroid"))
     var asg = base.withColumn("cell", lit(-1L))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val scored = base.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("unit"), col("cell"),
           dot(col("unit"), col("centroid")).as("d"))
-      // eager checkpoint per iteration: keeps lineage flat (iteration
-      // i+1 must not re-execute iterations 1..i — the Dedup.clusters
-      // pattern); values are unchanged, so oracle parity is unaffected
-      asg = TopK.perKey(scored, Seq("vec_id"),
+      // Intermediate iterations checkpoint LAZILY (lineage still
+      // truncates when the chain first materializes — iteration i+1 can
+      // never re-execute 1..i on later actions), so the loop no longer
+      // forces one Spark job per iteration; only the FINAL assignment
+      // is eager, because downstream consumers reach it through
+      // broadcast exchanges whose jobs would otherwise race to
+      // materialize the same un-truncated chain (measured +25% on the
+      // IVF-PQ composites with all-lazy). Values unchanged either way.
+      val a = TopK.perKey(scored, Seq("vec_id"),
           Seq("d" -> true, "cell" -> false), 1)
         .select(col("vec_id"), col("unit"), col("cell"))
-        .localCheckpoint(true)
+      asg = a.localCheckpoint(i == iters)
       val cm = asg
         .select(col("cell"), posexplode(col("unit")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos"))
@@ -421,15 +426,16 @@ object Similarity {
     var cents = subs.join(broadcast(seedIds), Seq("vec_id"))
       .select(col("sub"), col("cell"), col("v").as("centroid"))
     var asg = subs
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val scored = subs.join(broadcast(cents), Seq("sub"))
         .select(col("sub"), col("vec_id"), col("v"), col("cell"),
           (dot(col("v"), col("v")) - lit(2) * dot(col("v"), col("centroid")) +
             dot(col("centroid"), col("centroid"))).as("dist"))
+      // lazy intermediates, eager final — the kmeans-loop rationale
       asg = TopK.perKey(scored, Seq("sub", "vec_id"),
           Seq("dist" -> false, "cell" -> false), 1)
         .select(col("sub"), col("vec_id"), col("v"), col("cell"))
-        .localCheckpoint(true)
+        .localCheckpoint(i == iters)
       val cm = asg
         .select(col("sub"), col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("sub"), col("cell"), col("pos"))

@@ -34,17 +34,25 @@ object ClusterProps extends Properties("ClustersBigStar") {
     } yield (a, b))
   } yield edges
 
-  property("equals label propagation on random graphs") =
+  property("equals label propagation on random graphs (both the local " +
+      "union-find fast path and the forced distributed star path)") =
     forAll(edgeGen) { edges =>
-      edges.isEmpty ||
-        components(Dedup.clustersBigStar(pairsDf(edges))) ==
-          components(Dedup.clusters(pairsDf(edges)))
+      edges.isEmpty || {
+        val expect = components(Dedup.clusters(pairsDf(edges)))
+        // default threshold -> single-task union-find fast path
+        components(Dedup.clustersBigStar(pairsDf(edges))) == expect &&
+          // threshold 0 -> the distributed large/small-star rounds
+          components(Dedup.clustersBigStar(pairsDf(edges),
+            localMaxEdges = 0L)) == expect
+      }
     }
 
-  property("chain collapses to single min-labeled component") =
+  property("chain collapses to single min-labeled component (both paths)") =
     forAll(Gen.choose(2, 40)) { n =>
       val chain = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong))
-      val got = components(Dedup.clustersBigStar(pairsDf(chain)))
-      got.size == n && got.values.forall(_ == 0L)
+      val local = components(Dedup.clustersBigStar(pairsDf(chain)))
+      val dist = components(Dedup.clustersBigStar(pairsDf(chain),
+        localMaxEdges = 0L))
+      local.size == n && local.values.forall(_ == 0L) && dist == local
     }
 }
