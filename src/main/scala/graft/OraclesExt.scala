@@ -132,6 +132,16 @@ SELECT t.doc_id, len(t.tk)::BIGINT AS n_tokens, bpc.n_subwords,
   round(bpc.n_subwords::DOUBLE / len(t.tk), 6) AS subwords_per_token
 FROM toks t JOIN bpc ON t.doc_id = bpc.doc_id
 ORDER BY t.doc_id""",
+    // BPE merge induction round 1: adjacent char-pair frequencies over
+    // every token occurrence (range(1, len) is EMPTY for <=1-char
+    // tokens in DuckDB — the Spark side guards the same way)
+    "text_bpe_merges" -> s"""
+WITH $toksCte,
+tok AS (SELECT unnest(tk) AS w FROM toks),
+pr AS (SELECT unnest(list_transform(range(1, len(w)),
+  i -> substr(w, i::INT, 2))) AS pair FROM tok)
+SELECT pair, count(*)::BIGINT AS freq FROM pr
+GROUP BY pair ORDER BY freq DESC, pair LIMIT 20""",
     "text_bigram_hist" -> s"""
 WITH $toksCte
 SELECT bigram, count(*)::BIGINT AS freq
@@ -682,6 +692,67 @@ reach(node, label) AS (
   SELECT e.b, r.label FROM reach r JOIN edges e ON r.node = e.a)
 SELECT node AS vec_id, min(label) AS cluster_id
 FROM reach GROUP BY node ORDER BY vec_id"""),
+    // 1-bit sign quantization + hamming ranking: the same two-halves
+    // bit assembly as dedup_simhash (no BIGINT sign bit touched), ties
+    // by neighbor_id (hamming is a small integer — ties are the norm)
+    "sim_binary_topk" -> (simBase + {
+      def half(off: Int): String = (0 until 32)
+        .map(j => s"(CASE WHEN ev[${off + j + 1}] > 0 THEN ${1L << j} ELSE 0 END)")
+        .mkString(" + ")
+      s""",
+bn AS (
+  SELECT vec_id,
+    (${half(0)})::BIGINT AS bin_lo,
+    (${half(32)})::BIGINT AS bin_hi
+  FROM base),
+q2 AS (SELECT vec_id AS query_id, bin_lo AS qlo, bin_hi AS qhi
+  FROM bn WHERE vec_id < 20),
+sc AS (
+  SELECT query_id, bn.vec_id AS neighbor_id,
+    (bit_count(xor(bin_lo, qlo)) + bit_count(xor(bin_hi, qhi)))::BIGINT AS hamming
+  FROM bn CROSS JOIN q2 WHERE bn.vec_id <> q2.query_id),
+rk AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY hamming, neighbor_id)::BIGINT AS rank
+  FROM sc)
+SELECT query_id, neighbor_id, hamming, rank FROM rk WHERE rank <= 5
+ORDER BY query_id, rank"""
+    }),
+    // two-stage serving: PQ/ADC proposes 50 candidates (rounded-6 adc,
+    // ties by neighbor id), the exact cosine reranks them to 5
+    "sim_rerank_topk" -> (simBase + pqCtes + {
+      val m = graft.operators.Similarity.pqM
+      val sd = graft.operators.Similarity.pqSubDim
+      val it = graft.operators.Similarity.kmIters
+      val joins = (0 until m).map(s =>
+        s"JOIN pa$s$it a$s USING (vec_id) JOIN pc$s$it c$s ON a$s.cell = c$s.cell")
+        .mkString("\n  ")
+      val adc = (0 until m)
+        .map(s => s"list_inner_product(q.qv[${s * sd + 1}:${(s + 1) * sd}], c$s.centroid)")
+        .mkString(" + ")
+      s""",
+s1 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, b.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY round($adc, 6) DESC, b.vec_id) AS crank
+    FROM base b
+    $joins
+    CROSS JOIN q
+    WHERE b.vec_id <> q.query_id)
+  WHERE crank <= 50),
+ex AS (
+  SELECT s1.query_id, s1.neighbor_id,
+    round(list_inner_product(q.qv, b.ev), 6) AS cosine
+  FROM s1 JOIN q ON s1.query_id = q.query_id
+  JOIN base b ON s1.neighbor_id = b.vec_id),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)::BIGINT AS rank
+  FROM ex)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank"""
+    }),
     // int8-quantized brute force: same scale/code formulas (floor(x/s+0.5))
     "sim_quantized_topk" -> (simBase + s""",
 qz AS (

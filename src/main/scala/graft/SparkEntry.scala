@@ -98,6 +98,10 @@ object SparkEntry {
     // codegen'd scan) beside the whitespace baseline
     "text_bpe_count" -> ((s, d) =>
       TextAnalysis.bpeSubwords(Tables.documents(s, d))),
+    // BPE merge induction round 1: the corpus-wide adjacent-pair
+    // frequency ranking a tokenizer training run merges from
+    "text_bpe_merges" -> ((s, d) =>
+      TextAnalysis.bpeMerges(Tables.documents(s, d))),
     // bigram-LM perplexity scoring (CCNet-style quality signal)
     "text_perplexity" -> ((s, d) =>
       TextAnalysis.perplexity(Tables.documents(s, d))),
@@ -209,6 +213,13 @@ object SparkEntry {
       Similarity.nearDupPairs(Tables.embeddings(s, d))),
     "sim_quantized_topk" -> ((s, d) =>
       Similarity.quantizedTopK(Tables.embeddings(s, d))),
+    // 1-bit sign quantization + hamming ranking (the memory-bandwidth
+    // extreme of the quantization ladder)
+    "sim_binary_topk" -> ((s, d) =>
+      Similarity.binaryTopK(Tables.embeddings(s, d))),
+    // two-stage serving: PQ/ADC candidates -> exact-cosine rerank
+    "sim_rerank_topk" -> ((s, d) =>
+      Similarity.rerankTopK(Tables.embeddings(s, d))),
     // full ANN path incl. the k-means build pass (oracle unrolls Lloyd)
     "sim_ivf_kmeans_topk" -> ((s, d) =>
       Similarity.ivfKmeansTopK(Tables.embeddings(s, d))),

@@ -631,6 +631,82 @@ object Similarity {
     topK(scored, k)
   }
 
+  // ---- 1-bit (binary) quantization: sign-bit embeddings ----
+
+  /** Sign-bit binary quantization of the unit vectors: bit d = 1 iff
+    * unit_d > 0, packed as two non-negative 32-bit halves (`bin_lo` =
+    * dims 0-31, `bin_hi` = dims 32-63 — the [[Dedup.simhash]] packing:
+    * no half ever touches a BIGINT sign bit on either engine). 32×
+    * smaller than float32 at rest — the memory-bandwidth extreme of the
+    * quantization ladder (float32 → int8 [[quantized]] → PQ codes →
+    * 1 bit), and the form modern binary-embedding serving ranks with:
+    * Hamming distance approximates angle monotonically on unit
+    * vectors. */
+  def binarized(embeddings: DataFrame): DataFrame = {
+    def half(offset: Int): Column = (0 until 32).map { j =>
+      when(element_at(col("unit"), offset + j + 1) > 0, lit(1L << j))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    unitized(embeddings)
+      .select(col("vec_id"), col("label"), col("unit"),
+        half(0).as("bin_lo"), half(32).as("bin_hi"))
+  }
+
+  /** Hamming top-k over the binary signatures: rank by LOWEST bit
+    * disagreement (ties by neighbor_id — Hamming is a 0..64 integer, so
+    * ties are common and the tiebreak is load-bearing). The scan side
+    * touches 8 bytes per vector; candidate ranking is two XOR popcounts
+    * inside whole-stage codegen. The exactness twin of the approximate
+    * ranking is [[rerankTopK]]'s second stage — at scale the two
+    * compose (binary prune, exact rerank). */
+  def binaryTopK(embeddings: DataFrame, k: Int = 5,
+      nQueries: Int = 20): DataFrame = {
+    val base = binarized(embeddings)
+      .select(col("vec_id"), col("bin_lo"), col("bin_hi"))
+    val queries = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("bin_lo").as("qlo"),
+        col("bin_hi").as("qhi"))
+    val scored = base.join(broadcast(queries),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (bit_count(expr("bin_lo ^ qlo")) + bit_count(expr("bin_hi ^ qhi")))
+          .cast("long").as("hamming"))
+    TopK.perKey(scored, Seq("query_id"),
+        Seq("hamming" -> false, "neighbor_id" -> false), k, rankCol = "rank")
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Two-stage serving path — the layout every production vector store
+    * runs: a cheap approximate stage proposes `candK` candidates per
+    * query (PQ/ADC here — codes only, base floats never scanned), then
+    * the exact cosine reranks ONLY those candidates to the final `k`.
+    * Recall is the approximate stage's; precision of the final ordering
+    * is exact — and the expensive exact math runs on candK rows per
+    * query instead of the corpus. Both stages are oracle-verified
+    * chains; the oracle composes the same two rankings. */
+  def rerankTopK(embeddings: DataFrame, k: Int = 5, candK: Int = 50,
+      nQueries: Int = 20): DataFrame = {
+    val base = unitized(embeddings).select(col("vec_id"), col("unit"))
+      .localCheckpoint(true)
+    val (codes, cents) = pqBuildOnUnits(base)
+    val queries = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("unit").as("qu"))
+    val cand = codes.join(broadcast(queries),
+      col("vec_id") =!= col("query_id"))
+    val stage1 = TopK.perKey(
+        adcScore(cand, cents).withColumnRenamed("cosine", "adc"),
+        Seq("query_id"), Seq("adc" -> true, "neighbor_id" -> false), candK)
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = stage1
+      .join(queries, Seq("query_id"))
+      .join(base.select(col("vec_id").as("neighbor_id"),
+        col("unit").as("nu")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineUnit(col("qu"), col("nu")).as("cosine"))
+    topK(exact, k)
+  }
+
   // ---- signed-random-projection LSH (the bucketed ANN scale path) ----
 
   /** SRP parameters: 16 deterministic pseudo-random hyperplanes (2 bands

@@ -53,6 +53,28 @@ object TextAnalysis {
         round(col("n_subwords").cast("double") / col("n_tokens"), 6))
       .orderBy(col("doc_id"))
 
+  /** BPE merge INDUCTION, round 1 — the training half of the
+    * tokenizer-aware story ([[bpeSubwords]] consumes a fixed merge
+    * table; this op is how such tables are learned): the top-`k` most
+    * frequent adjacent character pairs across every token occurrence in
+    * the corpus, which is exactly the pair-frequency ranking BPE
+    * training merges from (Sennrich et al. 2016, algorithm 1's first
+    * iteration). Pairs never span tokens (BPE's word-boundary rule).
+    * One explode + one hash aggregation on a ≤|alphabet|² key space —
+    * map-side combine makes the shuffle metadata-sized at any corpus.
+    * The empty/1-char-token guard mirrors the oracle's empty range
+    * (sequence(1, 0) is DESCENDING in Spark — the spanRows lesson). */
+  def bpeMerges(documents: DataFrame, k: Int = 20): DataFrame =
+    documents
+      .select(explode(toks).as("w"))
+      .select(explode(expr(
+        "transform(filter(sequence(1, greatest(length(w) - 1, 1)), " +
+          "i -> i <= length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("pair"))
+      .limit(k)
+
   private def countIn(ts: Column, words: Seq[String]): Column =
     size(filter(ts, t => t.isin(words.map(lit(_)): _*)))
 

@@ -70,6 +70,16 @@ class BpeCountSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("bpeMerges: hand-counted adjacent-pair frequencies, boundary rules") {
+    val docs = Seq((1L, "aaab aab", "en", "src0", 8L), (2L, "x ab", "en", "src0", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // pairs: "aaab" -> aa,aa,ab; "aab" -> aa,ab; "x" -> none (1-char);
+    // "ab" -> ab. Totals: aa:3, ab:3 (freq tie -> pair asc)
+    val got = graft.operators.TextAnalysis.bpeMerges(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(got === Seq("aa" -> 3L, "ab" -> 3L))
+  }
+
   test("vocab ordering invariant: longest-first, asc within a length") {
     val v = BpeCountImpl.vocab
     val sorted = v.sortBy(w => (-w.length, w))

@@ -115,6 +115,38 @@ class PqSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("rerankTopK: final scores are EXACT cosines (stage 2 rescores), " +
+      "descending per query") {
+    val exact = Similarity.bruteForceTopK(emb, k = Int.MaxValue - 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val out = Similarity.rerankTopK(emb).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getLong(3))
+      val cosines = byRank.map(_.getDouble(2)).toSeq
+      assert(cosines === cosines.sorted.reverse, "rank order = cosine desc")
+      byRank.foreach { r =>
+        assert(r.getDouble(2) === exact((r.getLong(0), r.getLong(1))),
+          "stage-2 score must be the exact cosine, not the ADC estimate")
+      }
+    }
+  }
+
+  test("binaryTopK: hamming matches a per-dimension sign recomputation") {
+    val units = Similarity.unitized(emb).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[collection.Seq[Double]]("unit"))
+      .toMap
+    def sig(u: collection.Seq[Double]): collection.Seq[Boolean] = u.map(_ > 0)
+    val out = Similarity.binaryTopK(emb).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (q, n) = (r.getLong(0), r.getLong(1))
+      val expect = sig(units(q)).zip(sig(units(n))).count { case (a, b) => a != b }
+      assert(r.getLong(2) === expect.toLong, s"hamming($q, $n)")
+    }
+  }
+
   test("ivfPqTopK: neighbors come only from probed cells, scores are " +
       "the PQ scores") {
     val out = Similarity.ivfPqTopK(emb).collect()
