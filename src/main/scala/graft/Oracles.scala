@@ -90,6 +90,21 @@ ana_now AS (
       "SELECT * FROM agg1m ORDER BY ticker, window_timestamp"),
     "stock_sma_5m" -> (stockCte +
       "SELECT * FROM sma5m ORDER BY ticker, window_timestamp"),
+    // OHLCV candlestick resample: 5-min tumbling bars, window END label
+    // (epoch-aligned — date_trunc to the minute + the minutes remaining
+    // in the 5-min bucket); open/close via the same min_by/max_by(ts)
+    // single-pass argmax convention as agg1m
+    "stock_ohlc_5m" -> (stockCte + """
+SELECT ticker,
+  date_trunc('minute', ts) + (5 - minute(ts) % 5) * INTERVAL 1 MINUTE
+    AS window_timestamp,
+  min_by(price, ts) AS open,
+  max(price) AS high,
+  min(price) AS low,
+  max_by(price, ts) AS close,
+  CAST(sum(volume) AS BIGINT) AS volume,
+  count(*)::BIGINT AS n_events
+FROM stock GROUP BY 1, 2 ORDER BY ticker, window_timestamp"""),
     "stock_join" -> (stockCte +
       "SELECT * FROM joined ORDER BY ticker, window_timestamp"),
     "stock_spike" -> (stockCte +

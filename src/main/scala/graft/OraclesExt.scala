@@ -269,6 +269,30 @@ jacj AS (
     round(n_common::DOUBLE / (ca.n_sh + cb.n_sh - n_common), 6) AS jaccard
   FROM com JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id)
 SELECT * FROM jacj WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b"""),
+    // asymmetric containment over the same capped hashed universe as
+    // dedup_jaccard_pairs (catches subset-duplicates Jaccard misses)
+    "dedup_containment_pairs" -> (s"\nWITH $toksCte,\n" + s"""
+shj AS (
+  SELECT DISTINCT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
+      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+    FROM toks)),
+rare AS (SELECT h FROM shj GROUP BY h HAVING count(*) <= ${Dedup.jaccardMaxDf}),
+shc AS (SELECT s.doc_id, s.h FROM shj s JOIN rare USING (h)),
+cnt AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id),
+com AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shc a JOIN shc b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b),
+ctm AS (
+  SELECT doc_a, doc_b,
+    round(n_common::DOUBLE / ca.n_sh, 6) AS containment_a,
+    round(n_common::DOUBLE / cb.n_sh, 6) AS containment_b,
+    round(n_common::DOUBLE / (ca.n_sh + cb.n_sh - n_common), 6) AS jaccard
+  FROM com JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id)
+SELECT * FROM ctm
+WHERE greatest(containment_a, containment_b) >= ${Dedup.containmentThreshold}
+ORDER BY doc_a, doc_b"""),
     // incremental batch-vs-index dedup: exact fingerprint first, then
     // LSH+Jaccard near-dup vs any earlier doc (same CTE chain as pairs)
     "dedup_incremental" -> (minhashPairsCtes + s""",

@@ -48,6 +48,10 @@ object SparkEntry {
     "stock_sma_5m" -> ((s, d) =>
       StockPipeline.sma5m(StockPipeline.normalize(Tables.events(s, d)))
         .orderBy(col("ticker"), col("window_timestamp"))),
+    // 5-minute OHLCV candlestick resample (min_by/max_by argmax bars)
+    "stock_ohlc_5m" -> ((s, d) =>
+      StockPipeline.ohlc5m(StockPipeline.normalize(Tables.events(s, d)))
+        .orderBy(col("ticker"), col("window_timestamp"))),
     "stock_join" -> ((s, d) =>
       StockPipeline.joined(StockPipeline.normalize(Tables.events(s, d)))
         .orderBy(col("ticker"), col("window_timestamp"))),
@@ -189,6 +193,10 @@ object SparkEntry {
       Dedup.clustersBigStar(Dedup.minhashPairs(Tables.documents(s, d)))),
     "dedup_jaccard_pairs" -> ((s, d) =>
       Dedup.jaccardPairs(Tables.documents(s, d))),
+    // asymmetric containment (|A∩B|/|A|) — catches a short doc wholly
+    // quoted inside a long one, which symmetric Jaccard misses
+    "dedup_containment_pairs" -> ((s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d))),
     // new-batch-vs-index incremental dedup (exact + LSH near-dup)
     "dedup_incremental" -> ((s, d) =>
       Dedup.incremental(Tables.documents(s, d))),

@@ -209,13 +209,17 @@ object Dedup {
     * sides of the contract: the oracle states the identical df filter. */
   val jaccardMaxDf = 50
 
-  def jaccardPairs(documents: DataFrame, threshold: Double = 0.3,
-      maxDf: Int = jaccardMaxDf): DataFrame = {
-    // Hashed-shingle Jaccard (the at-scale form): shingles are hashed
-    // to 32 bits map-side, BEFORE the first shuffle, so every shuffled
-    // row in the distinct / df-cap / self-join stages is two longs, not
-    // a 3-word string. The oracle states the identical hashing, so the
-    // (astronomically rare) hash-collision semantics are shared exactly.
+  /** Shared front of [[jaccardPairs]] and [[containmentPairs]]: the
+    * hashed, df-capped shingle universe, per-doc set sizes, and the
+    * inverted-index intersection counts. Hashed-shingle form (the
+    * at-scale shape): shingles are hashed to 32 bits map-side, BEFORE
+    * the first shuffle, so every shuffled row in the distinct / df-cap
+    * / self-join stages is two longs, not a 3-word string. The oracles
+    * state the identical hashing, so the (astronomically rare)
+    * hash-collision semantics are shared exactly. Returns
+    * (counts (doc_id, n_sh), common (doc_a, doc_b, n_common)). */
+  private def cappedCommon(documents: DataFrame,
+      maxDf: Int): (DataFrame, DataFrame) = {
     val allSh = shingleRows(documents)
       .select(col("doc_id"), Portable.hash32(col("shingle")).as("h"))
       .distinct()
@@ -230,6 +234,12 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
+    (counts, common)
+  }
+
+  def jaccardPairs(documents: DataFrame, threshold: Double = 0.3,
+      maxDf: Int = jaccardMaxDf): DataFrame = {
+    val (counts, common) = cappedCommon(documents, maxDf)
     common
       .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
       .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
@@ -237,6 +247,38 @@ object Dedup {
         round(col("n_common").cast("double") /
           (col("ca.n_sh") + col("cb.n_sh") - col("n_common")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Containment threshold for [[containmentPairs]] — shared with the
+    * oracle generator. */
+  val containmentThreshold = 0.5
+
+  /** ASYMMETRIC near-dup detection: containment C(A→B) = |A∩B| / |A| —
+    * the measure that catches a short document wholly quoted inside a
+    * long one, which symmetric Jaccard structurally misses (a 50-shingle
+    * doc inside a 5000-shingle doc has containment 1.0 but Jaccard
+    * 0.01 — DedupSpec plants exactly that shape). Emits both directions
+    * per pair plus the Jaccard for calibration; a pair reports when
+    * either direction clears `threshold`. Same capped hashed universe
+    * and single-pass inverted-index intersection as [[jaccardPairs]] —
+    * the extra measure is two more divisions on the already-grouped
+    * counts, no new shuffle. */
+  def containmentPairs(documents: DataFrame,
+      threshold: Double = containmentThreshold,
+      maxDf: Int = jaccardMaxDf): DataFrame = {
+    val (counts, common) = cappedCommon(documents, maxDf)
+    common
+      .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_common").cast("double") / col("ca.n_sh"), 6)
+          .as("containment_a"),
+        round(col("n_common").cast("double") / col("cb.n_sh"), 6)
+          .as("containment_b"),
+        round(col("n_common").cast("double") /
+          (col("ca.n_sh") + col("cb.n_sh") - col("n_common")), 6).as("jaccard"))
+      .filter(greatest(col("containment_a"), col("containment_b")) >= threshold)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

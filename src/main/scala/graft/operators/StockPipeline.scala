@@ -89,6 +89,28 @@ object StockPipeline {
         sentimentOf(col("latest_event_id")).as("ai_sentiment"),
         summaryOf(col("ticker"), col("latest_event_id")).as("ai_summary"))
 
+  /** OHLCV candlestick resample — the canonical market-data downsample
+    * the reference's minute bars feed in any real charting stack: 1-min
+    * events → 5-minute tumbling OHLCV bars. Open/close are the
+    * event-time arg-extremes via the same single-pass `min_by`/`max_by`
+    * DeclarativeAggregates as [[agg1m]]'s latest_price (fixed-width
+    * buffers → HashAggregate, partial agg before the shuffle — no
+    * whole-window buffering). Window end labels the bar, matching the
+    * reference's window_timestamp convention. */
+  def ohlc5m(stock: DataFrame): DataFrame =
+    stock
+      .groupBy(window(col("ts"), "5 minutes"), col("ticker"))
+      .agg(
+        min_by(col("price"), col("ts")).as("open"),
+        max(col("price")).as("high"),
+        min(col("price")).as("low"),
+        max_by(col("price"), col("ts")).as("close"),
+        sum(col("volume")).as("volume"),
+        count(lit(1)).as("n_events"))
+      .select(col("ticker"), col("window.end").as("window_timestamp"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("volume"), col("n_events"))
+
   /** A2 (W2): 5-minute sliding mean of price, slide 1 minute,
     * `pipeline.py:103-107`. Spark's `window(ts, 5m, 1m)` assigns each
     * event to its 5 overlapping windows (the explicit re-window-to-fixed

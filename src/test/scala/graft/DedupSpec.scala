@@ -82,6 +82,25 @@ class DedupSpec extends SparkSpec {
     assert(out(0).getString(3) === s"$blockA x1 x2 x3")
   }
 
+  test("containmentPairs: a short doc quoted inside a long one reports " +
+      "with containment 1.0 while Jaccard stays far below threshold") {
+    // long doc: 60 distinct tokens -> 58 shingles; short doc: its first
+    // 12 tokens -> 10 shingles, all contained. Jaccard = 10/58 ≈ 0.17
+    // (below the 0.3 pairs threshold), containment_a = 1.0.
+    val longToks = (1 to 60).map(i => s"w$i").mkString(" ")
+    val shortToks = (1 to 12).map(i => s"w$i").mkString(" ")
+    val d = docs(0L -> shortToks, 1L -> longToks, 2L -> other)
+    val out = Dedup.containmentPairs(d).collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert((r.getLong(0), r.getLong(1)) === ((0L, 1L)))
+    assert(r.getDouble(2) === 1.0, "containment_a: short fully inside long")
+    assert(r.getDouble(3) < 0.2, "containment_b small")
+    assert(r.getDouble(4) < 0.3, "Jaccard misses this pair by design")
+    // and the symmetric operator indeed does not report it
+    assert(Dedup.jaccardPairs(d).collect().isEmpty)
+  }
+
   test("spanDedup: null text and empty token arrays emit no phantom spans") {
     // sequence(0, -1) is DESCENDING in Spark ([0, -1] — two phantom
     // spans); the guard must mirror the oracle's empty range instead.

@@ -51,6 +51,28 @@ class StockPipelineSpec extends SparkSpec {
     assert(df.count() === 3) // A x2 windows, B x1
   }
 
+  test("ohlc5m: open/close are event-time arg-extremes, bars are " +
+      "epoch-aligned 5-min buckets labeled by window end") {
+    val df = StockPipeline.ohlc5m(StockPipeline.normalize(events(
+      (0L, "2024-01-01 00:01:10", "A", 12.0, """{"k": 1}"""), // open
+      (1L, "2024-01-01 00:02:30", "A", 30.0, """{"k": 2}"""), // high
+      (2L, "2024-01-01 00:03:40", "A", 5.0, """{"k": 3}"""),  // low
+      (3L, "2024-01-01 00:04:50", "A", 18.0, """{"k": 4}"""), // close
+      (4L, "2024-01-01 00:05:05", "A", 99.0, """{"k": 5}""")))) // next bar
+    val bars = df.orderBy("window_timestamp").collect()
+    assert(bars.length === 2)
+    val b = bars(0)
+    assert(b.getAs[Timestamp]("window_timestamp") === ts("2024-01-01 00:05:00"))
+    assert(b.getAs[Double]("open") === 12.0)
+    assert(b.getAs[Double]("high") === 30.0)
+    assert(b.getAs[Double]("low") === 5.0)
+    assert(b.getAs[Double]("close") === 18.0)
+    assert(b.getAs[Long]("volume") === 10L)
+    assert(b.getAs[Long]("n_events") === 4L)
+    assert(bars(1).getAs[Timestamp]("window_timestamp") ===
+      ts("2024-01-01 00:10:00"))
+  }
+
   test("sma5m: each event lands in its 5 sliding windows; overlapping means") {
     val df = StockPipeline.sma5m(StockPipeline.normalize(events(
       (0L, "2024-01-01 00:00:30", "A", 10.0, """{"k": 1}"""),
