@@ -36,6 +36,36 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("sim_binary_topk / sim_rerank_topk / sim_knn_graph_mp: " +
+      "GroupedTopK selection, no quadratic join, broadcast small sides") {
+    Seq("sim_binary_topk", "sim_rerank_topk", "sim_knn_graph_mp").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("GroupedTopK"), s"$q:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      // every join in these plans is either a broadcast of a bounded
+      // side (queries / centroids / codebooks / probe sets) or an
+      // equi-join — a SortMergeJoin of two corpus-sized sides would be
+      // a re-plan worth failing on
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+        s"$q:\n$p")
+    }
+  }
+
+  test("dedup_containment_pairs: shares jaccardPairs' single-pass " +
+      "inverted-index shape (no re-join round trip, no quadratic join)") {
+    val p = plan("dedup_containment_pairs")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("stock_ohlc_5m: single hash aggregation, no sort-based fallback") {
+    val p = plan("stock_ohlc_5m")
+    // fixed-width min_by/max_by buffers must keep the bars in
+    // HashAggregate; a string in the buffer demotes to SortAggregate
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortAggregate"), p)
+  }
+
   test("text_tfidf_top / sample_stratified: top-k through the custom operator") {
     Seq("text_tfidf_top", "sample_stratified").foreach { q =>
       assert(plan(q).contains("GroupedTopK"), q)
