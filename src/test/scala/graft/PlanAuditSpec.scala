@@ -25,7 +25,9 @@ class PlanAuditSpec extends SparkSpec {
     "sim_bruteforce_topk", // brute force IS all-pairs: the baseline
     "sim_lsh_topk",        // band0-OR-band1 candidate match vs 20 queries
     "sim_quantized_topk",  // reconstructed-cosine brute force
-    "sim_pq_topk")         // ADC scan vs the 20-query broadcast
+    "sim_pq_topk",         // ADC scan vs the 20-query broadcast
+    "sim_binary_topk",     // hamming scan vs the 20-query broadcast
+    "sim_rerank_topk")     // stage-1 ADC scan vs the 20-query broadcast
 
   // Spark 4 prints "BroadcastNestedLoopJoin BuildLeft/BuildRight, <type>"
   // — the build side comes BEFORE the join type (an earlier form of this
