@@ -15,7 +15,8 @@ import graft.operators.StockPipeline
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val mode = args.lift(1).filter(Set("docs", "asof", "emb")).getOrElse("events")
+    val mode = args.lift(1).filter(Set("docs", "asof", "emb", "graph"))
+      .getOrElse("events")
     val docsMode = mode == "docs"
     val multiples = {
       val rest = if (mode != "events") args.drop(2) else args.drop(1)
@@ -69,12 +70,13 @@ object ScaleProbe {
         }
         val (mp, mpS) = t(Dedup.minhashPairs(df).count())
         val (jp, jpS) = t(Dedup.jaccardPairs(df).count())
+        val (cp, cpS) = t(Dedup.containmentPairs(df).count())
         val (sp, spS) = t(Dedup.simhashPairs(df).count())
         val (_, paS) = t(Packing.packAssign(df).count())
         val (_, soS) = t(Packing.shuffleOrder(df).count())
         val (_, sdS) = t(Dedup.spanDedup(df).count())
         val (_, ssS) = t(Dedup.substringDedup(df).count())
-        println(f"[scale-probe-docs] x$n%-3d docs=$rows%8d minhashPairs=$mpS%6.2fs($mp) jaccardPairs=$jpS%6.2fs($jp) simhashPairs=$spS%6.2fs($sp) packAssign=$paS%6.2fs shuffleOrder=$soS%6.2fs spanDedup=$sdS%6.2fs substringDedup=$ssS%6.2fs")
+        println(f"[scale-probe-docs] x$n%-3d docs=$rows%8d minhashPairs=$mpS%6.2fs($mp) jaccardPairs=$jpS%6.2fs($jp) containmentPairs=$cpS%6.2fs($cp) simhashPairs=$spS%6.2fs($sp) packAssign=$paS%6.2fs shuffleOrder=$soS%6.2fs spanDedup=$sdS%6.2fs substringDedup=$ssS%6.2fs")
       }
       spark.stop(); return
     }
@@ -110,6 +112,46 @@ object ScaleProbe {
         val out = Similarity.semDedup(df, k = Similarity.kmK * n).count()
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"[scale-probe-emb] x$n%-3d vecs=$rows%8d cells=${Similarity.kmK * n}%4d outRows=$out%8d time=$sec%7.2fs")
+      }
+      spark.stop(); return
+    }
+
+    // Graph/ANN probe (round-4 ops): the same rotated-copy embedding
+    // growth as `emb` mode. knnGraphMultiProbe grows its cell count
+    // WITH the corpus (the semDedup sizing rule — in-cell candidate
+    // sets stay near-constant, and nprobe=2 doubles a CONSTANT, not a
+    // corpus-sized term); binaryTopK and rerankTopK scan linearly
+    // against a fixed 20-query broadcast. Near-linear wall-clock at
+    // 1/4/16x is the evidence the multi-probe recall lever and the
+    // two-stage serving path keep their cost model at 100 TB.
+    if (mode == "graph") {
+      import graft.operators.Similarity
+      def multipliedEmb(n: Int): DataFrame = {
+        val base = graft.sources.Tables.embeddings(spark, sfDir)
+        (0 until n).map { k =>
+          val r = k % 64
+          if (r == 0) base
+            .withColumn("vec_id", col("vec_id") + lit(k.toLong * 1000000000L))
+          else base
+            .withColumn("vec_id", col("vec_id") + lit(k.toLong * 1000000000L))
+            .withColumn("embedding", expr(
+              s"concat(slice(embedding, ${r + 1}, ${64 - r}), slice(embedding, 1, $r))"))
+        }.reduce(_ unionAll _)
+      }
+      Similarity.knnGraphMultiProbe(
+        graft.sources.Tables.embeddings(spark, sfDir)).count() // warm-up
+      multiples.foreach { n =>
+        val df = multipliedEmb(n).localCheckpoint()
+        val rows = df.count()
+        def t(f: => Long): (Long, Double) = {
+          val t0 = System.nanoTime(); val c = f
+          (c, (System.nanoTime() - t0) / 1e9)
+        }
+        val (mg, mgS) = t(Similarity.knnGraphMultiProbe(df,
+          cells = Similarity.kmK * n).count())
+        val (_, btS) = t(Similarity.binaryTopK(df).count())
+        val (_, rrS) = t(Similarity.rerankTopK(df).count())
+        println(f"[scale-probe-graph] x$n%-3d vecs=$rows%8d cells=${Similarity.kmK * n}%4d knnGraphMp=$mgS%7.2fs($mg) binaryTopK=$btS%6.2fs rerankTopK=$rrS%6.2fs")
       }
       spark.stop(); return
     }
