@@ -716,6 +716,25 @@ reach(node, label) AS (
   SELECT e.b, r.label FROM reach r JOIN edges e ON r.node = e.a)
 SELECT node AS vec_id, min(label) AS cluster_id
 FROM reach GROUP BY node ORDER BY vec_id"""),
+    // semantic decontamination: exact max cosine of every train vector
+    // to the broadcast eval set (q = vec_id < 20), argmax row carries
+    // both outputs, ties by eval_id
+    "sim_decontaminate" -> (simBase + s""",
+tr AS (SELECT vec_id, ev FROM base WHERE vec_id >= 20),
+sc AS (
+  SELECT tr.vec_id, q.query_id AS eval_id,
+    round(list_inner_product(tr.ev, q.qv), 6) AS cosine
+  FROM tr CROSS JOIN q),
+rk AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id ORDER BY cosine DESC, eval_id) AS rn
+  FROM sc),
+ag AS (SELECT vec_id, eval_id AS near_eval_id, cosine AS max_eval_cosine
+  FROM rk WHERE rn = 1)
+SELECT t.vec_id, ag.max_eval_cosine, ag.near_eval_id,
+  coalesce(ag.max_eval_cosine >= ${graft.operators.Similarity.semDeconThreshold},
+    false) AS flagged
+FROM tr t LEFT JOIN ag USING (vec_id) ORDER BY vec_id"""),
     // 1-bit sign quantization + hamming ranking: the same two-halves
     // bit assembly as dedup_simhash (no BIGINT sign bit touched), ties
     // by neighbor_id (hamming is a small integer — ties are the norm)

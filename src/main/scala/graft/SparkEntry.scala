@@ -237,6 +237,10 @@ object SparkEntry {
     // SemDeDup: k-means cells + in-cell near-identical keep-first
     "sim_semdedup" -> ((s, d) =>
       Similarity.semDedup(Tables.embeddings(s, d))),
+    // semantic decontamination: exact max cosine vs the broadcast eval
+    // set — catches paraphrased leakage that shares no 3-gram
+    "sim_decontaminate" -> ((s, d) =>
+      Similarity.semanticDecontaminate(Tables.embeddings(s, d))),
     // product quantization: per-subspace codebooks + ADC scan
     "sim_pq_topk" -> ((s, d) =>
       Similarity.pqTopK(Tables.embeddings(s, d))),

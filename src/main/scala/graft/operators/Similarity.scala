@@ -631,6 +631,49 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Flagging threshold for [[semanticDecontaminate]] — shared with the
+    * oracle generator. 0.4 sits just under this corpus's max cross-set
+    * cosine (~0.49), so both the flagged and clean branches carry
+    * rows. */
+  val semDeconThreshold = 0.4
+
+  /** SEMANTIC decontamination — the embedding-space sibling of
+    * [[Curation.decontaminate]]'s n-gram containment: every train
+    * vector's maximum cosine to ANY eval vector (vec_id < `evalMaxId`
+    * plays the benchmark set), flagged at `threshold`. Catches
+    * paraphrased eval leakage that shares no 3-gram.
+    *
+    * Scale design: eval sets are BOUNDED by definition (benchmarks are
+    * thousands of rows, the corpus is 100 TB), so the eval side
+    * broadcasts and the train side streams ONCE — the same bounded-
+    * broadcast cost model as the query-set ANN baselines, and exact
+    * (recall 1.0, which decontamination requires — an SRP-banded
+    * prefilter at the 0.4-cosine operating point has ~5% band-collision
+    * recall, measured, so pruning would silently pass contaminated
+    * documents; for an eval set too large to broadcast, shard the eval
+    * side and union the per-shard maxima — plan shape unchanged). */
+  def semanticDecontaminate(embeddings: DataFrame, evalMaxId: Long = 20,
+      threshold: Double = semDeconThreshold): DataFrame = {
+    val base = unitized(embeddings)
+    val eval = base.filter(col("vec_id") < evalMaxId)
+      .select(col("vec_id").as("eval_id"), col("unit").as("eu"))
+    val train = base.filter(col("vec_id") >= evalMaxId)
+    val scored = train.crossJoin(broadcast(eval))
+      .select(col("vec_id"), col("eval_id"),
+        cosineUnit(col("unit"), col("eu")).as("cosine"))
+    // the argmax row carries both outputs: max cosine AND its eval id
+    val top = TopK.perKey(scored, Seq("vec_id"),
+        Seq("cosine" -> true, "eval_id" -> false), 1)
+      .select(col("vec_id"), col("eval_id").as("near_eval_id"),
+        col("cosine").as("max_eval_cosine"))
+    train.select(col("vec_id"))
+      .join(top, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("max_eval_cosine"), col("near_eval_id"),
+        coalesce(col("max_eval_cosine") >= threshold, lit(false))
+          .as("flagged"))
+      .orderBy(col("vec_id"))
+  }
+
   // ---- 1-bit (binary) quantization: sign-bit embeddings ----
 
   /** Sign-bit binary quantization of the unit vectors: bit d = 1 iff

@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 
+import org.apache.spark.sql.functions.{col, lit}
+
 import graft.operators.Similarity
 
 /** SemDeDup semantics on a planted fixture: identical vectors always
@@ -49,5 +51,25 @@ class SemDedupSpec extends SparkSpec {
     val b = Similarity.semDedup(emb.repartition(7)).collect()
       .map(_.toString).sorted
     assert(a.toSeq === b.toSeq)
+  }
+
+  test("semanticDecontaminate: a train-side clone of an eval vector " +
+      "flags with cosine 1.0 pointing at its source; orthogonal stays clean") {
+    // eval set = vec_id < 20. Train: 100 clones eval 3's direction,
+    // 101 is orthogonal to everything in eval.
+    val emb2 = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0),
+      (3L, Array(0f, 0f, 1f, 0f), 0),
+      (100L, Array(0f, 0f, 2f, 0f), 1),  // same direction as eval 3
+      (101L, Array(0f, 0f, 0f, 1f), 1))  // orthogonal to eval
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.semanticDecontaminate(emb2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet === Set(100L, 101L))
+    assert(out(100L).getAs[Double]("max_eval_cosine") === 1.0)
+    assert(out(100L).getAs[Long]("near_eval_id") === 3L)
+    assert(out(100L).getAs[Boolean]("flagged"))
+    assert(!out(101L).getAs[Boolean]("flagged"))
+    assert(out(101L).getAs[Double]("max_eval_cosine") === 0.0)
   }
 }
