@@ -691,6 +691,50 @@ kr AS (
 SELECT vec_id, neighbor_id, cosine, rank FROM kr WHERE rank <= 3
 ORDER BY vec_id, rank"""
     }),
+    // PageRank over the kNN graph: unrolled power iterations, inflow
+    // sums as DECIMAL(28,10) (order-independent), p/outdeg contribs,
+    // dangling mass dropped, teleport via LEFT JOIN + coalesce. The
+    // teleport constant is the Scala double (1 - 0.85) interpolated so
+    // both engines use the bit-identical IEEE value.
+    "sim_pagerank" -> (simBase + kmeansCtes + {
+      val it = graft.operators.Similarity.kmIters
+      val d = graft.operators.Similarity.prDamping
+      val tele = (1 - d).toString // exact Scala double round-trip
+      val sb = new StringBuilder
+      sb.append(s""",
+kp AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+    round(list_inner_product(a.ev, b.ev), 6) AS cosine
+  FROM asg$it a JOIN asg$it b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+kr AS (
+  SELECT vec_id, neighbor_id, cosine,
+    row_number() OVER (PARTITION BY vec_id
+      ORDER BY cosine DESC, neighbor_id)::BIGINT AS rank
+  FROM kp),
+ged AS (SELECT vec_id AS src, neighbor_id AS dst FROM kr WHERE rank <= 3),
+od AS (SELECT src, count(*)::BIGINT AS outdeg FROM ged GROUP BY src),
+nd AS (SELECT DISTINCT node FROM
+  (SELECT src AS node FROM ged UNION ALL SELECT dst FROM ged)),
+nn AS (SELECT count(*)::BIGINT AS n FROM nd),
+pr0 AS (SELECT node, 1.0::DOUBLE / n AS p FROM nd CROSS JOIN nn)""")
+      for (i <- 1 to graft.operators.Similarity.prIters) {
+        sb.append(s""",
+fi$i AS (
+  SELECT ged.dst AS node,
+    CAST(sum(CAST(p.p / od.outdeg AS DECIMAL(28,10))) AS DOUBLE) AS inflow
+  FROM ged JOIN pr${i - 1} p ON ged.src = p.node
+  JOIN od ON ged.src = od.src
+  GROUP BY ged.dst),
+pr$i AS (
+  SELECT nd.node,
+    ($tele::DOUBLE / n) + $d::DOUBLE * coalesce(inflow, 0.0::DOUBLE) AS p
+  FROM nd CROSS JOIN nn LEFT JOIN fi$i ON nd.node = fi$i.node)""")
+      }
+      sb.append(s"""
+SELECT node AS vec_id, round(p, 10) AS pagerank
+FROM pr${graft.operators.Similarity.prIters} ORDER BY vec_id""")
+      sb.toString
+    }),
     // kNN edges at cosine >= 0.3 -> recursive min-label components
     // (the dedup_clusters oracle pattern over the embedding graph)
     "sim_knn_components" -> ((simBase + kmeansCtes)

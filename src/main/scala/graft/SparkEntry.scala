@@ -258,6 +258,9 @@ object SparkEntry {
     // recall lever) — a true neighbor one cell over becomes reachable
     "sim_knn_graph_mp" -> ((s, d) =>
       Similarity.knnGraphMultiProbe(Tables.embeddings(s, d))),
+    // graph centrality over the kNN graph (unrolled power iteration)
+    "sim_pagerank" -> ((s, d) =>
+      Similarity.knnPageRank(Tables.embeddings(s, d))),
     // embedding cluster components: thresholded kNN edges through the
     // SAME large-star/small-star CC operator the text dedup uses
     "sim_knn_components" -> ((s, d) =>

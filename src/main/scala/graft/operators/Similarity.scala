@@ -631,6 +631,59 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** PageRank damping / iterations for [[knnPageRank]] — shared with
+    * the oracle generator. */
+  val prDamping = 0.85
+  val prIters = 3
+
+  /** PageRank over the corpus kNN graph — graph centrality as a data-
+    * selection signal (a vector many neighbors point at is a dense
+    * region's representative; a page nothing points at is an outlier —
+    * the graph-side sibling of [[centroidCosines]]). Deterministic
+    * power iteration, fully declarative:
+    *   - node set = every vector appearing as source OR target;
+    *     contrib = p(src)/outdeg(src) with out-degrees computed from
+    *     the data (a vector in an undersized cell can have < k
+    *     out-edges). A node with NO out-edges keeps receiving the
+    *     teleport term but its own mass is dropped — the standard
+    *     remove-dangling-mass variant, stated identically by the
+    *     oracle;
+    *   - per-node in-flow sums as DECIMAL(28,10) (the centroid-mean
+    *     mechanics: order-independent, bit-equal across engines);
+    *   - nodes with no in-edges keep the teleport term via left join +
+    *     coalesce 0.
+    * Each iteration is one join on the edge list + one hash
+    * aggregation — O(iters) shuffles on the high-cardinality node key,
+    * the textbook distributed PageRank plan. The oracle unrolls the
+    * same iterations as chained CTEs. */
+  def knnPageRank(embeddings: DataFrame, k: Int = 3, cells: Int = kmK,
+      damping: Double = prDamping, iters: Int = prIters): DataFrame = {
+    val graph = knnGraph(embeddings, k, cells)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      .localCheckpoint(true)
+    val outdeg = graph.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val edges = graph.join(outdeg, Seq("src")).localCheckpoint(true)
+    val nodes = graph
+      .select(explode(array(col("src"), col("dst"))).as("node")).distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    var ranks = nodes.withColumn("p", lit(1.0 / n))
+    for (i <- 1 to iters) {
+      val inflow = edges
+        .join(ranks.select(col("node").as("src"), col("p")), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum((col("p") / col("outdeg")).cast("decimal(28,10)"))
+          .cast("double").as("inflow"))
+      ranks = nodes.join(inflow, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1 - damping) / n) +
+            lit(damping) * coalesce(col("inflow"), lit(0.0))).as("p"))
+        .localCheckpoint(i == iters) // lazy intermediates, eager final
+    }
+    ranks.select(col("node").as("vec_id"), round(col("p"), 10).as("pagerank"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Flagging threshold for [[semanticDecontaminate]] — shared with the
     * oracle generator. 0.4 sits just under this corpus's max cross-set
     * cosine (~0.49), so both the flagged and clean branches carry

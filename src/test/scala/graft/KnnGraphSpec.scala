@@ -67,6 +67,36 @@ class KnnGraphSpec extends SparkSpec {
     }
   }
 
+  test("knnPageRank: every rank has at least the teleport floor, total " +
+      "mass is bounded by 1, and rank tracks in-degree") {
+    val pr = Similarity.knnPageRank(emb).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val n = pr.size
+    val floor = (1 - Similarity.prDamping) / n
+    pr.values.foreach(p => assert(p >= floor - 1e-12, s"below teleport $p"))
+    val total = pr.values.sum
+    // the DECIMAL(28,10) contribution casts and the per-row round-10
+    // each round half-up, so the sum can sit a hair over 1
+    assert(total <= 1.0 + 1e-6 && total > 0.5,
+      s"mass $total (dangling drop only shrinks it)")
+    // centrality sanity: the most-linked-to decile must outrank the
+    // least-linked-to decile on average
+    val indeg = Similarity.knnGraph(emb).collect()
+      .groupBy(_.getAs[Long]("neighbor_id")).view.mapValues(_.length).toMap
+    val byIndeg = pr.keys.toSeq.sortBy(v => indeg.getOrElse(v, 0))
+    val (lo, hi) = (byIndeg.take(n / 10), byIndeg.takeRight(n / 10))
+    def mean(vs: Seq[Long]) = vs.map(pr).sum / vs.size
+    assert(mean(hi) > mean(lo),
+      s"high-indegree mean ${mean(hi)} must beat low ${mean(lo)}")
+  }
+
+  test("knnPageRank: invariant under input repartitioning") {
+    val a = Similarity.knnPageRank(emb).collect().map(_.toString)
+    val b = Similarity.knnPageRank(emb.repartition(7)).collect()
+      .map(_.toString)
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("knnComponents: registry, operator, and oracle share one " +
       "threshold constant") {
     assert(Similarity.knnComponentThreshold === 0.3)
