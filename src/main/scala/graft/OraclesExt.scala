@@ -691,6 +691,27 @@ kr AS (
 SELECT vec_id, neighbor_id, cosine, rank FROM kr WHERE rank <= 3
 ORDER BY vec_id, rank"""
     }),
+    // mutual kNN: edges reciprocated in both top-k lists (self-join of
+    // the ranked edge set on the reversed pair)
+    "sim_mutual_knn" -> (simBase + kmeansCtes + {
+      val it = graft.operators.Similarity.kmIters
+      s""",
+kp AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+    round(list_inner_product(a.ev, b.ev), 6) AS cosine
+  FROM asg$it a JOIN asg$it b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+kr AS (
+  SELECT vec_id, neighbor_id, cosine,
+    row_number() OVER (PARTITION BY vec_id
+      ORDER BY cosine DESC, neighbor_id)::BIGINT AS rank
+  FROM kp),
+ged AS (SELECT vec_id, neighbor_id, cosine FROM kr WHERE rank <= 3)
+SELECT a.vec_id AS vec_a, a.neighbor_id AS vec_b, a.cosine
+FROM ged a JOIN ged b
+  ON a.vec_id = b.neighbor_id AND a.neighbor_id = b.vec_id
+WHERE a.vec_id < a.neighbor_id
+ORDER BY vec_a, vec_b"""
+    }),
     // PageRank over the kNN graph: unrolled power iterations, inflow
     // sums as DECIMAL(28,10) (order-independent), p/outdeg contribs,
     // dangling mass dropped, teleport via LEFT JOIN + coalesce. The

@@ -261,6 +261,10 @@ object SparkEntry {
     // graph centrality over the kNN graph (unrolled power iteration)
     "sim_pagerank" -> ((s, d) =>
       Similarity.knnPageRank(Tables.embeddings(s, d))),
+    // mutual (reciprocated) kNN edges — the high-precision subset
+    // graph clustering consumes
+    "sim_mutual_knn" -> ((s, d) =>
+      Similarity.mutualKnnGraph(Tables.embeddings(s, d))),
     // embedding cluster components: thresholded kNN edges through the
     // SAME large-star/small-star CC operator the text dedup uses
     "sim_knn_components" -> ((s, d) =>

@@ -631,6 +631,29 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Mutual kNN graph: an undirected edge survives iff BOTH endpoints
+    * list each other in their top-k — the standard robustification
+    * before graph clustering (a hub that many vectors point at but
+    * that points elsewhere stops bridging unrelated regions; mutual
+    * edges are the high-precision subset). One self-join of the kNN
+    * edge list on the reversed pair — the graph is k·n rows, so this
+    * is an equi-join of two slim frames, never touching the vectors.
+    * Cosine is symmetric (same rounded dot both directions), so either
+    * side's value is THE edge weight. */
+  def mutualKnnGraph(embeddings: DataFrame, k: Int = 3,
+      cells: Int = kmK): DataFrame = {
+    val g = knnGraph(embeddings, k, cells)
+      .select(col("vec_id"), col("neighbor_id"), col("cosine"))
+      .localCheckpoint(true)
+    g.as("a").join(g.as("b"),
+        col("a.vec_id") === col("b.neighbor_id") &&
+          col("a.neighbor_id") === col("b.vec_id") &&
+          col("a.vec_id") < col("a.neighbor_id"))
+      .select(col("a.vec_id").as("vec_a"),
+        col("a.neighbor_id").as("vec_b"), col("a.cosine").as("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   /** PageRank damping / iterations for [[knnPageRank]] — shared with
     * the oracle generator. */
   val prDamping = 0.85

@@ -97,6 +97,26 @@ class KnnGraphSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("mutualKnnGraph: exactly the reciprocated directed edges, " +
+      "asymmetric edges really exist and are excluded") {
+    val directed = Similarity.knnGraph(emb).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val mutual = Similarity.mutualKnnGraph(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(mutual.nonEmpty)
+    mutual.foreach { case (a, b) =>
+      assert(a < b)
+      assert(directed((a, b)) && directed((b, a)),
+        s"mutual edge ($a,$b) must be reciprocated in the directed graph")
+    }
+    val expected = directed.filter { case (a, b) =>
+      a < b && directed((b, a)) }
+    assert(mutual.toSet === expected, "mutual = exactly the reciprocated set")
+    assert(expected.size * 2 < directed.size,
+      "asymmetric edges exist — the filter is not vacuous")
+  }
+
   test("knnComponents: registry, operator, and oracle share one " +
       "threshold constant") {
     assert(Similarity.knnComponentThreshold === 0.3)

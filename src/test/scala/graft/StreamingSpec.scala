@@ -20,6 +20,38 @@ class StreamingSpec extends SparkSpec {
   private def ev(id: Long, t: String, typ: String, v: Double, k: Long) =
     RawEvent(id, Timestamp.valueOf(t), 1L, typ, v, s"""{"k": $k}""")
 
+  test("ohlc5m: the batch candlestick resample runs unchanged on a " +
+      "watermarked stream and equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val real = Seq(
+      ev(1, "2024-01-01 00:01:10", "A", 12.0, 1),
+      ev(2, "2024-01-01 00:02:30", "A", 30.0, 2),
+      ev(3, "2024-01-01 00:03:40", "A", 5.0, 3),
+      ev(4, "2024-01-01 00:04:50", "A", 18.0, 4),
+      ev(5, "2024-01-01 00:02:00", "B", 7.0, 9))
+    val stream = MemoryStream[RawEvent]
+    val bars = StockPipeline.ohlc5m(
+      StreamingPipeline.withEventTime(stream.toDF()))
+    val q = bars.writeStream.format("memory").queryName("ohlc_sink")
+      .outputMode("append").start()
+    try {
+      stream.addData(real: _*)
+      q.processAllAvailable()
+      // sentinel pushes the watermark past the real bars
+      stream.addData(ev(99, "2024-01-01 02:00:00", "Z", 1.0, 1))
+      q.processAllAvailable()
+      stream.addData(ev(100, "2024-01-01 03:00:00", "Z", 1.0, 1))
+      q.processAllAvailable()
+      val streamed = spark.table("ohlc_sink")
+        .filter(col("ticker") =!= "Z")
+        .orderBy("ticker", "window_timestamp").collect()
+      val batch = StockPipeline.ohlc5m(StockPipeline.normalize(real.toDF()))
+        .orderBy("ticker", "window_timestamp").collect()
+      assert(streamed.length === batch.length && batch.length === 2)
+      streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
+    } finally q.stop()
+  }
+
   test("agg1m: streaming append output equals batch aggregation") {
     implicit val sqlCtx = spark.sqlContext
     val real = Seq(
