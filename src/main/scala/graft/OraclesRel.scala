@@ -238,6 +238,25 @@ WHERE c_acctbal > avg_bal
                   WHERE o_custkey = c_custkey
                     AND o_orderdate >= TIMESTAMP '1998-01-01')
 GROUP BY n_name ORDER BY n_name""",
+    // Q21-shape: the oracle states the classic DOUBLY-CORRELATED form
+    // (EXISTS another supplier in the order, NOT EXISTS another LATE
+    // supplier); the engine runs the decorrelated per-order aggregates
+    // — hash equality proves the decorrelation exact
+    "rel_late_suppliers" -> """
+SELECT s_name, count(*)::BIGINT AS numwait
+FROM lineitem l1
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""",
     "rel_retention" -> """
 WITH act AS (
   SELECT DISTINCT user_id, date_trunc('day', ts::TIMESTAMP)::TIMESTAMP AS d

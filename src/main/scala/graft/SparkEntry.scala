@@ -314,6 +314,8 @@ object SparkEntry {
     "rel_big_orders" -> ((s, d) => Relational.bigOrders(s, d)),
     // TPC-H Q22-shape scalar-subquery gate + NOT EXISTS anti-join
     "rel_idle_customers" -> ((s, d) => Relational.idleCustomers(s, d)),
+    // TPC-H Q21-shape doubly-correlated EXISTS/NOT EXISTS, decorrelated
+    "rel_late_suppliers" -> ((s, d) => Relational.lateSuppliers(s, d)),
     // salted skew join, oracle-proven value-invisible (plain-join SQL)
     "rel_salted_supplier_revenue" -> ((s, d) =>
       Relational.saltedSupplierRevenue(s, d)),

@@ -518,6 +518,51 @@ object Relational {
       .limit(100)
   }
 
+  /** TPC-H Q21-shape "suppliers who kept orders waiting": per supplier,
+    * the count of its LATE lines (shipped > `lateDays` after the order
+    * date — this schema carries no commit/receipt dates) in
+    * multi-supplier orders where it was the ONLY late supplier. The
+    * oracle states the classic doubly-correlated form (EXISTS another
+    * supplier in the order AND NOT EXISTS another LATE supplier); the
+    * engine runs the decorrelated plan — two per-order distinct-count
+    * aggregates (all suppliers, late suppliers) equi-joined back to the
+    * late lines, with `ns >= 2 AND nl = 1` exactly encoding the two
+    * correlated predicates (the late line's own supplier is always in
+    * the late set, so nl = 1 ⇔ no OTHER late supplier). Hash equality
+    * proves the decorrelation exact. Everything is an equi-join on the
+    * high-cardinality orderkey; the supplier dim broadcasts. */
+  def lateSuppliers(spark: SparkSession, dir: String,
+      lateDays: Int = 90, k: Int = 10): DataFrame =
+    lateSuppliersOn(
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate")),
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderdate")),
+      Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name")),
+      lateDays, k)
+
+  /** [[lateSuppliers]] over explicit frames — fixture-testable. */
+  private[graft] def lateSuppliersOn(l: DataFrame, o: DataFrame,
+      supplier: DataFrame, lateDays: Int, k: Int): DataFrame = {
+    val late = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >
+        col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"))
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .localCheckpoint() // read twice: the per-order agg and the rows
+    val orderSupp = l.groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("ns"))
+    val lateSupp = late.groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("nl"))
+    late.join(orderSupp, Seq("l_orderkey"))
+      .join(lateSupp, Seq("l_orderkey"))
+      .filter(col("ns") >= 2 && col("nl") === 1)
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(k)
+  }
+
   /** TPC-H Q22-shape idle high-balance customers: a scalar aggregate
     * subquery (global average balance — one tiny broadcast row) gates
     * the customer scan, then a NOT EXISTS anti-join against recent

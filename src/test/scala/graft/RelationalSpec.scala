@@ -49,6 +49,29 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("lateSuppliers (Q21 shape): only the sole-late supplier of a " +
+      "multi-supplier order counts") {
+    // order 1: suppliers 10 (late) and 11 (on time)  -> 10 counts
+    // order 2: supplier 10 alone, late               -> no other supplier
+    // order 3: suppliers 10 and 11, BOTH late        -> neither counts
+    // order 4: suppliers 10, 11 on time              -> nobody late
+    val l = Seq(
+      (1L, 10L, ts("1996-06-01")), (1L, 11L, ts("1996-01-15")),
+      (2L, 10L, ts("1996-06-01")),
+      (3L, 10L, ts("1996-06-01")), (3L, 11L, ts("1996-07-01")),
+      (4L, 10L, ts("1996-01-10")), (4L, 11L, ts("1996-01-10")))
+      .toDF("l_orderkey", "l_suppkey", "l_shipdate")
+    val o = Seq((1L, ts("1996-01-01")), (2L, ts("1996-01-01")),
+      (3L, ts("1996-01-01")), (4L, ts("1996-01-01")))
+      .toDF("o_orderkey", "o_orderdate")
+    val s = Seq((10L, "S10"), (11L, "S11")).toDF("s_suppkey", "s_name")
+    val out = graft.operators.Relational
+      .lateSuppliersOn(l, o, s, lateDays = 90, k = 10).collect()
+    assert(out.length === 1)
+    assert(out(0).getString(0) === "S10")
+    assert(out(0).getLong(1) === 1L) // only order 1's late line
+  }
+
   test("rollup emits group, subtotal and grand-total rows") {
     val df = Seq(("O", "HIGH", 10.0), ("O", "LOW", 20.0), ("F", "HIGH", 5.0))
       .toDF("status", "prio", "price")
