@@ -382,5 +382,94 @@ SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    // Q6-shape: single-scan filter-aggregate
+    "rel_revenue_delta" -> s"""
+SELECT ${dsum("l_extendedprice * l_discount")} AS revenue,
+  count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24""",
+    // Q10-shape: returned-item revenue per customer, one quarter
+    "rel_returned_items" -> s"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+  ${dsum("l_extendedprice * (1 - l_discount)")} AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    // Q13-shape: order-count distribution with the zero bucket — the
+    // priority predicate must live in the LEFT JOIN condition
+    "rel_order_count_dist" -> """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC""",
+    // Q19-shape: the three OR'd (brand, size, quantity) conjunct groups
+    "rel_disjunctive_revenue" -> s"""
+SELECT ${dsum("l_extendedprice * (1 - l_discount)")} AS revenue,
+  count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)""",
+    // Q15-shape: suppliers at the quarterly revenue max, ties kept
+    "rel_top_supplier" -> s"""
+WITH revenue AS (
+  SELECT l_suppkey,
+    ${dsum("l_extendedprice * (1 - l_discount)")} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey""",
+    // Q16-shape: distinct shipping suppliers per part class, deficit
+    // suppliers excluded via NOT IN
+    "rel_supplier_diversity" -> """
+SELECT p_brand, p_type, p_size,
+  count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_size IN (1, 9, 19, 29, 39, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    // Q8-shape: per-year market share of one nation inside ASIA's
+    // ECONOMY-part import volume; numerator and denominator are two
+    // conditional decimal sums of the same pass
+    "rel_market_share" -> s"""
+SELECT year(o_orderdate)::BIGINT AS o_year,
+  round(${dsum("CASE WHEN n2.n_name = 'NATION_7' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+    / ${dsum("l_extendedprice * (1 - l_discount)")}, 6) AS mkt_share,
+  ${dsum("CASE WHEN n2.n_name = 'NATION_7' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")} AS nation_volume,
+  ${dsum("l_extendedprice * (1 - l_discount)")} AS total_volume
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1999-01-01'
+GROUP BY o_year
+ORDER BY o_year""",
   )
 }

@@ -328,6 +328,20 @@ object SparkEntry {
     "rel_retention" -> (Relational.retention _),
     // heavy-hitter join-key report (the pre-salting diagnostic)
     "rel_key_skew" -> ((s, d) => Relational.keySkew(s, d)),
+    // TPC-H Q6-shape single-scan filter-aggregate (all predicates pushed)
+    "rel_revenue_delta" -> (Relational.revenueDelta _),
+    // TPC-H Q10-shape returned-item customer ranking
+    "rel_returned_items" -> ((s, d) => Relational.returnedItems(s, d)),
+    // TPC-H Q13-shape order-count distribution (zero bucket via LEFT JOIN)
+    "rel_order_count_dist" -> (Relational.orderCountDist _),
+    // TPC-H Q19-shape disjunctive brand/size/quantity predicate
+    "rel_disjunctive_revenue" -> (Relational.disjunctiveRevenue _),
+    // TPC-H Q15-shape scalar-max top supplier, ties kept
+    "rel_top_supplier" -> (Relational.topSupplier _),
+    // TPC-H Q16-shape supplier diversity per part class (anti-join filter)
+    "rel_supplier_diversity" -> (Relational.supplierDiversity _),
+    // TPC-H Q8-shape per-year market share (conditional decimal sums)
+    "rel_market_share" -> ((s, d) => Relational.marketShare(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -790,4 +790,194 @@ object Relational {
         decSum(col("o_totalprice")).as("total_price"))
       .orderBy(col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
+
+  /** TPC-H Q6-shape forecasting-revenue-change: the canonical
+    * filter-everything-aggregate-once scan. No join, no shuffle beyond
+    * the final single-row combine — at any scale this is one pass with
+    * every predicate pushed into the parquet reader (shipdate range,
+    * discount band, quantity cap all show in `PushedFilters`). */
+  def revenueDelta(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(decSum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** TPC-H Q10-shape returned-item reporting: customers ranked by
+    * revenue lost to returns (l_returnflag = 'R') for orders placed in
+    * one quarter. The orders scan is date-filtered BEFORE the fact join
+    * (~1/28 of orders), lineitem filters on the return flag at the scan,
+    * the nation dim broadcasts, and the final top-20 lowers to
+    * TakeOrderedAndProject — no global sort materializes. */
+  def returnedItems(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(k)
+
+  /** TPC-H Q13-shape customer order-count distribution: how many
+    * customers placed exactly N qualifying orders, INCLUDING the
+    * zero-order customers — which is why the join must be LEFT OUTER
+    * with the order-side predicate in the JOIN CONDITION (a WHERE would
+    * silently drop the zero bucket). Two shuffles total: the outer join
+    * on custkey, then the O(#distinct-counts) distribution aggregate. */
+  def orderCountDist(spark: SparkSession, dir: String): DataFrame =
+    orderCountDistOn(
+      Tables.customer(spark, dir).select(col("c_custkey")),
+      Tables.orders(spark, dir)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_custkey"), col("o_orderkey")))
+
+  /** [[orderCountDist]] over explicit frames — fixture-testable. The
+    * order-side predicate must already be applied to `orders`:
+    * filtering after the outer join would erase the zero bucket. */
+  private[graft] def orderCountDistOn(customer: DataFrame,
+      orders: DataFrame): DataFrame =
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** TPC-H Q19-shape disjunctive-predicate revenue: three OR'd
+    * (brand, size-range, quantity-band) conjunct groups. The part-only
+    * disjunction (brand+size) is applied to the part dim BEFORE the
+    * broadcast join and the derivable quantity envelope (1..30, the
+    * union of the three bands) is pushed to the lineitem scan — the
+    * manual form of the OR-predicate factoring Catalyst can't always
+    * derive, so the join probes ~3 brands' parts instead of all. */
+  def disjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val partPred =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 25)) ||
+      (col("p_brand") === "Brand#3") && col("p_size").between(1, 35)
+    val fullPred =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+        col("l_quantity").between(20, 30))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_quantity").between(1, 30)) // envelope of the 3 bands
+      .join(broadcast(Tables.part(spark, dir).filter(partPred)),
+        col("l_partkey") === col("p_partkey"))
+      .filter(fullPred)
+      .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q15-shape top supplier(s): suppliers whose quarterly revenue
+    * equals the maximum — ties kept, which is why this is a scalar-max
+    * self-reference rather than LIMIT 1. The per-supplier aggregate is
+    * computed ONCE and checkpointed; the global max folds that
+    * O(#suppliers) summary to one broadcast row. Revenue equality is
+    * exact: both sides reuse the same decimal-summed value. */
+  def topSupplier(spark: SparkSession, dir: String): DataFrame =
+    topSupplierOn(
+      Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp")),
+      Tables.supplier(spark, dir))
+
+  /** [[topSupplier]] over explicit frames — fixture-testable. */
+  private[graft] def topSupplierOn(lineitem: DataFrame,
+      supplier: DataFrame): DataFrame = {
+    val revenue = lineitem
+      .groupBy(col("l_suppkey"))
+      .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("total_revenue"))
+      .localCheckpoint() // read twice: the max fold and the equality probe
+    val best = revenue.agg(max(col("total_revenue")).as("max_revenue"))
+    revenue.crossJoin(broadcast(best))
+      .filter(col("total_revenue") === col("max_revenue"))
+      .join(broadcast(supplier),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q16-shape supplier diversity: distinct suppliers able to ship
+    * each (brand, type, size) part class — with one brand excluded and
+    * suppliers in deficit (negative balance, the "complaints" analog)
+    * dropped via a broadcast ANTI join BEFORE the count-distinct, so
+    * excluded suppliers never inflate the shuffle. Supply relationships
+    * are derived from shipped lineitems (this schema has no partsupp). */
+  def supplierDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val badSupp = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#5" &&
+        col("p_size").isin(1, 9, 19, 29, 39, 49))
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** TPC-H Q8-shape market share: the target nation's share of ASIA's
+    * ECONOMY-part import revenue, per order year. Both numerator and
+    * denominator come from ONE pass as conditional decimal sums; the
+    * share division is one IEEE op on exact inputs, rounded to the 6dp
+    * grid both engines agree on. The tiny dims (nation, region, the
+    * type-filtered part slice, supplier) broadcast; the region-filtered
+    * customer keys do NOT — that's ~1/5 of a full-size dimension, so it
+    * stays a shuffle equi-join on custkey alongside the orders⋈lineitem
+    * fact join. */
+  def marketShare(spark: SparkSession, dir: String,
+      nation: String = "NATION_7"): DataFrame = {
+    val asiaCust = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .join(Tables.region(spark, dir).filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val suppNation = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val ecoParts = Tables.part(spark, dir)
+      .filter(col("p_type") === "ECONOMY").select(col("p_partkey"))
+    Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      .join(asiaCust, col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(ecoParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        decSum(when(col("supp_nation") === nation,
+          col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .otherwise(lit(0.0))).as("nation_volume"),
+        decSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("total_volume"))
+      .select(col("o_year"),
+        round(col("nation_volume") / col("total_volume"), 6).as("mkt_share"),
+        col("nation_volume"), col("total_volume"))
+      .orderBy(col("o_year"))
+  }
 }

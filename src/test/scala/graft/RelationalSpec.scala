@@ -72,6 +72,32 @@ class RelationalSpec extends SparkSpec {
     assert(out(0).getLong(1) === 1L) // only order 1's late line
   }
 
+  test("orderCountDist (Q13 shape): zero-order customers land in the " +
+      "zero bucket") {
+    // customers 1 (two orders), 2 (one order), 3 (none): the zero
+    // bucket exists ONLY because the join is left outer — this is the
+    // row a WHERE-side predicate placement would silently drop
+    val customer = Seq(1L, 2L, 3L).toDF("c_custkey")
+    val orders = Seq((1L, 100L), (1L, 101L), (2L, 102L))
+      .toDF("o_custkey", "o_orderkey")
+    val out = graft.operators.Relational
+      .orderCountDistOn(customer, orders)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out === Map(2L -> 1L, 1L -> 1L, 0L -> 1L))
+  }
+
+  test("topSupplier (Q15 shape): revenue ties are all kept") {
+    // suppliers 10 and 11 tie at 200.0; supplier 12 trails
+    val l = Seq((10L, 200.0, 0.0), (11L, 100.0, 0.0), (11L, 100.0, 0.0),
+      (12L, 50.0, 0.0))
+      .toDF("l_suppkey", "l_extendedprice", "l_discount")
+    val s = Seq((10L, "S10"), (11L, "S11"), (12L, "S12"))
+      .toDF("s_suppkey", "s_name")
+    val out = graft.operators.Relational.topSupplierOn(l, s)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(out.toSeq === Seq((10L, 200.0), (11L, 200.0)))
+  }
+
   test("rollup emits group, subtotal and grand-total rows") {
     val df = Seq(("O", "HIGH", 10.0), ("O", "LOW", 20.0), ("F", "HIGH", 5.0))
       .toDF("status", "prio", "price")
