@@ -323,5 +323,24 @@ SELECT lang, doc_id, sample_key, rn FROM (
     row_number() OVER (PARTITION BY lang ORDER BY sample_key, doc_id)::BIGINT AS rn
   FROM (SELECT lang, doc_id, $sampleKeySql AS sample_key FROM documents))
 WHERE rn <= 25 ORDER BY lang, rn""",
+    // token-budget greedy selection: classifier-score ranking (the
+    // shared sc CTE) × BPE subword costs (the shared recursive bpc
+    // chain), running total in (score DESC, doc_id) order — the
+    // oracle's global window states what the engine's two-level
+    // score-band scan computes
+    "corpus_budget_select" -> s"""
+WITH RECURSIVE $toksCte${OraclesPacking.bpeTotalsCtes}${OraclesExt.clsScCtes},
+s AS (
+  SELECT sc.doc_id, round(1.0 / (1.0 + exp(-sc.margin * 10)), 6) AS score,
+    bpc.n_subwords
+  FROM sc JOIN bpc ON sc.doc_id = bpc.doc_id),
+c AS (
+  SELECT doc_id, score, n_subwords,
+    sum(n_subwords) OVER (ORDER BY score DESC, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_subwords
+  FROM s)
+SELECT doc_id, score, n_subwords, cum_subwords,
+  (cum_subwords <= ${Curation.selectBudget}) AS selected
+FROM c ORDER BY doc_id""",
   )
 }

@@ -21,6 +21,22 @@ object OraclesExt {
   private val toksCte =
     "toks AS (SELECT *, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents)"
 
+  /** Hashed-classifier margin CTE chain (`w`, `sc`) — identical
+    * weight-table formula, token bucketing and sequential fold as
+    * [[graft.operators.TextAnalysis.clsMargin]]. Requires `toks` in
+    * scope; shared by `text_classifier` and the budget selection. */
+  private[graft] val clsScCtes = s""",
+w AS (
+  SELECT list(((${TextAnalysis.clsCoeffs._1} * (j + 1) + ${TextAnalysis.clsCoeffs._2}) % ${graft.functions.Portable.P31})::DOUBLE
+    / ${graft.functions.Portable.P31} - 0.5 ORDER BY j) AS wv
+  FROM range(${TextAnalysis.clsDim}) t(j)),
+sc AS (
+  SELECT doc_id, len(tk)::BIGINT AS n_tokens,
+    round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(tk,
+      t -> wv[(('0x' || substr(md5(t), 1, 8))::BIGINT % ${TextAnalysis.clsDim} + 1)::INT])),
+      (acc, x) -> acc + x) / len(tk), 6) AS margin
+  FROM toks CROSS JOIN w)"""
+
   // ---------------- text analysis ----------------
 
   private val langCountExprs: String = TextAnalysis.markers.map {
@@ -109,17 +125,7 @@ FROM scored GROUP BY doc_id ORDER BY doc_id""",
     // hashed linear classifier: identical weight-table formula, token
     // bucketing, and sequential fold as TextAnalysis.classifierScore
     "text_classifier" -> s"""
-WITH $toksCte,
-w AS (
-  SELECT list(((${TextAnalysis.clsCoeffs._1} * (j + 1) + ${TextAnalysis.clsCoeffs._2}) % ${graft.functions.Portable.P31})::DOUBLE
-    / ${graft.functions.Portable.P31} - 0.5 ORDER BY j) AS wv
-  FROM range(${TextAnalysis.clsDim}) t(j)),
-sc AS (
-  SELECT doc_id, len(tk)::BIGINT AS n_tokens,
-    round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(tk,
-      t -> wv[(('0x' || substr(md5(t), 1, 8))::BIGINT % ${TextAnalysis.clsDim} + 1)::INT])),
-      (acc, x) -> acc + x) / len(tk), 6) AS margin
-  FROM toks CROSS JOIN w)
+WITH $toksCte$clsScCtes
 SELECT doc_id, n_tokens, margin,
   round(1.0 / (1.0 + exp(-margin * 10)), 6) AS score,
   (margin > 0) AS label

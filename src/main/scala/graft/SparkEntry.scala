@@ -148,6 +148,10 @@ object SparkEntry {
     "pii_scan" -> ((s, d) =>
       operators.Curation.piiScan(Tables.documents(s, d))
         .orderBy(col("doc_id"))),
+    // greedy token-budget selection: best classifier scores first until
+    // the fixed subword budget fills (two-level score-band scan)
+    "corpus_budget_select" -> ((s, d) =>
+      operators.Curation.budgetSelect(Tables.documents(s, d))),
     "sample_bernoulli" -> ((s, d) =>
       operators.Curation.sampleBernoulli(Tables.documents(s, d))),
     "sample_stratified" -> ((s, d) =>

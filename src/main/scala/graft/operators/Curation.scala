@@ -396,6 +396,59 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Subword budget and score-band count for [[budgetSelect]] — shared
+    * with the oracle generator. */
+  val selectBudget = 40000L
+  val selectBands = 32
+
+  /** Token-budget corpus selection: fill a fixed training budget
+    * ([[selectBudget]] BPE subwords) with the best-scoring documents —
+    * the greedy knapsack every "train on the top-quality slice" job
+    * runs. Documents are ranked by the hashed-classifier score
+    * (desc, doc_id tiebreak); a document is selected iff the running
+    * subword total THROUGH it still fits the budget. Everything stays
+    * auditable: every document keeps its score, cost and running total
+    * plus the final boolean.
+    *
+    * Scale (100 TB): the running total in score order is the same
+    * two-level scan as [[Packing.packAssign]] — never a global window.
+    * Score bands replace doc_id ranges as the bucket key: band
+    * b = floor((1−score)·B) is a pure function of score, so equal
+    * scores can never straddle a band boundary and band order IS score
+    * order. The sigmoid's image is well inside (0,1) (margin ∈
+    * [−0.5, 0.5] ⇒ score ∈ [0.0067, 0.9933]), so both edge guards are
+    * defensive only. Band sizes follow the score distribution (not
+    * uniform like doc_id ranges), which affects task balance, not
+    * correctness — a skewed corpus tunes `bands` up. */
+  def budgetSelect(documents: DataFrame,
+      budget: Long = selectBudget, bands: Int = selectBands): DataFrame = {
+    // one tokenization pass feeds both per-doc columns; the 3-long
+    // projection is checkpointed so the band-partials branch and the
+    // window branch don't each re-score the corpus
+    val scored = documents
+      .withColumn("tk", toks)
+      .select(col("doc_id"),
+        TextAnalysis.clsScore(TextAnalysis.clsMargin(col("tk"))).as("score"),
+        graft.functions.BpeExprs.bpeCount(col("text")).as("n_subwords"))
+      .localCheckpoint()
+    val banded = scored.withColumn("bucket",
+      greatest(least(floor((lit(1.0) - col("score")) * bands),
+        lit(bands - 1L)), lit(0L)))
+    val offsets = Packing.exclusivePrefix(
+      banded.groupBy(col("bucket")).agg(sum(col("n_subwords")).as("part")),
+      "part")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    banded.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("cum_subwords",
+        col("offset") + sum(col("n_subwords")).over(w))
+      .select(col("doc_id"), col("score"), col("n_subwords"),
+        col("cum_subwords"), (col("cum_subwords") <= budget).as("selected"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- PII detection / redaction ----
   // RE2-safe patterns (no backrefs/lookaround) so Java regex (Spark)
   // and RE2 (DuckDB) match identically.

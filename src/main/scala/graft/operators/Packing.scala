@@ -106,7 +106,8 @@ object Packing {
   /** Exclusive prefix offsets over per-bucket partials. `partials` must
     * be metadata-sized (one row per bucket): the unpartitioned window
     * here is the deliberate, bounded exception. */
-  private def exclusivePrefix(partials: DataFrame, valueCol: String): DataFrame =
+  private[operators] def exclusivePrefix(partials: DataFrame,
+      valueCol: String): DataFrame =
     partials.withColumn("offset",
       coalesce(sum(col(valueCol)).over(
         Window.orderBy(col("bucket"))

@@ -220,20 +220,32 @@ object TextAnalysis {
     * The real model swaps in by replacing the weight array (same plan);
     * a 10⁶-bucket production table would move from a plan literal to a
     * broadcast join on bucket id. */
-  def classifierScore(documents: DataFrame): DataFrame = {
+  /** The hashed-classifier margin over a token-array column — shared by
+    * [[classifierScore]] and [[Curation.budgetSelect]] so the formula
+    * cannot drift between the report and the selection that ranks by
+    * it. Sequential left-to-right fold: both engines sum in the same
+    * order. */
+  private[operators] def clsMargin(tk: Column): Column = {
     val w = typedLit(clsWeights)
+    round(
+      aggregate(
+        transform(tk, t =>
+          element_at(w, (pmod(Portable.hash32(t), lit(clsDim)) + 1)
+            .cast("int"))),
+        lit(0.0), (acc, x) => acc + x) / size(tk), 6)
+  }
+
+  /** score = sigmoid(margin × 10), rounded to the shared 6dp grid. */
+  private[operators] def clsScore(margin: Column): Column =
+    round(lit(1.0) / (lit(1.0) + exp(-margin * 10)), 6)
+
+  def classifierScore(documents: DataFrame): DataFrame = {
     documents
       .withColumn("tk", toks)
-      .withColumn("margin", round(
-        aggregate(
-          transform(col("tk"), t =>
-            element_at(w, (pmod(Portable.hash32(t), lit(clsDim)) + 1)
-              .cast("int"))),
-          lit(0.0), (acc, x) => acc + x) / size(col("tk")), 6))
+      .withColumn("margin", clsMargin(col("tk")))
       .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
         col("margin"),
-        round(lit(1.0) / (lit(1.0) + exp(-col("margin") * 10)), 6)
-          .as("score"),
+        clsScore(col("margin")).as("score"),
         (col("margin") > 0).as("label"))
   }
 

@@ -273,6 +273,30 @@ class CurationSpec extends SparkSpec {
     assert(frac > 0.08 && frac < 0.35, s"fraction $frac")
   }
 
+  test("budgetSelect: two-level score-band scan equals the naive global " +
+      "window; greedy boundary is exact") {
+    val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val budget = 2000L
+    val out = Curation.budgetSelect(d, budget = budget).collect()
+    // naive reference: one global window in (score desc, doc_id) order
+    val sorted = out.sortBy(r =>
+      (-r.getAs[Double]("score"), r.getAs[Long]("doc_id")))
+    var cum = 0L
+    sorted.foreach { r =>
+      cum += r.getAs[Long]("n_subwords")
+      assert(r.getAs[Long]("cum_subwords") === cum,
+        s"doc ${r.getAs[Long]("doc_id")}")
+      assert(r.getAs[Boolean]("selected") === (cum <= budget))
+    }
+    // the boundary is non-degenerate: something selected, something not
+    assert(out.exists(_.getAs[Boolean]("selected")))
+    assert(out.exists(!_.getAs[Boolean]("selected")))
+    // partition-layout invariance
+    val b = Curation.budgetSelect(d.repartition(7), budget = budget)
+      .collect()
+    assert(out.toSeq === b.toSeq)
+  }
+
   test("stratified sampling: exactly k per stratum, deterministic order") {
     val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val s = Curation.sampleStratified(d, k = 5)
