@@ -342,5 +342,22 @@ c AS (
 SELECT doc_id, score, n_subwords, cum_subwords,
   (cum_subwords <= ${Curation.selectBudget}) AS selected
 FROM c ORDER BY doc_id""",
+    // curriculum schedule: exact global rank by score (the oracle's
+    // global row_number states what the engine's two-level score-band
+    // scan computes), equal-stage mapping, salted within-stage key
+    "corpus_curriculum" -> s"""
+WITH $toksCte${OraclesExt.clsScCtes},
+r AS (
+  SELECT doc_id, round(1.0 / (1.0 + exp(-margin * 10)), 6) AS score
+  FROM sc),
+rk AS (
+  SELECT doc_id, score,
+    row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,
+    count(*) OVER ()::BIGINT AS n_docs
+  FROM r)
+SELECT doc_id, score, rank,
+  ((rank - 1) * ${Curation.curriculumStages}) // n_docs AS stage,
+  ('0x' || substr(md5('${Curation.curriculumSalt}' || doc_id::VARCHAR), 1, 8))::BIGINT AS stage_key
+FROM rk ORDER BY doc_id""",
   )
 }

@@ -382,6 +382,18 @@ SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    // RANGE-interval frame: trailing 90 days by ORDER-BY value distance;
+    // integral epoch seconds so both engines frame identically, DECIMAL
+    // window sum so segment-tree vs running-frame addition can't diverge
+    "rel_trailing_spend" -> """
+SELECT o_custkey, o_orderkey, o_orderdate,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE)
+    AS trailing_spend,
+  count(*) OVER w AS trailing_orders
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+  RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, o_orderdate, o_orderkey""",
     // Q6-shape: single-scan filter-aggregate
     "rel_revenue_delta" -> s"""
 SELECT ${dsum("l_extendedprice * l_discount")} AS revenue,

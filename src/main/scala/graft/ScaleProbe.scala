@@ -59,7 +59,7 @@ object ScaleProbe {
               s"concat_ws(' ', transform(split(trim(text), '\\\\s+'), t -> concat(t, '_$k')))"))
         }.reduce(_ unionAll _)
       }
-      import graft.operators.{Dedup, Packing}
+      import graft.operators.{Curation, Dedup, Packing}
       Dedup.minhashPairs(graft.sources.Tables.documents(spark, sfDir)).count() // warm-up
       multiples.foreach { n =>
         val df = multipliedDocs(n).localCheckpoint()
@@ -76,7 +76,8 @@ object ScaleProbe {
         val (_, soS) = t(Packing.shuffleOrder(df).count())
         val (_, sdS) = t(Dedup.spanDedup(df).count())
         val (_, ssS) = t(Dedup.substringDedup(df).count())
-        println(f"[scale-probe-docs] x$n%-3d docs=$rows%8d minhashPairs=$mpS%6.2fs($mp) jaccardPairs=$jpS%6.2fs($jp) containmentPairs=$cpS%6.2fs($cp) simhashPairs=$spS%6.2fs($sp) packAssign=$paS%6.2fs shuffleOrder=$soS%6.2fs spanDedup=$sdS%6.2fs substringDedup=$ssS%6.2fs")
+        val (_, bsS) = t(Curation.budgetSelect(df).count())
+        println(f"[scale-probe-docs] x$n%-3d docs=$rows%8d minhashPairs=$mpS%6.2fs($mp) jaccardPairs=$jpS%6.2fs($jp) containmentPairs=$cpS%6.2fs($cp) simhashPairs=$spS%6.2fs($sp) packAssign=$paS%6.2fs shuffleOrder=$soS%6.2fs spanDedup=$sdS%6.2fs substringDedup=$ssS%6.2fs budgetSelect=$bsS%6.2fs")
       }
       spark.stop(); return
     }

@@ -152,6 +152,10 @@ object SparkEntry {
     // the fixed subword budget fills (two-level score-band scan)
     "corpus_budget_select" -> ((s, d) =>
       operators.Curation.budgetSelect(Tables.documents(s, d))),
+    // staged-training schedule: exact score rank -> stage decile +
+    // salted within-stage shuffle key
+    "corpus_curriculum" -> ((s, d) =>
+      operators.Curation.curriculumOrder(Tables.documents(s, d))),
     "sample_bernoulli" -> ((s, d) =>
       operators.Curation.sampleBernoulli(Tables.documents(s, d))),
     "sample_stratified" -> ((s, d) =>
@@ -334,6 +338,8 @@ object SparkEntry {
     "rel_key_skew" -> ((s, d) => Relational.keySkew(s, d)),
     // TPC-H Q6-shape single-scan filter-aggregate (all predicates pushed)
     "rel_revenue_delta" -> (Relational.revenueDelta _),
+    // RANGE-interval window frame (trailing 90 days by value distance)
+    "rel_trailing_spend" -> ((s, d) => Relational.trailingSpend(s, d)),
     // TPC-H Q10-shape returned-item customer ranking
     "rel_returned_items" -> ((s, d) => Relational.returnedItems(s, d)),
     // TPC-H Q13-shape order-count distribution (zero bucket via LEFT JOIN)

@@ -449,6 +449,51 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Stage count and shuffle salt for [[curriculumOrder]] — shared with
+    * the oracle generator. */
+  val curriculumStages = 10
+  val curriculumSalt = "curr1"
+
+  /** Curriculum ordering — the staged-training schedule: every document
+    * gets its EXACT global rank by classifier score (desc, doc_id
+    * tiebreak), the rank maps to one of [[curriculumStages]] equal
+    * stages (stage 0 = best decile, trained first), and a salted
+    * content-independent hash gives the deterministic within-stage
+    * shuffle key (the [[Packing.shuffleOrder]] recipe — curriculum
+    * between stages, i.i.d. within a stage).
+    *
+    * Scale (100 TB): the global rank is the [[budgetSelect]] two-level
+    * score-band scan with COUNTS instead of token sums — band offsets
+    * broadcast, rank = offset + within-band row_number; no global
+    * window anywhere. The stage formula ((rank−1)·S) div N is exact
+    * integer math on the broadcast corpus count. */
+  def curriculumOrder(documents: DataFrame,
+      stages: Int = curriculumStages, bands: Int = selectBands): DataFrame = {
+    val scored = documents
+      .withColumn("tk", toks)
+      .select(col("doc_id"),
+        TextAnalysis.clsScore(TextAnalysis.clsMargin(col("tk"))).as("score"))
+      .localCheckpoint()
+    val banded = scored.withColumn("bucket",
+      greatest(least(floor((lit(1.0) - col("score")) * bands),
+        lit(bands - 1L)), lit(0L)))
+    val offsets = Packing.exclusivePrefix(
+      banded.groupBy(col("bucket")).agg(count(lit(1)).as("part")), "part")
+    val n = scored.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket"))
+      .orderBy(col("score").desc, col("doc_id"))
+    banded.join(broadcast(offsets), Seq("bucket"))
+      .crossJoin(broadcast(n))
+      .withColumn("rank", col("offset") + row_number().over(w))
+      .select(col("doc_id"), col("score"), col("rank"),
+        expr(s"((rank - 1) * $stages) div n_docs").as("stage"),
+        conv(substring(md5(concat(lit(curriculumSalt),
+          col("doc_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long").as("stage_key"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- PII detection / redaction ----
   // RE2-safe patterns (no backrefs/lookaround) so Java regex (Spark)
   // and RE2 (DuckDB) match identically.

@@ -791,6 +791,34 @@ object Relational {
       .orderBy(col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
 
+  /** Trailing-90-day spend per customer order — the RANGE-frame window
+    * (frame bounded by ORDER-BY VALUE distance, not row count: however
+    * many orders fall in the last 90 days, they're all in). Spark wants
+    * a numeric range key, so the frame orders by epoch seconds; the
+    * oracle states the identical integral-seconds frame. The windowed
+    * money sum goes through DECIMAL so segment-tree (DuckDB) vs
+    * running-frame (Spark) addition order can't diverge; peers at the
+    * same timestamp get identical totals by RANGE semantics, and the
+    * (o_custkey, epoch, o_orderkey) output order is total. */
+  def trailingSpend(spark: SparkSession, dir: String,
+      days: Int = 90): DataFrame =
+    trailingSpendOn(Tables.orders(spark, dir), days)
+
+  /** [[trailingSpend]] over an explicit frame — fixture-testable. */
+  private[graft] def trailingSpendOn(orders: DataFrame,
+      days: Int): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("order_epoch"))
+      .rangeBetween(-days.toLong * 86400L, 0L)
+    orders
+      .withColumn("order_epoch", unix_timestamp(col("o_orderdate")))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).over(w)
+          .cast("double").as("trailing_spend"),
+        count(lit(1)).over(w).as("trailing_orders"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
   /** TPC-H Q6-shape forecasting-revenue-change: the canonical
     * filter-everything-aggregate-once scan. No join, no shuffle beyond
     * the final single-row combine — at any scale this is one pass with

@@ -297,6 +297,32 @@ class CurationSpec extends SparkSpec {
     assert(out.toSeq === b.toSeq)
   }
 
+  test("curriculumOrder: two-level band rank equals the naive global " +
+      "rank; stages are equal deciles") {
+    val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Curation.curriculumOrder(d).collect()
+    val n = out.length
+    // naive reference rank in (score desc, doc_id) order
+    val naive = out.sortBy(r =>
+      (-r.getAs[Double]("score"), r.getAs[Long]("doc_id")))
+      .zipWithIndex.map { case (r, i) => r.getAs[Long]("doc_id") -> (i + 1L) }
+      .toMap
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("rank") === naive(id), s"doc $id")
+      assert(r.getAs[Long]("stage") ===
+        (naive(id) - 1) * Curation.curriculumStages / n)
+    }
+    // every stage is hit and sizes differ by at most one
+    val sizes = out.groupBy(_.getAs[Long]("stage")).view.mapValues(_.length)
+    assert(sizes.keys.toSeq.sorted ===
+      (0L until Curation.curriculumStages).toSeq)
+    assert(sizes.values.max - sizes.values.min <= 1)
+    // partition-layout invariance
+    val b = Curation.curriculumOrder(d.repartition(7)).collect()
+    assert(out.toSeq === b.toSeq)
+  }
+
   test("stratified sampling: exactly k per stratum, deterministic order") {
     val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val s = Curation.sampleStratified(d, k = 5)

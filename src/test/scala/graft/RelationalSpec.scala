@@ -98,6 +98,25 @@ class RelationalSpec extends SparkSpec {
     assert(out.toSeq === Seq((10L, 200.0), (11L, 200.0)))
   }
 
+  test("trailingSpend: the RANGE frame is a value window — 90 days in, " +
+      "91 days out, peers share totals") {
+    val orders = Seq(
+      (1L, 100L, ts("1996-01-01"), 10.0),
+      (1L, 101L, ts("1996-03-31"), 20.0), // day 90 after 1/1 -> includes it
+      (1L, 102L, ts("1996-07-01"), 40.0), // 92 days after 3/31 -> alone
+      (2L, 200L, ts("1996-05-05"), 7.0),  // same-instant peers:
+      (2L, 201L, ts("1996-05-05"), 9.0))  //   both see both (RANGE)
+      .toDF("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    val out = graft.operators.Relational.trailingSpendOn(orders, days = 90)
+      .collect().map(r => r.getLong(1) ->
+        (r.getDouble(3), r.getLong(4))).toMap
+    assert(out(100L) === (10.0, 1L))
+    assert(out(101L) === (30.0, 2L)) // 90-day bound is inclusive
+    assert(out(102L) === (40.0, 1L)) // 92 days: prior order aged out
+    assert(out(200L) === (16.0, 2L)) // RANGE peers: identical frames
+    assert(out(201L) === (16.0, 2L))
+  }
+
   test("rollup emits group, subtotal and grand-total rows") {
     val df = Seq(("O", "HIGH", 10.0), ("O", "LOW", 20.0), ("F", "HIGH", 5.0))
       .toDF("status", "prio", "price")
