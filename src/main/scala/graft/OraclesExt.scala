@@ -155,6 +155,22 @@ FROM (SELECT unnest(list_transform(range(1, greatest(len(tk), 1)),
         i -> tk[i] || ' ' || tk[i+1])) AS bigram
       FROM toks)
 GROUP BY bigram ORDER BY freq DESC, bigram LIMIT 30""",
+    // n-gram novelty: the same post-hash-distinct shingle universe as
+    // the dedup family, df = 1 means "this 3-gram exists nowhere else"
+    "text_novelty" -> s"""
+WITH $toksCte,
+shj AS (
+  SELECT DISTINCT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
+      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+    FROM toks)),
+dfc AS (SELECT h, count(*)::BIGINT AS df FROM shj GROUP BY h)
+SELECT doc_id, count(*)::BIGINT AS n_shingles,
+  sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique,
+  round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+    AS novelty
+FROM shj JOIN dfc USING (h)
+GROUP BY doc_id ORDER BY doc_id""",
   )
 
   // ---------------- dedup ----------------
@@ -242,6 +258,29 @@ FROM documents GROUP BY fingerprint ORDER BY rep_doc_id""",
       "SELECT * FROM sigs ORDER BY doc_id"),
     "dedup_minhash_pairs" -> (minhashPairsCtes +
       "SELECT * FROM jac WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"),
+    // leakage-free split: the dedup_clusters recursive chain gives each
+    // doc its near-dup group; the split hash is taken on the GROUP id
+    // (same salt/thresholds as sample_split) so clusters cannot straddle
+    "corpus_split_leakfree" -> (minhashPairsCtes
+      .replaceFirst("WITH ", "WITH RECURSIVE ") + s"""
+, np AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
+edges(a, b) AS (SELECT doc_a, doc_b FROM np UNION SELECT doc_b, doc_a FROM np),
+reach(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN edges e ON r.node = e.a),
+cl AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node),
+g AS (
+  SELECT d.doc_id, d.lang, d.source,
+    coalesce(cl.cluster_id, d.doc_id) AS group_id
+  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
+SELECT doc_id, lang, source, group_id, split_bucket,
+  CASE WHEN split_bucket < 90 THEN 'train'
+       WHEN split_bucket < 95 THEN 'val'
+       ELSE 'test' END AS split
+FROM (SELECT *, ('0x' || substr(md5('${graft.operators.Packing.splitSalt}' || group_id::VARCHAR), 1, 8))::BIGINT % 100 AS split_bucket
+      FROM g)
+ORDER BY doc_id"""),
     // pairs -> components: recursive min-label propagation; cluster_id =
     // min doc_id reachable (the representative the dedup keeps)
     "dedup_clusters" -> (minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + """

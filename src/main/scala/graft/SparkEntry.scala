@@ -156,6 +156,13 @@ object SparkEntry {
     // salted within-stage shuffle key
     "corpus_curriculum" -> ((s, d) =>
       operators.Curation.curriculumOrder(Tables.documents(s, d))),
+    // leakage-free split: near-dup clusters split atomically (hash on
+    // the cluster representative, not the doc)
+    "corpus_split_leakfree" -> ((s, d) =>
+      operators.Curation.splitLeakFree(Tables.documents(s, d))),
+    // n-gram novelty: share of a doc's shingles unique corpus-wide
+    "text_novelty" -> ((s, d) =>
+      operators.TextAnalysis.novelty(Tables.documents(s, d))),
     "sample_bernoulli" -> ((s, d) =>
       operators.Curation.sampleBernoulli(Tables.documents(s, d))),
     "sample_stratified" -> ((s, d) =>

@@ -494,6 +494,36 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Leakage-free train/val/test split: every near-duplicate CLUSTER
+    * lands wholly in one split. The plain per-document hash split
+    * ([[Packing.splitAssign]]) lets two near-copies straddle train and
+    * test — the classic eval-leak that inflates benchmarks; here the
+    * split hash is taken on the cluster representative (group_id =
+    * LSH-cluster min id; singleton docs are their own group), so
+    * near-copies can't separate BY CONSTRUCTION. Same salt and 90/5/5
+    * thresholds as the per-doc split: singletons get identical
+    * assignments, only clustered docs move (onto their rep's split).
+    *
+    * Scale: the cluster build is the verified MinHash+LSH chain +
+    * size-adaptive CC; after it, one doc_id equi-join attaches the
+    * O(docs-in-pairs) cluster table and the hash/split math is pure
+    * map-side. */
+  def splitLeakFree(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), col("lang"), col("source"))
+      .join(Dedup.clustersBigStar(Dedup.minhashPairs(documents))
+          .select(col("doc_id"), col("cluster_id")),
+        Seq("doc_id"), "left")
+      .withColumn("group_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split_bucket",
+        pmod(Portable.hash32(concat(lit(Packing.splitSalt),
+          col("group_id").cast("string"))), lit(100L)))
+      .withColumn("split",
+        when(col("split_bucket") < 90, "train")
+          .when(col("split_bucket") < 95, "val")
+          .otherwise("test"))
+      .select("doc_id", "lang", "source", "group_id", "split_bucket", "split")
+      .orderBy(col("doc_id"))
+
   // ---- PII detection / redaction ----
   // RE2-safe patterns (no backrefs/lookaround) so Java regex (Spark)
   // and RE2 (DuckDB) match identically.

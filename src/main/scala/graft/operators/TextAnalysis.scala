@@ -249,6 +249,34 @@ object TextAnalysis {
         (col("margin") > 0).as("label"))
   }
 
+  /** N-gram novelty per document: the fraction of its distinct hashed
+    * 3-gram shingles that occur in NO other document (corpus-wide
+    * document frequency 1) — the informativeness signal dual to the
+    * dedup family: boilerplate-heavy docs score near 0, genuinely new
+    * content near 1. Rational arithmetic (one division, rounded), so
+    * both engines agree exactly.
+    *
+    * Scale (100 TB): reuses [[Dedup.shingleHashes]] (shingles hashed to
+    * 32 bits BEFORE the first shuffle) and one df aggregation; the
+    * df-attach join goes through [[Skew.hotColdJoin]] because the
+    * shingle-df table is corpus-vocabulary-sized and its head (the
+    * boilerplate shingles this signal exists to catch) is exactly the
+    * skew mass a plain shuffle join would hot-spot on. */
+  def novelty(documents: DataFrame, hotK: Int = 16): DataFrame = {
+    // post-hash distinct: the (doc_id, h) universe the dedup family
+    // shuffles on (a 32-bit collision inside one doc must count once)
+    val sh = Dedup.shingleHashes(documents).distinct().localCheckpoint()
+    val df = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    Skew.hotColdJoin(sh, df, Seq("h"), col("df"), hotK)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+        round(col("n_unique").cast("double") / col("n_shingles"), 6)
+          .as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Add-k smoothing constant and LM pruning floor for [[perplexity]] —
     * shared with the oracle generator so the formulas cannot drift. */
   val ppK = 0.5
