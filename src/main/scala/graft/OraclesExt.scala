@@ -1038,6 +1038,41 @@ pr AS (
     AND a.vec_id < b.vec_id)
 SELECT vec_a, vec_b, cosine FROM pr WHERE cosine >= 0.9
 ORDER BY vec_a, vec_b"""),
+    // Matryoshka fidelity: per truncation dim, each query's overlap@10
+    // between truncated-prefix retrieval and full-vector retrieval —
+    // three brute-force rankings (rounded cosine, id tiebreak), integer
+    // semi-join overlap counts
+    "sim_matryoshka" -> (simBase + s""",
+fullr AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, b.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY ${cosSql("q.qv", "b.ev")} DESC, b.vec_id) AS rank
+    FROM q CROSS JOIN base b WHERE b.vec_id <> q.query_id)
+  WHERE rank <= 10)""" +
+      graft.operators.Similarity.mrlDims.map { d => s""",
+t$d AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY q.vec_id
+        ORDER BY round(list_inner_product(
+          ${unitSql(s"(q.embedding::DOUBLE[])[1:$d]")},
+          ${unitSql(s"(b.embedding::DOUBLE[])[1:$d]")}), 6) DESC,
+          b.vec_id) AS rank
+    FROM embeddings q CROSS JOIN embeddings b
+    WHERE q.vec_id < 20 AND b.vec_id <> q.vec_id)
+  WHERE rank <= 10),
+o$d AS (
+  SELECT t.query_id, sum(CASE WHEN f.neighbor_id IS NOT NULL
+    THEN 1 ELSE 0 END)::BIGINT AS n_overlap
+  FROM t$d t LEFT JOIN fullr f
+    ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+  GROUP BY t.query_id)"""
+      }.mkString + "\n" +
+      graft.operators.Similarity.mrlDims.map { d =>
+        s"""SELECT query_id, $d::BIGINT AS dim, n_overlap,
+  round(n_overlap::DOUBLE / 10, 6) AS overlap_at_k FROM o$d"""
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY dim, query_id")),
   )
 
   // ---------------- multimodal ----------------

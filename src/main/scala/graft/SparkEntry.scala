@@ -234,6 +234,10 @@ object SparkEntry {
       Similarity.lshTopK(Tables.embeddings(s, d))),
     "sim_neardup_pairs" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.embeddings(s, d))),
+    // MRL truncation fidelity: overlap@10 of truncated-prefix retrieval
+    // vs full-vector retrieval, per truncation dim
+    "sim_matryoshka" -> ((s, d) =>
+      Similarity.matryoshkaFidelity(Tables.embeddings(s, d))),
     "sim_quantized_topk" -> ((s, d) =>
       Similarity.quantizedTopK(Tables.embeddings(s, d))),
     // 1-bit sign quantization + hamming ranking (the memory-bandwidth

@@ -884,6 +884,45 @@ object Similarity {
     * tuning is more/narrower bands (more buckets OR'd) for recall→1 —
     * the plan shape is unchanged; the band columns stay the bucketing/
     * partition keys at cluster scale. */
+  /** Matryoshka truncation dims — shared with the oracle generator. */
+  val mrlDims: Seq[Int] = Seq(16, 32)
+
+  /** Matryoshka (MRL) truncation fidelity: for each truncation dim,
+    * each query's overlap@k between retrieval on the truncated-then-
+    * renormalized prefix and retrieval on the full vector — the
+    * measurement that decides how many dims an embedding column can
+    * shed (4× storage/bandwidth at dim/4) before recall pays. Exact by
+    * construction: both rankings are the engine's verified brute-force
+    * top-k (rounded cosine, id tiebreak), the overlap is an integer
+    * semi-join count.
+    *
+    * Scale: one broadcast-query scan per dim over the base (the
+    * bruteForceTopK cost model, ×|dims|+1); overlaps join two
+    * O(queries·k) ranked lists — metadata-sized at any corpus. */
+  def matryoshkaFidelity(embeddings: DataFrame, k: Int = 10,
+      nQueries: Int = 20, dims: Seq[Int] = mrlDims): DataFrame = {
+    val full = bruteForceTopK(embeddings, k, nQueries)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint() // the reference set, re-read once per dim
+    dims.map { d =>
+      val tk = bruteForceTopK(
+        embeddings.select(col("vec_id"), col("label"),
+          slice(col("embedding"), 1, d).as("embedding")),
+        k, nQueries)
+        .select(col("query_id"), col("neighbor_id"))
+      val overlap = tk
+        .join(full, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
+      tk.select(col("query_id")).distinct()
+        .join(overlap, Seq("query_id"), "left")
+        .select(col("query_id"), lit(d.toLong).as("dim"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          round(coalesce(col("n_overlap"), lit(0L)).cast("double") / k, 6)
+            .as("overlap_at_k"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("dim"), col("query_id"))
+  }
+
   def nearDupPairs(embeddings: DataFrame, threshold: Double = 0.9,
       dim: Int = 64): DataFrame = {
     val sig = unitized(embeddings).withColumn("sig", srpSignature(col("unit"), dim))

@@ -27,7 +27,8 @@ class PlanAuditSpec extends SparkSpec {
     "sim_quantized_topk",  // reconstructed-cosine brute force
     "sim_pq_topk",         // ADC scan vs the 20-query broadcast
     "sim_binary_topk",     // hamming scan vs the 20-query broadcast
-    "sim_rerank_topk")     // stage-1 ADC scan vs the 20-query broadcast
+    "sim_rerank_topk",     // stage-1 ADC scan vs the 20-query broadcast
+    "sim_matryoshka")      // 1+|dims| brute-force scans vs 20 queries
 
   // Spark 4 prints "BroadcastNestedLoopJoin BuildLeft/BuildRight, <type>"
   // — the build side comes BEFORE the join type (an earlier form of this

@@ -147,6 +147,26 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("matryoshkaFidelity: truncation at the full dim is the identity " +
+      "(overlap exactly k); counts stay in range") {
+    val k = 5
+    val out = Similarity.matryoshkaFidelity(emb, k = k, dims = Seq(16, 64))
+      .collect()
+    val byDim = out.groupBy(_.getAs[Long]("dim"))
+    // dim 64 = no truncation: the two rankings are the same ranking
+    byDim(64L).foreach { r =>
+      assert(r.getAs[Long]("n_overlap") === k.toLong,
+        s"query ${r.getAs[Long]("query_id")}")
+      assert(r.getAs[Double]("overlap_at_k") === 1.0)
+    }
+    // every query reports once per dim, counts bounded by k
+    assert(byDim(16L).length === byDim(64L).length)
+    byDim(16L).foreach { r =>
+      val n = r.getAs[Long]("n_overlap")
+      assert(n >= 0L && n <= k.toLong)
+    }
+  }
+
   test("ivfPqTopK: neighbors come only from probed cells, scores are " +
       "the PQ scores") {
     val out = Similarity.ivfPqTopK(emb).collect()
