@@ -342,6 +342,15 @@ c AS (
 SELECT doc_id, score, n_subwords, cum_subwords,
   (cum_subwords <= ${Curation.selectBudget}) AS selected
 FROM c ORDER BY doc_id""",
+    // score-proportional sampling: accept iff the salted uniform draw
+    // on [0, 2^32) falls under score * 2^32 (same hash, same sigmoid)
+    "sample_weighted" -> s"""
+WITH $toksCte${OraclesExt.clsScCtes}
+SELECT doc_id, round(1.0 / (1.0 + exp(-margin * 10)), 6) AS score,
+  ('0x' || substr(md5('${Curation.weightedSalt}' || doc_id::VARCHAR), 1, 8))::BIGINT AS accept_key,
+  ('0x' || substr(md5('${Curation.weightedSalt}' || doc_id::VARCHAR), 1, 8))::BIGINT::DOUBLE
+    < round(1.0 / (1.0 + exp(-margin * 10)), 6) * 4294967296.0 AS accepted
+FROM sc ORDER BY doc_id""",
     // curriculum schedule: exact global rank by score (the oracle's
     // global row_number states what the engine's two-level score-band
     // scan computes), equal-stage mapping, salted within-stage key

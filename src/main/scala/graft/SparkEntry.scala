@@ -165,6 +165,9 @@ object SparkEntry {
       operators.TextAnalysis.novelty(Tables.documents(s, d))),
     "sample_bernoulli" -> ((s, d) =>
       operators.Curation.sampleBernoulli(Tables.documents(s, d))),
+    // soft quality filter: survival probability = classifier score
+    "sample_weighted" -> ((s, d) =>
+      operators.Curation.sampleWeighted(Tables.documents(s, d))),
     "sample_stratified" -> ((s, d) =>
       operators.Curation.sampleStratified(Tables.documents(s, d))),
     "sample_mixture" -> ((s, d) =>

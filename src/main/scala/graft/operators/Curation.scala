@@ -524,6 +524,30 @@ object Curation {
       .select("doc_id", "lang", "source", "group_id", "split_bucket", "split")
       .orderBy(col("doc_id"))
 
+  /** Salt for [[sampleWeighted]] — shared with the oracle generator. */
+  val weightedSalt = "graft-weighted:"
+
+  /** Score-proportional deterministic sampling — soft quality
+    * filtering: each document survives with probability equal to its
+    * classifier score (a hard threshold keeps a 0.51 doc and kills a
+    * 0.49 doc; sampling ∝ score keeps the corpus' quality GRADIENT
+    * while still downweighting the tail — the soft-filter recipe
+    * data-mix papers use). Deterministic: accept iff the salted
+    * content-independent hash, as a uniform draw on [0, 2³²), falls
+    * under score·2³² — reproducible across runs, clusters and
+    * partition layouts, no RNG state. Pure map-side, stream-safe; all
+    * rows keep score + draw + verdict for audit. */
+  def sampleWeighted(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("tk", toks)
+      .select(col("doc_id"),
+        TextAnalysis.clsScore(TextAnalysis.clsMargin(col("tk"))).as("score"),
+        Portable.hash32(concat(lit(weightedSalt),
+          col("doc_id").cast("string"))).as("accept_key"))
+      .withColumn("accepted",
+        col("accept_key").cast("double") < col("score") * 4294967296.0)
+      .orderBy(col("doc_id"))
+
   // ---- PII detection / redaction ----
   // RE2-safe patterns (no backrefs/lookaround) so Java regex (Spark)
   // and RE2 (DuckDB) match identically.

@@ -59,9 +59,44 @@ object SessionState {
     t
   }
 
-  private def toRow(userId: Long, s: OpenSession): SessionRow =
+  private[streaming] def toRow(userId: Long, s: OpenSession): SessionRow =
     SessionRow(userId, tsOf(s.start), tsOf(s.last + gapUs),
       s.nEvents, s.nPurchases, s.nPurchases > 0)
+
+  /** The pure session fold, shared by BOTH state APIs (this object's
+    * `flatMapGroupsWithState` transition and
+    * [[SessionStateTws]]'s `transformWithState` processor): sorted
+    * events extend or close the open session; returns the surviving
+    * open session plus the sessions closed by this batch. */
+  private[streaming] def fold(start: Option[OpenSession],
+      rows: Iterator[SessionEvent]): (Option[OpenSession], Seq[OpenSession]) = {
+    var open = start
+    val closed = Seq.newBuilder[OpenSession]
+    rows.toSeq.sortBy(e => usOf(e.ts)).foreach { e =>
+      val t = usOf(e.ts)
+      val p = if (e.event_type == "purchase") 1L else 0L
+      open match {
+        // strict <: an event exactly at last + gap is outside the
+        // (end-exclusive) session window and must open a new one
+        case Some(s) if t < s.last + gapUs =>
+          open = Some(OpenSession(s.start, math.max(s.last, t),
+            s.nEvents + 1, s.nPurchases + p))
+        case Some(s) =>
+          closed += s
+          open = Some(OpenSession(t, t, 1L, p))
+        case None =>
+          open = Some(OpenSession(t, t, 1L, p))
+      }
+    }
+    (open, closed.result())
+  }
+
+  /** The session's flush point in ms (rounded up so the µs tail can't
+    * fire a hair early), clamped above the current watermark because
+    * the store rejects timers/timeouts at or behind it (a group whose
+    * gap already expired mid-trigger flushes on the next one). */
+  private[streaming] def flushAtMs(s: OpenSession, watermarkMs: Long): Long =
+    math.max(Math.floorDiv(s.last + gapUs + 999L, 1000L), watermarkMs + 1)
 
   /** Pure per-key transition, shared by streaming and tests. */
   def transition(userId: Long, rows: Iterator[SessionEvent],
@@ -71,35 +106,12 @@ object SessionState {
       state.remove()
       out
     } else {
-      var open = state.getOption
-      val closed = Seq.newBuilder[SessionRow]
-      rows.toSeq.sortBy(e => usOf(e.ts)).foreach { e =>
-        val t = usOf(e.ts)
-        val p = if (e.event_type == "purchase") 1L else 0L
-        open match {
-          // strict <: an event exactly at last + gap is outside the
-          // (end-exclusive) session window and must open a new one
-          case Some(s) if t < s.last + gapUs =>
-            open = Some(OpenSession(s.start, math.max(s.last, t),
-              s.nEvents + 1, s.nPurchases + p))
-          case Some(s) =>
-            closed += toRow(userId, s)
-            open = Some(OpenSession(t, t, 1L, p))
-          case None =>
-            open = Some(OpenSession(t, t, 1L, p))
-        }
-      }
+      val (open, closed) = fold(state.getOption, rows)
       open.foreach { s =>
         state.update(s)
-        // the flush point (ms, rounded up so the µs tail can't fire a
-        // hair early); clamped above the current watermark because the
-        // store rejects timeouts at or behind it (a group whose gap
-        // already expired mid-trigger times out on the next one)
-        state.setTimeoutTimestamp(
-          math.max(Math.floorDiv(s.last + gapUs + 999L, 1000L),
-            state.getCurrentWatermarkMs + 1))
+        state.setTimeoutTimestamp(flushAtMs(s, state.getCurrentWatermarkMs))
       }
-      closed.result().iterator
+      closed.map(toRow(userId, _)).iterator
     }
   }
 

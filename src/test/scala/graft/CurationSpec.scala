@@ -323,6 +323,18 @@ class CurationSpec extends SparkSpec {
     assert(out.toSeq === b.toSeq)
   }
 
+  test("sampleWeighted: acceptance rate tracks the mean score; " +
+      "deterministic under repartitioning") {
+    val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Curation.sampleWeighted(d).collect()
+    val meanScore = out.map(_.getAs[Double]("score")).sum / out.length
+    val rate = out.count(_.getAs[Boolean]("accepted")).toDouble / out.length
+    // E[rate] = mean score; +-0.2 slack at n=50 (hash uniformity)
+    assert(math.abs(rate - meanScore) < 0.2, s"rate $rate mean $meanScore")
+    val b = Curation.sampleWeighted(d.repartition(7)).collect()
+    assert(out.toSeq === b.toSeq)
+  }
+
   test("novelty: unique shingles score 1, cloned docs score 0, shared " +
       "prefix scores the hand count") {
     val clone = "aa bb cc dd ee"            // docs 1,2: every shingle df=2

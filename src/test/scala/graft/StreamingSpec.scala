@@ -524,6 +524,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionization (transformWithState, event-time " +
+      "timers) equals the batch session_window query on real data") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val events = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .as[graft.streaming.SessionEvent]
+      .collect().sortBy(_.ts.getTime)
+    val maxTs = events.map(_.ts.getTime).max
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = MemoryStream[graft.streaming.SessionEvent]
+    val q = graft.streaming.SessionStateTws.sessionize(stream.toDS())
+      .writeStream.format("memory").queryName("session_tws_sink")
+      .outputMode("append").start()
+    try {
+      val (a, b) = events.splitAt(events.length / 2)
+      stream.addData(a.toIndexedSeq)
+      q.processAllAvailable()
+      stream.addData(b.toIndexedSeq)
+      q.processAllAvailable()
+      stream.addData(graft.streaming.SessionEvent(-1L,
+        new java.sql.Timestamp(maxTs + 10L * graft.streaming.SessionState.gapMs),
+        "view"))
+      q.processAllAvailable()
+      stream.addData(graft.streaming.SessionEvent(-1L,
+        new java.sql.Timestamp(maxTs + 20L * graft.streaming.SessionState.gapMs),
+        "view"))
+      q.processAllAvailable()
+      val streamed = spark.table("session_tws_sink")
+        .filter(col("user_id") >= 0)
+        .orderBy("user_id", "session_start").collect()
+      val batch = graft.operators.Relational.userSessions(spark, dir)
+        .orderBy("user_id", "session_start").collect()
+      assert(streamed.length === batch.length && batch.length > 0)
+      streamed.zip(batch).foreach { case (s, bt) =>
+        assert(s.toSeq === bt.toSeq, s"stream $s vs batch $bt")
+      }
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming sessionization (flatMapGroupsWithState) equals the " +
       "batch session_window query on real data") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
