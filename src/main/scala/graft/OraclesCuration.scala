@@ -342,6 +342,24 @@ c AS (
 SELECT doc_id, score, n_subwords, cum_subwords,
   (cum_subwords <= ${Curation.selectBudget}) AS selected
 FROM c ORDER BY doc_id""",
+    // CDC/MERGE action plan: same deterministic incoming snapshot, one
+    // full-outer hash-compare join
+    "corpus_upsert_plan" -> """
+WITH inc AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 NOT IN (0, 5)
+  UNION ALL
+  SELECT doc_id, text || ' [rev2]' FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 3),
+c AS (SELECT doc_id, md5(text) AS cur_hash FROM documents),
+i AS (SELECT doc_id, md5(text) AS inc_hash FROM inc)
+SELECT coalesce(c.doc_id, i.doc_id) AS doc_id,
+  CASE WHEN c.doc_id IS NULL THEN 'insert'
+       WHEN i.doc_id IS NULL THEN 'delete'
+       WHEN cur_hash = inc_hash THEN 'unchanged'
+       ELSE 'update' END AS action
+FROM c FULL OUTER JOIN i ON c.doc_id = i.doc_id
+ORDER BY doc_id""",
     // score-proportional sampling: accept iff the salted uniform draw
     // on [0, 2^32) falls under score * 2^32 (same hash, same sigmoid)
     "sample_weighted" -> s"""

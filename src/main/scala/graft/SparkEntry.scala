@@ -168,6 +168,9 @@ object SparkEntry {
     // soft quality filter: survival probability = classifier score
     "sample_weighted" -> ((s, d) =>
       operators.Curation.sampleWeighted(Tables.documents(s, d))),
+    // CDC/MERGE decision layer: per-key insert/update/delete/unchanged
+    "corpus_upsert_plan" -> ((s, d) =>
+      operators.Curation.upsertPlan(Tables.documents(s, d))),
     "sample_stratified" -> ((s, d) =>
       operators.Curation.sampleStratified(Tables.documents(s, d))),
     "sample_mixture" -> ((s, d) =>

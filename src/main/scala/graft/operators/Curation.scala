@@ -548,6 +548,44 @@ object Curation {
         col("accept_key").cast("double") < col("score") * 4294967296.0)
       .orderBy(col("doc_id"))
 
+  /** Deterministic "next crawl" snapshot for [[upsertPlan]] — the
+    * in-query fixture (the [[withContact]]/mm_decode precedent; the
+    * corpus has no second snapshot to diff against): every doc_id ≡ 0
+    * (mod 10) is re-crawled with changed content, ≡ 5 disappeared
+    * upstream, ≡ 3 additionally spawned a NEW page at doc_id + 10⁶.
+    * Production swaps this for the actual incoming batch. */
+  private def incomingSnapshot(documents: DataFrame): DataFrame = {
+    val m = pmod(col("doc_id"), lit(10L))
+    documents.filter(m =!= 0 && m =!= 5)
+      .unionByName(documents.filter(m === 0)
+        .withColumn("text", concat(col("text"), lit(" [rev2]"))))
+      .unionByName(documents.filter(m === 3)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+  }
+
+  /** CDC/MERGE action plan: diff the current corpus against an
+    * incoming snapshot by content hash and emit per-key actions —
+    * insert (new key), delete (gone upstream), update (key present,
+    * content changed), unchanged. This is the decision layer of every
+    * incremental corpus refresh (the streaming ingest sinks apply
+    * actions; this computes them set-wise for a batch snapshot).
+    *
+    * Scale (100 TB): ONE full-outer equi-join on the key carrying only
+    * (key, 32-hex hash) — content never joins; the hash projections
+    * partial-aggregate nothing and shuffle two narrow columns. */
+  def upsertPlan(documents: DataFrame): DataFrame = {
+    val cur = documents.select(col("doc_id"), md5(col("text")).as("cur_hash"))
+    val inc = incomingSnapshot(documents)
+      .select(col("doc_id"), md5(col("text")).as("inc_hash"))
+    cur.join(inc, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("cur_hash").isNull, "insert")
+          .when(col("inc_hash").isNull, "delete")
+          .when(col("cur_hash") === col("inc_hash"), "unchanged")
+          .otherwise("update").as("action"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- PII detection / redaction ----
   // RE2-safe patterns (no backrefs/lookaround) so Java regex (Spark)
   // and RE2 (DuckDB) match identically.

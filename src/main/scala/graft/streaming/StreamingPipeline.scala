@@ -365,6 +365,21 @@ object StreamingPipeline {
       }
       .start()
 
+  /** The quality gate with named observed metrics attached — the
+    * production monitoring surface: `observe` plants a CollectMetrics
+    * node that aggregates AS THE DATA FLOWS (no second pass, no
+    * action), and every trigger's progress event carries the batch's
+    * row/keep/kill counts for dashboards and alerting (batch runs
+    * surface the same metrics through QueryExecutionListener). The
+    * metric exprs are unconditionally-mergeable aggregates, so the
+    * node is free at any scale — partial-aggregated alongside the
+    * gate itself. */
+  def observedQualityGate(documents: DataFrame): DataFrame =
+    graft.operators.Curation.qualityFilter(documents)
+      .observe("quality_gate",
+        count(lit(1)).as("n_rows"),
+        sum(col("keep").cast("long")).as("n_kept"))
+
   def analysisSink(spark: SparkSession, inputDir: String, outPath: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
     val minuteStore = outPath + "_minutes"

@@ -524,6 +524,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("observed metrics: every trigger's progress carries the quality " +
+      "gate's exact row/keep counts") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def asDocs(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("_1").as("doc_id"), col("_2").as("text"),
+        lit("en").as("lang"), lit("src0").as("source"),
+        length(col("_2")).cast("long").as("n_chars"))
+    val good = "the cat and the hat is a cat of the house and it is warm"
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingPipeline.observedQualityGate(asDocs(stream.toDF()))
+      .writeStream.format("memory").queryName("observed_sink")
+      .outputMode("append").start()
+    try {
+      stream.addData(1L -> good, 2L -> "too short", 3L -> good)
+      q.processAllAvailable()
+      val m = q.lastProgress.observedMetrics.get("quality_gate")
+      assert(m != null, "no observed metrics in progress")
+      assert(m.getAs[Long]("n_rows") === 3L)
+      assert(m.getAs[Long]("n_kept") === 2L)
+      // second trigger reports ITS batch, not a running total
+      stream.addData(4L -> good)
+      q.processAllAvailable()
+      val m2 = q.lastProgress.observedMetrics.get("quality_gate")
+      assert(m2.getAs[Long]("n_rows") === 1L && m2.getAs[Long]("n_kept") === 1L)
+    } finally q.stop()
+  }
+
   test("streaming sessionization (transformWithState, event-time " +
       "timers) equals the batch session_window query on real data") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
