@@ -356,7 +356,7 @@ i AS (SELECT doc_id, md5(text) AS inc_hash FROM inc)
 SELECT coalesce(c.doc_id, i.doc_id) AS doc_id,
   CASE WHEN c.doc_id IS NULL THEN 'insert'
        WHEN i.doc_id IS NULL THEN 'delete'
-       WHEN cur_hash = inc_hash THEN 'unchanged'
+       WHEN cur_hash IS NOT DISTINCT FROM inc_hash THEN 'unchanged'
        ELSE 'update' END AS action
 FROM c FULL OUTER JOIN i ON c.doc_id = i.doc_id
 ORDER BY doc_id""",

@@ -401,6 +401,15 @@ object Curation {
   val selectBudget = 40000L
   val selectBands = 32
 
+  /** The score band — bucket key of the two-level scan shared by
+    * [[budgetSelect]] and [[curriculumOrder]]: a pure function of the
+    * score, so equal scores can never straddle a band boundary and
+    * band order IS score order. Both edge guards are defensive (the
+    * sigmoid's image is well inside (0,1)). */
+  private def scoreBand(bands: Int): Column =
+    greatest(least(floor((lit(1.0) - col("score")) * bands),
+      lit(bands - 1L)), lit(0L))
+
   /** Token-budget corpus selection: fill a fixed training budget
     * ([[selectBudget]] BPE subwords) with the best-scoring documents —
     * the greedy knapsack every "train on the top-quality slice" job
@@ -431,9 +440,7 @@ object Curation {
         TextAnalysis.clsScore(TextAnalysis.clsMargin(col("tk"))).as("score"),
         graft.functions.BpeExprs.bpeCount(col("text")).as("n_subwords"))
       .localCheckpoint()
-    val banded = scored.withColumn("bucket",
-      greatest(least(floor((lit(1.0) - col("score")) * bands),
-        lit(bands - 1L)), lit(0L)))
+    val banded = scored.withColumn("bucket", scoreBand(bands))
     val offsets = Packing.exclusivePrefix(
       banded.groupBy(col("bucket")).agg(sum(col("n_subwords")).as("part")),
       "part")
@@ -474,9 +481,7 @@ object Curation {
       .select(col("doc_id"),
         TextAnalysis.clsScore(TextAnalysis.clsMargin(col("tk"))).as("score"))
       .localCheckpoint()
-    val banded = scored.withColumn("bucket",
-      greatest(least(floor((lit(1.0) - col("score")) * bands),
-        lit(bands - 1L)), lit(0L)))
+    val banded = scored.withColumn("bucket", scoreBand(bands))
     val offsets = Packing.exclusivePrefix(
       banded.groupBy(col("bucket")).agg(count(lit(1)).as("part")), "part")
     val n = scored.agg(count(lit(1)).as("n_docs"))
@@ -488,9 +493,8 @@ object Curation {
       .withColumn("rank", col("offset") + row_number().over(w))
       .select(col("doc_id"), col("score"), col("rank"),
         expr(s"((rank - 1) * $stages) div n_docs").as("stage"),
-        conv(substring(md5(concat(lit(curriculumSalt),
-          col("doc_id").cast("string"))), 1, 8), 16, 10)
-          .cast("long").as("stage_key"))
+        Portable.hash32(concat(lit(curriculumSalt),
+          col("doc_id").cast("string"))).as("stage_key"))
       .orderBy(col("doc_id"))
   }
 
@@ -514,13 +518,8 @@ object Curation {
           .select(col("doc_id"), col("cluster_id")),
         Seq("doc_id"), "left")
       .withColumn("group_id", coalesce(col("cluster_id"), col("doc_id")))
-      .withColumn("split_bucket",
-        pmod(Portable.hash32(concat(lit(Packing.splitSalt),
-          col("group_id").cast("string"))), lit(100L)))
-      .withColumn("split",
-        when(col("split_bucket") < 90, "train")
-          .when(col("split_bucket") < 95, "val")
-          .otherwise("test"))
+      .withColumn("split_bucket", Packing.splitBucketOf(col("group_id")))
+      .withColumn("split", Packing.splitOf(col("split_bucket")))
       .select("doc_id", "lang", "source", "group_id", "split_bucket", "split")
       .orderBy(col("doc_id"))
 
@@ -574,14 +573,17 @@ object Curation {
     * (key, 32-hex hash) — content never joins; the hash projections
     * partial-aggregate nothing and shuffle two narrow columns. */
   def upsertPlan(documents: DataFrame): DataFrame = {
-    val cur = documents.select(col("doc_id"), md5(col("text")).as("cur_hash"))
-    val inc = incomingSnapshot(documents)
-      .select(col("doc_id"), md5(col("text")).as("inc_hash"))
+    // presence markers, not hash nullability: a NULL-text row would
+    // null its md5 and masquerade as an absent side
+    val cur = documents.select(col("doc_id"),
+      md5(col("text")).as("cur_hash"), lit(true).as("in_cur"))
+    val inc = incomingSnapshot(documents).select(col("doc_id"),
+      md5(col("text")).as("inc_hash"), lit(true).as("in_inc"))
     cur.join(inc, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
-        when(col("cur_hash").isNull, "insert")
-          .when(col("inc_hash").isNull, "delete")
-          .when(col("cur_hash") === col("inc_hash"), "unchanged")
+        when(col("in_cur").isNull, "insert")
+          .when(col("in_inc").isNull, "delete")
+          .when(col("cur_hash") <=> col("inc_hash"), "unchanged")
           .otherwise("update").as("action"))
       .orderBy(col("doc_id"))
   }

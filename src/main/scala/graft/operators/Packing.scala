@@ -260,18 +260,26 @@ object Packing {
       .orderBy(col("split"), col("split_ord"))
   }
 
+  /** The 90/5/5 salted split bucket of a key column — THE split
+    * formula: shared by the per-doc [[splitAssign]] and the
+    * cluster-atomic [[graft.operators.Curation.splitLeakFree]] (which
+    * hashes the cluster representative), so salt and thresholds cannot
+    * drift between them (their singleton-agreement property depends on
+    * it). */
+  private[operators] def splitBucketOf(key: Column): Column =
+    pmod(Portable.hash32(concat(lit(splitSalt), key.cast("string"))),
+      lit(100L))
+
+  private[operators] def splitOf(bucket: Column): Column =
+    when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+
   /** Deterministic train/val/test split (90/5/5) by salted hash —
     * map-side, reproducible, independent of the sampling salt so
     * subsampling and splitting don't correlate. */
   def splitAssign(documents: DataFrame): DataFrame =
     documents
-      .withColumn("split_bucket",
-        pmod(Portable.hash32(concat(lit(splitSalt), col("doc_id").cast("string"))),
-          lit(100L)))
-      .withColumn("split",
-        when(col("split_bucket") < 90, "train")
-          .when(col("split_bucket") < 95, "val")
-          .otherwise("test"))
+      .withColumn("split_bucket", splitBucketOf(col("doc_id")))
+      .withColumn("split", splitOf(col("split_bucket")))
       // stream-safe (stateless map-side): registration adds the ORDER BY
       .select("doc_id", "lang", "source", "split_bucket", "split")
 }

@@ -902,23 +902,22 @@ object Similarity {
   def matryoshkaFidelity(embeddings: DataFrame, k: Int = 10,
       nQueries: Int = 20, dims: Seq[Int] = mrlDims): DataFrame = {
     val full = bruteForceTopK(embeddings, k, nQueries)
-      .select(col("query_id"), col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
       .localCheckpoint() // the reference set, re-read once per dim
     dims.map { d =>
-      val tk = bruteForceTopK(
+      // one left join + one aggregate: every query keeps its k rows
+      // through the left join, so zero-overlap queries survive the
+      // groupBy without a separate restore pass
+      bruteForceTopK(
         embeddings.select(col("vec_id"), col("label"),
           slice(col("embedding"), 1, d).as("embedding")),
         k, nQueries)
         .select(col("query_id"), col("neighbor_id"))
-      val overlap = tk
-        .join(full, Seq("query_id", "neighbor_id"), "left_semi")
-        .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
-      tk.select(col("query_id")).distinct()
-        .join(overlap, Seq("query_id"), "left")
-        .select(col("query_id"), lit(d.toLong).as("dim"),
-          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
-          round(coalesce(col("n_overlap"), lit(0L)).cast("double") / k, 6)
-            .as("overlap_at_k"))
+        .join(full, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+        .select(col("query_id"), lit(d.toLong).as("dim"), col("n_overlap"),
+          round(col("n_overlap").cast("double") / k, 6).as("overlap_at_k"))
     }.reduce(_ unionByName _)
       .orderBy(col("dim"), col("query_id"))
   }

@@ -378,7 +378,9 @@ object StreamingPipeline {
     graft.operators.Curation.qualityFilter(documents)
       .observe("quality_gate",
         count(lit(1)).as("n_rows"),
-        sum(col("keep").cast("long")).as("n_kept"))
+        // sum over zero rows is NULL, and an empty trigger must report
+        // 0, not NPE the monitoring consumer
+        coalesce(sum(col("keep").cast("long")), lit(0L)).as("n_kept"))
 
   def analysisSink(spark: SparkSession, inputDir: String, outPath: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
