@@ -77,7 +77,8 @@ object ScaleProbe {
         val (_, sdS) = t(Dedup.spanDedup(df).count())
         val (_, ssS) = t(Dedup.substringDedup(df).count())
         val (_, bsS) = t(Curation.budgetSelect(df).count())
-        println(f"[scale-probe-docs] x$n%-3d docs=$rows%8d minhashPairs=$mpS%6.2fs($mp) jaccardPairs=$jpS%6.2fs($jp) containmentPairs=$cpS%6.2fs($cp) simhashPairs=$spS%6.2fs($sp) packAssign=$paS%6.2fs shuffleOrder=$soS%6.2fs spanDedup=$sdS%6.2fs substringDedup=$ssS%6.2fs budgetSelect=$bsS%6.2fs")
+        val (_, nvS) = t(graft.operators.TextAnalysis.novelty(df).count())
+        println(f"[scale-probe-docs] x$n%-3d docs=$rows%8d minhashPairs=$mpS%6.2fs($mp) jaccardPairs=$jpS%6.2fs($jp) containmentPairs=$cpS%6.2fs($cp) simhashPairs=$spS%6.2fs($sp) packAssign=$paS%6.2fs shuffleOrder=$soS%6.2fs spanDedup=$sdS%6.2fs substringDedup=$ssS%6.2fs budgetSelect=$bsS%6.2fs novelty=$nvS%6.2fs")
       }
       spark.stop(); return
     }
