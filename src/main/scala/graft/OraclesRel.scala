@@ -382,6 +382,21 @@ SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    // rolling DAU/WAU: the oracle states the NAIVE range-join form; the
+    // engine runs the explode-contributions rewrite — hash equality
+    // proves the rewrite exact
+    "rel_rolling_active_users" -> """
+WITH act AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts::TIMESTAMP)::TIMESTAMP AS d
+  FROM events),
+dau AS (SELECT d, count(DISTINCT user_id)::BIGINT AS dau FROM act GROUP BY d),
+wau AS (
+  SELECT dd.d, count(DISTINCT a.user_id)::BIGINT AS wau
+  FROM (SELECT DISTINCT d FROM act) dd
+  JOIN act a ON a.d BETWEEN dd.d - INTERVAL 6 DAY AND dd.d
+  GROUP BY dd.d)
+SELECT d AS day, dau, wau
+FROM dau JOIN wau USING (d) ORDER BY day""",
     // RANGE-interval frame: trailing 90 days by ORDER-BY value distance;
     // integral epoch seconds so both engines frame identically, DECIMAL
     // window sum so segment-tree vs running-frame addition can't diverge

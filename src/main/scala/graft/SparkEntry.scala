@@ -357,6 +357,8 @@ object SparkEntry {
     "rel_revenue_delta" -> (Relational.revenueDelta _),
     // RANGE-interval window frame (trailing 90 days by value distance)
     "rel_trailing_spend" -> ((s, d) => Relational.trailingSpend(s, d)),
+    // rolling DAU/7-day-WAU via the explode-contributions rewrite
+    "rel_rolling_active_users" -> (Relational.rollingActiveUsers _),
     // TPC-H Q10-shape returned-item customer ranking
     "rel_returned_items" -> ((s, d) => Relational.returnedItems(s, d)),
     // TPC-H Q13-shape order-count distribution (zero bucket via LEFT JOIN)

@@ -819,6 +819,41 @@ object Relational {
       .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
   }
 
+  /** Rolling engagement: DAU and 7-day WAU per observed day. The naive
+    * WAU is a 7-way self-join (or a sliding count-distinct window,
+    * which no engine does map-side); the scalable rewrite EXPLODES each
+    * (user, active-day) into the 7 report days it contributes to, then
+    * distinct-counts once — O(7·|activity|) rows, every shuffle on a
+    * high-cardinality key, no self-join. The DuckDB oracle states the
+    * naive range-join form, so hash equality proves the contribution
+    * rewrite exact. Report days are inner-joined back to OBSERVED days
+    * (the explode invents days past each activity burst). */
+  def rollingActiveUsers(spark: SparkSession, dir: String): DataFrame =
+    rollingActiveUsersOn(Tables.events(spark, dir))
+
+  /** [[rollingActiveUsers]] over an explicit frame — fixture-testable. */
+  private[graft] def rollingActiveUsersOn(events: DataFrame): DataFrame = {
+    val act = events
+      .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+      .distinct()
+      .localCheckpoint() // read three times: days, dau, contributions
+    val days = act.select(col("d")).distinct()
+    val dau = act.groupBy(col("d"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val wau = act
+      .select(col("user_id"), explode(sequence(col("d"),
+        col("d") + expr("INTERVAL 6 DAYS"),
+        expr("INTERVAL 1 DAY"))).as("rd"))
+      .distinct() // a user active twice in one window contributes once
+      .join(days, col("rd") === col("d"), "left_semi")
+      .groupBy(col("rd"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    days.join(dau, Seq("d"))
+      .join(wau, col("rd") === col("d"))
+      .select(col("d").as("day"), col("dau"), col("wau"))
+      .orderBy(col("day"))
+  }
+
   /** TPC-H Q6-shape forecasting-revenue-change: the canonical
     * filter-everything-aggregate-once scan. No join, no shuffle beyond
     * the final single-row combine — at any scale this is one pass with

@@ -117,6 +117,24 @@ class RelationalSpec extends SparkSpec {
     assert(out(201L) === (16.0, 2L))
   }
 
+  test("rollingActiveUsers: WAU window is 7 days inclusive, repeat " +
+      "activity counts once, report days are observed days only") {
+    // user 1: days 1, 2 and 9; user 2: day 2 only
+    val events = Seq(
+      (1L, ts("1996-01-01")), (1L, ts("1996-01-02")), (1L, ts("1996-01-09")),
+      (2L, ts("1996-01-02")))
+      .toDF("user_id", "ts")
+    val out = graft.operators.Relational.rollingActiveUsersOn(events)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      (ts("1996-01-01"), 1L, 1L),
+      // day 2: both users in the window; user 1's two active days
+      // contribute ONE distinct user
+      (ts("1996-01-02"), 2L, 2L),
+      // day 9: window is [jan 3, jan 9] — the jan 2 burst aged out
+      (ts("1996-01-09"), 1L, 1L)))
+  }
+
   test("rollup emits group, subtotal and grand-total rows") {
     val df = Seq(("O", "HIGH", 10.0), ("O", "LOW", 20.0), ("F", "HIGH", 5.0))
       .toDF("status", "prio", "price")
