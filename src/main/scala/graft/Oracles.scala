@@ -94,6 +94,25 @@ ana_now AS (
     // (epoch-aligned — date_trunc to the minute + the minutes remaining
     // in the 5-min bucket); open/close via the same min_by/max_by(ts)
     // single-pass argmax convention as agg1m
+    // max drawdown: running-peak ROWS window over the minute closes,
+    // max-row join-back on the ROUNDED drawdown, min-timestamp tie rule
+    "stock_drawdown" -> (stockCte + """,
+dd AS (
+  SELECT ticker, window_timestamp,
+    round((max(latest_price) OVER w - latest_price)
+      / max(latest_price) OVER w, 6) AS dd
+  FROM agg1m
+  WINDOW w AS (PARTITION BY ticker ORDER BY window_timestamp
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+m AS (
+  SELECT ticker, max(dd) AS max_drawdown,
+    sum(CASE WHEN dd > 0 THEN 1 ELSE 0 END)::BIGINT AS n_underwater
+  FROM dd GROUP BY ticker)
+SELECT m.ticker AS ticker, max_drawdown, n_underwater,
+  min(window_timestamp) AS trough_at
+FROM m JOIN dd ON m.ticker = dd.ticker AND dd.dd = m.max_drawdown
+GROUP BY m.ticker, max_drawdown, n_underwater
+ORDER BY m.ticker"""),
     "stock_ohlc_5m" -> (stockCte + """
 SELECT ticker,
   date_trunc('minute', ts) + (5 - minute(ts) % 5) * INTERVAL 1 MINUTE

@@ -52,6 +52,9 @@ object SparkEntry {
     "stock_ohlc_5m" -> ((s, d) =>
       StockPipeline.ohlc5m(StockPipeline.normalize(Tables.events(s, d)))
         .orderBy(col("ticker"), col("window_timestamp"))),
+    // max drawdown per ticker (running-peak window + scalar-max probe)
+    "stock_drawdown" -> ((s, d) =>
+      StockPipeline.drawdown(StockPipeline.normalize(Tables.events(s, d)))),
     "stock_join" -> ((s, d) =>
       StockPipeline.joined(StockPipeline.normalize(Tables.events(s, d)))
         .orderBy(col("ticker"), col("window_timestamp"))),

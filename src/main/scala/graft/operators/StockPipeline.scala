@@ -111,6 +111,38 @@ object StockPipeline {
         col("open"), col("high"), col("low"), col("close"),
         col("volume"), col("n_events"))
 
+  /** Maximum drawdown per ticker over the minute close series — the
+    * risk metric every market dashboard carries: drawdown(t) =
+    * (running-peak − close) / running-peak, reported as each ticker's
+    * worst value, its first trough minute (min timestamp among the
+    * rows attaining the max — a stated tie rule, not arg_max luck) and
+    * the count of underwater minutes. The running peak is a ROWS
+    * window over the minute aggregate (O(minutes) rows per ticker,
+    * not raw events); the max-row join-back is the [[Relational
+    * .topSupplier]] scalar-max pattern on rounded values, so the
+    * equality probe is engine-stable. */
+  def drawdown(stock: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ticker")).orderBy(col("window_timestamp"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val dd = agg1m(stock)
+      .select(col("ticker"), col("window_timestamp"), col("latest_price"))
+      .withColumn("run_peak", max(col("latest_price")).over(w))
+      .withColumn("dd",
+        round((col("run_peak") - col("latest_price")) / col("run_peak"), 6))
+      .localCheckpoint() // read twice: the per-ticker max and the probe
+    val mdd = dd.groupBy(col("ticker"))
+      .agg(max(col("dd")).as("max_drawdown"),
+        sum((col("dd") > 0).cast("long")).as("n_underwater"))
+    dd.join(broadcast(mdd), Seq("ticker"))
+      .filter(col("dd") === col("max_drawdown"))
+      .groupBy(col("ticker"), col("max_drawdown"), col("n_underwater"))
+      .agg(min(col("window_timestamp")).as("trough_at"))
+      .select(col("ticker"), col("max_drawdown"), col("n_underwater"),
+        col("trough_at"))
+      .orderBy(col("ticker"))
+  }
+
   /** A2 (W2): 5-minute sliding mean of price, slide 1 minute,
     * `pipeline.py:103-107`. Spark's `window(ts, 5m, 1m)` assigns each
     * event to its 5 overlapping windows (the explicit re-window-to-fixed

@@ -130,6 +130,20 @@ class StockPipelineSpec extends SparkSpec {
     assert(out.last.getAs[Boolean]("is_volume_spike"))
   }
 
+  test("drawdown: hand-computed peak/trough; underwater minutes counted") {
+    // closes 10, 8, 12, 6 -> peaks 10, 10, 12, 12
+    // dd = 0, 0.2, 0, 0.5 -> worst 0.5 at minute 4, underwater 2
+    val out = StockPipeline.drawdown(StockPipeline.normalize(events(
+      (1L, "2024-01-01 00:00:10", "A", 10.0, """{"k": 1}"""),
+      (2L, "2024-01-01 00:01:10", "A", 8.0, """{"k": 1}"""),
+      (3L, "2024-01-01 00:02:10", "A", 12.0, """{"k": 1}"""),
+      (4L, "2024-01-01 00:03:10", "A", 6.0, """{"k": 1}""")))).collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[Double]("max_drawdown") === 0.5)
+    assert(out(0).getAs[Long]("n_underwater") === 2L)
+    assert(out(0).getAs[Timestamp]("trough_at") === ts("2024-01-01 00:04:00"))
+  }
+
   test("spike: per-ticker state isolation") {
     val df = volSeries("A", Seq(10L, 50L)).union(volSeries("B", Seq(100L, 100L)))
     val out = StockPipeline.withSpike(df).orderBy("ticker", "window_timestamp")
