@@ -94,6 +94,25 @@ ana_now AS (
     // (epoch-aligned — date_trunc to the minute + the minutes remaining
     // in the 5-min bucket); open/close via the same min_by/max_by(ts)
     // single-pass argmax convention as agg1m
+    // robust median/MAD outliers: two exact-percentile passes, both
+    // medians rounded to the 6dp grid BEFORE the 3xMAD comparison
+    "stock_mad_outliers" -> (stockCte + """,
+mm AS (SELECT ticker, window_timestamp, latest_price FROM agg1m),
+md AS (
+  SELECT ticker, round(quantile_cont(latest_price, 0.5)::DOUBLE, 6) AS med
+  FROM mm GROUP BY ticker),
+dv AS (
+  SELECT mm.ticker AS ticker, med, abs(latest_price - med) AS dev
+  FROM mm JOIN md ON mm.ticker = md.ticker),
+md2 AS (
+  SELECT ticker, round(quantile_cont(dev, 0.5)::DOUBLE, 6) AS mad
+  FROM dv GROUP BY ticker)
+SELECT dv.ticker AS ticker, med, mad,
+  count(*)::BIGINT AS n_minutes,
+  sum(CASE WHEN dev > mad * 3 THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+FROM dv JOIN md2 ON dv.ticker = md2.ticker
+GROUP BY dv.ticker, med, mad
+ORDER BY dv.ticker"""),
     // max drawdown: running-peak ROWS window over the minute closes,
     // max-row join-back on the ROUNDED drawdown, min-timestamp tie rule
     "stock_drawdown" -> (stockCte + """,

@@ -382,6 +382,27 @@ SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    // time-bounded conversion: first view, first purchase within 1h
+    // after it (tuple "after", inclusive horizon), denominator kept
+    "rel_funnel_windowed" -> """
+WITH e AS (
+  SELECT user_id, event_type, ts::TIMESTAMP AS ts, event_id FROM events),
+v AS (
+  SELECT user_id, ts AS v_ts, event_id AS v_event FROM (
+    SELECT user_id, ts, event_id,
+      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM e WHERE event_type = 'view') WHERE rn = 1),
+p AS (
+  SELECT user_id, p_ts FROM (
+    SELECT v.user_id, e.ts AS p_ts,
+      row_number() OVER (PARTITION BY v.user_id
+        ORDER BY e.ts, e.event_id) AS rn
+    FROM v JOIN e ON e.user_id = v.user_id AND e.event_type = 'purchase'
+      AND (e.ts, e.event_id) > (v_ts, v_event)
+      AND e.ts <= v_ts + INTERVAL 1 HOUR) WHERE rn = 1)
+SELECT v.user_id AS user_id, v_ts, p_ts, (p_ts IS NOT NULL) AS converted
+FROM v LEFT JOIN p ON v.user_id = p.user_id
+ORDER BY v.user_id""",
     // rolling DAU/WAU: the oracle states the NAIVE range-join form; the
     // engine runs the explode-contributions rewrite — hash equality
     // proves the rewrite exact

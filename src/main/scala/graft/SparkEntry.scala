@@ -55,6 +55,10 @@ object SparkEntry {
     // max drawdown per ticker (running-peak window + scalar-max probe)
     "stock_drawdown" -> ((s, d) =>
       StockPipeline.drawdown(StockPipeline.normalize(Tables.events(s, d)))),
+    // robust median/MAD outlier report per ticker
+    "stock_mad_outliers" -> ((s, d) =>
+      StockPipeline.madOutliers(
+        StockPipeline.normalize(Tables.events(s, d)))),
     "stock_join" -> ((s, d) =>
       StockPipeline.joined(StockPipeline.normalize(Tables.events(s, d)))
         .orderBy(col("ticker"), col("window_timestamp"))),
@@ -352,6 +356,8 @@ object SparkEntry {
       Relational.smallQtyRevenue(s, d)),
     // ordered-sequence funnel (view -> click -> purchase) via GroupedTopK
     "rel_funnel" -> (Relational.funnel _),
+    // time-bounded conversion: first purchase within 1h of first view
+    "rel_funnel_windowed" -> ((s, d) => Relational.funnelWindowed(s, d)),
     // daily cohort-retention matrix over events
     "rel_retention" -> (Relational.retention _),
     // heavy-hitter join-key report (the pre-salting diagnostic)

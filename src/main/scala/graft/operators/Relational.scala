@@ -412,6 +412,46 @@ object Relational {
   def funnel(spark: SparkSession, dir: String): DataFrame =
     funnelOn(Tables.events(spark, dir))
 
+  /** Time-bounded conversion: per user, the first view and the first
+    * purchase within `horizon` AFTER it — attribution with a deadline
+    * (the unbounded [[funnelOn]] answers "ever converted"; real
+    * attribution windows expire). "After" compares (ts, event_id)
+    * tuples (deterministic at equal timestamps); the horizon bound is
+    * inclusive. One row per viewing user, converted or not — the
+    * denominator stays visible.
+    *
+    * Scale: first-view via the k=1 bounded heap, then ONE equi-join on
+    * user_id carrying (user, first-view) summaries against the
+    * purchase slice — the horizon predicate prunes post-join; per-user
+    * fan-in is that user's purchase count, never a cross of
+    * histories. */
+  def funnelWindowed(spark: SparkSession, dir: String,
+      horizon: String = "1 hour"): DataFrame =
+    funnelWindowedOn(Tables.events(spark, dir), horizon)
+
+  /** [[funnelWindowed]] over an explicit frame — fixture-testable. */
+  private[graft] def funnelWindowedOn(events: DataFrame,
+      horizon: String): DataFrame = {
+    val ev = events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    val v = TopK.perKey(ev.filter(col("event_type") === "view"),
+        Seq("user_id"), Seq("ts" -> false, "event_id" -> false), 1)
+      .select(col("user_id"), col("ts").as("v_ts"),
+        col("event_id").as("v_event"))
+    val firstP = TopK.perKey(
+        ev.filter(col("event_type") === "purchase")
+          .join(v, Seq("user_id"))
+          .filter(struct(col("ts"), col("event_id")) >
+            struct(col("v_ts"), col("v_event")) &&
+            col("ts") <= col("v_ts") + expr(s"INTERVAL $horizon")),
+        Seq("user_id"), Seq("ts" -> false, "event_id" -> false), 1)
+      .select(col("user_id"), col("ts").as("p_ts"))
+    v.join(firstP, Seq("user_id"), "left")
+      .select(col("user_id"), col("v_ts"), col("p_ts"),
+        col("p_ts").isNotNull.as("converted"))
+      .orderBy(col("user_id"))
+  }
+
   /** Daily cohort-retention matrix over the events stream: cohort =
     * each user's first active day; cell (cohort, offset) = how many of
     * that cohort were active `offset` days later. The canonical

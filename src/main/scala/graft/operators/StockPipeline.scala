@@ -143,6 +143,32 @@ object StockPipeline {
       .orderBy(col("ticker"))
   }
 
+  /** Robust (median/MAD) outlier report per ticker over the minute
+    * closes — the anomaly detector that survives the very outliers a
+    * mean/stddev rule gets dragged by. Two exact-percentile passes on
+    * the O(minutes) aggregate: the median, then the median absolute
+    * deviation from it; a minute is an outlier when its deviation
+    * exceeds 3×MAD. Both medians are ROUNDED to the shared 6dp grid
+    * before any comparison, so the threshold is engine-stable. */
+  def madOutliers(stock: DataFrame): DataFrame = {
+    val m = agg1m(stock)
+      .select(col("ticker"), col("window_timestamp"), col("latest_price"))
+      .localCheckpoint() // read twice: the median pass and the dev join
+    val med = m.groupBy(col("ticker"))
+      .agg(round(expr("percentile(latest_price, 0.5D)"), 6).as("med"))
+    val dev = m.join(broadcast(med), Seq("ticker"))
+      .withColumn("dev", abs(col("latest_price") - col("med")))
+    val mad = dev.groupBy(col("ticker"))
+      .agg(round(expr("percentile(dev, 0.5D)"), 6).as("mad"))
+    dev.join(broadcast(mad), Seq("ticker"))
+      .groupBy(col("ticker"), col("med"), col("mad"))
+      .agg(count(lit(1)).as("n_minutes"),
+        sum((col("dev") > col("mad") * 3).cast("long")).as("n_outliers"))
+      .select(col("ticker"), col("med"), col("mad"), col("n_minutes"),
+        col("n_outliers"))
+      .orderBy(col("ticker"))
+  }
+
   /** A2 (W2): 5-minute sliding mean of price, slide 1 minute,
     * `pipeline.py:103-107`. Spark's `window(ts, 5m, 1m)` assigns each
     * event to its 5 overlapping windows (the explicit re-window-to-fixed

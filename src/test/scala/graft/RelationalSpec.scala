@@ -135,6 +135,27 @@ class RelationalSpec extends SparkSpec {
       (ts("1996-01-09"), 1L, 1L)))
   }
 
+  test("funnelWindowed: conversion needs a purchase AFTER the first " +
+      "view and WITHIN the horizon") {
+    def e(id: Long, u: Long, t: String, typ: String) =
+      (id, u, Timestamp.valueOf(t), typ)
+    val events = Seq(
+      // user 1: purchase 59 min after the view -> converted
+      e(1, 1L, "1996-01-01 10:00:00", "view"),
+      e(2, 1L, "1996-01-01 10:59:00", "purchase"),
+      // user 2: purchase 61 min after the view -> horizon expired
+      e(3, 2L, "1996-01-01 10:00:00", "view"),
+      e(4, 2L, "1996-01-01 11:01:00", "purchase"),
+      // user 3: only a purchase BEFORE the view -> not converted
+      e(5, 3L, "1996-01-01 09:00:00", "purchase"),
+      e(6, 3L, "1996-01-01 10:00:00", "view"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = graft.operators.Relational
+      .funnelWindowedOn(events, "1 hour")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out === Map(1L -> true, 2L -> false, 3L -> false))
+  }
+
   test("rollup emits group, subtotal and grand-total rows") {
     val df = Seq(("O", "HIGH", 10.0), ("O", "LOW", 20.0), ("F", "HIGH", 5.0))
       .toDF("status", "prio", "price")

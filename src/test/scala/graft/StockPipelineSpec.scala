@@ -144,6 +144,23 @@ class StockPipelineSpec extends SparkSpec {
     assert(out(0).getAs[Timestamp]("trough_at") === ts("2024-01-01 00:04:00"))
   }
 
+  test("madOutliers: median/MAD are robust — one wild minute flags " +
+      "itself, not the median") {
+    // closes 10,10,10,10,100: med 10, devs 0,0,0,0,90, mad 0 ->
+    // only the wild minute exceeds 3*MAD (a stddev rule's threshold
+    // would be dragged to ~120 by the same point and flag nothing)
+    val rows = Seq(10.0, 10.0, 10.0, 10.0, 100.0).zipWithIndex.map {
+      case (p, i) => (i.toLong, f"2024-01-01 00:0$i%d:10", "A", p, """{"k": 1}""")
+    }
+    val out = StockPipeline.madOutliers(
+      StockPipeline.normalize(events(rows: _*))).collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[Double]("med") === 10.0)
+    assert(out(0).getAs[Double]("mad") === 0.0)
+    assert(out(0).getAs[Long]("n_minutes") === 5L)
+    assert(out(0).getAs[Long]("n_outliers") === 1L)
+  }
+
   test("spike: per-ticker state isolation") {
     val df = volSeries("A", Seq(10L, 50L)).union(volSeries("B", Seq(100L, 100L)))
     val out = StockPipeline.withSpike(df).orderBy("ticker", "window_timestamp")
