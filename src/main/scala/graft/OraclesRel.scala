@@ -382,6 +382,20 @@ SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    // equal-frequency deciles: broadcast exact-quantile boundaries,
+    // decile = count of boundaries strictly below the row
+    "rel_price_deciles" -> s"""
+WITH b AS (
+  SELECT ${(1 to 9).map(i =>
+      s"round(quantile_cont(l_extendedprice, 0.$i)::DOUBLE, 6) AS b$i")
+      .mkString(", ")}
+  FROM lineitem)
+SELECT (${(1 to 9).map(i =>
+      s"CASE WHEN l_extendedprice > b$i THEN 1 ELSE 0 END")
+      .mkString(" + ")})::BIGINT AS decile,
+  count(*) AS n_items
+FROM lineitem CROSS JOIN b
+GROUP BY decile ORDER BY decile""",
     // time-bounded conversion: first view, first purchase within 1h
     // after it (tuple "after", inclusive horizon), denominator kept
     "rel_funnel_windowed" -> """

@@ -330,6 +330,8 @@ object SparkEntry {
     "rel_set_ops" -> (Relational.customerSetOps _),
     "rel_nation_balance" -> (Relational.nationBalanceSheet _),
     "rel_price_histogram" -> ((s, d) => Relational.priceHistogram(s, d)),
+    // equal-frequency dual: broadcast quantile boundaries, map-side assign
+    "rel_price_deciles" -> (Relational.priceDeciles _),
     "rel_monthly_growth" -> (Relational.monthlyGrowth _),
     "rel_quantiles" -> (Relational.pricingQuantiles _),
     // sketches are engine-specific -> registered in self-checking form:

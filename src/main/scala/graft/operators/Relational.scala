@@ -759,6 +759,30 @@ object Relational {
       .orderBy(col("bucket"))
   }
 
+  /** Equal-FREQUENCY price deciles — the profile dual of the
+    * equal-width [[priceHistogram]]: bucket boundaries are the exact
+    * 0.1..0.9 quantiles (one O(1)-output aggregate, broadcast), and
+    * each row's decile is the COUNT OF BOUNDARIES BELOW IT — a
+    * map-side sum of nine comparisons, no sort, no ntile window over
+    * the data. Boundaries are rounded to the shared 6dp grid before
+    * comparison; rows exactly ON a boundary go low (strict >), the
+    * same stated rule both engines apply — so decile populations are
+    * near-equal, not exactly equal, on tied data. */
+  def priceDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_extendedprice"))
+    val boundExprs = (1 to 9).map(i =>
+      round(expr(s"percentile(l_extendedprice, 0.${i}D)"), 6).as(s"b$i"))
+    val bounds = li.agg(boundExprs.head, boundExprs.tail: _*)
+    val decile = (1 to 9).map(i =>
+      (col("l_extendedprice") > col(s"b$i")).cast("long"))
+      .reduce(_ + _)
+    li.crossJoin(broadcast(bounds))
+      .select(decile.as("decile"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_items"))
+      .orderBy(col("decile"))
+  }
+
   /** Set operations — INTERSECT and EXCEPT registered explicitly:
     * customers who ordered in BOTH 1996 and 1997 (intersect) and those
     * who ordered in 1996 but never again after (except). Spark plans
