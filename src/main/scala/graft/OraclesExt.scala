@@ -155,6 +155,19 @@ FROM (SELECT unnest(list_transform(range(1, greatest(len(tk), 1)),
         i -> tk[i] || ' ' || tk[i+1])) AS bigram
       FROM toks)
 GROUP BY bigram ORDER BY freq DESC, bigram LIMIT 30""",
+    // lexical diversity: per-doc token frequency table, then TTR and
+    // hapax share as exact rationals
+    "text_lexical_diversity" -> s"""
+WITH $toksCte,
+tf AS (
+  SELECT doc_id, t, count(*)::BIGINT AS cnt
+  FROM (SELECT doc_id, unnest(tk) AS t FROM toks) GROUP BY doc_id, t)
+SELECT doc_id, sum(cnt)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+  sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+  round(count(*)::DOUBLE / sum(cnt), 6) AS ttr,
+  round(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)::DOUBLE / sum(cnt), 6)
+    AS hapax_ratio
+FROM tf GROUP BY doc_id ORDER BY doc_id""",
     // n-gram novelty: the same post-hash-distinct shingle universe as
     // the dedup family, df = 1 means "this 3-gram exists nowhere else"
     "text_novelty" -> s"""

@@ -170,6 +170,9 @@ object SparkEntry {
     // n-gram novelty: share of a doc's shingles unique corpus-wide
     "text_novelty" -> ((s, d) =>
       operators.TextAnalysis.novelty(Tables.documents(s, d))),
+    // lexical diversity: TTR + hapax share per document
+    "text_lexical_diversity" -> ((s, d) =>
+      operators.TextAnalysis.lexicalDiversity(Tables.documents(s, d))),
     "sample_bernoulli" -> ((s, d) =>
       operators.Curation.sampleBernoulli(Tables.documents(s, d))),
     // soft quality filter: survival probability = classifier score

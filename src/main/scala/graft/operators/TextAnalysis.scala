@@ -249,6 +249,27 @@ object TextAnalysis {
         (col("margin") > 0).as("label"))
   }
 
+  /** Lexical diversity per document: type-token ratio and hapax ratio
+    * (share of tokens occurring exactly once in the doc) — the
+    * vocabulary-richness signals that separate template/boilerplate
+    * text (low TTR, low hapax) from natural prose. Exact rational
+    * arithmetic; two hash aggregations on (doc, token) then doc — both
+    * partial-aggregate map-side, nothing corpus-global. */
+  def lexicalDiversity(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), explode(toks).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum((col("cnt") === 1).cast("long")).as("n_hapax"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
+        round(col("n_hapax").cast("double") / col("n_tokens"), 6)
+          .as("hapax_ratio"))
+      .orderBy(col("doc_id"))
+
   /** N-gram novelty per document: the fraction of its distinct hashed
     * 3-gram shingles that occur in NO other document (corpus-wide
     * document frequency 1) — the informativeness signal dual to the

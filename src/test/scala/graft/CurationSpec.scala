@@ -335,6 +335,18 @@ class CurationSpec extends SparkSpec {
     assert(out.toSeq === b.toSeq)
   }
 
+  test("lexicalDiversity: hand-counted types, hapax and ratios") {
+    // "a b a c": 4 tokens, 3 types (a,b,c), 2 hapax (b,c)
+    val out = graft.operators.TextAnalysis.lexicalDiversity(
+      docs((1L, "a b a c"))).collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[Long]("n_tokens") === 4L)
+    assert(out(0).getAs[Long]("n_types") === 3L)
+    assert(out(0).getAs[Long]("n_hapax") === 2L)
+    assert(out(0).getAs[Double]("ttr") === 0.75)
+    assert(out(0).getAs[Double]("hapax_ratio") === 0.5)
+  }
+
   test("novelty: unique shingles score 1, cloned docs score 0, shared " +
       "prefix scores the hand count") {
     val clone = "aa bb cc dd ee"            // docs 1,2: every shingle df=2
