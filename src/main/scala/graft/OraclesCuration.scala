@@ -323,21 +323,40 @@ SELECT lang, doc_id, sample_key, rn FROM (
     row_number() OVER (PARTITION BY lang ORDER BY sample_key, doc_id)::BIGINT AS rn
   FROM (SELECT lang, doc_id, $sampleKeySql AS sample_key FROM documents))
 WHERE rn <= 25 ORDER BY lang, rn""",
-    // token-budget greedy selection: classifier-score ranking (the
-    // shared sc CTE) × BPE subword costs (the shared recursive bpc
-    // chain), running total in (score DESC, doc_id) order — the
+    // token-budget greedy selection: classifier-score ranking × BPE
+    // subword costs, running total in (score DESC, doc_id) order — the
     // oracle's global window states what the engine's two-level
-    // score-band scan computes
+    // score-band scan computes. Version-proofed after the round-4
+    // driver divergence: (1) cum_subwords is cast ::BIGINT (DuckDB's
+    // HUGEINT window sum converts to pandas float64, hash-mismatching
+    // the engine's int64); (2) the classifier margin is restated in
+    // exact integer arithmetic — sum the BIGINT weight numerators via
+    // a plain join, divide once at the end — because w(j) = k_j/p − ½
+    // makes Σw = (Σk)/p − n/2 EXACT, with no list_reduce/list_transform
+    // lambdas referencing outer rows (the construct DuckDB versions
+    // disagree on); (3) the BPE recursion runs per DISTINCT token;
+    // (4) zero-token docs survive via LEFT JOIN + coalesce.
     "corpus_budget_select" -> s"""
-WITH RECURSIVE $toksCte${OraclesPacking.bpeTotalsCtes}${OraclesExt.clsScCtes},
+WITH RECURSIVE $toksCte${OraclesPacking.bpeDistinctTotalsCtes},
+wt AS (
+  SELECT j + 1 AS idx,
+    ((${TextAnalysis.clsCoeffs._1} * (j + 1) + ${TextAnalysis.clsCoeffs._2}) % ${graft.functions.Portable.P31})::BIGINT AS num
+  FROM range(${TextAnalysis.clsDim}) t(j)),
+tb AS (
+  SELECT doc_id, (('0x' || substr(md5(w), 1, 8))::BIGINT % ${TextAnalysis.clsDim} + 1) AS idx
+  FROM (SELECT doc_id, unnest(tk) AS w FROM toks)),
+ms AS (
+  SELECT tb.doc_id, count(*)::BIGINT AS n_tokens, sum(wt.num)::BIGINT AS wsum
+  FROM tb JOIN wt USING (idx) GROUP BY tb.doc_id),
 s AS (
-  SELECT sc.doc_id, round(1.0 / (1.0 + exp(-sc.margin * 10)), 6) AS score,
-    bpc.n_subwords
-  FROM sc JOIN bpc ON sc.doc_id = bpc.doc_id),
+  SELECT ms.doc_id,
+    round(1.0 / (1.0 + exp(-round((wsum::DOUBLE / ${graft.functions.Portable.P31} - 0.5 * n_tokens) / n_tokens, 6) * 10)), 6) AS score,
+    coalesce(bpc.n_subwords, 0)::BIGINT AS n_subwords
+  FROM ms LEFT JOIN bpc ON ms.doc_id = bpc.doc_id),
 c AS (
   SELECT doc_id, score, n_subwords,
     sum(n_subwords) OVER (ORDER BY score DESC, doc_id
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_subwords
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_subwords
   FROM s)
 SELECT doc_id, score, n_subwords, cum_subwords,
   (cum_subwords <= ${Curation.selectBudget}) AS selected

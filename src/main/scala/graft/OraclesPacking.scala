@@ -54,6 +54,31 @@ bpc AS (
   FROM bst WHERE pos >= len(w) GROUP BY doc_id)"""
   }
 
+  /** [[bpeTotalsCtes]] restated over DISTINCT tokens: the same greedy
+    * recursion runs once per distinct word (not per occurrence), the
+    * per-token counts join back and sum per doc in exact BIGINT
+    * arithmetic. Same `bpc` (doc_id, n_subwords) interface; used by the
+    * budget-selection oracle where the statement also carries the
+    * classifier CTEs — shrinking the recursive working set keeps the
+    * composed statement robust across DuckDB versions (the driver's
+    * DuckDB diverged on the round-4 per-occurrence composition). */
+  private[graft] val bpeDistinctTotalsCtes: String = {
+    val step = graft.functions.BpeCountImpl.vocab
+      .map(v => s"WHEN substr(w, pos::INT + 1, ${v.length}) = '$v' THEN ${v.length}")
+      .mkString("CASE ", " ", " ELSE 1 END")
+    s""",
+dtok AS (SELECT DISTINCT w FROM (SELECT unnest(tk) AS w FROM toks)),
+dst(w, pos, cnt) AS (
+  SELECT w, 0::BIGINT, 0::BIGINT FROM dtok
+  UNION ALL
+  SELECT w, pos + ($step), cnt + 1 FROM dst WHERE pos < len(w)),
+dwc AS (SELECT w, max(cnt)::BIGINT AS n_sub FROM dst WHERE pos >= len(w) GROUP BY w),
+bpc AS (
+  SELECT tt.doc_id, sum(dwc.n_sub)::BIGINT AS n_subwords
+  FROM (SELECT doc_id, unnest(tk) AS w FROM toks) tt JOIN dwc USING (w)
+  GROUP BY tt.doc_id)"""
+  }
+
   val all: Map[String, String] = Map(
     // length-bucketing report: identical integer bucket ladder
     "pack_length_buckets" -> s"""

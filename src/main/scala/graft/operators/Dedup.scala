@@ -413,16 +413,20 @@ object Dedup {
           }
           r
         }
-        val nodes = scala.collection.mutable.TreeSet.empty[Long]
+        // node set as a second LongMap (unboxed keys), not a TreeSet:
+        // boxed Long + red-black overhead at the 4M-edge ceiling is
+        // several hundred MB where this stays within the task budget;
+        // ordering is the caller's orderBy, not this iterator's
+        val nodes = scala.collection.mutable.LongMap.empty[Unit]
         it.foreach { row =>
           val (u, v) = (row.getLong(0), row.getLong(1))
-          nodes += u; nodes += v
+          nodes(u) = (); nodes(v) = ()
           val (ru, rv) = (find(u), find(v))
           if (ru != rv) {
             if (ru < rv) parent(rv) = ru else parent(ru) = rv
           }
         }
-        nodes.iterator.map(n =>
+        nodes.keysIterator.map(n =>
           org.apache.spark.sql.Row(n, find(n)))
       }
     spark.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(

@@ -30,8 +30,11 @@ class SessionProcessor extends StatefulProcessor[Long, SessionEvent, SessionRow]
     val (next, closed) = SessionState.fold(
       if (open.exists()) Some(open.get()) else None, rows)
     next.foreach { s =>
-      // one live timer per key: drop the stale flush point, arm the new
-      getHandle.listTimers().foreach(t =>
+      // one live timer per key: drop the stale flush point, arm the new.
+      // Materialize before deleting — mutating timer state under the
+      // live listTimers() iterator is undefined on providers that back
+      // the iterator directly.
+      getHandle.listTimers().toList.foreach(t =>
         getHandle.deleteTimer(t.asInstanceOf[Long]))
       getHandle.registerTimer(SessionState.flushAtMs(s,
         timerValues.getCurrentWatermarkInMs()))

@@ -112,6 +112,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("WindowExec"), p)
   }
 
+  test("rel_price_deciles: no percentile buffer over the raw column") {
+    val p = plan("rel_price_deciles")
+    // exact boundaries must come from the bounded distinct-price
+    // aggregate (groupBy(price) + two-level scan), never the Percentile
+    // TypedImperativeAggregate whose buffer holds every raw value on a
+    // single reducer — the 100 TB OOM this query was rewritten to avoid
+    assert(!p.toLowerCase.contains("percentile"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("stock_analysis: the only nested-loop join is the broadcast 1-row clock") {
     val p = plan("stock_analysis")
     // crossJoin(broadcast(1-row nowDf)) is the intended exception
