@@ -350,15 +350,18 @@ object Dedup {
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .distinct()
     var edges = oriented.localCheckpoint(true)
-    if (edges.count() <= localMaxEdges) return clustersLocal(edges)
-    val allNodes = edges
-      .select(explode(array(col("u"), col("v"))).as("node")).distinct()
-      .localCheckpoint(true)
 
     def checksum(e: DataFrame): (Long, Long) = {
       val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
+    // size probe shares the first convergence-checksum job — no extra
+    // count() action on either path
+    var cs = checksum(edges)
+    if (cs._1 <= localMaxEdges) return clustersLocal(edges)
+    val allNodes = edges
+      .select(explode(array(col("u"), col("v"))).as("node")).distinct()
+      .localCheckpoint(true)
     def largeStar(e: DataFrame): DataFrame = {
       val und = e.select(col("u"), col("v"))
         .union(e.select(col("v").as("u"), col("u").as("v")))
@@ -375,8 +378,7 @@ object Dedup {
         .distinct()
     }
 
-    var cs = checksum(edges)
-    var converged = edges.isEmpty
+    var converged = cs._1 == 0L
     while (!converged) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
       val ncs = checksum(next)

@@ -771,66 +771,10 @@ object Relational {
     * data. */
   def priceDeciles(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir).select(col("l_extendedprice"))
-    // Exact decile boundaries WITHOUT `percentile`: that aggregate is a
-    // TypedImperativeAggregate whose buffer holds every raw value and
-    // merges on one reducer — an OOM at corpus scale. Prices are
-    // cent-granular and range-bounded, so the distinct-value space is
-    // bounded regardless of row count: groupBy(price)→count is a
-    // partial-aggregated shuffle of O(distinct) rows, the cumulative
-    // index ranges come from the same two-level band scan as
-    // [[Packing.packAssign]] (never a global window over the data), and
-    // each boundary is two O(1) index lookups. The interpolation
-    // restates Spark Percentile's own formula term-for-term —
-    // position p·(n−1), lowerKey when floor==ceil or keys collide, else
-    // (ceil−pos)·lowerKey + (pos−floor)·higherKey — so the result is
-    // bit-identical to the percentile aggregate it replaces.
-    val pc = li.groupBy(col("l_extendedprice").as("v"))
-      .agg(count(lit(1)).as("c"))
-    val banded = pc.withColumn("bucket", floor(col("v") / 1000.0).cast("long"))
-    val offsets = Packing.exclusivePrefix(
-      banded.groupBy(col("bucket")).agg(sum(col("c")).as("part")), "part")
-    val wb = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("bucket")).orderBy(col("v"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    // 0-based index range [cum_lo, cum_hi) of each distinct price in
-    // the value-sorted order (band order IS value order: floor(v/1000)
-    // is monotone in v)
-    val cum = banded.join(broadcast(offsets), Seq("bucket"))
-      .select(col("v"),
-        (col("offset") + sum(col("c")).over(wb) - col("c")).as("cum_lo"),
-        (col("offset") + sum(col("c")).over(wb)).as("cum_hi"))
-    val total = pc.agg(sum(col("c")).as("n"))
-    // 9 target positions → 18 (boundary, lo/hi) index probes, long-form
-    // so ONE broadcast-inequality join resolves every lookup in a
-    // single pass over the O(distinct) cumulative table
-    val targets = spark.range(1, 10).toDF("i")
-      .crossJoin(broadcast(total))
-      .select(col("i"),
-        (col("i").cast("double") / 10.0 * (col("n") - 1).cast("double"))
-          .as("pos"))
-      .select(col("i"), col("pos"),
-        floor(col("pos")).cast("long").as("lo_idx"),
-        ceil(col("pos")).cast("long").as("hi_idx"))
-    val probes = targets
-      .select(col("i"), col("pos"), col("lo_idx"), col("hi_idx"),
-        explode(array(
-          struct(lit("lo").as("kind"), col("lo_idx").as("idx")),
-          struct(lit("hi").as("kind"), col("hi_idx").as("idx")))).as("t"))
-      .select(col("i"), col("pos"), col("lo_idx"), col("hi_idx"),
-        col("t.kind").as("kind"), col("t.idx").as("idx"))
-    val keys = cum.join(broadcast(probes),
-        col("cum_lo") <= col("idx") && col("idx") < col("cum_hi"))
-      .groupBy(col("i"), col("pos"), col("lo_idx"), col("hi_idx"))
-      .agg(max(when(col("kind") === "lo", col("v"))).as("lk"),
-        max(when(col("kind") === "hi", col("v"))).as("hk"))
-    val bval = when(col("hi_idx") === col("lo_idx"), col("lk"))
-      .when(col("hk") === col("lk"), col("lk"))
-      .otherwise(
-        (col("hi_idx").cast("double") - col("pos")) * col("lk") +
-          (col("pos") - col("lo_idx").cast("double")) * col("hk"))
-    val bounds = keys.select(col("i"), bval.as("b"))
-      .agg(transform(array_sort(collect_list(struct(col("i"), col("b")))),
-        x => x.getField("b")).as("bs"))
+    // exact boundaries from the bounded distinct-price aggregate, not
+    // the one-reducer `percentile` buffer — see [[Quantiles]]
+    val bounds = Quantiles.exactPercentiles(
+      li.select(col("l_extendedprice").as("v")), (1 to 9).map(_ / 10.0))
     val decile = (1 to 9).map(i =>
       (col("l_extendedprice") > round(element_at(col("bs"), i), 6))
         .cast("long"))
