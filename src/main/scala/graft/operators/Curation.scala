@@ -136,18 +136,22 @@ object Curation {
   /** Per-language ADAPTIVE length filter: corpus-derived p5/p95 token
     * bounds per language instead of [[qualityFilter]]'s global
     * constants — the Dolma-style per-source calibration (a threshold
-    * right for English prose kills CJK or code). One exact-percentile
-    * aggregation per language (Spark `percentile` ≡ DuckDB
-    * `quantile_cont` at round-6, proven by rel_quantiles); the bounds
-    * table is O(#languages) and broadcasts into the keep join. The keep
-    * decision compares against the ROUNDED bounds so both engines
-    * decide from bit-identical thresholds. */
+    * right for English prose kills CJK or code). Per-language exact
+    * p5/p95 via the distributed distinct-value scan
+    * ([[Quantiles.exactPercentilesBy]] ≡ Spark `percentile` ≡ DuckDB
+    * `quantile_cont` at round-6, proven by rel_quantiles — never the
+    * per-group value→count buffer); the bounds table is O(#languages)
+    * and broadcasts into the keep join. The keep decision compares
+    * against the ROUNDED bounds so both engines decide from
+    * bit-identical thresholds. */
   def lengthAdaptive(documents: DataFrame): DataFrame = {
     val t = documents.select(col("doc_id"), col("lang"),
       size(toks).cast("long").as("n_tokens"))
-    val bounds = t.groupBy(col("lang"))
-      .agg(round(expr("percentile(n_tokens, 0.05)"), 6).as("p5"),
-        round(expr("percentile(n_tokens, 0.95)"), 6).as("p95"))
+    val bounds = Quantiles.exactPercentilesBy(
+        t.select(col("lang"), col("n_tokens").as("v")),
+        Seq("lang"), Seq(0.05, 0.95))
+      .select(col("lang"), round(element_at(col("bs"), 1), 6).as("p5"),
+        round(element_at(col("bs"), 2), 6).as("p95"))
     t.join(broadcast(bounds), Seq("lang"))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         col("p5"), col("p95"),
@@ -319,8 +323,11 @@ object Curation {
     * perplexity and fail the fluency gate (conservative).
     *
     * Scale: four verified operator pipelines joined on doc_id (each one
-    * or two corpus-pass aggregations), two O(1) percentile aggregates
-    * broadcast into the gate — no new shuffle shapes. */
+    * or two corpus-pass aggregations), two exact-percentile thresholds
+    * via the distributed [[Quantiles.exactPercentiles]] scan (the float
+    * domains are corpus-sized, so the one-buffer aggregate is exactly
+    * the shape that would not survive 100 TB) broadcast into the
+    * gate — no new shuffle shapes. */
   def signalEnsemble(documents: DataFrame,
       embeddings: DataFrame): DataFrame = {
     val q = qualityFilter(documents)
@@ -332,10 +339,12 @@ object Curation {
     val cos = Similarity.centroidCosines(embeddings)
       .select(col("vec_id").as("doc_id"),
         col("cosine").as("centroid_cosine"))
-    val thresholds = pp
-      .agg(round(expr("percentile(perplexity, 0.5)"), 6).as("pp_median"))
-      .crossJoin(cos.agg(
-        round(expr("percentile(centroid_cosine, 0.1)"), 6).as("cos_p10")))
+    val thresholds = Quantiles.exactPercentiles(
+        pp.select(col("perplexity").as("v")), Seq(0.5))
+      .select(round(element_at(col("bs"), 1), 6).as("pp_median"))
+      .crossJoin(Quantiles.exactPercentiles(
+          cos.select(col("centroid_cosine").as("v")), Seq(0.1))
+        .select(round(element_at(col("bs"), 1), 6).as("cos_p10")))
     documents.select(col("doc_id"))
       .join(q, Seq("doc_id"))
       .join(pp, Seq("doc_id"), "left")

@@ -159,17 +159,29 @@ object Relational {
       .orderBy(col("p_brand"), col("rn"))
 
   /** Exact interpolated percentiles per return flag (Spark's `percentile`
-    * = DuckDB's `quantile_cont`: index p·(n−1), linear interpolation). */
-  def pricingQuantiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.25D)"), 6).as("p25_price"),
-        round(expr("percentile(l_extendedprice, 0.5D)"), 6).as("p50_price"),
-        round(expr("percentile(l_extendedprice, 0.75D)"), 6).as("p75_price"),
-        round(expr("percentile(l_extendedprice, 0.95D)"), 6).as("p95_price"),
-        round(expr("percentile(l_discount, 0.5D)"), 6).as("median_discount"))
+    * = DuckDB's `quantile_cont`: index p·(n−1), linear interpolation) —
+    * computed on the distributed distinct-value aggregate
+    * ([[Quantiles.exactPercentilesBy]]), not the per-group value→count
+    * buffer the `percentile` aggregate merges on one reducer. */
+  def pricingQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_discount"))
+    val pq = Quantiles.exactPercentilesBy(
+      li.select(col("l_returnflag"), col("l_extendedprice").as("v")),
+      Seq("l_returnflag"), Seq(0.25, 0.5, 0.75, 0.95))
+    val dq = Quantiles.exactPercentilesBy(
+      li.select(col("l_returnflag"), col("l_discount").as("v")),
+      Seq("l_returnflag"), Seq(0.5))
+      .select(col("l_returnflag"), col("bs").as("dbs"))
+    pq.join(dq, Seq("l_returnflag"))
+      .select(col("l_returnflag"),
+        round(element_at(col("bs"), 1), 6).as("p25_price"),
+        round(element_at(col("bs"), 2), 6).as("p50_price"),
+        round(element_at(col("bs"), 3), 6).as("p75_price"),
+        round(element_at(col("bs"), 4), 6).as("p95_price"),
+        round(element_at(col("dbs"), 1), 6).as("median_discount"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** Range (interval) join over the events stream, batch form: each
     * purchase joined to the same user's clicks in the preceding 10
@@ -517,15 +529,23 @@ object Relational {
     * group; GK at accuracy 1000 ⇒ rank error 0.1%, checked as ≤1% of
     * the value). The oracle states the booleans as TRUE — a sketch
     * regression flips a bit and breaks the hash. */
-  def approxStats(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .groupBy(col("l_returnflag"))
+  def approxStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    // the exact-median reference comes from the distributed
+    // distinct-value scan, not the one-buffer percentile aggregate —
+    // at 100 TB the sketches are the product and the reference must
+    // not be the thing that OOMs first
+    val med = Quantiles.exactPercentilesBy(
+        li.select(col("l_returnflag"), col("l_extendedprice").as("v")),
+        Seq("l_returnflag"), Seq(0.5))
+      .select(col("l_returnflag"), element_at(col("bs"), 1).as("exact_median"))
+    li.groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
         countDistinct(col("l_orderkey")).as("exact_orders"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-          .as("approx_median"),
-        expr("percentile(l_extendedprice, 0.5)").as("exact_median"))
+          .as("approx_median"))
+      .join(broadcast(med), Seq("l_returnflag"))
       .select(col("l_returnflag"), col("exact_orders"),
         round(col("exact_median"), 6).as("exact_median_price"),
         (abs(col("approx_orders") - col("exact_orders")) <=
@@ -533,6 +553,7 @@ object Relational {
         (abs(col("approx_median") - col("exact_median")) <=
           col("exact_median") * lit(0.01)).as("gk_median_within_1pct"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** TPC-H Q18-shape large-volume orders: the HAVING-subquery semi-join.
     * The per-order quantity aggregate runs FIRST (one shuffle on

@@ -151,6 +151,13 @@ object StockPipeline {
     * exceeds 3×MAD. Both medians are ROUNDED to the shared 6dp grid
     * before any comparison, so the threshold is engine-stable. */
   def madOutliers(stock: DataFrame): DataFrame = {
+    // The `percentile` aggregate's per-group buffer is a value→count
+    // map over the group's distinct values. Here that is provably
+    // bounded REGARDLESS of event volume: the input is the 1-minute
+    // aggregate, so a group holds at most one value per wall-clock
+    // minute (~526k/year) — corpus growth adds events per minute, not
+    // buffer entries. Raw-column percentiles (unbounded domains) go
+    // through [[Quantiles.exactPercentilesBy]] instead.
     val m = agg1m(stock)
       .select(col("ticker"), col("window_timestamp"), col("latest_price"))
       .localCheckpoint() // read twice: the median pass and the dev join

@@ -122,6 +122,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("exact percentiles over raw columns go through the distinct-value scan") {
+    // every exact percentile on an unbounded-domain raw column was
+    // migrated to Quantiles.exactPercentiles(By); `percentile(` in
+    // these plans would mean the one-buffer-per-group aggregate is
+    // back. (percentile_approx in rel_approx_stats is the product
+    // sketch, not the reference path — match the exact fn only.)
+    Seq("rel_quantiles", "text_length_adaptive", "corpus_signal_ensemble")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("percentile("),
+          s"$q must not use the exact percentile aggregate:\n$p")
+      }
+    val pa = plan("rel_approx_stats")
+    assert(!pa.replace("percentile_approx", "PA").contains("percentile("),
+      s"rel_approx_stats exact-median reference must use the scan:\n$pa")
+  }
+
   test("stock_analysis: the only nested-loop join is the broadcast 1-row clock") {
     val p = plan("stock_analysis")
     // crossJoin(broadcast(1-row nowDf)) is the intended exception
