@@ -266,6 +266,20 @@ FROM agg1m ORDER BY window_timestamp, ticker"""),
     "stock_json_roundtrip" -> (stockCte + """
 SELECT ticker, ts, price, volume, ai_sentiment, ai_summary
 FROM stock ORDER BY ts, ticker"""),
+    // replay generator schedule: tick t plays bar t mod n in (ts,
+    // event_id) order — the oracle recomputes the contiguous index
+    // with row_number, independently of the engine's distributed
+    // zipWithIndex construction
+    "stock_replay" -> """
+WITH b AS (
+  SELECT event_id, event_type, user_id,
+    (row_number() OVER (ORDER BY ts, event_id) - 1)::BIGINT AS idx
+  FROM events),
+t AS (
+  SELECT unnest(range((SELECT count(*) * 3 // 2 FROM events)))::BIGINT AS tick)
+SELECT tick, idx, event_id, event_type, user_id
+FROM t JOIN b ON tick % (SELECT count(*) FROM events) = idx
+ORDER BY tick""",
   )
 
   /** All oracles, by query name. Extended by the relational / text /

@@ -59,6 +59,9 @@ object SparkEntry {
     "stock_mad_outliers" -> ((s, d) =>
       StockPipeline.madOutliers(
         StockPipeline.normalize(Tables.events(s, d)))),
+    // S3 replay generator, batch-stated schedule (tick -> bar mod n)
+    "stock_replay" -> ((s, d) =>
+      streaming.StreamingPipeline.replayBatch(s, d)),
     "stock_join" -> ((s, d) =>
       StockPipeline.joined(StockPipeline.normalize(Tables.events(s, d)))
         .orderBy(col("ticker"), col("window_timestamp"))),

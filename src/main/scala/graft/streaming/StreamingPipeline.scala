@@ -106,6 +106,26 @@ object StreamingPipeline {
       .drop("idx", "timestamp", "value")
   }
 
+  /** Batch statement of [[replayStream]]'s schedule — the oracle row
+    * for the replay generator: rate tick t plays bar idx = t mod n in
+    * (ts, event_id) order, so the contiguous [[indexedBars]] index
+    * (distributed zipWithIndex, spec-locked to row_number order) is
+    * what the oracle independently recomputes. 1.5·n ticks exercise
+    * the modulo wraparound. The replayed fixture is a bounded
+    * recording (operator-scoped, same table the stream side
+    * broadcasts), so the idx join broadcasts here too. */
+  def replayBatch(spark: SparkSession, dir: String): DataFrame = {
+    val bars = indexedBars(spark, dir)
+      .select(col("idx"), col("event_id"), col("event_type"), col("user_id"))
+    val n = bars.count()
+    spark.range(n * 3 / 2).toDF("tick")
+      .withColumn("idx", pmod(col("tick"), lit(n)))
+      .join(broadcast(bars), Seq("idx"))
+      .select(col("tick"), col("idx"), col("event_id"), col("event_type"),
+        col("user_id"))
+      .orderBy(col("tick"))
+  }
+
   /** True stream–stream interval join (StreamingSymmetricHashJoinExec —
     * the one join shape Structured Streaming runs continuously, unlike
     * the agg-after-agg J1 which needs foreachBatch): for each purchase,
