@@ -1086,6 +1086,116 @@ o$d AS (
         s"""SELECT query_id, $d::BIGINT AS dim, n_overlap,
   round(n_overlap::DOUBLE / 10, 6) AS overlap_at_k FROM o$d"""
       }.mkString("", "\nUNION ALL\n", "\nORDER BY dim, query_id")),
+    // Recall@k of the binary / IVF / IVF-PQ rungs vs exact brute force:
+    // each variant's retrieval chain is the SAME verified SQL as its own
+    // oracle row (CTEs renamed to coexist in one statement); the exact
+    // top-k is the spine of each overlap so every query reports recall
+    // even when its probed cells return < k candidates.
+    "sim_recall_report" -> (simBase + kmeansCtes + pqCtes + {
+      val m = graft.operators.Similarity.pqM
+      val sd = graft.operators.Similarity.pqSubDim
+      val it = graft.operators.Similarity.kmIters
+      def binHalf(off: Int): String = (0 until 32)
+        .map(j => s"(CASE WHEN ev[${off + j + 1}] > 0 THEN ${1L << j} ELSE 0 END)")
+        .mkString(" + ")
+      val joins = (0 until m).map(s =>
+        s"JOIN pa$s$it a$s USING (vec_id) JOIN pc$s$it c$s ON a$s.cell = c$s.cell")
+        .mkString("\n  ")
+      val adc = (0 until m)
+        .map(s => s"list_inner_product(p.qu[${s * sd + 1}:${(s + 1) * sd}], c$s.centroid)")
+        .mkString(" + ")
+      s""",
+bf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, b.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY ${cosSql("q.qv", "b.ev")} DESC, b.vec_id) AS rank
+    FROM q CROSS JOIN base b WHERE b.vec_id <> q.query_id)
+  WHERE rank <= 5),
+bn AS (
+  SELECT vec_id,
+    (${binHalf(0)})::BIGINT AS bin_lo,
+    (${binHalf(32)})::BIGINT AS bin_hi
+  FROM base),
+bq2 AS (SELECT vec_id AS query_id, bin_lo AS qlo, bin_hi AS qhi
+  FROM bn WHERE vec_id < 20),
+bn_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT bq2.query_id, bn.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY bq2.query_id ORDER BY
+        bit_count(xor(bin_lo, qlo)) + bit_count(xor(bin_hi, qhi)),
+        bn.vec_id) AS rank
+    FROM bn CROSS JOIN bq2 WHERE bn.vec_id <> bq2.query_id)
+  WHERE rank <= 5),
+cent AS (
+  SELECT label, ${unitSql("centroid")} AS cunit FROM (
+    SELECT label, list(cv ORDER BY pos) AS centroid FROM (
+      SELECT label, pos,
+        CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS cv FROM (
+        SELECT label, unnest(embedding::DOUBLE[]) AS v,
+               unnest(range(len(embedding))) AS pos
+        FROM embeddings)
+      GROUP BY label, pos)
+    GROUP BY label)),
+iv_pr AS (
+  SELECT query_id, qv, label FROM (
+    SELECT q.query_id, q.qv, cent.label,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY ${cosSql("q.qv", "cent.cunit")} DESC, cent.label) AS crank
+    FROM q CROSS JOIN cent)
+  WHERE crank <= 2),
+iv_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY query_id
+        ORDER BY ${cosSql("qv", "ev")} DESC, vec_id) AS rank
+    FROM base JOIN iv_pr ON base.label = iv_pr.label
+    WHERE vec_id <> query_id)
+  WHERE rank <= 5),
+pq3 AS (SELECT vec_id AS query_id, ev AS qu FROM asg$it WHERE vec_id < 20),
+pq_pr AS (
+  SELECT query_id, qu, cell FROM (
+    SELECT pq3.query_id, pq3.qu, c.cell,
+      row_number() OVER (PARTITION BY pq3.query_id
+        ORDER BY round(list_inner_product(pq3.qu, c.centroid), 6) DESC, c.cell) AS crank
+    FROM pq3 CROSS JOIN c$it c)
+  WHERE crank <= 2),
+pq_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.query_id, b.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY p.query_id
+        ORDER BY round($adc, 6) DESC, b.vec_id) AS rank
+    FROM asg$it b
+    JOIN pq_pr p ON b.cell = p.cell
+    $joins
+    WHERE b.vec_id <> p.query_id)
+  WHERE rank <= 5),
+ov_bn AS (
+  SELECT b.query_id, sum(CASE WHEN v.neighbor_id IS NOT NULL
+    THEN 1 ELSE 0 END)::BIGINT AS n_overlap
+  FROM bf b LEFT JOIN bn_top v
+    ON b.query_id = v.query_id AND b.neighbor_id = v.neighbor_id
+  GROUP BY b.query_id),
+ov_iv AS (
+  SELECT b.query_id, sum(CASE WHEN v.neighbor_id IS NOT NULL
+    THEN 1 ELSE 0 END)::BIGINT AS n_overlap
+  FROM bf b LEFT JOIN iv_top v
+    ON b.query_id = v.query_id AND b.neighbor_id = v.neighbor_id
+  GROUP BY b.query_id),
+ov_pq AS (
+  SELECT b.query_id, sum(CASE WHEN v.neighbor_id IS NOT NULL
+    THEN 1 ELSE 0 END)::BIGINT AS n_overlap
+  FROM bf b LEFT JOIN pq_top v
+    ON b.query_id = v.query_id AND b.neighbor_id = v.neighbor_id
+  GROUP BY b.query_id)
+SELECT variant, query_id, n_overlap,
+  round(n_overlap::DOUBLE / 5, 6) AS recall_at_k
+FROM (
+  SELECT 'binary' AS variant, query_id, n_overlap FROM ov_bn
+  UNION ALL SELECT 'ivf', query_id, n_overlap FROM ov_iv
+  UNION ALL SELECT 'ivfpq', query_id, n_overlap FROM ov_pq)
+ORDER BY variant, query_id"""
+    }),
   )
 
   // ---------------- multimodal ----------------

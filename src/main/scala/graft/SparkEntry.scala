@@ -257,6 +257,9 @@ object SparkEntry {
     // vs full-vector retrieval, per truncation dim
     "sim_matryoshka" -> ((s, d) =>
       Similarity.matryoshkaFidelity(Tables.embeddings(s, d))),
+    // recall@k of the binary/IVF/IVF-PQ rungs vs exact brute force
+    "sim_recall_report" -> ((s, d) =>
+      Similarity.recallReport(Tables.embeddings(s, d))),
     "sim_quantized_topk" -> ((s, d) =>
       Similarity.quantizedTopK(Tables.embeddings(s, d))),
     // 1-bit sign quantization + hamming ranking (the memory-bandwidth

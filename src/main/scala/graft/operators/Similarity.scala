@@ -922,6 +922,42 @@ object Similarity {
       .orderBy(col("dim"), col("query_id"))
   }
 
+  /** Recall@k of the approximate ANN ladder rungs against the exact
+    * brute-force ranking — [[matryoshkaFidelity]]'s first-class
+    * treatment extended to the IVF (label cells), IVF-PQ and binary
+    * variants: per query and variant, the integer overlap between the
+    * approximate top-k and the exact top-k, plus the recall fraction.
+    * Turns the "the index only prunes" plan assertions into the
+    * user-visible quality numbers an index choice is actually made on.
+    *
+    * Scale: each variant's retrieval is the already-verified operator
+    * (its own cost model applies); the overlaps join O(queries·k)
+    * ranked lists — metadata-sized at any corpus. */
+  def recallReport(embeddings: DataFrame, k: Int = 5,
+      nQueries: Int = 20): DataFrame = {
+    // exact top-k is the SPINE (always k rows per query), the variant
+    // joins in as a hit marker — a query whose probed cells return
+    // fewer than k (or zero) candidates still reports its recall
+    val exact = bruteForceTopK(embeddings, k, nQueries)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint() // the reference set, re-read once per variant
+    def overlap(name: String, approx: DataFrame): DataFrame =
+      exact.join(
+          approx.select(col("query_id"), col("neighbor_id"),
+            lit(1L).as("hit")),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+        .select(lit(name).as("variant"), col("query_id"), col("n_overlap"),
+          round(col("n_overlap").cast("double") / k, 6).as("recall_at_k"))
+    Seq(
+      overlap("binary", binaryTopK(embeddings, k, nQueries)),
+      overlap("ivf", ivfTopK(embeddings, k, nQueries)),
+      overlap("ivfpq", ivfPqTopK(embeddings, k, nQueries)))
+      .reduce(_ unionByName _)
+      .orderBy(col("variant"), col("query_id"))
+  }
+
   def nearDupPairs(embeddings: DataFrame, threshold: Double = 0.9,
       dim: Int = 64): DataFrame = {
     val sig = unitized(embeddings).withColumn("sig", srpSignature(col("unit"), dim))
