@@ -51,7 +51,17 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
       catch { case _: Throwable => None }
-      finally spark.sparkContext.clearJobGroup()
+      finally {
+        spark.sparkContext.clearJobGroup()
+        // Queries are self-contained, so any RDD still persisted after
+        // the count is an orphaned localCheckpoint. Dropping them here
+        // models per-job isolation (each production run is its own
+        // session) and keeps the block manager from filling across
+        // 145 queries × trials — measured: corpus_split_leakfree decays
+        // 2.9 s → 14.7 s over trials without this, stays ~2.5 s with.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
     }
     // Trials are INTERLEAVED (full pass over all queries, repeated) so a
     // sustained host-contention window poisons at most one sample per

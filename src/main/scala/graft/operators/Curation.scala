@@ -342,9 +342,9 @@ object Curation {
     val thresholds = Quantiles.exactPercentiles(
         pp.select(col("perplexity").as("v")), Seq(0.5))
       .select(round(element_at(col("bs"), 1), 6).as("pp_median"))
-      .crossJoin(Quantiles.exactPercentiles(
+      .crossJoin(broadcast(Quantiles.exactPercentiles(
           cos.select(col("centroid_cosine").as("v")), Seq(0.1))
-        .select(round(element_at(col("bs"), 1), 6).as("cos_p10")))
+        .select(round(element_at(col("bs"), 1), 6).as("cos_p10"))))
     documents.select(col("doc_id"))
       .join(q, Seq("doc_id"))
       .join(pp, Seq("doc_id"), "left")

@@ -22,8 +22,15 @@ import org.apache.spark.sql.functions._
   *      per-group min/max aggregate, per-(group, band) windows +
   *      per-group band offsets — no window ever spans more than one
   *      band of one group);
-  *   3. each requested percentile is two O(1) index probes resolved by
-  *      ONE broadcast-inequality join over the cumulative table.
+  *   3. each requested percentile's two index probes are resolved
+  *      MAP-SIDE: `ps` is a literal array, and the group's row count
+  *      rides every cumulative row, so each row tests its own index
+  *      range against the |ps| positions it can compute locally — a
+  *      posexplode + filter, no join shape at all. (An earlier form
+  *      used a broadcast-inequality join here; on the UNGROUPED path
+  *      the constant group key folded away and left a non-equi
+  *      BroadcastNestedLoopJoin — the exact plan shape PlanAuditSpec
+  *      exists to catch.)
   *
   * Worst case (every value distinct) this is an ordinary shuffle of
   * n slim rows across the cluster, which is exactly what the
@@ -36,8 +43,7 @@ object Quantiles {
     * `percentile` aggregate. `ps` must be literal fractions in [0, 1]. */
   private[operators] def exactPercentiles(values: DataFrame,
       ps: Seq[Double], nBands: Int = 128): DataFrame =
-    exactPercentilesBy(values.withColumn("__g", lit(0)), Seq("__g"), ps,
-      nBands).drop("__g")
+    exactPercentilesBy(values, Seq.empty, ps, nBands)
 
   /** Grouped form: one row per distinct `groupCols` combination, column
     * `bs` as in [[exactPercentiles]]. Groups whose `v` is all-null are
@@ -47,24 +53,36 @@ object Quantiles {
     * nBands) partials partitioned BY GROUP, and the cumulative window
     * over one (group, band) at a time — partition sizes are
     * O(distinct/nBands), corpus-size-independent when the value domain
-    * is bounded and an ordinary slim shuffle when it is not. */
+    * is bounded and an ordinary slim shuffle when it is not.
+    *
+    * `groupCols` empty = the global form: the per-group broadcast
+    * attachments become explicit cross-joins of the ONE-ROW min/max/n
+    * aggregate (the intended bounded-broadcast pattern; a synthetic
+    * constant key would constant-fold into a non-equi nested loop). */
   private[operators] def exactPercentilesBy(values: DataFrame,
       groupCols: Seq[String], ps: Seq[Double],
       nBands: Int = 128): DataFrame = {
-    val spark = values.sparkSession
     val g = groupCols.map(col)
+    // Per-group one-row attachments: broadcast equi-join on the group
+    // keys; with no groups the right side IS one row — explicit cross.
+    def attach(l: DataFrame, r: DataFrame): DataFrame =
+      if (groupCols.isEmpty) l.crossJoin(broadcast(r))
+      else l.join(broadcast(r), groupCols)
     val pc = values.filter(col("v").isNotNull)
       .groupBy(g :+ col("v"): _*).agg(count(lit(1)).as("c"))
+    // group extrema + total count in ONE aggregate over the slim
+    // distinct-value table (lo/hi drive the banding, n the positions)
+    val mm = pc.groupBy(g: _*)
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+        sum(col("c")).as("n"))
     // equal-width value bands (the priceHistogram formula: monotone in
     // v, so band order IS value order; degenerate hi==lo → band 0)
-    val mm = pc.groupBy(g: _*)
-      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
-    val banded = pc.join(broadcast(mm), groupCols)
+    val banded = attach(pc, mm)
       .withColumn("bucket",
         when(col("hi") === col("lo"), lit(0L)).otherwise(least(
           floor((col("v") - col("lo")) / (col("hi") - col("lo")) * nBands),
           lit(nBands - 1L)).cast("long")))
-      .select(g ++ Seq(col("v"), col("c"), col("bucket")): _*)
+      .select(g ++ Seq(col("v"), col("c"), col("n"), col("bucket")): _*)
     // per-group exclusive band prefix: O(groups × nBands) slim rows
     val wo = Window.partitionBy(g: _*).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -75,39 +93,34 @@ object Quantiles {
     val wb = Window.partitionBy(g :+ col("bucket"): _*).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, 0)
     // 0-based index range [cum_lo, cum_hi) of each distinct value in
-    // the group's value-sorted order
+    // the group's value-sorted order ("bucket" is a genuine equi key
+    // on both paths, so this never degrades to a nested loop)
     val cum = banded.join(broadcast(offsets), groupCols :+ "bucket")
-      .select(g ++ Seq(col("v"),
+      .select(g ++ Seq(col("v"), col("n"),
         (col("offset") + sum(col("c")).over(wb) - col("c")).as("cum_lo"),
         (col("offset") + sum(col("c")).over(wb)).as("cum_hi")): _*)
-    val total = pc.groupBy(g: _*).agg(sum(col("c")).as("n"))
-    // |ps| target positions per group → 2·|ps| (boundary, lo/hi) index
-    // probes, long-form so ONE broadcast-inequality join resolves every
-    // lookup in a single pass over the O(distinct) cumulative table
-    import spark.implicits._
-    val targets = ps.zipWithIndex
-      .map { case (p, i) => (i + 1L, p) }.toDF("i", "p")
-      .crossJoin(total)
-      .select(g ++ Seq(col("i"),
-        (col("p") * (col("n") - 1).cast("double")).as("pos")): _*)
-      .select(g ++ Seq(col("i"), col("pos"),
-        floor(col("pos")).cast("long").as("lo_idx"),
-        ceil(col("pos")).cast("long").as("hi_idx")): _*)
-    val probes = targets
-      .select(g ++ Seq(col("i"), col("pos"), col("lo_idx"), col("hi_idx"),
-        explode(array(
-          struct(lit("lo").as("kind"), col("lo_idx").as("idx")),
-          struct(lit("hi").as("kind"), col("hi_idx").as("idx")))).as("t")): _*)
-      .select(g ++ Seq(col("i"), col("pos"), col("lo_idx"), col("hi_idx"),
-        col("t.kind").as("kind"), col("t.idx").as("idx")): _*)
-    val keys = cum.as("c").join(broadcast(probes.as("p")),
-        groupCols.map(k => col(s"c.$k") === col(s"p.$k"))
-          .reduce(_ && _) &&
-          col("c.cum_lo") <= col("p.idx") && col("p.idx") < col("c.cum_hi"))
-      .groupBy(groupCols.map(k => col(s"p.$k").as(k)) ++
-        Seq(col("i"), col("pos"), col("lo_idx"), col("hi_idx")): _*)
-      .agg(max(when(col("kind") === "lo", col("v"))).as("lk"),
-        max(when(col("kind") === "hi", col("v"))).as("hk"))
+    // map-side probe resolution: each cum row expands to the |ps|
+    // literal percentiles, computes their positions from its own n,
+    // and keeps only the probes its index range answers — O(distinct ×
+    // |ps|) generated rows, filtered before the tiny final aggregate
+    val probed = cum
+      .select(g ++ Seq(col("v"), col("n"), col("cum_lo"), col("cum_hi"),
+        posexplode(array(ps.map(lit(_)): _*)).as(Seq("pi", "p"))): _*)
+      .withColumn("pos", col("p") * (col("n") - 1).cast("double"))
+      .withColumn("lo_idx", floor(col("pos")).cast("long"))
+      .withColumn("hi_idx", ceil(col("pos")).cast("long"))
+      .withColumn("lo_in",
+        col("lo_idx") >= col("cum_lo") && col("lo_idx") < col("cum_hi"))
+      .withColumn("hi_in",
+        col("hi_idx") >= col("cum_lo") && col("hi_idx") < col("cum_hi"))
+      .filter(col("lo_in") || col("hi_in"))
+    // ≤ 2 rows per (group, percentile) survive; lk/hk may come from
+    // the same row (both indexes in range) or two adjacent ones
+    val keys = probed
+      .groupBy(g ++ Seq((col("pi") + 1).as("i"), col("pos"),
+        col("lo_idx"), col("hi_idx")): _*)
+      .agg(max(when(col("lo_in"), col("v"))).as("lk"),
+        max(when(col("hi_in"), col("v"))).as("hk"))
     val bval = when(col("hi_idx") === col("lo_idx"), col("lk"))
       .when(col("hk") === col("lk"), col("lk"))
       .otherwise(

@@ -20,17 +20,56 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = spark.read.parquet(s"$dir/part.parquet")
   def orders(spark: SparkSession, dir: String): DataFrame    = spark.read.parquet(s"$dir/orders.parquet")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = spark.read.parquet(s"$dir/lineitem.parquet")
-  /** `events.ts` is TIMESTAMP(NANOS) in the parquet footer, which Spark's
-    * vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw
-    * nanos (legacy conf) and truncate to the microsecond precision of
-    * Catalyst's TimestampType — `div 1000` integer division matches the
-    * DuckDB oracle's `ts::TIMESTAMP` ns→µs truncation bit-for-bit
-    * (double division would lose precision: epoch-ns ≈ 1.7e18 > 2^53). */
+  /** `events.ts` has drifted across testdata generations — TIMESTAMP(NANOS)
+    * footers (which Spark's vectorized reader only accepts as raw longs via
+    * the legacy `nanosAsLong` conf), then TIMESTAMP(MICROS) without a UTC
+    * adjustment (which Spark infers as TIMESTAMP_NTZ). The logical contract
+    * is simply "a timestamp", so the reader branches on the *loaded* type
+    * instead of hard-coding one physical layout:
+    *
+    *   - `LongType`: `nanosAsLong` fired on a NANOS footer → truncate to
+    *     Catalyst's µs precision with `ts div 1000` integer division
+    *     (matches the DuckDB oracle's `ts::TIMESTAMP` ns→µs truncation
+    *     bit-for-bit; double division would lose precision: epoch-ns ≈
+    *     1.7e18 > 2^53) and rebuild the instant with `timestamp_micros`.
+    *   - `TimestampNTZType`: a MICROS footer with isAdjustedToUTC=false →
+    *     cast to TimestampType. The engine runs with
+    *     `spark.sql.session.timeZone=UTC`, so the wall-clock value becomes
+    *     the identical UTC instant — same µs value the oracle's naive
+    *     `ts::TIMESTAMP` sees.
+    *   - `TimestampType`: already an instant — pass through.
+    *
+    * Downstream operators therefore always see `ts: TimestampType` (UTC),
+    * whatever the footer said. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
+  }
+
+  /** Normalize an `events`-shaped frame's `ts` column to TimestampType
+    * (UTC instant) per the branch table in [[events]]. Shared by the batch
+    * reader and the file-stream source so both tolerate the same drift. */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _: TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.ts loaded as unsupported type $other — extend Tables.normalizeEventTs")
+    }
+  }
+
+  /** The raw (pre-normalization) schema Spark resolves for the events
+    * parquet at `dir` — file-stream sources need an explicit schema, and
+    * hard-coding one is exactly the drift trap [[events]] avoids, so the
+    * stream reader asks the batch footer instead. */
+  def eventsRawSchema(spark: SparkSession, dir: String): org.apache.spark.sql.types.StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet").schema
   }
   def documents(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(s"$dir/documents.parquet")
   def embeddings(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(s"$dir/embeddings.parquet")

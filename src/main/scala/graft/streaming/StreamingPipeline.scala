@@ -35,25 +35,20 @@ import graft.operators.{StockPipeline, TextAnalysis}
   */
 object StreamingPipeline {
 
-  /** Schema of the raw events parquet, with ts as raw nanos (file stream
-    * sources need an explicit schema; nanosAsLong applies). */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** Unbounded file-stream source over an events parquet directory (the
-    * test stand-in for Pub/Sub / Kafka — S1 in SURVEY.md §2.1). */
+    * test stand-in for Pub/Sub / Kafka — S1 in SURVEY.md §2.1). File
+    * stream sources need an explicit schema; rather than hard-code one
+    * physical timestamp layout (the drift trap that broke round 5), the
+    * schema is resolved from the directory's parquet footer and `ts` is
+    * normalized through the same branch table as the batch reader
+    * ([[graft.sources.Tables.normalizeEventTs]]). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet") // stream sources monitor a directory
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = graft.sources.Tables.eventsRawSchema(spark, dir)
+    graft.sources.Tables.normalizeEventTs(
+      spark.readStream
+        .schema(raw)
+        .option("pathGlobFilter", "events.parquet") // stream sources monitor a directory
+        .parquet(dir))
   }
 
   /** Normalize + event-time watermark (P1/P2/P5/P6 + W6). */

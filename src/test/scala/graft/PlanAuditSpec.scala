@@ -28,7 +28,9 @@ class PlanAuditSpec extends SparkSpec {
     "sim_pq_topk",         // ADC scan vs the 20-query broadcast
     "sim_binary_topk",     // hamming scan vs the 20-query broadcast
     "sim_rerank_topk",     // stage-1 ADC scan vs the 20-query broadcast
-    "sim_matryoshka")      // 1+|dims| brute-force scans vs 20 queries
+    "sim_matryoshka",      // 1+|dims| brute-force scans vs 20 queries
+    "sim_recall_report")   // composes binary/ivf/ivfpq probes, each the
+                           // same ≤ 20-query broadcast as its own row
 
   // Spark 4 prints "BroadcastNestedLoopJoin BuildLeft/BuildRight, <type>"
   // — the build side comes BEFORE the join type (an earlier form of this
