@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{Curation, Dedup, Packing}
 import graft.sources.{Sinks, Tables}
+import graft.Materialize.PinOps
 
 /** End-to-end corpus pipeline demo — the library's operators composed
   * the way a real training-data job runs them, from raw documents to a
@@ -46,7 +47,7 @@ object CorpusDemo {
     val audit = Curation.curatedCorpus(docs)
     val kept = docs.join(
       audit.filter(col("keep")).select("doc_id"), Seq("doc_id"))
-      .localCheckpoint() // curation verdicts are final; don't recompute
+      .pin() // curation verdicts are final; don't recompute
     val nKept = kept.count()
 
     // span-level dedup rewrites the surviving text (repeated passages
@@ -60,7 +61,7 @@ object CorpusDemo {
         .select(col("doc_id"), col("clean_text").as("text")), Seq("doc_id"))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .select("doc_id", "text", "lang", "source", "n_chars")
-      .localCheckpoint()
+      .pin()
     val nCleaned = cleaned.count()
 
     val mix = Curation.mixturePlan(cleaned).collect()

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
+import graft.Materialize.PinOps
 
 /** Training-data curation operators over the `documents` table — the
   * selection/downsampling layer of an LLM data pipeline: rule-based
@@ -116,7 +117,7 @@ object Curation {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(toks).cast("long")).as("n_tokens"))
-      .localCheckpoint(true)
+      .pin(eager = true)
     val tot = perLang.agg(sum(col("n_tokens")).as("total_tokens"))
     val tempered = perLang.crossJoin(broadcast(tot))
       .withColumn("share", col("n_tokens").cast("double") / col("total_tokens"))
@@ -379,7 +380,7 @@ object Curation {
     // and the decontamination branch. Materialize it once instead of
     // re-tokenizing + re-exploding + re-distinct-shuffling the corpus
     // per branch (the oracle's single shared `sh` CTE, mirrored).
-    val sh = Dedup.shingles(documents).localCheckpoint()
+    val sh = Dedup.shingles(documents).pin()
     val quality = qualityFilter(documents)
       .select(col("doc_id"), col("keep").as("q_keep"))
     val exactReps = Dedup.exact(documents)
@@ -448,7 +449,7 @@ object Curation {
       .select(col("doc_id"),
         TextAnalysis.clsScore(TextAnalysis.clsMargin(col("tk"))).as("score"),
         graft.functions.BpeExprs.bpeCount(col("text")).as("n_subwords"))
-      .localCheckpoint()
+      .pin()
     val banded = scored.withColumn("bucket", scoreBand(bands))
     val offsets = Packing.exclusivePrefix(
       banded.groupBy(col("bucket")).agg(sum(col("n_subwords")).as("part")),
@@ -489,7 +490,7 @@ object Curation {
       .withColumn("tk", toks)
       .select(col("doc_id"),
         TextAnalysis.clsScore(TextAnalysis.clsMargin(col("tk"))).as("score"))
-      .localCheckpoint()
+      .pin()
     val banded = scored.withColumn("bucket", scoreBand(bands))
     val offsets = Packing.exclusivePrefix(
       banded.groupBy(col("bucket")).agg(count(lit(1)).as("part")), "part")

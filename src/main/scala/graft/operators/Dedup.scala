@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
+import graft.Materialize.PinOps
 
 /** Deduplication operators for a training-data pipeline, over the
   * `documents` table: exact (fingerprint groupBy), MinHash+LSH
@@ -294,10 +295,10 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .distinct()
-      .localCheckpoint(true)
+      .pin(eager = true)
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
-      .localCheckpoint(true)
+      .pin(eager = true)
     var changed = 1L
     while (changed > 0) {
       val neighborMin = edges
@@ -308,7 +309,7 @@ object Dedup {
         .select(col("node"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("new_label"),
           col("label"))
-        .localCheckpoint(true)
+        .pin(eager = true)
       changed = updated.filter(col("new_label") < col("label")).count()
       labels = updated.select(col("node"), col("new_label").as("label"))
     }
@@ -349,7 +350,7 @@ object Dedup {
       .filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .distinct()
-    var edges = oriented.localCheckpoint(true)
+    var edges = oriented.pin(eager = true)
 
     def checksum(e: DataFrame): (Long, Long) = {
       val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
@@ -361,7 +362,7 @@ object Dedup {
     if (cs._1 <= localMaxEdges) return clustersLocal(edges)
     val allNodes = edges
       .select(explode(array(col("u"), col("v"))).as("node")).distinct()
-      .localCheckpoint(true)
+      .pin(eager = true)
     def largeStar(e: DataFrame): DataFrame = {
       val und = e.select(col("u"), col("v"))
         .union(e.select(col("v").as("u"), col("u").as("v")))
@@ -380,7 +381,7 @@ object Dedup {
 
     var converged = cs._1 == 0L
     while (!converged) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val next = smallStar(largeStar(edges)).pin(eager = true)
       val ncs = checksum(next)
       converged = ncs == cs
       edges = next

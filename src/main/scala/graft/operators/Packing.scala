@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
+import graft.Materialize.PinOps
 
 /** Corpus-assembly operators — the step after curation in an LLM data
   * pipeline: turn the kept documents into the artifacts training jobs
@@ -142,7 +143,7 @@ object Packing {
     // bounds scan and the window branch then share one tokenization
     // pass instead of re-splitting the full corpus per branch
     val t = documents.select(col("doc_id"), tokenCount.as("n_tokens"))
-      .localCheckpoint()
+      .pin()
     val bounds = t.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
     val b = t.crossJoin(broadcast(bounds))
       .withColumn("bucket",
@@ -206,7 +207,7 @@ object Packing {
     val keyed = documents.select(
         (idCols :+ Portable.hash32(hashInput).as("shuffle_key")): _*)
       .withColumn("bucket", expr(s"shuffle_key div $step"))
-      .localCheckpoint()
+      .pin()
     val offsets = exclusivePrefix(
       keyed.groupBy(col("bucket")).agg(count(lit(1)).as("part")), "part")
     val w = Window.partitionBy(col("bucket"))
@@ -243,7 +244,7 @@ object Packing {
         Portable.hash32(concat(lit(shuffleSalt), col("doc_id").cast("string")))
           .as("shuffle_key"))
       .withColumn("bucket", expr(s"shuffle_key div $step"))
-      .localCheckpoint()
+      .pin()
     val offsets = keyed.groupBy(col("split"), col("bucket"))
       .agg(count(lit(1)).as("part"))
       .withColumn("offset",

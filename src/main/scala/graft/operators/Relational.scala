@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
+import graft.Materialize.PinOps
 
 /** Relational analytics over the TPC-H-ish star schema — the join /
   * aggregate / window / semi / anti / rollup surface the reference
@@ -476,7 +477,7 @@ object Relational {
     val act = Tables.events(spark, dir)
       .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
       .distinct()
-      .localCheckpoint(true)
+      .pin(eager = true)
     val cohorts = act.groupBy(col("user_id")).agg(min(col("d")).as("c"))
     val sizes = cohorts.groupBy(col("c")).agg(count(lit(1)).as("cohort_size"))
     act.join(cohorts, Seq("user_id"))
@@ -506,7 +507,7 @@ object Relational {
     val counts = Tables.lineitem(spark, dir)
       .groupBy(col("l_suppkey"))
       .agg(count(lit(1)).as("n_rows"))
-      .localCheckpoint(true) // O(#keys); stats + top-k both read it
+      .pin(eager = true) // O(#keys); stats + top-k both read it
     val stats = counts.agg(sum(col("n_rows")).as("total"),
       count(lit(1)).as("n_keys"))
     counts.crossJoin(broadcast(stats))
@@ -609,7 +610,7 @@ object Relational {
       .filter(col("l_shipdate") >
         col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"))
       .select(col("l_orderkey"), col("l_suppkey"))
-      .localCheckpoint() // read twice: the per-order agg and the rows
+      .pin() // read twice: the per-order agg and the rows
     val orderSupp = l.groupBy(col("l_orderkey"))
       .agg(countDistinct(col("l_suppkey")).as("ns"))
     val lateSupp = late.groupBy(col("l_orderkey"))
@@ -820,7 +821,7 @@ object Relational {
     val byYear = Tables.orders(spark, dir)
       .select(col("o_custkey"), year(col("o_orderdate")).as("yr"))
       .distinct()
-      .localCheckpoint(true)
+      .pin(eager = true)
     def buyers(y: Int) = byYear.filter(col("yr") === y).select(col("o_custkey"))
     val later96 = byYear.filter(col("yr") > 1996)
       .select(col("o_custkey")).distinct()
@@ -924,7 +925,7 @@ object Relational {
     val act = events
       .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
       .distinct()
-      .localCheckpoint() // read three times: days, dau, contributions
+      .pin() // read three times: days, dau, contributions
     val days = act.select(col("d")).distinct()
     val dau = act.groupBy(col("d"))
       .agg(countDistinct(col("user_id")).as("dau"))
@@ -1053,7 +1054,7 @@ object Relational {
       .groupBy(col("l_suppkey"))
       .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
         .as("total_revenue"))
-      .localCheckpoint() // read twice: the max fold and the equality probe
+      .pin() // read twice: the max fold and the equality probe
     val best = revenue.agg(max(col("total_revenue")).as("max_revenue"))
     revenue.crossJoin(broadcast(best))
       .filter(col("total_revenue") === col("max_revenue"))

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Materialize.PinOps
 
 /** Similarity search over the `embeddings` table
   * (vec_id, embedding: Array[Float], label): brute-force cosine top-k as
@@ -179,7 +180,7 @@ object Similarity {
       val a = TopK.perKey(scored, Seq("vec_id"),
           Seq("d" -> true, "cell" -> false), 1)
         .select(col("vec_id"), col("unit"), col("cell"))
-      asg = a.localCheckpoint(i == iters)
+      asg = a.pin(eager = i == iters)
       val cm = asg
         .select(col("cell"), posexplode(col("unit")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos"))
@@ -413,7 +414,7 @@ object Similarity {
         (0 until pqM).map(s =>
           slice(col("unit"), s * pqSubDim + 1, pqSubDim)): _*))
         .as(Seq("sub", "v")))
-      .localCheckpoint(true)
+      .pin(eager = true)
     val seedIds = base
       .withColumn("hk", graft.functions.Portable.hash32(
         concat(lit(pqSalt), col("vec_id").cast("string"))))
@@ -435,7 +436,7 @@ object Similarity {
       asg = TopK.perKey(scored, Seq("sub", "vec_id"),
           Seq("dist" -> false, "cell" -> false), 1)
         .select(col("sub"), col("vec_id"), col("v"), col("cell"))
-        .localCheckpoint(i == iters)
+        .pin(eager = i == iters)
       val cm = asg
         .select(col("sub"), col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("sub"), col("cell"), col("pos"))
@@ -506,7 +507,7 @@ object Similarity {
     // normalize the corpus ONCE; both build passes read the same
     // materialized base (two scans at 100 TB otherwise)
     val base = unitized(embeddings).select(col("vec_id"), col("unit"))
-      .localCheckpoint(true)
+      .pin(eager = true)
     val (asg, cents) = kmeansOnUnits(base)
     val (codes, pqCents) = pqBuildOnUnits(base)
     val queries = asg.filter(col("vec_id") < nQueries)
@@ -546,7 +547,7 @@ object Similarity {
   def ivfPqResidualTopK(embeddings: DataFrame, k: Int = 5,
       nQueries: Int = 20, nprobe: Int = 2): DataFrame = {
     val base = unitized(embeddings).select(col("vec_id"), col("unit"))
-      .localCheckpoint(true)
+      .pin(eager = true)
     val (asg, cents) = kmeansOnUnits(base)
     // Residuals subtract the assigned cell's MEAN (decimal-exact,
     // NON-unitized — the least-squares center, as in Jégou's plain-
@@ -644,7 +645,7 @@ object Similarity {
       cells: Int = kmK): DataFrame = {
     val g = knnGraph(embeddings, k, cells)
       .select(col("vec_id"), col("neighbor_id"), col("cosine"))
-      .localCheckpoint(true)
+      .pin(eager = true)
     g.as("a").join(g.as("b"),
         col("a.vec_id") === col("b.neighbor_id") &&
           col("a.neighbor_id") === col("b.vec_id") &&
@@ -683,12 +684,12 @@ object Similarity {
       damping: Double = prDamping, iters: Int = prIters): DataFrame = {
     val graph = knnGraph(embeddings, k, cells)
       .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
-      .localCheckpoint(true)
+      .pin(eager = true)
     val outdeg = graph.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val edges = graph.join(outdeg, Seq("src")).localCheckpoint(true)
+    val edges = graph.join(outdeg, Seq("src")).pin(eager = true)
     val nodes = graph
       .select(explode(array(col("src"), col("dst"))).as("node")).distinct()
-      .localCheckpoint(true)
+      .pin(eager = true)
     val n = nodes.count()
     var ranks = nodes.withColumn("p", lit(1.0 / n))
     for (i <- 1 to iters) {
@@ -701,7 +702,7 @@ object Similarity {
         .select(col("node"),
           (lit((1 - damping) / n) +
             lit(damping) * coalesce(col("inflow"), lit(0.0))).as("p"))
-        .localCheckpoint(i == iters) // lazy intermediates, eager final
+        .pin(eager = i == iters) // lazy intermediates, eager final
     }
     ranks.select(col("node").as("vec_id"), round(col("p"), 10).as("pagerank"))
       .orderBy(col("vec_id"))
@@ -807,7 +808,7 @@ object Similarity {
   def rerankTopK(embeddings: DataFrame, k: Int = 5, candK: Int = 50,
       nQueries: Int = 20): DataFrame = {
     val base = unitized(embeddings).select(col("vec_id"), col("unit"))
-      .localCheckpoint(true)
+      .pin(eager = true)
     val (codes, cents) = pqBuildOnUnits(base)
     val queries = base.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("unit").as("qu"))
@@ -903,7 +904,7 @@ object Similarity {
       nQueries: Int = 20, dims: Seq[Int] = mrlDims): DataFrame = {
     val full = bruteForceTopK(embeddings, k, nQueries)
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
-      .localCheckpoint() // the reference set, re-read once per dim
+      .pin() // the reference set, re-read once per dim
     dims.map { d =>
       // one left join + one aggregate: every query keeps its k rows
       // through the left join, so zero-overlap queries survive the
@@ -940,7 +941,7 @@ object Similarity {
     // fewer than k (or zero) candidates still reports its recall
     val exact = bruteForceTopK(embeddings, k, nQueries)
       .select(col("query_id"), col("neighbor_id"))
-      .localCheckpoint() // the reference set, re-read once per variant
+      .pin() // the reference set, re-read once per variant
     def overlap(name: String, approx: DataFrame): DataFrame =
       exact.join(
           approx.select(col("query_id"), col("neighbor_id"),

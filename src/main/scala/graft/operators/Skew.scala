@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Materialize.PinOps
 
 /** Skew mitigation for joins (SURVEY.md §4 / the 100 TB contract).
   *
@@ -49,7 +50,7 @@ object Skew {
     // magnitude under the corpus): hot, anti-join, and cold all derive
     // from it, and without this the aggregate subtree is planned three
     // times (AQE stage reuse is best-effort, not guaranteed)
-    val s = small.localCheckpoint(true)
+    val s = small.pin(eager = true)
     val hot = s.orderBy(weight.desc +: keys.map(col(_).asc): _*)
       .limit(hotK) // TakeOrderedAndProject: no global sort
     val cold = s.join(broadcast(hot.select(keys.map(col): _*)),

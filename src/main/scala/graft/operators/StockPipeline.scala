@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
+import graft.Materialize.PinOps
 
 /** The reference's streaming stock-analysis DAG
   * (`/root/reference/analysis-dataflow-pipeline/pipeline.py`) re-expressed
@@ -130,7 +131,7 @@ object StockPipeline {
       .withColumn("run_peak", max(col("latest_price")).over(w))
       .withColumn("dd",
         round((col("run_peak") - col("latest_price")) / col("run_peak"), 6))
-      .localCheckpoint() // read twice: the per-ticker max and the probe
+      .pin() // read twice: the per-ticker max and the probe
     val mdd = dd.groupBy(col("ticker"))
       .agg(max(col("dd")).as("max_drawdown"),
         sum((col("dd") > 0).cast("long")).as("n_underwater"))
@@ -160,7 +161,7 @@ object StockPipeline {
     // through [[Quantiles.exactPercentilesBy]] instead.
     val m = agg1m(stock)
       .select(col("ticker"), col("window_timestamp"), col("latest_price"))
-      .localCheckpoint() // read twice: the median pass and the dev join
+      .pin() // read twice: the median pass and the dev join
     val med = m.groupBy(col("ticker"))
       .agg(round(expr("percentile(latest_price, 0.5D)"), 6).as("med"))
     val dev = m.join(broadcast(med), Seq("ticker"))

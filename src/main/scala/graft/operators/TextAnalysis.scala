@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
+import graft.Materialize.PinOps
 
 /** Text-analysis operators for a training-data pipeline, over the
   * `documents` table (doc_id, text, lang, source, n_chars): language-ID
@@ -286,7 +287,7 @@ object TextAnalysis {
   def novelty(documents: DataFrame, hotK: Int = 16): DataFrame = {
     // post-hash distinct: the (doc_id, h) universe the dedup family
     // shuffles on (a 32-bit collision inside one doc must count once)
-    val sh = Dedup.shingleHashes(documents).distinct().localCheckpoint()
+    val sh = Dedup.shingleHashes(documents).distinct().pin()
     val df = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
     Skew.hotColdJoin(sh, df, Seq("h"), col("df"), hotK)
       .groupBy(col("doc_id"))

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.operators.{StockPipeline, TextAnalysis}
+import graft.Materialize.PinOps
 
 /** The reference's streaming DAG (`analysis-dataflow-pipeline/
   * pipeline.py:69-133`) under Structured Streaming. The transform logic
@@ -232,7 +233,7 @@ object StreamingPipeline {
       } else batchUnique
     // localCheckpoint: `fresh` reads the index path this trigger also
     // writes; materialize before touching either sink
-    val kept = fresh.localCheckpoint()
+    val kept = fresh.pin()
     kept.drop("fingerprint")
       .write.mode("overwrite").parquet(s"$corpusPath/batch=$batchId")
     kept.select(col("fingerprint"), col("doc_id"))
@@ -297,7 +298,7 @@ object StreamingPipeline {
       } else inBatchKept
     // materialize before writing: `fresh` reads the index path this
     // trigger also writes
-    val kept = fresh.localCheckpoint()
+    val kept = fresh.pin()
     val cleaned = kept.groupBy(col("doc_id"))
       .agg(graft.operators.Dedup.orderedSpanConcat(
         "struct(span_idx, span_text)").as("text"))
