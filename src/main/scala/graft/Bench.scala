@@ -53,14 +53,14 @@ object Bench {
       catch { case _: Throwable => None }
       finally {
         spark.sparkContext.clearJobGroup()
-        // Queries are self-contained, so any RDD still persisted after
-        // the count is an orphaned localCheckpoint. Dropping them here
-        // models per-job isolation (each production run is its own
-        // session) and keeps the block manager from filling across
-        // 145 queries × trials — measured: corpus_split_leakfree decays
-        // 2.9 s → 14.7 s over trials without this, stays ~2.5 s with.
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+        // Queries are self-contained, so any pin still live after the
+        // count is an orphan. Releasing here models per-job isolation
+        // (each production run is its own session) and keeps the block
+        // manager — and, in reliable mode, the checkpoint dir — from
+        // filling across 145 queries × trials. Measured:
+        // corpus_split_leakfree decays 2.9 s → 14.7 s over trials
+        // without this, stays ~2.5 s with.
+        Materialize.releasePins(spark)
       }
     }
     // Trials are INTERLEAVED (full pass over all queries, repeated) so a

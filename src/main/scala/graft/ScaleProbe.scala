@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Materialize.PinOps
 import graft.operators.StockPipeline
 
 /** Scaling probe: multiply the events table N× (time-shifted copies, so
@@ -62,7 +63,7 @@ object ScaleProbe {
       import graft.operators.{Curation, Dedup, Packing}
       Dedup.minhashPairs(graft.sources.Tables.documents(spark, sfDir)).count() // warm-up
       multiples.foreach { n =>
-        val df = multipliedDocs(n).localCheckpoint()
+        val df = multipliedDocs(n).pin(eager = true)
         val rows = df.count()
         def t(f: => Long): (Long, Double) = {
           val t0 = System.nanoTime(); val c = f
@@ -108,7 +109,7 @@ object ScaleProbe {
         }.reduce(_ unionAll _)
       }
       multiples.foreach { n =>
-        val df = multipliedEmb(n).localCheckpoint()
+        val df = multipliedEmb(n).pin(eager = true)
         val rows = df.count()
         val t0 = System.nanoTime()
         val out = Similarity.semDedup(df, k = Similarity.kmK * n).count()
@@ -143,7 +144,7 @@ object ScaleProbe {
       Similarity.knnGraphMultiProbe(
         graft.sources.Tables.embeddings(spark, sfDir)).count() // warm-up
       multiples.foreach { n =>
-        val df = multipliedEmb(n).localCheckpoint()
+        val df = multipliedEmb(n).pin(eager = true)
         val rows = df.count()
         def t(f: => Long): (Long, Double) = {
           val t0 = System.nanoTime(); val c = f
@@ -167,7 +168,7 @@ object ScaleProbe {
       import graft.operators.Relational
       Relational.asofJoinOn(graft.sources.Tables.events(spark, sfDir)).count() // warm-up
       multiples.foreach { n =>
-        val df = multiplied(n).localCheckpoint()
+        val df = multiplied(n).pin(eager = true)
         val rows = df.count()
         val t0 = System.nanoTime()
         val out = Relational.asofJoinOn(df).count()

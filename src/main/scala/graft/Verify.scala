@@ -30,10 +30,10 @@ object Verify {
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
         finally
-          // drop orphaned localCheckpoint blocks between self-contained
-          // queries — same per-job isolation as Bench.timeOnce
-          spark.sparkContext.getPersistentRDDs.values
-            .foreach(_.unpersist(blocking = false))
+          // drop orphaned pins (blocks + reliable-mode checkpoint data)
+          // between self-contained queries — same per-job isolation as
+          // Bench.timeOnce
+          Materialize.releasePins(spark)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

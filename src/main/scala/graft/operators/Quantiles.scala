@@ -130,5 +130,12 @@ object Quantiles {
       .groupBy(g: _*)
       .agg(transform(array_sort(collect_list(struct(col("i"), col("b")))),
         x => x.getField("b")).as("bs"))
+      // Empty/all-null input: the grouped path has no groups, but the
+      // UNGROUPED global aggregate emits one row with bs = [] — and a
+      // caller's element_at(bs, i) would then yield null (or throw
+      // under ANSI mode) instead of the empty join the contract
+      // promises. Dropping the empty row restores "no input → no rows"
+      // on both paths; non-empty inputs always carry a non-empty bs.
+      .filter(size(col("bs")) > 0)
   }
 }

@@ -66,39 +66,75 @@ object StreamingPipeline {
 
   /** S3 replay source: a `rate` stream deterministically indexing into
     * the historical events table — one micro-batch of bars per trigger,
-    * replaying history as live data (`main.py:70-75`). The bars side is
-    * broadcast; the modulo join never shuffles the rate stream.
-    *
-    * The contiguous 0..n-1 replay index is built with a DISTRIBUTED
-    * range sort + per-partition zipWithIndex (offsets from partition
-    * sizes) — never an unpartitioned window, which would funnel the
-    * whole bars table through one task. */
-  /** Bars with a contiguous replay index 0..n-1 in (ts, event_id) order
-    * — distributed construction (see [[replayStream]] doc). */
+    * replaying history as live data (`main.py:70-75`). Small recordings
+    * broadcast; past [[replayBroadcastMaxRows]] the idx join degrades
+    * to an ordinary shuffled equi join (see [[joinBars]]). */
+  /** Bars with a contiguous replay index 0..n-1 in (ts, event_id)
+    * order — fully declarative two-level band scan (the
+    * [[graft.operators.Packing.packAssign]] pattern): equal-width ts
+    * bands from a broadcast min/max aggregate, per-band `row_number`
+    * ordered by (ts, event_id), plus broadcast exclusive band offsets.
+    * The band expression is monotone in ts and a pure function of it,
+    * so band order IS ts order and equal timestamps can never straddle
+    * a band — no window spans more than one band, and (unlike the
+    * earlier range-partition + rdd.zipWithIndex form this replaces)
+    * the plan never leaves Catalyst/whole-stage codegen, so every
+    * downstream consumer keeps the columnar path. */
   def indexedBars(spark: SparkSession, dir: String,
-      numPartitions: Int = 0): DataFrame = {
+      bands: Int = 256): DataFrame = {
     val events = graft.sources.Tables.events(spark, dir)
-    val ranged =
-      if (numPartitions > 0)
-        events.repartitionByRange(numPartitions, col("ts"), col("event_id"))
-      else events.repartitionByRange(col("ts"), col("event_id"))
-    val sorted = ranged.sortWithinPartitions(col("ts"), col("event_id"))
-    spark.createDataFrame(
-      sorted.rdd.zipWithIndex.map { case (r, i) =>
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
-      },
-      sorted.schema.add("idx", org.apache.spark.sql.types.LongType,
-        nullable = false))
+    val e = events.withColumn("ts_us", unix_micros(col("ts")))
+    val bounds = e.agg(min(col("ts_us")).as("lo"), max(col("ts_us")).as("hi"))
+    val banded = e.crossJoin(broadcast(bounds))
+      .withColumn("band",
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(expr(s"((ts_us - lo) * $bands) div (hi - lo + 1)")))
+      .drop("lo", "hi")
+    // O(bands) partials: the unpartitioned offsets window is the
+    // deliberate bounded exception (metadata-sized, one row per band)
+    val wo = org.apache.spark.sql.expressions.Window.orderBy(col("band"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = banded.groupBy(col("band")).agg(count(lit(1)).as("part"))
+      .withColumn("offset", coalesce(sum(col("part")).over(wo), lit(0L)))
+      .select(col("band"), col("offset"))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band")).orderBy(col("ts"), col("event_id"))
+    banded.join(broadcast(offsets), Seq("band"))
+      .withColumn("idx", col("offset") + row_number().over(wb) - 1)
+      .select(events.columns.map(col) :+ col("idx"): _*)
   }
+
+  /** Bars-row ceiling for broadcasting the replay fixture. The
+    * reference's recording is a bounded one-day capture (~13.6 k rows —
+    * `main.py:50-75`), so the broadcast is the right default plan; but
+    * the broadcast was sized by the events table, not by a constant,
+    * and a 100× recording would OOM it. Same self-enforcing-contract
+    * pattern as [[graft.operators.Dedup.ccLocalMaxEdges]]: past the
+    * threshold the join degrades gracefully to a shuffled equi join on
+    * the uniformly-distributed idx key instead of failing. 1M slim bar
+    * rows ≈ tens of MB — comfortably inside Spark's broadcast budget.
+    * Override per-run: `-Dgraft.replay.broadcastMaxRows=N`. */
+  val replayBroadcastMaxRowsProp = "graft.replay.broadcastMaxRows"
+  def replayBroadcastMaxRows: Long =
+    sys.props.get(replayBroadcastMaxRowsProp).map(_.toLong)
+      .getOrElse(1L * 1024 * 1024)
+
+  /** The replay idx join with the broadcast guard applied: broadcast
+    * below the threshold, plain shuffled equi join above it (stream-
+    * static joins plan the shuffle per micro-batch). */
+  private def joinBars(ticks: DataFrame, bars: DataFrame, n: Long): DataFrame =
+    if (n <= replayBroadcastMaxRows) ticks.join(broadcast(bars), Seq("idx"))
+    else ticks.join(bars, Seq("idx"))
 
   def replayStream(spark: SparkSession, dir: String,
       rowsPerSecond: Int = 100): DataFrame = {
     val bars = indexedBars(spark, dir)
     val n = bars.count()
-    spark.readStream.format("rate")
-      .option("rowsPerSecond", rowsPerSecond.toLong).load()
-      .withColumn("idx", pmod(col("value"), lit(n)))
-      .join(broadcast(bars), Seq("idx"))
+    joinBars(
+      spark.readStream.format("rate")
+        .option("rowsPerSecond", rowsPerSecond.toLong).load()
+        .withColumn("idx", pmod(col("value"), lit(n))),
+      bars, n)
       .drop("idx", "timestamp", "value")
   }
 
@@ -107,16 +143,16 @@ object StreamingPipeline {
     * (ts, event_id) order, so the contiguous [[indexedBars]] index
     * (distributed zipWithIndex, spec-locked to row_number order) is
     * what the oracle independently recomputes. 1.5·n ticks exercise
-    * the modulo wraparound. The replayed fixture is a bounded
-    * recording (operator-scoped, same table the stream side
-    * broadcasts), so the idx join broadcasts here too. */
+    * the modulo wraparound. The idx join carries the same
+    * [[joinBars]] broadcast guard as the stream side. */
   def replayBatch(spark: SparkSession, dir: String): DataFrame = {
     val bars = indexedBars(spark, dir)
       .select(col("idx"), col("event_id"), col("event_type"), col("user_id"))
     val n = bars.count()
-    spark.range(n * 3 / 2).toDF("tick")
-      .withColumn("idx", pmod(col("tick"), lit(n)))
-      .join(broadcast(bars), Seq("idx"))
+    joinBars(
+      spark.range(n * 3 / 2).toDF("tick")
+        .withColumn("idx", pmod(col("tick"), lit(n))),
+      bars, n)
       .select(col("tick"), col("idx"), col("event_id"), col("event_type"),
         col("user_id"))
       .orderBy(col("tick"))
@@ -231,9 +267,11 @@ object StreamingPipeline {
           .filter(col("batch") =!= batchId) // replay: ignore own attempt
         batchUnique.join(index, Seq("fingerprint"), "left_anti")
       } else batchUnique
-    // localCheckpoint: `fresh` reads the index path this trigger also
-    // writes; materialize before touching either sink
-    val kept = fresh.pin()
+    // EAGER pin: `fresh` reads the index path this trigger also
+    // writes — the cut must complete before the first sink write, not
+    // ride the first action, or correctness would silently depend on
+    // the corpus write always preceding the index write
+    val kept = fresh.pin(eager = true)
     kept.drop("fingerprint")
       .write.mode("overwrite").parquet(s"$corpusPath/batch=$batchId")
     kept.select(col("fingerprint"), col("doc_id"))
@@ -296,9 +334,10 @@ object StreamingPipeline {
           .filter(col("batch") =!= batchId) // replay: ignore own attempt
         inBatchKept.join(index.select(col("hh")), Seq("hh"), "left_anti")
       } else inBatchKept
-    // materialize before writing: `fresh` reads the index path this
-    // trigger also writes
-    val kept = fresh.pin()
+    // EAGER pin: `fresh` reads the index path this trigger also
+    // writes — materialization must complete before EITHER write
+    // starts, so the two writes' order can never matter
+    val kept = fresh.pin(eager = true)
     val cleaned = kept.groupBy(col("doc_id"))
       .agg(graft.operators.Dedup.orderedSpanConcat(
         "struct(span_idx, span_text)").as("text"))

@@ -47,4 +47,66 @@ class MaterializeSpec extends SparkSpec {
       }
     }
   }
+
+  test("withPins frees blocks pinned in scope and leaves outer pins intact") {
+    import graft.Materialize.PinOps
+    import spark.implicits._
+    Materialize.releasePins(spark) // clean slate
+    val outer = Seq(1, 2, 3).toDF("x").pin(eager = true)
+    assert(outer.count() === 3)
+    val outerIds = spark.sparkContext.getPersistentRDDs.keySet
+    assert(outerIds.nonEmpty, "an eager local pin must register blocks")
+    Materialize.withPins(spark) {
+      val inner = Seq(4, 5).toDF("y").pin(eager = true)
+      assert(inner.count() === 2)
+      assert(spark.sparkContext.getPersistentRDDs.keySet.size > outerIds.size,
+        "the scope's pin must be live inside the scope")
+    }
+    // scope exit: the inner pin is gone, the outer one untouched
+    assert(spark.sparkContext.getPersistentRDDs.keySet === outerIds)
+    assert(outer.count() === 3)
+    Materialize.releasePins(spark)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "releasePins must drop every remaining pin")
+  }
+
+  test("withPins releases pins when the body throws") {
+    import graft.Materialize.PinOps
+    import spark.implicits._
+    Materialize.releasePins(spark)
+    intercept[RuntimeException] {
+      Materialize.withPins(spark) {
+        Seq(1).toDF("x").pin(eager = true).count()
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
+  test("reliable mode: withPins deletes the scope's checkpoint files") {
+    import graft.Materialize.PinOps
+    import spark.implicits._
+    val prev = sys.props.get(Materialize.modeProp)
+    sys.props(Materialize.modeProp) = "reliable"
+    try {
+      def rddDirs(): Set[String] =
+        spark.sparkContext.getCheckpointDir.toSet[String].flatMap { d =>
+          Option(new java.io.File(new java.net.URI(d).getPath).listFiles())
+            .toSeq.flatten.map(_.getName).filter(_.startsWith("rdd-"))
+        }
+      val before = rddDirs()
+      Materialize.withPins(spark) {
+        Seq(1, 2).toDF("x").pin(eager = true).count()
+        assert((rddDirs() -- before).nonEmpty,
+          "an eager reliable pin must write rdd-* checkpoint data")
+      }
+      assert(rddDirs() === before,
+        "scope exit must delete the scope's rdd-* checkpoint dirs")
+    } finally {
+      prev match {
+        case Some(v) => sys.props(Materialize.modeProp) = v
+        case None => sys.props.remove(Materialize.modeProp)
+      }
+    }
+  }
 }

@@ -50,6 +50,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(bnljNonCross.findFirstIn(plan).isDefined, plan)
   }
 
+  test("the RDD API appears only in the whitelisted imperative seams") {
+    // The engine is declarative end-to-end: leaving Catalyst via .rdd
+    // silently drops codegen + the columnar path for every downstream
+    // consumer (round 6 retired the last registered-path hop, the old
+    // indexedBars zipWithIndex). The two legitimate exceptions:
+    //  - plans/GroupedTopK.scala: a physical operator — SparkPlan's
+    //    doExecute contract IS RDD[InternalRow];
+    //  - operators/Dedup.scala: the documented single-task union-find
+    //    fast path (per-partition imperative state, mapPartitions-shaped).
+    val allowed = Set("plans/GroupedTopK.scala", "operators/Dedup.scala")
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    val rddUse = """\.rdd\b""".r
+    import scala.jdk.CollectionConverters._
+    val offenders = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .filter { p =>
+        val rel = root.relativize(p).toString
+        !allowed(rel) &&
+          rddUse.findFirstIn(java.nio.file.Files.readString(p)).isDefined
+      }
+      .map(root.relativize(_).toString).toSeq
+    assert(offenders.isEmpty,
+      s"unexpected .rdd use (add to whitelist only with a scale argument): " +
+        offenders.mkString(", "))
+  }
+
   test("no registered query plans a cartesian or unbounded nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>

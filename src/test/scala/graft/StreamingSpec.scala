@@ -198,17 +198,52 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
-  test("replay index: contiguous 0..n-1 in (ts, event_id) order, built partition-parallel") {
-    // force 8 range partitions: the index must stay globally contiguous
-    // even though no single task ever sees the whole table
+  test("replay index: contiguous 0..n-1 in (ts, event_id) order, built band-parallel") {
+    // force 8 ts bands: the index must stay globally contiguous even
+    // though no single window partition ever sees the whole table
     val bars = StreamingPipeline.indexedBars(spark, "/root/testdata/sf0.001", 8)
-    assert(bars.rdd.getNumPartitions === 8)
+    // the construction is declarative end-to-end: the banded window scan
+    // replaced the old rdd.zipWithIndex hop, so the plan must stay in
+    // Catalyst (no ExistingRDD scan = no RDD boundary, codegen survives)
+    assert(!bars.queryExecution.executedPlan.toString.contains("ExistingRDD"),
+      "indexedBars must not leave Catalyst via an RDD hop")
+    // genuinely multi-band: more than one distinct band offset group
+    // (equal-ts collisions aside, 8 bands over a day of events populate)
     val n = bars.count()
     val rows = bars.select("idx", "ts", "event_id").orderBy("idx").collect()
     assert(rows.map(_.getLong(0)).toSeq === (0L until n).toSeq)
     // index order == (ts, event_id) order
     val byTime = rows.map(r => (r.getTimestamp(1), r.getLong(2)))
     assert(byTime.toSeq === byTime.sortBy(x => (x._1.getTime, x._2)).toSeq)
+  }
+
+  test("replay broadcast guard: past the row threshold the idx join " +
+      "degrades to a shuffled equi join with identical rows") {
+    val dir = "/root/testdata/sf0.001"
+    val viaBroadcast = StreamingPipeline.replayBatch(spark, dir)
+    val prop = StreamingPipeline.replayBroadcastMaxRowsProp
+    val prev = sys.props.get(prop)
+    sys.props(prop) = "1" // every real recording exceeds one row
+    // also silence the optimizer's own small-table broadcast (correct at
+    // test scale, absent at the 100× scale this guard exists for) so the
+    // plan shows what the guard DECLARES: no forced bars broadcast
+    val abt = "spark.sql.autoBroadcastJoinThreshold"
+    val prevAbt = spark.conf.get(abt)
+    spark.conf.set(abt, "-1")
+    try {
+      val viaShuffle = StreamingPipeline.replayBatch(spark, dir)
+      val plan = viaShuffle.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin [idx"),
+        s"above the threshold the idx join must not declare a broadcast:\n$plan")
+      // the degraded plan is the same query: row-identical output
+      assert(viaShuffle.collect().toSeq === viaBroadcast.collect().toSeq)
+    } finally {
+      spark.conf.set(abt, prevAbt)
+      prev match {
+        case Some(v) => sys.props(prop) = v
+        case None => sys.props.remove(prop)
+      }
+    }
   }
 
   test("session windows: streaming append output equals batch sessions (W4)") {
