@@ -437,6 +437,24 @@ object StreamingPipeline {
         // 0, not NPE the monitoring consumer
         coalesce(sum(col("keep").cast("long")), lit(0L)).as("n_kept"))
 
+  /** One trigger of [[analysisSink]]: land the trigger's finalized
+    * minute rows in their own `batch=<id>` partition (overwrite — a
+    * REPLAYED trigger after a mid-trigger kill overwrites its own
+    * attempt, _temporary droppings included), then rebuild the analysis
+    * sink from the FULL minute store by overwrite. Both writes are
+    * idempotent in (batch, batchId), so a replay leaves the minute
+    * store and the analysis output byte-stable — factored out of the
+    * sink so that exactly-once argument is directly testable. */
+  def analysisBatch(batch: DataFrame, batchId: Long, minuteStore: String,
+      outPath: String): Unit = {
+    batch.write.mode("overwrite").parquet(s"$minuteStore/batch=$batchId")
+    val allMinutes = batch.sparkSession.read.parquet(minuteStore)
+      .drop("batch")
+    StockPipeline.analysisFromJoined(
+        StockPipeline.joinedFromMinutes(allMinutes))
+      .write.mode("overwrite").parquet(outPath)
+  }
+
   def analysisSink(spark: SparkSession, inputDir: String, outPath: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
     val minuteStore = outPath + "_minutes"
@@ -446,14 +464,7 @@ object StreamingPipeline {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          batch.write.mode("overwrite").parquet(s"$minuteStore/batch=$batchId")
-          val allMinutes = batch.sparkSession.read.parquet(minuteStore)
-            .drop("batch")
-          StockPipeline.analysisFromJoined(
-              StockPipeline.joinedFromMinutes(allMinutes))
-            .write.mode("overwrite").parquet(outPath)
-        }
+        if (!batch.isEmpty) analysisBatch(batch, batchId, minuteStore, outPath)
         ()
       }
       .start()

@@ -12,8 +12,22 @@ class PushdownSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  private def planOf(name: String): String =
+  private def planOf(name: String): String = {
+    // FileScan metadata (ReadSchema/PushedFilters) is truncated at 100
+    // chars by default — enough to hide the very column an assertion
+    // is about; widen it so the evidence is the full scan line
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+  }
+
+  /** All parquet FileScan lines over `table` in the plan. */
+  private def scansOf(plan: String, table: String): Seq[String] =
+    plan.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains(s"$table.parquet"))
+      .toSeq
+
+  private def readSchemaOf(scanLine: String): String =
+    "ReadSchema: struct<[^>]*>".r.findFirstIn(scanLine).getOrElse("")
 
   test("stock_normalize: price null-filter is pushed into the events scan " +
       "and the unused user_id column is pruned") {
@@ -42,5 +56,72 @@ class PushdownSpec extends SparkSpec {
     assert(readSchema.nonEmpty, plan)
     assert(!readSchema.contains("user_id"),
       s"distinct-ticker count never touches user_id: $readSchema")
+  }
+
+  // ---- bench slowest-ten: scan evidence locked per query ----------------
+  // These are the queries where a pruning/pushdown regression costs the
+  // most at 100 TB; each assertion states the scan property that makes
+  // the query's cost model hold.
+
+  test("dedup pair queries read only (doc_id, text) from documents") {
+    // shingle/banding pipelines are pure text math: the lang/source/
+    // n_chars columns must never reach any of their documents scans
+    for (q <- Seq("dedup_jaccard_pairs", "dedup_containment_pairs")) {
+      val scans = scansOf(planOf(q), "documents")
+      assert(scans.nonEmpty, s"$q: expected documents FileScans in the plan")
+      scans.foreach { s =>
+        val rs = readSchemaOf(s)
+        assert(rs.nonEmpty, s"$q: unparseable scan line: $s")
+        for (fat <- Seq("lang", "source", "n_chars"))
+          assert(!rs.contains(fat), s"$q: $fat must be pruned from: $rs")
+      }
+    }
+  }
+
+  test("ANN probe/graph queries never rescan the raw embedding column " +
+      "after the unitized/code pins") {
+    // The ADC/cell pipelines pin slim (vec_id, unit, cell) / code tables
+    // once; if the raw `embedding` float column reappears in the final
+    // plan, a probe stage is re-reading the base table — the exact
+    // rescan the PQ/IVF design exists to avoid (64× more bytes at rest).
+    for (q <- Seq("sim_pagerank", "sim_knn_graph_mp", "sim_ivfpq_topk",
+        "sim_ivfpq_residual")) {
+      val plan = planOf(q)
+      assert(!plan.contains("embedding#"),
+        s"$q: raw embedding column resurrected after the pinned build:\n" +
+          plan.linesIterator.filter(_.contains("embedding#")).mkString("\n"))
+    }
+  }
+
+  test("bounded query sets push their vec_id range into the embeddings scan") {
+    // the 20-query probe side must reach the scan as a pushed range —
+    // at 100 TB this is the difference between reading 20 rows' worth
+    // of row groups and the whole base table on the query side
+    for (q <- Seq("sim_pq_topk", "sim_recall_report")) {
+      val plan = planOf(q)
+      assert(plan.contains("LessThan(vec_id,20)"),
+        s"$q: query-set scan must push vec_id < nQueries:\n" +
+          scansOf(plan, "embeddings").mkString("\n"))
+    }
+  }
+
+  test("corpus capstones scan documents per-use, never one fat scan") {
+    // corpus_curated composes quality (doc_id,text,n_chars), dedup
+    // (doc_id,text) and report (doc_id,lang,source) stages — each scan
+    // reads its own projection; a scan carrying BOTH text and lang
+    // would mean one fat scan is feeding everything
+    val curated = scansOf(planOf("corpus_curated"), "documents")
+    assert(curated.nonEmpty)
+    curated.foreach { s =>
+      val rs = readSchemaOf(s)
+      assert(!(rs.contains("text") && rs.contains("lang")),
+        s"corpus_curated: per-use pruning lost — fat scan: $rs")
+    }
+    // the ensemble's dedup-spine pass needs ids only — at least one
+    // scan must be doc_id-alone (no text bytes moved for the spine)
+    val ensemble = scansOf(planOf("corpus_signal_ensemble"), "documents")
+    assert(ensemble.exists(readSchemaOf(_) === "ReadSchema: struct<doc_id:bigint>"),
+      s"corpus_signal_ensemble: expected a doc_id-only spine scan:\n" +
+        ensemble.map(readSchemaOf).mkString("\n"))
   }
 }

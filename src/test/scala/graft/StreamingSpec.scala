@@ -400,7 +400,50 @@ class StreamingSpec extends SparkSpec {
         .orderBy("ticker", "window_timestamp").collect()
       assert(streamed.length === batch.length)
       streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
+      // recovery: a mid-trigger kill replays the trigger with the SAME
+      // batch id — re-running the last trigger's body over its own
+      // landed minute rows must leave minute store and analysis output
+      // byte-stable (overwrite-by-batch + whole-artifact overwrite)
+      val minuteStore = s"$tmp/out_minutes"
+      val lastId = spark.read.parquet(minuteStore)
+        .agg(max(col("batch"))).head().getInt(0).toLong
+      // materialized copy: a real replayed trigger's rows come from the
+      // state store, not from the partition the trigger itself writes —
+      // reading lazily here would race the overwrite of its own files
+      val lastMinutes = spark.read.parquet(s"$minuteStore/batch=$lastId")
+        .localCheckpoint(true)
+      def allRows(path: String): Seq[String] =
+        spark.read.parquet(path).collect().map(_.toString).sorted.toSeq
+      val (minutesBefore, outBefore) = (allRows(minuteStore), allRows(s"$tmp/out"))
+      StreamingPipeline.analysisBatch(lastMinutes, lastId, minuteStore, s"$tmp/out")
+      assert(allRows(minuteStore) === minutesBefore,
+        "replayed trigger must overwrite its own minute partition, not append")
+      assert(allRows(s"$tmp/out") === outBefore,
+        "replayed trigger must rebuild a byte-stable analysis sink")
     } finally q.stop()
+  }
+
+  test("curated refresh: a crashed first trigger leaving only _temporary " +
+      "droppings reads as 'no index yet' and recovers on retry") {
+    // same committed-file discipline as the ingest sink: exists-but-no-
+    // committed-data must not crash-loop schema inference, and the
+    // retry must curate normally
+    val base = java.nio.file.Files.createTempDirectory("graft-ccrash").toString
+    val (curated, index, report) =
+      (s"$base/curated", s"$base/index", s"$base/report")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$index/batch=0/_temporary/0"))
+    import spark.implicits._
+    val batch = Seq(
+        (1L, "the cat and the hat is a cat of the house and it is warm now"))
+      .toDF("_1", "_2")
+      .select(col("_1").as("doc_id"), col("_2").as("text"),
+        lit("en").as("lang"), lit("src0").as("source"),
+        length(col("_2")).cast("long").as("n_chars"))
+    StreamingPipeline.refreshCuratedBatch(batch, 0L, curated, index, report)
+    assert(spark.read.parquet(curated).count() === 1)
+    assert(spark.read.parquet(index).count() > 0)
+    assert(spark.read.parquet(report).count() === 1)
   }
 
   test("ingest: a crashed first trigger leaving only _temporary droppings " +

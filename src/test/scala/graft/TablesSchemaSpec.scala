@@ -77,6 +77,55 @@ class TablesSchemaSpec extends SparkSpec {
     assert(Tables.normalizeEventTs(df).schema("ts").dataType === TimestampType)
   }
 
+  test("documents loads with the pinned engine schema (drift canary)") {
+    // The r5 incident was events.ts; the same regeneration trap exists
+    // here. If this test fails after a testdata refresh, the FOOTER
+    // drifted: integer-width drift is already absorbed by
+    // Tables.widenKeysToLong, so a failure means structural drift
+    // (renamed column / re-typed text) that needs a human decision.
+    val df = Tables.documents(spark, sf)
+    val expected = Map(
+      "doc_id" -> LongType, "text" -> StringType, "lang" -> StringType,
+      "source" -> StringType, "n_chars" -> LongType)
+    expected.foreach { case (name, dt) =>
+      assert(df.schema(name).dataType === dt,
+        s"documents.$name loaded as ${df.schema(name).dataType}, engine " +
+          s"contract is $dt — testdata footer drifted")
+    }
+  }
+
+  test("embeddings loads with the pinned engine schema incl. float elements " +
+      "(drift canary)") {
+    val df = Tables.embeddings(spark, sf)
+    assert(df.schema("vec_id").dataType === LongType)
+    assert(df.schema("label").dataType === IntegerType)
+    // The element type is pinned ON PURPOSE: a float↔double footer
+    // change alters every dot product (Spark AND the DuckDB oracle),
+    // and silently casting would hide a corpus-wide numeric shift —
+    // surface it here as one focused failure instead.
+    assert(df.schema("embedding").dataType === ArrayType(FloatType),
+      s"embeddings.embedding loaded as ${df.schema("embedding").dataType}; " +
+        "the engine's cosine/PQ paths are verified against array<float> — " +
+        "decide the cast policy before touching the sim_* roster")
+  }
+
+  test("widenKeysToLong: int32 footers normalize to the long contract") {
+    val narrow = spark.createDataFrame(
+      java.util.Arrays.asList(Row(7, "abc", 3)),
+      StructType(Seq(StructField("doc_id", IntegerType),
+        StructField("text", StringType),
+        StructField("n_chars", IntegerType))))
+    val out = Tables.widenKeysToLong(narrow, "doc_id", "n_chars")
+    assert(out.schema("doc_id").dataType === LongType)
+    assert(out.schema("n_chars").dataType === LongType)
+    assert(out.schema("text").dataType === StringType)
+    val r = out.head()
+    assert(r.getLong(0) === 7L && r.getLong(2) === 3L)
+    // absent columns and already-long columns are left untouched
+    assert(Tables.widenKeysToLong(out, "doc_id", "missing")
+      .schema === out.schema)
+  }
+
   test("eventsStream resolves its schema from the footer and normalizes ts") {
     val stream = StreamingPipeline.eventsStream(spark, sf)
     assert(stream.isStreaming)
