@@ -1210,6 +1210,24 @@ ORDER BY variant, query_id"""
       s"substr(text, ($i * octet_length(encode(text))) // 32 + 1, 1)")
       .mkString(" || ")
 
+  /** Twin of Multimodal.phash: 64-point nearest-neighbor byte sample,
+    * integer-exact mean-threshold bits (64·bᵢ > Σb), assembled into the
+    * four 16-bit bands p0..p3. ASCII payloads ⇒ ord(char) = byte. */
+  private def phashBand(b: Int): String =
+    s"CAST(list_sum(list_transform(range(16), j -> " +
+      s"CASE WHEN 64 * sv[CAST(${16 * b} + j AS INT) + 1] > ssum " +
+      s"THEN 1::BIGINT << CAST(j AS INT) ELSE 0::BIGINT END)) AS BIGINT) AS p$b"
+  private val phashCtes: String = s"""
+WITH s AS (
+  SELECT doc_id,
+    list_transform(range(64), i -> CAST(ord(substr(text,
+      CAST(i * length(text) // 64 AS INT) + 1, 1)) AS BIGINT)) AS sv
+  FROM documents),
+t AS (SELECT doc_id, sv, CAST(list_sum(sv) AS BIGINT) AS ssum FROM s),
+ph AS (
+  SELECT doc_id, ${(0 until 4).map(phashBand).mkString(", ")}
+  FROM t)"""
+
   val multimodal: Map[String, String] = Map(
     // Twin of Multimodal.decodePartition (the deterministic fake codec):
     // mod-P rolling hash -> dims, byte histogram / n -> feature, exploded
@@ -1272,6 +1290,25 @@ SELECT doc_id,
   lower(hex(encode(substr(text, 1, 8)))) AS header_hex,
   lower(hex(encode($strideConcat))) AS stride_sample_hex
 FROM documents ORDER BY doc_id""",
+    "mm_phash" -> s"""
+$phashCtes
+SELECT doc_id, p0, p1, p2, p3 FROM ph ORDER BY doc_id""",
+    "mm_phash_pairs" -> {
+      // eight 8-bit band-equality alternatives (lo/hi byte of each pX)
+      val bandEq = (0 until 4).flatMap(b => Seq(
+        s"a.p$b % 256 = b.p$b % 256", s"a.p$b // 256 = b.p$b // 256"))
+        .mkString(" OR ")
+      s"""
+$phashCtes,
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(bit_count(xor(a.p0, b.p0)) + bit_count(xor(a.p1, b.p1)) +
+         bit_count(xor(a.p2, b.p2)) + bit_count(xor(a.p3, b.p3)) AS BIGINT)
+      AS hamming
+  FROM ph a JOIN ph b ON a.doc_id < b.doc_id AND ($bandEq))
+SELECT DISTINCT doc_a, doc_b, hamming FROM cand
+WHERE hamming <= 7 ORDER BY doc_a, doc_b"""
+    },
   )
 
   def all: Map[String, String] = text ++ dedup ++ similarity ++ multimodal

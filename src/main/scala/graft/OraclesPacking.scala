@@ -175,5 +175,28 @@ SELECT doc_id, lang, source, split_bucket,
 FROM (SELECT doc_id, lang, source, $splitKeySql % 100 AS split_bucket
       FROM documents)
 ORDER BY doc_id""",
+    // Twin of Packing.zorderLayout: the oracle states the global
+    // row_number over (z, doc_id); Spark computes the same rank with
+    // the bounded z-cell two-level scan.
+    "corpus_zorder" -> {
+      val bits = Packing.zorderBits
+      val dims = 1L << bits
+      val zTerms = (0 until bits).map(i =>
+        s"((xb >> $i) & 1) * ${1L << (2 * i)} + " +
+          s"((yb >> $i) & 1) * ${1L << (2 * i + 1)}").mkString(" + ")
+      s"""
+WITH b AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM documents),
+d AS (
+  SELECT doc_id,
+    CASE WHEN hi = lo THEN 0::BIGINT
+         ELSE least(((n_chars - lo) * $dims) // (hi - lo + 1),
+                    ${dims - 1}::BIGINT) END AS xb,
+    CAST(substr(source, 4) AS BIGINT) % $dims AS yb
+  FROM documents, b),
+z AS (SELECT doc_id, xb, yb, CAST($zTerms AS BIGINT) AS z FROM d)
+SELECT doc_id, xb, yb, z,
+  CAST(row_number() OVER (ORDER BY z, doc_id) - 1 AS BIGINT) AS zrank
+FROM z ORDER BY zrank"""
+    },
   )
 }

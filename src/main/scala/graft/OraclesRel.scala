@@ -533,5 +533,17 @@ WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
   AND o_orderdate < TIMESTAMP '1999-01-01'
 GROUP BY o_year
 ORDER BY o_year""",
+    "rel_scd2_history" -> """
+WITH e AS (
+  SELECT user_id, event_id, value, ts::TIMESTAMP AS valid_from
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value))
+SELECT user_id,
+  CAST(row_number() OVER w AS BIGINT) AS version,
+  event_id, value, valid_from,
+  lead(valid_from) OVER w AS valid_to,
+  (lead(valid_from) OVER w IS NULL) AS is_current
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+ORDER BY user_id, version""",
   )
 }

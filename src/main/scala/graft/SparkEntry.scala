@@ -215,6 +215,10 @@ object SparkEntry {
     // per-split shuffled shard assignment (WebDataset-style contract)
     "corpus_shards" -> ((s, d) =>
       operators.Packing.shardAssign(Tables.documents(s, d))),
+    // Z-order (Morton) layout rank — the multi-dimensional clustering
+    // key lakehouse OPTIMIZE ZORDER writes; two-level scan, z as band
+    "corpus_zorder" -> ((s, d) =>
+      operators.Packing.zorderLayout(Tables.documents(s, d))),
     // ---- deduplication ----
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dedup_minhash_sigs" -> ((s, d) =>
@@ -324,6 +328,12 @@ object SparkEntry {
     "mm_decode" -> ((s, d) =>
       operators.Multimodal.decodedRows(
         operators.Multimodal.blobs(Tables.documents(s, d)))),
+    // perceptual-hash (aHash) signatures + banded Hamming near-dup
+    // pairs — the media-blob twin of the SimHash text tier
+    "mm_phash" -> ((s, d) =>
+      operators.Multimodal.phash(Tables.documents(s, d))),
+    "mm_phash_pairs" -> ((s, d) =>
+      operators.Multimodal.phashPairs(Tables.documents(s, d))),
     // ---- relational surface (TPC-H-style star schema) ----
     "rel_pricing_summary" -> (Relational.pricingSummary _),
     "rel_revenue_by_nation" -> (Relational.revenueByNation _),
@@ -351,6 +361,9 @@ object SparkEntry {
     "rel_promo_revenue" -> (Relational.promoRevenue _),
     "rel_volume_shipping" -> (Relational.volumeShipping _),
     "rel_user_sessions" -> ((s, d) => Relational.userSessions(s, d)),
+    // SCD type-2 dimension history (versioned [valid_from, valid_to))
+    "rel_scd2_history" -> ((s, d) =>
+      Relational.scd2History(Tables.events(s, d))),
     "rel_range_join" -> (Relational.rangeJoin _),
     "rel_asof_join" -> (Relational.asofJoin _),
     // TPC-H Q18-shape HAVING-subquery semi-join reduction

@@ -151,6 +151,74 @@ object Multimodal {
           .cast("binary"))).as("thumb_hex"))
       .orderBy(col("doc_id"))
 
+  /** Average-hash perceptual fingerprint (aHash — the classic 8×8
+    * grayscale mean-threshold image fingerprint) over the 64-point
+    * nearest-neighbor thumbnail of the payload: bit i is set iff
+    * sampled byte i exceeds the thumbnail mean. The mean compare is
+    * stated integer-exactly (64·bᵢ > Σb — no float division on either
+    * engine), and the 64 bits are emitted as four 16-bit band values
+    * p0..p3; [[phashPairs]] slices them into eight 8-bit bands so the
+    * [[graft.operators.Dedup.simhashPairs]] pigeonhole covers the wider
+    * Hamming radius perceptual dedup needs — pairing stays a banded
+    * equi-join, never all-pairs.
+    *
+    * In production the thumbnail comes from the real image decode
+    * through the [[decode]] seam (resize → grayscale → 8×8); here the
+    * byte-domain stand-in uses the same nearest-neighbor byte sampling
+    * as [[resize]] (ASCII payloads, so `ascii` = byte value on both
+    * engines).
+    *
+    * Scale: one map-side pass over the blobs — the signature is 4
+    * longs per blob regardless of payload size, and all downstream
+    * dedup work happens on signatures, never on payloads. */
+  def phash(documents: DataFrame): DataFrame = {
+    def band(b: Int) = expr(
+      s"aggregate(transform(sequence(0, 15), j -> " +
+        s"IF(64 * element_at(s, ${16 * b} + CAST(j AS INT) + 1) > ssum, " +
+        s"shiftleft(1L, CAST(j AS INT)), 0L)), 0L, (a, x) -> a + x)")
+      .as(s"p$b")
+    documents
+      .select(col("doc_id"),
+        expr("transform(sequence(0, 63), i -> CAST(ascii(substr(text, " +
+          "CAST(i * length(text) div 64 AS INT) + 1, 1)) AS BIGINT))").as("s"))
+      .withColumn("ssum", expr("aggregate(s, 0L, (a, x) -> a + x)"))
+      .select(col("doc_id") +: (0 until 4).map(band): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Perceptual near-dup pairs at Hamming ≤ `maxHamming` over the
+    * [[phash]] signature — the media-blob twin of SimHash text dedup:
+    * banded equi-join on EIGHT 8-bit slices of the 64-bit hash
+    * (pigeonhole-complete up to Hamming 7 — perceptual radii are wider
+    * than text SimHash radii, so the banding trades bucket width for
+    * recall radius; at larger corpus scale the production lever is a
+    * LONGER hash (128/256-point thumbnail) at the same 8-bit slicing,
+    * which restores bucket selectivity without shrinking the radius),
+    * exact Hamming recheck on candidates only. */
+  def phashPairs(documents: DataFrame, maxHamming: Int = 7): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"phashPairs: 8-band pigeonhole guarantees recall only for " +
+        s"maxHamming <= 7, got $maxHamming")
+    val sigs = phash(documents)
+    val pCols = (0 until 4).map(b => col(s"p$b"))
+    val slices = (0 until 4).flatMap(b => Seq(
+      (2 * b, col(s"p$b") % 256), (2 * b + 1, shiftright(col(s"p$b"), 8))))
+    val banded = sigs.select(col("doc_id") +: pCols :+
+        explode(array(slices.map { case (b, k) =>
+          struct(lit(b).as("band"), k.as("key")) }: _*)).as("bb"): _*)
+      .select(col("doc_id") +: pCols :+
+        col("bb.band").as("band") :+ col("bb.key").as("key"): _*)
+    banded.as("a")
+      .join(banded.as("b"), col("a.band") === col("b.band") &&
+        col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (0 until 4).map(b => bit_count(expr(s"a.p$b ^ b.p$b")))
+          .reduce(_ + _).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming) // before distinct: shrink first
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Metadata/byte-level features as pure column expressions (oracle-
     * expressible, never reads beyond the first bytes of the payload):
     * blob length, 8-byte header hex, an 8-point stride-16 byte sample. */

@@ -30,6 +30,7 @@ object Packing {
   val nBuckets = 32
   val shuffleSalt = "graft-shuffle:"
   val splitSalt = "graft-split:"
+  val zorderBits = 4 // bits per Z-order dimension (shared with oracle)
 
   private def toks: Column = Portable.tokens(col("text"))
 
@@ -283,4 +284,46 @@ object Packing {
       .withColumn("split", splitOf(col("split_bucket")))
       // stream-safe (stateless map-side): registration adds the ORDER BY
       .select("doc_id", "lang", "source", "split_bucket", "split")
+
+  /** Z-order (Morton-curve) layout rank — the multi-dimensional
+    * clustering key behind `OPTIMIZE ZORDER BY` in lakehouse table
+    * formats: interleaving the bits of two bounded dimension buckets
+    * places rows close in BOTH dimensions into the same file, so a
+    * scan predicate on EITHER dimension prunes most files (a single-
+    * column sort can only serve one predicate). Dimensions here:
+    * x = equal-width `n_chars` band (the priceHistogram formula over a
+    * broadcast min/max — monotone, so band order is length order),
+    * y = source ordinal mod 2^bits.
+    *
+    * The global rank is the two-level scan with the z-value ITSELF as
+    * the band (bounded: 2^(2·bits) values), so no window ever spans
+    * more than one z-cell; writing the corpus in `zrank` order is the
+    * layout step. Pure integer bit arithmetic end-to-end — the oracle
+    * restates it digit-for-digit. */
+  def zorderLayout(documents: DataFrame, bits: Int = zorderBits): DataFrame = {
+    val dims = 1L << bits
+    val bounds = documents.agg(min(col("n_chars")).as("lo"),
+      max(col("n_chars")).as("hi"))
+    val xy = documents.select(col("doc_id"), col("n_chars"), col("source"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("xb",
+        when(col("hi") === col("lo"), lit(0L)).otherwise(least(
+          expr(s"((n_chars - lo) * $dims) div (hi - lo + 1)"),
+          lit(dims - 1))))
+      .withColumn("yb", expr(s"CAST(substr(source, 4) AS BIGINT) % $dims"))
+      .select("doc_id", "xb", "yb")
+    val z = (0 until bits).map { i =>
+      shiftright(col("xb"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(col("yb"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+    val zd = xy.withColumn("z", z.cast("long"))
+    val offsets = exclusivePrefix(
+      zd.groupBy(col("z").as("bucket")).agg(count(lit(1)).as("part")), "part")
+    val w = Window.partitionBy(col("z")).orderBy(col("doc_id"))
+    zd.join(broadcast(offsets), zd("z") === offsets("bucket"))
+      .withColumn("zrank",
+        (col("offset") + row_number().over(w) - 1).cast("long"))
+      .select("doc_id", "xb", "yb", "z", "zrank")
+      .orderBy(col("zrank"))
+  }
 }

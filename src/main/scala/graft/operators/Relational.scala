@@ -1132,4 +1132,31 @@ object Relational {
         col("nation_volume"), col("total_volume"))
       .orderBy(col("o_year"))
   }
+
+  /** Slowly-changing-dimension type-2 history from the events stream:
+    * each value-bearing event becomes a versioned dimension row with a
+    * half-open validity interval `[valid_from, valid_to)` — `valid_to`
+    * is the next version's `valid_from` (LEAD over the per-user
+    * timeline), NULL on the current row. The standard warehouse
+    * dimension-history build: per-user intervals tile the timeline with
+    * no gaps or overlaps by construction.
+    *
+    * Scale: one window over (user_id) — high-cardinality partitions,
+    * each bounded by a user's own event count; no global window, no
+    * join. NaN payloads are excluded up front (the P5 rule), so the
+    * history only versions real observations. */
+  def scd2History(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("valid_from"), col("event_id"))
+    events
+      .filter(col("value").isNotNull && !isnan(col("value")))
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("ts").as("valid_from"))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select("user_id", "version", "event_id", "value", "valid_from",
+        "valid_to", "is_current")
+      .orderBy(col("user_id"), col("version"))
+  }
 }

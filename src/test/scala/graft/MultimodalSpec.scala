@@ -55,4 +55,46 @@ class MultimodalSpec extends SparkSpec {
     assert(d.forall(m => m.n_frames >= 1))
     assert(d.exists(m => m.n_frames > 1)) // docs longer than 256 bytes exist
   }
+
+  test("phash: signature matches a per-row Scala reference (aHash " +
+      "mean-threshold over the 64-point thumbnail)") {
+    import org.apache.spark.sql.functions.col
+    val texts = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def ref(text: String): Seq[Long] = {
+      val bytes = text.getBytes("UTF-8")
+      val s = (0 until 64).map(i =>
+        (bytes((i.toLong * bytes.length / 64).toInt) & 0xff).toLong)
+      val sum = s.sum
+      (0 until 4).map(b =>
+        (0 until 16).map(j =>
+          if (64 * s(16 * b + j) > sum) 1L << j else 0L).sum)
+    }
+    val got = Multimodal.phash(docs).collect()
+    assert(got.length === texts.size)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val bands = (1 to 4).map(r.getLong)
+      assert(bands === ref(texts(id)), s"doc $id")
+      bands.foreach(b => assert(b >= 0L && b < 65536L, s"doc $id: 16-bit band"))
+    }
+  }
+
+  test("phash pairs: 8-band pigeonhole finds EVERY pair at hamming <= 7 " +
+      "(complete vs brute force) and the join is banded, not all-pairs") {
+    val sigs = Multimodal.phash(docs).collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(r.getLong).toArray)
+    val brute = (for {
+      (ida, pa) <- sigs; (idb, pb) <- sigs if ida < idb
+      h = (0 until 4).map(b => java.lang.Long.bitCount(pa(b) ^ pb(b))).sum
+      if h <= 7
+    } yield (ida, idb, h.toLong)).toSet
+    val got = Multimodal.phashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === brute)
+    // plan discipline: candidate generation is a band/key equi-join
+    val plan = Multimodal.phashPairs(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }

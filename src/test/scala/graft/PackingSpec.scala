@@ -231,4 +231,46 @@ class PackingSpec extends SparkSpec {
           bucketPartSpec.findFirstIn(l).isDefined), p)
     }
   }
+
+  test("zorder: z matches the reference Morton interleave and zrank is " +
+      "the contiguous (z, doc_id) order") {
+    def morton(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).map(i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    val rows = Packing.zorderLayout(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, xb, yb, z, _) =>
+      assert(xb >= 0 && xb < 16 && yb >= 0 && yb < 16, s"doc $id: 4-bit dims")
+      assert(z === morton(xb, yb, 4), s"doc $id: Morton interleave")
+    }
+    // zrank = 0..n-1 in (z, doc_id) order, computed WITHOUT any global
+    // data-sized window (two-level scan with z as the band)
+    assert(rows.map(_._5).sorted.toSeq === (0L until rows.length).toSeq)
+    assert(rows.sortBy(r => (r._4, r._1)).map(_._5).toSeq ===
+      (0L until rows.length).toSeq)
+    // both dimensions genuinely vary — the layout is 2-D, not a sort
+    assert(rows.map(_._2).distinct.length > 1)
+    assert(rows.map(_._3).distinct.length > 1)
+  }
+
+  test("zorder locality: a z-range block is simultaneously narrow in " +
+      "BOTH dimension bands (the property file pruning relies on)") {
+    val rows = Packing.zorderLayout(docs).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(4)))
+      .sortBy(_._3)
+    // cut the layout into 16 contiguous zrank "files": each file's
+    // x-band and y-band spans must average far below the global span
+    // (a 1-D sort would leave the other dimension full-width ~15)
+    val files = rows.grouped(math.max(rows.length / 16, 1)).toSeq
+    def spans(sel: ((Long, Long, Long)) => Long): Double = {
+      val s = files.map(f => sel(f.maxBy(sel)) - sel(f.minBy(sel)))
+      s.sum.toDouble / s.length
+    }
+    val (xSpan, ySpan) = (spans(_._1), spans(_._2))
+    assert(xSpan < 8 && ySpan < 8,
+      f"mean per-file band spans x=$xSpan%.1f y=$ySpan%.1f — " +
+        "expected both << 15 for a genuine space-filling layout")
+  }
 }

@@ -11,6 +11,32 @@ class RelationalSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
 
+  test("scd2History: per-user intervals tile the timeline — valid_to " +
+      "chains to the next valid_from, versions are contiguous, exactly " +
+      "one current row per user") {
+    val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val hist = graft.operators.Relational.scd2History(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(4),
+        Option(r.getTimestamp(5)), r.getBoolean(6)))
+    assert(hist.nonEmpty)
+    hist.groupBy(_._1).foreach { case (user, rows) =>
+      val byVersion = rows.sortBy(_._2)
+      // versions 1..k with no gaps
+      assert(byVersion.map(_._2).toSeq === (1L to rows.length).toSeq,
+        s"user $user: versions not contiguous")
+      // half-open intervals chain with no gaps or overlaps
+      byVersion.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4.contains(b._3),
+            s"user $user v${a._2}: valid_to must equal next valid_from")
+        case _ =>
+      }
+      // exactly the last version is current (NULL valid_to)
+      assert(byVersion.count(_._5) === 1 && byVersion.last._5,
+        s"user $user: exactly one current row, and it is the last version")
+    }
+  }
+
   test("left_semi with non-equi conjunct keeps each order at most once") {
     val orders = Seq((1L, ts("1996-02-01")), (2L, ts("1996-03-01")),
       (3L, ts("1996-04-01")))
