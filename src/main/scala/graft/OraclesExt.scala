@@ -603,6 +603,21 @@ ranked AS (
   FROM scored)
 SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
 ORDER BY query_id, rank"""),
+    "sim_hard_negatives" -> (simBase + s""",
+ql AS (
+  SELECT vec_id AS query_id, label AS qlabel, ev AS qv
+  FROM base WHERE vec_id < 20),
+scored AS (
+  SELECT query_id, vec_id AS neighbor_id, label::BIGINT AS neighbor_label,
+    ${cosSql("qv", "ev")} AS cosine
+  FROM base CROSS JOIN ql WHERE vec_id <> query_id AND label <> qlabel),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)::BIGINT AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, neighbor_label, cosine, rank
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank"""),
     "sim_ivf_topk" -> (simBase + s""",
 cent AS (
   SELECT label, ${unitSql("centroid")} AS cunit FROM (

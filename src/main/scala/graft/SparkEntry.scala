@@ -251,6 +251,10 @@ object SparkEntry {
     // ---- similarity search ----
     "sim_bruteforce_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d))),
+    // contrastive hard negatives: nearest DIFFERENT-label vectors per
+    // query (label inequality inside the join, before the top-k heap)
+    "sim_hard_negatives" -> ((s, d) =>
+      Similarity.hardNegatives(Tables.embeddings(s, d))),
     "sim_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(Tables.embeddings(s, d))),
     "sim_lsh_topk" -> ((s, d) =>

@@ -83,6 +83,33 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Contrastive hard-negative mining: for each query vector, the k
+    * MOST similar vectors carrying a DIFFERENT label — the negative
+    * pool embedding/contrastive training mines (easy negatives are
+    * random; hard negatives are the near-misses that actually move the
+    * margin). Same bounded-broadcast probe shape as [[bruteForceTopK]]
+    * with the label-inequality folded into the join predicate, so
+    * negatives are filtered BEFORE the top-k heap, not after (a
+    * post-filter would under-fill k whenever same-label vectors
+    * dominate a neighborhood). Output labels ride along so a sampler
+    * can stratify negatives per class. */
+  def hardNegatives(embeddings: DataFrame, k: Int = 5,
+      nQueries: Int = 20): DataFrame = {
+    val base = unitized(embeddings)
+    val queries = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("unit").as("qu"))
+    val scored = base.join(broadcast(queries),
+        col("vec_id") =!= col("query_id") && col("label") =!= col("qlabel"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("label").cast("long").as("neighbor_label"),
+        cosineUnit(col("qu"), col("unit")).as("cosine"))
+    TopK.perKey(scored, Seq("query_id"),
+        Seq("cosine" -> true, "neighbor_id" -> false), k, rankCol = "rank")
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Per-label centroids, unit-normalized: (label, cunit). The existing
     * `label` column plays the IVF coarse quantizer's cell assignment
     * (a k-means build pass would produce it in production). */

@@ -19,6 +19,41 @@ class KnnGraphSpec extends SparkSpec {
       .groupBy(_.getLong(0)).view
       .mapValues(_.map(_.getLong(1)).toSet).toMap
 
+  test("hardNegatives: every mined negative carries a different label " +
+      "than its query, ranks are dense 1..k, and the pool is the TRUE " +
+      "cross-label nearest set (filter before the heap, not after)") {
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = Similarity.hardNegatives(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(got.nonEmpty)
+    got.foreach { case (q, n, nl, _) =>
+      assert(labels(n) !== labels(q), s"query $q: negative $n shares its label")
+      assert(nl === labels(n).toLong)
+    }
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._4).sorted.toSeq === (1L to rows.length).toSeq,
+        s"query $q: ranks must be dense")
+    }
+    // completeness vs a filtered brute force over the full base: the
+    // cross-label top-1 must match (a post-filtered same-label top-k
+    // would drop it whenever same-label vectors crowd the top)
+    val units = Similarity.unitized(emb)
+      .select("vec_id", "label", "unit").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      math.rint(a.zip(b).map { case (x, y) => x * y }.sum * 1e6) / 1e6
+    val byQuery = got.groupBy(_._1)
+    units.filter(_._1 < 20).foreach { case (q, ql, qu) =>
+      val best = units.filter(v => v._1 != q && v._2 != ql)
+        .map(v => (cos(qu, v._3), v._1))
+        .maxBy { case (c, id) => (c, -id) }
+      val top = byQuery(q).minBy(_._4)
+      assert(top._2 === best._2,
+        s"query $q: rank-1 negative ${top._2} != brute-force ${best._2}")
+    }
+  }
+
   test("multi-probe graph recovers a true cross-cell neighbor the " +
       "single-probe graph misses, and corpus recall strictly improves") {
     // ground truth: exact top-3 per vector over the full corpus (the

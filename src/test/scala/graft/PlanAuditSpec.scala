@@ -23,6 +23,7 @@ class PlanAuditSpec extends SparkSpec {
     * broadcast probe, not an accident. */
   private val boundedProbeWhitelist = Set(
     "sim_bruteforce_topk", // brute force IS all-pairs: the baseline
+    "sim_hard_negatives",  // label-filtered scan vs the 20-query broadcast
     "sim_lsh_topk",        // band0-OR-band1 candidate match vs 20 queries
     "sim_quantized_topk",  // reconstructed-cosine brute force
     "sim_pq_topk",         // ADC scan vs the 20-query broadcast
