@@ -79,7 +79,9 @@ object ScaleProbe {
         val (_, ssS) = t(Dedup.substringDedup(df).count())
         val (_, bsS) = t(Curation.budgetSelect(df).count())
         val (_, nvS) = t(graft.operators.TextAnalysis.novelty(df).count())
-        println(f"[scale-probe-docs] x$n%-3d docs=$rows%8d minhashPairs=$mpS%6.2fs($mp) jaccardPairs=$jpS%6.2fs($jp) containmentPairs=$cpS%6.2fs($cp) simhashPairs=$spS%6.2fs($sp) packAssign=$paS%6.2fs shuffleOrder=$soS%6.2fs spanDedup=$sdS%6.2fs substringDedup=$ssS%6.2fs budgetSelect=$bsS%6.2fs novelty=$nvS%6.2fs")
+        val (php, phS) = t(graft.operators.Multimodal.phashPairs(df).count())
+        val (_, zoS) = t(Packing.zorderLayout(df).count())
+        println(f"[scale-probe-docs] x$n%-3d docs=$rows%8d minhashPairs=$mpS%6.2fs($mp) jaccardPairs=$jpS%6.2fs($jp) containmentPairs=$cpS%6.2fs($cp) simhashPairs=$spS%6.2fs($sp) packAssign=$paS%6.2fs shuffleOrder=$soS%6.2fs spanDedup=$sdS%6.2fs substringDedup=$ssS%6.2fs budgetSelect=$bsS%6.2fs novelty=$nvS%6.2fs phashPairs=$phS%6.2fs($php) zorder=$zoS%6.2fs")
       }
       spark.stop(); return
     }
@@ -154,7 +156,8 @@ object ScaleProbe {
           cells = Similarity.kmK * n).count())
         val (_, btS) = t(Similarity.binaryTopK(df).count())
         val (_, rrS) = t(Similarity.rerankTopK(df).count())
-        println(f"[scale-probe-graph] x$n%-3d vecs=$rows%8d cells=${Similarity.kmK * n}%4d knnGraphMp=$mgS%7.2fs($mg) binaryTopK=$btS%6.2fs rerankTopK=$rrS%6.2fs")
+        val (_, hnS) = t(Similarity.hardNegatives(df).count())
+        println(f"[scale-probe-graph] x$n%-3d vecs=$rows%8d cells=${Similarity.kmK * n}%4d knnGraphMp=$mgS%7.2fs($mg) binaryTopK=$btS%6.2fs rerankTopK=$rrS%6.2fs hardNegatives=$hnS%6.2fs")
       }
       spark.stop(); return
     }

@@ -335,7 +335,8 @@ object SparkEntry {
     // perceptual-hash (aHash) signatures + banded Hamming near-dup
     // pairs — the media-blob twin of the SimHash text tier
     "mm_phash" -> ((s, d) =>
-      operators.Multimodal.phash(Tables.documents(s, d))),
+      operators.Multimodal.phash(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
     "mm_phash_pairs" -> ((s, d) =>
       operators.Multimodal.phashPairs(Tables.documents(s, d))),
     // ---- relational surface (TPC-H-style star schema) ----

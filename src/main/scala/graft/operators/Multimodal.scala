@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
+import graft.Materialize.PinOps
+
 /** A media blob row: opaque binary payload + typed metadata. In the
   * test data the payload is the document text's UTF-8 bytes (this
   * container ships no image/audio codecs); in production it is the
@@ -172,18 +174,27 @@ object Multimodal {
     * longs per blob regardless of payload size, and all downstream
     * dedup work happens on signatures, never on payloads. */
   def phash(documents: DataFrame): DataFrame = {
-    def band(b: Int) = expr(
-      s"aggregate(transform(sequence(0, 15), j -> " +
-        s"IF(64 * element_at(s, ${16 * b} + CAST(j AS INT) + 1) > ssum, " +
-        s"shiftleft(1L, CAST(j AS INT)), 0L)), 0L, (a, x) -> a + x)")
-      .as(s"p$b")
+    // generated FLAT scalar expressions (literal positions, CASE/+) —
+    // higher-order array lambdas here are CodegenFallback and cost
+    // ~ms/row interpreted; the flat form whole-stage-codegens to ~µs.
+    // ssum lives in its own projection below the bands: it is
+    // referenced 64× and non-cheap, so CollapseProject keeps the
+    // boundary and it evaluates once per row.
+    def sample(i: Int): String =
+      s"CAST(ascii(substr(text, CAST($i * length(text) div 64 AS INT) + 1, " +
+        s"1)) AS BIGINT)"
+    val ssum = (0 until 64).map(sample).mkString("(", " + ", ")")
+    def band(b: Int): String = (0 until 16).map { j =>
+      s"(CASE WHEN 64 * ${sample(16 * b + j)} > ssum " +
+        s"THEN ${1L << j}L ELSE 0L END)"
+    }.mkString("(", " + ", ")")
     documents
-      .select(col("doc_id"),
-        expr("transform(sequence(0, 63), i -> CAST(ascii(substr(text, " +
-          "CAST(i * length(text) div 64 AS INT) + 1, 1)) AS BIGINT))").as("s"))
-      .withColumn("ssum", expr("aggregate(s, 0L, (a, x) -> a + x)"))
-      .select(col("doc_id") +: (0 until 4).map(band): _*)
-      .orderBy(col("doc_id"))
+      .withColumn("ssum", expr(ssum))
+      .select(col("doc_id") +: (0 until 4).map(b =>
+        expr(band(b)).as(s"p$b")): _*)
+    // no presentation sort: the op is stateless map-side (stream-safe —
+    // signatures compute per-blob on a live ingest); the registered
+    // query adds its ORDER BY
   }
 
   /** Perceptual near-dup pairs at Hamming ≤ `maxHamming` over the
@@ -199,7 +210,12 @@ object Multimodal {
     require(maxHamming >= 0 && maxHamming <= 7,
       s"phashPairs: 8-band pigeonhole guarantees recall only for " +
         s"maxHamming <= 7, got $maxHamming")
-    val sigs = phash(documents)
+    // pin the signature table: the self-join references every band
+    // expression on both sides (join keys + Hamming recheck), and
+    // expression propagation through the join would otherwise re-derive
+    // the 128-term signature per reference — measured 23.9 s → 0.7 s
+    // at 500 docs on the unpinned form
+    val sigs = phash(documents).pin(eager = true)
     val pCols = (0 until 4).map(b => col(s"p$b"))
     val slices = (0 until 4).flatMap(b => Seq(
       (2 * b, col(s"p$b") % 256), (2 * b + 1, shiftright(col(s"p$b"), 8))))

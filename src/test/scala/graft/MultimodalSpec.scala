@@ -80,6 +80,33 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("phash runs unchanged on a stream (stateless map-side signature)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, length, lit}
+    import spark.implicits._
+    val rows = docs.select(col("doc_id"), col("text"))
+      .filter(col("doc_id") < 20).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows.nonEmpty, "fixture must select real docs (doc_id < 20)")
+    val stream = MemoryStream[(Long, String)]
+    val streamed = Multimodal.phash(stream.toDF()
+      .select(col("_1").as("doc_id"), col("_2").as("text"),
+        lit("en").as("lang"), lit("src0").as("source"),
+        length(col("_2")).cast("long").as("n_chars")))
+    val q = streamed.writeStream.format("memory")
+      .queryName("phash_sink").outputMode("append").start()
+    try {
+      stream.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("phash_sink").collect()
+        .map(r => (r.getLong(0), (1 to 4).map(r.getLong))).toMap
+      val batch = Multimodal.phash(docs.filter(col("doc_id") < 20)).collect()
+        .map(r => (r.getLong(0), (1 to 4).map(r.getLong))).toMap
+      assert(got === batch)
+    } finally q.stop()
+  }
+
   test("phash pairs: 8-band pigeonhole finds EVERY pair at hamming <= 7 " +
       "(complete vs brute force) and the join is banded, not all-pairs") {
     val sigs = Multimodal.phash(docs).collect()
