@@ -286,5 +286,5 @@ ORDER BY tick""",
     * dedup / similarity sections as they land. */
   def all: Map[String, String] =
     stock ++ OraclesExt.all ++ OraclesRel.all ++ OraclesCuration.all ++
-      OraclesPacking.all
+      OraclesPacking.all ++ OraclesTs.all
 }

@@ -785,6 +785,33 @@ FROM ged a JOIN ged b
 WHERE a.vec_id < a.neighbor_id
 ORDER BY vec_a, vec_b"""
     }),
+    // triangles over the mutual-kNN graph: the oracle re-derives the
+    // mutual edge set (vec_a < vec_b) and states the compact-forward
+    // 3-way join — each triangle appears once as a < b < c.
+    "sim_triangles" -> (simBase + kmeansCtes + {
+      val it = graft.operators.Similarity.kmIters
+      s""",
+kp AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+    round(list_inner_product(a.ev, b.ev), 6) AS cosine
+  FROM asg$it a JOIN asg$it b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+kr AS (
+  SELECT vec_id, neighbor_id, cosine,
+    row_number() OVER (PARTITION BY vec_id
+      ORDER BY cosine DESC, neighbor_id)::BIGINT AS rank
+  FROM kp),
+ged AS (SELECT vec_id, neighbor_id FROM kr WHERE rank <= 3),
+med AS (
+  SELECT a.vec_id AS vec_a, a.neighbor_id AS vec_b
+  FROM ged a JOIN ged b
+    ON a.vec_id = b.neighbor_id AND a.neighbor_id = b.vec_id
+  WHERE a.vec_id < a.neighbor_id)
+SELECT e1.vec_a AS vec_a, e1.vec_b AS vec_b, e2.vec_b AS vec_c
+FROM med e1
+JOIN med e2 ON e2.vec_a = e1.vec_b
+JOIN med e3 ON e3.vec_a = e1.vec_a AND e3.vec_b = e2.vec_b
+ORDER BY vec_a, vec_b, vec_c"""
+    }),
     // PageRank over the kNN graph: unrolled power iterations, inflow
     // sums as DECIMAL(28,10) (order-independent), p/outdeg contribs,
     // dangling mass dropped, teleport via LEFT JOIN + coalesce. The

@@ -545,5 +545,81 @@ SELECT user_id,
 FROM e
 WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
 ORDER BY user_id, version""",
+    // skyline: the oracle states the declarative NOT-EXISTS dominance
+    // definition; the engine runs the banded distinct-value scan —
+    // hash equality proves the rewrite.
+    "rel_skyline" -> """
+SELECT p_brand, p_partkey, p_retailprice, p_size::BIGINT AS p_size
+FROM part p1
+WHERE NOT EXISTS (
+  SELECT 1 FROM part p2
+  WHERE p2.p_brand = p1.p_brand
+    AND p2.p_retailprice <= p1.p_retailprice
+    AND p2.p_size >= p1.p_size
+    AND (p2.p_retailprice < p1.p_retailprice OR p2.p_size > p1.p_size))
+ORDER BY p_brand, p_retailprice, p_partkey""",
+    // basket pairs: the oracle is the UNPRUNED pair join — the engine's
+    // apriori item prune is provably result-invariant (pair support ≤
+    // item support) and hash equality certifies it.
+    "rel_basket_pairs" -> """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+ic AS (SELECT l_partkey, count(*)::BIGINT AS n_orders
+  FROM items GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+    count(*)::BIGINT AS pair_orders
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+tot AS (SELECT count(*)::BIGINT AS total_orders FROM orders)
+SELECT part_a, part_b, pair_orders,
+  ia.n_orders AS orders_a, ib.n_orders AS orders_b,
+  round(pair_orders::DOUBLE / total_orders, 6) AS support,
+  round(pair_orders::DOUBLE * total_orders /
+    (ia.n_orders * ib.n_orders), 6) AS lift
+FROM pairs
+JOIN ic ia ON ia.l_partkey = part_a
+JOIN ic ib ON ib.l_partkey = part_b
+CROSS JOIN tot
+ORDER BY part_a, part_b""",
+    "rel_event_transitions" -> """
+WITH steps AS (
+  SELECT event_type AS from_type,
+    lead(event_type) OVER (PARTITION BY user_id
+      ORDER BY ts::TIMESTAMP, event_id) AS to_type
+  FROM events QUALIFY to_type IS NOT NULL),
+c AS (
+  SELECT from_type, to_type, count(*)::BIGINT AS n_transitions
+  FROM steps GROUP BY 1, 2)
+SELECT from_type, to_type, n_transitions,
+  round(n_transitions::DOUBLE /
+    sum(n_transitions) OVER (PARTITION BY from_type), 6) AS prob
+FROM c ORDER BY from_type, to_type""",
+    // column profile: the oracle re-states each per-column row as its
+    // own aggregate; the engine computes all of them in ONE scan.
+    "rel_profile" -> {
+      val nRows = "count(*)::BIGINT AS n_rows"
+      def num(c: String, cast: String) = s"""
+SELECT '$c' AS column_name, $nRows,
+  count(*) FILTER ($c IS NULL)::BIGINT AS n_nulls,
+  count(DISTINCT $c)::BIGINT AS n_distinct,
+  min($c)$cast AS min_num, max($c)$cast AS max_num,
+  NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str
+FROM orders"""
+      def str(c: String, fmt: String => String) = s"""
+SELECT '$c' AS column_name, $nRows,
+  count(*) FILTER ($c IS NULL)::BIGINT AS n_nulls,
+  count(DISTINCT $c)::BIGINT AS n_distinct,
+  NULL::DOUBLE AS min_num, NULL::DOUBLE AS max_num,
+  ${fmt(s"min($c)")} AS min_str, ${fmt(s"max($c)")} AS max_str
+FROM orders"""
+      val tsF = (e: String) => s"strftime($e::TIMESTAMP, '%Y-%m-%d %H:%M:%S')"
+      val idF = (e: String) => e
+      Seq(num("o_orderkey", "::DOUBLE"), num("o_custkey", "::DOUBLE"),
+        num("o_totalprice", ""),
+        str("o_orderstatus", idF), str("o_orderpriority", idF),
+        str("o_orderdate", tsF))
+        .mkString("", "\nUNION ALL", "\nORDER BY column_name")
+    },
   )
 }

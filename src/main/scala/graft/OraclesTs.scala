@@ -1,0 +1,81 @@
+package graft
+
+/** DuckDB oracle SQL for the time-series surface
+  * ([[graft.operators.TimeSeries]]). The EWMA kernel SQL is GENERATED
+  * from the same Scala constants the Spark side uses — each `(1-α)^i`
+  * weight is interpolated via `Double.toString` (shortest round-trip
+  * repr), so both engines parse the bit-identical IEEE double, and the
+  * `+` chains are stated in the same textual order as the Scala
+  * `reduce(_ + _)` left fold, so the summation order agrees too. */
+object OraclesTs {
+
+  /** Oracle twin of StockPipeline.normalize ∘ TimeSeries.closeBars5m:
+    * the sparse per-ticker 5-minute close bars. `make_timestamp(µs)`
+    * builds a naive TIMESTAMP (no session-timezone dependency, unlike
+    * `to_timestamp`), matching Spark's `timestamp_seconds` instant. */
+  private val barsCte: String = """
+WITH stock AS (
+  SELECT event_type AS ticker, ts::TIMESTAMP AS ts,
+    value::DOUBLE AS price
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+    AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL),
+bars AS (
+  SELECT ticker,
+    make_timestamp((epoch_us(ts::TIMESTAMP) // 300000000) * 300000000)
+      AS bucket,
+    max_by(price, ts) AS close
+  FROM stock GROUP BY 1, 2)"""
+
+  /** The generated span-12 EWMA kernel: `CASE` guards state the same
+    * null-contributes-zero-weight semantics as the Spark lag-chain. */
+  private val ewmaKernel: String = {
+    val span = 12
+    val alpha = 2.0 / (span + 1)
+    val decay = 1.0 - alpha
+    val terms = (0 until span).map { i =>
+      val w = math.pow(decay, i).toString
+      (s"CASE WHEN lag(close, $i) OVER tw IS NOT NULL" +
+        s" THEN lag(close, $i) OVER tw * $w ELSE 0.0 END",
+        s"CASE WHEN lag(close, $i) OVER tw IS NOT NULL" +
+          s" THEN CAST($w AS DOUBLE) ELSE 0.0 END")
+    }
+    val num = terms.map(_._1).mkString("(", " + ", ")")
+    val den = terms.map(_._2).mkString("(", " + ", ")")
+    s"round($num / $den, 6)"
+  }
+
+  val all: Map[String, String] = Map(
+    "stock_gapfill" -> (barsCte + """,
+bounds AS (SELECT ticker, min(bucket) AS lo, max(bucket) AS hi
+  FROM bars GROUP BY 1),
+spine AS (
+  SELECT ticker, unnest(generate_series(lo, hi, INTERVAL 5 MINUTE))
+    AS bucket
+  FROM bounds)
+SELECT s.ticker, s.bucket,
+  last_value(b.close IGNORE NULLS) OVER (
+    PARTITION BY s.ticker ORDER BY s.bucket
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_close,
+  (b.close IS NULL) AS gap_filled
+FROM spine s LEFT JOIN bars b USING (ticker, bucket)
+ORDER BY ticker, bucket"""),
+    "stock_ewma" -> (barsCte + s"""
+SELECT ticker, bucket, close, $ewmaKernel AS ewma_12
+FROM bars
+WINDOW tw AS (PARTITION BY ticker ORDER BY bucket)
+ORDER BY ticker, bucket"""),
+    "stock_corr_pairs" -> (barsCte + """,
+rets AS (
+  SELECT ticker, bucket,
+    close / lag(close, 1) OVER (PARTITION BY ticker ORDER BY bucket) - 1
+      AS ret
+  FROM bars QUALIFY ret IS NOT NULL)
+SELECT a.ticker AS ticker_a, b.ticker AS ticker_b,
+  count(*)::BIGINT AS n_buckets,
+  round(corr(a.ret, b.ret), 6) AS ret_corr
+FROM rets a JOIN rets b ON a.bucket = b.bucket AND a.ticker < b.ticker
+GROUP BY 1, 2
+ORDER BY ticker_a, ticker_b"""),
+  )
+}

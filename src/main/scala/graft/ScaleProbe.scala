@@ -16,8 +16,8 @@ import graft.operators.StockPipeline
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val mode = args.lift(1).filter(Set("docs", "asof", "emb", "graph"))
-      .getOrElse("events")
+    val mode = args.lift(1).filter(Set("docs", "asof", "emb", "graph",
+      "ts", "rel")).getOrElse("events")
     val docsMode = mode == "docs"
     val multiples = {
       val rest = if (mode != "events") args.drop(2) else args.drop(1)
@@ -177,6 +177,69 @@ object ScaleProbe {
         val out = Relational.asofJoinOn(df).count()
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"[scale-probe-asof] x$n%-3d events=$rows%9d asofRows=$out%9d time=$sec%7.2fs")
+      }
+      spark.stop(); return
+    }
+
+    // Time-series probe: the same time-shifted event copies grow the
+    // SPAN (each copy is +31k days), which is exactly the gap-fill
+    // spine's size axis and the per-user/per-ticker window length axis.
+    // Near-linear growth = the spine explode, lag-chain EWMA and LEAD
+    // transitions all scale with span, with no quadratic term.
+    if (mode == "ts") {
+      import graft.operators.{Relational, StockPipeline, TimeSeries}
+      TimeSeries.gapfillBars(TimeSeries.closeBars5m(
+        StockPipeline.normalize(
+          graft.sources.Tables.events(spark, sfDir)))).count() // warm-up
+      multiples.foreach { n =>
+        val df = multiplied(n).pin(eager = true)
+        val rows = df.count()
+        val bars = TimeSeries.closeBars5m(StockPipeline.normalize(df))
+          .pin(eager = true)
+        def t(f: => Long): (Long, Double) = {
+          val t0 = System.nanoTime(); val c = f
+          (c, (System.nanoTime() - t0) / 1e9)
+        }
+        val (gf, gfS) = t(TimeSeries.gapfillBars(bars).count())
+        val (_, ewS) = t(TimeSeries.ewmaBars(bars).count())
+        val (_, cpS) = t(TimeSeries.corrPairsBars(bars).count())
+        val (_, etS) = t(Relational.eventTransitionsOn(df).count())
+        println(f"[scale-probe-ts] x$n%-3d events=$rows%9d gapfill=$gfS%6.2fs($gf) ewma=$ewS%6.2fs corrPairs=$cpS%6.2fs transitions=$etS%6.2fs")
+      }
+      spark.stop(); return
+    }
+
+    // Relational probe: key-shifted copies of part/lineitem/orders grow
+    // the brand count (skyline) and the order count (basket pairs)
+    // linearly while basket SIZE stays constant — pair fan-out per
+    // order is basket-choose-2, so linear time here is the evidence
+    // the apriori-pruned self-join has no corpus-quadratic term.
+    if (mode == "rel") {
+      import graft.operators.Relational
+      Relational.partSkylineOn(
+        graft.sources.Tables.part(spark, sfDir)).count() // warm-up
+      multiples.foreach { n =>
+        val part = (0 until n).map { k =>
+          graft.sources.Tables.part(spark, sfDir)
+            .withColumn("p_partkey", col("p_partkey") + lit(k.toLong * 1000000000L))
+            .withColumn("p_brand", concat(col("p_brand"), lit(s"#$k")))
+        }.reduce(_ unionAll _).pin(eager = true)
+        val li = (0 until n).map { k =>
+          graft.sources.Tables.lineitem(spark, sfDir)
+            .withColumn("l_orderkey", col("l_orderkey") + lit(k.toLong * 1000000000L))
+        }.reduce(_ unionAll _).pin(eager = true)
+        val ord = (0 until n).map { k =>
+          graft.sources.Tables.orders(spark, sfDir)
+            .withColumn("o_orderkey", col("o_orderkey") + lit(k.toLong * 1000000000L))
+        }.reduce(_ unionAll _).pin(eager = true)
+        val nParts = part.count(); val nLi = li.count()
+        def t(f: => Long): (Long, Double) = {
+          val t0 = System.nanoTime(); val c = f
+          (c, (System.nanoTime() - t0) / 1e9)
+        }
+        val (sk, skS) = t(Relational.partSkylineOn(part).count())
+        val (bp, bpS) = t(Relational.basketPairsOn(li, ord).count())
+        println(f"[scale-probe-rel] x$n%-3d parts=$nParts%8d lineitems=$nLi%9d skyline=$skS%6.2fs($sk) basketPairs=$bpS%6.2fs($bp)")
       }
       spark.stop(); return
     }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Analytics, Dedup, Relational, Similarity, StockPipeline, TextAnalysis}
+import graft.operators.{Analytics, Dedup, Relational, Similarity, StockPipeline, TextAnalysis, TimeSeries}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -85,6 +85,13 @@ object SparkEntry {
         StockPipeline.normalize(Tables.events(s, d))))),
     "stock_json_roundtrip" -> ((s, d) =>
       StockPipeline.jsonRoundtrip(StockPipeline.normalize(Tables.events(s, d)))),
+    // ---- time-series resample/smooth/cross-correlation ----
+    // dense per-ticker 5-min series, close forward-filled across gaps
+    "stock_gapfill" -> (TimeSeries.gapfill _),
+    // span-12 EWMA as a codegen'd lag-chain kernel (no array fold)
+    "stock_ewma" -> (TimeSeries.ewma _),
+    // pairwise ticker-return correlation matrix (upper triangle)
+    "stock_corr_pairs" -> (TimeSeries.corrPairs _),
     // ---- SQL analytics surface Q1-Q10 (SURVEY.md §2.9) ----
     "q1_dashboard" -> ((s, d) => Analytics.q1Dashboard(ana(s, d))),
     "q2_trend_signals" -> ((s, d) => Analytics.q2TrendSignals(ana(s, d))),
@@ -314,6 +321,9 @@ object SparkEntry {
     // graph clustering consumes
     "sim_mutual_knn" -> ((s, d) =>
       Similarity.mutualKnnGraph(Tables.embeddings(s, d))),
+    // triangle enumeration over the mutual-kNN graph (compact-forward)
+    "sim_triangles" -> ((s, d) =>
+      Similarity.knnTriangles(Tables.embeddings(s, d))),
     // embedding cluster components: thresholded kNN edges through the
     // SAME large-star/small-star CC operator the text dedup uses
     "sim_knn_components" -> ((s, d) =>
@@ -409,6 +419,14 @@ object SparkEntry {
     "rel_supplier_diversity" -> (Relational.supplierDiversity _),
     // TPC-H Q8-shape per-year market share (conditional decimal sums)
     "rel_market_share" -> ((s, d) => Relational.marketShare(s, d)),
+    // per-brand Pareto frontier via the banded distinct-value scan
+    "rel_skyline" -> (Relational.partSkyline _),
+    // market-basket pair support/lift, apriori-pruned (oracle unpruned)
+    "rel_basket_pairs" -> ((s, d) => Relational.basketPairs(s, d)),
+    // first-order Markov transition matrix over per-user event paths
+    "rel_event_transitions" -> (Relational.eventTransitions _),
+    // single-scan column-profiling report (multi-distinct + unpivot)
+    "rel_profile" -> (Relational.ordersProfile _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1159,4 +1159,186 @@ object Relational {
         "valid_to", "is_current")
       .orderBy(col("user_id"), col("version"))
   }
+
+  /** Distributed skyline (Pareto frontier) per brand: the parts no other
+    * same-brand part dominates on (p_retailprice ↓ better, p_size ↑
+    * better). The multi-objective "best tradeoff set" query.
+    *
+    * Shape — the banded distinct-value scan (same family as
+    * `Quantiles`): aggregate max(size) per DISTINCT (brand, price)
+    * (map-side combine collapses duplicates before the shuffle), run the
+    * running-max window over those distinct prices only, then join the
+    * verdict back to the parts. A row is dominated iff a strictly
+    * cheaper part has size ≥ its own (`prev_max`), or an equal-priced
+    * part has size strictly greater (`price_max`); exact duplicates stay
+    * on the frontier together (standard skyline tie semantics). No
+    * global window: everything partitions by brand, and the window input
+    * is the distinct-price table, not the data. */
+  def partSkyline(spark: SparkSession, dir: String): DataFrame =
+    partSkylineOn(Tables.part(spark, dir))
+
+  private[graft] def partSkylineOn(part: DataFrame): DataFrame = {
+    val parts = part
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"),
+        col("p_size").cast("long").as("p_size"))
+    val perPrice = parts
+      .groupBy(col("p_brand"), col("p_retailprice"))
+      .agg(max(col("p_size")).as("price_max"))
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("p_retailprice"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val verdict = perPrice
+      .withColumn("prev_max", max(col("price_max")).over(w))
+    parts
+      .join(verdict, Seq("p_brand", "p_retailprice"))
+      .filter(!(coalesce(col("prev_max") >= col("p_size"), lit(false)) ||
+        col("price_max") > col("p_size")))
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+        col("p_size"))
+      .orderBy(col("p_brand"), col("p_retailprice"), col("p_partkey"))
+  }
+
+  /** Market-basket co-occurrence: part pairs ordered together, with
+    * support and lift — the association-rule mining primitive.
+    *
+    * Scale design (apriori pruning): items below the pair-support
+    * threshold are filtered BEFORE the quadratic self-join — provably
+    * result-invariant (a pair's support is ≤ either item's support), so
+    * the oracle states the unpruned join and hash-equality proves the
+    * optimization invisible. The per-order distinct-item dedup bounds
+    * the join fan-out at (basket size choose 2); both join sides shuffle
+    * once on the order key. Lift is computed from exact integer counts
+    * at the end (one broadcast scalar for the order total). */
+  def basketPairs(spark: SparkSession, dir: String,
+      minSupport: Long = 2): DataFrame =
+    basketPairsOn(Tables.lineitem(spark, dir), Tables.orders(spark, dir),
+      minSupport)
+
+  private[graft] def basketPairsOn(lineitem: DataFrame, orders: DataFrame,
+      minSupport: Long = 2): DataFrame = {
+    val items = lineitem
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val itemCounts = items.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    // apriori prune: only items that could reach the pair threshold
+    val hot = items.join(
+      itemCounts.filter(col("n_orders") >= minSupport)
+        .select(col("l_partkey")),
+      Seq("l_partkey"))
+    val a = hot.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+    val b = hot.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+    val pairs = a.join(b, Seq("l_orderkey"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("pair_orders"))
+      .filter(col("pair_orders") >= minSupport)
+    val totalOrders = orders.agg(count(lit(1)).as("total_orders"))
+    pairs
+      .join(broadcast(itemCounts.select(col("l_partkey").as("part_a"),
+        col("n_orders").as("orders_a"))), Seq("part_a"))
+      .join(broadcast(itemCounts.select(col("l_partkey").as("part_b"),
+        col("n_orders").as("orders_b"))), Seq("part_b"))
+      .crossJoin(broadcast(totalOrders))
+      .select(col("part_a"), col("part_b"), col("pair_orders"),
+        col("orders_a"), col("orders_b"),
+        round(col("pair_orders").cast("double") / col("total_orders"), 6)
+          .as("support"),
+        round(col("pair_orders").cast("double") * col("total_orders") /
+          (col("orders_a") * col("orders_b")), 6).as("lift"))
+      .orderBy(col("part_a"), col("part_b"))
+  }
+
+  /** First-order Markov transition matrix over the event stream: counts
+    * and row-normalized probabilities of each consecutive
+    * (event_type → next event_type) step per user timeline — the
+    * path-analysis primitive behind funnels and next-action models.
+    *
+    * Scale: one LEAD window partitioned by user (high-cardinality,
+    * per-partition size = one user's history), then a 25-row hash
+    * aggregate; the probability normalization is a window over the
+    * 5-row from_type marginals, not the data. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame =
+    eventTransitionsOn(Tables.events(spark, dir))
+
+  private[graft] def eventTransitionsOn(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val steps = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+    val counts = steps.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val marginal = Window.partitionBy(col("from_type"))
+    counts
+      .select(col("from_type"), col("to_type"), col("n_transitions"),
+        round(col("n_transitions").cast("double") /
+          sum(col("n_transitions")).over(marginal), 6).as("prob"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** Column-profiling report over `orders` — per-column row/null/distinct
+    * counts and typed min/max (numerics in `min_num`/`max_num`,
+    * strings/formatted timestamps in `min_str`/`max_str`; the split
+    * avoids cross-engine double→string formatting drift).
+    *
+    * Scale: ONE scan — all per-column aggregates sit in a single
+    * multi-distinct aggregate (Catalyst plans one Expand ×6, partial
+    * aggregation applies), and the wide one-row result is unpivoted on
+    * the driver side of the plan via a literal-struct explode (6 rows,
+    * no second scan). This is the data-quality profile a 100-TB
+    * ingestion run emits per table without re-reading it per column. */
+  def ordersProfile(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val tsFmt = "yyyy-MM-dd HH:mm:ss"
+    val wide = o.agg(
+      count(lit(1)).as("n_rows"),
+      // numeric columns
+      count(when(col("o_orderkey").isNull, 1)).as("nn_orderkey"),
+      countDistinct(col("o_orderkey")).as("nd_orderkey"),
+      min(col("o_orderkey")).cast("double").as("min_orderkey"),
+      max(col("o_orderkey")).cast("double").as("max_orderkey"),
+      count(when(col("o_custkey").isNull, 1)).as("nn_custkey"),
+      countDistinct(col("o_custkey")).as("nd_custkey"),
+      min(col("o_custkey")).cast("double").as("min_custkey"),
+      max(col("o_custkey")).cast("double").as("max_custkey"),
+      count(when(col("o_totalprice").isNull, 1)).as("nn_totalprice"),
+      countDistinct(col("o_totalprice")).as("nd_totalprice"),
+      min(col("o_totalprice")).as("min_totalprice"),
+      max(col("o_totalprice")).as("max_totalprice"),
+      // string/timestamp columns
+      count(when(col("o_orderstatus").isNull, 1)).as("nn_orderstatus"),
+      countDistinct(col("o_orderstatus")).as("nd_orderstatus"),
+      min(col("o_orderstatus")).as("min_orderstatus"),
+      max(col("o_orderstatus")).as("max_orderstatus"),
+      count(when(col("o_orderpriority").isNull, 1)).as("nn_orderpriority"),
+      countDistinct(col("o_orderpriority")).as("nd_orderpriority"),
+      min(col("o_orderpriority")).as("min_orderpriority"),
+      max(col("o_orderpriority")).as("max_orderpriority"),
+      count(when(col("o_orderdate").isNull, 1)).as("nn_orderdate"),
+      countDistinct(col("o_orderdate")).as("nd_orderdate"),
+      date_format(min(col("o_orderdate")), tsFmt).as("min_orderdate"),
+      date_format(max(col("o_orderdate")), tsFmt).as("max_orderdate"))
+    def num(name: String, suffix: String) = struct(
+      lit(name).as("column_name"), col("n_rows"),
+      col(s"nn_$suffix").as("n_nulls"), col(s"nd_$suffix").as("n_distinct"),
+      col(s"min_$suffix").as("min_num"), col(s"max_$suffix").as("max_num"),
+      lit(null).cast("string").as("min_str"),
+      lit(null).cast("string").as("max_str"))
+    def str(name: String, suffix: String) = struct(
+      lit(name).as("column_name"), col("n_rows"),
+      col(s"nn_$suffix").as("n_nulls"), col(s"nd_$suffix").as("n_distinct"),
+      lit(null).cast("double").as("min_num"),
+      lit(null).cast("double").as("max_num"),
+      col(s"min_$suffix").as("min_str"), col(s"max_$suffix").as("max_str"))
+    wide
+      .select(explode(array(
+        num("o_orderkey", "orderkey"), num("o_custkey", "custkey"),
+        num("o_totalprice", "totalprice"),
+        str("o_orderstatus", "orderstatus"),
+        str("o_orderpriority", "orderpriority"),
+        str("o_orderdate", "orderdate"))).as("p"))
+      .select(col("p.*"))
+      .orderBy(col("column_name"))
+  }
 }

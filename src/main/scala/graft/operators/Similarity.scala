@@ -682,6 +682,34 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Triangle enumeration over the mutual-kNN graph — the clustering-
+    * coefficient / community-density primitive. Each triangle surfaces
+    * once as (vec_a < vec_b < vec_c).
+    *
+    * Shape: edges are stored once with vec_a < vec_b, so the classic
+    * compact-forward join enumerates each triangle exactly once — wedge
+    * join E(a,b)⋈E(b,c) on the middle vertex, then a closing equi-join
+    * against E(a,c). Scale: mutual-kNN degree is bounded by k (mutuality
+    * can only shrink a neighbor list), so the wedge fan-out is ≤ k² per
+    * vertex and both joins are plain hash shuffles on vertex ids — no
+    * quadratic blow-up even on a billion-node graph. The edge list is
+    * pinned once and reused by all three join legs. */
+  def knnTriangles(embeddings: DataFrame, k: Int = 3,
+      cells: Int = kmK): DataFrame = {
+    val e = mutualKnnGraph(embeddings, k, cells)
+      .select(col("vec_a"), col("vec_b"))
+      .pin(eager = true)
+    val wedges = e.as("e1").join(
+        e.select(col("vec_a").as("vec_b"), col("vec_b").as("vec_c"))
+          .as("e2"),
+        Seq("vec_b"))
+    wedges
+      .join(e.select(col("vec_a"), col("vec_b").as("vec_c")).as("e3"),
+        Seq("vec_a", "vec_c"))
+      .select(col("vec_a"), col("vec_b"), col("vec_c"))
+      .orderBy(col("vec_a"), col("vec_b"), col("vec_c"))
+  }
+
   /** PageRank damping / iterations for [[knnPageRank]] — shared with
     * the oracle generator. */
   val prDamping = 0.85

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Time-series resampling/smoothing operators over the stock feed — the
+  * gap-fill / EWMA / cross-correlation surface any production deployment
+  * of the reference's per-minute bars (`analysis-dataflow-pipeline/
+  * pipeline.py:87-97`) grows next: charting stacks need dense regular
+  * series (gap-fill), signal generation needs exponentially-weighted
+  * smoothing (EWMA), and risk/pairs-trading needs the cross-ticker return
+  * correlation matrix.
+  *
+  * Scale notes (100 TB): every operator keys its shuffle on
+  * (ticker, time-bucket) — high cardinality over a real symbol universe.
+  * The per-ticker windows (forward-fill, lag chains) are the same
+  * partition-by-entity pattern as `Relational.userSessions`: at cluster
+  * scale the partition key is the symbol, whose per-key row count is
+  * bounded by the time span, not the data volume, so no partition
+  * outgrows an executor. The gap-fill spine is built from a tiny
+  * per-ticker min/max aggregate and EXPLODEd distributively — spine size
+  * is O(symbols × span), independent of event volume.
+  */
+object TimeSeries {
+
+  /** 5-minute close bars per ticker (sparse — only buckets with events).
+    * Bucketing via epoch-seconds integer division matches the oracle's
+    * `epoch_us // 1e6 // 300 * 300` bit-for-bit (both floor on positive
+    * epochs); `max_by(price, ts)` is the roster-wide "last event wins"
+    * convention (ts is unique per ticker in the feed — see agg1m). */
+  private[graft] def closeBars5m(stock: DataFrame): DataFrame =
+    stock
+      .groupBy(col("ticker"),
+        timestamp_seconds(expr("unix_timestamp(ts) div 300") * 300)
+          .as("bucket"))
+      .agg(max_by(col("price"), col("ts")).as("close"))
+
+  /** Gap-fill resample: dense per-ticker 5-minute series with the close
+    * forward-filled across empty buckets — the resample→ffill every
+    * charting/feature stack applies to sparse bars.
+    *
+    * Shape: sparse bars → per-ticker [min,max] bucket bounds (5 rows) →
+    * `sequence()` + `explode` builds the dense spine distributively →
+    * left join bars → `last(close, ignoreNulls)` forward-fill window.
+    * The spine explode happens AFTER the bounds aggregate, so the full
+    * event volume is scanned exactly once. */
+  def gapfill(spark: SparkSession, dir: String): DataFrame =
+    gapfillBars(closeBars5m(StockPipeline.normalize(Tables.events(spark, dir))))
+
+  private[graft] def gapfillBars(bars: DataFrame): DataFrame = {
+    val spine = bars
+      .groupBy(col("ticker"))
+      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+      .select(col("ticker"),
+        explode(sequence(col("lo"), col("hi"),
+          expr("INTERVAL 5 MINUTES"))).as("bucket"))
+    val ffill = Window.partitionBy(col("ticker")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(bars, Seq("ticker", "bucket"), "left")
+      .select(
+        col("ticker"), col("bucket"),
+        last(col("close"), ignoreNulls = true).over(ffill)
+          .as("filled_close"),
+        col("close").isNull.as("gap_filled"))
+      .orderBy(col("ticker"), col("bucket"))
+  }
+
+  /** EWMA weights: span-12 smoothing (alpha = 2/(span+1)) truncated to a
+    * 12-term trailing kernel. The closed form is written as an explicit
+    * lag-chain — 12 `lag` terms with fixed literal weights — rather than
+    * a collect_list fold: every term is a codegen'd column expression
+    * (stays inside WholeStageCodegen, no array allocation per row), and
+    * the summation order is the textual order of the `+` chain, which the
+    * oracle SQL states identically, so the doubles agree bit-for-bit. */
+  private val EwmaSpan = 12
+  private val EwmaAlpha = 2.0 / (EwmaSpan + 1)
+
+  /** Per-ticker EWMA of the 5-minute close over the sparse bars.
+    * Leading edge: lags before the series start are NULL; each NULL term
+    * contributes zero weight, so early rows are a correctly-renormalized
+    * partial kernel (pandas `ewm(adjust=True)` semantics, truncated). */
+  def ewma(spark: SparkSession, dir: String): DataFrame =
+    ewmaBars(closeBars5m(StockPipeline.normalize(Tables.events(spark, dir))))
+
+  private[graft] def ewmaBars(bars: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("ticker")).orderBy(col("bucket"))
+    val decay = 1.0 - EwmaAlpha
+    // num = Σ_i (1-α)^i·x_{t-i}, den = Σ_i (1-α)^i·[x_{t-i} exists]
+    val terms = (0 until EwmaSpan).map { i =>
+      val weight = math.pow(decay, i)
+      val x = lag(col("close"), i).over(w)
+      (when(x.isNotNull, x * lit(weight)).otherwise(lit(0.0)),
+        when(x.isNotNull, lit(weight)).otherwise(lit(0.0)))
+    }
+    val num = terms.map(_._1).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    bars
+      .select(col("ticker"), col("bucket"), col("close"),
+        round(num / den, 6).as("ewma_12"))
+      .orderBy(col("ticker"), col("bucket"))
+  }
+
+  /** Pairwise ticker-return correlation — the cross-sectional matrix a
+    * pairs-trading / risk stack derives from the bar feed. Per-ticker
+    * 5-minute log-ish simple returns (close/lag(close)−1) self-joined on
+    * the bucket (equi join — both sides shuffle once on `bucket`), then
+    * one hash-aggregate per unordered pair. Output is the strict upper
+    * triangle (ticker_a < ticker_b). Degenerate pairs (constant series →
+    * NaN corr) surface as NULL, the roster-wide convention. */
+  def corrPairs(spark: SparkSession, dir: String): DataFrame =
+    corrPairsBars(closeBars5m(
+      StockPipeline.normalize(Tables.events(spark, dir))))
+
+  private[graft] def corrPairsBars(bars: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("ticker")).orderBy(col("bucket"))
+    val rets = bars
+      .select(col("ticker"), col("bucket"),
+        (col("close") / lag(col("close"), 1).over(w) - 1).as("ret"))
+      .filter(col("ret").isNotNull)
+    val a = rets.select(col("ticker").as("ticker_a"), col("bucket"),
+      col("ret").as("ret_a"))
+    val b = rets.select(col("ticker").as("ticker_b"), col("bucket"),
+      col("ret").as("ret_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("ticker_a") < col("ticker_b"))
+      .groupBy(col("ticker_a"), col("ticker_b"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        round(nanToNull(corr(col("ret_a"), col("ret_b"))), 6)
+          .as("ret_corr"))
+      .orderBy(col("ticker_a"), col("ticker_b"))
+  }
+
+  private def nanToNull(c: org.apache.spark.sql.Column) =
+    when(isnan(c), lit(null)).otherwise(c)
+}

@@ -162,4 +162,20 @@ class KnnGraphSpec extends SparkSpec {
     val op = Similarity.knnComponents(emb)
     assert(reg.collect().toSeq === op.collect().toSeq)
   }
+
+  test("knnTriangles: exactly the brute-force triangle set of the " +
+      "mutual-kNN edge list, each once as a<b<c") {
+    val edges = Similarity.mutualKnnGraph(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val expected = (for {
+      a <- nodes; b <- nodes if a < b && edges((a, b))
+      c <- nodes if b < c && edges((b, c)) && edges((a, c))
+    } yield (a, b, c)).toSet
+    val got = Similarity.knnTriangles(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length === got.toSet.size, "no duplicate triangles")
+    got.foreach { case (a, b, c) => assert(a < b && b < c) }
+    assert(got.toSet === expected)
+  }
 }

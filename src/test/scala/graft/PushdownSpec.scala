@@ -124,4 +124,48 @@ class PushdownSpec extends SparkSpec {
       s"corpus_signal_ensemble: expected a doc_id-only spine scan:\n" +
         ensemble.map(readSchemaOf).mkString("\n"))
   }
+
+  test("rel_basket_pairs: every lineitem scan reads only the two key " +
+      "columns — the quadratic pair join never moves payload bytes") {
+    val scans = scansOf(planOf("rel_basket_pairs"), "lineitem")
+    assert(scans.nonEmpty)
+    scans.foreach { s =>
+      assert(readSchemaOf(s) ===
+        "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint>",
+        s"basket pairs must scan keys only: ${readSchemaOf(s)}")
+    }
+  }
+
+  test("rel_skyline: the part scan prunes the unused name/type columns") {
+    val scans = scansOf(planOf("rel_skyline"), "part")
+    assert(scans.nonEmpty)
+    scans.foreach { s =>
+      val rs = readSchemaOf(s)
+      assert(!rs.contains("p_name") && !rs.contains("p_type"),
+        s"skyline touches 4 columns only: $rs")
+    }
+  }
+
+  test("rel_profile: ONE orders scan feeds all six column profiles") {
+    val scans = scansOf(planOf("rel_profile"), "orders")
+    assert(scans.length === 1,
+      s"profiling must be single-pass, found ${scans.length} scans")
+  }
+
+  test("stock_gapfill and rel_event_transitions prune the events " +
+      "columns they never touch") {
+    val gf = scansOf(planOf("stock_gapfill"), "events")
+    assert(gf.nonEmpty)
+    gf.foreach { s =>
+      assert(!readSchemaOf(s).contains("user_id"),
+        s"gapfill never touches user_id: ${readSchemaOf(s)}")
+    }
+    val et = scansOf(planOf("rel_event_transitions"), "events")
+    assert(et.nonEmpty)
+    et.foreach { s =>
+      val rs = readSchemaOf(s)
+      assert(!rs.contains("props") && !rs.contains("value"),
+        s"transitions never touch props/value: $rs")
+    }
+  }
 }

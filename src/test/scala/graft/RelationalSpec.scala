@@ -192,4 +192,84 @@ class RelationalSpec extends SparkSpec {
     val grand = out.find(r => r.isNullAt(0) && r.isNullAt(1)).get
     assert(grand.getAs[Long]("n") === 3L && grand.getAs[Double]("total") === 35.0)
   }
+
+  test("partSkyline: exactly the non-dominated set per brand " +
+      "(brute-force dominance check on sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val parts = graft.sources.Tables.part(spark, dir)
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+        col("p_size").cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val expected = parts.filter { case (brand, key, price, size) =>
+      !parts.exists { case (b2, k2, p2, s2) =>
+        b2 == brand && k2 != key && p2 <= price && s2 >= size &&
+          (p2 < price || s2 > size)
+      }
+    }.map(t => (t._1, t._2)).toSet
+    val got = graft.operators.Relational.partSkyline(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === expected)
+    assert(got.size < parts.length, "some parts are dominated")
+  }
+
+  test("basketPairs: apriori item prune is result-invariant vs the " +
+      "naive unpruned pair join") {
+    val dir = "/root/testdata/sf0.001"
+    val items = graft.sources.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val naive = items.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length)
+        yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 2).toMap
+    val got = graft.operators.Relational.basketPairs(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === naive)
+  }
+
+  test("eventTransitions: probabilities row-normalize to 1 per source " +
+      "type and counts total n_events - n_users") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.operators.Relational.eventTransitions(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (from, rows) =>
+      val p = rows.map(_._3).sum
+      assert(math.abs(p - 1.0) < 1e-4, s"$from: probs sum to $p")
+    }
+    val ev = graft.sources.Tables.events(spark, dir)
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    assert(out.map(_._2).sum === nEvents - nUsers,
+      "each user's chain of k events yields k-1 transitions")
+  }
+
+  test("ordersProfile: one row per column, counts match direct queries") {
+    val dir = "/root/testdata/sf0.001"
+    val o = graft.sources.Tables.orders(spark, dir)
+    val prof = graft.operators.Relational.ordersProfile(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(prof.size === 6)
+    val n = o.count()
+    prof.values.foreach { r =>
+      assert(r.getAs[Long]("n_rows") === n)
+      assert(r.getAs[Long]("n_nulls") === 0L) // sf data has no nulls
+    }
+    assert(prof("o_orderkey").getAs[Long]("n_distinct") === n)
+    assert(prof("o_orderstatus").getAs[Long]("n_distinct") ===
+      o.select("o_orderstatus").distinct().count())
+    // numeric columns carry min/max in the num slots, strings in str
+    assert(!prof("o_totalprice").isNullAt(
+      prof("o_totalprice").fieldIndex("min_num")))
+    assert(prof("o_orderpriority").isNullAt(
+      prof("o_orderpriority").fieldIndex("min_num")))
+    assert(!prof("o_orderdate").isNullAt(
+      prof("o_orderdate").fieldIndex("min_str")))
+  }
 }

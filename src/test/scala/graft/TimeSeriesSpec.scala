@@ -1,0 +1,122 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TimeSeries
+
+/** Properties of the time-series resample/smooth operators on literal
+  * bar frames (synthetic, so edge shapes — gaps, leading edge, perfect
+  * correlation — are constructed, not hoped for in the sf data). */
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(min: Int) =
+    new Timestamp(Timestamp.valueOf("2024-03-01 00:00:00").getTime +
+      min * 60000L)
+
+  /** bars(ticker, bucket, close) on a 5-minute grid. */
+  private def bars(rows: (String, Int, Double)*) =
+    rows.map { case (tk, m, c) => (tk, t(m), c) }
+      .toDF("ticker", "bucket", "close")
+
+  test("gapfillBars: spine is dense per ticker, gaps carry the previous " +
+      "close forward and are flagged") {
+    val out = TimeSeries.gapfillBars(
+      bars(("A", 0, 1.0), ("A", 15, 2.0), ("B", 5, 9.0)))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2),
+        r.getBoolean(3)))
+    val a = out.filter(_._1 == "A").sortBy(_._2.getTime)
+    // dense 5-min spine 0..15 for A
+    assert(a.map(_._2) === Seq(t(0), t(5), t(10), t(15)))
+    // forward fill: the two gap buckets carry 1.0; real bars keep theirs
+    assert(a.map(x => (x._3, x._4)) ===
+      Seq((1.0, false), (1.0, true), (1.0, true), (2.0, false)))
+    // B has a single bucket → no gaps
+    assert(out.filter(_._1 == "B").toSeq === Seq(("B", t(5), 9.0, false)))
+  }
+
+  test("ewmaBars: first row equals its close (renormalized partial " +
+      "kernel), constant series is a fixed point, and values stay " +
+      "inside the trailing-window hull") {
+    val cs = Seq(10.0, 12.0, 8.0, 11.0, 11.5, 9.0, 10.5, 10.0)
+    val out = TimeSeries.ewmaBars(
+      bars(cs.zipWithIndex.map { case (c, i) => ("A", i * 5, c) } ++
+        (0 until 20).map(i => ("C", i * 5, 7.0)): _*))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2),
+        r.getDouble(3)))
+    val a = out.filter(_._1 == "A").sortBy(_._2.getTime)
+    assert(a.head._4 === a.head._3) // single-term kernel = the close
+    // every EWMA lies within [min, max] of the closes seen so far
+    a.zipWithIndex.foreach { case ((_, _, _, e), i) =>
+      val seen = cs.take(i + 1).takeRight(12)
+      assert(e >= seen.min - 1e-9 && e <= seen.max + 1e-9)
+    }
+    // constant series: EWMA is exactly the constant at every row
+    assert(out.filter(_._1 == "C").forall(_._4 === 7.0))
+  }
+
+  test("corrPairsBars: proportional returns correlate to 1, " +
+      "anti-proportional to -1") {
+    // two-valued anti-phase return sequences are exact affine transforms
+    // of each other (slope −1), so the correlations are exactly ±1
+    val ap = Seq(100.0, 200.0, 100.0, 200.0, 100.0)
+    val dp = Seq(200.0, 100.0, 200.0, 100.0, 200.0)
+    val a = ap.zipWithIndex.map { case (c, i) => ("A", i * 5, c) }
+    val u = ap.zipWithIndex.map { case (c, i) => ("U", i * 5, 2 * c) }
+    val d = dp.zipWithIndex.map { case (c, i) => ("D", i * 5, c) }
+    val out = TimeSeries.corrPairsBars(bars(a ++ u ++ d: _*))
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(("A", "U")) === ((4L, 1.0)))
+    assert(out(("A", "D")) === ((4L, -1.0)))
+    assert(out.size === 3) // strict upper triangle of 3 tickers
+  }
+
+  test("streaming gap-fill (flatMapGroupsWithState) equals the batch " +
+      "dense-spine + forward-fill query on real data") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val barsDf = TimeSeries.closeBars5m(
+      graft.operators.StockPipeline.normalize(
+        graft.sources.Tables.events(spark, dir)))
+    val barRows = barsDf.as[graft.streaming.BarEvent]
+      .collect().sortBy(_.bucket.getTime)
+    val stream = MemoryStream[graft.streaming.BarEvent]
+    val q = graft.streaming.GapfillState.gapfill(stream.toDS())
+      .writeStream.format("memory").queryName("gapfill_sink")
+      .outputMode("append").start()
+    try {
+      val (a, b) = barRows.splitAt(barRows.length / 2)
+      stream.addData(a.toIndexedSeq)
+      q.processAllAvailable()
+      stream.addData(b.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("gapfill_sink")
+        .orderBy("ticker", "bucket").collect()
+      val batch = TimeSeries.gapfillBars(barsDf)
+        .orderBy("ticker", "bucket").collect()
+      assert(streamed.length === batch.length && batch.length > 0)
+      streamed.zip(batch).foreach { case (s, bt) =>
+        assert(s.toSeq === bt.toSeq, s"stream $s vs batch $bt")
+      }
+    } finally q.stop()
+  }
+
+  test("corrPairs on sf0.001: every correlation is in [-1, 1] and the " +
+      "pair set is the strict upper triangle") {
+    val out = TimeSeries.corrPairs(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getString(0) < r.getString(1))
+      if (!r.isNullAt(3))
+        assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-9)
+    }
+  }
+}
