@@ -621,5 +621,59 @@ FROM orders"""
         str("o_orderdate", tsF))
         .mkString("", "\nUNION ALL", "\nORDER BY column_name")
     },
+    // Welch A/B: Σx/Σx² as DECIMAL(28,10) (order-independent), cast to
+    // DOUBLE once; t/df from the ROUNDED mean/var columns — both
+    // engines start every scalar step from identical inputs.
+    "rel_ab_test" -> """
+WITH base AS (
+  SELECT event_type,
+    count(*) FILTER (user_id % 2 = 0)::BIGINT AS n_a,
+    count(*) FILTER (user_id % 2 = 1)::BIGINT AS n_b,
+    CAST(sum(CASE WHEN user_id % 2 = 0
+      THEN CAST(value AS DECIMAL(28,10)) END) AS DOUBLE) AS sx_a,
+    CAST(sum(CASE WHEN user_id % 2 = 0
+      THEN CAST(value * value AS DECIMAL(28,10)) END) AS DOUBLE) AS sxx_a,
+    CAST(sum(CASE WHEN user_id % 2 = 1
+      THEN CAST(value AS DECIMAL(28,10)) END) AS DOUBLE) AS sx_b,
+    CAST(sum(CASE WHEN user_id % 2 = 1
+      THEN CAST(value * value AS DECIMAL(28,10)) END) AS DOUBLE) AS sxx_b
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+  GROUP BY event_type),
+m AS (
+  SELECT event_type, n_a, n_b,
+    CASE WHEN n_a > 0 THEN round(sx_a / n_a, 6) END AS mean_a,
+    CASE WHEN n_b > 0 THEN round(sx_b / n_b, 6) END AS mean_b,
+    CASE WHEN n_a > 1 THEN
+      round((sxx_a - sx_a * sx_a / n_a) / (n_a - 1), 6) END AS var_a,
+    CASE WHEN n_b > 1 THEN
+      round((sxx_b - sx_b * sx_b / n_b) / (n_b - 1), 6) END AS var_b
+  FROM base)
+SELECT event_type, n_a, n_b, mean_a, mean_b, var_a, var_b,
+  CASE WHEN var_a IS NOT NULL AND var_b IS NOT NULL
+      AND var_a / n_a + var_b / n_b > 0 THEN
+    round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 6)
+  END AS t_stat,
+  CASE WHEN var_a IS NOT NULL AND var_b IS NOT NULL
+      AND var_a / n_a + var_b / n_b > 0 THEN
+    round((var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b) /
+      (var_a / n_a * (var_a / n_a) / (n_a - 1) +
+       var_b / n_b * (var_b / n_b) / (n_b - 1)), 6)
+  END AS welch_df
+FROM m ORDER BY event_type""",
+    "rel_time_to_convert" -> """
+WITH s AS (
+  SELECT user_id, min(ts::TIMESTAMP) AS signup_ts
+  FROM events WHERE event_type = 'signup' GROUP BY 1),
+p AS (
+  SELECT e.user_id, min(e.ts::TIMESTAMP) AS first_purchase_ts
+  FROM events e JOIN s USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts::TIMESTAMP > s.signup_ts
+  GROUP BY 1)
+SELECT user_id, signup_ts, first_purchase_ts,
+  epoch_us(first_purchase_ts) - epoch_us(signup_ts) AS us_to_convert,
+  (first_purchase_ts IS NOT NULL) AS converted
+FROM s LEFT JOIN p USING (user_id)
+ORDER BY user_id""",
   )
 }

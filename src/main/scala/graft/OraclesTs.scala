@@ -45,7 +45,33 @@ bars AS (
     s"round($num / $den, 6)"
   }
 
+  /** Generated RSI kernel — same lag-chain/textual-order discipline as
+    * [[ewmaKernel]], span shared with the Spark side. */
+  private val rsiKernel: String = {
+    val span = graft.operators.TimeSeries.RsiSpan
+    def chain(term: Int => String) =
+      (0 until span).map(term).mkString("(", " + ", ")")
+    val g = chain(i => s"CASE WHEN lag(diff, $i) OVER tw IS NOT NULL" +
+      s" THEN greatest(lag(diff, $i) OVER tw, 0.0) ELSE 0.0 END")
+    val l = chain(i => s"CASE WHEN lag(diff, $i) OVER tw IS NOT NULL" +
+      s" THEN greatest(-lag(diff, $i) OVER tw, 0.0) ELSE 0.0 END")
+    val c = chain(i => s"CASE WHEN lag(diff, $i) OVER tw IS NOT NULL" +
+      " THEN 1 ELSE 0 END")
+    s"CASE WHEN $c = 0 THEN NULL WHEN $l = 0.0 THEN 100.0" +
+      s" ELSE round(100.0 * $g / ($g + $l), 6) END"
+  }
+
   val all: Map[String, String] = Map(
+    "stock_rsi" -> (barsCte + s""",
+d AS (
+  SELECT ticker, bucket, close,
+    close - lag(close, 1) OVER (PARTITION BY ticker ORDER BY bucket)
+      AS diff
+  FROM bars)
+SELECT ticker, bucket, close, $rsiKernel AS rsi_14
+FROM d
+WINDOW tw AS (PARTITION BY ticker ORDER BY bucket)
+ORDER BY ticker, bucket"""),
     "stock_gapfill" -> (barsCte + """,
 bounds AS (SELECT ticker, min(bucket) AS lo, max(bucket) AS hi
   FROM bars GROUP BY 1),
@@ -68,9 +94,11 @@ ORDER BY ticker, bucket"""),
     "stock_corr_pairs" -> (barsCte + """,
 rets AS (
   SELECT ticker, bucket,
-    close / lag(close, 1) OVER (PARTITION BY ticker ORDER BY bucket) - 1
-      AS ret
-  FROM bars QUALIFY ret IS NOT NULL)
+    CASE WHEN lag(close, 1) OVER tw <> 0
+      THEN close / lag(close, 1) OVER tw - 1 END AS ret
+  FROM bars
+  WINDOW tw AS (PARTITION BY ticker ORDER BY bucket)
+  QUALIFY ret IS NOT NULL)
 SELECT a.ticker AS ticker_a, b.ticker AS ticker_b,
   count(*)::BIGINT AS n_buckets,
   round(corr(a.ret, b.ret), 6) AS ret_corr

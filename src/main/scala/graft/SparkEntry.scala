@@ -92,6 +92,8 @@ object SparkEntry {
     "stock_ewma" -> (TimeSeries.ewma _),
     // pairwise ticker-return correlation matrix (upper triangle)
     "stock_corr_pairs" -> (TimeSeries.corrPairs _),
+    // RSI(14) momentum oscillator via the generated lag-chain kernel
+    "stock_rsi" -> (TimeSeries.rsi _),
     // ---- SQL analytics surface Q1-Q10 (SURVEY.md §2.9) ----
     "q1_dashboard" -> ((s, d) => Analytics.q1Dashboard(ana(s, d))),
     "q2_trend_signals" -> ((s, d) => Analytics.q2TrendSignals(ana(s, d))),
@@ -427,6 +429,10 @@ object SparkEntry {
     "rel_event_transitions" -> (Relational.eventTransitions _),
     // single-scan column-profiling report (multi-distinct + unpivot)
     "rel_profile" -> (Relational.ordersProfile _),
+    // Welch two-sample A/B report per event type (decimal-exact sums)
+    "rel_ab_test" -> (Relational.abTest _),
+    // conversion latency: first purchase after first signup, µs-exact
+    "rel_time_to_convert" -> (Relational.timeToConvert _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

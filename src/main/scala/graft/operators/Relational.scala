@@ -1288,6 +1288,92 @@ object Relational {
     * the driver side of the plan via a literal-struct explode (6 rows,
     * no second scan). This is the data-quality profile a 100-TB
     * ingestion run emits per table without re-reading it per column. */
+  /** Two-sample A/B analysis: Welch's t-statistic between the two
+    * experiment arms (`user_id % 2` — the deterministic hash-split a
+    * real assignment service produces) on event values, per event type.
+    *
+    * Float discipline: Σx and Σx² accumulate as DECIMAL(28,10)
+    * (order-independent across any partitioning — the centroid-mean
+    * mechanics), are cast to DOUBLE once, and every downstream scalar
+    * (mean, variance, t, df) is deterministic double math stated
+    * identically by the oracle; t/df are computed FROM the rounded
+    * mean/var columns so both engines start from identical inputs.
+    * One scan, one hash aggregate — conditional aggregates split the
+    * arms without a self-join. */
+  def abTest(spark: SparkSession, dir: String): DataFrame =
+    abTestOn(Tables.events(spark, dir))
+
+  private[graft] def abTestOn(events: DataFrame): DataFrame = {
+    val dec = "decimal(28,10)"
+    def armSum(arm: Int, e: org.apache.spark.sql.Column) =
+      sum(when(pmod(col("user_id"), lit(2)) === arm, e).cast(dec))
+        .cast("double")
+    def armCnt(arm: Int) =
+      count(when(pmod(col("user_id"), lit(2)) === arm, lit(1)))
+    val base = events
+      .filter(col("value").isNotNull && !isnan(col("value")))
+      .groupBy(col("event_type"))
+      .agg(
+        armCnt(0).as("n_a"), armCnt(1).as("n_b"),
+        armSum(0, col("value")).as("sx_a"),
+        armSum(0, col("value") * col("value")).as("sxx_a"),
+        armSum(1, col("value")).as("sx_b"),
+        armSum(1, col("value") * col("value")).as("sxx_b"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        // n>0 / n>1 guards: an empty or singleton arm must yield NULL,
+        // not a DIVIDE_BY_ZERO under Spark 4's ANSI default
+        when(col("n_a") > 0, round(col("sx_a") / col("n_a"), 6))
+          .as("mean_a"),
+        when(col("n_b") > 0, round(col("sx_b") / col("n_b"), 6))
+          .as("mean_b"),
+        when(col("n_a") > 1,
+          round((col("sxx_a") - col("sx_a") * col("sx_a") / col("n_a")) /
+            (col("n_a") - 1), 6)).as("var_a"),
+        when(col("n_b") > 1,
+          round((col("sxx_b") - col("sx_b") * col("sx_b") / col("n_b")) /
+            (col("n_b") - 1), 6)).as("var_b"))
+    val sea = col("var_a") / col("n_a")
+    val seb = col("var_b") / col("n_b")
+    val defined = col("var_a").isNotNull && col("var_b").isNotNull &&
+      (sea + seb) > 0
+    base
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        col("mean_a"), col("mean_b"), col("var_a"), col("var_b"),
+        when(defined,
+          round((col("mean_a") - col("mean_b")) / sqrt(sea + seb), 6))
+          .as("t_stat"),
+        when(defined,
+          round((sea + seb) * (sea + seb) /
+            (sea * sea / (col("n_a") - 1) + seb * seb / (col("n_b") - 1)),
+            6)).as("welch_df"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Time-to-event: per signed-up user, the first purchase AFTER the
+    * first signup and the exact µs delta — the conversion-latency /
+    * survival primitive. Two keyed aggregates and one equi join on
+    * user_id (non-converters kept by the left join). */
+  def timeToConvert(spark: SparkSession, dir: String): DataFrame =
+    timeToConvertOn(Tables.events(spark, dir))
+
+  private[graft] def timeToConvertOn(events: DataFrame): DataFrame = {
+    val signups = events.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+      .join(signups, Seq("user_id"))
+      .filter(col("ts") > col("signup_ts"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_purchase_ts"))
+    signups
+      .join(purchases, Seq("user_id"), "left")
+      .select(col("user_id"), col("signup_ts"), col("first_purchase_ts"),
+        (unix_micros(col("first_purchase_ts")) -
+          unix_micros(col("signup_ts"))).as("us_to_convert"),
+        col("first_purchase_ts").isNotNull.as("converted"))
+      .orderBy(col("user_id"))
+  }
+
   def ordersProfile(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val tsFmt = "yyyy-MM-dd HH:mm:ss"

@@ -117,9 +117,14 @@ object TimeSeries {
 
   private[graft] def corrPairsBars(bars: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("ticker")).orderBy(col("bucket"))
+    // explicit ≠0 guard: a zero close (a valid price in the feed) would
+    // otherwise throw DIVIDE_BY_ZERO under Spark 4's ANSI default —
+    // the row drops like the leading NULL, and the oracle states the
+    // identical CASE (DuckDB would silently produce ±inf instead)
+    val prev = lag(col("close"), 1).over(w)
     val rets = bars
       .select(col("ticker"), col("bucket"),
-        (col("close") / lag(col("close"), 1).over(w) - 1).as("ret"))
+        when(prev =!= 0.0, col("close") / prev - 1).as("ret"))
       .filter(col("ret").isNotNull)
     val a = rets.select(col("ticker").as("ticker_a"), col("bucket"),
       col("ret").as("ret_a"))
@@ -137,4 +142,44 @@ object TimeSeries {
 
   private def nanToNull(c: org.apache.spark.sql.Column) =
     when(isnan(c), lit(null)).otherwise(c)
+
+  /** RSI lookback, shared with the oracle generator ([[graft.OraclesTs]]). */
+  val RsiSpan = 14
+
+  /** Relative Strength Index over the 5-minute close bars: average gain
+    * vs average loss of the last [[RsiSpan]] price differences, folded
+    * into 100·ag/(ag+al). Same kernel discipline as [[ewmaBars]]: the
+    * trailing averages are explicit lag-chains (codegen'd scalar
+    * expressions, summation order = textual order, stated identically
+    * by the generated oracle SQL) rather than window aggregates — both
+    * engines' window-aggregate internals (running accumulation vs
+    * segment trees) sum floats in different orders, the lag-chain pins
+    * one order for both.
+    *
+    * Leading edge: rows with no preceding diff (the first bar) yield
+    * NULL; a zero-loss window yields 100 (the standard convention). */
+  def rsi(spark: SparkSession, dir: String): DataFrame =
+    rsiBars(closeBars5m(StockPipeline.normalize(Tables.events(spark, dir))))
+
+  private[graft] def rsiBars(bars: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("ticker")).orderBy(col("bucket"))
+    val diffs = bars
+      .withColumn("diff", col("close") - lag(col("close"), 1).over(w))
+    val terms = (0 until RsiSpan).map { i =>
+      val d = lag(col("diff"), i).over(w)
+      (when(d.isNotNull, greatest(d, lit(0.0))).otherwise(lit(0.0)),
+        when(d.isNotNull, greatest(-d, lit(0.0))).otherwise(lit(0.0)),
+        when(d.isNotNull, lit(1L)).otherwise(lit(0L)))
+    }
+    val gains = terms.map(_._1).reduce(_ + _)
+    val losses = terms.map(_._2).reduce(_ + _)
+    val cnt = terms.map(_._3).reduce(_ + _)
+    diffs
+      .select(col("ticker"), col("bucket"), col("close"),
+        when(cnt === 0, lit(null))
+          .when(losses === 0.0, lit(100.0))
+          .otherwise(round(lit(100.0) * gains / (gains + losses), 6))
+          .as("rsi_14"))
+      .orderBy(col("ticker"), col("bucket"))
+  }
 }

@@ -108,6 +108,34 @@ class TimeSeriesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rsiBars: leading row is NULL, pure uptrend pins 100, pure " +
+      "downtrend pins 0, balanced alternation gives 50") {
+    val up = (0 until 6).map(i => ("UP", i * 5, 10.0 + i))
+    val down = (0 until 6).map(i => ("DN", i * 5, 20.0 - i))
+    // +1 / −1 alternating diffs, equal gain and loss mass
+    val alt = (0 until 7).map(i => ("ALT", i * 5, 10.0 + (i % 2)))
+    val out = TimeSeries.rsiBars(bars(up ++ down ++ alt: _*))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    out.groupBy(_._1).foreach { case (tk, rows) =>
+      val sorted = rows.sortBy(_._2.getTime)
+      assert(sorted.head._3.isEmpty, s"$tk: first row has no diff → NULL")
+      val rest = sorted.tail.flatMap(_._3)
+      tk match {
+        case "UP" => assert(rest.forall(_ === 100.0))
+        case "DN" => assert(rest.forall(_ === 0.0))
+        case "ALT" =>
+          // with an EVEN number of alternating ±1 diffs in the window
+          // the gain and loss masses tie exactly → RSI 50
+          sorted.zipWithIndex.foreach { case ((_, _, v), i) =>
+            if (i >= 2 && i % 2 == 0)
+              assert(v.contains(50.0), s"row $i: $v")
+          }
+      }
+    }
+  }
+
   test("corrPairs on sf0.001: every correlation is in [-1, 1] and the " +
       "pair set is the strict upper triangle") {
     val out = TimeSeries.corrPairs(spark, "/root/testdata/sf0.001")
