@@ -167,6 +167,31 @@ ranked AS (
 SELECT doc_id, split, shuffle_key, split_ord,
   ((split_ord - 1) // ${Packing.shardDocs})::BIGINT AS shard_id
 FROM ranked ORDER BY split, split_ord""",
+    "corpus_shard_stats" -> s"""
+WITH sp AS (
+  SELECT doc_id,
+    CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+  FROM (SELECT doc_id, $splitKeySql % 100 AS b FROM documents)),
+ranked AS (
+  SELECT doc_id, split,
+    row_number() OVER (
+      PARTITION BY split ORDER BY shuffle_key, doc_id)::BIGINT AS split_ord
+  FROM (SELECT doc_id, split, $shuffleKeySql AS shuffle_key FROM sp)),
+layout AS (
+  SELECT doc_id, split,
+    ((split_ord - 1) // ${Packing.shardDocs})::BIGINT AS shard_id
+  FROM ranked),
+h AS (
+  SELECT doc_id,
+    ('0x' || substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 8))::BIGINT AS h,
+    n_chars
+  FROM documents)
+SELECT split, shard_id, count(*)::BIGINT AS n_docs,
+  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+  sum(n_chars)::BIGINT AS total_chars, bit_xor(h)::BIGINT AS content_xor
+FROM layout JOIN h USING (doc_id)
+GROUP BY split, shard_id
+ORDER BY split, shard_id""",
     "sample_split" -> s"""
 SELECT doc_id, lang, source, split_bucket,
   CASE WHEN split_bucket < 90 THEN 'train'

@@ -433,6 +433,9 @@ object SparkEntry {
     "rel_ab_test" -> (Relational.abTest _),
     // conversion latency: first purchase after first signup, µs-exact
     "rel_time_to_convert" -> (Relational.timeToConvert _),
+    // per-shard zone-map + checksum manifest (data-skipping sidecar)
+    "corpus_shard_stats" -> ((s, d) =>
+      graft.operators.Packing.shardStats(Tables.documents(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

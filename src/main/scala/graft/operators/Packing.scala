@@ -262,6 +262,36 @@ object Packing {
       .orderBy(col("split"), col("split_ord"))
   }
 
+  /** Per-shard zone-map manifest over [[shardAssign]]'s layout: for
+    * every (split, shard) the document count, doc_id min/max, total
+    * characters, and an order-insensitive content checksum (the
+    * [[graft.operators.Curation.corpusChecksum]] bit_xor mechanics,
+    * scoped per shard). This is the data-skipping + integrity sidecar a
+    * lakehouse writes next to each shard: a reader prunes shards on the
+    * id range / size stats without opening them, and verifies a
+    * delivered shard against its checksum without trusting row order.
+    * One join of the id-only shard layout to the (doc_id, text,
+    * n_chars) projection, one hash aggregate — output is
+    * O(#shards), metadata-sized at any corpus scale. */
+  def shardStats(documents: DataFrame, shardSize: Long = shardDocs,
+      buckets: Int = nBuckets): DataFrame = {
+    val layout = shardAssign(documents, shardSize, buckets)
+      .select(col("doc_id"), col("split"), col("shard_id"))
+    val content = documents.select(col("doc_id"),
+      graft.functions.Portable.hash32(
+        TextAnalysis.normalizedText(col("text"))).as("h"),
+      col("n_chars"))
+    layout.join(content, Seq("doc_id"))
+      .groupBy(col("split"), col("shard_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"),
+        sum(col("n_chars")).as("total_chars"),
+        bit_xor(col("h")).as("content_xor"))
+      .orderBy(col("split"), col("shard_id"))
+  }
+
   /** The 90/5/5 salted split bucket of a key column — THE split
     * formula: shared by the per-doc [[splitAssign]] and the
     * cluster-atomic [[graft.operators.Curation.splitLeakFree]] (which

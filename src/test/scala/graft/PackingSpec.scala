@@ -273,4 +273,27 @@ class PackingSpec extends SparkSpec {
       f"mean per-file band spans x=$xSpan%.1f y=$ySpan%.1f — " +
         "expected both << 15 for a genuine space-filling layout")
   }
+
+  test("shardStats: every doc counted once, shards never overfill, and " +
+      "the per-shard checksums xor back to the corpus checksum") {
+    val stats = Packing.shardStats(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(stats.nonEmpty)
+    // doc conservation: shard counts per split match the assignment
+    val assigned = Packing.shardAssign(docs).collect()
+      .map(r => (r.getAs[String]("split"), r.getAs[Long]("shard_id")))
+    assert(stats.map(_._3).sum === assigned.length)
+    stats.foreach { case (split, shard, n, lo, hi, chars, _) =>
+      assert(n <= Packing.shardDocs, s"$split/$shard overfilled: $n")
+      assert(lo <= hi && chars > 0)
+      assert(assigned.count(a => a._1 == split && a._2 == shard) === n)
+    }
+    // xor is associative/commutative: folding the per-shard checksums
+    // must reproduce the corpus-wide manifest value
+    val corpus = graft.operators.Curation.corpusChecksum(docs)
+      .collect().head.getAs[Long]("content_xor")
+    assert(stats.map(_._7).reduce(_ ^ _) === corpus,
+      "shard checksums must compose to the corpus checksum")
+  }
 }

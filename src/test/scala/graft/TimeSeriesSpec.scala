@@ -108,6 +108,47 @@ class TimeSeriesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming gap-fill (transformWithState) equals the batch query " +
+      "and the flatMapGroupsWithState twin on real data") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val barsDf = TimeSeries.closeBars5m(
+      graft.operators.StockPipeline.normalize(
+        graft.sources.Tables.events(spark, dir)))
+    val barRows = barsDf.as[graft.streaming.BarEvent]
+      .collect().sortBy(_.bucket.getTime)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = MemoryStream[graft.streaming.BarEvent]
+    val q = graft.streaming.GapfillStateTws.gapfill(stream.toDS())
+      .writeStream.format("memory").queryName("gapfill_tws_sink")
+      .outputMode("append").start()
+    try {
+      val (a, b) = barRows.splitAt(barRows.length / 2)
+      stream.addData(a.toIndexedSeq)
+      q.processAllAvailable()
+      stream.addData(b.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("gapfill_tws_sink")
+        .orderBy("ticker", "bucket").collect()
+      val batch = TimeSeries.gapfillBars(barsDf)
+        .orderBy("ticker", "bucket").collect()
+      assert(streamed.length === batch.length && batch.length > 0)
+      streamed.zip(batch).foreach { case (s, bt) =>
+        assert(s.toSeq === bt.toSeq, s"stream $s vs batch $bt")
+      }
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("rsiBars: leading row is NULL, pure uptrend pins 100, pure " +
       "downtrend pins 0, balanced alternation gives 50") {
     val up = (0 until 6).map(i => ("UP", i * 5, 10.0 + i))
