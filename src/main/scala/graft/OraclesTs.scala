@@ -61,7 +61,37 @@ bars AS (
       s" ELSE round(100.0 * $g / ($g + $l), 6) END"
   }
 
+  /** Generated Bollinger kernel sums (n, Σx, Σx²) — shared-span
+    * lag-chain, same discipline as [[rsiKernel]]. */
+  private val (bollN, bollSx, bollSxx) = {
+    val span = graft.operators.TimeSeries.BollSpan
+    def chain(term: Int => String) =
+      (0 until span).map(term).mkString("(", " + ", ")")
+    (chain(i => s"CASE WHEN lag(close, $i) OVER tw IS NOT NULL" +
+      " THEN 1 ELSE 0 END"),
+      chain(i => s"CASE WHEN lag(close, $i) OVER tw IS NOT NULL" +
+        s" THEN lag(close, $i) OVER tw ELSE 0.0 END"),
+      chain(i => s"CASE WHEN lag(close, $i) OVER tw IS NOT NULL" +
+        s" THEN lag(close, $i) OVER tw * lag(close, $i) OVER tw" +
+        " ELSE 0.0 END"))
+  }
+
   val all: Map[String, String] = Map(
+    "stock_bollinger" -> (barsCte + s""",
+k AS (
+  SELECT ticker, bucket, close,
+    $bollN AS n, $bollSx AS sx, $bollSxx AS sxx
+  FROM bars
+  WINDOW tw AS (PARTITION BY ticker ORDER BY bucket))
+SELECT ticker, bucket, close,
+  round(sx / n, 6) AS bb_mid,
+  CASE WHEN n > 1 THEN round(sx / n +
+    2 * sqrt(greatest((sxx - sx * sx / n) / (n - 1), 0.0)), 6)
+  END AS bb_up,
+  CASE WHEN n > 1 THEN round(sx / n -
+    2 * sqrt(greatest((sxx - sx * sx / n) / (n - 1), 0.0)), 6)
+  END AS bb_dn
+FROM k ORDER BY ticker, bucket"""),
     "stock_rsi" -> (barsCte + s""",
 d AS (
   SELECT ticker, bucket, close,

@@ -94,6 +94,8 @@ object SparkEntry {
     "stock_corr_pairs" -> (TimeSeries.corrPairs _),
     // RSI(14) momentum oscillator via the generated lag-chain kernel
     "stock_rsi" -> (TimeSeries.rsi _),
+    // Bollinger bands (trailing mean ± 2σ, chain-summed n/Σx/Σx²)
+    "stock_bollinger" -> (TimeSeries.bollinger _),
     // ---- SQL analytics surface Q1-Q10 (SURVEY.md §2.9) ----
     "q1_dashboard" -> ((s, d) => Analytics.q1Dashboard(ana(s, d))),
     "q2_trend_signals" -> ((s, d) => Analytics.q2TrendSignals(ana(s, d))),

@@ -146,6 +146,40 @@ object TimeSeries {
   /** RSI lookback, shared with the oracle generator ([[graft.OraclesTs]]). */
   val RsiSpan = 14
 
+  /** Bollinger lookback, shared with the oracle generator. */
+  val BollSpan = 20
+
+  /** Bollinger bands over the 5-minute close bars: trailing
+    * [[BollSpan]]-bar mean ± 2 sample standard deviations. Same
+    * lag-chain kernel discipline as [[ewmaBars]]/[[rsiBars]] (one
+    * pinned summation order, generated oracle SQL); variance from the
+    * chain's (n, Σx, Σx²) with an n>1 guard (ANSI zero-division) and a
+    * `greatest(·,0)` clamp against FP-cancellation negatives. */
+  def bollinger(spark: SparkSession, dir: String): DataFrame =
+    bollingerBars(closeBars5m(
+      StockPipeline.normalize(Tables.events(spark, dir))))
+
+  private[graft] def bollingerBars(bars: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("ticker")).orderBy(col("bucket"))
+    val terms = (0 until BollSpan).map { i =>
+      val x = lag(col("close"), i).over(w)
+      (when(x.isNotNull, x).otherwise(lit(0.0)),
+        when(x.isNotNull, x * x).otherwise(lit(0.0)),
+        when(x.isNotNull, lit(1L)).otherwise(lit(0L)))
+    }
+    val sx = terms.map(_._1).reduce(_ + _)
+    val sxx = terms.map(_._2).reduce(_ + _)
+    val n = terms.map(_._3).reduce(_ + _)
+    val mid = sx / n
+    val sd = sqrt(greatest((sxx - sx * sx / n) / (n - 1), lit(0.0)))
+    bars
+      .select(col("ticker"), col("bucket"), col("close"),
+        round(mid, 6).as("bb_mid"),
+        when(n > 1, round(mid + lit(2) * sd, 6)).as("bb_up"),
+        when(n > 1, round(mid - lit(2) * sd, 6)).as("bb_dn"))
+      .orderBy(col("ticker"), col("bucket"))
+  }
+
   /** Relative Strength Index over the 5-minute close bars: average gain
     * vs average loss of the last [[RsiSpan]] price differences, folded
     * into 100·ag/(ag+al). Same kernel discipline as [[ewmaBars]]: the

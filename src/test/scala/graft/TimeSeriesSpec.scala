@@ -177,6 +177,31 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("bollingerBars: first row has no bands (n=1), constant series " +
+      "collapses the bands onto the mid, and the mid tracks the " +
+      "trailing mean") {
+    val cs = Seq(10.0, 12.0, 8.0, 11.0)
+    val out = TimeSeries.bollingerBars(
+      bars(cs.zipWithIndex.map { case (c, i) => ("A", i * 5, c) } ++
+        (0 until 5).map(i => ("C", i * 5, 4.0)): _*))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+    val a = out.filter(_._1 == "A").sortBy(_._2.getTime)
+    assert(a.head._4.isEmpty && a.head._5.isEmpty, "n=1 → no bands")
+    assert(a.head._3 === 10.0) // mid of one bar = the bar
+    // mid at row i = mean of the first i+1 closes (span not yet full)
+    a.zipWithIndex.foreach { case ((_, _, mid, _, _), i) =>
+      val exp = cs.take(i + 1).sum / (i + 1)
+      assert(math.abs(mid - exp) < 1e-6, s"row $i: $mid vs $exp")
+    }
+    // constant series: σ = 0 → both bands equal the mid
+    out.filter(_._1 == "C").drop(1).foreach { r =>
+      assert(r._4.contains(r._3) && r._5.contains(r._3))
+    }
+  }
+
   test("corrPairs on sf0.001: every correlation is in [-1, 1] and the " +
       "pair set is the strict upper triangle") {
     val out = TimeSeries.corrPairs(spark, "/root/testdata/sf0.001")
