@@ -618,6 +618,37 @@ ranked AS (
 SELECT query_id, neighbor_id, neighbor_label, cosine, rank
 FROM ranked WHERE rank <= 5
 ORDER BY query_id, rank"""),
+    // label separation report: shared decimal-exact centroid CTE shape,
+    // cohesion as a decimal sum of member-to-centroid cosines, nearest
+    // other label via the (cc DESC, label_b) argmax both sides state
+    "sim_label_separation" -> (simBase + s""",
+cent AS (
+  SELECT label, ${unitSql("centroid")} AS cunit FROM (
+    SELECT label, list(cv ORDER BY pos) AS centroid FROM (
+      SELECT label, pos,
+        CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS cv FROM (
+        SELECT label, unnest(embedding::DOUBLE[]) AS v,
+               unnest(range(len(embedding))) AS pos
+        FROM embeddings)
+      GROUP BY label, pos)
+    GROUP BY label)),
+coh AS (
+  SELECT b.label::BIGINT AS label, count(*)::BIGINT AS n_vecs,
+    round(CAST(sum(CAST(list_inner_product(b.ev, c.cunit)
+      AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS cohesion
+  FROM base b JOIN cent c ON b.label = c.label GROUP BY b.label),
+pairs AS (
+  SELECT a.label AS label, b.label AS label_b,
+    round(list_inner_product(a.cunit, b.cunit), 6) AS cc
+  FROM cent a JOIN cent b ON a.label <> b.label),
+nearest AS (
+  SELECT label::BIGINT AS label, label_b::BIGINT AS nearest_label,
+    cc AS nearest_cos FROM (
+    SELECT *, row_number() OVER (PARTITION BY label
+      ORDER BY cc DESC, label_b) AS rn FROM pairs) WHERE rn = 1)
+SELECT label, n_vecs, cohesion, nearest_label, nearest_cos
+FROM coh JOIN nearest USING (label)
+ORDER BY label"""),
     "sim_ivf_topk" -> (simBase + s""",
 cent AS (
   SELECT label, ${unitSql("centroid")} AS cunit FROM (

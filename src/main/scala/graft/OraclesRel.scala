@@ -661,6 +661,29 @@ SELECT event_type, n_a, n_b, mean_a, mean_b, var_a, var_b,
        var_b / n_b * (var_b / n_b) / (n_b - 1)), 6)
   END AS welch_df
 FROM m ORDER BY event_type""",
+    // concentration report: quantile_cont matches the engine's banded
+    // exact-percentile interpolation (the rel_quantiles precedent);
+    // thresholds compare UNROUNDED (interpolated values land between
+    // data points, so last-ulp drift cannot flip a membership).
+    "rel_revenue_concentration" -> {
+      def row(pct: Int, p: Double) = s"""
+SELECT ${pct}::BIGINT AS top_pct,
+  round((SELECT quantile_cont(rev, $p) FROM rev), 6) AS threshold,
+  count(*) FILTER (rev >= (SELECT quantile_cont(rev, $p) FROM rev))::BIGINT
+    AS n_customers,
+  round(CAST(sum(CAST(CASE WHEN rev >= (SELECT quantile_cont(rev, $p) FROM rev)
+      THEN rev ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) /
+    (SELECT CAST(sum(CAST(rev AS DECIMAL(18,6))) AS DOUBLE) FROM rev), 6)
+    AS revenue_share
+FROM rev"""
+      """
+WITH rev AS (
+  SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+    AS rev
+  FROM orders GROUP BY o_custkey)""" +
+        Seq(row(1, 0.99), row(5, 0.95), row(10, 0.90))
+          .mkString("", "\nUNION ALL", "\nORDER BY top_pct")
+    },
     "rel_time_to_convert" -> """
 WITH s AS (
   SELECT user_id, min(ts::TIMESTAMP) AS signup_ts

@@ -77,6 +77,31 @@ bars AS (
   }
 
   val all: Map[String, String] = Map(
+    "stock_obv" -> """
+WITH stock AS (
+  SELECT event_type AS ticker, ts::TIMESTAMP AS ts,
+    value::DOUBLE AS price,
+    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS volume
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+    AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL),
+vb AS (
+  SELECT ticker,
+    make_timestamp((epoch_us(ts::TIMESTAMP) // 300000000) * 300000000)
+      AS bucket,
+    max_by(price, ts) AS close, CAST(sum(volume) AS BIGINT) AS volume
+  FROM stock GROUP BY 1, 2),
+d AS (
+  SELECT ticker, bucket, close, volume,
+    close - lag(close, 1) OVER (PARTITION BY ticker ORDER BY bucket)
+      AS diff
+  FROM vb)
+SELECT ticker, bucket, close, volume,
+  CAST(sum(CASE WHEN diff > 0 THEN volume
+                WHEN diff < 0 THEN -volume ELSE 0 END) OVER (
+    PARTITION BY ticker ORDER BY bucket
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS obv
+FROM d ORDER BY ticker, bucket""",
     "stock_bollinger" -> (barsCte + s""",
 k AS (
   SELECT ticker, bucket, close,

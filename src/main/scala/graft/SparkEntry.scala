@@ -96,6 +96,8 @@ object SparkEntry {
     "stock_rsi" -> (TimeSeries.rsi _),
     // Bollinger bands (trailing mean ± 2σ, chain-summed n/Σx/Σx²)
     "stock_bollinger" -> (TimeSeries.bollinger _),
+    // on-balance volume: integer-exact cumulative signed-volume flow
+    "stock_obv" -> (TimeSeries.obv _),
     // ---- SQL analytics surface Q1-Q10 (SURVEY.md §2.9) ----
     "q1_dashboard" -> ((s, d) => Analytics.q1Dashboard(ana(s, d))),
     "q2_trend_signals" -> ((s, d) => Analytics.q2TrendSignals(ana(s, d))),
@@ -328,6 +330,9 @@ object SparkEntry {
     // triangle enumeration over the mutual-kNN graph (compact-forward)
     "sim_triangles" -> ((s, d) =>
       Similarity.knnTriangles(Tables.embeddings(s, d))),
+    // label cohesion / most-confusable-label diagnostic
+    "sim_label_separation" -> ((s, d) =>
+      Similarity.labelSeparation(Tables.embeddings(s, d))),
     // embedding cluster components: thresholded kNN edges through the
     // SAME large-star/small-star CC operator the text dedup uses
     "sim_knn_components" -> ((s, d) =>
@@ -433,6 +438,8 @@ object SparkEntry {
     "rel_profile" -> (Relational.ordersProfile _),
     // Welch two-sample A/B report per event type (decimal-exact sums)
     "rel_ab_test" -> (Relational.abTest _),
+    // Pareto/80-20 revenue concentration via banded exact percentiles
+    "rel_revenue_concentration" -> (Relational.revenueConcentration _),
     // conversion latency: first purchase after first signup, µs-exact
     "rel_time_to_convert" -> (Relational.timeToConvert _),
     // per-shard zone-map + checksum manifest (data-skipping sidecar)

@@ -1277,6 +1277,42 @@ object Relational {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Revenue-concentration (Pareto/80-20) report: the share of total
+    * order revenue held by the top 1% / 5% / 10% of customers. The
+    * percentile thresholds come from [[Quantiles.exactPercentiles]]'
+    * banded distinct-value scan (never a one-buffer `percentile`
+    * aggregate, never a global sort) and ride a one-row broadcast into
+    * a single conditional aggregate over the per-customer revenue
+    * table — two slim shuffles total at any customer count. */
+  def revenueConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(decSum(col("o_totalprice")).as("rev"))
+    val ps = Seq(0.99, 0.95, 0.90)
+    val bs = Quantiles.exactPercentiles(rev.select(col("rev").as("v")), ps)
+    val aggs =
+      Seq(decSum(col("rev")).as("total"), count(lit(1)).as("n_total")) ++
+        ps.indices.flatMap(i => Seq(
+          decSum(when(col("rev") >= col(s"t$i"), col("rev"))
+            .otherwise(lit(0.0))).as(s"top$i"),
+          count(when(col("rev") >= col(s"t$i"), 1)).as(s"n$i"),
+          first(col(s"t$i")).as(s"th$i")))
+    val wide = rev.crossJoin(broadcast(bs))
+      .select(col("rev") +: ps.indices.map(i =>
+        element_at(col("bs"), i + 1).as(s"t$i")): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    wide
+      .select(explode(array(ps.indices.map { i =>
+        struct(
+          lit(math.round((1 - ps(i)) * 100)).cast("long").as("top_pct"),
+          round(col(s"th$i"), 6).as("threshold"),
+          col(s"n$i").as("n_customers"),
+          round(col(s"top$i") / col("total"), 6).as("revenue_share"))
+      }: _*)).as("r"))
+      .select(col("r.*"))
+      .orderBy(col("top_pct"))
+  }
+
   /** Column-profiling report over `orders` — per-column row/null/distinct
     * counts and typed min/max (numerics in `min_num`/`max_num`,
     * strings/formatted timestamps in `min_str`/`max_str`; the split

@@ -127,6 +127,45 @@ object Similarity {
         s => s.getField("cv")).as("centroid"))
       .select(col("label"), unitize(col("centroid")).as("cunit"))
 
+  /** Label-quality separation report — the class-cohesion diagnostic a
+    * labeled embedding corpus gets before training on it: per label,
+    * member count, mean cosine of members to their own centroid
+    * (cohesion), and the most-confusable other label (nearest centroid
+    * by cosine) with its similarity. A label whose nearest-other
+    * cosine approaches its cohesion is a mislabeling/overlap candidate.
+    *
+    * Mechanics: [[centroids]]' decimal-exact unit centroids (shared —
+    * one definition cannot drift from the IVF path), cohesion as a
+    * DECIMAL(28,10) sum of per-member cosines (order-independent), and
+    * the O(labels²) centroid pair table resolved with one `max_by`
+    * argmax — labels are metadata-sized, members are the only
+    * data-sized scan (one broadcast join + one hash aggregate). */
+  def labelSeparation(embeddings: DataFrame): DataFrame = {
+    val cents = centroids(embeddings).pin(eager = true)
+    val coh = unitized(embeddings)
+      .join(broadcast(cents), Seq("label"))
+      .select(col("label"), dot(col("unit"), col("cunit")).as("c"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("c").cast("decimal(28,10)")).cast("double") /
+          count(lit(1)), 6).as("cohesion"))
+    val nearest = cents.as("a")
+      .join(cents.select(col("label").as("label_b"),
+        col("cunit").as("cb")), col("label") =!= col("label_b"))
+      .select(col("label"), col("label_b"),
+        round(dot(col("cunit"), col("cb")), 6).as("cc"))
+      .groupBy(col("label"))
+      .agg(
+        max_by(col("label_b"), struct(col("cc"), -col("label_b")))
+          .as("nearest_label"),
+        max(col("cc")).as("nearest_cos"))
+    coh.join(nearest, Seq("label"))
+      .select(col("label").cast("long").as("label"), col("n_vecs"),
+        col("cohesion"), col("nearest_label").cast("long")
+          .as("nearest_label"), col("nearest_cos"))
+      .orderBy(col("label"))
+  }
+
   /** IVF top-k: each query probes the `nprobe` nearest centroids and
     * searches only vectors in those cells. Approximate by construction. */
   def ivfTopK(embeddings: DataFrame, k: Int = 5, nQueries: Int = 20,

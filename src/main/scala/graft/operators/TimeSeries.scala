@@ -143,6 +143,41 @@ object TimeSeries {
   private def nanToNull(c: org.apache.spark.sql.Column) =
     when(isnan(c), lit(null)).otherwise(c)
 
+  /** On-balance volume: the cumulative signed-volume flow indicator —
+    * each bar adds its volume when the close rose, subtracts it when
+    * it fell (first bar contributes nothing). The running total is a
+    * plain window SUM OF LONGS: integer addition is associative, so
+    * unlike the float kernels this is order-independent under any
+    * engine's window-aggregation internals — no lag-chain needed. */
+  def obv(spark: SparkSession, dir: String): DataFrame =
+    obvBars(closeVolBars5m(
+      StockPipeline.normalize(Tables.events(spark, dir))))
+
+  /** 5-minute (close, volume) bars — [[closeBars5m]] plus the summed
+    * volume the OBV flow needs. */
+  private[graft] def closeVolBars5m(stock: DataFrame): DataFrame =
+    stock
+      .groupBy(col("ticker"),
+        timestamp_seconds(expr("unix_timestamp(ts) div 300") * 300)
+          .as("bucket"))
+      .agg(max_by(col("price"), col("ts")).as("close"),
+        sum(col("volume")).as("volume"))
+
+  private[graft] def obvBars(bars: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("ticker")).orderBy(col("bucket"))
+    val cum = Window.partitionBy(col("ticker")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val diff = col("close") - lag(col("close"), 1).over(w)
+    bars
+      .withColumn("flow",
+        when(diff > 0, col("volume"))
+          .when(diff < 0, -col("volume"))
+          .otherwise(lit(0L)))
+      .select(col("ticker"), col("bucket"), col("close"), col("volume"),
+        sum(col("flow")).over(cum).as("obv"))
+      .orderBy(col("ticker"), col("bucket"))
+  }
+
   /** RSI lookback, shared with the oracle generator ([[graft.OraclesTs]]). */
   val RsiSpan = 14
 

@@ -163,6 +163,30 @@ class KnnGraphSpec extends SparkSpec {
     assert(reg.collect().toSeq === op.collect().toSeq)
   }
 
+  test("labelSeparation: nearest-other-label matches the brute-force " +
+      "centroid argmax, cohesion is a valid mean cosine, and no label " +
+      "is its own nearest") {
+    val cents = Similarity.centroids(emb).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val out = Similarity.labelSeparation(emb).collect()
+    assert(out.length === cents.size)
+    out.foreach { r =>
+      val (label, nearest, ncos) =
+        (r.getLong(0), r.getLong(3), r.getDouble(4))
+      assert(nearest !== label)
+      assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9) // cohesion
+      val exp = cents.filter(_._1 != label)
+        // the operator ranks ROUNDED cosines — mirror that here
+        .map { case (l, c) =>
+          (l, math.round(cos(cents(label.toInt), c) * 1e6) / 1e6) }
+        .maxBy { case (l, c) => (c, -l) }
+      assert(nearest === exp._1.toLong, s"label $label")
+      assert(math.abs(ncos - exp._2) < 1e-5)
+    }
+  }
+
   test("knnTriangles: exactly the brute-force triangle set of the " +
       "mutual-kNN edge list, each once as a<b<c") {
     val edges = Similarity.mutualKnnGraph(emb).collect()

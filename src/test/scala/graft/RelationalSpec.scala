@@ -301,6 +301,30 @@ class RelationalSpec extends SparkSpec {
     assert(out(2L) === ((None, false)))
   }
 
+  test("revenueConcentration: shares and customer counts grow with the " +
+      "slice, every share is a valid fraction, top-10% holds well over " +
+      "10% of revenue (the Pareto signal)") {
+    val out = graft.operators.Relational
+      .revenueConcentration(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getDouble(3)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(1L, 5L, 10L))
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._2 >= b._2, "thresholds shrink as the slice widens")
+        assert(a._3 <= b._3 && a._4 <= b._4,
+          "counts and shares grow with the slice")
+      case _ =>
+    }
+    out.foreach { case (_, _, n, share) =>
+      assert(n > 0 && share > 0 && share <= 1.0)
+    }
+    assert(out.last._4 > 0.10,
+      "top decile must out-hold its population share")
+  }
+
   test("ordersProfile: one row per column, counts match direct queries") {
     val dir = "/root/testdata/sf0.001"
     val o = graft.sources.Tables.orders(spark, dir)

@@ -202,6 +202,20 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("obvBars: volume adds on up-bars, subtracts on down-bars, flat " +
+      "and first bars contribute nothing") {
+    import spark.implicits._
+    val in = Seq(
+      ("A", t(0), 10.0, 100L), ("A", t(5), 11.0, 50L), // up: +50
+      ("A", t(10), 11.0, 70L),                          // flat: +0
+      ("A", t(15), 9.0, 30L),                           // down: −30
+      ("A", t(20), 12.0, 5L))                           // up: +5
+      .toDF("ticker", "bucket", "close", "volume")
+    val out = graft.operators.TimeSeries.obvBars(in).collect()
+      .map(r => (r.getTimestamp(1), r.getLong(4))).sortBy(_._1.getTime)
+    assert(out.map(_._2).toSeq === Seq(0L, 50L, 50L, 20L, 25L))
+  }
+
   test("corrPairs on sf0.001: every correlation is in [-1, 1] and the " +
       "pair set is the strict upper triangle") {
     val out = TimeSeries.corrPairs(spark, "/root/testdata/sf0.001")
