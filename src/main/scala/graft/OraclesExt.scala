@@ -843,6 +843,51 @@ JOIN med e2 ON e2.vec_a = e1.vec_b
 JOIN med e3 ON e3.vec_a = e1.vec_a AND e3.vec_b = e2.vec_b
 ORDER BY vec_a, vec_b, vec_c"""
     }),
+    // per-node clustering coefficient: same mutual-edge + triangle CTEs,
+    // then degree / triangle-membership aggregates and the guarded
+    // 2T/(d(d-1)) ratio
+    "sim_clustering_coeff" -> (simBase + kmeansCtes + {
+      val it = graft.operators.Similarity.kmIters
+      s""",
+kp AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+    round(list_inner_product(a.ev, b.ev), 6) AS cosine
+  FROM asg$it a JOIN asg$it b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+kr AS (
+  SELECT vec_id, neighbor_id, cosine,
+    row_number() OVER (PARTITION BY vec_id
+      ORDER BY cosine DESC, neighbor_id)::BIGINT AS rank
+  FROM kp),
+ged AS (SELECT vec_id, neighbor_id FROM kr WHERE rank <= 3),
+med AS (
+  SELECT a.vec_id AS vec_a, a.neighbor_id AS vec_b
+  FROM ged a JOIN ged b
+    ON a.vec_id = b.neighbor_id AND a.neighbor_id = b.vec_id
+  WHERE a.vec_id < a.neighbor_id),
+tri AS (
+  SELECT e1.vec_a AS vec_a, e1.vec_b AS vec_b, e2.vec_b AS vec_c
+  FROM med e1
+  JOIN med e2 ON e2.vec_a = e1.vec_b
+  JOIN med e3 ON e3.vec_a = e1.vec_a AND e3.vec_b = e2.vec_b),
+deg AS (
+  SELECT vec_id, count(*)::BIGINT AS degree FROM (
+    SELECT vec_a AS vec_id FROM med
+    UNION ALL SELECT vec_b AS vec_id FROM med)
+  GROUP BY vec_id),
+tpn AS (
+  SELECT vec_id, count(*)::BIGINT AS n_triangles FROM (
+    SELECT vec_a AS vec_id FROM tri
+    UNION ALL SELECT vec_b AS vec_id FROM tri
+    UNION ALL SELECT vec_c AS vec_id FROM tri)
+  GROUP BY vec_id)
+SELECT d.vec_id, d.degree,
+  coalesce(t.n_triangles, 0)::BIGINT AS n_triangles,
+  CASE WHEN d.degree > 1 THEN
+    round(2.0 * coalesce(t.n_triangles, 0) / (d.degree * (d.degree - 1)), 6)
+  END AS coeff
+FROM deg d LEFT JOIN tpn t ON d.vec_id = t.vec_id
+ORDER BY d.vec_id"""
+    }),
     // PageRank over the kNN graph: unrolled power iterations, inflow
     // sums as DECIMAL(28,10) (order-independent), p/outdeg contribs,
     // dangling mass dropped, teleport via LEFT JOIN + coalesce. The

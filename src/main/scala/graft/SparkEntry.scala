@@ -333,6 +333,9 @@ object SparkEntry {
     // label cohesion / most-confusable-label diagnostic
     "sim_label_separation" -> ((s, d) =>
       Similarity.labelSeparation(Tables.embeddings(s, d))),
+    // per-node clustering coefficient (2T / d(d-1), guarded)
+    "sim_clustering_coeff" -> ((s, d) =>
+      Similarity.clusteringCoeff(Tables.embeddings(s, d))),
     // embedding cluster components: thresholded kNN edges through the
     // SAME large-star/small-star CC operator the text dedup uses
     "sim_knn_components" -> ((s, d) =>

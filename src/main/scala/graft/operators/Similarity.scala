@@ -734,10 +734,16 @@ object Similarity {
     * quadratic blow-up even on a billion-node graph. The edge list is
     * pinned once and reused by all three join legs. */
   def knnTriangles(embeddings: DataFrame, k: Int = 3,
-      cells: Int = kmK): DataFrame = {
-    val e = mutualKnnGraph(embeddings, k, cells)
+      cells: Int = kmK): DataFrame =
+    trianglesFromEdges(mutualKnnGraph(embeddings, k, cells)
       .select(col("vec_a"), col("vec_b"))
-      .pin(eager = true)
+      .pin(eager = true))
+      .orderBy(col("vec_a"), col("vec_b"), col("vec_c"))
+
+  /** Compact-forward triangle join over a pinned (vec_a < vec_b) edge
+    * list — shared by [[knnTriangles]] and [[clusteringCoeff]] so the
+    * edge materialization is built once per query. */
+  private def trianglesFromEdges(e: DataFrame): DataFrame = {
     val wedges = e.as("e1").join(
         e.select(col("vec_a").as("vec_b"), col("vec_b").as("vec_c"))
           .as("e2"),
@@ -746,7 +752,34 @@ object Similarity {
       .join(e.select(col("vec_a"), col("vec_b").as("vec_c")).as("e3"),
         Seq("vec_a", "vec_c"))
       .select(col("vec_a"), col("vec_b"), col("vec_c"))
-      .orderBy(col("vec_a"), col("vec_b"), col("vec_c"))
+  }
+
+  /** Per-node local clustering coefficient over the mutual-kNN graph:
+    * 2·triangles / (deg·(deg−1)) — how close each node's neighborhood
+    * is to a clique, the community-density signal per vertex. Degree ≤
+    * k by mutuality, so the per-node triangle cap is k(k−1)/2 and every
+    * stage is a bounded hash aggregate; deg=1 nodes yield NULL (ANSI
+    * guard, stated identically by the oracle). */
+  def clusteringCoeff(embeddings: DataFrame, k: Int = 3,
+      cells: Int = kmK): DataFrame = {
+    val e = mutualKnnGraph(embeddings, k, cells)
+      .select(col("vec_a"), col("vec_b"))
+      .pin(eager = true)
+    val deg = e.select(col("vec_a").as("vec_id"))
+      .unionAll(e.select(col("vec_b").as("vec_id")))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("degree"))
+    val tri = trianglesFromEdges(e)
+    val triPerNode = tri.select(col("vec_a").as("vec_id"))
+      .unionAll(tri.select(col("vec_b").as("vec_id")))
+      .unionAll(tri.select(col("vec_c").as("vec_id")))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(triPerNode, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") > 1,
+          round(lit(2.0) * coalesce(col("n_triangles"), lit(0L)) /
+            (col("degree") * (col("degree") - 1)), 6)).as("coeff"))
+      .orderBy(col("vec_id"))
   }
 
   /** PageRank damping / iterations for [[knnPageRank]] — shared with

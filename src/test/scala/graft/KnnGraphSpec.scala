@@ -187,6 +187,31 @@ class KnnGraphSpec extends SparkSpec {
     }
   }
 
+  test("clusteringCoeff: matches the brute-force 2T/d(d-1) on the " +
+      "collected mutual edge list; deg-1 nodes yield NULL") {
+    val edges = Similarity.mutualKnnGraph(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj = edges.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val out = Similarity.clusteringCoeff(emb).collect()
+    assert(out.map(_.getLong(0)).toSet === adj.keySet)
+    out.foreach { r =>
+      val (id, deg, tri) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val nbrs = adj(id)
+      assert(deg === nbrs.size.toLong)
+      val expTri = nbrs.toSeq.combinations(2).count {
+        case Seq(a, b) => adj(a)(b)
+        case _ => false
+      }
+      assert(tri === expTri.toLong, s"node $id")
+      if (deg <= 1) assert(r.isNullAt(3))
+      else {
+        val exp = 2.0 * expTri / (deg * (deg - 1))
+        assert(math.abs(r.getDouble(3) - exp) < 1e-6)
+      }
+    }
+  }
+
   test("knnTriangles: exactly the brute-force triangle set of the " +
       "mutual-kNN edge list, each once as a<b<c") {
     val edges = Similarity.mutualKnnGraph(emb).collect()
