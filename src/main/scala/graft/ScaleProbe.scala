@@ -157,7 +157,9 @@ object ScaleProbe {
         val (_, btS) = t(Similarity.binaryTopK(df).count())
         val (_, rrS) = t(Similarity.rerankTopK(df).count())
         val (_, hnS) = t(Similarity.hardNegatives(df).count())
-        println(f"[scale-probe-graph] x$n%-3d vecs=$rows%8d cells=${Similarity.kmK * n}%4d knnGraphMp=$mgS%7.2fs($mg) binaryTopK=$btS%6.2fs rerankTopK=$rrS%6.2fs hardNegatives=$hnS%6.2fs")
+        val (tc, tcS) = t(Similarity.knnTriangles(df,
+          cells = Similarity.kmK * n).count())
+        println(f"[scale-probe-graph] x$n%-3d vecs=$rows%8d cells=${Similarity.kmK * n}%4d knnGraphMp=$mgS%7.2fs($mg) binaryTopK=$btS%6.2fs rerankTopK=$rrS%6.2fs hardNegatives=$hnS%6.2fs triangles=$tcS%6.2fs($tc)")
       }
       spark.stop(); return
     }
