@@ -684,6 +684,24 @@ WITH rev AS (
         Seq(row(1, 0.99), row(5, 0.95), row(10, 0.90))
           .mkString("", "\nUNION ALL", "\nORDER BY top_pct")
     },
+    // Gini: the oracle states the one-window global rank; the engine
+    // runs the banded two-level rank — hash equality proves the
+    // distributed form exact. Rank-weighted sums as DECIMAL (exact
+    // integer multipliers), closing algebra in shared double math.
+    "rel_gini" -> """
+WITH rev AS (
+  SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+    AS rev
+  FROM orders GROUP BY o_custkey),
+r AS (
+  SELECT rev, row_number() OVER (ORDER BY rev, o_custkey)::BIGINT AS rank
+  FROM rev)
+SELECT count(*)::BIGINT AS n_customers,
+  CAST(sum(CAST(rev AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue,
+  round(2.0 * CAST(sum(CAST(rev AS DECIMAL(18,6)) * rank) AS DOUBLE) /
+      (count(*) * CAST(sum(CAST(rev AS DECIMAL(18,6))) AS DOUBLE)) -
+    CAST(count(*) + 1 AS DOUBLE) / count(*), 6) AS gini
+FROM r""",
     "rel_time_to_convert" -> """
 WITH s AS (
   SELECT user_id, min(ts::TIMESTAMP) AS signup_ts

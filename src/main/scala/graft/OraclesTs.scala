@@ -77,6 +77,24 @@ bars AS (
   }
 
   val all: Map[String, String] = Map(
+    "stock_vwap" -> """
+WITH stock AS (
+  SELECT event_type AS ticker, ts::TIMESTAMP AS ts,
+    value::DOUBLE AS price,
+    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS volume
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+    AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL)
+SELECT ticker,
+  make_timestamp((epoch_us(ts::TIMESTAMP) // 300000000) * 300000000)
+    AS bucket,
+  CAST(sum(volume) AS BIGINT) AS volume,
+  CASE WHEN CAST(sum(volume) AS BIGINT) > 0 THEN
+    round(CAST(sum(CAST(price * volume AS DECIMAL(28,10))) AS DOUBLE) /
+      CAST(sum(volume) AS BIGINT), 6)
+  END AS vwap
+FROM stock GROUP BY 1, 2
+ORDER BY ticker, bucket""",
     "stock_obv" -> """
 WITH stock AS (
   SELECT event_type AS ticker, ts::TIMESTAMP AS ts,

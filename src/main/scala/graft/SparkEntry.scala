@@ -98,6 +98,8 @@ object SparkEntry {
     "stock_bollinger" -> (TimeSeries.bollinger _),
     // on-balance volume: integer-exact cumulative signed-volume flow
     "stock_obv" -> (TimeSeries.obv _),
+    // per-bar VWAP (decimal-exact price·volume sums, zero-volume guard)
+    "stock_vwap" -> (TimeSeries.vwap _),
     // ---- SQL analytics surface Q1-Q10 (SURVEY.md §2.9) ----
     "q1_dashboard" -> ((s, d) => Analytics.q1Dashboard(ana(s, d))),
     "q2_trend_signals" -> ((s, d) => Analytics.q2TrendSignals(ana(s, d))),
@@ -443,6 +445,8 @@ object SparkEntry {
     "rel_ab_test" -> (Relational.abTest _),
     // Pareto/80-20 revenue concentration via banded exact percentiles
     "rel_revenue_concentration" -> (Relational.revenueConcentration _),
+    // Gini coefficient via the banded global rank (no global sort)
+    "rel_gini" -> ((s, d) => Relational.giniRevenue(s, d)),
     // conversion latency: first purchase after first signup, µs-exact
     "rel_time_to_convert" -> (Relational.timeToConvert _),
     // per-shard zone-map + checksum manifest (data-skipping sidecar)

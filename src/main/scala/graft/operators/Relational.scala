@@ -1313,6 +1313,52 @@ object Relational {
       .orderBy(col("top_pct"))
   }
 
+  /** Gini coefficient of customer revenue — the inequality scalar the
+    * concentration report's percentile slices summarize. Needs every
+    * row's GLOBAL rank in revenue order; computed with the two-level
+    * band scan (equal-width revenue bands from a one-row broadcast
+    * min/max, per-band counts → metadata-sized exclusive prefix,
+    * in-band row_number) — a global sort-rank WITHOUT a global sort:
+    * no window ever spans more than one band. The rank-weighted sum
+    * accumulates as DECIMAL (rank is an exact integer multiplier, so
+    * the sum is order-independent); the closing Gini algebra is scalar
+    * double math stated identically by the oracle. */
+  def giniRevenue(spark: SparkSession, dir: String,
+      nBands: Int = 128): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(decSum(col("o_totalprice")).as("rev"))
+    val mm = rev.agg(min(col("rev")).as("lo"), max(col("rev")).as("hi"))
+    val banded = rev.crossJoin(broadcast(mm))
+      .withColumn("bucket",
+        when(col("hi") === col("lo"), lit(0L)).otherwise(least(
+          floor((col("rev") - col("lo")) / (col("hi") - col("lo")) * nBands),
+          lit(nBands - 1L)).cast("long")))
+    // exclusive band prefix over ≤ nBands slim rows (metadata-sized)
+    val wo = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = banded.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("part"))
+      .withColumn("offset", coalesce(sum(col("part")).over(wo), lit(0L)))
+      .select(col("bucket"), col("offset"))
+    val wb = Window.partitionBy(col("bucket"))
+      .orderBy(col("rev"), col("o_custkey"))
+    val ranked = banded.join(broadcast(offsets), Seq("bucket"))
+      .select(col("rev"),
+        (col("offset") + row_number().over(wb)).cast("long").as("rank"))
+    ranked
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("rev").cast("decimal(18,6)")).cast("double")
+          .as("total_revenue"),
+        sum(col("rev").cast("decimal(18,6)") * col("rank")).cast("double")
+          .as("s"))
+      .select(col("n_customers"), col("total_revenue"),
+        round(lit(2.0) * col("s") /
+          (col("n_customers") * col("total_revenue")) -
+          (col("n_customers") + 1).cast("double") / col("n_customers"), 6)
+          .as("gini"))
+  }
+
   /** Column-profiling report over `orders` — per-column row/null/distinct
     * counts and typed min/max (numerics in `min_num`/`max_num`,
     * strings/formatted timestamps in `min_str`/`max_str`; the split

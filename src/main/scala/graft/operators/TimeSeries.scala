@@ -178,6 +178,27 @@ object TimeSeries {
       .orderBy(col("ticker"), col("bucket"))
   }
 
+  /** Volume-weighted average price per 5-minute bar — the execution-
+    * quality benchmark price. Σ(price·volume) accumulates as
+    * DECIMAL(28,10) (order-independent across any partitioning; the
+    * per-row product is deterministic double math), volume as exact
+    * longs; zero-volume bars yield NULL under the ANSI guard. */
+  def vwap(spark: SparkSession, dir: String): DataFrame = {
+    val stock = StockPipeline.normalize(Tables.events(spark, dir))
+    stock
+      .groupBy(col("ticker"),
+        timestamp_seconds(expr("unix_timestamp(ts) div 300") * 300)
+          .as("bucket"))
+      .agg(
+        sum((col("price") * col("volume")).cast("decimal(28,10)"))
+          .cast("double").as("value"),
+        sum(col("volume")).as("volume"))
+      .select(col("ticker"), col("bucket"), col("volume"),
+        when(col("volume") > 0, round(col("value") / col("volume"), 6))
+          .as("vwap"))
+      .orderBy(col("ticker"), col("bucket"))
+  }
+
   /** RSI lookback, shared with the oracle generator ([[graft.OraclesTs]]). */
   val RsiSpan = 14
 

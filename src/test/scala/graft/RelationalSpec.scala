@@ -325,6 +325,25 @@ class RelationalSpec extends SparkSpec {
       "top decile must out-hold its population share")
   }
 
+  test("giniRevenue: matches the brute-force rank formula and lands in " +
+      "[0, 1)") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.operators.Relational.giniRevenue(spark, dir)
+      .collect().head
+    val (n, total, gini) =
+      (out.getLong(0), out.getDouble(1), out.getDouble(2))
+    val revs = graft.sources.Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice")).as("rev"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy(t => (t._2, t._1)).map(_._2)
+    assert(n === revs.length.toLong)
+    val s = revs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+    val exp = 2.0 * s / (n * revs.sum) - (n + 1.0) / n
+    assert(math.abs(gini - exp) < 1e-5, s"$gini vs $exp")
+    assert(gini >= 0.0 && gini < 1.0)
+  }
+
   test("ordersProfile: one row per column, counts match direct queries") {
     val dir = "/root/testdata/sf0.001"
     val o = graft.sources.Tables.orders(spark, dir)

@@ -216,6 +216,37 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.map(_._2).toSeq === Seq(0L, 50L, 50L, 20L, 25L))
   }
 
+  test("vwap on sf0.001: every bar's VWAP lies within that bar's price " +
+      "range and volumes are positive") {
+    val dir = "/root/testdata/sf0.001"
+    val stock = graft.operators.StockPipeline.normalize(
+      graft.sources.Tables.events(spark, dir))
+    val ranges = stock
+      .groupBy(col("ticker"),
+        timestamp_seconds(expr("unix_timestamp(ts) div 300") * 300)
+          .as("bucket"))
+      .agg(min("price").as("lo"), max("price").as("hi"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    val out = TimeSeries.vwap(spark, dir).collect()
+    assert(out.nonEmpty)
+    var nPriced = 0
+    out.foreach { r =>
+      assert(r.getLong(2) >= 0)
+      if (r.getLong(2) == 0) assert(r.isNullAt(3),
+        "zero-volume bar must have no VWAP")
+      else {
+        val (lo, hi) = ranges((r.getString(0), r.getTimestamp(1)))
+        val v = r.getDouble(3)
+        assert(v >= lo - 1e-6 && v <= hi + 1e-6,
+          s"vwap $v outside [$lo, $hi]")
+        nPriced += 1
+      }
+    }
+    assert(nPriced > 0)
+  }
+
   test("corrPairs on sf0.001: every correlation is in [-1, 1] and the " +
       "pair set is the strict upper triangle") {
     val out = TimeSeries.corrPairs(spark, "/root/testdata/sf0.001")
