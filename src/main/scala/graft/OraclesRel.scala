@@ -684,6 +684,14 @@ WITH rev AS (
         Seq(row(1, 0.99), row(5, 0.95), row(10, 0.90))
           .mkString("", "\nUNION ALL", "\nORDER BY top_pct")
     },
+    // fuzzy pairs: the oracle is the QUADRATIC all-pairs levenshtein
+    // join; the engine's deletion-neighborhood blocking must reproduce
+    // it exactly — hash equality proves no candidate is lost.
+    "rel_fuzzy_names" -> """
+WITH n AS (SELECT DISTINCT c_name AS name FROM customer)
+SELECT a.name AS name_a, b.name AS name_b
+FROM n a JOIN n b ON a.name < b.name AND levenshtein(a.name, b.name) = 1
+ORDER BY name_a, name_b""",
     // Gini: the oracle states the one-window global rank; the engine
     // runs the banded two-level rank — hash equality proves the
     // distributed form exact. Rank-weighted sums as DECIMAL (exact

@@ -447,6 +447,8 @@ object SparkEntry {
     "rel_revenue_concentration" -> (Relational.revenueConcentration _),
     // Gini coefficient via the banded global rank (no global sort)
     "rel_gini" -> ((s, d) => Relational.giniRevenue(s, d)),
+    // edit-distance-1 name pairs via FastSS deletion neighborhoods
+    "rel_fuzzy_names" -> (Relational.fuzzyNamePairs _),
     // conversion latency: first purchase after first signup, µs-exact
     "rel_time_to_convert" -> (Relational.timeToConvert _),
     // per-shard zone-map + checksum manifest (data-skipping sidecar)

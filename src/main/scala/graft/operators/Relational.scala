@@ -1359,6 +1359,48 @@ object Relational {
           .as("gini"))
   }
 
+  /** Fuzzy entity-resolution candidate pairs: distinct customer names
+    * at Levenshtein distance exactly 1 — the typo/near-identical-entity
+    * blocking step of any record-linkage pipeline.
+    *
+    * Scale design (FastSS deletion neighborhoods): the oracle states
+    * the naive all-pairs `levenshtein(a,b) = 1` join (quadratic in the
+    * name universe); the engine never builds it. Each name explodes
+    * into its ≤ len single-deletion variants, and
+    *   - a SUBSTITUTION pair shares the (position, variant) key —
+    *     equality there means the names agree everywhere except that
+    *     position, so distance is exactly 1 by construction;
+    *   - an INSERT/DELETE pair is a variant-to-full-name equi match
+    *     (the shorter name IS a deletion of the longer).
+    * Both are plain equi joins on bounded-fanout keys (a bucket holds
+    * the names sharing one deletion — typo-cluster-sized, not
+    * corpus-sized); hash equality against the quadratic oracle proves
+    * the blocking loses nothing. */
+  def fuzzyNamePairs(spark: SparkSession, dir: String): DataFrame =
+    fuzzyPairsOf(Tables.customer(spark, dir)
+      .select(col("c_name").as("name")))
+
+  private[graft] def fuzzyPairsOf(rawNames: DataFrame): DataFrame = {
+    val names = rawNames.distinct().pin(eager = true)
+    val variants = names.select(col("name"),
+      posexplode(expr(
+        "transform(sequence(0, length(name) - 1)," +
+          " i -> concat(substring(name, 1, i), substring(name, i + 2)))"))
+        .as(Seq("pos", "variant")))
+    val substitution = variants.as("a")
+      .join(variants.as("b"), Seq("pos", "variant"))
+      .filter(col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+    val insertDelete = variants
+      .join(names.select(col("name").as("short_name")),
+        col("variant") === col("short_name"))
+      .select(least(col("name"), col("short_name")).as("name_a"),
+        greatest(col("name"), col("short_name")).as("name_b"))
+    substitution.unionAll(insertDelete)
+      .distinct()
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
   /** Column-profiling report over `orders` — per-column row/null/distinct
     * counts and typed min/max (numerics in `min_num`/`max_num`,
     * strings/formatted timestamps in `min_str`/`max_str`; the split

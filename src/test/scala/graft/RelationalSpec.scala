@@ -344,6 +344,31 @@ class RelationalSpec extends SparkSpec {
     assert(gini >= 0.0 && gini < 1.0)
   }
 
+  test("fuzzyPairsOf: finds substitutions and insert/deletes, excludes " +
+      "distance-2 and transpositions, equals brute-force levenshtein=1") {
+    val names = Seq("cat", "cut", "cart", "dog", "dig", "dogs", "act",
+      "house", "mouse", "horse", "hose")
+    val got = graft.operators.Relational.fuzzyPairsOf(
+      names.toDF("name"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expected = (for {
+      a <- names; b <- names if a < b && lev(a, b) == 1
+    } yield (a, b)).toSet
+    assert(got === expected)
+    assert(got(("cat", "cut")) && got(("cart", "cat")), "sub + insert")
+    assert(!got(("act", "cat")), "transposition is distance 2")
+    assert(got(("house", "mouse")) && got(("horse", "house")))
+    assert(!got(("dig", "dogs")), "distance 2 (sub + insert) excluded")
+  }
+
   test("ordersProfile: one row per column, counts match direct queries") {
     val dir = "/root/testdata/sf0.001"
     val o = graft.sources.Tables.orders(spark, dir)
