@@ -692,6 +692,30 @@ WITH n AS (SELECT DISTINCT c_name AS name FROM customer)
 SELECT a.name AS name_a, b.name AS name_b
 FROM n a JOIN n b ON a.name < b.name AND levenshtein(a.name, b.name) = 1
 ORDER BY name_a, name_b""",
+    // entity groups: recursive-CTE connected components over the
+    // quadratic fuzzy-match edges; the engine's blocking + star-rounds
+    // CC must land on identical component minima.
+    "rel_entity_groups" -> """
+WITH RECURSIVE n AS (SELECT DISTINCT c_name AS name FROM customer),
+fp AS (
+  SELECT a.name AS name_a, b.name AS name_b
+  FROM n a JOIN n b
+    ON a.name < b.name AND levenshtein(a.name, b.name) = 1),
+e AS (
+  SELECT ca.c_custkey AS a, cb.c_custkey AS b
+  FROM fp
+  JOIN customer ca ON name_a = ca.c_name
+  JOIN customer cb ON name_b = cb.c_name),
+edges(a, b) AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+reach(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN edges e ON r.node = e.a),
+cc AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node)
+SELECT c.c_custkey, c.c_name,
+  coalesce(cc.cluster, c.c_custkey)::BIGINT AS entity_id
+FROM customer c LEFT JOIN cc ON c.c_custkey = cc.node
+ORDER BY c.c_custkey""",
     // Gini: the oracle states the one-window global rank; the engine
     // runs the banded two-level rank — hash equality proves the
     // distributed form exact. Rank-weighted sums as DECIMAL (exact

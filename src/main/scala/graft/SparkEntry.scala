@@ -449,6 +449,8 @@ object SparkEntry {
     "rel_gini" -> ((s, d) => Relational.giniRevenue(s, d)),
     // edit-distance-1 name pairs via FastSS deletion neighborhoods
     "rel_fuzzy_names" -> (Relational.fuzzyNamePairs _),
+    // entity-resolution capstone: block -> match -> CC cluster
+    "rel_entity_groups" -> (Relational.entityGroups _),
     // conversion latency: first purchase after first signup, µs-exact
     "rel_time_to_convert" -> (Relational.timeToConvert _),
     // per-shard zone-map + checksum manifest (data-skipping sidecar)

@@ -1401,6 +1401,34 @@ object Relational {
       .orderBy(col("name_a"), col("name_b"))
   }
 
+  /** Entity resolution capstone: block → match → cluster. Customers
+    * whose names sit within one edit of each other collapse into one
+    * entity id (the component min custkey); untouched customers stay
+    * their own entity. Composes [[fuzzyPairsOf]]'s deletion-
+    * neighborhood matching with the size-adaptive connected-components
+    * operator ([[Dedup.clustersBigStar]] — single-task union-find
+    * below the edge threshold, O(log n) star rounds above), then one
+    * left join restores the singletons. */
+  def entityGroups(spark: SparkSession, dir: String): DataFrame =
+    entityGroupsOf(Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name")))
+
+  private[graft] def entityGroupsOf(cust: DataFrame): DataFrame = {
+    val pairs = fuzzyPairsOf(cust.select(col("c_name").as("name")))
+    val edges = pairs
+      .join(cust.select(col("c_custkey").as("doc_a"),
+        col("c_name").as("name_a")), Seq("name_a"))
+      .join(cust.select(col("c_custkey").as("doc_b"),
+        col("c_name").as("name_b")), Seq("name_b"))
+      .select(col("doc_a"), col("doc_b"))
+    val cc = Dedup.clustersBigStar(edges)
+      .select(col("doc_id").as("c_custkey"), col("cluster_id"))
+    cust.join(cc, Seq("c_custkey"), "left")
+      .select(col("c_custkey"), col("c_name"),
+        coalesce(col("cluster_id"), col("c_custkey")).as("entity_id"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** Column-profiling report over `orders` — per-column row/null/distinct
     * counts and typed min/max (numerics in `min_num`/`max_num`,
     * strings/formatted timestamps in `min_str`/`max_str`; the split

@@ -369,6 +369,19 @@ class RelationalSpec extends SparkSpec {
     assert(!got(("dig", "dogs")), "distance 2 (sub + insert) excluded")
   }
 
+  test("entityGroupsOf: transitive typo chains collapse to one entity " +
+      "(min key), unrelated names stay singletons") {
+    // chain: smith ~ smyth ~ smythe (transitively one entity even
+    // though smith↔smythe is distance 2); jones isolated
+    val cust = Seq((10L, "smith"), (20L, "smyth"), (30L, "smythe"),
+      (40L, "jones"), (50L, "janes"))
+      .toDF("c_custkey", "c_name")
+    val out = graft.operators.Relational.entityGroupsOf(cust)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out === Map(10L -> 10L, 20L -> 10L, 30L -> 10L,
+      40L -> 40L, 50L -> 40L))
+  }
+
   test("ordersProfile: one row per column, counts match direct queries") {
     val dir = "/root/testdata/sf0.001"
     val o = graft.sources.Tables.orders(spark, dir)
