@@ -241,7 +241,16 @@ object ScaleProbe {
         }
         val (sk, skS) = t(Relational.partSkylineOn(part).count())
         val (bp, bpS) = t(Relational.basketPairsOn(li, ord).count())
-        println(f"[scale-probe-rel] x$n%-3d parts=$nParts%8d lineitems=$nLi%9d skyline=$skS%6.2fs($sk) basketPairs=$bpS%6.2fs($bp)")
+        // fuzzy axis: key-shifted customer COPIES inflate the name
+        // universe n×; deletion-neighborhood buckets stay typo-sized
+        val cust = (0 until n).map { k =>
+          graft.sources.Tables.customer(spark, sfDir)
+            .withColumn("c_name",
+              concat(lit(s"C$k#"), col("c_name")))
+        }.reduce(_ unionAll _).select(col("c_name").as("name"))
+          .pin(eager = true)
+        val (fz, fzS) = t(Relational.fuzzyPairsOf(cust).count())
+        println(f"[scale-probe-rel] x$n%-3d parts=$nParts%8d lineitems=$nLi%9d skyline=$skS%6.2fs($sk) basketPairs=$bpS%6.2fs($bp) fuzzyPairs=$fzS%6.2fs($fz)")
       }
       spark.stop(); return
     }

@@ -126,6 +126,33 @@ class TablesSchemaSpec extends SparkSpec {
       .schema === out.schema)
   }
 
+  test("TPC-H fact/dimension tables load with pinned column types " +
+      "(drift canary for the 50+ relational queries)") {
+    def types(df: org.apache.spark.sql.DataFrame) =
+      df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val li = types(Tables.lineitem(spark, sf))
+    assert(li("l_orderkey") === "bigint" && li("l_partkey") === "bigint" &&
+      li("l_suppkey") === "bigint")
+    assert(li("l_quantity") === "double" &&
+      li("l_extendedprice") === "double" && li("l_discount") === "double" &&
+      li("l_tax") === "double",
+      s"money columns must stay double (decimal-cast convention): $li")
+    // either instant or NTZ is fine: the session runs UTC, so literal
+    // comparisons coerce to the identical µs values in both cases
+    val tsKinds = Set("timestamp", "timestamp_ntz")
+    assert(tsKinds(li("l_shipdate")), li.toString)
+    val o = types(Tables.orders(spark, sf))
+    assert(o("o_orderkey") === "bigint" && o("o_custkey") === "bigint" &&
+      o("o_totalprice") === "double" && tsKinds(o("o_orderdate")))
+    val p = types(Tables.part(spark, sf))
+    assert(p("p_partkey") === "bigint" && p("p_retailprice") === "double")
+    val c = types(Tables.customer(spark, sf))
+    // nationkey may be any integral width — every use is an equi join
+    // against the same-width nation key, where coercion is lossless
+    assert(c("c_custkey") === "bigint" &&
+      Set("int", "bigint")(c("c_nationkey")) && c("c_name") === "string")
+  }
+
   test("eventsStream resolves its schema from the footer and normalizes ts") {
     val stream = StreamingPipeline.eventsStream(spark, sf)
     assert(stream.isStreaming)
