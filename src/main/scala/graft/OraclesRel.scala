@@ -692,6 +692,27 @@ WITH n AS (SELECT DISTINCT c_name AS name FROM customer)
 SELECT a.name AS name_a, b.name AS name_b
 FROM n a JOIN n b ON a.name < b.name AND levenshtein(a.name, b.name) = 1
 ORDER BY name_a, name_b""",
+    "rel_top_paths" -> """
+WITH e AS (
+  SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type FROM events),
+s AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+    THEN 1 ELSE 0 END AS ns
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM s),
+paths AS (
+  SELECT user_id, sid,
+    array_to_string(list(event_type ORDER BY ts, event_id)[1:5], '>')
+      AS path
+  FROM sess GROUP BY user_id, sid)
+SELECT path, count(*)::BIGINT AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 20""",
     // entity groups: recursive-CTE connected components over the
     // quadratic fuzzy-match edges; the engine's blocking + star-rounds
     // CC must land on identical component minima.

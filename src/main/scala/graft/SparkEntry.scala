@@ -451,6 +451,8 @@ object SparkEntry {
     "rel_fuzzy_names" -> (Relational.fuzzyNamePairs _),
     // entity-resolution capstone: block -> match -> CC cluster
     "rel_entity_groups" -> (Relational.entityGroups _),
+    // top session journeys (first-5-event paths, 30-min-gap sessions)
+    "rel_top_paths" -> ((s, d) => Relational.topPaths(s, d)),
     // conversion latency: first purchase after first signup, µs-exact
     "rel_time_to_convert" -> (Relational.timeToConvert _),
     // per-shard zone-map + checksum manifest (data-skipping sidecar)

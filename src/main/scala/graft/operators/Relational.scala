@@ -1429,6 +1429,48 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
+  /** Top session paths — sequence mining lite: the most common ordered
+    * event-type journeys (first `steps` events of each 30-minute-gap
+    * session). Complements [[eventTransitions]]' first-order matrix
+    * with full path counts.
+    *
+    * Session assignment is the lag/cumsum construction (new session at
+    * gap ≥ 30 min, µs-exact) stated IDENTICALLY by the oracle — not
+    * `session_window`, so there is no cross-engine boundary-semantics
+    * gap to reconcile. Scale: both windows partition by user
+    * (per-partition size = one user's history), the path aggregate is
+    * a hash agg on the path string, and the top-N lowers to
+    * TakeOrderedAndProject. */
+  def topPaths(spark: SparkSession, dir: String, steps: Int = 5,
+      topN: Int = 20): DataFrame =
+    topPathsOn(Tables.events(spark, dir), steps, topN)
+
+  private[graft] def topPathsOn(events: DataFrame, steps: Int = 5,
+      topN: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cum = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = 30L * 60L * 1000000L
+    val prev = lag(col("ts"), 1).over(w)
+    val sess = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("ns",
+        when(prev.isNull ||
+          unix_micros(col("ts")) - unix_micros(prev) >= gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("ns")).over(cum))
+    sess
+      .groupBy(col("user_id"), col("sid"))
+      .agg(concat_ws(">", slice(transform(
+        sort_array(collect_list(struct(col("ts"), col("event_id"),
+          col("event_type")))), s => s.getField("event_type")),
+        1, steps)).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(topN)
+  }
+
   /** Column-profiling report over `orders` — per-column row/null/distinct
     * counts and typed min/max (numerics in `min_num`/`max_num`,
     * strings/formatted timestamps in `min_str`/`max_str`; the split

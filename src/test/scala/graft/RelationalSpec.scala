@@ -382,6 +382,38 @@ class RelationalSpec extends SparkSpec {
       40L -> 40L, 50L -> 40L))
   }
 
+  test("topPathsOn: sessions split at the 30-min gap, paths keep event " +
+      "order and truncate to the step cap") {
+    def ev(id: Long, u: Long, t: String, typ: String) =
+      (id, u, Timestamp.valueOf(t), typ)
+    val events = Seq(
+      // user 1, session 1: view>click>purchase
+      ev(1, 1L, "1996-01-01 10:00:00", "view"),
+      ev(2, 1L, "1996-01-01 10:05:00", "click"),
+      ev(3, 1L, "1996-01-01 10:10:00", "purchase"),
+      // user 1, session 2 (gap exactly 30 min from last → NEW session)
+      ev(4, 1L, "1996-01-01 10:40:00", "view"),
+      // user 2: one long session of 7 events → truncated to 5
+      ev(5, 2L, "1996-01-01 09:00:00", "view"),
+      ev(6, 2L, "1996-01-01 09:01:00", "view"),
+      ev(7, 2L, "1996-01-01 09:02:00", "view"),
+      ev(8, 2L, "1996-01-01 09:03:00", "view"),
+      ev(9, 2L, "1996-01-01 09:04:00", "view"),
+      ev(10, 2L, "1996-01-01 09:05:00", "click"),
+      ev(11, 2L, "1996-01-01 09:06:00", "purchase"),
+      // user 3: same journey as user 1's first session
+      ev(12, 3L, "1996-01-01 12:00:00", "view"),
+      ev(13, 3L, "1996-01-01 12:01:00", "click"),
+      ev(14, 3L, "1996-01-01 12:02:00", "purchase"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = graft.operators.Relational.topPathsOn(events)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map(
+      "view>click>purchase" -> 2L, // users 1 + 3
+      "view" -> 1L,                // the gap-split second session
+      "view>view>view>view>view" -> 1L)) // truncated at 5 steps
+  }
+
   test("ordersProfile: one row per column, counts match direct queries") {
     val dir = "/root/testdata/sf0.001"
     val o = graft.sources.Tables.orders(spark, dir)
