@@ -618,6 +618,29 @@ ranked AS (
 SELECT query_id, neighbor_id, neighbor_label, cosine, rank
 FROM ranked WHERE rank <= 5
 ORDER BY query_id, rank"""),
+    // drift report: conditional decimal sums per vec_id-parity slice,
+    // one unnest pass, shared scalar math on the cast-once doubles
+    "sim_drift_report" -> """
+WITH d AS (
+  SELECT vec_id % 2 AS h, pos, v FROM (
+    SELECT vec_id, unnest(embedding::DOUBLE[]) AS v,
+           unnest(range(len(embedding))) AS pos
+    FROM embeddings)),
+agg AS (
+  SELECT pos::BIGINT AS dim,
+    count(*) FILTER (h = 0)::BIGINT AS n_a,
+    count(*) FILTER (h = 1)::BIGINT AS n_b,
+    CAST(sum(CASE WHEN h = 0 THEN CAST(v AS DECIMAL(28,10)) END)
+      AS DOUBLE) AS sa,
+    CAST(sum(CASE WHEN h = 1 THEN CAST(v AS DECIMAL(28,10)) END)
+      AS DOUBLE) AS sb
+  FROM d GROUP BY pos)
+SELECT dim, n_a, n_b,
+  round(sa / n_a, 6) AS mean_a,
+  round(sb / n_b, 6) AS mean_b,
+  round(abs(sa / n_a - sb / n_b), 6) AS abs_shift
+FROM agg
+ORDER BY abs_shift DESC, dim""",
     // label separation report: shared decimal-exact centroid CTE shape,
     // cohesion as a decimal sum of member-to-centroid cosines, nearest
     // other label via the (cc DESC, label_b) argmax both sides state

@@ -338,6 +338,9 @@ object SparkEntry {
     // per-node clustering coefficient (2T / d(d-1), guarded)
     "sim_clustering_coeff" -> ((s, d) =>
       Similarity.clusteringCoeff(Tables.embeddings(s, d))),
+    // per-dimension embedding drift between corpus slices
+    "sim_drift_report" -> ((s, d) =>
+      Similarity.driftReport(Tables.embeddings(s, d))),
     // embedding cluster components: thresholded kNN edges through the
     // SAME large-star/small-star CC operator the text dedup uses
     "sim_knn_components" -> ((s, d) =>

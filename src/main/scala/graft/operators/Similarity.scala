@@ -166,6 +166,39 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** Embedding-distribution drift report between two corpus slices
+    * (vec_id parity stands in for the before/after snapshots a
+    * monitoring job compares): per-dimension mean shift ranked by
+    * magnitude, plus each slice's member count — the
+    * training/serving-skew diagnostic for an embedding pipeline.
+    *
+    * Mechanics: one posexplode pass with conditional DECIMAL(28,10)
+    * sums per slice (order-independent; a second scan per slice would
+    * double the read), then per-dim scalar math both engines state
+    * identically. Output is dim-count-sized (64 rows) at any corpus
+    * size. */
+  def driftReport(embeddings: DataFrame): DataFrame = {
+    val half = pmod(col("vec_id"), lit(2))
+    val dims = embeddings
+      .select(half.as("h"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(
+        count(when(col("h") === 0, 1)).as("n_a"),
+        count(when(col("h") === 1, 1)).as("n_b"),
+        sum(when(col("h") === 0, col("v")).cast("decimal(28,10)"))
+          .cast("double").as("sa"),
+        sum(when(col("h") === 1, col("v")).cast("decimal(28,10)"))
+          .cast("double").as("sb"))
+    dims
+      .select(col("pos").cast("long").as("dim"),
+        col("n_a"), col("n_b"),
+        round(col("sa") / col("n_a"), 6).as("mean_a"),
+        round(col("sb") / col("n_b"), 6).as("mean_b"),
+        round(abs(col("sa") / col("n_a") - col("sb") / col("n_b")), 6)
+          .as("abs_shift"))
+      .orderBy(col("abs_shift").desc, col("dim"))
+  }
+
   /** IVF top-k: each query probes the `nprobe` nearest centroids and
     * searches only vectors in those cells. Approximate by construction. */
   def ivfTopK(embeddings: DataFrame, k: Int = 5, nQueries: Int = 20,

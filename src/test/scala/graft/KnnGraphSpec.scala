@@ -212,6 +212,25 @@ class KnnGraphSpec extends SparkSpec {
     }
   }
 
+  test("driftReport: per-dim means match the brute-force slice means " +
+      "and ranking is by absolute shift") {
+    val rows = emb.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+    val out = Similarity.driftReport(emb).collect()
+    assert(out.length === rows.head._2.length)
+    out.foreach { r =>
+      val dim = r.getLong(0).toInt
+      val a = rows.filter(_._1 % 2 == 0).map(_._2(dim))
+      val b = rows.filter(_._1 % 2 == 1).map(_._2(dim))
+      assert(r.getLong(1) === a.length.toLong)
+      assert(math.abs(r.getDouble(3) - a.sum / a.length) < 1e-5)
+      assert(math.abs(r.getDouble(4) - b.sum / b.length) < 1e-5)
+    }
+    val shifts = out.map(_.getDouble(5))
+    assert(shifts.zip(shifts.tail).forall { case (x, y) => x >= y },
+      "rows must be ranked by descending absolute shift")
+  }
+
   test("knnTriangles: exactly the brute-force triangle set of the " +
       "mutual-kNN edge list, each once as a<b<c") {
     val edges = Similarity.mutualKnnGraph(emb).collect()

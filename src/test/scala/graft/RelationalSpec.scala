@@ -414,6 +414,40 @@ class RelationalSpec extends SparkSpec {
       "view>view>view>view>view" -> 1L)) // truncated at 5 steps
   }
 
+  test("streaming transition steps (flatMapGroupsWithState) aggregate " +
+      "to exactly the batch LEAD-window transition counts, including " +
+      "cross-trigger boundaries") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[graft.streaming.TransEvent]
+      .collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val stream = MemoryStream[graft.streaming.TransEvent]
+    val q = graft.streaming.TransitionState.steps(stream.toDS())
+      .writeStream.format("memory").queryName("trans_sink")
+      .outputMode("append").start()
+    try {
+      // three triggers: cross-trigger steps only exist because the
+      // carry survives in state
+      events.grouped(math.max(events.length / 3, 1)).foreach { chunk =>
+        stream.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("trans_sink")
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val batch = graft.operators.Relational
+        .eventTransitionsOn(graft.sources.Tables.events(spark, dir))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("ordersProfile: one row per column, counts match direct queries") {
     val dir = "/root/testdata/sf0.001"
     val o = graft.sources.Tables.orders(spark, dir)
