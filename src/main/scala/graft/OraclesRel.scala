@@ -692,6 +692,28 @@ WITH n AS (SELECT DISTINCT c_name AS name FROM customer)
 SELECT a.name AS name_a, b.name AS name_b
 FROM n a JOIN n b ON a.name < b.name AND levenshtein(a.name, b.name) = 1
 ORDER BY name_a, name_b""",
+    // Benford: digit via the exact integer-cents string (no log10 at
+    // power-of-ten boundaries); shares are the Scala double literals.
+    "rel_benford" -> {
+      val shareCase = (1 to 9).map(d =>
+        s"WHEN $d THEN ${math.log10(1.0 + 1.0 / d)}")
+        .mkString("CASE digit ", " ", " END")
+      s"""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+    AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders),
+c AS (SELECT digit, count(*)::BIGINT AS n_obs FROM d GROUP BY digit),
+t AS (SELECT sum(n_obs)::BIGINT AS n_total FROM c),
+s AS (SELECT digit, n_obs, n_total,
+  CAST($shareCase AS DOUBLE) AS bshare FROM c, t)
+SELECT digit::BIGINT AS digit, n_obs,
+  round(n_obs::DOUBLE / n_total, 6) AS obs_share,
+  round(bshare, 6) AS benford_share,
+  round((n_obs - n_total * bshare) * (n_obs - n_total * bshare) /
+    (n_total * bshare), 6) AS chi2_term
+FROM s ORDER BY digit"""
+    },
     "rel_top_paths" -> """
 WITH e AS (
   SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type FROM events),

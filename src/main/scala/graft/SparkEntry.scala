@@ -456,6 +456,8 @@ object SparkEntry {
     "rel_entity_groups" -> (Relational.entityGroups _),
     // top session journeys (first-5-event paths, 30-min-gap sessions)
     "rel_top_paths" -> ((s, d) => Relational.topPaths(s, d)),
+    // Benford first-digit fraud screen (string-exact digit extraction)
+    "rel_benford" -> (Relational.benfordScreen _),
     // conversion latency: first purchase after first signup, µs-exact
     "rel_time_to_convert" -> (Relational.timeToConvert _),
     // per-shard zone-map + checksum manifest (data-skipping sidecar)

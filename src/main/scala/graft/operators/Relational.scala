@@ -1471,6 +1471,42 @@ object Relational {
       .limit(topN)
   }
 
+  /** Benford first-digit screen over order totals — the classic fraud/
+    * fabrication diagnostic: observed leading-digit shares vs Benford's
+    * log₁₀(1+1/d) law, with per-digit χ² contributions.
+    *
+    * Digit extraction is STRING-exact: the 2-dp price becomes exact
+    * integer cents (`round(p·100)` as BIGINT), whose decimal rendering
+    * is identical in both engines — no `floor(log10(x))` at a
+    * power-of-ten boundary, where libm implementations may differ by
+    * an ulp. The Benford shares are Scala double literals interpolated
+    * into the oracle SQL, so every scalar input is bit-shared. One
+    * map-side pass + a 9-row aggregate. */
+  def benfordScreen(spark: SparkSession, dir: String): DataFrame = {
+    val shares = (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d))
+    val shareCol = shares.tail.foldLeft(
+      when(col("digit") === 1, lit(shares.head._2))) {
+      case (acc, (d, s)) => acc.when(col("digit") === d, lit(s))
+    }
+    val digits = Tables.orders(spark, dir)
+      .select(expr("CAST(substring(CAST(CAST(round(o_totalprice * 100)" +
+        " AS BIGINT) AS STRING), 1, 1) AS INT)").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val total = digits.agg(sum(col("n_obs")).as("n_total"))
+    digits.crossJoin(broadcast(total))
+      .withColumn("benford_share", shareCol)
+      .select(col("digit").cast("long").as("digit"), col("n_obs"),
+        round(col("n_obs").cast("double") / col("n_total"), 6)
+          .as("obs_share"),
+        round(col("benford_share"), 6).as("benford_share"),
+        // explicit x*x, not pow(x,2): both engines state the same
+        // multiply, dodging any libm pow ulp divergence
+        round((col("n_obs") - col("n_total") * col("benford_share")) *
+          (col("n_obs") - col("n_total") * col("benford_share")) /
+          (col("n_total") * col("benford_share")), 6).as("chi2_term"))
+      .orderBy(col("digit"))
+  }
+
   /** Column-profiling report over `orders` — per-column row/null/distinct
     * counts and typed min/max (numerics in `min_num`/`max_num`,
     * strings/formatted timestamps in `min_str`/`max_str`; the split

@@ -448,6 +448,25 @@ class RelationalSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("benfordScreen: digit counts match the brute-force cents-string " +
+      "extraction, shares sum to 1, chi2 terms are non-negative") {
+    val dir = "/root/testdata/sf0.001"
+    val expected = graft.sources.Tables.orders(spark, dir)
+      .select(col("o_totalprice")).collect()
+      .map(r => math.round(r.getDouble(0) * 100).toString.head.asDigit)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val out = graft.operators.Relational.benfordScreen(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(4)))
+    assert(out.map(_._1).toSet.subsetOf((1L to 9L).toSet))
+    out.foreach { case (d, n, _, chi2) =>
+      assert(n === expected(d.toInt), s"digit $d")
+      assert(chi2 >= 0.0)
+    }
+    assert(math.abs(out.map(_._3).sum - 1.0) < 1e-4)
+  }
+
   test("ordersProfile: one row per column, counts match direct queries") {
     val dir = "/root/testdata/sf0.001"
     val o = graft.sources.Tables.orders(spark, dir)
