@@ -296,6 +296,27 @@ FROM (SELECT *, ('0x' || substr(md5('${graft.operators.Packing.splitSalt}' || gr
 ORDER BY doc_id"""),
     // pairs -> components: recursive min-label propagation; cluster_id =
     // min doc_id reachable (the representative the dedup keeps)
+    // near-dup rate per (lang, source): the dedup_clusters CC joined
+    // back to the document metadata and folded into per-segment rates
+    "corpus_dedup_rates" -> (minhashPairsCtes
+      .replaceFirst("WITH ", "WITH RECURSIVE ") + """
+, np AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
+edges(a, b) AS (SELECT doc_a, doc_b FROM np UNION SELECT doc_b, doc_a FROM np),
+reach(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN edges e ON r.node = e.a),
+cc AS (SELECT node AS doc_id, min(label) AS cluster_id
+  FROM reach GROUP BY node)
+SELECT d.lang, d.source, count(*)::BIGINT AS n_docs,
+  count(*) FILTER (cc.doc_id IS NOT NULL)::BIGINT AS n_clustered,
+  count(*) FILTER (cc.doc_id IS NULL OR cc.cluster_id = d.doc_id)::BIGINT
+    AS n_kept,
+  round(1 - (count(*) FILTER (cc.doc_id IS NULL OR
+    cc.cluster_id = d.doc_id))::DOUBLE / count(*), 6) AS dup_share
+FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+GROUP BY d.lang, d.source
+ORDER BY d.lang, d.source"""),
     "dedup_clusters" -> (minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + """
 , np AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
 edges(a, b) AS (SELECT doc_a, doc_b FROM np UNION SELECT doc_b, doc_a FROM np),

@@ -463,6 +463,9 @@ object SparkEntry {
     // per-shard zone-map + checksum manifest (data-skipping sidecar)
     "corpus_shard_stats" -> ((s, d) =>
       graft.operators.Packing.shardStats(Tables.documents(s, d))),
+    // per-(lang, source) near-dup removal rates (crawl observability)
+    "corpus_dedup_rates" -> ((s, d) =>
+      graft.operators.Curation.dedupRates(Tables.documents(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

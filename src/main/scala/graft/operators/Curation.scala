@@ -285,6 +285,32 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-(lang, source) NEAR-dup rate report — the observability twin
+    * of [[corpusReport]]'s exact-dup column: how much of each segment
+    * the MinHash+LSH near-dup pass would drop, the per-source signal a
+    * crawl pipeline uses to spot mirror-heavy or boilerplate-heavy
+    * feeds. Composes the verified pair → CC chain; `n_kept` counts
+    * cluster representatives plus untouched singletons, so
+    * `n_docs − n_kept` is exactly the near-dup removal. */
+  def dedupRates(documents: DataFrame): DataFrame = {
+    val near = graft.operators.Dedup.clustersBigStar(
+      graft.operators.Dedup.minhashPairs(documents))
+      .select(col("doc_id"),
+        (col("cluster_id") === col("doc_id")).as("near_rep"))
+    documents.select(col("doc_id"), col("lang"), col("source"))
+      .join(near, Seq("doc_id"), "left")
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("near_rep").isNotNull, 1)).as("n_clustered"),
+        count(when(coalesce(col("near_rep"), lit(true)), 1)).as("n_kept"))
+      .select(col("lang"), col("source"), col("n_docs"),
+        col("n_clustered"), col("n_kept"),
+        round(lit(1) - col("n_kept").cast("double") / col("n_docs"), 6)
+          .as("dup_share"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   /** Corpus manifest — the reproducibility primitive a versioned data
     * pipeline publishes with every release: document/token counts plus
     * ORDER-INSENSITIVE content checksums (bit_xor of each document's

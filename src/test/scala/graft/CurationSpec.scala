@@ -403,4 +403,32 @@ class CurationSpec extends SparkSpec {
     assert(s.collect().toSeq === Curation.sampleStratified(d.repartition(5), k = 5)
       .collect().toSeq)
   }
+
+  test("dedupRates: near-dup copies count against their segment, " +
+      "singletons and representatives are kept") {
+    // 1 and 3 are near-identical (share almost all shingles) but land
+    // in DIFFERENT langs (odd/even ids); 2 is unrelated
+    val base = "the quick brown fox jumps over the lazy dog again and " +
+      "again until the long day finally ends in the quiet field"
+    val d = docs(
+      (2L, base), (3L, base + " extra"),
+      (4L, "completely different content about ships and harbors and " +
+        "storms at sea with nothing shared at all here"))
+    val out = Curation.dedupRates(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // totals conserve and kept = docs − non-representative members
+    val clustered = graft.operators.Dedup.clustersBigStar(
+      graft.operators.Dedup.minhashPairs(d)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val nonReps = clustered.count { case (id, cl) => id != cl }
+    assert(out.values.map(_._1).sum === 3L)
+    assert(out.values.map(_._3).sum === 3L - nonReps)
+    // the es segment holds ONLY the non-representative copy → its
+    // entire content is duplicate (share exactly 1.0, kept 0)
+    assert(out(("es", "src0")) === ((1L, 1L, 0L, 1.0)))
+    out.values.foreach { case (n, _, kept, share) =>
+      assert(kept <= n && share >= 0.0 && share <= 1.0)
+    }
+  }
 }
