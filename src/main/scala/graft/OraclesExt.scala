@@ -639,6 +639,18 @@ ranked AS (
 SELECT query_id, neighbor_id, neighbor_label, cosine, rank
 FROM ranked WHERE rank <= 5
 ORDER BY query_id, rank"""),
+    // cell balance: counts over the unrolled k-means assignment
+    "sim_cell_balance" -> (simBase + kmeansCtes + {
+      val it = graft.operators.Similarity.kmIters
+      s""",
+cb AS (SELECT cell, count(*)::BIGINT AS n_vecs FROM asg$it GROUP BY cell),
+tt AS (SELECT sum(n_vecs)::BIGINT AS n_total, count(*)::BIGINT AS n_cells
+  FROM cb)
+SELECT cell, n_vecs,
+  round(n_vecs::DOUBLE / n_total, 6) AS share,
+  round(n_vecs::DOUBLE * n_cells / n_total, 6) AS ratio_to_mean
+FROM cb, tt ORDER BY cell"""
+    }),
     // drift report: conditional decimal sums per vec_id-parity slice,
     // one unnest pass, shared scalar math on the cast-once doubles
     "sim_drift_report" -> """

@@ -120,6 +120,23 @@ cum AS (
 SELECT doc_id, n_tokens, cum_tokens,
   ((cum_tokens - n_tokens) // ${Packing.packBudget})::BIGINT AS pack_id
 FROM cum ORDER BY doc_id""",
+    // per-pack fill/utilization over the same assignment chain
+    "pack_efficiency" -> s"""
+WITH $toksCte,
+t AS (SELECT doc_id, len(tk)::BIGINT AS n_tokens FROM toks),
+cum AS (
+  SELECT doc_id, n_tokens,
+    sum(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_tokens
+  FROM t),
+pa AS (
+  SELECT doc_id, n_tokens,
+    ((cum_tokens - n_tokens) // ${Packing.packBudget})::BIGINT AS pack_id
+  FROM cum)
+SELECT pack_id, count(*)::BIGINT AS n_docs,
+  sum(n_tokens)::BIGINT AS fill_tokens,
+  round(sum(n_tokens)::DOUBLE / ${Packing.packBudget}, 6) AS utilization
+FROM pa GROUP BY pack_id ORDER BY pack_id""",
     // the same global cumsum chain budgeted in greedy merge-table
     // subwords instead of whitespace tokens
     "pack_assign_bpe" -> s"""

@@ -714,6 +714,22 @@ SELECT digit::BIGINT AS digit, n_obs,
     (n_total * bshare), 6) AS chi2_term
 FROM s ORDER BY digit"""
     },
+    // near-duplicate payments: the oracle is the per-customer QUADRATIC
+    // comparison; the engine's digit-length banding must reproduce it
+    // exactly (a <=1.05 ratio can never span beyond adjacent bands).
+    "rel_dup_payments" -> """
+SELECT a.o_custkey,
+  a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+  a.o_totalprice AS price_a, b.o_totalprice AS price_b,
+  a.o_orderdate::TIMESTAMP AS date_a, b.o_orderdate::TIMESTAMP AS date_b
+FROM orders a JOIN orders b
+  ON a.o_custkey = b.o_custkey
+  AND a.o_orderkey < b.o_orderkey
+  AND abs(a.o_totalprice - b.o_totalprice) <=
+      0.05 * greatest(a.o_totalprice, b.o_totalprice)
+  AND abs(epoch_us(b.o_orderdate::TIMESTAMP) -
+          epoch_us(a.o_orderdate::TIMESTAMP)) <= 604800000000
+ORDER BY a.o_custkey, order_a, order_b""",
     "rel_top_paths" -> """
 WITH e AS (
   SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type FROM events),

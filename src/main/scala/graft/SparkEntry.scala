@@ -341,6 +341,9 @@ object SparkEntry {
     // per-dimension embedding drift between corpus slices
     "sim_drift_report" -> ((s, d) =>
       Similarity.driftReport(Tables.embeddings(s, d))),
+    // IVF index-health: per-cell size share and ratio to mean
+    "sim_cell_balance" -> ((s, d) =>
+      Similarity.cellBalance(Tables.embeddings(s, d))),
     // embedding cluster components: thresholded kNN edges through the
     // SAME large-star/small-star CC operator the text dedup uses
     "sim_knn_components" -> ((s, d) =>
@@ -458,6 +461,8 @@ object SparkEntry {
     "rel_top_paths" -> ((s, d) => Relational.topPaths(s, d)),
     // Benford first-digit fraud screen (string-exact digit extraction)
     "rel_benford" -> (Relational.benfordScreen _),
+    // duplicate-payment screen (same customer+amount within 7 days)
+    "rel_dup_payments" -> (Relational.duplicatePayments _),
     // conversion latency: first purchase after first signup, µs-exact
     "rel_time_to_convert" -> (Relational.timeToConvert _),
     // per-shard zone-map + checksum manifest (data-skipping sidecar)
@@ -466,6 +471,9 @@ object SparkEntry {
     // per-(lang, source) near-dup removal rates (crawl observability)
     "corpus_dedup_rates" -> ((s, d) =>
       graft.operators.Curation.dedupRates(Tables.documents(s, d))),
+    // per-pack token fill / utilization (padded-compute metric)
+    "pack_efficiency" -> ((s, d) =>
+      graft.operators.Packing.packEfficiency(Tables.documents(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

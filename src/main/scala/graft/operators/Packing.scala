@@ -219,6 +219,22 @@ object Packing {
       .orderBy(col("ord"))
   }
 
+  /** Packing-efficiency report over [[packAssign]]'s layout: per pack,
+    * the document count, token fill, and utilization against the
+    * budget — the wasted-compute metric a training job watches (every
+    * unfilled token is a padded position on the accelerator). Output
+    * is pack-count-sized; one hash aggregate over the assignment. */
+  def packEfficiency(documents: DataFrame,
+      budget: Int = packBudget): DataFrame =
+    packAssign(documents, budget)
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("fill_tokens"))
+      .select(col("pack_id"), col("n_docs"), col("fill_tokens"),
+        round(col("fill_tokens").cast("double") / budget, 6)
+          .as("utilization"))
+      .orderBy(col("pack_id"))
+
   /** Documents per training shard for [[shardAssign]]. */
   val shardDocs = 64L
 

@@ -1507,6 +1507,50 @@ object Relational {
       .orderBy(col("digit"))
   }
 
+  /** Duplicate-payment screen: same-customer order pairs whose amounts
+    * sit within 5% of each other inside a 7-day window — the
+    * accounts-payable near-double-charge diagnostic.
+    *
+    * Scale design (banded similarity join on the amount axis): the
+    * oracle states the per-customer quadratic comparison; the engine
+    * joins on (custkey, amount band) instead, where the band is the
+    * DIGIT LENGTH of the exact integer cents — pure integer/string
+    * arithmetic, no `log` whose libm ulp could shift a boundary key
+    * differently per engine. A ≤1.05 amount ratio is < 10×, so true
+    * pairs never span more than ADJACENT bands: one side emits
+    * {len−1, len, len+1} probes, the equi join's fan-out is
+    * per-customer-per-decade (bounded), and each surviving pair is
+    * matched exactly once before the exact ratio + date filter. */
+  def duplicatePayments(spark: SparkSession, dir: String): DataFrame =
+    duplicatePaymentsOn(Tables.orders(spark, dir))
+
+  private[graft] def duplicatePaymentsOn(orders: DataFrame): DataFrame = {
+    val o = orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        // NTZ footers → instant under the UTC session (unix_micros
+        // rejects TIMESTAMP_NTZ); matches the oracle's ::TIMESTAMP
+        col("o_orderdate").cast("timestamp").as("o_orderdate"))
+      .withColumn("blen", length(
+        expr("CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING)")))
+    val a = o.select(col("o_custkey"), col("blen"),
+      col("o_totalprice").as("price_a"),
+      col("o_orderkey").as("order_a"), col("o_orderdate").as("date_a"))
+    val b = o.select(col("o_custkey"),
+      explode(array(col("blen") - 1, col("blen"), col("blen") + 1))
+        .as("blen"),
+      col("o_totalprice").as("price_b"),
+      col("o_orderkey").as("order_b"), col("o_orderdate").as("date_b"))
+    a.join(b, Seq("o_custkey", "blen"))
+      .filter(col("order_a") < col("order_b") &&
+        abs(col("price_a") - col("price_b")) <=
+          lit(0.05) * greatest(col("price_a"), col("price_b")) &&
+        abs(unix_micros(col("date_b")) - unix_micros(col("date_a"))) <=
+          7L * 24 * 3600 * 1000000L)
+      .select(col("o_custkey"), col("order_a"), col("order_b"),
+        col("price_a"), col("price_b"), col("date_a"), col("date_b"))
+      .orderBy(col("o_custkey"), col("order_a"), col("order_b"))
+  }
+
   /** Column-profiling report over `orders` — per-column row/null/distinct
     * counts and typed min/max (numerics in `min_num`/`max_num`,
     * strings/formatted timestamps in `min_str`/`max_str`; the split

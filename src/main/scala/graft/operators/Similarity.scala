@@ -166,6 +166,28 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** IVF cell-balance report: per-cell member counts, corpus share,
+    * and ratio to the mean cell size from the k-means build — the
+    * index-health diagnostic (a hot cell breaks the "probe cost ∝
+    * near-constant cell size" assumption every IVF latency bound rests
+    * on). Cell-count-sized output; one hash aggregate over the
+    * assignment table. */
+  def cellBalance(embeddings: DataFrame, k: Int = kmK,
+      iters: Int = kmIters): DataFrame = {
+    val (asg, _) = kmeans(embeddings, k, iters)
+    val counts = asg.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"))
+    val tot = counts.agg(sum(col("n_vecs")).as("n_total"),
+      count(lit(1)).as("n_cells"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vecs"),
+        round(col("n_vecs").cast("double") / col("n_total"), 6)
+          .as("share"),
+        round(col("n_vecs").cast("double") * col("n_cells") /
+          col("n_total"), 6).as("ratio_to_mean"))
+      .orderBy(col("cell"))
+  }
+
   /** Embedding-distribution drift report between two corpus slices
     * (vec_id parity stands in for the before/after snapshots a
     * monitoring job compares): per-dimension mean shift ranked by

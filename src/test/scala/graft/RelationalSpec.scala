@@ -467,6 +467,28 @@ class RelationalSpec extends SparkSpec {
     assert(math.abs(out.map(_._3).sum - 1.0) < 1e-4)
   }
 
+  test("duplicatePaymentsOn: catches a near-equal pair ACROSS the " +
+      "digit-length band boundary, excludes over-tolerance, " +
+      "over-window and cross-customer pairs") {
+    def o(key: Long, cust: Long, price: Double, date: String) =
+      (key, cust, price, Timestamp.valueOf(date + " 00:00:00"))
+    val orders = Seq(
+      // 999.99 vs 1000.01: within 0.01%, but their cents have
+      // DIFFERENT digit counts (99999 vs 100001) — only the adjacent-
+      // band probe can pair them
+      o(1, 1L, 999.99, "1996-01-01"), o(2, 1L, 1000.01, "1996-01-03"),
+      // same customer, 20% apart → excluded by tolerance
+      o(3, 2L, 100.00, "1996-01-01"), o(4, 2L, 120.00, "1996-01-02"),
+      // same customer, near amount, 9 days apart → excluded by window
+      o(5, 3L, 500.00, "1996-01-01"), o(6, 3L, 501.00, "1996-01-10"),
+      // near amount, near date, DIFFERENT customers → excluded
+      o(7, 4L, 250.00, "1996-01-01"), o(8, 5L, 250.00, "1996-01-02"))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val got = graft.operators.Relational.duplicatePaymentsOn(orders)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 2L)))
+  }
+
   test("ordersProfile: one row per column, counts match direct queries") {
     val dir = "/root/testdata/sf0.001"
     val o = graft.sources.Tables.orders(spark, dir)
