@@ -714,6 +714,25 @@ SELECT digit::BIGINT AS digit, n_obs,
     (n_total * bshare), 6) AS chi2_term
 FROM s ORDER BY digit"""
     },
+    "rel_cohort_ltv" -> """
+WITH o AS (
+  SELECT o_custkey, o_totalprice,
+    (year(o_orderdate) * 12 + month(o_orderdate))::BIGINT AS ym
+  FROM orders),
+co AS (SELECT o_custkey, min(ym) AS cohort_ym FROM o GROUP BY 1),
+cells AS (
+  SELECT cohort_ym, (ym - cohort_ym)::BIGINT AS month_offset,
+    count(*)::BIGINT AS n_orders,
+    count(DISTINCT o_custkey)::BIGINT AS n_active,
+    sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev_dec
+  FROM o JOIN co USING (o_custkey)
+  GROUP BY cohort_ym, month_offset)
+SELECT cohort_ym, month_offset, n_orders, n_active,
+  CAST(rev_dec AS DOUBLE) AS revenue,
+  CAST(sum(rev_dec) OVER (PARTITION BY cohort_ym ORDER BY month_offset
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+    AS cum_revenue
+FROM cells ORDER BY cohort_ym, month_offset""",
     // near-duplicate payments: the oracle is the per-customer QUADRATIC
     // comparison; the engine's digit-length banding must reproduce it
     // exactly (a <=1.05 ratio can never span beyond adjacent bands).

@@ -463,6 +463,8 @@ object SparkEntry {
     "rel_benford" -> (Relational.benfordScreen _),
     // duplicate-payment screen (same customer+amount within 7 days)
     "rel_dup_payments" -> (Relational.duplicatePayments _),
+    // cohort LTV matrix (decimal-exact revenue by months-since-first)
+    "rel_cohort_ltv" -> (Relational.cohortLtv _),
     // conversion latency: first purchase after first signup, µs-exact
     "rel_time_to_convert" -> (Relational.timeToConvert _),
     // per-shard zone-map + checksum manifest (data-skipping sidecar)

@@ -1551,6 +1551,36 @@ object Relational {
       .orderBy(col("o_custkey"), col("order_a"), col("order_b"))
   }
 
+  /** Cohort lifetime-value matrix — the revenue twin of the retention
+    * matrix: customers grouped by first-order month, each cohort's
+    * per-month and cumulative revenue as the months-since-acquisition
+    * offset grows. Month arithmetic is integer-exact (year·12+month),
+    * money rides DECIMAL sums end-to-end — the cumulative window runs
+    * over the months² cohort/offset table (metadata-sized) and decimal
+    * addition is associative, so it is order-independent too. */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_totalprice"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("ym"))
+    val cohorts = o.groupBy(col("o_custkey"))
+      .agg(min(col("ym")).as("cohort_ym"))
+    val cells = o.join(cohorts, Seq("o_custkey"))
+      .groupBy(col("cohort_ym"),
+        (col("ym") - col("cohort_ym")).as("month_offset"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_active"),
+        sum(col("o_totalprice").cast("decimal(18,6)")).as("rev_dec"))
+    val w = Window.partitionBy(col("cohort_ym")).orderBy(col("month_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .select(col("cohort_ym"), col("month_offset"), col("n_orders"),
+        col("n_active"),
+        col("rev_dec").cast("double").as("revenue"),
+        sum(col("rev_dec")).over(w).cast("double").as("cum_revenue"))
+      .orderBy(col("cohort_ym"), col("month_offset"))
+  }
+
   /** Column-profiling report over `orders` — per-column row/null/distinct
     * counts and typed min/max (numerics in `min_num`/`max_num`,
     * strings/formatted timestamps in `min_str`/`max_str`; the split

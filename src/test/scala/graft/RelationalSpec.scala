@@ -489,6 +489,33 @@ class RelationalSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 2L)))
   }
 
+  test("cohortLtv: cumulative revenue is monotone per cohort, the " +
+      "grand total equals the orders total, and offset 0 holds every " +
+      "cohort's first month") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.operators.Relational.cohortLtv(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(4), r.getDouble(5)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (cohort, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.head._2 === 0L,
+        s"cohort $cohort must start at offset 0 (its own first month)")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._5 >= a._5, s"cum not monotone")
+        case _ =>
+      }
+      assert(math.abs(sorted.last._5 - rows.map(_._4).sum) < 1e-3)
+    }
+    val total = graft.sources.Tables.orders(spark, dir)
+      .agg(sum(col("o_totalprice"))).head().getDouble(0)
+    assert(math.abs(out.map(_._4).sum - total) < 1e-3,
+      "LTV cells must conserve total revenue")
+    assert(out.map(_._3).sum ===
+      graft.sources.Tables.orders(spark, dir).count())
+  }
+
   test("ordersProfile: one row per column, counts match direct queries") {
     val dir = "/root/testdata/sf0.001"
     val o = graft.sources.Tables.orders(spark, dir)
