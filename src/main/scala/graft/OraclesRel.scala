@@ -714,6 +714,40 @@ SELECT digit::BIGINT AS digit, n_obs,
     (n_total * bshare), 6) AS chi2_term
 FROM s ORDER BY digit"""
     },
+    // ABC: the oracle is the one-window global descending prefix sum;
+    // the engine's banded two-level prefix must reproduce every rank,
+    // cumulative share and class boundary bit-exactly.
+    "rel_abc_parts" -> """
+WITH rev AS (
+  SELECT l_partkey,
+    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+      AS rev_dec
+  FROM lineitem GROUP BY l_partkey),
+t AS (SELECT CAST(sum(rev_dec) AS DOUBLE) AS total FROM rev),
+r AS (
+  SELECT l_partkey, CAST(rev_dec AS DOUBLE) AS rev,
+    row_number() OVER (ORDER BY CAST(rev_dec AS DOUBLE) DESC,
+      l_partkey)::BIGINT AS rev_rank,
+    CAST(sum(rev_dec) OVER (ORDER BY CAST(rev_dec AS DOUBLE) DESC,
+      l_partkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS DOUBLE) AS cum
+  FROM rev)
+SELECT l_partkey, rev_rank, round(rev, 6) AS revenue,
+  round(cum / total, 6) AS cum_share,
+  CASE WHEN cum / total <= 0.80 THEN 'A'
+       WHEN cum / total <= 0.95 THEN 'B'
+       ELSE 'C' END AS abc_class
+FROM r, t ORDER BY rev_rank""",
+    "rel_activity_heatmap" -> """
+WITH c AS (
+  SELECT (dayofweek(ts::TIMESTAMP) + 1)::BIGINT AS dow,
+    hour(ts::TIMESTAMP)::BIGINT AS hour_of_day,
+    count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1, 2),
+t AS (SELECT sum(n_events)::BIGINT AS n_total FROM c)
+SELECT dow, hour_of_day, n_events,
+  round(n_events::DOUBLE / n_total, 6) AS share
+FROM c, t ORDER BY dow, hour_of_day""",
     "rel_cohort_ltv" -> """
 WITH o AS (
   SELECT o_custkey, o_totalprice,

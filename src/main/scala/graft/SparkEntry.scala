@@ -465,6 +465,10 @@ object SparkEntry {
     "rel_dup_payments" -> (Relational.duplicatePayments _),
     // cohort LTV matrix (decimal-exact revenue by months-since-first)
     "rel_cohort_ltv" -> (Relational.cohortLtv _),
+    // ABC classification via banded descending prefix sum (no sort)
+    "rel_abc_parts" -> ((s, d) => Relational.abcParts(s, d)),
+    // day-of-week × hour load-profile grid
+    "rel_activity_heatmap" -> (Relational.activityHeatmap _),
     // conversion latency: first purchase after first signup, µs-exact
     "rel_time_to_convert" -> (Relational.timeToConvert _),
     // per-shard zone-map + checksum manifest (data-skipping sidecar)

@@ -1581,6 +1581,81 @@ object Relational {
       .orderBy(col("cohort_ym"), col("month_offset"))
   }
 
+  /** ABC (Pareto) classification of parts by revenue: class A = the
+    * head of the ranking holding 80% of cumulative revenue, B to 95%,
+    * C the tail — the inventory-prioritization standard.
+    *
+    * Needs every part's GLOBAL cumulative revenue share in descending
+    * revenue order — computed as a distributed prefix sum with the
+    * two-level band scan (per-band row counts AND decimal revenue
+    * subtotals → metadata-sized descending prefix over the bands →
+    * in-band window), never a global sort. Cumulative money stays
+    * DECIMAL until the final share division, so class boundaries are
+    * order-independent bit-exact. */
+  def abcParts(spark: SparkSession, dir: String,
+      nBands: Int = 128): DataFrame = {
+    val dec = "decimal(18,6)"
+    val rev = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(dec)).as("rev_dec"))
+      .select(col("l_partkey"), col("rev_dec"),
+        col("rev_dec").cast("double").as("rev"))
+    val mm = rev.agg(min(col("rev")).as("lo"), max(col("rev")).as("hi"),
+      sum(col("rev_dec")).as("total_dec"))
+    val banded = rev.crossJoin(broadcast(mm))
+      .withColumn("bucket",
+        when(col("hi") === col("lo"), lit(0L)).otherwise(least(
+          floor((col("rev") - col("lo")) / (col("hi") - col("lo")) * nBands),
+          lit(nBands - 1L)).cast("long")))
+    // descending prefix over ≤ nBands slim rows: revenue ABOVE my band
+    val wo = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = banded.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("part_n"), sum(col("rev_dec")).as("part_rev"))
+      .select(col("bucket"),
+        coalesce(sum(col("part_n")).over(wo), lit(0L)).as("rank_off"),
+        coalesce(sum(col("part_rev")).over(wo),
+          lit(0).cast("decimal(28,6)")).as("rev_off"))
+    val wb = Window.partitionBy(col("bucket"))
+      .orderBy(col("rev").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    banded.join(broadcast(offsets), Seq("bucket"))
+      .select(col("l_partkey"), col("rev"), col("total_dec"),
+        (col("rank_off") + row_number().over(
+          Window.partitionBy(col("bucket"))
+            .orderBy(col("rev").desc, col("l_partkey")))).cast("long")
+          .as("rev_rank"),
+        (col("rev_off") + sum(col("rev_dec")).over(wb)).as("cum_dec"))
+      .select(col("l_partkey"), col("rev_rank"),
+        round(col("rev"), 6).as("revenue"),
+        round((col("cum_dec").cast("double")) /
+          col("total_dec").cast("double"), 6).as("cum_share"),
+        when(col("cum_dec").cast("double") / col("total_dec").cast("double")
+          <= 0.80, "A")
+          .when(col("cum_dec").cast("double") /
+            col("total_dec").cast("double") <= 0.95, "B")
+          .otherwise("C").as("abc_class"))
+      .orderBy(col("rev_rank"))
+  }
+
+  /** Activity heatmap: event counts and shares by (day-of-week, hour)
+    * — the load-profile / anomaly-baseline grid. One scan, a 7×24 hash
+    * aggregate; the dow convention is Spark's 1=Sunday, which the
+    * oracle states as `dow(ts) + 1`. */
+  def activityHeatmap(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .groupBy(dayofweek(col("ts")).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hour_of_day"))
+      .agg(count(lit(1)).as("n_events"))
+    val tot = cells.agg(sum(col("n_events")).as("n_total"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("dow"), col("hour_of_day"), col("n_events"),
+        round(col("n_events").cast("double") / col("n_total"), 6)
+          .as("share"))
+      .orderBy(col("dow"), col("hour_of_day"))
+  }
+
   /** Column-profiling report over `orders` — per-column row/null/distinct
     * counts and typed min/max (numerics in `min_num`/`max_num`,
     * strings/formatted timestamps in `min_str`/`max_str`; the split

@@ -516,6 +516,39 @@ class RelationalSpec extends SparkSpec {
       graft.sources.Tables.orders(spark, dir).count())
   }
 
+  test("abcParts: ranks, cumulative shares and classes match the " +
+      "brute-force descending prefix sum; classes partition the " +
+      "ranking into contiguous blocks") {
+    val dir = "/root/testdata/sf0.001"
+    val revs = graft.sources.Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,6)")).as("r"))
+      .collect().map(r => (r.getLong(0), r.getDecimal(1)))
+      .sortBy { case (k, d) => (-d.doubleValue, k) }
+    val total = revs.map(_._2.doubleValue).sum
+    val out = graft.operators.Relational.abcParts(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3),
+        r.getString(4)))
+      .sortBy(_._2)
+    assert(out.length === revs.length)
+    var cum = BigDecimal(0)
+    out.zip(revs).zipWithIndex.foreach {
+      case (((key, rank, share, cls), (ekey, erev)), i) =>
+        assert(key === ekey && rank === i + 1L)
+        cum += BigDecimal(erev)
+        val eshare = cum.toDouble / total
+        assert(math.abs(share - eshare) < 1e-5, s"rank ${i + 1}")
+        val ecls = if (eshare <= 0.80) "A" else if (eshare <= 0.95) "B"
+          else "C"
+        assert(cls === ecls, s"rank ${i + 1}: $cls vs $ecls")
+    }
+    // contiguous class blocks in rank order
+    val classes = out.map(_._4).mkString
+    assert("^A+B+C+$".r.findFirstIn(classes).isDefined, classes.take(50))
+  }
+
   test("ordersProfile: one row per column, counts match direct queries") {
     val dir = "/root/testdata/sf0.001"
     val o = graft.sources.Tables.orders(spark, dir)
