@@ -83,6 +83,26 @@ WITH $toksCte
 SELECT token, count(*)::BIGINT AS freq
 FROM (SELECT unnest(tk) AS token FROM toks)
 GROUP BY token ORDER BY freq DESC, token LIMIT 20""",
+    // vocab coverage: global descending rank + prefix over the term
+    // aggregate; integer counts end to end
+    "text_vocab_coverage" -> s"""
+WITH $toksCte,
+terms AS (
+  SELECT token, count(*)::BIGINT AS freq
+  FROM (SELECT unnest(tk) AS token FROM toks) GROUP BY token),
+ranked AS (
+  SELECT freq,
+    row_number() OVER (ORDER BY freq DESC, token)::BIGINT AS rank,
+    sum(freq) OVER (ORDER BY freq DESC, token
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+  FROM terms),
+t AS (SELECT sum(freq)::BIGINT AS n_total FROM terms),
+ks AS (SELECT unnest([1, 5, 10, 25])::BIGINT AS k)
+SELECT k, count(*)::BIGINT AS n_terms,
+  max(cum)::BIGINT AS covered_tokens,
+  round(max(cum)::DOUBLE / (SELECT n_total FROM t), 6) AS coverage
+FROM ks JOIN ranked ON rank <= k
+GROUP BY k ORDER BY k""",
     "text_tfidf_top" -> s"""
 WITH $toksCte,
 tok AS (SELECT doc_id, unnest(tk) AS token FROM toks),

@@ -738,6 +738,18 @@ SELECT l_partkey, rev_rank, round(rev, 6) AS revenue,
        WHEN cum / total <= 0.95 THEN 'B'
        ELSE 'C' END AS abc_class
 FROM r, t ORDER BY rev_rank""",
+    "rel_ship_latency" -> """
+WITH lat AS (
+  SELECT o_orderpriority,
+    (epoch_us(l_shipdate::TIMESTAMP) - epoch_us(o_orderdate::TIMESTAMP))
+      / 86400000000.0 AS v
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+SELECT o_orderpriority,
+  round(quantile_cont(v, 0.5)::DOUBLE, 6) AS p50_days,
+  round(quantile_cont(v, 0.9)::DOUBLE, 6) AS p90_days,
+  round(quantile_cont(v, 0.99)::DOUBLE, 6) AS p99_days
+FROM lat GROUP BY o_orderpriority
+ORDER BY o_orderpriority""",
     "rel_activity_heatmap" -> """
 WITH c AS (
   SELECT (dayofweek(ts::TIMESTAMP) + 1)::BIGINT AS dow,

@@ -469,6 +469,11 @@ object SparkEntry {
     "rel_abc_parts" -> ((s, d) => Relational.abcParts(s, d)),
     // day-of-week × hour load-profile grid
     "rel_activity_heatmap" -> (Relational.activityHeatmap _),
+    // fulfillment SLO: order→ship latency percentiles per priority
+    "rel_ship_latency" -> (Relational.shipLatency _),
+    // tokenizer vocab-coverage curve (top-k term share of all tokens)
+    "text_vocab_coverage" -> ((s, d) =>
+      TextAnalysis.vocabCoverage(Tables.documents(s, d))),
     // conversion latency: first purchase after first signup, µs-exact
     "rel_time_to_convert" -> (Relational.timeToConvert _),
     // per-shard zone-map + checksum manifest (data-skipping sidecar)

@@ -1656,6 +1656,32 @@ object Relational {
       .orderBy(col("dow"), col("hour_of_day"))
   }
 
+  /** Order-to-ship latency percentiles per order priority — the
+    * fulfillment-SLO report. Latency in exact fractional days
+    * (µs-integer delta over a double constant, deterministic per row);
+    * the per-priority p50/p90/p99 ride the grouped banded
+    * distinct-value scan ([[Quantiles.exactPercentilesBy]]) — never a
+    * per-group one-reducer percentile buffer. */
+  def shipLatency(spark: SparkSession, dir: String): DataFrame = {
+    val lat = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate").cast("timestamp")
+        .as("ship_ts"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_orderdate").cast("timestamp").as("order_ts")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        ((unix_micros(col("ship_ts")) - unix_micros(col("order_ts"))) /
+          lit(86400000000.0)).as("v"))
+    Quantiles.exactPercentilesBy(lat, Seq("o_orderpriority"),
+      Seq(0.5, 0.9, 0.99))
+      .select(col("o_orderpriority"),
+        round(element_at(col("bs"), 1), 6).as("p50_days"),
+        round(element_at(col("bs"), 2), 6).as("p90_days"),
+        round(element_at(col("bs"), 3), 6).as("p99_days"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Column-profiling report over `orders` — per-column row/null/distinct
     * counts and typed min/max (numerics in `min_num`/`max_num`,
     * strings/formatted timestamps in `min_str`/`max_str`; the split

@@ -130,6 +130,42 @@ object TextAnalysis {
       .orderBy(col("lang"), col("lang_pred"))
 
   /** Corpus token histogram, top 20 (explode → groupBy → top-k). */
+  /** Tokenizer vocab-coverage curve: the share of ALL corpus token
+    * occurrences covered by the top-k most frequent terms, at several
+    * k — the measurement that sizes a tokenizer vocabulary (where the
+    * curve flattens, added vocab buys nothing). Integer counts end to
+    * end. The ranking window runs over the TERM AGGREGATE (vocab-
+    * sized, the hot/cold argument — at a web-scale vocabulary this is
+    * the banded descending prefix of `Relational.abcParts`), never the
+    * corpus. */
+  def vocabCoverage(documents: DataFrame,
+      ks: Seq[Int] = Seq(1, 5, 10, 25)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = documents
+      .select(explode(toks).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+    val w = Window.orderBy(col("freq").desc, col("token"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = terms
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("freq").desc, col("token")))
+          .cast("long"))
+      .withColumn("cum", sum(col("freq")).over(w))
+    val total = terms.agg(sum(col("freq")).as("n_total"))
+    ranked
+      .select(col("rank"), col("cum"),
+        explode(array(ks.map(lit(_)): _*)).as("k"))
+      .filter(col("rank") <= col("k"))
+      .groupBy(col("k").cast("long").as("k"))
+      .agg(count(lit(1)).as("n_terms"), max(col("cum")).as("covered_tokens"))
+      .crossJoin(broadcast(total))
+      .select(col("k"), col("n_terms"), col("covered_tokens"),
+        round(col("covered_tokens").cast("double") / col("n_total"), 6)
+          .as("coverage"))
+      .orderBy(col("k"))
+  }
+
   def tokenHistogram(documents: DataFrame): DataFrame =
     documents
       .select(explode(toks).as("token"))

@@ -549,6 +549,38 @@ class RelationalSpec extends SparkSpec {
     assert("^A+B+C+$".r.findFirstIn(classes).isDefined, classes.take(50))
   }
 
+  test("shipLatency: percentiles are ordered p50<=p90<=p99 and " +
+      "non-negative for every priority") {
+    val out = graft.operators.Relational
+      .shipLatency(spark, "/root/testdata/sf0.001").collect()
+    assert(out.length === 5) // the five order priorities
+    out.foreach { r =>
+      val (p50, p90, p99) =
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(p50 >= 0 && p50 <= p90 && p90 <= p99, r.toString)
+    }
+  }
+
+  test("vocabCoverage: coverage grows with k, caps at 1, and the " +
+      "top-1 row matches the most frequent token's share") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = graft.operators.TextAnalysis.vocabCoverage(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(_._1).toSeq === Seq(1L, 5L, 10L, 25L))
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._3 <= b._3 && a._4 <= b._4, "coverage must grow with k")
+      case _ =>
+    }
+    out.foreach { case (k, nTerms, _, cov) =>
+      assert(nTerms <= k && cov > 0 && cov <= 1.0)
+    }
+    val top = graft.operators.TextAnalysis.tokenHistogram(docs)
+      .collect().head.getLong(1)
+    assert(out.head._3 === top, "k=1 coverage is the top token's count")
+  }
+
   test("ordersProfile: one row per column, counts match direct queries") {
     val dir = "/root/testdata/sf0.001"
     val o = graft.sources.Tables.orders(spark, dir)
