@@ -1503,6 +1503,29 @@ cand AS (
 SELECT DISTINCT doc_a, doc_b, hamming FROM cand
 WHERE hamming <= 7 ORDER BY doc_a, doc_b"""
     },
+    // media-dedup capstone: recursive-CTE CC over the phash pairs,
+    // singletons grouped with themselves
+    "mm_phash_groups" -> {
+      val bandEq = (0 until 4).flatMap(b => Seq(
+        s"a.p$b % 256 = b.p$b % 256", s"a.p$b // 256 = b.p$b // 256"))
+        .mkString(" OR ")
+      phashCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + s""",
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ph a JOIN ph b ON a.doc_id < b.doc_id AND ($bandEq)
+  WHERE bit_count(xor(a.p0, b.p0)) + bit_count(xor(a.p1, b.p1)) +
+        bit_count(xor(a.p2, b.p2)) + bit_count(xor(a.p3, b.p3)) <= 7),
+edges(a, b) AS (
+  SELECT doc_a, doc_b FROM cand UNION SELECT doc_b, doc_a FROM cand),
+reach(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN edges e ON r.node = e.a),
+cc AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node)
+SELECT d.doc_id, coalesce(cc.cluster, d.doc_id)::BIGINT AS group_id
+FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
+ORDER BY d.doc_id"""
+    },
   )
 
   def all: Map[String, String] = text ++ dedup ++ similarity ++ multimodal

@@ -77,6 +77,29 @@ bars AS (
   }
 
   val all: Map[String, String] = Map(
+    "stock_patterns" -> (Oracles.stockCte + """,
+ohlc AS (
+  SELECT ticker,
+    date_trunc('minute', ts) + (5 - minute(ts) % 5) * INTERVAL 1 MINUTE
+      AS window_timestamp,
+    min_by(price, ts) AS open, max(price) AS high,
+    min(price) AS low, max_by(price, ts) AS close
+  FROM stock GROUP BY 1, 2)
+SELECT ticker, window_timestamp, open, high, low, close,
+  CASE WHEN high = low THEN TRUE
+    ELSE abs(close - open) <= CAST(0.1 AS DOUBLE) * (high - low)
+  END AS is_doji,
+  (lag(close) OVER tw IS NOT NULL
+   AND lag(close) OVER tw < lag(open) OVER tw
+   AND close > open AND open <= lag(close) OVER tw
+   AND close >= lag(open) OVER tw) AS is_bullish_engulfing,
+  (lag(close) OVER tw IS NOT NULL
+   AND lag(close) OVER tw > lag(open) OVER tw
+   AND close < open AND open >= lag(close) OVER tw
+   AND close <= lag(open) OVER tw) AS is_bearish_engulfing
+FROM ohlc
+WINDOW tw AS (PARTITION BY ticker ORDER BY window_timestamp)
+ORDER BY ticker, window_timestamp"""),
     "stock_vwap" -> """
 WITH stock AS (
   SELECT event_type AS ticker, ts::TIMESTAMP AS ts,

@@ -100,6 +100,8 @@ object SparkEntry {
     "stock_obv" -> (TimeSeries.obv _),
     // per-bar VWAP (decimal-exact price·volume sums, zero-volume guard)
     "stock_vwap" -> (TimeSeries.vwap _),
+    // candlestick pattern flags (doji, bullish/bearish engulfing)
+    "stock_patterns" -> (TimeSeries.candlePatterns _),
     // ---- SQL analytics surface Q1-Q10 (SURVEY.md §2.9) ----
     "q1_dashboard" -> ((s, d) => Analytics.q1Dashboard(ana(s, d))),
     "q2_trend_signals" -> ((s, d) => Analytics.q2TrendSignals(ana(s, d))),
@@ -482,6 +484,9 @@ object SparkEntry {
     // per-(lang, source) near-dup removal rates (crawl observability)
     "corpus_dedup_rates" -> ((s, d) =>
       graft.operators.Curation.dedupRates(Tables.documents(s, d))),
+    // media-dedup capstone: blob groups via CC over phash pairs
+    "mm_phash_groups" -> ((s, d) =>
+      graft.operators.Multimodal.phashGroups(Tables.documents(s, d))),
     // per-pack token fill / utilization (padded-compute metric)
     "pack_efficiency" -> ((s, d) =>
       graft.operators.Packing.packEfficiency(Tables.documents(s, d))),

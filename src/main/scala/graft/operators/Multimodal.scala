@@ -206,6 +206,23 @@ object Multimodal {
     * LONGER hash (128/256-point thumbnail) at the same 8-bit slicing,
     * which restores bucket selectivity without shrinking the radius),
     * exact Hamming recheck on candidates only. */
+  /** Media-dedup capstone: connected components over the perceptual-
+    * hash near-dup pairs — every blob gets a group id (the component
+    * min; untouched blobs group with themselves), the asset-level
+    * "same image, many encodings" rollup. Composes [[phashPairs]] with
+    * the size-adaptive CC operator, singletons restored by left join. */
+  def phashGroups(documents: DataFrame, maxHamming: Int = 7): DataFrame = {
+    val cc = graft.operators.Dedup.clustersBigStar(
+      phashPairs(documents, maxHamming)
+        .select(col("doc_a"), col("doc_b")))
+      .select(col("doc_id"), col("cluster_id"))
+    documents.select(col("doc_id"))
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("group_id"))
+      .orderBy(col("doc_id"))
+  }
+
   def phashPairs(documents: DataFrame, maxHamming: Int = 7): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7,
       s"phashPairs: 8-band pigeonhole guarantees recall only for " +

@@ -199,6 +199,36 @@ object TimeSeries {
       .orderBy(col("ticker"), col("bucket"))
   }
 
+  /** Candlestick pattern flags over the 5-minute OHLC bars: doji
+    * (body ≤ 10% of range; a zero-range bar counts as doji) and
+    * bullish/bearish engulfing (direction flip with the previous bar's
+    * body contained) — the rule-based signal layer a charting stack
+    * derives from the reference's bars. Pure per-row comparisons plus
+    * one lag window per ticker; every predicate is deterministic
+    * double comparison stated identically by the oracle. */
+  def candlePatterns(spark: SparkSession, dir: String): DataFrame =
+    candlePatternsOn(StockPipeline.ohlc5m(
+      StockPipeline.normalize(Tables.events(spark, dir))))
+
+  private[graft] def candlePatternsOn(ohlc: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("ticker")).orderBy(col("window_timestamp"))
+    val po = lag(col("open"), 1).over(w)
+    val pc = lag(col("close"), 1).over(w)
+    ohlc
+      .select(col("ticker"), col("window_timestamp"),
+        col("open"), col("high"), col("low"), col("close"),
+        when(col("high") === col("low"), lit(true))
+          .otherwise(abs(col("close") - col("open")) <=
+            lit(0.1) * (col("high") - col("low"))).as("is_doji"),
+        (pc.isNotNull && pc < po && col("close") > col("open") &&
+          col("open") <= pc && col("close") >= po)
+          .as("is_bullish_engulfing"),
+        (pc.isNotNull && pc > po && col("close") < col("open") &&
+          col("open") >= pc && col("close") <= po)
+          .as("is_bearish_engulfing"))
+      .orderBy(col("ticker"), col("window_timestamp"))
+  }
+
   /** RSI lookback, shared with the oracle generator ([[graft.OraclesTs]]). */
   val RsiSpan = 14
 

@@ -124,4 +124,19 @@ class MultimodalSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("phashGroups: every doc grouped, paired docs share a group, " +
+      "the group id is the component min") {
+    val pairs = Multimodal.phashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val groups = Multimodal.phashGroups(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups.size === docs.count())
+    pairs.foreach { case (a, b) =>
+      assert(groups(a) === groups(b), s"pair ($a,$b) split across groups")
+    }
+    groups.foreach { case (id, g) => assert(g <= id) }
+    // some group really merges distinct blobs (the fixture has dups)
+    assert(groups.values.toSet.size < groups.size)
+  }
 }

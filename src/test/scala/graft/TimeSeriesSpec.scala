@@ -247,6 +247,31 @@ class TimeSeriesSpec extends SparkSpec {
     assert(nPriced > 0)
   }
 
+  test("candlePatternsOn: doji needs a small body, engulfing needs a " +
+      "direction flip with the previous body contained; first bar " +
+      "never engulfs") {
+    import spark.implicits._
+    def bar(m: Int, o: Double, h: Double, l: Double, c: Double) =
+      ("A", t(m), o, h, l, c)
+    val ohlc = Seq(
+      bar(0, 10.0, 11.0, 9.0, 10.05),  // body 0.05 ≤ 0.1·2 → doji
+      bar(5, 10.5, 11.0, 10.0, 10.2),  // down bar, body 0.3 > 0.1·1
+      bar(10, 10.1, 11.5, 9.9, 11.0),  // up, engulfs [10.2, 10.5] → bull
+      bar(15, 11.2, 11.6, 10.0, 10.05),// down, engulfs [10.1, 11.0] → bear
+      bar(20, 7.0, 7.0, 7.0, 7.0))     // zero range → doji
+      .toDF("ticker", "window_timestamp", "open", "high", "low", "close")
+    val out = graft.operators.TimeSeries.candlePatternsOn(ohlc)
+      .collect()
+      .map(r => (r.getTimestamp(1), r.getBoolean(6), r.getBoolean(7),
+        r.getBoolean(8))).sortBy(_._1.getTime)
+    assert(out.map(x => (x._2, x._3, x._4)).toSeq === Seq(
+      (true, false, false),   // doji, no previous bar → no engulfing
+      (false, false, false),
+      (false, true, false),   // bullish engulfing
+      (false, false, true),   // bearish engulfing
+      (true, false, false)))  // flat bar counts as doji
+  }
+
   test("corrPairs on sf0.001: every correlation is in [-1, 1] and the " +
       "pair set is the strict upper triangle") {
     val out = TimeSeries.corrPairs(spark, "/root/testdata/sf0.001")
