@@ -21,6 +21,31 @@ object OraclesExt {
   private val toksCte =
     "toks AS (SELECT *, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents)"
 
+  /** Bigram-LM perplexity CTE chain ending in `pp` (doc_id, n_bigrams,
+    * perplexity) — shared by text_perplexity and the CCNet tercile
+    * partition so the LM definition cannot drift between them. */
+  private lazy val perplexityCtes = s"""$toksCte,
+bg AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS w1,
+    unnest(list_transform(range(1, len(tk)), i -> tk[i+1])) AS w2
+  FROM toks WHERE len(tk) >= 2),
+lm AS (
+  SELECT w1, w2, count(*)::BIGINT AS c12 FROM bg GROUP BY w1, w2
+  HAVING count(*) >= ${graft.operators.TextAnalysis.ppMinCount}),
+c1 AS (SELECT w1, count(*)::BIGINT AS cnt1 FROM bg GROUP BY w1),
+v AS (SELECT count(DISTINCT t)::BIGINT AS n_vocab
+  FROM (SELECT unnest(tk) AS t FROM toks)),
+scored AS (
+  SELECT doc_id,
+    ln((coalesce(c12, 0) + ${graft.operators.TextAnalysis.ppK}) /
+       (cnt1 + ${graft.operators.TextAnalysis.ppK} * n_vocab)) AS lp
+  FROM bg LEFT JOIN lm USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+pp AS (
+  SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+    round(exp(-sum(lp) / count(*)), 6) AS perplexity
+  FROM scored GROUP BY doc_id)"""
+
   /** Hashed-classifier margin CTE chain (`w`, `sc`) — identical
     * weight-table formula, token bucketing and sequential fold as
     * [[graft.operators.TextAnalysis.clsMargin]]. Requires `toks` in
@@ -122,26 +147,24 @@ ORDER BY doc_id, rn""",
     // bigram-LM perplexity: same add-k smoothing / pruning constants as
     // TextAnalysis.perplexity (k, minCount injected from the Scala side)
     "text_perplexity" -> s"""
-WITH $toksCte,
-bg AS (
-  SELECT doc_id,
-    unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS w1,
-    unnest(list_transform(range(1, len(tk)), i -> tk[i+1])) AS w2
-  FROM toks WHERE len(tk) >= 2),
-lm AS (
-  SELECT w1, w2, count(*)::BIGINT AS c12 FROM bg GROUP BY w1, w2
-  HAVING count(*) >= ${TextAnalysis.ppMinCount}),
-c1 AS (SELECT w1, count(*)::BIGINT AS cnt1 FROM bg GROUP BY w1),
-v AS (SELECT count(DISTINCT t)::BIGINT AS n_vocab
-  FROM (SELECT unnest(tk) AS t FROM toks)),
-scored AS (
-  SELECT doc_id,
-    ln((coalesce(c12, 0) + ${TextAnalysis.ppK}) /
-       (cnt1 + ${TextAnalysis.ppK} * n_vocab)) AS lp
-  FROM bg LEFT JOIN lm USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
-SELECT doc_id, count(*)::BIGINT AS n_bigrams,
-  round(exp(-sum(lp) / count(*)), 6) AS perplexity
-FROM scored GROUP BY doc_id ORDER BY doc_id""",
+WITH $perplexityCtes
+SELECT doc_id, n_bigrams, perplexity FROM pp ORDER BY doc_id""",
+    // CCNet head/middle/tail partition: per-language perplexity
+    // terciles over the SAME pp CTE; fraction literals are the Scala
+    // doubles both engines parse identically
+    "text_ccnet_buckets" -> s"""
+WITH $perplexityCtes,
+th AS (
+  SELECT d.lang,
+    quantile_cont(perplexity, ${1.0 / 3}) AS p33,
+    quantile_cont(perplexity, ${2.0 / 3}) AS p67
+  FROM pp JOIN documents d USING (doc_id) GROUP BY d.lang)
+SELECT pp.doc_id, d.lang, pp.perplexity,
+  CASE WHEN pp.perplexity <= th.p33 THEN 'head'
+       WHEN pp.perplexity <= th.p67 THEN 'middle'
+       ELSE 'tail' END AS ccnet_bucket
+FROM pp JOIN documents d USING (doc_id) JOIN th ON d.lang = th.lang
+ORDER BY pp.doc_id""",
     // hashed linear classifier: identical weight-table formula, token
     // bucketing, and sequential fold as TextAnalysis.classifierScore
     "text_classifier" -> s"""

@@ -476,6 +476,9 @@ object SparkEntry {
     // tokenizer vocab-coverage curve (top-k term share of all tokens)
     "text_vocab_coverage" -> ((s, d) =>
       TextAnalysis.vocabCoverage(Tables.documents(s, d))),
+    // CCNet head/middle/tail split by per-language perplexity terciles
+    "text_ccnet_buckets" -> ((s, d) =>
+      TextAnalysis.ccnetBuckets(Tables.documents(s, d))),
     // conversion latency: first purchase after first signup, µs-exact
     "rel_time_to_convert" -> (Relational.timeToConvert _),
     // per-shard zone-map + checksum manifest (data-skipping sidecar)

@@ -138,6 +138,28 @@ object TextAnalysis {
     * sized, the hot/cold argument — at a web-scale vocabulary this is
     * the banded descending prefix of `Relational.abcParts`), never the
     * corpus. */
+  /** CCNet head/middle/tail partition: each document bucketed by its
+    * bigram-LM perplexity against its LANGUAGE's terciles — the
+    * CCNet-style quality split (fluent third / middle / noisy tail)
+    * that decides what a pretraining mix keeps, computed per language
+    * so a hard language is not penalized for being rare. Terciles
+    * ride the grouped banded percentile scan and broadcast back —
+    * O(#langs) thresholds at any corpus size. */
+  def ccnetBuckets(documents: DataFrame): DataFrame = {
+    val withLang = perplexity(documents)
+      .select(col("doc_id"), col("perplexity"))
+      .join(documents.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val th = Quantiles.exactPercentilesBy(
+      withLang.select(col("lang"), col("perplexity").as("v")),
+      Seq("lang"), Seq(1.0 / 3, 2.0 / 3))
+    withLang.join(broadcast(th), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("perplexity"),
+        when(col("perplexity") <= element_at(col("bs"), 1), "head")
+          .when(col("perplexity") <= element_at(col("bs"), 2), "middle")
+          .otherwise("tail").as("ccnet_bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   def vocabCoverage(documents: DataFrame,
       ks: Seq[Int] = Seq(1, 5, 10, 25)): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -404,6 +404,30 @@ class CurationSpec extends SparkSpec {
       .collect().toSeq)
   }
 
+  test("ccnetBuckets: per-language terciles split roughly in thirds, " +
+      "and every bucketed doc's perplexity respects its bucket's " +
+      "threshold side") {
+    val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = graft.operators.TextAnalysis.ccnetBuckets(d).collect()
+      .map(r => (r.getString(1), r.getDouble(2), r.getString(3)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).filter(_._2.length >= 9).foreach {
+      case (lang, rows) =>
+        val byBucket = rows.groupBy(_._3).view.mapValues(_.length).toMap
+        assert(byBucket.keySet === Set("head", "middle", "tail"),
+          s"$lang: $byBucket")
+        // each tercile holds between 1/6 and 1/2 of the language
+        byBucket.values.foreach { n =>
+          assert(n >= rows.length / 6 && n <= rows.length / 2 + 1,
+            s"$lang: $byBucket")
+        }
+        // ordering: every head ppl ≤ every tail ppl
+        val headMax = rows.filter(_._3 == "head").map(_._2).max
+        val tailMin = rows.filter(_._3 == "tail").map(_._2).min
+        assert(headMax <= tailMin, s"$lang: head/tail overlap")
+    }
+  }
+
   test("dedupRates: near-dup copies count against their segment, " +
       "singletons and representatives are kept") {
     // 1 and 3 are near-identical (share almost all shingles) but land
