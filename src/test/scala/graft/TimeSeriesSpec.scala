@@ -247,6 +247,37 @@ class TimeSeriesSpec extends SparkSpec {
     assert(nPriced > 0)
   }
 
+  test("streaming candle patterns (flatMapGroupsWithState) equal the " +
+      "batch lag-window flags on real data, across trigger boundaries") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val ohlc = graft.operators.StockPipeline.ohlc5m(
+      graft.operators.StockPipeline.normalize(
+        graft.sources.Tables.events(spark, dir)))
+      .select("ticker", "window_timestamp", "open", "high", "low", "close")
+    val barRows = ohlc.as[graft.streaming.OhlcBar]
+      .collect().sortBy(_.window_timestamp.getTime)
+    val stream = MemoryStream[graft.streaming.OhlcBar]
+    val q = graft.streaming.CandleState.patterns(stream.toDS())
+      .writeStream.format("memory").queryName("candle_sink")
+      .outputMode("append").start()
+    try {
+      barRows.grouped(math.max(barRows.length / 3, 1)).foreach { chunk =>
+        stream.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("candle_sink")
+        .orderBy("ticker", "window_timestamp").collect()
+      val batch = graft.operators.TimeSeries.candlePatternsOn(ohlc)
+        .collect()
+      assert(streamed.length === batch.length && batch.length > 0)
+      streamed.zip(batch).foreach { case (s, bt) =>
+        assert(s.toSeq === bt.toSeq, s"stream $s vs batch $bt")
+      }
+    } finally q.stop()
+  }
+
   test("candlePatternsOn: doji needs a small body, engulfing needs a " +
       "direction flip with the previous body contained; first bar " +
       "never engulfs") {
