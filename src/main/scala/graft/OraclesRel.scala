@@ -872,5 +872,62 @@ SELECT user_id, signup_ts, first_purchase_ts,
   (first_purchase_ts IS NOT NULL) AS converted
 FROM s LEFT JOIN p USING (user_id)
 ORDER BY user_id""",
+    // Per-nation OLS trend from EXACT moments: x BIGINT, y DECIMAL —
+    // only the final closed form is double math, stated in the same
+    // order as the Spark expression tree.
+    "rel_regr_trend" -> """
+WITH m AS (
+  SELECT n_name, date_trunc('month', o_orderdate)::TIMESTAMP AS month,
+    sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2),
+x AS (
+  SELECT n_name, rev,
+    CAST((year(month) - 1992) * 12 + month(month) - 1 AS BIGINT) AS x
+  FROM m),
+a AS (
+  SELECT n_name, count(*) AS n_months,
+    CAST(sum(x) AS DOUBLE) AS sxd, CAST(sum(x * x) AS DOUBLE) AS sxxd,
+    CAST(sum(rev) AS DOUBLE) AS sy, CAST(sum(rev * x) AS DOUBLE) AS sxy
+  FROM x GROUP BY 1)
+SELECT n_name, n_months,
+  CASE WHEN CAST(n_months AS DOUBLE) * sxxd - sxd * sxd <> 0.0 THEN
+    round((CAST(n_months AS DOUBLE) * sxy - sxd * sy) /
+      (CAST(n_months AS DOUBLE) * sxxd - sxd * sxd), 6) END AS slope,
+  CASE WHEN CAST(n_months AS DOUBLE) * sxxd - sxd * sxd <> 0.0 THEN
+    round((sy - (CAST(n_months AS DOUBLE) * sxy - sxd * sy) /
+        (CAST(n_months AS DOUBLE) * sxxd - sxd * sxd) * sxd) /
+      CAST(n_months AS DOUBLE), 6) END AS intercept
+FROM a ORDER BY n_name""",
+    // Weighted median: pure integer cumulative-weight arithmetic over
+    // the (brand, price) grain — exact on both engines.
+    "rel_weighted_median" -> """
+WITH wp AS (
+  SELECT p_brand, l_extendedprice AS price,
+    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2),
+c AS (
+  SELECT p_brand, price, w,
+    sum(w) OVER (PARTITION BY p_brand ORDER BY price
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+    sum(w) OVER (PARTITION BY p_brand) AS tw
+  FROM wp)
+SELECT p_brand, CAST(max(tw) AS BIGINT) AS total_qty,
+  min(CASE WHEN 2 * cw >= tw THEN price END) AS w_median_price
+FROM c GROUP BY p_brand ORDER BY p_brand""",
+    // MODE() as deterministic count-argmax (ties → smallest value).
+    "rel_mode" -> """
+WITH c AS (
+  SELECT o_orderpriority, l_returnflag, count(*) AS n_items
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2)
+SELECT o_orderpriority, l_returnflag, n_items
+FROM c
+QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+  ORDER BY n_items DESC, l_returnflag) = 1
+ORDER BY o_orderpriority""",
   )
 }

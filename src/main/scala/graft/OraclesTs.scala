@@ -61,6 +61,39 @@ bars AS (
       s" ELSE round(100.0 * $g / ($g + $l), 6) END"
   }
 
+  /** Generalized truncated-EWMA kernel over any column/span — the
+    * [[ewmaKernel]] generator parameterized the way the Spark side's
+    * `TimeSeries.ewmaKernel` is; weights interpolate via
+    * `Double.toString` and the `+` chains keep the Scala fold's
+    * textual order, so both engines parse bit-identical doubles and
+    * sum in the same order. Returns the UNROUNDED `(num / den)`. */
+  private def genEwma(c: String, span: Int): String = {
+    val alpha = 2.0 / (span + 1)
+    val decay = 1.0 - alpha
+    val terms = (0 until span).map { i =>
+      val w = math.pow(decay, i).toString
+      (s"CASE WHEN lag($c, $i) OVER tw IS NOT NULL" +
+        s" THEN lag($c, $i) OVER tw * $w ELSE 0.0 END",
+        s"CASE WHEN lag($c, $i) OVER tw IS NOT NULL" +
+          s" THEN CAST($w AS DOUBLE) ELSE 0.0 END")
+    }
+    val num = terms.map(_._1).mkString("(", " + ", ")")
+    val den = terms.map(_._2).mkString("(", " + ", ")")
+    s"($num / $den)"
+  }
+
+  /** Generated %D smoothing sums (num, den) for the stochastic
+    * oscillator — [[StochSmooth]]-term lag-chain over `k_raw`. */
+  private val (stochNum, stochDen) = {
+    val span = graft.operators.TimeSeries.StochSmooth
+    def chain(term: Int => String) =
+      (0 until span).map(term).mkString("(", " + ", ")")
+    (chain(i => s"CASE WHEN lag(k_raw, $i) OVER tw IS NOT NULL" +
+      s" THEN lag(k_raw, $i) OVER tw ELSE 0.0 END"),
+      chain(i => s"CASE WHEN lag(k_raw, $i) OVER tw IS NOT NULL" +
+        " THEN 1 ELSE 0 END"))
+  }
+
   /** Generated Bollinger kernel sums (n, Σx, Σx²) — shared-span
     * lag-chain, same discipline as [[rsiKernel]]. */
   private val (bollN, bollSx, bollSxx) = {
@@ -76,7 +109,50 @@ bars AS (
         " ELSE 0.0 END"))
   }
 
+  private val macdSignalSql =
+    genEwma("macd_raw", graft.operators.TimeSeries.MacdSignal)
+
   val all: Map[String, String] = Map(
+    "stock_macd" -> (barsCte + s""",
+m AS (
+  SELECT ticker, bucket, close,
+    (${genEwma("close", graft.operators.TimeSeries.MacdFast)} -
+     ${genEwma("close", graft.operators.TimeSeries.MacdSlow)}) AS macd_raw
+  FROM bars
+  WINDOW tw AS (PARTITION BY ticker ORDER BY bucket))
+SELECT ticker, bucket, close,
+  CASE WHEN round(macd_raw, 6) = 0.0 THEN 0.0
+    ELSE round(macd_raw, 6) END AS macd,
+  CASE WHEN round($macdSignalSql, 6) = 0.0 THEN 0.0
+    ELSE round($macdSignalSql, 6) END AS macd_signal,
+  CASE WHEN round(macd_raw - $macdSignalSql, 6) = 0.0 THEN 0.0
+    ELSE round(macd_raw - $macdSignalSql, 6) END AS macd_hist
+FROM m
+WINDOW tw AS (PARTITION BY ticker ORDER BY bucket)
+ORDER BY ticker, bucket"""),
+    "stock_stochastic" -> (Oracles.stockCte + s""",
+ohlc AS (
+  SELECT ticker,
+    date_trunc('minute', ts) + (5 - minute(ts) % 5) * INTERVAL 1 MINUTE
+      AS window_timestamp,
+    max(price) AS high, min(price) AS low, max_by(price, ts) AS close
+  FROM stock GROUP BY 1, 2),
+k AS (
+  SELECT ticker, window_timestamp, close,
+    CASE WHEN max(high) OVER sw <> min(low) OVER sw
+      THEN 100.0 * (close - min(low) OVER sw) /
+        (max(high) OVER sw - min(low) OVER sw)
+    END AS k_raw
+  FROM ohlc
+  WINDOW sw AS (PARTITION BY ticker ORDER BY window_timestamp
+    ROWS BETWEEN ${graft.operators.TimeSeries.StochSpan - 1} PRECEDING
+    AND CURRENT ROW))
+SELECT ticker, window_timestamp,
+  round(k_raw, 6) AS pct_k,
+  CASE WHEN $stochDen > 0 THEN round($stochNum / $stochDen, 6) END AS pct_d
+FROM k
+WINDOW tw AS (PARTITION BY ticker ORDER BY window_timestamp)
+ORDER BY ticker, window_timestamp"""),
     "stock_patterns" -> (Oracles.stockCte + """,
 ohlc AS (
   SELECT ticker,

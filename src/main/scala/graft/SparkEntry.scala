@@ -102,6 +102,10 @@ object SparkEntry {
     "stock_vwap" -> (TimeSeries.vwap _),
     // candlestick pattern flags (doji, bullish/bearish engulfing)
     "stock_patterns" -> (TimeSeries.candlePatterns _),
+    // MACD line/signal/histogram (three generated EWMA lag-chains)
+    "stock_macd" -> (TimeSeries.macd _),
+    // stochastic oscillator %K/%D (window extrema + pinned smoothing)
+    "stock_stochastic" -> (TimeSeries.stochastic _),
     // ---- SQL analytics surface Q1-Q10 (SURVEY.md §2.9) ----
     "q1_dashboard" -> ((s, d) => Analytics.q1Dashboard(ana(s, d))),
     "q2_trend_signals" -> ((s, d) => Analytics.q2TrendSignals(ana(s, d))),
@@ -493,6 +497,12 @@ object SparkEntry {
     // per-pack token fill / utilization (padded-compute metric)
     "pack_efficiency" -> ((s, d) =>
       graft.operators.Packing.packEfficiency(Tables.documents(s, d))),
+    // per-nation revenue OLS trend from exact integer/decimal moments
+    "rel_regr_trend" -> (Relational.regrTrend _),
+    // weighted median price per brand (integer cumulative weights)
+    "rel_weighted_median" -> (Relational.weightedMedian _),
+    // MODE() as deterministic count-argmax per order priority
+    "rel_mode" -> (Relational.modeReturnflag _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1832,4 +1832,93 @@ object Relational {
       .select(col("p.*"))
       .orderBy(col("column_name"))
   }
+
+  /** Per-nation OLS trend of monthly revenue — the regr_slope/
+    * regr_intercept surface, built from EXACT moments so both engines
+    * agree bit-for-bit: x is a small month index (integer), y the
+    * decimal-summed monthly revenue; Σx/Σxx stay BIGINT and Σy/Σxy
+    * stay DECIMAL through the aggregation (order-independent under any
+    * partitioning), and only the final closed-form slope/intercept is
+    * double math, stated in one pinned order. Nations whose revenue
+    * history is a single month (degenerate variance) yield NULL.
+    *
+    * Scale: two hash aggregates — (nation, month) then nation — over
+    * the slim joined fact; months-per-nation is bounded by the time
+    * span, never the data volume. */
+  def regrTrend(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,6)")).as("rev"))
+      .withColumn("x",
+        ((year(col("month")) - 1992) * 12 + month(col("month")) - 1)
+          .cast("long"))
+    val m = monthly.groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_months"),
+        sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("rev")).cast("double").as("sy"),
+        sum(col("rev") * col("x")).cast("double").as("sxy"))
+    val nd = col("n_months").cast("double")
+    val sxd = col("sx").cast("double")
+    val sxxd = col("sxx").cast("double")
+    val den = nd * sxxd - sxd * sxd
+    val slope = (nd * col("sxy") - sxd * col("sy")) / den
+    m.select(col("n_name"), col("n_months"),
+        when(den =!= 0.0, round(slope, 6)).as("slope"),
+        when(den =!= 0.0,
+          round((col("sy") - slope * sxd) / nd, 6)).as("intercept"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Weighted median extended price per part brand (weight = quantity)
+    * — the robust per-group location statistic a pricing stack wants
+    * once plain medians over-weight single-unit lines. Entirely integer
+    * arithmetic after the (brand, price) weight aggregate: cumulative
+    * weight vs total weight per brand (2·cum ≥ total picks the lower
+    * weighted median), so the result is order-independent and exact on
+    * both engines — no float summation anywhere.
+    *
+    * Scale: one hash aggregate to the (brand, price) grain — bounded
+    * by the price domain, not row count — then per-brand windows over
+    * those slim distinct rows. */
+  def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val wp = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("l_extendedprice").as("price"))
+      .agg(sum(col("l_quantity").cast("long")).as("w"))
+    val cum = Window.partitionBy(col("p_brand")).orderBy(col("price"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("p_brand"))
+    wp
+      .select(col("p_brand"), col("price"), col("w"),
+        sum(col("w")).over(cum).as("cw"), sum(col("w")).over(tot).as("tw"))
+      .groupBy(col("p_brand"))
+      .agg(max(col("tw")).as("total_qty"),
+        min(when(lit(2) * col("cw") >= col("tw"), col("price")))
+          .as("w_median_price"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** Modal return flag per order priority — the MODE() statistic as a
+    * count + deterministic argmax (ties break to the lexicographically
+    * smallest value, so the answer is unique under any partitioning).
+    * Integer counts only; two hash aggregates plus a priority-keyed
+    * top-1 window over the tiny (priority, flag) grain. */
+  def modeReturnflag(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"), col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"))
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("n_items").desc, col("l_returnflag"))
+    counts
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .orderBy(col("o_orderpriority"))
+  }
 }

@@ -229,6 +229,100 @@ object TimeSeries {
       .orderBy(col("ticker"), col("window_timestamp"))
   }
 
+  /** MACD spans (fast/slow/signal), shared with the oracle generator. */
+  val MacdFast = 12
+  val MacdSlow = 26
+  val MacdSignal = 9
+
+  /** Truncated-EWMA kernel over `c`: the [[ewmaBars]] lag-chain
+    * generalized to any span/column — num = Σ_i (1-α)^i·x_{t-i},
+    * den = Σ_i over the non-null lags, summation order = textual order
+    * of the `+` chain (pinned identically in the generated oracle). */
+  private def ewmaKernel(c: org.apache.spark.sql.Column, span: Int,
+      w: org.apache.spark.sql.expressions.WindowSpec)
+      : org.apache.spark.sql.Column = {
+    val alpha = 2.0 / (span + 1)
+    val terms = (0 until span).map { i =>
+      val weight = math.pow(1.0 - alpha, i)
+      val x = lag(c, i).over(w)
+      (when(x.isNotNull, x * lit(weight)).otherwise(lit(0.0)),
+        when(x.isNotNull, lit(weight)).otherwise(lit(0.0)))
+    }
+    terms.map(_._1).reduce(_ + _) / terms.map(_._2).reduce(_ + _)
+  }
+
+  /** MACD over the 5-minute close bars: fast([[MacdFast]]) − slow
+    * ([[MacdSlow]]) truncated EWMAs of the close, a [[MacdSignal]]-span
+    * EWMA of the (unrounded) MACD line as the signal, histogram =
+    * macd − signal. Two window passes per ticker — the second chain
+    * lags the computed macd column, so the plan is still two codegen'd
+    * window stages over the same (ticker, bucket) sort; no extra
+    * shuffle (same partitioning reused). Leading-edge bars carry the
+    * renormalized partial kernels (the [[ewmaBars]] convention). */
+  def macd(spark: SparkSession, dir: String): DataFrame =
+    macdBars(closeBars5m(StockPipeline.normalize(Tables.events(spark, dir))))
+
+  private[graft] def macdBars(bars: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("ticker")).orderBy(col("bucket"))
+    val line = ewmaKernel(col("close"), MacdFast, w) -
+      ewmaKernel(col("close"), MacdSlow, w)
+    val sig = ewmaKernel(col("macd_raw"), MacdSignal, w)
+    // Signed-zero guard: the fast−slow / macd−signal subtractions can
+    // land on ±ε that the engines' round implementations collapse to
+    // zeros of OPPOSITE sign (Spark rounds through unsigned BigDecimal
+    // → +0.0; a float-multiply round keeps the sign → −0.0). The CASE
+    // maps both to +0.0 — stated identically by the oracle — and
+    // survives constant folding, unlike `+ 0.0`.
+    def z(c: org.apache.spark.sql.Column) =
+      when(c === lit(0.0), lit(0.0)).otherwise(c)
+    bars
+      .withColumn("macd_raw", line)
+      .select(col("ticker"), col("bucket"), col("close"),
+        z(round(col("macd_raw"), 6)).as("macd"),
+        z(round(sig, 6)).as("macd_signal"),
+        z(round(col("macd_raw") - sig, 6)).as("macd_hist"))
+      .orderBy(col("ticker"), col("bucket"))
+  }
+
+  /** Stochastic-oscillator lookbacks, shared with the oracle generator. */
+  val StochSpan = 14
+  val StochSmooth = 3
+
+  /** Stochastic oscillator over the 5-minute OHLC bars: %K = 100·
+    * (close − lowest low)/(highest high − lowest low) over the trailing
+    * [[StochSpan]] bars, %D = [[StochSmooth]]-bar mean of %K. The
+    * trailing extrema are plain window min/max (exact comparisons —
+    * order-independent under any engine's window internals, unlike
+    * float sums), so only the tiny %D smoothing needs the pinned
+    * lag-chain. Flat windows (high == low throughout) yield NULL %K;
+    * %D averages the non-null %K values in its window. */
+  def stochastic(spark: SparkSession, dir: String): DataFrame =
+    stochasticOhlc(StockPipeline.ohlc5m(
+      StockPipeline.normalize(Tables.events(spark, dir))))
+
+  private[graft] def stochasticOhlc(ohlc: DataFrame): DataFrame = {
+    val tw = Window.partitionBy(col("ticker")).orderBy(col("window_timestamp"))
+    val span = tw.rowsBetween(-(StochSpan - 1), Window.currentRow)
+    val ll = min(col("low")).over(span)
+    val hh = max(col("high")).over(span)
+    val withK = ohlc
+      .select(col("ticker"), col("window_timestamp"), col("close"),
+        when(hh =!= ll,
+          lit(100.0) * (col("close") - ll) / (hh - ll)).as("k_raw"))
+    val terms = (0 until StochSmooth).map { i =>
+      val x = lag(col("k_raw"), i).over(tw)
+      (when(x.isNotNull, x).otherwise(lit(0.0)),
+        when(x.isNotNull, lit(1L)).otherwise(lit(0L)))
+    }
+    val num = terms.map(_._1).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    withK
+      .select(col("ticker"), col("window_timestamp"),
+        round(col("k_raw"), 6).as("pct_k"),
+        when(den > 0, round(num / den, 6)).as("pct_d"))
+      .orderBy(col("ticker"), col("window_timestamp"))
+  }
+
   /** RSI lookback, shared with the oracle generator ([[graft.OraclesTs]]). */
   val RsiSpan = 14
 

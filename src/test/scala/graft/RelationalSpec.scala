@@ -604,4 +604,78 @@ class RelationalSpec extends SparkSpec {
     assert(!prof("o_orderdate").isNullAt(
       prof("o_orderdate").fieldIndex("min_str")))
   }
+
+  test("regrTrend: slope/intercept reproduce the closed-form OLS fit " +
+      "computed independently from the monthly revenue series") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.operators.Relational.regrTrend(spark, dir).collect()
+    assert(out.nonEmpty)
+    // independent recomputation for one nation via plain SQL + local math
+    val nation = out.head.getString(0)
+    val pts = graft.sources.Tables.orders(spark, dir)
+      .join(graft.sources.Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .join(graft.sources.Tables.nation(spark, dir),
+        col("c_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === nation)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+      .agg(sum(col("o_totalprice")).as("rev"))
+      .collect()
+      .map(r => ((r.getTimestamp(0).toLocalDateTime.getYear - 1992) * 12 +
+        r.getTimestamp(0).toLocalDateTime.getMonthValue - 1).toDouble ->
+        r.getDouble(1))
+    val n = pts.length.toDouble
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val row = out.find(_.getString(0) == nation).get
+    assert(row.getLong(1) === pts.length.toLong)
+    assert(math.abs(row.getDouble(2) - slope) < 1e-3)
+    assert(math.abs(row.getDouble(3) - (sy - slope * sx) / n) < 1.0)
+  }
+
+  test("weightedMedian: the reported price splits each brand's quantity " +
+      "mass — weight strictly below it < half total, at-or-below ≥ half") {
+    val dir = "/root/testdata/sf0.001"
+    val li = graft.sources.Tables.lineitem(spark, dir)
+      .join(graft.sources.Tables.part(spark, dir),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), col("l_extendedprice"),
+        col("l_quantity").cast("long").as("q"))
+    val out = graft.operators.Relational.weightedMedian(spark, dir)
+      .collect()
+    assert(out.nonEmpty)
+    out.take(5).foreach { r =>
+      val (brand, tot, med) = (r.getString(0), r.getLong(1), r.getDouble(2))
+      val below = li.filter(col("p_brand") === brand &&
+        col("l_extendedprice") < med)
+        .agg(coalesce(sum(col("q")), lit(0L))).collect().head.getLong(0)
+      val atOrBelow = li.filter(col("p_brand") === brand &&
+        col("l_extendedprice") <= med)
+        .agg(sum(col("q"))).collect().head.getLong(0)
+      assert(2 * below < tot, s"$brand: mass below median must be < half")
+      assert(2 * atOrBelow >= tot, s"$brand: mass through median ≥ half")
+    }
+  }
+
+  test("modeReturnflag: one row per priority, the flag really is the " +
+      "most frequent (ties to the smallest flag)") {
+    val dir = "/root/testdata/sf0.001"
+    val counts = graft.sources.Tables.orders(spark, dir)
+      .join(graft.sources.Tables.lineitem(spark, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"), col("l_returnflag"))
+      .count().collect()
+      .groupBy(_.getString(0))
+    val out = graft.operators.Relational.modeReturnflag(spark, dir)
+      .collect()
+    assert(out.map(_.getString(0)).toSet === counts.keySet)
+    out.foreach { r =>
+      val best = counts(r.getString(0))
+        .map(x => (x.getLong(2), x.getString(1))).sortBy(x => (-x._1, x._2))
+        .head
+      assert((r.getLong(2), r.getString(1)) === best)
+    }
+  }
 }

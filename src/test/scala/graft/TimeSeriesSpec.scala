@@ -303,6 +303,49 @@ class TimeSeriesSpec extends SparkSpec {
       (true, false, false)))  // flat bar counts as doji
   }
 
+  test("macdBars: constant series pins macd/signal/hist to 0; a steady " +
+      "uptrend turns macd positive once the fast kernel leads the slow") {
+    val out = TimeSeries.macdBars(
+      bars((0 until 40).map(i => ("C", i * 5, 5.0)) ++
+        (0 until 40).map(i => ("U", i * 5, 10.0 + i)): _*))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    // constant close: fast = slow = const → macd 0, signal 0, hist 0
+    out.filter(_._1 == "C").foreach { case (_, _, m, s, h) =>
+      assert(m === 0.0 && s === 0.0 && h === 0.0)
+    }
+    val u = out.filter(_._1 == "U").sortBy(_._2.getTime)
+    // steady uptrend: beyond the warm-up the fast EWMA tracks price
+    // more closely than the slow one → macd strictly positive
+    u.drop(26).foreach { case (_, _, m, _, _) => assert(m > 0.0) }
+    // histogram is macd − signal within rounding at every row
+    u.foreach { case (_, _, m, s, h) => assert(math.abs(h - (m - s)) < 2e-6) }
+  }
+
+  test("stochasticOhlc: close at the window high gives %K=100, at the " +
+      "low gives 0, flat windows give NULL, %D averages trailing %K") {
+    val ohlc = Seq(
+      // ticker, minute, high, low, close
+      ("A", 0, 12.0, 8.0, 12.0),  // close == hh → 100
+      ("A", 5, 12.0, 6.0, 6.0),   // close == ll → 0
+      ("A", 10, 12.0, 6.0, 9.0),  // midpoint of [6, 12] → 50
+      ("F", 0, 5.0, 5.0, 5.0))    // flat window → NULL %K
+      .map { case (tk, m, h, l, c) => (tk, t(m), h, l, c) }
+      .toDF("ticker", "window_timestamp", "high", "low", "close")
+    val out = TimeSeries.stochasticOhlc(ohlc).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    val a = out.filter(_._1 == "A").sortBy(_._2.getTime)
+    assert(a.map(_._3) === Seq(Some(100.0), Some(0.0), Some(50.0)))
+    // %D: running mean of the non-null %K values seen in the last 3 bars
+    assert(a.map(_._4) === Seq(Some(100.0), Some(50.0), Some(50.0)))
+    // flat window: %K NULL, %D averages zero non-null terms → NULL
+    assert(out.filter(_._1 == "F").map(x => (x._3, x._4)).toSeq ===
+      Seq((None, None)))
+  }
+
   test("corrPairs on sf0.001: every correlation is in [-1, 1] and the " +
       "pair set is the strict upper triangle") {
     val out = TimeSeries.corrPairs(spark, "/root/testdata/sf0.001")
