@@ -1413,6 +1413,56 @@ FROM (
   UNION ALL SELECT 'ivfpq', query_id, n_overlap FROM ov_pq)
 ORDER BY variant, query_id"""
     }),
+    // radius search: rounded-cosine floor on the brute-force probe set
+    "sim_range_search" -> (simBase + s""",
+scored AS (
+  SELECT query_id, vec_id AS neighbor_id, ${cosSql("qv", "ev")} AS cosine
+  FROM base CROSS JOIN q WHERE vec_id <> query_id)
+SELECT query_id, neighbor_id, cosine FROM scored
+WHERE cosine >= ${graft.operators.Similarity.rangeTau}
+ORDER BY query_id, cosine DESC, neighbor_id"""),
+    // label propagation over the kNN graph: clamped seeds, integer
+    // majority votes (ties → smallest label), lpIters unrolled rounds
+    "sim_label_propagation" -> (simBase + kmeansCtes + {
+      val it = graft.operators.Similarity.kmIters
+      val seeds = graft.operators.Similarity.lpSeeds
+      val k = graft.operators.Similarity.lpK
+      val rounds = (1 to graft.operators.Similarity.lpIters).map { r =>
+        s""",
+v$r AS (
+  SELECT e.vec_id, l.lab, count(*) AS c
+  FROM e JOIN l${r - 1} l ON e.neighbor_id = l.vec_id
+  WHERE l.lab IS NOT NULL GROUP BY 1, 2),
+a$r AS (
+  SELECT vec_id, lab FROM v$r
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+    ORDER BY c DESC, lab) = 1),
+l$r AS (
+  SELECT b.vec_id,
+    CASE WHEN b.vec_id < $seeds THEN b.label::BIGINT ELSE a$r.lab END
+      AS lab
+  FROM base b LEFT JOIN a$r ON b.vec_id = a$r.vec_id)"""
+      }.mkString
+      s""",
+kp AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+    round(list_inner_product(a.ev, b.ev), 6) AS cosine
+  FROM asg$it a
+  JOIN asg$it b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+e AS (
+  SELECT vec_id, neighbor_id FROM (
+    SELECT vec_id, neighbor_id,
+      row_number() OVER (PARTITION BY vec_id
+        ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM kp)
+  WHERE rank <= $k),
+l0 AS (
+  SELECT vec_id, CASE WHEN vec_id < $seeds THEN label::BIGINT END AS lab
+  FROM base)$rounds
+SELECT vec_id, (vec_id < $seeds) AS is_seed, lab AS label
+FROM l${graft.operators.Similarity.lpIters}
+ORDER BY vec_id"""
+    }),
   )
 
   // ---------------- multimodal ----------------

@@ -331,6 +331,12 @@ object SparkEntry {
     // graph centrality over the kNN graph (unrolled power iteration)
     "sim_pagerank" -> ((s, d) =>
       Similarity.knnPageRank(Tables.embeddings(s, d))),
+    // radius search: all neighbors above a rounded-cosine floor
+    "sim_range_search" -> ((s, d) =>
+      Similarity.rangeSearch(Tables.embeddings(s, d))),
+    // semi-supervised label propagation (clamped seeds, integer votes)
+    "sim_label_propagation" -> ((s, d) =>
+      Similarity.labelPropagation(Tables.embeddings(s, d))),
     // mutual (reciprocated) kNN edges — the high-precision subset
     // graph clustering consumes
     "sim_mutual_knn" -> ((s, d) =>

@@ -441,6 +441,84 @@ object Similarity {
       .orderBy(col("vec_id"), col("rank"))
   }
 
+  /** Cosine radius for [[rangeSearch]] — shared with the oracle. */
+  val rangeTau = 0.3
+
+  /** Radius (range) search: every neighbor within cosine ≥
+    * [[rangeTau]] of each bounded query vector — the "all matches
+    * above a similarity floor" complement to top-k (retrieval recall
+    * sets, near-dup audits, radius-bounded clustering seeds). Same
+    * bounded-broadcast probe shape as [[bruteForceTopK]]: the query
+    * set broadcasts, the base table streams once, and the threshold
+    * filter runs map-side BEFORE any shuffle — output is the only
+    * data-dependent term. Deterministic: the filter compares the
+    * ROUNDED cosine (ties can't straddle the radius differently per
+    * engine), and the total order is (query_id, cosine desc,
+    * neighbor_id). */
+  def rangeSearch(embeddings: DataFrame, tau: Double = rangeTau,
+      nQueries: Int = 20): DataFrame = {
+    val base = unitized(embeddings)
+    val queries = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("unit").as("qu"))
+    base.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosineUnit(col("qu"), col("unit")).as("cosine"))
+      .filter(col("cosine") >= tau)
+      .orderBy(col("query_id"), col("cosine").desc, col("neighbor_id"))
+  }
+
+  /** Label-propagation seed bound / rounds / graph degree — shared
+    * with the oracle generator. */
+  val lpSeeds = 100
+  val lpIters = 2
+  val lpK = 3
+
+  /** Semi-supervised label propagation over the [[knnGraph]]: vectors
+    * with vec_id < [[lpSeeds]] keep their true label (clamped seeds);
+    * every other vector takes the majority label of its k nearest
+    * neighbors' current labels, iterated [[lpIters]] rounds — the
+    * classic cheap label-densification pass a partially-labeled
+    * embedding corpus gets before training a classifier on it.
+    *
+    * Deterministic by construction: votes are integer counts, the
+    * argmax breaks ties to the smallest label, and unlabeled
+    * neighbors simply don't vote (a node with zero labeled neighbors
+    * stays NULL that round). Scale: the graph build is the cell-
+    * pruned [[knnGraph]]; each round is one equi-join of the slim
+    * (edge) list against the label table plus a hash-agg argmax —
+    * the [[pageRank]] iteration shape with integer votes instead of
+    * float mass, lineage cut per round. */
+  def labelPropagation(embeddings: DataFrame, seeds: Int = lpSeeds,
+      iters: Int = lpIters, k: Int = lpK): DataFrame = {
+    val edges = knnGraph(embeddings, k)
+      .select(col("vec_id"), col("neighbor_id")).pin()
+    val isSeed = col("vec_id") < seeds
+    val base = embeddings.select(col("vec_id"),
+      when(isSeed, col("label").cast("long")).as("seed_lab"))
+    var labels = base.select(col("vec_id"), col("seed_lab").as("lab"))
+    for (_ <- 1 to iters) {
+      val votes = edges
+        .join(labels.select(col("vec_id").as("neighbor_id"),
+          col("lab").as("nlab")), Seq("neighbor_id"))
+        .filter(col("nlab").isNotNull)
+        .groupBy(col("vec_id"), col("nlab"))
+        .agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("c").desc, col("nlab"))
+      val argmax = votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("nlab").as("vote_lab"))
+      labels = base.join(argmax, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("seed_lab"), col("vote_lab")).as("lab"))
+        .pin()
+    }
+    labels
+      .select(col("vec_id"), (col("vec_id") < seeds).as("is_seed"),
+        col("lab").as("label"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Cosine threshold for [[knnComponents]] edges — shared with the
     * oracle generator (the [[semThreshold]] pattern). 0.3 keeps enough
     * in-cell edges that components merge across the kNN graph while

