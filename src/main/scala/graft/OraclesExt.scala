@@ -100,6 +100,53 @@ st AS (
 
   val text: Map[String, String] = Map(
     "text_stats" -> (textStatsCte + "SELECT * FROM st ORDER BY doc_id"),
+    // Flesch scores from three integer counts; per-row double math in
+    // the same textual order as the Spark expressions
+    "text_readability" -> s"""
+WITH $toksCte,
+c AS (
+  SELECT doc_id,
+    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+      AS n_sentences,
+    len(tk)::BIGINT AS n_words,
+    CAST(greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+      AS BIGINT) AS n_syllables
+  FROM toks)
+SELECT doc_id, n_sentences, n_words, n_syllables,
+  round(206.835 - 1.015 * (n_words::DOUBLE / n_sentences)
+    - 84.6 * (n_syllables::DOUBLE / n_words), 4) AS flesch,
+  round(0.39 * (n_words::DOUBLE / n_sentences)
+    + 11.8 * (n_syllables::DOUBLE / n_words) - 15.59, 4) AS fk_grade
+FROM c ORDER BY doc_id""",
+    // DSIR hashed-unigram importance: Laplace-smoothed target/raw
+    // log-ratio per bucket (B metadata rows), mean per document
+    "corpus_dsir" -> s"""
+WITH $toksCte,
+tok AS (
+  SELECT doc_id, lang,
+    ('0x' || substr(md5(t), 1, 8))::BIGINT %
+      ${graft.operators.Curation.dsirBuckets} AS bkt
+  FROM (SELECT doc_id, lang, unnest(tk) AS t FROM toks)),
+rc AS (SELECT bkt, count(*) AS cr FROM tok GROUP BY 1),
+tc AS (SELECT bkt, count(*) AS ct FROM tok
+  WHERE lang = '${graft.operators.Curation.dsirTargetLang}' GROUP BY 1),
+tots AS (
+  SELECT count(*) AS rtot,
+    count(*) FILTER (lang = '${graft.operators.Curation.dsirTargetLang}')
+      AS ttot
+  FROM tok),
+w AS (
+  SELECT bkt,
+    ln((coalesce(ct, 0) + 1)::DOUBLE /
+        (ttot::DOUBLE + ${graft.operators.Curation.dsirBuckets.toDouble})) -
+    ln((cr + 1)::DOUBLE /
+        (rtot::DOUBLE + ${graft.operators.Curation.dsirBuckets.toDouble}))
+      AS lw
+  FROM rc LEFT JOIN tc USING (bkt) CROSS JOIN tots)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+  round(sum(lw) / count(*), 6) AS dsir_logw
+FROM tok JOIN w USING (bkt)
+GROUP BY doc_id ORDER BY doc_id""",
     "text_lang_confusion" -> (textStatsCte +
       """SELECT lang, lang_pred, count(*)::BIGINT AS n_docs FROM st
 GROUP BY lang, lang_pred ORDER BY lang, lang_pred"""),

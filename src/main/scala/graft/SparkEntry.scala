@@ -503,6 +503,12 @@ object SparkEntry {
     // per-pack token fill / utilization (padded-compute metric)
     "pack_efficiency" -> ((s, d) =>
       graft.operators.Packing.packEfficiency(Tables.documents(s, d))),
+    // Flesch reading-ease / FK grade (vowel-run syllable heuristic)
+    "text_readability" -> ((s, d) =>
+      TextAnalysis.readability(Tables.documents(s, d))),
+    // DSIR importance scores: hashed-unigram target/raw log-ratio
+    "corpus_dsir" -> ((s, d) =>
+      graft.operators.Curation.dsirScores(Tables.documents(s, d))),
     // per-nation revenue OLS trend from exact integer/decimal moments
     "rel_regr_trend" -> (Relational.regrTrend _),
     // weighted median price per brand (integer cumulative weights)

@@ -739,4 +739,62 @@ object Curation {
       .select(col("lang"), col("doc_id"), col("sample_key"),
         col("rn").cast("long").as("rn"))
       .orderBy(col("lang"), col("rn"))
+
+  // ---- DSIR importance weighting (domain-targeted selection) ----
+
+  /** Hashed-feature bucket count for [[dsirScores]] — shared with the
+    * oracle generator. Small enough that every bucket is populated at
+    * test scale; at production scale this is the DSIR paper's 10k-ish
+    * hashed n-gram space (a constant — the weight table NEVER grows
+    * with the corpus). */
+  val dsirBuckets = 64
+
+  /** Target-domain predicate for [[dsirScores]]: English documents
+    * stand in for the high-quality target corpus. */
+  val dsirTargetLang = "en"
+
+  /** DSIR importance scores (Data Selection via Importance Resampling,
+    * Xie et al. 2023, arXiv:2302.03169): per document, the mean hashed-
+    * unigram log-likelihood ratio between a target-domain distribution
+    * (lang = [[dsirTargetLang]]) and the raw-corpus distribution —
+    * documents that "look like" the target score high and a sampler
+    * can resample the raw corpus toward the target domain.
+    *
+    * Mechanics: tokens hash into [[dsirBuckets]] buckets
+    * ([[Portable.hash32]] mod B — content-only, reproducible anywhere);
+    * bucket unigram models are Laplace-smoothed (+1 / +B); the per-
+    * bucket log-ratio table is METADATA-sized (B rows) and broadcast
+    * into one map-side join against the exploded tokens; the per-doc
+    * mean is a single hash aggregate. A doc's token rows never leave
+    * their scan partition before the doc-keyed aggregate, so the
+    * float log-sum accumulates in token order on both engines (the
+    * [[TextAnalysis.perplexity]] determinism argument).
+    *
+    * Scale: two corpus passes (bucket counts, then scoring) and one
+    * broadcast of B rows — no data-sized shuffle besides the doc-keyed
+    * aggregate itself. */
+  def dsirScores(documents: DataFrame): DataFrame = {
+    val tok = documents
+      .select(col("doc_id"), col("lang"), explode(toks).as("t"))
+      .select(col("doc_id"), col("lang"),
+        pmod(Portable.hash32(col("t")), lit(dsirBuckets.toLong)).as("bkt"))
+    val rc = tok.groupBy(col("bkt")).agg(count(lit(1)).as("cr"))
+    val tc = tok.filter(col("lang") === dsirTargetLang)
+      .groupBy(col("bkt")).agg(count(lit(1)).as("ct"))
+    val tots = tok.agg(
+      count(lit(1)).as("rtot"),
+      count(when(col("lang") === dsirTargetLang, 1)).as("ttot"))
+    val b = lit(dsirBuckets.toDouble)
+    val weights = rc.join(tc, Seq("bkt"), "left").crossJoin(broadcast(tots))
+      .select(col("bkt"),
+        (log((coalesce(col("ct"), lit(0L)) + lit(1)).cast("double") /
+            (col("ttot").cast("double") + b)) -
+          log((col("cr") + lit(1)).cast("double") /
+            (col("rtot").cast("double") + b))).as("lw"))
+    tok.join(broadcast(weights), Seq("bkt"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("lw")) / count(lit(1)), 6).as("dsir_logw"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -406,4 +406,34 @@ object TextAnalysis {
         round(exp(-sum(col("lp")) / count(lit(1))), 6).as("perplexity"))
       .orderBy(col("doc_id"))
   }
+
+  /** Flesch readability per document — reading-ease and Flesch-Kincaid
+    * grade from three integer counts: sentences (runs of `.!?`,
+    * floored at 1 so headline-style fragments don't divide by zero),
+    * words (the shared whitespace tokenizer), and syllables
+    * approximated as vowel runs (`[aeiouy]+` over the lowercased text
+    * — the standard cheap heuristic; no dictionary in either engine).
+    * The two scores are per-row double math over those exact counts,
+    * stated in one pinned order and rounded 4 — fully map-side, no
+    * shuffle at any scale. */
+  def readability(documents: DataFrame): DataFrame = {
+    val words = size(toks).cast("long")
+    val sents = greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+      .cast("long")
+    val syls = greatest(
+      regexp_count(lower(col("text")), lit("[aeiouy]+")), lit(1))
+      .cast("long")
+    val wps = col("n_words").cast("double") / col("n_sentences")
+    val spw = col("n_syllables").cast("double") / col("n_words")
+    documents
+      .select(col("doc_id"), sents.as("n_sentences"), words.as("n_words"),
+        syls.as("n_syllables"))
+      .select(col("doc_id"), col("n_sentences"), col("n_words"),
+        col("n_syllables"),
+        round(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 4)
+          .as("flesch"),
+        round(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 4)
+          .as("fk_grade"))
+      .orderBy(col("doc_id"))
+  }
 }

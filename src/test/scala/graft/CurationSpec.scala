@@ -455,4 +455,52 @@ class CurationSpec extends SparkSpec {
       assert(kept <= n && share >= 0.0 && share <= 1.0)
     }
   }
+
+  test("dsirScores: target-looking documents outrank raw-looking ones, " +
+      "and a hand-computed score matches") {
+    // target (en) docs repeat the word 'alpha'; the raw-only (es) docs
+    // use 'omega' — alpha buckets get positive log-ratio, omega negative
+    val d = docs(
+      (2L, "alpha alpha alpha alpha"), (4L, "alpha alpha alpha alpha"),
+      (1L, "omega omega omega omega"), (3L, "omega omega omega omega"),
+      (6L, "alpha omega alpha omega"))
+    val out = Curation.dsirScores(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(2L)._1 === 4L)
+    // hand computation: B buckets, target = en docs (ids 2, 4, 6)
+    val b = Curation.dsirBuckets
+    val nAlpha = 10.0; val nOmega = 10.0 // raw counts
+    val tAlpha = 10.0; val tOmega = 2.0  // target (en) counts
+    val (rtot, ttot) = (20.0, 12.0)
+    def lw(tc: Double, rc: Double) =
+      math.log((tc + 1) / (ttot + b)) - math.log((rc + 1) / (rtot + b))
+    val expAlpha = math.rint(lw(tAlpha, nAlpha) * 1e6) / 1e6
+    assert(math.abs(out(2L)._2 - expAlpha) < 2e-6,
+      s"got ${out(2L)._2}, want $expAlpha")
+    // ordering: pure-alpha docs above mixed above pure-omega
+    assert(out(2L)._2 > out(6L)._2 && out(6L)._2 > out(1L)._2)
+    // same content → same score (content-hashed, id-independent)
+    assert(out(2L)._2 === out(4L)._2 && out(1L)._2 === out(3L)._2)
+  }
+
+  test("readability: counts and scores match hand computation; " +
+      "fragment without terminator gets the sentence floor") {
+    val d = docs(
+      (2L, "The cat sat. The dog ran! Did it?"),
+      (4L, "no terminator here"))
+    val out = graft.operators.TextAnalysis.readability(d).collect()
+      .map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    val (s2, w2, y2, f2) = out(2L)
+    assert(s2 === 3L) // three [.!?] runs
+    assert(w2 === 8L)
+    // vowel runs in "the cat sat. the dog ran! did it?":
+    // e,a,a,e,o,a,i,i → 8
+    assert(y2 === 8L)
+    val expected = math.rint(
+      (206.835 - 1.015 * (8.0 / 3) - 84.6 * (8.0 / 8)) * 1e4) / 1e4
+    assert(math.abs(f2 - expected) < 1e-9)
+    assert(out(4L)._1 === 1L) // sentence floor
+  }
 }
