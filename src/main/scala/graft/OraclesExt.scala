@@ -118,6 +118,23 @@ SELECT doc_id, n_sentences, n_words, n_syllables,
   round(0.39 * (n_words::DOUBLE / n_sentences)
     + 11.8 * (n_syllables::DOUBLE / n_words) - 15.59, 4) AS fk_grade
 FROM c ORDER BY doc_id""",
+    // Zipf rank-frequency profile: per-row ratios over exact counts
+    "text_zipf" -> s"""
+WITH $toksCte,
+terms AS (
+  SELECT token, count(*)::BIGINT AS freq
+  FROM (SELECT unnest(tk) AS token FROM toks) GROUP BY token),
+tot AS (SELECT sum(freq)::BIGINT AS n_total FROM terms),
+rk AS (
+  SELECT token, freq,
+    row_number() OVER (ORDER BY freq DESC, token)::BIGINT AS rank
+  FROM terms
+  QUALIFY rank <= ${graft.operators.TextAnalysis.zipfTopK}),
+f1 AS (SELECT freq AS f1 FROM rk WHERE rank = 1)
+SELECT rank, token, freq,
+  round(freq::DOUBLE / n_total, 6) AS obs_share,
+  round(f1::DOUBLE / rank / n_total, 6) AS zipf_share
+FROM rk, tot, f1 ORDER BY rank""",
     // DSIR hashed-unigram importance: Laplace-smoothed target/raw
     // log-ratio per bucket (B metadata rows), mean per document
     "corpus_dsir" -> s"""
@@ -740,6 +757,21 @@ SELECT cell, n_vecs,
   round(n_vecs::DOUBLE / n_total, 6) AS share,
   round(n_vecs::DOUBLE * n_cells / n_total, 6) AS ratio_to_mean
 FROM cb, tt ORDER BY cell"""
+    }),
+    // cell medoids: argmax member-vs-centroid cosine per Lloyd cell
+    "sim_medoids" -> (simBase + kmeansCtes + {
+      val it = graft.operators.Similarity.kmIters
+      s""",
+sc AS (
+  SELECT a.cell, a.vec_id,
+    round(list_inner_product(a.ev, c.centroid), 6) AS cosine
+  FROM asg$it a JOIN c$it c USING (cell)),
+sz AS (SELECT cell, count(*)::BIGINT AS n_members FROM asg$it GROUP BY 1)
+SELECT sc.cell, sc.vec_id AS medoid_id, sc.cosine, sz.n_members
+FROM sc JOIN sz USING (cell)
+QUALIFY row_number() OVER (PARTITION BY sc.cell
+  ORDER BY sc.cosine DESC, sc.vec_id) = 1
+ORDER BY sc.cell"""
     }),
     // drift report: conditional decimal sums per vec_id-parity slice,
     // one unnest pass, shared scalar math on the cast-once doubles

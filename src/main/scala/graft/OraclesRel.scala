@@ -918,6 +918,20 @@ c AS (
 SELECT p_brand, CAST(max(tw) AS BIGINT) AS total_qty,
   min(CASE WHEN 2 * cw >= tw THEN price END) AS w_median_price
 FROM c GROUP BY p_brand ORDER BY p_brand""",
+    // inter-purchase gap statistics: integer day diffs end to end
+    "rel_order_gap" -> """
+WITH g AS (
+  SELECT o_custkey,
+    CAST(date_diff('day',
+      lag(o_orderdate) OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate, o_orderkey),
+      o_orderdate) AS BIGINT) AS gap
+  FROM orders
+  QUALIFY gap IS NOT NULL)
+SELECT o_custkey, (count(*) + 1)::BIGINT AS n_orders,
+  round(CAST(sum(gap) AS DOUBLE) / count(*), 4) AS mean_gap_days,
+  min(gap) AS min_gap_days, max(gap) AS max_gap_days
+FROM g GROUP BY o_custkey ORDER BY o_custkey""",
     // MODE() as deterministic count-argmax (ties → smallest value).
     "rel_mode" -> """
 WITH c AS (

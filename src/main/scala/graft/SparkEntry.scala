@@ -515,6 +515,14 @@ object SparkEntry {
     "rel_weighted_median" -> (Relational.weightedMedian _),
     // MODE() as deterministic count-argmax per order priority
     "rel_mode" -> (Relational.modeReturnflag _),
+    // Zipf rank-frequency profile of the top-100 tokens
+    "text_zipf" -> ((s, d) =>
+      TextAnalysis.zipf(Tables.documents(s, d))),
+    // per-cell medoid exemplars (argmax cosine to the cell centroid)
+    "sim_medoids" -> ((s, d) =>
+      Similarity.cellMedoids(Tables.embeddings(s, d))),
+    // inter-purchase gap statistics per customer (integer day diffs)
+    "rel_order_gap" -> (Relational.orderGaps _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -773,11 +773,14 @@ object Curation {
     * Scale: two corpus passes (bucket counts, then scoring) and one
     * broadcast of B rows — no data-sized shuffle besides the doc-keyed
     * aggregate itself. */
-  def dsirScores(documents: DataFrame): DataFrame = {
-    val tok = documents
-      .select(col("doc_id"), col("lang"), explode(toks).as("t"))
-      .select(col("doc_id"), col("lang"),
-        pmod(Portable.hash32(col("t")), lit(dsirBuckets.toLong)).as("bkt"))
+  def dsirScores(documents: DataFrame): DataFrame =
+    dsirScoreAgainst(documents, dsirWeights(documents))
+
+  /** The DSIR per-bucket log-ratio weight table (bkt, lw) — B metadata
+    * rows, the "trained importance model". Built once per reference
+    * corpus; scoring passes (batch or streaming) consume it. */
+  def dsirWeights(documents: DataFrame): DataFrame = {
+    val tok = dsirTokens(documents)
     val rc = tok.groupBy(col("bkt")).agg(count(lit(1)).as("cr"))
     val tc = tok.filter(col("lang") === dsirTargetLang)
       .groupBy(col("bkt")).agg(count(lit(1)).as("ct"))
@@ -785,16 +788,59 @@ object Curation {
       count(lit(1)).as("rtot"),
       count(when(col("lang") === dsirTargetLang, 1)).as("ttot"))
     val b = lit(dsirBuckets.toDouble)
-    val weights = rc.join(tc, Seq("bkt"), "left").crossJoin(broadcast(tots))
+    rc.join(tc, Seq("bkt"), "left").crossJoin(broadcast(tots))
       .select(col("bkt"),
         (log((coalesce(col("ct"), lit(0L)) + lit(1)).cast("double") /
             (col("ttot").cast("double") + b)) -
           log((col("cr") + lit(1)).cast("double") /
             (col("rtot").cast("double") + b))).as("lw"))
-    tok.join(broadcast(weights), Seq("bkt"))
+  }
+
+  private def dsirTokens(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), col("lang"), explode(toks).as("t"))
+      .select(col("doc_id"), col("lang"),
+        pmod(Portable.hash32(col("t")), lit(dsirBuckets.toLong)).as("bkt"))
+
+  /** Score `docs` against a prebuilt weight table: per doc, the mean
+    * log-ratio of its token buckets. Scoring needs only (doc_id, text)
+    * — the lang column is a training-side (weights) concern. Buckets
+    * absent from the table (possible only when `docs` extends past the
+    * reference corpus's vocabulary) contribute nothing — with B
+    * buckets of hashed unigrams, every bucket is populated by any
+    * realistic reference. */
+  def dsirScoreAgainst(docs: DataFrame, weights: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(toks).as("t"))
+      .select(col("doc_id"),
+        pmod(Portable.hash32(col("t")), lit(dsirBuckets.toLong)).as("bkt"))
+      .join(broadcast(weights), Seq("bkt"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         round(sum(col("lw")) / count(lit(1)), 6).as("dsir_logw"))
       .orderBy(col("doc_id"))
+
+  /** Streaming DSIR scoring: the weight table resolved to a LITERAL
+    * map (B entries — metadata-sized, the legitimate bounded collect),
+    * so scoring is a stateless per-row projection — no join, no
+    * aggregation, no watermark; it runs identically on a stream or a
+    * batch frame (the production shape: ingest-time scoring against a
+    * periodically-rebuilt model). The per-row fold sums the token
+    * weights in array order — the same order the batch aggregate
+    * accumulates — so the streaming twin is bit-identical to
+    * [[dsirScoreAgainst]] (spec-locked). */
+  def dsirScoreWithModel(docs: DataFrame,
+      model: Map[Long, Double]): DataFrame = {
+    val m = typedlit(model)
+    val bkts = transform(toks,
+      t => pmod(Portable.hash32(t), lit(dsirBuckets.toLong)))
+    docs
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("dsir_logw",
+        round(
+          aggregate(bkts, lit(0.0),
+            (acc, b) => acc + coalesce(element_at(m, b), lit(0.0))) /
+            col("n_tokens"), 6))
+      .select(col("doc_id"), col("n_tokens"), col("dsir_logw"))
   }
 }

@@ -1903,6 +1903,31 @@ object Relational {
       .orderBy(col("p_brand"))
   }
 
+  /** Inter-purchase intervals per customer: the gap statistics
+    * (mean/min/max days between consecutive orders) a retention stack
+    * derives before modeling churn. Gaps come from one lag window per
+    * customer ((date, orderkey) total order — same-day orders gap 0,
+    * deterministically), and every statistic is integer arithmetic
+    * until the final mean division — exact on both engines. Customers
+    * with a single order have no gap and drop. Per-customer row counts
+    * are bounded by order frequency × time span, never corpus size. */
+  def orderGaps(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+          .cast("long").as("gap"))
+      .filter(col("gap").isNotNull)
+      .groupBy(col("o_custkey"))
+      .agg((count(lit(1)) + 1).as("n_orders"),
+        round(sum(col("gap")).cast("double") / count(lit(1)), 4)
+          .as("mean_gap_days"),
+        min(col("gap")).as("min_gap_days"),
+        max(col("gap")).as("max_gap_days"))
+      .orderBy(col("o_custkey"))
+  }
+
   /** Modal return flag per order priority — the MODE() statistic as a
     * count + deterministic argmax (ties break to the lexicographically
     * smallest value, so the answer is unique under any partitioning).

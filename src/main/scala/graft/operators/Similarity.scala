@@ -467,6 +467,29 @@ object Similarity {
       .orderBy(col("query_id"), col("cosine").desc, col("neighbor_id"))
   }
 
+  /** Cell medoids: per k-means cell, the member vector most similar to
+    * the cell centroid (rounded cosine, ties to the smallest vec_id) —
+    * the deterministic "representative exemplar" selection a diversity
+    * sampler or cluster-labeling UI consumes (a medoid is a REAL
+    * vector, unlike the centroid). One broadcast join of the Lloyd
+    * assignment against the k centroids, one per-cell top-1 window —
+    * no pair table at any scale. */
+  def cellMedoids(embeddings: DataFrame, cells: Int = kmK): DataFrame = {
+    val (asg, cents) = kmeans(embeddings, cells)
+    val scored = asg.join(broadcast(cents), Seq("cell"))
+      .select(col("cell"), col("vec_id"),
+        cosineUnit(col("unit"), col("centroid")).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell")).orderBy(col("cosine").desc, col("vec_id"))
+    val sizes = asg.groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .join(broadcast(sizes), Seq("cell"))
+      .select(col("cell"), col("vec_id").as("medoid_id"), col("cosine"),
+        col("n_members"))
+      .orderBy(col("cell"))
+  }
+
   /** Label-propagation seed bound / rounds / graph degree — shared
     * with the oracle generator. */
   val lpSeeds = 100

@@ -188,6 +188,44 @@ object TextAnalysis {
       .orderBy(col("k"))
   }
 
+  /** Top-k for [[zipf]] — shared with the oracle generator. */
+  val zipfTopK = 100
+
+  /** Zipf rank-frequency profile: the top-[[zipfTopK]] tokens with
+    * their global rank, observed corpus share, and the share Zipf's
+    * law predicts from the rank-1 frequency (f₁/rank) — the standard
+    * sanity plot for tokenizer/corpus health (a corpus that deviates
+    * hard from Zipf usually means boilerplate, spam, or a broken
+    * tokenizer). All ratios are per-row double math over exact integer
+    * counts (observed/expected shares never sum floats), so both
+    * engines agree bit-for-bit.
+    *
+    * Scale: one token hash-aggregate (vocab-sized), then the global
+    * rank window runs over the top slice only — the O(vocab) ranking
+    * is the same bounded exception as [[vocabCoverage]]'s. */
+  def zipf(documents: DataFrame, k: Int = zipfTopK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = documents
+      .select(explode(toks).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+    val total = terms.agg(sum(col("freq")).as("n_total"))
+    val ranked = terms
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("freq").desc, col("token")))
+          .cast("long"))
+      .filter(col("rank") <= k)
+    val f1 = ranked.filter(col("rank") === 1)
+      .select(col("freq").as("f1"))
+    ranked.crossJoin(broadcast(total)).crossJoin(broadcast(f1))
+      .select(col("rank"), col("token"), col("freq"),
+        round(col("freq").cast("double") / col("n_total"), 6)
+          .as("obs_share"),
+        round(col("f1").cast("double") / col("rank") / col("n_total"), 6)
+          .as("zipf_share"))
+      .orderBy(col("rank"))
+  }
+
   def tokenHistogram(documents: DataFrame): DataFrame =
     documents
       .select(explode(toks).as("token"))

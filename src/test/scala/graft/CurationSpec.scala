@@ -483,6 +483,23 @@ class CurationSpec extends SparkSpec {
     assert(out(2L)._2 === out(4L)._2 && out(1L)._2 === out(3L)._2)
   }
 
+  test("zipf: ranks follow (freq desc, token), shares are exact " +
+      "count ratios, zipf_share halves at rank 2") {
+    val d = docs(
+      (1L, "aa aa aa aa bb bb cc dd"),
+      (2L, "aa aa bb cc"))
+    val out = graft.operators.TextAnalysis.zipf(d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    // counts: aa=6, bb=3, cc=2, dd=1; total=12
+    assert(out.map(x => (x._1, x._2, x._3)).toSeq === Seq(
+      (1L, "aa", 6L), (2L, "bb", 3L), (3L, "cc", 2L), (4L, "dd", 1L)))
+    assert(out(0)._4 === 0.5)           // 6/12
+    assert(out(0)._5 === 0.5)           // f1/1/12
+    assert(out(1)._5 === 0.25)          // f1/2/12
+    assert(out(3)._4 === math.rint(1.0 / 12 * 1e6) / 1e6)
+  }
+
   test("readability: counts and scores match hand computation; " +
       "fragment without terminator gets the sentence floor") {
     val d = docs(

@@ -247,6 +247,27 @@ class KnnGraphSpec extends SparkSpec {
     assert(got.toSet === expected)
   }
 
+  test("cellMedoids: one medoid per cell, a true member, with the " +
+      "cell-max centroid cosine and the right member count") {
+    val out = Similarity.cellMedoids(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val (asg, cents) = Similarity.kmeans(emb)
+    val members = asg.select("cell", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(out.map(_._1).toSet === members.keySet)
+    out.foreach { case (cell, medoid, _, n) =>
+      assert(members(cell).contains(medoid), s"medoid of $cell is a member")
+      assert(n === members(cell).size.toLong)
+    }
+    // the medoid really is the argmax: recompute the cell-max cosine
+    val sc = asg.join(broadcast(cents), Seq("cell"))
+      .select(col("cell"),
+        Similarity.cosineUnit(col("unit"), col("centroid")).as("c"))
+      .groupBy("cell").agg(max(col("c")).as("mx")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    out.foreach { case (cell, _, cos, _) => assert(cos === sc(cell)) }
+  }
+
   test("rangeSearch: exactly the brute-force pairs at or above the " +
       "radius, ordered by cosine within query") {
     val got = Similarity.rangeSearch(emb).collect()

@@ -30,6 +30,7 @@ class PlanAuditSpec extends SparkSpec {
     "sim_binary_topk",     // hamming scan vs the 20-query broadcast
     "sim_rerank_topk",     // stage-1 ADC scan vs the 20-query broadcast
     "sim_matryoshka",      // 1+|dims| brute-force scans vs 20 queries
+    "sim_range_search",    // radius scan vs the 20-query broadcast
     "sim_recall_report",   // composes binary/ivf/ivfpq probes, each the
                            // same ≤ 20-query broadcast as its own row
     "sim_label_separation") // centroid×centroid pair table: BOTH sides

@@ -659,6 +659,32 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("orderGaps: gaps recomputed by hand for one customer; " +
+      "single-order customers are absent") {
+    val dir = "/root/testdata/sf0.001"
+    val orders = graft.sources.Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        col("o_orderdate").cast("timestamp"), col("o_orderkey"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+      .groupBy(_._1)
+    val out = graft.operators.Relational.orderGaps(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))).toMap
+    val multi = orders.filter(_._2.length >= 2)
+    assert(out.keySet === multi.keySet)
+    multi.take(5).foreach { case (ck, os) =>
+      val sorted = os.sortBy(o => (o._2.getTime, o._3))
+      val gaps = sorted.sliding(2).map { w =>
+        (w(1)._2.getTime - w(0)._2.getTime) / 86400000L
+      }.toSeq
+      val (n, mean, mn, mx) = out(ck)
+      assert(n === sorted.length.toLong)
+      assert(mn === gaps.min && mx === gaps.max)
+      assert(math.abs(mean - gaps.sum.toDouble / gaps.size) < 1e-3)
+    }
+  }
+
   test("modeReturnflag: one row per priority, the flag really is the " +
       "most frequent (ties to the smallest flag)") {
     val dir = "/root/testdata/sf0.001"

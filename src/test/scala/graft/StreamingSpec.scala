@@ -719,4 +719,36 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("DSIR streaming scoring: the literal-model projection on a " +
+      "stream is bit-identical to the batch scoreAgainst") {
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Seq((1L, "alpha alpha beta", "en"), (2L, "omega omega", "es"),
+        (3L, "alpha beta gamma", "en"))
+      .map { case (i, t, l) => (i, t, l, "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val weights = graft.operators.Curation.dsirWeights(ref)
+    val model = weights.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val scoreMe = Seq(10L -> "alpha beta", 11L -> "omega gamma omega")
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.operators.Curation
+      .dsirScoreWithModel(stream.toDF.toDF("doc_id", "text"), model)
+      .writeStream.format("memory").queryName("dsir_sink")
+      .outputMode("append").start()
+    try {
+      stream.addData(scoreMe: _*)
+      q.processAllAvailable()
+      val got = spark.table("dsir_sink").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val batch = graft.operators.Curation.dsirScoreAgainst(
+          scoreMe.toDF("doc_id", "text"), weights).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === batch)
+      assert(got.size === 2)
+      // directional sanity: the all-target-vocab doc scores higher
+      val byId = got.map(x => x._1 -> x._3).toMap
+      assert(byId(10L) > byId(11L))
+    } finally q.stop()
+  }
 }
