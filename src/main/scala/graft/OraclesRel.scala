@@ -918,6 +918,56 @@ c AS (
 SELECT p_brand, CAST(max(tw) AS BIGINT) AS total_qty,
   min(CASE WHEN 2 * cw >= tw THEN price END) AS w_median_price
 FROM c GROUP BY p_brand ORDER BY p_brand""",
+    // Deequ-style expectations: one wide aggregate, per-check rows
+    "rel_expectations" -> """
+WITH w AS (
+  SELECT count(*) AS n_rows,
+    count(DISTINCT o_orderkey) AS nd_key,
+    count(o_custkey) AS nn_cust,
+    min(o_totalprice) AS min_price,
+    count(*) FILTER (o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '2002-01-01') AS n_in_range,
+    count(*) FILTER (o_orderpriority IN ('1-URGENT', '2-HIGH',
+      '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')) AS n_known_prio
+  FROM orders)
+SELECT check_name, metric, passed FROM (
+  SELECT 'row_count_positive' AS check_name,
+    round(CAST(n_rows AS DOUBLE), 6) AS metric, n_rows > 0 AS passed
+  FROM w
+  UNION ALL SELECT 'orderkey_unique',
+    round(nd_key::DOUBLE / n_rows, 6), nd_key = n_rows FROM w
+  UNION ALL SELECT 'custkey_complete',
+    round(nn_cust::DOUBLE / n_rows, 6), nn_cust = n_rows FROM w
+  UNION ALL SELECT 'totalprice_positive',
+    round(CAST(min_price AS DOUBLE), 6), min_price > 0.0 FROM w
+  UNION ALL SELECT 'orderdate_in_range',
+    round(n_in_range::DOUBLE / n_rows, 6), n_in_range = n_rows FROM w
+  UNION ALL SELECT 'priority_in_domain',
+    round(n_known_prio::DOUBLE / n_rows, 6), n_known_prio = n_rows FROM w)
+ORDER BY check_name""",
+    // WOE binning: equal-width bins (priceHistogram formula), exact
+    // integer class shares, one ln per bin
+    "rel_woe_bins" -> """
+WITH li AS (
+  SELECT l_extendedprice AS v, (l_returnflag = 'R') AS bad FROM lineitem),
+b AS (SELECT min(v) AS lo, max(v) AS hi FROM li),
+binned AS (
+  SELECT CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+    ELSE CAST(least(floor((v - lo) / (hi - lo) * 10), 9) AS BIGINT)
+  END AS bin, bad
+  FROM li CROSS JOIN b),
+a AS (
+  SELECT bin, count(*) AS n, count(*) FILTER (bad) AS n_bad,
+    count(*) FILTER (NOT bad) AS n_good
+  FROM binned GROUP BY 1),
+t AS (SELECT sum(n_bad)::BIGINT AS tot_bad, sum(n_good)::BIGINT AS tot_good
+  FROM a)
+SELECT bin, n, n_good, n_bad,
+  round(n_bad::DOUBLE / n, 6) AS bad_rate,
+  CASE WHEN n_good > 0 AND n_bad > 0 THEN
+    round(ln((n_good::DOUBLE / tot_good) / (n_bad::DOUBLE / tot_bad)), 6)
+  END AS woe
+FROM a CROSS JOIN t ORDER BY bin""",
     // inter-purchase gap statistics: integer day diffs end to end
     "rel_order_gap" -> """
 WITH g AS (

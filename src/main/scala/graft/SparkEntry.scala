@@ -523,6 +523,10 @@ object SparkEntry {
       Similarity.cellMedoids(Tables.embeddings(s, d))),
     // inter-purchase gap statistics per customer (integer day diffs)
     "rel_order_gap" -> (Relational.orderGaps _),
+    // Deequ-style data-quality expectation suite (one-pass aggregate)
+    "rel_expectations" -> (Relational.expectations _),
+    // weight-of-evidence price bins vs the returned-line outcome
+    "rel_woe_bins" -> (Relational.woeBins(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1903,6 +1903,92 @@ object Relational {
       .orderBy(col("p_brand"))
   }
 
+  /** Declarative data-quality expectations over the orders table — the
+    * Deequ-style constraint suite a production pipeline runs before
+    * trusting a snapshot: completeness, uniqueness, range and domain
+    * checks, each a named row with its measured metric and pass flag.
+    * ALL metrics come from ONE wide hash aggregate over a single scan
+    * (the suite costs one pass at any scale); the per-check rows are a
+    * metadata-sized explode of that one row. Metrics are exact
+    * integer/decimal ratios rounded once — bit-stable anywhere. */
+  def expectations(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+      "5-LOW")
+    val wide = o.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("o_orderkey")).as("nd_key"),
+      count(col("o_custkey")).as("nn_cust"),
+      min(col("o_totalprice")).as("min_price"),
+      count(when(col("o_orderdate") >=
+          lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("2002-01-01").cast("timestamp"), 1))
+        .as("n_in_range"),
+      count(when(col("o_orderpriority").isin(priorities: _*), 1))
+        .as("n_known_prio"))
+    def check(name: String, metric: org.apache.spark.sql.Column,
+        passed: org.apache.spark.sql.Column) = struct(
+      lit(name).as("check_name"), round(metric.cast("double"), 6).as("metric"),
+      passed.as("passed"))
+    wide
+      .select(explode(array(
+        check("row_count_positive", col("n_rows"), col("n_rows") > 0),
+        check("orderkey_unique",
+          col("nd_key").cast("double") / col("n_rows"),
+          col("nd_key") === col("n_rows")),
+        check("custkey_complete",
+          col("nn_cust").cast("double") / col("n_rows"),
+          col("nn_cust") === col("n_rows")),
+        check("totalprice_positive", col("min_price"),
+          col("min_price") > 0.0),
+        check("orderdate_in_range",
+          col("n_in_range").cast("double") / col("n_rows"),
+          col("n_in_range") === col("n_rows")),
+        check("priority_in_domain",
+          col("n_known_prio").cast("double") / col("n_rows"),
+          col("n_known_prio") === col("n_rows")))).as("c"))
+      .select(col("c.*"))
+      .orderBy(col("check_name"))
+  }
+
+  /** Weight-of-evidence feature binning — the credit-scoring/feature-
+    * engineering transform: equal-width price bins (the
+    * [[priceHistogram]] formula — min/max broadcast, monotone bucket
+    * expression, top edge clamped), per-bin event rate for the
+    * "returned" outcome (l_returnflag = 'R'), and WOE =
+    * ln(good_share / bad_share) with each share an exact integer
+    * ratio. One O(1) bounds aggregate + one hash aggregate to the bin
+    * grain; the log runs once per BIN (metadata-sized). Bins where
+    * either class is empty yield NULL WOE (the standard undefined
+    * case) under the ANSI-safe guard. */
+  def woeBins(spark: SparkSession, dir: String, nBins: Int = 10)
+      : DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_extendedprice").as("v"),
+        (col("l_returnflag") === "R").as("bad"))
+    val bounds = li.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    val binned = li.crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        when(col("hi") === col("lo"), lit(0L)).otherwise(least(
+          floor((col("v") - col("lo")) / (col("hi") - col("lo")) * nBins),
+          lit(nBins - 1L)).cast("long")))
+    val agg = binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("bad"), 1)).as("n_bad"),
+        count(when(!col("bad"), 1)).as("n_good"))
+    val tots = agg.agg(sum(col("n_bad")).as("tot_bad"),
+      sum(col("n_good")).as("tot_good"))
+    agg.crossJoin(broadcast(tots))
+      .select(col("bin"), col("n"), col("n_good"), col("n_bad"),
+        round(col("n_bad").cast("double") / col("n"), 6).as("bad_rate"),
+        when(col("n_good") > 0 && col("n_bad") > 0,
+          round(log(
+            (col("n_good").cast("double") / col("tot_good")) /
+              (col("n_bad").cast("double") / col("tot_bad"))), 6))
+          .as("woe"))
+      .orderBy(col("bin"))
+  }
+
   /** Inter-purchase intervals per customer: the gap statistics
     * (mean/min/max days between consecutive orders) a retention stack
     * derives before modeling churn. Gaps come from one lag window per

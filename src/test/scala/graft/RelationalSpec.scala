@@ -659,6 +659,43 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("expectations: all six checks pass on the clean sf data, " +
+      "metrics are the ratios they claim") {
+    val out = graft.operators.Relational
+      .expectations(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getBoolean(2))))
+      .toMap
+    assert(out.size === 6)
+    out.foreach { case (name, (_, passed)) =>
+      assert(passed, s"check $name must pass on clean sf data")
+    }
+    assert(out("orderkey_unique")._1 === 1.0)
+    assert(out("custkey_complete")._1 === 1.0)
+    val n = graft.sources.Tables.orders(spark, "/root/testdata/sf0.001")
+      .count()
+    assert(out("row_count_positive")._1 === n.toDouble)
+  }
+
+  test("woeBins: bins partition all lines, shares are exact ratios, " +
+      "WOE sign tracks good/bad imbalance") {
+    val out = graft.operators.Relational
+      .woeBins(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+    val total = graft.sources.Tables
+      .lineitem(spark, "/root/testdata/sf0.001").count()
+    assert(out.map(_._2).sum === total)
+    out.foreach { case (_, nAll, g, b, woe) =>
+      assert(g + b === nAll)
+      woe.foreach { w =>
+        val totG = out.map(_._3).sum.toDouble
+        val totB = out.map(_._4).sum.toDouble
+        val expected = math.log((g / totG) / (b / totB))
+        assert(math.abs(w - expected) < 1e-5)
+      }
+    }
+  }
+
   test("orderGaps: gaps recomputed by hand for one customer; " +
       "single-order customers are absent") {
     val dir = "/root/testdata/sf0.001"
