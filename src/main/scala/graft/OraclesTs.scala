@@ -112,6 +112,29 @@ bars AS (
   private val macdSignalSql =
     genEwma("macd_raw", graft.operators.TimeSeries.MacdSignal)
 
+  /** Generated rolling-correlation kernel sums (n, Σx, Σy, Σxy, Σx²,
+    * Σy²) — shared-span lag-chains over the joint return series. */
+  private val (rcN, rcSx, rcSy, rcSxy, rcSxx, rcSyy) = {
+    val span = graft.operators.TimeSeries.RollCorrSpan
+    def chain(term: Int => String) =
+      (0 until span).map(term).mkString("(", " + ", ")")
+    def nn(c: String, i: Int) = s"lag($c, $i) OVER tw IS NOT NULL"
+    (chain(i => s"CASE WHEN ${nn("ret_a", i)} THEN 1 ELSE 0 END"),
+      chain(i => s"CASE WHEN ${nn("ret_a", i)}" +
+        s" THEN lag(ret_a, $i) OVER tw ELSE 0.0 END"),
+      chain(i => s"CASE WHEN ${nn("ret_b", i)}" +
+        s" THEN lag(ret_b, $i) OVER tw ELSE 0.0 END"),
+      chain(i => s"CASE WHEN ${nn("ret_a", i)}" +
+        s" THEN lag(ret_a, $i) OVER tw * lag(ret_b, $i) OVER tw" +
+        " ELSE 0.0 END"),
+      chain(i => s"CASE WHEN ${nn("ret_a", i)}" +
+        s" THEN lag(ret_a, $i) OVER tw * lag(ret_a, $i) OVER tw" +
+        " ELSE 0.0 END"),
+      chain(i => s"CASE WHEN ${nn("ret_b", i)}" +
+        s" THEN lag(ret_b, $i) OVER tw * lag(ret_b, $i) OVER tw" +
+        " ELSE 0.0 END"))
+  }
+
   val all: Map[String, String] = Map(
     "stock_macd" -> (barsCte + s""",
 m AS (
@@ -263,6 +286,29 @@ SELECT ticker, bucket, close, $ewmaKernel AS ewma_12
 FROM bars
 WINDOW tw AS (PARTITION BY ticker ORDER BY bucket)
 ORDER BY ticker, bucket"""),
+    "stock_rolling_corr" -> (barsCte + s""",
+rets AS (
+  SELECT ticker, bucket,
+    CASE WHEN lag(close, 1) OVER tw <> 0
+      THEN close / lag(close, 1) OVER tw - 1 END AS ret
+  FROM bars
+  WINDOW tw AS (PARTITION BY ticker ORDER BY bucket)
+  QUALIFY ret IS NOT NULL),
+j AS (
+  SELECT a.ticker AS ticker_a, b.ticker AS ticker_b, a.bucket,
+    a.ret AS ret_a, b.ret AS ret_b
+  FROM rets a JOIN rets b ON a.bucket = b.bucket AND a.ticker < b.ticker),
+k AS (
+  SELECT ticker_a, ticker_b, bucket,
+    CAST($rcN AS DOUBLE) AS n, $rcSx AS sx, $rcSy AS sy,
+    $rcSxy AS sxy, $rcSxx AS sxx, $rcSyy AS syy
+  FROM j
+  WINDOW tw AS (PARTITION BY ticker_a, ticker_b ORDER BY bucket))
+SELECT ticker_a, ticker_b, bucket, CAST(n AS BIGINT) AS n_obs,
+  CASE WHEN n > 1 AND n * sxx - sx * sx > 0.0 AND n * syy - sy * sy > 0.0
+    THEN round((n * sxy - sx * sy) /
+      sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) END AS roll_corr
+FROM k ORDER BY ticker_a, ticker_b, bucket"""),
     "stock_corr_pairs" -> (barsCte + """,
 rets AS (
   SELECT ticker, bucket,

@@ -106,6 +106,8 @@ object SparkEntry {
     "stock_macd" -> (TimeSeries.macd _),
     // stochastic oscillator %K/%D (window extrema + pinned smoothing)
     "stock_stochastic" -> (TimeSeries.stochastic _),
+    // rolling 20-obs pairwise return correlation (regime monitor)
+    "stock_rolling_corr" -> (TimeSeries.rollingCorr _),
     // ---- SQL analytics surface Q1-Q10 (SURVEY.md §2.9) ----
     "q1_dashboard" -> ((s, d) => Analytics.q1Dashboard(ana(s, d))),
     "q2_trend_signals" -> ((s, d) => Analytics.q2TrendSignals(ana(s, d))),

@@ -143,6 +143,69 @@ object TimeSeries {
   private def nanToNull(c: org.apache.spark.sql.Column) =
     when(isnan(c), lit(null)).otherwise(c)
 
+  /** Rolling-correlation lookback, shared with the oracle generator. */
+  val RollCorrSpan = 20
+
+  /** Rolling pairwise return correlation: for each unordered ticker
+    * pair, the Pearson correlation of the last [[RollCorrSpan]] JOINT
+    * return observations at every bucket — the time-VARYING version of
+    * [[corrPairs]] a pairs-trading stack actually monitors (a pair
+    * whose correlation regime breaks is the trade signal). "Last 20"
+    * counts joined observations (buckets where BOTH tickers traded),
+    * the natural definition for return-sync analysis.
+    *
+    * Kernel discipline: five lag-chains (n, Σx, Σy, Σxy, Σx², Σy²)
+    * over the pair-partitioned window — every term codegen'd, one
+    * pinned summation order, oracle SQL generated from the same span —
+    * then one closed-form corr per row with n>1 and positive-variance
+    * guards. Pairs shuffle once on bucket (equi self-join) and once on
+    * the pair key for the window — both bounded by pairs × span ×
+    * buckets, never corpus-sized. */
+  def rollingCorr(spark: SparkSession, dir: String): DataFrame =
+    rollingCorrBars(closeBars5m(
+      StockPipeline.normalize(Tables.events(spark, dir))))
+
+  private[graft] def rollingCorrBars(bars: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("ticker")).orderBy(col("bucket"))
+    val prev = lag(col("close"), 1).over(w)
+    val rets = bars
+      .select(col("ticker"), col("bucket"),
+        when(prev =!= 0.0, col("close") / prev - 1).as("ret"))
+      .filter(col("ret").isNotNull)
+    val a = rets.select(col("ticker").as("ticker_a"), col("bucket"),
+      col("ret").as("ret_a"))
+    val b = rets.select(col("ticker").as("ticker_b"), col("bucket"),
+      col("ret").as("ret_b"))
+    val joined = a.join(b, Seq("bucket"))
+      .filter(col("ticker_a") < col("ticker_b"))
+    val pw = Window.partitionBy(col("ticker_a"), col("ticker_b"))
+      .orderBy(col("bucket"))
+    val terms = (0 until RollCorrSpan).map { i =>
+      val x = lag(col("ret_a"), i).over(pw)
+      val y = lag(col("ret_b"), i).over(pw)
+      (when(x.isNotNull, lit(1L)).otherwise(lit(0L)),
+        when(x.isNotNull, x).otherwise(lit(0.0)),
+        when(y.isNotNull, y).otherwise(lit(0.0)),
+        when(x.isNotNull, x * y).otherwise(lit(0.0)),
+        when(x.isNotNull, x * x).otherwise(lit(0.0)),
+        when(y.isNotNull, y * y).otherwise(lit(0.0)))
+    }
+    val n = terms.map(_._1).reduce(_ + _).cast("double")
+    val sx = terms.map(_._2).reduce(_ + _)
+    val sy = terms.map(_._3).reduce(_ + _)
+    val sxy = terms.map(_._4).reduce(_ + _)
+    val sxx = terms.map(_._5).reduce(_ + _)
+    val syy = terms.map(_._6).reduce(_ + _)
+    val vx = n * sxx - sx * sx
+    val vy = n * syy - sy * sy
+    joined
+      .select(col("ticker_a"), col("ticker_b"), col("bucket"),
+        n.cast("long").as("n_obs"),
+        when(n > 1 && vx > 0.0 && vy > 0.0,
+          round((n * sxy - sx * sy) / sqrt(vx * vy), 6)).as("roll_corr"))
+      .orderBy(col("ticker_a"), col("ticker_b"), col("bucket"))
+  }
+
   /** On-balance volume: the cumulative signed-volume flow indicator —
     * each bar adds its volume when the close rose, subtracts it when
     * it fell (first bar contributes nothing). The running total is a

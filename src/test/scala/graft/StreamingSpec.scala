@@ -720,6 +720,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("heavy hitters (space-saving, transformWithState): exact when " +
+      "capacity covers the keys; guarantees hold when it does not") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{HeavyHitters, HhEvent}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // skewed stream: user u appears (u+1)·5 times for u in 0..9 —
+    // 10 distinct users over 4 shards; capacity 8 ≥ any shard's keys
+    val events = (0L until 10L).flatMap(u =>
+      Seq.fill(((u + 1) * 5).toInt)(HhEvent(u)))
+    val truth = events.groupBy(_.user_id).view.mapValues(_.size.toLong).toMap
+    val stream = MemoryStream[HhEvent]
+    val q = HeavyHitters.track(stream.toDS()).writeStream
+      .format("memory").queryName("hh_sink").outputMode("append").start()
+    try {
+      // two triggers: state must carry counts across them
+      val (a, b) = events.splitAt(events.size / 2)
+      stream.addData(a: _*); q.processAllAvailable()
+      stream.addData(b: _*); q.processAllAvailable()
+      // newest estimate per user = max est_count across emissions
+      val est = spark.table("hh_sink").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+      truth.foreach { case (u, n) =>
+        val (_, e, err) = est(u)
+        assert(e === n, s"capacity covers all keys → exact count for $u")
+        assert(err === 0L)
+      }
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    // over-capacity batch-mode check: same operator body, no store —
+    // 20 distinct keys on 4 shards with capacity 2 forces evictions;
+    // space-saving invariants: est ≥ true and est − err ≤ true
+    import spark.implicits._
+    val skew = ((0L until 20L).flatMap(u => Seq.fill(3)(HhEvent(u))) ++
+      Seq.fill(50)(HhEvent(100L))).toDS()
+    val out = HeavyHitters.track(skew, cap = 2).collect()
+    val byUser = out.groupBy(_.user_id).view
+      .mapValues(_.maxBy(_.est_count)).toMap
+    // the one true heavy hitter must be tracked, with a sane estimate
+    val hh = byUser(100L)
+    assert(hh.est_count >= 50L, "est must upper-bound the true count")
+    assert(hh.est_count - hh.max_err <= 50L,
+      "est − err must lower-bound the true count")
+  }
+
   test("DSIR streaming scoring: the literal-model projection on a " +
       "stream is bit-identical to the batch scoreAgainst") {
     implicit val sqlCtx = spark.sqlContext

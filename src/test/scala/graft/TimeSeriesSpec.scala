@@ -346,6 +346,31 @@ class TimeSeriesSpec extends SparkSpec {
       Seq((None, None)))
   }
 
+  test("rollingCorrBars: perfectly correlated series pin +1, " +
+      "anti-correlated pin -1, and the leading edge yields NULL") {
+    // A and B move identically; C moves exactly opposite (its close is
+    // 250 − base, so its returns flip sign against the A/B series)
+    def closes(tk: String, up: Boolean) =
+      (0 until 30).map { i =>
+        val base = if (i % 2 == 0) 100.0 else 150.0
+        (tk, i * 5, if (up) base else 250.0 - base)
+      }
+    val out = TimeSeries.rollingCorrBars(
+      bars(closes("A", up = true) ++ closes("B", up = true) ++
+        closes("C", up = false): _*))
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    val ab = out.filter(_._1 == (("A", "B")))
+    assert(ab.nonEmpty)
+    // first joint observation: n=1 → NULL; steady state: corr +1
+    assert(ab.head._3 === None)
+    assert(ab.last._2 === 20L)
+    assert(math.abs(ab.last._3.get - 1.0) < 2e-6)
+    val bc = out.filter(_._1 == (("B", "C")))
+    assert(math.abs(bc.last._3.get - (-1.0)) < 2e-6)
+  }
+
   test("corrPairs on sf0.001: every correlation is in [-1, 1] and the " +
       "pair set is the strict upper triangle") {
     val out = TimeSeries.corrPairs(spark, "/root/testdata/sf0.001")
