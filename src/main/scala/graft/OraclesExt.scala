@@ -135,6 +135,19 @@ SELECT rank, token, freq,
   round(freq::DOUBLE / n_total, 6) AS obs_share,
   round(f1::DOUBLE / rank / n_total, 6) AS zipf_share
 FROM rk, tot, f1 ORDER BY rank""",
+    // tokenizer fertility by language: BPE totals (shared RECURSIVE
+    // greedy-match chain) over integer sums
+    "text_fertility" -> s"""
+WITH RECURSIVE $toksCte${OraclesPacking.bpeTotalsCtes},
+f AS (
+  SELECT t.lang, len(t.tk)::BIGINT AS nt, bpc.n_subwords AS ns,
+    len(regexp_replace(t.text, '\\s+', '', 'g'))::BIGINT AS nc
+  FROM toks t JOIN bpc USING (doc_id))
+SELECT lang, count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS n_tokens,
+  sum(ns)::BIGINT AS n_subwords,
+  round(sum(ns)::DOUBLE / sum(nt), 6) AS fertility,
+  round(sum(nc)::DOUBLE / sum(ns), 6) AS chars_per_subword
+FROM f GROUP BY lang ORDER BY lang""",
     // DSIR hashed-unigram importance: Laplace-smoothed target/raw
     // log-ratio per bucket (B metadata rows), mean per document
     "corpus_dsir" -> s"""
@@ -378,6 +391,29 @@ FROM documents GROUP BY fingerprint ORDER BY rep_doc_id""",
       "SELECT * FROM sigs ORDER BY doc_id"),
     "dedup_minhash_pairs" -> (minhashPairsCtes +
       "SELECT * FROM jac WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"),
+    // MinHash estimator calibration: signature-agreement estimate vs
+    // exact Jaccard over the candidate set; decimal-exact error sums
+    "dedup_lsh_recall" -> (minhashPairsCtes + s""",
+est AS (
+  SELECT c.doc_a, c.doc_b,
+    (${(0 until graft.operators.Dedup.numHashes)
+        .map(i => s"CASE WHEN sa.mh_$i = sb.mh_$i THEN 1 ELSE 0 END")
+        .mkString(" + ")})
+      / ${graft.operators.Dedup.numHashes}.0 AS est_j
+  FROM cand c JOIN sigs sa ON c.doc_a = sa.doc_id
+              JOIN sigs sb ON c.doc_b = sb.doc_id),
+pr AS (
+  SELECT e.est_j, j.jaccard
+  FROM est e JOIN jac j ON e.doc_a = j.doc_a AND e.doc_b = j.doc_b)
+SELECT count(*)::BIGINT AS n_candidates,
+  count(*) FILTER (jaccard >= 0.5)::BIGINT AS n_verified,
+  round(count(*) FILTER (jaccard >= 0.5)::DOUBLE / count(*), 6)
+    AS cand_precision,
+  round(CAST(sum(CAST(round(abs(est_j - jaccard), 6) AS DECIMAL(18,6)))
+    AS DOUBLE) / count(*), 6) AS est_mae,
+  round(CAST(sum(CAST(round(est_j - jaccard, 6) AS DECIMAL(18,6)))
+    AS DOUBLE) / count(*), 6) AS est_bias
+FROM pr"""),
     // leakage-free split: the dedup_clusters recursive chain gives each
     // doc its near-dup group; the split hash is taken on the GROUP id
     // (same salt/thresholds as sample_split) so clusters cannot straddle

@@ -918,6 +918,35 @@ c AS (
 SELECT p_brand, CAST(max(tw) AS BIGINT) AS total_qty,
   min(CASE WHEN 2 * cw >= tw THEN price END) AS w_median_price
 FROM c GROUP BY p_brand ORDER BY p_brand""",
+    // RFM segmentation: deterministic quintile ranks, integer math
+    "rel_rfm" -> s"""
+WITH bc AS (
+  SELECT o_custkey, max(o_orderdate) AS last_order,
+    count(*) AS frequency,
+    ${dsum("o_totalprice")} AS monetary
+  FROM orders GROUP BY 1),
+rd AS (SELECT max(o_orderdate) AS ref_date FROM orders),
+nn AS (SELECT count(*) AS n_cust FROM bc),
+rr AS (
+  SELECT o_custkey, frequency, monetary, n_cust,
+    CAST(date_diff('day', last_order, ref_date) AS BIGINT) AS recency_days
+  FROM bc CROSS JOIN rd CROSS JOIN nn),
+sc AS (
+  SELECT o_custkey, recency_days, frequency, monetary,
+    CAST(floor(5 * (row_number() OVER (
+      ORDER BY recency_days DESC, o_custkey) - 1) / n_cust) AS BIGINT) + 1
+      AS r_score,
+    CAST(floor(5 * (row_number() OVER (
+      ORDER BY frequency, o_custkey) - 1) / n_cust) AS BIGINT) + 1
+      AS f_score,
+    CAST(floor(5 * (row_number() OVER (
+      ORDER BY monetary, o_custkey) - 1) / n_cust) AS BIGINT) + 1
+      AS m_score
+  FROM rr)
+SELECT o_custkey, recency_days, frequency, monetary,
+  r_score, f_score, m_score,
+  r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR AS rfm
+FROM sc ORDER BY o_custkey""",
     // Deequ-style expectations: one wide aggregate, per-check rows
     "rel_expectations" -> """
 WITH w AS (

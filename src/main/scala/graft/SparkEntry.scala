@@ -529,6 +529,14 @@ object SparkEntry {
     "rel_expectations" -> (Relational.expectations _),
     // weight-of-evidence price bins vs the returned-line outcome
     "rel_woe_bins" -> (Relational.woeBins(_, _)),
+    // RFM customer segmentation (deterministic quintile ranks)
+    "rel_rfm" -> (Relational.rfm _),
+    // tokenizer fertility by language (BPE vs whitespace budget)
+    "text_fertility" -> ((s, d) =>
+      TextAnalysis.fertility(Tables.documents(s, d))),
+    // MinHash estimator calibration over the LSH candidate set
+    "dedup_lsh_recall" -> ((s, d) =>
+      Dedup.lshCalibration(Tables.documents(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -130,6 +130,43 @@ object Dedup {
           (col("ca.n_sh") + col("cb.n_sh") - col("n_common")), 6).as("jaccard"))
   }
 
+  /** MinHash estimator calibration report — the evaluation every LSH
+    * deployment owes its tuning decisions: over the band-collision
+    * candidate set, compare the SIGNATURE-estimated Jaccard (fraction
+    * of agreeing minhash components — the quantity LSH actually
+    * thresholds on at scale) against the exact shingle Jaccard, and
+    * report candidate volume, verified-pair precision at the 0.5
+    * threshold, and the estimator's MAE and bias. Cost is bounded by
+    * the candidate set (never all-pairs); the error sums go through
+    * round-6 DECIMAL so the one global aggregate is order-independent
+    * under any partitioning (a raw float sum across partials would
+    * not be). */
+  def lshCalibration(documents: DataFrame): DataFrame = {
+    val sh = shingles(documents)
+    val sigs = signaturesOf(sh)
+    val cand = candidatesOf(sh)
+    val matchSum = (0 until numHashes)
+      .map(i => when(col(s"sa.mh_$i") === col(s"sb.mh_$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val est = cand
+      .join(sigs.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sigs.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (matchSum / lit(numHashes.toDouble)).as("est_j"))
+    val pairs = est.join(withJaccard(sh, cand), Seq("doc_a", "doc_b"))
+    pairs.agg(
+        count(lit(1)).as("n_candidates"),
+        count(when(col("jaccard") >= 0.5, 1)).as("n_verified"),
+        round(count(when(col("jaccard") >= 0.5, 1)).cast("double") /
+          count(lit(1)), 6).as("cand_precision"),
+        round(sum(round(abs(col("est_j") - col("jaccard")), 6)
+            .cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
+          .as("est_mae"),
+        round(sum(round(col("est_j") - col("jaccard"), 6)
+            .cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
+          .as("est_bias"))
+  }
+
   /** MinHash+LSH near-duplicate pairs, Jaccard-verified. */
   def minhashPairs(documents: DataFrame, threshold: Double = 0.5): DataFrame =
     minhashPairsOf(shingles(documents), threshold)

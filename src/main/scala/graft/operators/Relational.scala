@@ -1903,6 +1903,43 @@ object Relational {
       .orderBy(col("p_brand"))
   }
 
+  /** RFM customer segmentation — the classic recency/frequency/
+    * monetary scoring: per customer, days since last order (vs the
+    * corpus max date), order count, and decimal-exact lifetime spend,
+    * each mapped to a 1–5 quintile score by deterministic rank
+    * (row_number with custkey tiebreak, `floor(5·(rank−1)/n)+1` —
+    * integer arithmetic end to end, no percentile floats). The three
+    * ranking windows run over the CUSTOMER grain (orders of magnitude
+    * below fact volume; at true scale the same scores come from the
+    * banded-quantile thresholds in [[graft.operators.Quantiles]] —
+    * rank-free — with identical semantics). */
+  def rfm(spark: SparkSession, dir: String): DataFrame = {
+    val byCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        decSum(col("o_totalprice")).as("monetary"))
+    val refDate = Tables.orders(spark, dir)
+      .agg(max(col("o_orderdate")).as("ref_date"))
+    val n = byCust.agg(count(lit(1)).as("n_cust"))
+    def score(orderCols: Seq[org.apache.spark.sql.Column]) =
+      floor(lit(5) * (row_number().over(
+        Window.orderBy(orderCols: _*)) - 1) / col("n_cust")) + 1
+    byCust.crossJoin(broadcast(refDate)).crossJoin(broadcast(n))
+      .withColumn("recency_days",
+        datediff(col("ref_date"), col("last_order")).cast("long"))
+      .withColumn("r_score",
+        score(Seq(col("recency_days").desc, col("o_custkey"))))
+      .withColumn("f_score",
+        score(Seq(col("frequency"), col("o_custkey"))))
+      .withColumn("m_score",
+        score(Seq(col("monetary"), col("o_custkey"))))
+      .select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("monetary"), col("r_score"), col("f_score"), col("m_score"),
+        concat(col("r_score"), col("f_score"), col("m_score")).as("rfm"))
+      .orderBy(col("o_custkey"))
+  }
+
   /** Declarative data-quality expectations over the orders table — the
     * Deequ-style constraint suite a production pipeline runs before
     * trusting a snapshot: completeness, uniqueness, range and domain

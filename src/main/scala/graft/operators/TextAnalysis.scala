@@ -445,6 +445,32 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Tokenizer fertility by language — subwords per whitespace word
+    * and characters per subword, the tokenizer-health metric a
+    * multilingual corpus is profiled with before training (a language
+    * whose fertility balloons is being shredded by the vocab and will
+    * eat budget). Per-document counts are the shared codegen'd BPE
+    * scan ([[graft.functions.BpeExprs.bpeCount]]) plus two integer
+    * lengths; the per-language rollup is exact integer sums with two
+    * final divisions — map-side everything, one tiny shuffle on lang. */
+  def fertility(documents: DataFrame): DataFrame =
+    documents
+      .select(col("lang"),
+        size(toks).cast("long").as("nt"),
+        graft.functions.BpeExprs.bpeCount(col("text")).as("ns"),
+        length(regexp_replace(col("text"), "\\s+", "")).cast("long")
+          .as("nc"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+        sum(col("ns")).as("n_subwords"), sum(col("nc")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        col("n_subwords"),
+        round(col("n_subwords").cast("double") / col("n_tokens"), 6)
+          .as("fertility"),
+        round(col("n_chars").cast("double") / col("n_subwords"), 6)
+          .as("chars_per_subword"))
+      .orderBy(col("lang"))
+
   /** Flesch readability per document — reading-ease and Flesch-Kincaid
     * grade from three integer counts: sentences (runs of `.!?`,
     * floored at 1 so headline-style fragments don't divide by zero),

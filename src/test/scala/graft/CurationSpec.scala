@@ -483,6 +483,47 @@ class CurationSpec extends SparkSpec {
     assert(out(2L)._2 === out(4L)._2 && out(1L)._2 === out(3L)._2)
   }
 
+  test("fertility: per-lang sums equal the per-doc BPE counts summed " +
+      "by hand; ratios are their exact quotients") {
+    val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val perDoc = d.select(col("lang"),
+        size(graft.functions.Portable.tokens(col("text"))).cast("long")
+          .as("nt"),
+        graft.functions.BpeExprs.bpeCount(col("text")).as("ns"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val out = graft.operators.TextAnalysis.fertility(d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(out.keySet === perDoc.keySet)
+    perDoc.foreach { case (lang, rows) =>
+      val (nd, nt, ns, fert) = out(lang)
+      assert(nd === rows.length.toLong)
+      assert(nt === rows.map(_._2).sum)
+      assert(ns === rows.map(_._3).sum)
+      assert(math.abs(fert - ns.toDouble / nt) < 1e-6)
+      assert(fert >= 1.0, "a subword never spans a whitespace boundary")
+    }
+  }
+
+  test("lshCalibration: one-row report with coherent counts; verified " +
+      "count equals the registered minhash-pairs roster query") {
+    val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val r = graft.operators.Dedup.lshCalibration(d).collect().head
+    val (nc, nv, prec, mae, bias) = (r.getLong(0), r.getLong(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(nc > 0 && nv <= nc)
+    assert(prec >= 0.0 && prec <= 1.0)
+    assert(mae >= 0.0 && mae <= 1.0)
+    assert(math.abs(bias) <= mae + 1e-9,
+      "bias can never exceed mean absolute error")
+    val pairs = graft.operators.Dedup.minhashPairs(d).count()
+    assert(nv === pairs,
+      "verified count must equal the Jaccard-verified pair roster query")
+  }
+
   test("zipf: ranks follow (freq desc, token), shares are exact " +
       "count ratios, zipf_share halves at rank 2") {
     val d = docs(

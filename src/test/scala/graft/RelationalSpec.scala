@@ -659,6 +659,28 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("rfm: scores span 1..5, extremes score 5, and score order " +
+      "follows metric order") {
+    val out = graft.operators.Relational.rfm(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getString(7)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, _, _, _, rs, fs, ms, rfm) =>
+      assert(rs >= 1 && rs <= 5 && fs >= 1 && fs <= 5 && ms >= 1 && ms <= 5)
+      assert(rfm === s"$rs$fs$ms")
+    }
+    // the biggest spender lands in the top monetary quintile
+    val top = out.maxBy(_._4)
+    assert(top._7 === 5L)
+    // monotonicity: more frequent never scores lower
+    val sorted = out.sortBy(x => (x._3, x._1)).toSeq
+    sorted.sliding(2).foreach {
+      case Seq(a, b) => if (b._3 > a._3) assert(b._6 >= a._6)
+      case _ => ()
+    }
+  }
+
   test("expectations: all six checks pass on the clean sf data, " +
       "metrics are the ratios they claim") {
     val out = graft.operators.Relational
