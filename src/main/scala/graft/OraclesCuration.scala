@@ -31,6 +31,23 @@ object OraclesCuration {
      AND mean_word_len >= ${Curation.minMeanWordLen} AND mean_word_len <= ${Curation.maxMeanWordLen}
      AND punct_ratio <= ${Curation.maxPunctRatio} AND n_stopwords >= ${Curation.minStopwords})"""
 
+  /** Classifier-vs-rules calibration: score tenths (from the shared
+    * classifier chain) against the quality keep rate. */
+  private val classifierCalibrationSql = s"""
+WITH $toksCte${OraclesExt.clsScCtes},
+$qualityMCte,
+sb AS (
+  SELECT sc.doc_id,
+    CAST(least(floor(round(1.0 / (1.0 + exp(-margin * 10)), 6) * 10), 9)
+      AS BIGINT) AS bucket
+  FROM sc),
+kp AS (SELECT doc_id, $qKeepExpr AS keep FROM m)
+SELECT bucket, count(*)::BIGINT AS n_docs,
+  count(*) FILTER (keep)::BIGINT AS n_keep,
+  round(count(*) FILTER (keep)::DOUBLE / count(*), 6) AS keep_rate
+FROM sb JOIN kp USING (doc_id)
+GROUP BY bucket ORDER BY bucket"""
+
   /** The four signal chains of the curation ensemble, each restated
     * from the same constants its standalone oracle uses (perplexity:
     * [[TextAnalysis.ppK]]/[[TextAnalysis.ppMinCount]]; classifier:
@@ -106,6 +123,7 @@ ORDER BY doc_id"""
   }
 
   val all: Map[String, String] = Map(
+    "corpus_classifier_calibration" -> classifierCalibrationSql,
     "corpus_signal_ensemble" -> ensembleSql,
     // order-insensitive manifest: bit_xor of per-doc content hashes
     "corpus_checksum" -> s"""

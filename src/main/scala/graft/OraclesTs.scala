@@ -135,7 +135,37 @@ bars AS (
         " ELSE 0.0 END"))
   }
 
+  /** Generated ATR smoothing sums — shared-span lag-chain over tr. */
+  private val (atrNum, atrDen) = {
+    val span = graft.operators.TimeSeries.AtrSpan
+    def chain(term: Int => String) =
+      (0 until span).map(term).mkString("(", " + ", ")")
+    (chain(i => s"CASE WHEN lag(tr, $i) OVER tw IS NOT NULL" +
+      s" THEN lag(tr, $i) OVER tw ELSE 0.0 END"),
+      chain(i => s"CASE WHEN lag(tr, $i) OVER tw IS NOT NULL" +
+        " THEN 1 ELSE 0 END"))
+  }
+
   val all: Map[String, String] = Map(
+    "stock_atr" -> (Oracles.stockCte + s""",
+ohlc AS (
+  SELECT ticker,
+    date_trunc('minute', ts) + (5 - minute(ts) % 5) * INTERVAL 1 MINUTE
+      AS window_timestamp,
+    max(price) AS high, min(price) AS low, max_by(price, ts) AS close
+  FROM stock GROUP BY 1, 2),
+trr AS (
+  SELECT ticker, window_timestamp,
+    CASE WHEN lag(close, 1) OVER tw IS NULL THEN high - low
+      ELSE greatest(high - low, abs(high - lag(close, 1) OVER tw),
+        abs(low - lag(close, 1) OVER tw)) END AS tr
+  FROM ohlc
+  WINDOW tw AS (PARTITION BY ticker ORDER BY window_timestamp))
+SELECT ticker, window_timestamp, round(tr, 6) AS tr,
+  round($atrNum / $atrDen, 6) AS atr_14
+FROM trr
+WINDOW tw AS (PARTITION BY ticker ORDER BY window_timestamp)
+ORDER BY ticker, window_timestamp"""),
     "stock_macd" -> (barsCte + s""",
 m AS (
   SELECT ticker, bucket, close,

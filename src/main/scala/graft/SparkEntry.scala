@@ -537,6 +537,11 @@ object SparkEntry {
     // MinHash estimator calibration over the LSH candidate set
     "dedup_lsh_recall" -> ((s, d) =>
       Dedup.lshCalibration(Tables.documents(s, d))),
+    // Average True Range volatility (gap-aware, lag-chain smoothed)
+    "stock_atr" -> (TimeSeries.atr _),
+    // classifier-score tenths vs rule-based keep rate (agreement curve)
+    "corpus_classifier_calibration" -> ((s, d) =>
+      graft.operators.Curation.classifierCalibration(Tables.documents(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -820,6 +820,29 @@ object Curation {
         round(sum(col("lw")) / count(lit(1)), 6).as("dsir_logw"))
       .orderBy(col("doc_id"))
 
+  /** Classifier-vs-rules calibration curve: bucket every document by
+    * its hashed-classifier score (fixed-width tenths — no global rank,
+    * so the binning is one map-side expression at any scale) and
+    * report the rule-based [[qualityFilter]] keep rate per bucket —
+    * the agreement curve that says whether the learned scorer and the
+    * Gopher-style rules rank quality the same way (a flat curve means
+    * the classifier adds no signal; an inverted one means a bug). All
+    * ratios are exact integer quotients. */
+  def classifierCalibration(documents: DataFrame): DataFrame = {
+    val scored = graft.operators.TextAnalysis.classifierScore(documents)
+      .select(col("doc_id"),
+        least(floor(col("score") * 10), lit(9L)).cast("long").as("bucket"))
+    val kept = qualityFilter(documents).select(col("doc_id"), col("keep"))
+    scored.join(kept, Seq("doc_id"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("keep"), 1)).as("n_keep"))
+      .select(col("bucket"), col("n_docs"), col("n_keep"),
+        round(col("n_keep").cast("double") / col("n_docs"), 6)
+          .as("keep_rate"))
+      .orderBy(col("bucket"))
+  }
+
   /** Streaming DSIR scoring: the weight table resolved to a LITERAL
     * map (B entries — metadata-sized, the legitimate bounded collect),
     * so scoring is a stateless per-row projection — no join, no

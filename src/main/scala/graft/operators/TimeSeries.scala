@@ -386,6 +386,41 @@ object TimeSeries {
       .orderBy(col("ticker"), col("window_timestamp"))
   }
 
+  /** ATR lookback, shared with the oracle generator. */
+  val AtrSpan = 14
+
+  /** Average True Range over the 5-minute OHLC bars: true range =
+    * max(high−low, |high−prev close|, |low−prev close|) — the gap-
+    * aware volatility measure — smoothed by a [[AtrSpan]]-bar trailing
+    * mean (lag-chain, pinned order; the leading edge renormalizes like
+    * every kernel in this file). First bar has no previous close: its
+    * TR is the plain high−low range, the standard convention. */
+  def atr(spark: SparkSession, dir: String): DataFrame =
+    atrOhlc(StockPipeline.ohlc5m(
+      StockPipeline.normalize(Tables.events(spark, dir))))
+
+  private[graft] def atrOhlc(ohlc: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("ticker")).orderBy(col("window_timestamp"))
+    val pc = lag(col("close"), 1).over(w)
+    val tr = when(pc.isNull, col("high") - col("low"))
+      .otherwise(greatest(col("high") - col("low"),
+        abs(col("high") - pc), abs(col("low") - pc)))
+    val withTr = ohlc.select(col("ticker"), col("window_timestamp"),
+      col("close"), tr.as("tr"))
+    val terms = (0 until AtrSpan).map { i =>
+      val x = lag(col("tr"), i).over(w)
+      (when(x.isNotNull, x).otherwise(lit(0.0)),
+        when(x.isNotNull, lit(1L)).otherwise(lit(0L)))
+    }
+    val num = terms.map(_._1).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    withTr
+      .select(col("ticker"), col("window_timestamp"),
+        round(col("tr"), 6).as("tr"),
+        round(num / den, 6).as("atr_14"))
+      .orderBy(col("ticker"), col("window_timestamp"))
+  }
+
   /** RSI lookback, shared with the oracle generator ([[graft.OraclesTs]]). */
   val RsiSpan = 14
 

@@ -483,6 +483,32 @@ class CurationSpec extends SparkSpec {
     assert(out(2L)._2 === out(4L)._2 && out(1L)._2 === out(3L)._2)
   }
 
+  test("classifierCalibration: buckets partition all docs, keep " +
+      "counts agree with a direct join of the two operators") {
+    val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = graft.operators.Curation.classifierCalibration(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    assert(out.map(_._1).forall(b => b >= 0 && b <= 9))
+    assert(out.map(_._2).sum === d.count())
+    out.foreach { case (_, n, k, rate) =>
+      assert(k <= n)
+      assert(math.abs(rate - k.toDouble / n) < 1e-6)
+    }
+    // cross-check one bucket against a direct recomputation
+    val direct = graft.operators.TextAnalysis.classifierScore(d)
+      .select(col("doc_id"),
+        least(floor(col("score") * 10), lit(9L)).cast("long").as("b"))
+      .join(graft.operators.Curation.qualityFilter(d)
+        .select(col("doc_id"), col("keep")), Seq("doc_id"))
+      .collect().map(r => (r.getLong(1), r.getBoolean(2)))
+    val byBucket = direct.groupBy(_._1).view
+      .mapValues(v => (v.length.toLong, v.count(_._2).toLong)).toMap
+    out.foreach { case (b, n, k, _) =>
+      assert(byBucket(b) === ((n, k)))
+    }
+  }
+
   test("fertility: per-lang sums equal the per-doc BPE counts summed " +
       "by hand; ratios are their exact quotients") {
     val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")

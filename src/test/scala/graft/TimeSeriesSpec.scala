@@ -346,6 +346,25 @@ class TimeSeriesSpec extends SparkSpec {
       Seq((None, None)))
   }
 
+  test("atrOhlc: first bar's TR is its range, gaps widen TR to the " +
+      "prev-close distance, ATR is the running mean of TRs") {
+    val ohlc = Seq(
+      // ticker, minute, high, low, close
+      ("A", 0, 12.0, 8.0, 10.0),   // TR = 4 (range; no prev close)
+      ("A", 5, 11.0, 10.5, 11.0),  // gap up: TR = max(.5, 1, .5) = 1
+      ("A", 10, 20.0, 19.0, 19.5)) // big gap: TR = max(1, 9, 8) = 9
+      .map { case (tk, m, h, l, c) => (tk, t(m), h, l, c) }
+      .toDF("ticker", "window_timestamp", "high", "low", "close")
+    val out = TimeSeries.atrOhlc(ohlc).collect()
+      .map(r => (r.getTimestamp(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1.getTime)
+    assert(out.map(_._2).toSeq === Seq(4.0, 1.0, 9.0))
+    // running means: 4, (4+1)/2, (4+1+9)/3
+    assert(out.map(_._3).toSeq.zip(Seq(4.0, 2.5, 14.0 / 3)).forall {
+      case (a, e) => math.abs(a - e) < 1e-6
+    })
+  }
+
   test("rollingCorrBars: perfectly correlated series pin +1, " +
       "anti-correlated pin -1, and the leading edge yields NULL") {
     // A and B move identically; C moves exactly opposite (its close is
