@@ -81,7 +81,8 @@ object ScaleProbe {
         val (_, nvS) = t(graft.operators.TextAnalysis.novelty(df).count())
         val (php, phS) = t(graft.operators.Multimodal.phashPairs(df).count())
         val (_, zoS) = t(Packing.zorderLayout(df).count())
-        println(f"[scale-probe-docs] x$n%-3d docs=$rows%8d minhashPairs=$mpS%6.2fs($mp) jaccardPairs=$jpS%6.2fs($jp) containmentPairs=$cpS%6.2fs($cp) simhashPairs=$spS%6.2fs($sp) packAssign=$paS%6.2fs shuffleOrder=$soS%6.2fs spanDedup=$sdS%6.2fs substringDedup=$ssS%6.2fs budgetSelect=$bsS%6.2fs novelty=$nvS%6.2fs phashPairs=$phS%6.2fs($php) zorder=$zoS%6.2fs")
+        val (_, dsS) = t(Curation.dsirScores(df).count())
+        println(f"[scale-probe-docs] x$n%-3d docs=$rows%8d minhashPairs=$mpS%6.2fs($mp) jaccardPairs=$jpS%6.2fs($jp) containmentPairs=$cpS%6.2fs($cp) simhashPairs=$spS%6.2fs($sp) packAssign=$paS%6.2fs shuffleOrder=$soS%6.2fs spanDedup=$sdS%6.2fs substringDedup=$ssS%6.2fs budgetSelect=$bsS%6.2fs novelty=$nvS%6.2fs phashPairs=$phS%6.2fs($php) zorder=$zoS%6.2fs dsir=$dsS%6.2fs")
       }
       spark.stop(); return
     }
@@ -159,7 +160,9 @@ object ScaleProbe {
         val (_, hnS) = t(Similarity.hardNegatives(df).count())
         val (tc, tcS) = t(Similarity.knnTriangles(df,
           cells = Similarity.kmK * n).count())
-        println(f"[scale-probe-graph] x$n%-3d vecs=$rows%8d cells=${Similarity.kmK * n}%4d knnGraphMp=$mgS%7.2fs($mg) binaryTopK=$btS%6.2fs rerankTopK=$rrS%6.2fs hardNegatives=$hnS%6.2fs triangles=$tcS%6.2fs($tc)")
+        val (_, lpS) = t(Similarity.labelPropagation(df,
+          cells = Similarity.kmK * n).count())
+        println(f"[scale-probe-graph] x$n%-3d vecs=$rows%8d cells=${Similarity.kmK * n}%4d knnGraphMp=$mgS%7.2fs($mg) binaryTopK=$btS%6.2fs rerankTopK=$rrS%6.2fs hardNegatives=$hnS%6.2fs triangles=$tcS%6.2fs($tc) labelProp=$lpS%6.2fs")
       }
       spark.stop(); return
     }
@@ -206,7 +209,9 @@ object ScaleProbe {
         val (_, ewS) = t(TimeSeries.ewmaBars(bars).count())
         val (_, cpS) = t(TimeSeries.corrPairsBars(bars).count())
         val (_, etS) = t(Relational.eventTransitionsOn(df).count())
-        println(f"[scale-probe-ts] x$n%-3d events=$rows%9d gapfill=$gfS%6.2fs($gf) ewma=$ewS%6.2fs corrPairs=$cpS%6.2fs transitions=$etS%6.2fs")
+        val (rc, rcS) = t(TimeSeries.rollingCorrBars(bars).count())
+        val (_, mdS) = t(TimeSeries.macdBars(bars).count())
+        println(f"[scale-probe-ts] x$n%-3d events=$rows%9d gapfill=$gfS%6.2fs($gf) ewma=$ewS%6.2fs corrPairs=$cpS%6.2fs transitions=$etS%6.2fs rollingCorr=$rcS%6.2fs($rc) macd=$mdS%6.2fs")
       }
       spark.stop(); return
     }

@@ -512,8 +512,8 @@ object Similarity {
     * the [[pageRank]] iteration shape with integer votes instead of
     * float mass, lineage cut per round. */
   def labelPropagation(embeddings: DataFrame, seeds: Int = lpSeeds,
-      iters: Int = lpIters, k: Int = lpK): DataFrame = {
-    val edges = knnGraph(embeddings, k)
+      iters: Int = lpIters, k: Int = lpK, cells: Int = kmK): DataFrame = {
+    val edges = knnGraph(embeddings, k, cells)
       .select(col("vec_id"), col("neighbor_id")).pin()
     val isSeed = col("vec_id") < seeds
     val base = embeddings.select(col("vec_id"),
