@@ -659,6 +659,40 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("weightedMedian property: on seeded random (brand, price, qty) " +
+      "data it equals the lower median of the weight-expanded multiset") {
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 400).map { i =>
+      (s"B${rnd.nextInt(4)}",
+        (rnd.nextInt(50) + 1).toDouble,      // price
+        (rnd.nextInt(5) + 1).toLong)          // weight
+    }
+    // the operator reads tables from a dir, so recompute its core
+    // directly from a literal frame through the same expressions
+    val df = rows.toDF("p_brand", "price", "w")
+      .groupBy(col("p_brand"), col("price"))
+      .agg(sum(col("w")).as("w"))
+    val cum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("p_brand")).orderBy(col("price"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy(col("p_brand"))
+    val got = df
+      .select(col("p_brand"), col("price"), col("w"),
+        sum(col("w")).over(cum).as("cw"), sum(col("w")).over(tot).as("tw"))
+      .groupBy(col("p_brand"))
+      .agg(min(when(lit(2) * col("cw") >= col("tw"), col("price")))
+        .as("med"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // naive reference: expand each row into `weight` copies, take the
+    // lower median of the sorted expansion
+    rows.groupBy(_._1).foreach { case (brand, rs) =>
+      val expanded = rs.flatMap(r => Seq.fill(r._3.toInt)(r._2)).sorted
+      val lowerMedian = expanded((expanded.size - 1) / 2)
+      assert(got(brand) === lowerMedian, s"brand $brand")
+    }
+  }
+
   test("rfm: scores span 1..5, extremes score 5, and score order " +
       "follows metric order") {
     val out = graft.operators.Relational.rfm(spark, "/root/testdata/sf0.001")

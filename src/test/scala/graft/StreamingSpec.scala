@@ -773,6 +773,45 @@ class StreamingSpec extends SparkSpec {
       "est − err must lower-bound the true count")
   }
 
+  test("heavy hitters property: on seeded zipf-ish random streams the " +
+      "space-saving bounds hold for every tracked key and no key above " +
+      "the N/m guarantee threshold is missed") {
+    import graft.streaming.{HeavyHitters, HhEvent}
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { trial =>
+      // zipf-ish: key k with probability ∝ 1/(k+1)
+      val events = (1 to 800).map { _ =>
+        val r = rnd.nextDouble()
+        val k = math.min((1.0 / (1.0 - r) - 1.0).toInt, 30)
+        HhEvent(k.toLong)
+      }
+      val truth = events.groupBy(_.user_id).view
+        .mapValues(_.size.toLong).toMap
+      val out = HeavyHitters.track(events.toDS(), cap = 4).collect()
+        .groupBy(_.user_id).view.mapValues(_.maxBy(_.est_count)).toMap
+      out.foreach { case (u, row) =>
+        val t = truth(u)
+        assert(row.est_count >= t,
+          s"trial $trial key $u: est ${row.est_count} < true $t")
+        assert(row.est_count - row.max_err <= t,
+          s"trial $trial key $u: est−err exceeds true")
+      }
+      // guarantee: per shard, any key with true count > N_shard/cap
+      // is tracked in the final summary
+      val shards = events.groupBy(e =>
+        math.floorMod(e.user_id, HeavyHitters.shards.toLong))
+      shards.foreach { case (_, evs) =>
+        val n = evs.size
+        evs.groupBy(_.user_id).foreach { case (u, es) =>
+          if (es.size > n / 4)
+            assert(out.contains(u),
+              s"trial $trial: key $u above N/m must be tracked")
+        }
+      }
+    }
+  }
+
   test("DSIR streaming scoring: the literal-model projection on a " +
       "stream is bit-identical to the batch scoreAgainst") {
     implicit val sqlCtx = spark.sqlContext
