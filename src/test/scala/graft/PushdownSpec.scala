@@ -168,4 +168,33 @@ class PushdownSpec extends SparkSpec {
         s"transitions never touch props/value: $rs")
     }
   }
+
+  test("round-7 additions prune their scans: RFM reads three orders " +
+      "columns, rolling-corr ignores user_id, readability/zipf/dsir " +
+      "never drag n_chars, expectations is ONE orders scan") {
+    val rfm = scansOf(planOf("rel_rfm"), "orders")
+    assert(rfm.nonEmpty)
+    rfm.foreach { s =>
+      val rs = readSchemaOf(s)
+      assert(!rs.contains("o_orderpriority") && !rs.contains("o_orderstatus"),
+        s"rfm needs only custkey/date/price: $rs")
+    }
+    val rc = scansOf(planOf("stock_rolling_corr"), "events")
+    assert(rc.nonEmpty)
+    rc.foreach { s =>
+      assert(!readSchemaOf(s).contains("user_id"),
+        s"rolling corr never touches user_id: ${readSchemaOf(s)}")
+    }
+    Seq("text_readability", "text_zipf").foreach { q =>
+      val ds = scansOf(planOf(q), "documents")
+      assert(ds.nonEmpty, q)
+      ds.foreach { s =>
+        assert(!readSchemaOf(s).contains("n_chars"),
+          s"$q computes from text only: ${readSchemaOf(s)}")
+      }
+    }
+    // one-pass suite: exactly one orders scan feeds all six checks
+    assert(scansOf(planOf("rel_expectations"), "orders").size === 1,
+      "the expectation suite must cost one scan")
+  }
 }
