@@ -18,7 +18,7 @@ object OraclesCuration {
 
   /** Per-doc quality metrics CTE (`m`), shared by the filter query and
     * the curated-corpus capstone. Requires `toks` in scope. */
-  private val qualityMCte = s"""m AS (
+  private[graft] val qualityMCte = s"""m AS (
   SELECT doc_id,
     len(tk)::BIGINT AS n_tokens,
     round(len(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE / len(tk), 4) AS mean_word_len,
@@ -26,7 +26,7 @@ object OraclesCuration {
     len(list_filter(tk, t -> t IN ${inList(TextAnalysis.stopwords)}))::BIGINT AS n_stopwords
   FROM toks)"""
 
-  private val qKeepExpr =
+  private[graft] val qKeepExpr =
     s"""(n_tokens >= ${Curation.minTokens} AND n_tokens <= ${Curation.maxTokens}
      AND mean_word_len >= ${Curation.minMeanWordLen} AND mean_word_len <= ${Curation.maxMeanWordLen}
      AND punct_ratio <= ${Curation.maxPunctRatio} AND n_stopwords >= ${Curation.minStopwords})"""

@@ -794,6 +794,39 @@ SELECT cell, n_vecs,
   round(n_vecs::DOUBLE * n_cells / n_total, 6) AS ratio_to_mean
 FROM cb, tt ORDER BY cell"""
     }),
+    // cross-modal quality/embedding separation: the labelSeparation
+    // diagnostic keyed by the curation verdict (doc_id = vec_id)
+    "sim_quality_separation" -> (s"""
+WITH toks AS (SELECT *, regexp_split_to_array(trim(text), '\\s+') AS tk
+  FROM documents),
+${OraclesCuration.qualityMCte},
+kp AS (SELECT doc_id, ${OraclesCuration.qKeepExpr} AS keep FROM m),
+base AS (
+  SELECT vec_id, ${unitSql("embedding::DOUBLE[]")} AS ev FROM embeddings),
+kb AS (
+  SELECT kp.keep, b.vec_id, b.ev
+  FROM base b JOIN kp ON b.vec_id = kp.doc_id),
+cent AS (
+  SELECT keep, ${unitSql("centroid")} AS cunit FROM (
+    SELECT keep, list(cv ORDER BY pos) AS centroid FROM (
+      SELECT keep, pos,
+        CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS cv
+      FROM (SELECT keep, unnest(ev) AS v, unnest(range(len(ev))) AS pos
+        FROM kb)
+      GROUP BY keep, pos)
+    GROUP BY keep)),
+coh AS (
+  SELECT kb.keep, count(*)::BIGINT AS n_docs,
+    round(CAST(sum(CAST(list_inner_product(kb.ev, c.cunit)
+      AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS cohesion
+  FROM kb JOIN cent c ON kb.keep = c.keep GROUP BY kb.keep),
+cx AS (
+  SELECT a.keep, round(list_inner_product(a.cunit, b.cunit), 6)
+    AS cross_cos
+  FROM cent a JOIN cent b ON a.keep <> b.keep)
+SELECT keep, n_docs, cohesion, cross_cos
+FROM coh JOIN cx USING (keep)
+ORDER BY keep"""),
     // cell medoids: argmax member-vs-centroid cosine per Lloyd cell
     "sim_medoids" -> (simBase + kmeansCtes + {
       val it = graft.operators.Similarity.kmIters

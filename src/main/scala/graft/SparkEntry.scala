@@ -542,6 +542,10 @@ object SparkEntry {
     // classifier-score tenths vs rule-based keep rate (agreement curve)
     "corpus_classifier_calibration" -> ((s, d) =>
       graft.operators.Curation.classifierCalibration(Tables.documents(s, d))),
+    // cross-modal: does embedding space separate the quality verdict?
+    "sim_quality_separation" -> ((s, d) =>
+      Similarity.qualitySeparation(Tables.documents(s, d),
+        Tables.embeddings(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

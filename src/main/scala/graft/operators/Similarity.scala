@@ -166,6 +166,50 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** Cross-modal quality/embedding separation — the [[labelSeparation]]
+    * diagnostic applied to the CURATION signal instead of the label
+    * column: join the documents table's rule-based quality verdict
+    * ([[Curation.qualityFilter]]) onto the embeddings (doc_id = vec_id
+    * — the tables share the id space by construction) and measure, per
+    * verdict group, member count, cohesion to the group centroid, and
+    * the cosine between the keep/reject centroids. A cross-centroid
+    * cosine near the cohesions means the quality rule is invisible in
+    * embedding space (the classifier can't learn it from these
+    * vectors); a low one means the embeddings separate quality for
+    * free. Decimal-exact centroid means and cohesion sums (the
+    * [[centroids]] discipline); the join is one broadcast of the slim
+    * (doc_id, keep) verdict. */
+  def qualitySeparation(documents: DataFrame,
+      embeddings: DataFrame): DataFrame = {
+    val keep = Curation.qualityFilter(documents)
+      .select(col("doc_id"), col("keep"))
+    val base = unitized(embeddings).select(col("vec_id"), col("unit"))
+      .join(broadcast(keep), col("vec_id") === col("doc_id"))
+      .select(col("keep"), col("vec_id"), col("unit"))
+    val cents = base
+      .select(col("keep"), posexplode(col("unit")).as(Seq("pos", "v")))
+      .groupBy(col("keep"), col("pos"))
+      .agg((sum(col("v").cast("decimal(28,10)")).cast("double") /
+        count(lit(1))).as("cv"))
+      .groupBy(col("keep"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+        s => s.getField("cv")).as("centroid"))
+      .select(col("keep"), unitize(col("centroid")).as("cunit"))
+      .pin(eager = true)
+    val coh = base.join(broadcast(cents), Seq("keep"))
+      .select(col("keep"), dot(col("unit"), col("cunit")).as("c"))
+      .groupBy(col("keep"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("c").cast("decimal(28,10)")).cast("double") /
+          count(lit(1)), 6).as("cohesion"))
+    val cross = cents.as("a")
+      .join(cents.select(col("keep").as("keep_b"), col("cunit").as("cb")),
+        col("keep") =!= col("keep_b"))
+      .select(col("keep"), round(dot(col("cunit"), col("cb")), 6)
+        .as("cross_cos"))
+    coh.join(cross, Seq("keep")).orderBy(col("keep"))
+  }
+
   /** IVF cell-balance report: per-cell member counts, corpus share,
     * and ratio to the mean cell size from the k-means build — the
     * index-health diagnostic (a hot cell breaks the "probe cost ∝

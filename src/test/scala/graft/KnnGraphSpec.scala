@@ -247,6 +247,28 @@ class KnnGraphSpec extends SparkSpec {
     assert(got.toSet === expected)
   }
 
+  test("qualitySeparation: two verdict rows, counts partition the " +
+      "joined corpus, both cross_cos values agree, cohesions in [-1,1]") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val out = graft.operators.Similarity.qualitySeparation(docs, emb)
+      .collect()
+      .map(r => (r.getBoolean(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(out.length === 2)
+    assert(out.map(_._1).toSet === Set(true, false))
+    // counts = all embeddings whose doc has a verdict (ids align)
+    val joined = graft.operators.Curation.qualityFilter(docs)
+      .select(col("doc_id")).join(emb,
+        col("doc_id") === col("vec_id")).count()
+    assert(out.map(_._2).sum === joined)
+    out.foreach { case (_, _, coh, cx) =>
+      assert(coh >= -1.0 - 1e-9 && coh <= 1.0 + 1e-9)
+      assert(cx >= -1.0 - 1e-9 && cx <= 1.0 + 1e-9)
+    }
+    // the centroid-pair cosine is symmetric: both rows carry it equal
+    assert(out(0)._4 === out(1)._4)
+  }
+
   test("cellMedoids: one medoid per cell, a true member, with the " +
       "cell-max centroid cosine and the right member count") {
     val out = Similarity.cellMedoids(emb).collect()
