@@ -545,6 +545,27 @@ SELECT user_id,
 FROM e
 WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
 ORDER BY user_id, version""",
+    // SCD2 point-in-time join: each purchase resolves to the version
+    // valid at its event time (half-open tiling → exactly one match)
+    "rel_pit_join" -> """
+WITH e AS (
+  SELECT user_id, event_id, value, ts::TIMESTAMP AS valid_from
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+dim AS (
+  SELECT user_id AS d_user,
+    CAST(row_number() OVER w AS BIGINT) AS version,
+    value AS dim_value, valid_from,
+    lead(valid_from) OVER w AS valid_to
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)),
+facts AS (
+  SELECT user_id, event_id AS fact_id, ts::TIMESTAMP AS ts
+  FROM events WHERE event_type = 'purchase')
+SELECT fact_id, user_id, ts, version, dim_value
+FROM facts f JOIN dim d ON f.user_id = d.d_user
+  AND f.ts >= d.valid_from
+  AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+ORDER BY fact_id""",
     // skyline: the oracle states the declarative NOT-EXISTS dominance
     // definition; the engine runs the banded distinct-value scan —
     // hash equality proves the rewrite.

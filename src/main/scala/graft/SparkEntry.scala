@@ -546,6 +546,8 @@ object SparkEntry {
     "sim_quality_separation" -> ((s, d) =>
       Similarity.qualitySeparation(Tables.documents(s, d),
         Tables.embeddings(s, d))),
+    // SCD2 point-in-time join: facts to the version valid at event time
+    "rel_pit_join" -> (Relational.pitJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

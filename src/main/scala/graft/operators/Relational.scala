@@ -1160,6 +1160,32 @@ object Relational {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** SCD2 point-in-time (as-at) join — the query the versioned
+    * dimension exists FOR: each purchase fact resolves to the dimension
+    * version valid at its event time (`valid_from ≤ ts < valid_to`,
+    * open current version included). The half-open tiling from
+    * [[scd2History]] guarantees exactly one match per fact inside the
+    * user's history (facts before the first version drop — inner-join
+    * semantics, the warehouse default). Plan: equi-join on the user
+    * key with the interval predicate as a post-filter — per-user
+    * version counts are bounded by activity, so the candidate fan-out
+    * is per-entity history, never corpus². */
+  def pitJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    val dim = scd2History(events)
+      .select(col("user_id").as("d_user"), col("version"),
+        col("value").as("dim_value"), col("valid_from"), col("valid_to"))
+    val facts = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("fact_id"), col("ts"))
+    facts.join(dim,
+        col("user_id") === col("d_user") &&
+          col("ts") >= col("valid_from") &&
+          (col("valid_to").isNull || col("ts") < col("valid_to")))
+      .select(col("fact_id"), col("user_id"), col("ts"), col("version"),
+        col("dim_value"))
+      .orderBy(col("fact_id"))
+  }
+
   /** Distributed skyline (Pareto frontier) per brand: the parts no other
     * same-brand part dominates on (p_retailprice ↓ better, p_size ↑
     * better). The multi-objective "best tradeoff set" query.

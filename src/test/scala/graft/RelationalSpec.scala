@@ -659,6 +659,32 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("pitJoin: every purchase inside its user's history matches " +
+      "EXACTLY one version, and the matched interval brackets its ts") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.operators.Relational.pitJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        r.getLong(3)))
+    assert(out.nonEmpty)
+    // exactly-one: fact ids are unique in the output
+    assert(out.map(_._1).distinct.length === out.length,
+      "half-open tiling must yield one version per fact")
+    // bracket check against the dimension itself
+    val dim = graft.operators.Relational.scd2History(
+        graft.sources.Tables.events(spark, dir))
+      .select(col("user_id"), col("version"),
+        col("valid_from").cast("timestamp"),
+        col("valid_to").cast("timestamp"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getTimestamp(2), Option(r.getTimestamp(3))))).toMap
+    out.take(200).foreach { case (_, user, ts, version) =>
+      val (from, to) = dim((user, version))
+      assert(!ts.before(from))
+      to.foreach(t => assert(ts.before(t)))
+    }
+  }
+
   test("weightedMedian property: on seeded random (brand, price, qty) " +
       "data it equals the lower median of the weight-expanded multiset") {
     val rnd = new scala.util.Random(42)

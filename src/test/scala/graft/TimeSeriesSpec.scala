@@ -390,6 +390,47 @@ class TimeSeriesSpec extends SparkSpec {
     assert(math.abs(bc.last._3.get - (-1.0)) < 2e-6)
   }
 
+  test("streaming MACD (transformWithState) is bit-identical to the " +
+      "batch lag-chain kernels across split triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{BarRow, MacdState}
+    val dir = "/root/testdata/sf0.001"
+    val barsDf = graft.operators.TimeSeries.closeBars5m(
+      graft.operators.StockPipeline.normalize(
+        graft.sources.Tables.events(spark, dir)))
+    import spark.implicits._
+    val rows = barsDf.as[BarRow].collect().sortBy(_.bucket.getTime)
+    val chunks = rows.grouped(math.max(rows.length / 3, 1)).toSeq
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[BarRow]
+    val q = MacdState.attach(stream.toDS()).writeStream
+      .format("memory").queryName("macd_tws_sink")
+      .outputMode("append").start()
+    try {
+      chunks.foreach { c =>
+        stream.addData(c.toSeq: _*); q.processAllAvailable()
+      }
+      val streamed = spark.table("macd_tws_sink")
+        .orderBy("ticker", "bucket").collect()
+      val batch = graft.operators.TimeSeries.macdBars(barsDf)
+        .orderBy("ticker", "bucket").collect()
+      assert(streamed.length === batch.length && batch.nonEmpty)
+      streamed.zip(batch).foreach { case (s, b) =>
+        assert(s.toSeq === b.toSeq, s"stream $s vs batch $b")
+      }
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("corrPairs on sf0.001: every correlation is in [-1, 1] and the " +
       "pair set is the strict upper triangle") {
     val out = TimeSeries.corrPairs(spark, "/root/testdata/sf0.001")
