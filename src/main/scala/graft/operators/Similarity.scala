@@ -202,9 +202,11 @@ object Similarity {
       .agg(count(lit(1)).as("n_docs"),
         round(sum(col("c").cast("decimal(28,10)")).cast("double") /
           count(lit(1)), 6).as("cohesion"))
+    // two metadata-sized rows on each side — declared broadcast so the
+    // planner picks BNLJ over a stats-blind CartesianProduct
     val cross = cents.as("a")
-      .join(cents.select(col("keep").as("keep_b"), col("cunit").as("cb")),
-        col("keep") =!= col("keep_b"))
+      .join(broadcast(cents.select(col("keep").as("keep_b"),
+        col("cunit").as("cb"))), col("keep") =!= col("keep_b"))
       .select(col("keep"), round(dot(col("cunit"), col("cb")), 6)
         .as("cross_cos"))
     coh.join(cross, Seq("keep")).orderBy(col("keep"))
