@@ -158,6 +158,39 @@ SELECT user_id, min(ts) AS session_start,
   (sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0) AS converted
 FROM sid GROUP BY user_id, sid
 ORDER BY user_id, session_start""",
+    // interval sweep: the oracle states the plain GLOBAL running sum;
+    // the engine runs the banded two-level prefix scan — hash equality
+    // proves the rewrite
+    "rel_concurrency" -> """
+WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, event_type FROM events),
+brk AS (
+  SELECT user_id, ts,
+    CASE WHEN epoch(ts) - epoch(lag(ts) OVER (
+      PARTITION BY user_id ORDER BY ts)) >= 1800 THEN 1 ELSE 0 END AS brk
+  FROM e),
+sid AS (
+  SELECT user_id, ts,
+    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM brk),
+sess AS (
+  SELECT min(ts) AS session_start,
+    max(ts) + INTERVAL 30 MINUTE AS session_end
+  FROM sid GROUP BY user_id, sid),
+deltas AS (
+  SELECT t, CAST(sum(d) AS BIGINT) AS net_delta FROM (
+    SELECT session_start AS t, 1 AS d FROM sess
+    UNION ALL SELECT session_end AS t, -1 AS d FROM sess)
+  GROUP BY t),
+tl AS (
+  SELECT t, net_delta,
+    sum(net_delta) OVER (ORDER BY t
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS concurrency
+  FROM deltas),
+mx AS (SELECT max(concurrency) AS mx FROM tl)
+SELECT t, net_delta, CAST(concurrency AS BIGINT) AS concurrency,
+  (concurrency = mx) AS is_peak
+FROM tl CROSS JOIN mx ORDER BY t""",
     "rel_shipping_priority" -> s"""
 SELECT l_orderkey, o_orderdate,
   ${dsum("l_extendedprice * (1 - l_discount)")} AS revenue

@@ -548,6 +548,8 @@ object SparkEntry {
         Tables.embeddings(s, d))),
     // SCD2 point-in-time join: facts to the version valid at event time
     "rel_pit_join" -> (Relational.pitJoin _),
+    // concurrency timeline: +1/−1 session sweep, banded prefix sums
+    "rel_concurrency" -> ((s, d) => Relational.concurrency(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -275,6 +275,48 @@ object Relational {
         (col("n_purchases") > 0).as("converted"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** Concurrency timeline (interval sweep): how many user sessions are
+    * simultaneously open at every session boundary — the classic
+    * "peak concurrent users" capacity question, answered with the
+    * +1/−1 delta sweep. Equal-timestamp deltas merge to one NET delta
+    * per instant (convention-free), and the running concurrency is
+    * the banded two-level prefix sum (equal-width time bands from a
+    * broadcast bounds aggregate, per-band running sums, metadata-sized
+    * exclusive band offsets — the `packAssign` pattern), so no global
+    * single-partition window exists at any scale. Integer arithmetic
+    * end to end; `is_peak` marks the global maximum instants. */
+  def concurrency(spark: SparkSession, dir: String,
+      bands: Int = 64): DataFrame = {
+    val s = userSessions(spark, dir)
+    val deltas = s.select(col("session_start").as("t"), lit(1L).as("d"))
+      .unionAll(s.select(col("session_end").as("t"), lit(-1L).as("d")))
+      .groupBy(col("t")).agg(sum(col("d")).as("net_delta"))
+    val e = deltas.withColumn("tu", unix_micros(col("t").cast("timestamp")))
+    val bounds = e.agg(min(col("tu")).as("lo"), max(col("tu")).as("hi"))
+    val banded = e.crossJoin(broadcast(bounds))
+      .withColumn("band",
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(expr(s"((tu - lo) * $bands) div (hi - lo + 1)")))
+      .drop("lo", "hi", "tu")
+    val wo = Window.orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = banded.groupBy(col("band"))
+      .agg(sum(col("net_delta")).as("part"))
+      .withColumn("offset", coalesce(sum(col("part")).over(wo), lit(0L)))
+      .select(col("band"), col("offset"))
+    val wb = Window.partitionBy(col("band")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val timeline = banded.join(broadcast(offsets), Seq("band"))
+      .withColumn("concurrency",
+        col("offset") + sum(col("net_delta")).over(wb))
+      .select(col("t"), col("net_delta"), col("concurrency"))
+    val peak = timeline.agg(max(col("concurrency")).as("mx"))
+    timeline.crossJoin(broadcast(peak))
+      .select(col("t"), col("net_delta"), col("concurrency"),
+        (col("concurrency") === col("mx")).as("is_peak"))
+      .orderBy(col("t"))
+  }
+
   /** TPC-H Q3-shape shipping priority: the canonical SELECTIVE star
     * join — the segment-filtered customer dim broadcasts into the
     * orders⋈lineitem shuffle join, both date predicates push down to

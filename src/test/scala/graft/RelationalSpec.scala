@@ -659,6 +659,23 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("concurrency: timeline equals the naive global running sum, " +
+      "ends at zero, and the peak flag marks exactly the maximum") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.operators.Relational.concurrency(spark, dir)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(out.nonEmpty)
+    // naive check: cumulative net deltas in t order equal concurrency
+    var run = 0L
+    out.foreach { case (_, d, c, _) => run += d; assert(c === run) }
+    assert(run === 0L, "every started session eventually ends")
+    val mx = out.map(_._3).max
+    assert(mx > 1L, "sessions genuinely overlap in the sf data")
+    out.foreach { case (_, _, c, p) => assert(p === (c == mx)) }
+  }
+
   test("pitJoin: every purchase inside its user's history matches " +
       "EXACTLY one version, and the matched interval brackets its ts") {
     val dir = "/root/testdata/sf0.001"
