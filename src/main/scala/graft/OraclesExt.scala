@@ -135,6 +135,20 @@ SELECT rank, token, freq,
   round(freq::DOUBLE / n_total, 6) AS obs_share,
   round(f1::DOUBLE / rank / n_total, 6) AS zipf_share
 FROM rk, tot, f1 ORDER BY rank""",
+    // per-source language entropy: exact shares, decimal-summed terms
+    "text_lang_entropy" -> """
+WITH c AS (
+  SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
+t AS (
+  SELECT source, CAST(sum(n) AS BIGINT) AS tot,
+    count(*)::BIGINT AS n_langs
+  FROM c GROUP BY 1)
+SELECT source, max(n_langs)::BIGINT AS n_langs,
+  CAST(max(tot) AS BIGINT) AS n_docs,
+  round(CAST(sum(CAST(round(-(n::DOUBLE / tot) * ln(n::DOUBLE / tot), 12)
+    AS DECIMAL(18,12))) AS DOUBLE), 6) AS lang_entropy
+FROM c JOIN t USING (source)
+GROUP BY source ORDER BY source""",
     // tokenizer fertility by language: BPE totals (shared RECURSIVE
     // greedy-match chain) over integer sums
     "text_fertility" -> s"""

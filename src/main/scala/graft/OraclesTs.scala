@@ -339,6 +339,39 @@ SELECT ticker_a, ticker_b, bucket, CAST(n AS BIGINT) AS n_obs,
     THEN round((n * sxy - sx * sy) /
       sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) END AS roll_corr
 FROM k ORDER BY ticker_a, ticker_b, bucket"""),
+    "stock_moments" -> (barsCte + """,
+rets AS (
+  SELECT ticker,
+    CASE WHEN lag(close, 1) OVER tw <> 0
+      THEN close / lag(close, 1) OVER tw - 1 END AS r
+  FROM bars
+  WINDOW tw AS (PARTITION BY ticker ORDER BY bucket)
+  QUALIFY r IS NOT NULL),
+m AS (
+  SELECT ticker, count(*) AS n_rets,
+    CAST(sum(CAST(r AS DECIMAL(38,18))) AS DOUBLE) AS s1,
+    CAST(sum(CAST(r * r AS DECIMAL(38,18))) AS DOUBLE) AS s2,
+    CAST(sum(CAST(r * r * r AS DECIMAL(38,18))) AS DOUBLE) AS s3,
+    CAST(sum(CAST(r * r * r * r AS DECIMAL(38,18))) AS DOUBLE) AS s4
+  FROM rets GROUP BY ticker),
+d AS (
+  SELECT ticker, n_rets, s1, s2, s3, s4,
+    CAST(n_rets AS DOUBLE) AS nd, s1 / CAST(n_rets AS DOUBLE) AS mean,
+    s2 / CAST(n_rets AS DOUBLE) -
+      s1 / CAST(n_rets AS DOUBLE) * (s1 / CAST(n_rets AS DOUBLE)) AS v
+  FROM m)
+SELECT ticker, n_rets,
+  round(mean, 6) AS mean_ret,
+  CASE WHEN n_rets > 1 AND v > 0.0 THEN round(v, 6) END AS var_ret,
+  CASE WHEN n_rets > 1 AND v > 0.0 THEN
+    round((s3 / nd - 3.0 * mean * v - mean * mean * mean) /
+      sqrt(v * v * v), 6) END AS skew_ret,
+  CASE WHEN n_rets > 1 AND v > 0.0 THEN
+    round((s4 / nd - 4.0 * mean * (s3 / nd) +
+      6.0 * mean * mean * (s2 / nd) -
+      3.0 * mean * mean * mean * mean) / (v * v) - 3.0, 6)
+  END AS kurt_excess
+FROM d ORDER BY ticker"""),
     "stock_corr_pairs" -> (barsCte + """,
 rets AS (
   SELECT ticker, bucket,

@@ -550,6 +550,11 @@ object SparkEntry {
     "rel_pit_join" -> (Relational.pitJoin _),
     // concurrency timeline: +1/−1 session sweep, banded prefix sums
     "rel_concurrency" -> ((s, d) => Relational.concurrency(s, d)),
+    // return-distribution moments (skew/kurtosis from decimal sums)
+    "stock_moments" -> (TimeSeries.momentStats _),
+    // per-source Shannon entropy of the language mix
+    "text_lang_entropy" -> ((s, d) =>
+      TextAnalysis.langEntropy(Tables.documents(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

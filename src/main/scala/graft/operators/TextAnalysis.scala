@@ -445,6 +445,30 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source language entropy: Shannon entropy (nats) of each
+    * source's language mix — the diversity statistic a mixture planner
+    * reads next to token shares (a zero-entropy source is monolingual;
+    * entropy near ln(#langs) means uniform coverage). Shares are exact
+    * integer ratios; each −p·ln p term rounds to a fixed 12-decimal
+    * grid and sums as DECIMAL — the language count per source is tiny
+    * but the decimal sum makes the aggregate order-independent on
+    * principle, not by luck. */
+  def langEntropy(documents: DataFrame): DataFrame = {
+    val counts = documents.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+    val tots = counts.groupBy(col("source"))
+      .agg(sum(col("n")).as("tot"), count(lit(1)).as("n_langs"))
+    val p = col("n").cast("double") / col("tot")
+    counts.join(broadcast(tots), Seq("source"))
+      .select(col("source"), col("n_langs"), col("tot"),
+        round(-p * log(p), 12).cast("decimal(18,12)").as("term"))
+      .groupBy(col("source"))
+      .agg(max(col("n_langs")).as("n_langs"),
+        max(col("tot")).as("n_docs"),
+        round(sum(col("term")).cast("double"), 6).as("lang_entropy"))
+      .orderBy(col("source"))
+  }
+
   /** Tokenizer fertility by language — subwords per whitespace word
     * and characters per subword, the tokenizer-health metric a
     * multilingual corpus is profiled with before training (a language

@@ -143,6 +143,54 @@ object TimeSeries {
   private def nanToNull(c: org.apache.spark.sql.Column) =
     when(isnan(c), lit(null)).otherwise(c)
 
+  /** Return-distribution moments per ticker: mean, variance, skewness
+    * and excess kurtosis of the 5-minute simple returns — the shape
+    * statistics (fat tails, asymmetry) a risk stack reads before
+    * trusting any Gaussian assumption. The four power sums accumulate
+    * as DECIMAL(38,18) of identically-computed double powers — the
+    * cast rounds both engines' IDENTICAL doubles to the same grid, so
+    * the sums are exact and order-independent under any partitioning —
+    * and only the closed-form moment ratios are double math, in one
+    * pinned order. Degenerate series (variance 0, n < 2) yield NULL. */
+  def momentStats(spark: SparkSession, dir: String): DataFrame =
+    momentsBars(closeBars5m(
+      StockPipeline.normalize(Tables.events(spark, dir))))
+
+  private[graft] def momentsBars(bars: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("ticker")).orderBy(col("bucket"))
+    val prev = lag(col("close"), 1).over(w)
+    val rets = bars
+      .select(col("ticker"),
+        when(prev =!= 0.0, col("close") / prev - 1).as("r"))
+      .filter(col("r").isNotNull)
+    def dsum18(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(38,18)")).cast("double")
+    val m = rets.groupBy(col("ticker"))
+      .agg(count(lit(1)).as("n_rets"),
+        dsum18(col("r")).as("s1"),
+        dsum18(col("r") * col("r")).as("s2"),
+        dsum18(col("r") * col("r") * col("r")).as("s3"),
+        dsum18(col("r") * col("r") * col("r") * col("r")).as("s4"))
+    val nd = col("n_rets").cast("double")
+    val mean = col("s1") / nd
+    val variance = col("s2") / nd - mean * mean
+    val skew = (col("s3") / nd - lit(3.0) * mean * variance -
+      mean * mean * mean) / sqrt(variance * variance * variance)
+    val kurt = (col("s4") / nd - lit(4.0) * mean * (col("s3") / nd) +
+      lit(6.0) * mean * mean * (col("s2") / nd) -
+      lit(3.0) * mean * mean * mean * mean) / (variance * variance) -
+      lit(3.0)
+    m.select(col("ticker"), col("n_rets"),
+        round(mean, 6).as("mean_ret"),
+        when(col("n_rets") > 1 && variance > 0.0, round(variance, 6))
+          .as("var_ret"),
+        when(col("n_rets") > 1 && variance > 0.0, round(skew, 6))
+          .as("skew_ret"),
+        when(col("n_rets") > 1 && variance > 0.0, round(kurt, 6))
+          .as("kurt_excess"))
+      .orderBy(col("ticker"))
+  }
+
   /** Rolling-correlation lookback, shared with the oracle generator. */
   val RollCorrSpan = 20
 

@@ -483,6 +483,21 @@ class CurationSpec extends SparkSpec {
     assert(out(2L)._2 === out(4L)._2 && out(1L)._2 === out(3L)._2)
   }
 
+  test("langEntropy: monolingual source → 0, uniform two-lang source " +
+      "→ ln 2; counts are right") {
+    val d = Seq(
+      (1L, "x", "en", "mono", 1L), (2L, "x", "en", "mono", 1L),
+      (3L, "x", "en", "duo", 1L), (4L, "x", "es", "duo", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.operators.TextAnalysis.langEntropy(d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("mono") === ((1L, 2L, 0.0)))
+    val (nl, nd, h) = out("duo")
+    assert(nl === 2L && nd === 2L)
+    assert(math.abs(h - math.log(2.0)) < 1e-6)
+  }
+
   test("classifierCalibration: buckets partition all docs, keep " +
       "counts agree with a direct join of the two operators") {
     val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")

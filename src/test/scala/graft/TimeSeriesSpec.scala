@@ -390,6 +390,31 @@ class TimeSeriesSpec extends SparkSpec {
     assert(math.abs(bc.last._3.get - (-1.0)) < 2e-6)
   }
 
+  test("momentsBars: hand-checkable series — symmetric returns give " +
+      "zero skew, constant series degenerates to NULL moments") {
+    // closes 100, 110, 100, 110, ... → returns alternate +0.1, −1/11:
+    // NOT symmetric; use returns +r, −r alternating via closes
+    // 100, 120, 96, 115.2, ... (×1.2, ×0.8): returns +0.2, −0.2
+    val a = (0 until 21).scanLeft(100.0) { (c, i) =>
+      if (i % 2 == 0) c * 1.2 else c * 0.8
+    }.take(21)
+    val out = TimeSeries.momentsBars(
+      bars(a.zipWithIndex.map { case (c, i) => ("A", i * 5, c) } ++
+        (0 until 10).map(i => ("C", i * 5, 5.0)): _*))
+      .collect()
+      .map(r => r.getString(0) -> r).toMap
+    val aRow = out("A")
+    // returns alternate exactly +0.2/−0.2 → mean 0, skew 0,
+    // variance 0.04, kurtosis of a two-point symmetric dist = −2
+    assert(math.abs(aRow.getDouble(2)) < 1e-6)
+    assert(math.abs(aRow.getDouble(3) - 0.04) < 1e-6)
+    assert(math.abs(aRow.getDouble(4)) < 1e-4)
+    assert(math.abs(aRow.getDouble(5) - (-2.0)) < 1e-3)
+    // constant series: all returns 0 → variance 0 → NULL moments
+    val c = out("C")
+    assert(c.isNullAt(3) && c.isNullAt(4) && c.isNullAt(5))
+  }
+
   test("streaming MACD (transformWithState) is bit-identical to the " +
       "batch lag-chain kernels across split triggers") {
     implicit val sqlCtx = spark.sqlContext
