@@ -135,6 +135,26 @@ SELECT rank, token, freq,
   round(freq::DOUBLE / n_total, 6) AS obs_share,
   round(f1::DOUBLE / rank / n_total, 6) AS zipf_share
 FROM rk, tot, f1 ORDER BY rank""",
+    // pairwise source vocabulary Jaccard: exact integer set measures
+    "text_source_overlap" -> s"""
+WITH $toksCte,
+st AS (
+  SELECT DISTINCT source, unnest(tk) AS token FROM toks),
+sz AS (SELECT source, count(*) AS n_terms FROM st GROUP BY 1),
+cm AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+    count(*) AS n_common
+  FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT source_a, source_b,
+  sa.n_terms AS terms_a, sb.n_terms AS terms_b,
+  n_common::BIGINT AS n_common,
+  round(n_common::DOUBLE / (sa.n_terms + sb.n_terms - n_common), 6)
+    AS vocab_jaccard
+FROM cm
+JOIN sz sa ON source_a = sa.source
+JOIN sz sb ON source_b = sb.source
+ORDER BY source_a, source_b""",
     // per-source language entropy: exact shares, decimal-summed terms
     "text_lang_entropy" -> """
 WITH c AS (

@@ -339,6 +339,34 @@ SELECT ticker_a, ticker_b, bucket, CAST(n AS BIGINT) AS n_obs,
     THEN round((n * sxy - sx * sy) /
       sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) END AS roll_corr
 FROM k ORDER BY ticker_a, ticker_b, bucket"""),
+    "stock_var_es" -> (barsCte + s""",
+rets AS (
+  SELECT ticker,
+    CASE WHEN lag(close, 1) OVER tw <> 0
+      THEN close / lag(close, 1) OVER tw - 1 END AS v
+  FROM bars
+  WINDOW tw AS (PARTITION BY ticker ORDER BY bucket)
+  QUALIFY v IS NOT NULL),
+q AS (
+  SELECT ticker,
+    round(quantile_cont(v, ${graft.operators.TimeSeries.VarLevel})::DOUBLE,
+      6) AS var_5
+  FROM rets GROUP BY ticker),
+a AS (
+  SELECT r.ticker, count(*) AS n_rets, max(q.var_5) AS v5,
+    count(*) FILTER (r.v <= q.var_5) AS n_tail,
+    CAST(sum(CAST(r.v AS DECIMAL(38,18)))
+        FILTER (r.v <= q.var_5) AS DOUBLE) /
+      count(*) FILTER (r.v <= q.var_5) AS es_raw
+  FROM rets r JOIN q ON r.ticker = q.ticker GROUP BY r.ticker)
+SELECT ticker, n_rets,
+  CASE WHEN n_rets >= ${graft.operators.TimeSeries.VarMinObs}
+    THEN v5 END AS var_5,
+  CASE WHEN n_rets >= ${graft.operators.TimeSeries.VarMinObs}
+    THEN CAST(n_tail AS BIGINT) END AS n_tail,
+  CASE WHEN n_rets >= ${graft.operators.TimeSeries.VarMinObs}
+    THEN round(es_raw, 6) END AS es_5
+FROM a ORDER BY ticker"""),
     "stock_moments" -> (barsCte + """,
 rets AS (
   SELECT ticker,

@@ -555,6 +555,11 @@ object SparkEntry {
     // per-source Shannon entropy of the language mix
     "text_lang_entropy" -> ((s, d) =>
       TextAnalysis.langEntropy(Tables.documents(s, d))),
+    // historical VaR / expected shortfall (banded exact percentiles)
+    "stock_var_es" -> (TimeSeries.varEs _),
+    // pairwise source vocabulary Jaccard (redundancy map)
+    "text_source_overlap" -> ((s, d) =>
+      TextAnalysis.sourceOverlap(Tables.documents(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

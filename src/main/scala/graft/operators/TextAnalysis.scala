@@ -445,6 +445,36 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Pairwise source vocabulary overlap: Jaccard similarity of the
+    * distinct token sets of every source pair — the redundancy map
+    * that says which crawl sources contribute NEW vocabulary and
+    * which merely mirror each other. One distinct (source, token)
+    * projection; the self-join fans out per token to at most
+    * sources²/2 rows — bounded by the (metadata-sized) source count,
+    * never the corpus — and every measure is an exact integer ratio. */
+  def sourceOverlap(documents: DataFrame): DataFrame = {
+    val st = documents
+      .select(col("source"), explode(toks).as("token")).distinct()
+    val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("n_terms"))
+    val common = st.select(col("source").as("source_a"), col("token"))
+      .join(st.select(col("source").as("source_b"), col("token")),
+        Seq("token"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(broadcast(sizes.select(col("source").as("source_a"),
+        col("n_terms").as("terms_a"))), Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("n_terms").as("terms_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("terms_a"),
+        col("terms_b"), col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("terms_a") + col("terms_b") - col("n_common")), 6)
+          .as("vocab_jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Per-source language entropy: Shannon entropy (nats) of each
     * source's language mix — the diversity statistic a mixture planner
     * reads next to token shares (a zero-entropy source is monolingual;

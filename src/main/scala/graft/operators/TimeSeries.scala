@@ -191,6 +191,44 @@ object TimeSeries {
       .orderBy(col("ticker"))
   }
 
+  /** Historical VaR / Expected Shortfall per ticker at the 5% level:
+    * the loss-tail risk pair every market-risk report leads with. The
+    * 5% return quantile comes from the exact banded-percentile
+    * machinery ([[Quantiles.exactPercentilesBy]] — distinct-value
+    * scan, no global sort); the tail mean (ES) is a decimal-exact
+    * conditional sum below the ROUNDED VaR cutoff, so the tail
+    * membership test is the same 6-decimal value in both engines.
+    * Tickers with fewer than [[VarMinObs]] returns yield NULLs (a
+    * 5%-tail of nothing isn't a statistic). */
+  val VarLevel = 0.05
+  val VarMinObs = 20
+
+  def varEs(spark: SparkSession, dir: String): DataFrame = {
+    val bars = closeBars5m(StockPipeline.normalize(Tables.events(spark, dir)))
+    val w = Window.partitionBy(col("ticker")).orderBy(col("bucket"))
+    val prev = lag(col("close"), 1).over(w)
+    val rets = bars
+      .select(col("ticker"),
+        when(prev =!= 0.0, col("close") / prev - 1).as("v"))
+      .filter(col("v").isNotNull)
+    val qs = Quantiles.exactPercentilesBy(rets, Seq("ticker"), Seq(VarLevel))
+      .select(col("ticker"), round(element_at(col("bs"), 1), 6).as("var_5"))
+    rets.join(broadcast(qs), Seq("ticker"))
+      .groupBy(col("ticker"))
+      .agg(count(lit(1)).as("n_rets"),
+        max(col("var_5")).as("v5"),
+        count(when(col("v") <= col("var_5"), 1)).as("n_tail"),
+        (sum(when(col("v") <= col("var_5"), col("v"))
+          .cast("decimal(38,18)")).cast("double") /
+          count(when(col("v") <= col("var_5"), 1))).as("es_raw"))
+      .select(col("ticker"), col("n_rets"),
+        when(col("n_rets") >= VarMinObs, col("v5")).as("var_5"),
+        when(col("n_rets") >= VarMinObs, col("n_tail")).as("n_tail"),
+        when(col("n_rets") >= VarMinObs, round(col("es_raw"), 6))
+          .as("es_5"))
+      .orderBy(col("ticker"))
+  }
+
   /** Rolling-correlation lookback, shared with the oracle generator. */
   val RollCorrSpan = 20
 

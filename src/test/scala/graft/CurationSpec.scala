@@ -483,6 +483,22 @@ class CurationSpec extends SparkSpec {
     assert(out(2L)._2 === out(4L)._2 && out(1L)._2 === out(3L)._2)
   }
 
+  test("sourceOverlap: hand-checked Jaccard on literal vocabularies, " +
+      "upper-triangle pairs only") {
+    val d = Seq(
+      (1L, "aa bb cc", "en", "s1", 1L),
+      (2L, "bb cc dd", "en", "s2", 1L),
+      (3L, "xx yy", "en", "s3", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.operators.TextAnalysis.sourceOverlap(d).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    // s1 ∩ s2 = {bb, cc}: J = 2/(3+3-2) = 0.5; s3 is disjoint → absent
+    assert(out.keySet === Set(("s1", "s2")))
+    assert(out(("s1", "s2")) === ((3L, 3L, 2L, 0.5)))
+  }
+
   test("langEntropy: monolingual source → 0, uniform two-lang source " +
       "→ ln 2; counts are right") {
     val d = Seq(

@@ -390,6 +390,24 @@ class TimeSeriesSpec extends SparkSpec {
     assert(math.abs(bc.last._3.get - (-1.0)) < 2e-6)
   }
 
+  test("varEs on sf0.001: the 5% quantile brackets ~5% of returns, " +
+      "ES is the tail mean and never exceeds VaR") {
+    val out = TimeSeries.varEs(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    assert(out.nonEmpty)
+    out.filter(_._3.isDefined).foreach {
+      case (_, n, Some(v5), Some(nt), Some(es)) =>
+        assert(es <= v5 + 1e-9, "tail mean cannot exceed its cutoff")
+        // the tail holds at least the 5% mass (ties can add more)
+        assert(nt >= (0.05 * n - 1).toLong && nt <= n / 2)
+      case _ => ()
+    }
+    assert(out.exists(_._3.isDefined), "sf data has ≥20-return tickers")
+  }
+
   test("momentsBars: hand-checkable series — symmetric returns give " +
       "zero skew, constant series degenerates to NULL moments") {
     // closes 100, 110, 100, 110, ... → returns alternate +0.1, −1/11:
