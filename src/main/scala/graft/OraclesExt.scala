@@ -1605,12 +1605,57 @@ WHERE cosine >= ${graft.operators.Similarity.rangeTau}
 ORDER BY query_id, cosine DESC, neighbor_id"""),
     // label propagation over the kNN graph: clamped seeds, integer
     // majority votes (ties → smallest label), lpIters unrolled rounds
-    "sim_label_propagation" -> (simBase + kmeansCtes + {
-      val it = graft.operators.Similarity.kmIters
-      val seeds = graft.operators.Similarity.lpSeeds
-      val k = graft.operators.Similarity.lpK
-      val rounds = (1 to graft.operators.Similarity.lpIters).map { r =>
-        s""",
+    "sim_label_propagation" -> (lpChainCtes + s"""
+SELECT vec_id, (vec_id < ${graft.operators.Similarity.lpSeeds}) AS is_seed,
+  lab AS label
+FROM l${graft.operators.Similarity.lpIters}
+ORDER BY vec_id"""),
+    // community-quality report: Newman modularity terms over the
+    // symmetrized kNN graph restricted to labeled nodes
+    "sim_lp_communities" -> (lpChainCtes + s""",
+lf AS (SELECT vec_id, lab FROM l${graft.operators.Similarity.lpIters}
+  WHERE lab IS NOT NULL),
+und AS (
+  SELECT DISTINCT least(vec_id, neighbor_id) AS a,
+    greatest(vec_id, neighbor_id) AS b
+  FROM e),
+le AS (
+  SELECT u.a, u.b, la.lab AS la, lb.lab AS lb
+  FROM und u JOIN lf la ON u.a = la.vec_id
+             JOIN lf lb ON u.b = lb.vec_id),
+mm AS (SELECT count(*) AS m_edges FROM le),
+dg AS (
+  SELECT lab, count(*) AS degree_sum FROM (
+    SELECT a AS v, la AS lab FROM le
+    UNION ALL SELECT b AS v, lb AS lab FROM le)
+  GROUP BY 1),
+ie AS (SELECT la AS lab, count(*) AS in_edges FROM le WHERE la = lb
+  GROUP BY 1),
+nd AS (SELECT lab, count(*) AS n_nodes FROM lf GROUP BY 1)
+SELECT nd.lab AS community, nd.n_nodes::BIGINT AS n_nodes,
+  CAST(coalesce(ie.in_edges, 0) AS BIGINT) AS in_edges,
+  CAST(coalesce(dg.degree_sum, 0) AS BIGINT) AS degree_sum,
+  round(coalesce(ie.in_edges, 0)::DOUBLE / CAST(m_edges AS DOUBLE) -
+    (coalesce(dg.degree_sum, 0)::DOUBLE /
+      (2.0 * CAST(m_edges AS DOUBLE))) *
+    (coalesce(dg.degree_sum, 0)::DOUBLE /
+      (2.0 * CAST(m_edges AS DOUBLE))), 6) AS modularity_term
+FROM nd
+LEFT JOIN dg USING (lab)
+LEFT JOIN ie USING (lab)
+CROSS JOIN mm
+ORDER BY community"""),
+  )
+
+  /** Shared label-propagation CTE chain: simBase + the unrolled Lloyd
+    * build + kNN edges (`e`) + vote rounds ending in `l<lpIters>` —
+    * one definition for the label query and the community report. */
+  private lazy val lpChainCtes: String = simBase + kmeansCtes + {
+    val it = graft.operators.Similarity.kmIters
+    val seeds = graft.operators.Similarity.lpSeeds
+    val k = graft.operators.Similarity.lpK
+    val rounds = (1 to graft.operators.Similarity.lpIters).map { r =>
+      s""",
 v$r AS (
   SELECT e.vec_id, l.lab, count(*) AS c
   FROM e JOIN l${r - 1} l ON e.neighbor_id = l.vec_id
@@ -1624,8 +1669,8 @@ l$r AS (
     CASE WHEN b.vec_id < $seeds THEN b.label::BIGINT ELSE a$r.lab END
       AS lab
   FROM base b LEFT JOIN a$r ON b.vec_id = a$r.vec_id)"""
-      }.mkString
-      s""",
+    }.mkString
+    s""",
 kp AS (
   SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
     round(list_inner_product(a.ev, b.ev), 6) AS cosine
@@ -1640,12 +1685,8 @@ e AS (
   WHERE rank <= $k),
 l0 AS (
   SELECT vec_id, CASE WHEN vec_id < $seeds THEN label::BIGINT END AS lab
-  FROM base)$rounds
-SELECT vec_id, (vec_id < $seeds) AS is_seed, lab AS label
-FROM l${graft.operators.Similarity.lpIters}
-ORDER BY vec_id"""
-    }),
-  )
+  FROM base)$rounds"""
+  }
 
   // ---------------- multimodal ----------------
 

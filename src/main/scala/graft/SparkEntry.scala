@@ -560,6 +560,9 @@ object SparkEntry {
     // pairwise source vocabulary Jaccard (redundancy map)
     "text_source_overlap" -> ((s, d) =>
       TextAnalysis.sourceOverlap(Tables.documents(s, d))),
+    // Newman modularity terms for the propagated communities
+    "sim_lp_communities" -> ((s, d) =>
+      Similarity.lpCommunities(Tables.embeddings(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

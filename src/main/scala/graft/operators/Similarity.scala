@@ -558,9 +558,20 @@ object Similarity {
     * the [[pageRank]] iteration shape with integer votes instead of
     * float mass, lineage cut per round. */
   def labelPropagation(embeddings: DataFrame, seeds: Int = lpSeeds,
-      iters: Int = lpIters, k: Int = lpK, cells: Int = kmK): DataFrame = {
-    val edges = knnGraph(embeddings, k, cells)
-      .select(col("vec_id"), col("neighbor_id")).pin()
+      iters: Int = lpIters, k: Int = lpK, cells: Int = kmK): DataFrame =
+    lpLabels(knnGraph(embeddings, k, cells)
+        .select(col("vec_id"), col("neighbor_id")).pin(),
+        embeddings, seeds, iters)
+      .select(col("vec_id"), (col("vec_id") < seeds).as("is_seed"),
+        col("lab").as("label"))
+      .orderBy(col("vec_id"))
+
+  /** The propagation core over a prebuilt edge list — shared by
+    * [[labelPropagation]] and [[lpCommunities]] so the vote semantics
+    * cannot drift between the label table and its quality report.
+    * Returns (vec_id, lab — nullable). */
+  private[operators] def lpLabels(edges: DataFrame, embeddings: DataFrame,
+      seeds: Int, iters: Int): DataFrame = {
     val isSeed = col("vec_id") < seeds
     val base = embeddings.select(col("vec_id"),
       when(isSeed, col("label").cast("long")).as("seed_lab"))
@@ -583,9 +594,58 @@ object Similarity {
         .pin()
     }
     labels
-      .select(col("vec_id"), (col("vec_id") < seeds).as("is_seed"),
-        col("lab").as("label"))
-      .orderBy(col("vec_id"))
+  }
+
+  /** Community-quality report for the propagated labels: per
+    * community, node count, internal-edge count, degree sum, and its
+    * Newman modularity contribution `m_c/m − (d_c/2m)²` over the
+    * SYMMETRIZED kNN graph restricted to labeled nodes — the standard
+    * "are these communities better than random" check that decides
+    * whether the propagation result is usable. One shared edge build
+    * (the same pinned list the labels were computed from — the vote
+    * and the audit can't see different graphs), then integer-exact
+    * edge/degree counts; the only doubles are the per-community
+    * closed-form terms, one row per community. */
+  def lpCommunities(embeddings: DataFrame, seeds: Int = lpSeeds,
+      iters: Int = lpIters, k: Int = lpK, cells: Int = kmK): DataFrame = {
+    val edges = knnGraph(embeddings, k, cells)
+      .select(col("vec_id"), col("neighbor_id")).pin()
+    val labels = lpLabels(edges, embeddings, seeds, iters)
+      .filter(col("lab").isNotNull)
+    // undirected simple graph: dedupe the symmetrized pair set
+    val und = edges
+      .select(least(col("vec_id"), col("neighbor_id")).as("a"),
+        greatest(col("vec_id"), col("neighbor_id")).as("b"))
+      .distinct()
+    val labeled = und
+      .join(labels.select(col("vec_id").as("a"), col("lab").as("la")),
+        Seq("a"))
+      .join(labels.select(col("vec_id").as("b"), col("lab").as("lb")),
+        Seq("b"))
+    val m = labeled.agg(count(lit(1)).as("m_edges"))
+    val degrees = labeled.select(col("a").as("v"), col("la").as("lab"))
+      .unionAll(labeled.select(col("b").as("v"), col("lb").as("lab")))
+      .groupBy(col("lab"))
+      .agg(count(lit(1)).as("degree_sum"))
+    val internal = labeled.filter(col("la") === col("lb"))
+      .groupBy(col("la").as("lab"))
+      .agg(count(lit(1)).as("in_edges"))
+    val nodes = labels.groupBy(col("lab"))
+      .agg(count(lit(1)).as("n_nodes"))
+    val md = col("m_edges").cast("double")
+    nodes
+      .join(degrees, Seq("lab"), "left")
+      .join(internal, Seq("lab"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("lab").as("community"), col("n_nodes"),
+        coalesce(col("in_edges"), lit(0L)).as("in_edges"),
+        coalesce(col("degree_sum"), lit(0L)).as("degree_sum"),
+        round(coalesce(col("in_edges"), lit(0L)).cast("double") / md -
+          (coalesce(col("degree_sum"), lit(0L)).cast("double") /
+            (lit(2.0) * md)) *
+          (coalesce(col("degree_sum"), lit(0L)).cast("double") /
+            (lit(2.0) * md)), 6).as("modularity_term"))
+      .orderBy(col("community"))
   }
 
   /** Cosine threshold for [[knnComponents]] edges — shared with the

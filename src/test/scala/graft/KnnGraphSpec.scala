@@ -247,6 +247,28 @@ class KnnGraphSpec extends SparkSpec {
     assert(got.toSet === expected)
   }
 
+  test("lpCommunities: modularity identities hold — in-edges ≤ half " +
+      "degree sum, terms sum within [-1, 1], nodes match the label run") {
+    val out = Similarity.lpCommunities(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.nonEmpty)
+    // per community: every internal edge contributes 2 to the degree
+    // sum, cross edges 1 per endpoint → 2·in_edges ≤ degree_sum
+    out.foreach { case (_, n, in, deg, _) =>
+      assert(2 * in <= deg)
+      assert(n > 0)
+    }
+    val q = out.map(_._5).sum
+    assert(q >= -1.0 - 1e-6 && q <= 1.0 + 1e-6,
+      s"total modularity $q out of range")
+    // node counts agree with the labeled rows of the label query
+    val labeled = Similarity.labelPropagation(emb).collect()
+      .filter(!_.isNullAt(2)).groupBy(_.getLong(2)).view
+      .mapValues(_.length.toLong).toMap
+    assert(out.map(x => x._1 -> x._2).toMap === labeled)
+  }
+
   test("qualitySeparation: two verdict rows, counts partition the " +
       "joined corpus, both cross_cos values agree, cohesions in [-1,1]") {
     val docs = graft.sources.Tables.documents(spark, dir)
