@@ -169,6 +169,40 @@ SELECT source, max(n_langs)::BIGINT AS n_langs,
     AS DECIMAL(18,12))) AS DOUBLE), 6) AS lang_entropy
 FROM c JOIN t USING (source)
 GROUP BY source ORDER BY source""",
+    // DSIR-ranked selection: top-N by mean importance log-ratio
+    "corpus_dsir_select" -> s"""
+WITH $toksCte,
+tok AS (
+  SELECT doc_id, lang,
+    ('0x' || substr(md5(t), 1, 8))::BIGINT %
+      ${graft.operators.Curation.dsirBuckets} AS bkt
+  FROM (SELECT doc_id, lang, unnest(tk) AS t FROM toks)),
+rc AS (SELECT bkt, count(*) AS cr FROM tok GROUP BY 1),
+tc AS (SELECT bkt, count(*) AS ct FROM tok
+  WHERE lang = '${graft.operators.Curation.dsirTargetLang}' GROUP BY 1),
+tots AS (
+  SELECT count(*) AS rtot,
+    count(*) FILTER (lang = '${graft.operators.Curation.dsirTargetLang}')
+      AS ttot
+  FROM tok),
+w AS (
+  SELECT bkt,
+    ln((coalesce(ct, 0) + 1)::DOUBLE /
+        (ttot::DOUBLE + ${graft.operators.Curation.dsirBuckets.toDouble})) -
+    ln((cr + 1)::DOUBLE /
+        (rtot::DOUBLE + ${graft.operators.Curation.dsirBuckets.toDouble}))
+      AS lw
+  FROM rc LEFT JOIN tc USING (bkt) CROSS JOIN tots),
+sc AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+    round(sum(lw) / count(*), 6) AS dsir_logw
+  FROM tok JOIN w USING (bkt)
+  GROUP BY doc_id)
+SELECT doc_id, n_tokens, dsir_logw,
+  row_number() OVER (ORDER BY dsir_logw DESC, doc_id)::BIGINT AS rank
+FROM sc
+ORDER BY dsir_logw DESC, doc_id
+LIMIT ${graft.operators.Curation.dsirSelectN}""",
     // tokenizer fertility by language: BPE totals (shared RECURSIVE
     // greedy-match chain) over integer sums
     "text_fertility" -> s"""

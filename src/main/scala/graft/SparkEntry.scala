@@ -563,6 +563,9 @@ object SparkEntry {
     // Newman modularity terms for the propagated communities
     "sim_lp_communities" -> ((s, d) =>
       Similarity.lpCommunities(Tables.embeddings(s, d))),
+    // DSIR-ranked top-N selection (TakeOrdered, bounded heaps)
+    "corpus_dsir_select" -> ((s, d) =>
+      graft.operators.Curation.dsirSelect(Tables.documents(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -843,6 +843,26 @@ object Curation {
       .orderBy(col("bucket"))
   }
 
+  /** DSIR selection budget — docs kept by [[dsirSelect]]. */
+  val dsirSelectN = 200
+
+  /** DSIR-ranked selection: the top-[[dsirSelectN]] documents by mean
+    * importance log-ratio — the "resample toward the target domain"
+    * step the DSIR scores exist for. Global top-k plans as
+    * TakeOrderedAndProject (per-partition bounded heaps + one final
+    * merge — never a full sort), and the rank column is a window over
+    * the ALREADY-SELECTED k rows (metadata-sized, the bounded
+    * exception). Deterministic ties by doc_id. */
+  def dsirSelect(documents: DataFrame, n: Int = dsirSelectN): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    dsirScores(documents)
+      .orderBy(col("dsir_logw").desc, col("doc_id"))
+      .limit(n)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("dsir_logw").desc, col("doc_id"))).cast("long"))
+      .orderBy(col("rank"))
+  }
+
   /** Streaming DSIR scoring: the weight table resolved to a LITERAL
     * map (B entries — metadata-sized, the legitimate bounded collect),
     * so scoring is a stateless per-row projection — no join, no

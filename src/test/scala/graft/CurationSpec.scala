@@ -483,6 +483,25 @@ class CurationSpec extends SparkSpec {
     assert(out(2L)._2 === out(4L)._2 && out(1L)._2 === out(3L)._2)
   }
 
+  test("dsirSelect: ranks descend by score with doc_id ties, and the " +
+      "selection is exactly the top-N of the full score table") {
+    val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val n = 25
+    val sel = Curation.dsirSelect(d, n).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getLong(3)))
+    assert(sel.length === n)
+    assert(sel.map(_._3).toSeq === (1L to n).toSeq)
+    sel.toSeq.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(a._2 > b._2 || (a._2 == b._2 && a._1 < b._1))
+      case _ => ()
+    }
+    val all = Curation.dsirScores(d).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+      .sortBy(x => (-x._2, x._1)).take(n).map(_._1)
+    assert(sel.map(_._1).toSeq === all.toSeq)
+  }
+
   test("sourceOverlap: hand-checked Jaccard on literal vocabularies, " +
       "upper-triangle pairs only") {
     val d = Seq(
