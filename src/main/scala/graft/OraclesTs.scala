@@ -229,6 +229,23 @@ SELECT ticker, window_timestamp, open, high, low, close,
 FROM ohlc
 WINDOW tw AS (PARTITION BY ticker ORDER BY window_timestamp)
 ORDER BY ticker, window_timestamp"""),
+    "stock_intraday_profile" -> """
+WITH stock AS (
+  SELECT event_type AS ticker, ts::TIMESTAMP AS ts,
+    value::DOUBLE AS price,
+    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS volume
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+    AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL)
+SELECT ticker, CAST(hour(ts) AS BIGINT) AS hour_utc,
+  count(*)::BIGINT AS n_events,
+  CAST(sum(volume) AS BIGINT) AS total_volume,
+  CASE WHEN CAST(sum(volume) AS BIGINT) > 0 THEN
+    round(CAST(sum(CAST(price * volume AS DECIMAL(28,10))) AS DOUBLE) /
+      CAST(sum(volume) AS BIGINT), 6)
+  END AS vwap
+FROM stock GROUP BY 1, 2
+ORDER BY ticker, hour_utc""",
     "stock_vwap" -> """
 WITH stock AS (
   SELECT event_type AS ticker, ts::TIMESTAMP AS ts,

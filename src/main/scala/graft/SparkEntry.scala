@@ -566,6 +566,8 @@ object SparkEntry {
     // DSIR-ranked top-N selection (TakeOrdered, bounded heaps)
     "corpus_dsir_select" -> ((s, d) =>
       graft.operators.Curation.dsirSelect(Tables.documents(s, d))),
+    // intraday liquidity profile per (ticker, hour-of-day)
+    "stock_intraday_profile" -> (TimeSeries.intradayProfile _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -378,6 +378,26 @@ object TimeSeries {
       .orderBy(col("ticker"), col("window_timestamp"))
   }
 
+  /** Intraday profile: per (ticker, hour-of-day), event count, exact
+    * volume sum and decimal-exact VWAP — the time-of-day seasonality
+    * surface (liquidity concentrates at session edges; execution
+    * schedulers weight by exactly this curve). One hash aggregate on
+    * the (ticker, hour) grain — 24 rows per symbol at any scale. */
+  def intradayProfile(spark: SparkSession, dir: String): DataFrame = {
+    val stock = StockPipeline.normalize(Tables.events(spark, dir))
+    stock
+      .groupBy(col("ticker"), hour(col("ts")).cast("long").as("hour_utc"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("volume")).as("total_volume"),
+        sum((col("price") * col("volume")).cast("decimal(28,10)"))
+          .cast("double").as("value"))
+      .select(col("ticker"), col("hour_utc"), col("n_events"),
+        col("total_volume"),
+        when(col("total_volume") > 0,
+          round(col("value") / col("total_volume"), 6)).as("vwap"))
+      .orderBy(col("ticker"), col("hour_utc"))
+  }
+
   /** MACD spans (fast/slow/signal), shared with the oracle generator. */
   val MacdFast = 12
   val MacdSlow = 26

@@ -390,6 +390,25 @@ class TimeSeriesSpec extends SparkSpec {
     assert(math.abs(bc.last._3.get - (-1.0)) < 2e-6)
   }
 
+  test("intradayProfile on sf0.001: hours in 0..23, counts sum to the " +
+      "normalized feed, vwap inside each hour's price hull") {
+    val dir = "/root/testdata/sf0.001"
+    val out = TimeSeries.intradayProfile(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    assert(out.nonEmpty)
+    out.foreach { case (_, h, _, _, _) => assert(h >= 0 && h <= 23) }
+    val stock = graft.operators.StockPipeline.normalize(
+      graft.sources.Tables.events(spark, dir))
+    assert(out.map(_._3).sum === stock.count())
+    // hull check for one bucket
+    val (tk, h, _, _, Some(vw)) = out.find(_._5.isDefined).get
+    val prices = stock.filter(col("ticker") === tk &&
+        hour(col("ts")) === h)
+      .select("price").collect().map(_.getDouble(0))
+    assert(vw >= prices.min - 1e-6 && vw <= prices.max + 1e-6)
+  }
+
   test("varEs on sf0.001: the 5% quantile brackets ~5% of returns, " +
       "ES is the tail mean and never exceeds VaR") {
     val out = TimeSeries.varEs(spark, "/root/testdata/sf0.001").collect()
