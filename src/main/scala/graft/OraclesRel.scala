@@ -972,6 +972,20 @@ c AS (
 SELECT p_brand, CAST(max(tw) AS BIGINT) AS total_qty,
   min(CASE WHEN 2 * cw >= tw THEN price END) AS w_median_price
 FROM c GROUP BY p_brand ORDER BY p_brand""",
+    // repeat-purchase retention KPI: exact integer ratios
+    "rel_repeat_rate" -> """
+WITH pc AS (
+  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1)
+SELECT c_mktsegment,
+  count(*)::BIGINT AS n_buyers,
+  count(*) FILTER (n_orders >= 2)::BIGINT AS n_repeat,
+  CAST(sum(n_orders) AS BIGINT) AS n_orders,
+  round(count(*) FILTER (n_orders >= 2)::DOUBLE / count(*), 6)
+    AS repeat_rate,
+  round(CAST(sum(n_orders) AS BIGINT)::DOUBLE / count(*), 6)
+    AS orders_per_buyer
+FROM customer JOIN pc ON c_custkey = o_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     // RFM segmentation: deterministic quintile ranks, integer math
     "rel_rfm" -> s"""
 WITH bc AS (

@@ -356,6 +356,36 @@ SELECT ticker_a, ticker_b, bucket, CAST(n AS BIGINT) AS n_obs,
     THEN round((n * sxy - sx * sy) /
       sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) END AS roll_corr
 FROM k ORDER BY ticker_a, ticker_b, bucket"""),
+    "stock_beta" -> (barsCte + s""",
+rets AS (
+  SELECT ticker, bucket,
+    CASE WHEN lag(close, 1) OVER tw <> 0
+      THEN close / lag(close, 1) OVER tw - 1 END AS r
+  FROM bars
+  WINDOW tw AS (PARTITION BY ticker ORDER BY bucket)
+  QUALIFY r IS NOT NULL),
+mkt AS (
+  SELECT bucket,
+    CAST(sum(CAST(r AS DECIMAL(28,14))) AS DOUBLE) / count(*) AS m
+  FROM rets GROUP BY bucket),
+mo AS (
+  SELECT ticker, count(*) AS n_obs,
+    CAST(sum(CAST(r AS DECIMAL(38,18))) AS DOUBLE) AS sr,
+    CAST(sum(CAST(m AS DECIMAL(38,18))) AS DOUBLE) AS sm,
+    CAST(sum(CAST(r * m AS DECIMAL(38,18))) AS DOUBLE) AS srm,
+    CAST(sum(CAST(m * m AS DECIMAL(38,18))) AS DOUBLE) AS smm
+  FROM rets JOIN mkt USING (bucket) GROUP BY ticker)
+SELECT ticker, n_obs,
+  CASE WHEN n_obs >= ${graft.operators.TimeSeries.VarMinObs}
+      AND CAST(n_obs AS DOUBLE) * smm - sm * sm <> 0.0 THEN
+    round((CAST(n_obs AS DOUBLE) * srm - sr * sm) /
+      (CAST(n_obs AS DOUBLE) * smm - sm * sm), 6) END AS beta,
+  CASE WHEN n_obs >= ${graft.operators.TimeSeries.VarMinObs}
+      AND CAST(n_obs AS DOUBLE) * smm - sm * sm <> 0.0 THEN
+    round((sr - (CAST(n_obs AS DOUBLE) * srm - sr * sm) /
+        (CAST(n_obs AS DOUBLE) * smm - sm * sm) * sm) /
+      CAST(n_obs AS DOUBLE), 6) END AS alpha
+FROM mo ORDER BY ticker"""),
     "stock_var_es" -> (barsCte + s""",
 rets AS (
   SELECT ticker,

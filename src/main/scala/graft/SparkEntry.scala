@@ -568,6 +568,10 @@ object SparkEntry {
       graft.operators.Curation.dsirSelect(Tables.documents(s, d))),
     // intraday liquidity profile per (ticker, hour-of-day)
     "stock_intraday_profile" -> (TimeSeries.intradayProfile _),
+    // CAPM beta/alpha vs the equal-weight market (decimal moments)
+    "stock_beta" -> (TimeSeries.beta _),
+    // repeat-purchase retention KPI per market segment
+    "rel_repeat_rate" -> (Relational.repeatRate _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1971,6 +1971,28 @@ object Relational {
       .orderBy(col("p_brand"))
   }
 
+  /** Repeat-purchase rate per market segment — the retention KPI:
+    * share of a segment's ever-purchasing customers who ordered more
+    * than once, plus mean orders per buyer. Two hash aggregates on
+    * narrow keys; exact integer ratios. */
+  def repeatRate(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    Tables.customer(spark, dir)
+      .join(perCust, col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_buyers"),
+        count(when(col("n_orders") >= 2, 1)).as("n_repeat"),
+        sum(col("n_orders")).as("n_orders"))
+      .select(col("c_mktsegment"), col("n_buyers"), col("n_repeat"),
+        col("n_orders"),
+        round(col("n_repeat").cast("double") / col("n_buyers"), 6)
+          .as("repeat_rate"),
+        round(col("n_orders").cast("double") / col("n_buyers"), 6)
+          .as("orders_per_buyer"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** RFM customer segmentation — the classic recency/frequency/
     * monetary scoring: per customer, days since last order (vs the
     * corpus max date), order count, and decimal-exact lifetime spend,

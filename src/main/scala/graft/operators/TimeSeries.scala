@@ -191,6 +191,45 @@ object TimeSeries {
       .orderBy(col("ticker"))
   }
 
+  /** CAPM beta/alpha per ticker against the equal-weight market: the
+    * market return per bucket is the decimal-exact mean of all tickers
+    * trading that bucket, and each ticker's beta = cov(r, m)/var(m)
+    * and per-bucket alpha come from exact decimal moment sums (the
+    * [[momentStats]]/regrTrend discipline — products of identical
+    * doubles cast to a fixed decimal grid, summed order-independently)
+    * with only the closed forms in double math. Tickers need
+    * [[VarMinObs]] joint observations; degenerate market variance
+    * yields NULL. */
+  def beta(spark: SparkSession, dir: String): DataFrame = {
+    val bars = closeBars5m(StockPipeline.normalize(Tables.events(spark, dir)))
+    val w = Window.partitionBy(col("ticker")).orderBy(col("bucket"))
+    val prev = lag(col("close"), 1).over(w)
+    val rets = bars
+      .select(col("ticker"), col("bucket"),
+        when(prev =!= 0.0, col("close") / prev - 1).as("r"))
+      .filter(col("r").isNotNull)
+    val market = rets.groupBy(col("bucket"))
+      .agg((sum(col("r").cast("decimal(28,14)")).cast("double") /
+        count(lit(1))).as("m"))
+    def d18(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(38,18)")).cast("double")
+    val mo = rets.join(market, Seq("bucket"))
+      .groupBy(col("ticker"))
+      .agg(count(lit(1)).as("n_obs"),
+        d18(col("r")).as("sr"), d18(col("m")).as("sm"),
+        d18(col("r") * col("m")).as("srm"),
+        d18(col("m") * col("m")).as("smm"))
+    val nd = col("n_obs").cast("double")
+    val den = nd * col("smm") - col("sm") * col("sm")
+    val b = (nd * col("srm") - col("sr") * col("sm")) / den
+    mo.select(col("ticker"), col("n_obs"),
+        when(col("n_obs") >= VarMinObs && den =!= 0.0, round(b, 6))
+          .as("beta"),
+        when(col("n_obs") >= VarMinObs && den =!= 0.0,
+          round((col("sr") - b * col("sm")) / nd, 6)).as("alpha"))
+      .orderBy(col("ticker"))
+  }
+
   /** Historical VaR / Expected Shortfall per ticker at the 5% level:
     * the loss-tail risk pair every market-risk report leads with. The
     * 5% return quantile comes from the exact banded-percentile

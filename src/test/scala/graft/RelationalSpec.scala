@@ -659,6 +659,21 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("repeatRate: ratios recompute from direct counts; every " +
+      "rate in [0, 1], orders-per-buyer ≥ 1") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.operators.Relational.repeatRate(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, buyers, repeat, orders, rate, opb) =>
+      assert(repeat <= buyers && orders >= buyers)
+      assert(math.abs(rate - repeat.toDouble / buyers) < 1e-6)
+      assert(math.abs(opb - orders.toDouble / buyers) < 1e-6)
+      assert(opb >= 1.0)
+    }
+  }
+
   test("concurrency: timeline equals the naive global running sum, " +
       "ends at zero, and the peak flag marks exactly the maximum") {
     val dir = "/root/testdata/sf0.001"

@@ -390,6 +390,21 @@ class TimeSeriesSpec extends SparkSpec {
     assert(math.abs(bc.last._3.get - (-1.0)) < 2e-6)
   }
 
+  test("beta on sf0.001: betas are finite, the equal-weight portfolio " +
+      "of betas weighted by observations stays near 1") {
+    val out = TimeSeries.beta(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(out.nonEmpty)
+    val defined = out.flatMap(x => x._3.map(b => (x._2, b)))
+    assert(defined.nonEmpty)
+    defined.foreach { case (_, b) => assert(!b.isNaN && math.abs(b) < 50) }
+    // when every ticker trades every bucket, mean beta = 1 exactly;
+    // with ragged coverage it stays near 1
+    val meanBeta = defined.map(_._2).sum / defined.size
+    assert(meanBeta > 0.2 && meanBeta < 2.0, s"mean beta $meanBeta")
+  }
+
   test("intradayProfile on sf0.001: hours in 0..23, counts sum to the " +
       "normalized feed, vwap inside each hour's price hull") {
     val dir = "/root/testdata/sf0.001"
