@@ -459,6 +459,21 @@ FROM documents GROUP BY fingerprint ORDER BY rep_doc_id""",
       "SELECT * FROM sigs ORDER BY doc_id"),
     "dedup_minhash_pairs" -> (minhashPairsCtes +
       "SELECT * FROM jac WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"),
+    // shingle df histogram: the observability that sizes jaccardMaxDf
+    "dedup_df_profile" -> (minhashCte + s""",
+dfh AS (SELECT h, count(DISTINCT doc_id) AS df FROM shh GROUP BY 1),
+hist AS (SELECT df, count(*) AS n_shingles FROM dfh GROUP BY 1),
+tot AS (SELECT CAST(sum(n_shingles) AS BIGINT) AS n_total FROM hist)
+SELECT CAST(df AS BIGINT) AS df,
+  CAST(n_shingles AS BIGINT) AS n_shingles,
+  CAST(sum(n_shingles) OVER cw AS BIGINT) AS cum_shingles,
+  round(CAST(sum(n_shingles) OVER cw AS DOUBLE) / n_total, 6)
+    AS cum_share,
+  (df <= ${graft.operators.Dedup.jaccardMaxDf}) AS under_cap
+FROM hist CROSS JOIN tot
+WINDOW cw AS (ORDER BY df ROWS BETWEEN UNBOUNDED PRECEDING
+  AND CURRENT ROW)
+ORDER BY df"""),
     // MinHash estimator calibration: signature-agreement estimate vs
     // exact Jaccard over the candidate set; decimal-exact error sums
     "dedup_lsh_recall" -> (minhashPairsCtes + s""",
@@ -895,6 +910,24 @@ cx AS (
 SELECT keep, n_docs, cohesion, cross_cos
 FROM coh JOIN cx USING (keep)
 ORDER BY keep"""),
+    // cluster purity: majority true label per Lloyd cell
+    "sim_cluster_purity" -> (simBase + kmeansCtes + {
+      val it = graft.operators.Similarity.kmIters
+      s""",
+bl AS (
+  SELECT a.cell, e.label::BIGINT AS label, count(*) AS n
+  FROM asg$it a JOIN embeddings e ON a.vec_id = e.vec_id
+  GROUP BY 1, 2),
+sz AS (SELECT cell, CAST(sum(n) AS BIGINT) AS n_members FROM bl
+  GROUP BY 1)
+SELECT bl.cell, sz.n_members, bl.label AS majority_label,
+  CAST(bl.n AS BIGINT) AS n_majority,
+  round(bl.n::DOUBLE / sz.n_members, 6) AS purity
+FROM bl JOIN sz USING (cell)
+QUALIFY row_number() OVER (PARTITION BY bl.cell
+  ORDER BY bl.n DESC, bl.label) = 1
+ORDER BY bl.cell"""
+    }),
     // cell medoids: argmax member-vs-centroid cosine per Lloyd cell
     "sim_medoids" -> (simBase + kmeansCtes + {
       val it = graft.operators.Similarity.kmIters

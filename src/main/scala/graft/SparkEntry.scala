@@ -572,6 +572,12 @@ object SparkEntry {
     "stock_beta" -> (TimeSeries.beta _),
     // repeat-purchase retention KPI per market segment
     "rel_repeat_rate" -> (Relational.repeatRate _),
+    // external clustering eval: majority-label purity per Lloyd cell
+    "sim_cluster_purity" -> ((s, d) =>
+      Similarity.clusterPurity(Tables.embeddings(s, d))),
+    // shingle df histogram (sizes the jaccardMaxDf cap)
+    "dedup_df_profile" -> ((s, d) =>
+      Dedup.dfProfile(Tables.documents(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -130,6 +130,30 @@ object Dedup {
           (col("ca.n_sh") + col("cb.n_sh") - col("n_common")), 6).as("jaccard"))
   }
 
+  /** Shingle document-frequency profile — the histogram that SIZES the
+    * [[jaccardMaxDf]] cap: how many distinct shingles occur in exactly
+    * df documents, cumulative share included. A heavy df head means
+    * boilerplate (cap bites, fan-out bounded); a pure power-law tail
+    * means the cap is free. Two integer hash aggregates (shingle → df,
+    * df → count) plus a histogram-sized cumulative window — nothing
+    * data-sized past the first aggregate at any corpus. */
+  def dfProfile(documents: DataFrame): DataFrame = {
+    val df = shingleHashes(documents)
+      .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("df"))
+    val hist = df.groupBy(col("df")).agg(count(lit(1)).as("n_shingles"))
+    val tot = hist.agg(sum(col("n_shingles")).as("n_total"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("df"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    hist.crossJoin(broadcast(tot))
+      .select(col("df"), col("n_shingles"),
+        sum(col("n_shingles")).over(w).as("cum_shingles"),
+        round(sum(col("n_shingles")).over(w).cast("double") /
+          col("n_total"), 6).as("cum_share"),
+        (col("df") <= jaccardMaxDf).as("under_cap"))
+      .orderBy(col("df"))
+  }
+
   /** MinHash estimator calibration report — the evaluation every LSH
     * deployment owes its tuning decisions: over the band-collision
     * candidate set, compare the SIGNATURE-estimated Jaccard (fraction

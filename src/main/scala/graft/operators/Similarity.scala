@@ -166,6 +166,30 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** Cluster purity of the Lloyd cells against the true labels — the
+    * standard external clustering evaluation: per cell, member count,
+    * the majority true label (ties to the smallest), its count, and
+    * purity = majority/member. One integer hash aggregate on the
+    * (cell, label) grain plus a per-cell argmax — evaluation cost is
+    * the assignment scan, nothing pairwise. */
+  def clusterPurity(embeddings: DataFrame, cells: Int = kmK): DataFrame = {
+    val (asg, _) = kmeans(embeddings, cells)
+    val byLabel = asg
+      .join(embeddings.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .groupBy(col("cell"), col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell")).orderBy(col("n").desc, col("label"))
+    val sizes = byLabel.groupBy(col("cell")).agg(sum(col("n")).as("n_members"))
+    byLabel.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(sizes, Seq("cell"))
+      .select(col("cell"), col("n_members"),
+        col("label").as("majority_label"), col("n").as("n_majority"),
+        round(col("n").cast("double") / col("n_members"), 6).as("purity"))
+      .orderBy(col("cell"))
+  }
+
   /** Cross-modal quality/embedding separation — the [[labelSeparation]]
     * diagnostic applied to the CURATION signal instead of the label
     * column: join the documents table's rule-based quality verdict

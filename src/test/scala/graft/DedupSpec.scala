@@ -175,4 +175,24 @@ class DedupSpec extends SparkSpec {
     assert(banded === brute)
     assert(brute.nonEmpty, "fixture must contain close pairs")
   }
+
+  test("dfProfile: histogram mass equals the distinct shingle-hash " +
+      "count, cumulative share ends at 1, cap flag at the threshold") {
+    val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = graft.operators.Dedup.dfProfile(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))
+    assert(out.nonEmpty)
+    val totalShingles = graft.operators.Dedup.shingleHashes(d)
+      .select("h").distinct().count()
+    assert(out.map(_._2).sum === totalShingles)
+    assert(out.last._3 === totalShingles)
+    assert(math.abs(out.last._4 - 1.0) < 1e-9)
+    out.foreach { case (df, _, _, _, cap) =>
+      assert(cap === (df <= graft.operators.Dedup.jaccardMaxDf))
+    }
+    out.map(_._3).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(a <= b); case _ => ()
+    }
+  }
 }

@@ -247,6 +247,28 @@ class KnnGraphSpec extends SparkSpec {
     assert(got.toSet === expected)
   }
 
+  test("clusterPurity: members partition the corpus, majority counts " +
+      "match a direct (cell, label) recount, purity in (0, 1]") {
+    val out = Similarity.clusterPurity(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.nonEmpty)
+    assert(out.map(_._2).sum === emb.count())
+    val (asg, _) = Similarity.kmeans(emb)
+    val direct = asg.join(emb.select(col("vec_id"),
+        col("label").cast("long").as("l")), Seq("vec_id"))
+      .groupBy("cell", "l").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    out.foreach { case (cell, n, maj, nMaj, p) =>
+      val g = direct(cell)
+      assert(n === g.map(_._3).sum)
+      val best = g.map(x => (x._3, x._2)).sortBy(x => (-x._1, x._2)).head
+      assert((nMaj, maj) === best)
+      assert(p > 0.0 && p <= 1.0)
+    }
+  }
+
   test("lpCommunities: modularity identities hold — in-edges ≤ half " +
       "degree sum, terms sum within [-1, 1], nodes match the label run") {
     val out = Similarity.lpCommunities(emb).collect()
