@@ -135,6 +135,28 @@ SELECT rank, token, freq,
   round(freq::DOUBLE / n_total, 6) AS obs_share,
   round(f1::DOUBLE / rank / n_total, 6) AS zipf_share
 FROM rk, tot, f1 ORDER BY rank""",
+    // token burstiness: VMR of per-doc counts for the top tokens
+    "text_burstiness" -> s"""
+WITH $toksCte,
+c AS (
+  SELECT token, doc_id, count(*) AS c
+  FROM (SELECT doc_id, unnest(tk) AS token FROM toks) GROUP BY 1, 2),
+pt AS (
+  SELECT token, CAST(sum(c) AS BIGINT) AS total_count,
+    CAST(sum(c * c) AS BIGINT) AS sum_sq,
+    count(*)::BIGINT AS doc_freq
+  FROM c GROUP BY 1),
+ndc AS (SELECT count(*) AS n_docs FROM documents),
+rk AS (
+  SELECT token, total_count, sum_sq, doc_freq,
+    row_number() OVER (ORDER BY total_count DESC, token)::BIGINT AS rank
+  FROM pt
+  QUALIFY rank <= ${graft.operators.TextAnalysis.burstTopK})
+SELECT rank, token, total_count, doc_freq,
+  round((sum_sq::DOUBLE / n_docs -
+      (total_count::DOUBLE / n_docs) * (total_count::DOUBLE / n_docs)) /
+    (total_count::DOUBLE / n_docs), 6) AS vmr
+FROM rk CROSS JOIN ndc ORDER BY rank""",
     // pairwise source vocabulary Jaccard: exact integer set measures
     "text_source_overlap" -> s"""
 WITH $toksCte,

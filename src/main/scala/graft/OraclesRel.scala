@@ -972,6 +972,30 @@ c AS (
 SELECT p_brand, CAST(max(tw) AS BIGINT) AS total_qty,
   min(CASE WHEN 2 * cw >= tw THEN price END) AS w_median_price
 FROM c GROUP BY p_brand ORDER BY p_brand""",
+    // spend-quintile migration matrix: midpoint split, rfm-rule ranks
+    "rel_segment_migration" -> s"""
+WITH o AS (
+  SELECT o_custkey, o_totalprice,
+    epoch_us(o_orderdate::TIMESTAMP) AS tu
+  FROM orders),
+b AS (SELECT min(tu) AS lo, max(tu) AS hi FROM o),
+sp AS (
+  SELECT o_custkey,
+    CASE WHEN tu < (lo + hi) // 2 THEN 'p1' ELSE 'p2' END AS period,
+    ${dsum("o_totalprice")} AS spend
+  FROM o CROSS JOIN b GROUP BY 1, 2),
+n AS (SELECT period, count(*) AS n_cust FROM sp GROUP BY 1),
+q AS (
+  SELECT o_custkey, period,
+    CAST(floor(5 * (row_number() OVER (PARTITION BY period
+      ORDER BY spend, o_custkey) - 1) / n_cust) AS BIGINT) + 1
+      AS quintile
+  FROM sp JOIN n USING (period))
+SELECT a.quintile AS q_first, b2.quintile AS q_second,
+  count(*)::BIGINT AS n_customers
+FROM q a JOIN q b2 ON a.o_custkey = b2.o_custkey
+  AND a.period = 'p1' AND b2.period = 'p2'
+GROUP BY 1, 2 ORDER BY q_first, q_second""",
     // repeat-purchase retention KPI: exact integer ratios
     "rel_repeat_rate" -> """
 WITH pc AS (

@@ -578,6 +578,11 @@ object SparkEntry {
     // shingle df histogram (sizes the jaccardMaxDf cap)
     "dedup_df_profile" -> ((s, d) =>
       Dedup.dfProfile(Tables.documents(s, d))),
+    // token burstiness (VMR of per-doc counts, top tokens)
+    "text_burstiness" -> ((s, d) =>
+      TextAnalysis.burstiness(Tables.documents(s, d))),
+    // spend-quintile migration matrix across the timeline midpoint
+    "rel_segment_migration" -> (Relational.segmentMigration _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1971,6 +1971,43 @@ object Relational {
       .orderBy(col("p_brand"))
   }
 
+  /** Spend-quintile migration matrix: customers ranked into quintiles
+    * by decimal-exact spend in each HALF of the order-date range (the
+    * epoch-microsecond midpoint splits the timeline, integer
+    * division), then counted per (first-half quintile → second-half
+    * quintile) cell — the churn/upsell mobility matrix. Quintiles are
+    * the deterministic rank rule from [[rfm]] (integer arithmetic,
+    * custkey ties); customers active in only one half drop (they have
+    * no transition). Windows run over the CUSTOMER grain per period —
+    * the same bounded exception as [[rfm]], banded-quantile
+    * replaceable at extreme scale. */
+  def segmentMigration(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .withColumn("tu", unix_micros(col("o_orderdate").cast("timestamp")))
+    val bounds = o.agg(min(col("tu")).as("lo"), max(col("tu")).as("hi"))
+    val spend = o.crossJoin(broadcast(bounds))
+      .withColumn("period",
+        when(col("tu") < expr("(lo + hi) div 2"), "p1").otherwise("p2"))
+      .groupBy(col("o_custkey"), col("period"))
+      .agg(decSum(col("o_totalprice")).as("spend"))
+    val n = spend.groupBy(col("period")).agg(count(lit(1)).as("n_cust"))
+    val q = spend.join(broadcast(n), Seq("period"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("period"))
+          .orderBy(col("spend"), col("o_custkey"))))
+      .withColumn("quintile",
+        (floor(lit(5) * (col("rn") - 1) / col("n_cust")) + 1).cast("long"))
+      .select(col("o_custkey"), col("period"), col("quintile"))
+    q.filter(col("period") === "p1")
+      .select(col("o_custkey"), col("quintile").as("q_first"))
+      .join(q.filter(col("period") === "p2")
+        .select(col("o_custkey"), col("quintile").as("q_second")),
+        Seq("o_custkey"))
+      .groupBy(col("q_first"), col("q_second"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("q_first"), col("q_second"))
+  }
+
   /** Repeat-purchase rate per market segment — the retention KPI:
     * share of a segment's ever-purchasing customers who ordered more
     * than once, plus mean orders per buyer. Two hash aggregates on

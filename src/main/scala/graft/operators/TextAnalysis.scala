@@ -445,6 +445,43 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Top-k for [[burstiness]] — shared with the oracle generator. */
+  val burstTopK = 20
+
+  /** Token burstiness: the variance-to-mean ratio of per-document
+    * counts for the corpus's top tokens — the corpus-linguistics
+    * dispersion statistic (VMR 1 = Poisson scatter; ≫ 1 = the token
+    * CLUMPS in few documents — topical or boilerplate; function words
+    * sit near or below 1). Zero-count documents enter the moments
+    * implicitly through the corpus doc count, so everything reduces to
+    * three exact integers per token (Σc, Σc², df) and one closed form.
+    * One token hash-aggregate, one top-k — no per-doc×token matrix is
+    * ever materialized. */
+  def burstiness(documents: DataFrame, k: Int = burstTopK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = documents
+      .select(col("doc_id"), explode(toks).as("token"))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+    val perToken = counts.groupBy(col("token"))
+      .agg(sum(col("c")).as("total_count"),
+        sum(col("c") * col("c")).as("sum_sq"),
+        count(lit(1)).as("doc_freq"))
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    val ranked = perToken
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("total_count").desc, col("token"))).cast("long"))
+      .filter(col("rank") <= k)
+    val dd = col("n_docs").cast("double")
+    val mean = col("total_count").cast("double") / dd
+    ranked.crossJoin(broadcast(nDocs))
+      .select(col("rank"), col("token"), col("total_count"),
+        col("doc_freq"),
+        round((col("sum_sq").cast("double") / dd - mean * mean) / mean, 6)
+          .as("vmr"))
+      .orderBy(col("rank"))
+  }
+
   /** Pairwise source vocabulary overlap: Jaccard similarity of the
     * distinct token sets of every source pair — the redundancy map
     * that says which crawl sources contribute NEW vocabulary and

@@ -483,6 +483,25 @@ class CurationSpec extends SparkSpec {
     assert(out(2L)._2 === out(4L)._2 && out(1L)._2 === out(3L)._2)
   }
 
+  test("burstiness: clumped token has VMR above the evenly-spread one, " +
+      "and values match a hand computation") {
+    // 'even' appears once in each of 4 docs; 'burst' 4 times in one doc
+    val d = docs(
+      (1L, "even burst burst burst burst"), (2L, "even filler"),
+      (3L, "even filler"), (4L, "even filler"))
+    val out = graft.operators.TextAnalysis.burstiness(d).collect()
+      .map(r => r.getString(1) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val (tc, df, vmrE) = out("even")
+    assert(tc === 4L && df === 4L)
+    // even: counts (1,1,1,1) over D=4 → mean 1, E[c²] 1 → vmr 0
+    assert(vmrE === 0.0)
+    // burst: counts (4,0,0,0) → mean 1, E[c²] = 16/4 = 4 → vmr 3
+    val (tcB, dfB, vmrB) = out("burst")
+    assert(tcB === 4L && dfB === 1L)
+    assert(vmrB === 3.0)
+  }
+
   test("dsirSelect: ranks descend by score with doc_id ties, and the " +
       "selection is exactly the top-N of the full score table") {
     val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")

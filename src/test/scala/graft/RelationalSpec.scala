@@ -659,6 +659,29 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("segmentMigration: quintiles span 1..5, matrix counts only " +
+      "customers active in both halves") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.operators.Relational.segmentMigration(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    out.foreach { case (a, b, n) =>
+      assert(a >= 1 && a <= 5 && b >= 1 && b <= 5 && n > 0)
+    }
+    // total = customers with orders in both halves, computed directly
+    val o = graft.sources.Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("tu"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (lo, hi) = (o.map(_._2).min, o.map(_._2).max)
+    val mid = (lo + hi) / 2
+    val both = o.groupBy(_._1).count { case (_, ts) =>
+      ts.exists(_._2 < mid) && ts.exists(_._2 >= mid)
+    }
+    assert(out.map(_._3).sum === both.toLong)
+  }
+
   test("repeatRate: ratios recompute from direct counts; every " +
       "rate in [0, 1], orders-per-buyer ≥ 1") {
     val dir = "/root/testdata/sf0.001"
