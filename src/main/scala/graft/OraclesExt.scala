@@ -135,6 +135,26 @@ SELECT rank, token, freq,
   round(freq::DOUBLE / n_total, 6) AS obs_share,
   round(f1::DOUBLE / rank / n_total, 6) AS zipf_share
 FROM rk, tot, f1 ORDER BY rank""",
+    // PMI collocations: exact bigram marginals, one ln per row
+    "text_pmi_bigrams" -> s"""
+WITH $toksCte,
+bg AS (
+  SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS w1,
+    unnest(list_transform(range(1, len(tk)), i -> tk[i+1])) AS w2
+  FROM toks WHERE len(tk) >= 2),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+c2 AS (SELECT w2, count(*) AS c2 FROM bg GROUP BY 1),
+nb AS (SELECT count(*) AS n_bigrams FROM bg),
+rk AS (
+  SELECT w1, w2, c12,
+    row_number() OVER (ORDER BY c12 DESC, w1, w2)::BIGINT AS rank
+  FROM c12
+  QUALIFY rank <= ${graft.operators.TextAnalysis.pmiTopK})
+SELECT rank, w1, w2, CAST(rk.c12 AS BIGINT) AS c12,
+  round(ln(rk.c12::DOUBLE * n_bigrams / (c1.c1 * c2.c2)), 6) AS pmi
+FROM rk JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN nb
+ORDER BY rank""",
     // token burstiness: VMR of per-doc counts for the top tokens
     "text_burstiness" -> s"""
 WITH $toksCte,
@@ -932,6 +952,29 @@ cx AS (
 SELECT keep, n_docs, cohesion, cross_cos
 FROM coh JOIN cx USING (keep)
 ORDER BY keep"""),
+    // simplified centroid silhouette per Lloyd cell
+    "sim_silhouette" -> (simBase + kmeansCtes + {
+      val it = graft.operators.Similarity.kmIters
+      s""",
+sil_d AS (
+  SELECT a.vec_id, a.cell, c.cell AS c_cell,
+    1.0 - round(list_inner_product(a.ev, c.centroid), 6) AS d
+  FROM asg$it a CROSS JOIN c$it c),
+sil_p AS (
+  SELECT vec_id, cell,
+    max(CASE WHEN cell = c_cell THEN d END) AS a,
+    min(CASE WHEN cell <> c_cell THEN d END) AS b
+  FROM sil_d GROUP BY 1, 2),
+sil_s AS (
+  SELECT vec_id, cell,
+    CASE WHEN greatest(a, b) > 0.0 THEN (b - a) / greatest(a, b)
+      ELSE 0.0 END AS s
+  FROM sil_p)
+SELECT cell, count(*)::BIGINT AS n_members,
+  round(CAST(sum(CAST(s AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6)
+    AS mean_silhouette
+FROM sil_s GROUP BY cell ORDER BY cell"""
+    }),
     // cluster purity: majority true label per Lloyd cell
     "sim_cluster_purity" -> (simBase + kmeansCtes + {
       val it = graft.operators.Similarity.kmIters

@@ -583,6 +583,12 @@ object SparkEntry {
       TextAnalysis.burstiness(Tables.documents(s, d))),
     // spend-quintile migration matrix across the timeline midpoint
     "rel_segment_migration" -> (Relational.segmentMigration _),
+    // internal clustering quality: simplified centroid silhouette
+    "sim_silhouette" -> ((s, d) =>
+      Similarity.silhouette(Tables.embeddings(s, d))),
+    // PMI collocations over the top bigrams (multiword-unit mining)
+    "text_pmi_bigrams" -> ((s, d) =>
+      TextAnalysis.pmiCollocations(Tables.documents(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -166,6 +166,36 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** Simplified (centroid-based) silhouette per Lloyd cell: for each
+    * member, a = cosine distance to its OWN centroid, b = distance to
+    * the nearest OTHER centroid, s = (b − a)/max(a, b); the report is
+    * each cell's member count and mean s — the internal clustering
+    * quality dual of [[clusterPurity]]'s external view (the full
+    * silhouette's pairwise term is replaced by the centroid distance —
+    * the standard large-scale simplification, stated as such). Every
+    * point reads the k-row broadcast centroid table once; per-cell
+    * means are DECIMAL-exact sums of identically-computed doubles.
+    * Degenerate points equidistant at 0 score 0. */
+  def silhouette(embeddings: DataFrame, cells: Int = kmK): DataFrame = {
+    val (asg, cents) = kmeans(embeddings, cells)
+    val scored = asg.crossJoin(broadcast(
+        cents.select(col("cell").as("c_cell"), col("centroid"))))
+      .select(col("vec_id"), col("cell"), col("c_cell"),
+        (lit(1.0) - cosineUnit(col("unit"), col("centroid"))).as("d"))
+    val perPoint = scored.groupBy(col("vec_id"), col("cell"))
+      .agg(max(when(col("cell") === col("c_cell"), col("d"))).as("a"),
+        min(when(col("cell") =!= col("c_cell"), col("d"))).as("b"))
+      .select(col("vec_id"), col("cell"),
+        when(greatest(col("a"), col("b")) > 0.0,
+          (col("b") - col("a")) / greatest(col("a"), col("b")))
+          .otherwise(lit(0.0)).as("s"))
+    perPoint.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+        round(sum(col("s").cast("decimal(28,10)")).cast("double") /
+          count(lit(1)), 6).as("mean_silhouette"))
+      .orderBy(col("cell"))
+  }
+
   /** Cluster purity of the Lloyd cells against the true labels — the
     * standard external clustering evaluation: per cell, member count,
     * the majority true label (ties to the smallest), its count, and

@@ -445,6 +445,42 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Top-k for [[pmiCollocations]] — shared with the oracle. */
+  val pmiTopK = 20
+
+  /** PMI collocations: pointwise mutual information of the corpus's
+    * most frequent bigrams — ln(c₁₂·N / (c₁•·c•₂)) over within-bigram
+    * marginals, the classic collocation-mining statistic (high-PMI
+    * frequent bigrams are multiword units; near-zero means the pair
+    * co-occurs by chance). All counts are exact integers from two
+    * hash aggregates; one ln per REPORTED row. */
+  def pmiCollocations(documents: DataFrame, k: Int = pmiTopK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bigrams = documents
+      .withColumn("tk", toks)
+      .filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(tk) - 2), " +
+          "i -> struct(tk[i] AS w1, tk[i + 1] AS w2))")).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c12 = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val c1 = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val c2 = bigrams.groupBy(col("w2")).agg(count(lit(1)).as("c2"))
+    val n = bigrams.agg(count(lit(1)).as("n_bigrams"))
+    val ranked = c12
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("c12").desc, col("w1"), col("w2"))).cast("long"))
+      .filter(col("rank") <= k)
+    ranked
+      .join(c1, Seq("w1")).join(c2, Seq("w2"))
+      .crossJoin(broadcast(n))
+      .select(col("rank"), col("w1"), col("w2"), col("c12"),
+        round(log(col("c12").cast("double") * col("n_bigrams") /
+          (col("c1") * col("c2"))), 6).as("pmi"))
+      .orderBy(col("rank"))
+  }
+
   /** Top-k for [[burstiness]] — shared with the oracle generator. */
   val burstTopK = 20
 

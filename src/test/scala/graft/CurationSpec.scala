@@ -483,6 +483,22 @@ class CurationSpec extends SparkSpec {
     assert(out(2L)._2 === out(4L)._2 && out(1L)._2 === out(3L)._2)
   }
 
+  test("pmiCollocations: a bound pair scores ln(N/c) exactly, an " +
+      "independent pair scores near zero") {
+    // 'aa bb' always adjacent (true collocation); 'xx' and 'yy' appear
+    // across docs independently
+    val d = docs(
+      (1L, "aa bb xx yy"), (2L, "aa bb yy xx"),
+      (3L, "aa bb xx yy"), (4L, "aa bb yy xx"))
+    val out = graft.operators.TextAnalysis.pmiCollocations(d).collect()
+      .map(r => ((r.getString(1), r.getString(2)),
+        (r.getLong(3), r.getDouble(4)))).toMap
+    val (c, pmi) = out(("aa", "bb"))
+    assert(c === 4L)
+    // c12=4, c1•(aa)=4, c•2(bb)=4, N=12 → PMI = ln(4·12/16) = ln 3
+    assert(math.abs(pmi - math.log(3.0)) < 1e-6)
+  }
+
   test("burstiness: clumped token has VMR above the evenly-spread one, " +
       "and values match a hand computation") {
     // 'even' appears once in each of 4 docs; 'burst' 4 times in one doc

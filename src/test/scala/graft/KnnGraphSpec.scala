@@ -247,6 +247,17 @@ class KnnGraphSpec extends SparkSpec {
     assert(got.toSet === expected)
   }
 
+  test("silhouette: scores bounded in [-1, 1], membership counts " +
+      "partition the corpus") {
+    val out = Similarity.silhouette(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.nonEmpty)
+    assert(out.map(_._2).sum === emb.count())
+    out.foreach { case (_, _, s) =>
+      assert(s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9)
+    }
+  }
+
   test("clusterPurity: members partition the corpus, majority counts " +
       "match a direct (cell, label) recount, purity in (0, 1]") {
     val out = Similarity.clusterPurity(emb).collect()
