@@ -972,6 +972,28 @@ c AS (
 SELECT p_brand, CAST(max(tw) AS BIGINT) AS total_qty,
   min(CASE WHEN 2 * cw >= tw THEN price END) AS w_median_price
 FROM c GROUP BY p_brand ORDER BY p_brand""",
+    // linear multi-touch attribution: decimal-exact credit shares
+    "rel_attribution_linear" -> """
+WITH p AS (
+  SELECT user_id AS p_user, ts::TIMESTAMP AS p_ts, event_id AS p_id
+  FROM events WHERE event_type = 'purchase'),
+t AS (
+  SELECT user_id AS t_user, ts::TIMESTAMP AS t_ts,
+    event_type AS touch_type, event_id AS t_id
+  FROM events WHERE event_type <> 'purchase'),
+j AS (
+  SELECT p.p_id, t.touch_type
+  FROM p JOIN t ON p.p_user = t.t_user
+    AND t.t_ts < p.p_ts AND t.t_ts >= p.p_ts - INTERVAL 1 HOUR),
+c AS (
+  SELECT p_id, touch_type,
+    CAST(round(CAST(1.0 AS DOUBLE) / (count(*) OVER (PARTITION BY p_id)),
+      12) AS DECIMAL(18,12)) AS credit
+  FROM j)
+SELECT touch_type, count(*)::BIGINT AS n_touches,
+  count(DISTINCT p_id)::BIGINT AS n_purchases,
+  round(CAST(sum(credit) AS DOUBLE), 6) AS total_credit
+FROM c GROUP BY touch_type ORDER BY touch_type""",
     // spend-quintile migration matrix: midpoint split, rfm-rule ranks
     "rel_segment_migration" -> s"""
 WITH o AS (

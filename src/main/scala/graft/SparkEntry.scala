@@ -589,6 +589,8 @@ object SparkEntry {
     // PMI collocations over the top bigrams (multiword-unit mining)
     "text_pmi_bigrams" -> ((s, d) =>
       TextAnalysis.pmiCollocations(Tables.documents(s, d))),
+    // linear multi-touch attribution (decimal-exact credit shares)
+    "rel_attribution_linear" -> (Relational.attributionLinear _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1971,6 +1971,40 @@ object Relational {
       .orderBy(col("p_brand"))
   }
 
+  /** Linear multi-touch attribution: every purchase splits one unit of
+    * credit equally across the SAME user's non-purchase events in the
+    * preceding hour; the report aggregates credit per contributing
+    * event type — the marketing-attribution classic (first/last-touch
+    * are the argmin/argmax specializations). Per-contributor credit
+    * 1/n is rounded to a fixed 12-decimal grid and summed as DECIMAL,
+    * so the aggregate is order-independent; the join is the
+    * [[asofJoin]] family's equi-on-user + time-range shape (fan-out
+    * bounded by per-user activity × window, never corpus²). Purchases
+    * with no prior-hour touch drop (nothing to credit). */
+  def attributionLinear(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+    val touches = e.filter(col("event_type") =!= "purchase")
+      .select(col("user_id").as("t_user"), col("ts").as("t_ts"),
+        col("event_type").as("touch_type"), col("event_id").as("t_id"))
+    val joined = purchases.join(touches,
+      col("p_user") === col("t_user") &&
+        col("t_ts") < col("p_ts") &&
+        col("t_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+    val n = Window.partitionBy(col("p_id"))
+    joined
+      .withColumn("credit",
+        round(lit(1.0) / count(lit(1)).over(n), 12)
+          .cast("decimal(18,12)"))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("p_id")).as("n_purchases"),
+        round(sum(col("credit")).cast("double"), 6).as("total_credit"))
+      .orderBy(col("touch_type"))
+  }
+
   /** Spend-quintile migration matrix: customers ranked into quintiles
     * by decimal-exact spend in each HALF of the order-date range (the
     * epoch-microsecond midpoint splits the timeline, integer

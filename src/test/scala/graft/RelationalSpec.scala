@@ -659,6 +659,31 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("attributionLinear: total credit equals the number of touched " +
+      "purchases (each splits exactly one unit)") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.operators.Relational.attributionLinear(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.nonEmpty)
+    // conservation: summed credit across types = distinct purchases
+    // that had ≥1 prior-hour touch
+    val e = graft.sources.Tables.events(spark, dir)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"),
+        col("event_id").as("pid"))
+    val touched = p.join(
+        e.filter(col("event_type") =!= "purchase")
+          .select(col("user_id").as("tu"), col("ts").as("tts")),
+        col("pu") === col("tu") && col("tts") < col("pts") &&
+          col("tts") >= col("pts") - expr("INTERVAL 1 HOUR"))
+      .select("pid").distinct().count()
+    val total = out.map(_._4).sum
+    assert(math.abs(total - touched.toDouble) < 1e-3,
+      s"credit $total vs touched purchases $touched")
+  }
+
   test("segmentMigration: quintiles span 1..5, matrix counts only " +
       "customers active in both halves") {
     val dir = "/root/testdata/sf0.001"
