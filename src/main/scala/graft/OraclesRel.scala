@@ -636,6 +636,30 @@ JOIN ic ia ON ia.l_partkey = part_a
 JOIN ic ib ON ib.l_partkey = part_b
 CROSS JOIN tot
 ORDER BY part_a, part_b""",
+    // directional association rules: the basket pairs + confidences
+    "rel_basket_rules" -> """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+ic AS (SELECT l_partkey, count(*)::BIGINT AS n_orders
+  FROM items GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+    count(*)::BIGINT AS pair_orders
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+tot AS (SELECT count(*)::BIGINT AS total_orders FROM orders)
+SELECT part_a, part_b, pair_orders,
+  ia.n_orders AS orders_a, ib.n_orders AS orders_b,
+  round(pair_orders::DOUBLE / total_orders, 6) AS support,
+  round(pair_orders::DOUBLE * total_orders /
+    (ia.n_orders * ib.n_orders), 6) AS lift,
+  round(pair_orders::DOUBLE / ia.n_orders, 6) AS conf_a_to_b,
+  round(pair_orders::DOUBLE / ib.n_orders, 6) AS conf_b_to_a
+FROM pairs
+JOIN ic ia ON ia.l_partkey = part_a
+JOIN ic ib ON ib.l_partkey = part_b
+CROSS JOIN tot
+ORDER BY part_a, part_b""",
     "rel_event_transitions" -> """
 WITH steps AS (
   SELECT event_type AS from_type,

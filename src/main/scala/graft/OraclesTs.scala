@@ -356,6 +356,35 @@ SELECT ticker_a, ticker_b, bucket, CAST(n AS BIGINT) AS n_obs,
     THEN round((n * sxy - sx * sy) /
       sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) END AS roll_corr
 FROM k ORDER BY ticker_a, ticker_b, bucket"""),
+    "stock_sharpe" -> (barsCte + s""",
+rets AS (
+  SELECT ticker,
+    CASE WHEN lag(close, 1) OVER tw <> 0
+      THEN close / lag(close, 1) OVER tw - 1 END AS r
+  FROM bars
+  WINDOW tw AS (PARTITION BY ticker ORDER BY bucket)
+  QUALIFY r IS NOT NULL),
+m AS (
+  SELECT ticker, count(*) AS n_rets,
+    CAST(sum(CAST(r AS DECIMAL(38,18))) AS DOUBLE) AS s1,
+    CAST(sum(CAST(r * r AS DECIMAL(38,18))) AS DOUBLE) AS s2,
+    CAST(sum(CAST(CASE WHEN r < 0.0 THEN r * r ELSE 0.0 END
+      AS DECIMAL(38,18))) AS DOUBLE) AS s2d
+  FROM rets GROUP BY ticker),
+d AS (
+  SELECT ticker, n_rets, CAST(n_rets AS DOUBLE) AS nd,
+    s1 / CAST(n_rets AS DOUBLE) AS mean,
+    sqrt(greatest(s2 / CAST(n_rets AS DOUBLE) -
+      s1 / CAST(n_rets AS DOUBLE) * (s1 / CAST(n_rets AS DOUBLE)),
+      0.0)) AS sd,
+    sqrt(s2d / CAST(n_rets AS DOUBLE)) AS dd
+  FROM m)
+SELECT ticker, n_rets, round(mean, 6) AS mean_ret,
+  CASE WHEN n_rets >= ${graft.operators.TimeSeries.VarMinObs}
+    AND sd > 0.0 THEN round(mean / sd, 6) END AS sharpe,
+  CASE WHEN n_rets >= ${graft.operators.TimeSeries.VarMinObs}
+    AND dd > 0.0 THEN round(mean / dd, 6) END AS sortino
+FROM d ORDER BY ticker"""),
     "stock_beta" -> (barsCte + s""",
 rets AS (
   SELECT ticker, bucket,

@@ -591,6 +591,10 @@ object SparkEntry {
       TextAnalysis.pmiCollocations(Tables.documents(s, d))),
     // linear multi-touch attribution (decimal-exact credit shares)
     "rel_attribution_linear" -> (Relational.attributionLinear _),
+    // Sharpe + Sortino risk-adjusted returns (decimal moments)
+    "stock_sharpe" -> (TimeSeries.sharpe _),
+    // directional association rules (confidences beside support/lift)
+    "rel_basket_rules" -> (Relational.basketRules(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1315,6 +1315,23 @@ object Relational {
       .orderBy(col("part_a"), col("part_b"))
   }
 
+  /** Directional association rules from the basket pairs: both
+    * confidences P(b|a) and P(a|b) beside support and lift — the
+    * actionable half of rule mining ([[basketPairs]] reports the
+    * symmetric measures; recommendations need the direction). Same
+    * apriori-pruned pair counts, two extra exact integer ratios. */
+  def basketRules(spark: SparkSession, dir: String,
+      minSupport: Long = 2): DataFrame =
+    basketPairsOn(Tables.lineitem(spark, dir), Tables.orders(spark, dir),
+        minSupport)
+      .select(col("part_a"), col("part_b"), col("pair_orders"),
+        col("orders_a"), col("orders_b"), col("support"), col("lift"),
+        round(col("pair_orders").cast("double") / col("orders_a"), 6)
+          .as("conf_a_to_b"),
+        round(col("pair_orders").cast("double") / col("orders_b"), 6)
+          .as("conf_b_to_a"))
+      .orderBy(col("part_a"), col("part_b"))
+
   /** First-order Markov transition matrix over the event stream: counts
     * and row-normalized probabilities of each consecutive
     * (event_type → next event_type) step per user timeline — the

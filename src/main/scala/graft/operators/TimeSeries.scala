@@ -191,6 +191,40 @@ object TimeSeries {
       .orderBy(col("ticker"))
   }
 
+  /** Sharpe and Sortino ratios per ticker (zero risk-free rate, bucket
+    * grain): mean return over total and DOWNSIDE deviation — the
+    * risk-adjusted-return pair. All moments are decimal-exact sums
+    * (including the conditional negative-side second moment), so the
+    * ratios are pinned double math over identical inputs; tickers
+    * without enough observations or with zero deviation yield NULL. */
+  def sharpe(spark: SparkSession, dir: String): DataFrame = {
+    val bars = closeBars5m(StockPipeline.normalize(Tables.events(spark, dir)))
+    val w = Window.partitionBy(col("ticker")).orderBy(col("bucket"))
+    val prev = lag(col("close"), 1).over(w)
+    val rets = bars
+      .select(col("ticker"),
+        when(prev =!= 0.0, col("close") / prev - 1).as("r"))
+      .filter(col("r").isNotNull)
+    def d18(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(38,18)")).cast("double")
+    val m = rets.groupBy(col("ticker"))
+      .agg(count(lit(1)).as("n_rets"),
+        d18(col("r")).as("s1"), d18(col("r") * col("r")).as("s2"),
+        d18(when(col("r") < 0.0, col("r") * col("r"))
+          .otherwise(lit(0.0))).as("s2d"))
+    val nd = col("n_rets").cast("double")
+    val mean = col("s1") / nd
+    val sd = sqrt(greatest(col("s2") / nd - mean * mean, lit(0.0)))
+    val dd = sqrt(col("s2d") / nd)
+    m.select(col("ticker"), col("n_rets"),
+        round(mean, 6).as("mean_ret"),
+        when(col("n_rets") >= VarMinObs && sd > 0.0,
+          round(mean / sd, 6)).as("sharpe"),
+        when(col("n_rets") >= VarMinObs && dd > 0.0,
+          round(mean / dd, 6)).as("sortino"))
+      .orderBy(col("ticker"))
+  }
+
   /** CAPM beta/alpha per ticker against the equal-weight market: the
     * market return per bucket is the decimal-exact mean of all tickers
     * trading that bucket, and each ticker's beta = cov(r, m)/var(m)

@@ -659,6 +659,24 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("basketRules: confidences are exact pair/item ratios and " +
+      "bounded by 1; row set matches basketPairs") {
+    val dir = "/root/testdata/sf0.001"
+    val rules = graft.operators.Relational.basketRules(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(7), r.getDouble(8)))
+    val pairs = graft.operators.Relational.basketPairs(spark, dir)
+      .select("part_a", "part_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rules.map(x => (x._1, x._2)).toSet === pairs)
+    rules.foreach { case (_, _, po, oa, ob, cab, cba) =>
+      assert(cab <= 1.0 && cba <= 1.0)
+      assert(math.abs(cab - po.toDouble / oa) < 1e-6)
+      assert(math.abs(cba - po.toDouble / ob) < 1e-6)
+    }
+  }
+
   test("attributionLinear: total credit equals the number of touched " +
       "purchases (each splits exactly one unit)") {
     val dir = "/root/testdata/sf0.001"

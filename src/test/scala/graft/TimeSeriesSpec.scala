@@ -390,6 +390,25 @@ class TimeSeriesSpec extends SparkSpec {
     assert(math.abs(bc.last._3.get - (-1.0)) < 2e-6)
   }
 
+  test("sharpe on sf0.001: sortino magnitude ≥ sharpe when the mean " +
+      "is positive (downside deviation ≤ total), both finite") {
+    val out = TimeSeries.sharpe(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    assert(out.nonEmpty)
+    out.foreach { case (_, mean, sh, so) =>
+      (sh, so) match {
+        case (Some(a), Some(b)) =>
+          assert(!a.isNaN && !b.isNaN)
+          // downside deviation ≤ total deviation → |sortino| ≥ |sharpe|
+          // (same sign as the mean)
+          if (mean > 0) assert(b >= a - 1e-9)
+        case _ => ()
+      }
+    }
+  }
+
   test("beta on sf0.001: betas are finite, the equal-weight portfolio " +
       "of betas weighted by observations stays near 1") {
     val out = TimeSeries.beta(spark, "/root/testdata/sf0.001").collect()
