@@ -135,6 +135,26 @@ SELECT rank, token, freq,
   round(freq::DOUBLE / n_total, 6) AS obs_share,
   round(f1::DOUBLE / rank / n_total, 6) AS zipf_share
 FROM rk, tot, f1 ORDER BY rank""",
+    // per-source TF-IDF keywords: exact counts, one ln per token
+    "text_source_keywords" -> s"""
+WITH $toksCte,
+tf AS (
+  SELECT source, token, count(*) AS tf
+  FROM (SELECT source, unnest(tk) AS token FROM toks) GROUP BY 1, 2),
+dfs AS (SELECT token, count(*) AS df_sources FROM tf GROUP BY 1),
+ns AS (SELECT count(DISTINCT source) AS n_sources FROM documents),
+sc AS (
+  SELECT source, token, CAST(tf AS BIGINT) AS tf,
+    CAST(df_sources AS BIGINT) AS df_sources,
+    round(tf * ln(n_sources::DOUBLE / df_sources), 6) AS score
+  FROM tf JOIN dfs USING (token) CROSS JOIN ns)
+SELECT source,
+  row_number() OVER (PARTITION BY source
+    ORDER BY score DESC, token)::BIGINT AS rank,
+  token, tf, df_sources, score
+FROM sc
+QUALIFY rank <= ${graft.operators.TextAnalysis.keywordsPerSource}
+ORDER BY source, rank""",
     // PMI collocations: exact bigram marginals, one ln per row
     "text_pmi_bigrams" -> s"""
 WITH $toksCte,
@@ -952,6 +972,33 @@ cx AS (
 SELECT keep, n_docs, cohesion, cross_cos
 FROM coh JOIN cx USING (keep)
 ORDER BY keep"""),
+    // nearest-centroid classifier self-accuracy per label
+    "sim_ncc_accuracy" -> (simBase + s""",
+cent AS (
+  SELECT label, ${unitSql("centroid")} AS cunit FROM (
+    SELECT label, list(cv ORDER BY pos) AS centroid FROM (
+      SELECT label, pos,
+        CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS cv
+      FROM (
+        SELECT label, unnest(embedding::DOUBLE[]) AS v,
+               unnest(range(len(embedding))) AS pos
+        FROM embeddings)
+      GROUP BY label, pos)
+    GROUP BY label)),
+pred AS (
+  SELECT vec_id, true_label, c_label AS pred_label FROM (
+    SELECT b.vec_id, b.label::BIGINT AS true_label,
+      c.label::BIGINT AS c_label,
+      row_number() OVER (PARTITION BY b.vec_id
+        ORDER BY round(list_inner_product(b.ev, c.cunit), 6) DESC,
+          c.label) AS rn
+    FROM base b CROSS JOIN cent c)
+  WHERE rn = 1)
+SELECT true_label, count(*)::BIGINT AS n_vecs,
+  count(*) FILTER (pred_label = true_label)::BIGINT AS n_correct,
+  round(count(*) FILTER (pred_label = true_label)::DOUBLE / count(*), 6)
+    AS accuracy
+FROM pred GROUP BY true_label ORDER BY true_label"""),
     // simplified centroid silhouette per Lloyd cell
     "sim_silhouette" -> (simBase + kmeansCtes + {
       val it = graft.operators.Similarity.kmIters

@@ -595,6 +595,12 @@ object SparkEntry {
     "stock_sharpe" -> (TimeSeries.sharpe _),
     // directional association rules (confidences beside support/lift)
     "rel_basket_rules" -> (Relational.basketRules(_, _)),
+    // distinctive keywords per source (source-level TF-IDF)
+    "text_source_keywords" -> ((s, d) =>
+      TextAnalysis.sourceKeywords(Tables.documents(s, d))),
+    // nearest-centroid-classifier accuracy per label
+    "sim_ncc_accuracy" -> ((s, d) =>
+      Similarity.nccAccuracy(Tables.embeddings(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -166,6 +166,35 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** Nearest-centroid-classifier self-accuracy per label: every vector
+    * is classified to its highest-cosine LABEL centroid (rounded
+    * cosine, ties to the smallest label) and scored against its true
+    * label — the quick "are these labels even linearly separable in
+    * embedding space" sanity every labeled corpus gets before training
+    * a real classifier (the resubstitution flavor, stated as such).
+    * One broadcast of the #labels centroid table, one scan, integer
+    * accuracy ratios. */
+  def nccAccuracy(embeddings: DataFrame): DataFrame = {
+    val cents = centroids(embeddings).pin(eager = true)
+    val pred = unitized(embeddings)
+      .crossJoin(broadcast(cents.select(col("label").as("c_label"),
+        col("cunit"))))
+      .select(col("vec_id"), col("label").cast("long").as("true_label"),
+        col("c_label").cast("long").as("c_label"),
+        cosineUnit(col("unit"), col("cunit")).as("c"))
+      .groupBy(col("vec_id"), col("true_label"))
+      .agg(max_by(col("c_label"), struct(col("c"), -col("c_label")))
+        .as("pred_label"))
+    pred.groupBy(col("true_label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        count(when(col("pred_label") === col("true_label"), 1))
+          .as("n_correct"))
+      .select(col("true_label"), col("n_vecs"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_vecs"), 6)
+          .as("accuracy"))
+      .orderBy(col("true_label"))
+  }
+
   /** Simplified (centroid-based) silhouette per Lloyd cell: for each
     * member, a = cosine distance to its OWN centroid, b = distance to
     * the nearest OTHER centroid, s = (b − a)/max(a, b); the report is

@@ -445,6 +445,41 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source keyword count for [[sourceKeywords]]. */
+  val keywordsPerSource = 3
+
+  /** Distinctive keywords per source: source-level TF-IDF — token
+    * count within the source × ln(#sources/#sources-containing) — the
+    * "what is this source about" characterization (a token every
+    * source shares scores 0; a source-exclusive one gets the full idf
+    * boost). Counts and document frequencies are exact integers over
+    * two hash aggregates; the idf is one ln per token on identical
+    * doubles; top-[[keywordsPerSource]] per source selects through a
+    * source-partitioned rank with (score desc, token) determinism. */
+  def sourceKeywords(documents: DataFrame,
+      k: Int = keywordsPerSource): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = documents
+      .select(col("source"), explode(toks).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token"))
+      .agg(count(lit(1)).as("df_sources"))
+    val nSources = documents.agg(countDistinct(col("source")).as("n_sources"))
+    val scored = tf.join(df, Seq("token"))
+      .crossJoin(broadcast(nSources))
+      .withColumn("score",
+        round(col("tf") * log(col("n_sources").cast("double") /
+          col("df_sources")), 6))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("token"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("source"), col("rank"), col("token"), col("tf"),
+        col("df_sources"), col("score"))
+      .orderBy(col("source"), col("rank"))
+  }
+
   /** Top-k for [[pmiCollocations]] — shared with the oracle. */
   val pmiTopK = 20
 

@@ -483,6 +483,24 @@ class CurationSpec extends SparkSpec {
     assert(out(2L)._2 === out(4L)._2 && out(1L)._2 === out(3L)._2)
   }
 
+  test("sourceKeywords: a source-exclusive token outranks shared " +
+      "vocabulary; shared-by-all scores zero") {
+    val d = Seq(
+      (1L, "shared uniqueA uniqueA", "en", "sA", 1L),
+      (2L, "shared uniqueB", "en", "sB", 1L),
+      (3L, "shared filler", "en", "sC", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.operators.TextAnalysis.sourceKeywords(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getDouble(5)))
+    val sa = out.filter(_._1 == "sA")
+    assert(sa.head._3 === "uniqueA")
+    // score = tf(2) · ln(3/1)
+    assert(math.abs(sa.head._4 - 2 * math.log(3.0)) < 1e-5)
+    // 'shared' appears in every source → idf 0 → score 0
+    out.filter(_._3 == "shared").foreach(x => assert(x._4 === 0.0))
+  }
+
   test("pmiCollocations: a bound pair scores ln(N/c) exactly, an " +
       "independent pair scores near zero") {
     // 'aa bb' always adjacent (true collocation); 'xx' and 'yy' appear

@@ -247,6 +247,24 @@ class KnnGraphSpec extends SparkSpec {
     assert(got.toSet === expected)
   }
 
+  test("nccAccuracy: per-label counts partition the corpus and " +
+      "accuracy is the exact correct ratio") {
+    val out = Similarity.nccAccuracy(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    assert(out.map(_._2).sum === emb.count())
+    out.foreach { case (_, n, c, a) =>
+      assert(c <= n)
+      assert(math.abs(a - c.toDouble / n) < 1e-6)
+    }
+    // nearest-centroid self-classification beats the majority-class
+    // floor on this labeled corpus
+    val majority = emb.groupBy("label").count().collect()
+      .map(_.getLong(1)).max
+    assert(out.map(_._3).sum > majority,
+      "NCC must out-predict the majority-class baseline")
+  }
+
   test("silhouette: scores bounded in [-1, 1], membership counts " +
       "partition the corpus") {
     val out = Similarity.silhouette(emb).collect()
