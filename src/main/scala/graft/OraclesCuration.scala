@@ -124,6 +124,20 @@ ORDER BY doc_id"""
 
   val all: Map[String, String] = Map(
     "corpus_classifier_calibration" -> classifierCalibrationSql,
+    // doc-length Gini: oracle states the plain global rank; the engine
+    // runs the banded two-level scan — hash equality proves it
+    "corpus_length_gini" -> s"""
+WITH $toksCte,
+l AS (SELECT doc_id, len(tk)::BIGINT AS nt FROM toks),
+r AS (
+  SELECT nt, row_number() OVER (ORDER BY nt, doc_id)::BIGINT AS rank
+  FROM l)
+SELECT count(*)::BIGINT AS n_docs,
+  CAST(sum(nt) AS BIGINT) AS total_tokens,
+  round(2.0 * CAST(sum(nt * rank) AS DOUBLE) /
+      (count(*) * CAST(sum(nt) AS DOUBLE)) -
+    CAST(count(*) + 1 AS DOUBLE) / count(*), 6) AS length_gini
+FROM r""",
     "corpus_signal_ensemble" -> ensembleSql,
     // order-insensitive manifest: bit_xor of per-doc content hashes
     "corpus_checksum" -> s"""

@@ -356,6 +356,30 @@ SELECT ticker_a, ticker_b, bucket, CAST(n AS BIGINT) AS n_obs,
     THEN round((n * sxy - sx * sy) /
       sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) END AS roll_corr
 FROM k ORDER BY ticker_a, ticker_b, bucket"""),
+    "stock_streaks" -> (barsCte + """,
+sg AS (
+  SELECT ticker, bucket,
+    CASE WHEN lag(close, 1) OVER tw IS NULL THEN 0
+      WHEN close > lag(close, 1) OVER tw THEN 1
+      WHEN close < lag(close, 1) OVER tw THEN -1 ELSE 0 END AS sgn
+  FROM bars WINDOW tw AS (PARTITION BY ticker ORDER BY bucket)),
+rr AS (
+  SELECT ticker, sgn,
+    row_number() OVER (PARTITION BY ticker ORDER BY bucket) -
+    row_number() OVER (PARTITION BY ticker, sgn ORDER BY bucket) AS grp
+  FROM sg),
+runs AS (
+  SELECT ticker, sgn, grp, count(*) AS len
+  FROM rr WHERE sgn <> 0 GROUP BY 1, 2, 3)
+SELECT ticker,
+  CAST(max(CASE WHEN sgn = 1 THEN len END) AS BIGINT) AS max_up_streak,
+  CAST(max(CASE WHEN sgn = -1 THEN len END) AS BIGINT)
+    AS max_down_streak,
+  CAST(sum(CASE WHEN sgn = 1 THEN len ELSE 0 END) AS BIGINT)
+    AS n_up_moves,
+  CAST(sum(CASE WHEN sgn = -1 THEN len ELSE 0 END) AS BIGINT)
+    AS n_down_moves
+FROM runs GROUP BY ticker ORDER BY ticker"""),
     "stock_sharpe" -> (barsCte + s""",
 rets AS (
   SELECT ticker,

@@ -601,6 +601,11 @@ object SparkEntry {
     // nearest-centroid-classifier accuracy per label
     "sim_ncc_accuracy" -> ((s, d) =>
       Similarity.nccAccuracy(Tables.embeddings(s, d))),
+    // longest up/down momentum streaks (gaps-and-islands, integers)
+    "stock_streaks" -> (TimeSeries.streaks _),
+    // document-length inequality (banded exact-rank Gini)
+    "corpus_length_gini" -> ((s, d) =>
+      graft.operators.Curation.lengthGini(Tables.documents(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -843,6 +843,47 @@ object Curation {
       .orderBy(col("bucket"))
   }
 
+  /** Document-length Gini — inequality of the token distribution
+    * across documents (0 = uniform lengths, →1 = a few giants carry
+    * the corpus), the corpus-health scalar next to the per-source
+    * report. Exact global ranks come from the banded two-level scan
+    * (the [[graft.operators.Relational.giniRevenue]] pattern — value
+    * bands from a broadcast min/max, per-band row_number + broadcast
+    * exclusive offsets, no global window), and every sum is INTEGER
+    * (lengths × ranks), so the single output row is bit-stable under
+    * any partitioning. */
+  def lengthGini(documents: DataFrame, nBands: Int = 128): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val len = documents.select(col("doc_id"),
+      size(toks).cast("long").as("nt"))
+    val mm = len.agg(min(col("nt")).as("lo"), max(col("nt")).as("hi"))
+    val banded = len.crossJoin(broadcast(mm))
+      .withColumn("bucket",
+        when(col("hi") === col("lo"), lit(0L)).otherwise(least(
+          floor((col("nt") - col("lo")) / (col("hi") - col("lo")) * nBands),
+          lit(nBands - 1L)).cast("long")))
+    val wo = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = banded.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("part"))
+      .withColumn("offset", coalesce(sum(col("part")).over(wo), lit(0L)))
+      .select(col("bucket"), col("offset"))
+    val wb = Window.partitionBy(col("bucket"))
+      .orderBy(col("nt"), col("doc_id"))
+    val ranked = banded.join(broadcast(offsets), Seq("bucket"))
+      .select(col("nt"),
+        (col("offset") + row_number().over(wb)).cast("long").as("rank"))
+    ranked
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("total_tokens"),
+        sum(col("nt") * col("rank")).as("s"))
+      .select(col("n_docs"), col("total_tokens"),
+        round(lit(2.0) * col("s") /
+          (col("n_docs") * col("total_tokens")) -
+          (col("n_docs") + 1).cast("double") / col("n_docs"), 6)
+          .as("length_gini"))
+  }
+
   /** DSIR selection budget — docs kept by [[dsirSelect]]. */
   val dsirSelectN = 200
 

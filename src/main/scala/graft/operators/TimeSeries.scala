@@ -191,6 +191,39 @@ object TimeSeries {
       .orderBy(col("ticker"))
   }
 
+  /** Longest up/down streaks per ticker — the gaps-and-islands
+    * momentum statistic (flat bars and the leading edge break a
+    * streak). Islands come from the classic difference-of-row_numbers
+    * trick over the per-ticker bar order — pure integer arithmetic,
+    * both windows partition by ticker (bounded by the time span), and
+    * the output is one row per ticker. */
+  def streaks(spark: SparkSession, dir: String): DataFrame = {
+    val bars = closeBars5m(StockPipeline.normalize(Tables.events(spark, dir)))
+    val w = Window.partitionBy(col("ticker")).orderBy(col("bucket"))
+    val prev = lag(col("close"), 1).over(w)
+    val signed = bars.select(col("ticker"), col("bucket"),
+      when(prev.isNull, 0)
+        .when(col("close") > prev, 1)
+        .when(col("close") < prev, -1)
+        .otherwise(0).as("sgn"))
+    val ws = Window.partitionBy(col("ticker"), col("sgn"))
+      .orderBy(col("bucket"))
+    val runs = signed
+      .withColumn("grp",
+        row_number().over(w) - row_number().over(ws))
+      .filter(col("sgn") =!= 0)
+      .groupBy(col("ticker"), col("sgn"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+    runs.groupBy(col("ticker"))
+      .agg(max(when(col("sgn") === 1, col("len"))).as("max_up_streak"),
+        max(when(col("sgn") === -1, col("len"))).as("max_down_streak"),
+        sum(when(col("sgn") === 1, col("len")).otherwise(lit(0L)))
+          .as("n_up_moves"),
+        sum(when(col("sgn") === -1, col("len")).otherwise(lit(0L)))
+          .as("n_down_moves"))
+      .orderBy(col("ticker"))
+  }
+
   /** Sharpe and Sortino ratios per ticker (zero risk-free rate, bucket
     * grain): mean return over total and DOWNSIDE deviation — the
     * risk-adjusted-return pair. All moments are decimal-exact sums

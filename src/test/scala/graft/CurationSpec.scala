@@ -483,6 +483,21 @@ class CurationSpec extends SparkSpec {
     assert(out(2L)._2 === out(4L)._2 && out(1L)._2 === out(3L)._2)
   }
 
+  test("lengthGini: uniform lengths give 0; a skewed corpus is " +
+      "strictly positive and matches the naive formula") {
+    val uniform = docs((1L, "a b c"), (2L, "d e f"), (3L, "g h i"))
+    val g0 = Curation.lengthGini(uniform).collect().head.getDouble(2)
+    assert(g0 === 0.0)
+    val skew = docs((1L, "a"), (2L, "b"),
+      (3L, Seq.fill(98)("x").mkString(" ")))
+    val row = Curation.lengthGini(skew).collect().head
+    assert(row.getLong(0) === 3L && row.getLong(1) === 100L)
+    // naive: lengths 1,1,98 ranks 1,2,3 → 2·(1+2+294)/(3·100) − 4/3
+    val expected = 2.0 * 297 / 300 - 4.0 / 3
+    assert(math.abs(row.getDouble(2) -
+      math.rint(expected * 1e6) / 1e6) < 1e-9)
+  }
+
   test("sourceKeywords: a source-exclusive token outranks shared " +
       "vocabulary; shared-by-all scores zero") {
     val d = Seq(

@@ -390,6 +390,33 @@ class TimeSeriesSpec extends SparkSpec {
     assert(math.abs(bc.last._3.get - (-1.0)) < 2e-6)
   }
 
+  test("streaks: hand-built runs — flat bars break streaks, counts " +
+      "and maxima match") {
+    // closes: up up up flat down down up → runs: +3, -2, +1
+    val cs = Seq(10.0, 11.0, 12.0, 13.0, 13.0, 12.0, 11.0, 12.0)
+    val out = TimeSeries.streaks(spark, "/root/testdata/sf0.001")
+    assert(out.columns.toSeq === Seq("ticker", "max_up_streak",
+      "max_down_streak", "n_up_moves", "n_down_moves"))
+    // literal-frame check through the same expression pieces
+    val bars2 = cs.zipWithIndex.map { case (c, i) => ("A", i * 5, c) }
+    val df = bars(bars2: _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ticker")).orderBy(col("bucket"))
+    val prev = lag(col("close"), 1).over(w)
+    val signed = df.select(col("ticker"), col("bucket"),
+      when(prev.isNull, 0).when(col("close") > prev, 1)
+        .when(col("close") < prev, -1).otherwise(0).as("sgn"))
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ticker"), col("sgn")).orderBy(col("bucket"))
+    val runs = signed
+      .withColumn("grp", row_number().over(w) - row_number().over(ws))
+      .filter(col("sgn") =!= 0)
+      .groupBy(col("sgn"), col("grp")).count().collect()
+      .map(r => (r.getInt(0), r.getLong(2)))
+    assert(runs.filter(_._1 == 1).map(_._2).sorted.toSeq === Seq(1L, 3L))
+    assert(runs.filter(_._1 == -1).map(_._2).toSeq === Seq(2L))
+  }
+
   test("sharpe on sf0.001: sortino magnitude ≥ sharpe when the mean " +
       "is positive (downside deviation ≤ total), both finite") {
     val out = TimeSeries.sharpe(spark, "/root/testdata/sf0.001").collect()
