@@ -135,6 +135,22 @@ SELECT rank, token, freq,
   round(freq::DOUBLE / n_total, 6) AS obs_share,
   round(f1::DOUBLE / rank / n_total, 6) AS zipf_share
 FROM rk, tot, f1 ORDER BY rank""",
+    // Heaps-law vocabulary growth: first-containing-doc reduction
+    "text_vocab_growth" -> s"""
+WITH $toksCte,
+fd AS (
+  SELECT token, min(doc_id) AS first_doc
+  FROM (SELECT doc_id, unnest(tk) AS token FROM toks) GROUP BY 1),
+md AS (SELECT max(doc_id) AS max_doc FROM documents),
+st AS (SELECT unnest(range(1, 11)) AS step),
+cx AS (
+  SELECT fd.first_doc, st.step, (md.max_doc * st.step) // 10 AS cutoff
+  FROM fd CROSS JOIN md CROSS JOIN st)
+SELECT CAST(step AS BIGINT) AS step,
+  CAST(max(cutoff) AS BIGINT) AS max_doc_id,
+  count(*)::BIGINT AS vocab_size
+FROM cx WHERE first_doc <= cutoff
+GROUP BY step ORDER BY step""",
     // per-source TF-IDF keywords: exact counts, one ln per token
     "text_source_keywords" -> s"""
 WITH $toksCte,
@@ -972,6 +988,24 @@ cx AS (
 SELECT keep, n_docs, cohesion, cross_cos
 FROM coh JOIN cx USING (keep)
 ORDER BY keep"""),
+    // per-dimension moment profile: decimal-exact, dim-sized output
+    "sim_dim_variance" -> """
+WITH dv AS (
+  SELECT pos, v::DOUBLE AS v FROM (
+    SELECT unnest(embedding::DOUBLE[]) AS v,
+      unnest(range(len(embedding))) AS pos
+    FROM embeddings)),
+m AS (
+  SELECT CAST(pos AS BIGINT) AS pos, count(*) AS n,
+    CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) AS s1,
+    CAST(sum(CAST(v * v AS DECIMAL(28,10))) AS DOUBLE) AS s2
+  FROM dv GROUP BY 1)
+SELECT pos, n,
+  round(s1 / CAST(n AS DOUBLE), 6) AS dim_mean,
+  round(greatest(s2 / CAST(n AS DOUBLE) -
+    s1 / CAST(n AS DOUBLE) * (s1 / CAST(n AS DOUBLE)), 0.0), 6)
+    AS dim_var
+FROM m ORDER BY pos""",
     // nearest-centroid classifier self-accuracy per label
     "sim_ncc_accuracy" -> (simBase + s""",
 cent AS (

@@ -606,6 +606,12 @@ object SparkEntry {
     // document-length inequality (banded exact-rank Gini)
     "corpus_length_gini" -> ((s, d) =>
       graft.operators.Curation.lengthGini(Tables.documents(s, d))),
+    // Heaps-law vocabulary growth curve (first-doc reduction)
+    "text_vocab_growth" -> ((s, d) =>
+      TextAnalysis.vocabGrowth(Tables.documents(s, d))),
+    // per-dimension embedding variance profile (PCA-lite diagnostic)
+    "sim_dim_variance" -> ((s, d) =>
+      Similarity.dimVariance(Tables.embeddings(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

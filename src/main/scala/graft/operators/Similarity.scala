@@ -166,6 +166,31 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** Per-dimension variance profile of the raw embedding matrix — the
+    * PCA-lite diagnostic that says which dimensions carry signal (a
+    * near-zero-variance dim is dead weight; the Matryoshka truncation
+    * decision reads exactly this profile). One posexplode scan with
+    * DECIMAL-exact first/second moments per dimension — output is
+    * dim-sized, order-independent under any partitioning. */
+  def dimVariance(embeddings: DataFrame): DataFrame = {
+    val m = embeddings
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("pos").cast("long").as("pos"), col("v").cast("double")
+        .as("v"))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(28,10)")).cast("double").as("s1"),
+        sum((col("v") * col("v")).cast("decimal(28,10)")).cast("double")
+          .as("s2"))
+    val nd = col("n").cast("double")
+    val mean = col("s1") / nd
+    m.select(col("pos"), col("n"),
+        round(mean, 6).as("dim_mean"),
+        round(greatest(col("s2") / nd - mean * mean, lit(0.0)), 6)
+          .as("dim_var"))
+      .orderBy(col("pos"))
+  }
+
   /** Nearest-centroid-classifier self-accuracy per label: every vector
     * is classified to its highest-cosine LABEL centroid (rounded
     * cosine, ties to the smallest label) and scored against its true

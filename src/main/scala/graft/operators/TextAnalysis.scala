@@ -445,6 +445,30 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Heaps-law vocabulary growth: distinct-vocabulary size at ten
+    * corpus prefixes (by doc_id order) — the curve that says whether
+    * more data still buys new vocabulary or the corpus has saturated.
+    * The classic "distinct over growing prefix" is O(K·corpus) naively;
+    * here each token reduces to its FIRST containing doc (one hash
+    * aggregate), and every checkpoint is a count over that vocab-sized
+    * table — exact integers, one corpus scan total. */
+  def vocabGrowth(documents: DataFrame, steps: Int = 10): DataFrame = {
+    val firstDoc = documents
+      .select(col("doc_id"), explode(toks).as("token"))
+      .groupBy(col("token")).agg(min(col("doc_id")).as("first_doc"))
+    val maxDoc = documents.agg(max(col("doc_id")).as("max_doc"),
+      count(lit(1)).as("n_docs"))
+    firstDoc.crossJoin(broadcast(maxDoc))
+      .select(col("first_doc"), col("max_doc"),
+        explode(sequence(lit(1), lit(steps))).as("step"))
+      .withColumn("cutoff", expr(s"(max_doc * step) div $steps"))
+      .filter(col("first_doc") <= col("cutoff"))
+      .groupBy(col("step").cast("long").as("step"))
+      .agg(max(col("cutoff")).as("max_doc_id"),
+        count(lit(1)).as("vocab_size"))
+      .orderBy(col("step"))
+  }
+
   /** Per-source keyword count for [[sourceKeywords]]. */
   val keywordsPerSource = 3
 

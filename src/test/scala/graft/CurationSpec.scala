@@ -483,6 +483,28 @@ class CurationSpec extends SparkSpec {
     assert(out(2L)._2 === out(4L)._2 && out(1L)._2 === out(3L)._2)
   }
 
+  test("vocabGrowth: monotone non-decreasing, final step equals the " +
+      "full vocabulary, prefix counts match direct recomputation") {
+    val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = graft.operators.TextAnalysis.vocabGrowth(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq === (1L to 10L).toSeq)
+    out.map(_._3).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(a <= b); case _ => ()
+    }
+    val fullVocab = d.select(explode(
+        graft.functions.Portable.tokens(col("text"))).as("t"))
+      .distinct().count()
+    assert(out.last._3 === fullVocab)
+    // cross-check one middle checkpoint directly
+    val (_, cutoff, v5) = out(4)
+    val direct = d.filter(col("doc_id") <= cutoff)
+      .select(explode(graft.functions.Portable.tokens(col("text"))).as("t"))
+      .distinct().count()
+    assert(v5 === direct)
+  }
+
   test("lengthGini: uniform lengths give 0; a skewed corpus is " +
       "strictly positive and matches the naive formula") {
     val uniform = docs((1L, "a b c"), (2L, "d e f"), (3L, "g h i"))

@@ -247,6 +247,23 @@ class KnnGraphSpec extends SparkSpec {
     assert(got.toSet === expected)
   }
 
+  test("dimVariance: one row per dimension, all counts equal the " +
+      "corpus size, variances non-negative and mostly positive") {
+    val out = Similarity.dimVariance(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    val n = emb.count()
+    val dim = emb.select(org.apache.spark.sql.functions.size(
+      col("embedding"))).collect().head.getInt(0)
+    assert(out.length === dim)
+    out.foreach { case (_, c, _, v) =>
+      assert(c === n)
+      assert(v >= 0.0)
+    }
+    assert(out.count(_._4 > 0.0) > dim / 2,
+      "real embeddings vary in most dimensions")
+  }
+
   test("nccAccuracy: per-label counts partition the corpus and " +
       "accuracy is the exact correct ratio") {
     val out = Similarity.nccAccuracy(emb).collect()
