@@ -1382,6 +1382,44 @@ SELECT d.vec_id, d.degree,
 FROM deg d LEFT JOIN tpn t ON d.vec_id = t.vec_id
 ORDER BY d.vec_id"""
     }),
+    // Adamic–Adar link prediction: mutual edges → adjacency → open
+    // wedges (anti-join vs the edge set) → per-pair count + AA score
+    // with 1/ln(degree) terms summed on the DECIMAL(28,10) grid
+    "sim_link_prediction" -> (simBase + kmeansCtes + {
+      val it = graft.operators.Similarity.kmIters
+      s""",
+kp AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+    round(list_inner_product(a.ev, b.ev), 6) AS cosine
+  FROM asg$it a JOIN asg$it b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+kr AS (
+  SELECT vec_id, neighbor_id, cosine,
+    row_number() OVER (PARTITION BY vec_id
+      ORDER BY cosine DESC, neighbor_id)::BIGINT AS rank
+  FROM kp),
+ged AS (SELECT vec_id, neighbor_id FROM kr WHERE rank <= 3),
+med AS (
+  SELECT a.vec_id AS vec_a, a.neighbor_id AS vec_b
+  FROM ged a JOIN ged b
+    ON a.vec_id = b.neighbor_id AND a.neighbor_id = b.vec_id
+  WHERE a.vec_id < a.neighbor_id),
+adjv AS (
+  SELECT vec_a AS vec_id, vec_b AS nbr FROM med
+  UNION ALL SELECT vec_b AS vec_id, vec_a AS nbr FROM med),
+deg AS (SELECT vec_id, count(*)::BIGINT AS degree FROM adjv GROUP BY 1),
+wed AS (
+  SELECT x.vec_id AS mid, x.nbr AS vec_a, y.nbr AS vec_b
+  FROM adjv x JOIN adjv y ON x.vec_id = y.vec_id AND x.nbr < y.nbr),
+opn AS (
+  SELECT w.mid, w.vec_a, w.vec_b
+  FROM wed w LEFT JOIN med m ON w.vec_a = m.vec_a AND w.vec_b = m.vec_b
+  WHERE m.vec_a IS NULL)
+SELECT o.vec_a, o.vec_b, count(*)::BIGINT AS common_neighbors,
+  round(CAST(sum(CAST(1.0 / ln(d.degree) AS DECIMAL(28,10)))
+    AS DOUBLE), 6) AS adamic_adar
+FROM opn o JOIN deg d ON o.mid = d.vec_id
+GROUP BY 1, 2 ORDER BY vec_a, vec_b"""
+    }),
     // PageRank over the kNN graph: unrolled power iterations, inflow
     // sums as DECIMAL(28,10) (order-independent), p/outdeg contribs,
     // dangling mass dropped, teleport via LEFT JOIN + coalesce. The

@@ -612,6 +612,9 @@ object SparkEntry {
     // per-dimension embedding variance profile (PCA-lite diagnostic)
     "sim_dim_variance" -> ((s, d) =>
       Similarity.dimVariance(Tables.embeddings(s, d))),
+    // Adamic-Adar link prediction over the mutual-kNN graph
+    "sim_link_prediction" -> ((s, d) =>
+      Similarity.linkPrediction(Tables.embeddings(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

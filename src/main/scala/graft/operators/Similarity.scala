@@ -1152,6 +1152,43 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Link prediction over the mutual-kNN graph: for every OPEN wedge —
+    * a non-adjacent pair (a, c) sharing at least one mutual neighbor
+    * b — the common-neighbor count and the Adamic–Adar score
+    * Σ_b 1/ln(deg b), the classic "which edge is missing" signal used
+    * to densify a retrieval graph or to propose near-dup candidate
+    * pairs the kNN build itself missed. Scale: mutual degree is
+    * bounded by k, so wedge fan-out is ≤ k(k−1)/2 per center and every
+    * stage is an equi join / hash aggregate on vertex ids — no
+    * all-pairs term at any corpus size. Per-wedge AA terms go through
+    * the DECIMAL(28,10) grid before summing (order-independent,
+    * bit-equal across engines); a wedge center has degree ≥ 2 by
+    * construction, so ln(degree) never divides by zero. */
+  def linkPrediction(embeddings: DataFrame, k: Int = 3,
+      cells: Int = kmK): DataFrame = {
+    val e = mutualKnnGraph(embeddings, k, cells)
+      .select(col("vec_a"), col("vec_b"))
+      .pin(eager = true)
+    val adj = e.select(col("vec_a").as("vec_id"), col("vec_b").as("nbr"))
+      .unionAll(e.select(col("vec_b").as("vec_id"),
+        col("vec_a").as("nbr")))
+    val deg = adj.groupBy(col("vec_id")).agg(count(lit(1)).as("degree"))
+    val wedges = adj.as("x").join(adj.as("y"),
+        col("x.vec_id") === col("y.vec_id") &&
+          col("x.nbr") < col("y.nbr"))
+      .select(col("x.vec_id").as("mid"), col("x.nbr").as("vec_a"),
+        col("y.nbr").as("vec_b"))
+    val open = wedges.join(e, Seq("vec_a", "vec_b"), "left_anti")
+    open.join(deg.withColumnRenamed("vec_id", "mid"), Seq("mid"))
+      .groupBy(col("vec_a"), col("vec_b"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum((lit(1.0) / log(col("degree").cast("double")))
+          .cast("decimal(28,10)")).cast("double").as("aa"))
+      .select(col("vec_a"), col("vec_b"), col("common_neighbors"),
+        round(col("aa"), 6).as("adamic_adar"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   /** PageRank damping / iterations for [[knnPageRank]] — shared with
     * the oracle generator. */
   val prDamping = 0.85

@@ -264,6 +264,39 @@ class KnnGraphSpec extends SparkSpec {
       "real embeddings vary in most dimensions")
   }
 
+  test("linkPrediction: exactly the open wedges, common-neighbor " +
+      "counts match set intersections, AA score matches a direct " +
+      "recomputation on the same rounding grid") {
+    val med = Similarity.mutualKnnGraph(emb).select("vec_a", "vec_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+      .withDefaultValue(Set.empty)
+    med.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+    val out = Similarity.linkPrediction(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.nonEmpty)
+    // completeness: every non-adjacent pair with >=1 common neighbor
+    val expectPairs = (for {
+      m <- adj.keys.toSeq
+      ns = adj(m).toSeq.sorted
+      a <- ns; b <- ns if a < b && !adj(a).contains(b)
+    } yield (a, b)).toSet
+    assert(out.map(t => (t._1, t._2)).toSet === expectPairs)
+    out.foreach { case (a, b, cn, aa) =>
+      assert(a < b && !adj(a).contains(b), s"($a,$b) must be open")
+      val common = adj(a) intersect adj(b)
+      assert(common.size.toLong === cn)
+      val sum10 = common.toSeq.map { m =>
+        BigDecimal(1.0 / math.log(adj(m).size.toDouble))
+          .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      val expectAa = BigDecimal(sum10.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(aa === expectAa, s"($a,$b) AA mismatch")
+    }
+  }
+
   test("nccAccuracy: per-label counts partition the corpus and " +
       "accuracy is the exact correct ratio") {
     val out = Similarity.nccAccuracy(emb).collect()
