@@ -233,6 +233,38 @@ FROM cm
 JOIN sz sa ON source_a = sa.source
 JOIN sz sb ON source_b = sb.source
 ORDER BY source_a, source_b""",
+    // Jensen-Shannon divergence per source vs the corpus unigram
+    // distribution: integer-count shares, per-token terms rounded to
+    // the 1e-12 grid and decimal-summed (order-independent)
+    "text_js_divergence" -> s"""
+WITH $toksCte,
+tk2 AS (SELECT source, unnest(tk) AS token FROM toks),
+sc AS (
+  SELECT source, token, count(*)::BIGINT AS n_st FROM tk2 GROUP BY 1, 2),
+stot AS (
+  SELECT source, CAST(sum(n_st) AS BIGINT) AS tot_s,
+    count(*)::BIGINT AS vocab_s
+  FROM sc GROUP BY 1),
+cc AS (SELECT token, CAST(sum(n_st) AS BIGINT) AS n_t FROM sc GROUP BY 1),
+ctot AS (SELECT CAST(sum(n_t) AS BIGINT) AS tot_c FROM cc),
+grid AS (
+  SELECT st.source, st.tot_s, st.vocab_s, cc.n_t, ctot.tot_c,
+    coalesce(s2.n_st, 0) AS n_st
+  FROM cc CROSS JOIN ctot CROSS JOIN stot st
+  LEFT JOIN sc s2 ON s2.source = st.source AND s2.token = cc.token),
+terms AS (
+  SELECT source, tot_s, vocab_s,
+    CAST(round((CASE WHEN n_st > 0 THEN (n_st::DOUBLE / tot_s) *
+        ln((n_st::DOUBLE / tot_s) /
+          ((n_st::DOUBLE / tot_s + n_t::DOUBLE / tot_c) / 2))
+      ELSE 0.0 END +
+      (n_t::DOUBLE / tot_c) * ln((n_t::DOUBLE / tot_c) /
+        ((n_st::DOUBLE / tot_s + n_t::DOUBLE / tot_c) / 2))) * 0.5, 12)
+      AS DECIMAL(18,12)) AS term
+  FROM grid)
+SELECT source, max(tot_s) AS n_tokens, max(vocab_s) AS vocab_size,
+  round(CAST(sum(term) AS DOUBLE), 6) AS js_divergence
+FROM terms GROUP BY source ORDER BY source""",
     // per-source language entropy: exact shares, decimal-summed terms
     "text_lang_entropy" -> """
 WITH c AS (

@@ -615,6 +615,9 @@ object SparkEntry {
     // Adamic-Adar link prediction over the mutual-kNN graph
     "sim_link_prediction" -> ((s, d) =>
       Similarity.linkPrediction(Tables.embeddings(s, d))),
+    // per-source Jensen-Shannon divergence vs the corpus unigram LM
+    "text_js_divergence" -> ((s, d) =>
+      TextAnalysis.jsDivergence(Tables.documents(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

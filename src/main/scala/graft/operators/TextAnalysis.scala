@@ -631,6 +631,44 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Jensen–Shannon divergence of each source's unigram distribution
+    * vs the whole-corpus distribution — the data-mixing diagnostic
+    * (DoReMi-style reweighting reads exactly this: a source with JSD
+    * near 0 adds no distributional novelty; a high-JSD source shifts
+    * the mixture). Exact by construction: shares are integer-count
+    * ratios, every per-token 0.5·(p·ln(p/m) + q·ln(q/m)) term rounds
+    * to the 1e-12 grid and sums as DECIMAL — order-independent under
+    * any partitioning. Scale: the grid is |vocab| × |sources| rows
+    * (sources are a small broadcast side); everything else is hash
+    * aggregation on (source, token) — no data-sized window, no
+    * driver-side state. */
+  def jsDivergence(documents: DataFrame): DataFrame = {
+    val sc = documents
+      .select(col("source"), explode(toks).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("n_st"))
+    val stot = sc.groupBy(col("source"))
+      .agg(sum(col("n_st")).as("tot_s"), count(lit(1)).as("vocab_s"))
+    val cc = sc.groupBy(col("token")).agg(sum(col("n_st")).as("n_t"))
+    val ctot = cc.agg(sum(col("n_t")).as("tot_c"))
+    val grid = cc.crossJoin(broadcast(ctot))
+      .crossJoin(broadcast(stot))
+      .join(sc, Seq("source", "token"), "left")
+    val p = coalesce(col("n_st"), lit(0L)).cast("double") / col("tot_s")
+    val q = col("n_t").cast("double") / col("tot_c")
+    val m = (p + q) / lit(2)
+    val term = (when(p > lit(0.0), p * log(p / m)).otherwise(lit(0.0)) +
+      q * log(q / m)) * lit(0.5)
+    grid
+      .select(col("source"), col("tot_s"), col("vocab_s"),
+        round(term, 12).cast("decimal(18,12)").as("term"))
+      .groupBy(col("source"))
+      .agg(max(col("tot_s")).as("n_tokens"),
+        max(col("vocab_s")).as("vocab_size"),
+        round(sum(col("term")).cast("double"), 6).as("js_divergence"))
+      .orderBy(col("source"))
+  }
+
   /** Tokenizer fertility by language — subwords per whitespace word
     * and characters per subword, the tokenizer-health metric a
     * multilingual corpus is profiled with before training (a language

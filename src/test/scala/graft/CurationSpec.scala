@@ -505,6 +505,45 @@ class CurationSpec extends SparkSpec {
     assert(v5 === direct)
   }
 
+  test("jsDivergence: single-source corpus scores 0, real corpus " +
+      "bounded by ln 2, and one source matches a direct recomputation") {
+    val one = docs((1L, "a b c"), (2L, "a b d"))
+    val z = graft.operators.TextAnalysis.jsDivergence(one).collect()
+    assert(z.length === 1 && z.head.getDouble(3) === 0.0)
+
+    val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = graft.operators.TextAnalysis.jsDivergence(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val nSources = d.select("source").distinct().count()
+    assert(out.length === nSources)
+    out.foreach { case (_, _, _, jsd) =>
+      assert(jsd >= 0.0 && jsd <= math.log(2.0) + 1e-9)
+    }
+    // direct recomputation for the lexicographically first source,
+    // on the identical rounding grid
+    val toksOf = d.select(col("source"),
+        explode(graft.functions.Portable.tokens(col("text"))).as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val corpus = toksOf.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val totC = toksOf.length.toDouble
+    val src = out.map(_._1).min
+    val mine = toksOf.filter(_._1 == src).groupBy(_._2).view
+      .mapValues(_.length.toLong).toMap
+    val totS = mine.values.sum.toDouble
+    val sum12 = corpus.toSeq.map { case (t, nT) =>
+      val p = mine.getOrElse(t, 0L) / totS
+      val q = nT / totC
+      val m = (p + q) / 2
+      val term = ((if (p > 0) p * math.log(p / m) else 0.0) +
+        q * math.log(q / m)) * 0.5
+      BigDecimal(term).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    }.sum
+    val expect = BigDecimal(sum12.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.find(_._1 == src).get._4 === expect)
+  }
+
   test("lengthGini: uniform lengths give 0; a skewed corpus is " +
       "strictly positive and matches the naive formula") {
     val uniform = docs((1L, "a b c"), (2L, "d e f"), (3L, "g h i"))
