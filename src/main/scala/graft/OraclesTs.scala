@@ -500,6 +500,40 @@ SELECT ticker, n_rets,
       3.0 * mean * mean * mean * mean) / (v * v) - 3.0, 6)
   END AS kurt_excess
 FROM d ORDER BY ticker"""),
+    // variance ratio: identical lag-window log returns on both
+    // horizons, DECIMAL(38,18) moment sums, pinned-order final ratio
+    "stock_variance_ratio" -> (barsCte + {
+      val q = graft.operators.TimeSeries.VrQ
+      s""",
+rets AS (
+  SELECT ticker,
+    CASE WHEN lag(close, 1) OVER tw > 0 AND close > 0
+      THEN ln(close / lag(close, 1) OVER tw) END AS r1,
+    CASE WHEN lag(close, $q) OVER tw > 0 AND close > 0
+      THEN ln(close / lag(close, $q) OVER tw) END AS rq
+  FROM bars
+  WINDOW tw AS (PARTITION BY ticker ORDER BY bucket)),
+m AS (
+  SELECT ticker,
+    count(r1)::BIGINT AS n1,
+    CAST(sum(CAST(r1 AS DECIMAL(38,18))) AS DOUBLE) AS a1,
+    CAST(sum(CAST(r1 * r1 AS DECIMAL(38,18))) AS DOUBLE) AS b1,
+    count(rq)::BIGINT AS nq,
+    CAST(sum(CAST(rq AS DECIMAL(38,18))) AS DOUBLE) AS aq,
+    CAST(sum(CAST(rq * rq AS DECIMAL(38,18))) AS DOUBLE) AS bq
+  FROM rets GROUP BY 1),
+d AS (
+  SELECT ticker, n1, nq,
+    b1 / CAST(n1 AS DOUBLE) -
+      a1 / CAST(n1 AS DOUBLE) * (a1 / CAST(n1 AS DOUBLE)) AS v1,
+    bq / CAST(nq AS DOUBLE) -
+      aq / CAST(nq AS DOUBLE) * (aq / CAST(nq AS DOUBLE)) AS vq
+  FROM m)
+SELECT ticker, n1, nq,
+  CASE WHEN n1 > 1 AND nq > 1 AND v1 > 0.0 THEN
+    round(vq / (${q.toDouble} * v1), 6) END AS variance_ratio
+FROM d ORDER BY ticker"""
+    }),
     "stock_corr_pairs" -> (barsCte + """,
 rets AS (
   SELECT ticker, bucket,

@@ -618,6 +618,8 @@ object SparkEntry {
     // per-source Jensen-Shannon divergence vs the corpus unigram LM
     "text_js_divergence" -> ((s, d) =>
       TextAnalysis.jsDivergence(Tables.documents(s, d))),
+    // Lo-MacKinlay variance ratio (random-walk diagnostic per ticker)
+    "stock_variance_ratio" -> (TimeSeries.varianceRatio _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -191,6 +191,55 @@ object TimeSeries {
       .orderBy(col("ticker"))
   }
 
+  /** Overlapping-return horizon for [[varianceRatio]] — shared with
+    * the oracle generator. */
+  val VrQ = 4
+
+  /** Lo–MacKinlay variance-ratio statistic per ticker: the variance
+    * of overlapping [[VrQ]]-bar log returns over VrQ × the one-bar
+    * log-return variance — the classic random-walk diagnostic (VR ≈ 1
+    * under iid increments, > 1 momentum, < 1 mean reversion). Both
+    * series are lag-window log returns on the 5-minute bars (bounded
+    * per-ticker partitions); the moment sums accumulate as
+    * DECIMAL(38,18) of identically-computed double terms — exact and
+    * order-independent under any partitioning — and only the closed-
+    * form ratio is double math, in one pinned order. Degenerate
+    * tickers (zero one-bar variance, < 2 observations on either
+    * horizon) yield NULL. */
+  def varianceRatio(spark: SparkSession, dir: String): DataFrame =
+    varianceRatioBars(closeBars5m(
+      StockPipeline.normalize(Tables.events(spark, dir))))
+
+  private[graft] def varianceRatioBars(bars: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("ticker")).orderBy(col("bucket"))
+    val p1 = lag(col("close"), 1).over(w)
+    val pq = lag(col("close"), VrQ).over(w)
+    // log returns need strictly positive prices on both ends (a zero
+    // or negative close is a feed glitch; ln would throw/NaN) — the
+    // row drops like the leading NULLs, stated identically by the
+    // oracle's CASE
+    val rets = bars.select(col("ticker"),
+      when(p1 > 0.0 && col("close") > 0.0, log(col("close") / p1))
+        .as("r1"),
+      when(pq > 0.0 && col("close") > 0.0, log(col("close") / pq))
+        .as("rq"))
+    def dsum18(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(38,18)")).cast("double")
+    val m = rets.groupBy(col("ticker")).agg(
+      count(col("r1")).as("n1"), dsum18(col("r1")).as("a1"),
+      dsum18(col("r1") * col("r1")).as("b1"),
+      count(col("rq")).as("nq"), dsum18(col("rq")).as("aq"),
+      dsum18(col("rq") * col("rq")).as("bq"))
+    val n1d = col("n1").cast("double")
+    val nqd = col("nq").cast("double")
+    val v1 = col("b1") / n1d - (col("a1") / n1d) * (col("a1") / n1d)
+    val vq = col("bq") / nqd - (col("aq") / nqd) * (col("aq") / nqd)
+    m.select(col("ticker"), col("n1"), col("nq"),
+        when(col("n1") > 1 && col("nq") > 1 && v1 > 0.0,
+          round(vq / (lit(VrQ.toDouble) * v1), 6)).as("variance_ratio"))
+      .orderBy(col("ticker"))
+  }
+
   /** Longest up/down streaks per ticker — the gaps-and-islands
     * momentum statistic (flat bars and the leading edge break a
     * streak). Islands come from the classic difference-of-row_numbers

@@ -488,6 +488,44 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.exists(_._3.isDefined), "sf data has ≥20-return tickers")
   }
 
+  test("varianceRatioBars: alternating ×2/÷2 closes give VR 0, a " +
+      "constant series degenerates to NULL, and a mixed series " +
+      "matches direct recomputation on the same decimal grid") {
+    // 64, 128, 64, 128, ... — exact doubles; every 4-bar return is
+    // ln(1) = 0 exactly while 1-bar returns alternate ±ln 2
+    val alt = (0 until 13).map(i =>
+      ("A", i * 5, if (i % 2 == 0) 64.0 else 128.0))
+    val const = (0 until 8).map(i => ("B", i * 5, 42.0))
+    val closes = Seq(100.0, 105.0, 98.0, 110.0, 120.0, 95.0, 130.0,
+      140.0, 125.0, 150.0)
+    val mixed = closes.zipWithIndex.map { case (c, i) => ("C", i * 5, c) }
+    val out = TimeSeries.varianceRatioBars(
+      bars((alt ++ const ++ mixed): _*)).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out("A") === ((12L, 9L, Some(0.0))))
+    assert(out("B") === ((7L, 4L, None)))
+    // direct recomputation, replicating the DECIMAL(38,18) grid and
+    // the pinned double order
+    def g18(x: Double) =
+      BigDecimal(x).setScale(18, BigDecimal.RoundingMode.HALF_UP)
+    val r1s = closes.sliding(2).map { case Seq(a, b) =>
+      math.log(b / a) }.toSeq
+    val rqs = closes.sliding(TimeSeries.VrQ + 1).map { s =>
+      math.log(s.last / s.head) }.toSeq
+    def varOf(rs: Seq[Double]) = {
+      val n = rs.length.toDouble
+      val a = rs.map(g18).sum.toDouble
+      val b = rs.map(r => g18(r * r)).sum.toDouble
+      b / n - (a / n) * (a / n)
+    }
+    val vr = varOf(rqs) / (TimeSeries.VrQ.toDouble * varOf(r1s))
+    val expect = BigDecimal(vr)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("C") === ((9L, 6L, Some(expect))))
+  }
+
   test("momentsBars: hand-checkable series — symmetric returns give " +
       "zero skew, constant series degenerates to NULL moments") {
     // closes 100, 110, 100, 110, ... → returns alternate +0.1, −1/11:
