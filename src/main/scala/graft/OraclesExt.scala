@@ -584,6 +584,29 @@ FROM hist CROSS JOIN tot
 WINDOW cw AS (ORDER BY df ROWS BETWEEN UNBOUNDED PRECEDING
   AND CURRENT ROW)
 ORDER BY df"""),
+    // edit-distance verification of the LSH candidates: both engines'
+    // levenshtein is the same integer DP metric on the same bounded
+    // prefix, so every row is exact
+    "dedup_edit_pairs" -> (minhashPairsCtes + {
+      val cap = graft.operators.Dedup.editMaxChars
+      s"""
+SELECT c.doc_a, c.doc_b,
+  length(substr(da.text, 1, $cap))::BIGINT AS len_a,
+  length(substr(db.text, 1, $cap))::BIGINT AS len_b,
+  levenshtein(substr(da.text, 1, $cap), substr(db.text, 1, $cap))::BIGINT
+    AS edit_distance,
+  CASE WHEN greatest(length(substr(da.text, 1, $cap)),
+      length(substr(db.text, 1, $cap))) > 0 THEN
+    round(1.0 - levenshtein(substr(da.text, 1, $cap),
+        substr(db.text, 1, $cap))::DOUBLE /
+      greatest(length(substr(da.text, 1, $cap)),
+        length(substr(db.text, 1, $cap))), 6)
+  ELSE 1.0 END AS edit_sim
+FROM cand c
+JOIN documents da ON c.doc_a = da.doc_id
+JOIN documents db ON c.doc_b = db.doc_id
+ORDER BY doc_a, doc_b"""
+    }),
     // MinHash estimator calibration: signature-agreement estimate vs
     // exact Jaccard over the candidate set; decimal-exact error sums
     "dedup_lsh_recall" -> (minhashPairsCtes + s""",

@@ -620,6 +620,9 @@ object SparkEntry {
       TextAnalysis.jsDivergence(Tables.documents(s, d))),
     // Lo-MacKinlay variance ratio (random-walk diagnostic per ticker)
     "stock_variance_ratio" -> (TimeSeries.varianceRatio _),
+    // Levenshtein verification of the LSH candidate pairs
+    "dedup_edit_pairs" -> ((s, d) =>
+      Dedup.editPairs(Tables.documents(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -130,6 +130,43 @@ object Dedup {
           (col("ca.n_sh") + col("cb.n_sh") - col("n_common")), 6).as("jaccard"))
   }
 
+  /** Character budget for [[editPairs]]'s exact verifier — Levenshtein
+    * is O(m·n) per pair, so the verifier reads a bounded prefix and
+    * the per-pair cost is a constant at any corpus size. Shared with
+    * the oracle generator. */
+  val editMaxChars = 1000
+
+  /** Edit-distance verification of the LSH candidate pairs: exact
+    * Levenshtein distance and normalized similarity
+    * (1 − dist/max(len)) over the first [[editMaxChars]] characters —
+    * the precision tail stage a dedup pipeline runs when shingle
+    * Jaccard is too coarse (near-identical templates with small
+    * substitutions). Affordable at scale only because it runs on the
+    * band-collision candidate set, never all pairs, and each
+    * comparison is prefix-bounded; both engines' `levenshtein` is the
+    * same integer DP metric, so rows are exact. Two empty prefixes
+    * are identical by definition (similarity 1), stated identically
+    * by the oracle. */
+  def editPairs(documents: DataFrame): DataFrame = {
+    val txt = documents.select(col("doc_id"),
+      substring(col("text"), 1, editMaxChars).as("t"))
+    lshCandidates(documents)
+      .join(txt.as("ta"), col("doc_a") === col("ta.doc_id"))
+      .join(txt.as("tb"), col("doc_b") === col("tb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        length(col("ta.t")).cast("long").as("len_a"),
+        length(col("tb.t")).cast("long").as("len_b"),
+        levenshtein(col("ta.t"), col("tb.t")).cast("long")
+          .as("edit_distance"))
+      .select(col("doc_a"), col("doc_b"), col("len_a"), col("len_b"),
+        col("edit_distance"),
+        when(greatest(col("len_a"), col("len_b")) > 0,
+          round(lit(1.0) - col("edit_distance").cast("double") /
+            greatest(col("len_a"), col("len_b")), 6))
+          .otherwise(lit(1.0)).as("edit_sim"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Shingle document-frequency profile — the histogram that SIZES the
     * [[jaccardMaxDf]] cap: how many distinct shingles occur in exactly
     * df documents, cumulative share included. A heavy df head means

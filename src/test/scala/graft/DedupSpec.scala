@@ -28,6 +28,29 @@ class DedupSpec extends SparkSpec {
   private val fresh =
     "unique fresh content nothing like any earlier document in the corpus"
 
+  test("editPairs: candidate pairs carry the exact Levenshtein " +
+      "distance and normalized similarity; identical docs score 1") {
+    val d = docs(0L -> base, 1L -> near, 2L -> base, 3L -> other)
+    val out = Dedup.editPairs(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    // base vs near differ only in the final token (mu -> nu): one
+    // substitution = distance 1
+    assert(out.keySet.contains((0L, 1L)) && out.keySet.contains((0L, 2L)))
+    val (la, lb, d01, s01) = out((0L, 1L))
+    assert(la === base.length.toLong && lb === near.length.toLong)
+    assert(d01 === 1L)
+    val expSim = BigDecimal(1.0 - 1.0 / base.length)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(s01 === expSim)
+    // identical copies: distance 0, similarity exactly 1
+    assert(out((0L, 2L)) === ((base.length.toLong, base.length.toLong,
+      0L, 1.0)))
+    // the unrelated doc never collides into a candidate pair
+    assert(!out.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("incremental: exact, near, and new batch docs classify correctly") {
     val d = docs(
       0L -> base, 1L -> other,
