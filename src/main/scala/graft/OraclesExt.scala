@@ -1437,6 +1437,58 @@ SELECT d.vec_id, d.degree,
 FROM deg d LEFT JOIN tpn t ON d.vec_id = t.vec_id
 ORDER BY d.vec_id"""
     }),
+    // degree assortativity: exact integer moment sums over the
+    // directed mutual edge list, pinned-order Pearson ratio
+    "sim_assortativity" -> (simBase + kmeansCtes + {
+      val it = graft.operators.Similarity.kmIters
+      s""",
+kp AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+    round(list_inner_product(a.ev, b.ev), 6) AS cosine
+  FROM asg$it a JOIN asg$it b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+kr AS (
+  SELECT vec_id, neighbor_id, cosine,
+    row_number() OVER (PARTITION BY vec_id
+      ORDER BY cosine DESC, neighbor_id)::BIGINT AS rank
+  FROM kp),
+ged AS (SELECT vec_id, neighbor_id FROM kr WHERE rank <= 3),
+med AS (
+  SELECT a.vec_id AS vec_a, a.neighbor_id AS vec_b
+  FROM ged a JOIN ged b
+    ON a.vec_id = b.neighbor_id AND a.neighbor_id = b.vec_id
+  WHERE a.vec_id < a.neighbor_id),
+adjm AS (
+  SELECT vec_a AS src, vec_b AS dst FROM med
+  UNION ALL SELECT vec_b AS src, vec_a AS dst FROM med),
+deg AS (SELECT src AS vec_id, count(*)::BIGINT AS degree
+  FROM adjm GROUP BY 1),
+de AS (
+  SELECT dx.degree AS dx, dy.degree AS dy
+  FROM adjm JOIN deg dx ON adjm.src = dx.vec_id
+            JOIN deg dy ON adjm.dst = dy.vec_id),
+mm AS (
+  SELECT count(*)::BIGINT AS m,
+    CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+    CAST(sum(dx * dx) AS BIGINT) AS sxx,
+    CAST(sum(dy * dy) AS BIGINT) AS syy,
+    CAST(sum(dx * dy) AS BIGINT) AS sxy
+  FROM de),
+nn AS (SELECT count(*)::BIGINT AS n_nodes FROM deg),
+ne AS (SELECT count(*)::BIGINT AS n_edges FROM med)
+SELECT n_nodes, n_edges,
+  CASE WHEN (sxx / CAST(m AS DOUBLE) -
+      (sx / CAST(m AS DOUBLE)) * (sx / CAST(m AS DOUBLE))) *
+    (syy / CAST(m AS DOUBLE) -
+      (sy / CAST(m AS DOUBLE)) * (sy / CAST(m AS DOUBLE))) > 0.0 THEN
+    round((sxy / CAST(m AS DOUBLE) -
+        (sx / CAST(m AS DOUBLE)) * (sy / CAST(m AS DOUBLE))) /
+      sqrt((sxx / CAST(m AS DOUBLE) -
+        (sx / CAST(m AS DOUBLE)) * (sx / CAST(m AS DOUBLE))) *
+        (syy / CAST(m AS DOUBLE) -
+          (sy / CAST(m AS DOUBLE)) * (sy / CAST(m AS DOUBLE)))), 6)
+  END AS assortativity
+FROM mm CROSS JOIN nn CROSS JOIN ne"""
+    }),
     // Adamic–Adar link prediction: mutual edges → adjacency → open
     // wedges (anti-join vs the edge set) → per-pair count + AA score
     // with 1/ln(degree) terms summed on the DECIMAL(28,10) grid

@@ -623,6 +623,9 @@ object SparkEntry {
     // Levenshtein verification of the LSH candidate pairs
     "dedup_edit_pairs" -> ((s, d) =>
       Dedup.editPairs(Tables.documents(s, d))),
+    // degree assortativity of the mutual-kNN graph (Newman estimator)
+    "sim_assortativity" -> ((s, d) =>
+      Similarity.assortativity(Tables.embeddings(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

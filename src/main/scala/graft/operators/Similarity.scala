@@ -1189,6 +1189,48 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Degree assortativity of the mutual-kNN graph: the Pearson
+    * correlation of endpoint degrees over the directed edge list (each
+    * undirected edge in both orientations — the standard Newman
+    * estimator). Positive means hubs link to hubs (a dense-core
+    * corpus); negative means hub-periphery (a few representatives
+    * cover many satellites — the shape SemDeDup exploits). Every
+    * moment sum is an exact INTEGER sum (degrees are integers, k-
+    * bounded), so there is no float accumulation at all; only the
+    * closed-form ratio is double math, in one pinned order. Degenerate
+    * graphs (all degrees equal → zero variance) yield NULL. */
+  def assortativity(embeddings: DataFrame, k: Int = 3,
+      cells: Int = kmK): DataFrame = {
+    val e = mutualKnnGraph(embeddings, k, cells)
+      .select(col("vec_a"), col("vec_b"))
+      .pin(eager = true)
+    val adjm = e.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      .unionAll(e.select(col("vec_b").as("src"),
+        col("vec_a").as("dst")))
+    val deg = adjm.groupBy(col("src").as("vec_id"))
+      .agg(count(lit(1)).as("degree"))
+    val de = adjm
+      .join(deg.select(col("vec_id").as("src"),
+        col("degree").as("dx")), Seq("src"))
+      .join(deg.select(col("vec_id").as("dst"),
+        col("degree").as("dy")), Seq("dst"))
+    val m = de.agg(count(lit(1)).as("m"),
+      sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+      sum(col("dx") * col("dx")).as("sxx"),
+      sum(col("dy") * col("dy")).as("syy"),
+      sum(col("dx") * col("dy")).as("sxy"))
+    val md = col("m").cast("double")
+    val num = col("sxy") / md - (col("sx") / md) * (col("sy") / md)
+    val vx = col("sxx") / md - (col("sx") / md) * (col("sx") / md)
+    val vy = col("syy") / md - (col("sy") / md) * (col("sy") / md)
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    m.crossJoin(broadcast(nNodes)).crossJoin(broadcast(nEdges))
+      .select(col("n_nodes"), col("n_edges"),
+        when(vx * vy > 0.0, round(num / sqrt(vx * vy), 6))
+          .as("assortativity"))
+  }
+
   /** PageRank damping / iterations for [[knnPageRank]] — shared with
     * the oracle generator. */
   val prDamping = 0.85

@@ -297,6 +297,33 @@ class KnnGraphSpec extends SparkSpec {
     }
   }
 
+  test("assortativity: node/edge counts and the Pearson coefficient " +
+      "match a direct recomputation over the directed edge list") {
+    val med = Similarity.mutualKnnGraph(emb).select("vec_a", "vec_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val dirs = med.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = dirs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val xy = dirs.map { case (s, t) => (deg(s), deg(t)) }
+    val m = xy.length.toDouble
+    val sx = xy.map(_._1).sum.toDouble
+    val sy = xy.map(_._2).sum.toDouble
+    val sxx = xy.map(p => p._1 * p._1).sum.toDouble
+    val syy = xy.map(p => p._2 * p._2).sum.toDouble
+    val sxy = xy.map(p => p._1 * p._2).sum.toDouble
+    val num = sxy / m - (sx / m) * (sy / m)
+    val vx = sxx / m - (sx / m) * (sx / m)
+    val vy = syy / m - (sy / m) * (sy / m)
+    val out = Similarity.assortativity(emb).collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(0) === deg.size.toLong)
+    assert(out.head.getLong(1) === med.length.toLong)
+    if (vx * vy > 0.0) {
+      val expect = BigDecimal(num / math.sqrt(vx * vy))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(out.head.getDouble(2) === expect)
+    } else assert(out.head.isNullAt(2))
+  }
+
   test("nccAccuracy: per-label counts partition the corpus and " +
       "accuracy is the exact correct ratio") {
     val out = Similarity.nccAccuracy(emb).collect()
