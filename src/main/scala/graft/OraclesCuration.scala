@@ -138,6 +138,40 @@ SELECT count(*)::BIGINT AS n_docs,
       (count(*) * CAST(sum(nt) AS DOUBLE)) -
     CAST(count(*) + 1 AS DOUBLE) / count(*), 6) AS length_gini
 FROM r""",
+    // length-distribution PSI between corpus halves: fixed char-bin
+    // buckets, Laplace-smoothed shares, terms summed on the 1e-10 grid
+    "corpus_length_psi" -> {
+      val bw = graft.operators.Curation.PsiBucketChars
+      val cap = graft.operators.Curation.PsiMaxBucket
+      s"""
+WITH md AS (SELECT max(doc_id) AS max_doc FROM documents),
+b AS (
+  SELECT CAST(least(floor(n_chars / $bw), $cap) AS BIGINT) AS bucket,
+    (doc_id * 2 <= max_doc) AS is_ref
+  FROM documents CROSS JOIN md),
+counts AS (
+  SELECT bucket,
+    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+    CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+  FROM b GROUP BY 1),
+tots AS (
+  SELECT CAST(sum(n_ref) AS BIGINT) AS tot_ref,
+    CAST(sum(n_cur) AS BIGINT) AS tot_cur, count(*)::BIGINT AS nb
+  FROM counts),
+terms AS (
+  SELECT bucket, n_ref, n_cur,
+    (n_ref + 0.5) / (tot_ref + 0.5 * nb) AS p,
+    (n_cur + 0.5) / (tot_cur + 0.5 * nb) AS q
+  FROM counts CROSS JOIN tots),
+wt AS (
+  SELECT bucket, n_ref, n_cur, round(p, 6) AS p_ref, round(q, 6) AS p_cur,
+    round((p - q) * ln(p / q), 6) AS psi_term,
+    CAST(round((p - q) * ln(p / q), 10) AS DECIMAL(18,10)) AS t10
+  FROM terms),
+tot AS (SELECT round(CAST(sum(t10) AS DOUBLE), 6) AS psi_total FROM wt)
+SELECT bucket, n_ref, n_cur, p_ref, p_cur, psi_term, psi_total
+FROM wt CROSS JOIN tot ORDER BY bucket"""
+    },
     "corpus_signal_ensemble" -> ensembleSql,
     // order-insensitive manifest: bit_xor of per-doc content hashes
     "corpus_checksum" -> s"""

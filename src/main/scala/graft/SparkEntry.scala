@@ -626,6 +626,9 @@ object SparkEntry {
     // degree assortativity of the mutual-kNN graph (Newman estimator)
     "sim_assortativity" -> ((s, d) =>
       Similarity.assortativity(Tables.embeddings(s, d))),
+    // length-distribution PSI between corpus halves (drift monitor)
+    "corpus_length_psi" -> ((s, d) =>
+      graft.operators.Curation.lengthPsi(Tables.documents(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

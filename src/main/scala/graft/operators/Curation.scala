@@ -852,6 +852,50 @@ object Curation {
     * exclusive offsets, no global window), and every sum is INTEGER
     * (lengths × ranks), so the single output row is bit-stable under
     * any partitioning. */
+  /** Bucket width / cap for [[lengthPsi]] — shared with the oracle
+    * generator. */
+  val PsiBucketChars = 64
+  val PsiMaxBucket = 7L
+
+  /** Population Stability Index of the document-length distribution
+    * between the first and second half of the corpus (by doc_id) —
+    * the drift monitor a continuously-ingesting pipeline runs on every
+    * snapshot pair (PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25
+    * shifted). Buckets are fixed [[PsiBucketChars]]-char bins capped
+    * at [[PsiMaxBucket]], so the bucket scheme never depends on the
+    * data; shares are Laplace-smoothed (+0.5 per bucket) so an empty
+    * side stays finite; each (p−q)·ln(p/q) term rounds to the 1e-10
+    * grid and decimal-sums into the total — exact, order-independent,
+    * output bounded by the bucket count at any corpus size. */
+  def lengthPsi(documents: DataFrame): DataFrame = {
+    val md = documents.agg(max(col("doc_id")).as("max_doc"))
+    val b = documents.crossJoin(broadcast(md))
+      .select(least(floor(col("n_chars") / PsiBucketChars),
+          lit(PsiMaxBucket)).cast("long").as("bucket"),
+        (col("doc_id") * 2 <= col("max_doc")).as("is_ref"))
+    val counts = b.groupBy(col("bucket")).agg(
+      sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+      sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
+    val tots = counts.agg(sum(col("n_ref")).as("tot_ref"),
+      sum(col("n_cur")).as("tot_cur"), count(lit(1)).as("nb"))
+    val j = counts.crossJoin(broadcast(tots))
+    val p = (col("n_ref") + lit(0.5)) /
+      (col("tot_ref") + lit(0.5) * col("nb"))
+    val q = (col("n_cur") + lit(0.5)) /
+      (col("tot_cur") + lit(0.5) * col("nb"))
+    val term = (p - q) * log(p / q)
+    val withTerm = j.select(col("bucket"), col("n_ref"), col("n_cur"),
+      round(p, 6).as("p_ref"), round(q, 6).as("p_cur"),
+      round(term, 6).as("psi_term"),
+      round(term, 10).cast("decimal(18,10)").as("t10"))
+    val total = withTerm.agg(
+      round(sum(col("t10")).cast("double"), 6).as("psi_total"))
+    withTerm.crossJoin(broadcast(total))
+      .select(col("bucket"), col("n_ref"), col("n_cur"), col("p_ref"),
+        col("p_cur"), col("psi_term"), col("psi_total"))
+      .orderBy(col("bucket"))
+  }
+
   def lengthGini(documents: DataFrame, nBands: Int = 128): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val len = documents.select(col("doc_id"),

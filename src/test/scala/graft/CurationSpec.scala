@@ -544,6 +544,30 @@ class CurationSpec extends SparkSpec {
     assert(out.find(_._1 == src).get._4 === expect)
   }
 
+  test("lengthPsi: identical halves give PSI ~0, a shifted half is " +
+      "strictly positive, and totals partition the corpus") {
+    // doc_ids 0..9, every doc identical -> one bucket, p == q == 1
+    // after smoothing -> PSI exactly 0
+    val same = (0L to 9L).map(i => (i, "a b c d e"))
+    val flat = graft.operators.Curation.lengthPsi(docs(same: _*))
+      .collect()
+    assert(flat.map(_.getDouble(6)).distinct.toSeq === Seq(0.0))
+    assert(flat.map(r => r.getLong(1) + r.getLong(2)).sum === 10L)
+
+    // second half systematically longer -> positive PSI
+    val shifted = (0L to 9L).map(i => (i,
+      if (i <= 4L) "a b" else ("x " * 120).trim))
+    val out = graft.operators.Curation.lengthPsi(docs(shifted: _*))
+      .collect()
+    assert(out.map(_.getDouble(6)).distinct.length === 1)
+    assert(out.head.getDouble(6) > 0.1)
+    // real corpus: one psi_total everywhere, halves partition n_docs
+    val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val real = graft.operators.Curation.lengthPsi(d).collect()
+    assert(real.map(_.getDouble(6)).distinct.length === 1)
+    assert(real.map(r => r.getLong(1) + r.getLong(2)).sum === d.count())
+  }
+
   test("lengthGini: uniform lengths give 0; a skewed corpus is " +
       "strictly positive and matches the naive formula") {
     val uniform = docs((1L, "a b c"), (2L, "d e f"), (3L, "g h i"))
