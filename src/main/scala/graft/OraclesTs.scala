@@ -500,6 +500,37 @@ SELECT ticker, n_rets,
       3.0 * mean * mean * mean * mean) / (v * v) - 3.0, 6)
   END AS kurt_excess
 FROM d ORDER BY ticker"""),
+    // Amihud illiquidity: decimal-grid dollar-volume and ratio sums,
+    // pinned-order mean × 1e6
+    "stock_amihud" -> """
+WITH stock AS (
+  SELECT event_type AS ticker, ts::TIMESTAMP AS ts,
+    value::DOUBLE AS price,
+    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS volume
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+    AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL),
+bars AS (
+  SELECT ticker,
+    make_timestamp((epoch_us(ts::TIMESTAMP) // 300000000) * 300000000)
+      AS bucket,
+    max_by(price, ts) AS close,
+    CAST(sum(CAST(price * volume AS DECIMAL(38,10))) AS DOUBLE) AS dv
+  FROM stock GROUP BY 1, 2),
+rets AS (
+  SELECT ticker,
+    CASE WHEN lag(close, 1) OVER tw <> 0 AND dv > 0
+      THEN abs(close / lag(close, 1) OVER tw - 1) / dv END AS x
+  FROM bars
+  WINDOW tw AS (PARTITION BY ticker ORDER BY bucket)),
+m AS (
+  SELECT ticker, count(x)::BIGINT AS n_bars,
+    CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx
+  FROM rets GROUP BY 1)
+SELECT ticker, n_bars,
+  CASE WHEN n_bars > 0 THEN round(sx / n_bars * 1000000.0, 6) END
+    AS amihud_x1m
+FROM m ORDER BY ticker""",
     // variance ratio: identical lag-window log returns on both
     // horizons, DECIMAL(38,18) moment sums, pinned-order final ratio
     "stock_variance_ratio" -> (barsCte + {

@@ -629,6 +629,8 @@ object SparkEntry {
     // length-distribution PSI between corpus halves (drift monitor)
     "corpus_length_psi" -> ((s, d) =>
       graft.operators.Curation.lengthPsi(Tables.documents(s, d))),
+    // Amihud illiquidity per ticker (price impact per traded dollar)
+    "stock_amihud" -> (TimeSeries.amihud _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -191,6 +191,40 @@ object TimeSeries {
       .orderBy(col("ticker"))
   }
 
+  /** Amihud illiquidity per ticker: mean(|bar return| / bar dollar
+    * volume) × 10⁶ over the 5-minute bars — price impact per traded
+    * dollar, the liquidity screen a portfolio stack runs beside
+    * volatility. Bar dollar volume and the ratio terms both accumulate
+    * through DECIMAL grids (identically-computed double terms →
+    * order-independent, bit-equal across engines); only the final
+    * mean × 10⁶ is double math, in one pinned order. Bars with zero
+    * traded value or no previous close drop, like the roster-wide
+    * return convention. */
+  def amihud(spark: SparkSession, dir: String): DataFrame =
+    amihudBars(StockPipeline.normalize(Tables.events(spark, dir)))
+
+  private[graft] def amihudBars(stock: DataFrame): DataFrame = {
+    val bars = stock.groupBy(col("ticker"),
+        timestamp_seconds(expr("unix_timestamp(ts) div 300") * 300)
+          .as("bucket"))
+      .agg(max_by(col("price"), col("ts")).as("close"),
+        sum((col("price") * col("volume")).cast("decimal(38,10)"))
+          .cast("double").as("dv"))
+    val w = Window.partitionBy(col("ticker")).orderBy(col("bucket"))
+    val prev = lag(col("close"), 1).over(w)
+    val rets = bars.select(col("ticker"),
+      when(prev =!= 0.0 && col("dv") > 0.0,
+        abs(col("close") / prev - 1) / col("dv")).as("x"))
+    val m = rets.groupBy(col("ticker")).agg(
+      count(col("x")).as("n_bars"),
+      sum(col("x").cast("decimal(38,18)")).cast("double").as("sx"))
+    m.select(col("ticker"), col("n_bars"),
+        when(col("n_bars") > 0,
+          round(col("sx") / col("n_bars") * lit(1000000.0), 6))
+          .as("amihud_x1m"))
+      .orderBy(col("ticker"))
+  }
+
   /** Overlapping-return horizon for [[varianceRatio]] — shared with
     * the oracle generator. */
   val VrQ = 4

@@ -488,6 +488,31 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.exists(_._3.isDefined), "sf data has ≥20-return tickers")
   }
 
+  test("amihudBars: hand-checkable two-bar series gives the exact " +
+      "impact-per-dollar mean; zero-dollar-volume bars drop") {
+    val stock = Seq(
+      // bucket 0: close 100 (last event), dv = 50*10 + 100*5 = 1000
+      ("A", t(0), 50.0, 10L), ("A", t(1), 100.0, 5L),
+      // bucket 5m: close 110, dv = 110*20 = 2200 -> x = 0.1/2200
+      ("A", t(5), 110.0, 20L),
+      // bucket 10m: zero volume -> dv 0 -> ratio drops
+      ("A", t(10), 120.0, 0L),
+      // ticker B: single bar -> no return -> NULL
+      ("B", t(0), 10.0, 1L))
+      .toDF("ticker", "ts", "price", "volume")
+    val out = TimeSeries.amihudBars(stock).collect()
+      .map(r => r.getString(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val expect = BigDecimal((0.1 / 2200.0 /
+        1).toDouble * 1000000.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (nA, vA) = out("A")
+    assert(nA === 1L)
+    assert(math.abs(vA.get - expect) < 1e-6,
+      s"got ${vA.get}, expected ~$expect")
+    assert(out("B") === ((0L, None)))
+  }
+
   test("varianceRatioBars: alternating ×2/÷2 closes give VR 0, a " +
       "constant series degenerates to NULL, and a mixed series " +
       "matches direct recomputation on the same decimal grid") {
