@@ -673,6 +673,51 @@ SELECT from_type, to_type, n_transitions,
   round(n_transitions::DOUBLE /
     sum(n_transitions) OVER (PARTITION BY from_type), 6) AS prob
 FROM c ORDER BY from_type, to_type""",
+    // Markov stationary distribution: unrolled power iterations over
+    // the exact transition matrix; 1e-12-grid decimal inflow sums;
+    // out-edge-less states keep their own mass
+    "rel_markov_stationary" -> {
+      val iters = graft.operators.Relational.MarkovIters
+      val chain = (1 to iters).map { i =>
+        val prev = s"pi${i - 1}"
+        s"""
+pi$i AS (
+  SELECT s.state, coalesce(inf.v, 0.0) + coalesce(k.p, 0.0) AS p
+  FROM st s
+  LEFT JOIN (
+    SELECT tp.to_type AS state,
+      CAST(sum(CAST(round(pi.p * tp.p, 12) AS DECIMAL(28,12)))
+        AS DOUBLE) AS v
+    FROM $prev pi JOIN tp ON pi.state = tp.from_type
+    GROUP BY 1) inf ON s.state = inf.state
+  LEFT JOIN (
+    SELECT pi.state, pi.p FROM $prev pi
+    LEFT JOIN fs ON pi.state = fs.state
+    WHERE fs.state IS NULL) k ON s.state = k.state)"""
+      }.mkString(",", ",", "")
+      s"""
+WITH steps AS (
+  SELECT event_type AS from_type,
+    lead(event_type) OVER (PARTITION BY user_id
+      ORDER BY ts::TIMESTAMP, event_id) AS to_type
+  FROM events QUALIFY to_type IS NOT NULL),
+c AS (
+  SELECT from_type, to_type, count(*)::BIGINT AS n FROM steps
+  GROUP BY 1, 2),
+tp AS (
+  SELECT from_type, to_type,
+    n::DOUBLE / sum(n) OVER (PARTITION BY from_type) AS p
+  FROM c),
+st AS (
+  SELECT DISTINCT state FROM (
+    SELECT from_type AS state FROM tp
+    UNION ALL SELECT to_type FROM tp)),
+fs AS (SELECT DISTINCT from_type AS state FROM tp),
+ns AS (SELECT count(*)::BIGINT AS n FROM st),
+pi0 AS (SELECT state, 1.0::DOUBLE / n AS p FROM st CROSS JOIN ns)$chain
+SELECT state AS event_type, round(p, 6) AS stationary_prob
+FROM pi$iters ORDER BY event_type"""
+    },
     // column profile: the oracle re-states each per-column row as its
     // own aggregate; the engine computes all of them in ONE scan.
     "rel_profile" -> {

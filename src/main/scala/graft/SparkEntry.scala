@@ -631,6 +631,8 @@ object SparkEntry {
       graft.operators.Curation.lengthPsi(Tables.documents(s, d))),
     // Amihud illiquidity per ticker (price impact per traded dollar)
     "stock_amihud" -> (TimeSeries.amihud _),
+    // Markov stationary distribution of event-type transitions
+    "rel_markov_stationary" -> (Relational.markovStationary _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

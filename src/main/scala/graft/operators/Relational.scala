@@ -1362,6 +1362,68 @@ object Relational {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Power iterations for [[markovStationary]] — shared with the
+    * oracle generator. */
+  val MarkovIters = 3
+
+  /** Stationary distribution of the first-order event-type Markov
+    * chain: [[MarkovIters]] unrolled power iterations of π·P from the
+    * uniform start — "where does a user journey spend its time in the
+    * long run", the summary statistic next-action models and funnel
+    * prioritization read off the transition matrix. Transition
+    * probabilities are exact integer-count ratios; each π_from·p term
+    * rounds to the 1e-12 grid and decimal-sums per destination
+    * (order-independent); a state with no out-transitions keeps its
+    * own mass (the self-loop convention, stated identically by the
+    * oracle). The state space is the event-type alphabet, so every
+    * iteration is a tiny join — the heavy lifting is the one LEAD
+    * window over per-user timelines, same scale shape as
+    * [[eventTransitionsOn]]. */
+  def markovStationary(spark: SparkSession, dir: String): DataFrame =
+    markovStationaryOn(Tables.events(spark, dir))
+
+  private[graft] def markovStationaryOn(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val steps = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+    val counts = steps.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val marginal = Window.partitionBy(col("from_type"))
+    val tp = counts
+      .select(col("from_type"), col("to_type"),
+        (col("n").cast("double") / sum(col("n")).over(marginal))
+          .as("tp")).pin(eager = true)
+    val states = tp.select(col("from_type").as("state"))
+      .unionAll(tp.select(col("to_type").as("state")))
+      .distinct().pin(eager = true)
+    val nS = states.agg(count(lit(1)).as("ns"))
+    val fromStates = tp.select(col("from_type").as("state")).distinct()
+    var pi = states.crossJoin(broadcast(nS))
+      .select(col("state"), (lit(1.0) / col("ns")).as("p"))
+    (1 to MarkovIters).foreach { _ =>
+      val inflow = pi.join(tp, pi("state") === tp("from_type"))
+        .select(col("to_type").as("state"),
+          round(col("p") * col("tp"), 12).cast("decimal(28,12)")
+            .as("t"))
+        .groupBy(col("state"))
+        .agg(sum(col("t")).cast("double").as("inflow"))
+      val kept = pi.join(fromStates, Seq("state"), "left_anti")
+        .select(col("state"), col("p").as("keep"))
+      pi = states.join(inflow, Seq("state"), "left")
+        .join(kept, Seq("state"), "left")
+        .select(col("state"),
+          (coalesce(col("inflow"), lit(0.0)) +
+            coalesce(col("keep"), lit(0.0))).as("p"))
+    }
+    pi.select(col("state").as("event_type"),
+        round(col("p"), 6).as("stationary_prob"))
+      .orderBy(col("event_type"))
+  }
+
   /** Revenue-concentration (Pareto/80-20) report: the share of total
     * order revenue held by the top 1% / 5% / 10% of customers. The
     * percentile thresholds come from [[Quantiles.exactPercentiles]]'

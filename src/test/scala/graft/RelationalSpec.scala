@@ -448,6 +448,47 @@ class RelationalSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("markovStationaryOn: mass is conserved across iterations and " +
+      "the result matches a direct power-iteration recomputation") {
+    import java.sql.Timestamp
+    def ev(id: Long, user: Long, min: Int, tpe: String) =
+      (id, user,
+        new Timestamp(Timestamp.valueOf("2024-01-01 00:00:00").getTime +
+          min * 60000L), tpe)
+    // user 1: a->b->a->b (a<->b cycle); user 2: a->c, c is absorbing
+    // (no out-transition) and must keep its mass
+    val events = Seq(
+      ev(0, 1, 0, "a"), ev(1, 1, 1, "b"), ev(2, 1, 2, "a"),
+      ev(3, 1, 3, "b"),
+      ev(4, 2, 0, "a"), ev(5, 2, 1, "c"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = graft.operators.Relational.markovStationaryOn(events)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out.keySet === Set("a", "b", "c"))
+    assert(math.abs(out.values.sum - 1.0) < 1e-5)
+    // direct recomputation on the identical grid: P(a->b)=2/3,
+    // P(a->c)=1/3, P(b->a)=1, c dangles
+    def g12(x: Double) =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val p = Map(("a", "b") -> 2.0 / 3, ("a", "c") -> 1.0 / 3,
+      ("b", "a") -> 1.0)
+    var pi = Map("a" -> 1.0 / 3, "b" -> 1.0 / 3, "c" -> 1.0 / 3)
+    (1 to graft.operators.Relational.MarkovIters).foreach { _ =>
+      val inflow = Seq("a", "b", "c").map { s =>
+        s -> p.collect { case ((f, t), pr) if t == s =>
+          g12(pi(f) * pr) }.sum.toDouble
+      }.toMap
+      pi = Seq("a", "b", "c").map { s =>
+        s -> (inflow(s) + (if (s == "c") pi("c") else 0.0))
+      }.toMap
+    }
+    pi.foreach { case (s, v) =>
+      val expect = BigDecimal(v)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(out(s) === expect, s"state $s")
+    }
+  }
+
   test("benfordScreen: digit counts match the brute-force cents-string " +
       "extraction, shares sum to 1, chi2 terms are non-negative") {
     val dir = "/root/testdata/sf0.001"
