@@ -138,6 +138,45 @@ SELECT count(*)::BIGINT AS n_docs,
       (count(*) * CAST(sum(nt) AS DOUBLE)) -
     CAST(count(*) + 1 AS DOUBLE) / count(*), 6) AS length_gini
 FROM r""",
+    // classifier decile lift/gains: quantile_cont thresholds (the
+    // engine's banded exact percentiles), integer counts, pinned-order
+    // capture/lift ratios over the ten aggregate rows
+    "corpus_lift_table" -> {
+      val decileExpr = (1 to 9).map(i =>
+        s"CASE WHEN scd.score >= (SELECT quantile_cont(score, 0.$i) " +
+          "FROM scd) THEN 1 ELSE 0 END").mkString(" + ")
+      s"""
+WITH $toksCte${OraclesExt.clsScCtes},
+$qualityMCte,
+scd AS (
+  SELECT doc_id, round(1.0 / (1.0 + exp(-margin * 10)), 6) AS score
+  FROM sc),
+kp AS (SELECT doc_id, $qKeepExpr AS keep FROM m),
+bkt AS (
+  SELECT kp.keep, ($decileExpr)::BIGINT AS decile
+  FROM scd JOIN kp USING (doc_id)),
+c AS (
+  SELECT decile, count(*)::BIGINT AS n_docs,
+    count(*) FILTER (keep)::BIGINT AS n_pos
+  FROM bkt GROUP BY 1),
+t AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS tot_docs,
+    CAST(sum(n_pos) AS BIGINT) AS tot_pos
+  FROM c)
+SELECT decile, n_docs, n_pos,
+  round(n_pos::DOUBLE / n_docs, 6) AS pos_rate,
+  CASE WHEN tot_pos > 0 THEN
+    round(CAST(sum(n_pos) OVER cw AS DOUBLE) / tot_pos, 6)
+  END AS cum_capture,
+  CASE WHEN tot_pos > 0 THEN
+    round((CAST(sum(n_pos) OVER cw AS DOUBLE) / tot_pos) /
+      (CAST(sum(n_docs) OVER cw AS DOUBLE) / tot_docs), 6)
+  END AS lift
+FROM c CROSS JOIN t
+WINDOW cw AS (ORDER BY decile DESC ROWS BETWEEN UNBOUNDED PRECEDING
+  AND CURRENT ROW)
+ORDER BY decile DESC"""
+    },
     // length-distribution PSI between corpus halves: fixed char-bin
     // buckets, Laplace-smoothed shares, terms summed on the 1e-10 grid
     "corpus_length_psi" -> {

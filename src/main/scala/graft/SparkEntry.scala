@@ -633,6 +633,9 @@ object SparkEntry {
     "stock_amihud" -> (TimeSeries.amihud _),
     // Markov stationary distribution of event-type transitions
     "rel_markov_stationary" -> (Relational.markovStationary _),
+    // classifier decile lift/gains table vs the rule-based keep label
+    "corpus_lift_table" -> ((s, d) =>
+      graft.operators.Curation.liftTable(Tables.documents(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -843,15 +843,56 @@ object Curation {
       .orderBy(col("bucket"))
   }
 
-  /** Document-length Gini — inequality of the token distribution
-    * across documents (0 = uniform lengths, →1 = a few giants carry
-    * the corpus), the corpus-health scalar next to the per-source
-    * report. Exact global ranks come from the banded two-level scan
-    * (the [[graft.operators.Relational.giniRevenue]] pattern — value
-    * bands from a broadcast min/max, per-band row_number + broadcast
-    * exclusive offsets, no global window), and every sum is INTEGER
-    * (lengths × ranks), so the single output row is bit-stable under
-    * any partitioning. */
+  /** Decile lift/gains table for the hashed quality classifier scored
+    * against the rule-based keep label — the standard model-eval
+    * artifact (does ranking by classifier score concentrate the
+    * keepers at the top, and by how much over random). Score deciles
+    * come from [[Quantiles.exactPercentiles]]' banded distinct-value
+    * scan — never a global sort — and ride a one-row broadcast into a
+    * single bucket assignment; decile 9 is the top tenth. Cumulative
+    * capture and lift are windows over the ten aggregate rows, not the
+    * data; counts are exact integers and every ratio is double math in
+    * one pinned order. */
+  def liftTable(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = graft.operators.TextAnalysis.classifierScore(documents)
+      .select(col("doc_id"), col("score"))
+    val kept = qualityFilter(documents).select(col("doc_id"), col("keep"))
+    val ps = (1 to 9).map(_ / 10.0)
+    val bs = Quantiles.exactPercentiles(
+      scored.select(col("score").as("v")), ps)
+    val bucketed = scored.join(kept, Seq("doc_id"))
+      .crossJoin(broadcast(bs))
+      .select(col("keep"),
+        ps.indices.map(i =>
+          when(col("score") >= element_at(col("bs"), i + 1), 1)
+            .otherwise(0)).reduce(_ + _).cast("long").as("decile"))
+    val counts = bucketed.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("keep"), 1)).as("n_pos"))
+    val tot = counts.agg(sum(col("n_docs")).as("tot_docs"),
+      sum(col("n_pos")).as("tot_pos"))
+    val wd = Window.orderBy(col("decile").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts.crossJoin(broadcast(tot))
+      .select(col("decile"), col("n_docs"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n_docs"), 6)
+          .as("pos_rate"),
+        sum(col("n_docs")).over(wd).as("cum_docs"),
+        sum(col("n_pos")).over(wd).as("cum_pos"),
+        col("tot_docs"), col("tot_pos"))
+      .select(col("decile"), col("n_docs"), col("n_pos"),
+        col("pos_rate"),
+        when(col("tot_pos") > 0,
+          round(col("cum_pos").cast("double") / col("tot_pos"), 6))
+          .as("cum_capture"),
+        when(col("tot_pos") > 0,
+          round((col("cum_pos").cast("double") / col("tot_pos")) /
+            (col("cum_docs").cast("double") / col("tot_docs")), 6))
+          .as("lift"))
+      .orderBy(col("decile").desc)
+  }
+
   /** Bucket width / cap for [[lengthPsi]] — shared with the oracle
     * generator. */
   val PsiBucketChars = 64
@@ -896,6 +937,15 @@ object Curation {
       .orderBy(col("bucket"))
   }
 
+  /** Document-length Gini — inequality of the token distribution
+    * across documents (0 = uniform lengths, →1 = a few giants carry
+    * the corpus), the corpus-health scalar next to the per-source
+    * report. Exact global ranks come from the banded two-level scan
+    * (the [[graft.operators.Relational.giniRevenue]] pattern — value
+    * bands from a broadcast min/max, per-band row_number + broadcast
+    * exclusive offsets, no global window), and every sum is INTEGER
+    * (lengths × ranks), so the single output row is bit-stable under
+    * any partitioning. */
   def lengthGini(documents: DataFrame, nBands: Int = 128): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val len = documents.select(col("doc_id"),

@@ -544,6 +544,33 @@ class CurationSpec extends SparkSpec {
     assert(out.find(_._1 == src).get._4 === expect)
   }
 
+  test("liftTable: deciles partition the corpus, capture is monotone " +
+      "to 1, the bottom row's lift is exactly 1, and counts match a " +
+      "direct score-threshold recomputation") {
+    val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = graft.operators.Curation.liftTable(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(out.nonEmpty && out.map(_._1).toSet.subsetOf((0L to 9L).toSet))
+    // rows ordered decile DESC; capture monotone non-decreasing down
+    out.map(_._5).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(a <= b + 1e-9); case _ => ()
+    }
+    assert(out.last._5 === 1.0)
+    assert(out.last._6 === 1.0)
+    assert(out.map(_._2).sum === d.count())
+    // keep-count partition: per-decile positives sum to the filter's
+    // total keepers
+    val totKeep = graft.operators.Curation.qualityFilter(d)
+      .filter(col("keep")).count()
+    assert(out.map(_._3).sum === totKeep)
+    out.foreach { case (_, n, pos, rate, _, _) =>
+      val expect = BigDecimal(pos.toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(rate === expect)
+    }
+  }
+
   test("lengthPsi: identical halves give PSI ~0, a shifted half is " +
       "strictly positive, and totals partition the corpus") {
     // doc_ids 0..9, every doc identical -> one bucket, p == q == 1
