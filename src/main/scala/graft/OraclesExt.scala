@@ -584,6 +584,17 @@ FROM hist CROSS JOIN tot
 WINDOW cw AS (ORDER BY df ROWS BETWEEN UNBOUNDED PRECEDING
   AND CURRENT ROW)
 ORDER BY df"""),
+    // cross-source duplication matrix: verified near-dup pairs rolled
+    // up to unordered (source, source) cells
+    "dedup_source_matrix" -> (minhashPairsCtes + """
+SELECT least(da.source, db.source) AS source_a,
+  greatest(da.source, db.source) AS source_b,
+  count(*)::BIGINT AS n_pairs
+FROM jac
+JOIN documents da ON jac.doc_a = da.doc_id
+JOIN documents db ON jac.doc_b = db.doc_id
+WHERE jaccard >= 0.5
+GROUP BY 1, 2 ORDER BY source_a, source_b"""),
     // edit-distance verification of the LSH candidates: both engines'
     // levenshtein is the same integer DP metric on the same bounded
     // prefix, so every row is exact

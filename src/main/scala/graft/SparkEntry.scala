@@ -636,6 +636,9 @@ object SparkEntry {
     // classifier decile lift/gains table vs the rule-based keep label
     "corpus_lift_table" -> ((s, d) =>
       graft.operators.Curation.liftTable(Tables.documents(s, d))),
+    // cross-source duplication (provenance) matrix
+    "dedup_source_matrix" -> ((s, d) =>
+      Dedup.sourceMatrix(Tables.documents(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -241,6 +241,31 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Cross-source duplication matrix: the verified near-dup pairs
+    * rolled up to (source, source) cells — the provenance map that
+    * says which sources copy from which (a hot off-diagonal cell
+    * means two crawls overlap; a hot diagonal means one source
+    * re-publishes itself). Pure composition: the LSH+Jaccard verified
+    * pairs (candidate-bounded, never all-pairs) joined twice against
+    * the slim (doc_id, source) projection, then a source²-bounded
+    * hash aggregate — nothing new touches the text. */
+  def sourceMatrix(documents: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashPairs(documents, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val src = documents.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"),
+        col("source").as("sa")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"),
+        col("source").as("sb")), Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Batch boundary for [[incremental]] — docs with id below this are
     * the "already indexed" corpus; at/above are the new batch. Shared
     * with the oracle generator. */

@@ -51,6 +51,33 @@ class DedupSpec extends SparkSpec {
     assert(!out.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("sourceMatrix: pair counts roll up to unordered source cells " +
+      "and match the verified pair list exactly") {
+    val d = Seq(
+      (0L, base, "en", "srcA", base.length.toLong),
+      (1L, base, "en", "srcB", base.length.toLong),
+      (2L, near, "en", "srcA", near.length.toLong),
+      (3L, other, "en", "srcC", other.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.sourceMatrix(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val pairs = Dedup.minhashPairs(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val srcOf = Map(0L -> "srcA", 1L -> "srcB", 2L -> "srcA",
+      3L -> "srcC")
+    val expect = pairs
+      .map { case (a, b) =>
+        val (sa, sb) = (srcOf(a), srcOf(b))
+        (if (sa <= sb) (sa, sb) else (sb, sa))
+      }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(out === expect)
+    assert(out.values.sum === pairs.length.toLong)
+    // srcC's unrelated doc never pairs
+    assert(!out.keySet.exists { case (a, b) =>
+      a == "srcC" || b == "srcC" })
+  }
+
   test("incremental: exact, near, and new batch docs classify correctly") {
     val d = docs(
       0L -> base, 1L -> other,
