@@ -138,6 +138,30 @@ SELECT count(*)::BIGINT AS n_docs,
       (count(*) * CAST(sum(nt) AS DOUBLE)) -
     CAST(count(*) + 1 AS DOUBLE) / count(*), 6) AS length_gini
 FROM r""",
+    // data-constrained token-epochs plan: sqrt-tempered source weights
+    // (decimal-grid normalizer), budget allocation, epoch counts
+    "corpus_token_epochs" -> s"""
+WITH $toksCte,
+ps AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+    sum(len(tk))::BIGINT AS n_tokens
+  FROM toks GROUP BY 1),
+tt AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM ps),
+tp AS (
+  SELECT source, n_docs, n_tokens,
+    n_tokens::DOUBLE / total_tokens AS share,
+    sqrt(n_tokens::DOUBLE / total_tokens) AS tw
+  FROM ps CROSS JOIN tt),
+nz AS (SELECT CAST(sum(CAST(tw AS DECIMAL(28,12))) AS DOUBLE) AS z
+  FROM tp)
+SELECT source, n_docs, n_tokens,
+  round(share, 6) AS share,
+  round(tw / z, 6) AS weight,
+  round(tw / z * ${Curation.EpochTokenBudget}, 2) AS alloc_tokens,
+  round(tw / z * ${Curation.EpochTokenBudget} / n_tokens, 6) AS epochs,
+  (tw / z * ${Curation.EpochTokenBudget} / n_tokens >
+    ${Curation.EpochRepeatCap}) AS over_cap
+FROM tp CROSS JOIN nz ORDER BY source""",
     // classifier decile lift/gains: quantile_cont thresholds (the
     // engine's banded exact percentiles), integer counts, pinned-order
     // capture/lift ratios over the ten aggregate rows

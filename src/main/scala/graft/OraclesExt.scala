@@ -466,6 +466,36 @@ SELECT doc_id, sum(cnt)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
   round(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)::DOUBLE / sum(cnt), 6)
     AS hapax_ratio
 FROM tf GROUP BY doc_id ORDER BY doc_id""",
+    // corpus entropy rate: unigram entropy + bigram conditional
+    // entropy, exact count ratios, 1e-12-grid decimal term sums
+    "text_entropy_rate" -> s"""
+WITH $toksCte,
+bg AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS w1,
+    unnest(list_transform(range(1, len(tk)), i -> tk[i+1])) AS w2
+  FROM toks WHERE len(tk) >= 2),
+c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*)::BIGINT AS c1 FROM bg GROUP BY 1),
+nbt AS (SELECT count(*)::BIGINT AS nb FROM bg),
+cond AS (
+  SELECT round(CAST(sum(CAST(round(
+      -(c12.c12::DOUBLE / nb) * ln(c12.c12::DOUBLE / c1.c1), 12)
+      AS DECIMAL(18,12))) AS DOUBLE), 6) AS entropy_rate
+  FROM c12 JOIN c1 USING (w1) CROSS JOIN nbt),
+u AS (
+  SELECT t, count(*)::BIGINT AS c
+  FROM (SELECT unnest(tk) AS t FROM toks) GROUP BY 1),
+mt AS (
+  SELECT CAST(sum(c) AS BIGINT) AS m, count(*)::BIGINT AS vocab FROM u),
+uni AS (
+  SELECT m, vocab,
+    round(CAST(sum(CAST(round(-(c::DOUBLE / m) * ln(c::DOUBLE / m), 12)
+      AS DECIMAL(18,12))) AS DOUBLE), 6) AS unigram_entropy
+  FROM u CROSS JOIN mt GROUP BY 1, 2)
+SELECT m AS n_tokens, vocab, unigram_entropy, entropy_rate,
+  round(unigram_entropy - entropy_rate, 6) AS mutual_info
+FROM uni CROSS JOIN cond""",
     // n-gram novelty: the same post-hash-distinct shingle universe as
     // the dedup family, df = 1 means "this 3-gram exists nowhere else"
     "text_novelty" -> s"""
@@ -1447,6 +1477,37 @@ SELECT d.vec_id, d.degree,
   END AS coeff
 FROM deg d LEFT JOIN tpn t ON d.vec_id = t.vec_id
 ORDER BY d.vec_id"""
+    }),
+    // TwoNN intrinsic dimension: rank-1/2 cosines from the cell-pruned
+    // kNN chain, ln-ratio terms on the 1e-12 grid, MLE ratio
+    "sim_intrinsic_dim" -> (simBase + kmeansCtes + {
+      val it = graft.operators.Similarity.kmIters
+      s""",
+kp AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+    round(list_inner_product(a.ev, b.ev), 6) AS cosine
+  FROM asg$it a JOIN asg$it b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+kr AS (
+  SELECT vec_id, neighbor_id, cosine,
+    row_number() OVER (PARTITION BY vec_id
+      ORDER BY cosine DESC, neighbor_id)::BIGINT AS rank
+  FROM kp),
+cc AS (
+  SELECT vec_id,
+    max(CASE WHEN rank = 1 THEN cosine END) AS c1,
+    max(CASE WHEN rank = 2 THEN cosine END) AS c2
+  FROM kr WHERE rank <= 2 GROUP BY 1),
+mu AS (
+  SELECT CAST(round(0.5 * ln((1.0 - c2) / (1.0 - c1)), 12)
+    AS DECIMAL(18,12)) AS t
+  FROM cc WHERE c2 IS NOT NULL AND c1 < 1.0),
+st AS (
+  SELECT count(*)::BIGINT AS n_used, CAST(sum(t) AS DOUBLE) AS slm
+  FROM mu),
+nv AS (SELECT count(*)::BIGINT AS n_vectors FROM embeddings)
+SELECT n_vectors, n_used,
+  CASE WHEN slm > 0.0 THEN round(n_used / slm, 6) END AS two_nn_dim
+FROM st CROSS JOIN nv"""
     }),
     // degree assortativity: exact integer moment sums over the
     // directed mutual edge list, pinned-order Pearson ratio

@@ -500,6 +500,63 @@ SELECT ticker, n_rets,
       3.0 * mean * mean * mean * mean) / (v * v) - 3.0, 6)
   END AS kurt_excess
 FROM d ORDER BY ticker"""),
+    // Garman-Klass / Parkinson range volatility: OHLC bars re-derived
+    // on the identical 5-minute partition, per-bar terms on the 1e-12
+    // grid, interpolated IEEE constants
+    "stock_garman_klass" -> {
+      val k = 2 * math.log(2) - 1
+      val p4 = 4 * math.log(2)
+      graft.Oracles.stockCte + s""",
+ob AS (
+  SELECT ticker, (epoch_us(ts::TIMESTAMP) // 300000000) AS b,
+    min_by(price, ts) AS open, max(price) AS high,
+    min(price) AS low, max_by(price, ts) AS close
+  FROM stock GROUP BY 1, 2),
+t AS (
+  SELECT ticker,
+    CAST(round(0.5 * ln(high / low) * ln(high / low) -
+      $k * ln(close / open) * ln(close / open), 12)
+      AS DECIMAL(18,12)) AS gk,
+    CAST(round(ln(high / low) * ln(high / low) / $p4, 12)
+      AS DECIMAL(18,12)) AS pk
+  FROM ob WHERE low > 0 AND open > 0)
+SELECT ticker, count(*)::BIGINT AS n_bars,
+  round(CAST(sum(gk) AS DOUBLE) / count(*), 6) AS gk_var,
+  round(CAST(sum(pk) AS DOUBLE) / count(*), 6) AS parkinson_var
+FROM t GROUP BY 1 ORDER BY ticker"""
+    },
+    // realized-vol signature: per-frequency re-bucketed bars, decimal
+    // squared-return sums
+    "stock_rv_signature" -> {
+      val stockCte = """
+WITH stock AS (
+  SELECT event_type AS ticker, ts::TIMESTAMP AS ts,
+    value::DOUBLE AS price
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+    AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL)"""
+      val blocks = graft.operators.TimeSeries.RvFreqs.map { sec =>
+        val us = sec.toLong * 1000000L
+        s"""
+SELECT ticker, ${sec / 60}::BIGINT AS freq_minutes,
+  count(*)::BIGINT AS n_rets,
+  round(CAST(sum(CAST(r * r AS DECIMAL(38,18))) AS DOUBLE), 6)
+    AS realized_var
+FROM (
+  SELECT ticker,
+    CASE WHEN lag(close, 1) OVER tw <> 0
+      THEN close / lag(close, 1) OVER tw - 1 END AS r
+  FROM (
+    SELECT ticker,
+      make_timestamp((epoch_us(ts::TIMESTAMP) // $us) * $us) AS bucket,
+      max_by(price, ts) AS close
+    FROM stock GROUP BY 1, 2)
+  WINDOW tw AS (PARTITION BY ticker ORDER BY bucket)
+  QUALIFY r IS NOT NULL)
+GROUP BY ticker"""
+      }.mkString("\nUNION ALL")
+      s"$stockCte$blocks\nORDER BY ticker, freq_minutes"
+    },
     // Amihud illiquidity: decimal-grid dollar-volume and ratio sums,
     // pinned-order mean × 1e6
     "stock_amihud" -> """

@@ -639,6 +639,19 @@ object SparkEntry {
     // cross-source duplication (provenance) matrix
     "dedup_source_matrix" -> ((s, d) =>
       Dedup.sourceMatrix(Tables.documents(s, d))),
+    // unigram entropy + bigram conditional entropy (entropy rate)
+    "text_entropy_rate" -> ((s, d) =>
+      TextAnalysis.entropyRate(Tables.documents(s, d))),
+    // realized-volatility signature plot (1/5/15-minute sampling)
+    "stock_rv_signature" -> (TimeSeries.rvSignature _),
+    // TwoNN intrinsic-dimension estimate of the embedding manifold
+    "sim_intrinsic_dim" -> ((s, d) =>
+      Similarity.intrinsicDim(Tables.embeddings(s, d))),
+    // data-constrained token-epochs plan per source
+    "corpus_token_epochs" -> ((s, d) =>
+      graft.operators.Curation.tokenEpochs(Tables.documents(s, d))),
+    // Garman-Klass / Parkinson range-based volatility per ticker
+    "stock_garman_klass" -> (TimeSeries.garmanKlass _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -134,6 +134,45 @@ object Curation {
       .orderBy(col("lang"))
   }
 
+  /** Token budget and repeat ceiling for [[tokenEpochs]] — shared with
+    * the oracle generator. */
+  val EpochTokenBudget = 10000000L
+  val EpochRepeatCap = 4.0
+
+  /** Data-constrained training plan per source: allocate the
+    * [[EpochTokenBudget]]-token budget across sources by the
+    * sqrt-tempered mixture weights and report how many EPOCHS of each
+    * source that allocation implies (allocated / unique tokens) — the
+    * Muennighoff-style check that a mixture doesn't silently repeat a
+    * small source past the ~[[EpochRepeatCap]]-epoch
+    * diminishing-returns ceiling. Same one-pass aggregate +
+    * broadcast-normalizer shape as [[mixturePlan]] (sources-sized
+    * everything after the first scan); epochs and the cap flag are
+    * double math on exact integer counts. */
+  def tokenEpochs(documents: DataFrame): DataFrame = {
+    val perSource = documents
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(toks).cast("long")).as("n_tokens"))
+      .pin(eager = true)
+    val tot = perSource.agg(sum(col("n_tokens")).as("total_tokens"))
+    val tempered = perSource.crossJoin(broadcast(tot))
+      .withColumn("share",
+        col("n_tokens").cast("double") / col("total_tokens"))
+      .withColumn("tw", sqrt(col("share")))
+    val z = tempered.agg(
+      sum(col("tw").cast("decimal(28,12)")).cast("double").as("z"))
+    val alloc = col("tw") / col("z") * lit(EpochTokenBudget)
+    tempered.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("share"), 6).as("share"),
+        round(col("tw") / col("z"), 6).as("weight"),
+        round(alloc, 2).as("alloc_tokens"),
+        round(alloc / col("n_tokens"), 6).as("epochs"),
+        (alloc / col("n_tokens") > EpochRepeatCap).as("over_cap"))
+      .orderBy(col("source"))
+  }
+
   /** Per-language ADAPTIVE length filter: corpus-derived p5/p95 token
     * bounds per language instead of [[qualityFilter]]'s global
     * constants — the Dolma-style per-source calibration (a threshold

@@ -1189,6 +1189,37 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** TwoNN intrinsic-dimension estimate of the embedding manifold
+    * (Facco et al.): for each vector the ratio μ = d₂/d₁ of its two
+    * nearest-neighbor distances, then the MLE d̂ = n / Σ ln μ — the
+    * "how many dimensions does this data actually use" diagnostic
+    * that says whether a Matryoshka truncation or PQ budget is
+    * over-provisioned. Distances come from the cell-pruned kNN graph
+    * (never all-pairs; the rounded cosine is the shared cross-engine
+    * contract): on the unit sphere d² = 2−2cos, so
+    * ln μ = ½·ln((1−c₂)/(1−c₁)). Vectors whose nearest neighbor is an
+    * exact duplicate (c₁ = 1) or that lack a second in-cell neighbor
+    * drop out, stated identically by the oracle; the ln-μ terms sum
+    * on the 1e-12 decimal grid. */
+  def intrinsicDim(embeddings: DataFrame, cells: Int = kmK): DataFrame = {
+    val g = knnGraph(embeddings, 2, cells)
+      .groupBy(col("vec_id"))
+      .agg(max(when(col("rank") === 1, col("cosine"))).as("c1"),
+        max(when(col("rank") === 2, col("cosine"))).as("c2"))
+    val n = embeddings.agg(count(lit(1)).as("n_vectors"))
+    val mu = g.filter(col("c2").isNotNull && col("c1") < 1.0)
+      .select(round(lit(0.5) *
+          log((lit(1.0) - col("c2")) / (lit(1.0) - col("c1"))), 12)
+        .cast("decimal(18,12)").as("t"))
+    val s = mu.agg(count(lit(1)).as("n_used"),
+      sum(col("t")).cast("double").as("slm"))
+    s.crossJoin(broadcast(n))
+      .select(col("n_vectors"), col("n_used"),
+        when(col("slm") > 0.0,
+          round(col("n_used").cast("double") / col("slm"), 6))
+          .as("two_nn_dim"))
+  }
+
   /** Degree assortativity of the mutual-kNN graph: the Pearson
     * correlation of endpoint degrees over the directed edge list (each
     * undirected edge in both orientations — the standard Newman

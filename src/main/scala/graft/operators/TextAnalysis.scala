@@ -540,6 +540,49 @@ object TextAnalysis {
       .orderBy(col("rank"))
   }
 
+  /** Corpus entropy rate: the unigram Shannon entropy H(W) and the
+    * bigram conditional entropy H(W₂|W₁) — the information-theoretic
+    * complexity pair (their gap is the mutual information a 1-token
+    * context buys; a corpus whose conditional entropy collapses is
+    * templated and will compress/ memorize easily). All probabilities
+    * are exact integer-count ratios from three hash aggregates; every
+    * −p·ln(·) term rounds to the 1e-12 grid and decimal-sums, so both
+    * scalars are order-independent under any partitioning and nothing
+    * data-sized crosses an executor boundary. */
+  def entropyRate(documents: DataFrame): DataFrame = {
+    val bigrams = documents
+      .withColumn("tk", toks)
+      .filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(tk) - 2), " +
+          "i -> struct(tk[i] AS w1, tk[i + 1] AS w2))")).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c12 = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val c1 = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val nb = bigrams.agg(count(lit(1)).as("nb"))
+    val pb = col("c12").cast("double") / col("nb")
+    val cond = c12.join(c1, Seq("w1")).crossJoin(broadcast(nb))
+      .select(round(-pb * log(col("c12").cast("double") / col("c1")),
+        12).cast("decimal(18,12)").as("t"))
+      .agg(round(sum(col("t")).cast("double"), 6).as("entropy_rate"))
+    val uni = documents.select(explode(toks).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val m = uni.agg(sum(col("c")).as("m"), count(lit(1)).as("vocab"))
+    val pu = col("c").cast("double") / col("m")
+    val unigram = uni.crossJoin(broadcast(m))
+      .select(col("m"), col("vocab"),
+        round(-pu * log(pu), 12).cast("decimal(18,12)").as("t"))
+      .groupBy(col("m"), col("vocab"))
+      .agg(round(sum(col("t")).cast("double"), 6)
+        .as("unigram_entropy"))
+    unigram.crossJoin(broadcast(cond))
+      .select(col("m").as("n_tokens"), col("vocab"),
+        col("unigram_entropy"), col("entropy_rate"),
+        round(col("unigram_entropy") - col("entropy_rate"), 6)
+          .as("mutual_info"))
+  }
+
   /** Top-k for [[burstiness]] — shared with the oracle generator. */
   val burstTopK = 20
 

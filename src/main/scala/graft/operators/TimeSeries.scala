@@ -225,6 +225,76 @@ object TimeSeries {
       .orderBy(col("ticker"))
   }
 
+  /** Garman–Klass / Parkinson range-based volatility per ticker: the
+    * OHLC estimators that extract ~5–7× more information per bar than
+    * close-to-close variance (range sees the intrabar path). Per-bar
+    * terms — ½·ln²(H/L) − (2ln2−1)·ln²(C/O) and ln²(H/L)/(4ln2) —
+    * round to the 1e-12 grid and decimal-sum per ticker; the
+    * constants interpolate as Scala doubles so both engines parse
+    * bit-identical IEEE values. Non-positive prices drop (a log-range
+    * needs a positive bar), stated identically by the oracle. */
+  def garmanKlass(spark: SparkSession, dir: String): DataFrame =
+    gkBars(StockPipeline.ohlc5m(
+      StockPipeline.normalize(Tables.events(spark, dir))))
+
+  private[graft] def gkBars(ohlc: DataFrame): DataFrame = {
+    val k = 2 * math.log(2) - 1
+    val p4 = 4 * math.log(2)
+    val lhl = log(col("high") / col("low"))
+    val lco = log(col("close") / col("open"))
+    ohlc.filter(col("low") > 0.0 && col("open") > 0.0)
+      .select(col("ticker"),
+        round(lit(0.5) * lhl * lhl - lit(k) * lco * lco, 12)
+          .cast("decimal(18,12)").as("gk"),
+        round(lhl * lhl / lit(p4), 12).cast("decimal(18,12)").as("pk"))
+      .groupBy(col("ticker"))
+      .agg(count(lit(1)).as("n_bars"),
+        round(sum(col("gk")).cast("double") / count(lit(1)), 6)
+          .as("gk_var"),
+        round(sum(col("pk")).cast("double") / count(lit(1)), 6)
+          .as("parkinson_var"))
+      .orderBy(col("ticker"))
+  }
+
+  /** Sampling intervals (seconds) for [[rvSignature]] — shared with
+    * the oracle generator. */
+  val RvFreqs = Seq(60, 300, 900)
+
+  /** Realized-volatility signature plot per ticker: the sum of squared
+    * simple returns sampled at 1/5/15-minute bars — microstructure
+    * noise makes RV blow up as the sampling interval shrinks, so the
+    * flat-vs-exploding shape of this curve is the standard "how fast
+    * can I sample this feed" diagnostic. Each frequency re-buckets the
+    * ticks with the same integer-epoch division as the 5-minute bars;
+    * squared-return terms round to the DECIMAL(38,18) grid before the
+    * per-ticker sum (order-independent, bit-equal across engines). */
+  def rvSignature(spark: SparkSession, dir: String): DataFrame =
+    rvSignatureTicks(StockPipeline.normalize(Tables.events(spark, dir)))
+
+  private[graft] def rvSignatureTicks(stock: DataFrame): DataFrame = {
+    val perFreq = RvFreqs.map { sec =>
+      val bars = stock.groupBy(col("ticker"),
+          timestamp_seconds(expr(s"unix_timestamp(ts) div $sec") * sec)
+            .as("bucket"))
+        .agg(max_by(col("price"), col("ts")).as("close"))
+      val w = Window.partitionBy(col("ticker")).orderBy(col("bucket"))
+      val prev = lag(col("close"), 1).over(w)
+      bars
+        .select(col("ticker"),
+          when(prev =!= 0.0, col("close") / prev - 1).as("r"))
+        .filter(col("r").isNotNull)
+        .groupBy(col("ticker"))
+        .agg(count(lit(1)).as("n_rets"),
+          sum((col("r") * col("r")).cast("decimal(38,18)"))
+            .cast("double").as("rv"))
+        .select(col("ticker"), lit(sec / 60).cast("long")
+            .as("freq_minutes"),
+          col("n_rets"), round(col("rv"), 6).as("realized_var"))
+    }
+    perFreq.reduce(_ unionAll _)
+      .orderBy(col("ticker"), col("freq_minutes"))
+  }
+
   /** Overlapping-return horizon for [[varianceRatio]] — shared with
     * the oracle generator. */
   val VrQ = 4

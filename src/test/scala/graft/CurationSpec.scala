@@ -544,6 +544,61 @@ class CurationSpec extends SparkSpec {
     assert(out.find(_._1 == src).get._4 === expect)
   }
 
+  test("tokenEpochs: weights normalize to ~1, allocations sum to the " +
+      "budget, and a tiny source's epoch count flags the repeat cap") {
+    // srcSmall: 5 tokens vs srcBig: 500 -> tempered weight of the
+    // small source is sqrt-inflated, its allocation implies massive
+    // epochs -> over_cap
+    val rows = (0L until 50L).map(i => (i,
+        ("w " * 10).trim, "en", "srcBig", 20L)) :+
+      (99L, "a b c d e", "en", "srcSmall", 9L)
+    val d = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.operators.Curation.tokenEpochs(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getDouble(4),
+        r.getDouble(6), r.getBoolean(7))).toMap
+    assert(out.keySet === Set("srcBig", "srcSmall"))
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-5)
+    val budget = graft.operators.Curation.EpochTokenBudget.toDouble
+    out.foreach { case (_, (nt, w, ep, cap)) =>
+      // w is the 6-decimal-rounded weight; its half-ulp scales by
+      // budget/nt in the epoch recomputation
+      assert(math.abs(ep - w * budget / nt) <= 0.5e-6 * budget / nt + 1e-9)
+      assert(cap === ep > graft.operators.Curation.EpochRepeatCap)
+    }
+    assert(out("srcSmall")._4, "tiny source must flag the repeat cap")
+    // real corpus: shares sum to 1, every row self-consistent
+    val real = graft.operators.Curation.tokenEpochs(
+      graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"))
+      .collect()
+    assert(math.abs(real.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+  }
+
+  test("entropyRate: a fully deterministic chain has conditional " +
+      "entropy 0 and the unigram entropy matches the closed form") {
+    val d = docs((1L, "a b a b a"))
+    val out = graft.operators.TextAnalysis.entropyRate(d).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(0) === 5L && r.getLong(1) === 2L)
+    def g12(x: Double) =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val hu = Seq(3.0 / 5, 2.0 / 5)
+      .map(p => g12(-p * math.log(p))).sum
+    val expectHu = BigDecimal(hu.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(2) === expectHu)
+    assert(r.getDouble(3) === 0.0)
+    assert(r.getDouble(4) === expectHu) // MI = full unigram entropy
+    // real corpus: 0 <= entropy_rate <= unigram_entropy <= ln(vocab)
+    val real = graft.operators.TextAnalysis.entropyRate(
+      graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"))
+      .collect().head
+    val (vocab, uh, er) =
+      (real.getLong(1), real.getDouble(2), real.getDouble(3))
+    assert(er >= 0.0 && er <= uh + 1e-9)
+    assert(uh <= math.log(vocab.toDouble) + 1e-9)
+  }
+
   test("liftTable: deciles partition the corpus, capture is monotone " +
       "to 1, the bottom row's lift is exactly 1, and counts match a " +
       "direct score-threshold recomputation") {

@@ -324,6 +324,31 @@ class KnnGraphSpec extends SparkSpec {
     } else assert(out.head.isNullAt(2))
   }
 
+  test("intrinsicDim: matches a direct MLE recomputation from the " +
+      "rank-1/2 kNN cosines and is positive on the real corpus") {
+    val g = Similarity.knnGraph(emb, 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getLong(3)))
+    val byVec = g.groupBy(_._1).view.mapValues { rows =>
+      (rows.find(_._3 == 1L).map(_._2), rows.find(_._3 == 2L).map(_._2))
+    }.toMap
+    def g12(x: Double) =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val terms = byVec.values.toSeq.collect {
+      case (Some(c1), Some(c2)) if c1 < 1.0 =>
+        g12(0.5 * math.log((1.0 - c2) / (1.0 - c1)))
+    }
+    val out = Similarity.intrinsicDim(emb).collect().head
+    assert(out.getLong(0) === emb.count())
+    assert(out.getLong(1) === terms.length.toLong)
+    val slm = terms.sum.toDouble
+    if (slm > 0.0) {
+      val expect = BigDecimal(terms.length.toDouble / slm)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(out.getDouble(2) === expect)
+      assert(out.getDouble(2) > 0.0)
+    } else assert(out.isNullAt(2))
+  }
+
   test("nccAccuracy: per-label counts partition the corpus and " +
       "accuracy is the exact correct ratio") {
     val out = Similarity.nccAccuracy(emb).collect()

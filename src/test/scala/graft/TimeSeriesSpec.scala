@@ -488,6 +488,59 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.exists(_._3.isDefined), "sf data has ≥20-return tickers")
   }
 
+  test("gkBars: hand-built OHLC bars match the closed-form estimators; " +
+      "a flat bar contributes zero to both") {
+    val ohlc = Seq(
+      ("A", 100.0, 110.0, 95.0, 105.0),  // one real bar
+      ("A", 105.0, 105.0, 105.0, 105.0), // flat bar: both terms 0
+      ("B", 50.0, 55.0, 50.0, 50.0))     // close == open: GK first term only
+      .toDF("ticker", "open", "high", "low", "close")
+    val out = TimeSeries.gkBars(ohlc).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    def g12(x: Double) =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val k = 2 * math.log(2) - 1
+    val p4 = 4 * math.log(2)
+    def gkOf(o: Double, h: Double, l: Double, c: Double) =
+      g12(0.5 * math.log(h / l) * math.log(h / l) -
+        k * math.log(c / o) * math.log(c / o))
+    def pkOf(h: Double, l: Double) =
+      g12(math.log(h / l) * math.log(h / l) / p4)
+    val (nA, gkA, pkA) = out("A")
+    assert(nA === 2L)
+    assert(gkA === r6((gkOf(100, 110, 95, 105) + gkOf(105, 105, 105, 105))
+      .toDouble / 2))
+    assert(pkA === r6((pkOf(110, 95) + pkOf(105, 105)).toDouble / 2))
+    val (nB, gkB, pkB) = out("B")
+    assert(nB === 1L)
+    assert(gkB === r6(gkOf(50, 55, 50, 50).toDouble))
+    assert(pkB === r6(pkOf(55, 50).toDouble))
+  }
+
+  test("rvSignatureTicks: per-frequency realized variance matches a " +
+      "direct recomputation; a span shorter than the interval yields " +
+      "no row for that frequency") {
+    val ticks = (0 until 10).map(i => ("A", t(i), 100.0 + i, 1L))
+      .toDF("ticker", "ts", "price", "volume")
+    val out = TimeSeries.rvSignatureTicks(ticks).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getDouble(3))).toMap
+    def g18(x: Double) =
+      BigDecimal(x).setScale(18, BigDecimal.RoundingMode.HALF_UP)
+    def rvOf(closes: Seq[Double]) = {
+      val terms = closes.sliding(2).map { case Seq(a, b) =>
+        val r = b / a - 1; g18(r * r) }.toSeq
+      BigDecimal(terms.sum.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // 1m closes 100..109; 5m closes 104 (last of 0-4), 109 (last of 5-9)
+    assert(out(1L) === ((9L, rvOf((100 to 109).map(_.toDouble)))))
+    assert(out(5L) === ((1L, rvOf(Seq(104.0, 109.0)))))
+    assert(!out.contains(15L), "one 15m bucket -> no return -> no row")
+  }
+
   test("amihudBars: hand-checkable two-bar series gives the exact " +
       "impact-per-dollar mean; zero-dollar-volume bars drop") {
     val stock = Seq(
