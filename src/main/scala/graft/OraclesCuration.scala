@@ -138,6 +138,37 @@ SELECT count(*)::BIGINT AS n_docs,
       (count(*) * CAST(sum(nt) AS DOUBLE)) -
     CAST(count(*) + 1 AS DOUBLE) / count(*), 6) AS length_gini
 FROM r""",
+    // Neyman stratified allocation: integer length moments, 1e-6-grid
+    // N_h*S_h normalizer, pinned-order shares
+    "sample_neyman" -> s"""
+WITH $toksCte,
+m AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+    CAST(sum(len(tk)) AS BIGINT) AS s1,
+    CAST(sum(len(tk)::BIGINT * len(tk)::BIGINT) AS BIGINT) AS s2
+  FROM toks GROUP BY 1),
+sc AS (
+  SELECT source, n_docs,
+    round(sqrt(greatest(
+      s2 / CAST(n_docs AS DOUBLE) -
+        (s1 / CAST(n_docs AS DOUBLE)) * (s1 / CAST(n_docs AS DOUBLE)),
+      0.0)), 6) AS sd_len,
+    CAST(round(CAST(n_docs AS DOUBLE) * sqrt(greatest(
+      s2 / CAST(n_docs AS DOUBLE) -
+        (s1 / CAST(n_docs AS DOUBLE)) * (s1 / CAST(n_docs AS DOUBLE)),
+      0.0)), 6) AS DECIMAL(28,6)) AS nhsh
+  FROM m),
+t AS (
+  SELECT CAST(sum(nhsh) AS DECIMAL(38,6)) AS tot_nhsh,
+    CAST(sum(n_docs) AS BIGINT) AS tot_docs
+  FROM sc)
+SELECT source, n_docs, sd_len,
+  round(n_docs::DOUBLE / tot_docs, 6) AS prop_share,
+  round(CAST(nhsh AS DOUBLE) / CAST(tot_nhsh AS DOUBLE), 6)
+    AS neyman_share,
+  round(CAST(nhsh AS DOUBLE) / CAST(tot_nhsh AS DOUBLE) *
+    ${Curation.NeymanSampleSize}, 2) AS alloc
+FROM sc CROSS JOIN t ORDER BY source""",
     // data-constrained token-epochs plan: sqrt-tempered source weights
     // (decimal-grid normalizer), budget allocation, epoch counts
     "corpus_token_epochs" -> s"""

@@ -500,6 +500,32 @@ SELECT ticker, n_rets,
       3.0 * mean * mean * mean * mean) / (v * v) - 3.0, 6)
   END AS kurt_excess
 FROM d ORDER BY ticker"""),
+    // Roll effective spread: lagged close-change pairs, decimal moment
+    // sums, pinned-order autocovariance and 2*sqrt(-cov)
+    "stock_roll_spread" -> (barsCte + """,
+dd AS (
+  SELECT ticker, bucket, close - lag(close, 1) OVER tw AS dx
+  FROM bars WINDOW tw AS (PARTITION BY ticker ORDER BY bucket)),
+pp AS (
+  SELECT ticker, dx, lag(dx, 1) OVER tw2 AS dy
+  FROM dd WINDOW tw2 AS (PARTITION BY ticker ORDER BY bucket)
+  QUALIFY dx IS NOT NULL AND dy IS NOT NULL),
+m AS (
+  SELECT ticker, count(*)::BIGINT AS n_pairs,
+    CAST(sum(CAST(dx AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+    CAST(sum(CAST(dy AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+    CAST(sum(CAST(dx * dy AS DECIMAL(38,18))) AS DOUBLE) AS sxy
+  FROM pp GROUP BY 1),
+dcv AS (
+  SELECT ticker, n_pairs,
+    sxy / CAST(n_pairs AS DOUBLE) -
+      sx / CAST(n_pairs AS DOUBLE) * (sy / CAST(n_pairs AS DOUBLE))
+      AS cov
+  FROM m)
+SELECT ticker, n_pairs, round(cov, 6) AS dcov,
+  CASE WHEN n_pairs > 1 AND cov < 0.0 THEN
+    round(2.0 * sqrt(-cov), 6) END AS roll_spread
+FROM dcv ORDER BY ticker"""),
     // Garman-Klass / Parkinson range volatility: OHLC bars re-derived
     // on the identical 5-minute partition, per-bar terms on the 1e-12
     // grid, interpolated IEEE constants

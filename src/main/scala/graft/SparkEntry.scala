@@ -652,6 +652,11 @@ object SparkEntry {
       graft.operators.Curation.tokenEpochs(Tables.documents(s, d))),
     // Garman-Klass / Parkinson range-based volatility per ticker
     "stock_garman_klass" -> (TimeSeries.garmanKlass _),
+    // Roll effective-spread estimator (bid-ask bounce autocovariance)
+    "stock_roll_spread" -> (TimeSeries.rollSpread _),
+    // Neyman-optimal stratified sampling allocation per source
+    "sample_neyman" -> ((s, d) =>
+      graft.operators.Curation.neymanAllocation(Tables.documents(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -134,6 +134,46 @@ object Curation {
       .orderBy(col("lang"))
   }
 
+  /** Target sample size for [[neymanAllocation]] — shared with the
+    * oracle generator. */
+  val NeymanSampleSize = 1000L
+
+  /** Neyman-optimal stratified-sampling allocation per source: sample
+    * n_h ∝ N_h·S_h (stratum size × within-stratum length stddev)
+    * instead of proportionally — the variance-minimizing design for a
+    * fixed labeling/eval budget (a big but homogeneous source needs
+    * FEWER samples than proportional; a small, wildly varied one needs
+    * more). Per-stratum moments are exact INTEGER sums (token lengths),
+    * the N_h·S_h terms go through the 1e-6 decimal grid for the
+    * order-independent normalizer, and the output is sources-sized.
+    * Zero-variance strata allocate 0 (their one value is already
+    * known), stated identically by the oracle. */
+  def neymanAllocation(documents: DataFrame): DataFrame = {
+    val m = documents
+      .select(col("source"), size(toks).cast("long").as("l"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("l")).as("s1"),
+        sum(col("l") * col("l")).as("s2"))
+      .pin(eager = true)
+    val nd = col("n_docs").cast("double")
+    val sd = sqrt(greatest(
+      col("s2") / nd - (col("s1") / nd) * (col("s1") / nd), lit(0.0)))
+    val scored = m.select(col("source"), col("n_docs"),
+      round(sd, 6).as("sd_len"),
+      round(nd * sd, 6).cast("decimal(28,6)").as("nhsh"))
+    val tots = scored.agg(sum(col("nhsh")).as("tot_nhsh"),
+      sum(col("n_docs")).as("tot_docs"))
+    scored.crossJoin(broadcast(tots))
+      .select(col("source"), col("n_docs"), col("sd_len"),
+        round(col("n_docs").cast("double") / col("tot_docs"), 6)
+          .as("prop_share"),
+        round(col("nhsh").cast("double") / col("tot_nhsh"), 6)
+          .as("neyman_share"),
+        round(col("nhsh").cast("double") / col("tot_nhsh") *
+          lit(NeymanSampleSize), 2).as("alloc"))
+      .orderBy(col("source"))
+  }
+
   /** Token budget and repeat ceiling for [[tokenEpochs]] — shared with
     * the oracle generator. */
   val EpochTokenBudget = 10000000L

@@ -225,6 +225,43 @@ object TimeSeries {
       .orderBy(col("ticker"))
   }
 
+  /** Roll effective-spread estimator per ticker: 2·√(−cov(Δp_t,
+    * Δp_{t−1})) over the 5-minute close changes — bid-ask bounce makes
+    * consecutive price changes negatively autocorrelated, and the
+    * magnitude of that autocovariance IS the implied spread (Roll
+    * 1984). The lagged pair comes from one more lag on the same
+    * per-ticker window; cross-product and marginal sums go through the
+    * DECIMAL(38,18) grid (order-independent), and the closed form is
+    * double math in one pinned order. A non-negative autocovariance
+    * has no real-spread solution and yields NULL, stated identically
+    * by the oracle. */
+  def rollSpread(spark: SparkSession, dir: String): DataFrame =
+    rollSpreadBars(closeBars5m(
+      StockPipeline.normalize(Tables.events(spark, dir))))
+
+  private[graft] def rollSpreadBars(bars: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("ticker")).orderBy(col("bucket"))
+    val d = col("close") - lag(col("close"), 1).over(w)
+    val withLags = bars.select(col("ticker"), col("bucket"),
+        d.as("dx"))
+      .select(col("ticker"),
+        col("dx"), lag(col("dx"), 1).over(w).as("dy"))
+      .filter(col("dx").isNotNull && col("dy").isNotNull)
+    def dsum18(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(38,18)")).cast("double")
+    val m = withLags.groupBy(col("ticker")).agg(
+      count(lit(1)).as("n_pairs"),
+      dsum18(col("dx")).as("sx"), dsum18(col("dy")).as("sy"),
+      dsum18(col("dx") * col("dy")).as("sxy"))
+    val nd = col("n_pairs").cast("double")
+    val cov = col("sxy") / nd - (col("sx") / nd) * (col("sy") / nd)
+    m.select(col("ticker"), col("n_pairs"),
+        round(cov, 6).as("dcov"),
+        when(col("n_pairs") > 1 && cov < 0.0,
+          round(lit(2.0) * sqrt(-cov), 6)).as("roll_spread"))
+      .orderBy(col("ticker"))
+  }
+
   /** Garman–Klass / Parkinson range-based volatility per ticker: the
     * OHLC estimators that extract ~5–7× more information per bar than
     * close-to-close variance (range sees the intrabar path). Per-bar

@@ -544,6 +544,37 @@ class CurationSpec extends SparkSpec {
     assert(out.find(_._1 == src).get._4 === expect)
   }
 
+  test("neymanAllocation: a zero-variance stratum allocates 0, " +
+      "shares normalize, and a varied stratum matches the direct " +
+      "N_h*S_h computation") {
+    // srcFlat: every doc 4 tokens (sd 0); srcVar: lengths 2 and 10
+    val rows =
+      (0L until 10L).map(i => (i, "a b c d", "en", "srcFlat", 7L)) ++
+      (10L until 15L).map(i => (i, "a b", "en", "srcVar", 3L)) ++
+      (15L until 20L).map(i =>
+        (i, "a b c d e f g h i j", "en", "srcVar", 19L))
+    val d = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.operators.Curation.neymanAllocation(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val (nF, sdF, propF, neyF, allocF) = out("srcFlat")
+    assert(nF === 10L && sdF === 0.0 && neyF === 0.0 && allocF === 0.0)
+    assert(propF === 0.5)
+    val (nV, sdV, _, neyV, allocV) = out("srcVar")
+    assert(nV === 10L)
+    // lengths 2(x5), 10(x5): mean 6, var = 16, sd = 4
+    assert(sdV === 4.0)
+    assert(neyV === 1.0)
+    assert(allocV ===
+      graft.operators.Curation.NeymanSampleSize.toDouble)
+    // real corpus: both share columns normalize
+    val real = graft.operators.Curation.neymanAllocation(
+      graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"))
+      .collect()
+    assert(math.abs(real.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+    assert(math.abs(real.map(_.getDouble(4)).sum - 1.0) < 1e-4)
+  }
+
   test("tokenEpochs: weights normalize to ~1, allocations sum to the " +
       "budget, and a tiny source's epoch count flags the repeat cap") {
     // srcSmall: 5 tokens vs srcBig: 500 -> tempered weight of the

@@ -488,6 +488,28 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.exists(_._3.isDefined), "sf data has ≥20-return tickers")
   }
 
+  test("rollSpreadBars: bouncing closes give the exact implied " +
+      "spread; a trending series has non-negative autocovariance " +
+      "and yields NULL") {
+    val bounce = (0 until 5).map(i =>
+      ("A", i * 5, if (i % 2 == 0) 100.0 else 101.0))
+    val trend = (0 until 5).map(i => ("B", i * 5, 100.0 + i))
+    val out = TimeSeries.rollSpreadBars(bars((bounce ++ trend): _*))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    // A: dx = +1,-1,+1,-1 -> 3 lagged pairs, cov = -1 - (-1/3)(1/3)
+    val (nA, covA, rollA) = out("A")
+    assert(nA === 3L)
+    val cov = -3.0 / 3 - (-1.0 / 3) * (1.0 / 3)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(covA === r6(cov))
+    assert(rollA === Some(r6(2.0 * math.sqrt(-cov))))
+    val (nB, covB, rollB) = out("B")
+    assert(nB === 3L && covB === 0.0 && rollB === None)
+  }
+
   test("gkBars: hand-built OHLC bars match the closed-form estimators; " +
       "a flat bar contributes zero to both") {
     val ohlc = Seq(
