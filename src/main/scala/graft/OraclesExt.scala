@@ -614,6 +614,33 @@ FROM hist CROSS JOIN tot
 WINDOW cw AS (ORDER BY df ROWS BETWEEN UNBOUNDED PRECEDING
   AND CURRENT ROW)
 ORDER BY df"""),
+    // duplicate-cluster size histogram: components chain + two
+    // cluster-sized aggregates + the singleton difference row
+    "dedup_cluster_sizes" -> (minhashPairsCtes
+      .replaceFirst("WITH ", "WITH RECURSIVE ") + """
+, np AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
+edges(a, b) AS (SELECT doc_a, doc_b FROM np UNION SELECT doc_b, doc_a FROM np),
+reach(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN edges e ON r.node = e.a),
+cl AS (SELECT node AS doc_id, min(label) AS cluster_id
+  FROM reach GROUP BY node),
+bs AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size
+  FROM cl GROUP BY 1),
+h AS (SELECT cluster_size, count(*)::BIGINT AS n_clusters
+  FROM bs GROUP BY 1),
+sing AS (
+  SELECT 1::BIGINT AS cluster_size,
+    CAST((SELECT count(*) FROM documents) -
+      (SELECT count(*) FROM cl) AS BIGINT) AS n_clusters),
+u AS (
+  SELECT cluster_size, n_clusters FROM h
+  UNION ALL
+  SELECT cluster_size, n_clusters FROM sing WHERE n_clusters > 0)
+SELECT cluster_size, CAST(sum(n_clusters) AS BIGINT) AS n_clusters,
+  CAST(cluster_size * sum(n_clusters) AS BIGINT) AS n_docs
+FROM u GROUP BY cluster_size ORDER BY cluster_size"""),
     // cross-source duplication matrix: verified near-dup pairs rolled
     // up to unordered (source, source) cells
     "dedup_source_matrix" -> (minhashPairsCtes + """

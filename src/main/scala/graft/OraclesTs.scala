@@ -648,6 +648,30 @@ SELECT ticker, n1, nq,
     round(vq / (${q.toDouble} * v1), 6) END AS variance_ratio
 FROM d ORDER BY ticker"""
     }),
+    // return ACF at lags 1-5: per-lag window pairs, DuckDB corr (NULL
+    // on degenerate) vs Spark nanToNull(corr) — round-6 parity proven
+    // by stock_corr_pairs
+    "stock_acf" -> (barsCte + {
+      val blocks = graft.operators.TimeSeries.AcfLags.map { k =>
+        s"""
+SELECT ticker, $k::BIGINT AS lag, count(*)::BIGINT AS n_pairs,
+  round(corr(r, rl), 6) AS acf
+FROM (
+  SELECT ticker, r, lag(r, $k) OVER tw2 AS rl
+  FROM rets WINDOW tw2 AS (PARTITION BY ticker ORDER BY bucket)
+  QUALIFY rl IS NOT NULL)
+GROUP BY ticker"""
+      }.mkString("\nUNION ALL")
+      s""",
+rets AS (
+  SELECT ticker, bucket,
+    CASE WHEN lag(close, 1) OVER tw <> 0
+      THEN close / lag(close, 1) OVER tw - 1 END AS r
+  FROM bars
+  WINDOW tw AS (PARTITION BY ticker ORDER BY bucket)
+  QUALIFY r IS NOT NULL)$blocks
+ORDER BY ticker, lag"""
+    }),
     "stock_corr_pairs" -> (barsCte + """,
 rets AS (
   SELECT ticker, bucket,

@@ -654,6 +654,11 @@ object SparkEntry {
     "stock_garman_klass" -> (TimeSeries.garmanKlass _),
     // Roll effective-spread estimator (bid-ask bounce autocovariance)
     "stock_roll_spread" -> (TimeSeries.rollSpread _),
+    // return autocorrelation function at lags 1-5
+    "stock_acf" -> (TimeSeries.acf _),
+    // duplicate-cluster size histogram (singletons included)
+    "dedup_cluster_sizes" -> ((s, d) =>
+      Dedup.clusterSizes(Tables.documents(s, d))),
     // Neyman-optimal stratified sampling allocation per source
     "sample_neyman" -> ((s, d) =>
       graft.operators.Curation.neymanAllocation(Tables.documents(s, d))),

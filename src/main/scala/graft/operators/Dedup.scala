@@ -241,6 +241,34 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Duplicate-cluster size histogram: how many near-dup clusters
+    * exist at each size, singletons included — the one-page shape
+    * report a dedup deployment is judged by (a heavy large-cluster
+    * tail means template spam; mostly pairs means organic
+    * re-posting). Composes the verified pair → connected-components
+    * chain, then two cluster-sized hash aggregates; the singleton row
+    * is the corpus count minus the clustered count — no scan touches
+    * text beyond the shared shingle front. */
+  def clusterSizes(documents: DataFrame): DataFrame = {
+    val cl = clustersBigStar(minhashPairs(documents))
+    val bySize = cl.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+    val nClustered = cl.agg(count(lit(1)).as("n_clustered"))
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    val singles = nDocs.crossJoin(nClustered)
+      .select(lit(1L).as("cluster_size"),
+        (col("n_docs") - col("n_clustered")).as("n_clusters"))
+      .filter(col("n_clusters") > 0)
+    bySize.unionAll(singles)
+      .groupBy(col("cluster_size"))
+      .agg(sum(col("n_clusters")).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+      .orderBy(col("cluster_size"))
+  }
+
   /** Cross-source duplication matrix: the verified near-dup pairs
     * rolled up to (source, source) cells — the provenance map that
     * says which sources copy from which (a hot off-diagonal cell

@@ -225,6 +225,44 @@ object TimeSeries {
       .orderBy(col("ticker"))
   }
 
+  /** Autocorrelation lags for [[acf]] — shared with the oracle. */
+  val AcfLags = Seq(1, 2, 3, 4, 5)
+
+  /** Return autocorrelation function per ticker at lags 1–5 over the
+    * 5-minute simple returns — the Ljung-Box-style serial-dependence
+    * profile (a significant lag-k bar means a k-bar momentum/reversal
+    * pattern survives in the feed). Each lag is one more window `lag`
+    * on the same per-ticker order; the correlation is Pearson on the
+    * paired series via `corr` — the established cross-engine
+    * aggregate ([[corrPairsBars]] proves round-6 parity). Degenerate
+    * pairs (constant series) yield NULL. */
+  def acf(spark: SparkSession, dir: String): DataFrame =
+    acfBars(closeBars5m(
+      StockPipeline.normalize(Tables.events(spark, dir))))
+
+  private[graft] def acfBars(bars: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("ticker")).orderBy(col("bucket"))
+    val prev = lag(col("close"), 1).over(w)
+    val rets = bars
+      .select(col("ticker"), col("bucket"),
+        when(prev =!= 0.0, col("close") / prev - 1).as("r"))
+      .filter(col("r").isNotNull)
+    val perLag = AcfLags.map { k =>
+      rets
+        .select(col("ticker"), col("r"),
+          lag(col("r"), k).over(
+            Window.partitionBy(col("ticker")).orderBy(col("bucket")))
+            .as("rl"))
+        .filter(col("rl").isNotNull)
+        .groupBy(col("ticker"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(nanToNull(corr(col("r"), col("rl"))), 6).as("acf"))
+        .select(col("ticker"), lit(k).cast("long").as("lag"),
+          col("n_pairs"), col("acf"))
+    }
+    perLag.reduce(_ unionAll _).orderBy(col("ticker"), col("lag"))
+  }
+
   /** Roll effective-spread estimator per ticker: 2·√(−cov(Δp_t,
     * Δp_{t−1})) over the 5-minute close changes — bid-ask bounce makes
     * consecutive price changes negatively autocorrelated, and the

@@ -51,6 +51,30 @@ class DedupSpec extends SparkSpec {
     assert(!out.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("clusterSizes: histogram counts every document exactly once " +
+      "and matches the clusters output") {
+    val d = docs(0L -> base, 1L -> base, 2L -> near, 3L -> other,
+      4L -> fresh)
+    val out = Dedup.clusterSizes(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // docs 0,1,2 cluster together (exact+near); 3 and 4 are singletons
+    assert(out.toSet === Set((1L, 2L, 2L), (3L, 1L, 3L)))
+    assert(out.map(_._3).sum === 5L)
+    // consistency with the components operator on the real corpus
+    val real = graft.sources.Tables.documents(spark,
+      "/root/testdata/sf0.001")
+    val hist = Dedup.clusterSizes(real).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cl = Dedup.clustersBigStar(Dedup.minhashPairs(real)).collect()
+      .map(r => r.getLong(1))
+    val expect = cl.groupBy(identity).values.map(_.length)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    hist.filter(_._1 > 1).foreach { case (sz, n) =>
+      assert(expect(sz.toInt) === n, s"size $sz")
+    }
+    assert(hist.map { case (s, n) => s * n }.sum === real.count())
+  }
+
   test("sourceMatrix: pair counts roll up to unordered source cells " +
       "and match the verified pair list exactly") {
     val d = Seq(

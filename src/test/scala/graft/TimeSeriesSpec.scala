@@ -488,6 +488,23 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.exists(_._3.isDefined), "sf data has ≥20-return tickers")
   }
 
+  test("acfBars: an alternating series has ACF -1 at odd lags and " +
+      "+1 at even lags; pair counts shrink by one per lag") {
+    // closes 64,128,64,... -> returns alternate +1, -0.5? No: ratios
+    // are exactly 2 and 0.5 -> returns +1.0 and -0.5 alternating;
+    // perfectly anticorrelated at lag 1, perfectly correlated at lag 2
+    val alt = (0 until 12).map(i =>
+      ("A", i * 5, if (i % 2 == 0) 64.0 else 128.0))
+    val out = TimeSeries.acfBars(bars(alt: _*)).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    // 11 returns -> lag k leaves 11 - k pairs
+    (1L to 5L).foreach(k => assert(out(k)._1 === 11L - k))
+    assert(out(1L)._2 === Some(-1.0) && out(3L)._2 === Some(-1.0))
+    assert(out(2L)._2 === Some(1.0) && out(4L)._2 === Some(1.0))
+  }
+
   test("rollSpreadBars: bouncing closes give the exact implied " +
       "spread; a trending series has non-negative autocovariance " +
       "and yields NULL") {
