@@ -967,6 +967,47 @@ ORDER BY c.c_custkey""",
     // runs the banded two-level rank — hash equality proves the
     // distributed form exact. Rank-weighted sums as DECIMAL (exact
     // integer multipliers), closing algebra in shared double math.
+    // Theil-T decomposition: decimal-exact revenue sums, 1e-12-grid
+    // per-customer terms, 25-row group stats, pinned-order ratios
+    "rel_theil" -> """
+WITH rev AS (
+  SELECT o_custkey,
+    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS x
+  FROM orders GROUP BY 1),
+rc AS (
+  SELECT n.n_name, r.x
+  FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE r.x > 0),
+pn AS (
+  SELECT n_name, count(*)::BIGINT AS n_g,
+    CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS s_g
+  FROM rc GROUP BY 1),
+t AS (
+  SELECT CAST(sum(n_g) AS BIGINT) AS n_tot,
+    CAST(sum(CAST(s_g AS DECIMAL(28,6))) AS DOUBLE) AS s_tot
+  FROM pn),
+st AS (
+  SELECT n_name, n_g, s_g, n_tot, s_tot,
+    s_g / n_g AS mu_g, s_tot / n_tot AS mu
+  FROM pn CROSS JOIN t),
+wt AS (
+  SELECT rc.n_name, st.n_g, st.s_g, st.s_tot, st.mu_g, st.mu,
+    CAST(round((rc.x / st.mu_g) * ln(rc.x / st.mu_g), 12)
+      AS DECIMAL(28,12)) AS tt
+  FROM rc JOIN st USING (n_name)),
+ag AS (
+  SELECT n_name, CAST(max(n_g) AS BIGINT) AS n_customers,
+    max(s_g / s_tot) AS share, max(mu_g / mu) AS mr,
+    CAST(sum(tt) AS DOUBLE) / max(n_g) AS tg
+  FROM wt GROUP BY 1)
+SELECT n_name, n_customers,
+  round(share, 6) AS rev_share,
+  round(mr, 6) AS mean_ratio,
+  round(tg, 6) AS theil_within,
+  round(share * tg, 6) AS within_contrib,
+  round(share * ln(mr), 6) AS between_term
+FROM ag ORDER BY n_name""",
     "rel_gini" -> """
 WITH rev AS (
   SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)

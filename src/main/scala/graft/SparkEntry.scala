@@ -659,6 +659,8 @@ object SparkEntry {
     // duplicate-cluster size histogram (singletons included)
     "dedup_cluster_sizes" -> ((s, d) =>
       Dedup.clusterSizes(Tables.documents(s, d))),
+    // Theil-T inequality decomposition by nation (within/between)
+    "rel_theil" -> (Relational.theilDecomposition _),
     // Neyman-optimal stratified sampling allocation per source
     "sample_neyman" -> ((s, d) =>
       graft.operators.Curation.neymanAllocation(Tables.documents(s, d))),

@@ -1362,6 +1362,59 @@ object Relational {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Theil-T inequality decomposition of customer revenue by nation:
+    * within-nation Theil per group, its revenue-share-weighted
+    * contribution, and the between-nation term s_g·ln(μ_g/μ) — the
+    * decomposable inequality measure (unlike Gini) that answers "is
+    * revenue concentration a within-market or a cross-market
+    * phenomenon". Per-customer revenues are decimal-exact sums; every
+    * (x/μ)·ln(x/μ) term rounds to the 1e-12 grid and decimal-sums per
+    * nation (order-independent); group statistics ride a 25-row
+    * broadcast back onto the customer table, so the only data-sized
+    * shuffles are the revenue aggregate and one join on the customer
+    * key. */
+  def theilDecomposition(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(decSum(col("o_totalprice")).as("x"))
+      .filter(col("x") > 0.0)
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey")),
+        Seq("o_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey").as("c_nationkey"), col("n_name"))),
+        Seq("c_nationkey"))
+      .pin(eager = true)
+    val perNation = rev.groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_g"),
+        sum(col("x").cast("decimal(28,6)")).cast("double").as("s_g"))
+    val tot = perNation.agg(sum(col("n_g")).as("n_tot"),
+      sum(col("s_g").cast("decimal(28,6)")).cast("double").as("s_tot"))
+    val stats = perNation.crossJoin(broadcast(tot))
+      .select(col("n_name"), col("n_g"), col("s_g"), col("n_tot"),
+        col("s_tot"),
+        (col("s_g") / col("n_g")).as("mu_g"),
+        (col("s_tot") / col("n_tot")).as("mu"))
+    val withTerms = rev.join(broadcast(stats), Seq("n_name"))
+      .select(col("n_name"), col("n_g"), col("s_g"), col("s_tot"),
+        col("mu_g"), col("mu"),
+        round((col("x") / col("mu_g")) * log(col("x") / col("mu_g")),
+          12).cast("decimal(28,12)").as("t"))
+    withTerms
+      .groupBy(col("n_name"))
+      .agg(max(col("n_g")).as("n_customers"),
+        max(col("s_g") / col("s_tot")).as("share"),
+        max(col("mu_g") / col("mu")).as("mr"),
+        (sum(col("t")).cast("double") / max(col("n_g"))).as("tg"))
+      .select(col("n_name"), col("n_customers"),
+        round(col("share"), 6).as("rev_share"),
+        round(col("mr"), 6).as("mean_ratio"),
+        round(col("tg"), 6).as("theil_within"),
+        round(col("share") * col("tg"), 6).as("within_contrib"),
+        round(col("share") * log(col("mr")), 6).as("between_term"))
+      .orderBy(col("n_name"))
+  }
+
   /** Power iterations for [[markovStationary]] — shared with the
     * oracle generator. */
   val MarkovIters = 3

@@ -448,6 +448,31 @@ class RelationalSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("theilDecomposition: within terms are non-negative, shares " +
+      "normalize, and within+between reconstructs the global Theil") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.operators.Relational.theilDecomposition(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(out.nonEmpty)
+    assert(math.abs(out.map(_._3).sum - 1.0) < 1e-4)
+    out.foreach { case (n, _, _, tw, _, _) =>
+      assert(tw >= -1e-9, s"nation $n within-Theil must be >= 0")
+    }
+    // global Theil from the raw per-customer revenues
+    val xs = graft.sources.Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,6)")).cast("double")
+        .as("x"))
+      .collect().map(_.getDouble(1)).filter(_ > 0)
+    val mu = xs.sum / xs.length
+    val global = xs.map(x => (x / mu) * math.log(x / mu)).sum / xs.length
+    val reconstructed = out.map(_._5).sum + out.map(_._6).sum
+    assert(math.abs(reconstructed - global) < 1e-3,
+      s"$reconstructed vs $global")
+  }
+
   test("markovStationaryOn: mass is conserved across iterations and " +
       "the result matches a direct power-iteration recomputation") {
     import java.sql.Timestamp
