@@ -967,6 +967,39 @@ ORDER BY c.c_custkey""",
     // runs the banded two-level rank — hash equality proves the
     // distributed form exact. Rank-weighted sums as DECIMAL (exact
     // integer multipliers), closing algebra in shared double math.
+    // DFT seasonality probe: small-argument cos/sin projections on
+    // the 1e-10 grid, variance-share per candidate period
+    "rel_seasonality_dft" -> {
+      val twoPi = 2 * math.Pi
+      val blocks = graft.operators.Relational.DftPeriods.map { p =>
+        s"""
+SELECT $p::BIGINT AS period_days, nd AS n_days,
+  CASE WHEN sst > 0.0 THEN
+    round((a * a + b * b) / (nd * sst), 6) END AS power_share
+FROM (
+  SELECT nd,
+    CAST(sum(CAST(round(xc * cos($twoPi * (t % $p)::DOUBLE / $p), 10)
+      AS DECIMAL(28,10))) AS DOUBLE) AS a,
+    CAST(sum(CAST(round(xc * sin($twoPi * (t % $p)::DOUBLE / $p), 10)
+      AS DECIMAL(28,10))) AS DOUBLE) AS b,
+    CAST(sum(CAST(round(xc * xc, 10) AS DECIMAL(28,10))) AS DOUBLE)
+      AS sst
+  FROM based GROUP BY nd)"""
+      }.mkString("\nUNION ALL")
+      s"""
+WITH daily AS (
+  SELECT o_orderdate AS d, count(*)::BIGINT AS x
+  FROM orders GROUP BY 1),
+g AS (
+  SELECT min(d) AS d0, count(*)::BIGINT AS nd,
+    CAST(sum(x) AS BIGINT) AS sx
+  FROM daily),
+based AS (
+  SELECT x, nd, date_diff('day', d0, d)::BIGINT AS t,
+    x::DOUBLE - sx::DOUBLE / nd AS xc
+  FROM daily CROSS JOIN g)$blocks
+ORDER BY period_days"""
+    },
     // Theil-T decomposition: decimal-exact revenue sums, 1e-12-grid
     // per-customer terms, 25-row group stats, pinned-order ratios
     "rel_theil" -> """

@@ -661,6 +661,8 @@ object SparkEntry {
       Dedup.clusterSizes(Tables.documents(s, d))),
     // Theil-T inequality decomposition by nation (within/between)
     "rel_theil" -> (Relational.theilDecomposition _),
+    // single-frequency DFT seasonality probe on daily order counts
+    "rel_seasonality_dft" -> (Relational.seasonalityDft _),
     // Neyman-optimal stratified sampling allocation per source
     "sample_neyman" -> ((s, d) =>
       graft.operators.Curation.neymanAllocation(Tables.documents(s, d))),

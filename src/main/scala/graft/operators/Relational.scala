@@ -1362,6 +1362,59 @@ object Relational {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Candidate periods (days) for [[seasonalityDft]] — shared with
+    * the oracle generator. */
+  val DftPeriods = Seq(7, 14, 30)
+
+  /** Single-frequency DFT seasonality probe over the daily order
+    * series: for each candidate period P, the Goertzel-style
+    * projections a = Σ(x−x̄)·cos(2πt/P), b = Σ(x−x̄)·sin(2πt/P) and
+    * the share of total variance that frequency captures — the
+    * order-book seasonality detector (weekly/fortnightly/monthly
+    * cycles) without materializing a full spectrum. The day index is
+    * an exact integer from the min date; angles use t mod P so the
+    * argument never grows with the time span; every projection term
+    * rounds to the 1e-10 grid and decimal-sums (order-independent;
+    * cos/sin of bit-identical small arguments agree across engines
+    * like the roster's exp/ln do). One date-sized aggregate, one
+    * broadcast of (d0, n, mean) — nothing data-sized after the daily
+    * rollup. */
+  def seasonalityDft(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(col("o_orderdate").as("d"))
+      .agg(count(lit(1)).as("x"))
+      .pin(eager = true)
+    val glob = daily.agg(min(col("d")).as("d0"),
+      count(lit(1)).as("nd"), sum(col("x")).as("sx"))
+    val based = daily.crossJoin(broadcast(glob))
+      .select(col("x"), col("nd"),
+        datediff(col("d"), col("d0")).cast("long").as("t"),
+        (col("x").cast("double") - col("sx").cast("double") / col("nd"))
+          .as("xc"))
+    val twoPi = 2 * math.Pi
+    val perP = DftPeriods.map { p =>
+      val ang = lit(twoPi) * (col("t") % p).cast("double") / lit(p)
+      based
+        .select(col("nd"),
+          round(col("xc") * cos(ang), 10).cast("decimal(28,10)")
+            .as("ca"),
+          round(col("xc") * sin(ang), 10).cast("decimal(28,10)")
+            .as("cb"),
+          round(col("xc") * col("xc"), 10).cast("decimal(28,10)")
+            .as("ss"))
+        .groupBy(col("nd"))
+        .agg(sum(col("ca")).cast("double").as("a"),
+          sum(col("cb")).cast("double").as("b"),
+          sum(col("ss")).cast("double").as("sst"))
+        .select(lit(p).cast("long").as("period_days"),
+          col("nd").as("n_days"),
+          when(col("sst") > 0.0,
+            round((col("a") * col("a") + col("b") * col("b")) /
+              (col("nd") * col("sst")), 6)).as("power_share"))
+    }
+    perP.reduce(_ unionAll _).orderBy(col("period_days"))
+  }
+
   /** Theil-T inequality decomposition of customer revenue by nation:
     * within-nation Theil per group, its revenue-share-weighted
     * contribution, and the between-nation term s_g·ln(μ_g/μ) — the

@@ -448,6 +448,40 @@ class RelationalSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("seasonalityDft: power shares are bounded by 1 and match a " +
+      "direct projection recomputation on the same grid") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.operators.Relational.seasonalityDft(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._1).toSeq ===
+      graft.operators.Relational.DftPeriods.map(_.toLong))
+    out.foreach { case (_, _, p) => assert(p >= 0.0 && p <= 1.0 + 1e-6) }
+    val daily = graft.sources.Tables.orders(spark, dir)
+      .groupBy(col("o_orderdate")).agg(count(lit(1)).as("x"))
+      .collect().map(r =>
+        (r.getAs[java.time.LocalDateTime](0).toLocalDate, r.getLong(1)))
+    val d0 = daily.map(_._1).min
+    val n = daily.length.toDouble
+    val mean = daily.map(_._2).sum / n
+    def g10(x: Double) =
+      BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+    graft.operators.Relational.DftPeriods.foreach { p =>
+      val terms = daily.map { case (d, x) =>
+        val t = java.time.temporal.ChronoUnit.DAYS.between(d0, d)
+        val ang = 2 * math.Pi * (t % p).toDouble / p
+        val xc = x.toDouble - mean
+        (g10(xc * math.cos(ang)), g10(xc * math.sin(ang)), g10(xc * xc))
+      }
+      val a = terms.map(_._1).sum.toDouble
+      val b = terms.map(_._2).sum.toDouble
+      val ss = terms.map(_._3).sum.toDouble
+      val expect = BigDecimal((a * a + b * b) / (n * ss))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(out.find(_._1 == p.toLong).get._3 === expect, s"period $p")
+    }
+  }
+
   test("theilDecomposition: within terms are non-negative, shares " +
       "normalize, and within+between reconstructs the global Theil") {
     val dir = "/root/testdata/sf0.001"
