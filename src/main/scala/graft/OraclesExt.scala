@@ -1797,6 +1797,28 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
 ORDER BY query_id, rank"""),
     // PQ/ADC top-k: the unrolled per-subspace Lloyd builds, then
     // approximate cosine = sum over subspaces of q_slice . centroid(code)
+    // PQ distortion per subspace: final assignments joined to final
+    // codebooks, 1e-12-grid error sums, pinned-order explained ratio
+    "sim_pq_distortion" -> (simBase + pqCtes + {
+      val it = graft.operators.Similarity.kmIters
+      val blocks = (0 until graft.operators.Similarity.pqM).map { s =>
+        s"""
+SELECT sub, n_vectors, round(mseu, 6) AS mse,
+  round(powu, 6) AS sub_power,
+  round(1.0 - mseu / powu, 6) AS explained
+FROM (
+  SELECT $s::BIGINT AS sub, count(*)::BIGINT AS n_vectors,
+    CAST(sum(CAST(round(
+      list_inner_product(a.v, a.v) -
+        2 * list_inner_product(a.v, c.centroid) +
+        list_inner_product(c.centroid, c.centroid), 12)
+      AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mseu,
+    CAST(sum(CAST(round(list_inner_product(a.v, a.v), 12)
+      AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS powu
+  FROM pa$s$it a JOIN pc$s$it c USING (cell))"""
+      }.mkString("\nUNION ALL")
+      blocks + "\nORDER BY sub"
+    }),
     "sim_pq_topk" -> (simBase + pqCtes + {
       val m = graft.operators.Similarity.pqM
       val sd = graft.operators.Similarity.pqSubDim

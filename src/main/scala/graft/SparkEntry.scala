@@ -663,6 +663,9 @@ object SparkEntry {
     "rel_theil" -> (Relational.theilDecomposition _),
     // single-frequency DFT seasonality probe on daily order counts
     "rel_seasonality_dft" -> (Relational.seasonalityDft _),
+    // PQ quantization-distortion report per subspace
+    "sim_pq_distortion" -> ((s, d) =>
+      Similarity.pqDistortion(Tables.embeddings(s, d))),
     // Neyman-optimal stratified sampling allocation per source
     "sample_neyman" -> ((s, d) =>
       graft.operators.Curation.neymanAllocation(Tables.documents(s, d))),

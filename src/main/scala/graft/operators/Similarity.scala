@@ -889,6 +889,49 @@ object Similarity {
     (codes, cents)
   }
 
+  /** PQ quantization-distortion report per subspace: the mean squared
+    * reconstruction error ‖v_s − centroid(code_s)‖², the subspace's
+    * mean power ‖v_s‖², and the explained fraction 1 − MSE/power —
+    * the quantization-health panel that says which subspace's code
+    * budget is under-provisioned (a low-explained subspace is where
+    * ADC error comes from; fixing it means more cells or a rotation).
+    * Composes the oracle-verified [[pqBuildOnUnits]]; codes melt back
+    * to (vec_id, sub, cell) and join the codebooks, so the error scan
+    * reads subvectors once. Per-row error terms round to the 1e-12
+    * grid and decimal-sum per subspace — order-independent, output
+    * is [[pqM]] rows. */
+  def pqDistortion(embeddings: DataFrame): DataFrame = {
+    val base = unitized(embeddings).select(col("vec_id"), col("unit"))
+      .pin(eager = true)
+    val (codes, cents) = pqBuildOnUnits(base)
+    val subs = base.select(col("vec_id"), posexplode(array(
+        (0 until pqM).map(s =>
+          slice(col("unit"), s * pqSubDim + 1, pqSubDim)): _*))
+      .as(Seq("sub", "v")))
+    val melted = codes.select(col("vec_id"), posexplode(array(
+        (0 until pqM).map(s => col(s"c$s")): _*))
+      .as(Seq("sub", "cell")))
+    val joined = subs.join(melted, Seq("vec_id", "sub"))
+      .join(broadcast(cents), Seq("sub", "cell"))
+    val err = dot(col("v"), col("v")) -
+      lit(2) * dot(col("v"), col("centroid")) +
+      dot(col("centroid"), col("centroid"))
+    joined
+      .select(col("sub"),
+        round(err, 12).cast("decimal(28,12)").as("e"),
+        round(dot(col("v"), col("v")), 12).cast("decimal(28,12)")
+          .as("p"))
+      .groupBy(col("sub"))
+      .agg(count(lit(1)).as("n_vectors"),
+        (sum(col("e")).cast("double") / count(lit(1))).as("mseu"),
+        (sum(col("p")).cast("double") / count(lit(1))).as("powu"))
+      .select(col("sub").cast("long").as("sub"), col("n_vectors"),
+        round(col("mseu"), 6).as("mse"),
+        round(col("powu"), 6).as("sub_power"),
+        round(lit(1.0) - col("mseu") / col("powu"), 6).as("explained"))
+      .orderBy(col("sub"))
+  }
+
   /** PQ top-k via asymmetric distance computation (ADC): each query
     * keeps its full unit vector; every BASE vector is represented only
     * by its [[pqM]] codebook codes, and the approximate cosine is

@@ -26,6 +26,46 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("pqDistortion: one row per subspace covering every vector, " +
+      "MSE matches a direct recomputation from codes + codebooks, " +
+      "explained fraction in (0, 1]") {
+    val out = Similarity.pqDistortion(emb).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(4))).toMap
+    val n = emb.count()
+    assert(out.keySet === (0 until Similarity.pqM).map(_.toLong).toSet)
+    out.values.foreach { case (nv, mse, ex) =>
+      assert(nv === n)
+      assert(mse >= 0.0)
+      assert(ex > 0.0 && ex <= 1.0, "codes must explain some variance")
+    }
+    // direct recomputation for subspace 0 on the same grid
+    val base = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e")).collect()
+      .map { r =>
+        val e = r.getSeq[Double](1).toArray
+        val norm = math.sqrt(e.map(x => x * x).sum)
+        r.getLong(0) -> e.map(_ / norm).take(Similarity.pqSubDim)
+      }.toMap
+    val (codes, cents) = Similarity.pqBuild(emb)
+    val code0 = codes.select("vec_id", "c0").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cent0 = cents.filter(col("sub") === 0)
+      .select("cell", "centroid").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def g12(x: Double) =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val terms = base.toSeq.map { case (id, v) =>
+      val c = cent0(code0(id))
+      def d(a: Array[Double], b: Array[Double]) =
+        a.zip(b).map { case (x, y) => x * y }.sum
+      g12(d(v, v) - 2 * d(v, c) + d(c, c))
+    }
+    val expect = BigDecimal(terms.sum.toDouble / n)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0L)._2 === expect)
+  }
+
   test("pqBuild: an exact duplicate vector gets the exact same codes") {
     // clone vec 0 under a fresh id; same floats => same subvectors =>
     // same argmin cell in every subspace (ties broken identically)
