@@ -2278,6 +2278,33 @@ cand AS (
 SELECT DISTINCT doc_a, doc_b, hamming FROM cand
 WHERE hamming <= 7 ORDER BY doc_a, doc_b"""
     },
+    // Hamming histogram over the band-collision candidates: threshold
+    // calibration for the phash maxHamming bound
+    "mm_hamming_hist" -> {
+      val bandEq = (0 until 4).flatMap(b => Seq(
+        s"a.p$b % 256 = b.p$b % 256", s"a.p$b // 256 = b.p$b // 256"))
+        .mkString(" OR ")
+      s"""
+$phashCtes,
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(bit_count(xor(a.p0, b.p0)) + bit_count(xor(a.p1, b.p1)) +
+         bit_count(xor(a.p2, b.p2)) + bit_count(xor(a.p3, b.p3)) AS BIGINT)
+      AS hamming
+  FROM ph a JOIN ph b ON a.doc_id < b.doc_id AND ($bandEq)),
+dp AS (SELECT DISTINCT doc_a, doc_b, hamming FROM cand
+  WHERE hamming <= 32),
+hh AS (SELECT hamming, count(*)::BIGINT AS n_pairs FROM dp GROUP BY 1),
+ht AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS n_total FROM hh)
+SELECT hamming, n_pairs,
+  CAST(sum(n_pairs) OVER cw AS BIGINT) AS cum_pairs,
+  round(CAST(sum(n_pairs) OVER cw AS DOUBLE) / n_total, 6) AS cum_share,
+  (hamming <= 7) AS in_recall_band
+FROM hh CROSS JOIN ht
+WINDOW cw AS (ORDER BY hamming ROWS BETWEEN UNBOUNDED PRECEDING
+  AND CURRENT ROW)
+ORDER BY hamming"""
+    },
     // media-dedup capstone: recursive-CTE CC over the phash pairs,
     // singletons grouped with themselves
     "mm_phash_groups" -> {

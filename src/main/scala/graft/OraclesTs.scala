@@ -648,6 +648,35 @@ SELECT ticker, n1, nq,
     round(vq / (${q.toDouble} * v1), 6) END AS variance_ratio
 FROM d ORDER BY ticker"""
     }),
+    // bipower-variation jump detection: lag-pair absolute products on
+    // the decimal grid, interpolated pi/2, pinned-order jump share
+    "stock_jump_detection" -> (barsCte + {
+      val halfPi = math.Pi / 2
+      s""",
+rets AS (
+  SELECT ticker, bucket,
+    CASE WHEN lag(close, 1) OVER tw <> 0
+      THEN close / lag(close, 1) OVER tw - 1 END AS r
+  FROM bars
+  WINDOW tw AS (PARTITION BY ticker ORDER BY bucket)
+  QUALIFY r IS NOT NULL),
+wl AS (
+  SELECT ticker, r, lag(r, 1) OVER tw2 AS rl
+  FROM rets WINDOW tw2 AS (PARTITION BY ticker ORDER BY bucket)),
+m AS (
+  SELECT ticker, count(r)::BIGINT AS n_rets,
+    CAST(sum(CAST(r * r AS DECIMAL(38,18))) AS DOUBLE) AS rv,
+    CAST(sum(CAST(CASE WHEN rl IS NOT NULL
+      THEN abs(r) * abs(rl) END AS DECIMAL(38,18))) AS DOUBLE) AS bvs
+  FROM wl GROUP BY 1)
+SELECT ticker, n_rets,
+  round(rv, 6) AS realized_var,
+  round($halfPi * coalesce(bvs, 0.0), 6) AS bipower_var,
+  CASE WHEN rv > 0.0 THEN
+    round(greatest(0.0,
+      1.0 - $halfPi * coalesce(bvs, 0.0) / rv), 6) END AS jump_share
+FROM m ORDER BY ticker"""
+    }),
     // return ACF at lags 1-5: per-lag window pairs, DuckDB corr (NULL
     // on degenerate) vs Spark nanToNull(corr) — round-6 parity proven
     // by stock_corr_pairs

@@ -666,6 +666,11 @@ object SparkEntry {
     // PQ quantization-distortion report per subspace
     "sim_pq_distortion" -> ((s, d) =>
       Similarity.pqDistortion(Tables.embeddings(s, d))),
+    // bipower-variation jump detection per ticker
+    "stock_jump_detection" -> (TimeSeries.jumpDetection _),
+    // pHash Hamming-distance histogram (media-dedup calibration)
+    "mm_hamming_hist" -> ((s, d) =>
+      graft.operators.Multimodal.phashHammingHist(Tables.documents(s, d))),
     // Neyman-optimal stratified sampling allocation per source
     "sample_neyman" -> ((s, d) =>
       graft.operators.Curation.neymanAllocation(Tables.documents(s, d))),

@@ -227,6 +227,15 @@ object Multimodal {
     require(maxHamming >= 0 && maxHamming <= 7,
       s"phashPairs: 8-band pigeonhole guarantees recall only for " +
         s"maxHamming <= 7, got $maxHamming")
+    phashCandidates(documents, maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Band-collision candidate pairs with their full Hamming distance,
+    * kept up to `maxHamming` (filter BEFORE distinct — shrink first).
+    * Shared by [[phashPairs]] and [[phashHammingHist]]. */
+  private def phashCandidates(documents: DataFrame,
+      maxHamming: Int): DataFrame = {
     // pin the signature table: the self-join references every band
     // expression on both sides (join keys + Hamming recheck), and
     // expression propagation through the join would otherwise re-derive
@@ -249,7 +258,30 @@ object Multimodal {
           .reduce(_ + _).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming) // before distinct: shrink first
       .distinct()
-      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Hamming-distance histogram over the pHash band-collision
+    * candidate set — the threshold-calibration panel for
+    * [[phashPairs]]' `maxHamming` (the [[graft.operators.Dedup
+    * .dfProfile]] sibling for media dedup): how many candidate pairs
+    * sit at each distance, cumulative share, and whether the distance
+    * is inside the pigeonhole-guaranteed recall band (≤ 7). Candidate
+    * volume is band-bounded (never all-pairs); the histogram and its
+    * cumulative window are 33 rows at most. */
+  def phashHammingHist(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = phashCandidates(documents, 32)
+      .groupBy(col("hamming")).agg(count(lit(1)).as("n_pairs"))
+    val tot = hist.agg(sum(col("n_pairs")).as("n_total"))
+    val w = Window.orderBy(col("hamming"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.crossJoin(broadcast(tot))
+      .select(col("hamming"), col("n_pairs"),
+        sum(col("n_pairs")).over(w).as("cum_pairs"),
+        round(sum(col("n_pairs")).over(w).cast("double") /
+          col("n_total"), 6).as("cum_share"),
+        (col("hamming") <= 7).as("in_recall_band"))
+      .orderBy(col("hamming"))
   }
 
   /** Metadata/byte-level features as pure column expressions (oracle-

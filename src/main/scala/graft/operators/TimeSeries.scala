@@ -225,6 +225,53 @@ object TimeSeries {
       .orderBy(col("ticker"))
   }
 
+  /** Jump detection via bipower variation per ticker (Barndorff-
+    * Nielsen–Shephard): realized variance Σr² captures the whole
+    * price path including jumps, while the bipower variation
+    * (π/2)·Σ|r_t||r_{t−1}| is robust to them — their gap, reported
+    * as jump_share = max(0, 1 − BV/RV), is the fraction of variance
+    * attributable to discontinuous moves (a high share means the
+    * ticker's risk is event-driven, not diffusive). Same lag-pair
+    * window as [[rollSpreadBars]]; both sums go through the
+    * DECIMAL(38,18) grid; π/2 interpolates as the Scala double so
+    * both engines scale by the bit-identical constant. */
+  def jumpDetection(spark: SparkSession, dir: String): DataFrame =
+    jumpBars(closeBars5m(
+      StockPipeline.normalize(Tables.events(spark, dir))))
+
+  private[graft] def jumpBars(bars: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("ticker")).orderBy(col("bucket"))
+    val prev = lag(col("close"), 1).over(w)
+    val rets = bars
+      .select(col("ticker"), col("bucket"),
+        when(prev =!= 0.0, col("close") / prev - 1).as("r"))
+      .filter(col("r").isNotNull)
+    val withLag = rets
+      .select(col("ticker"), col("r"),
+        lag(col("r"), 1).over(
+          Window.partitionBy(col("ticker")).orderBy(col("bucket")))
+          .as("rl"))
+    def dsum18(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(38,18)")).cast("double")
+    val halfPi = math.Pi / 2
+    val m = withLag.groupBy(col("ticker")).agg(
+      count(col("r")).as("n_rets"),
+      dsum18(col("r") * col("r")).as("rv"),
+      dsum18(when(col("rl").isNotNull,
+        abs(col("r")) * abs(col("rl")))).as("bvs"))
+    // a single-return ticker has an EMPTY bipower sum -> NULL from
+    // sum(); state it as 0 (the empty-sum identity) in both engines
+    val bv = coalesce(col("bvs"), lit(0.0))
+    m.select(col("ticker"), col("n_rets"),
+        round(col("rv"), 6).as("realized_var"),
+        round(lit(halfPi) * bv, 6).as("bipower_var"),
+        when(col("rv") > 0.0,
+          round(greatest(lit(0.0),
+            lit(1.0) - lit(halfPi) * bv / col("rv")), 6))
+          .as("jump_share"))
+      .orderBy(col("ticker"))
+  }
+
   /** Autocorrelation lags for [[acf]] — shared with the oracle. */
   val AcfLags = Seq(1, 2, 3, 4, 5)
 

@@ -125,6 +125,24 @@ class MultimodalSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("phashHammingHist: cumulative counts are monotone, the <= 7 " +
+      "prefix equals the phashPairs count, and shares end at 1") {
+    val hist = graft.operators.Multimodal.phashHammingHist(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(hist.nonEmpty)
+    hist.map(_._3).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(a <= b); case _ => ()
+    }
+    assert(hist.last._4 === 1.0)
+    hist.foreach { case (h, _, _, _, band) => assert(band === (h <= 7)) }
+    val nPairs7 = graft.operators.Multimodal.phashPairs(docs).count()
+    val cum7 = hist.filter(_._1 <= 7).lastOption.map(_._3).getOrElse(0L)
+    assert(cum7 === nPairs7)
+    assert(hist.map(_._2).sum === hist.last._3)
+  }
+
   test("phashGroups: every doc grouped, paired docs share a group, " +
       "the group id is the component min") {
     val pairs = Multimodal.phashPairs(docs).collect()

@@ -488,6 +488,29 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.exists(_._3.isDefined), "sf data has ≥20-return tickers")
   }
 
+  test("jumpBars: a constant-|return| diffusion has BV = (pi/2)*RV " +
+      "shape with jump share clamped at 0; one spike bar raises the " +
+      "share strictly above 0") {
+    // returns alternate +1.0 / -0.5: rv = 4*1 + 4*0.25 = 5 while
+    // bv = (pi/2) * 7 * 0.5 ~ 5.50 > rv -> share clamps to exactly 0
+    val alt = (0 until 9).map(i =>
+      ("A", i * 5, if (i % 2 == 0) 64.0 else 128.0))
+    // B: tiny diffusion + one huge jump return
+    val spike = Seq(("B", 0, 100.0), ("B", 5, 101.0), ("B", 10, 100.0),
+      ("B", 15, 101.0), ("B", 20, 300.0), ("B", 25, 301.0),
+      ("B", 30, 300.0))
+    val out = TimeSeries.jumpBars(bars((alt ++ spike): _*)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    val (nA, rvA, bvA, jsA) = out("A")
+    assert(nA === 8L)
+    assert(jsA === 0.0, "clamped at zero when BV >= RV")
+    assert(bvA > rvA)
+    val (_, rvB, bvB, jsB) = out("B")
+    assert(jsB > 0.5, s"jump must dominate: share $jsB")
+    assert(bvB < rvB)
+  }
+
   test("acfBars: an alternating series has ACF -1 at odd lags and " +
       "+1 at even lags; pair counts shrink by one per lag") {
     // closes 64,128,64,... -> returns alternate +1, -0.5? No: ratios
