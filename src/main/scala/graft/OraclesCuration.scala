@@ -138,6 +138,33 @@ SELECT count(*)::BIGINT AS n_docs,
       (count(*) * CAST(sum(nt) AS DOUBLE)) -
     CAST(count(*) + 1 AS DOUBLE) / count(*), 6) AS length_gini
 FROM r""",
+    // deterministic Poisson bootstrap: salted-hash uniforms, shared
+    // Poisson(1) CDF literals, exact integer weighted sums
+    "sample_bootstrap_ci" -> {
+      val cumCase = Curation.poissonCum.zipWithIndex
+        .map { case (c, k) => s"WHEN u < $c THEN $k" }.mkString(" ")
+      s"""
+WITH $toksCte,
+lens AS (SELECT doc_id, len(tk)::BIGINT AS l FROM toks),
+reps AS (
+  SELECT doc_id, l, unnest(range(${Curation.BootstrapReps})) AS rep
+  FROM lens),
+uw AS (
+  SELECT rep, l,
+    ('0x' || substr(md5('${Curation.bootSalt}' || rep::VARCHAR || ':' ||
+      doc_id::VARCHAR), 1, 8))::BIGINT::DOUBLE / 4294967296.0 AS u
+  FROM reps),
+ww AS (
+  SELECT rep, l,
+    CAST(CASE $cumCase ELSE ${Curation.poissonCum.length} END AS BIGINT)
+      AS w
+  FROM uw)
+SELECT CAST(rep AS BIGINT) AS replicate,
+  CAST(sum(w) AS BIGINT) AS n_eff,
+  CASE WHEN sum(w) > 0 THEN
+    round(CAST(sum(w * l) AS DOUBLE) / sum(w), 6) END AS mean_len
+FROM ww GROUP BY rep ORDER BY replicate"""
+    },
     // Neyman stratified allocation: integer length moments, 1e-6-grid
     // N_h*S_h normalizer, pinned-order shares
     "sample_neyman" -> s"""

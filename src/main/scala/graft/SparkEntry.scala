@@ -671,6 +671,9 @@ object SparkEntry {
     // pHash Hamming-distance histogram (media-dedup calibration)
     "mm_hamming_hist" -> ((s, d) =>
       graft.operators.Multimodal.phashHammingHist(Tables.documents(s, d))),
+    // deterministic Poisson bootstrap of the mean document length
+    "sample_bootstrap_ci" -> ((s, d) =>
+      graft.operators.Curation.bootstrapCi(Tables.documents(s, d))),
     // Neyman-optimal stratified sampling allocation per source
     "sample_neyman" -> ((s, d) =>
       graft.operators.Curation.neymanAllocation(Tables.documents(s, d))),

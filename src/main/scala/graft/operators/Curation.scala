@@ -134,6 +134,59 @@ object Curation {
       .orderBy(col("lang"))
   }
 
+  /** Replicate count / hash salt / Poisson(1) CDF for
+    * [[bootstrapCi]] — shared with the oracle generator. The
+    * cumulative probabilities are computed once in Scala and
+    * interpolated as shortest-round-trip double literals, so both
+    * engines threshold against bit-identical values. */
+  val BootstrapReps = 20
+  val bootSalt = "graft-boot:"
+  val poissonCum: Seq[Double] = {
+    val e = math.exp(-1.0)
+    var fact = 1.0
+    var cum = 0.0
+    (0 to 6).map { k =>
+      if (k > 0) fact *= k
+      cum += e / fact
+      cum
+    }
+  }
+
+  /** Deterministic Poisson bootstrap over document token lengths: each
+    * (replicate, doc) pair draws a Poisson(1) resample weight from a
+    * salted-hash uniform (the online-bootstrap trick — at corpus scale
+    * a true resample-with-replacement would need a global shuffle per
+    * replicate; hash-Poisson weights need ZERO coordination and are
+    * reproducible forever), and each replicate reports its weighted
+    * mean length. The spread across the [[BootstrapReps]] replicate
+    * means IS the sampling distribution of the mean — the basis of
+    * every bootstrap CI. All sums are exact integers (weights ×
+    * integer lengths); one shuffle on the replicate id. */
+  def bootstrapCi(documents: DataFrame): DataFrame = {
+    val lens = documents.select(col("doc_id"),
+      size(toks).cast("long").as("l"))
+    val reps = lens.select(col("doc_id"), col("l"),
+      explode(sequence(lit(0), lit(BootstrapReps - 1))).as("rep"))
+    val u = graft.functions.Portable.hash32(
+      concat(lit(bootSalt), col("rep").cast("string"), lit(":"),
+        col("doc_id").cast("string"))).cast("double") /
+      lit(4294967296.0)
+    val w = poissonCum.zipWithIndex
+      .foldLeft(org.apache.spark.sql.functions.when(lit(false), 0)) {
+        case (acc, (c, k)) => acc.when(u < lit(c), k)
+      }.otherwise(poissonCum.length).cast("long")
+    reps.select(col("rep").cast("long").as("replicate"), col("l"),
+        w.as("w"))
+      .groupBy(col("replicate"))
+      .agg(sum(col("w")).as("n_eff"),
+        sum(col("w") * col("l")).as("wl"))
+      .select(col("replicate"), col("n_eff"),
+        when(col("n_eff") > 0,
+          round(col("wl").cast("double") / col("n_eff"), 6))
+          .as("mean_len"))
+      .orderBy(col("replicate"))
+  }
+
   /** Target sample size for [[neymanAllocation]] — shared with the
     * oracle generator. */
   val NeymanSampleSize = 1000L

@@ -544,6 +544,47 @@ class CurationSpec extends SparkSpec {
     assert(out.find(_._1 == src).get._4 === expect)
   }
 
+  test("bootstrapCi: one row per replicate, effective sizes hover " +
+      "around the corpus size, replicate means bracket the true mean " +
+      "and match a direct hash recomputation") {
+    val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = graft.operators.Curation.bootstrapCi(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._1).toSeq ===
+      (0L until graft.operators.Curation.BootstrapReps.toLong).toSeq)
+    val n = d.count()
+    out.foreach { case (_, ne, _) =>
+      assert(ne > n / 2 && ne < n * 2, s"Poisson(1) mass sanity: $ne")
+    }
+    // replicate means scatter around the truth
+    val lens = d.select(col("doc_id"),
+        size(graft.functions.Portable.tokens(col("text"))).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val trueMean = lens.map(_._2).sum.toDouble / lens.length
+    val means = out.map(_._3)
+    assert(means.min < trueMean && trueMean < means.max)
+    // exact recomputation of replicate 0
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u(rep: Long, id: Long): Double = {
+      val h = md.digest(
+        s"${graft.operators.Curation.bootSalt}$rep:$id".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h, 16).toDouble / 4294967296.0
+    }
+    val cum = graft.operators.Curation.poissonCum
+    def wOf(uu: Double): Long = {
+      val i = cum.indexWhere(uu < _)
+      if (i < 0) cum.length.toLong else i.toLong
+    }
+    val ws = lens.map { case (id, l) => (wOf(u(0L, id)), l) }
+    val neff = ws.map(_._1).sum
+    val expect = BigDecimal(
+        ws.map { case (w, l) => w * l }.sum.toDouble / neff)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.head._2 === neff)
+    assert(out.head._3 === expect)
+  }
+
   test("neymanAllocation: a zero-variance stratum allocates 0, " +
       "shares normalize, and a varied stratum matches the direct " +
       "N_h*S_h computation") {
