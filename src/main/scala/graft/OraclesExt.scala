@@ -1051,6 +1051,49 @@ ranked AS (
   FROM scored)
 SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
 ORDER BY query_id, rank"""),
+    // JL sign-projection fidelity: interpolated ±1 sign lists,
+    // 1e-12-grid projection sums, projected-vs-true cosine on the
+    // brute-force pair set
+    "sim_jl_projection" -> (simBase + {
+      val svRows = (0 until graft.operators.Similarity.jlDim).map { j =>
+        s"SELECT $j AS j, " +
+          graft.operators.Similarity.jlSigns(j)
+            .mkString("[", ", ", "]") + " AS sv"
+      }.mkString("\n  UNION ALL ")
+      s""",
+sgn AS (
+  $svRows),
+up AS (
+  SELECT vec_id, unnest(ev) AS v, unnest(range(len(ev))) AS pos
+  FROM base),
+pr AS (
+  SELECT up.vec_id, sgn.j,
+    CAST(sum(CAST(sgn.sv[pos + 1] * up.v AS DECIMAL(28,12)))
+      AS DOUBLE) AS pv
+  FROM up CROSS JOIN sgn GROUP BY 1, 2),
+pl AS (SELECT vec_id, list(pv ORDER BY j) AS p FROM pr GROUP BY 1),
+pun AS (
+  SELECT vec_id,
+    list_transform(p, x -> x / sqrt(list_inner_product(p, p))) AS pu
+  FROM pl),
+scored AS (
+  SELECT query_id, vec_id AS neighbor_id, ${cosSql("qv", "ev")} AS cosine
+  FROM base CROSS JOIN q WHERE vec_id <> query_id),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)::BIGINT
+    AS rank
+  FROM scored)
+SELECT r.query_id, r.neighbor_id, r.rank, r.cosine,
+  round(list_inner_product(qp.pu, np.pu), 6) AS jl_cosine,
+  round(abs(r.cosine - round(list_inner_product(qp.pu, np.pu), 6)), 6)
+    AS abs_err
+FROM ranked r
+JOIN pun qp ON r.query_id = qp.vec_id
+JOIN pun np ON r.neighbor_id = np.vec_id
+WHERE r.rank <= 5
+ORDER BY query_id, rank"""
+    }),
     "sim_hard_negatives" -> (simBase + s""",
 ql AS (
   SELECT vec_id AS query_id, label AS qlabel, ev AS qv

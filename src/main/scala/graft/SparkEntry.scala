@@ -674,6 +674,9 @@ object SparkEntry {
     // deterministic Poisson bootstrap of the mean document length
     "sample_bootstrap_ci" -> ((s, d) =>
       graft.operators.Curation.bootstrapCi(Tables.documents(s, d))),
+    // JL sign-projection fidelity vs the exact brute-force pairs
+    "sim_jl_projection" -> ((s, d) =>
+      Similarity.jlProjection(Tables.embeddings(s, d))),
     // Neyman-optimal stratified sampling allocation per source
     "sample_neyman" -> ((s, d) =>
       graft.operators.Curation.neymanAllocation(Tables.documents(s, d))),

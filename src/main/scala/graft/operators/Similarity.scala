@@ -1232,6 +1232,70 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Projection width / salt for [[jlProjection]]. */
+  val jlDim = 16
+  val jlSalt = "graft-jl:"
+
+  /** Deterministic ±1 sign matrix for [[jlProjection]] — computed once
+    * in Scala from the md5 convention and interpolated into BOTH
+    * engines' plans, so sign parity holds by construction. */
+  lazy val jlSigns: IndexedSeq[IndexedSeq[Int]] = {
+    val mdt = java.security.MessageDigest.getInstance("MD5")
+    (0 until jlDim).map { j =>
+      (0 until 64).map { i =>
+        val h = mdt.digest(s"$jlSalt$i:$j".getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString
+        if (java.lang.Long.parseLong(h, 16) % 2 == 0) 1 else -1
+      }
+    }
+  }
+
+  /** Johnson–Lindenstrauss sign-projection fidelity report: project
+    * the unit vectors to [[jlDim]] dims with a fixed ±1 sign matrix
+    * (the database-friendly JL variant — a projection is 16 additions
+    * per output dim, no trained codebook) and measure, on the exact
+    * brute-force top-k pairs, how far the projected cosine drifts
+    * from the true cosine — the evidence a 4× cheaper first-pass
+    * filter needs before it goes in front of the exact scorer.
+    * Projection components go through the 1e-12 decimal grid
+    * (order-independent under any partitioning); the scale factor
+    * 1/√d cancels in the cosine and is dropped. Output is the
+    * bounded query×k pair set. */
+  def jlProjection(embeddings: DataFrame, k: Int = 5,
+      nQueries: Int = 20): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val base = unitized(embeddings).select(col("vec_id"), col("unit"))
+      .pin(eager = true)
+    val signs = (for {
+      j <- 0 until jlDim; i <- 0 until 64
+    } yield (i, j, jlSigns(j)(i))).toDF("pos", "j", "s")
+    val comp = base
+      .select(col("vec_id"), posexplode(col("unit")).as(Seq("pos", "v")))
+      .join(broadcast(signs), Seq("pos"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(sum((col("s") * col("v")).cast("decimal(28,12)"))
+        .cast("double").as("pv"))
+    val proj = comp.groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("j"),
+        col("pv")))), s => s.getField("pv")).as("p"))
+    val pu = proj.select(col("vec_id"),
+        transform(col("p"), x => x / sqrt(dot(col("p"), col("p"))))
+          .as("pu"))
+      .pin(eager = true)
+    bruteForceTopK(embeddings, k, nQueries)
+      .join(pu.select(col("vec_id").as("query_id"), col("pu").as("qp")),
+        Seq("query_id"))
+      .join(pu.select(col("vec_id").as("neighbor_id"),
+        col("pu").as("np")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("cosine"),
+        round(dot(col("qp"), col("np")), 6).as("jl_cosine"))
+      .withColumn("abs_err",
+        round(abs(col("cosine") - col("jl_cosine")), 6))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** TwoNN intrinsic-dimension estimate of the embedding manifold
     * (Facco et al.): for each vector the ratio μ = d₂/d₁ of its two
     * nearest-neighbor distances, then the MLE d̂ = n / Σ ln μ — the

@@ -324,6 +324,27 @@ class KnnGraphSpec extends SparkSpec {
     } else assert(out.head.isNullAt(2))
   }
 
+  test("jlProjection: one row per brute-force pair, errors are " +
+      "|cos - jl_cos| exactly, and the mean error is small enough " +
+      "for a 4x-cheaper prefilter") {
+    val exact = Similarity.bruteForceTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val out = Similarity.jlProjection(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(out.map(t => (t._1, t._2)).toSet === exact.toSet)
+    out.foreach { case (q, n, c, jc, err) =>
+      assert(jc >= -1.0 - 1e-9 && jc <= 1.0 + 1e-9)
+      val expect = BigDecimal(math.abs(c - jc))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(err === expect, s"pair ($q,$n)")
+    }
+    // JL with d=16 on unit vectors: mean distortion should be well
+    // under random (~0.25 std for cosines); sanity-bound the mean
+    val meanErr = out.map(_._5).sum / out.length
+    assert(meanErr < 0.35, s"mean |err| $meanErr too large")
+  }
+
   test("intrinsicDim: matches a direct MLE recomputation from the " +
       "rank-1/2 kNN cosines and is positive on the real corpus") {
     val g = Similarity.knnGraph(emb, 2).collect()
