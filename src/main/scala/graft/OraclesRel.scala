@@ -967,6 +967,44 @@ ORDER BY c.c_custkey""",
     // runs the banded two-level rank — hash equality proves the
     // distributed form exact. Rank-weighted sums as DECIMAL (exact
     // integer multipliers), closing algebra in shared double math.
+    // Kaplan-Meier survival: exclusive-cumulative risk sets, 1e-12
+    // grid ln(1-d/n) terms, exact-zero pin after a total-death step
+    "rel_survival_km" -> s"""
+WITH cst AS (
+  SELECT o_custkey, min(o_orderdate) AS f, max(o_orderdate) AS l
+  FROM orders GROUP BY 1),
+ct AS (SELECT max(o_orderdate) AS cutoff FROM orders),
+cu AS (
+  SELECT date_diff('day', f, l)::BIGINT AS duration,
+    (l < cutoff - INTERVAL ${graft.operators.Relational.KmChurnDays}
+      DAY) AS event
+  FROM cst CROSS JOIN ct),
+bd AS (
+  SELECT duration, count(*)::BIGINT AS n_dur,
+    count(*) FILTER (event)::BIGINT AS n_events
+  FROM cu GROUP BY 1),
+tt AS (SELECT CAST(sum(n_dur) AS BIGINT) AS n_total FROM bd),
+rk AS (
+  SELECT duration, n_dur, n_events,
+    n_total - coalesce(CAST(sum(n_dur) OVER (ORDER BY duration
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+      AS n_risk
+  FROM bd CROSS JOIN tt),
+tm AS (
+  SELECT duration, n_risk, n_events,
+    CASE WHEN n_events = n_risk THEN 1 ELSE 0 END AS dead_all,
+    CASE WHEN n_events < n_risk THEN
+      CAST(round(ln(1.0 - n_events::DOUBLE / n_risk), 12)
+        AS DECIMAL(18,12)) END AS term
+  FROM rk)
+SELECT duration, n_risk, n_events,
+  CASE WHEN max(dead_all) OVER cw > 0 THEN 0.0
+  ELSE round(exp(CAST(sum(term) OVER cw AS DOUBLE)), 6)
+  END AS km_survival
+FROM tm
+WINDOW cw AS (ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING
+  AND CURRENT ROW)
+ORDER BY duration""",
     // DFT seasonality probe: small-argument cos/sin projections on
     // the 1e-10 grid, variance-share per candidate period
     "rel_seasonality_dft" -> {

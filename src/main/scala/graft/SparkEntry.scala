@@ -677,6 +677,8 @@ object SparkEntry {
     // JL sign-projection fidelity vs the exact brute-force pairs
     "sim_jl_projection" -> ((s, d) =>
       Similarity.jlProjection(Tables.embeddings(s, d))),
+    // Kaplan-Meier customer-lifetime survival curve (right-censored)
+    "rel_survival_km" -> (Relational.survivalKm _),
     // Neyman-optimal stratified sampling allocation per source
     "sample_neyman" -> ((s, d) =>
       graft.operators.Curation.neymanAllocation(Tables.documents(s, d))),

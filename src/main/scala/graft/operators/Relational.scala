@@ -1362,6 +1362,57 @@ object Relational {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Churn window (days) for [[survivalKm]] — shared with the
+    * oracle generator. */
+  val KmChurnDays = 90
+
+  /** Kaplan–Meier survival curve of customer lifetime (first→last
+    * order): the product-limit estimator with right-censoring — a
+    * customer whose last order falls inside the final [[KmChurnDays]]
+    * days is censored (still alive), not an event — the churn curve a
+    * retention stack reads instead of naive averages (which are
+    * biased by exactly those censored customers). The risk set comes
+    * from one exclusive cumulative window over the distinct-duration
+    * table (bounded by the calendar, not the data); the running
+    * product is exp(Σ ln(1−d/n)) with per-step terms on the 1e-12
+    * decimal grid, so the curve is order-independent and bit-stable;
+    * a step where everyone at risk dies pins the curve to exactly 0
+    * from that duration on. */
+  def survivalKm(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val cutoff = orders.agg(max(col("o_orderdate")).as("cutoff"))
+    val cust = orders.groupBy(col("o_custkey"))
+      .agg(min(col("o_orderdate")).as("f"),
+        max(col("o_orderdate")).as("l"))
+      .crossJoin(broadcast(cutoff))
+      .select(datediff(col("l"), col("f")).cast("long").as("duration"),
+        (col("l") < col("cutoff") - expr(s"INTERVAL $KmChurnDays DAYS"))
+          .as("event"))
+    val byDur = cust.groupBy(col("duration"))
+      .agg(count(lit(1)).as("n_dur"),
+        count(when(col("event"), 1)).as("n_events"))
+    val tot = byDur.agg(sum(col("n_dur")).as("n_total"))
+    val wPrev = Window.orderBy(col("duration"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("duration"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDur.crossJoin(broadcast(tot))
+      .withColumn("n_risk", col("n_total") -
+        coalesce(sum(col("n_dur")).over(wPrev), lit(0L)))
+      .withColumn("dead_all",
+        (col("n_events") === col("n_risk")).cast("int"))
+      .withColumn("term", when(col("n_events") < col("n_risk"),
+        round(log(lit(1.0) -
+          col("n_events").cast("double") / col("n_risk")), 12)
+          .cast("decimal(18,12)")))
+      .select(col("duration"), col("n_risk"), col("n_events"),
+        when(max(col("dead_all")).over(wCum) > 0, lit(0.0))
+          .otherwise(round(exp(
+            sum(col("term")).over(wCum).cast("double")), 6))
+          .as("km_survival"))
+      .orderBy(col("duration"))
+  }
+
   /** Candidate periods (days) for [[seasonalityDft]] — shared with
     * the oracle generator. */
   val DftPeriods = Seq(7, 14, 30)

@@ -448,6 +448,55 @@ class RelationalSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("survivalKm: curve starts at <= 1, is monotone non-increasing, " +
+      "risk sets telescope, and matches a direct product-limit " +
+      "recomputation") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.operators.Relational.survivalKm(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.nonEmpty)
+    out.map(_._4).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a + 1e-9); case _ => ()
+    }
+    assert(out.head._4 <= 1.0 + 1e-9)
+    // risk set telescopes: n_risk(i+1) = n_risk(i) - n_dur(i); we can
+    // recover n_dur from the collected rows only through the direct
+    // recomputation below, so recompute everything from the orders
+    import java.time.temporal.ChronoUnit
+    val co = graft.sources.Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(min(col("o_orderdate")).as("f"), max(col("o_orderdate")).as("l"))
+      .collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](1),
+        r.getAs[java.time.LocalDateTime](2)))
+    val cutoff = co.map(_._2).max
+    val durs = co.map { case (f, l) =>
+      (ChronoUnit.DAYS.between(f.toLocalDate, l.toLocalDate),
+        l.isBefore(cutoff.minusDays(
+          graft.operators.Relational.KmChurnDays)))
+    }
+    def g12(x: Double) =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    var atRisk = durs.length.toLong
+    var logSum = BigDecimal(0)
+    var dead = false
+    val expect = durs.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (t, rows) =>
+        val d = rows.count(_._2).toLong
+        val nr = atRisk
+        if (d == nr) dead = true
+        else if (d < nr) logSum += g12(math.log(1.0 - d.toDouble / nr))
+        atRisk -= rows.length
+        val s = if (dead) 0.0
+          else BigDecimal(math.exp(logSum.toDouble))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (t, nr, d, s)
+    }
+    assert(out.toSeq === expect)
+  }
+
   test("seasonalityDft: power shares are bounded by 1 and match a " +
       "direct projection recomputation on the same grid") {
     val dir = "/root/testdata/sf0.001"
