@@ -614,6 +614,22 @@ FROM hist CROSS JOIN tot
 WINDOW cw AS (ORDER BY df ROWS BETWEEN UNBOUNDED PRECEDING
   AND CURRENT ROW)
 ORDER BY df"""),
+    // threshold sweep: five conditional aggregates over one verified
+    // pair set
+    "dedup_threshold_sweep" -> (minhashPairsCtes + {
+      val blocks = graft.operators.Dedup.SweepThresholds.map { t =>
+        s"""
+SELECT CAST($t AS DOUBLE) AS threshold,
+  count(*)::BIGINT AS n_candidates,
+  count(*) FILTER (jaccard >= $t)::BIGINT AS n_pairs,
+  count(DISTINCT doc_b) FILTER (jaccard >= $t)::BIGINT
+    AS n_docs_dropped,
+  round(count(*) FILTER (jaccard >= $t)::DOUBLE / count(*), 6)
+    AS cand_precision
+FROM jac"""
+      }.mkString("\nUNION ALL")
+      blocks + "\nORDER BY threshold"
+    }),
     // duplicate-cluster size histogram: components chain + two
     // cluster-sized aggregates + the singleton difference row
     "dedup_cluster_sizes" -> (minhashPairsCtes

@@ -679,6 +679,9 @@ object SparkEntry {
       Similarity.jlProjection(Tables.embeddings(s, d))),
     // Kaplan-Meier customer-lifetime survival curve (right-censored)
     "rel_survival_km" -> (Relational.survivalKm _),
+    // near-dup Jaccard threshold calibration sweep
+    "dedup_threshold_sweep" -> ((s, d) =>
+      Dedup.thresholdSweep(Tables.documents(s, d))),
     // Neyman-optimal stratified sampling allocation per source
     "sample_neyman" -> ((s, d) =>
       graft.operators.Curation.neymanAllocation(Tables.documents(s, d))),

@@ -241,6 +241,36 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Jaccard thresholds for [[thresholdSweep]] — shared with the
+    * oracle generator. */
+  val SweepThresholds = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+
+  /** Near-dup threshold sweep: verified-pair volume, docs-affected
+    * count, and candidate precision at each Jaccard cutoff — the
+    * calibration table that turns "pick a threshold" from folklore
+    * into a read-off (tighten until the pair volume elbow). One
+    * LSH+Jaccard pass (candidate-bounded); the sweep itself is five
+    * conditional aggregates over the SAME verified pair set, so the
+    * cost is one pair scan regardless of how many thresholds are
+    * probed. */
+  def thresholdSweep(documents: DataFrame): DataFrame = {
+    val sh = shingles(documents)
+    val jacShared = withJaccard(sh, candidatesOf(sh)).pin(eager = true)
+    val perT = SweepThresholds.map { t =>
+      jacShared
+        .agg(count(lit(1)).as("n_candidates"),
+          count(when(col("jaccard") >= t, 1)).as("n_pairs"),
+          countDistinct(when(col("jaccard") >= t, col("doc_b")))
+            .as("n_docs_dropped"))
+        .select(lit(t).as("threshold"), col("n_candidates"),
+          col("n_pairs"),
+          col("n_docs_dropped"),
+          round(col("n_pairs").cast("double") / col("n_candidates"), 6)
+            .as("cand_precision"))
+    }
+    perT.reduce(_ unionAll _).orderBy(col("threshold"))
+  }
+
   /** Duplicate-cluster size histogram: how many near-dup clusters
     * exist at each size, singletons included — the one-page shape
     * report a dedup deployment is judged by (a heavy large-cluster

@@ -51,6 +51,27 @@ class DedupSpec extends SparkSpec {
     assert(!out.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("thresholdSweep: pair counts are monotone non-increasing in " +
+      "the threshold and the 0.5 row equals minhashPairs") {
+    val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Dedup.thresholdSweep(d).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(out.map(_._1).toSeq === Seq(0.5, 0.6, 0.7, 0.8, 0.9))
+    assert(out.map(_._2).distinct.length === 1, "one shared candidate set")
+    out.map(_._3).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a); case _ => ()
+    }
+    val n05 = Dedup.minhashPairs(d).count()
+    assert(out.head._3 === n05)
+    out.foreach { case (_, nc, np, nd, prec) =>
+      assert(nd <= np)
+      val expect = BigDecimal(np.toDouble / nc)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(prec === expect)
+    }
+  }
+
   test("clusterSizes: histogram counts every document exactly once " +
       "and matches the clusters output") {
     val d = docs(0L -> base, 1L -> base, 2L -> near, 3L -> other,
