@@ -33,6 +33,9 @@ class PlanAuditSpec extends SparkSpec {
     "sim_range_search",    // radius scan vs the 20-query broadcast
     "sim_recall_report",   // composes binary/ivf/ivfpq probes, each the
                            // same ≤ 20-query broadcast as its own row
+    "sim_jl_projection",   // fidelity eval scores the brute-force
+                           // pairs: same ≤ 20-query broadcast scan as
+                           // sim_bruteforce_topk, which it composes
     "sim_quality_separation", // keep/reject centroid pair: both sides
                               // are the TWO-row verdict-centroid agg
     "sim_label_separation") // centroid×centroid pair table: BOTH sides
