@@ -981,4 +981,138 @@ object TimeSeries {
           .as("rsi_14"))
       .orderBy(col("ticker"), col("bucket"))
   }
+
+  /** Aggregation levels for [[hurst]] — powers of two so the log-log
+    * regression abscissae collapse to exact multiples of ln 2. Shared
+    * with the oracle generator. */
+  val HurstKs: Seq[Int] = Seq(1, 2, 4, 8)
+
+  /** Denominator of the variance-time slope: Σ(x−x̄)² with x = ln k
+    * over [[HurstKs]] equals 5·ln²2, so slope = Σ(x−x̄)·y / (5·ln²2)
+    * and the ln-2 factors cancel to one division by 5·ln 2. Computed
+    * once in Scala so BOTH engines parse the identical IEEE literal. */
+  val HurstFiveLn2: Double = 5.0 * math.log(2.0)
+
+  /** Hurst exponent per ticker via the variance-time (aggregated-
+    * variance) method: Var of the k-bar-aggregated return scales as
+    * k^2H, so the slope of ln Var_k on ln k over k ∈ {1,2,4,8} is 2H —
+    * H ≈ 0.5 marks a random walk, H > 0.5 trending (long memory),
+    * H < 0.5 mean reversion. The memory diagnostic that decides
+    * whether momentum features are even worth computing for a symbol.
+    *
+    * Determinism: block sums, and the across-block moment sums behind
+    * each Var_k, go through the DECIMAL(38,18) grid (order-independent
+    * under any partitioning); Var_k and the closed-form slope are then
+    * double math in one pinned order, with the {-1.5, -0.5, +0.5,
+    * +1.5} centred-abscissa weights written out literally on both
+    * engines. Only full k-blocks count (a ragged tail block would bias
+    * the k-level variance). Degenerate tickers (any Var_k ≤ 0 or fewer
+    * than 2 8-blocks) yield NULL.
+    *
+    * Scale: per-ticker row_number over the bar series (bars per
+    * ticker, not raw events), then 4 hash aggregates to the (ticker,
+    * block) grain and one slim pivot — no data-sized window, no
+    * driver-side math. */
+  def hurst(spark: SparkSession, dir: String): DataFrame =
+    hurstBars(closeBars5m(
+      StockPipeline.normalize(Tables.events(spark, dir))))
+
+  private[graft] def hurstBars(bars: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("ticker")).orderBy(col("bucket"))
+    val prev = lag(col("close"), 1).over(w)
+    val rets = bars
+      .select(col("ticker"), col("bucket"),
+        when(prev =!= 0.0, col("close") / prev - 1).as("r"))
+      .filter(col("r").isNotNull)
+      .select(col("ticker"), col("r"),
+        row_number().over(w).cast("long").as("idx"))
+    def dsum18(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(38,18)")).cast("double")
+    val perK = HurstKs.map { k =>
+      val blocks = rets
+        .groupBy(col("ticker"), expr(s"(idx - 1) div $k").as("blk"))
+        .agg(count(lit(1)).as("cnt"), dsum18(col("r")).as("y"))
+        .filter(col("cnt") === k)
+      blocks.groupBy(col("ticker"))
+        .agg(count(lit(1)).as("n_blocks"),
+          dsum18(col("y")).as("sy"),
+          dsum18(col("y") * col("y")).as("syy"))
+        .select(col("ticker"), lit(k).as("k"), col("n_blocks"),
+          (col("syy") / col("n_blocks")
+            - (col("sy") / col("n_blocks"))
+              * (col("sy") / col("n_blocks"))).as("v"))
+    }.reduce(_ unionAll _)
+    val p = perK.groupBy(col("ticker")).agg(
+      max(when(col("k") === 1, col("n_blocks"))).as("n_rets"),
+      max(when(col("k") === 8, col("n_blocks"))).as("n8"),
+      max(when(col("k") === 1, col("v"))).as("v1"),
+      max(when(col("k") === 2, col("v"))).as("v2"),
+      max(when(col("k") === 4, col("v"))).as("v4"),
+      max(when(col("k") === 8, col("v"))).as("v8"))
+    val slope = (lit(-1.5) * log(col("v1")) - lit(0.5) * log(col("v2"))
+      + lit(0.5) * log(col("v4")) + lit(1.5) * log(col("v8"))) /
+      lit(HurstFiveLn2)
+    p.select(col("ticker"), col("n_rets"),
+        round(col("v1"), 12).as("var_1"),
+        round(col("v2"), 12).as("var_2"),
+        round(col("v4"), 12).as("var_4"),
+        round(col("v8"), 12).as("var_8"),
+        when(col("n8") >= 2 && col("v1") > 0.0 && col("v2") > 0.0 &&
+          col("v4") > 0.0 && col("v8") > 0.0,
+          round(slope / 2.0, 6)).as("hurst"))
+      .orderBy(col("ticker"))
+  }
+
+  /** Kyle-lambda price impact per ticker: the OLS slope of |5-minute
+    * return| on √(bar dollar volume) — how much the price concedes
+    * per unit of traded size (Kyle 1985 via the Hasbrouck square-root
+    * impact form). The third microstructure lens beside [[amihud]]
+    * (impact per dollar) and [[rollSpread]] (implied spread): lambda
+    * ranks symbols by how expensive size is to execute.
+    *
+    * Determinism: x = √dv and y = |r| are identically-computed
+    * doubles; all four regression moments accumulate through the
+    * DECIMAL(38,18) grid, and the closed-form slope/intercept is
+    * double math in one pinned order (the [[Relational.regrTrend]]
+    * exact-moment recipe). Bars with no previous close or zero traded
+    * value drop, per the roster-wide return convention; a degenerate
+    * x spread (den = 0) or a single pair yields NULL.
+    *
+    * Scale: one hash aggregate to 5-minute bars, one lag window over
+    * bars per ticker, one moment aggregate — O(bars), never O(events),
+    * after the first aggregate. */
+  def kyleLambda(spark: SparkSession, dir: String): DataFrame =
+    kyleLambdaBars(StockPipeline.normalize(Tables.events(spark, dir)))
+
+  private[graft] def kyleLambdaBars(stock: DataFrame): DataFrame = {
+    val bars = stock.groupBy(col("ticker"),
+        timestamp_seconds(expr("unix_timestamp(ts) div 300") * 300)
+          .as("bucket"))
+      .agg(max_by(col("price"), col("ts")).as("close"),
+        sum((col("price") * col("volume")).cast("decimal(38,10)"))
+          .cast("double").as("dv"))
+    val w = Window.partitionBy(col("ticker")).orderBy(col("bucket"))
+    val prev = lag(col("close"), 1).over(w)
+    val pairs = bars.select(col("ticker"),
+        when(prev =!= 0.0 && col("dv") > 0.0,
+          abs(col("close") / prev - 1)).as("y"),
+        when(col("dv") > 0.0, sqrt(col("dv"))).as("x"))
+      .filter(col("y").isNotNull && col("x").isNotNull)
+    def dsum18(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(38,18)")).cast("double")
+    val m = pairs.groupBy(col("ticker")).agg(
+      count(lit(1)).as("n_bars"),
+      dsum18(col("x")).as("sx"), dsum18(col("x") * col("x")).as("sxx"),
+      dsum18(col("y")).as("sy"), dsum18(col("x") * col("y")).as("sxy"))
+    val nd = col("n_bars").cast("double")
+    val den = nd * col("sxx") - col("sx") * col("sx")
+    val slope = (nd * col("sxy") - col("sx") * col("sy")) / den
+    m.select(col("ticker"), col("n_bars"),
+        when(col("n_bars") > 1 && den =!= 0.0,
+          round(slope * lit(1000000.0), 6)).as("kyle_lambda_x1m"),
+        when(col("n_bars") > 1 && den =!= 0.0,
+          round((col("sy") - slope * col("sx")) / nd * lit(10000.0), 6))
+          .as("intercept_bps"))
+      .orderBy(col("ticker"))
+  }
 }
