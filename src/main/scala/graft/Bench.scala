@@ -66,7 +66,14 @@ object Bench {
     // Trials are INTERLEAVED (full pass over all queries, repeated) so a
     // sustained host-contention window poisons at most one sample per
     // query; min per query reflects the plan, not the noisiest moment.
+    // SPARK_GRAFT_BENCH_ONLY (comma-separated exact names or prefixes)
+    // restricts the roster — dev-only, for targeted scale runs; the
+    // driver never sets it, so its rounds always bench everything.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSeq.filter(_.nonEmpty))
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) =>
+        only.forall(ps => ps.exists(p => n == p || n.startsWith(p))) }
     val samples: Seq[Seq[(String, Option[Double])]] =
       (1 to trials).map(_ => names.map { case (n, fn) => n -> timeOnce(n, fn) })
     val byName = samples.flatten.groupBy(_._1).map { case (n, ss) =>

@@ -715,5 +715,119 @@ SELECT a.ticker AS ticker_a, b.ticker AS ticker_b,
 FROM rets a JOIN rets b ON a.bucket = b.bucket AND a.ticker < b.ticker
 GROUP BY 1, 2
 ORDER BY ticker_a, ticker_b"""),
+    // Hurst exponent via variance-time: per-k block sums on the
+    // DECIMAL(38,18) grid, closed-form log-log slope with the literal
+    // centred-abscissa weights; the 5·ln²2 denominator interpolates
+    // the shared Scala constant via Double.toString so both engines
+    // parse the identical IEEE double. The decimal grid here rides
+    // VARCHAR on both crossings: Spark's double→decimal cast goes
+    // through the SHORTEST decimal repr (Double.toString) while
+    // DuckDB's native cast rounds the exact binary expansion — at the
+    // 1e6 magnitudes of these squared block sums that sub-ulp gap can
+    // straddle a double boundary. double→VARCHAR→DECIMAL reproduces
+    // Spark's shortest-repr cast; DECIMAL→VARCHAR→DOUBLE reproduces
+    // Java's correctly-rounded BigDecimal.doubleValue (DuckDB's
+    // native decimal→double double-rounds via int128).
+    "stock_hurst" -> (barsCte + {
+      val fiveLn2 = graft.operators.TimeSeries.HurstFiveLn2.toString
+      def dsum(c: String) =
+        s"CAST(CAST(sum(CAST(CAST($c AS VARCHAR) AS DECIMAL(38,18)))" +
+          " AS VARCHAR) AS DOUBLE)"
+      val perK = graft.operators.TimeSeries.HurstKs.map { k =>
+        s"""
+SELECT ticker, $k AS k, n_blocks,
+  syy / n_blocks - sy / n_blocks * (sy / n_blocks) AS v
+FROM (
+  SELECT ticker, count(*)::BIGINT AS n_blocks,
+    ${dsum("y")} AS sy,
+    ${dsum("y * y")} AS syy
+  FROM (
+    SELECT ticker, (idx - 1) // $k AS blk, count(*) AS cnt,
+      ${dsum("r")} AS y
+    FROM rets GROUP BY 1, 2)
+  WHERE cnt = $k
+  GROUP BY 1)"""
+      }.mkString("\nUNION ALL")
+      s""",
+rets AS (
+  SELECT ticker, r,
+    CAST(row_number() OVER (PARTITION BY ticker ORDER BY bucket)
+      AS BIGINT) AS idx
+  FROM (
+    SELECT ticker, bucket,
+      CASE WHEN lag(close, 1) OVER tw <> 0
+        THEN close / lag(close, 1) OVER tw - 1 END AS r
+    FROM bars
+    WINDOW tw AS (PARTITION BY ticker ORDER BY bucket)
+    QUALIFY r IS NOT NULL)),
+perk AS ($perK),
+p AS (
+  SELECT ticker,
+    max(CASE WHEN k = 1 THEN n_blocks END) AS n_rets,
+    max(CASE WHEN k = 8 THEN n_blocks END) AS n8,
+    max(CASE WHEN k = 1 THEN v END) AS v1,
+    max(CASE WHEN k = 2 THEN v END) AS v2,
+    max(CASE WHEN k = 4 THEN v END) AS v4,
+    max(CASE WHEN k = 8 THEN v END) AS v8
+  FROM perk GROUP BY 1)
+SELECT ticker, n_rets,
+  v1 AS var_1, v2 AS var_2, v4 AS var_4, v8 AS var_8,
+  CASE WHEN n8 >= 2 AND v1 > 0.0 AND v2 > 0.0 AND v4 > 0.0
+      AND v8 > 0.0 THEN
+    round((-1.5 * ln(v1) - 0.5 * ln(v2) + 0.5 * ln(v4)
+      + 1.5 * ln(v8)) / $fiveLn2 / 2.0, 6) END AS hurst
+FROM p ORDER BY ticker"""
+    }),
+    // Kyle lambda: |5-min return| on sqrt(bar dollar volume) OLS via
+    // the exact decimal-grid moment recipe; the slope expression is
+    // restated verbatim inside the intercept so both engines compute
+    // the identical IEEE value
+    "stock_kyle_lambda" -> """
+WITH stock AS (
+  SELECT event_type AS ticker, ts::TIMESTAMP AS ts,
+    value::DOUBLE AS price,
+    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS volume
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+    AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL),
+bars AS (
+  SELECT ticker,
+    make_timestamp((epoch_us(ts::TIMESTAMP) // 300000000) * 300000000)
+      AS bucket,
+    max_by(price, ts) AS close,
+    CAST(sum(CAST(price * volume AS DECIMAL(38,10))) AS DOUBLE) AS dv
+  FROM stock GROUP BY 1, 2),
+pairs AS (
+  SELECT ticker,
+    CASE WHEN lag(close, 1) OVER tw <> 0 AND dv > 0
+      THEN abs(close / lag(close, 1) OVER tw - 1) END AS y,
+    CASE WHEN dv > 0 THEN sqrt(dv) END AS x
+  FROM bars
+  WINDOW tw AS (PARTITION BY ticker ORDER BY bucket)
+  QUALIFY y IS NOT NULL AND x IS NOT NULL),
+m AS (
+  SELECT ticker, count(*)::BIGINT AS n_bars,
+    CAST(CAST(sum(CAST(CAST(x AS VARCHAR) AS DECIMAL(38,18)))
+      AS VARCHAR) AS DOUBLE) AS sx,
+    CAST(CAST(sum(CAST(CAST(x * x AS VARCHAR) AS DECIMAL(38,18)))
+      AS VARCHAR) AS DOUBLE) AS sxx,
+    CAST(CAST(sum(CAST(CAST(y AS VARCHAR) AS DECIMAL(38,18)))
+      AS VARCHAR) AS DOUBLE) AS sy,
+    CAST(CAST(sum(CAST(CAST(x * y AS VARCHAR) AS DECIMAL(38,18)))
+      AS VARCHAR) AS DOUBLE) AS sxy
+  FROM pairs GROUP BY 1)
+SELECT ticker, n_bars,
+  CASE WHEN n_bars > 1 AND
+      CAST(n_bars AS DOUBLE) * sxx - sx * sx <> 0.0 THEN
+    round((CAST(n_bars AS DOUBLE) * sxy - sx * sy) /
+      (CAST(n_bars AS DOUBLE) * sxx - sx * sx) * 1000000.0, 6)
+  END AS kyle_lambda_x1m,
+  CASE WHEN n_bars > 1 AND
+      CAST(n_bars AS DOUBLE) * sxx - sx * sx <> 0.0 THEN
+    round((sy - (CAST(n_bars AS DOUBLE) * sxy - sx * sy) /
+      (CAST(n_bars AS DOUBLE) * sxx - sx * sx) * sx) /
+      CAST(n_bars AS DOUBLE) * 10000.0, 6)
+  END AS intercept_bps
+FROM m ORDER BY ticker""",
   )
 }

@@ -82,7 +82,11 @@ object ScaleProbe {
         val (php, phS) = t(graft.operators.Multimodal.phashPairs(df).count())
         val (_, zoS) = t(Packing.zorderLayout(df).count())
         val (_, dsS) = t(Curation.dsirScores(df).count())
-        println(f"[scale-probe-docs] x$n%-3d docs=$rows%8d minhashPairs=$mpS%6.2fs($mp) jaccardPairs=$jpS%6.2fs($jp) containmentPairs=$cpS%6.2fs($cp) simhashPairs=$spS%6.2fs($sp) packAssign=$paS%6.2fs shuffleOrder=$soS%6.2fs spanDedup=$sdS%6.2fs substringDedup=$ssS%6.2fs budgetSelect=$bsS%6.2fs novelty=$nvS%6.2fs phashPairs=$phS%6.2fs($php) zorder=$zoS%6.2fs dsir=$dsS%6.2fs")
+        // round-7 classifier-eval ops: both are hash-agg reductions to
+        // a fixed decile/bin grid, so time must track the scoring scan
+        val (_, ltS) = t(Curation.liftTable(df).count())
+        val (_, ccS) = t(Curation.classifierCalibration(df).count())
+        println(f"[scale-probe-docs] x$n%-3d docs=$rows%8d minhashPairs=$mpS%6.2fs($mp) jaccardPairs=$jpS%6.2fs($jp) containmentPairs=$cpS%6.2fs($cp) simhashPairs=$spS%6.2fs($sp) packAssign=$paS%6.2fs shuffleOrder=$soS%6.2fs spanDedup=$sdS%6.2fs substringDedup=$ssS%6.2fs budgetSelect=$bsS%6.2fs novelty=$nvS%6.2fs phashPairs=$phS%6.2fs($php) zorder=$zoS%6.2fs dsir=$dsS%6.2fs liftTable=$ltS%6.2fs calibration=$ccS%6.2fs")
       }
       spark.stop(); return
     }
@@ -162,7 +166,15 @@ object ScaleProbe {
           cells = Similarity.kmK * n).count())
         val (_, lpS) = t(Similarity.labelPropagation(df,
           cells = Similarity.kmK * n).count())
-        println(f"[scale-probe-graph] x$n%-3d vecs=$rows%8d cells=${Similarity.kmK * n}%4d knnGraphMp=$mgS%7.2fs($mg) binaryTopK=$btS%6.2fs rerankTopK=$rrS%6.2fs hardNegatives=$hnS%6.2fs triangles=$tcS%6.2fs($tc) labelProp=$lpS%6.2fs")
+        // round-7 graph stats: every wedge/join fan-out is bounded by
+        // degree ≤ k, so these must track the kNN-graph build's slope
+        val (_, asS) = t(Similarity.assortativity(df,
+          cells = Similarity.kmK * n).count())
+        val (lk, lkS) = t(Similarity.linkPrediction(df,
+          cells = Similarity.kmK * n).count())
+        val (_, lcS) = t(Similarity.lpCommunities(df,
+          cells = Similarity.kmK * n).count())
+        println(f"[scale-probe-graph] x$n%-3d vecs=$rows%8d cells=${Similarity.kmK * n}%4d knnGraphMp=$mgS%7.2fs($mg) binaryTopK=$btS%6.2fs rerankTopK=$rrS%6.2fs hardNegatives=$hnS%6.2fs triangles=$tcS%6.2fs($tc) labelProp=$lpS%6.2fs assortativity=$asS%6.2fs linkPred=$lkS%6.2fs($lk) lpCommunities=$lcS%6.2fs")
       }
       spark.stop(); return
     }

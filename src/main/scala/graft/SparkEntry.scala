@@ -685,6 +685,10 @@ object SparkEntry {
     // Neyman-optimal stratified sampling allocation per source
     "sample_neyman" -> ((s, d) =>
       graft.operators.Curation.neymanAllocation(Tables.documents(s, d))),
+    // Hurst exponent via the variance-time (aggregated-variance) plot
+    "stock_hurst" -> (TimeSeries.hurst _),
+    // Kyle-lambda price impact (|return| on sqrt dollar volume OLS)
+    "stock_kyle_lambda" -> (TimeSeries.kyleLambda _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

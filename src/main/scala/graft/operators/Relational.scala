@@ -781,8 +781,12 @@ object Relational {
     * rows (#months), so the single-partition sort is trivially small at
     * any input scale. */
   def monthlyGrowth(spark: SparkSession, dir: String): DataFrame = {
+    // the month is materialized as a named column BEFORE the groupBy
+    // so the plan audit can see the bounded grouping key by name (an
+    // inline expression groups as an anonymous `_groupingexpression`)
     val monthly = Tables.orders(spark, dir)
-      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .withColumn("month", date_trunc("month", col("o_orderdate")))
+      .groupBy(col("month"))
       .agg(decSum(col("o_totalprice")).as("revenue"),
         count(lit(1)).as("n_orders"))
     val w = Window.orderBy(col("month"))
@@ -2300,16 +2304,52 @@ object Relational {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Exact global sort-rank WITHOUT a global sort — the
+    * [[giniRevenue]] two-level band scan, factored: equal-width value
+    * bands from a one-row broadcast min/max, per-band counts → a
+    * metadata-sized (≤ nBands rows) exclusive prefix, in-band
+    * row_number. Equal values always share a band (the band is a
+    * function of the value alone), so `offset + in-band row_number`
+    * reproduces the global `row_number() OVER (ORDER BY value
+    * [DESC], tie)` bit-for-bit — the oracles state the naive global
+    * window and hash equality proves each rewrite. `desc = true`
+    * walks bands and in-band values in descending order. */
+  private def bandedRank(df: DataFrame, valueCol: String,
+      tieCol: String, rankName: String, desc: Boolean,
+      nBands: Int = 128): DataFrame = {
+    val mm = df.agg(min(col(valueCol)).cast("double").as("lo"),
+      max(col(valueCol)).cast("double").as("hi"))
+    val banded = df.crossJoin(broadcast(mm))
+      .withColumn("__bucket",
+        when(col("hi") === col("lo"), lit(0L)).otherwise(least(
+          floor((col(valueCol) - col("lo")) / (col("hi") - col("lo"))
+            * nBands), lit(nBands - 1L)).cast("long")))
+      .drop("lo", "hi")
+    val wo = Window.orderBy(
+        if (desc) col("__bucket").desc else col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = banded.groupBy(col("__bucket"))
+      .agg(count(lit(1)).as("part"))
+      .withColumn("__offset", coalesce(sum(col("part")).over(wo), lit(0L)))
+      .select(col("__bucket"), col("__offset"))
+    val wb = Window.partitionBy(col("__bucket")).orderBy(
+      (if (desc) col(valueCol).desc else col(valueCol)), col(tieCol))
+    banded.join(broadcast(offsets), Seq("__bucket"))
+      .withColumn(rankName,
+        (col("__offset") + row_number().over(wb)).cast("long"))
+      .drop("__bucket", "__offset")
+  }
+
   /** RFM customer segmentation — the classic recency/frequency/
     * monetary scoring: per customer, days since last order (vs the
     * corpus max date), order count, and decimal-exact lifetime spend,
     * each mapped to a 1–5 quintile score by deterministic rank
     * (row_number with custkey tiebreak, `floor(5·(rank−1)/n)+1` —
-    * integer arithmetic end to end, no percentile floats). The three
-    * ranking windows run over the CUSTOMER grain (orders of magnitude
-    * below fact volume; at true scale the same scores come from the
-    * banded-quantile thresholds in [[graft.operators.Quantiles]] —
-    * rank-free — with identical semantics). */
+    * integer arithmetic end to end, no percentile floats). Each of
+    * the three ranks is a [[bandedRank]] two-level scan — no window
+    * ever spans more than one band, so the customer grain can grow
+    * without a single-task sort; the oracle states the three naive
+    * global windows and hash equality proves the rewrite. */
   def rfm(spark: SparkSession, dir: String): DataFrame = {
     val byCust = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
@@ -2319,18 +2359,21 @@ object Relational {
     val refDate = Tables.orders(spark, dir)
       .agg(max(col("o_orderdate")).as("ref_date"))
     val n = byCust.agg(count(lit(1)).as("n_cust"))
-    def score(orderCols: Seq[org.apache.spark.sql.Column]) =
-      floor(lit(5) * (row_number().over(
-        Window.orderBy(orderCols: _*)) - 1) / col("n_cust")) + 1
-    byCust.crossJoin(broadcast(refDate)).crossJoin(broadcast(n))
+    def score(rank: org.apache.spark.sql.Column) =
+      floor(lit(5) * (rank - 1) / col("n_cust")) + 1
+    val base = byCust.crossJoin(broadcast(refDate))
       .withColumn("recency_days",
         datediff(col("ref_date"), col("last_order")).cast("long"))
-      .withColumn("r_score",
-        score(Seq(col("recency_days").desc, col("o_custkey"))))
-      .withColumn("f_score",
-        score(Seq(col("frequency"), col("o_custkey"))))
-      .withColumn("m_score",
-        score(Seq(col("monetary"), col("o_custkey"))))
+    val ranked = bandedRank(
+      bandedRank(
+        bandedRank(base, "recency_days", "o_custkey", "__r_rank",
+          desc = true),
+        "frequency", "o_custkey", "__f_rank", desc = false),
+      "monetary", "o_custkey", "__m_rank", desc = false)
+    ranked.crossJoin(broadcast(n))
+      .withColumn("r_score", score(col("__r_rank")))
+      .withColumn("f_score", score(col("__f_rank")))
+      .withColumn("m_score", score(col("__m_rank")))
       .select(col("o_custkey"), col("recency_days"), col("frequency"),
         col("monetary"), col("r_score"), col("f_score"), col("m_score"),
         concat(col("r_score"), col("f_score"), col("m_score")).as("rfm"))

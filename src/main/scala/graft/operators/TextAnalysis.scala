@@ -167,9 +167,14 @@ object TextAnalysis {
       .select(explode(toks).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("freq"))
+    // pre-limit to the top-max(ks) slice (a distributed TakeOrdered)
+    // BEFORE the rank/cumsum window: the cumulative coverage of ranks
+    // ≤ k only reads the ordering's prefix, so the global window runs
+    // over ≤ max(ks) rows instead of the whole (unbounded) vocabulary
+    val top = terms.orderBy(col("freq").desc, col("token")).limit(ks.max)
     val w = Window.orderBy(col("freq").desc, col("token"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = terms
+    val ranked = top
       .withColumn("rank",
         row_number().over(Window.orderBy(col("freq").desc, col("token")))
           .cast("long"))
@@ -200,9 +205,10 @@ object TextAnalysis {
     * counts (observed/expected shares never sum floats), so both
     * engines agree bit-for-bit.
     *
-    * Scale: one token hash-aggregate (vocab-sized), then the global
-    * rank window runs over the top slice only — the O(vocab) ranking
-    * is the same bounded exception as [[vocabCoverage]]'s. */
+    * Scale: one token hash-aggregate (vocab-sized); the rank-≤-k
+    * filter is lowered so the global rank window runs over a
+    * TakeOrdered top-k slice only (plan-audited), matching
+    * [[vocabCoverage]]'s explicit pre-limit. */
   def zipf(documents: DataFrame, k: Int = zipfTopK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val terms = documents

@@ -1052,11 +1052,12 @@ object TimeSeries {
     val slope = (lit(-1.5) * log(col("v1")) - lit(0.5) * log(col("v2"))
       + lit(0.5) * log(col("v4")) + lit(1.5) * log(col("v8"))) /
       lit(HurstFiveLn2)
+    // var_k ship UNROUNDED: they are bit-deterministic through the
+    // decimal grid, and a decimal round at scale 12 near 2^53/1e12
+    // magnitude is where float-based SQL rounders diverge by 1 ulp
     p.select(col("ticker"), col("n_rets"),
-        round(col("v1"), 12).as("var_1"),
-        round(col("v2"), 12).as("var_2"),
-        round(col("v4"), 12).as("var_4"),
-        round(col("v8"), 12).as("var_8"),
+        col("v1").as("var_1"), col("v2").as("var_2"),
+        col("v4").as("var_4"), col("v8").as("var_8"),
         when(col("n8") >= 2 && col("v1") > 0.0 && col("v2") > 0.0 &&
           col("v4") > 0.0 && col("v8") > 0.0,
           round(slope / 2.0, 6)).as("hurst"))

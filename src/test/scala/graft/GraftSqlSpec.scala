@@ -327,4 +327,58 @@ LIMIT 100
     assert(GraftSql.rewrite("SELECT * FROM `a.b.c`",
       tableMap = Map("a.b.c" -> "view_c")) === "SELECT * FROM view_c")
   }
+
+  test("negative cases: string literals survive every rewrite " +
+      "byte-for-byte") {
+    // TIMESTAMP_SUB / INTERVAL text inside a literal is data, not SQL
+    val lit = "SELECT 'TIMESTAMP_SUB(ts, INTERVAL 5 MINUTE)' AS s FROM t"
+    assert(GraftSql.rewrite(lit) === lit)
+    // CURRENT_TIMESTAMP() inside a literal stays put even with an
+    // injected clock; the real call outside is still rewritten
+    val mixed = "SELECT 'CURRENT_TIMESTAMP()' AS s, CURRENT_TIMESTAMP() AS t"
+    assert(GraftSql.rewrite(mixed, now = Some("TIMESTAMP '2024-01-01'")) ===
+      "SELECT 'CURRENT_TIMESTAMP()' AS s, (TIMESTAMP '2024-01-01') AS t")
+    // backtick paths inside a literal are data; '' escapes respected
+    val bt = "SELECT '`a.b.c` isn''t a table ref' AS s FROM `x.y.z`"
+    assert(GraftSql.rewrite(bt) ===
+      "SELECT '`a.b.c` isn''t a table ref' AS s FROM z")
+  }
+
+  test("negative cases: keywords inside literals never steer the " +
+      "QUALIFY split") {
+    // a FROM inside a string literal must not be taken as the real FROM
+    val q = "SELECT x, ' FROM fake ' AS s FROM t " +
+      "QUALIFY ROW_NUMBER() OVER (PARTITION BY x ORDER BY y) = 1"
+    assert(GraftSql.rewrite(q).trim ===
+      "SELECT x, ' FROM fake ' AS s FROM (SELECT *, " +
+        "(ROW_NUMBER() OVER (PARTITION BY x ORDER BY y) = 1) " +
+        "AS __keep FROM t) WHERE __keep")
+    // an ORDER inside a literal after QUALIFY must not truncate the
+    // predicate
+    val q2 = "SELECT x FROM t QUALIFY rn = 1 AND s <> ' ORDER junk ' " +
+      "ORDER BY x"
+    assert(GraftSql.rewrite(q2) ===
+      "SELECT x FROM (SELECT *, (rn = 1 AND s <> ' ORDER junk ') " +
+        "AS __keep FROM t) WHERE __keep ORDER BY x")
+  }
+
+  test("negative cases: out-of-corpus QUALIFY shapes fail cleanly or " +
+      "pass through") {
+    // QUALIFY inside a subquery sits at paren depth > 0: the shim does
+    // not claim it — passes through for the SQL parser to reject
+    val sub = "SELECT * FROM (SELECT x FROM t QUALIFY rn = 1) s"
+    assert(GraftSql.rewrite(sub) === sub)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(GraftSql.rewrite(sub))
+    }
+    // top-level QUALIFY with no top-level FROM: clean failure, not a
+    // mangled query
+    intercept[IllegalArgumentException] {
+      GraftSql.rewrite("SELECT 1 QUALIFY rn = 1")
+    }
+    // unterminated literal: shape-preserved pass-through (the parser
+    // owns the rejection)
+    val unterm = "SELECT 'oops FROM t"
+    assert(GraftSql.rewrite(unterm) === unterm)
+  }
 }

@@ -87,6 +87,92 @@ class PlanAuditSpec extends SparkSpec {
         offenders.mkString(", "))
   }
 
+  /** Grouping keys the engine declares BOUNDED by construction — a
+    * fixed grid whose cardinality does not grow with the data. An
+    * aggregate grouped solely on these keys emits a metadata-sized
+    * frame, so a global window over it is the documented two-level-
+    * scan exception (exclusivePrefix / bandedRank pattern), not a
+    * scale-killer. Add a key only with a boundedness argument:
+    *  - bucket/__bucket/band: equal-width band grids (≤ nBands/nBuckets)
+    *  - decile: the fixed 10-row lift/gains grid
+    *  - month: calendar months in the data's date range
+    *  - duration: distinct customer lifetimes in days (date-range bound)
+    *  - df: document-frequency histogram values (≤ df cap)
+    *  - hamming: pHash Hamming distances (≤ 65)
+    *  - z: z-order curve values (≤ 4^zorderBits)
+    */
+  private val boundedGroupKeys = Set(
+    "bucket", "__bucket", "band", "decile", "month", "duration", "df",
+    "hamming", "z")
+
+  test("no registered query plans an unpartitioned Window over an " +
+      "unbounded input (global windows single-task the data at scale)") {
+    import org.apache.spark.sql.execution.{SparkPlan, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+
+    // A window input is BOUNDED iff every data path below it passes
+    // through a limit or a bounded-grid (or scalar) aggregate before
+    // reaching a scan. Broadcast build sides are bounded by the
+    // engine's broadcast discipline (scalar aggs / probe sets — the
+    // BNLJ audit below owns that claim), so joins descend the
+    // streamed/ non-broadcast children only.
+    def bounded(p: SparkPlan): Boolean = p match {
+      case _: TakeOrderedAndProjectExec => true
+      case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+      case _: org.apache.spark.sql.execution.LocalLimitExec => true
+      case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec =>
+        h.groupingExpressions.isEmpty ||
+          h.groupingExpressions.forall(g => boundedGroupKeys(g.name))
+      case s: org.apache.spark.sql.execution.aggregate.SortAggregateExec =>
+        s.groupingExpressions.isEmpty ||
+          s.groupingExpressions.forall(g => boundedGroupKeys(g.name))
+      case o: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec =>
+        o.groupingExpressions.isEmpty ||
+          o.groupingExpressions.forall(g => boundedGroupKeys(g.name))
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+        val dataKids = j.children.filterNot {
+          case _: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => true
+          case q: QueryStageExec => q.plan.isInstanceOf[
+            org.apache.spark.sql.execution.exchange.BroadcastExchangeExec]
+          case _ => false
+        }
+        dataKids.forall(bounded)
+      case a: AdaptiveSparkPlanExec => bounded(a.executedPlan)
+      case q: QueryStageExec => bounded(q.plan)
+      case leaf if leaf.children.isEmpty => false // scans: data-sized
+      case other => other.children.forall(bounded) // pass-through
+    }
+
+    def offendingWindows(p: SparkPlan): Seq[String] = {
+      val here = p match {
+        case w: WindowExec if w.partitionSpec.isEmpty && !bounded(w.child) =>
+          Seq("Window[" +
+            w.windowExpression.map(_.name).mkString(",").take(60) + "]")
+        case g: WindowGroupLimitExec
+            if g.partitionSpec.isEmpty && !bounded(g.child) =>
+          Seq("WindowGroupLimit")
+        case _ => Nil
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case o => o.children
+      }
+      here ++ (kids ++ p.subqueries).flatMap(offendingWindows)
+    }
+
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val hits = offendingWindows(
+          fn(spark, dir).queryExecution.executedPlan)
+        if (hits.isEmpty) Nil else Seq(s"$name: ${hits.mkString("; ")}")
+    }
+    assert(offenders.isEmpty,
+      "unpartitioned Window over an unbounded input (rewrite with the " +
+        "two-level band scan, or pre-limit): " + offenders.mkString(" | "))
+  }
+
   test("no registered query plans a cartesian or unbounded nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>

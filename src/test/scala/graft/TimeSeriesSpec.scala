@@ -732,6 +732,153 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("hurstBars: a deterministic coin-flip walk pins H near 0.5 and " +
+      "matches direct decimal-grid recomputation exactly; a constant-" +
+      "return geometric series degenerates to zero variances and NULL") {
+    // multiplicative ±1% walk, signs from a pinned LCG — 128 returns
+    // so the k=8 level has 16 full blocks
+    var seed = 0x9E3779B97F4A7C15L
+    val signs = (0 until 128).map { _ =>
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      if ((seed >>> 63) == 0L) 1.0 else -1.0
+    }
+    val walk = signs.scanLeft(100.0)((c, s) => c * (1 + 0.01 * s))
+    // constant-return series: closes 100·2^i → every r = 1 exactly,
+    // every Var_k = 0 exactly → hurst NULL
+    val geo = (0 to 16).map(i => 100.0 * (1L << i))
+    // 10 bars → 9 returns → only one full 8-block → n8 = 1 → NULL
+    val short = (0 to 9).map(i => 100.0 + i)
+    val out = TimeSeries.hurstBars(bars(
+      walk.zipWithIndex.map { case (c, i) => ("A", i * 5, c) } ++
+        geo.zipWithIndex.map { case (c, i) => ("B", i * 5, c) } ++
+        short.zipWithIndex.map { case (c, i) => ("C", i * 5, c) }: _*))
+      .collect().map(r => r.getString(0) -> r).toMap
+
+    // mirror of the engine's decimal-grid math
+    def g18(x: Double) =
+      BigDecimal(x).setScale(18, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rs = walk.sliding(2).map { case Seq(a, b) => b / a - 1 }.toSeq
+    def varK(k: Int): Double = {
+      val ys = rs.grouped(k).filter(_.length == k)
+        .map(blk => blk.map(g18).sum.toDouble).toSeq
+      val n = ys.length.toDouble
+      val sy = ys.map(g18).sum.toDouble
+      val syy = ys.map(y => g18(y * y)).sum.toDouble
+      syy / n - (sy / n) * (sy / n)
+    }
+    val (v1, v2, v4, v8) = (varK(1), varK(2), varK(4), varK(8))
+    val slope = (-1.5 * math.log(v1) - 0.5 * math.log(v2) +
+      0.5 * math.log(v4) + 1.5 * math.log(v8)) / TimeSeries.HurstFiveLn2
+    val a = out("A")
+    assert(a.getLong(1) === 128L)
+    assert(a.getDouble(2) === v1)
+    assert(a.getDouble(3) === v2)
+    assert(a.getDouble(4) === v4)
+    assert(a.getDouble(5) === v8)
+    assert(a.getDouble(6) === r6(slope / 2.0))
+    // a coin-flip walk is memoryless: H should sit near 0.5 (wide
+    // band — only 16 blocks at k=8)
+    assert(a.getDouble(6) > 0.2 && a.getDouble(6) < 0.8,
+      s"hurst ${a.getDouble(6)} not near 0.5")
+    val b = out("B")
+    assert(b.getLong(1) === 16L)
+    (2 to 5).foreach(i => assert(b.getDouble(i) === 0.0))
+    assert(b.isNullAt(6), "zero variance must yield NULL hurst")
+    val c = out("C")
+    assert(c.getLong(1) === 9L)
+    assert(c.isNullAt(6), "a single 8-block must yield NULL hurst")
+  }
+
+  test("kyleLambdaBars: hand-checkable three-bar series gives the " +
+      "exact OLS impact slope; constant sqrt-dollar-volume and " +
+      "single-pair tickers degenerate to NULL") {
+    val stock = Seq(
+      // A: three bars, one event each → close = price, dv = price·vol
+      ("A", t(0), 100.0, 100L),
+      ("A", t(5), 101.0, 400L),
+      ("A", t(10), 99.0, 900L),
+      // B: equal dollar volume every bar → x constant → den = 0
+      ("B", t(0), 10.0, 40L), ("B", t(5), 20.0, 20L),
+      ("B", t(10), 40.0, 10L),
+      // C: two bars → a single pair → n_bars = 1 → NULL
+      ("C", t(0), 5.0, 10L), ("C", t(5), 6.0, 10L))
+      .toDF("ticker", "ts", "price", "volume")
+    val out = TimeSeries.kyleLambdaBars(stock).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // mirror of the engine's decimal-grid moment recipe
+    def g18(x: Double) =
+      BigDecimal(x).setScale(18, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pairsA = Seq(
+      (math.sqrt(101.0 * 400), math.abs(101.0 / 100.0 - 1)),
+      (math.sqrt(99.0 * 900), math.abs(99.0 / 101.0 - 1)))
+    val n = pairsA.length.toDouble
+    val sx = pairsA.map(p => g18(p._1)).sum.toDouble
+    val sxx = pairsA.map(p => g18(p._1 * p._1)).sum.toDouble
+    val sy = pairsA.map(p => g18(p._2)).sum.toDouble
+    val sxy = pairsA.map(p => g18(p._1 * p._2)).sum.toDouble
+    val den = n * sxx - sx * sx
+    val kSlope = (n * sxy - sx * sy) / den
+    val a = out("A")
+    assert(a.getLong(1) === 2L)
+    assert(a.getDouble(2) === r6(kSlope * 1000000.0))
+    assert(a.getDouble(3) === r6((sy - kSlope * sx) / n * 10000.0))
+    val b = out("B")
+    assert(b.getLong(1) === 2L)
+    assert(b.isNullAt(2) && b.isNullAt(3),
+      "degenerate x spread must yield NULL")
+    val c = out("C")
+    assert(c.getLong(1) === 1L)
+    assert(c.isNullAt(2) && c.isNullAt(3),
+      "a single pair must yield NULL")
+  }
+
+  test("streaming ATR (transformWithState) is bit-identical to the " +
+      "batch lag-chain kernel across split triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{AtrState, OhlcRow}
+    val dir = "/root/testdata/sf0.001"
+    val ohlcDf = graft.operators.StockPipeline.ohlc5m(
+      graft.operators.StockPipeline.normalize(
+        graft.sources.Tables.events(spark, dir)))
+    import spark.implicits._
+    val rows = ohlcDf
+      .select("ticker", "window_timestamp", "high", "low", "close")
+      .as[OhlcRow].collect().sortBy(_.window_timestamp.getTime)
+    val chunks = rows.grouped(math.max(rows.length / 3, 1)).toSeq
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[OhlcRow]
+    val q = AtrState.attach(stream.toDS()).writeStream
+      .format("memory").queryName("atr_tws_sink")
+      .outputMode("append").start()
+    try {
+      chunks.foreach { c =>
+        stream.addData(c.toSeq: _*); q.processAllAvailable()
+      }
+      val streamed = spark.table("atr_tws_sink")
+        .orderBy("ticker", "window_timestamp").collect()
+      val batch = graft.operators.TimeSeries.atrOhlc(ohlcDf)
+        .orderBy("ticker", "window_timestamp").collect()
+      assert(streamed.length === batch.length && batch.nonEmpty)
+      streamed.zip(batch).foreach { case (s, b) =>
+        assert(s.toSeq === b.toSeq, s"stream $s vs batch $b")
+      }
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("corrPairs on sf0.001: every correlation is in [-1, 1] and the " +
       "pair set is the strict upper triangle") {
     val out = TimeSeries.corrPairs(spark, "/root/testdata/sf0.001")
