@@ -196,6 +196,39 @@ SELECT source, n_docs, sd_len,
   round(CAST(nhsh AS DOUBLE) / CAST(tot_nhsh AS DOUBLE) *
     ${Curation.NeymanSampleSize}, 2) AS alloc
 FROM sc CROSS JOIN t ORDER BY source""",
+    // temperature-scaled source mix: n^alpha stated as exp(alpha*ln n)
+    // on proven-parity doubles, 1e-6-grid masses, exact decimal
+    // normalizers (the neyman recipe)
+    "corpus_temperature_mix" -> {
+      val a = graft.operators.Curation.MixAlphas
+      s"""
+WITH $toksCte,
+per AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+    CAST(sum(len(tk)) AS BIGINT) AS n_tokens
+  FROM toks GROUP BY 1),
+sc AS (
+  SELECT source, n_docs, n_tokens,
+    CAST(round(exp(${a(0)} * ln(CAST(n_tokens AS DOUBLE))), 6)
+      AS DECIMAL(28,6)) AS m03,
+    CAST(round(exp(${a(1)} * ln(CAST(n_tokens AS DOUBLE))), 6)
+      AS DECIMAL(28,6)) AS m05,
+    CAST(round(exp(${a(2)} * ln(CAST(n_tokens AS DOUBLE))), 6)
+      AS DECIMAL(28,6)) AS m07
+  FROM per),
+t AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+    CAST(sum(m03) AS DECIMAL(38,6)) AS t03,
+    CAST(sum(m05) AS DECIMAL(38,6)) AS t05,
+    CAST(sum(m07) AS DECIMAL(38,6)) AS t07
+  FROM sc)
+SELECT source, n_docs, n_tokens,
+  round(n_tokens / CAST(tot_tokens AS DOUBLE), 6) AS share,
+  round(CAST(m03 AS DOUBLE) / CAST(t03 AS DOUBLE), 6) AS w_t03,
+  round(CAST(m05 AS DOUBLE) / CAST(t05 AS DOUBLE), 6) AS w_t05,
+  round(CAST(m07 AS DOUBLE) / CAST(t07 AS DOUBLE), 6) AS w_t07
+FROM sc CROSS JOIN t ORDER BY source"""
+    },
     // data-constrained token-epochs plan: sqrt-tempered source weights
     // (decimal-grid normalizer), budget allocation, epoch counts
     "corpus_token_epochs" -> s"""

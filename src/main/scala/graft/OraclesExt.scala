@@ -1446,6 +1446,71 @@ kr AS (
   FROM kp)
 SELECT vec_id, neighbor_id, cosine, rank FROM kr WHERE rank <= 3
 ORDER BY vec_id, rank"""),
+    // kNN-graph hubness: exact-integer in-degree moments (zero-indegree
+    // vectors included via the left join), pinned-order closed forms,
+    // skew's 3/2 power stated as m2*sqrt(m2) on both engines
+    "sim_hubness" -> (simBase + kmeansCtes + s""",
+kp AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+    round(list_inner_product(a.ev, b.ev), 6) AS cosine
+  FROM asg${graft.operators.Similarity.kmIters} a
+  JOIN asg${graft.operators.Similarity.kmIters} b
+    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+kr AS (
+  SELECT vec_id, neighbor_id,
+    row_number() OVER (PARTITION BY vec_id
+      ORDER BY cosine DESC, neighbor_id)::BIGINT AS rank
+  FROM kp),
+ind AS (
+  SELECT coalesce(g.d, 0)::BIGINT AS d
+  FROM base b LEFT JOIN (
+    SELECT neighbor_id, count(*)::BIGINT AS d
+    FROM kr WHERE rank <= 3 GROUP BY 1) g
+  ON b.vec_id = g.neighbor_id),
+m AS (
+  SELECT count(*)::BIGINT AS n_vecs,
+    CAST(sum(d) AS BIGINT) AS sd,
+    CAST(sum(d * d) AS BIGINT) AS sd2,
+    CAST(sum(d * d * d) AS BIGINT) AS sd3,
+    max(d)::BIGINT AS max_indeg,
+    count(*) FILTER (d = 0)::BIGINT AS n_antihubs
+  FROM ind),
+mm AS (
+  SELECT n_vecs, max_indeg, n_antihubs,
+    sd / CAST(n_vecs AS DOUBLE) AS mean,
+    sd2 / CAST(n_vecs AS DOUBLE) -
+      sd / CAST(n_vecs AS DOUBLE) * (sd / CAST(n_vecs AS DOUBLE)) AS m2,
+    sd3 / CAST(n_vecs AS DOUBLE) -
+      3.0 * (sd / CAST(n_vecs AS DOUBLE)) * (sd2 / CAST(n_vecs AS DOUBLE)) +
+      2.0 * (sd / CAST(n_vecs AS DOUBLE)) * (sd / CAST(n_vecs AS DOUBLE)) *
+        (sd / CAST(n_vecs AS DOUBLE)) AS m3
+  FROM m)
+SELECT n_vecs, round(mean, 6) AS mean_indeg, round(m2, 6) AS var_indeg,
+  CASE WHEN m2 > 0.0 THEN round(m3 / (m2 * sqrt(m2)), 6) END
+    AS skew_indeg,
+  max_indeg, n_antihubs,
+  round(n_antihubs / CAST(n_vecs AS DOUBLE), 6) AS antihub_share
+FROM mm"""),
+    // hapax/vocabulary-richness report: exact integer counts from two
+    // hash aggregates, ln on exact longs, pinned-order Honore R
+    "text_hapax" -> s"""
+WITH $toksCte,
+tf AS (
+  SELECT lang, token, count(*)::BIGINT AS freq
+  FROM (SELECT lang, unnest(tk) AS token FROM toks)
+  GROUP BY 1, 2),
+m AS (
+  SELECT lang, CAST(sum(freq) AS BIGINT) AS n_tokens,
+    count(*)::BIGINT AS vocab,
+    count(*) FILTER (freq = 1)::BIGINT AS hapax
+  FROM tf GROUP BY 1)
+SELECT lang, n_tokens, vocab, hapax,
+  round(vocab / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+  round(hapax / CAST(vocab AS DOUBLE), 6) AS hapax_share,
+  CASE WHEN hapax < vocab THEN
+    round(100.0 * ln(CAST(n_tokens AS DOUBLE)) /
+      (1.0 - hapax / CAST(vocab AS DOUBLE)), 6) END AS honore_r
+FROM m ORDER BY lang""",
     // multi-probe kNN graph: membership from the Lloyd assignment,
     // probes = top-2 cells vs the FINAL centroids (rounded cosine,
     // ties by cell) — the ivfKmeansTopK probe rule applied corpus-wide

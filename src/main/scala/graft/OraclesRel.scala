@@ -246,6 +246,29 @@ SELECT month, revenue, n_orders,
     ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
     AS vs_first
 FROM m ORDER BY month""",
+    // cohort retention: exact integer counts on the months x months
+    // grid; months_since via date_diff on month-truncated stamps
+    "rel_cohort_retention" -> """
+WITH active AS (
+  SELECT DISTINCT o_custkey,
+    date_trunc('month', o_orderdate)::TIMESTAMP AS month
+  FROM orders),
+cohort AS (
+  SELECT o_custkey, min(month) AS cohort_month
+  FROM active GROUP BY 1),
+sizes AS (
+  SELECT cohort_month, count(*)::BIGINT AS cohort_size
+  FROM cohort GROUP BY 1),
+grid AS (
+  SELECT c.cohort_month,
+    date_diff('month', c.cohort_month, a.month)::BIGINT AS months_since,
+    count(*)::BIGINT AS n_active
+  FROM active a JOIN cohort c USING (o_custkey)
+  GROUP BY 1, 2)
+SELECT g.cohort_month, g.months_since, s.cohort_size, g.n_active,
+  round(g.n_active / CAST(s.cohort_size AS DOUBLE), 6) AS retention
+FROM grid g JOIN sizes s USING (cohort_month)
+ORDER BY cohort_month, months_since""",
     // Q18-shape: HAVING-subquery semi-join reduction, alias reused in
     // HAVING (DuckDB permits it; Spark side filters the agg output)
     "rel_big_orders" -> s"""

@@ -829,5 +829,74 @@ SELECT ticker, n_bars,
       CAST(n_bars AS DOUBLE) * 10000.0, 6)
   END AS intercept_bps
 FROM m ORDER BY ticker""",
+    // OU mean-reversion half-life: the kyle exact-moment OLS recipe on
+    // (prev close, delta close); VARCHAR-mediated decimal crossings
+    // (close-level moments reach 1e8 where native casts diverge sub-ulp)
+    "stock_ou_halflife" -> (barsCte + s""",
+pairs AS (
+  SELECT ticker,
+    lag(close, 1) OVER tw AS x,
+    close - lag(close, 1) OVER tw AS y
+  FROM bars
+  WINDOW tw AS (PARTITION BY ticker ORDER BY bucket)
+  QUALIFY x IS NOT NULL),
+m AS (
+  SELECT ticker, count(*)::BIGINT AS n_pairs,
+    CAST(CAST(sum(CAST(CAST(x AS VARCHAR) AS DECIMAL(38,18)))
+      AS VARCHAR) AS DOUBLE) AS sx,
+    CAST(CAST(sum(CAST(CAST(x * x AS VARCHAR) AS DECIMAL(38,18)))
+      AS VARCHAR) AS DOUBLE) AS sxx,
+    CAST(CAST(sum(CAST(CAST(y AS VARCHAR) AS DECIMAL(38,18)))
+      AS VARCHAR) AS DOUBLE) AS sy,
+    CAST(CAST(sum(CAST(CAST(x * y AS VARCHAR) AS DECIMAL(38,18)))
+      AS VARCHAR) AS DOUBLE) AS sxy
+  FROM pairs GROUP BY 1)
+SELECT ticker, n_pairs,
+  CASE WHEN n_pairs > 1 AND
+      CAST(n_pairs AS DOUBLE) * sxx - sx * sx <> 0.0 THEN
+    round((CAST(n_pairs AS DOUBLE) * sxy - sx * sy) /
+      (CAST(n_pairs AS DOUBLE) * sxx - sx * sx), 6)
+  END AS ou_b,
+  CASE WHEN n_pairs > 1 AND
+      CAST(n_pairs AS DOUBLE) * sxx - sx * sx <> 0.0 AND
+      (CAST(n_pairs AS DOUBLE) * sxy - sx * sy) /
+        (CAST(n_pairs AS DOUBLE) * sxx - sx * sx) > -1.0 AND
+      (CAST(n_pairs AS DOUBLE) * sxy - sx * sy) /
+        (CAST(n_pairs AS DOUBLE) * sxx - sx * sx) < 0.0 THEN
+    round(-ln(2.0) / ln(1.0 +
+      (CAST(n_pairs AS DOUBLE) * sxy - sx * sy) /
+        (CAST(n_pairs AS DOUBLE) * sxx - sx * sx)), 6)
+  END AS half_life_bars
+FROM m ORDER BY ticker"""),
+    // Hill tail index: row_number-pinned top-|r| set (ties by bucket),
+    // decimal ln-sum, pinned-order closing alpha
+    "stock_hill_tail" -> (barsCte + {
+      val k = graft.operators.TimeSeries.HillK
+      s""",
+rets AS (
+  SELECT ticker, bucket,
+    CASE WHEN lag(close, 1) OVER tw <> 0
+      THEN abs(close / lag(close, 1) OVER tw - 1) END AS r
+  FROM bars
+  WINDOW tw AS (PARTITION BY ticker ORDER BY bucket)
+  QUALIFY r IS NOT NULL AND r > 0.0),
+top AS (
+  SELECT ticker, r
+  FROM rets
+  QUALIFY row_number() OVER (PARTITION BY ticker
+    ORDER BY r DESC, bucket) <= $k),
+m AS (
+  SELECT ticker, count(*)::BIGINT AS n_tail, min(r) AS r_k,
+    CAST(CAST(sum(CAST(CAST(ln(r) AS VARCHAR) AS DECIMAL(38,18)))
+      AS VARCHAR) AS DOUBLE) AS sln
+  FROM top GROUP BY 1)
+SELECT ticker, n_tail, round(r_k, 6) AS r_k,
+  CASE WHEN n_tail > 1 AND
+      sln - CAST(n_tail AS DOUBLE) * ln(r_k) > 0.0 THEN
+    round(CAST(n_tail AS DOUBLE) /
+      (sln - CAST(n_tail AS DOUBLE) * ln(r_k)), 6)
+  END AS hill_alpha
+FROM m ORDER BY ticker"""
+    }),
   )
 }

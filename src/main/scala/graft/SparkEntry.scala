@@ -689,6 +689,21 @@ object SparkEntry {
     "stock_hurst" -> (TimeSeries.hurst _),
     // Kyle-lambda price impact (|return| on sqrt dollar volume OLS)
     "stock_kyle_lambda" -> (TimeSeries.kyleLambda _),
+    // Ornstein-Uhlenbeck mean-reversion half-life (AR(1) fit)
+    "stock_ou_halflife" -> (TimeSeries.ouHalfLife _),
+    // Hill tail-index estimator over the top-k absolute returns
+    "stock_hill_tail" -> (TimeSeries.hillTail _),
+    // cohort retention matrix (first-order month x months-since)
+    "rel_cohort_retention" -> (Relational.cohortRetention _),
+    // temperature-scaled source sampling weights (n^alpha mix grid)
+    "corpus_temperature_mix" -> ((s, d) =>
+      graft.operators.Curation.temperatureMix(Tables.documents(s, d))),
+    // hapax/vocabulary-richness report per language (TTR, Honore R)
+    "text_hapax" -> ((s, d) =>
+      TextAnalysis.hapaxReport(Tables.documents(s, d))),
+    // kNN-graph hubness report (in-degree skew, antihub share)
+    "sim_hubness" -> ((s, d) =>
+      Similarity.hubness(Tables.embeddings(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

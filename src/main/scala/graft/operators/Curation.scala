@@ -227,6 +227,49 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Temperature grid for [[temperatureMix]], shared with the oracle
+    * generator. */
+  val MixAlphas: Seq[Double] = Seq(0.3, 0.5, 0.7)
+
+  /** Temperature-scaled source sampling weights: w_i ∝ n_i^α for each
+    * α in [[MixAlphas]] — the standard multilingual/multi-source
+    * rebalancing curve (α = 1 keeps the natural token share, α → 0
+    * flattens toward uniform; XLM-R popularized α = 0.3). One row per
+    * source with the natural share and each tempered weight, so a mix
+    * designer reads the whole trade-off at once.
+    *
+    * Determinism: n^α is stated as exp(α·ln n) on proven-parity
+    * doubles, rounded to the 1e-6 grid and summed as DECIMAL — the
+    * [[neymanAllocation]] exact-normalizer recipe. Scale: one hash
+    * aggregate to the (bounded) source grain; everything after is
+    * metadata-sized. */
+  def temperatureMix(documents: DataFrame): DataFrame = {
+    val per = documents
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(toks).cast("long")).as("n_tokens"))
+      .pin(eager = true)
+    def mass(a: Double) =
+      round(exp(lit(a) * log(col("n_tokens").cast("double"))), 6)
+        .cast("decimal(28,6)")
+    val scored = per.select(col("source"), col("n_docs"), col("n_tokens"),
+      mass(MixAlphas(0)).as("m03"), mass(MixAlphas(1)).as("m05"),
+      mass(MixAlphas(2)).as("m07"))
+    val tots = scored.agg(sum(col("n_tokens")).as("tot_tokens"),
+      sum(col("m03")).as("t03"), sum(col("m05")).as("t05"),
+      sum(col("m07")).as("t07"))
+    scored.crossJoin(broadcast(tots))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens") / col("tot_tokens"), 6).as("share"),
+        round(col("m03").cast("double") / col("t03").cast("double"), 6)
+          .as("w_t03"),
+        round(col("m05").cast("double") / col("t05").cast("double"), 6)
+          .as("w_t05"),
+        round(col("m07").cast("double") / col("t07").cast("double"), 6)
+          .as("w_t07"))
+      .orderBy(col("source"))
+  }
+
   /** Token budget and repeat ceiling for [[tokenEpochs]] — shared with
     * the oracle generator. */
   val EpochTokenBudget = 10000000L

@@ -2304,6 +2304,37 @@ object Relational {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Cohort retention matrix: customers grouped by FIRST-order month,
+    * tracked across months-since-acquisition — the activity decay grid
+    * every growth dashboard carries. `retention` = active customers in
+    * (cohort, month m) / cohort size, an exact long/long ratio.
+    *
+    * Scale: one distinct to the (customer, month) activity grain, one
+    * per-customer min (the cohort), one hash aggregate to the
+    * months×months grid; cohort sizes broadcast back onto the
+    * metadata-sized grid. No windows, no fact-sized joins beyond the
+    * customer-grain equi-join. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val active = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        date_trunc("month", col("o_orderdate")).as("month"))
+      .distinct()
+    val cohort = active.groupBy(col("o_custkey"))
+      .agg(min(col("month")).as("cohort_month"))
+    val sizes = cohort.groupBy(col("cohort_month"))
+      .agg(count(lit(1)).as("cohort_size"))
+    active.join(cohort, Seq("o_custkey"))
+      .withColumn("months_since",
+        months_between(col("month"), col("cohort_month")).cast("long"))
+      .groupBy(col("cohort_month"), col("months_since"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), Seq("cohort_month"))
+      .select(col("cohort_month"), col("months_since"),
+        col("cohort_size"), col("n_active"),
+        round(col("n_active") / col("cohort_size"), 6).as("retention"))
+      .orderBy(col("cohort_month"), col("months_since"))
+  }
+
   /** Exact global sort-rank WITHOUT a global sort — the
     * [[giniRevenue]] two-level band scan, factored: equal-width value
     * bands from a one-row broadcast min/max, per-band counts → a

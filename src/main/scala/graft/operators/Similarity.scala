@@ -1337,6 +1337,49 @@ object Similarity {
     * bounded), so there is no float accumulation at all; only the
     * closed-form ratio is double math, in one pinned order. Degenerate
     * graphs (all degrees equal → zero variance) yield NULL. */
+  /** Hubness report of the kNN graph: the in-degree (k-occurrence)
+    * distribution — mean, variance, skewness, the max hub and the
+    * antihub share (vectors NO ONE lists as a neighbor). High skew is
+    * the classic symptom of hubness in high-dimensional ANN (a few
+    * points appear in everyone's neighbor list and poison downstream
+    * kNN classifiers/retrievers); the antihub share says how much of
+    * the corpus is unreachable by reverse-kNN.
+    *
+    * Determinism: in-degrees are exact integers and every moment sum
+    * is an exact BIGINT sum — no float accumulation at all; the
+    * closed-form moments are double math in one pinned order, with
+    * skew's 3/2 power stated as m2·√m2 (not pow) on both engines.
+    * Scale: rides [[knnGraph]] (cell equi-join, bounded heap); the
+    * in-degree count is one hash aggregate over k·n edges and the
+    * report is a single-row reduction. */
+  def hubness(embeddings: DataFrame, k: Int = 3,
+      cells: Int = kmK): DataFrame = {
+    val g = knnGraph(embeddings, k, cells)
+      .groupBy(col("neighbor_id")).agg(count(lit(1)).as("d"))
+    val indeg = embeddings.select(col("vec_id"))
+      .join(g, col("vec_id") === col("neighbor_id"), "left")
+      .select(coalesce(col("d"), lit(0L)).as("d"))
+    val m = indeg.agg(
+      count(lit(1)).as("n_vecs"),
+      sum(col("d")).as("sd"),
+      sum(col("d") * col("d")).as("sd2"),
+      sum(col("d") * col("d") * col("d")).as("sd3"),
+      max(col("d")).as("max_indeg"),
+      count(when(col("d") === 0, 1)).as("n_antihubs"))
+    val nd = col("n_vecs").cast("double")
+    val mean = col("sd") / nd
+    val m2 = col("sd2") / nd - mean * mean
+    val m3 = col("sd3") / nd - lit(3.0) * mean * (col("sd2") / nd) +
+      lit(2.0) * mean * mean * mean
+    m.select(col("n_vecs"),
+        round(mean, 6).as("mean_indeg"),
+        round(m2, 6).as("var_indeg"),
+        when(m2 > 0.0,
+          round(m3 / when(m2 > 0.0, m2 * sqrt(m2)), 6)).as("skew_indeg"),
+        col("max_indeg"), col("n_antihubs"),
+        round(col("n_antihubs") / col("n_vecs"), 6).as("antihub_share"))
+  }
+
   def assortativity(embeddings: DataFrame, k: Int = 3,
       cells: Int = kmK): DataFrame = {
     val e = mutualKnnGraph(embeddings, k, cells)

@@ -546,6 +546,42 @@ object TextAnalysis {
       .orderBy(col("rank"))
   }
 
+
+  /** Vocabulary-richness (hapax) report per language: token count N,
+    * vocabulary V, hapax count V₁ (tokens seen exactly once), the
+    * type-token ratio V/N, the hapax share V₁/V, and Honoré's
+    * R = 100·ln N / (1 − V₁/V) — the classic richness statistic that
+    * diverges as everything becomes a one-off. The fast screen for
+    * boilerplate (low TTR, low hapax share) vs noisy/OCR text (hapax
+    * share → 1) per language slice.
+    *
+    * Determinism: every count is an exact integer from two hash
+    * aggregates; the ratios and ln run on exact longs in one pinned
+    * order. Scale: (lang, token) then lang grain — vocab-sized
+    * shuffle, bounded output. */
+  def hapaxReport(documents: DataFrame): DataFrame = {
+    val tf = documents
+      .select(col("lang"), explode(toks).as("token"))
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("freq"))
+    tf.groupBy(col("lang"))
+      .agg(sum(col("freq")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        count(when(col("freq") === 1, 1)).as("hapax"))
+      .select(col("lang"), col("n_tokens"), col("vocab"), col("hapax"),
+        round(col("vocab") / col("n_tokens"), 6).as("ttr"),
+        round(col("hapax") / col("vocab"), 6).as("hapax_share"),
+        // NULL divisor when V1 = V: ANSI raises on x/0 even for
+        // doubles, and the outer `when` may not shield a hoisted
+        // subexpression — dividing by NULL is safe under both
+        when(col("hapax") < col("vocab"),
+          round(lit(100.0) * log(col("n_tokens").cast("double")) /
+            when(col("hapax") < col("vocab"),
+              lit(1.0) - col("hapax") / col("vocab")), 6))
+          .as("honore_r"))
+      .orderBy(col("lang"))
+  }
+
   /** Corpus entropy rate: the unigram Shannon entropy H(W) and the
     * bigram conditional entropy H(W₂|W₁) — the information-theoretic
     * complexity pair (their gap is the mutual information a 1-token

@@ -1107,13 +1107,116 @@ object TimeSeries {
       dsum18(col("y")).as("sy"), dsum18(col("x") * col("y")).as("sxy"))
     val nd = col("n_bars").cast("double")
     val den = nd * col("sxx") - col("sx") * col("sx")
-    val slope = (nd * col("sxy") - col("sx") * col("sy")) / den
+    // NULL-divisor guard (see ouHalfLifeBars): a degenerate x spread
+    // must yield NULL, not an ANSI divide-by-zero via CSE hoisting
+    val slope = (nd * col("sxy") - col("sx") * col("sy")) /
+      when(den =!= 0.0, den)
     m.select(col("ticker"), col("n_bars"),
         when(col("n_bars") > 1 && den =!= 0.0,
           round(slope * lit(1000000.0), 6)).as("kyle_lambda_x1m"),
         when(col("n_bars") > 1 && den =!= 0.0,
           round((col("sy") - slope * col("sx")) / nd * lit(10000.0), 6))
           .as("intercept_bps"))
+      .orderBy(col("ticker"))
+  }
+
+  /** Ornstein-Uhlenbeck mean-reversion half-life per ticker: the AR(1)
+    * fit Δclose = a + b·close_prev + ε over the 5-minute bars, with
+    * half-life = −ln 2 / ln(1+b) bars when −1 < b < 0 (the discrete OU
+    * discretization) — how many bars a shock needs to decay halfway
+    * back. The screening statistic for pairs/mean-reversion strategies
+    * and the natural companion to [[hurst]] (H < 0.5 says "reverts";
+    * the half-life says HOW FAST).
+    *
+    * Determinism: the [[kyleLambda]] exact-moment OLS recipe —
+    * identically-computed double (x, y) pairs, DECIMAL(38,18) moment
+    * sums, closed-form slope in one pinned order, ln on proven-parity
+    * doubles. Degenerate spreads (den = 0) or n ≤ 1 yield NULL; the
+    * half-life additionally requires b in (−1, 0).
+    *
+    * Scale: one hash aggregate to bars, one lag window per ticker,
+    * one moment aggregate — O(bars) after the first aggregate. */
+  def ouHalfLife(spark: SparkSession, dir: String): DataFrame =
+    ouHalfLifeBars(closeBars5m(
+      StockPipeline.normalize(Tables.events(spark, dir))))
+
+  private[graft] def ouHalfLifeBars(bars: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("ticker")).orderBy(col("bucket"))
+    val prev = lag(col("close"), 1).over(w)
+    val pairs = bars.select(col("ticker"),
+        prev.as("x"), (col("close") - prev).as("y"))
+      .filter(col("x").isNotNull)
+    def dsum18(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(38,18)")).cast("double")
+    val m = pairs.groupBy(col("ticker")).agg(
+      count(lit(1)).as("n_pairs"),
+      dsum18(col("x")).as("sx"), dsum18(col("x") * col("x")).as("sxx"),
+      dsum18(col("y")).as("sy"), dsum18(col("x") * col("y")).as("sxy"))
+    val nd = col("n_pairs").cast("double")
+    val den = nd * col("sxx") - col("sx") * col("sx")
+    // NULL-divisor guard: ANSI mode raises on x/0 even for doubles,
+    // and subexpression elimination can hoist a shared division OUT of
+    // its `when` guard — dividing by NULL instead of 0 is safe under
+    // both (NULL propagates, the `when` then states the semantics)
+    val b = (nd * col("sxy") - col("sx") * col("sy")) /
+      when(den =!= 0.0, den)
+    m.select(col("ticker"), col("n_pairs"),
+        when(col("n_pairs") > 1 && den =!= 0.0, round(b, 6)).as("ou_b"),
+        when(col("n_pairs") > 1 && den =!= 0.0 &&
+            b > -1.0 && b < 0.0,
+          round(-log(lit(2.0)) / log(lit(1.0) + b), 6))
+          .as("half_life_bars"))
+      .orderBy(col("ticker"))
+  }
+
+  /** Hill tail-index lookback, shared with the oracle generator. */
+  val HillK = 20
+
+  /** Hill tail-index estimator per ticker: over the [[HillK]] largest
+    * absolute 5-minute returns x₁ ≥ … ≥ x_m,
+    * α̂ = m / Σ ln(xᵢ/x_m) — the heavier the return tail, the SMALLER
+    * α (α ≲ 3 marks infinite-kurtosis territory where variance-based
+    * risk metrics lie). The order-statistics companion to the
+    * moment-based kurtosis already in the roster.
+    *
+    * Determinism: the top set is pinned by `row_number` over
+    * (|r| desc, bucket) — a stated tie rule at the k boundary; ln runs
+    * on identically-computed doubles and the ln-sum accumulates on the
+    * DECIMAL(38,18) grid; the closing α is double math in one pinned
+    * order: m / (Σln − m·ln(x_m)). Tickers with fewer than 2 positive
+    * returns, or a degenerate sum (all top returns equal), yield NULL.
+    *
+    * Scale: a PER-TICKER ROWS window over bars (never raw events) and
+    * one hash aggregate — the top-k selection is O(bars) with bounded
+    * per-partition state. */
+  def hillTail(spark: SparkSession, dir: String): DataFrame =
+    hillTailBars(closeBars5m(
+      StockPipeline.normalize(Tables.events(spark, dir))))
+
+  private[graft] def hillTailBars(bars: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("ticker")).orderBy(col("bucket"))
+    val prev = lag(col("close"), 1).over(w)
+    val rets = bars
+      .select(col("ticker"), col("bucket"),
+        when(prev =!= 0.0, abs(col("close") / prev - 1)).as("r"))
+      .filter(col("r").isNotNull && col("r") > 0.0)
+    val topW = Window.partitionBy(col("ticker"))
+      .orderBy(col("r").desc, col("bucket"))
+    val top = rets
+      .withColumn("rn", row_number().over(topW))
+      .filter(col("rn") <= HillK)
+    def dsum18(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(38,18)")).cast("double")
+    val m = top.groupBy(col("ticker")).agg(
+      count(lit(1)).as("n_tail"),
+      min(col("r")).as("r_k"),
+      dsum18(log(col("r"))).as("sln"))
+    val denom = col("sln") - col("n_tail").cast("double") * log(col("r_k"))
+    // NULL-divisor guard (see ouHalfLifeBars)
+    m.select(col("ticker"), col("n_tail"), round(col("r_k"), 6).as("r_k"),
+        when(col("n_tail") > 1 && denom > 0.0,
+          round(col("n_tail").cast("double") /
+            when(denom > 0.0, denom), 6)).as("hill_alpha"))
       .orderBy(col("ticker"))
   }
 }

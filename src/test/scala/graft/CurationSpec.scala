@@ -944,4 +944,60 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(f2 - expected) < 1e-9)
     assert(out(4L)._1 === 1L) // sentence floor
   }
+
+  test("temperatureMix: weights are proper distributions that flatten " +
+      "toward uniform as alpha drops, and match direct recomputation") {
+    val d = Seq(
+      (1L, Seq.fill(100)("tok").mkString(" ")),
+      (2L, Seq.fill(10)("tok").mkString(" ")),
+      (3L, Seq.fill(1)("tok").mkString(" ")))
+      .map { case (id, t) => (id, t, "en", s"src$id", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Curation.temperatureMix(d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.size === 3)
+    def col(i: Int) = out.values.map(_.getDouble(i)).toSeq
+    // each weight column sums to ~1 (1e-6-grid rounding slack)
+    Seq(4, 5, 6).foreach { i =>
+      assert(math.abs(col(i).sum - 1.0) < 1e-4, s"col $i sums ${col(i).sum}")
+    }
+    // temperature flattens: the dominant source's weight shrinks
+    // monotonically as alpha drops 0.7 -> 0.5 -> 0.3, and every weight
+    // ordering still follows size
+    val big = out("src1")
+    assert(big.getDouble(6) > big.getDouble(5) &&
+      big.getDouble(5) > big.getDouble(4))
+    // direct recomputation of w_t05 on the 1e-6 grid
+    def m(n: Long) = BigDecimal(math.rint(
+      math.exp(0.5 * math.log(n.toDouble)) * 1e6) / 1e6)
+    val t = m(100) + m(10) + m(1)
+    val expect = BigDecimal((m(100) / t).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(big.getDouble(5) - expect) < 2e-6)
+  }
+
+  test("hapaxReport: hand-checkable counts - TTR, hapax share and " +
+      "Honore R match closed forms; an all-hapax language degenerates") {
+    import graft.operators.TextAnalysis
+    val d = Seq(
+      // en: tokens x x y -> N=3, V=2, V1=1
+      (2L, "x x y", "en"),
+      // es: every token unique -> V1 = V -> honore NULL
+      (3L, "a b c", "es"))
+      .map { case (id, t, l) => (id, t, l, "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.hapaxReport(d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val en = out("en")
+    assert((en.getLong(1), en.getLong(2), en.getLong(3)) === ((3L, 2L, 1L)))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(en.getDouble(4) === r6(2.0 / 3.0))
+    assert(en.getDouble(5) === 0.5)
+    assert(en.getDouble(6) === r6(100.0 * math.log(3.0) / (1.0 - 1.0 / 2.0)))
+    val es = out("es")
+    assert((es.getLong(2), es.getLong(3)) === ((3L, 3L)))
+    assert(es.isNullAt(6), "V1 = V diverges -> NULL")
+    assert(es.getDouble(4) === 1.0 && es.getDouble(5) === 1.0)
+  }
 }

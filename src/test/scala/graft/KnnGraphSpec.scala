@@ -540,4 +540,20 @@ class KnnGraphSpec extends SparkSpec {
       }
     }
   }
+
+  test("hubness: single-row report with exact mass conservation - " +
+      "mean indegree times n equals the edge count, antihubs counted, " +
+      "moments consistent (sf0.001)") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val r = graft.operators.Similarity.hubness(emb).collect().head
+    val n = r.getLong(0)
+    assert(n === emb.count())
+    val edges = graft.operators.Similarity.knnGraph(emb).count()
+    // mean indegree * n = total in-degree = edge count exactly
+    assert(math.rint(r.getDouble(1) * n) === edges.toDouble)
+    assert(r.getLong(4) <= n && r.getLong(5) >= 0 && r.getLong(5) <= n)
+    val share = r.getDouble(6)
+    assert(share >= 0.0 && share <= 1.0)
+    assert(r.getDouble(2) >= 0.0, "variance cannot be negative")
+  }
 }

@@ -1070,4 +1070,25 @@ class RelationalSpec extends SparkSpec {
       assert((r.getLong(2), r.getString(1)) === best)
     }
   }
+
+  test("cohortRetention: month-zero rows are complete cohorts " +
+      "(retention exactly 1), counts never exceed the cohort size, and " +
+      "cohort sizes sum to the distinct customer count (sf0.001)") {
+    val out = graft.operators.Relational.cohortRetention(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    val m0 = out.filter(_.getLong(1) == 0L)
+    m0.foreach { r =>
+      assert(r.getLong(3) === r.getLong(2), s"month-0 not full: $r")
+      assert(r.getDouble(4) === 1.0)
+    }
+    out.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2) && r.getLong(1) >= 0L)
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
+    }
+    val nCust = graft.sources.Tables.orders(spark, "/root/testdata/sf0.001")
+      .select("o_custkey").distinct().count()
+    assert(m0.map(_.getLong(2)).sum === nCust,
+      "cohort sizes must partition the customer universe")
+  }
 }

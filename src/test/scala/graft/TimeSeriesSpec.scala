@@ -836,6 +836,74 @@ class TimeSeriesSpec extends SparkSpec {
       "a single pair must yield NULL")
   }
 
+  test("ouHalfLifeBars: a perfect AR(1) decay recovers b = -0.5 and a " +
+      "one-bar half-life; constant and trending series degenerate") {
+    // x_{t+1} = 100 + 0.5 (x_t - 100): y = close - prev = -0.5 x + 50
+    // exactly, so OLS recovers b = -0.5 and half-life = -ln2/ln(0.5) = 1
+    val ar = Seq(120.0, 110.0, 105.0, 102.5, 101.25)
+    // constant closes: zero x-spread -> den = 0 -> NULL b
+    val const = Seq.fill(6)(42.0)
+    // geometric growth: y = 0.1 x exactly -> b > 0 -> NULL half-life
+    val trend = (0 until 6).map(i => 100.0 * math.pow(1.1, i))
+    val out = TimeSeries.ouHalfLifeBars(bars(
+      ar.zipWithIndex.map { case (c, i) => ("A", i * 5, c) } ++
+        const.zipWithIndex.map { case (c, i) => ("B", i * 5, c) } ++
+        trend.zipWithIndex.map { case (c, i) => ("C", i * 5, c) }: _*))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("A")
+    assert(a.getLong(1) === 4L)
+    assert(math.abs(a.getDouble(2) - (-0.5)) < 1e-9)
+    assert(a.getDouble(3) === 1.0)
+    val b = out("B")
+    assert(b.isNullAt(2) && b.isNullAt(3),
+      "zero x-spread must yield NULL")
+    val c = out("C")
+    assert(c.getDouble(2) > 0.0 && c.isNullAt(3),
+      "a positive AR slope has no mean-reversion half-life")
+  }
+
+  test("hillTailBars: matches direct recomputation on a hand series; " +
+      "equal-magnitude tails and single-return tickers degenerate") {
+    // A: returns with distinct magnitudes (multiplicative steps)
+    val steps = Seq(1.5, 0.8, 1.3, 0.9, 1.25, 0.7, 1.1, 0.95)
+    val aCloses = steps.scanLeft(100.0)(_ * _)
+    // B: alternating x2 / x0.5 -> every |r| is 1.0 or 0.5; with k=20
+    // the top set is all of them; sum ln(r/r_min) > 0 unless all equal
+    val bCloses = Seq(64.0, 128.0, 64.0, 128.0, 64.0)
+    // C: exactly one return
+    val cCloses = Seq(10.0, 11.0)
+    // D: every return the SAME magnitude -> denom = 0 -> NULL
+    val dCloses = Seq(100.0, 200.0, 400.0, 800.0)
+    val out = TimeSeries.hillTailBars(bars(
+      aCloses.zipWithIndex.map { case (c, i) => ("A", i * 5, c) } ++
+        bCloses.zipWithIndex.map { case (c, i) => ("B", i * 5, c) } ++
+        cCloses.zipWithIndex.map { case (c, i) => ("C", i * 5, c) } ++
+        dCloses.zipWithIndex.map { case (c, i) => ("D", i * 5, c) }: _*))
+      .collect().map(r => r.getString(0) -> r).toMap
+    def g18(x: Double) =
+      BigDecimal(x).setScale(18, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rs = aCloses.sliding(2).map { case Seq(p, c) =>
+      math.abs(c / p - 1) }.toSeq
+    val rk = rs.min // 8 returns < HillK -> the top set is all of them
+    val sln = rs.map(r => g18(math.log(r))).sum.toDouble
+    val denom = sln - rs.length.toDouble * math.log(rk)
+    val a = out("A")
+    assert(a.getLong(1) === rs.length.toLong)
+    assert(a.getDouble(2) === r6(rk))
+    assert(a.getDouble(3) === r6(rs.length.toDouble / denom))
+    val b = out("B")
+    assert(b.getLong(1) === 4L && !b.isNullAt(3),
+      "mixed magnitudes must yield a finite alpha")
+    val c = out("C")
+    assert(c.getLong(1) === 1L && c.isNullAt(3),
+      "a single tail point must yield NULL")
+    val d = out("D")
+    assert(d.getLong(1) === 3L && d.isNullAt(3),
+      "an all-equal tail (denom 0) must yield NULL")
+  }
+
   test("streaming ATR (transformWithState) is bit-identical to the " +
       "batch lag-chain kernel across split triggers") {
     implicit val sqlCtx = spark.sqlContext
