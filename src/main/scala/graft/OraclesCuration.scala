@@ -196,6 +196,17 @@ SELECT source, n_docs, sd_len,
   round(CAST(nhsh AS DOUBLE) / CAST(tot_nhsh AS DOUBLE) *
     ${Curation.NeymanSampleSize}, 2) AS alloc
 FROM sc CROSS JOIN t ORDER BY source""",
+    // deterministic priority (bottom-k) sample: salted-hash priority,
+    // stated tie rule, rank over the k-row slice
+    "sample_reservoir" -> s"""
+SELECT doc_id, lang, source, priority,
+  row_number() OVER (ORDER BY priority, doc_id)::BIGINT AS rank
+FROM (
+  SELECT doc_id, lang, source, $sampleKeySql AS priority
+  FROM documents)
+QUALIFY row_number() OVER (ORDER BY priority, doc_id)
+  <= ${Curation.ReservoirK}
+ORDER BY rank""",
     // temperature-scaled source mix: n^alpha stated as exp(alpha*ln n)
     // on proven-parity doubles, 1e-6-grid masses, exact decimal
     // normalizers (the neyman recipe)

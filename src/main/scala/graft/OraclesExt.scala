@@ -769,6 +769,31 @@ reach(node, label) AS (
   SELECT e.b, r.label FROM reach r JOIN edges e ON r.node = e.a)
 SELECT node AS doc_id, min(label) AS cluster_id
 FROM reach GROUP BY node ORDER BY doc_id"""),
+    // canonical selection within duplicate clusters: keeper = longest
+    // member (ties to the smallest doc_id) via a stated window rule;
+    // the Spark side's min(struct(-n_chars, doc_id)) is the identical
+    // (exact-integer) ordering
+    "dedup_keep_best" -> (minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + """
+, np AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
+edges(a, b) AS (SELECT doc_a, doc_b FROM np UNION SELECT doc_b, doc_a FROM np),
+reach(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN edges e ON r.node = e.a),
+cl AS (SELECT node AS doc_id, min(label) AS cluster_id
+  FROM reach GROUP BY node),
+mem AS (
+  SELECT cl.doc_id, cl.cluster_id, d.n_chars
+  FROM cl JOIN documents d USING (doc_id)),
+kp AS (
+  SELECT cluster_id, doc_id AS keeper_id
+  FROM mem
+  QUALIFY row_number() OVER (PARTITION BY cluster_id
+    ORDER BY n_chars DESC, doc_id) = 1)
+SELECT m.doc_id, m.cluster_id, k.keeper_id,
+  m.doc_id = k.keeper_id AS keep
+FROM mem m JOIN kp k USING (cluster_id)
+ORDER BY doc_id"""),
     // df cap mirrors Dedup.jaccardMaxDf: shingles in more than maxDf docs
     // are dropped from the universe before the self-join (skew bound).
     // hashed-shingle Jaccard: hash each shingle to 32 bits first (same
@@ -2356,6 +2381,34 @@ FROM grid g
 JOIN meta m ON g.doc_id = m.doc_id
 LEFT JOIN bc ON g.doc_id = bc.doc_id AND g.bin = bc.bin
 ORDER BY id, bin""",
+    // resolution histogram on the (modality, w/16, h/16) grid — exact
+    // integer counts over the identical fake-decode metadata
+    "mm_resolution_hist" -> s"""
+WITH bytes AS (
+  SELECT doc_id,
+    list_transform(range(1, length(text) + 1), i -> ord(substr(text, i, 1))::BIGINT) AS bs,
+    length(text)::BIGINT AS n
+  FROM documents),
+dims AS (
+  SELECT doc_id,
+    ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS modality, n,
+    list_reduce(list_prepend(17::BIGINT, bs),
+      (acc, x) -> (acc * 31 + x) % ${graft.functions.Portable.P31}) AS h
+  FROM bytes),
+meta AS (
+  SELECT doc_id, modality,
+    (64 + h % 64)::BIGINT AS width,
+    (64 + (h // 64) % 64)::BIGINT AS height,
+    (CASE modality WHEN 'video' THEN n // 256 + 1
+                   WHEN 'audio' THEN n // 1024 + 1 ELSE 1 END)::BIGINT AS n_frames
+  FROM dims)
+SELECT modality, width // 16 AS w_bin, height // 16 AS h_bin,
+  count(*)::BIGINT AS n_blobs,
+  CAST(sum(n_frames) AS BIGINT) AS n_frames,
+  round(CAST(sum(n_frames) AS BIGINT) / CAST(count(*) AS DOUBLE), 6)
+    AS avg_frames
+FROM meta GROUP BY 1, 2, 3
+ORDER BY modality, w_bin, h_bin""",
     // Twin of Multimodal.sampleFrames: evenly-spaced 8-byte keyframe
     // slices per video blob, up to 4 frames.
     "mm_frame_sample" -> s"""

@@ -715,6 +715,23 @@ SELECT a.ticker AS ticker_a, b.ticker AS ticker_b,
 FROM rets a JOIN rets b ON a.bucket = b.bucket AND a.ticker < b.ticker
 GROUP BY 1, 2
 ORDER BY ticker_a, ticker_b"""),
+    // lead-lag correlation: bucket-shift equi-join, native corr
+    // (parity proven by stock_corr_pairs), NaN->NULL on both engines
+    "stock_lead_lag" -> (barsCte + """,
+rets AS (
+  SELECT ticker, bucket,
+    CASE WHEN lag(close, 1) OVER tw <> 0
+      THEN close / lag(close, 1) OVER tw - 1 END AS ret
+  FROM bars
+  WINDOW tw AS (PARTITION BY ticker ORDER BY bucket)
+  QUALIFY ret IS NOT NULL)
+SELECT a.ticker AS ticker_lead, b.ticker AS ticker_lag,
+  count(*)::BIGINT AS n_buckets,
+  round(corr(a.ret, b.ret), 6) AS lead_corr
+FROM rets a JOIN rets b
+  ON b.bucket = a.bucket + INTERVAL 5 MINUTE AND a.ticker <> b.ticker
+GROUP BY 1, 2
+ORDER BY ticker_lead, ticker_lag"""),
     // Hurst exponent via variance-time: per-k block sums on the
     // DECIMAL(38,18) grid, closed-form log-log slope with the literal
     // centred-abscissa weights; the 5·ln²2 denominator interpolates

@@ -704,6 +704,17 @@ object SparkEntry {
     // kNN-graph hubness report (in-degree skew, antihub share)
     "sim_hubness" -> ((s, d) =>
       Similarity.hubness(Tables.embeddings(s, d))),
+    // cross-ticker lead-lag correlation (price discovery screen)
+    "stock_lead_lag" -> (TimeSeries.leadLag _),
+    // deterministic priority (bottom-k) reservoir-equivalent sample
+    "sample_reservoir" -> ((s, d) =>
+      graft.operators.Curation.reservoirSample(Tables.documents(s, d))),
+    // canonical keeper selection within duplicate clusters
+    "dedup_keep_best" -> ((s, d) =>
+      Dedup.keepBest(Tables.documents(s, d))),
+    // decoded-media resolution histogram (modality x w/16 x h/16 grid)
+    "mm_resolution_hist" -> ((s, d) =>
+      graft.operators.Multimodal.resolutionHist(Tables.documents(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -227,6 +227,32 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Reservoir size for [[reservoirSample]], shared with the oracle
+    * generator. */
+  val ReservoirK = 100
+
+  /** Deterministic priority (bottom-k) sample: each document draws a
+    * salted-hash priority and the k smallest win — the distributed
+    * equivalent of reservoir sampling (identical marginal: every doc
+    * has the same chance under a random hash), but associative, so a
+    * 1000-executor run computes it as a bounded top-k with NO global
+    * sort or sequential scan — and REPRODUCIBLE, unlike an actual
+    * reservoir, whose result depends on encounter order.
+    *
+    * Scale: TakeOrdered — per-partition bounded heaps, k rows to the
+    * driver stage; the rank window runs over the k-row slice only
+    * (plan-audited). */
+  def reservoirSample(documents: DataFrame): DataFrame = {
+    val pri = documents.select(col("doc_id"), col("lang"), col("source"),
+        Portable.hash32(concat(lit(sampleSalt),
+          col("doc_id").cast("string"))).as("priority"))
+      .orderBy(col("priority"), col("doc_id")).limit(ReservoirK)
+    pri.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("priority"), col("doc_id"))).cast("long"))
+      .orderBy(col("rank"))
+  }
+
   /** Temperature grid for [[temperatureMix]], shared with the oracle
     * generator. */
   val MixAlphas: Seq[Double] = Seq(0.3, 0.5, 0.7)

@@ -279,6 +279,31 @@ object Dedup {
     * chain, then two cluster-sized hash aggregates; the singleton row
     * is the corpus count minus the clustered count — no scan touches
     * text beyond the shared shingle front. */
+  /** Canonical selection within duplicate clusters: for every clustered
+    * document, WHICH copy survives — the keeper is the longest member
+    * (max `n_chars`, ties to the smallest doc_id; "keep the longest" is
+    * the standard near-dup canonicalization heuristic: the fullest copy
+    * of a templated/reposted text). The decision layer between pair
+    * discovery ([[minhashPairs]]) and the delete list a pipeline
+    * actually executes.
+    *
+    * Determinism: the keeper is `min(struct(−n_chars, doc_id))` — exact
+    * integer comparisons, a stated tie rule, no arg_max luck. Scale:
+    * rides the verified-pair → connected-components chain, then one
+    * cluster-grain aggregate and one equi-join back to members —
+    * nothing beyond the shared shingle front touches text. */
+  def keepBest(documents: DataFrame): DataFrame = {
+    val members = clustersBigStar(minhashPairs(documents))
+      .join(documents.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+    val keepers = members.groupBy(col("cluster_id"))
+      .agg(min(struct((-col("n_chars")).as("neg"), col("doc_id").as("d")))
+        .getField("d").as("keeper_id"))
+    members.join(keepers, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("keeper_id"),
+        (col("doc_id") === col("keeper_id")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   def clusterSizes(documents: DataFrame): DataFrame = {
     val cl = clustersBigStar(minhashPairs(documents))
     val bySize = cl.groupBy(col("cluster_id"))

@@ -104,6 +104,26 @@ object Multimodal {
         col("n_frames"), col("bin").cast("long").as("bin"), col("value"))
       .orderBy(col("id"), col("bin"))
 
+  /** Resolution histogram of the decoded media: blob counts and mean
+    * frame counts on the (modality, width÷16, height÷16) grid — the
+    * shape census a multimodal training mix is balanced against
+    * (resolution buckets decide resize targets and packing shapes).
+    * Rides the [[decode]] seam; the grid is bounded (metadata-sized)
+    * by construction, so the aggregate shuffles a handful of rows
+    * whatever the corpus. avg frames is an exact-integer ratio. */
+  def resolutionHist(documents: DataFrame): DataFrame = {
+    decode(blobs(documents)).toDF()
+      .groupBy(col("modality"),
+        expr("CAST(width AS BIGINT) div 16").as("w_bin"),
+        expr("CAST(height AS BIGINT) div 16").as("h_bin"))
+      .agg(count(lit(1)).as("n_blobs"),
+        sum(col("n_frames").cast("long")).as("n_frames"))
+      .select(col("modality"), col("w_bin"), col("h_bin"), col("n_blobs"),
+        col("n_frames"),
+        round(col("n_frames") / col("n_blobs"), 6).as("avg_frames"))
+      .orderBy(col("modality"), col("w_bin"), col("h_bin"))
+  }
+
   /** Resized media: fixed-length nearest-neighbor downsample of the
     * payload (the byte-domain stand-in for image resizing). */
   def resizePartition(n: Int)(it: Iterator[MediaBlob]): Iterator[ResizedMedia] =

@@ -1219,4 +1219,43 @@ object TimeSeries {
             when(denom > 0.0, denom), 6)).as("hill_alpha"))
       .orderBy(col("ticker"))
   }
+
+  /** Cross-ticker lead-lag correlation: for every ORDERED pair
+    * (lead, lag), the correlation of the lead ticker's 5-minute return
+    * at t with the lag ticker's return at t+5m — the price-discovery
+    * screen (a significantly asymmetric matrix says one symbol's moves
+    * anticipate another's; the contemporaneous symmetric matrix is
+    * [[corrPairs]]).
+    *
+    * Determinism: the [[corrPairsBars]] recipe — identical lag-window
+    * returns, a bucket-shift equi-join (never all-pairs-in-time), the
+    * engines' native `corr` (parity proven by `stock_corr_pairs`) with
+    * the NaN→NULL normalization, rounded to the 1e-6 grid.
+    *
+    * Scale: the join keys on the 5-minute bucket — per-bucket fan-out
+    * is #tickers², a fixed universe, never data-sized; the aggregate
+    * grain is the bounded ordered-pair grid. */
+  def leadLag(spark: SparkSession, dir: String): DataFrame =
+    leadLagBars(closeBars5m(StockPipeline.normalize(Tables.events(spark, dir))))
+
+  private[graft] def leadLagBars(bars: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("ticker")).orderBy(col("bucket"))
+    val prev = lag(col("close"), 1).over(w)
+    val rets = bars
+      .select(col("ticker"), col("bucket"),
+        when(prev =!= 0.0, col("close") / prev - 1).as("ret"))
+      .filter(col("ret").isNotNull)
+    val x = rets.select(col("ticker").as("ticker_lead"), col("bucket"),
+      col("ret").as("r_t"))
+    val y = rets.select(col("ticker").as("ticker_lag"),
+      (col("bucket") - expr("INTERVAL 5 MINUTES")).as("bucket"),
+      col("ret").as("r_next"))
+    x.join(y, Seq("bucket"))
+      .filter(col("ticker_lead") =!= col("ticker_lag"))
+      .groupBy(col("ticker_lead"), col("ticker_lag"))
+      .agg(count(lit(1)).as("n_buckets"),
+        round(nanToNull(corr(col("r_t"), col("r_next"))), 6)
+          .as("lead_corr"))
+      .orderBy(col("ticker_lead"), col("ticker_lag"))
+  }
 }

@@ -1000,4 +1000,17 @@ class CurationSpec extends SparkSpec {
     assert(es.isNullAt(6), "V1 = V diverges -> NULL")
     assert(es.getDouble(4) === 1.0 && es.getDouble(5) === 1.0)
   }
+
+  test("reservoirSample: deterministic bottom-k - ranks are 1..k, " +
+      "priorities non-decreasing, and two runs agree exactly (sf0.001)") {
+    val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = Curation.reservoirSample(d).collect()
+    assert(a.length === math.min(Curation.ReservoirK, d.count()).toInt)
+    assert(a.map(_.getLong(4)).toSeq === (1L to a.length).toSeq)
+    val pris = a.map(_.getLong(3)).toSeq
+    assert(pris === pris.sorted, "priorities must be non-decreasing")
+    val b = Curation.reservoirSample(d).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq,
+      "the sample must be reproducible")
+  }
 }

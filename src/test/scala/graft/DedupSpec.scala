@@ -290,4 +290,32 @@ class DedupSpec extends SparkSpec {
       case Seq(a, b) => assert(a <= b); case _ => ()
     }
   }
+
+  test("keepBest: the cluster keeper is the longest member with ties " +
+      "to the smallest doc_id, and every cluster has exactly one keeper") {
+    // base/near form one near-dup cluster; `near` is the same length as
+    // base, so the tie rule (smallest doc_id) decides; a longer third
+    // member must take over
+    val longer = base + " extra trailing tokens here"
+    val out = Dedup.keepBest(docs(
+      (1L, base), (2L, near), (7L, longer + " x"),
+      (8L, longer + " y"))).collect()
+    // doc 7/8: same length -> 7 keeps; cluster of 1/2/7/8? base, near
+    // and the two longer docs all share the 9-shingle prefix - they
+    // cluster together; keeper = the longest (7 or 8, same n_chars,
+    // tie -> 7)
+    assert(out.nonEmpty)
+    val byCluster = out.groupBy(_.getLong(1))
+    byCluster.foreach { case (_, rows) =>
+      val keepers = rows.filter(_.getBoolean(3))
+      assert(keepers.length === 1, s"one keeper per cluster: $rows")
+      val k = keepers.head
+      // the keeper is a max-n_chars member (checked via the fixture:
+      // doc ids 7/8 are longest; 7 wins the tie)
+      assert(rows.forall(_.getLong(2) === k.getLong(0)))
+    }
+    val keeperIds = out.filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    assert(keeperIds.contains(7L) && !keeperIds.contains(8L),
+      s"length-then-id rule must pick 7, got $keeperIds")
+  }
 }

@@ -157,4 +157,19 @@ class MultimodalSpec extends SparkSpec {
     // some group really merges distinct blobs (the fixture has dups)
     assert(groups.values.toSet.size < groups.size)
   }
+
+  test("resolutionHist: blob mass is conserved on the bounded grid, " +
+      "bins stay in the 64..127 decode range, images are single-frame") {
+    val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = graft.operators.Multimodal.resolutionHist(d).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getLong(3)).sum === d.count())
+    out.foreach { r =>
+      assert(r.getLong(1) >= 4L && r.getLong(1) <= 7L, s"w_bin: $r")
+      assert(r.getLong(2) >= 4L && r.getLong(2) <= 7L, s"h_bin: $r")
+      assert(r.getDouble(5) >= 1.0)
+      if (r.getString(0) == "image")
+        assert(r.getLong(4) === r.getLong(3), "images are 1 frame each")
+    }
+  }
 }

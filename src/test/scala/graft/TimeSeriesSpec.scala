@@ -904,6 +904,30 @@ class TimeSeriesSpec extends SparkSpec {
       "an all-equal tail (denom 0) must yield NULL")
   }
 
+  test("leadLagBars: a ticker whose closes are another's shifted one " +
+      "bucket shows perfect lead correlation in that direction") {
+    // B's close at bucket i+1 IS A's close at bucket i -> r_B(t+5m) is
+    // the bit-identical division r_A(t) -> corr(A leads B) = 1
+    val aCloses = Seq(100.0, 110.0, 99.0, 120.0, 90.0, 108.0)
+    val a = aCloses.zipWithIndex.map { case (c, i) => ("A", i * 5, c) }
+    val b = aCloses.dropRight(1).zipWithIndex
+      .map { case (c, i) => ("B", (i + 1) * 5, c) }
+    val out = TimeSeries.leadLagBars(bars(a ++ b: _*)).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    // A's returns exist at buckets 1..5, B's at buckets 2..5 -> pairs
+    // (r_A(b_i), r_B(b_{i+1})) for i = 1..4
+    val (nAB, cAB) = out(("A", "B"))
+    assert(nAB === 4L)
+    assert(cAB === Some(1.0), s"perfect lead must give corr 1, got $cAB")
+    // the reverse direction pairs r_B with A's NEXT return - r_B(t) =
+    // r_A(t-1), so it correlates r_A(t-1) with r_A(t+1): lag-2
+    // autocorrelation of an arbitrary series, present but not 1
+    val (nBA, cBA) = out(("B", "A"))
+    assert(nBA === 3L && cBA.isDefined && cBA.get < 1.0)
+  }
+
   test("streaming ATR (transformWithState) is bit-identical to the " +
       "batch lag-chain kernel across split triggers") {
     implicit val sqlCtx = spark.sqlContext
