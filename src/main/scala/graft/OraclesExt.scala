@@ -1516,6 +1516,33 @@ SELECT n_vecs, round(mean, 6) AS mean_indeg, round(m2, 6) AS var_indeg,
   max_indeg, n_antihubs,
   round(n_antihubs / CAST(n_vecs AS DOUBLE), 6) AS antihub_share
 FROM mm"""),
+    // embedding norm health report: the proven-parity sequential dot,
+    // decimal moment sums (VARCHAR crossings), pinned-order closing
+    // stats
+    "sim_norm_stats" -> s"""
+WITH norms AS (
+  SELECT sqrt(list_inner_product(embedding::DOUBLE[],
+    embedding::DOUBLE[])) AS nm
+  FROM embeddings),
+m AS (
+  SELECT count(*)::BIGINT AS n_vecs,
+    CAST(CAST(sum(CAST(CAST(nm AS VARCHAR) AS DECIMAL(38,18)))
+      AS VARCHAR) AS DOUBLE) AS s1,
+    CAST(CAST(sum(CAST(CAST(nm * nm AS VARCHAR) AS DECIMAL(38,18)))
+      AS VARCHAR) AS DOUBLE) AS s2,
+    min(nm) AS mn, max(nm) AS mx
+  FROM norms)
+SELECT n_vecs,
+  round(s1 / CAST(n_vecs AS DOUBLE), 6) AS mean_norm,
+  round(sqrt(greatest(s2 / CAST(n_vecs AS DOUBLE) -
+    s1 / CAST(n_vecs AS DOUBLE) * (s1 / CAST(n_vecs AS DOUBLE)),
+    0.0)), 6) AS sd_norm,
+  round(mn, 6) AS min_norm, round(mx, 6) AS max_norm,
+  CASE WHEN s1 / CAST(n_vecs AS DOUBLE) <> 0.0 THEN
+    round(sqrt(greatest(s2 / CAST(n_vecs AS DOUBLE) -
+      s1 / CAST(n_vecs AS DOUBLE) * (s1 / CAST(n_vecs AS DOUBLE)),
+      0.0)) / (s1 / CAST(n_vecs AS DOUBLE)), 6) END AS norm_cv
+FROM m""",
     // hapax/vocabulary-richness report: exact integer counts from two
     // hash aggregates, ln on exact longs, pinned-order Honore R
     "text_hapax" -> s"""

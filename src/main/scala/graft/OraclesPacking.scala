@@ -137,6 +137,33 @@ SELECT pack_id, count(*)::BIGINT AS n_docs,
   sum(n_tokens)::BIGINT AS fill_tokens,
   round(sum(n_tokens)::DOUBLE / ${Packing.packBudget}, 6) AS utilization
 FROM pa GROUP BY pack_id ORDER BY pack_id""",
+    // per-pack within-document attention mass over the same assignment
+    // chain: exact integer sums, NULL-guarded closing ratio
+    "pack_attention_mass" -> s"""
+WITH $toksCte,
+t AS (SELECT doc_id, len(tk)::BIGINT AS n_tokens FROM toks),
+cum AS (
+  SELECT doc_id, n_tokens,
+    sum(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_tokens
+  FROM t),
+pa AS (
+  SELECT doc_id, n_tokens,
+    ((cum_tokens - n_tokens) // ${Packing.packBudget})::BIGINT AS pack_id
+  FROM cum),
+g AS (
+  SELECT pack_id, count(*)::BIGINT AS n_docs,
+    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+    CAST(sum(n_tokens * n_tokens) AS BIGINT) AS s2
+  FROM pa GROUP BY pack_id)
+SELECT pack_id, n_docs, n_tokens,
+  CASE WHEN n_tokens > 0 THEN
+    round(s2 / CAST(n_tokens * n_tokens AS DOUBLE), 6) END
+    AS within_share,
+  CASE WHEN n_tokens > 0 THEN
+    round(1.0 - s2 / CAST(n_tokens * n_tokens AS DOUBLE), 6) END
+    AS cross_share
+FROM g ORDER BY pack_id""",
     // the same global cumsum chain budgeted in greedy merge-table
     // subwords instead of whitespace tokens
     "pack_assign_bpe" -> s"""

@@ -715,6 +715,12 @@ object SparkEntry {
     // decoded-media resolution histogram (modality x w/16 x h/16 grid)
     "mm_resolution_hist" -> ((s, d) =>
       graft.operators.Multimodal.resolutionHist(Tables.documents(s, d))),
+    // per-pack within-document attention mass (masking decision data)
+    "pack_attention_mass" -> ((s, d) =>
+      graft.operators.Packing.attentionMass(Tables.documents(s, d))),
+    // embedding L2-norm health report (pre-normalization QA)
+    "sim_norm_stats" -> ((s, d) =>
+      Similarity.normStats(Tables.embeddings(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -235,6 +235,41 @@ object Packing {
           .as("utilization"))
       .orderBy(col("pack_id"))
 
+  /** Per-pack attention accounting: when packed sequences train WITHOUT
+    * cross-document attention masking, only the within-document share
+    * of the pack's token-pair mass is useful signal — `within_share` =
+    * Σnᵢ² / (Σnᵢ)² per pack (1.0 = a single document fills the pack,
+    * → 1/n_docs as the pack fragments), and `cross_share` is the
+    * contamination a masking implementation would eliminate. The
+    * measurement that decides whether sequence packing needs block-
+    * diagonal attention at a given corpus length profile.
+    *
+    * Determinism: token counts are exact integers; Σn² stays in BIGINT
+    * (n ≤ budget, so n² ≤ budget² per term) and the single closing
+    * ratio is long/long double division. Scale: rides [[packAssign]]
+    * (the two-level scan) plus one hash aggregate on the evenly-filled
+    * pack grain. */
+  def attentionMass(documents: DataFrame,
+      budget: Int = packBudget): DataFrame =
+    packAssign(documents, budget)
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_tokens") * col("n_tokens")).as("s2"))
+      .select(col("pack_id"), col("n_docs"), col("n_tokens"), {
+        // NULL divisor: an all-empty pack must yield NULL, not an ANSI
+        // divide-by-zero (CSE can hoist the shared division out of a
+        // when() guard)
+        val t2 = when(col("n_tokens") > 0,
+          col("n_tokens") * col("n_tokens"))
+        round(col("s2") / t2, 6).as("within_share")
+      }, {
+        val t2 = when(col("n_tokens") > 0,
+          col("n_tokens") * col("n_tokens"))
+        round(lit(1.0) - col("s2") / t2, 6).as("cross_share")
+      })
+      .orderBy(col("pack_id"))
+
   /** Documents per training shard for [[shardAssign]]. */
   val shardDocs = 64L
 

@@ -1337,6 +1337,32 @@ object Similarity {
     * bounded), so there is no float accumulation at all; only the
     * closed-form ratio is double math, in one pinned order. Degenerate
     * graphs (all degrees equal → zero variance) yield NULL. */
+  /** Embedding L2-norm health report: count, mean/sd (decimal-exact
+    * moments), min/max and the coefficient of variation of raw vector
+    * norms — the first QA check on any embedding table (a wide or
+    * bimodal norm distribution before unit-normalization usually means
+    * mixed encoder versions or truncated vectors; cosine retrieval
+    * silently degrades either way). One map-side projection (the
+    * codegen'd [[dot]]) and a single-row reduction — no shuffle beyond
+    * the scalar aggregate at any corpus size. */
+  def normStats(embeddings: DataFrame): DataFrame = {
+    val norms = embeddings.select(
+      sqrt(dot(col("embedding"), col("embedding"))).as("nm"))
+    def dsum18(c: Column) = sum(c.cast("decimal(38,18)")).cast("double")
+    val m = norms.agg(count(lit(1)).as("n_vecs"),
+      dsum18(col("nm")).as("s1"), dsum18(col("nm") * col("nm")).as("s2"),
+      min(col("nm")).as("mn"), max(col("nm")).as("mx"))
+    val nd = col("n_vecs").cast("double")
+    val mean = col("s1") / nd
+    val sd = sqrt(greatest(
+      col("s2") / nd - mean * mean, lit(0.0)))
+    m.select(col("n_vecs"), round(mean, 6).as("mean_norm"),
+        round(sd, 6).as("sd_norm"), round(col("mn"), 6).as("min_norm"),
+        round(col("mx"), 6).as("max_norm"),
+        when(mean =!= 0.0,
+          round(sd / when(mean =!= 0.0, mean), 6)).as("norm_cv"))
+  }
+
   /** Hubness report of the kNN graph: the in-degree (k-occurrence)
     * distribution — mean, variance, skewness, the max hub and the
     * antihub share (vectors NO ONE lists as a neighbor). High skew is

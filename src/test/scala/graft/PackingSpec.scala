@@ -296,4 +296,33 @@ class PackingSpec extends SparkSpec {
     assert(stats.map(_._7).reduce(_ ^ _) === corpus,
       "shard checksums must compose to the corpus checksum")
   }
+
+  test("attentionMass: shares are exact n-squared ratios that sum to 1 " +
+      "with cross_share, and a single-doc pack is pure within-mass") {
+    import spark.implicits._
+    import graft.operators.Packing
+    // budget 10: docs of 4+6 fill pack 0 exactly; a 10-token doc owns
+    // pack 1; 3+3 land in pack 2
+    val d = Seq(
+      (1L, Seq.fill(4)("t").mkString(" ")),
+      (2L, Seq.fill(6)("t").mkString(" ")),
+      (3L, Seq.fill(10)("t").mkString(" ")),
+      (4L, Seq.fill(3)("t").mkString(" ")),
+      (5L, Seq.fill(3)("t").mkString(" ")))
+      .map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Packing.attentionMass(d, budget = 10).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val p0 = out(0L)
+    assert((p0.getLong(1), p0.getLong(2)) === ((2L, 10L)))
+    assert(p0.getDouble(3) === r6((16.0 + 36.0) / 100.0))
+    val p1 = out(1L)
+    assert(p1.getLong(1) === 1L && p1.getDouble(3) === 1.0 &&
+      p1.getDouble(4) === 0.0)
+    out.values.foreach { r =>
+      assert(math.abs(r.getDouble(3) + r.getDouble(4) - 1.0) < 2e-6)
+    }
+  }
 }

@@ -971,6 +971,50 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("streaming stochastic (transformWithState) is bit-identical to " +
+      "the batch extrema + lag-chain kernel across split triggers, " +
+      "NULL %K rows included") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{OhlcRow, StochState}
+    val dir = "/root/testdata/sf0.001"
+    val ohlcDf = graft.operators.StockPipeline.ohlc5m(
+      graft.operators.StockPipeline.normalize(
+        graft.sources.Tables.events(spark, dir)))
+    import spark.implicits._
+    val rows = ohlcDf
+      .select("ticker", "window_timestamp", "high", "low", "close")
+      .as[OhlcRow].collect().sortBy(_.window_timestamp.getTime)
+    val chunks = rows.grouped(math.max(rows.length / 3, 1)).toSeq
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[OhlcRow]
+    val q = StochState.attach(stream.toDS()).writeStream
+      .format("memory").queryName("stoch_tws_sink")
+      .outputMode("append").start()
+    try {
+      chunks.foreach { c =>
+        stream.addData(c.toSeq: _*); q.processAllAvailable()
+      }
+      val streamed = spark.table("stoch_tws_sink")
+        .orderBy("ticker", "window_timestamp").collect()
+      val batch = graft.operators.TimeSeries.stochasticOhlc(ohlcDf)
+        .orderBy("ticker", "window_timestamp").collect()
+      assert(streamed.length === batch.length && batch.nonEmpty)
+      streamed.zip(batch).foreach { case (s, b) =>
+        assert(s.toSeq === b.toSeq, s"stream $s vs batch $b")
+      }
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("corrPairs on sf0.001: every correlation is in [-1, 1] and the " +
       "pair set is the strict upper triangle") {
     val out = TimeSeries.corrPairs(spark, "/root/testdata/sf0.001")

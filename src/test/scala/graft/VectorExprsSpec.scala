@@ -65,4 +65,24 @@ class VectorExprsSpec extends SparkSpec {
         r.getAs[Long]("vec_id")).toMap
     assert(out((0, 1L)) === 4L)
   }
+
+  test("normStats: hand-checkable norms - 3-4-5 style vectors give " +
+      "exact mean/sd/extremes and a positive cv") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, 0L, Array(3.0f, 4.0f)),   // norm 5
+      (2L, 0L, Array(6.0f, 8.0f)),   // norm 10
+      (3L, 0L, Array(0.0f, 1.0f)))   // norm 1
+      .toDF("vec_id", "label", "embedding")
+    val r = graft.operators.Similarity.normStats(d).collect().head
+    assert(r.getLong(0) === 3L)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val mean = 16.0 / 3.0
+    val sd = math.sqrt((25.0 + 100.0 + 1.0) / 3.0 - mean * mean)
+    assert(math.abs(r.getDouble(1) - r6(mean)) < 1e-9)
+    assert(math.abs(r.getDouble(2) - sd) < 1e-6)
+    assert(r.getDouble(3) === 1.0 && r.getDouble(4) === 10.0)
+    assert(math.abs(r.getDouble(5) - sd / mean) < 1e-6)
+  }
 }
