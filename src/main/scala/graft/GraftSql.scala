@@ -1,7 +1,5 @@
 package graft
 
-import java.util.regex.Matcher
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** BigQuery-dialect compatibility shim for the reference's query corpus
@@ -31,23 +29,24 @@ object GraftSql {
 
   def rewrite(query: String, tableMap: Map[String, String] = Map.empty,
       now: Option[String] = None): String = {
-    // lexical rewrites apply OUTSIDE single-quoted string literals only
-    // — a literal that happens to contain `TIMESTAMP_SUB(...)`,
-    // CURRENT_TIMESTAMP() or a backtick path must survive byte-for-byte
-    var q = mapNonLiteral(query.trim.stripSuffix(";")) { seg =>
-      var t = "`([^`]+)`".r.replaceAllIn(seg, m => {
-        val full = m.group(1)
-        Matcher.quoteReplacement(
-          tableMap.getOrElse(full, full.split('.').last))
-      })
-      t = "(?i)TIMESTAMP_SUB\\(\\s*([^,]*\\([^)]*\\)[^,]*|[^,]+),\\s*INTERVAL\\s+(\\d+)\\s+(\\w+)\\s*\\)".r
-        .replaceAllIn(t, m => Matcher.quoteReplacement(
-          s"(${m.group(1).trim} - INTERVAL ${m.group(2)} ${m.group(3)})"))
-      now.foreach { n =>
-        t = "(?i)CURRENT_TIMESTAMP\\(\\)".r
-          .replaceAllIn(t, Matcher.quoteReplacement(s"($n)"))
-      }
-      t
+    // lexical rewrites must not fire INSIDE string literals (a literal
+    // containing `TIMESTAMP_SUB(...)`, CURRENT_TIMESTAMP() or a
+    // backtick path survives byte-for-byte) — but a construct whose
+    // ARGUMENT contains a literal must still rewrite. So each regex
+    // matches against the literal-MASKED text (same length) and the
+    // replacement splices group text from the ORIGINAL at the matched
+    // offsets.
+    var q = query.trim.stripSuffix(";")
+    q = rewriteMasked(q, "`([^`]+)`".r) { gs =>
+      val full = gs.head
+      tableMap.getOrElse(full, full.split('.').last)
+    }
+    q = rewriteMasked(q,
+      "(?i)TIMESTAMP_SUB\\(\\s*([^,]*\\([^)]*\\)[^,]*|[^,]+),\\s*INTERVAL\\s+(\\d+)\\s+(\\w+)\\s*\\)".r) {
+      gs => s"(${gs(0).trim} - INTERVAL ${gs(1)} ${gs(2)})"
+    }
+    now.foreach { n =>
+      q = rewriteMasked(q, "(?i)CURRENT_TIMESTAMP\\(\\)".r)(_ => s"($n)")
     }
     // keyword scan runs on a literal-MASKED copy (same length, literal
     // bytes blanked) so a FROM/QUALIFY/ORDER inside a string can never
@@ -73,32 +72,38 @@ object GraftSql {
     }
   }
 
-  /** Apply `f` to the maximal non-literal segments of `s`, passing
-    * single-quoted literals (with `''` escapes) through untouched. */
-  private def mapNonLiteral(s: String)(f: String => String): String = {
+  /** Replace every match of `re` against the literal-MASKED text,
+    * splicing the replacement from group text taken at the matched
+    * offsets in the ORIGINAL (mask preserves length, so offsets
+    * agree) — a keyword inside a literal can't start a match, but a
+    * literal inside a matched construct's argument is carried through
+    * verbatim. Unmatched groups arrive as null. */
+  private def rewriteMasked(q: String,
+      re: scala.util.matching.Regex)(repl: List[String] => String): String = {
+    val masked = maskLiterals(q)
     val out = new StringBuilder
-    val seg = new StringBuilder
-    var i = 0
-    while (i < s.length) {
-      if (s.charAt(i) == '\'') {
-        out ++= f(seg.toString()); seg.clear()
-        val close = literalEnd(s, i)
-        out ++= s.substring(i, close)
-        i = close
-      } else { seg += s.charAt(i); i += 1 }
+    var last = 0
+    re.findAllMatchIn(masked).foreach { m =>
+      out ++= q.substring(last, m.start)
+      val groups = (1 to m.groupCount).map(g =>
+        if (m.start(g) < 0) null else q.substring(m.start(g), m.end(g)))
+        .toList
+      out ++= repl(groups)
+      last = m.end
     }
-    out ++= f(seg.toString())
+    out ++= q.substring(last)
     out.toString()
   }
 
-  /** End index (exclusive) of the literal opening at `start`; an
-    * unterminated literal runs to end-of-string (the engine passes it
-    * through for the SQL parser to reject). */
-  private def literalEnd(s: String, start: Int): Int = {
+  /** End index (exclusive) of the literal opening at `start` with
+    * quote char `qc` (doubled-quote escapes); an unterminated literal
+    * runs to end-of-string (the engine passes it through for the SQL
+    * parser to reject). */
+  private def literalEnd(s: String, start: Int, qc: Char): Int = {
     var i = start + 1
     while (i < s.length) {
-      if (s.charAt(i) == '\'') {
-        if (i + 1 < s.length && s.charAt(i + 1) == '\'') i += 2 // escape
+      if (s.charAt(i) == qc) {
+        if (i + 1 < s.length && s.charAt(i + 1) == qc) i += 2 // escape
         else return i + 1
       } else i += 1
     }
@@ -106,13 +111,18 @@ object GraftSql {
   }
 
   /** Same-length copy with every string literal (quotes included)
-    * blanked to spaces, so index math on the original stays valid. */
+    * blanked to spaces, so index math on the original stays valid.
+    * Both quote styles are masked: `'...'` is a string literal
+    * everywhere, and `"..."` is a string in the reference's BigQuery
+    * dialect (and an identifier elsewhere — masking is correct either
+    * way: neither may steer the keyword scan or be rewritten). */
   private def maskLiterals(s: String): String = {
     val out = s.toCharArray
     var i = 0
     while (i < s.length) {
-      if (s.charAt(i) == '\'') {
-        val close = literalEnd(s, i)
+      val c = s.charAt(i)
+      if (c == '\'' || c == '"') {
+        val close = literalEnd(s, i, c)
         java.util.Arrays.fill(out, i, close, ' ')
         i = close
       } else i += 1

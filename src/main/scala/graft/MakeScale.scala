@@ -56,14 +56,21 @@ object MakeScale {
       shift(k, "l_orderkey", "l_partkey", "l_suppkey")(
         Tables.lineitem(spark, sfDir)))
 
-    // events: time-shifted copies (window/key cardinality grows)
+    // events: time-shifted copies (window/key cardinality grows);
+    // user_id shifts with the copy so the USER universe scales N× like
+    // every other entity — per-user history length stays realistic
+    // (ScaleProbe's asof mode deliberately keeps users FIXED to stress
+    // that axis; this tool emulates real growth instead)
     write("events", k => Tables.events(spark, sfDir)
       .withColumn("ts", col("ts") + make_interval(
         lit(0), lit(0), lit(0), lit(31 * k), lit(0), lit(0)))
-      .withColumn("event_id", col("event_id") + lit(k.toLong * 1000000000L)))
+      .withColumn("event_id", col("event_id") + lit(k.toLong * 1000000000L))
+      .withColumn("user_id", col("user_id") + lit(k.toLong * 1000000000L)))
 
     // documents: per-copy token suffixes (distinct shingles/hashes —
-    // key cardinality, not duplicate density, grows)
+    // key cardinality, not duplicate density, grows); n_chars is
+    // recomputed so the table invariant n_chars = length(text) holds
+    // for the suffixed copies too
     write("documents", k => {
       val base = Tables.documents(spark, sfDir)
       if (k == 0) base
@@ -71,6 +78,7 @@ object MakeScale {
         .withColumn("doc_id", col("doc_id") + lit(k.toLong * 1000000000L))
         .withColumn("text", expr(
           s"concat_ws(' ', transform(split(trim(text), '\\\\s+'), t -> concat(t, '_$k')))"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
     })
 
     // embeddings: rotated copies (unit norm preserved, distinct points)

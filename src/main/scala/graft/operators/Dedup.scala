@@ -271,14 +271,6 @@ object Dedup {
     perT.reduce(_ unionAll _).orderBy(col("threshold"))
   }
 
-  /** Duplicate-cluster size histogram: how many near-dup clusters
-    * exist at each size, singletons included — the one-page shape
-    * report a dedup deployment is judged by (a heavy large-cluster
-    * tail means template spam; mostly pairs means organic
-    * re-posting). Composes the verified pair → connected-components
-    * chain, then two cluster-sized hash aggregates; the singleton row
-    * is the corpus count minus the clustered count — no scan touches
-    * text beyond the shared shingle front. */
   /** Canonical selection within duplicate clusters: for every clustered
     * document, WHICH copy survives — the keeper is the longest member
     * (max `n_chars`, ties to the smallest doc_id; "keep the longest" is
@@ -304,6 +296,14 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Duplicate-cluster size histogram: how many near-dup clusters
+    * exist at each size, singletons included — the one-page shape
+    * report a dedup deployment is judged by (a heavy large-cluster
+    * tail means template spam; mostly pairs means organic
+    * re-posting). Composes the verified pair → connected-components
+    * chain, then two cluster-sized hash aggregates; the singleton row
+    * is the corpus count minus the clustered count — no scan touches
+    * text beyond the shared shingle front. */
   def clusterSizes(documents: DataFrame): DataFrame = {
     val cl = clustersBigStar(minhashPairs(documents))
     val bySize = cl.groupBy(col("cluster_id"))

@@ -1327,16 +1327,6 @@ object Similarity {
           .as("two_nn_dim"))
   }
 
-  /** Degree assortativity of the mutual-kNN graph: the Pearson
-    * correlation of endpoint degrees over the directed edge list (each
-    * undirected edge in both orientations — the standard Newman
-    * estimator). Positive means hubs link to hubs (a dense-core
-    * corpus); negative means hub-periphery (a few representatives
-    * cover many satellites — the shape SemDeDup exploits). Every
-    * moment sum is an exact INTEGER sum (degrees are integers, k-
-    * bounded), so there is no float accumulation at all; only the
-    * closed-form ratio is double math, in one pinned order. Degenerate
-    * graphs (all degrees equal → zero variance) yield NULL. */
   /** Embedding L2-norm health report: count, mean/sd (decimal-exact
     * moments), min/max and the coefficient of variation of raw vector
     * norms — the first QA check on any embedding table (a wide or
@@ -1406,6 +1396,16 @@ object Similarity {
         round(col("n_antihubs") / col("n_vecs"), 6).as("antihub_share"))
   }
 
+  /** Degree assortativity of the mutual-kNN graph: the Pearson
+    * correlation of endpoint degrees over the directed edge list (each
+    * undirected edge in both orientations — the standard Newman
+    * estimator). Positive means hubs link to hubs (a dense-core
+    * corpus); negative means hub-periphery (a few representatives
+    * cover many satellites — the shape SemDeDup exploits). Every
+    * moment sum is an exact INTEGER sum (degrees are integers, k-
+    * bounded), so there is no float accumulation at all; only the
+    * closed-form ratio is double math, in one pinned order. Degenerate
+    * graphs (all degrees equal → zero variance) yield NULL. */
   def assortativity(embeddings: DataFrame, k: Int = 3,
       cells: Int = kmK): DataFrame = {
     val e = mutualKnnGraph(embeddings, k, cells)

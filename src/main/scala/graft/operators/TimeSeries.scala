@@ -116,16 +116,11 @@ object TimeSeries {
       StockPipeline.normalize(Tables.events(spark, dir))))
 
   private[graft] def corrPairsBars(bars: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("ticker")).orderBy(col("bucket"))
-    // explicit ≠0 guard: a zero close (a valid price in the feed) would
-    // otherwise throw DIVIDE_BY_ZERO under Spark 4's ANSI default —
-    // the row drops like the leading NULL, and the oracle states the
-    // identical CASE (DuckDB would silently produce ±inf instead)
-    val prev = lag(col("close"), 1).over(w)
-    val rets = bars
-      .select(col("ticker"), col("bucket"),
-        when(prev =!= 0.0, col("close") / prev - 1).as("ret"))
-      .filter(col("ret").isNotNull)
+    // the ≠0 guard in simpleRets: a zero close (a valid price in the
+    // feed) would otherwise throw DIVIDE_BY_ZERO under Spark 4's ANSI
+    // default — the row drops like the leading NULL, and the oracle
+    // states the identical CASE (DuckDB would silently produce ±inf)
+    val rets = simpleRets(bars, "ret")
     val a = rets.select(col("ticker").as("ticker_a"), col("bucket"),
       col("ret").as("ret_a"))
     val b = rets.select(col("ticker").as("ticker_b"), col("bucket"),
@@ -142,6 +137,27 @@ object TimeSeries {
 
   private def nanToNull(c: org.apache.spark.sql.Column) =
     when(isnan(c), lit(null)).otherwise(c)
+
+  /** DECIMAL(38,18)-grid sum cast back to double — the engine's
+    * order-independent float accumulator, stated identically by every
+    * oracle (which crosses via VARCHAR where magnitudes demand it).
+    * One definition; every moment kernel in this file uses it. */
+  private def dsum18(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(38,18)")).cast("double")
+
+  /** The shared simple-return block: per-ticker 5-minute returns
+    * close/prev − 1 with the ≠0 ANSI guard, leading-NULL rows dropped —
+    * (ticker, bucket, <as>). corrPairs/hurst/leadLag/hillTail all
+    * derive from THIS definition so a guard fix can never drift
+    * between kernels. */
+  private def simpleRets(bars: DataFrame, as: String): DataFrame = {
+    val w = Window.partitionBy(col("ticker")).orderBy(col("bucket"))
+    val prev = lag(col("close"), 1).over(w)
+    bars
+      .select(col("ticker"), col("bucket"),
+        when(prev =!= 0.0, col("close") / prev - 1).as(as))
+      .filter(col(as).isNotNull)
+  }
 
   /** Return-distribution moments per ticker: mean, variance, skewness
     * and excess kurtosis of the 5-minute simple returns — the shape
@@ -163,8 +179,6 @@ object TimeSeries {
       .select(col("ticker"),
         when(prev =!= 0.0, col("close") / prev - 1).as("r"))
       .filter(col("r").isNotNull)
-    def dsum18(c: org.apache.spark.sql.Column) =
-      sum(c.cast("decimal(38,18)")).cast("double")
     val m = rets.groupBy(col("ticker"))
       .agg(count(lit(1)).as("n_rets"),
         dsum18(col("r")).as("s1"),
@@ -251,8 +265,6 @@ object TimeSeries {
         lag(col("r"), 1).over(
           Window.partitionBy(col("ticker")).orderBy(col("bucket")))
           .as("rl"))
-    def dsum18(c: org.apache.spark.sql.Column) =
-      sum(c.cast("decimal(38,18)")).cast("double")
     val halfPi = math.Pi / 2
     val m = withLag.groupBy(col("ticker")).agg(
       count(col("r")).as("n_rets"),
@@ -332,8 +344,6 @@ object TimeSeries {
       .select(col("ticker"),
         col("dx"), lag(col("dx"), 1).over(w).as("dy"))
       .filter(col("dx").isNotNull && col("dy").isNotNull)
-    def dsum18(c: org.apache.spark.sql.Column) =
-      sum(c.cast("decimal(38,18)")).cast("double")
     val m = withLags.groupBy(col("ticker")).agg(
       count(lit(1)).as("n_pairs"),
       dsum18(col("dx")).as("sx"), dsum18(col("dy")).as("sy"),
@@ -449,8 +459,6 @@ object TimeSeries {
         .as("r1"),
       when(pq > 0.0 && col("close") > 0.0, log(col("close") / pq))
         .as("rq"))
-    def dsum18(c: org.apache.spark.sql.Column) =
-      sum(c.cast("decimal(38,18)")).cast("double")
     val m = rets.groupBy(col("ticker")).agg(
       count(col("r1")).as("n1"), dsum18(col("r1")).as("a1"),
       dsum18(col("r1") * col("r1")).as("b1"),
@@ -1019,15 +1027,9 @@ object TimeSeries {
 
   private[graft] def hurstBars(bars: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("ticker")).orderBy(col("bucket"))
-    val prev = lag(col("close"), 1).over(w)
-    val rets = bars
-      .select(col("ticker"), col("bucket"),
-        when(prev =!= 0.0, col("close") / prev - 1).as("r"))
-      .filter(col("r").isNotNull)
+    val rets = simpleRets(bars, "r")
       .select(col("ticker"), col("r"),
         row_number().over(w).cast("long").as("idx"))
-    def dsum18(c: org.apache.spark.sql.Column) =
-      sum(c.cast("decimal(38,18)")).cast("double")
     val perK = HurstKs.map { k =>
       val blocks = rets
         .groupBy(col("ticker"), expr(s"(idx - 1) div $k").as("blk"))
@@ -1099,8 +1101,6 @@ object TimeSeries {
           abs(col("close") / prev - 1)).as("y"),
         when(col("dv") > 0.0, sqrt(col("dv"))).as("x"))
       .filter(col("y").isNotNull && col("x").isNotNull)
-    def dsum18(c: org.apache.spark.sql.Column) =
-      sum(c.cast("decimal(38,18)")).cast("double")
     val m = pairs.groupBy(col("ticker")).agg(
       count(lit(1)).as("n_bars"),
       dsum18(col("x")).as("sx"), dsum18(col("x") * col("x")).as("sxx"),
@@ -1146,8 +1146,6 @@ object TimeSeries {
     val pairs = bars.select(col("ticker"),
         prev.as("x"), (col("close") - prev).as("y"))
       .filter(col("x").isNotNull)
-    def dsum18(c: org.apache.spark.sql.Column) =
-      sum(c.cast("decimal(38,18)")).cast("double")
     val m = pairs.groupBy(col("ticker")).agg(
       count(lit(1)).as("n_pairs"),
       dsum18(col("x")).as("sx"), dsum18(col("x") * col("x")).as("sxx"),
@@ -1194,19 +1192,16 @@ object TimeSeries {
       StockPipeline.normalize(Tables.events(spark, dir))))
 
   private[graft] def hillTailBars(bars: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("ticker")).orderBy(col("bucket"))
-    val prev = lag(col("close"), 1).over(w)
-    val rets = bars
-      .select(col("ticker"), col("bucket"),
-        when(prev =!= 0.0, abs(col("close") / prev - 1)).as("r"))
-      .filter(col("r").isNotNull && col("r") > 0.0)
+    // abs() of the shared return block is value-identical to the
+    // oracle's abs-inside-the-guard form
+    val rets = simpleRets(bars, "r0")
+      .select(col("ticker"), col("bucket"), abs(col("r0")).as("r"))
+      .filter(col("r") > 0.0)
     val topW = Window.partitionBy(col("ticker"))
       .orderBy(col("r").desc, col("bucket"))
     val top = rets
       .withColumn("rn", row_number().over(topW))
       .filter(col("rn") <= HillK)
-    def dsum18(c: org.apache.spark.sql.Column) =
-      sum(c.cast("decimal(38,18)")).cast("double")
     val m = top.groupBy(col("ticker")).agg(
       count(lit(1)).as("n_tail"),
       min(col("r")).as("r_k"),
@@ -1239,12 +1234,7 @@ object TimeSeries {
     leadLagBars(closeBars5m(StockPipeline.normalize(Tables.events(spark, dir))))
 
   private[graft] def leadLagBars(bars: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("ticker")).orderBy(col("bucket"))
-    val prev = lag(col("close"), 1).over(w)
-    val rets = bars
-      .select(col("ticker"), col("bucket"),
-        when(prev =!= 0.0, col("close") / prev - 1).as("ret"))
-      .filter(col("ret").isNotNull)
+    val rets = simpleRets(bars, "ret")
     val x = rets.select(col("ticker").as("ticker_lead"), col("bucket"),
       col("ret").as("r_t"))
     val y = rets.select(col("ticker").as("ticker_lag"),

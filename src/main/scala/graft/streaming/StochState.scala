@@ -7,8 +7,10 @@ import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
 
 /** Per-bar stochastic-oscillator emission — schema matches the batch
   * [[graft.operators.TimeSeries.stochasticOhlc]] output (both
-  * oscillator columns are nullable: %K on a flat window, %D never —
-  * its window always holds the current bar). */
+  * oscillator columns are nullable: %K on a flat extrema window, %D
+  * when every %K in its smoothing window is NULL — e.g. a ticker flat
+  * for [[graft.operators.TimeSeries.StochSmooth]]+ consecutive
+  * bars). */
 case class StochRow(ticker: String, window_timestamp: Timestamp,
     pct_k: Option[Double], pct_d: Option[Double])
 

@@ -344,6 +344,28 @@ LIMIT 100
       "SELECT '`a.b.c` isn''t a table ref' AS s FROM z")
   }
 
+  test("literal-in-argument: TIMESTAMP_SUB with a literal first arg " +
+      "still rewrites, carrying the literal through verbatim") {
+    assert(GraftSql.rewrite(
+      "SELECT * FROM t WHERE ts > " +
+        "TIMESTAMP_SUB(TIMESTAMP '2024-01-01 00:00:00', INTERVAL 1 DAY)") ===
+      "SELECT * FROM t WHERE ts > " +
+        "(TIMESTAMP '2024-01-01 00:00:00' - INTERVAL 1 DAY)")
+    // a comma INSIDE the argument's literal must not split the args
+    assert(GraftSql.rewrite(
+      "SELECT TIMESTAMP_SUB(coalesce(ts, TIMESTAMP 'a,b'), INTERVAL 5 MINUTE) AS x") ===
+      "SELECT (coalesce(ts, TIMESTAMP 'a,b') - INTERVAL 5 MINUTE) AS x")
+  }
+
+  test("double-quoted strings: masked like single-quoted — no keyword " +
+      "steering, no rewrites inside") {
+    val q = "SELECT \" FROM fake \" AS s, '`a.b.c`' AS t FROM `x.y.z` " +
+      "QUALIFY rn = 1"
+    assert(GraftSql.rewrite(q).trim ===
+      "SELECT \" FROM fake \" AS s, '`a.b.c`' AS t FROM (SELECT *, " +
+        "(rn = 1) AS __keep FROM z) WHERE __keep")
+  }
+
   test("negative cases: keywords inside literals never steer the " +
       "QUALIFY split") {
     // a FROM inside a string literal must not be taken as the real FROM

@@ -100,6 +100,15 @@ class PlanAuditSpec extends SparkSpec {
     *  - df: document-frequency histogram values (≤ df cap)
     *  - hamming: pHash Hamming distances (≤ 65)
     *  - z: z-order curve values (≤ 4^zorderBits)
+    *
+    * This is a NAMING CONTRACT, not a proof: the audit trusts that
+    * these column names are reserved for bounded grids engine-wide
+    * (true cardinality lives in the operator, which the audit can't
+    * see). Never reuse a listed name for a data-sized grouping key —
+    * an unbounded per-user "bucket" would silently pass; conversely an
+    * anonymous bounded grouping (inline expression →
+    * `_groupingexpression`) FAILS until materialized as a named
+    * column, which is the intended pressure (see monthlyGrowth).
     */
   private val boundedGroupKeys = Set(
     "bucket", "__bucket", "band", "decile", "month", "duration", "df",
