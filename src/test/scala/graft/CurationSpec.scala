@@ -1013,4 +1013,45 @@ class CurationSpec extends SparkSpec {
     assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq,
       "the sample must be reproducible")
   }
+
+  test("streaming reservoir (transformWithState) merges to the exact " +
+      "batch bottom-k across split triggers - associative sampling is " +
+      "streaming-exact") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{ResDoc, ReservoirState}
+    import org.apache.spark.sql.functions._
+    val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val resDocs = d.select(col("doc_id"), col("lang"), col("source"),
+        graft.functions.Portable.hash32(concat(lit(Curation.sampleSalt),
+          col("doc_id").cast("string"))).as("priority"))
+      .as[ResDoc].collect()
+    val chunks = resDocs.grouped(math.max(resDocs.length / 4, 1)).toSeq
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[ResDoc]
+    val q = ReservoirState.attach(stream.toDS()).writeStream
+      .format("memory").queryName("res_tws_sink")
+      .outputMode("append").start()
+    try {
+      chunks.foreach { c =>
+        stream.addData(c.toSeq: _*); q.processAllAvailable()
+      }
+      val streamed = ReservoirState
+        .mergedSample(spark.table("res_tws_sink")).collect()
+      val batch = Curation.reservoirSample(d).collect()
+      assert(streamed.length === batch.length && batch.nonEmpty)
+      streamed.zip(batch).foreach { case (s, b) =>
+        assert(s.toSeq === b.toSeq, s"stream $s vs batch $b")
+      }
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }

@@ -197,4 +197,41 @@ class PushdownSpec extends SparkSpec {
     assert(scansOf(planOf("rel_expectations"), "orders").size === 1,
       "the expectation suite must cost one scan")
   }
+
+  test("sample_reservoir: the fat text column is pruned from the " +
+      "documents scan (only keys + attrs feed the bottom-k)") {
+    val plan = planOf("sample_reservoir")
+    val scans = scansOf(plan, "documents")
+    assert(scans.nonEmpty, plan)
+    scans.foreach { sc =>
+      assert(!readSchemaOf(sc).contains("text"),
+        s"reservoir reads doc_id/lang/source only: $sc")
+    }
+  }
+
+  test("rel_cohort_retention: the orders scan reads only custkey + " +
+      "orderdate") {
+    val plan = planOf("rel_cohort_retention")
+    val scans = scansOf(plan, "orders")
+    assert(scans.nonEmpty, plan)
+    scans.foreach { sc =>
+      val rs = readSchemaOf(sc)
+      assert(!rs.contains("o_totalprice") && !rs.contains("o_orderstatus"),
+        s"cohorts need only (o_custkey, o_orderdate): $sc")
+    }
+  }
+
+  test("stock_lead_lag / stock_ou_halflife: unused events columns " +
+      "(user_id, event_id) never leave the scan") {
+    Seq("stock_lead_lag", "stock_ou_halflife").foreach { q =>
+      val plan = planOf(q)
+      val scans = scansOf(plan, "events")
+      assert(scans.nonEmpty, s"$q:\n$plan")
+      scans.foreach { sc =>
+        val rs = readSchemaOf(sc)
+        assert(!rs.contains("user_id") && !rs.contains("event_id"),
+          s"$q bars need (event_type, ts, value, props) only: $sc")
+      }
+    }
+  }
 }
