@@ -794,6 +794,45 @@ SELECT m.doc_id, m.cluster_id, k.keeper_id,
   m.doc_id = k.keeper_id AS keep
 FROM mem m JOIN kp k USING (cluster_id)
 ORDER BY doc_id"""),
+    // token-savings accounting under the keeper rule: the keep_best
+    // chain joined back onto per-source token budgets, exact integers
+    "corpus_dedup_savings" -> (minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + s"""
+, np AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
+edges(a, b) AS (SELECT doc_a, doc_b FROM np UNION SELECT doc_b, doc_a FROM np),
+reach(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN edges e ON r.node = e.a),
+cl AS (SELECT node AS doc_id, min(label) AS cluster_id
+  FROM reach GROUP BY node),
+mem AS (
+  SELECT cl.doc_id, cl.cluster_id, d.n_chars
+  FROM cl JOIN documents d USING (doc_id)),
+kp AS (
+  SELECT cluster_id, doc_id AS keeper_id
+  FROM mem
+  QUALIFY row_number() OVER (PARTITION BY cluster_id
+    ORDER BY n_chars DESC, doc_id) = 1),
+kept AS (
+  SELECT m.doc_id, m.doc_id = k.keeper_id AS keep
+  FROM mem m JOIN kp k USING (cluster_id)),
+tl AS (
+  SELECT doc_id, source,
+    len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens
+  FROM documents),
+g AS (
+  SELECT tl.source, count(*)::BIGINT AS n_docs,
+    CAST(sum(tl.n_tokens) AS BIGINT) AS n_tokens,
+    CAST(sum(CASE WHEN coalesce(k.keep, true) THEN tl.n_tokens
+      ELSE 0 END) AS BIGINT) AS n_tokens_kept
+  FROM tl LEFT JOIN kept k USING (doc_id)
+  GROUP BY 1)
+SELECT source, n_docs, n_tokens, n_tokens_kept,
+  n_tokens - n_tokens_kept AS tokens_saved,
+  CASE WHEN n_tokens > 0 THEN
+    round((n_tokens - n_tokens_kept) / CAST(n_tokens AS DOUBLE), 6) END
+    AS savings_share
+FROM g ORDER BY source"""),
     // df cap mirrors Dedup.jaccardMaxDf: shingles in more than maxDf docs
     // are dropped from the universe before the self-join (skew bound).
     // hashed-shingle Jaccard: hash each shingle to 32 bits first (same

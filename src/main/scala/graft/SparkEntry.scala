@@ -721,6 +721,9 @@ object SparkEntry {
     // embedding L2-norm health report (pre-normalization QA)
     "sim_norm_stats" -> ((s, d) =>
       Similarity.normStats(Tables.embeddings(s, d))),
+    // per-source token savings under the keep-longest keeper rule
+    "corpus_dedup_savings" -> ((s, d) =>
+      graft.operators.Curation.dedupSavings(Tables.documents(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

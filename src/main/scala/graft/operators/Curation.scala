@@ -512,6 +512,35 @@ object Curation {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** Token-savings accounting for the keeper rule: per source, how
+    * many tokens the executed delete list
+    * ([[graft.operators.Dedup.keepBest]] — keep the longest cluster
+    * member) actually removes. [[dedupRates]] counts DOCUMENTS under
+    * the min-id representative; this is the BUDGET view — tokens are
+    * what training runs pay for — under the canonical-keeper policy.
+    * Unclustered documents are always kept. Exact integer sums; one
+    * left join at the document grain onto the shared pair→CC chain. */
+  def dedupSavings(documents: DataFrame): DataFrame = {
+    val tl = documents.select(col("doc_id"), col("source"),
+      size(toks).cast("long").as("n_tokens"))
+    val kb = graft.operators.Dedup.keepBest(documents)
+      .select(col("doc_id"), col("keep"))
+    tl.join(kb, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(when(coalesce(col("keep"), lit(true)), col("n_tokens"))
+          .otherwise(lit(0L))).as("n_tokens_kept"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_tokens_kept"),
+        (col("n_tokens") - col("n_tokens_kept")).as("tokens_saved"),
+        when(col("n_tokens") > 0,
+          round((col("n_tokens") - col("n_tokens_kept")) /
+            when(col("n_tokens") > 0, col("n_tokens")), 6))
+          .as("savings_share"))
+      .orderBy(col("source"))
+  }
+
   /** Corpus manifest — the reproducibility primitive a versioned data
     * pipeline publishes with every release: document/token counts plus
     * ORDER-INSENSITIVE content checksums (bit_xor of each document's

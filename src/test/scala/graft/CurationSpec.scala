@@ -1054,4 +1054,29 @@ class CurationSpec extends SparkSpec {
       }
     }
   }
+
+  test("dedupSavings: token mass is conserved - kept + saved = total, " +
+      "unclustered docs always kept, shares consistent (sf0.001)") {
+    val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Curation.dedupSavings(d).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(2) === r.getLong(3) + r.getLong(4),
+        s"kept + saved must equal total: $r")
+      assert(r.getLong(4) >= 0L)
+      if (!r.isNullAt(5))
+        assert(r.getDouble(5) >= 0.0 && r.getDouble(5) < 1.0)
+    }
+    // global consistency vs keepBest: total saved = sum of non-keeper
+    // member tokens
+    val kb = graft.operators.Dedup.keepBest(d)
+      .filter(!org.apache.spark.sql.functions.col("keep"))
+      .select("doc_id")
+    val dropped = d.join(kb, Seq("doc_id"))
+      .select(org.apache.spark.sql.functions.size(
+        graft.functions.Portable.tokens(
+          org.apache.spark.sql.functions.col("text"))).cast("long"))
+      .collect().map(_.getLong(0)).sum
+    assert(out.map(_.getLong(4)).sum === dropped)
+  }
 }
