@@ -715,6 +715,48 @@ SELECT a.ticker AS ticker_a, b.ticker AS ticker_b,
 FROM rets a JOIN rets b ON a.bucket = b.bucket AND a.ticker < b.ticker
 GROUP BY 1, 2
 ORDER BY ticker_a, ticker_b"""),
+    // CUSUM change-point screen: exact DECIMAL(38,18) running sums
+    // (window float sums diverge between engines), exact-decimal
+    // argmax probe with a min-bucket tie rule, VARCHAR crossings on
+    // every decimal<->double boundary
+    "stock_cusum_breaks" -> (barsCte + """,
+rets AS (
+  SELECT ticker, bucket,
+    CASE WHEN lag(close, 1) OVER tw <> 0
+      THEN close / lag(close, 1) OVER tw - 1 END AS r
+  FROM bars
+  WINDOW tw AS (PARTITION BY ticker ORDER BY bucket)
+  QUALIFY r IS NOT NULL),
+m AS (
+  SELECT ticker, count(*)::BIGINT AS n_rets,
+    CAST(CAST(sum(CAST(CAST(r AS VARCHAR) AS DECIMAL(38,18)))
+      AS VARCHAR) AS DOUBLE) AS s1,
+    CAST(CAST(sum(CAST(CAST(r * r AS VARCHAR) AS DECIMAL(38,18)))
+      AS VARCHAR) AS DOUBLE) AS s2
+  FROM rets GROUP BY 1),
+st AS (
+  SELECT ticker, n_rets,
+    s1 / CAST(n_rets AS DOUBLE) AS mu,
+    sqrt(greatest(s2 / CAST(n_rets AS DOUBLE) -
+      s1 / CAST(n_rets AS DOUBLE) * (s1 / CAST(n_rets AS DOUBLE)),
+      0.0)) AS sd
+  FROM m),
+cum AS (
+  SELECT r.ticker, r.bucket, st.n_rets, st.sd,
+    abs(sum(CAST(CAST(r.r - st.mu AS VARCHAR) AS DECIMAL(38,18)))
+      OVER (PARTITION BY r.ticker ORDER BY r.bucket
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s_abs
+  FROM rets r JOIN st USING (ticker)),
+pk AS (SELECT ticker, max(s_abs) AS s_max FROM cum GROUP BY 1)
+SELECT c.ticker, max(c.n_rets) AS n_rets,
+  min(c.bucket) AS break_bucket,
+  round(CAST(CAST(max(p.s_max) AS VARCHAR) AS DOUBLE), 6) AS cusum_max,
+  CASE WHEN max(c.sd) > 0.0 THEN
+    round(CAST(CAST(max(p.s_max) AS VARCHAR) AS DOUBLE) /
+      (max(c.sd) * sqrt(CAST(max(c.n_rets) AS DOUBLE))), 6) END
+    AS cusum_stat
+FROM cum c JOIN pk p ON c.ticker = p.ticker AND c.s_abs = p.s_max
+GROUP BY c.ticker ORDER BY c.ticker"""),
     // lead-lag correlation: bucket-shift equi-join, native corr
     // (parity proven by stock_corr_pairs), NaN->NULL on both engines
     "stock_lead_lag" -> (barsCte + """,

@@ -724,6 +724,8 @@ object SparkEntry {
     // per-source token savings under the keep-longest keeper rule
     "corpus_dedup_savings" -> ((s, d) =>
       graft.operators.Curation.dedupSavings(Tables.documents(s, d))),
+    // CUSUM change-point screen per ticker (drift/break detector)
+    "stock_cusum_breaks" -> (TimeSeries.cusumBreaks _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1215,6 +1215,64 @@ object TimeSeries {
       .orderBy(col("ticker"))
   }
 
+  /** CUSUM change-point screen per ticker: S_t = Σ_{i≤t} (rᵢ − r̄) —
+    * the classic drift detector (a mean shift makes |S| ramp; a
+    * stationary series random-walks near zero). Reports the maximum
+    * excursion max|S|, the FIRST bucket attaining it (the break
+    * candidate), and the scale-free statistic max|S| / (σ·√n) whose
+    * large values reject "no change" (the Brownian-bridge sup
+    * normalization). The data-quality twin of the market use: run it
+    * on any metric stream to find regime/pipeline breaks.
+    *
+    * Determinism: the running sum is a DECIMAL(38,18) window cumsum —
+    * exact, so both engines hold bit-identical S_t (a double running
+    * sum would depend on each engine's window accumulation internals;
+    * the roster-wide reason lag-chains exist). The break bucket is an
+    * EXACT-decimal equality probe (the [[StockPipeline.drawdown]]
+    * scalar-max pattern, strengthened: no rounding needed when the
+    * compared values are exact decimals) with a stated min-bucket tie
+    * rule. σ and the closing
+    * ratio are double math in one pinned order; σ = 0 yields NULL
+    * stat via the NULL-divisor guard.
+    *
+    * Scale: returns, one per-ticker aggregate (broadcast back), ONE
+    * ordered window over bars per ticker (O(bars), never events), one
+    * final aggregate. */
+  def cusumBreaks(spark: SparkSession, dir: String): DataFrame =
+    cusumBars(closeBars5m(StockPipeline.normalize(Tables.events(spark, dir))))
+
+  private[graft] def cusumBars(bars: DataFrame): DataFrame = {
+    val rets = simpleRets(bars, "r")
+    val m = rets.groupBy(col("ticker")).agg(
+      count(lit(1)).as("n_rets"),
+      dsum18(col("r")).as("s1"), dsum18(col("r") * col("r")).as("s2"))
+    val nd = col("n_rets").cast("double")
+    val mean = col("s1") / nd
+    val stats = m.select(col("ticker"), col("n_rets"), mean.as("mu"),
+      sqrt(greatest(col("s2") / nd - mean * mean, lit(0.0))).as("sd"))
+    val w = Window.partitionBy(col("ticker")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withS = rets.join(broadcast(stats), Seq("ticker"))
+      .withColumn("s_abs", abs(
+        sum((col("r") - col("mu")).cast("decimal(38,18)")).over(w)))
+    val peak = withS.groupBy(col("ticker"))
+      .agg(max(col("s_abs")).as("s_max"))
+    withS.join(broadcast(peak), Seq("ticker"))
+      .filter(col("s_abs") === col("s_max"))
+      .groupBy(col("ticker"))
+      .agg(max(col("n_rets")).as("n_rets"),
+        min(col("bucket")).as("break_bucket"),
+        max(col("s_max").cast("double")).as("sm"),
+        max(col("sd")).as("sdv"))
+      .select(col("ticker"), col("n_rets"), col("break_bucket"),
+        round(col("sm"), 6).as("cusum_max"),
+        when(col("sdv") > 0.0,
+          round(col("sm") / when(col("sdv") > 0.0,
+            col("sdv") * sqrt(col("n_rets").cast("double"))), 6))
+          .as("cusum_stat"))
+      .orderBy(col("ticker"))
+  }
+
   /** Cross-ticker lead-lag correlation: for every ORDERED pair
     * (lead, lag), the correlation of the lead ticker's 5-minute return
     * at t with the lag ticker's return at t+5m — the price-discovery

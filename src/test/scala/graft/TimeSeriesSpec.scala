@@ -904,6 +904,46 @@ class TimeSeriesSpec extends SparkSpec {
       "an all-equal tail (denom 0) must yield NULL")
   }
 
+  test("cusumBars: a mean-shifted series breaks at the regime " +
+      "boundary and matches exact decimal-mirror recomputation; a " +
+      "constant series degenerates to a NULL stat") {
+    // A: ten +1% bars then ten -1% bars — S ramps to its max exactly
+    // at the regime boundary
+    val up = (0 until 10).scanLeft(100.0)((c, _) => c * 1.01)
+    val a = up ++ (0 until 10).scanLeft(up.last)((c, _) => c * 0.99).tail
+    // B: constant closes -> all returns 0 -> sd 0 -> NULL stat
+    val b = Seq.fill(8)(50.0)
+    val out = TimeSeries.cusumBars(bars(
+      a.zipWithIndex.map { case (c, i) => ("A", i * 5, c) } ++
+        b.zipWithIndex.map { case (c, i) => ("B", i * 5, c) }: _*))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // exact mirror of the engine's decimal math
+    def g18(x: Double) =
+      BigDecimal(x).setScale(18, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rs = a.sliding(2).map { case Seq(p, c) => c / p - 1 }.toSeq
+    val n = rs.length
+    val mu = rs.map(g18).sum.toDouble / n
+    val s2 = rs.map(r => g18(r * r)).sum.toDouble
+    val sd = math.sqrt(math.max(
+      s2 / n - (rs.map(g18).sum.toDouble / n) * (rs.map(g18).sum.toDouble / n), 0.0))
+    val sAbs = rs.map(r => g18(r - mu)).scanLeft(BigDecimal(0))(_ + _)
+      .tail.map(_.abs)
+    val maxS = sAbs.max
+    val firstIdx = sAbs.indexOf(maxS) // 0-based over rets (bars 1..20)
+    val row = out("A")
+    assert(row.getLong(1) === n.toLong)
+    assert(row.getTimestamp(2) === t(5 * (firstIdx + 1)))
+    assert(firstIdx === 9, "the break must sit at the regime boundary")
+    assert(row.getDouble(3) === r6(maxS.toDouble))
+    assert(row.getDouble(4) ===
+      r6(maxS.toDouble / (sd * math.sqrt(n.toDouble))))
+    val rb = out("B")
+    assert(rb.getDouble(3) === 0.0 && rb.isNullAt(4),
+      "a flat series has zero excursion and no stat")
+  }
+
   test("leadLagBars: a ticker whose closes are another's shifted one " +
       "bucket shows perfect lead correlation in that direction") {
     // B's close at bucket i+1 IS A's close at bucket i -> r_B(t+5m) is
