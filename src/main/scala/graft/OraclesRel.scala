@@ -246,6 +246,28 @@ SELECT month, revenue, n_orders,
     ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
     AS vs_first
 FROM m ORDER BY month""",
+    // dormancy census: stated recency bands, exact integer counts,
+    // broadcast scalar max date
+    "rel_dormancy" -> """
+WITH last AS (
+  SELECT o_custkey, max(o_orderdate) AS last_order
+  FROM orders GROUP BY 1),
+ref AS (SELECT max(o_orderdate) AS ref_date FROM orders),
+banded AS (
+  SELECT o_custkey,
+    date_diff('day', last_order::DATE, ref_date::DATE)::BIGINT AS days,
+    CASE WHEN date_diff('day', last_order::DATE, ref_date::DATE) <= 30 THEN 0
+         WHEN date_diff('day', last_order::DATE, ref_date::DATE) <= 60 THEN 31
+         WHEN date_diff('day', last_order::DATE, ref_date::DATE) <= 90 THEN 61
+         WHEN date_diff('day', last_order::DATE, ref_date::DATE) <= 180 THEN 91
+         ELSE 181 END::BIGINT AS band_lo
+  FROM last CROSS JOIN ref),
+n AS (SELECT count(*)::BIGINT AS n_total FROM banded)
+SELECT band_lo, count(*)::BIGINT AS n_customers,
+  min(days)::BIGINT AS min_days, max(days)::BIGINT AS max_days,
+  round(count(*) / CAST(n_total AS DOUBLE), 6) AS share
+FROM banded CROSS JOIN n
+GROUP BY band_lo, n_total ORDER BY band_lo""",
     // cohort retention: exact integer counts on the months x months
     // grid; months_since via date_diff on month-truncated stamps
     "rel_cohort_retention" -> """

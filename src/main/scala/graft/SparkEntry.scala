@@ -726,6 +726,8 @@ object SparkEntry {
       graft.operators.Curation.dedupSavings(Tables.documents(s, d))),
     // CUSUM change-point screen per ticker (drift/break detector)
     "stock_cusum_breaks" -> (TimeSeries.cusumBreaks _),
+    // dormancy (recency-band) census for winback targeting
+    "rel_dormancy" -> (Relational.dormancy _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -2304,6 +2304,39 @@ object Relational {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Dormancy (recency-band) census: customers bucketed by days since
+    * their last order vs the corpus max date — the winback-targeting
+    * report beside [[rfm]]'s per-customer scores (this is the
+    * AGGREGATE view a campaign sizes its bands from). Stated band
+    * edges (≤30 / ≤60 / ≤90 / ≤180 / >180 days); exact integer counts
+    * and long/long shares. Scale: one per-customer aggregate, a
+    * broadcast scalar max date, one bounded-grid aggregate. */
+  def dormancy(spark: SparkSession, dir: String): DataFrame = {
+    val last = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"))
+    val ref = Tables.orders(spark, dir)
+      .agg(max(col("o_orderdate")).as("ref_date"))
+    val banded = last.crossJoin(broadcast(ref))
+      .withColumn("days", datediff(col("ref_date"), col("last_order"))
+        .cast("long"))
+      .withColumn("band_lo",
+        when(col("days") <= 30, lit(0L))
+          .when(col("days") <= 60, lit(31L))
+          .when(col("days") <= 90, lit(61L))
+          .when(col("days") <= 180, lit(91L))
+          .otherwise(lit(181L)))
+    val n = banded.agg(count(lit(1)).as("n_total"))
+    banded.groupBy(col("band_lo"))
+      .agg(count(lit(1)).as("n_customers"),
+        min(col("days")).as("min_days"), max(col("days")).as("max_days"))
+      .crossJoin(broadcast(n))
+      .select(col("band_lo"), col("n_customers"), col("min_days"),
+        col("max_days"),
+        round(col("n_customers") / col("n_total"), 6).as("share"))
+      .orderBy(col("band_lo"))
+  }
+
   /** Cohort retention matrix: customers grouped by FIRST-order month,
     * tracked across months-since-acquisition — the activity decay grid
     * every growth dashboard carries. `retention` = active customers in

@@ -1091,4 +1091,22 @@ class RelationalSpec extends SparkSpec {
     assert(m0.map(_.getLong(2)).sum === nCust,
       "cohort sizes must partition the customer universe")
   }
+
+  test("dormancy: bands partition the customer universe, min/max days " +
+      "respect the stated edges, shares sum to 1 (sf0.001)") {
+    val out = graft.operators.Relational
+      .dormancy(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    val nCust = graft.sources.Tables.orders(spark, "/root/testdata/sf0.001")
+      .select("o_custkey").distinct().count()
+    assert(out.map(_.getLong(1)).sum === nCust)
+    val edges = Map(0L -> (0L, 30L), 31L -> (31L, 60L), 61L -> (61L, 90L),
+      91L -> (91L, 180L), 181L -> (181L, Long.MaxValue))
+    out.foreach { r =>
+      val (lo, hi) = edges(r.getLong(0))
+      assert(r.getLong(2) >= lo && r.getLong(3) <= hi, s"band edges: $r")
+      assert(r.getLong(2) <= r.getLong(3))
+    }
+    assert(math.abs(out.map(_.getDouble(4)).sum - 1.0) < 1e-4)
+  }
 }
