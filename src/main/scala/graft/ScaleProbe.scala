@@ -86,7 +86,12 @@ object ScaleProbe {
         // a fixed decile/bin grid, so time must track the scoring scan
         val (_, ltS) = t(Curation.liftTable(df).count())
         val (_, ccS) = t(Curation.classifierCalibration(df).count())
-        println(f"[scale-probe-docs] x$n%-3d docs=$rows%8d minhashPairs=$mpS%6.2fs($mp) jaccardPairs=$jpS%6.2fs($jp) containmentPairs=$cpS%6.2fs($cp) simhashPairs=$spS%6.2fs($sp) packAssign=$paS%6.2fs shuffleOrder=$soS%6.2fs spanDedup=$sdS%6.2fs substringDedup=$ssS%6.2fs budgetSelect=$bsS%6.2fs novelty=$nvS%6.2fs phashPairs=$phS%6.2fs($php) zorder=$zoS%6.2fs dsir=$dsS%6.2fs liftTable=$ltS%6.2fs calibration=$ccS%6.2fs")
+        // round-8 keeper-rule ops: both ride the pair->CC chain plus
+        // one document-grain join, so their slope must track the
+        // minhashPairs front, not add a term of their own
+        val (_, kbS) = t(Dedup.keepBest(df).count())
+        val (_, dvS) = t(Curation.dedupSavings(df).count())
+        println(f"[scale-probe-docs] x$n%-3d docs=$rows%8d minhashPairs=$mpS%6.2fs($mp) jaccardPairs=$jpS%6.2fs($jp) containmentPairs=$cpS%6.2fs($cp) simhashPairs=$spS%6.2fs($sp) packAssign=$paS%6.2fs shuffleOrder=$soS%6.2fs spanDedup=$sdS%6.2fs substringDedup=$ssS%6.2fs budgetSelect=$bsS%6.2fs novelty=$nvS%6.2fs phashPairs=$phS%6.2fs($php) zorder=$zoS%6.2fs dsir=$dsS%6.2fs liftTable=$ltS%6.2fs calibration=$ccS%6.2fs keepBest=$kbS%6.2fs dedupSavings=$dvS%6.2fs")
       }
       spark.stop(); return
     }
