@@ -124,6 +124,37 @@ ORDER BY doc_id"""
 
   val all: Map[String, String] = Map(
     "corpus_classifier_calibration" -> classifierCalibrationSql,
+    // Cohen's kappa: classifier keep-vote vs rule-based keep label —
+    // exact 2x2 integer cells, one double division per rate, NULL-
+    // guarded 1-p_e divisor (matches the Spark side's CSE-safe guard)
+    "corpus_kappa" -> s"""
+WITH $toksCte${OraclesExt.clsScCtes},
+$qualityMCte,
+cl AS (
+  SELECT doc_id,
+    round(1.0 / (1.0 + exp(-margin * 10)), 6) >=
+      ${Curation.kappaClsThreshold} AS cls_keep
+  FROM sc),
+kp AS (SELECT doc_id, $qKeepExpr AS keep FROM m),
+cells AS (
+  SELECT count(*)::BIGINT AS n_docs,
+    count(*) FILTER (cls_keep AND keep)::BIGINT AS n_both_keep,
+    count(*) FILTER (cls_keep AND NOT keep)::BIGINT AS n_cls_only,
+    count(*) FILTER (NOT cls_keep AND keep)::BIGINT AS n_rule_only,
+    count(*) FILTER (NOT cls_keep AND NOT keep)::BIGINT AS n_both_drop
+  FROM cl JOIN kp USING (doc_id)),
+pp AS (
+  SELECT *,
+    (n_both_keep + n_both_drop)::DOUBLE / n_docs AS po,
+    ((n_both_keep + n_cls_only) * (n_both_keep + n_rule_only) +
+     (n_rule_only + n_both_drop) * (n_cls_only + n_both_drop))::DOUBLE /
+      (n_docs * n_docs) AS pe
+  FROM cells)
+SELECT n_docs, n_both_keep, n_cls_only, n_rule_only, n_both_drop,
+  round(po, 6) AS p_o, round(pe, 6) AS p_e,
+  round((po - pe) / (CASE WHEN 1.0 - pe <> 0.0 THEN 1.0 - pe END), 6)
+    AS kappa
+FROM pp""",
     // doc-length Gini: oracle states the plain global rank; the engine
     // runs the banded two-level scan — hash equality proves it
     "corpus_length_gini" -> s"""

@@ -1155,6 +1155,47 @@ ORDER BY user_id""",
     // Per-nation OLS trend from EXACT moments: x BIGINT, y DECIMAL —
     // only the final closed form is double math, stated in the same
     // order as the Spark expression tree.
+    // two-feature OLS via normal equations: exact decimal moment sums
+    // (VARCHAR crossings out — the 1e5+ magnitude convention), pinned
+    // double algebra, NULL-guarded det/Syy divisors
+    "rel_ols2" -> """
+WITH base AS (
+  SELECT l_quantity::DECIMAL(19,6) AS q, l_discount::DECIMAL(19,6) AS d,
+    l_extendedprice::DECIMAL(19,6) AS y
+  FROM lineitem),
+m AS (
+  SELECT count(*)::BIGINT AS n,
+    CAST(CAST(sum(q) AS VARCHAR) AS DOUBLE) AS sx1,
+    CAST(CAST(sum(d) AS VARCHAR) AS DOUBLE) AS sx2,
+    CAST(CAST(sum(y) AS VARCHAR) AS DOUBLE) AS sy,
+    CAST(CAST(sum(q*q) AS VARCHAR) AS DOUBLE) AS sx1x1,
+    CAST(CAST(sum(q*d) AS VARCHAR) AS DOUBLE) AS sx1x2,
+    CAST(CAST(sum(d*d) AS VARCHAR) AS DOUBLE) AS sx2x2,
+    CAST(CAST(sum(q*y) AS VARCHAR) AS DOUBLE) AS sx1y,
+    CAST(CAST(sum(d*y) AS VARCHAR) AS DOUBLE) AS sx2y,
+    CAST(CAST(sum(y*y) AS VARCHAR) AS DOUBLE) AS syy0
+  FROM base),
+s AS (
+  SELECT n, sx1, sx2, sy,
+    sx1x1 - sx1 * sx1 / n AS s11,
+    sx1x2 - sx1 * sx2 / n AS s12,
+    sx2x2 - sx2 * sx2 / n AS s22,
+    sx1y - sx1 * sy / n AS s1y,
+    sx2y - sx2 * sy / n AS s2y,
+    syy0 - sy * sy / n AS syy
+  FROM m),
+sol AS (
+  SELECT n, sx1, sx2, sy, s1y, s2y, syy,
+    (s1y * s22 - s2y * s12) / (CASE WHEN s11 * s22 - s12 * s12 <> 0.0
+      THEN s11 * s22 - s12 * s12 END) AS b1,
+    (s2y * s11 - s1y * s12) / (CASE WHEN s11 * s22 - s12 * s12 <> 0.0
+      THEN s11 * s22 - s12 * s12 END) AS b2
+  FROM s)
+SELECT n AS n_rows, round(b1, 6) AS b_qty, round(b2, 6) AS b_disc,
+  round((sy - b1 * sx1 - b2 * sx2) / n, 6) AS intercept,
+  round((b1 * s1y + b2 * s2y) / (CASE WHEN syy <> 0.0 THEN syy END), 6)
+    AS r2
+FROM sol""",
     "rel_regr_trend" -> """
 WITH m AS (
   SELECT n_name, date_trunc('month', o_orderdate)::TIMESTAMP AS month,

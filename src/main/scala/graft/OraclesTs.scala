@@ -229,6 +229,48 @@ SELECT ticker, window_timestamp, open, high, low, close,
 FROM ohlc
 WINDOW tw AS (PARTITION BY ticker ORDER BY window_timestamp)
 ORDER BY ticker, window_timestamp"""),
+    // VPIN: tick-rule signed trades -> equal-volume buckets (integer
+    // cumsum + integer div) -> volume-weighted |buy-sell| imbalance;
+    // exact integers until the one final division
+    "stock_vpin" -> s"""
+WITH stock AS (
+  SELECT event_type AS ticker, ts::TIMESTAMP AS ts, event_id,
+    value::DOUBLE AS price,
+    TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) AS volume
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+    AND TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) IS NOT NULL),
+sgn AS (
+  SELECT ticker, volume,
+    sign(price - lag(price) OVER
+      (PARTITION BY ticker ORDER BY ts, event_id)) AS sgn,
+    sum(volume) OVER (PARTITION BY ticker ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - volume
+      AS cum_excl
+  FROM stock),
+tv AS (
+  SELECT ticker,
+    greatest((CAST(sum(volume) AS BIGINT) + ${graft.operators.TimeSeries.VpinBuckets - 1})
+      // ${graft.operators.TimeSeries.VpinBuckets}, 1) AS v_target
+  FROM stock GROUP BY 1),
+b AS (
+  SELECT ticker, v_target, cum_excl // v_target AS bucket,
+    CAST(sum(CASE WHEN sgn = 1 THEN volume ELSE 0 END) AS BIGINT)
+      AS v_buy,
+    CAST(sum(CASE WHEN sgn = -1 THEN volume ELSE 0 END) AS BIGINT)
+      AS v_sell,
+    CAST(sum(volume) AS BIGINT) AS v_bucket
+  FROM sgn JOIN tv USING (ticker)
+  GROUP BY 1, 2, 3)
+SELECT ticker, count(*)::BIGINT AS n_buckets,
+  max(v_target)::BIGINT AS v_target,
+  CAST(sum(abs(v_buy - v_sell)) AS BIGINT) AS imbalance,
+  CAST(sum(v_buy + v_sell) AS BIGINT) AS v_classified,
+  CAST(sum(v_bucket) AS BIGINT) AS v_total,
+  CASE WHEN CAST(sum(v_bucket) AS BIGINT) > 0 THEN
+    round(CAST(sum(abs(v_buy - v_sell)) AS BIGINT)::DOUBLE /
+      CAST(sum(v_bucket) AS BIGINT), 6) END AS vpin
+FROM b GROUP BY ticker ORDER BY ticker""",
     "stock_intraday_profile" -> """
 WITH stock AS (
   SELECT event_type AS ticker, ts::TIMESTAMP AS ts,

@@ -728,6 +728,13 @@ object SparkEntry {
     "stock_cusum_breaks" -> (TimeSeries.cusumBreaks _),
     // dormancy (recency-band) census for winback targeting
     "rel_dormancy" -> (Relational.dormancy _),
+    // Cohen's kappa: classifier keep-vote vs rule-based keep label
+    "corpus_kappa" -> ((s, d) =>
+      graft.operators.Curation.kappa(Tables.documents(s, d))),
+    // VPIN order-flow toxicity (equal-volume buckets, tick-rule signs)
+    "stock_vpin" -> (TimeSeries.vpin _),
+    // two-feature OLS via normal equations (sufficient-stats pattern)
+    "rel_ols2" -> (Relational.ols2 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

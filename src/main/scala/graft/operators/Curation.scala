@@ -1251,4 +1251,46 @@ object Curation {
             col("n_tokens"), 6))
       .select(col("doc_id"), col("n_tokens"), col("dsir_logw"))
   }
+
+  /** Score threshold at which the hashed classifier votes "keep" —
+    * shared with the kappa oracle. */
+  val kappaClsThreshold = 0.5
+
+  /** Cohen's kappa between the hashed-classifier keep vote
+    * (score ≥ [[kappaClsThreshold]]) and the rule-based
+    * [[qualityFilter]] keep label — chance-corrected inter-rater
+    * agreement, the one number that says whether the learned scorer
+    * and the Gopher-style rules are interchangeable raters (κ≈0 means
+    * the classifier agrees no better than chance even if raw accuracy
+    * looks high under class imbalance). Output is the full 2×2
+    * confusion plus p_o, p_e, kappa. Exact integer cells; p_e's
+    * products stay in integer space until one double division; the
+    * 1−p_e divisor is NULL-guarded (ANSI + CSE safe). Scale: one
+    * doc-keyed join of two map-side label passes and a single scalar
+    * aggregate — no data-sized shuffle beyond the join. */
+  def kappa(documents: DataFrame): DataFrame = {
+    val cls = graft.operators.TextAnalysis.classifierScore(documents)
+      .select(col("doc_id"),
+        (col("score") >= kappaClsThreshold).as("cls_keep"))
+    val rules = qualityFilter(documents).select(col("doc_id"), col("keep"))
+    val cells = cls.join(rules, Seq("doc_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("cls_keep") && col("keep"), 1)).as("n_both_keep"),
+        count(when(col("cls_keep") && !col("keep"), 1)).as("n_cls_only"),
+        count(when(!col("cls_keep") && col("keep"), 1)).as("n_rule_only"),
+        count(when(!col("cls_keep") && !col("keep"), 1)).as("n_both_drop"))
+    val po = (col("n_both_keep") + col("n_both_drop")).cast("double") /
+      col("n_docs")
+    val pe = ((col("n_both_keep") + col("n_cls_only")) *
+        (col("n_both_keep") + col("n_rule_only")) +
+      (col("n_rule_only") + col("n_both_drop")) *
+        (col("n_cls_only") + col("n_both_drop"))).cast("double") /
+      (col("n_docs") * col("n_docs"))
+    cells.select(col("n_docs"), col("n_both_keep"), col("n_cls_only"),
+      col("n_rule_only"), col("n_both_drop"),
+      round(po, 6).as("p_o"), round(pe, 6).as("p_e"),
+      round((po - pe) /
+        when(lit(1.0) - pe =!= 0.0, lit(1.0) - pe), 6).as("kappa"))
+  }
 }

@@ -2181,6 +2181,63 @@ object Relational {
       .orderBy(col("n_name"))
   }
 
+  /** Two-feature OLS via normal equations: regress l_extendedprice on
+    * (l_quantity, l_discount) in closed form — the canonical
+    * distributed linear-regression pattern (one pass of exact
+    * sufficient statistics, then a broadcast-sized 2×2 solve; the same
+    * shape scales to any p×p that fits a driver solve). Moment sums
+    * accumulate in exact decimal (inputs cast to the 1e-6 grid first,
+    * so products and sums are order-independent integers underneath);
+    * the algebra after the single decimal→double crossing is a pinned
+    * expression order on both engines, with NULL-guarded determinant /
+    * Syy divisors (ANSI + CSE safe). Output: coefficients, intercept,
+    * and R² on the 1e-6 grid.
+    *
+    * Scale: ONE hash aggregate over the fact table producing 10
+    * scalars — no shuffle of data rows at all (partial aggregation
+    * map-side); the solve is O(1). */
+  def ols2(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val q = col("l_quantity").cast("decimal(18,6)")
+    val d = col("l_discount").cast("decimal(18,6)")
+    val y = col("l_extendedprice").cast("decimal(18,6)")
+    val m = li.agg(
+      count(lit(1)).as("n"),
+      sum(q).cast("double").as("sx1"),
+      sum(d).cast("double").as("sx2"),
+      sum(y).cast("double").as("sy"),
+      sum(q * q).cast("double").as("sx1x1"),
+      sum(q * d).cast("double").as("sx1x2"),
+      sum(d * d).cast("double").as("sx2x2"),
+      sum(q * y).cast("double").as("sx1y"),
+      sum(d * y).cast("double").as("sx2y"),
+      sum(y * y).cast("double").as("syy"))
+    val nd = col("n").cast("double")
+    val s = m.select(col("n"),
+      col("sx1"), col("sx2"), col("sy"),
+      (col("sx1x1") - col("sx1") * col("sx1") / nd).as("s11"),
+      (col("sx1x2") - col("sx1") * col("sx2") / nd).as("s12"),
+      (col("sx2x2") - col("sx2") * col("sx2") / nd).as("s22"),
+      (col("sx1y") - col("sx1") * col("sy") / nd).as("s1y"),
+      (col("sx2y") - col("sx2") * col("sy") / nd).as("s2y"),
+      (col("syy") - col("sy") * col("sy") / nd).as("syy"))
+    val det = col("s11") * col("s22") - col("s12") * col("s12")
+    val sol = s.select(col("n"), col("sx1"), col("sx2"), col("sy"),
+      col("s1y"), col("s2y"), col("syy"),
+      ((col("s1y") * col("s22") - col("s2y") * col("s12")) /
+        when(det =!= 0.0, det)).as("b1"),
+      ((col("s2y") * col("s11") - col("s1y") * col("s12")) /
+        when(det =!= 0.0, det)).as("b2"))
+    sol.select(col("n").as("n_rows"),
+      round(col("b1"), 6).as("b_qty"),
+      round(col("b2"), 6).as("b_disc"),
+      round((col("sy") - col("b1") * col("sx1") -
+        col("b2") * col("sx2")) / col("n").cast("double"), 6)
+        .as("intercept"),
+      round((col("b1") * col("s1y") + col("b2") * col("s2y")) /
+        when(col("syy") =!= 0.0, col("syy")), 6).as("r2"))
+  }
+
   /** Weighted median extended price per part brand (weight = quantity)
     * — the robust per-group location statistic a pricing stack wants
     * once plain medians over-weight single-unit lines. Entirely integer

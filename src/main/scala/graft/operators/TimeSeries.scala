@@ -787,6 +787,70 @@ object TimeSeries {
       .orderBy(col("ticker"), col("hour_utc"))
   }
 
+  /** Equal-volume bucket count for [[vpin]] — shared with the oracle
+    * generator. */
+  val VpinBuckets = 50L
+
+  /** VPIN order-flow toxicity (volume-synchronized probability of
+    * informed trading, Easley–López de Prado–O'Hara 2012) per ticker:
+    * trades are tick-rule signed (price up vs previous trade → buy,
+    * down → sell; first trade and zero-ticks stay unclassified but
+    * still fill buckets), grouped into ~[[VpinBuckets]] equal-volume
+    * buckets by exclusive cumulative volume, and VPIN is the
+    * volume-weighted bucket imbalance Σ|V_buy−V_sell| / ΣV — the
+    * flow-toxicity gauge that spiked ahead of the 2010 flash crash.
+    *
+    * Determinism: everything stays in exact integer space (long
+    * volume cumsums, integer `div` bucketing, integer cell sums) until
+    * the single final division, rounded to the 1e-6 grid; the trade
+    * order is pinned by (ts, event_id).
+    *
+    * Scale: one per-ticker window pass (tick sign + cumulative
+    * volume), a broadcast per-ticker volume-target table, then two
+    * hash aggregates whose grain is the bounded bucket grid
+    * (#tickers × ~[[VpinBuckets]]) — no data-sized output. */
+  def vpin(spark: SparkSession, dir: String): DataFrame = {
+    val stock = StockPipeline.normalize(Tables.events(spark, dir))
+    val w = Window.partitionBy(col("ticker"))
+      .orderBy(col("ts"), col("event_id"))
+    val signed = stock
+      .select(col("ticker"), col("ts"), col("event_id"), col("price"),
+        col("volume"))
+      .withColumn("sgn",
+        signum(col("price") - lag(col("price"), 1).over(w)))
+      .withColumn("cum_excl",
+        sum(col("volume")).over(w.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)) - col("volume"))
+    val tot = stock.groupBy(col("ticker"))
+      .agg(sum(col("volume")).as("tv"))
+      .select(col("ticker"),
+        greatest(expr(s"(tv + ${VpinBuckets - 1}) div $VpinBuckets"),
+          lit(1L)).as("v_target"))
+    val buckets = signed.join(broadcast(tot), Seq("ticker"))
+      .select(col("ticker"), col("v_target"),
+        expr("cum_excl div v_target").as("bucket"),
+        col("sgn"), col("volume"))
+      .groupBy(col("ticker"), col("v_target"), col("bucket"))
+      .agg(
+        sum(when(col("sgn") === 1.0, col("volume")).otherwise(lit(0L)))
+          .as("v_buy"),
+        sum(when(col("sgn") === -1.0, col("volume")).otherwise(lit(0L)))
+          .as("v_sell"),
+        sum(col("volume")).as("v_bucket"))
+    buckets.groupBy(col("ticker"))
+      .agg(count(lit(1)).as("n_buckets"),
+        max(col("v_target")).as("v_target"),
+        sum(abs(col("v_buy") - col("v_sell"))).as("imbalance"),
+        sum(col("v_buy") + col("v_sell")).as("v_classified"),
+        sum(col("v_bucket")).as("v_total"))
+      .select(col("ticker"), col("n_buckets"), col("v_target"),
+        col("imbalance"), col("v_classified"), col("v_total"),
+        when(col("v_total") > 0,
+          round(col("imbalance").cast("double") / col("v_total"), 6))
+          .as("vpin"))
+      .orderBy(col("ticker"))
+  }
+
   /** MACD spans (fast/slow/signal), shared with the oracle generator. */
   val MacdFast = 12
   val MacdSlow = 26

@@ -1079,4 +1079,30 @@ class CurationSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sum
     assert(out.map(_.getLong(4)).sum === dropped)
   }
+
+  test("kappa: cells partition the corpus, marginals match the " +
+      "standalone label passes, kappa consistent with po/pe (sf0.001)") {
+    val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Curation.kappa(d).collect()
+    assert(out.length === 1)
+    val r = out.head
+    val (n, a, b, c, dd) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))
+    assert(a + b + c + dd === n, "2x2 cells must partition the corpus")
+    assert(n === d.count())
+    // marginals vs the standalone label passes
+    val nRuleKeep = Curation.qualityFilter(d)
+      .filter(org.apache.spark.sql.functions.col("keep")).count()
+    assert(a + c === nRuleKeep, "rule-keep marginal")
+    val nClsKeep = graft.operators.TextAnalysis.classifierScore(d)
+      .filter(org.apache.spark.sql.functions.col("score") >=
+        Curation.kappaClsThreshold).count()
+    assert(a + b === nClsKeep, "classifier-keep marginal")
+    // kappa consistent with its own po/pe (to rounding)
+    val po = (a + dd).toDouble / n
+    val pe = ((a + b) * (a + c) + (c + dd) * (b + dd)).toDouble / (n.toDouble * n)
+    if (!r.isNullAt(7))
+      assert(math.abs(r.getDouble(7) - (po - pe) / (1.0 - pe)) < 1e-5)
+    assert(r.getDouble(7) <= 1.0 + 1e-9)
+  }
 }

@@ -1092,6 +1092,44 @@ class RelationalSpec extends SparkSpec {
       "cohort sizes must partition the customer universe")
   }
 
+  test("ols2: coefficients match a local double-precision OLS solve " +
+      "to 1e-4, r2 in [0,1], qty coefficient near the univariate " +
+      "slope (sf0.001)") {
+    val out = graft.operators.Relational
+      .ols2(spark, "/root/testdata/sf0.001").collect()
+    assert(out.length === 1)
+    val r = out.head
+    val rows = graft.sources.Tables
+      .lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_quantity", "l_discount", "l_extendedprice")
+      .collect()
+      .map(x => (x.getDouble(0), x.getDouble(1), x.getDouble(2)))
+    val n = rows.length.toDouble
+    assert(r.getLong(0) === rows.length)
+    val (sx1, sx2, sy) = (rows.map(_._1).sum, rows.map(_._2).sum,
+      rows.map(_._3).sum)
+    val s11 = rows.map(t => t._1 * t._1).sum - sx1 * sx1 / n
+    val s12 = rows.map(t => t._1 * t._2).sum - sx1 * sx2 / n
+    val s22 = rows.map(t => t._2 * t._2).sum - sx2 * sx2 / n
+    val s1y = rows.map(t => t._1 * t._3).sum - sx1 * sy / n
+    val s2y = rows.map(t => t._2 * t._3).sum - sx2 * sy / n
+    val syy = rows.map(t => t._3 * t._3).sum - sy * sy / n
+    val det = s11 * s22 - s12 * s12
+    val b1 = (s1y * s22 - s2y * s12) / det
+    val b2 = (s2y * s11 - s1y * s12) / det
+    assert(math.abs(r.getDouble(1) - b1) < 1e-4 * math.max(1.0, math.abs(b1)))
+    assert(math.abs(r.getDouble(2) - b2) < 1e-4 * math.max(1.0, math.abs(b2)))
+    val r2 = (b1 * s1y + b2 * s2y) / syy
+    assert(math.abs(r.getDouble(4) - r2) < 1e-4)
+    assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    // qty and discount are nearly orthogonal in this data, so the
+    // two-feature qty coefficient must sit near the univariate slope
+    val uni = s1y / s11
+    assert(math.abs(r.getDouble(1) - uni) <
+      0.1 * math.max(1.0, math.abs(uni)),
+      s"b_qty ${r.getDouble(1)} far from univariate slope $uni")
+  }
+
   test("dormancy: bands partition the customer universe, min/max days " +
       "respect the stated edges, shares sum to 1 (sf0.001)") {
     val out = graft.operators.Relational

@@ -1055,6 +1055,31 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("vpin: volume conserved per ticker, imbalance <= classified <= " +
+      "total, vpin in [0,1], bucket count near the target (sf0.001)") {
+    val out = TimeSeries.vpin(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    val totals = graft.operators.StockPipeline
+      .normalize(graft.sources.Tables.events(spark, "/root/testdata/sf0.001"))
+      .groupBy("ticker")
+      .agg(org.apache.spark.sql.functions.sum("volume").as("tv"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val (tkr, nB, vT, imb, cls, tot) = (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(tot === totals(tkr), "bucketed volume must conserve the total")
+      assert(imb <= cls && cls <= tot)
+      // whole-trade bucket assignment: count stays within one of target
+      assert(nB <= TimeSeries.VpinBuckets + 1, s"bucket blow-up: $r")
+      assert(vT >= 1L)
+      if (!r.isNullAt(6)) {
+        val v = r.getDouble(6)
+        assert(v >= 0.0 && v <= 1.0)
+        assert(math.abs(v - imb.toDouble / tot) < 1e-5)
+      }
+    }
+  }
+
   test("corrPairs on sf0.001: every correlation is in [-1, 1] and the " +
       "pair set is the strict upper triangle") {
     val out = TimeSeries.corrPairs(spark, "/root/testdata/sf0.001")
