@@ -1155,6 +1155,94 @@ ORDER BY user_id""",
     // Per-nation OLS trend from EXACT moments: x BIGINT, y DECIMAL —
     // only the final closed form is double math, stated in the same
     // order as the Spark expression tree.
+    // chi-square independence of status x priority over the FULL
+    // marginal grid (zero-filled cells); exact integer cells, each
+    // (O-E)^2/E term one pinned double expression crossed to the
+    // DECIMAL(38,18) grid before the order-independent sum
+    "rel_chi2" -> """
+WITH cells AS (
+  SELECT o_orderstatus AS status, o_orderpriority AS priority,
+    count(*)::BIGINT AS o
+  FROM orders GROUP BY 1, 2),
+rt AS (SELECT status, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+ctt AS (SELECT priority, CAST(sum(o) AS BIGINT) AS ct
+  FROM cells GROUP BY 1),
+nn AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+  count(DISTINCT status)::BIGINT AS n_status,
+  count(DISTINCT priority)::BIGINT AS n_priority FROM cells),
+grid AS (
+  SELECT rt.status, ctt.priority, rt.rt, ctt.ct,
+    coalesce(cells.o, 0)::BIGINT AS o, n, n_status, n_priority
+  FROM rt CROSS JOIN ctt
+  LEFT JOIN cells ON cells.status = rt.status
+    AND cells.priority = ctt.priority
+  CROSS JOIN nn),
+t AS (
+  SELECT max(n) AS n_rows, max(n_status) AS n_status,
+    max(n_priority) AS n_priority,
+    CAST(sum(CAST(
+      CASE WHEN CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) /
+          CAST(n AS DOUBLE) > 0.0
+        THEN (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+            / CAST(n AS DOUBLE)) *
+          (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+            / CAST(n AS DOUBLE)) /
+          (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+        ELSE 0.0 END AS DECIMAL(38,18))) AS DOUBLE) AS chi2_raw
+  FROM grid)
+SELECT n_rows, n_status, n_priority,
+  CAST((n_status - 1) * (n_priority - 1) AS BIGINT) AS df,
+  round(chi2_raw, 6) AS chi2,
+  round(sqrt(chi2_raw / (CAST(n_rows AS DOUBLE) *
+    CAST(least(n_status - 1, n_priority - 1) AS DOUBLE))), 6)
+    AS cramers_v
+FROM t""",
+    // one-way ANOVA across order priorities: exact decimal per-group
+    // moments (VARCHAR crossings), per-group SS terms pinned double ->
+    // DECIMAL(38,18) sums, NULL-guarded F/eta^2 divisors
+    "rel_anova" -> """
+WITH base AS (
+  SELECT o_orderpriority AS grp, o_totalprice::DECIMAL(19,6) AS y
+  FROM orders),
+g AS (
+  SELECT grp, count(*)::BIGINT AS n_g, sum(y) AS sg_dec,
+    sum(y * y) AS sgg_dec
+  FROM base GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(n_g) AS BIGINT) AS n, count(*)::BIGINT AS k,
+    CAST(CAST(sum(sg_dec) AS VARCHAR) AS DOUBLE) AS s
+  FROM g),
+gd AS (
+  SELECT grp, n_g,
+    CAST(CAST(sg_dec AS VARCHAR) AS DOUBLE) AS sg,
+    CAST(CAST(sgg_dec AS VARCHAR) AS DOUBLE) AS sgg, n, k, s
+  FROM g CROSS JOIN tot),
+ss AS (
+  -- double -> decimal crosses VARCHAR-mediated: these terms are ~1e13
+  -- and DuckDB's direct double->DECIMAL(38,18) cast is float-scaled
+  -- (not correctly rounded) at that magnitude, while Spark's goes
+  -- through Double.toString — the VARCHAR hop reproduces Spark's path
+  SELECT max(n) AS n_rows, max(k) AS k_groups,
+    CAST(CAST(sum(CAST(CAST(sgg - sg * sg / CAST(n_g AS DOUBLE)
+      AS VARCHAR) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)
+      AS ssw_raw,
+    CAST(CAST(sum(CAST(CAST(CAST(n_g AS DOUBLE) *
+      ((sg / CAST(n_g AS DOUBLE) - s / CAST(n AS DOUBLE)) *
+       (sg / CAST(n_g AS DOUBLE) - s / CAST(n AS DOUBLE)))
+      AS VARCHAR) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)
+      AS ssb_raw
+  FROM gd)
+SELECT n_rows, k_groups,
+  -- SS magnitudes are ~1e14: round-to-6dp float-scales (and diverges)
+  -- in DuckDB at that size, round-to-integer is exact on both engines
+  round(ssb_raw, 0) AS ss_between, round(ssw_raw, 0) AS ss_within,
+  round((ssb_raw / CAST(k_groups - 1 AS DOUBLE)) /
+    (CASE WHEN ssw_raw <> 0.0 AND n_rows > k_groups
+      THEN ssw_raw / CAST(n_rows - k_groups AS DOUBLE) END), 6)
+    AS f_stat,
+  round(ssb_raw / (CASE WHEN ssb_raw + ssw_raw <> 0.0
+    THEN ssb_raw + ssw_raw END), 6) AS eta_sq
+FROM ss""",
     // two-feature OLS via normal equations: exact decimal moment sums
     // (VARCHAR crossings out — the 1e5+ magnitude convention), pinned
     // double algebra, NULL-guarded det/Syy divisors

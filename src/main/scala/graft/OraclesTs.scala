@@ -743,6 +743,68 @@ rets AS (
   QUALIFY r IS NOT NULL)$blocks
 ORDER BY ticker, lag"""
     }),
+    // Ljung-Box portmanteau Q over ACF lags 1-5: textbook full-sample-
+    // mean ACF estimator from DECIMAL(38,18) moment sums (one window
+    // pass), pinned named-column double algebra, NULL-guarded variance
+    "stock_ljung_box" -> (barsCte + {
+      val ks = graft.operators.TimeSeries.AcfLags
+      val lagCols = ks.map(k => s"    lag(r, $k) OVER tw2 AS rl$k")
+        .mkString(",\n")
+      val sumCols = ks.map { k =>
+        s"""    count(rl$k)::BIGINT AS np$k,
+    CAST(sum(CAST(CASE WHEN rl$k IS NOT NULL THEN r * rl$k END
+      AS DECIMAL(38,18))) AS DOUBLE) AS sxy$k,
+    CAST(sum(CAST(CASE WHEN rl$k IS NOT NULL THEN r END
+      AS DECIMAL(38,18))) AS DOUBLE) AS sx$k,
+    CAST(sum(CAST(rl$k AS DECIMAL(38,18))) AS DOUBLE) AS sl$k"""
+      }.mkString(",\n")
+      val passthrough = ks.map(k => s"np$k, sxy$k, sx$k, sl$k")
+        .mkString(", ")
+      val rhoCols = ks.map { k =>
+        s"""    (sxy$k - rbar * (sx$k + sl$k) +
+      CAST(np$k AS DOUBLE) * (rbar * rbar)) /
+      (CASE WHEN denom <> 0.0 THEN denom END) AS rho$k"""
+      }.mkString(",\n")
+      val npPass = ks.map(k => s"np$k").mkString(", ")
+      val terms = ks.map { k =>
+        s"""(CASE WHEN np$k > 0
+      THEN rho$k * rho$k / CAST(np$k AS DOUBLE) ELSE 0.0 END)"""
+      }.mkString(" +\n    ")
+      val rhoOut = ks.map(k => s"  round(rho$k, 6) AS rho_$k")
+        .mkString(",\n")
+      s""",
+rets AS (
+  SELECT ticker, bucket,
+    CASE WHEN lag(close, 1) OVER tw <> 0
+      THEN close / lag(close, 1) OVER tw - 1 END AS r
+  FROM bars
+  WINDOW tw AS (PARTITION BY ticker ORDER BY bucket)
+  QUALIFY r IS NOT NULL),
+lagged AS (
+  SELECT ticker, r,
+$lagCols
+  FROM rets WINDOW tw2 AS (PARTITION BY ticker ORDER BY bucket)),
+sums AS (
+  SELECT ticker, count(*)::BIGINT AS n,
+    CAST(sum(CAST(r AS DECIMAL(38,18))) AS DOUBLE) AS sr,
+    CAST(sum(CAST(r * r AS DECIMAL(38,18))) AS DOUBLE) AS srr,
+$sumCols
+  FROM lagged GROUP BY 1),
+named AS (
+  SELECT ticker, n, sr / CAST(n AS DOUBLE) AS rbar,
+    srr - sr * sr / CAST(n AS DOUBLE) AS denom,
+    $passthrough
+  FROM sums),
+rhos AS (
+  SELECT ticker, n, $npPass,
+$rhoCols
+  FROM named)
+SELECT ticker, n AS n_obs,
+$rhoOut,
+  round(CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE) *
+    ($terms), 6) AS q_lb
+FROM rhos ORDER BY ticker"""
+    }),
     "stock_corr_pairs" -> (barsCte + """,
 rets AS (
   SELECT ticker, bucket,

@@ -735,6 +735,12 @@ object SparkEntry {
     "stock_vpin" -> (TimeSeries.vpin _),
     // two-feature OLS via normal equations (sufficient-stats pattern)
     "rel_ols2" -> (Relational.ols2 _),
+    // chi-square independence of status x priority + Cramér's V
+    "rel_chi2" -> (Relational.chi2 _),
+    // one-way ANOVA of order totals across priorities (exact moments)
+    "rel_anova" -> (Relational.anova _),
+    // Ljung-Box portmanteau test over return ACF lags 1-5
+    "stock_ljung_box" -> (TimeSeries.ljungBox _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -2238,6 +2238,98 @@ object Relational {
         when(col("syy") =!= 0.0, col("syy")), 6).as("r2"))
   }
 
+  /** Chi-square test of independence between order status and order
+    * priority, plus Cramér's V effect size — the categorical-drift
+    * check a pipeline runs before trusting a segment breakdown (are
+    * the two labels associated, or is the cross-tab just marginals?).
+    * The full R×C grid is materialized (row-totals × col-totals cross
+    * of two bounded broadcast sides, observed counts left-joined and
+    * zero-filled) so empty cells still contribute their expected mass.
+    * Cells, marginals, and N are exact integers; each cell's
+    * (O−E)²/E term is one pinned double expression crossed to the
+    * DECIMAL(38,18) grid before the order-independent sum; the E>0
+    * guard and df/min(R−1,C−1) are stated identically by the oracle.
+    *
+    * Scale: one hash aggregate over orders to a ≤R×C grid (map-side
+    * partial), two scalar-sized marginal aggregates, broadcast-only
+    * joins — nothing downstream of the scan is data-sized. */
+  def chi2(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus").as("status"),
+        col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("o"))
+    val rowTot = cells.groupBy(col("status"))
+      .agg(sum(col("o")).as("rt"))
+    val colTot = cells.groupBy(col("priority"))
+      .agg(sum(col("o")).as("ct"))
+    val n = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("status")).as("n_status"),
+      countDistinct(col("priority")).as("n_priority"))
+    val grid = rowTot.crossJoin(broadcast(colTot))
+      .join(cells, Seq("status", "priority"), "left")
+      .na.fill(0L, Seq("o"))
+      .crossJoin(broadcast(n))
+    val e = col("rt").cast("double") * col("ct").cast("double") /
+      col("n").cast("double")
+    val term = when(e > 0.0,
+      (col("o").cast("double") - e) * (col("o").cast("double") - e) / e)
+      .otherwise(lit(0.0))
+    grid.agg(
+        max(col("n")).as("n_rows"),
+        max(col("n_status")).as("n_status"),
+        max(col("n_priority")).as("n_priority"),
+        sum(term.cast("decimal(38,18)")).cast("double").as("chi2_raw"))
+      .select(col("n_rows"), col("n_status"), col("n_priority"),
+        ((col("n_status") - 1) * (col("n_priority") - 1)).as("df"),
+        round(col("chi2_raw"), 6).as("chi2"),
+        round(sqrt(col("chi2_raw") / (col("n_rows").cast("double") *
+          least(col("n_status") - 1, col("n_priority") - 1)
+            .cast("double"))), 6).as("cramers_v"))
+  }
+
+  /** One-way ANOVA of order totals across the five order priorities —
+    * the "does the group label explain any of the variance?" gate, in
+    * closed form from exact sufficient statistics (the same
+    * one-pass-of-moments shape as [[ols2]], so it scales as a single
+    * map-side-partial hash aggregate to a 5-row grid). Per-group
+    * n/Σy/Σy² accumulate in exact decimal on the 1e-6 grid; each
+    * group's within-SS and between-SS terms are pinned double
+    * expressions crossed to DECIMAL(38,18) before the
+    * order-independent sums; F and η² carry NULL-guarded divisors
+    * (ANSI + CSE safe). */
+  def anova(spark: SparkSession, dir: String): DataFrame = {
+    val y = col("o_totalprice").cast("decimal(18,6)")
+    val g = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("grp"))
+      .agg(count(lit(1)).as("n_g"),
+        sum(y).as("sg_dec"), sum(y * y).as("sgg_dec"))
+    val tot = g.agg(sum(col("n_g")).as("n"),
+      count(lit(1)).as("k"),
+      sum(col("sg_dec")).cast("double").as("s"))
+    val gd = g.select(col("grp"), col("n_g"),
+        col("sg_dec").cast("double").as("sg"),
+        col("sgg_dec").cast("double").as("sgg"))
+      .crossJoin(broadcast(tot))
+    val ngd = col("n_g").cast("double")
+    val diff = col("sg") / ngd - col("s") / col("n").cast("double")
+    val ss = gd.agg(
+      max(col("n")).as("n_rows"), max(col("k")).as("k_groups"),
+      sum((col("sgg") - col("sg") * col("sg") / ngd)
+        .cast("decimal(38,18)")).cast("double").as("ssw_raw"),
+      sum((ngd * (diff * diff)).cast("decimal(38,18)"))
+        .cast("double").as("ssb_raw"))
+    val f = (col("ssb_raw") / (col("k_groups") - 1).cast("double")) /
+      when(col("ssw_raw") =!= 0.0 && col("n_rows") > col("k_groups"),
+        col("ssw_raw") / (col("n_rows") - col("k_groups")).cast("double"))
+    ss.select(col("n_rows"), col("k_groups"),
+      round(col("ssb_raw"), 0).as("ss_between"),
+      round(col("ssw_raw"), 0).as("ss_within"),
+      round(f, 6).as("f_stat"),
+      round(col("ssb_raw") /
+        when(col("ssb_raw") + col("ssw_raw") =!= 0.0,
+          col("ssb_raw") + col("ssw_raw")), 6).as("eta_sq"))
+  }
+
   /** Weighted median extended price per part brand (weight = quantity)
     * — the robust per-group location statistic a pricing stack wants
     * once plain medians over-weight single-unit lines. Entirely integer

@@ -851,6 +851,74 @@ object TimeSeries {
       .orderBy(col("ticker"))
   }
 
+  /** Ljung–Box portmanteau test per ticker: Q = n(n+2)·Σ_{k=1..5}
+    * ρ̂_k²/(n−k) over the 5-minute simple returns — the standard
+    * "is there ANY autocorrelation in the first [[AcfLags]] lags?"
+    * test a forecasting stack runs before believing a white-noise
+    * residual claim. Unlike [[acf]] (per-lag Pearson corr over the
+    * pair subset), ρ̂_k here is the textbook ACF estimator: lag-k
+    * cross-deviations from the FULL-sample mean over the full-sample
+    * variance — the estimator Q's asymptotic χ²(5) distribution
+    * assumes.
+    *
+    * Determinism: all moment sums (global and per lag) accumulate on
+    * the DECIMAL(38,18) grid (order-independent); the closed form is
+    * named-column double algebra in one pinned order with the
+    * NULL-guarded variance divisor; degenerate series yield NULL Q.
+    *
+    * Scale: ONE per-ticker window pass materializing the five lags,
+    * then ONE hash aggregate to a row per ticker (map-side partial) —
+    * no per-lag re-scan, nothing downstream is data-sized. */
+  def ljungBox(spark: SparkSession, dir: String): DataFrame =
+    ljungBoxBars(closeBars5m(
+      StockPipeline.normalize(Tables.events(spark, dir))))
+
+  private[graft] def ljungBoxBars(bars: DataFrame): DataFrame = {
+    val rets = simpleRets(bars, "r")
+    val w = Window.partitionBy(col("ticker")).orderBy(col("bucket"))
+    val lagged = rets.select(
+      Seq(col("ticker"), col("r")) ++
+        AcfLags.map(k => lag(col("r"), k).over(w).as(s"rl$k")): _*)
+    val aggCols = Seq(
+      count(lit(1)).as("n"),
+      dsum18(col("r")).as("sr"),
+      dsum18(col("r") * col("r")).as("srr")) ++
+      AcfLags.flatMap { k =>
+        val rl = col(s"rl$k")
+        Seq(count(rl).as(s"np$k"),
+          dsum18(when(rl.isNotNull, col("r") * rl)).as(s"sxy$k"),
+          dsum18(when(rl.isNotNull, col("r"))).as(s"sx$k"),
+          dsum18(rl).as(s"sl$k"))
+      }
+    val sums = lagged.groupBy(col("ticker"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val nd = col("n").cast("double")
+    val named = sums.select(
+      Seq(col("ticker"), col("n"),
+        (col("sr") / nd).as("rbar"),
+        (col("srr") - col("sr") * col("sr") / nd).as("denom")) ++
+        AcfLags.flatMap(k =>
+          Seq(col(s"np$k"), col(s"sxy$k"), col(s"sx$k"), col(s"sl$k"))): _*)
+    val rhos = named.select(
+      Seq(col("ticker"), col("n")) ++
+        AcfLags.map { k =>
+          ((col(s"sxy$k") - col("rbar") * (col(s"sx$k") + col(s"sl$k")) +
+            col(s"np$k").cast("double") * (col("rbar") * col("rbar"))) /
+            when(col("denom") =!= 0.0, col("denom"))).as(s"rho$k")
+        } ++ AcfLags.map(k => col(s"np$k")): _*)
+    val q = col("n").cast("double") * (col("n") + 2).cast("double") *
+      AcfLags.map { k =>
+        when(col(s"np$k") > 0,
+          col(s"rho$k") * col(s"rho$k") / col(s"np$k").cast("double"))
+          .otherwise(lit(0.0))
+      }.reduce(_ + _)
+    rhos.select(
+      Seq(col("ticker"), col("n").as("n_obs")) ++
+        AcfLags.map(k => round(col(s"rho$k"), 6).as(s"rho_$k")) :+
+        round(q, 6).as("q_lb"): _*)
+      .orderBy(col("ticker"))
+  }
+
   /** MACD spans (fast/slow/signal), shared with the oracle generator. */
   val MacdFast = 12
   val MacdSlow = 26

@@ -1130,6 +1130,58 @@ class RelationalSpec extends SparkSpec {
       s"b_qty ${r.getDouble(1)} far from univariate slope $uni")
   }
 
+  test("chi2: matches a local recomputation from the contingency " +
+      "cells, df consistent, cramers_v in [0,1] (sf0.001)") {
+    val out = graft.operators.Relational
+      .chi2(spark, "/root/testdata/sf0.001").collect()
+    assert(out.length === 1)
+    val r = out.head
+    val cells = graft.sources.Tables.orders(spark, "/root/testdata/sf0.001")
+      .groupBy("o_orderstatus", "o_orderpriority").count()
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getLong(2))
+      .toMap
+    val statuses = cells.keys.map(_._1).toSeq.distinct
+    val priorities = cells.keys.map(_._2).toSeq.distinct
+    val n = cells.values.sum.toDouble
+    assert(r.getLong(0) === cells.values.sum)
+    assert(r.getLong(1) === statuses.size && r.getLong(2) === priorities.size)
+    assert(r.getLong(3) === (statuses.size - 1) * (priorities.size - 1))
+    val chi2 = (for (s <- statuses; p <- priorities) yield {
+      val o = cells.getOrElse((s, p), 0L).toDouble
+      val e = cells.filter(_._1._1 == s).values.sum.toDouble *
+        cells.filter(_._1._2 == p).values.sum.toDouble / n
+      (o - e) * (o - e) / e
+    }).sum
+    assert(math.abs(r.getDouble(4) - chi2) < 1e-6 * math.max(1.0, chi2))
+    assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+    val v = math.sqrt(chi2 / (n *
+      math.min(statuses.size - 1, priorities.size - 1)))
+    assert(math.abs(r.getDouble(5) - v) < 1e-5)
+  }
+
+  test("anova: SSB + SSW equals total SS, F matches the local " +
+      "closed form, eta_sq in [0,1] (sf0.001)") {
+    val out = graft.operators.Relational
+      .anova(spark, "/root/testdata/sf0.001").collect()
+    assert(out.length === 1)
+    val r = out.head
+    val ys = graft.sources.Tables.orders(spark, "/root/testdata/sf0.001")
+      .select("o_orderpriority", "o_totalprice").collect()
+      .map(x => (x.getString(0), x.getDouble(1)))
+    val n = ys.length
+    assert(r.getLong(0) === n)
+    val k = ys.map(_._1).distinct.length
+    assert(r.getLong(1) === k)
+    val mean = ys.map(_._2).sum / n
+    val sst = ys.map(t => (t._2 - mean) * (t._2 - mean)).sum
+    val ssb = r.getDouble(2); val ssw = r.getDouble(3)
+    assert(math.abs(ssb + ssw - sst) < 1e-6 * sst,
+      s"SSB+SSW=$ssb+$ssw must equal SST=$sst")
+    val f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert(math.abs(r.getDouble(4) - f) < 1e-4 * math.max(1.0, f))
+    assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+  }
+
   test("dormancy: bands partition the customer universe, min/max days " +
       "respect the stated edges, shares sum to 1 (sf0.001)") {
     val out = graft.operators.Relational

@@ -1080,6 +1080,42 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("ljungBox: Q matches a local textbook recomputation per ticker, " +
+      "rhos bounded, Q non-negative (sf0.001)") {
+    val out = TimeSeries.ljungBox(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    val bars = TimeSeries.closeBars5m(graft.operators.StockPipeline
+        .normalize(graft.sources.Tables.events(spark, "/root/testdata/sf0.001")))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (t, rs) =>
+        val closes = rs.sortBy(_._2.getTime).map(_._3)
+        t -> closes.zip(closes.drop(1))
+          .filter(_._1 != 0.0).map { case (p, c) => c / p - 1 }
+      }
+    out.foreach { row =>
+      val t = row.getString(0)
+      val r = bars(t)
+      val n = r.length
+      assert(row.getLong(1) === n)
+      val rbar = r.sum / n
+      val c0 = r.map(x => (x - rbar) * (x - rbar)).sum
+      var q = 0.0
+      TimeSeries.AcfLags.zipWithIndex.foreach { case (k, i) =>
+        val rho = (k until n)
+          .map(j => (r(j) - rbar) * (r(j - k) - rbar)).sum / c0
+        assert(math.abs(row.getDouble(2 + i) - rho) < 1e-5,
+          s"$t lag $k: ${row.getDouble(2 + i)} vs $rho")
+        assert(math.abs(rho) <= 1.0 + 1e-9)
+        q += rho * rho / (n - k)
+      }
+      q *= n.toDouble * (n + 2)
+      assert(row.getDouble(7) >= 0.0)
+      assert(math.abs(row.getDouble(7) - q) < 1e-4 * math.max(1.0, q),
+        s"$t Q: ${row.getDouble(7)} vs $q")
+    }
+  }
+
   test("corrPairs on sf0.001: every correlation is in [-1, 1] and the " +
       "pair set is the strict upper triangle") {
     val out = TimeSeries.corrPairs(spark, "/root/testdata/sf0.001")
