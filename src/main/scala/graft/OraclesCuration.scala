@@ -124,6 +124,47 @@ ORDER BY doc_id"""
 
   val all: Map[String, String] = Map(
     "corpus_classifier_calibration" -> classifierCalibrationSql,
+    // ROC AUC via the Mann-Whitney rank-sum identity: the oracle
+    // states the NAIVE global-window negatives-below prefix on the
+    // distinct-score grain; the engine runs the banded two-level scan
+    // — hash equality proves the rewrite. Exact integers until one
+    // final division (doubled numerator carries tie halves exactly).
+    "corpus_auc" -> s"""
+WITH $toksCte${OraclesExt.clsScCtes},
+$qualityMCte,
+cl AS (
+  SELECT doc_id, round(1.0 / (1.0 + exp(-margin * 10)), 6) AS score
+  FROM sc),
+kp AS (SELECT doc_id, $qKeepExpr AS keep FROM m),
+j AS (SELECT score, keep FROM cl JOIN kp USING (doc_id)),
+byscore AS (
+  SELECT score,
+    count(*) FILTER (keep)::BIGINT AS n1,
+    count(*) FILTER (NOT keep)::BIGINT AS n0
+  FROM j GROUP BY 1),
+cum AS (
+  SELECT score, n1, n0,
+    coalesce(CAST(sum(n0) OVER (ORDER BY score
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+      0) AS below
+  FROM byscore),
+t AS (
+  SELECT CAST(sum(n1) AS BIGINT) AS n_pos,
+    CAST(sum(n0) AS BIGINT) AS n_neg,
+    count(*)::BIGINT AS n_scores,
+    CAST(CAST(sum(n1 * (2 * below + n0)) AS VARCHAR) AS DOUBLE)
+      AS numer2
+  FROM cum)
+SELECT n_pos, n_neg, n_scores,
+  round(numer2 / (CASE WHEN 2.0 * CAST(n_pos AS DOUBLE) *
+      CAST(n_neg AS DOUBLE) <> 0.0
+    THEN 2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE) END), 6)
+    AS auc,
+  round(2.0 * (numer2 / (CASE WHEN 2.0 * CAST(n_pos AS DOUBLE) *
+      CAST(n_neg AS DOUBLE) <> 0.0
+    THEN 2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE) END))
+    - 1.0, 6) AS gini_coef
+FROM t""",
     // Cohen's kappa: classifier keep-vote vs rule-based keep label —
     // exact 2x2 integer cells, one double division per rate, NULL-
     // guarded 1-p_e divisor (matches the Spark side's CSE-safe guard)

@@ -1155,6 +1155,43 @@ ORDER BY user_id""",
     // Per-nation OLS trend from EXACT moments: x BIGINT, y DECIMAL —
     // only the final closed form is double math, stated in the same
     // order as the Spark expression tree.
+    // Spearman rank correlation via doubled midranks (ties stay on
+    // the integer grid): oracle states the NAIVE global-window
+    // count-below prefixes; the engine runs banded two-level scans —
+    // hash equality proves the rewrite. Exact integer moment sums
+    // (VARCHAR crossings), one pinned double closed form
+    "rel_spearman" -> """
+WITH rows_ AS (
+  SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem),
+rxt AS (SELECT x, count(*)::BIGINT AS cnt FROM rows_ GROUP BY 1),
+rx AS (
+  SELECT x, 2 * coalesce(CAST(sum(cnt) OVER (ORDER BY x
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+    + cnt + 1 AS rx2
+  FROM rxt),
+ryt AS (SELECT y, count(*)::BIGINT AS cnt FROM rows_ GROUP BY 1),
+ry AS (
+  SELECT y, 2 * coalesce(CAST(sum(cnt) OVER (ORDER BY y
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+    + cnt + 1 AS ry2
+  FROM ryt),
+ranked AS (
+  SELECT rx2, ry2 FROM rows_ JOIN rx USING (x) JOIN ry USING (y)),
+m AS (
+  SELECT count(*)::BIGINT AS n,
+    CAST(CAST(sum(rx2) AS VARCHAR) AS DOUBLE) AS sx,
+    CAST(CAST(sum(ry2) AS VARCHAR) AS DOUBLE) AS sy,
+    CAST(CAST(sum(rx2 * rx2) AS VARCHAR) AS DOUBLE) AS sxx,
+    CAST(CAST(sum(ry2 * ry2) AS VARCHAR) AS DOUBLE) AS syy,
+    CAST(CAST(sum(rx2 * ry2) AS VARCHAR) AS DOUBLE) AS sxy
+  FROM ranked)
+SELECT n AS n_rows,
+  round((sxy - sx * sy / CAST(n AS DOUBLE)) /
+    (CASE WHEN sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) *
+        (syy - sy * sy / CAST(n AS DOUBLE))) <> 0.0
+      THEN sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) *
+        (syy - sy * sy / CAST(n AS DOUBLE))) END), 6) AS rho_spearman
+FROM m""",
     // chi-square independence of status x priority over the FULL
     // marginal grid (zero-filled cells); exact integer cells, each
     // (O-E)^2/E term one pinned double expression crossed to the

@@ -805,6 +805,47 @@ $rhoOut,
     ($terms), 6) AS q_lb
 FROM rhos ORDER BY ticker"""
     }),
+    // Wald-Wolfowitz runs test: exact integer run/sign counts, pinned
+    // double closed form with NULL-guarded variance root
+    "stock_runs_test" -> (barsCte + """,
+rets AS (
+  SELECT ticker, bucket,
+    CASE WHEN lag(close, 1) OVER tw <> 0
+      THEN close / lag(close, 1) OVER tw - 1 END AS r
+  FROM bars
+  WINDOW tw AS (PARTITION BY ticker ORDER BY bucket)
+  QUALIFY r IS NOT NULL),
+sgns AS (
+  SELECT ticker, bucket, sign(r) AS sgn FROM rets WHERE sign(r) <> 0),
+flagged AS (
+  SELECT ticker, sgn,
+    CASE WHEN lag(sgn, 1) OVER tw2 IS NULL
+        OR sgn <> lag(sgn, 1) OVER tw2 THEN 1 ELSE 0 END AS chg
+  FROM sgns WINDOW tw2 AS (PARTITION BY ticker ORDER BY bucket)),
+m AS (
+  SELECT ticker, count(*)::BIGINT AS n_obs,
+    CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_plus,
+    CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_minus,
+    CAST(sum(chg) AS BIGINT) AS n_runs
+  FROM flagged GROUP BY 1)
+SELECT ticker, n_obs, n_plus, n_minus, n_runs,
+  round(2.0 * CAST(n_plus AS DOUBLE) * CAST(n_minus AS DOUBLE) /
+    CAST(n_obs AS DOUBLE) + 1.0, 6) AS expected_runs,
+  round((CAST(n_runs AS DOUBLE) -
+    (2.0 * CAST(n_plus AS DOUBLE) * CAST(n_minus AS DOUBLE) /
+      CAST(n_obs AS DOUBLE) + 1.0)) /
+    (CASE WHEN (2.0 * CAST(n_plus AS DOUBLE) * CAST(n_minus AS DOUBLE))
+        * ((2.0 * CAST(n_plus AS DOUBLE) * CAST(n_minus AS DOUBLE))
+          - CAST(n_obs AS DOUBLE)) /
+        ((CAST(n_obs AS DOUBLE) * CAST(n_obs AS DOUBLE))
+          * (CAST(n_obs AS DOUBLE) - 1.0)) > 0.0
+      THEN sqrt((2.0 * CAST(n_plus AS DOUBLE) * CAST(n_minus AS DOUBLE))
+        * ((2.0 * CAST(n_plus AS DOUBLE) * CAST(n_minus AS DOUBLE))
+          - CAST(n_obs AS DOUBLE)) /
+        ((CAST(n_obs AS DOUBLE) * CAST(n_obs AS DOUBLE))
+          * (CAST(n_obs AS DOUBLE) - 1.0))) END), 6) AS z_score
+FROM m ORDER BY ticker"""),
     "stock_corr_pairs" -> (barsCte + """,
 rets AS (
   SELECT ticker, bucket,

@@ -741,6 +741,13 @@ object SparkEntry {
     "rel_anova" -> (Relational.anova _),
     // Ljung-Box portmanteau test over return ACF lags 1-5
     "stock_ljung_box" -> (TimeSeries.ljungBox _),
+    // ROC AUC of the classifier score vs the rule label (rank-sum)
+    "corpus_auc" -> ((s, d) =>
+      graft.operators.Curation.auc(Tables.documents(s, d))),
+    // Spearman rank correlation via banded exact midranks
+    "rel_spearman" -> (Relational.spearman _),
+    // Wald-Wolfowitz runs test on return signs
+    "stock_runs_test" -> (TimeSeries.runsTest _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
@@ -1250,6 +1251,66 @@ object Curation {
             (acc, b) => acc + coalesce(element_at(m, b), lit(0.0))) /
             col("n_tokens"), 6))
       .select(col("doc_id"), col("n_tokens"), col("dsir_logw"))
+  }
+
+  /** ROC AUC of the hashed classifier score against the rule-based
+    * keep label — the threshold-free ranking-quality companion to
+    * [[kappa]] (agreement at one threshold) and the lift table
+    * (deciles): AUC is exactly P(score of a random kept doc > score
+    * of a random dropped doc), computed by the Mann–Whitney rank-sum
+    * identity. Everything is EXACT integer arithmetic until one final
+    * division: per-distinct-score (n_pos, n_neg) cells, negatives-
+    * strictly-below via the banded two-level prefix scan (band
+    * offsets over the bounded `__bucket` grid + in-band partitioned
+    * running sums — no global data-sized window; the oracle states
+    * the naive global-window form and hash equality proves the
+    * rewrite), ties contributing the exact half via the doubled
+    * numerator Σ n1·(2·below + n0_at) / (2·n1·n0).
+    *
+    * Scale: two label passes joined on doc_id, one hash aggregate to
+    * the distinct-score grain, banded prefix, one scalar aggregate —
+    * every stage partial-aggregates map-side. */
+  def auc(documents: DataFrame): DataFrame = {
+    val scored = graft.operators.TextAnalysis.classifierScore(documents)
+      .select(col("doc_id"), col("score"))
+      .join(qualityFilter(documents).select(col("doc_id"), col("keep")),
+        Seq("doc_id"))
+    val byScore = scored.groupBy(col("score"))
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("n0"))
+      .pin()
+    val nBands = 128
+    val mm = byScore.agg(min(col("score")).as("lo"),
+      max(col("score")).as("hi"))
+    val banded = byScore.crossJoin(broadcast(mm))
+      .withColumn("__bucket",
+        when(col("hi") === col("lo"), lit(0L)).otherwise(least(
+          floor((col("score") - col("lo")) / (col("hi") - col("lo"))
+            * nBands), lit(nBands - 1L)).cast("long")))
+      .drop("lo", "hi")
+    val wo = Window.orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = banded.groupBy(col("__bucket"))
+      .agg(sum(col("n0")).as("part"))
+      .withColumn("__offset", coalesce(sum(col("part")).over(wo), lit(0L)))
+      .select(col("__bucket"), col("__offset"))
+    val wb = Window.partitionBy(col("__bucket")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = banded.join(broadcast(offsets), Seq("__bucket"))
+      .withColumn("below",
+        col("__offset") + coalesce(sum(col("n0")).over(wb), lit(0L)))
+    val t = cum.agg(
+      sum(col("n1")).as("n_pos"), sum(col("n0")).as("n_neg"),
+      count(lit(1)).as("n_scores"),
+      sum(col("n1").cast("decimal(19,0)") *
+        (lit(2L) * col("below") + col("n0")).cast("decimal(19,0)"))
+        .cast("double").as("numer2"))
+    val den = lit(2.0) * col("n_pos").cast("double") *
+      col("n_neg").cast("double")
+    val aucRaw = col("numer2") / when(den =!= 0.0, den)
+    t.select(col("n_pos"), col("n_neg"), col("n_scores"),
+      round(aucRaw, 6).as("auc"),
+      round(lit(2.0) * aucRaw - 1.0, 6).as("gini_coef"))
   }
 
   /** Score threshold at which the hashed classifier votes "keep" —

@@ -2330,6 +2330,80 @@ object Relational {
           col("ssb_raw") + col("ssw_raw")), 6).as("eta_sq"))
   }
 
+  /** Doubled midranks (2·midrank = 2·count_strictly_below + count_at
+    * + 1 — always an integer, so ties never leave the integer grid)
+    * for every distinct value of `valueCol`, via the [[bandedRank]]
+    * two-level scan on the distinct-value grain: band offsets over the
+    * bounded `__bucket` grid plus in-band partitioned running counts.
+    * Returns (valueCol, `mr2Name`). */
+  private def midrank2(df: DataFrame, valueCol: String,
+      mr2Name: String, nBands: Int = 128): DataFrame = {
+    val byVal = df.groupBy(col(valueCol))
+      .agg(count(lit(1)).as("cnt")).pin()
+    val mm = byVal.agg(min(col(valueCol)).cast("double").as("lo"),
+      max(col(valueCol)).cast("double").as("hi"))
+    val banded = byVal.crossJoin(broadcast(mm))
+      .withColumn("__bucket",
+        when(col("hi") === col("lo"), lit(0L)).otherwise(least(
+          floor((col(valueCol) - col("lo")) / (col("hi") - col("lo"))
+            * nBands), lit(nBands - 1L)).cast("long")))
+      .drop("lo", "hi")
+    val wo = Window.orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = banded.groupBy(col("__bucket"))
+      .agg(sum(col("cnt")).as("part"))
+      .withColumn("__offset", coalesce(sum(col("part")).over(wo), lit(0L)))
+      .select(col("__bucket"), col("__offset"))
+    val wb = Window.partitionBy(col("__bucket")).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    banded.join(broadcast(offsets), Seq("__bucket"))
+      .withColumn("below",
+        col("__offset") + coalesce(sum(col("cnt")).over(wb), lit(0L)))
+      .select(col(valueCol),
+        (lit(2L) * col("below") + col("cnt") + 1L).as(mr2Name))
+  }
+
+  /** Spearman rank correlation between line quantity and extended
+    * price — the monotone-association measure that survives outliers
+    * and nonlinearity where Pearson doesn't. Ranks are exact midranks
+    * (ties get the average rank) computed WITHOUT a global sort: each
+    * column's distinct-value grain gets doubled midranks from the
+    * banded two-level scan ([[midrank2]]; the doubling keeps ties on
+    * the integer grid, and Pearson correlation is invariant under the
+    * affine 2r map). All five moment sums accumulate as exact
+    * DECIMAL(38,0) integers; only the closed-form correlation is
+    * double math in one pinned order with a NULL-guarded root.
+    *
+    * Scale: two distinct-value aggregates + banded prefixes (metadata-
+    * sized windows only), two equi-joins back to the fact rows, one
+    * map-side-partial hash aggregate to a single row. */
+  def spearman(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.lineitem(spark, dir)
+      .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+    val rx = midrank2(rows.select(col("x")), "x", "rx2")
+    val ry = midrank2(rows.select(col("y")), "y", "ry2")
+    val ranked = rows.join(rx, Seq("x")).join(ry, Seq("y"))
+    def dsum0(c: org.apache.spark.sql.Column) =
+      sum(c).cast("double")
+    val m = ranked.agg(
+      count(lit(1)).as("n"),
+      dsum0(col("rx2").cast("decimal(19,0)")).as("sx"),
+      dsum0(col("ry2").cast("decimal(19,0)")).as("sy"),
+      dsum0(col("rx2").cast("decimal(19,0)") *
+        col("rx2").cast("decimal(19,0)")).as("sxx"),
+      dsum0(col("ry2").cast("decimal(19,0)") *
+        col("ry2").cast("decimal(19,0)")).as("syy"),
+      dsum0(col("rx2").cast("decimal(19,0)") *
+        col("ry2").cast("decimal(19,0)")).as("sxy"))
+    val nd = col("n").cast("double")
+    val num = col("sxy") - col("sx") * col("sy") / nd
+    val vx = col("sxx") - col("sx") * col("sx") / nd
+    val vy = col("syy") - col("sy") * col("sy") / nd
+    m.select(col("n").as("n_rows"),
+      round(num / when(sqrt(vx * vy) =!= 0.0, sqrt(vx * vy)), 6)
+        .as("rho_spearman"))
+  }
+
   /** Weighted median extended price per part brand (weight = quantity)
     * — the robust per-group location statistic a pricing stack wants
     * once plain medians over-weight single-unit lines. Entirely integer

@@ -919,6 +919,49 @@ object TimeSeries {
       .orderBy(col("ticker"))
   }
 
+  /** Wald–Wolfowitz runs test per ticker: are the SIGNS of the
+    * 5-minute returns randomly ordered, or do up/down moves cluster
+    * (momentum) or alternate (mean reversion)? Zero returns are
+    * dropped; a run is a maximal block of equal signs, counted as
+    * 1 + Σ[sign ≠ previous sign] in one per-ticker window pass. With
+    * n⁺ pluses and n⁻ minuses, E[R] = 2n⁺n⁻/n + 1 and
+    * Var[R] = 2n⁺n⁻(2n⁺n⁻−n)/(n²(n−1)); z = (R−E[R])/√Var — |z| > 2
+    * flags non-randomness. Counts are exact integers; the closed form
+    * is pinned double algebra with a NULL-guarded variance root.
+    *
+    * Scale: one partitioned window pass + one per-ticker hash
+    * aggregate — map-side partial, output is one row per ticker. */
+  def runsTest(spark: SparkSession, dir: String): DataFrame =
+    runsTestBars(closeBars5m(
+      StockPipeline.normalize(Tables.events(spark, dir))))
+
+  private[graft] def runsTestBars(bars: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("ticker")).orderBy(col("bucket"))
+    val sgns = simpleRets(bars, "r")
+      .select(col("ticker"), col("bucket"), signum(col("r")).as("sgn"))
+      .filter(col("sgn") =!= 0.0)
+    val flagged = sgns
+      .withColumn("chg",
+        when(lag(col("sgn"), 1).over(w).isNull ||
+          col("sgn") =!= lag(col("sgn"), 1).over(w), 1L).otherwise(0L))
+    val m = flagged.groupBy(col("ticker")).agg(
+      count(lit(1)).as("n_obs"),
+      sum(when(col("sgn") === 1.0, 1L).otherwise(0L)).as("n_plus"),
+      sum(when(col("sgn") === -1.0, 1L).otherwise(0L)).as("n_minus"),
+      sum(col("chg")).as("n_runs"))
+    val nd = col("n_obs").cast("double")
+    val a = lit(2.0) * col("n_plus").cast("double") *
+      col("n_minus").cast("double")
+    val mu = a / nd + 1.0
+    val variance = a * (a - nd) / (nd * nd * (nd - 1.0))
+    m.select(col("ticker"), col("n_obs"), col("n_plus"),
+        col("n_minus"), col("n_runs"),
+        round(mu, 6).as("expected_runs"),
+        round((col("n_runs").cast("double") - mu) /
+          when(variance > 0.0, sqrt(variance)), 6).as("z_score"))
+      .orderBy(col("ticker"))
+  }
+
   /** MACD spans (fast/slow/signal), shared with the oracle generator. */
   val MacdFast = 12
   val MacdSlow = 26

@@ -1080,6 +1080,34 @@ class CurationSpec extends SparkSpec {
     assert(out.map(_.getLong(4)).sum === dropped)
   }
 
+  test("auc: matches a local rank-sum recomputation, bounded in [0,1], " +
+      "gini = 2*auc - 1 (sf0.001)") {
+    val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Curation.auc(d).collect()
+    assert(out.length === 1)
+    val r = out.head
+    val pairs = graft.operators.TextAnalysis.classifierScore(d)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("score"))
+      .join(Curation.qualityFilter(d).select(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("keep")), Seq("doc_id"))
+      .collect().map(x => (x.getDouble(1), x.getBoolean(2)))
+    val pos = pairs.filter(_._2).map(_._1)
+    val neg = pairs.filterNot(_._2).map(_._1)
+    assert(r.getLong(0) === pos.length && r.getLong(1) === neg.length)
+    assert(r.getLong(2) === pairs.map(_._1).distinct.length)
+    // O(n_pos*n_neg) exact reference: wins + half-ties
+    var num2 = 0L
+    pos.foreach { p => neg.foreach { q =>
+      if (p > q) num2 += 2 else if (p == q) num2 += 1 } }
+    val auc = num2.toDouble / (2.0 * pos.length * neg.length)
+    assert(math.abs(r.getDouble(3) - auc) < 1e-6,
+      s"auc ${r.getDouble(3)} vs exact $auc")
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    assert(math.abs(r.getDouble(4) - (2 * auc - 1)) < 2e-6)
+  }
+
   test("kappa: cells partition the corpus, marginals match the " +
       "standalone label passes, kappa consistent with po/pe (sf0.001)") {
     val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")

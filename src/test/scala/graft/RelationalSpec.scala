@@ -1130,6 +1130,37 @@ class RelationalSpec extends SparkSpec {
       s"b_qty ${r.getDouble(1)} far from univariate slope $uni")
   }
 
+  test("spearman: matches a local midrank recomputation and is " +
+      "bounded in [-1,1] (sf0.001)") {
+    val out = graft.operators.Relational
+      .spearman(spark, "/root/testdata/sf0.001").collect()
+    assert(out.length === 1)
+    val r = out.head
+    val rows = graft.sources.Tables
+      .lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_quantity", "l_extendedprice").collect()
+      .map(x => (x.getDouble(0), x.getDouble(1)))
+    assert(r.getLong(0) === rows.length)
+    def midranks(vs: Array[Double]): Map[Double, Double] = {
+      val sorted = vs.sorted
+      vs.distinct.map { v =>
+        val below = sorted.count(_ < v); val at = sorted.count(_ == v)
+        v -> (below + (at + 1) / 2.0)
+      }.toMap
+    }
+    val mx = midranks(rows.map(_._1)); val my = midranks(rows.map(_._2))
+    val xs = rows.map(t => mx(t._1)); val ys = rows.map(t => my(t._2))
+    val n = rows.length.toDouble
+    val (sx, sy) = (xs.sum, ys.sum)
+    val num = xs.zip(ys).map(t => t._1 * t._2).sum - sx * sy / n
+    val den = math.sqrt((xs.map(v => v * v).sum - sx * sx / n) *
+      (ys.map(v => v * v).sum - sy * sy / n))
+    val rho = num / den
+    assert(math.abs(r.getDouble(1) - rho) < 1e-5,
+      s"rho ${r.getDouble(1)} vs local $rho")
+    assert(r.getDouble(1) >= -1.0 - 1e-9 && r.getDouble(1) <= 1.0 + 1e-9)
+  }
+
   test("chi2: matches a local recomputation from the contingency " +
       "cells, df consistent, cramers_v in [0,1] (sf0.001)") {
     val out = graft.operators.Relational

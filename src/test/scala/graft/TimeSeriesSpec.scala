@@ -1116,6 +1116,39 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("runsTest: runs counted exactly vs a local scan, counts " +
+      "partition, z matches the closed form (sf0.001)") {
+    val out = TimeSeries.runsTest(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    val byTicker = TimeSeries.closeBars5m(graft.operators.StockPipeline
+        .normalize(graft.sources.Tables.events(spark, "/root/testdata/sf0.001")))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (t, rs) =>
+        val closes = rs.sortBy(_._2.getTime).map(_._3)
+        t -> closes.zip(closes.drop(1))
+          .filter(_._1 != 0.0).map { case (p, c) => c / p - 1 }
+          .map(math.signum).filter(_ != 0.0)
+      }
+    out.foreach { row =>
+      val sgns = byTicker(row.getString(0))
+      val n = sgns.length
+      val nPlus = sgns.count(_ == 1.0)
+      val runs = if (sgns.isEmpty) 0
+        else 1 + sgns.zip(sgns.drop(1)).count(t => t._1 != t._2)
+      assert(row.getLong(1) === n)
+      assert(row.getLong(2) === nPlus)
+      assert(row.getLong(2) + row.getLong(3) === n)
+      assert(row.getLong(4) === runs)
+      val a = 2.0 * nPlus * (n - nPlus)
+      val mu = a / n + 1.0
+      val v = a * (a - n) / (n.toDouble * n * (n - 1))
+      assert(math.abs(row.getDouble(5) - mu) < 1e-5)
+      if (!row.isNullAt(6))
+        assert(math.abs(row.getDouble(6) - (runs - mu) / math.sqrt(v)) < 1e-4)
+    }
+  }
+
   test("corrPairs on sf0.001: every correlation is in [-1, 1] and the " +
       "pair set is the strict upper triangle") {
     val out = TimeSeries.corrPairs(spark, "/root/testdata/sf0.001")
