@@ -2339,6 +2339,44 @@ LEFT JOIN dg USING (lab)
 LEFT JOIN ie USING (lab)
 CROSS JOIN mm
 ORDER BY community"""),
+    // per-community conductance: cut/min(vol, 2m−vol) from the SAME
+    // community cells as the modularity report — exact integers, one
+    // guarded division
+    "sim_conductance" -> (lpChainCtes + s""",
+lf AS (SELECT vec_id, lab FROM l${graft.operators.Similarity.lpIters}
+  WHERE lab IS NOT NULL),
+und AS (
+  SELECT DISTINCT least(vec_id, neighbor_id) AS a,
+    greatest(vec_id, neighbor_id) AS b
+  FROM e),
+le AS (
+  SELECT u.a, u.b, la.lab AS la, lb.lab AS lb
+  FROM und u JOIN lf la ON u.a = la.vec_id
+             JOIN lf lb ON u.b = lb.vec_id),
+dg AS (
+  SELECT lab, count(*) AS degree_sum FROM (
+    SELECT a AS v, la AS lab FROM le
+    UNION ALL SELECT b AS v, lb AS lab FROM le)
+  GROUP BY 1),
+ie AS (SELECT la AS lab, count(*) AS in_edges FROM le WHERE la = lb
+  GROUP BY 1),
+nd AS (SELECT lab, count(*) AS n_nodes FROM lf GROUP BY 1),
+rep AS (
+  SELECT nd.lab AS community, nd.n_nodes::BIGINT AS n_nodes,
+    CAST(coalesce(ie.in_edges, 0) AS BIGINT) AS in_edges,
+    CAST(coalesce(dg.degree_sum, 0) AS BIGINT) AS degree_sum
+  FROM nd
+  LEFT JOIN dg USING (lab)
+  LEFT JOIN ie USING (lab)),
+vt AS (SELECT CAST(sum(degree_sum) AS BIGINT) AS vol_total FROM rep)
+SELECT community, n_nodes, in_edges, degree_sum,
+  CAST(degree_sum - 2 * in_edges AS BIGINT) AS cut_edges,
+  round(CAST(degree_sum - 2 * in_edges AS DOUBLE) /
+    (CASE WHEN least(degree_sum, vol_total - degree_sum) > 0
+      THEN CAST(least(degree_sum, vol_total - degree_sum) AS DOUBLE)
+      END), 6) AS conductance
+FROM rep CROSS JOIN vt
+ORDER BY community"""),
   )
 
   /** Shared label-propagation CTE chain: simBase + the unrolled Lloyd

@@ -805,6 +805,50 @@ $rhoOut,
     ($terms), 6) AS q_lb
 FROM rhos ORDER BY ticker"""
     }),
+    // two-sample KS distance per ticker pair: exact integer ECDF
+    // numerator max|cum_a*n_b - cum_b*n_a|, one final division
+    "stock_ks_pairs" -> (barsCte + """,
+rets AS (
+  SELECT ticker, bucket,
+    CASE WHEN lag(close, 1) OVER tw <> 0
+      THEN close / lag(close, 1) OVER tw - 1 END AS r
+  FROM bars
+  WINDOW tw AS (PARTITION BY ticker ORDER BY bucket)
+  QUALIFY r IS NOT NULL),
+byval AS (
+  SELECT a.ticker AS ticker_a, b.ticker AS ticker_b, v.r,
+    CAST(sum(CASE WHEN v.ticker = a.ticker THEN 1 ELSE 0 END)
+      AS BIGINT) AS ca,
+    CAST(sum(CASE WHEN v.ticker = b.ticker THEN 1 ELSE 0 END)
+      AS BIGINT) AS cb
+  FROM (SELECT DISTINCT ticker FROM rets) a
+  JOIN (SELECT DISTINCT ticker FROM rets) b ON a.ticker < b.ticker
+  JOIN rets v ON v.ticker IN (a.ticker, b.ticker)
+  GROUP BY 1, 2, 3),
+cum AS (
+  SELECT ticker_a, ticker_b, r, ca, cb,
+    CAST(sum(ca) OVER pw AS BIGINT) AS cum_a,
+    CAST(sum(cb) OVER pw AS BIGINT) AS cum_b
+  FROM byval
+  WINDOW pw AS (PARTITION BY ticker_a, ticker_b ORDER BY r
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+tt AS (
+  SELECT ticker_a, ticker_b,
+    CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b
+  FROM byval GROUP BY 1, 2),
+d AS (
+  SELECT c.ticker_a, c.ticker_b, max(t.n_a) AS n_a, max(t.n_b) AS n_b,
+    max(abs(c.cum_a * t.n_b - c.cum_b * t.n_a))::BIGINT AS d_num
+  FROM cum c JOIN tt t USING (ticker_a, ticker_b)
+  GROUP BY 1, 2)
+SELECT ticker_a, ticker_b, n_a, n_b, d_num,
+  round(CAST(d_num AS DOUBLE) /
+    (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS ks_d,
+  round((CAST(d_num AS DOUBLE) /
+    (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) *
+    sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) /
+      (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))), 6) AS ks_lambda
+FROM d ORDER BY ticker_a, ticker_b"""),
     // Wald-Wolfowitz runs test: exact integer run/sign counts, pinned
     // double closed form with NULL-guarded variance root
     "stock_runs_test" -> (barsCte + """,

@@ -748,6 +748,11 @@ object SparkEntry {
     "rel_spearman" -> (Relational.spearman _),
     // Wald-Wolfowitz runs test on return signs
     "stock_runs_test" -> (TimeSeries.runsTest _),
+    // per-community conductance (boundary leakiness) over LP labels
+    "sim_conductance" -> ((s, d) =>
+      Similarity.conductance(Tables.embeddings(s, d))),
+    // two-sample Kolmogorov-Smirnov distance per ticker pair
+    "stock_ks_pairs" -> (TimeSeries.ksPairs _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

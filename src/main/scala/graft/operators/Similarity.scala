@@ -756,6 +756,39 @@ object Similarity {
       .orderBy(col("community"))
   }
 
+  /** Per-community conductance over the label-propagation communities
+    * on the same symmetrized kNN graph as [[lpCommunities]]:
+    * φ(S) = cut(S) / min(vol(S), vol(V∖S)) — the bottleneck measure
+    * that says how leaky each community's boundary is (low φ = a
+    * well-separated cluster; modularity can look fine while one
+    * community leaks). Everything is exact integers derived from the
+    * community report's own cells: cut = degree_sum − 2·in_edges,
+    * vol = degree_sum, 2m = Σ degree_sum over the ≤seeds-row report —
+    * one final guarded division.
+    *
+    * Scale: inherits [[lpCommunities]]'s bounded-join plan; the
+    * conductance postprocess touches only the metadata-sized
+    * community grid (crossJoin of a broadcast 1-row total). */
+  def conductance(embeddings: DataFrame, seeds: Int = lpSeeds,
+      iters: Int = lpIters, k: Int = lpK, cells: Int = kmK): DataFrame = {
+    val report = lpCommunities(embeddings, seeds, iters, k, cells)
+      .select(col("community"), col("n_nodes"), col("in_edges"),
+        col("degree_sum"))
+    val tot = report.agg(sum(col("degree_sum")).as("vol_total"))
+    report.crossJoin(broadcast(tot))
+      .select(col("community"), col("n_nodes"), col("in_edges"),
+        col("degree_sum"),
+        (col("degree_sum") - lit(2L) * col("in_edges")).as("cut_edges"),
+        round((col("degree_sum") - lit(2L) * col("in_edges"))
+            .cast("double") /
+          when(least(col("degree_sum"),
+              col("vol_total") - col("degree_sum")) > 0,
+            least(col("degree_sum"),
+              col("vol_total") - col("degree_sum")).cast("double")),
+          6).as("conductance"))
+      .orderBy(col("community"))
+  }
+
   /** Cosine threshold for [[knnComponents]] edges — shared with the
     * oracle generator (the [[semThreshold]] pattern). 0.3 keeps enough
     * in-cell edges that components merge across the kNN graph while

@@ -919,6 +919,66 @@ object TimeSeries {
       .orderBy(col("ticker"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov distance between every ticker
+    * pair's 5-minute return distributions: D = sup|F_a − F_b|, the
+    * distribution-free "do these two series move by the same law?"
+    * test (KS sees shape differences correlation can't). EXACT
+    * integer arithmetic throughout: per-pair per-distinct-value
+    * (count_a, count_b) cells, running ECDF counts from one
+    * partitioned window pass, and the sup as max|cum_a·n_b −
+    * cum_b·n_a| — an integer numerator over the common denominator
+    * n_a·n_b, divided once at the end. `ks_lambda` is the
+    * √(n_a·n_b/(n_a+n_b))-scaled statistic used for asymptotic
+    * p-values (λ > 1.36 ≈ reject at 5%).
+    *
+    * Scale: pair fan-out is #tickers−1 copies of each return row
+    * (same quadratic-in-tickers shape as `stock_corr_pairs` — fine
+    * for a dashboard's ticker universe; sample or bucket tickers
+    * first if the universe is data-sized). Per-pair windows partition
+    * by the pair key; everything else is hash aggregates. */
+  def ksPairs(spark: SparkSession, dir: String): DataFrame =
+    ksPairsBars(closeBars5m(
+      StockPipeline.normalize(Tables.events(spark, dir))))
+
+  private[graft] def ksPairsBars(bars: DataFrame): DataFrame = {
+    val rets = simpleRets(bars, "r")
+    val tickers = rets.select(col("ticker")).distinct()
+    val pairs = tickers.select(col("ticker").as("ticker_a"))
+      .crossJoin(broadcast(tickers.select(col("ticker").as("ticker_b"))))
+      .filter(col("ticker_a") < col("ticker_b"))
+    val sideA = rets.select(col("ticker").as("ticker_a"), col("r"))
+      .join(broadcast(pairs), Seq("ticker_a"))
+      .select(col("ticker_a"), col("ticker_b"), col("r"),
+        lit(1L).as("ca"), lit(0L).as("cb"))
+    val sideB = rets.select(col("ticker").as("ticker_b"), col("r"))
+      .join(broadcast(pairs), Seq("ticker_b"))
+      .select(col("ticker_a"), col("ticker_b"), col("r"),
+        lit(0L).as("ca"), lit(1L).as("cb"))
+    val byVal = sideA.unionAll(sideB)
+      .groupBy(col("ticker_a"), col("ticker_b"), col("r"))
+      .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+    val w = Window.partitionBy(col("ticker_a"), col("ticker_b"))
+      .orderBy(col("r"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byVal
+      .withColumn("cum_a", sum(col("ca")).over(w))
+      .withColumn("cum_b", sum(col("cb")).over(w))
+    val tots = byVal.groupBy(col("ticker_a"), col("ticker_b"))
+      .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    val d = cum.join(broadcast(tots), Seq("ticker_a", "ticker_b"))
+      .groupBy(col("ticker_a"), col("ticker_b"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+          .as("d_num"))
+    val nad = col("n_a").cast("double"); val nbd = col("n_b").cast("double")
+    val ksd = col("d_num").cast("double") / (nad * nbd)
+    d.select(col("ticker_a"), col("ticker_b"), col("n_a"), col("n_b"),
+        col("d_num"),
+        round(ksd, 6).as("ks_d"),
+        round(ksd * sqrt(nad * nbd / (nad + nbd)), 6).as("ks_lambda"))
+      .orderBy(col("ticker_a"), col("ticker_b"))
+  }
+
   /** Wald–Wolfowitz runs test per ticker: are the SIGNS of the
     * 5-minute returns randomly ordered, or do up/down moves cluster
     * (momentum) or alternate (mean reversion)? Zero returns are

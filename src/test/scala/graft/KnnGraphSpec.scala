@@ -443,6 +443,29 @@ class KnnGraphSpec extends SparkSpec {
     assert(out.map(x => x._1 -> x._2).toMap === labeled)
   }
 
+  test("conductance: cells agree with the modularity report, cut = " +
+      "deg - 2*in, phi = cut/min(vol, 2m - vol) in [0,1]") {
+    val out = Similarity.conductance(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) Double.NaN else r.getDouble(5)))
+    assert(out.nonEmpty)
+    val rep = Similarity.lpCommunities(emb).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val volTotal = rep.values.map(_._3).sum
+    out.foreach { case (c, n, in, deg, cut, phi) =>
+      val (rn, rin, rdeg) = rep(c)
+      assert(n === rn && in === rin && deg === rdeg,
+        s"community $c cells drifted from the modularity report")
+      assert(cut === deg - 2 * in)
+      val minVol = math.min(deg, volTotal - deg)
+      if (minVol > 0) {
+        assert(math.abs(phi - cut.toDouble / minVol) < 1e-6)
+        assert(phi >= 0.0 && phi <= 1.0 + 1e-9)
+      } else assert(phi.isNaN)
+    }
+  }
+
   test("qualitySeparation: two verdict rows, counts partition the " +
       "joined corpus, both cross_cos values agree, cohesions in [-1,1]") {
     val docs = graft.sources.Tables.documents(spark, dir)

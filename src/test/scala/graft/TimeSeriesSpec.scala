@@ -1116,6 +1116,42 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("ksPairs: D matches a local two-sample ECDF sup per pair, " +
+      "bounded in [0,1], pair set is the strict upper triangle " +
+      "(sf0.001)") {
+    val out = TimeSeries.ksPairs(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    val rets = TimeSeries.closeBars5m(graft.operators.StockPipeline
+        .normalize(graft.sources.Tables.events(spark, "/root/testdata/sf0.001")))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (t, rs) =>
+        val closes = rs.sortBy(_._2.getTime).map(_._3)
+        t -> closes.zip(closes.drop(1))
+          .filter(_._1 != 0.0).map { case (p, c) => c / p - 1 }
+      }
+    val tickers = rets.keys.toSeq.sorted
+    val expectedPairs =
+      (for (a <- tickers; b <- tickers if a < b) yield (a, b)).toSet
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSet ===
+      expectedPairs)
+    out.foreach { r =>
+      val (a, b) = (rets(r.getString(0)), rets(r.getString(1)))
+      assert(r.getLong(2) === a.length && r.getLong(3) === b.length)
+      val values = (a ++ b).distinct
+      val dNum = values.map { v =>
+        math.abs(a.count(_ <= v).toLong * b.length -
+          b.count(_ <= v).toLong * a.length)
+      }.max
+      assert(r.getLong(4) === dNum, s"pair ${r.getString(0)}/" +
+        s"${r.getString(1)}: d_num ${r.getLong(4)} vs local $dNum")
+      val d = dNum.toDouble / (a.length.toLong * b.length)
+      assert(math.abs(r.getDouble(5) - d) < 1e-6)
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+      assert(r.getDouble(6) >= 0.0)
+    }
+  }
+
   test("runsTest: runs counted exactly vs a local scan, counts " +
       "partition, z matches the closed form (sf0.001)") {
     val out = TimeSeries.runsTest(spark, "/root/testdata/sf0.001").collect()
