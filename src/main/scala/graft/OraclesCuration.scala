@@ -165,6 +165,45 @@ SELECT n_pos, n_neg, n_scores,
     THEN 2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE) END))
     - 1.0, 6) AS gini_coef
 FROM t""",
+    // expected calibration error + Brier score: exact integer bin
+    // cells, 1e-6-grid score sums, pinned per-bin gap terms crossed
+    // to the DECIMAL(38,18) grid (VARCHAR-mediated where magnitudes
+    // demand) before the bounded-grid sum
+    "corpus_ece" -> s"""
+WITH $toksCte${OraclesExt.clsScCtes},
+$qualityMCte,
+cl AS (
+  SELECT doc_id, round(1.0 / (1.0 + exp(-margin * 10)), 6) AS score
+  FROM sc),
+kp AS (SELECT doc_id, $qKeepExpr AS keep FROM m),
+j AS (
+  SELECT score, keep,
+    CAST(least(floor(score * 10), 9) AS BIGINT) AS bucket,
+    score - (CASE WHEN keep THEN 1.0 ELSE 0.0 END) AS err
+  FROM cl JOIN kp USING (doc_id)),
+bins AS (
+  SELECT bucket, count(*)::BIGINT AS n_b,
+    count(*) FILTER (keep)::BIGINT AS n_keep,
+    CAST(CAST(sum(score::DECIMAL(18,6)) AS VARCHAR) AS DOUBLE)
+      AS s_score
+  FROM j GROUP BY 1),
+tot AS (
+  SELECT count(*)::BIGINT AS n,
+    CAST(sum(CAST(err * err AS DECIMAL(38,18))) AS DOUBLE) AS sq_err
+  FROM j),
+s AS (
+  SELECT max(n) AS n_docs, count(*)::BIGINT AS n_bins,
+    CAST(sum(CAST((CAST(n_b AS DOUBLE) / CAST(n AS DOUBLE)) *
+      abs(CAST(n_keep AS DOUBLE) / CAST(n_b AS DOUBLE) -
+        s_score / CAST(n_b AS DOUBLE)) AS DECIMAL(38,18)))
+      AS DOUBLE) AS ece_raw,
+    max(abs(CAST(n_keep AS DOUBLE) / CAST(n_b AS DOUBLE) -
+      s_score / CAST(n_b AS DOUBLE))) AS max_gap_raw,
+    max(sq_err / CAST(n AS DOUBLE)) AS brier_raw
+  FROM bins CROSS JOIN tot)
+SELECT n_docs, n_bins, round(ece_raw, 6) AS ece,
+  round(max_gap_raw, 6) AS max_gap, round(brier_raw, 6) AS brier
+FROM s""",
     // Cohen's kappa: classifier keep-vote vs rule-based keep label —
     // exact 2x2 integer cells, one double division per rate, NULL-
     // guarded 1-p_e divisor (matches the Spark side's CSE-safe guard)

@@ -599,6 +599,52 @@ FROM documents GROUP BY fingerprint ORDER BY rep_doc_id""",
       "SELECT * FROM sigs ORDER BY doc_id"),
     "dedup_minhash_pairs" -> (minhashPairsCtes +
       "SELECT * FROM jac WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"),
+    // winnowing (MOSS) fingerprint pairs: rightmost-window-min k-gram
+    // hashes via the packed (h, -pos) integer argmin, df-capped
+    // fingerprint equi-join, exact integer overlaps
+    "dedup_winnowing" -> {
+      val cap = graft.operators.Dedup.winnowPosCap
+      val wm1 = graft.operators.Dedup.winnowW - 1
+      s"""
+WITH $toksCte,
+grams AS (
+  SELECT doc_id, pg['pos'] - 1 AS pos,
+    ('0x' || substr(md5(pg['gram']), 1, 8))::BIGINT AS h
+  FROM (
+    SELECT doc_id,
+      unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
+        i -> {'pos': i,
+          'gram': tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]})) AS pg
+    FROM toks)),
+sel AS (
+  SELECT doc_id, pos,
+    min(h * $cap + (${cap - 1} - pos)) OVER ww AS selkey
+  FROM grams
+  WINDOW ww AS (PARTITION BY doc_id ORDER BY pos
+    ROWS BETWEEN $wm1 PRECEDING AND CURRENT ROW)),
+fps AS (
+  SELECT DISTINCT doc_id, selkey // $cap AS h
+  FROM sel WHERE pos >= $wm1),
+counts AS (SELECT doc_id, count(*)::BIGINT AS n_fp FROM fps GROUP BY 1),
+kept AS (
+  SELECT f.doc_id, f.h FROM fps f JOIN (
+    SELECT h FROM fps GROUP BY h
+    HAVING count(*) <= ${graft.operators.Dedup.winnowMaxDf}) d
+  USING (h)),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    count(*)::BIGINT AS n_shared
+  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= ${graft.operators.Dedup.winnowMinShared})
+SELECT doc_a, doc_b, n_shared, ca.n_fp AS n_fp_a, cb.n_fp AS n_fp_b,
+  round(CAST(n_shared AS DOUBLE) /
+    CAST(least(ca.n_fp, cb.n_fp) AS DOUBLE), 6) AS containment
+FROM pairs
+JOIN counts ca ON doc_a = ca.doc_id
+JOIN counts cb ON doc_b = cb.doc_id
+ORDER BY doc_a, doc_b"""
+    },
     // shingle df histogram: the observability that sizes jaccardMaxDf
     "dedup_df_profile" -> (minhashCte + s""",
 dfh AS (SELECT h, count(DISTINCT doc_id) AS df FROM shh GROUP BY 1),

@@ -1155,6 +1155,52 @@ ORDER BY user_id""",
     // Per-nation OLS trend from EXACT moments: x BIGINT, y DECIMAL —
     // only the final closed form is double math, stated in the same
     // order as the Spark expression tree.
+    // Kruskal-Wallis rank test: NAIVE global-window midranks (engine
+    // runs the banded scan), exact BIGINT rank sums, DECIMAL(12,0)
+    // tie cubes (cubes must keep p1+p2 <= 38 for DuckDB's binder),
+    // VARCHAR crossings for the >1e5-magnitude terms
+    "rel_kruskal_wallis" -> """
+WITH rows_ AS (
+  SELECT o_orderpriority AS grp, o_totalprice AS y FROM orders),
+rt AS (SELECT y, count(*)::BIGINT AS cnt FROM rows_ GROUP BY 1),
+mr AS (
+  SELECT y, 2 * coalesce(CAST(sum(cnt) OVER (ORDER BY y
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+    + cnt + 1 AS mr2
+  FROM rt),
+g AS (
+  SELECT grp, count(*)::BIGINT AS n_g, CAST(sum(mr2) AS BIGINT) AS sum2
+  FROM rows_ JOIN mr USING (y) GROUP BY 1),
+ties AS (
+  SELECT CAST(CAST(sum(cnt::DECIMAL(12,0) * cnt::DECIMAL(12,0) *
+    cnt::DECIMAL(12,0) - cnt::DECIMAL(12,0)) AS VARCHAR) AS DOUBLE)
+    AS tie_sum
+  FROM rt),
+tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n, count(*)::BIGINT AS k
+  FROM g),
+ss AS (
+  SELECT max(n) AS n, max(k) AS k,
+    CAST(CAST(sum(CAST(CAST(CAST(n_g AS DOUBLE) *
+      ((CAST(sum2 AS DOUBLE) / (2.0 * CAST(n_g AS DOUBLE)) -
+        (CAST(n AS DOUBLE) + 1.0) / 2.0) *
+       (CAST(sum2 AS DOUBLE) / (2.0 * CAST(n_g AS DOUBLE)) -
+        (CAST(n AS DOUBLE) + 1.0) / 2.0))
+      AS VARCHAR) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS ssum
+  FROM g CROSS JOIN tot),
+cc AS (
+  SELECT n, k, ssum, tie_sum,
+    CAST(CAST(n::DECIMAL(12,0) * n::DECIMAL(12,0) * n::DECIMAL(12,0)
+      - n::DECIMAL(12,0) AS VARCHAR) AS DOUBLE) AS ncube
+  FROM ss CROSS JOIN ties)
+SELECT n AS n_rows, k AS k_groups,
+  round((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)))
+    * ssum, 6) AS h_stat,
+  round(1.0 - tie_sum / ncube, 6) AS tie_correction,
+  round(((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)))
+      * ssum) /
+    (CASE WHEN 1.0 - tie_sum / ncube <> 0.0
+      THEN 1.0 - tie_sum / ncube END), 6) AS h_adj
+FROM cc""",
     // Spearman rank correlation via doubled midranks (ties stay on
     // the integer grid): oracle states the NAIVE global-window
     // count-below prefixes; the engine runs banded two-level scans —

@@ -805,6 +805,48 @@ $rhoOut,
     ($terms), 6) AS q_lb
 FROM rhos ORDER BY ticker"""
     }),
+    // Engle ARCH(1) LM test: squared returns on their lag, DECIMAL
+    // (38,18) moment sums, pinned slope/R2/LM with guarded divisors
+    "stock_arch_lm" -> (barsCte + """,
+rets AS (
+  SELECT ticker, bucket,
+    CASE WHEN lag(close, 1) OVER tw <> 0
+      THEN close / lag(close, 1) OVER tw - 1 END AS r
+  FROM bars
+  WINDOW tw AS (PARTITION BY ticker ORDER BY bucket)
+  QUALIFY r IS NOT NULL),
+pairs AS (
+  SELECT ticker, y, lag(y, 1) OVER tw2 AS x
+  FROM (SELECT ticker, bucket, r * r AS y FROM rets)
+  WINDOW tw2 AS (PARTITION BY ticker ORDER BY bucket)
+  QUALIFY x IS NOT NULL),
+m AS (
+  SELECT ticker, count(*)::BIGINT AS n_pairs,
+    CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+    CAST(sum(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+    CAST(sum(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+    CAST(sum(CAST(y * y AS DECIMAL(38,18))) AS DOUBLE) AS syy,
+    CAST(sum(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy
+  FROM pairs GROUP BY 1)
+SELECT ticker, n_pairs,
+  round((sxy - sx * sy / CAST(n_pairs AS DOUBLE)) /
+    (CASE WHEN sxx - sx * sx / CAST(n_pairs AS DOUBLE) <> 0.0
+      THEN sxx - sx * sx / CAST(n_pairs AS DOUBLE) END), 6)
+    AS arch_slope,
+  round(((sxy - sx * sy / CAST(n_pairs AS DOUBLE)) *
+      (sxy - sx * sy / CAST(n_pairs AS DOUBLE))) /
+    (CASE WHEN (sxx - sx * sx / CAST(n_pairs AS DOUBLE)) *
+        (syy - sy * sy / CAST(n_pairs AS DOUBLE)) <> 0.0
+      THEN (sxx - sx * sx / CAST(n_pairs AS DOUBLE)) *
+        (syy - sy * sy / CAST(n_pairs AS DOUBLE)) END), 6) AS r2,
+  round(CAST(n_pairs AS DOUBLE) *
+    (((sxy - sx * sy / CAST(n_pairs AS DOUBLE)) *
+      (sxy - sx * sy / CAST(n_pairs AS DOUBLE))) /
+    (CASE WHEN (sxx - sx * sx / CAST(n_pairs AS DOUBLE)) *
+        (syy - sy * sy / CAST(n_pairs AS DOUBLE)) <> 0.0
+      THEN (sxx - sx * sx / CAST(n_pairs AS DOUBLE)) *
+        (syy - sy * sy / CAST(n_pairs AS DOUBLE)) END)), 6) AS lm_stat
+FROM m ORDER BY ticker"""),
     // two-sample KS distance per ticker pair: exact integer ECDF
     // numerator max|cum_a*n_b - cum_b*n_a|, one final division
     "stock_ks_pairs" -> (barsCte + """,

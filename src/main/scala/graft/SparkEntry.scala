@@ -753,6 +753,16 @@ object SparkEntry {
       Similarity.conductance(Tables.embeddings(s, d))),
     // two-sample Kolmogorov-Smirnov distance per ticker pair
     "stock_ks_pairs" -> (TimeSeries.ksPairs _),
+    // winnowing (MOSS) fingerprint candidate pairs
+    "dedup_winnowing" -> ((s, d) =>
+      Dedup.winnowingPairs(Tables.documents(s, d))),
+    // expected calibration error + Brier score of the classifier
+    "corpus_ece" -> ((s, d) =>
+      graft.operators.Curation.ece(Tables.documents(s, d))),
+    // Kruskal-Wallis rank test across order priorities
+    "rel_kruskal_wallis" -> (Relational.kruskalWallis _),
+    // Engle ARCH(1) LM volatility-clustering test
+    "stock_arch_lm" -> (TimeSeries.archLm _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

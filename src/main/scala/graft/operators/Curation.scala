@@ -1313,6 +1313,51 @@ object Curation {
       round(lit(2.0) * aucRaw - 1.0, 6).as("gini_coef"))
   }
 
+  /** Expected calibration error + Brier score of the hashed
+    * classifier probability against the rule-based keep label — the
+    * one-row summary of what [[classifierCalibration]]'s bin table
+    * shows: ECE = Σ_b (n_b/n)·|keep_rate_b − mean_score_b| over the
+    * same fixed 10-bin grid, max_gap its worst bin, and Brier the
+    * binned-free mean squared probability error. Bin cells are exact
+    * integers; score sums ride the 1e-6 decimal grid; per-bin gap
+    * terms are pinned doubles crossed to DECIMAL(38,18) before the
+    * order-independent sum over the bounded grid; Brier's squared
+    * errors accumulate the same way over the corpus.
+    *
+    * Scale: one doc-keyed join of the two label passes, one hash
+    * aggregate to the 10-bin grid plus one scalar aggregate. */
+  def ece(documents: DataFrame): DataFrame = {
+    val scored = graft.operators.TextAnalysis.classifierScore(documents)
+      .select(col("doc_id"), col("score"))
+      .join(qualityFilter(documents).select(col("doc_id"), col("keep")),
+        Seq("doc_id"))
+      .select(col("score"), col("keep"),
+        least(floor(col("score") * 10), lit(9L)).cast("long").as("bucket"),
+        (col("score") - when(col("keep"), 1.0).otherwise(0.0)).as("err"))
+      .pin()
+    val bins = scored.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_b"),
+        count(when(col("keep"), 1)).as("n_keep"),
+        sum(col("score").cast("decimal(18,6)")).cast("double").as("s_score"))
+    val tot = scored.agg(count(lit(1)).as("n"),
+      sum((col("err") * col("err")).cast("decimal(38,18)"))
+        .cast("double").as("sq_err"))
+    val nbd = col("n_b").cast("double")
+    val gap = abs(col("n_keep").cast("double") / nbd -
+      col("s_score") / nbd)
+    bins.crossJoin(broadcast(tot))
+      .agg(max(col("n")).as("n_docs"),
+        count(lit(1)).as("n_bins"),
+        sum(((nbd / col("n").cast("double")) * gap)
+          .cast("decimal(38,18)")).cast("double").as("ece_raw"),
+        max(gap).as("max_gap_raw"),
+        max(col("sq_err") / col("n").cast("double")).as("brier_raw"))
+      .select(col("n_docs"), col("n_bins"),
+        round(col("ece_raw"), 6).as("ece"),
+        round(col("max_gap_raw"), 6).as("max_gap"),
+        round(col("brier_raw"), 6).as("brier"))
+  }
+
   /** Score threshold at which the hashed classifier votes "keep" —
     * shared with the kappa oracle. */
   val kappaClsThreshold = 0.5

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
@@ -68,6 +69,90 @@ object Dedup {
 
   private def hashesOf(sh: DataFrame): DataFrame =
     sh.select(col("doc_id"), Portable.hash32(col("shingle")).as("h"))
+
+  /** Winnowing parameters (Schleimer–Wilkerson–Aiken 2003, the MOSS
+    * fingerprinting scheme): token k-gram size, selection window, the
+    * fingerprint document-frequency cap for pairing, and the minimum
+    * shared-fingerprint count that makes a candidate pair. Shared with
+    * the oracle generator. */
+  val winnowW = 4
+  val winnowMaxDf = 16L
+  val winnowMinShared = 2L
+  /** Positions are packed with the hash into one 52-bit key
+    * (h·2^20 + (2^20−1−pos)) so a single integer MIN is an argmin by
+    * (hash asc, position desc) — the winnowing rightmost-minimum rule
+    * — identically on both engines. Caps docs at 2^20 grams. */
+  val winnowPosCap = 1048576L
+
+  /** Winnowing fingerprints per document: the word-3-gram hashes
+    * selected as the (rightmost) minimum of every [[winnowW]]-wide
+    * sliding window over the gram sequence. Guarantees every match of
+    * length ≥ k+w−1 tokens shares a fingerprint while keeping only
+    * ~2/(w+1) of the grams — the robust substring-dedup sketch.
+    * (doc_id, h, sel_pos), distinct. Docs with fewer than k+w−1
+    * tokens (no complete window) produce no fingerprints. */
+  def winnowFingerprints(documents: DataFrame): DataFrame = {
+    val grams = documents
+      .withColumn("toks", Portable.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, size(toks) - 3), " +
+          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+        .as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        Portable.hash32(col("gram")).as("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(winnowW - 1), Window.currentRow)
+    grams
+      .withColumn("key",
+        col("h") * winnowPosCap + (lit(winnowPosCap - 1) - col("pos")))
+      .withColumn("sel", min(col("key")).over(w))
+      .filter(col("pos") >= winnowW - 1)
+      .select(col("doc_id"),
+        expr(s"sel div $winnowPosCap").as("h"),
+        (lit(winnowPosCap - 1) - pmod(col("sel"), lit(winnowPosCap)))
+          .as("sel_pos"))
+      .distinct()
+  }
+
+  /** Winnowing candidate pairs: documents sharing ≥ [[winnowMinShared]]
+    * selected fingerprints (hot fingerprints with document frequency >
+    * [[winnowMaxDf]] — boilerplate phrases — are excluded from pairing,
+    * the same df-cap discipline as the shingle Jaccard path, so the
+    * fingerprint equi-join's per-key fan-out is bounded). Overlap is
+    * counted on distinct hashes; `containment` divides by the smaller
+    * doc's full (uncapped) fingerprint count.
+    *
+    * Scale: fingerprints are ~2/(w+1) of the gram volume at rest; the
+    * pair join is an equi-join on fingerprint hash with ≤ df-cap²
+    * rows per key; everything else is hash aggregates. */
+  def winnowingPairs(documents: DataFrame): DataFrame = {
+    val fps = winnowFingerprints(documents)
+      .select(col("doc_id"), col("h")).distinct().pin()
+    val counts = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    val kept = fps.join(
+      fps.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= winnowMaxDf)
+        .select(col("h")),
+      Seq("h"))
+    val pairs = kept.select(col("h"), col("doc_id").as("doc_a"))
+      .join(kept.select(col("h"), col("doc_id").as("doc_b")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= winnowMinShared)
+    pairs
+      .join(counts.select(col("doc_id").as("doc_a"),
+        col("n_fp").as("n_fp_a")), Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"),
+        col("n_fp").as("n_fp_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        col("n_fp_a"), col("n_fp_b"),
+        round(col("n_shared").cast("double") /
+          least(col("n_fp_a"), col("n_fp_b")).cast("double"), 6)
+          .as("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 
   /** MinHash signature, one column per seed: (doc_id, mh_0 .. mh_15). */
   def minhashSignatures(documents: DataFrame): DataFrame =

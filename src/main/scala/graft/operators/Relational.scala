@@ -2404,6 +2404,54 @@ object Relational {
         .as("rho_spearman"))
   }
 
+  /** Kruskal–Wallis rank test of order totals across the five order
+    * priorities — the nonparametric sibling of [[anova]] (no normality
+    * assumption: it asks whether any priority's totals are
+    * stochastically larger). Ranks are exact doubled midranks from the
+    * [[midrank2]] banded scan (ties stay on the integer grid; the
+    * per-group rank sums are exact BIGINTs). H and its tie correction
+    * C = 1 − Σ(t³−t)/(n³−n) use pinned double algebra with VARCHAR-
+    * grade decimal crossings (the tie cubes are exact DECIMAL(38,0)
+    * sums) and NULL-guarded divisors. H/C is χ²(k−1) under the null.
+    *
+    * Scale: one distinct-value aggregate + banded prefix, one
+    * equi-join back to orders, two bounded-grid aggregates. */
+  def kruskalWallis(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("grp"), col("o_totalprice").as("y"))
+    val mr = midrank2(rows.select(col("y")), "y", "mr2")
+    val g = rows.join(mr, Seq("y"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_g"), sum(col("mr2")).as("sum2"))
+    // (12,0) not (19,0): a cubed decimal must keep p1+p2 ≤ 38 on the
+    // DuckDB side (static binder limit), and 1e12 ties/rows is ample
+    val ties = rows.groupBy(col("y")).agg(count(lit(1)).as("t"))
+      .agg(sum((col("t").cast("decimal(12,0)") *
+          col("t").cast("decimal(12,0)") * col("t").cast("decimal(12,0)"))
+          - col("t").cast("decimal(12,0)")).cast("double").as("tie_sum"))
+    val tot = g.agg(sum(col("n_g")).as("n"), count(lit(1)).as("k"))
+    val gd = g.crossJoin(broadcast(tot))
+    val nd = col("n").cast("double")
+    val rbarg = col("sum2").cast("double") /
+      (lit(2.0) * col("n_g").cast("double"))
+    val mid = (nd + 1.0) / 2.0
+    val ss = gd.agg(max(col("n")).as("n"), max(col("k")).as("k"),
+      sum((col("n_g").cast("double") *
+        ((rbarg - mid) * (rbarg - mid))).cast("decimal(38,18)"))
+        .cast("double").as("ssum"))
+      .crossJoin(broadcast(ties))
+    val h = lit(12.0) / (col("n").cast("double") *
+      (col("n").cast("double") + 1.0)) * col("ssum")
+    val nCube = col("n").cast("decimal(12,0)") *
+      col("n").cast("decimal(12,0)") * col("n").cast("decimal(12,0)") -
+      col("n").cast("decimal(12,0)")
+    val c = lit(1.0) - col("tie_sum") / nCube.cast("double")
+    ss.select(col("n").as("n_rows"), col("k").as("k_groups"),
+      round(h, 6).as("h_stat"),
+      round(c, 6).as("tie_correction"),
+      round(h / when(c =!= 0.0, c), 6).as("h_adj"))
+  }
+
   /** Weighted median extended price per part brand (weight = quantity)
     * — the robust per-group location statistic a pricing stack wants
     * once plain medians over-weight single-unit lines. Entirely integer

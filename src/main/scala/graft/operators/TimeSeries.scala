@@ -979,6 +979,46 @@ object TimeSeries {
       .orderBy(col("ticker_a"), col("ticker_b"))
   }
 
+  /** Engle's ARCH(1) LM test per ticker: regress squared returns on
+    * their own lag and report LM = n·R² — the standard "does
+    * volatility cluster?" screen run before fitting any GARCH model
+    * (χ²(1) under the no-ARCH null; LM > 3.84 rejects at 5%). Squared
+    * returns are identically-computed doubles on both engines; the
+    * five moment sums accumulate on the DECIMAL(38,18) grid (order-
+    * independent), and slope/R²/LM are pinned double algebra with
+    * NULL-guarded variance divisors.
+    *
+    * Scale: one per-ticker lag window pass + one hash aggregate to a
+    * row per ticker — the same shape as [[rollSpread]]. */
+  def archLm(spark: SparkSession, dir: String): DataFrame =
+    archLmBars(closeBars5m(
+      StockPipeline.normalize(Tables.events(spark, dir))))
+
+  private[graft] def archLmBars(bars: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("ticker")).orderBy(col("bucket"))
+    val sq = simpleRets(bars, "r")
+      .select(col("ticker"), col("bucket"), (col("r") * col("r")).as("y"))
+    val pairs = sq
+      .select(col("ticker"), col("y"), lag(col("y"), 1).over(w).as("x"))
+      .filter(col("x").isNotNull)
+    val m = pairs.groupBy(col("ticker")).agg(
+      count(lit(1)).as("n_pairs"),
+      dsum18(col("x")).as("sx"), dsum18(col("y")).as("sy"),
+      dsum18(col("x") * col("x")).as("sxx"),
+      dsum18(col("y") * col("y")).as("syy"),
+      dsum18(col("x") * col("y")).as("sxy"))
+    val nd = col("n_pairs").cast("double")
+    val num = col("sxy") - col("sx") * col("sy") / nd
+    val vx = col("sxx") - col("sx") * col("sx") / nd
+    val vy = col("syy") - col("sy") * col("sy") / nd
+    val r2 = (num * num) / when(vx * vy =!= 0.0, vx * vy)
+    m.select(col("ticker"), col("n_pairs"),
+        round(num / when(vx =!= 0.0, vx), 6).as("arch_slope"),
+        round(r2, 6).as("r2"),
+        round(nd * r2, 6).as("lm_stat"))
+      .orderBy(col("ticker"))
+  }
+
   /** Wald–Wolfowitz runs test per ticker: are the SIGNS of the
     * 5-minute returns randomly ordered, or do up/down moves cluster
     * (momentum) or alternate (mean reversion)? Zero returns are

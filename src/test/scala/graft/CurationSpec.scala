@@ -1080,6 +1080,37 @@ class CurationSpec extends SparkSpec {
     assert(out.map(_.getLong(4)).sum === dropped)
   }
 
+  test("ece: matches a local binned recomputation, brier matches the " +
+      "mean squared error, all in [0,1] (sf0.001)") {
+    val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Curation.ece(d).collect()
+    assert(out.length === 1)
+    val r = out.head
+    val pairs = graft.operators.TextAnalysis.classifierScore(d)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("score"))
+      .join(Curation.qualityFilter(d).select(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("keep")), Seq("doc_id"))
+      .collect().map(x => (x.getDouble(1), x.getBoolean(2)))
+    val n = pairs.length
+    assert(r.getLong(0) === n)
+    val bins = pairs.groupBy(t => math.min(math.floor(t._1 * 10).toLong, 9L))
+    assert(r.getLong(1) === bins.size)
+    val ece = bins.values.map { b =>
+      val acc = b.count(_._2).toDouble / b.length
+      val conf = b.map(_._1).sum / b.length
+      (b.length.toDouble / n) * math.abs(acc - conf)
+    }.sum
+    assert(math.abs(r.getDouble(2) - ece) < 1e-5,
+      s"ece ${r.getDouble(2)} vs local $ece")
+    val brier = pairs.map { case (s, k) =>
+      val e = s - (if (k) 1.0 else 0.0); e * e }.sum / n
+    assert(math.abs(r.getDouble(4) - brier) < 1e-5)
+    Seq(2, 3, 4).foreach(i =>
+      assert(r.getDouble(i) >= 0.0 && r.getDouble(i) <= 1.0))
+  }
+
   test("auc: matches a local rank-sum recomputation, bounded in [0,1], " +
       "gini = 2*auc - 1 (sf0.001)") {
     val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")

@@ -318,4 +318,46 @@ class DedupSpec extends SparkSpec {
     assert(keeperIds.contains(7L) && !keeperIds.contains(8L),
       s"length-then-id rule must pick 7, got $keeperIds")
   }
+
+  test("winnowFingerprints: density bounded by the window guarantee, " +
+      "no fingerprints for docs without a complete window") {
+    val d = docs(
+      (1L, "a b c d e f g h i j k l m n o p"), // 14 grams, 11 windows
+      (2L, "a b c d"),                         // 2 grams < w -> none
+      (3L, "q r"))                             // no grams at all
+    val out = Dedup.winnowFingerprints(d).collect()
+    assert(out.forall(_.getLong(0) == 1L),
+      "short docs must produce no fingerprints")
+    val sel = out.map(r => (r.getLong(1), r.getLong(2)))
+    val nWindows = 14 - Dedup.winnowW + 1
+    // one selection per window, dedup across overlapping windows:
+    // between ceil(windows/w) and windows distinct (h, pos) picks
+    assert(sel.length >= (nWindows + Dedup.winnowW - 1) / Dedup.winnowW)
+    assert(sel.length <= nWindows)
+    // every selected position is a valid gram index
+    assert(sel.forall(t => t._2 >= 0 && t._2 < 14))
+  }
+
+  test("winnowingPairs: the k+w-1 guarantee surfaces a long shared " +
+      "substring; overlap and containment identities hold") {
+    // doc 2 embeds doc 1's 16-token run after a distinct prefix: every
+    // window over the shared run picks the same fingerprints
+    val shared = "m1 m2 m3 m4 m5 m6 m7 m8 m9 m10 m11 m12 m13 m14 m15 m16"
+    val d = docs(
+      (1L, shared),
+      (2L, "z1 z2 z3 z4 " + shared),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12"))
+    val out = Dedup.winnowingPairs(d).collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)),
+      s"shared 16-token run must produce the (1,2) pair, got $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "the unrelated doc must not pair")
+    out.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getLong(2) >= Dedup.winnowMinShared)
+      assert(r.getLong(2) <= math.min(r.getLong(3), r.getLong(4)))
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
+    }
+  }
 }

@@ -1161,6 +1161,37 @@ class RelationalSpec extends SparkSpec {
     assert(r.getDouble(1) >= -1.0 - 1e-9 && r.getDouble(1) <= 1.0 + 1e-9)
   }
 
+  test("kruskalWallis: H matches a local midrank recomputation, tie " +
+      "correction in (0,1], h_adj = h/c (sf0.001)") {
+    val out = graft.operators.Relational
+      .kruskalWallis(spark, "/root/testdata/sf0.001").collect()
+    assert(out.length === 1)
+    val r = out.head
+    val rows = graft.sources.Tables.orders(spark, "/root/testdata/sf0.001")
+      .select("o_orderpriority", "o_totalprice").collect()
+      .map(x => (x.getString(0), x.getDouble(1)))
+    val n = rows.length
+    assert(r.getLong(0) === n)
+    val sorted = rows.map(_._2).sorted
+    val mr = rows.map(_._2).distinct.map { v =>
+      val below = sorted.count(_ < v); val at = sorted.count(_ == v)
+      v -> (below + (at + 1) / 2.0)
+    }.toMap
+    val h = 12.0 / (n.toDouble * (n + 1)) *
+      rows.groupBy(_._1).values.map { g =>
+        val rbar = g.map(t => mr(t._2)).sum / g.length
+        g.length * (rbar - (n + 1) / 2.0) * (rbar - (n + 1) / 2.0)
+      }.sum
+    assert(math.abs(r.getDouble(2) - h) < 1e-4 * math.max(1.0, h),
+      s"H ${r.getDouble(2)} vs local $h")
+    val tieSum = rows.map(_._2).groupBy(identity).values
+      .map(g => g.length.toDouble * g.length * g.length - g.length).sum
+    val c = 1.0 - tieSum / (n.toDouble * n * n - n)
+    assert(math.abs(r.getDouble(3) - c) < 1e-6)
+    assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+    assert(math.abs(r.getDouble(4) - h / c) < 1e-4 * math.max(1.0, h / c))
+  }
+
   test("chi2: matches a local recomputation from the contingency " +
       "cells, df consistent, cramers_v in [0,1] (sf0.001)") {
     val out = graft.operators.Relational

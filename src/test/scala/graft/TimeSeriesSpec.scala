@@ -1116,6 +1116,39 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("archLm: slope/R2/LM match a local lag-1 OLS on squared " +
+      "returns, r2 in [0,1], lm = n*r2 (sf0.001)") {
+    val out = TimeSeries.archLm(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    val byTicker = TimeSeries.closeBars5m(graft.operators.StockPipeline
+        .normalize(graft.sources.Tables.events(spark, "/root/testdata/sf0.001")))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (t, rs) =>
+        val closes = rs.sortBy(_._2.getTime).map(_._3)
+        t -> closes.zip(closes.drop(1))
+          .filter(_._1 != 0.0).map { case (p, c) => c / p - 1 }
+          .map(x => x * x)
+      }
+    out.foreach { row =>
+      val sq = byTicker(row.getString(0))
+      val xs = sq.dropRight(1); val ys = sq.drop(1)
+      val m = xs.length.toDouble
+      assert(row.getLong(1) === xs.length)
+      val (sx, sy) = (xs.sum, ys.sum)
+      val num = xs.zip(ys).map(t => t._1 * t._2).sum - sx * sy / m
+      val vx = xs.map(v => v * v).sum - sx * sx / m
+      val vy = ys.map(v => v * v).sum - sy * sy / m
+      val r2 = num * num / (vx * vy)
+      assert(math.abs(row.getDouble(2) - num / vx) <
+        1e-4 * math.max(1.0, math.abs(num / vx)))
+      assert(math.abs(row.getDouble(3) - r2) < 1e-5)
+      assert(row.getDouble(3) >= 0.0 && row.getDouble(3) <= 1.0)
+      assert(math.abs(row.getDouble(4) - m * r2) <
+        1e-4 * math.max(1.0, m * r2))
+    }
+  }
+
   test("ksPairs: D matches a local two-sample ECDF sup per pair, " +
       "bounded in [0,1], pair set is the strict upper triangle " +
       "(sf0.001)") {
