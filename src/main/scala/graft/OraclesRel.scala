@@ -1155,6 +1155,25 @@ ORDER BY user_id""",
     // Per-nation OLS trend from EXACT moments: x BIGINT, y DECIMAL —
     // only the final closed form is double math, stated in the same
     // order as the Spark expression tree.
+    // Atkinson (eps=1) inequality: exact decimal revenue sums, theil-
+    // grade round-12 log grid, VARCHAR crossings at 1e5+ magnitudes
+    "rel_atkinson" -> """
+WITH rev AS (
+  SELECT o_custkey, sum(o_totalprice::DECIMAL(19,6)) AS xd
+  FROM orders GROUP BY 1
+  HAVING sum(o_totalprice::DECIMAL(19,6)) > 0),
+m AS (
+  SELECT count(*)::BIGINT AS n,
+    CAST(CAST(sum(xd) AS VARCHAR) AS DOUBLE) AS s,
+    CAST(CAST(sum(CAST(round(ln(CAST(CAST(xd AS VARCHAR) AS DOUBLE)),
+      12) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) AS slog
+  FROM rev)
+SELECT n AS n_customers,
+  round(s / CAST(n AS DOUBLE), 6) AS mean_rev,
+  round(exp(slog / CAST(n AS DOUBLE)), 6) AS geo_mean_rev,
+  round(1.0 - exp(slog / CAST(n AS DOUBLE)) / (s / CAST(n AS DOUBLE)),
+    6) AS atkinson
+FROM m""",
     // Kruskal-Wallis rank test: NAIVE global-window midranks (engine
     // runs the banded scan), exact BIGINT rank sums, DECIMAL(12,0)
     // tie cubes (cubes must keep p1+p2 <= 38 for DuckDB's binder),

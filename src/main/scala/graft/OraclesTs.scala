@@ -9,6 +9,14 @@ package graft
   * `reduce(_ + _)` left fold, so the summation order agrees too. */
 object OraclesTs {
 
+  /** VARCHAR-mediated DECIMAL(38,18) sum — the oracle twin of the
+    * engine's `dsum18` that stays correct at ANY magnitude: the
+    * VARCHAR hops reproduce Spark's shortest-repr double↔decimal
+    * casts where DuckDB's direct casts float-scale (1e5+ band). */
+  private def vsum18(x: String): String =
+    s"CAST(CAST(sum(CAST(CAST($x AS VARCHAR) AS DECIMAL(38,18)))" +
+      " AS VARCHAR) AS DOUBLE)"
+
   /** Oracle twin of StockPipeline.normalize ∘ TimeSeries.closeBars5m:
     * the sparse per-ticker 5-minute close bars. `make_timestamp(µs)`
     * builds a naive TIMESTAMP (no session-timezone dependency, unlike
@@ -805,6 +813,56 @@ $rhoOut,
     ($terms), 6) AS q_lb
 FROM rhos ORDER BY ticker"""
     }),
+    // Engle-Granger cointegration: price-level OLS + no-constant DF
+    // step on the residual; all moment sums VARCHAR-mediated (price
+    // sums sit in the 1e5+ magnitude band), closed forms pinned
+    "stock_cointegration" -> (barsCte + s""",
+j AS (
+  SELECT a.ticker AS ticker_a, b.ticker AS ticker_b, a.bucket,
+    a.close AS x, b.close AS y
+  FROM bars a JOIN bars b
+    ON a.bucket = b.bucket AND a.ticker < b.ticker),
+m1 AS (
+  SELECT ticker_a, ticker_b, count(*)::BIGINT AS n_bars,
+    ${vsum18("x")} AS sx, ${vsum18("y")} AS sy,
+    ${vsum18("x * x")} AS sxx, ${vsum18("x * y")} AS sxy
+  FROM j GROUP BY 1, 2),
+fit AS (
+  SELECT ticker_a, ticker_b, n_bars, sx, sy,
+    (sxy - sx * sy / CAST(n_bars AS DOUBLE)) /
+      (CASE WHEN sxx - sx * sx / CAST(n_bars AS DOUBLE) <> 0.0
+        THEN sxx - sx * sx / CAST(n_bars AS DOUBLE) END) AS beta
+  FROM m1),
+fit2 AS (
+  SELECT ticker_a, ticker_b, n_bars, beta,
+    (sy - beta * sx) / CAST(n_bars AS DOUBLE) AS alpha
+  FROM fit),
+resid AS (
+  SELECT j.ticker_a, j.ticker_b, j.bucket, f.n_bars, f.beta, f.alpha,
+    j.y - (f.alpha + f.beta * j.x) AS e
+  FROM j JOIN fit2 f USING (ticker_a, ticker_b)),
+steps AS (
+  SELECT ticker_a, ticker_b, n_bars, beta, alpha, el, e - el AS de
+  FROM (
+    SELECT *, lag(e, 1) OVER pw AS el FROM resid
+    WINDOW pw AS (PARTITION BY ticker_a, ticker_b ORDER BY bucket))
+  WHERE el IS NOT NULL),
+m2 AS (
+  SELECT ticker_a, ticker_b, max(n_bars) AS n_bars,
+    max(beta) AS beta, max(alpha) AS alpha,
+    count(*)::BIGINT AS n_steps,
+    ${vsum18("el * el")} AS see, ${vsum18("el * de")} AS sed,
+    ${vsum18("de * de")} AS sdd
+  FROM steps GROUP BY 1, 2)
+SELECT ticker_a, ticker_b, n_bars, round(beta, 6) AS beta,
+  round(alpha, 6) AS alpha,
+  round(sed / (CASE WHEN see <> 0.0 THEN see END), 6) AS gamma,
+  round((sed / (CASE WHEN see <> 0.0 THEN see END)) /
+    (CASE WHEN ((sdd - (sed / (CASE WHEN see <> 0.0 THEN see END))
+        * sed) / CAST(n_steps - 1 AS DOUBLE)) / see > 0.0
+      THEN sqrt(((sdd - (sed / (CASE WHEN see <> 0.0 THEN see END))
+        * sed) / CAST(n_steps - 1 AS DOUBLE)) / see) END), 6) AS df_t
+FROM m2 ORDER BY ticker_a, ticker_b"""),
     // Engle ARCH(1) LM test: squared returns on their lag, DECIMAL
     // (38,18) moment sums, pinned slope/R2/LM with guarded divisors
     "stock_arch_lm" -> (barsCte + """,

@@ -763,6 +763,10 @@ object SparkEntry {
     "rel_kruskal_wallis" -> (Relational.kruskalWallis _),
     // Engle ARCH(1) LM volatility-clustering test
     "stock_arch_lm" -> (TimeSeries.archLm _),
+    // Atkinson (eps=1) revenue-inequality index
+    "rel_atkinson" -> (Relational.atkinson _),
+    // Engle-Granger cointegration screen per ticker pair
+    "stock_cointegration" -> (TimeSeries.cointegration _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

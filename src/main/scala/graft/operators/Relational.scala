@@ -2404,6 +2404,37 @@ object Relational {
         .as("rho_spearman"))
   }
 
+  /** Atkinson inequality index (ε = 1) of per-customer lifetime
+    * revenue: A = 1 − geometric_mean/arithmetic_mean — the welfare-
+    * weighted inequality measure that complements [[giniRevenue]]
+    * (rank-based) and [[theilDecomposition]] (entropy-based); ε = 1
+    * weights transfers at the bottom of the distribution most.
+    * Revenue sums are exact decimal; each log term rides the
+    * round-12/DECIMAL(28,12) grid (the [[theilDecomposition]]
+    * convention, so the sum is order-independent); the two means and
+    * the final ratio are pinned double algebra.
+    *
+    * Scale: one hash aggregate to the customer grain, one scalar
+    * aggregate — nothing downstream of the scan is data-sized. */
+  def atkinson(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,6)")).as("xd"))
+      .filter(col("xd") > 0)
+    val m = rev.agg(
+      count(lit(1)).as("n"),
+      sum(col("xd")).cast("double").as("s"),
+      sum(round(log(col("xd").cast("double")), 12)
+        .cast("decimal(28,12)")).cast("double").as("slog"))
+    val nd = col("n").cast("double")
+    val mean = col("s") / nd
+    val geo = exp(col("slog") / nd)
+    m.select(col("n").as("n_customers"),
+      round(mean, 6).as("mean_rev"),
+      round(geo, 6).as("geo_mean_rev"),
+      round(lit(1.0) - geo / mean, 6).as("atkinson"))
+  }
+
   /** Kruskal–Wallis rank test of order totals across the five order
     * priorities — the nonparametric sibling of [[anova]] (no normality
     * assumption: it asks whether any priority's totals are

@@ -771,9 +771,13 @@ object Similarity {
     * community grid (crossJoin of a broadcast 1-row total). */
   def conductance(embeddings: DataFrame, seeds: Int = lpSeeds,
       iters: Int = lpIters, k: Int = lpK, cells: Int = kmK): DataFrame = {
+    // pin: the ≤seeds-row report feeds BOTH the total and the main
+    // select — without the cut the whole LP pipeline re-derives per
+    // branch (measured 6.2 s vs 3.1 s at sf0.1)
     val report = lpCommunities(embeddings, seeds, iters, k, cells)
       .select(col("community"), col("n_nodes"), col("in_edges"),
         col("degree_sum"))
+      .pin(eager = true)
     val tot = report.agg(sum(col("degree_sum")).as("vol_total"))
     report.crossJoin(broadcast(tot))
       .select(col("community"), col("n_nodes"), col("in_edges"),

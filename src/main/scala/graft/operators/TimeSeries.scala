@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Materialize.PinOps
 import graft.sources.Tables
 
 /** Time-series resampling/smoothing operators over the stock feed — the
@@ -976,6 +977,81 @@ object TimeSeries {
         col("d_num"),
         round(ksd, 6).as("ks_d"),
         round(ksd * sqrt(nad * nbd / (nad + nbd)), 6).as("ks_lambda"))
+      .orderBy(col("ticker_a"), col("ticker_b"))
+  }
+
+  /** Engle–Granger cointegration screen per ticker pair: OLS the
+    * bucket-aligned close levels (y on x), then a no-constant
+    * Dickey–Fuller regression of Δresidual on the lagged residual —
+    * γ < 0 with a large-magnitude t says the spread mean-reverts
+    * (the pairs-trading signal; t below ≈ −3.0 rejects a unit root).
+    * Both regressions are one pass of DECIMAL(38,18)-grid moment sums
+    * (the oracle crosses them VARCHAR-mediated — price-level sums sit
+    * in the 1e5+ magnitude band); residuals are the pinned per-row
+    * expression y − (α + β·x) with the fitted scalars broadcast back;
+    * all divisors NULL-guarded.
+    *
+    * Scale: the pair alignment is a bucket equi-join; per-pair moment
+    * aggregates are map-side partial; the only window is the per-pair
+    * residual lag. Pair count is quadratic in tickers — the same
+    * documented bound as `stock_corr_pairs`/`stock_ks_pairs`. */
+  def cointegration(spark: SparkSession, dir: String): DataFrame =
+    cointegrationBars(closeBars5m(
+      StockPipeline.normalize(Tables.events(spark, dir))))
+
+  private[graft] def cointegrationBars(bars: DataFrame): DataFrame = {
+    val a = bars.select(col("ticker").as("ticker_a"), col("bucket"),
+      col("close").as("x"))
+    val b = bars.select(col("ticker").as("ticker_b"), col("bucket"),
+      col("close").as("y"))
+    val joined = a.join(b, Seq("bucket"))
+      .filter(col("ticker_a") < col("ticker_b"))
+      .pin(eager = true)
+    val nd1 = col("n_bars").cast("double")
+    val fit = joined.groupBy(col("ticker_a"), col("ticker_b"))
+      .agg(count(lit(1)).as("n_bars"),
+        dsum18(col("x")).as("sx"), dsum18(col("y")).as("sy"),
+        dsum18(col("x") * col("x")).as("sxx"),
+        dsum18(col("x") * col("y")).as("sxy"))
+      .select(col("ticker_a"), col("ticker_b"), col("n_bars"),
+        col("sx"), col("sy"),
+        ((col("sxy") - col("sx") * col("sy") / nd1) /
+          when(col("sxx") - col("sx") * col("sx") / nd1 =!= 0.0,
+            col("sxx") - col("sx") * col("sx") / nd1)).as("beta"))
+      .select(col("ticker_a"), col("ticker_b"), col("n_bars"),
+        col("beta"),
+        ((col("sy") - col("beta") * col("sx")) / nd1).as("alpha"))
+    val resid = joined
+      .join(broadcast(fit), Seq("ticker_a", "ticker_b"))
+      .select(col("ticker_a"), col("ticker_b"), col("bucket"),
+        col("n_bars"), col("beta"), col("alpha"),
+        (col("y") - (col("alpha") + col("beta") * col("x"))).as("e"))
+    val lw = Window.partitionBy(col("ticker_a"), col("ticker_b"))
+      .orderBy(col("bucket"))
+    val steps = resid
+      .select(col("ticker_a"), col("ticker_b"), col("n_bars"),
+        col("beta"), col("alpha"), col("e"),
+        lag(col("e"), 1).over(lw).as("el"))
+      .filter(col("el").isNotNull)
+      .select(col("ticker_a"), col("ticker_b"), col("n_bars"),
+        col("beta"), col("alpha"), col("el"),
+        (col("e") - col("el")).as("de"))
+    val m2 = steps.groupBy(col("ticker_a"), col("ticker_b"))
+      .agg(max(col("n_bars")).as("n_bars"),
+        max(col("beta")).as("beta"), max(col("alpha")).as("alpha"),
+        count(lit(1)).as("n_steps"),
+        dsum18(col("el") * col("el")).as("see"),
+        dsum18(col("el") * col("de")).as("sed"),
+        dsum18(col("de") * col("de")).as("sdd"))
+    val gamma = col("sed") / when(col("see") =!= 0.0, col("see"))
+    val s2 = (col("sdd") - gamma * col("sed")) /
+      (col("n_steps") - 1).cast("double")
+    m2.select(col("ticker_a"), col("ticker_b"), col("n_bars"),
+        round(col("beta"), 6).as("beta"),
+        round(col("alpha"), 6).as("alpha"),
+        round(gamma, 6).as("gamma"),
+        round(gamma / when(s2 / col("see") > 0.0, sqrt(s2 / col("see"))),
+          6).as("df_t"))
       .orderBy(col("ticker_a"), col("ticker_b"))
   }
 

@@ -1161,6 +1161,27 @@ class RelationalSpec extends SparkSpec {
     assert(r.getDouble(1) >= -1.0 - 1e-9 && r.getDouble(1) <= 1.0 + 1e-9)
   }
 
+  test("atkinson: matches a local recomputation, AM-GM holds, index " +
+      "in [0,1) (sf0.001)") {
+    val out = graft.operators.Relational
+      .atkinson(spark, "/root/testdata/sf0.001").collect()
+    assert(out.length === 1)
+    val r = out.head
+    val xs = graft.sources.Tables.orders(spark, "/root/testdata/sf0.001")
+      .groupBy("o_custkey")
+      .agg(org.apache.spark.sql.functions.sum("o_totalprice").as("x"))
+      .collect().map(_.getDouble(1)).filter(_ > 0)
+    assert(r.getLong(0) === xs.length)
+    val mean = xs.sum / xs.length
+    val geo = math.exp(xs.map(math.log).sum / xs.length)
+    assert(math.abs(r.getDouble(1) - mean) < 1e-3 * mean)
+    assert(math.abs(r.getDouble(2) - geo) < 1e-3 * geo)
+    assert(r.getDouble(2) <= r.getDouble(1), "AM-GM: geo <= mean")
+    val a = 1.0 - geo / mean
+    assert(math.abs(r.getDouble(3) - a) < 1e-5)
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) < 1.0)
+  }
+
   test("kruskalWallis: H matches a local midrank recomputation, tie " +
       "correction in (0,1], h_adj = h/c (sf0.001)") {
     val out = graft.operators.Relational

@@ -1116,6 +1116,48 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("cointegration: beta/gamma/df_t match a local two-step " +
+      "Engle-Granger recomputation per pair (sf0.001)") {
+    val out = TimeSeries.cointegration(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    val closes = TimeSeries.closeBars5m(graft.operators.StockPipeline
+        .normalize(graft.sources.Tables.events(spark, "/root/testdata/sf0.001")))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getDouble(2)))
+      .groupBy(_._1).map { case (t, rs) =>
+        t -> rs.map(x => (x._2, x._3)).sortBy(_._1)
+      }
+    out.foreach { row =>
+      val (ta, tb) = (row.getString(0), row.getString(1))
+      val ba = closes(ta).toMap; val bb = closes(tb).toMap
+      val common = ba.keySet.intersect(bb.keySet).toSeq.sorted
+      assert(row.getLong(2) === common.length)
+      val xs = common.map(ba); val ys = common.map(bb)
+      val n = common.length.toDouble
+      val (sx, sy) = (xs.sum, ys.sum)
+      val beta = (xs.zip(ys).map(t => t._1 * t._2).sum - sx * sy / n) /
+        (xs.map(v => v * v).sum - sx * sx / n)
+      val alpha = (sy - beta * sx) / n
+      assert(math.abs(row.getDouble(3) - beta) <
+        1e-4 * math.max(1.0, math.abs(beta)))
+      val e = xs.zip(ys).map { case (x, y) => y - (alpha + beta * x) }
+      val el = e.dropRight(1); val de = e.drop(1).zip(el).map(t => t._1 - t._2)
+      val see = el.map(v => v * v).sum
+      val sed = el.zip(de).map(t => t._1 * t._2).sum
+      val sdd = de.map(v => v * v).sum
+      val gamma = sed / see
+      assert(math.abs(row.getDouble(5) - gamma) <
+        1e-4 * math.max(1.0, math.abs(gamma)))
+      val s2 = (sdd - gamma * sed) / (el.length - 1)
+      val t = gamma / math.sqrt(s2 / see)
+      if (!row.isNullAt(6))
+        assert(math.abs(row.getDouble(6) - t) <
+          1e-3 * math.max(1.0, math.abs(t)),
+          s"$ta/$tb df_t ${row.getDouble(6)} vs local $t")
+    }
+  }
+
   test("archLm: slope/R2/LM match a local lag-1 OLS on squared " +
       "returns, r2 in [0,1], lm = n*r2 (sf0.001)") {
     val out = TimeSeries.archLm(spark, "/root/testdata/sf0.001").collect()
