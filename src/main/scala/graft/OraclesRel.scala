@@ -1174,6 +1174,51 @@ SELECT n AS n_customers,
   round(1.0 - exp(slog / CAST(n AS DOUBLE)) / (s / CAST(n AS DOUBLE)),
     6) AS atkinson
 FROM m""",
+    // Mann-Kendall + Theil-Sen on monthly revenue: exact decimal
+    // sign comparisons, BIGINT S/tie/Var terms, rank-selected median
+    // (avg of the <=2 middle slopes), VARCHAR-crossed decimal deltas
+    "rel_mann_kendall" -> """
+WITH monthly AS (
+  SELECT EXTRACT(YEAR FROM o_orderdate) * 12 +
+      EXTRACT(MONTH FROM o_orderdate) AS month,
+    sum(o_totalprice::DECIMAL(18,6)) AS xd
+  FROM orders GROUP BY 1),
+pairs AS (
+  SELECT a.month AS mi, a.xd AS xi, b.month AS mj, b.xd AS xj
+  FROM monthly a JOIN monthly b ON a.month < b.month),
+mk AS (
+  SELECT count(*)::BIGINT AS n_pairs,
+    CAST(sum(CASE WHEN xj > xi THEN 1 WHEN xj < xi THEN -1
+      ELSE 0 END) AS BIGINT) AS s_stat
+  FROM pairs),
+ties AS (
+  SELECT CAST(sum(t) AS BIGINT) AS n_months,
+    CAST(sum(t * (t - 1) * (t * 2 + 5)) AS BIGINT) AS tie_term
+  FROM (SELECT count(*)::BIGINT AS t FROM monthly GROUP BY xd)),
+slopes AS (
+  SELECT CAST(CAST(xj - xi AS VARCHAR) AS DOUBLE) /
+    CAST(mj - mi AS DOUBLE) AS slope
+  FROM pairs),
+ranked AS (
+  SELECT slope, row_number() OVER (ORDER BY slope) AS rn FROM slopes),
+cnt AS (SELECT count(*)::BIGINT AS m FROM slopes),
+med AS (
+  SELECT sum(slope) / count(*) AS sen_raw
+  FROM ranked, cnt
+  WHERE rn = (m + 1) // 2 OR rn = (m + 2) // 2),
+v AS (
+  SELECT n_pairs, s_stat, n_months, sen_raw,
+    CAST(n_months * (n_months - 1) * (n_months * 2 + 5) - tie_term
+      AS DOUBLE) / 18.0 AS var_s
+  FROM mk, ties, med)
+SELECT n_months, n_pairs, s_stat, round(var_s, 6) AS var_s,
+  round(CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) /
+      (CASE WHEN var_s > 0.0 THEN sqrt(var_s) END)
+    WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) /
+      (CASE WHEN var_s > 0.0 THEN sqrt(var_s) END)
+    ELSE 0.0 END, 6) AS z_mk,
+  round(sen_raw, 6) AS sen_slope
+FROM v""",
     // Kruskal-Wallis rank test: NAIVE global-window midranks (engine
     // runs the banded scan), exact BIGINT rank sums, DECIMAL(12,0)
     // tie cubes (cubes must keep p1+p2 <= 38 for DuckDB's binder),

@@ -905,6 +905,56 @@ SELECT ticker, n_pairs,
       THEN (sxx - sx * sx / CAST(n_pairs AS DOUBLE)) *
         (syy - sy * sy / CAST(n_pairs AS DOUBLE)) END)), 6) AS lm_stat
 FROM m ORDER BY ticker"""),
+    // PACF via Durbin-Levinson: decimal moment sums, then the SAME
+    // generated stage expressions the Spark side selectExpr's — one
+    // CTE per stage, so the recursion's double algebra is textually
+    // pinned across engines
+    "stock_pacf" -> (barsCte + {
+      val lags = graft.operators.TimeSeries.AcfLags
+      val lagCols = lags
+        .map(k => s"lag(r, $k) OVER tw2 AS rl$k").mkString(",\n    ")
+      val moments = lags.map { k =>
+        s"""    CAST(sum(CAST(r * rl$k AS DECIMAL(38,18))) AS DOUBLE) AS p$k,
+    CAST(sum(CAST(CASE WHEN rl$k IS NOT NULL THEN r END
+      AS DECIMAL(38,18))) AS DOUBLE) AS a$k,
+    CAST(sum(CAST(rl$k AS DECIMAL(38,18))) AS DOUBLE) AS b$k,
+    count(rl$k)::BIGINT AS n$k"""
+      }.mkString(",\n")
+      val stages = graft.operators.TimeSeries.pacfStages
+      val stageCtes = stages.zipWithIndex.map { case (stage, i) =>
+        val prev = if (i == 0) "m" else s"s$i"
+        val cols = stage
+          .map { case (n, e) => s"($e) AS $n" }.mkString(",\n    ")
+        s"s${i + 1} AS (\n  SELECT *,\n    $cols\n  FROM $prev)"
+      }.mkString(",\n")
+      val last = s"s${stages.length}"
+      val branches = lags.map { k =>
+        s"SELECT ticker, $k::BIGINT AS lag, n$k AS n_pairs,\n" +
+          s"  round(phi_${k}_$k, 6) AS pacf FROM $last"
+      }.mkString("\nUNION ALL\n")
+      s""",
+rets AS (
+  SELECT ticker, bucket,
+    CASE WHEN lag(close, 1) OVER tw <> 0
+      THEN close / lag(close, 1) OVER tw - 1 END AS r
+  FROM bars
+  WINDOW tw AS (PARTITION BY ticker ORDER BY bucket)
+  QUALIFY r IS NOT NULL),
+withlags AS (
+  SELECT ticker, r,
+    $lagCols
+  FROM rets
+  WINDOW tw2 AS (PARTITION BY ticker ORDER BY bucket)),
+m AS (
+  SELECT ticker, count(*)::BIGINT AS n_rets,
+    CAST(sum(CAST(r AS DECIMAL(38,18))) AS DOUBLE) AS s,
+    CAST(sum(CAST(r * r AS DECIMAL(38,18))) AS DOUBLE) AS p0,
+$moments
+  FROM withlags GROUP BY 1),
+$stageCtes
+$branches
+ORDER BY ticker, lag"""
+    }),
     // two-sample KS distance per ticker pair: exact integer ECDF
     // numerator max|cum_a*n_b - cum_b*n_a|, one final division
     "stock_ks_pairs" -> (barsCte + """,

@@ -767,6 +767,10 @@ object SparkEntry {
     "rel_atkinson" -> (Relational.atkinson _),
     // Engle-Granger cointegration screen per ticker pair
     "stock_cointegration" -> (TimeSeries.cointegration _),
+    // PACF lags 1-5 via the Durbin-Levinson recursion
+    "stock_pacf" -> (TimeSeries.pacf _),
+    // Mann-Kendall trend test + Theil-Sen slope on monthly revenue
+    "rel_mann_kendall" -> (Relational.mannKendall _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -2435,6 +2435,67 @@ object Relational {
       round(lit(1.0) - geo / mean, 6).as("atkinson"))
   }
 
+  /** Mann–Kendall trend test + Theil–Sen slope of monthly revenue:
+    * the nonparametric trend pair — S = Σ_{i<j} sign(x_j − x_i) with
+    * the tie-corrected normal approximation, and the median of all
+    * pairwise slopes (the robust alternative to [[regrTrend]]'s OLS:
+    * a 29% outlier fraction can't move it). The month grid is
+    * calendar-bounded (~80 rows at any SF), so the pairwise i<j
+    * self-join is a metadata-sized broadcast (whitelisted with the
+    * [[PlanAuditSpec]] month-grid argument); revenue sums are exact
+    * decimal, sign comparisons are decimal-exact, and S / the tie
+    * term / Var(S) stay in BIGINT until one final double division.
+    * The Theil–Sen median is rank-selected (row_number over the
+    * bounded slope set, average of the ≤2 middle values — a
+    * commutative 2-element double sum), not an engine `median` call,
+    * so both engines state the same definition. The oracle crosses
+    * the decimal revenue deltas VARCHAR-mediated (1e5+ band).
+    *
+    * Scale: everything downstream of the one hash aggregate to the
+    * month grain is metadata-sized algebra. */
+  def mannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .select((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("month"),
+        col("o_totalprice").cast("decimal(18,6)").as("px"))
+      .groupBy(col("month"))
+      .agg(sum(col("px")).as("xd"))
+    val a = monthly.select(col("month").as("mi"), col("xd").as("xi"))
+    val b = monthly.select(col("month").as("mj"), col("xd").as("xj"))
+    val pairs = a.join(broadcast(b), col("mi") < col("mj"))
+    val mk = pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      sum(when(col("xj") > col("xi"), 1L)
+        .when(col("xj") < col("xi"), -1L).otherwise(0L)).as("s_stat"))
+    val ties = monthly.groupBy(col("xd")).agg(count(lit(1)).as("t"))
+      .agg(sum(col("t")).as("n_months"),
+        sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5))
+          .as("tie_term"))
+    val slopes = pairs.select(
+      ((col("xj") - col("xi")).cast("double") /
+        (col("mj") - col("mi")).cast("double")).as("slope"))
+    val ranked = slopes.withColumn("rn",
+      row_number().over(Window.orderBy(col("slope"))))
+    val cnt = slopes.agg(count(lit(1)).as("m"))
+    val med = ranked.crossJoin(broadcast(cnt))
+      .filter(expr("rn = (m + 1) DIV 2 OR rn = (m + 2) DIV 2"))
+      .agg((sum(col("slope")) / count(lit(1))).as("sen_raw"))
+    val nb = col("n_months")
+    val varS = (nb * (nb - 1) * (nb * 2 + 5) - col("tie_term"))
+      .cast("double") / 18.0
+    mk.crossJoin(broadcast(ties)).crossJoin(broadcast(med))
+      .select(col("n_months"), col("n_pairs"), col("s_stat"),
+        round(varS, 6).as("var_s"),
+        round(when(col("s_stat") > 0,
+            (col("s_stat") - 1).cast("double") /
+              when(varS > 0.0, sqrt(varS)))
+          .when(col("s_stat") < 0,
+            (col("s_stat") + 1).cast("double") /
+              when(varS > 0.0, sqrt(varS)))
+          .otherwise(lit(0.0)), 6).as("z_mk"),
+        round(col("sen_raw"), 6).as("sen_slope"))
+  }
+
   /** Kruskal–Wallis rank test of order totals across the five order
     * priorities — the nonparametric sibling of [[anova]] (no normality
     * assumption: it asks whether any priority's totals are

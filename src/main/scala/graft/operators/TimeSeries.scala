@@ -1055,6 +1055,89 @@ object TimeSeries {
       .orderBy(col("ticker_a"), col("ticker_b"))
   }
 
+  /** Durbin–Levinson level-k select expressions over the previous
+    * level's `phi_{k-1}_j` columns and `rho1..rho5`: `phi_k_k` is the
+    * PACF at lag k, the inner coefficients update as
+    * φ_{k,j} = φ_{k−1,j} − φ_{k,k}·φ_{k−1,k−j}. The φ_{k,k} expression
+    * is SUBSTITUTED (not alias-referenced) into the inner updates so
+    * each level is one lateral-free select. Both engines evaluate
+    * these strings verbatim — Spark via `selectExpr`, the oracle via
+    * one generated CTE per level — so the double algebra is textually
+    * pinned and cannot drift. */
+  private def dlLevel(k: Int): Seq[(String, String)] =
+    if (k == 1) Seq("phi_1_1" -> "rho1")
+    else {
+      val num = (1 until k)
+        .map(j => s"phi_${k - 1}_$j * rho${k - j}").mkString(" + ")
+      val den = (1 until k)
+        .map(j => s"phi_${k - 1}_$j * rho$j").mkString(" + ")
+      val kk = s"CASE WHEN 1.0 - ($den) <> 0.0" +
+        s" THEN (rho$k - ($num)) / (1.0 - ($den)) END"
+      (s"phi_${k}_$k" -> kk) +: (1 until k).map { j =>
+        s"phi_${k}_$j" ->
+          s"phi_${k - 1}_$j - ($kk) * phi_${k - 1}_${k - j}"
+      }
+    }
+
+  /** The full PACF tail as shared select stages over the moment
+    * columns `n_rets, s, p0, p{k}, a{k}, b{k}, n{k}` (k ∈ [[AcfLags]]):
+    * first the double casts, then the global-mean autocovariances
+    * c_k = p_k − μ(a_k + b_k) + n_k·μ², then ρ_k = c_k/c_0, then one
+    * Durbin–Levinson level per lag. Each stage's expressions reference
+    * only earlier-stage columns (lateral-free on both engines). */
+  private[graft] val pacfStages: Seq[Seq[(String, String)]] = Seq(
+    ("nd" -> "CAST(n_rets AS DOUBLE)") +:
+      AcfLags.map(k => s"n${k}d" -> s"CAST(n$k AS DOUBLE)"),
+    Seq("mu" -> "s / nd"),
+    ("c0" -> "p0 - 2.0 * mu * s + nd * mu * mu") +:
+      AcfLags.map(k =>
+        s"c$k" -> s"p$k - mu * (a$k + b$k) + n${k}d * mu * mu"),
+    AcfLags.map(k =>
+      s"rho$k" -> s"c$k / (CASE WHEN c0 <> 0.0 THEN c0 END)")) ++
+    AcfLags.map(dlLevel)
+
+  /** Partial autocorrelation function per ticker at lags 1–5 over the
+    * 5-minute simple returns: the Durbin–Levinson recursion on the
+    * global-mean autocorrelations — φ_{k,k} is the lag-k correlation
+    * AFTER regressing out lags 1..k−1, the AR-order-selection
+    * companion to [[acf]] (an AR(p) series shows φ_{k,k} ≈ 0 beyond
+    * p, while its raw ACF decays slowly). The lag products, marginal
+    * sums and pair counts accumulate on the DECIMAL(38,18) grid in
+    * ONE hash aggregate (one window pass builds all five lag
+    * columns); every downstream double is a [[pacfStages]] expression
+    * evaluated verbatim by both engines.
+    *
+    * Scale: one per-ticker lag window + one map-side-partial hash
+    * aggregate to a row per ticker; the recursion is per-row algebra
+    * on that metadata-sized frame. */
+  def pacf(spark: SparkSession, dir: String): DataFrame =
+    pacfBars(closeBars5m(
+      StockPipeline.normalize(Tables.events(spark, dir))))
+
+  private[graft] def pacfBars(bars: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("ticker")).orderBy(col("bucket"))
+    val rets = simpleRets(bars, "r")
+    val withLags = rets.select(
+      col("ticker") +: col("r") +:
+        AcfLags.map(k => lag(col("r"), k).over(w).as(s"rl$k")): _*)
+    val m = withLags.groupBy(col("ticker")).agg(
+      count(lit(1)).as("n_rets"),
+      dsum18(col("r")).as("s") +: dsum18(col("r") * col("r")).as("p0") +:
+        AcfLags.flatMap(k => Seq(
+          dsum18(col("r") * col(s"rl$k")).as(s"p$k"),
+          dsum18(when(col(s"rl$k").isNotNull, col("r"))).as(s"a$k"),
+          dsum18(col(s"rl$k")).as(s"b$k"),
+          count(col(s"rl$k")).as(s"n$k"))): _*)
+    val solved = pacfStages.foldLeft(m) { (df, stage) =>
+      df.selectExpr("*" +: stage.map { case (n, e) => s"($e) AS $n" }: _*)
+    }
+    AcfLags.map { k =>
+      solved.select(col("ticker"), lit(k).cast("long").as("lag"),
+        col(s"n$k").as("n_pairs"),
+        expr(s"round(phi_${k}_$k, 6)").as("pacf"))
+    }.reduce(_ unionAll _).orderBy(col("ticker"), col("lag"))
+  }
+
   /** Engle's ARCH(1) LM test per ticker: regress squared returns on
     * their own lag and report LM = n·R² — the standard "does
     * volatility cluster?" screen run before fitting any GARCH model

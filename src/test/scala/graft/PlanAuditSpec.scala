@@ -38,10 +38,14 @@ class PlanAuditSpec extends SparkSpec {
                            // sim_bruteforce_topk, which it composes
     "sim_quality_separation", // keep/reject centroid pair: both sides
                               // are the TWO-row verdict-centroid agg
-    "sim_label_separation") // centroid×centroid pair table: BOTH sides
+    "sim_label_separation", // centroid×centroid pair table: BOTH sides
                             // are the ≤ #labels centroid aggregate —
                             // metadata-sized by construction, the
                             // members scan never joins non-equi
+    "rel_mann_kendall")     // i<j pair table over the calendar-month
+                            // revenue grid: BOTH sides are the ~80-row
+                            // month aggregate — metadata-sized at any
+                            // SF, the orders scan never joins non-equi
 
   // Spark 4 prints "BroadcastNestedLoopJoin BuildLeft/BuildRight, <type>"
   // — the build side comes BEFORE the join type (an earlier form of this

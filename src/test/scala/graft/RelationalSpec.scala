@@ -1182,6 +1182,48 @@ class RelationalSpec extends SparkSpec {
     assert(r.getDouble(3) >= 0.0 && r.getDouble(3) < 1.0)
   }
 
+  test("mannKendall: S/Var/z/sen match a local pairwise recomputation " +
+      "(sf0.001)") {
+    val out = graft.operators.Relational
+      .mannKendall(spark, "/root/testdata/sf0.001").collect()
+    assert(out.length === 1)
+    val r = out.head
+    val monthly = graft.sources.Tables
+      .orders(spark, "/root/testdata/sf0.001")
+      .selectExpr("year(o_orderdate) * 12 + month(o_orderdate) AS m",
+        "CAST(o_totalprice AS DECIMAL(18,6)) AS x")
+      .groupBy("m").agg(org.apache.spark.sql.functions.sum("x").as("x"))
+      .collect()
+      .map(row => (row.getInt(0).toLong, row.getDecimal(1)))
+      .sortBy(_._1)
+    val n = monthly.length
+    assert(r.getLong(0) === n.toLong)
+    val pairs = for {
+      i <- monthly.indices; j <- (i + 1) until n
+    } yield (monthly(i), monthly(j))
+    assert(r.getLong(1) === pairs.length.toLong)
+    val s = pairs.map { case ((_, xi), (_, xj)) =>
+      xj.compareTo(xi).sign.toLong
+    }.sum
+    assert(r.getLong(2) === s)
+    val tieTerm = monthly.groupBy(_._2).values
+      .map(g => g.length.toLong)
+      .map(t => t * (t - 1) * (2 * t + 5)).sum
+    val varS =
+      (n.toLong * (n - 1) * (2L * n + 5) - tieTerm).toDouble / 18.0
+    assert(math.abs(r.getDouble(3) - varS) < 1e-6 * varS)
+    val z = if (s > 0) (s - 1) / math.sqrt(varS)
+      else if (s < 0) (s + 1) / math.sqrt(varS) else 0.0
+    assert(math.abs(r.getDouble(4) - z) < 1e-5 * math.max(1.0, math.abs(z)))
+    val slopes = pairs.map { case ((mi, xi), (mj, xj)) =>
+      xj.subtract(xi).doubleValue() / (mj - mi).toDouble
+    }.sorted
+    val m = slopes.length
+    val sen = (slopes((m + 1) / 2 - 1) + slopes((m + 2) / 2 - 1)) / 2.0
+    assert(math.abs(r.getDouble(5) - sen) <
+      1e-5 * math.max(1.0, math.abs(sen)))
+  }
+
   test("kruskalWallis: H matches a local midrank recomputation, tie " +
       "correction in (0,1], h_adj = h/c (sf0.001)") {
     val out = graft.operators.Relational

@@ -1158,6 +1158,56 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("pacf: phi_kk matches a local Durbin-Levinson recursion on " +
+      "global-mean autocorrelations per ticker (sf0.001)") {
+    val out = TimeSeries.pacf(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    val rets = TimeSeries.closeBars5m(graft.operators.StockPipeline
+        .normalize(graft.sources.Tables.events(spark, "/root/testdata/sf0.001")))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getDouble(2)))
+      .groupBy(_._1).map { case (t, rs) =>
+        val closes = rs.sortBy(_._2).map(_._3)
+        t -> closes.zip(closes.drop(1)).collect {
+          case (p, c) if p != 0.0 => c / p - 1
+        }.toSeq
+      }
+    val maxLag = TimeSeries.AcfLags.max
+    val local = rets.map { case (t, xs) =>
+      val n = xs.length
+      val mu = xs.sum / n
+      val c = (0 to maxLag).map { k =>
+        (k until n).map(i => (xs(i) - mu) * (xs(i - k) - mu)).sum
+      }
+      val rho = (1 to maxLag).map(k => c(k) / c(0))
+      // Durbin-Levinson
+      var phi = Array(rho.head)
+      val pacf = Array.fill(maxLag)(0.0)
+      pacf(0) = rho.head
+      for (k <- 2 to maxLag) {
+        val num = rho(k - 1) -
+          (1 until k).map(j => phi(j - 1) * rho(k - j - 1)).sum
+        val den = 1.0 - (1 until k).map(j => phi(j - 1) * rho(j - 1)).sum
+        val kk = num / den
+        pacf(k - 1) = kk
+        phi = ((1 until k).map(j => phi(j - 1) - kk * phi(k - j - 1)) :+
+          kk).toArray
+      }
+      t -> pacf
+    }
+    out.foreach { row =>
+      val (t, k) = (row.getString(0), row.getLong(1))
+      assert(row.getLong(2) ===
+        math.max(0, rets(t).length - k).toLong, s"$t lag $k n_pairs")
+      if (!row.isNullAt(3)) {
+        val expect = local(t)(k.toInt - 1)
+        assert(math.abs(row.getDouble(3) - expect) <
+          1e-4 * math.max(1.0, math.abs(expect)),
+          s"$t lag $k pacf ${row.getDouble(3)} vs local $expect")
+      }
+    }
+  }
+
   test("archLm: slope/R2/LM match a local lag-1 OLS on squared " +
       "returns, r2 in [0,1], lm = n*r2 (sf0.001)") {
     val out = TimeSeries.archLm(spark, "/root/testdata/sf0.001").collect()
