@@ -1174,6 +1174,44 @@ SELECT n AS n_customers,
   round(1.0 - exp(slog / CAST(n AS DOUBLE)) / (s / CAST(n AS DOUBLE)),
     6) AS atkinson
 FROM m""",
+    // Log-log OLS per brand: round-12 log grid, VARCHAR-crossed
+    // DECIMAL(38,18) moment sums (squared-log sums pass 1e5 at sf0.1)
+    "rel_price_elasticity" -> """
+WITH rows_ AS (
+  SELECT p_brand,
+    CAST(round(ln(l_extendedprice /
+      (CASE WHEN l_quantity <> 0.0 THEN l_quantity END) *
+      (1.0 - l_discount)), 12) AS DOUBLE) AS lx,
+    CAST(round(ln(l_quantity), 12) AS DOUBLE) AS ly
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_extendedprice /
+      (CASE WHEN l_quantity <> 0.0 THEN l_quantity END) *
+      (1.0 - l_discount) > 0.0),
+m AS (
+  SELECT p_brand, count(*)::BIGINT AS n_lines,
+    CAST(CAST(sum(CAST(CAST(lx AS VARCHAR) AS DECIMAL(38,18)))
+      AS VARCHAR) AS DOUBLE) AS sx,
+    CAST(CAST(sum(CAST(CAST(ly AS VARCHAR) AS DECIMAL(38,18)))
+      AS VARCHAR) AS DOUBLE) AS sy,
+    CAST(CAST(sum(CAST(CAST(lx * lx AS VARCHAR) AS DECIMAL(38,18)))
+      AS VARCHAR) AS DOUBLE) AS sxx,
+    CAST(CAST(sum(CAST(CAST(lx * ly AS VARCHAR) AS DECIMAL(38,18)))
+      AS VARCHAR) AS DOUBLE) AS sxy,
+    CAST(CAST(sum(CAST(CAST(ly * ly AS VARCHAR) AS DECIMAL(38,18)))
+      AS VARCHAR) AS DOUBLE) AS syy
+  FROM rows_ GROUP BY 1)
+SELECT p_brand, n_lines,
+  round((sxy - sx * sy / CAST(n_lines AS DOUBLE)) /
+    (CASE WHEN sxx - sx * sx / CAST(n_lines AS DOUBLE) <> 0.0
+      THEN sxx - sx * sx / CAST(n_lines AS DOUBLE) END), 6)
+    AS elasticity,
+  round((sxy - sx * sy / CAST(n_lines AS DOUBLE)) *
+      (sxy - sx * sy / CAST(n_lines AS DOUBLE)) /
+    (CASE WHEN (sxx - sx * sx / CAST(n_lines AS DOUBLE)) *
+        (syy - sy * sy / CAST(n_lines AS DOUBLE)) <> 0.0
+      THEN (sxx - sx * sx / CAST(n_lines AS DOUBLE)) *
+        (syy - sy * sy / CAST(n_lines AS DOUBLE)) END), 6) AS r2
+FROM m ORDER BY p_brand""",
     // Mann-Kendall + Theil-Sen on monthly revenue: exact decimal
     // sign comparisons, BIGINT S/tie/Var terms, rank-selected median
     // (avg of the <=2 middle slopes), VARCHAR-crossed decimal deltas

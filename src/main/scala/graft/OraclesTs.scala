@@ -863,6 +863,71 @@ SELECT ticker_a, ticker_b, n_bars, round(beta, 6) AS beta,
       THEN sqrt(((sdd - (sed / (CASE WHEN see <> 0.0 THEN see END))
         * sed) / CAST(n_steps - 1 AS DOUBLE)) / see) END), 6) AS df_t
 FROM m2 ORDER BY ticker_a, ticker_b"""),
+    // Granger causality per ordered ticker pair: effect's return on
+    // own lag + cause's lag, 2x2 closed-form solve, F vs the
+    // restricted own-lag model; decimal moment sums, pinned algebra
+    "stock_granger" -> (barsCte + """,
+rets AS (
+  SELECT ticker, bucket,
+    CASE WHEN lag(close, 1) OVER tw <> 0
+      THEN close / lag(close, 1) OVER tw - 1 END AS r
+  FROM bars
+  WINDOW tw AS (PARTITION BY ticker ORDER BY bucket)
+  QUALIFY r IS NOT NULL),
+aligned AS (
+  SELECT c.ticker AS cause, e.ticker AS effect, c.bucket,
+    e.r AS y, c.r AS rc
+  FROM rets c JOIN rets e ON c.bucket = e.bucket
+  WHERE c.ticker <> e.ticker),
+lagged AS (
+  SELECT cause, effect, y, x1, x2 FROM (
+    SELECT cause, effect, y,
+      lag(y, 1) OVER pw AS x1, lag(rc, 1) OVER pw AS x2
+    FROM aligned
+    WINDOW pw AS (PARTITION BY cause, effect ORDER BY bucket))
+  WHERE x1 IS NOT NULL AND x2 IS NOT NULL),
+m AS (
+  SELECT cause, effect, count(*)::BIGINT AS n_steps,
+    CAST(sum(CAST(x1 AS DECIMAL(38,18))) AS DOUBLE) AS sx1,
+    CAST(sum(CAST(x2 AS DECIMAL(38,18))) AS DOUBLE) AS sx2,
+    CAST(sum(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+    CAST(sum(CAST(x1 * x1 AS DECIMAL(38,18))) AS DOUBLE) AS sx1x1,
+    CAST(sum(CAST(x1 * x2 AS DECIMAL(38,18))) AS DOUBLE) AS sx1x2,
+    CAST(sum(CAST(x2 * x2 AS DECIMAL(38,18))) AS DOUBLE) AS sx2x2,
+    CAST(sum(CAST(x1 * y AS DECIMAL(38,18))) AS DOUBLE) AS sx1y,
+    CAST(sum(CAST(x2 * y AS DECIMAL(38,18))) AS DOUBLE) AS sx2y,
+    CAST(sum(CAST(y * y AS DECIMAL(38,18))) AS DOUBLE) AS syy
+  FROM lagged GROUP BY 1, 2),
+cen AS (
+  SELECT cause, effect, n_steps,
+    sx1x1 - sx1 * sx1 / CAST(n_steps AS DOUBLE) AS s11,
+    sx1x2 - sx1 * sx2 / CAST(n_steps AS DOUBLE) AS s12,
+    sx2x2 - sx2 * sx2 / CAST(n_steps AS DOUBLE) AS s22,
+    sx1y - sx1 * sy / CAST(n_steps AS DOUBLE) AS s1y,
+    sx2y - sx2 * sy / CAST(n_steps AS DOUBLE) AS s2y,
+    syy - sy * sy / CAST(n_steps AS DOUBLE) AS syy_c
+  FROM m),
+sol AS (
+  SELECT cause, effect, n_steps, s1y, s2y, syy_c, s11,
+    (s1y * s22 - s2y * s12) /
+      (CASE WHEN n_steps > 2 AND s11 * s22 - s12 * s12 <> 0.0
+        THEN s11 * s22 - s12 * s12 END) AS b1,
+    (s2y * s11 - s1y * s12) /
+      (CASE WHEN n_steps > 2 AND s11 * s22 - s12 * s12 <> 0.0
+        THEN s11 * s22 - s12 * s12 END) AS b2
+  FROM cen),
+fin AS (
+  SELECT cause, effect, n_steps, b2,
+    syy_c - b1 * s1y - b2 * s2y AS rss_u,
+    syy_c - s1y * s1y /
+      (CASE WHEN s11 <> 0.0 THEN s11 END) AS rss_r
+  FROM sol)
+SELECT cause, effect, n_steps,
+  round(b2, 6) AS beta_cross,
+  round(CASE WHEN n_steps > 3 THEN (rss_r - rss_u) /
+    ((CASE WHEN rss_u <> 0.0 THEN rss_u END) /
+      CAST(n_steps - 3 AS DOUBLE)) END, 6) AS f_stat
+FROM fin ORDER BY cause, effect"""),
     // Engle ARCH(1) LM test: squared returns on their lag, DECIMAL
     // (38,18) moment sums, pinned slope/R2/LM with guarded divisors
     "stock_arch_lm" -> (barsCte + """,

@@ -771,6 +771,10 @@ object SparkEntry {
     "stock_pacf" -> (TimeSeries.pacf _),
     // Mann-Kendall trend test + Theil-Sen slope on monthly revenue
     "rel_mann_kendall" -> (Relational.mannKendall _),
+    // log-log OLS price elasticity of demand per part brand
+    "rel_price_elasticity" -> (Relational.priceElasticity _),
+    // Granger-causality F-screen per ordered ticker pair
+    "stock_granger" -> (TimeSeries.granger _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -2435,6 +2435,53 @@ object Relational {
       round(lit(1.0) - geo / mean, 6).as("atkinson"))
   }
 
+  /** Price elasticity of demand per part brand: OLS of ln(quantity)
+    * on ln(discounted unit price) across the brand's line items — the
+    * classic log-log regression whose slope IS the elasticity (β < −1
+    * elastic, −1 < β < 0 inelastic). Unit price is the pinned per-row
+    * double expression extendedprice / quantity · (1 − discount);
+    * both logs ride the round-12 grid and all five moment sums
+    * accumulate as DECIMAL(38,18) (order-independent; the oracle
+    * crosses them VARCHAR-mediated — squared-log sums exceed the 1e5
+    * band at sf0.1). Slope/R² are pinned closed-form double algebra
+    * with NULL-guarded variance divisors.
+    *
+    * Scale: one partkey equi-join (no broadcast assumption — part
+    * grows with SF) and one map-side-partial hash aggregate to the
+    * 25-row brand grid. */
+  def priceElasticity(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+    val pt = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))
+    val joined = li.join(pt, col("l_partkey") === col("p_partkey"))
+    val up = col("l_extendedprice").cast("double") /
+      when(col("l_quantity").cast("double") =!= 0.0,
+        col("l_quantity").cast("double")) *
+      (lit(1.0) - col("l_discount").cast("double"))
+    val rows = joined
+      .filter(up > 0.0)
+      .select(col("p_brand"),
+        round(log(up), 12).as("lx"),
+        round(log(col("l_quantity").cast("double")), 12).as("ly"))
+    def d18(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(38,18)")).cast("double")
+    val m = rows.groupBy(col("p_brand")).agg(
+      count(lit(1)).as("n_lines"),
+      d18(col("lx")).as("sx"), d18(col("ly")).as("sy"),
+      d18(col("lx") * col("lx")).as("sxx"),
+      d18(col("lx") * col("ly")).as("sxy"),
+      d18(col("ly") * col("ly")).as("syy"))
+    val nd = col("n_lines").cast("double")
+    val vx = col("sxx") - col("sx") * col("sx") / nd
+    val vy = col("syy") - col("sy") * col("sy") / nd
+    val cxy = col("sxy") - col("sx") * col("sy") / nd
+    m.select(col("p_brand"), col("n_lines"),
+        round(cxy / when(vx =!= 0.0, vx), 6).as("elasticity"),
+        round(cxy * cxy / when(vx * vy =!= 0.0, vx * vy), 6).as("r2"))
+      .orderBy(col("p_brand"))
+  }
+
   /** Mann–Kendall trend test + Theil–Sen slope of monthly revenue:
     * the nonparametric trend pair — S = Σ_{i<j} sign(x_j − x_i) with
     * the tie-corrected normal approximation, and the median of all

@@ -1138,6 +1138,84 @@ object TimeSeries {
     }.reduce(_ unionAll _).orderBy(col("ticker"), col("lag"))
   }
 
+  /** Granger-causality screen over ordered ticker pairs (cause →
+    * effect): regress the effect's 5-minute return on its own lag and
+    * the cause's lag, and F-test the cross term against the
+    * restricted own-lag-only model — F = (RSS_r − RSS_u)/(RSS_u/(n−3))
+    * with 1 numerator df (large F: the cause's past improves the
+    * effect's one-step forecast, the lead-lag signal [[leadLag]]
+    * correlates but never tests). Return alignment is a bucket
+    * equi-join; the nine moment sums accumulate on the
+    * DECIMAL(38,18) grid in one per-pair hash aggregate; the 2×2
+    * normal-equation solve, both RSS forms and F are pinned double
+    * algebra with NULL-guarded determinant/variance divisors.
+    *
+    * Scale: same shape as [[cointegrationBars]] — bucket equi-join,
+    * map-side-partial aggregates, one per-pair lag window; ordered
+    * pair count is quadratic in tickers (documented bound). */
+  def granger(spark: SparkSession, dir: String): DataFrame =
+    grangerBars(closeBars5m(
+      StockPipeline.normalize(Tables.events(spark, dir))))
+
+  private[graft] def grangerBars(bars: DataFrame): DataFrame = {
+    val rets = simpleRets(bars, "r")
+    val c = rets.select(col("ticker").as("cause"), col("bucket"),
+      col("r").as("rc"))
+    val e = rets.select(col("ticker").as("effect"), col("bucket"),
+      col("r").as("re"))
+    val aligned = c.join(e, Seq("bucket"))
+      .filter(col("cause") =!= col("effect"))
+    val w = Window.partitionBy(col("cause"), col("effect"))
+      .orderBy(col("bucket"))
+    val lagged = aligned
+      .select(col("cause"), col("effect"),
+        col("re").as("y"),
+        lag(col("re"), 1).over(w).as("x1"),
+        lag(col("rc"), 1).over(w).as("x2"))
+      .filter(col("x1").isNotNull && col("x2").isNotNull)
+    val m = lagged.groupBy(col("cause"), col("effect")).agg(
+      count(lit(1)).as("n_steps"),
+      dsum18(col("x1")).as("sx1"), dsum18(col("x2")).as("sx2"),
+      dsum18(col("y")).as("sy"),
+      dsum18(col("x1") * col("x1")).as("sx1x1"),
+      dsum18(col("x1") * col("x2")).as("sx1x2"),
+      dsum18(col("x2") * col("x2")).as("sx2x2"),
+      dsum18(col("x1") * col("y")).as("sx1y"),
+      dsum18(col("x2") * col("y")).as("sx2y"),
+      dsum18(col("y") * col("y")).as("syy"))
+    val nd = col("n_steps").cast("double")
+    val cen = m.select(col("cause"), col("effect"), col("n_steps"),
+      (col("sx1x1") - col("sx1") * col("sx1") / nd).as("s11"),
+      (col("sx1x2") - col("sx1") * col("sx2") / nd).as("s12"),
+      (col("sx2x2") - col("sx2") * col("sx2") / nd).as("s22"),
+      (col("sx1y") - col("sx1") * col("sy") / nd).as("s1y"),
+      (col("sx2y") - col("sx2") * col("sy") / nd).as("s2y"),
+      (col("syy") - col("sy") * col("sy") / nd).as("syy_c"))
+    // n_steps > 2 is the rank condition: with two aligned steps the
+    // centered 2-regressor system is singular by construction and det
+    // is pure float noise — the NULL guard must fire on the MATH, not
+    // on the noisy det value (which differs sub-ulp across engines)
+    val det = col("s11") * col("s22") - col("s12") * col("s12")
+    val detG = when(col("n_steps") > 2 && det =!= 0.0, det)
+    val sol = cen.select(col("cause"), col("effect"), col("n_steps"),
+      col("s1y"), col("s2y"), col("syy_c"), col("s11"),
+      ((col("s1y") * col("s22") - col("s2y") * col("s12")) / detG)
+        .as("b1"),
+      ((col("s2y") * col("s11") - col("s1y") * col("s12")) / detG)
+        .as("b2"))
+    val rssU = col("syy_c") - col("b1") * col("s1y") -
+      col("b2") * col("s2y")
+    val rssR = col("syy_c") -
+      col("s1y") * col("s1y") / when(col("s11") =!= 0.0, col("s11"))
+    sol.select(col("cause"), col("effect"), col("n_steps"),
+        round(col("b2"), 6).as("beta_cross"),
+        round(when(col("n_steps") > 3,
+            (rssR - rssU) /
+              (when(rssU =!= 0.0, rssU) /
+                (col("n_steps") - 3).cast("double"))), 6).as("f_stat"))
+      .orderBy(col("cause"), col("effect"))
+  }
+
   /** Engle's ARCH(1) LM test per ticker: regress squared returns on
     * their own lag and report LM = n·R² — the standard "does
     * volatility cluster?" screen run before fitting any GARCH model

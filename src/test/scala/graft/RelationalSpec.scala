@@ -1182,6 +1182,44 @@ class RelationalSpec extends SparkSpec {
     assert(r.getDouble(3) >= 0.0 && r.getDouble(3) < 1.0)
   }
 
+  test("priceElasticity: slope/r2 match a local log-log OLS per brand, " +
+      "r2 in [0,1] (sf0.001)") {
+    val out = graft.operators.Relational
+      .priceElasticity(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    val li = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val pt = graft.sources.Tables.part(spark, "/root/testdata/sf0.001")
+    val rows = li.join(pt, li("l_partkey") === pt("p_partkey"))
+      .select("p_brand", "l_quantity", "l_extendedprice", "l_discount")
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))
+      .filter { case (_, q, p, d) => q != 0.0 && p / q * (1.0 - d) > 0.0 }
+      .groupBy(_._1)
+    out.foreach { row =>
+      val brand = row.getString(0)
+      val xs = rows(brand).map { case (_, q, p, d) =>
+        (math.log(p / q * (1.0 - d)), math.log(q))
+      }
+      assert(row.getLong(1) === xs.length.toLong)
+      val n = xs.length.toDouble
+      val (sx, sy) = (xs.map(_._1).sum, xs.map(_._2).sum)
+      val sxy = xs.map(t => t._1 * t._2).sum
+      val sxx = xs.map(t => t._1 * t._1).sum
+      val syy = xs.map(t => t._2 * t._2).sum
+      val beta = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+      val r2 = math.pow(sxy - sx * sy / n, 2) /
+        ((sxx - sx * sx / n) * (syy - sy * sy / n))
+      if (!row.isNullAt(2))
+        assert(math.abs(row.getDouble(2) - beta) <
+          1e-4 * math.max(1.0, math.abs(beta)), s"$brand beta")
+      if (!row.isNullAt(3)) {
+        assert(math.abs(row.getDouble(3) - r2) < 1e-4, s"$brand r2")
+        assert(row.getDouble(3) >= -1e-9 && row.getDouble(3) <= 1.0 + 1e-9)
+      }
+    }
+  }
+
   test("mannKendall: S/Var/z/sen match a local pairwise recomputation " +
       "(sf0.001)") {
     val out = graft.operators.Relational

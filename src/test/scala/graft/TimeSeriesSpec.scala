@@ -1208,6 +1208,58 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("granger: beta_cross/F match a local bivariate-OLS " +
+      "recomputation per ordered pair (sf0.001)") {
+    val out = TimeSeries.granger(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    val rets = TimeSeries.closeBars5m(graft.operators.StockPipeline
+        .normalize(graft.sources.Tables.events(spark, "/root/testdata/sf0.001")))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getDouble(2)))
+      .groupBy(_._1).map { case (t, rs) =>
+        val sorted = rs.sortBy(_._2)
+        val closes = sorted.map(_._3)
+        t -> sorted.map(_._2).drop(1).zip(
+          closes.zip(closes.drop(1)).collect {
+            case (p, c) if p != 0.0 => c / p - 1
+          }).map(x => (x._1, x._2))
+      }
+    out.foreach { row =>
+      val (cs, ef) = (row.getString(0), row.getString(1))
+      val mc = rets(cs).toMap; val me = rets(ef).toMap
+      val common = mc.keySet.intersect(me.keySet).toSeq.sorted
+      val trip = common.drop(1).zip(common.dropRight(1)).map {
+        case (t, tl) => (me(t), me(tl), mc(tl))
+      }
+      assert(row.getLong(2) === trip.length.toLong, s"$cs->$ef n")
+      // n <= 2 is rank-deficient: the engine NULLs the solve (det is
+      // float noise there), so there is nothing to compare
+      if (trip.length > 2) {
+      val n = trip.length.toDouble
+      val (sy, s1, s2) = (trip.map(_._1).sum, trip.map(_._2).sum,
+        trip.map(_._3).sum)
+      val s11 = trip.map(t => t._2 * t._2).sum - s1 * s1 / n
+      val s12 = trip.map(t => t._2 * t._3).sum - s1 * s2 / n
+      val s22 = trip.map(t => t._3 * t._3).sum - s2 * s2 / n
+      val s1y = trip.map(t => t._2 * t._1).sum - s1 * sy / n
+      val s2y = trip.map(t => t._3 * t._1).sum - s2 * sy / n
+      val syyC = trip.map(t => t._1 * t._1).sum - sy * sy / n
+      val det = s11 * s22 - s12 * s12
+      val b1 = (s1y * s22 - s2y * s12) / det
+      val b2 = (s2y * s11 - s1y * s12) / det
+      if (!row.isNullAt(3))
+        assert(math.abs(row.getDouble(3) - b2) <
+          1e-4 * math.max(1.0, math.abs(b2)), s"$cs->$ef b2")
+      val rssU = syyC - b1 * s1y - b2 * s2y
+      val rssR = syyC - s1y * s1y / s11
+      val f = (rssR - rssU) / (rssU / (n - 3))
+      if (!row.isNullAt(4))
+        assert(math.abs(row.getDouble(4) - f) <
+          1e-3 * math.max(1.0, math.abs(f)), s"$cs->$ef F")
+      }
+    }
+  }
+
   test("archLm: slope/R2/LM match a local lag-1 OLS on squared " +
       "returns, r2 in [0,1], lm = n*r2 (sf0.001)") {
     val out = TimeSeries.archLm(spark, "/root/testdata/sf0.001").collect()
