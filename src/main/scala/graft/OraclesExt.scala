@@ -1956,6 +1956,55 @@ reach(node, label) AS (
   SELECT e.b, r.label FROM reach r JOIN edges e ON r.node = e.a)
 SELECT node AS vec_id, min(label) AS cluster_id
 FROM reach GROUP BY node ORDER BY vec_id"""),
+    // DBSCAN: in-cell eps-pairs at rounded cosine >= tau, degree >=
+    // minPts cores, recursive min-label components over core-core
+    // edges, border = min core-neighbor cluster, rest noise
+    "sim_dbscan" -> ((simBase + kmeansCtes)
+      .replaceFirst("WITH ", "WITH RECURSIVE ") + s""",
+nbrs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nbr,
+    round(list_inner_product(a.ev, b.ev), 6) AS cosine
+  FROM asg${graft.operators.Similarity.kmIters} a
+  JOIN asg${graft.operators.Similarity.kmIters} b
+    ON a.cell = b.cell AND a.vec_id <> b.vec_id
+  WHERE round(list_inner_product(a.ev, b.ev), 6) >=
+    ${graft.operators.Similarity.dbscanTau}),
+deg AS (SELECT vec_id, count(*)::BIGINT AS n_nbrs FROM nbrs GROUP BY 1),
+cores AS (SELECT vec_id FROM deg
+  WHERE n_nbrs >= ${graft.operators.Similarity.dbscanMinPts}),
+ce AS (
+  SELECT n.vec_id AS a, n.nbr AS b FROM nbrs n
+  JOIN cores c1 ON n.vec_id = c1.vec_id
+  JOIN cores c2 ON n.nbr = c2.vec_id),
+edges(a, b) AS (SELECT a, b FROM ce UNION SELECT b, a FROM ce),
+reach(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN edges e ON r.node = e.a),
+cc AS (SELECT node AS vec_id, min(label) AS cluster_id
+  FROM reach GROUP BY node),
+core_out AS (
+  SELECT c.vec_id,
+    coalesce(cc.cluster_id, c.vec_id::BIGINT) AS cluster_id
+  FROM cores c LEFT JOIN cc ON c.vec_id = cc.vec_id),
+border AS (
+  SELECT n.vec_id, min(co.cluster_id) AS cluster_id
+  FROM nbrs n
+  JOIN core_out co ON n.nbr = co.vec_id
+  WHERE n.vec_id NOT IN (SELECT vec_id FROM cores)
+  GROUP BY n.vec_id),
+lab AS (
+  SELECT vec_id, cluster_id, 'core' AS role FROM core_out
+  UNION ALL
+  SELECT vec_id, cluster_id, 'border' AS role FROM border)
+SELECT b.vec_id,
+  coalesce(l.role, 'noise') AS role,
+  l.cluster_id,
+  coalesce(d.n_nbrs, 0) AS n_nbrs
+FROM base b
+LEFT JOIN lab l ON b.vec_id = l.vec_id
+LEFT JOIN deg d ON b.vec_id = d.vec_id
+ORDER BY b.vec_id"""),
     // semantic decontamination: exact max cosine of every train vector
     // to the broadcast eval set (q = vec_id < 20), argmax row carries
     // both outputs, ties by eval_id

@@ -775,6 +775,9 @@ object SparkEntry {
     "rel_price_elasticity" -> (Relational.priceElasticity _),
     // Granger-causality F-screen per ordered ticker pair
     "stock_granger" -> (TimeSeries.granger _),
+    // DBSCAN: density clusters + border/noise over the embedding corpus
+    "sim_dbscan" -> ((s, d) =>
+      Similarity.dbscan(Tables.embeddings(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -814,6 +814,78 @@ object Similarity {
           .select(col("vec_id").as("doc_a"), col("neighbor_id").as("doc_b")))
       .withColumnRenamed("doc_id", "vec_id")
 
+  /** DBSCAN radius / core threshold — shared with the oracle. Chosen
+    * against the synthetic corpus's in-cell cosine distribution
+    * (p95 ≈ 0.21, p99 ≈ 0.29): 0.3/3 yields a 133-core / 158-border /
+    * 209-noise split across 22 density clusters at sf0.01 — real
+    * density substructure, not the 4 k-means cells echoed back. */
+  val dbscanTau = 0.3
+  val dbscanMinPts = 3
+
+  /** Density-based clustering (DBSCAN) over the embedding corpus with
+    * cosine ≥ [[dbscanTau]] as the ε-neighborhood: vectors with ≥
+    * [[dbscanMinPts]] in-cell neighbors are CORE; connected components
+    * over core–core edges are the clusters (id = min member, the
+    * [[Dedup.clustersBigStar]] contract); non-core vectors touching a
+    * core are BORDER (assigned the min cluster id among their core
+    * neighbors — the deterministic variant of DBSCAN's first-reached
+    * rule); the rest is NOISE. Unlike [[kmeans]] every vector is NOT
+    * forced into a cluster — noise is the point. Neighborhoods are
+    * cell-restricted exactly as in [[knnGraph]]/[[semDedup]] (the IVF
+    * trade, stated identically by the oracle), so the pair search is
+    * an equi-join on cell — never corpus all-pairs; the threshold
+    * filter compares the ROUNDED cosine map-side before any shuffle.
+    *
+    * Scale: Σ|cell|² candidate generation with cells held
+    * near-constant by the k-growth rule; degree count and border
+    * argmin are hash aggregates on the (already eps-filtered) edge
+    * list; the component step is the size-adaptive big-star loop. An
+    * isolated core (all neighbors border) keeps its own id via the
+    * coalesce — it is a real 1-core cluster, not noise. */
+  def dbscan(embeddings: DataFrame, tau: Double = dbscanTau,
+      minPts: Int = dbscanMinPts, cells: Int = kmK): DataFrame = {
+    val (asg, _) = kmeans(embeddings, cells)
+    val a = asg.select(col("cell"), col("vec_id"), col("unit"))
+    val nbrs = a.as("a")
+      .join(a.as("b"), col("a.cell") === col("b.cell") &&
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr"),
+        cosineUnit(col("a.unit"), col("b.unit")).as("cosine"))
+      .filter(col("cosine") >= tau)
+      // feeds degree, core-core edges AND the border argmin — without
+      // the cut the kmeans + pair join re-derives per branch
+      .pin(eager = true)
+    val deg = nbrs.groupBy(col("vec_id")).agg(count(lit(1)).as("n_nbrs"))
+    val cores = deg.filter(col("n_nbrs") >= minPts).select(col("vec_id"))
+    val coreEdges = nbrs
+      .join(cores, Seq("vec_id"), "leftsemi")
+      .join(cores.select(col("vec_id").as("nbr")), Seq("nbr"), "leftsemi")
+      .select(col("vec_id").as("doc_a"), col("nbr").as("doc_b"))
+    val cc = Dedup.clustersBigStar(coreEdges)
+      .withColumnRenamed("doc_id", "vec_id")
+    val coreOut = cores.join(cc, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster_id"), col("vec_id").cast("long"))
+          .as("cluster_id"))
+      .pin(eager = true)
+    val border = nbrs
+      .join(cores, Seq("vec_id"), "leftanti")
+      .join(coreOut.select(col("vec_id").as("nbr"), col("cluster_id")),
+        Seq("nbr"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("cluster_id")).as("cluster_id"))
+    val lab = coreOut.select(col("vec_id"), col("cluster_id"),
+        lit("core").as("role"))
+      .unionAll(border.select(col("vec_id"), col("cluster_id"),
+        lit("border").as("role")))
+    asg.select(col("vec_id"))
+      .join(lab, Seq("vec_id"), "left")
+      .join(deg, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("role"), lit("noise")).as("role"),
+        col("cluster_id"), coalesce(col("n_nbrs"), lit(0L)).as("n_nbrs"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Embedding outlier detection — the embedding-space curation op: each
     * vector's cosine to its OWN label centroid, bottom-k per label = the
     * mislabeled/noisy candidates a training-data pipeline reviews or
