@@ -1212,6 +1212,55 @@ SELECT p_brand, n_lines,
       THEN (sxx - sx * sx / CAST(n_lines AS DOUBLE)) *
         (syy - sy * sy / CAST(n_lines AS DOUBLE)) END), 6) AS r2
 FROM m ORDER BY p_brand""",
+    // Categorical naive Bayes: Laplace-smoothed count likelihoods,
+    // round-12 log terms (order-pinned 3-term sums), argmax with
+    // ties to the smallest flag
+    "rel_naive_bayes" -> """
+WITH li AS (
+  SELECT EXTRACT(YEAR FROM l_shipdate) AS ship_year,
+    CAST(floor((l_quantity - 1.0) / 10.0) AS BIGINT) AS q_band,
+    l_returnflag
+  FROM lineitem),
+cls AS (SELECT l_returnflag, count(*)::BIGINT AS n_c FROM li GROUP BY 1),
+tot AS (SELECT count(*)::BIGINT AS n_total FROM li),
+vs AS (SELECT count(DISTINCT ship_year)::BIGINT AS v_year,
+  count(DISTINCT q_band)::BIGINT AS v_band FROM li),
+f1 AS (SELECT l_returnflag, ship_year, count(*)::BIGINT AS n_yc
+  FROM li GROUP BY 1, 2),
+f2 AS (SELECT l_returnflag, q_band, count(*)::BIGINT AS n_bc
+  FROM li GROUP BY 1, 2),
+combos AS (SELECT ship_year, q_band, l_returnflag,
+  count(*)::BIGINT AS n_combo FROM li GROUP BY 1, 2, 3),
+grid AS (SELECT ship_year, q_band,
+  CAST(sum(n_combo) AS BIGINT) AS n_rows FROM combos GROUP BY 1, 2),
+scored AS (
+  SELECT g.ship_year, g.q_band, g.n_rows, c.l_returnflag,
+    round(ln(CAST(n_c AS DOUBLE) / CAST(n_total AS DOUBLE)), 12) +
+    round(ln(CAST(coalesce(n_yc, 0) + 1 AS DOUBLE) /
+      CAST(n_c + v_year AS DOUBLE)), 12) +
+    round(ln(CAST(coalesce(n_bc, 0) + 1 AS DOUBLE) /
+      CAST(n_c + v_band AS DOUBLE)), 12) AS score
+  FROM grid g CROSS JOIN cls c
+  LEFT JOIN f1 ON f1.l_returnflag = c.l_returnflag
+    AND f1.ship_year = g.ship_year
+  LEFT JOIN f2 ON f2.l_returnflag = c.l_returnflag
+    AND f2.q_band = g.q_band
+  CROSS JOIN tot CROSS JOIN vs),
+pred AS (
+  SELECT ship_year, q_band, n_rows, l_returnflag AS pred_flag,
+    round(score, 6) AS score
+  FROM (SELECT *, row_number() OVER (
+      PARTITION BY ship_year, q_band
+      ORDER BY score DESC, l_returnflag) AS rn FROM scored)
+  WHERE rn = 1)
+SELECT p.ship_year, p.q_band, p.n_rows, p.pred_flag, p.score,
+  coalesce(cb.n_combo, 0) AS n_correct,
+  round(CAST(coalesce(cb.n_combo, 0) AS DOUBLE) /
+    CAST(p.n_rows AS DOUBLE), 6) AS accuracy
+FROM pred p LEFT JOIN combos cb
+  ON cb.ship_year = p.ship_year AND cb.q_band = p.q_band
+  AND cb.l_returnflag = p.pred_flag
+ORDER BY p.ship_year, p.q_band""",
     // Mann-Kendall + Theil-Sen on monthly revenue: exact decimal
     // sign comparisons, BIGINT S/tie/Var terms, rank-selected median
     // (avg of the <=2 middle slopes), VARCHAR-crossed decimal deltas

@@ -863,6 +863,46 @@ SELECT ticker_a, ticker_b, n_bars, round(beta, 6) AS beta,
       THEN sqrt(((sdd - (sed / (CASE WHEN see <> 0.0 THEN see END))
         * sed) / CAST(n_steps - 1 AS DOUBLE)) / see) END), 6) AS df_t
 FROM m2 ORDER BY ticker_a, ticker_b"""),
+    // Bandt-Pompe order-3 permutation entropy: the SHARED pattern
+    // CASE (tie handling pinned), round-12 decimal -p ln p terms
+    "stock_permutation_entropy" -> (barsCte + s""",
+rets AS (
+  SELECT ticker, bucket,
+    CASE WHEN lag(close, 1) OVER tw <> 0
+      THEN close / lag(close, 1) OVER tw - 1 END AS r
+  FROM bars
+  WINDOW tw AS (PARTITION BY ticker ORDER BY bucket)
+  QUALIFY r IS NOT NULL),
+trip AS (
+  SELECT ticker, c, b, a FROM (
+    SELECT ticker, r AS c,
+      lag(r, 1) OVER tw2 AS b, lag(r, 2) OVER tw2 AS a
+    FROM rets
+    WINDOW tw2 AS (PARTITION BY ticker ORDER BY bucket))
+  WHERE a IS NOT NULL),
+counts AS (
+  SELECT ticker, pattern, count(*)::BIGINT AS cnt FROM (
+    SELECT ticker, ${graft.operators.TimeSeries.pePattern} AS pattern
+    FROM trip)
+  GROUP BY 1, 2),
+totals AS (
+  SELECT ticker, CAST(sum(cnt) AS BIGINT) AS n_triples
+  FROM counts GROUP BY 1),
+terms AS (
+  SELECT c.ticker, t.n_triples,
+    CAST(round(-(CAST(cnt AS DOUBLE) / CAST(n_triples AS DOUBLE) *
+      ln(CAST(cnt AS DOUBLE) / CAST(n_triples AS DOUBLE))), 12)
+      AS DECIMAL(28,12)) AS term
+  FROM counts c JOIN totals t ON c.ticker = t.ticker),
+m AS (
+  SELECT ticker, max(n_triples) AS n_triples,
+    count(*)::BIGINT AS n_patterns,
+    CAST(sum(term) AS DOUBLE) AS h
+  FROM terms GROUP BY 1)
+SELECT ticker, n_triples, n_patterns,
+  round(h, 6) AS perm_entropy,
+  round(h / ${graft.operators.TimeSeries.peLn6}, 6) AS pe_norm
+FROM m ORDER BY ticker"""),
     // Granger causality per ordered ticker pair: effect's return on
     // own lag + cause's lag, 2x2 closed-form solve, F vs the
     // restricted own-lag model; decimal moment sums, pinned algebra

@@ -778,6 +778,10 @@ object SparkEntry {
     // DBSCAN: density clusters + border/noise over the embedding corpus
     "sim_dbscan" -> ((s, d) =>
       Similarity.dbscan(Tables.embeddings(s, d))),
+    // Bandt-Pompe order-3 permutation entropy per ticker
+    "stock_permutation_entropy" -> (TimeSeries.permutationEntropy _),
+    // categorical naive Bayes: return flag from shipmode x linestatus
+    "rel_naive_bayes" -> (Relational.naiveBayes _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -2482,6 +2482,77 @@ object Relational {
       .orderBy(col("p_brand"))
   }
 
+  /** Categorical naive Bayes on the lineitem stream: predict the
+    * return flag from (ship year, quantity band) with Laplace-smoothed
+    * count likelihoods — the count-only classifier a curation
+    * pipeline trains in one pass when labels exist but features are
+    * categorical (no gradients, no UDFs, pure aggregates). Per
+    * feature-combo: log-score every class as
+    * ln P(c) + ln P(year|c) + ln P(band|c), each log on the round-12
+    * grid (sums of three rounded terms are order-pinned), argmax with
+    * ties to the smallest flag, and report the combo's training
+    * accuracy (share of its rows whose true flag IS the prediction).
+    * Ship year is the signal feature (TPC-H return flags are
+    * date-determined), the quantity band the known-uninformative
+    * control.
+    *
+    * Scale: four hash aggregates over one scan (class, two
+    * class×feature tables, the combo grid) — every post-aggregate
+    * frame is metadata-sized (≤ |years|·|bands|·|flags| rows), so the
+    * scoring joins broadcast at any SF. */
+  def naiveBayes(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(year(col("l_shipdate")).cast("long").as("ship_year"),
+        floor((col("l_quantity") - 1.0) / 10.0).cast("long").as("q_band"),
+        col("l_returnflag"))
+    val cls = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_c"))
+    val tot = li.agg(count(lit(1)).as("n_total"))
+    val vs = li.agg(countDistinct(col("ship_year")).as("v_year"),
+      countDistinct(col("q_band")).as("v_band"))
+    val f1 = li.groupBy(col("l_returnflag"), col("ship_year"))
+      .agg(count(lit(1)).as("n_yc"))
+    val f2 = li.groupBy(col("l_returnflag"), col("q_band"))
+      .agg(count(lit(1)).as("n_bc"))
+    val combos = li
+      .groupBy(col("ship_year"), col("q_band"), col("l_returnflag"))
+      .agg(count(lit(1)).as("n_combo"))
+    val grid = combos.groupBy(col("ship_year"), col("q_band"))
+      .agg(sum(col("n_combo")).as("n_rows"))
+    val score =
+      round(log(col("n_c").cast("double") /
+        col("n_total").cast("double")), 12) +
+      round(log((coalesce(col("n_yc"), lit(0L)) + 1).cast("double") /
+        (col("n_c") + col("v_year")).cast("double")), 12) +
+      round(log((coalesce(col("n_bc"), lit(0L)) + 1).cast("double") /
+        (col("n_c") + col("v_band")).cast("double")), 12)
+    val scored = grid
+      .crossJoin(broadcast(cls))
+      .join(broadcast(f1), Seq("l_returnflag", "ship_year"), "left")
+      .join(broadcast(f2), Seq("l_returnflag", "q_band"), "left")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(vs))
+      .select(col("ship_year"), col("q_band"), col("n_rows"),
+        col("l_returnflag"), score.as("score"))
+    val w = Window.partitionBy(col("ship_year"), col("q_band"))
+      .orderBy(col("score").desc, col("l_returnflag"))
+    val pred = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("ship_year"), col("q_band"), col("n_rows"),
+        col("l_returnflag").as("pred_flag"),
+        round(col("score"), 6).as("score"))
+    pred
+      .join(combos.select(col("ship_year"), col("q_band"),
+          col("l_returnflag").as("pred_flag"),
+          col("n_combo").as("n_correct")),
+        Seq("ship_year", "q_band", "pred_flag"), "left")
+      .select(col("ship_year"), col("q_band"), col("n_rows"),
+        col("pred_flag"), col("score"),
+        coalesce(col("n_correct"), lit(0L)).as("n_correct"),
+        round(coalesce(col("n_correct"), lit(0L)).cast("double") /
+          col("n_rows").cast("double"), 6).as("accuracy"))
+      .orderBy(col("ship_year"), col("q_band"))
+  }
+
   /** Mann–Kendall trend test + Theil–Sen slope of monthly revenue:
     * the nonparametric trend pair — S = Σ_{i<j} sign(x_j − x_i) with
     * the tie-corrected normal approximation, and the median of all

@@ -1138,6 +1138,66 @@ object TimeSeries {
     }.reduce(_ unionAll _).orderBy(col("ticker"), col("lag"))
   }
 
+  /** The order-3 ordinal-pattern classifier over columns `a, b, c`
+    * (oldest → newest): a total, mutually exclusive CASE with ties
+    * resolved by time order (the Bandt–Pompe stable-rank convention).
+    * Shared verbatim by both engines — Spark via `expr`, the oracle
+    * spliced — so tie handling cannot drift. */
+  private[graft] val pePattern: String = """CASE
+    WHEN a <= b AND b <= c THEN 0
+    WHEN a <= c AND c < b THEN 1
+    WHEN b < a AND a <= c THEN 2
+    WHEN b <= c AND c < a THEN 3
+    WHEN c < a AND a <= b THEN 4
+    ELSE 5 END"""
+
+  /** Permutation entropy (Bandt–Pompe, order 3) per ticker: classify
+    * every 3-bar return window into one of 6 ordinal patterns and
+    * report H = −Σ p·ln p over the pattern distribution, normalized
+    * by ln 6 — the model-free complexity gauge (≈1: patterns
+    * equiprobable / unpredictable; low: a few motifs dominate, the
+    * series has exploitable structure). The pattern CASE is the
+    * shared [[pePattern]] kernel; each −p·ln p term rides the
+    * round-12/DECIMAL(28,12) grid so the ≤6-term sum is
+    * order-independent; n and pattern counts stay BIGINT.
+    *
+    * Scale: one per-ticker lag window, a (ticker, pattern) hash
+    * aggregate (≤ 6·tickers rows), one more to the ticker grain. */
+  def permutationEntropy(spark: SparkSession, dir: String): DataFrame =
+    permutationEntropyBars(closeBars5m(
+      StockPipeline.normalize(Tables.events(spark, dir))))
+
+  /** ln 6 as a shared double constant — both engines parse the same
+    * shortest-repr literal. */
+  private[graft] val peLn6 = math.log(6.0)
+
+  private[graft] def permutationEntropyBars(bars: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("ticker")).orderBy(col("bucket"))
+    val trip = simpleRets(bars, "c")
+      .select(col("ticker"), col("c"),
+        lag(col("c"), 1).over(w).as("b"),
+        lag(col("c"), 2).over(w).as("a"))
+      .filter(col("a").isNotNull)
+    val counts = trip
+      .select(col("ticker"), expr(pePattern).as("pattern"))
+      .groupBy(col("ticker"), col("pattern"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy(col("ticker"))
+      .agg(sum(col("cnt")).as("n_triples"))
+    val p = col("cnt").cast("double") / col("n_triples").cast("double")
+    counts.join(totals, Seq("ticker"))
+      .select(col("ticker"), col("n_triples"),
+        round(-(p * log(p)), 12).cast("decimal(28,12)").as("term"))
+      .groupBy(col("ticker"))
+      .agg(max(col("n_triples")).as("n_triples"),
+        count(lit(1)).as("n_patterns"),
+        sum(col("term")).cast("double").as("h"))
+      .select(col("ticker"), col("n_triples"), col("n_patterns"),
+        round(col("h"), 6).as("perm_entropy"),
+        round(col("h") / lit(peLn6), 6).as("pe_norm"))
+      .orderBy(col("ticker"))
+  }
+
   /** Granger-causality screen over ordered ticker pairs (cause →
     * effect): regress the effect's 5-minute return on its own lag and
     * the cause's lag, and F-test the cross term against the

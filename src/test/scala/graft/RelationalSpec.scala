@@ -1182,6 +1182,50 @@ class RelationalSpec extends SparkSpec {
     assert(r.getDouble(3) >= 0.0 && r.getDouble(3) < 1.0)
   }
 
+  test("naiveBayes: predictions match a local smoothed-count argmax, " +
+      "accuracy consistent with the combo distribution (sf0.001)") {
+    val out = graft.operators.Relational
+      .naiveBayes(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    val rows = graft.sources.Tables
+      .lineitem(spark, "/root/testdata/sf0.001")
+      .selectExpr("CAST(year(l_shipdate) AS BIGINT) AS y",
+        "CAST(floor((l_quantity - 1.0) / 10.0) AS BIGINT) AS b",
+        "l_returnflag").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val nTotal = rows.length.toDouble
+    val nC = rows.groupBy(_._3).view.mapValues(_.size).toMap
+    val nYc = rows.groupBy(r => (r._3, r._1)).view.mapValues(_.size).toMap
+    val nBc = rows.groupBy(r => (r._3, r._2)).view.mapValues(_.size).toMap
+    val vYear = rows.map(_._1).distinct.length
+    val vBand = rows.map(_._2).distinct.length
+    val combos = rows.groupBy(r => (r._1, r._2)).view
+      .mapValues(_.map(_._3)).toMap
+    assert(out.length === combos.size)
+    out.foreach { r =>
+      val (sm, ls) = (r.getLong(0), r.getLong(1))
+      val flags = combos((sm, ls))
+      assert(r.getLong(2) === flags.length.toLong)
+      val scores = nC.keys.toSeq.sorted.map { c =>
+        val s = math.log(nC(c) / nTotal) +
+          math.log((nYc.getOrElse((c, sm), 0) + 1).toDouble /
+            (nC(c) + vYear)) +
+          math.log((nBc.getOrElse((c, ls), 0) + 1).toDouble /
+            (nC(c) + vBand))
+        c -> s
+      }
+      // argmax with ties to smallest flag
+      val maxS = scores.map(_._2).max
+      val pred = scores.filter(t => math.abs(t._2 - maxS) < 1e-9)
+        .map(_._1).min
+      assert(r.getString(3) === pred, s"$sm/$ls pred")
+      val nCorrect = flags.count(_ == pred).toLong
+      assert(r.getLong(5) === nCorrect, s"$sm/$ls n_correct")
+      assert(math.abs(r.getDouble(6) - nCorrect / flags.length.toDouble)
+        < 1e-6)
+    }
+  }
+
   test("priceElasticity: slope/r2 match a local log-log OLS per brand, " +
       "r2 in [0,1] (sf0.001)") {
     val out = graft.operators.Relational

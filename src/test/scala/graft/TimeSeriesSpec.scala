@@ -1208,6 +1208,46 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("permutationEntropy: H matches a local Bandt-Pompe " +
+      "recomputation, pe_norm in [0,1] (sf0.001)") {
+    val out = TimeSeries.permutationEntropy(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    val rets = TimeSeries.closeBars5m(graft.operators.StockPipeline
+        .normalize(graft.sources.Tables.events(spark, "/root/testdata/sf0.001")))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getDouble(2)))
+      .groupBy(_._1).map { case (t, rs) =>
+        val closes = rs.sortBy(_._2).map(_._3)
+        t -> closes.zip(closes.drop(1)).collect {
+          case (p, c) if p != 0.0 => c / p - 1
+        }.toSeq
+      }
+    def pattern(a: Double, b: Double, c: Double): Int =
+      if (a <= b && b <= c) 0
+      else if (a <= c && c < b) 1
+      else if (b < a && a <= c) 2
+      else if (b <= c && c < a) 3
+      else if (c < a && a <= b) 4
+      else 5
+    out.foreach { row =>
+      val t = row.getString(0)
+      val xs = rets(t)
+      val trips = xs.sliding(3).filter(_.length == 3).toSeq
+      assert(row.getLong(1) === trips.length.toLong, s"$t n")
+      val counts = trips.groupBy(w => pattern(w(0), w(1), w(2)))
+        .view.mapValues(_.size).toMap
+      assert(row.getLong(2) === counts.size.toLong, s"$t patterns")
+      val n = trips.length.toDouble
+      val h = counts.values.map { c =>
+        val p = c / n; -(p * math.log(p))
+      }.sum
+      assert(math.abs(row.getDouble(3) - h) < 1e-6, s"$t H")
+      assert(math.abs(row.getDouble(4) - h / math.log(6.0)) < 1e-6)
+      assert(row.getDouble(4) >= 0.0 && row.getDouble(4) <= 1.0 + 1e-9)
+    }
+  }
+
   test("granger: beta_cross/F match a local bivariate-OLS " +
       "recomputation per ordered pair (sf0.001)") {
     val out = TimeSeries.granger(spark, "/root/testdata/sf0.001").collect()
