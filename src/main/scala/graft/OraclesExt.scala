@@ -1348,6 +1348,73 @@ SELECT cell, count(*)::BIGINT AS n_members,
     AS mean_silhouette
 FROM sil_s GROUP BY cell ORDER BY cell"""
     }),
+    // Davies-Bouldin: per-cell mean centroid distance, pairwise
+    // centroid separations, max ratio per cell, global mean
+    "sim_davies_bouldin" -> (simBase + kmeansCtes + {
+      val it = graft.operators.Similarity.kmIters
+      s""",
+sw AS (
+  SELECT a.cell, count(*)::BIGINT AS n_members,
+    CAST(sum(CAST(1.0 - round(list_inner_product(a.ev, c.centroid), 6)
+      AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS si
+  FROM asg$it a JOIN c$it c ON a.cell = c.cell
+  GROUP BY a.cell),
+cp AS (
+  SELECT i.cell AS ci, j.cell AS cj,
+    1.0 - round(list_inner_product(i.centroid, j.centroid), 6) AS m
+  FROM c$it i JOIN c$it j ON i.cell <> j.cell),
+dm AS (
+  SELECT cp.ci AS cell,
+    max((s1.si + s2.si) / (CASE WHEN cp.m <> 0.0 THEN cp.m END)) AS di
+  FROM cp JOIN sw s1 ON cp.ci = s1.cell JOIN sw s2 ON cp.cj = s2.cell
+  GROUP BY 1),
+db AS (SELECT CAST(sum(CAST(di AS DECIMAL(28,10))) AS DOUBLE) /
+  count(*) AS db FROM dm)
+SELECT sw.cell, sw.n_members, round(sw.si, 6) AS s_within,
+  round(dm.di, 6) AS r_max, round(db.db, 6) AS db_index
+FROM sw LEFT JOIN dm ON sw.cell = dm.cell CROSS JOIN db
+ORDER BY sw.cell"""
+    }),
+    // Calinski-Harabasz: spherical within-SS (2-2cos), between-SS vs
+    // the per-dim decimal-mean global vector, variance ratio
+    "sim_calinski_harabasz" -> (simBase + kmeansCtes + {
+      val it = graft.operators.Similarity.kmIters
+      s""",
+w AS (
+  SELECT count(*)::BIGINT AS n_vectors,
+    CAST(sum(CAST(2.0 - 2.0 *
+      round(list_inner_product(a.ev, c.centroid), 6)
+      AS DECIMAL(28,10))) AS DOUBLE) AS w_ss
+  FROM asg$it a JOIN c$it c ON a.cell = c.cell),
+gm AS (
+  SELECT pos, CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) /
+    count(*) AS gv
+  FROM (SELECT unnest(ev) AS v, unnest(range(len(ev))) AS pos
+    FROM asg$it)
+  GROUP BY pos),
+gg AS (SELECT list(gv ORDER BY pos) AS g FROM gm),
+sz AS (SELECT cell, count(*)::BIGINT AS n_i FROM asg$it GROUP BY 1),
+b AS (
+  SELECT count(*)::BIGINT AS k_cells,
+    CAST(sum(CAST(CAST(n_i AS DOUBLE) *
+      (1.0 - 2.0 * round(list_inner_product(c.centroid, gg.g), 6) +
+        round(list_inner_product(gg.g, gg.g), 6)) AS DECIMAL(28,10)))
+      AS DOUBLE) AS b_ss
+  FROM c$it c JOIN sz ON c.cell = sz.cell CROSS JOIN gg)
+SELECT n_vectors, k_cells, round(w_ss, 6) AS w_ss,
+  round(b_ss, 6) AS b_ss,
+  round((b_ss / (CASE WHEN CAST(k_cells AS DOUBLE) - 1.0 <> 0.0
+      THEN CAST(k_cells AS DOUBLE) - 1.0 END)) /
+    (CASE WHEN w_ss / (CASE WHEN CAST(n_vectors AS DOUBLE) -
+        CAST(k_cells AS DOUBLE) <> 0.0
+        THEN CAST(n_vectors AS DOUBLE) - CAST(k_cells AS DOUBLE) END)
+        <> 0.0
+      THEN w_ss / (CASE WHEN CAST(n_vectors AS DOUBLE) -
+        CAST(k_cells AS DOUBLE) <> 0.0
+        THEN CAST(n_vectors AS DOUBLE) - CAST(k_cells AS DOUBLE) END)
+      END), 6) AS ch_index
+FROM w CROSS JOIN b"""
+    }),
     // cluster purity: majority true label per Lloyd cell
     "sim_cluster_purity" -> (simBase + kmeansCtes + {
       val it = graft.operators.Similarity.kmIters

@@ -780,8 +780,14 @@ object SparkEntry {
       Similarity.dbscan(Tables.embeddings(s, d))),
     // Bandt-Pompe order-3 permutation entropy per ticker
     "stock_permutation_entropy" -> (TimeSeries.permutationEntropy _),
-    // categorical naive Bayes: return flag from shipmode x linestatus
+    // categorical naive Bayes: return flag from ship year x qty band
     "rel_naive_bayes" -> (Relational.naiveBayes _),
+    // Davies-Bouldin internal validity index over the Lloyd cells
+    "sim_davies_bouldin" -> ((s, d) =>
+      Similarity.daviesBouldin(Tables.embeddings(s, d))),
+    // Calinski-Harabasz variance-ratio index over the Lloyd cells
+    "sim_calinski_harabasz" -> ((s, d) =>
+      Similarity.calinskiHarabasz(Tables.embeddings(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -814,6 +814,99 @@ object Similarity {
           .select(col("vec_id").as("doc_a"), col("neighbor_id").as("doc_b")))
       .withColumnRenamed("doc_id", "vec_id")
 
+  /** Davies–Bouldin index over the Lloyd cells in cosine-distance
+    * geometry (d = 1 − rounded cosine): per cell the mean
+    * member-to-centroid distance S_i, per cell pair the centroid
+    * separation M_ij, R_ij = (S_i+S_j)/M_ij, D_i = max_j R_ij, and
+    * DB = mean D_i — lower is better-separated; the internal validity
+    * companion to [[silhouette]] that penalizes centroid crowding
+    * directly. All means ride the DECIMAL(28,10) grid (the
+    * [[silhouette]] convention); the centroid pair table is the ≤k²
+    * metadata grid.
+    *
+    * Scale: one broadcast join member→centroid + one hash aggregate;
+    * everything after is k-row algebra. */
+  def daviesBouldin(embeddings: DataFrame, cells: Int = kmK): DataFrame = {
+    val (asg, cents) = kmeans(embeddings, cells)
+    val sWithin = asg.join(broadcast(cents), Seq("cell"))
+      .select(col("cell"),
+        (lit(1.0) - cosineUnit(col("unit"), col("centroid"))).as("d"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+        (sum(col("d").cast("decimal(28,10)")).cast("double") /
+          count(lit(1))).as("si"))
+    val cpairs = cents.select(col("cell").as("ci"), col("centroid").as("ca"))
+      .crossJoin(broadcast(
+        cents.select(col("cell").as("cj"), col("centroid").as("cb"))))
+      .filter(col("ci") =!= col("cj"))
+      .select(col("ci"), col("cj"),
+        (lit(1.0) - cosineUnit(col("ca"), col("cb"))).as("m"))
+    val dmax = cpairs
+      .join(broadcast(sWithin.select(col("cell").as("ci"),
+        col("si"))), Seq("ci"))
+      .join(broadcast(sWithin.select(col("cell").as("cj"),
+        col("si").as("sj"))), Seq("cj"))
+      .select(col("ci").as("cell"),
+        ((col("si") + col("sj")) / when(col("m") =!= 0.0, col("m")))
+          .as("r"))
+      .groupBy(col("cell")).agg(max(col("r")).as("di"))
+    val db = dmax.agg(
+      (sum(col("di").cast("decimal(28,10)")).cast("double") /
+        count(lit(1))).as("db"))
+    sWithin.join(dmax, Seq("cell"), "left").crossJoin(broadcast(db))
+      .select(col("cell"), col("n_members"),
+        round(col("si"), 6).as("s_within"),
+        round(col("di"), 6).as("r_max"),
+        round(col("db"), 6).as("db_index"))
+      .orderBy(col("cell"))
+  }
+
+  /** Calinski–Harabasz (variance-ratio) index over the Lloyd cells on
+    * the unit sphere: CH = (B/(k−1)) / (W/(n−k)) with W = Σ members
+    * ‖x−c_cell‖² = Σ (2 − 2·cos) (spherical centroids are unit, so
+    * the squared Euclidean IS 2−2cos) and B = Σ_i n_i·‖c_i−g‖²
+    * against the per-dimension decimal-mean global vector g (NOT
+    * unitized — it is the true Fréchet mean of the units). Higher is
+    * better. The two g dot products round to the 1e-6 grid so the
+    * k-term B sum is cross-engine pinned.
+    *
+    * Scale: W is one broadcast join + scalar aggregate; g is one
+    * posexplode hash aggregate to dim rows; B is k-row algebra. */
+  def calinskiHarabasz(embeddings: DataFrame,
+      cells: Int = kmK): DataFrame = {
+    val (asg, cents) = kmeans(embeddings, cells)
+    val w = asg.join(broadcast(cents), Seq("cell"))
+      .select((lit(2.0) -
+        lit(2.0) * cosineUnit(col("unit"), col("centroid"))).as("d2"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("d2").cast("decimal(28,10)")).cast("double").as("w_ss"))
+    val gm = asg.select(posexplode(col("unit")).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg((sum(col("v").cast("decimal(28,10)")).cast("double") /
+        count(lit(1))).as("gv"))
+    val g = gm.agg(transform(
+      array_sort(collect_list(struct(col("pos"), col("gv")))),
+      s => s.getField("gv")).as("g"))
+    val sizes = asg.groupBy(col("cell")).agg(count(lit(1)).as("n_i"))
+    val b = cents.join(broadcast(sizes), Seq("cell"))
+      .crossJoin(broadcast(g))
+      .select((col("n_i").cast("double") *
+        (lit(1.0) - lit(2.0) * round(dot(col("centroid"), col("g")), 6) +
+          round(dot(col("g"), col("g")), 6))).as("bterm"),
+        col("n_i"))
+      .agg(count(lit(1)).as("k_cells"),
+        sum(col("bterm").cast("decimal(28,10)")).cast("double").as("b_ss"))
+    val kd = col("k_cells").cast("double")
+    val nd = col("n_vectors").cast("double")
+    val wTerm = col("w_ss") / when(nd - kd =!= 0.0, nd - kd)
+    w.crossJoin(broadcast(b))
+      .select(col("n_vectors"), col("k_cells"),
+        round(col("w_ss"), 6).as("w_ss"),
+        round(col("b_ss"), 6).as("b_ss"),
+        round((col("b_ss") / when(kd - 1.0 =!= 0.0, kd - 1.0)) /
+          when(wTerm =!= 0.0, wTerm), 6).as("ch_index"))
+  }
+
   /** DBSCAN radius / core threshold — shared with the oracle. Chosen
     * against the synthetic corpus's in-cell cosine distribution
     * (p95 ≈ 0.21, p99 ≈ 0.29): 0.3/3 yields a 133-core / 158-border /

@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** Davies–Bouldin and Calinski–Harabasz recomputed locally from the
+  * engine's own Lloyd assignment on the real sf0.001 embeddings. */
+class ClusterValiditySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def assignment() = {
+    val (asg, cents) = Similarity.kmeans(Tables.embeddings(spark, dir))
+    val members = asg.select("cell", "vec_id", "unit").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    val cs = cents.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    (members, cs)
+  }
+
+  private def rcos(a: Array[Double], b: Array[Double]): Double =
+    BigDecimal(a.zip(b).map(t => t._1 * t._2).sum)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("daviesBouldin: S_i / R_max / DB match a local recomputation " +
+      "(sf0.001)") {
+    val out = Similarity.daviesBouldin(Tables.embeddings(spark, dir))
+      .collect()
+    val (members, cs) = assignment()
+    val byCell = members.groupBy(_._1)
+    val si = byCell.map { case (c, ms) =>
+      c -> ms.map(m => 1.0 - rcos(m._3, cs(c))).sum / ms.length
+    }
+    val di = cs.keys.map { i =>
+      i -> cs.keys.filter(_ != i).map { j =>
+        (si(i) + si(j)) / (1.0 - rcos(cs(i), cs(j)))
+      }.max
+    }.toMap
+    val db = di.values.sum / di.size
+    assert(out.length === byCell.size)
+    out.foreach { r =>
+      val c = r.getLong(0)
+      assert(r.getLong(1) === byCell(c).length.toLong)
+      assert(math.abs(r.getDouble(2) - si(c)) < 1e-5, s"cell $c S_i")
+      assert(math.abs(r.getDouble(3) - di(c)) < 1e-4, s"cell $c R_max")
+      assert(math.abs(r.getDouble(4) - db) < 1e-4)
+    }
+  }
+
+  test("calinskiHarabasz: W/B/CH match a local recomputation " +
+      "(sf0.001)") {
+    val out = Similarity.calinskiHarabasz(Tables.embeddings(spark, dir))
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    val (members, cs) = assignment()
+    val n = members.length
+    val k = cs.size
+    assert(r.getLong(0) === n.toLong)
+    assert(r.getLong(1) === k.toLong)
+    val w = members.map(m => 2.0 - 2.0 * rcos(m._3, cs(m._1))).sum
+    assert(math.abs(r.getDouble(2) - w) < 1e-4, "W")
+    val dim = members.head._3.length
+    val g = (0 until dim).map(p =>
+      members.map(_._3(p)).sum / n).toArray
+    val b = members.groupBy(_._1).map { case (c, ms) =>
+      val cg = rcos(cs(c), g)
+      val gg = rcos(g, g)
+      ms.length * (1.0 - 2.0 * cg + gg)
+    }.sum
+    assert(math.abs(r.getDouble(3) - b) < 1e-4, "B")
+    val ch = (b / (k - 1.0)) / (w / (n - k.toDouble))
+    assert(math.abs(r.getDouble(4) - ch) <
+      1e-3 * math.max(1.0, math.abs(ch)), "CH")
+  }
+}
