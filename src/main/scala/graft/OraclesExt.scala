@@ -2612,7 +2612,55 @@ ph AS (
   SELECT doc_id, ${(0 until 4).map(phashBand).mkString(", ")}
   FROM t)"""
 
+  private def dhashBand(b: Int): String =
+    s"CAST(list_sum(list_transform(range(16), j -> " +
+      s"CASE WHEN sv65[CAST(${16 * b} + j AS INT) + 2] > " +
+      s"sv65[CAST(${16 * b} + j AS INT) + 1] " +
+      s"THEN 1::BIGINT << CAST(j AS INT) ELSE 0::BIGINT END)) " +
+      s"AS BIGINT) AS d$b"
+  private val dhashCtes: String = s"""
+s65 AS (
+  SELECT doc_id,
+    list_transform(range(65), i -> CAST(ord(substr(text,
+      CAST(i * length(text) // 65 AS INT) + 1, 1)) AS BIGINT)) AS sv65
+  FROM documents),
+dh AS (
+  SELECT doc_id, ${(0 until 4).map(dhashBand).mkString(", ")}
+  FROM s65)"""
+
   val multimodal: Map[String, String] = Map(
+    // dHash: adjacent-sample gradient bits over the 65-point thumbnail
+    "mm_dhash" -> s"""
+WITH $dhashCtes
+SELECT doc_id, d0, d1, d2, d3 FROM dh ORDER BY doc_id""",
+    // aHash candidates re-scored under dHash: two-fingerprint
+    // agreement tiering before destructive dedup
+    "mm_dhash_agreement" -> {
+      val bandEq = (0 until 4).flatMap(b => Seq(
+        s"a.p$b % 256 = b.p$b % 256", s"a.p$b // 256 = b.p$b // 256"))
+        .mkString(" OR ")
+      s"""
+$phashCtes,
+$dhashCtes,
+cand0 AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(bit_count(xor(a.p0, b.p0)) + bit_count(xor(a.p1, b.p1)) +
+         bit_count(xor(a.p2, b.p2)) + bit_count(xor(a.p3, b.p3)) AS BIGINT)
+      AS hamming
+  FROM ph a JOIN ph b ON a.doc_id < b.doc_id AND ($bandEq)),
+cand AS (SELECT DISTINCT doc_a, doc_b, hamming FROM cand0
+  WHERE hamming <= 7)
+SELECT c.doc_a, c.doc_b, c.hamming,
+  CAST(bit_count(xor(da.d0, db.d0)) + bit_count(xor(da.d1, db.d1)) +
+       bit_count(xor(da.d2, db.d2)) + bit_count(xor(da.d3, db.d3))
+    AS BIGINT) AS dhamming,
+  (bit_count(xor(da.d0, db.d0)) + bit_count(xor(da.d1, db.d1)) +
+   bit_count(xor(da.d2, db.d2)) + bit_count(xor(da.d3, db.d3))) <= 7
+    AS agree
+FROM cand c JOIN dh da ON c.doc_a = da.doc_id
+JOIN dh db ON c.doc_b = db.doc_id
+ORDER BY c.doc_a, c.doc_b"""
+    },
     // Twin of Multimodal.decodePartition (the deterministic fake codec):
     // mod-P rolling hash -> dims, byte histogram / n -> feature, exploded
     // to (id, bin, value). ASCII payloads => ord(char) == byte value.

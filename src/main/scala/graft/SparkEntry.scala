@@ -788,6 +788,13 @@ object SparkEntry {
     // Calinski-Harabasz variance-ratio index over the Lloyd cells
     "sim_calinski_harabasz" -> ((s, d) =>
       Similarity.calinskiHarabasz(Tables.embeddings(s, d))),
+    // dHash: gradient perceptual fingerprint (aHash's second opinion)
+    "mm_dhash" -> ((s, d) =>
+      operators.Multimodal.dhash(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
+    // aHash candidate pairs re-scored under dHash: agreement tiering
+    "mm_dhash_agreement" -> ((s, d) =>
+      operators.Multimodal.dhashAgreement(Tables.documents(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

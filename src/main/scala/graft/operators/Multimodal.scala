@@ -288,6 +288,56 @@ object Multimodal {
     * is inside the pigeonhole-guaranteed recall band (≤ 7). Candidate
     * volume is band-bounded (never all-pairs); the histogram and its
     * cumulative window are 33 rows at most. */
+  /** Difference-hash perceptual fingerprint (dHash — the gradient
+    * sibling of [[phash]]): over a 65-point nearest-neighbor
+    * thumbnail, bit i is set iff sample(i+1) > sample(i). Because it
+    * thresholds ADJACENT-sample deltas instead of the global mean it
+    * is invariant to uniform brightness shifts that flip aHash bits —
+    * the standard second opinion in perceptual dedup stacks. Same
+    * flat-codegen generation and 4×16-bit band layout as [[phash]];
+    * integer comparisons only. */
+  def dhash(documents: DataFrame): DataFrame = {
+    def sample(i: Int): String =
+      s"CAST(ascii(substr(text, CAST($i * length(text) div 65 AS INT)" +
+        s" + 1, 1)) AS BIGINT)"
+    def band(b: Int): String = (0 until 16).map { j =>
+      val i = 16 * b + j
+      s"(CASE WHEN ${sample(i + 1)} > ${sample(i)} " +
+        s"THEN ${1L << j}L ELSE 0L END)"
+    }.mkString("(", " + ", ")")
+    documents.select(col("doc_id") +: (0 until 4).map(b =>
+      expr(band(b)).as(s"d$b")): _*)
+  }
+
+  /** Cross-fingerprint agreement panel: every [[phashPairs]] candidate
+    * (aHash Hamming ≤ `maxHamming`) re-scored under [[dhash]] — a pair
+    * two INDEPENDENT fingerprints call near-identical is a
+    * high-confidence duplicate, one only aHash flags is a
+    * brightness-shift suspect for review. The dedup-confidence tiering
+    * every production perceptual pipeline runs before destructive
+    * collapse.
+    *
+    * Scale: the pair set is the banded candidate output (never
+    * all-pairs); the dHash rescore is two equi-joins against the
+    * 4-long signature table, payloads untouched. */
+  def dhashAgreement(documents: DataFrame,
+      maxHamming: Int = 7): DataFrame = {
+    // pin: referenced by both join sides — unpinned, the 128-term
+    // signature expression re-derives through each join branch
+    val d = dhash(documents).pin(eager = true)
+    val dhamming = (0 until 4).map(b =>
+      bit_count(expr(s"a$b ^ b$b"))).reduce(_ + _).cast("long")
+    phashPairs(documents, maxHamming)
+      .join(d.select(col("doc_id").as("doc_a") +:
+        (0 until 4).map(b => col(s"d$b").as(s"a$b")): _*), Seq("doc_a"))
+      .join(d.select(col("doc_id").as("doc_b") +:
+        (0 until 4).map(b => col(s"d$b").as(s"b$b")): _*), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("hamming"),
+        dhamming.as("dhamming"),
+        (dhamming <= maxHamming).as("agree"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   def phashHammingHist(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hist = phashCandidates(documents, 32)
