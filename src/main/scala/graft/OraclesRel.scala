@@ -1212,6 +1212,89 @@ SELECT p_brand, n_lines,
       THEN (sxx - sx * sx / CAST(n_lines AS DOUBLE)) *
         (syy - sy * sy / CAST(n_lines AS DOUBLE)) END), 6) AS r2
 FROM m ORDER BY p_brand""",
+    // Weibull probability-plot fit: NAIVE global rank window (engine
+    // runs the banded scan), Bernard plotting positions, round-12
+    // logs, VARCHAR-crossed DECIMAL(38,18) moment sums
+    "rel_weibull_fit" -> """
+WITH gaps AS (
+  SELECT o_orderkey,
+    CAST(date_diff('day', lag(o_orderdate, 1) OVER cw, o_orderdate)
+      AS BIGINT) AS gap
+  FROM orders
+  WINDOW cw AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+  QUALIFY gap IS NOT NULL AND gap > 0),
+rk AS (
+  SELECT gap, row_number() OVER (ORDER BY gap, o_orderkey)::BIGINT AS r
+  FROM gaps),
+n1 AS (SELECT count(*)::BIGINT AS n_gaps FROM rk),
+xy AS (
+  SELECT CAST(round(ln(CAST(gap AS DOUBLE)), 12) AS DOUBLE) AS x,
+    CAST(round(ln(-ln(1.0 - (CAST(r AS DOUBLE) - 0.3) /
+      (CAST(n_gaps AS DOUBLE) + 0.4))), 12) AS DOUBLE) AS y
+  FROM rk CROSS JOIN n1),
+m AS (
+  SELECT count(*)::BIGINT AS n_gaps,
+    CAST(CAST(sum(CAST(CAST(x AS VARCHAR) AS DECIMAL(38,18)))
+      AS VARCHAR) AS DOUBLE) AS sx,
+    CAST(CAST(sum(CAST(CAST(y AS VARCHAR) AS DECIMAL(38,18)))
+      AS VARCHAR) AS DOUBLE) AS sy,
+    CAST(CAST(sum(CAST(CAST(x * x AS VARCHAR) AS DECIMAL(38,18)))
+      AS VARCHAR) AS DOUBLE) AS sxx,
+    CAST(CAST(sum(CAST(CAST(x * y AS VARCHAR) AS DECIMAL(38,18)))
+      AS VARCHAR) AS DOUBLE) AS sxy,
+    CAST(CAST(sum(CAST(CAST(y * y AS VARCHAR) AS DECIMAL(38,18)))
+      AS VARCHAR) AS DOUBLE) AS syy
+  FROM xy),
+fin AS (
+  SELECT n_gaps,
+    (sxy - sx * sy / CAST(n_gaps AS DOUBLE)) /
+      (CASE WHEN sxx - sx * sx / CAST(n_gaps AS DOUBLE) <> 0.0
+        THEN sxx - sx * sx / CAST(n_gaps AS DOUBLE) END) AS k,
+    sxx - sx * sx / CAST(n_gaps AS DOUBLE) AS vx,
+    syy - sy * sy / CAST(n_gaps AS DOUBLE) AS vy,
+    sxy - sx * sy / CAST(n_gaps AS DOUBLE) AS cxy,
+    sx, sy
+  FROM m)
+SELECT n_gaps, round(k, 6) AS shape,
+  round(exp(-((sy - k * sx) / CAST(n_gaps AS DOUBLE)) /
+    (CASE WHEN k <> 0.0 THEN k END)), 6) AS scale_days,
+  round(cxy * cxy / (CASE WHEN vx * vy <> 0.0 THEN vx * vy END), 6)
+    AS r2
+FROM fin""",
+    // X-11-style additive decomposition: centered 13-term MA trend
+    // (half-weight endpoints), zero-centered month-of-year seasonal
+    // on the round-6 decimal grid, NULL trend at the edges
+    "rel_seasonal_decompose" -> s"""
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS month,
+    ${dsum("o_totalprice")} AS revenue
+  FROM orders GROUP BY 1),
+tr AS (
+  SELECT month, revenue,
+    (lag(revenue, 6) OVER mw * 0.5 + lag(revenue, 5) OVER mw +
+     lag(revenue, 4) OVER mw + lag(revenue, 3) OVER mw +
+     lag(revenue, 2) OVER mw + lag(revenue, 1) OVER mw + revenue +
+     lead(revenue, 1) OVER mw + lead(revenue, 2) OVER mw +
+     lead(revenue, 3) OVER mw + lead(revenue, 4) OVER mw +
+     lead(revenue, 5) OVER mw + lead(revenue, 6) OVER mw * 0.5) / 12.0
+      AS trend
+  FROM m WINDOW mw AS (ORDER BY month)),
+b AS (
+  SELECT month, revenue, trend,
+    EXTRACT(MONTH FROM month) AS moy, revenue - trend AS d
+  FROM tr),
+se AS (
+  SELECT moy, CAST(sum(CAST(round(d, 6) AS DECIMAL(18,6))) AS DOUBLE) /
+    count(*) AS s_raw
+  FROM b WHERE d IS NOT NULL GROUP BY 1),
+sb AS (SELECT CAST(sum(CAST(round(s_raw, 6) AS DECIMAL(18,6)))
+  AS DOUBLE) / count(*) AS sbar FROM se)
+SELECT b.month, round(b.revenue, 2) AS revenue,
+  round(b.trend, 6) AS trend,
+  round(se.s_raw - sb.sbar, 6) AS seasonal,
+  round(b.d - (se.s_raw - sb.sbar), 6) AS residual
+FROM b LEFT JOIN se ON b.moy = se.moy CROSS JOIN sb
+ORDER BY b.month""",
     // Categorical naive Bayes: Laplace-smoothed count likelihoods,
     // round-12 log terms (order-pinned 3-term sums), argmax with
     // ties to the smallest flag

@@ -795,6 +795,10 @@ object SparkEntry {
     // aHash candidate pairs re-scored under dHash: agreement tiering
     "mm_dhash_agreement" -> ((s, d) =>
       operators.Multimodal.dhashAgreement(Tables.documents(s, d))),
+    // X-11-style additive trend/seasonal/residual of monthly revenue
+    "rel_seasonal_decompose" -> (Relational.seasonalDecompose _),
+    // Weibull probability-plot fit of customer inter-order gaps
+    "rel_weibull_fit" -> (Relational.weibullFit _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

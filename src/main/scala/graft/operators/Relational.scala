@@ -2482,6 +2482,52 @@ object Relational {
       .orderBy(col("p_brand"))
   }
 
+  /** Classical seasonal decomposition of monthly revenue (the X-11
+    * additive core): trend = centered 13-term moving average with
+    * half-weight endpoints (the symmetric MA that kills a 12-month
+    * cycle exactly), seasonal = month-of-year means of the detrended
+    * series re-centered to sum to zero, residual = the rest — the
+    * decomposition every revenue-anomaly review starts from.
+    * Revenue is the exact DECIMAL(18,6) month aggregate; the 13-term
+    * chain is stated in one pinned order; seasonal means ride the
+    * round-6/DECIMAL(18,6) grid. Edge months (no full window) carry
+    * NULL trend/residual, stated identically by the oracle.
+    *
+    * Scale: everything after the month-grain hash aggregate is
+    * metadata-sized; the only window sits over the bounded month grid
+    * (the [[monthlyGrowth]] audit pattern). */
+  def seasonalDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .withColumn("month", date_trunc("month", col("o_orderdate")))
+      .groupBy(col("month"))
+      .agg(decSum(col("o_totalprice")).as("revenue"))
+    val w = Window.orderBy(col("month"))
+    val terms = Seq(lag(col("revenue"), 6).over(w) * 0.5) ++
+      (5 to 1 by -1).map(k => lag(col("revenue"), k).over(w)) ++
+      Seq(col("revenue")) ++
+      (1 to 5).map(k => lead(col("revenue"), k).over(w)) ++
+      Seq(lead(col("revenue"), 6).over(w) * 0.5)
+    val trend = terms.reduce(_ + _) / 12.0
+    val base = monthly
+      .select(col("month"), col("revenue"), trend.as("trend"))
+      .withColumn("moy", month(col("month")))
+      .withColumn("d", col("revenue") - col("trend"))
+    val seas = base.filter(col("d").isNotNull)
+      .groupBy(col("moy"))
+      .agg((sum(round(col("d"), 6).cast("decimal(18,6)")).cast("double") /
+        count(lit(1))).as("s_raw"))
+    val sbar = seas.agg(
+      (sum(round(col("s_raw"), 6).cast("decimal(18,6)")).cast("double") /
+        count(lit(1))).as("sbar"))
+    base.join(broadcast(seas), Seq("moy"), "left")
+      .crossJoin(broadcast(sbar))
+      .select(col("month"), round(col("revenue"), 2).as("revenue"),
+        round(col("trend"), 6).as("trend"),
+        round(col("s_raw") - col("sbar"), 6).as("seasonal"),
+        round(col("d") - (col("s_raw") - col("sbar")), 6).as("residual"))
+      .orderBy(col("month"))
+  }
+
   /** Categorical naive Bayes on the lineitem stream: predict the
     * return flag from (ship year, quantity band) with Laplace-smoothed
     * count likelihoods — the count-only classifier a curation
@@ -2888,6 +2934,58 @@ object Relational {
       .withColumn(rankName,
         (col("__offset") + row_number().over(wb)).cast("long"))
       .drop("__bucket", "__offset")
+  }
+
+  /** Weibull reliability fit of customer inter-order gaps: the
+    * probability-plot regression — rank every positive gap
+    * ([[bandedRank]], no global sort), Bernard's median-rank plotting
+    * position F = (i−0.3)/(n+0.4), then OLS of ln(−ln(1−F)) on
+    * ln(gap): slope = shape k (k<1: churn risk decays — heavy
+    * re-ordering tail; k>1: wear-out — the longer quiet, the more
+    * likely a return), scale λ = exp(−intercept/k) in days, the
+    * parametric complement to [[survivalKm]]. Both logs ride the
+    * round-12 grid; moment sums are DECIMAL(38,18) (VARCHAR-crossed
+    * in the oracle — squared-log sums pass 1e5 at sf0.1); the oracle
+    * states the NAIVE global rank window and hash equality proves the
+    * banded rewrite.
+    *
+    * Scale: one per-customer lag window for gaps, the two-level band
+    * scan for ranks, one scalar moment aggregate. */
+  def weibullFit(spark: SparkSession, dir: String): DataFrame = {
+    val wo = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val gaps = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .select(col("o_orderkey"),
+        datediff(col("o_orderdate"),
+          lag(col("o_orderdate"), 1).over(wo)).cast("long").as("gap"))
+      .filter(col("gap").isNotNull && col("gap") > 0)
+    val ranked = bandedRank(gaps, "gap", "o_orderkey", "__rank",
+      desc = false)
+    val n1 = ranked.agg(count(lit(1)).as("n_gaps"))
+    val xy = ranked.crossJoin(broadcast(n1))
+      .select(
+        round(log(col("gap").cast("double")), 12).as("x"),
+        round(log(-log(lit(1.0) -
+          (col("__rank").cast("double") - 0.3) /
+            (col("n_gaps").cast("double") + 0.4))), 12).as("y"))
+    def d18(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(38,18)")).cast("double")
+    val m = xy.agg(count(lit(1)).as("n_gaps"),
+      d18(col("x")).as("sx"), d18(col("y")).as("sy"),
+      d18(col("x") * col("x")).as("sxx"),
+      d18(col("x") * col("y")).as("sxy"),
+      d18(col("y") * col("y")).as("syy"))
+    val nd = col("n_gaps").cast("double")
+    val vx = col("sxx") - col("sx") * col("sx") / nd
+    val vy = col("syy") - col("sy") * col("sy") / nd
+    val cxy = col("sxy") - col("sx") * col("sy") / nd
+    val k = cxy / when(vx =!= 0.0, vx)
+    val intercept = (col("sy") - k * col("sx")) / nd
+    m.select(col("n_gaps"),
+      round(k, 6).as("shape"),
+      round(exp(-intercept / when(k =!= 0.0, k)), 6).as("scale_days"),
+      round(cxy * cxy / when(vx * vy =!= 0.0, vx * vy), 6).as("r2"))
   }
 
   /** RFM customer segmentation — the classic recency/frequency/

@@ -1182,6 +1182,74 @@ class RelationalSpec extends SparkSpec {
     assert(r.getDouble(3) >= 0.0 && r.getDouble(3) < 1.0)
   }
 
+  test("weibullFit: shape/scale/r2 match a local probability-plot " +
+      "regression (sf0.001)") {
+    val out = graft.operators.Relational
+      .weibullFit(spark, "/root/testdata/sf0.001").collect()
+    assert(out.length === 1)
+    val r = out.head
+    val orders = graft.sources.Tables
+      .orders(spark, "/root/testdata/sf0.001")
+      .selectExpr("o_custkey", "o_orderkey",
+        "CAST(o_orderdate AS DATE) AS d").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDate(2).toLocalDate))
+    val gaps = orders.groupBy(_._1).values.flatMap { os =>
+      val s = os.sortBy(o => (o._3.toEpochDay, o._2))
+      s.zip(s.drop(1)).map { case (a, b) =>
+        (b._2, b._3.toEpochDay - a._3.toEpochDay)
+      }
+    }.filter(_._2 > 0).toSeq
+    val n = gaps.length
+    assert(r.getLong(0) === n.toLong)
+    val ranked = gaps.sortBy(g => (g._2, g._1)).zipWithIndex
+    val xy = ranked.map { case ((_, gap), i) =>
+      val f = (i + 1 - 0.3) / (n + 0.4)
+      (math.log(gap.toDouble), math.log(-math.log(1.0 - f)))
+    }
+    val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+    val vx = xy.map(t => t._1 * t._1).sum - sx * sx / n
+    val vy = xy.map(t => t._2 * t._2).sum - sy * sy / n
+    val cxy = xy.map(t => t._1 * t._2).sum - sx * sy / n
+    val k = cxy / vx
+    val scale = math.exp(-((sy - k * sx) / n) / k)
+    assert(math.abs(r.getDouble(1) - k) < 1e-4 * math.max(1.0, k), "shape")
+    assert(math.abs(r.getDouble(2) - scale) <
+      1e-3 * math.max(1.0, scale), "scale")
+    assert(math.abs(r.getDouble(3) - cxy * cxy / (vx * vy)) < 1e-4, "r2")
+    assert(r.getDouble(3) > 0.5, "a Weibull plot on waiting times " +
+      "should fit reasonably")
+  }
+
+  test("seasonalDecompose: trend kills a 12-month cycle, seasonal " +
+      "sums to ~0, parts reassemble the series (sf0.001)") {
+    val out = graft.operators.Relational
+      .seasonalDecompose(spark, "/root/testdata/sf0.001").collect()
+    assert(out.length >= 24, "needs multiple years of months")
+    // edge months: first 6 and last 6 have NULL trend and residual
+    assert(out.take(6).forall(_.isNullAt(2)))
+    assert(out.takeRight(6).forall(_.isNullAt(2)))
+    val interior = out.filter(r => !r.isNullAt(2))
+    assert(interior.nonEmpty)
+    // local recomputation of the centered MA
+    val rev = out.map(r => r.getDouble(1))
+    interior.foreach { r =>
+      val i = out.indexWhere(_.getTimestamp(0) == r.getTimestamp(0))
+      val t = (rev(i - 6) * 0.5 + (i - 5 to i + 5).map(rev).sum +
+        rev(i + 6) * 0.5) / 12.0
+      assert(math.abs(r.getDouble(2) - t) < 1e-2 * math.max(1.0, t),
+        s"month $i trend")
+      // decomposition identity on interior months (revenue is output
+      // at 2dp, parts at 6dp -> tolerance dominated by the 2dp round)
+      val reassembled = r.getDouble(2) + r.getDouble(3) + r.getDouble(4)
+      assert(math.abs(reassembled - r.getDouble(1)) < 2e-2,
+        s"month $i identity")
+    }
+    // seasonal indices: 12 distinct values summing to ~0
+    val seas = out.map(_.getDouble(3)).distinct
+    assert(seas.length <= 12)
+    assert(math.abs(seas.sum) < 1e-3, s"seasonal sum ${seas.sum}")
+  }
+
   test("naiveBayes: predictions match a local smoothed-count argmax, " +
       "accuracy consistent with the combo distribution (sf0.001)") {
     val out = graft.operators.Relational
