@@ -1212,6 +1212,38 @@ SELECT p_brand, n_lines,
       THEN (sxx - sx * sx / CAST(n_lines AS DOUBLE)) *
         (syy - sy * sy / CAST(n_lines AS DOUBLE)) END), 6) AS r2
 FROM m ORDER BY p_brand""",
+    // deterministic DP release: salted hash32 uniform -> inverse-CDF
+    // Laplace, clipped-revenue sensitivity, round-12 ln
+    "rel_dp_release" -> """
+WITH pc AS (
+  SELECT o_custkey,
+    least(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE),
+      100000.0) AS rev_clipped
+  FROM orders GROUP BY 1),
+bn AS (
+  SELECT n_name, count(*)::BIGINT AS n_cust,
+    CAST(sum(CAST(round(coalesce(rev_clipped, 0.0), 6)
+      AS DECIMAL(18,6))) AS DOUBLE) AS rev_sum
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  LEFT JOIN pc ON c_custkey = o_custkey
+  GROUP BY 1),
+uu AS (
+  SELECT n_name, n_cust, rev_sum,
+    (CAST(('0x' || substr(md5('graft-dp:count:' || n_name), 1, 8))
+      AS BIGINT) + 0.5) / 4294967296.0 AS uc,
+    (CAST(('0x' || substr(md5('graft-dp:rev:' || n_name), 1, 8))
+      AS BIGINT) + 0.5) / 4294967296.0 AS ur
+  FROM bn)
+SELECT n_name, 1.0 AS epsilon,
+  round(CAST(n_cust AS DOUBLE) +
+    (-(1.0) * sign(uc - 0.5) *
+      round(ln(1.0 - 2.0 * abs(uc - 0.5)), 12)), 6) AS released_count,
+  round(rev_sum +
+    (-(100000.0) * sign(ur - 0.5) *
+      round(ln(1.0 - 2.0 * abs(ur - 0.5)), 12)), 6)
+    AS released_revenue
+FROM uu ORDER BY n_name""",
     // Weibull probability-plot fit: NAIVE global rank window (engine
     // runs the banded scan), Bernard plotting positions, round-12
     // logs, VARCHAR-crossed DECIMAL(38,18) moment sums

@@ -903,6 +903,67 @@ SELECT ticker, n_triples, n_patterns,
   round(h, 6) AS perm_entropy,
   round(h / ${graft.operators.TimeSeries.peLn6}, 6) AS pe_norm
 FROM m ORDER BY ticker"""),
+    // spectral entropy: Goertzel DFT power at the fixed period grid,
+    // round-10 cos/sin products, round-12 entropy terms, argmax peak
+    "stock_spectral_entropy" -> (barsCte + {
+      val twoPi = (2 * math.Pi).toString
+      val branches = graft.operators.TimeSeries.SpecPeriods.map { p =>
+        s"""SELECT ticker, n_rets, $p::BIGINT AS period,
+  (a * a + b * b) AS power FROM (
+  SELECT ticker, max(n_rets) AS n_rets,
+    CAST(sum(CAST(round(xc * cos($twoPi * CAST(t % $p AS DOUBLE) /
+      ${p.toDouble}), 10) AS DECIMAL(28,10))) AS DOUBLE) AS a,
+    CAST(sum(CAST(round(xc * sin($twoPi * CAST(t % $p AS DOUBLE) /
+      ${p.toDouble}), 10) AS DECIMAL(28,10))) AS DOUBLE) AS b
+  FROM based GROUP BY ticker)"""
+      }.mkString("\nUNION ALL\n")
+      s""",
+rets AS (
+  SELECT ticker, bucket,
+    CASE WHEN lag(close, 1) OVER tw <> 0
+      THEN close / lag(close, 1) OVER tw - 1 END AS r
+  FROM bars
+  WINDOW tw AS (PARTITION BY ticker ORDER BY bucket)
+  QUALIFY r IS NOT NULL),
+rt AS (
+  SELECT ticker, r, (row_number() OVER tw2 - 1)::BIGINT AS t
+  FROM rets WINDOW tw2 AS (PARTITION BY ticker ORDER BY bucket)),
+means AS (
+  SELECT ticker, count(*)::BIGINT AS n_rets,
+    CAST(sum(CAST(r AS DECIMAL(38,18))) AS DOUBLE) AS sr
+  FROM rt GROUP BY 1),
+based AS (
+  SELECT rt.ticker, m.n_rets, rt.t,
+    rt.r - m.sr / CAST(m.n_rets AS DOUBLE) AS xc
+  FROM rt JOIN means m ON rt.ticker = m.ticker),
+powers AS (
+$branches),
+tot AS (
+  SELECT ticker,
+    CAST(sum(CAST(round(power, 10) AS DECIMAL(28,10))) AS DOUBLE)
+      AS ptot
+  FROM powers GROUP BY 1),
+shares AS (
+  SELECT p.ticker, p.n_rets, p.period,
+    p.power / (CASE WHEN t.ptot > 0.0 THEN t.ptot END) AS s
+  FROM powers p JOIN tot t ON p.ticker = t.ticker),
+ent AS (
+  SELECT ticker, max(n_rets) AS n_rets,
+    CAST(sum(CAST(coalesce(CASE WHEN s > 0.0
+      THEN round(-(s * ln(s)), 12) END, 0.0) AS DECIMAL(28,12)))
+      AS DOUBLE) AS h
+  FROM shares GROUP BY 1),
+pk AS (
+  SELECT ticker, period AS peak_period, round(s, 6) AS peak_share
+  FROM (SELECT *, row_number() OVER (PARTITION BY ticker
+      ORDER BY s DESC, period) AS rn FROM shares)
+  WHERE rn = 1)
+SELECT e.ticker, e.n_rets, round(e.h, 6) AS spec_entropy,
+  round(e.h / ${graft.operators.TimeSeries.seLnP}, 6) AS se_norm,
+  pk.peak_period, pk.peak_share
+FROM ent e JOIN pk ON e.ticker = pk.ticker
+ORDER BY e.ticker"""
+    }),
     // Granger causality per ordered ticker pair: effect's return on
     // own lag + cause's lag, 2x2 closed-form solve, F vs the
     // restricted own-lag model; decimal moment sums, pinned algebra

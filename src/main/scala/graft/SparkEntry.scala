@@ -799,6 +799,10 @@ object SparkEntry {
     "rel_seasonal_decompose" -> (Relational.seasonalDecompose _),
     // Weibull probability-plot fit of customer inter-order gaps
     "rel_weibull_fit" -> (Relational.weibullFit _),
+    // deterministic Laplace-noise DP release of per-nation stats
+    "rel_dp_release" -> (Relational.dpRelease _),
+    // DFT spectral entropy + peak period per ticker
+    "stock_spectral_entropy" -> (TimeSeries.spectralEntropy _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -2936,6 +2936,60 @@ object Relational {
       .drop("__bucket", "__offset")
   }
 
+  /** DP-release privacy parameters — shared with the oracle. */
+  val dpEpsilon = 1.0
+  val dpRevenueClip = 100000.0
+
+  /** Differentially-private-style release of per-nation customer
+    * counts and (clipped) revenue: Laplace noise at ε = [[dpEpsilon]]
+    * via the inverse CDF — noise = −b·sign(u−½)·ln(1−2|u−½|) — driven
+    * by a DETERMINISTIC salted hash uniform instead of an RNG, so the
+    * release is reproducible and oracle-verifiable while exercising
+    * the full DP mechanics (per-record sensitivity bounding by
+    * clipping each customer's revenue at [[dpRevenueClip]], count
+    * sensitivity 1, independent noise per released cell via disjoint
+    * salts). A production release swaps the hash uniform for a sealed
+    * RNG and drops nothing else. The ln rides the round-12 grid (the
+    * cross-engine libm convention); u = (h+½)/2³² is strictly inside
+    * (0,1) so the log argument is always positive.
+    *
+    * Scale: one customer-grain aggregate (clip before sum), one
+    * nation-grain aggregate, noise is per-row scalar algebra on the
+    * 25-row release. */
+  def dpRelease(spark: SparkSession, dir: String): DataFrame = {
+    val clip = lit(dpRevenueClip)
+    val perCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(decSum(col("o_totalprice")).as("rev"))
+      .select(col("o_custkey"),
+        least(col("rev"), clip).as("rev_clipped"))
+    val byNation = Tables.customer(spark, dir)
+      .join(Tables.nation(spark, dir),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_custkey"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(round(coalesce(col("rev_clipped"), lit(0.0)), 6)
+          .cast("decimal(18,6)")).cast("double").as("rev_sum"))
+    def lap(salt: String, b: Double) = {
+      val u = (graft.functions.Portable.hash32(
+        concat(lit(salt), col("n_name"))).cast("double") + 0.5) /
+        4294967296.0
+      -lit(b) * signum(u - 0.5) *
+        round(log(lit(1.0) - lit(2.0) * abs(u - 0.5)), 12)
+    }
+    byNation.select(col("n_name"),
+        lit(dpEpsilon).as("epsilon"),
+        round(col("n_cust").cast("double") +
+          lap("graft-dp:count:", 1.0 / dpEpsilon), 6)
+          .as("released_count"),
+        round(col("rev_sum") +
+          lap("graft-dp:rev:", dpRevenueClip / dpEpsilon), 6)
+          .as("released_revenue"))
+      .orderBy(col("n_name"))
+  }
+
   /** Weibull reliability fit of customer inter-order gaps: the
     * probability-plot regression — rank every positive gap
     * ([[bandedRank]], no global sort), Bernard's median-rank plotting

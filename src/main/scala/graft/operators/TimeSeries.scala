@@ -1198,6 +1198,86 @@ object TimeSeries {
       .orderBy(col("ticker"))
   }
 
+  /** Candidate periods (in 5-minute bars) for [[spectralEntropy]] —
+    * shared with the oracle. */
+  val SpecPeriods = Seq(2, 3, 4, 6, 8, 12, 24)
+  private[graft] val seLnP = math.log(SpecPeriods.length.toDouble)
+
+  /** Spectral entropy per ticker: Goertzel-style DFT power of the
+    * centered 5-minute returns at the fixed [[SpecPeriods]] grid,
+    * powers normalized to shares, H = −Σ s·ln s over the shares
+    * (normalized by ln |P|) plus the argmax period — the
+    * frequency-domain complexity gauge pairing with
+    * [[permutationEntropy]] (flat spectrum ≈ 1: white noise; low: one
+    * cycle dominates, the intraday periodicity signal). Per-period
+    * cos/sin products ride the round-10/DECIMAL(28,10) grid (the
+    * seasonality-DFT convention); entropy terms the round-12 grid.
+    *
+    * Scale: one per-ticker lag window + |P| hash aggregates over one
+    * pinned centered-return frame; everything downstream is
+    * (tickers × |P|)-row algebra. */
+  def spectralEntropy(spark: SparkSession, dir: String): DataFrame =
+    spectralEntropyBars(closeBars5m(
+      StockPipeline.normalize(Tables.events(spark, dir))))
+
+  private[graft] def spectralEntropyBars(bars: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("ticker")).orderBy(col("bucket"))
+    val rets = simpleRets(bars, "r")
+      .select(col("ticker"), col("r"),
+        (row_number().over(w) - 1).cast("long").as("t"))
+    val means = rets.groupBy(col("ticker"))
+      .agg(count(lit(1)).as("n_rets"), dsum18(col("r")).as("sr"))
+    val based = rets.join(broadcast(means), Seq("ticker"))
+      .select(col("ticker"), col("n_rets"), col("t"),
+        (col("r") - col("sr") / col("n_rets").cast("double")).as("xc"))
+      // feeds one aggregate per candidate period
+      .pin(eager = true)
+    val twoPi = 2 * math.Pi
+    val perP = SpecPeriods.map { p =>
+      val ang = lit(twoPi) * (col("t") % p).cast("double") /
+        lit(p.toDouble)
+      based.select(col("ticker"), col("n_rets"),
+          round(col("xc") * cos(ang), 10).cast("decimal(28,10)")
+            .as("ca"),
+          round(col("xc") * sin(ang), 10).cast("decimal(28,10)")
+            .as("cb"))
+        .groupBy(col("ticker"))
+        .agg(max(col("n_rets")).as("n_rets"),
+          sum(col("ca")).cast("double").as("a"),
+          sum(col("cb")).cast("double").as("b"))
+        .select(col("ticker"), col("n_rets"),
+          lit(p).cast("long").as("period"),
+          (col("a") * col("a") + col("b") * col("b")).as("power"))
+    }
+    val powers = perP.reduce(_ unionAll _)
+    val tot = powers.groupBy(col("ticker"))
+      .agg(sum(round(col("power"), 10).cast("decimal(28,10)"))
+        .cast("double").as("ptot"))
+    val shares = powers.join(broadcast(tot), Seq("ticker"))
+      .select(col("ticker"), col("n_rets"), col("period"),
+        (col("power") / when(col("ptot") > 0.0, col("ptot"))).as("s"))
+    val ent = shares
+      .select(col("ticker"), col("n_rets"),
+        coalesce(when(col("s") > 0.0,
+            round(-(col("s") * log(col("s"))), 12)),
+          lit(0.0)).cast("decimal(28,12)").as("term"))
+      .groupBy(col("ticker"))
+      .agg(max(col("n_rets")).as("n_rets"),
+        sum(col("term")).cast("double").as("h"))
+    val wp = Window.partitionBy(col("ticker"))
+      .orderBy(col("s").desc, col("period"))
+    val pk = shares.withColumn("rn", row_number().over(wp))
+      .filter(col("rn") === 1)
+      .select(col("ticker"), col("period").as("peak_period"),
+        round(col("s"), 6).as("peak_share"))
+    ent.join(pk, Seq("ticker"))
+      .select(col("ticker"), col("n_rets"),
+        round(col("h"), 6).as("spec_entropy"),
+        round(col("h") / lit(seLnP), 6).as("se_norm"),
+        col("peak_period"), col("peak_share"))
+      .orderBy(col("ticker"))
+  }
+
   /** Granger-causality screen over ordered ticker pairs (cause →
     * effect): regress the effect's 5-minute return on its own lag and
     * the cause's lag, and F-test the cross term against the

@@ -1182,6 +1182,39 @@ class RelationalSpec extends SparkSpec {
     assert(r.getDouble(3) >= 0.0 && r.getDouble(3) < 1.0)
   }
 
+  test("dpRelease: noise matches the inverse-CDF Laplace from the " +
+      "salted hash, count error bounded by the epsilon tail (sf0.001)") {
+    val out = graft.operators.Relational
+      .dpRelease(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    val trueCounts = graft.sources.Tables
+      .customer(spark, "/root/testdata/sf0.001")
+      .join(graft.sources.Tables.nation(spark, "/root/testdata/sf0.001"),
+        org.apache.spark.sql.functions.col("c_nationkey") ===
+          org.apache.spark.sql.functions.col("n_nationkey"))
+      .groupBy("n_name").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def lap(salt: String, name: String, b: Double): Double = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest((salt + name).getBytes("UTF-8"))
+      val hex = md5.map(x => f"${x & 0xff}%02x").mkString.take(8)
+      val h = java.lang.Long.parseLong(hex, 16)
+      val u = (h.toDouble + 0.5) / 4294967296.0
+      val lnr = BigDecimal(math.log(1.0 - 2.0 * math.abs(u - 0.5)))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+      -b * math.signum(u - 0.5) * lnr
+    }
+    out.foreach { r =>
+      val name = r.getString(0)
+      assert(r.getDouble(1) === 1.0)
+      val expect = trueCounts(name) + lap("graft-dp:count:", name, 1.0)
+      assert(math.abs(r.getDouble(2) - expect) < 1e-5,
+        s"$name released count")
+      // Laplace(1) noise: |noise| < 25 with overwhelming margin
+      assert(math.abs(r.getDouble(2) - trueCounts(name)) < 25.0)
+    }
+  }
+
   test("weibullFit: shape/scale/r2 match a local probability-plot " +
       "regression (sf0.001)") {
     val out = graft.operators.Relational

@@ -1248,6 +1248,47 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("spectralEntropy: H matches a local Goertzel recomputation, " +
+      "se_norm in [0,1], peak is the argmax period (sf0.001)") {
+    val out = TimeSeries.spectralEntropy(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    val rets = TimeSeries.closeBars5m(graft.operators.StockPipeline
+        .normalize(graft.sources.Tables.events(spark, "/root/testdata/sf0.001")))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getDouble(2)))
+      .groupBy(_._1).map { case (t, rs) =>
+        val closes = rs.sortBy(_._2).map(_._3)
+        t -> closes.zip(closes.drop(1)).collect {
+          case (p, c) if p != 0.0 => c / p - 1
+        }.toSeq
+      }
+    out.foreach { row =>
+      val t = row.getString(0)
+      val xs = rets(t)
+      assert(row.getLong(1) === xs.length.toLong)
+      val mu = xs.sum / xs.length
+      val xc = xs.map(_ - mu)
+      val powers = TimeSeries.SpecPeriods.map { p =>
+        val a = xc.zipWithIndex.map { case (x, i) =>
+          x * math.cos(2 * math.Pi * (i % p) / p) }.sum
+        val b = xc.zipWithIndex.map { case (x, i) =>
+          x * math.sin(2 * math.Pi * (i % p) / p) }.sum
+        p -> (a * a + b * b)
+      }
+      val ptot = powers.map(_._2).sum
+      val shares = powers.map { case (p, pw) => p -> pw / ptot }
+      val h = shares.map { case (_, s) =>
+        if (s > 0) -(s * math.log(s)) else 0.0 }.sum
+      assert(math.abs(row.getDouble(2) - h) < 1e-5, s"$t H")
+      assert(row.getDouble(3) >= 0.0 && row.getDouble(3) <= 1.0 + 1e-9)
+      val peak = shares.maxBy(t2 => (t2._2, -t2._1))._1
+      assert(row.getLong(4) === peak.toLong, s"$t peak")
+      assert(math.abs(row.getDouble(5) -
+        shares.toMap.apply(peak)) < 1e-5, s"$t peak share")
+    }
+  }
+
   test("granger: beta_cross/F match a local bivariate-OLS " +
       "recomputation per ordered pair (sf0.001)") {
     val out = TimeSeries.granger(spark, "/root/testdata/sf0.001").collect()
