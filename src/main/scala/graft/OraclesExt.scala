@@ -119,6 +119,51 @@ SELECT doc_id, n_sentences, n_words, n_syllables,
     + 11.8 * (n_syllables::DOUBLE / n_words) - 15.59, 4) AS fk_grade
 FROM c ORDER BY doc_id""",
     // Zipf rank-frequency profile: per-row ratios over exact counts
+    // RAKE keywords: stopword-split phrase runs, degree/frequency word
+    // scores (plain vocab join — engine runs hotColdJoin, hash proves
+    // the rewrite), round-12 phrase-score grid, top-k release
+    "text_rake" -> {
+      val stopList = graft.operators.TextAnalysis.stopwords
+        .map(s => s"'$s'").mkString(", ")
+      s"""
+WITH tk AS (
+  SELECT doc_id,
+    unnest(regexp_split_to_array(trim(text), '\\s+')) AS token,
+    unnest(range(len(regexp_split_to_array(trim(text), '\\s+'))))
+      AS pos
+  FROM documents),
+marked AS (
+  SELECT doc_id, pos, token,
+    sum(CASE WHEN token IN ($stopList) THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id,
+    token IN ($stopList) AS is_stop
+  FROM tk),
+members AS (
+  SELECT doc_id, pos, token, phrase_id FROM marked WHERE NOT is_stop),
+wl AS (
+  SELECT *, count(*) OVER (PARTITION BY doc_id, phrase_id) AS plen
+  FROM members),
+ws AS (
+  SELECT token, count(*)::BIGINT AS freq,
+    CAST(sum(plen) AS BIGINT) AS deg
+  FROM wl GROUP BY 1),
+ph AS (
+  SELECT wl.doc_id, wl.phrase_id,
+    string_agg(wl.token, ' ' ORDER BY wl.pos) AS phrase,
+    count(*)::BIGINT AS n_words,
+    CAST(sum(CAST(round(CAST(ws.deg AS DOUBLE) /
+      CAST(ws.freq AS DOUBLE), 12) AS DECIMAL(28,12))) AS DOUBLE)
+      AS score
+  FROM wl JOIN ws ON wl.token = ws.token
+  GROUP BY 1, 2),
+gr AS (
+  SELECT phrase, max(n_words) AS n_words, count(*)::BIGINT AS n_occur,
+    max(score) AS score
+  FROM ph GROUP BY 1)
+SELECT phrase, n_words, n_occur, round(score, 6) AS score
+FROM gr ORDER BY score DESC, phrase
+LIMIT ${graft.operators.TextAnalysis.rakeTopK}"""
+    },
     "text_zipf" -> s"""
 WITH $toksCte,
 terms AS (

@@ -903,6 +903,33 @@ SELECT ticker, n_triples, n_patterns,
   round(h, 6) AS perm_entropy,
   round(h / ${graft.operators.TimeSeries.peLn6}, 6) AS pe_norm
 FROM m ORDER BY ticker"""),
+    // triple-barrier labels: generated lead chain + the SHARED
+    // first-touch CASE kernels (up wins at the same bar)
+    "stock_triple_barrier" -> (barsCte + {
+      val h = graft.operators.TimeSeries.TbHorizon
+      val leads = (1 to h)
+        .map(k => s"lead(close, $k) OVER tw AS ld$k").mkString(",\n    ")
+      val rrs = (1 to h)
+        .map(k => s"ld$k / (CASE WHEN close <> 0.0 THEN close END)" +
+          s" - 1.0 AS rr$k")
+        .mkString(",\n    ")
+      val ks = graft.operators.TimeSeries.tbKernels.toMap
+      s""",
+wl AS (
+  SELECT ticker, bucket, close,
+    $leads
+  FROM bars
+  WINDOW tw AS (PARTITION BY ticker ORDER BY bucket)),
+wr AS (
+  SELECT ticker, bucket,
+    $rrs
+  FROM wl WHERE ld$h IS NOT NULL)
+SELECT ticker, bucket,
+  (${ks("label")}) AS label,
+  (${ks("t_hit")}) AS t_hit,
+  round((${ks("hit_ret")}), 6) AS hit_ret
+FROM wr ORDER BY ticker, bucket"""
+    }),
     // spectral entropy: Goertzel DFT power at the fixed period grid,
     // round-10 cos/sin products, round-12 entropy terms, argmax peak
     "stock_spectral_entropy" -> (barsCte + {

@@ -803,6 +803,11 @@ object SparkEntry {
     "rel_dp_release" -> (Relational.dpRelease _),
     // DFT spectral entropy + peak period per ticker
     "stock_spectral_entropy" -> (TimeSeries.spectralEntropy _),
+    // triple-barrier first-touch labels (financial-ML label generator)
+    "stock_triple_barrier" -> (TimeSeries.tripleBarrier _),
+    // RAKE keyword extraction: top stopword-free phrase runs
+    "text_rake" -> ((s, d) =>
+      TextAnalysis.rake(Tables.documents(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -194,6 +194,62 @@ object TextAnalysis {
   }
 
   /** Top-k for [[zipf]] — shared with the oracle generator. */
+  /** RAKE phrase budget — shared with the oracle. */
+  val rakeTopK = 10
+
+  /** RAKE keyword extraction (Rapid Automatic Keyword Extraction) at
+    * corpus level: candidate phrases are maximal stopword-free token
+    * runs (the [[stopwords]] list splits them), word score =
+    * degree/frequency over ALL phrase occurrences (degree = Σ length
+    * of phrases containing the word — co-occurrence weight), phrase
+    * score = Σ member word scores on the round-12 decimal grid, and
+    * the release is the top-[[rakeTopK]] distinct phrases by score —
+    * the unsupervised keyword surface a corpus triage starts from.
+    * The word-stats attach rides [[Skew.hotColdJoin]] (hot tokens
+    * broadcast, cold shuffle) exactly like tf-idf; the top-k is a
+    * TakeOrderedAndProject, never a global sort.
+    *
+    * Scale: one explode + one running-count window per doc (pos
+    * order), two vocab-sized hash aggregates, the skew-safe join. */
+  def rake(documents: DataFrame, k: Int = rakeTopK,
+      hotVocab: Int = 16): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val stop = col("token").isin(stopwords: _*)
+    val marked = documents
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "token")))
+      .select(col("doc_id"), col("pos"), col("token"),
+        sum(when(stop, 1L).otherwise(0L)).over(w).as("phrase_id"),
+        stop.as("is_stop"))
+      .filter(!col("is_stop"))
+      // feeds word stats AND phrase assembly
+      .pin(eager = true)
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("phrase_id"))
+    val withLen = marked.withColumn("plen", count(lit(1)).over(wp))
+    val wordStats = withLen.groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+    val scored = Skew
+      .hotColdJoin(withLen, wordStats, Seq("token"), col("freq"),
+        hotVocab)
+      .groupBy(col("doc_id"), col("phrase_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("token")))),
+          s => s.getField("token")), " ").as("phrase"),
+        count(lit(1)).as("n_words"),
+        sum(round(col("deg").cast("double") / col("freq").cast("double"),
+          12).cast("decimal(28,12)")).cast("double").as("score"))
+    scored.groupBy(col("phrase"))
+      .agg(max(col("n_words")).as("n_words"),
+        count(lit(1)).as("n_occur"),
+        max(col("score")).as("score"))
+      .orderBy(col("score").desc, col("phrase"))
+      .limit(k)
+      .select(col("phrase"), col("n_words"), col("n_occur"),
+        round(col("score"), 6).as("score"))
+  }
+
   val zipfTopK = 100
 
   /** Zipf rank-frequency profile: the top-[[zipfTopK]] tokens with

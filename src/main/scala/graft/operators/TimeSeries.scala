@@ -1198,6 +1198,70 @@ object TimeSeries {
       .orderBy(col("ticker"))
   }
 
+  /** Triple-barrier parameters — shared with the oracle. The synthetic
+    * feed's 5-minute bars swing whole multiples (prices are draws, not
+    * a walk), so the barriers sit at +400%/−90% to make all three
+    * outcomes live: 476/126/325 dn/time/up at sf0.001, 4357/1395/3141
+    * at sf0.01. A real equity feed would run ±2%. */
+  val TbUp = 5.0
+  val TbDn = -0.9
+  val TbHorizon = 12
+
+  /** First-touch kernel over columns `rr1..rrH` (forward returns at
+    * +1..+H bars): three CASE chains scanning k ascending — at the
+    * same bar the UP barrier wins (deterministic tie rule). Shared
+    * verbatim by both engines. */
+  private[graft] val tbKernels: Seq[(String, String)] = {
+    val (up, dn, h) = (TbUp, TbDn, TbHorizon)
+    val label = (1 to h).map(k =>
+      s"WHEN rr$k >= $up THEN 1 WHEN rr$k <= $dn THEN -1")
+      .mkString("CASE ", " ", " ELSE 0 END")
+    val tHit = (1 to h).map(k =>
+      s"WHEN rr$k >= $up OR rr$k <= $dn THEN $k")
+      .mkString("CASE ", " ", s" ELSE $h END")
+    val hitRet = (1 to h).map(k =>
+      s"WHEN rr$k >= $up OR rr$k <= $dn THEN rr$k")
+      .mkString("CASE ", " ", s" ELSE rr$h END")
+    Seq("label" -> label, "t_hit" -> tHit, "hit_ret" -> hitRet)
+  }
+
+  /** Triple-barrier labels (López de Prado) per bar: within the next
+    * [[TbHorizon]] bars, which barrier is touched FIRST — profit-take
+    * at +[[TbUp]] (label 1), stop at [[TbDn]] (−1), or the time
+    * barrier (0 with the horizon return) — the standard label
+    * generator for financial ML training sets (fixed-horizon returns
+    * leak the path; first-touch doesn't). Forward returns come from a
+    * generated lead chain on the per-ticker window; the three
+    * first-touch CASE scans are the shared [[tbKernels]] strings, so
+    * tie handling (up wins at the same bar) cannot drift. Bars whose
+    * full horizon runs past the series end are dropped (no
+    * partial-window bias), stated identically by the oracle.
+    *
+    * Scale: one per-ticker window pass building H lead columns, then
+    * stateless per-row kernels — map-side after the window sort. */
+  def tripleBarrier(spark: SparkSession, dir: String): DataFrame =
+    tripleBarrierBars(closeBars5m(
+      StockPipeline.normalize(Tables.events(spark, dir))))
+
+  private[graft] def tripleBarrierBars(bars: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("ticker")).orderBy(col("bucket"))
+    val h = TbHorizon
+    val withLeads = bars.select(
+      col("ticker") +: col("bucket") +: col("close") +:
+        (1 to h).map(k => lead(col("close"), k).over(w).as(s"ld$k")): _*)
+    val withRr = withLeads
+      .filter(col(s"ld$h").isNotNull)
+      .select(col("ticker") +: col("bucket") +:
+        (1 to h).map(k => (col(s"ld$k") /
+          when(col("close") =!= 0.0, col("close")) - 1.0).as(s"rr$k")): _*)
+    withRr.select(
+        col("ticker") +: col("bucket") +:
+          tbKernels.map { case (n, e) =>
+            (if (n == "hit_ret") round(expr(e), 6) else expr(e)).as(n)
+          }: _*)
+      .orderBy(col("ticker"), col("bucket"))
+  }
+
   /** Candidate periods (in 5-minute bars) for [[spectralEntropy]] —
     * shared with the oracle. */
   val SpecPeriods = Seq(2, 3, 4, 6, 8, 12, 24)

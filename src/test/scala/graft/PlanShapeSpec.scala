@@ -28,6 +28,30 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("sim_dbscan / stock_granger: cell/bucket equi-joins only, no " +
+      "quadratic join operator") {
+    Seq("sim_dbscan", "stock_granger").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+  }
+
+  test("rel_weibull_fit: banded rank, no unpartitioned data-sized sort") {
+    val p = plan("rel_weibull_fit")
+    // the two-level band scan: the only global window input is the
+    // <=128-row band-offset aggregate (__bucket grouping)
+    assert(p.contains("__bucket"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("text_rake: vocab join is hot/cold split (broadcast head + " +
+      "shuffled tail), top-k is TakeOrdered") {
+    val p = plan("text_rake")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("sim_neardup_pairs / dedup_jaccard_pairs: no quadratic join operator") {
     Seq("sim_neardup_pairs", "dedup_jaccard_pairs").foreach { q =>
       val p = plan(q)

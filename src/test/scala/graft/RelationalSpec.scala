@@ -1182,6 +1182,48 @@ class RelationalSpec extends SparkSpec {
     assert(r.getDouble(3) >= 0.0 && r.getDouble(3) < 1.0)
   }
 
+  test("rake: top phrases match a local degree/frequency " +
+      "recomputation (sf0.001)") {
+    val out = graft.operators.TextAnalysis
+      .rake(graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"))
+      .collect()
+    assert(out.length === graft.operators.TextAnalysis.rakeTopK)
+    val stop = graft.operators.TextAnalysis.stopwords.toSet
+    val texts = graft.sources.Tables
+      .documents(spark, "/root/testdata/sf0.001")
+      .select("text").collect().map(_.getString(0))
+    // phrases: maximal stopword-free runs
+    val phrases = texts.flatMap { t =>
+      val toks = t.trim.split("\\s+").toSeq
+      val runs = scala.collection.mutable.Buffer[Seq[String]]()
+      var cur = scala.collection.mutable.Buffer[String]()
+      toks.foreach { tk =>
+        if (stop(tk)) { if (cur.nonEmpty) { runs += cur.toSeq }; cur.clear() }
+        else cur += tk
+      }
+      if (cur.nonEmpty) runs += cur.toSeq
+      runs
+    }
+    val freq = phrases.flatten.groupBy(identity).view.mapValues(_.size)
+    val deg = phrases.flatMap(p => p.map(_ -> p.length))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum)
+    val score = (p: Seq[String]) =>
+      p.map(w => deg(w).toDouble / freq(w)).sum
+    val grouped = phrases.groupBy(_.mkString(" ")).map { case (txt, ps) =>
+      (txt, ps.head.length, ps.size, score(ps.head))
+    }.toSeq
+    val top = grouped
+      .sortBy { case (txt, _, _, s) => (-s, txt) }
+      .take(graft.operators.TextAnalysis.rakeTopK)
+    val sorted = out.sortBy(r => (-r.getDouble(3), r.getString(0)))
+    sorted.zip(top).foreach { case (r, (txt, nw, no, s)) =>
+      assert(r.getString(0) === txt, "phrase")
+      assert(r.getLong(1) === nw.toLong, s"$txt n_words")
+      assert(r.getLong(2) === no.toLong, s"$txt n_occur")
+      assert(math.abs(r.getDouble(3) - s) < 1e-5, s"$txt score")
+    }
+  }
+
   test("dpRelease: noise matches the inverse-CDF Laplace from the " +
       "salted hash, count error bounded by the epsilon tail (sf0.001)") {
     val out = graft.operators.Relational

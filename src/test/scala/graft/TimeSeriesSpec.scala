@@ -1248,6 +1248,50 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("tripleBarrier: labels match a local first-touch scan with " +
+      "the up-wins tie rule (sf0.001)") {
+    val out = TimeSeries.tripleBarrier(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    val bars = TimeSeries.closeBars5m(graft.operators.StockPipeline
+        .normalize(graft.sources.Tables.events(spark, "/root/testdata/sf0.001")))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val h = TimeSeries.TbHorizon
+    var sawUp = false; var sawDn = false; var sawTime = false
+    val byKey = out.map(r =>
+      (r.getString(0), r.getTimestamp(1).getTime) ->
+        ((r.getInt(2), r.getInt(3), r.getDouble(4)))).toMap
+    bars.foreach { case (t, bs) =>
+      bs.indices.dropRight(h).foreach { i =>
+        val close = bs(i)._3
+        val rr = (1 to h).map(k => bs(i + k)._3 / close - 1.0)
+        val firstHit = rr.zipWithIndex.find { case (r0, _) =>
+          r0 >= TimeSeries.TbUp || r0 <= TimeSeries.TbDn }
+        val (lbl, tHit, ret) = firstHit match {
+          case Some((r0, idx)) =>
+            (if (r0 >= TimeSeries.TbUp) 1 else -1, idx + 1, r0)
+          case None => (0, h, rr.last)
+        }
+        if (lbl == 1) sawUp = true
+        if (lbl == -1) sawDn = true
+        if (lbl == 0) sawTime = true
+        val got = byKey((t, bs(i)._2))
+        assert(got._1 === lbl, s"$t bar $i label")
+        assert(got._2 === tHit, s"$t bar $i t_hit")
+        assert(math.abs(got._3 - ret) < 1e-5, s"$t bar $i ret")
+      }
+      // rows without a full horizon are dropped
+      bs.indices.drop(bs.length - h max 0).foreach { i =>
+        assert(!byKey.contains((t, bs(i)._2)), s"$t bar $i should drop")
+      }
+    }
+    assert(out.length === bars.values.map(b => (b.length - h) max 0).sum)
+    // the fixture exercises all three outcomes
+    assert(sawUp && sawDn && sawTime, s"up=$sawUp dn=$sawDn time=$sawTime")
+  }
+
   test("spectralEntropy: H matches a local Goertzel recomputation, " +
       "se_norm in [0,1], peak is the argmax period (sf0.001)") {
     val out = TimeSeries.spectralEntropy(spark, "/root/testdata/sf0.001")
