@@ -1393,6 +1393,50 @@ SELECT cell, count(*)::BIGINT AS n_members,
     AS mean_silhouette
 FROM sil_s GROUP BY cell ORDER BY cell"""
     }),
+    // linear CKA between embedding halves: feature-space d x d
+    // cross-moments (never the n x n Gram), per-dim-sum centering
+    "sim_cka_halves" -> (simBase + """,
+ex AS (
+  SELECT vec_id, unnest(ev) AS v, unnest(range(len(ev))) AS pos
+  FROM base),
+xs AS (SELECT vec_id, pos AS i, v AS xi FROM ex WHERE pos < 32),
+ys AS (SELECT vec_id, pos - 32 AS j, v AS yj FROM ex WHERE pos >= 32),
+n1 AS (SELECT count(*)::BIGINT AS n FROM base),
+si AS (SELECT i, CAST(sum(CAST(xi AS DECIMAL(38,18))) AS DOUBLE)
+  AS si FROM xs GROUP BY 1),
+sj AS (SELECT j, CAST(sum(CAST(yj AS DECIMAL(38,18))) AS DOUBLE)
+  AS sj FROM ys GROUP BY 1),
+cxy AS (
+  SELECT i, j, CAST(sum(CAST(xi * yj AS DECIMAL(38,18))) AS DOUBLE)
+    AS sij
+  FROM xs JOIN ys USING (vec_id) GROUP BY 1, 2),
+hxy AS (
+  SELECT CAST(sum(CAST(c * c AS DECIMAL(38,18))) AS DOUBLE) AS hxy
+  FROM (SELECT sij - si.si * sj.sj / CAST(n AS DOUBLE) AS c
+    FROM cxy JOIN si USING (i) JOIN sj USING (j) CROSS JOIN n1)),
+cxx AS (
+  SELECT a.i AS i, b.i AS i2,
+    CAST(sum(CAST(a.xi * b.xi AS DECIMAL(38,18))) AS DOUBLE) AS sij
+  FROM xs a JOIN xs b USING (vec_id) GROUP BY 1, 2),
+hxx AS (
+  SELECT CAST(sum(CAST(c * c AS DECIMAL(38,18))) AS DOUBLE) AS hxx
+  FROM (SELECT sij - s1.si * s2.si / CAST(n AS DOUBLE) AS c
+    FROM cxx JOIN si s1 ON cxx.i = s1.i JOIN si s2 ON cxx.i2 = s2.i
+    CROSS JOIN n1)),
+cyy AS (
+  SELECT a.j AS j, b.j AS j2,
+    CAST(sum(CAST(a.yj * b.yj AS DECIMAL(38,18))) AS DOUBLE) AS sij
+  FROM ys a JOIN ys b USING (vec_id) GROUP BY 1, 2),
+hyy AS (
+  SELECT CAST(sum(CAST(c * c AS DECIMAL(38,18))) AS DOUBLE) AS hyy
+  FROM (SELECT sij - s1.sj * s2.sj / CAST(n AS DOUBLE) AS c
+    FROM cyy JOIN sj s1 ON cyy.j = s1.j JOIN sj s2 ON cyy.j2 = s2.j
+    CROSS JOIN n1))
+SELECT n AS n_vectors, round(hxy, 8) AS hsic_xy,
+  round(hxx, 8) AS hsic_xx, round(hyy, 8) AS hsic_yy,
+  round(hxy / (CASE WHEN hxx * hyy > 0.0 THEN sqrt(hxx * hyy) END), 6)
+    AS cka
+FROM n1 CROSS JOIN hxy CROSS JOIN hxx CROSS JOIN hyy"""),
     // Davies-Bouldin: per-cell mean centroid distance, pairwise
     // centroid separations, max ratio per cell, global mean
     "sim_davies_bouldin" -> (simBase + kmeansCtes + {

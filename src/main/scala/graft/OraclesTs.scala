@@ -903,6 +903,52 @@ SELECT ticker, n_triples, n_patterns,
   round(h, 6) AS perm_entropy,
   round(h / ${graft.operators.TimeSeries.peLn6}, 6) AS pe_norm
 FROM m ORDER BY ticker"""),
+    // min-variance pair weights: aligned-return decimal moments,
+    // pinned closed-form w and portfolio variance, guarded divisors
+    "stock_minvar_pairs" -> (barsCte + """,
+rets AS (
+  SELECT ticker, bucket,
+    CASE WHEN lag(close, 1) OVER tw <> 0
+      THEN close / lag(close, 1) OVER tw - 1 END AS r
+  FROM bars
+  WINDOW tw AS (PARTITION BY ticker ORDER BY bucket)
+  QUALIFY r IS NOT NULL),
+m AS (
+  SELECT a.ticker AS ticker_a, b.ticker AS ticker_b,
+    count(*)::BIGINT AS n_steps,
+    CAST(sum(CAST(a.r AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+    CAST(sum(CAST(b.r AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+    CAST(sum(CAST(a.r * a.r AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+    CAST(sum(CAST(b.r * b.r AS DECIMAL(38,18))) AS DOUBLE) AS syy,
+    CAST(sum(CAST(a.r * b.r AS DECIMAL(38,18))) AS DOUBLE) AS sxy
+  FROM rets a JOIN rets b
+    ON a.bucket = b.bucket AND a.ticker < b.ticker
+  GROUP BY 1, 2),
+v AS (
+  SELECT ticker_a, ticker_b, n_steps,
+    sxx / CAST(n_steps AS DOUBLE) -
+      (sx / CAST(n_steps AS DOUBLE)) * (sx / CAST(n_steps AS DOUBLE))
+      AS va,
+    syy / CAST(n_steps AS DOUBLE) -
+      (sy / CAST(n_steps AS DOUBLE)) * (sy / CAST(n_steps AS DOUBLE))
+      AS vb,
+    sxy / CAST(n_steps AS DOUBLE) -
+      (sx / CAST(n_steps AS DOUBLE)) * (sy / CAST(n_steps AS DOUBLE))
+      AS cab
+  FROM m),
+w AS (
+  SELECT ticker_a, ticker_b, n_steps, va, vb, cab,
+    (vb - cab) / (CASE WHEN va + vb - 2.0 * cab <> 0.0
+      THEN va + vb - 2.0 * cab END) AS w_a
+  FROM v)
+SELECT ticker_a, ticker_b, n_steps, round(w_a, 6) AS w_a,
+  round(va * w_a * w_a + vb * (1.0 - w_a) * (1.0 - w_a) +
+    2.0 * cab * w_a * (1.0 - w_a), 6) AS var_min,
+  round(1.0 - (va * w_a * w_a + vb * (1.0 - w_a) * (1.0 - w_a) +
+    2.0 * cab * w_a * (1.0 - w_a)) /
+    (CASE WHEN least(va, vb) <> 0.0 THEN least(va, vb) END), 6)
+    AS var_reduction
+FROM w ORDER BY ticker_a, ticker_b"""),
     // triple-barrier labels: generated lead chain + the SHARED
     // first-touch CASE kernels (up wins at the same bar)
     "stock_triple_barrier" -> (barsCte + {

@@ -808,6 +808,11 @@ object SparkEntry {
     // RAKE keyword extraction: top stopword-free phrase runs
     "text_rake" -> ((s, d) =>
       TextAnalysis.rake(Tables.documents(s, d))),
+    // minimum-variance two-asset weights per ticker pair
+    "stock_minvar_pairs" -> (TimeSeries.minVarPairs _),
+    // linear CKA between the embedding's two 32-dim halves
+    "sim_cka_halves" -> ((s, d) =>
+      Similarity.ckaHalves(Tables.embeddings(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

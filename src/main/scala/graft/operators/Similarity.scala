@@ -814,6 +814,68 @@ object Similarity {
           .select(col("vec_id").as("doc_a"), col("neighbor_id").as("doc_b")))
       .withColumnRenamed("doc_id", "vec_id")
 
+  /** Linear CKA (centered kernel alignment) between the two 32-dim
+    * halves of the embedding: CKA = ‖X̄ᵀȲ‖²_F / (‖X̄ᵀX̄‖_F·‖ȲᵀȲ‖_F) —
+    * the standard representation-similarity metric (Kornblith et al.
+    * 2019), here answering "do the embedding's halves encode the same
+    * geometry" (≈1: redundant halves — a Matryoshka-style truncation
+    * is nearly free; ≈0: independent subspaces). Computed entirely in
+    * FEATURE space: d×d cross-moment matrices from one vec_id
+    * equi-join per Gram term — never the n×n Gram matrix — with
+    * centering via the per-dim sums (c_ij = s_ij − s_i s_j / n). All
+    * sums ride the DECIMAL(38,18) grid.
+    *
+    * Scale: each cell table is a (d/2)² hash aggregate fed by a d²/4
+    * per-row fan-out join — cost ∝ n·d², independent of n². */
+  def ckaHalves(embeddings: DataFrame): DataFrame = {
+    def d18(c: Column) = sum(c.cast("decimal(38,18)")).cast("double")
+    val base = unitized(embeddings)
+    val ex = base
+      .select(col("vec_id"), posexplode(col("unit")).as(Seq("pos", "v")))
+      // feeds both halves of three cross-moment joins
+      .pin(eager = true)
+    val xs = ex.filter(col("pos") < 32)
+      .select(col("vec_id"), col("pos").as("i"), col("v").as("xi"))
+    val ys = ex.filter(col("pos") >= 32)
+      .select(col("vec_id"), (col("pos") - 32).as("j"), col("v").as("yj"))
+    val n1 = base.agg(count(lit(1)).as("n"))
+    val si = xs.groupBy(col("i")).agg(d18(col("xi")).as("si"))
+    val sj = ys.groupBy(col("j")).agg(d18(col("yj")).as("sj"))
+    def hsic(l: DataFrame, r: DataFrame, ld: String, rd: String,
+        lv: String, rv: String, ls: DataFrame, rs: DataFrame,
+        lsn: String, rsn: String): DataFrame = {
+      val cells = l.join(r, Seq("vec_id"))
+        .groupBy(col(ld), col(rd))
+        .agg(d18(col(lv) * col(rv)).as("sij"))
+      cells.join(broadcast(ls), Seq(ld))
+        .join(broadcast(rs), Seq(rd))
+        .crossJoin(broadcast(n1))
+        .select((col("sij") -
+          col(lsn) * col(rsn) / col("n").cast("double")).as("c"))
+        .agg(d18(col("c") * col("c")).as("h"))
+    }
+    val xs2 = xs.select(col("vec_id"), col("i").as("i2"),
+      col("xi").as("xi2"))
+    val si2 = si.select(col("i").as("i2"), col("si").as("si2"))
+    val ys2 = ys.select(col("vec_id"), col("j").as("j2"),
+      col("yj").as("yj2"))
+    val sj2 = sj.select(col("j").as("j2"), col("sj").as("sj2"))
+    val hxy = hsic(xs, ys, "i", "j", "xi", "yj", si, sj, "si", "sj")
+      .withColumnRenamed("h", "hxy")
+    val hxx = hsic(xs, xs2, "i", "i2", "xi", "xi2", si, si2,
+      "si", "si2").withColumnRenamed("h", "hxx")
+    val hyy = hsic(ys, ys2, "j", "j2", "yj", "yj2", sj, sj2,
+      "sj", "sj2").withColumnRenamed("h", "hyy")
+    n1.crossJoin(broadcast(hxy)).crossJoin(broadcast(hxx))
+      .crossJoin(broadcast(hyy))
+      .select(col("n").as("n_vectors"),
+        round(col("hxy"), 8).as("hsic_xy"),
+        round(col("hxx"), 8).as("hsic_xx"),
+        round(col("hyy"), 8).as("hsic_yy"),
+        round(col("hxy") / when(col("hxx") * col("hyy") > 0.0,
+          sqrt(col("hxx") * col("hyy"))), 6).as("cka"))
+  }
+
   /** Davies–Bouldin index over the Lloyd cells in cosine-distance
     * geometry (d = 1 − rounded cosine): per cell the mean
     * member-to-centroid distance S_i, per cell pair the centroid

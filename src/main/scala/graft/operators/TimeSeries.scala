@@ -1198,6 +1198,53 @@ object TimeSeries {
       .orderBy(col("ticker"))
   }
 
+  /** Minimum-variance two-asset weights per ticker pair: from the
+    * bucket-aligned 5-minute returns, w_a = (σ_b² − σ_ab) /
+    * (σ_a² + σ_b² − 2σ_ab) — the closed-form Markowitz frontier
+    * endpoint — plus the achieved portfolio variance and the variance
+    * reduction vs the better single asset (the hedging-value number a
+    * pairs desk actually reads). Moment sums ride the DECIMAL(38,18)
+    * grid; all variance/weight algebra is pinned double with
+    * NULL-guarded denominators; w is NOT clamped to [0,1] (a negative
+    * weight is a short — information, not an error).
+    *
+    * Scale: the [[corrPairs]] shape — bucket equi-join +
+    * map-side-partial per-pair aggregates; quadratic in tickers
+    * (documented bound). */
+  def minVarPairs(spark: SparkSession, dir: String): DataFrame =
+    minVarPairsBars(closeBars5m(
+      StockPipeline.normalize(Tables.events(spark, dir))))
+
+  private[graft] def minVarPairsBars(bars: DataFrame): DataFrame = {
+    val rets = simpleRets(bars, "r")
+    val a = rets.select(col("ticker").as("ticker_a"), col("bucket"),
+      col("r").as("x"))
+    val b = rets.select(col("ticker").as("ticker_b"), col("bucket"),
+      col("r").as("y"))
+    val m = a.join(b, Seq("bucket"))
+      .filter(col("ticker_a") < col("ticker_b"))
+      .groupBy(col("ticker_a"), col("ticker_b"))
+      .agg(count(lit(1)).as("n_steps"),
+        dsum18(col("x")).as("sx"), dsum18(col("y")).as("sy"),
+        dsum18(col("x") * col("x")).as("sxx"),
+        dsum18(col("y") * col("y")).as("syy"),
+        dsum18(col("x") * col("y")).as("sxy"))
+    val nd = col("n_steps").cast("double")
+    val va = col("sxx") / nd - (col("sx") / nd) * (col("sx") / nd)
+    val vb = col("syy") / nd - (col("sy") / nd) * (col("sy") / nd)
+    val cab = col("sxy") / nd - (col("sx") / nd) * (col("sy") / nd)
+    val den = va + vb - lit(2.0) * cab
+    val w = (vb - cab) / when(den =!= 0.0, den)
+    val vmin = va * w * w + vb * (lit(1.0) - w) * (lit(1.0) - w) +
+      lit(2.0) * cab * w * (lit(1.0) - w)
+    m.select(col("ticker_a"), col("ticker_b"), col("n_steps"),
+        round(w, 6).as("w_a"),
+        round(vmin, 6).as("var_min"),
+        round(lit(1.0) - vmin / when(least(va, vb) =!= 0.0,
+          least(va, vb)), 6).as("var_reduction"))
+      .orderBy(col("ticker_a"), col("ticker_b"))
+  }
+
   /** Triple-barrier parameters — shared with the oracle. The synthetic
     * feed's 5-minute bars swing whole multiples (prices are draws, not
     * a walk), so the barriers sit at +400%/−90% to make all three

@@ -47,6 +47,38 @@ class ClusterValiditySpec extends SparkSpec {
     }
   }
 
+  test("ckaHalves: CKA matches a local feature-space recomputation " +
+      "and lands in [0,1] (sf0.001)") {
+    val out = Similarity
+      .ckaHalves(Tables.embeddings(spark, dir)).collect()
+    assert(out.length === 1)
+    val r = out.head
+    val units = Similarity.unitized(Tables.embeddings(spark, dir))
+      .select("unit").collect().map(_.getSeq[Double](0).toArray)
+    val n = units.length
+    assert(r.getLong(0) === n.toLong)
+    val d2 = 32
+    def hsic(av: Array[Array[Double]], bv: Array[Array[Double]]):
+        Double = {
+      val sa = Array.tabulate(d2)(i => av.map(_(i)).sum)
+      val sb = Array.tabulate(d2)(j => bv.map(_(j)).sum)
+      (for (i <- 0 until d2; j <- 0 until d2) yield {
+        val sij = av.indices.map(k => av(k)(i) * bv(k)(j)).sum
+        val c = sij - sa(i) * sb(j) / n
+        c * c
+      }).sum
+    }
+    val xs = units.map(_.take(32))
+    val ys = units.map(_.drop(32))
+    val (hxy, hxx, hyy) = (hsic(xs, ys), hsic(xs, xs), hsic(ys, ys))
+    val cka = hxy / math.sqrt(hxx * hyy)
+    assert(math.abs(r.getDouble(1) - hxy) < 1e-6, "hsic_xy")
+    assert(math.abs(r.getDouble(2) - hxx) < 1e-6, "hsic_xx")
+    assert(math.abs(r.getDouble(3) - hyy) < 1e-6, "hsic_yy")
+    assert(math.abs(r.getDouble(4) - cka) < 1e-4, "cka")
+    assert(r.getDouble(4) >= -1e-9 && r.getDouble(4) <= 1.0 + 1e-9)
+  }
+
   test("calinskiHarabasz: W/B/CH match a local recomputation " +
       "(sf0.001)") {
     val out = Similarity.calinskiHarabasz(Tables.embeddings(spark, dir))

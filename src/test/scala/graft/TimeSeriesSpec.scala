@@ -1248,6 +1248,44 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("minVarPairs: weight/variance match a local recomputation; " +
+      "portfolio variance never beats neither asset (sf0.001)") {
+    val out = TimeSeries.minVarPairs(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    val rets = TimeSeries.closeBars5m(graft.operators.StockPipeline
+        .normalize(graft.sources.Tables.events(spark, "/root/testdata/sf0.001")))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getDouble(2)))
+      .groupBy(_._1).map { case (t, rs) =>
+        val s = rs.sortBy(_._2)
+        t -> s.map(_._2).drop(1).zip(
+          s.map(_._3).zip(s.map(_._3).drop(1)).collect {
+            case (p, c) if p != 0.0 => c / p - 1 }).toMap
+      }
+    out.foreach { r =>
+      val (ta, tb) = (r.getString(0), r.getString(1))
+      val common = rets(ta).keySet.intersect(rets(tb).keySet).toSeq.sorted
+      assert(r.getLong(2) === common.length.toLong)
+      val xs = common.map(rets(ta)); val ys = common.map(rets(tb))
+      val n = common.length.toDouble
+      def v(a: Seq[Double]) = a.map(x => x * x).sum / n -
+        math.pow(a.sum / n, 2)
+      val cab = xs.zip(ys).map(t => t._1 * t._2).sum / n -
+        (xs.sum / n) * (ys.sum / n)
+      val (va, vb) = (v(xs), v(ys))
+      val w = (vb - cab) / (va + vb - 2 * cab)
+      val vmin = va * w * w + vb * (1 - w) * (1 - w) +
+        2 * cab * w * (1 - w)
+      assert(math.abs(r.getDouble(3) - w) <
+        1e-4 * math.max(1.0, math.abs(w)), s"$ta/$tb w")
+      assert(math.abs(r.getDouble(4) - vmin) <
+        1e-4 * math.max(1.0, math.abs(vmin)), s"$ta/$tb vmin")
+      // the min-variance point never exceeds the better single asset
+      assert(vmin <= math.min(va, vb) + 1e-9, s"$ta/$tb dominance")
+    }
+  }
+
   test("tripleBarrier: labels match a local first-touch scan with " +
       "the up-wins tie rule (sf0.001)") {
     val out = TimeSeries.tripleBarrier(spark, "/root/testdata/sf0.001")
