@@ -119,6 +119,41 @@ SELECT doc_id, n_sentences, n_words, n_syllables,
     + 11.8 * (n_syllables::DOUBLE / n_words) - 15.59, 4) AS fk_grade
 FROM c ORDER BY doc_id""",
     // Zipf rank-frequency profile: per-row ratios over exact counts
+    // MI(lang, source): exact joint counts, round-12 log-term grid,
+    // NMI normalized by the marginal-entropy geometric mean
+    "text_mi_lang_source" -> """
+WITH joint AS (
+  SELECT lang, source, count(*)::BIGINT AS nls
+  FROM documents GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(nls) AS BIGINT) AS n FROM joint),
+ml AS (SELECT lang, CAST(sum(nls) AS BIGINT) AS nl
+  FROM joint GROUP BY 1),
+ms AS (SELECT source, CAST(sum(nls) AS BIGINT) AS ns
+  FROM joint GROUP BY 1),
+mi AS (
+  SELECT CAST(sum(CAST(round(
+    (CAST(nls AS DOUBLE) / CAST(n AS DOUBLE)) *
+      ln((CAST(nls AS DOUBLE) / CAST(n AS DOUBLE)) /
+        ((CAST(nl AS DOUBLE) / CAST(n AS DOUBLE)) *
+          (CAST(ns AS DOUBLE) / CAST(n AS DOUBLE)))), 12)
+    AS DECIMAL(28,12))) AS DOUBLE) AS mi
+  FROM joint JOIN ml USING (lang) JOIN ms USING (source)
+  CROSS JOIN tot),
+hl AS (
+  SELECT CAST(sum(CAST(round(-((CAST(nl AS DOUBLE) /
+      CAST(n AS DOUBLE)) * ln(CAST(nl AS DOUBLE) /
+      CAST(n AS DOUBLE))), 12) AS DECIMAL(28,12))) AS DOUBLE) AS hl
+  FROM ml CROSS JOIN tot),
+hs AS (
+  SELECT CAST(sum(CAST(round(-((CAST(ns AS DOUBLE) /
+      CAST(n AS DOUBLE)) * ln(CAST(ns AS DOUBLE) /
+      CAST(n AS DOUBLE))), 12) AS DECIMAL(28,12))) AS DOUBLE) AS hs
+  FROM ms CROSS JOIN tot)
+SELECT n AS n_docs, round(mi, 6) AS mi, round(hl, 6) AS h_lang,
+  round(hs, 6) AS h_source,
+  round(mi / (CASE WHEN hl * hs > 0.0 THEN sqrt(hl * hs) END), 6)
+    AS nmi
+FROM tot CROSS JOIN mi CROSS JOIN hl CROSS JOIN hs""",
     // RAKE keywords: stopword-split phrase runs, degree/frequency word
     // scores (plain vocab join — engine runs hotColdJoin, hash proves
     // the rewrite), round-12 phrase-score grid, top-k release

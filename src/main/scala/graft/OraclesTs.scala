@@ -903,6 +903,35 @@ SELECT ticker, n_triples, n_patterns,
   round(h, 6) AS perm_entropy,
   round(h / ${graft.operators.TimeSeries.peLn6}, 6) AS pe_norm
 FROM m ORDER BY ticker"""),
+    // Ichimoku cloud: rolling (max+min)/2 midlines, spans shifted by
+    // the kijun period, partial warm-up windows stated identically
+    "stock_ichimoku" -> (barsCte + {
+      val (t, k, sb) = (graft.operators.TimeSeries.IchiTenkan,
+        graft.operators.TimeSeries.IchiKijun,
+        graft.operators.TimeSeries.IchiSenkouB)
+      s""",
+mids AS (
+  SELECT ticker, bucket, close,
+    (max(close) OVER ft + min(close) OVER ft) / 2.0 AS tenkan0,
+    (max(close) OVER fk + min(close) OVER fk) / 2.0 AS kijun0,
+    (max(close) OVER fb + min(close) OVER fb) / 2.0 AS senkou_b0
+  FROM bars
+  WINDOW
+    ft AS (PARTITION BY ticker ORDER BY bucket
+      ROWS BETWEEN ${t - 1} PRECEDING AND CURRENT ROW),
+    fk AS (PARTITION BY ticker ORDER BY bucket
+      ROWS BETWEEN ${k - 1} PRECEDING AND CURRENT ROW),
+    fb AS (PARTITION BY ticker ORDER BY bucket
+      ROWS BETWEEN ${sb - 1} PRECEDING AND CURRENT ROW))
+SELECT ticker, bucket, round(tenkan0, 6) AS tenkan,
+  round(kijun0, 6) AS kijun,
+  round(lag((tenkan0 + kijun0) / 2.0, $k) OVER tw, 6) AS senkou_a,
+  round(lag(senkou_b0, $k) OVER tw, 6) AS senkou_b,
+  lead(close, $k) OVER tw AS chikou
+FROM mids
+WINDOW tw AS (PARTITION BY ticker ORDER BY bucket)
+ORDER BY ticker, bucket"""
+    }),
     // min-variance pair weights: aligned-return decimal moments,
     // pinned closed-form w and portfolio variance, guarded divisors
     "stock_minvar_pairs" -> (barsCte + """,

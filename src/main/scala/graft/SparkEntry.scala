@@ -813,6 +813,11 @@ object SparkEntry {
     // linear CKA between the embedding's two 32-dim halves
     "sim_cka_halves" -> ((s, d) =>
       Similarity.ckaHalves(Tables.embeddings(s, d))),
+    // Ichimoku cloud midlines + shifted spans per ticker
+    "stock_ichimoku" -> (TimeSeries.ichimoku _),
+    // mutual information between document language and source
+    "text_mi_lang_source" -> ((s, d) =>
+      TextAnalysis.miLangSource(Tables.documents(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -194,6 +194,53 @@ object TextAnalysis {
   }
 
   /** Top-k for [[zipf]] — shared with the oracle generator. */
+  /** Mutual information between document language and source:
+    * MI = Σ p(l,s)·ln(p(l,s)/(p(l)p(s))) from exact joint counts,
+    * plus the marginal entropies and NMI = MI/√(H_l·H_s) — the
+    * dependence census a corpus-mixture designer reads before
+    * stratifying (high NMI: language and source are redundant strata;
+    * ≈0: independent axes that must BOTH be balanced). Every log term
+    * rides the round-12/DECIMAL(28,12) grid (order-independent sums);
+    * counts stay BIGINT until one final division.
+    *
+    * Scale: one (lang, source) hash aggregate — the joint grid is
+    * metadata-sized, everything downstream is per-cell algebra. */
+  def miLangSource(documents: DataFrame): DataFrame = {
+    val joint = documents.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("nls"))
+      .pin(eager = true)
+    val tot = joint.agg(sum(col("nls")).as("n"))
+    val ml = joint.groupBy(col("lang")).agg(sum(col("nls")).as("nl"))
+    val ms = joint.groupBy(col("source")).agg(sum(col("nls")).as("ns"))
+    val nd = col("n").cast("double")
+    val pls = col("nls").cast("double") / nd
+    val mi = joint
+      .join(broadcast(ml), Seq("lang"))
+      .join(broadcast(ms), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .select(round(pls * log(pls /
+          ((col("nl").cast("double") / nd) *
+            (col("ns").cast("double") / nd))), 12)
+        .cast("decimal(28,12)").as("term"))
+      .agg(sum(col("term")).cast("double").as("mi"))
+    def entropy(m: DataFrame, cnt: String, as: String) =
+      m.crossJoin(broadcast(tot))
+        .select(round(-((col(cnt).cast("double") / nd) *
+            log(col(cnt).cast("double") / nd)), 12)
+          .cast("decimal(28,12)").as("term"))
+        .agg(sum(col("term")).cast("double").as(as))
+    val hl = entropy(ml, "nl", "hl")
+    val hs = entropy(ms, "ns", "hs")
+    tot.crossJoin(broadcast(mi)).crossJoin(broadcast(hl))
+      .crossJoin(broadcast(hs))
+      .select(col("n").as("n_docs"),
+        round(col("mi"), 6).as("mi"),
+        round(col("hl"), 6).as("h_lang"),
+        round(col("hs"), 6).as("h_source"),
+        round(col("mi") / when(col("hl") * col("hs") > 0.0,
+          sqrt(col("hl") * col("hs"))), 6).as("nmi"))
+  }
+
   /** RAKE phrase budget — shared with the oracle. */
   val rakeTopK = 10
 

@@ -1198,6 +1198,49 @@ object TimeSeries {
       .orderBy(col("ticker"))
   }
 
+  /** Ichimoku spans (bars) — shared with the oracle. */
+  val IchiTenkan = 9
+  val IchiKijun = 26
+  val IchiSenkouB = 52
+
+  /** Ichimoku cloud over the 5-minute close bars (close-based
+    * variant): tenkan/kijun/senkou-B midlines are rolling
+    * (max+min)/2 over [[IchiTenkan]]/[[IchiKijun]]/[[IchiSenkouB]]
+    * bars; senkou A/B are their values [[IchiKijun]] bars AGO (the
+    * cloud is plotted forward, so the value valid NOW was computed 26
+    * bars back); chikou is the close 26 bars AHEAD. Warm-up bars
+    * carry partial-window midlines (min/max over what exists) —
+    * stated identically by the oracle. Pure per-ticker ROWS-frame
+    * windows: one sort, no shuffle beyond the ticker partition.
+    *
+    * Scale: bounded-frame window aggregates — Spark evaluates a
+    * sliding min/max frame incrementally; nothing is data-sized per
+    * row. */
+  def ichimoku(spark: SparkSession, dir: String): DataFrame =
+    ichimokuBars(closeBars5m(
+      StockPipeline.normalize(Tables.events(spark, dir))))
+
+  private[graft] def ichimokuBars(bars: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("ticker")).orderBy(col("bucket"))
+    def mid(n: Int) = {
+      val f = w.rowsBetween(-(n - 1), 0)
+      (max(col("close")).over(f) + min(col("close")).over(f)) / 2.0
+    }
+    bars
+      .select(col("ticker"), col("bucket"), col("close"),
+        mid(IchiTenkan).as("tenkan0"), mid(IchiKijun).as("kijun0"),
+        mid(IchiSenkouB).as("senkou_b0"))
+      .select(col("ticker"), col("bucket"),
+        round(col("tenkan0"), 6).as("tenkan"),
+        round(col("kijun0"), 6).as("kijun"),
+        round(lag((col("tenkan0") + col("kijun0")) / 2.0, IchiKijun)
+          .over(w), 6).as("senkou_a"),
+        round(lag(col("senkou_b0"), IchiKijun).over(w), 6)
+          .as("senkou_b"),
+        lead(col("close"), IchiKijun).over(w).as("chikou"))
+      .orderBy(col("ticker"), col("bucket"))
+  }
+
   /** Minimum-variance two-asset weights per ticker pair: from the
     * bucket-aligned 5-minute returns, w_a = (σ_b² − σ_ab) /
     * (σ_a² + σ_b² − 2σ_ab) — the closed-form Markowitz frontier

@@ -1182,6 +1182,36 @@ class RelationalSpec extends SparkSpec {
     assert(r.getDouble(3) >= 0.0 && r.getDouble(3) < 1.0)
   }
 
+  test("miLangSource: MI/H/NMI match a local count recomputation, " +
+      "0 <= MI <= min(H) (sf0.001)") {
+    val out = graft.operators.TextAnalysis
+      .miLangSource(graft.sources.Tables
+        .documents(spark, "/root/testdata/sf0.001")).collect()
+    assert(out.length === 1)
+    val r = out.head
+    val rows = graft.sources.Tables
+      .documents(spark, "/root/testdata/sf0.001")
+      .select("lang", "source").collect()
+      .map(x => (x.getString(0), x.getString(1)))
+    val n = rows.length.toDouble
+    assert(r.getLong(0) === rows.length.toLong)
+    val joint = rows.groupBy(identity).view.mapValues(_.size).toMap
+    val ml = rows.groupBy(_._1).view.mapValues(_.size).toMap
+    val ms = rows.groupBy(_._2).view.mapValues(_.size).toMap
+    val mi = joint.map { case ((l, s), c) =>
+      (c / n) * math.log((c / n) / ((ml(l) / n) * (ms(s) / n)))
+    }.sum
+    def h(m: Map[String, Int]) =
+      m.values.map(c => -(c / n) * math.log(c / n)).sum
+    assert(math.abs(r.getDouble(1) - mi) < 1e-5, "mi")
+    assert(math.abs(r.getDouble(2) - h(ml)) < 1e-5, "h_lang")
+    assert(math.abs(r.getDouble(3) - h(ms)) < 1e-5, "h_source")
+    assert(r.getDouble(1) >= -1e-9 &&
+      r.getDouble(1) <= math.min(h(ml), h(ms)) + 1e-9)
+    assert(math.abs(r.getDouble(4) -
+      mi / math.sqrt(h(ml) * h(ms))) < 1e-4, "nmi")
+  }
+
   test("rake: top phrases match a local degree/frequency " +
       "recomputation (sf0.001)") {
     val out = graft.operators.TextAnalysis

@@ -1248,6 +1248,47 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("ichimoku: midlines match local rolling (max+min)/2, spans " +
+      "are the kijun-shifted values (sf0.001)") {
+    val out = TimeSeries.ichimoku(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    val bars = TimeSeries.closeBars5m(graft.operators.StockPipeline
+        .normalize(graft.sources.Tables.events(spark, "/root/testdata/sf0.001")))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    def mid(xs: Seq[Double], i: Int, n: Int): Double = {
+      val wdw = xs.slice(math.max(0, i - n + 1), i + 1)
+      (wdw.max + wdw.min) / 2.0
+    }
+    val k = TimeSeries.IchiKijun
+    val byTicker = out.groupBy(_.getString(0))
+    byTicker.foreach { case (t, rows) =>
+      val xs = bars(t).toSeq
+      assert(rows.length === xs.length)
+      rows.sortBy(_.getTimestamp(1).getTime).zipWithIndex.foreach {
+        case (r, i) =>
+          assert(math.abs(r.getDouble(2) -
+            mid(xs, i, TimeSeries.IchiTenkan)) < 1e-5, s"$t $i tenkan")
+          assert(math.abs(r.getDouble(3) - mid(xs, i, k)) < 1e-5,
+            s"$t $i kijun")
+          if (i >= k) {
+            val sa = (mid(xs, i - k, TimeSeries.IchiTenkan) +
+              mid(xs, i - k, k)) / 2.0
+            assert(math.abs(r.getDouble(4) - sa) < 1e-5, s"$t $i sa")
+            assert(math.abs(r.getDouble(5) -
+              mid(xs, i - k, TimeSeries.IchiSenkouB)) < 1e-5, s"$t $i sb")
+          } else {
+            assert(r.isNullAt(4) && r.isNullAt(5), s"$t $i warmup")
+          }
+          if (i + k < xs.length)
+            assert(r.getDouble(6) === xs(i + k), s"$t $i chikou")
+          else assert(r.isNullAt(6), s"$t $i chikou end")
+      }
+    }
+  }
+
   test("minVarPairs: weight/variance match a local recomputation; " +
       "portfolio variance never beats neither asset (sf0.001)") {
     val out = TimeSeries.minVarPairs(spark, "/root/testdata/sf0.001")
