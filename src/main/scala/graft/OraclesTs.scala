@@ -903,6 +903,75 @@ SELECT ticker, n_triples, n_patterns,
   round(h, 6) AS perm_entropy,
   round(h / ${graft.operators.TimeSeries.peLn6}, 6) AS pe_norm
 FROM m ORDER BY ticker"""),
+    // Kupiec POF + Christoffersen independence VaR backtest: shared
+    // ln-p literals, round-12 data logs (args NULL-guarded — DuckDB
+    // raises on ln(0)), 0*ln0=0 transition convention
+    "stock_var_backtest" -> (barsCte + {
+      val lv = graft.operators.TimeSeries.VarLevel
+      val l1 = graft.operators.TimeSeries.lnVar1P
+      val lp = graft.operators.TimeSeries.lnVarP
+      def t0(c: String, p: String): String =
+        s"CASE WHEN $c > 0 THEN CAST($c AS DOUBLE) * " +
+          s"round(ln(CASE WHEN $p > 0.0 THEN $p END), 12) ELSE 0.0 END"
+      val pi01 = "CAST(n01 AS DOUBLE) / (CASE WHEN n00 + n01 > 0" +
+        " THEN CAST(n00 + n01 AS DOUBLE) END)"
+      val pi11 = "CAST(n11 AS DOUBLE) / (CASE WHEN n10 + n11 > 0" +
+        " THEN CAST(n10 + n11 AS DOUBLE) END)"
+      val pi = "CAST(n01 + n11 AS DOUBLE) / " +
+        "CAST(n00 + n01 + n10 + n11 AS DOUBLE)"
+      val ll0 = s"${t0("n00 + n10", s"1.0 - $pi")} + " +
+        s"${t0("n01 + n11", pi)}"
+      val llA = s"${t0("n00", s"1.0 - $pi01")} + ${t0("n01", pi01)}" +
+        s" + ${t0("n10", s"1.0 - $pi11")} + ${t0("n11", pi11)}"
+      val xr = "CAST(x AS DOUBLE) / CAST(n_rets AS DOUBLE)"
+      val lrPof = s"-2.0 * ((CAST(n_rets AS DOUBLE) - CAST(x AS " +
+        s"DOUBLE)) * $l1 + CAST(x AS DOUBLE) * $lp - " +
+        s"(CAST(n_rets AS DOUBLE) - CAST(x AS DOUBLE)) * " +
+        s"round(ln(CASE WHEN 1.0 - $xr > 0.0 THEN 1.0 - $xr END), 12)" +
+        s" - CAST(x AS DOUBLE) * " +
+        s"round(ln(CASE WHEN $xr > 0.0 THEN $xr END), 12))"
+      val lrInd = s"-2.0 * (($ll0) - ($llA))"
+      s""",
+rets AS (
+  SELECT ticker, bucket,
+    CASE WHEN lag(close, 1) OVER tw <> 0
+      THEN close / lag(close, 1) OVER tw - 1 END AS v
+  FROM bars
+  WINDOW tw AS (PARTITION BY ticker ORDER BY bucket)
+  QUALIFY v IS NOT NULL),
+q AS (
+  SELECT ticker, round(quantile_cont(v, $lv)::DOUBLE, 6) AS var_5
+  FROM rets GROUP BY ticker),
+hits AS (
+  SELECT r.ticker, r.bucket,
+    CASE WHEN r.v <= q.var_5 THEN 1 ELSE 0 END AS hit
+  FROM rets r JOIN q ON r.ticker = q.ticker),
+tot AS (
+  SELECT ticker, count(*)::BIGINT AS n_rets,
+    CAST(sum(hit) AS BIGINT) AS x
+  FROM hits GROUP BY 1),
+trans AS (
+  SELECT ticker,
+    CAST(sum(CASE WHEN ph = 0 AND hit = 0 THEN 1 ELSE 0 END)
+      AS BIGINT) AS n00,
+    CAST(sum(CASE WHEN ph = 0 AND hit = 1 THEN 1 ELSE 0 END)
+      AS BIGINT) AS n01,
+    CAST(sum(CASE WHEN ph = 1 AND hit = 0 THEN 1 ELSE 0 END)
+      AS BIGINT) AS n10,
+    CAST(sum(CASE WHEN ph = 1 AND hit = 1 THEN 1 ELSE 0 END)
+      AS BIGINT) AS n11
+  FROM (SELECT ticker, hit, lag(hit, 1) OVER hw AS ph FROM hits
+    WINDOW hw AS (PARTITION BY ticker ORDER BY bucket))
+  WHERE ph IS NOT NULL GROUP BY ticker)
+SELECT t.ticker, t.n_rets, t.x AS n_viol, tr.n01, tr.n11,
+  CASE WHEN t.x > 0 AND t.x < t.n_rets
+    THEN round($lrPof, 6) END AS lr_pof,
+  round($lrInd, 6) AS lr_ind,
+  CASE WHEN t.x > 0 AND t.x < t.n_rets
+    THEN round(($lrPof) + ($lrInd), 6) END AS lr_cc
+FROM tot t JOIN trans tr ON t.ticker = tr.ticker
+ORDER BY t.ticker"""
+    }),
     // Ichimoku cloud: rolling (max+min)/2 midlines, spans shifted by
     // the kijun period, partial warm-up windows stated identically
     "stock_ichimoku" -> (barsCte + {

@@ -818,6 +818,8 @@ object SparkEntry {
     // mutual information between document language and source
     "text_mi_lang_source" -> ((s, d) =>
       TextAnalysis.miLangSource(Tables.documents(s, d))),
+    // Kupiec POF + Christoffersen independence VaR backtest
+    "stock_var_backtest" -> (TimeSeries.varBacktest _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1198,6 +1198,96 @@ object TimeSeries {
       .orderBy(col("ticker"))
   }
 
+  /** ln p / ln(1−p) for the [[VarLevel]] coverage — shared literals,
+    * so neither engine's libm is in the loop for the constant part. */
+  private[graft] val lnVarP = math.log(VarLevel)
+  private[graft] val lnVar1P = math.log(1 - VarLevel)
+
+  /** VaR backtest per ticker: Kupiec's proportion-of-failures LR (is
+    * the violation RATE right) plus Christoffersen's independence LR
+    * (do violations CLUSTER — the part a rate test can't see) against
+    * the in-sample empirical 5% VaR, combined as LR_cc — the standard
+    * regulatory model-validation pair (each χ²(1), cc χ²(2); > 3.84 /
+    * 5.99 rejects). In-sample the POF statistic is near zero BY
+    * CONSTRUCTION (the quantile sets the rate) — the clustering test
+    * is the live one; a production desk feeds model VaR through the
+    * same frame. Violation transition counts stay BIGINT; the
+    * data-dependent logs ride the round-12 grid; the p-constants are
+    * shared literals; every guard NULLs the statistic when a log
+    * argument would be degenerate.
+    *
+    * Scale: the [[varEs]] quantile + one lag window + two per-ticker
+    * hash aggregates. */
+  def varBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val bars = closeBars5m(StockPipeline.normalize(Tables.events(spark, dir)))
+    val w = Window.partitionBy(col("ticker")).orderBy(col("bucket"))
+    val rets = simpleRets(bars, "v")
+    val qs = Quantiles
+      .exactPercentilesBy(rets.select(col("ticker"), col("v")),
+        Seq("ticker"), Seq(VarLevel))
+      .select(col("ticker"), round(element_at(col("bs"), 1), 6).as("var_5"))
+    val hits = rets.join(broadcast(qs), Seq("ticker"))
+      .select(col("ticker"), col("bucket"),
+        when(col("v") <= col("var_5"), 1L).otherwise(0L).as("hit"))
+      .pin(eager = true)
+    val tot = hits.groupBy(col("ticker"))
+      .agg(count(lit(1)).as("n_rets"), sum(col("hit")).as("x"))
+    val trans = hits
+      .select(col("ticker"), col("hit"),
+        lag(col("hit"), 1).over(w).as("ph"))
+      .filter(col("ph").isNotNull)
+      .groupBy(col("ticker"))
+      .agg(sum(when(col("ph") === 0 && col("hit") === 0, 1L)
+          .otherwise(0L)).as("n00"),
+        sum(when(col("ph") === 0 && col("hit") === 1, 1L)
+          .otherwise(0L)).as("n01"),
+        sum(when(col("ph") === 1 && col("hit") === 0, 1L)
+          .otherwise(0L)).as("n10"),
+        sum(when(col("ph") === 1 && col("hit") === 1, 1L)
+          .otherwise(0L)).as("n11"))
+    val nd = col("n_rets").cast("double")
+    val xd = col("x").cast("double")
+    val xr = xd / nd
+    // ln arguments NULL-guarded inline (DuckDB raises on ln(0) even
+    // in unselected CASE branches — same discipline as divisions)
+    val lrPof = lit(-2.0) * ((nd - xd) * lit(lnVar1P) + xd * lit(lnVarP) -
+      (nd - xd) * round(log(when(lit(1.0) - xr > 0.0,
+        lit(1.0) - xr)), 12) -
+      xd * round(log(when(xr > 0.0, xr)), 12))
+    val nt = (col("n00") + col("n01") + col("n10") + col("n11"))
+      .cast("double")
+    // 0·ln 0 = 0 convention: a zero transition cell contributes
+    // nothing instead of NULLing the statistic (the textbook form)
+    def t0(c: org.apache.spark.sql.Column,
+        p: org.apache.spark.sql.Column) =
+      when(c > 0, c.cast("double") *
+          round(log(when(p > 0.0, p)), 12))
+        .otherwise(lit(0.0))
+    val pi01 = col("n01").cast("double") /
+      when((col("n00") + col("n01")) > 0,
+        (col("n00") + col("n01")).cast("double"))
+    val pi11 = col("n11").cast("double") /
+      when((col("n10") + col("n11")) > 0,
+        (col("n10") + col("n11")).cast("double"))
+    val pi = (col("n01") + col("n11")).cast("double") / nt
+    val ll0 = t0(col("n00") + col("n10"), lit(1.0) - pi) +
+      t0(col("n01") + col("n11"), pi)
+    val llA = t0(col("n00"), lit(1.0) - pi01) +
+      t0(col("n01"), pi01) +
+      t0(col("n10"), lit(1.0) - pi11) +
+      t0(col("n11"), pi11)
+    val lrInd = lit(-2.0) * (ll0 - llA)
+    tot.join(trans, Seq("ticker"))
+      .select(col("ticker"), col("n_rets"), col("x").as("n_viol"),
+        col("n01"), col("n11"),
+        when(col("x") > 0 && col("x") < col("n_rets"),
+          round(lrPof, 6)).as("lr_pof"),
+        round(lrInd, 6).as("lr_ind"),
+        when(col("x") > 0 && col("x") < col("n_rets"),
+          round(lrPof + lrInd, 6)).as("lr_cc"))
+      .orderBy(col("ticker"))
+  }
+
   /** Ichimoku spans (bars) — shared with the oracle. */
   val IchiTenkan = 9
   val IchiKijun = 26

@@ -1248,6 +1248,57 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("varBacktest: POF and independence LRs match a local " +
+      "recomputation against the empirical quantile (sf0.001)") {
+    val out = TimeSeries.varBacktest(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    val varsByTicker = TimeSeries.varEs(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+    val rets = TimeSeries.closeBars5m(graft.operators.StockPipeline
+        .normalize(graft.sources.Tables.events(spark, "/root/testdata/sf0.001")))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getDouble(2)))
+      .groupBy(_._1).view.mapValues { rs =>
+        val closes = rs.sortBy(_._2).map(_._3)
+        closes.zip(closes.drop(1)).collect {
+          case (p, c) if p != 0.0 => c / p - 1 }.toSeq
+      }.toMap
+    out.foreach { r =>
+      val t = r.getString(0)
+      val xs = rets(t)
+      val v5 = varsByTicker(t)
+      val hits = xs.map(x => if (x <= v5) 1 else 0)
+      val (n, x) = (hits.length, hits.sum)
+      assert(r.getLong(1) === n.toLong)
+      assert(r.getLong(2) === x.toLong)
+      val trans = hits.zip(hits.drop(1))
+      def cnt(a: Int, b: Int) = trans.count(tp => tp._1 == a && tp._2 == b)
+      val (n00, n01, n10, n11) = (cnt(0, 0), cnt(0, 1), cnt(1, 0), cnt(1, 1))
+      assert(r.getLong(3) === n01.toLong)
+      assert(r.getLong(4) === n11.toLong)
+      if (!r.isNullAt(5)) {
+        val p = TimeSeries.VarLevel; val xr = x.toDouble / n
+        val lrPof = -2.0 * ((n - x) * math.log(1 - p) + x * math.log(p) -
+          (n - x) * math.log(1 - xr) - x * math.log(xr))
+        assert(math.abs(r.getDouble(5) - lrPof) <
+          1e-4 * math.max(1.0, lrPof), s"$t pof")
+        assert(lrPof >= -1e-9)
+      }
+      def t0(c: Int, p: Double) = if (c > 0) c * math.log(p) else 0.0
+      val pi01 = if (n00 + n01 > 0) n01.toDouble / (n00 + n01) else 0.0
+      val pi11 = if (n10 + n11 > 0) n11.toDouble / (n10 + n11) else 0.0
+      val pi = (n01 + n11).toDouble / (n00 + n01 + n10 + n11)
+      val ll0 = t0(n00 + n10, 1 - pi) + t0(n01 + n11, pi)
+      val llA = t0(n00, 1 - pi01) + t0(n01, pi01) +
+        t0(n10, 1 - pi11) + t0(n11, pi11)
+      val lrInd = -2.0 * (ll0 - llA)
+      assert(math.abs(r.getDouble(6) - lrInd) <
+        1e-4 * math.max(1.0, math.abs(lrInd)), s"$t ind")
+    }
+  }
+
   test("ichimoku: midlines match local rolling (max+min)/2, spans " +
       "are the kijun-shifted values (sf0.001)") {
     val out = TimeSeries.ichimoku(spark, "/root/testdata/sf0.001")
