@@ -644,6 +644,20 @@ SELECT doc_id, lang, source, sample_bucket FROM (
   SELECT doc_id, lang, source, $sampleKeySql % 100 AS sample_bucket
   FROM documents)
 WHERE sample_bucket < 20 ORDER BY doc_id""",
+    // systematic sampling: NAIVE global rank over the salted hash
+    // order (engine runs the banded scan), every k-th row
+    "sample_systematic" -> s"""
+WITH base AS (
+  SELECT doc_id, lang, source,
+    CAST(('0x' || substr(md5('${Curation.sysSalt}' ||
+      CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+  FROM documents),
+rk AS (
+  SELECT doc_id, lang, source,
+    row_number() OVER (ORDER BY h, doc_id)::BIGINT AS rank
+  FROM base)
+SELECT doc_id, lang, source, rank FROM rk
+WHERE (rank - 1) % ${Curation.sysK} = 0 ORDER BY rank""",
     "sample_mixture" -> s"""
 SELECT doc_id, lang, source, mix_bucket, n_copies, copy_id FROM (
   SELECT doc_id, lang, source, mix_bucket, n_copies,

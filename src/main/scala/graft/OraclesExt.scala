@@ -1885,6 +1885,46 @@ FROM ged a JOIN ged b
 WHERE a.vec_id < a.neighbor_id
 ORDER BY vec_a, vec_b"""
     }),
+    // rich-club coefficient: mutual-kNN degrees, per-threshold club
+    // membership, phi = 2 E_t / (n_t (n_t - 1))
+    "sim_rich_club" -> (simBase + kmeansCtes + {
+      val it = graft.operators.Similarity.kmIters
+      val branches = (1 to 3).map { t =>
+        s"""SELECT $t::BIGINT AS min_degree,
+  (SELECT count(*)::BIGINT FROM dg WHERE deg >= $t) AS n_club,
+  (SELECT count(*)::BIGINT FROM med e
+    JOIN dg da ON e.vec_a = da.node AND da.deg >= $t
+    JOIN dg db ON e.vec_b = db.node AND db.deg >= $t) AS e_club"""
+      }.mkString("\nUNION ALL\n")
+      s""",
+kp AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+    round(list_inner_product(a.ev, b.ev), 6) AS cosine
+  FROM asg$it a JOIN asg$it b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+kr AS (
+  SELECT vec_id, neighbor_id, cosine,
+    row_number() OVER (PARTITION BY vec_id
+      ORDER BY cosine DESC, neighbor_id)::BIGINT AS rank
+  FROM kp),
+ged AS (SELECT vec_id, neighbor_id FROM kr WHERE rank <= 3),
+med AS (
+  SELECT a.vec_id AS vec_a, a.neighbor_id AS vec_b
+  FROM ged a JOIN ged b
+    ON a.vec_id = b.neighbor_id AND a.neighbor_id = b.vec_id
+  WHERE a.vec_id < a.neighbor_id),
+dg AS (
+  SELECT node, count(*)::BIGINT AS deg FROM (
+    SELECT vec_a AS node FROM med
+    UNION ALL SELECT vec_b AS node FROM med)
+  GROUP BY 1),
+grid AS (
+$branches)
+SELECT min_degree, n_club, e_club,
+  round(2.0 * CAST(e_club AS DOUBLE) /
+    (CASE WHEN n_club > 1
+      THEN CAST(n_club * (n_club - 1) AS DOUBLE) END), 6) AS phi
+FROM grid ORDER BY min_degree"""
+    }),
     // triangles over the mutual-kNN graph: the oracle re-derives the
     // mutual edge set (vec_a < vec_b) and states the compact-forward
     // 3-way join — each triangle appears once as a < b < c.

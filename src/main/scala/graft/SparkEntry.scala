@@ -820,6 +820,12 @@ object SparkEntry {
       TextAnalysis.miLangSource(Tables.documents(s, d))),
     // Kupiec POF + Christoffersen independence VaR backtest
     "stock_var_backtest" -> (TimeSeries.varBacktest _),
+    // systematic sampling: every k-th doc in salted-hash order
+    "sample_systematic" -> ((s, d) =>
+      operators.Curation.sampleSystematic(Tables.documents(s, d))),
+    // rich-club coefficient over the mutual-kNN graph
+    "sim_rich_club" -> ((s, d) =>
+      Similarity.richClub(Tables.embeddings(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

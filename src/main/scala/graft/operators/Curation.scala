@@ -921,6 +921,30 @@ object Curation {
       .select("doc_id", "lang", "source", "sample_bucket")
       .orderBy("doc_id")
 
+  /** Systematic-sampling interval and salt — shared with the oracle. */
+  val sysK = 10
+  val sysSalt = "graft-sys:"
+
+  /** Systematic sampling: order the corpus by a salted portable hash
+    * (a reproducible random permutation) and take every [[sysK]]-th
+    * document — the design that GUARANTEES the ⌈n/k⌉ sample size and
+    * even coverage of the hash order, where Bernoulli sampling only
+    * hits both in expectation. The global rank is the
+    * [[Relational.bandedRank]] two-level band scan (no data-sized
+    * sort); the oracle states the naive global window and hash
+    * equality proves the rewrite. */
+  def sampleSystematic(documents: DataFrame,
+      k: Int = sysK): DataFrame = {
+    val base = documents.select(col("doc_id"), col("lang"),
+      col("source"),
+      graft.functions.Portable.hash32(
+        concat(lit(sysSalt), col("doc_id").cast("string"))).as("h"))
+    Relational.bandedRank(base, "h", "doc_id", "rank", desc = false)
+      .filter((col("rank") - 1) % k === 0)
+      .select(col("doc_id"), col("lang"), col("source"), col("rank"))
+      .orderBy(col("rank"))
+  }
+
   // ---- corpus mixture (domain reweighting) ----
   val mixSalt = "graft-mix:"
 

@@ -2905,7 +2905,7 @@ object Relational {
     * [DESC], tie)` bit-for-bit — the oracles state the naive global
     * window and hash equality proves each rewrite. `desc = true`
     * walks bands and in-band values in descending order. */
-  private def bandedRank(df: DataFrame, valueCol: String,
+  private[operators] def bandedRank(df: DataFrame, valueCol: String,
       tieCol: String, rankName: String, desc: Boolean,
       nBands: Int = 128): DataFrame = {
     // pin the input: it feeds THREE branches (min/max bounds, band

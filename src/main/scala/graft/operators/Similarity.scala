@@ -1398,6 +1398,48 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Rich-club coefficient over the mutual-kNN graph: for each degree
+    * threshold t, φ(t) = 2·E_t / (n_t·(n_t−1)) where n_t counts nodes
+    * of degree ≥ t and E_t the edges with BOTH ends in that club —
+    * does the embedding space's best-connected hub set wire to itself
+    * (φ→1: a dense semantic core the curriculum should dedup harder)
+    * or spread out (φ→0)? Degrees are bounded by k (mutuality only
+    * shrinks lists), so the threshold grid is ≤ k rows and every join
+    * is an equi-join on vertex ids; counts stay BIGINT until the one
+    * final ratio.
+    *
+    * Scale: degree table = one hash aggregate over the edge list;
+    * per-threshold memberships are broadcast semi-joins of a
+    * metadata-sized club set... the edge list never self-joins. */
+  def richClub(embeddings: DataFrame, k: Int = 3,
+      cells: Int = kmK): DataFrame = {
+    val edges = mutualKnnGraph(embeddings, k, cells)
+      .select(col("vec_a"), col("vec_b"))
+      .pin(eager = true)
+    val deg = edges.select(col("vec_a").as("node"))
+      .unionAll(edges.select(col("vec_b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .pin(eager = true)
+    val perT = (1 to k).map { t =>
+      val club = deg.filter(col("deg") >= t).select(col("node"))
+      val nT = club.agg(count(lit(1)).as("n_club"))
+      val eT = edges
+        .join(club.select(col("node").as("vec_a")), Seq("vec_a"),
+          "leftsemi")
+        .join(club.select(col("node").as("vec_b")), Seq("vec_b"),
+          "leftsemi")
+        .agg(count(lit(1)).as("e_club"))
+      nT.crossJoin(broadcast(eT))
+        .select(lit(t).cast("long").as("min_degree"),
+          col("n_club"), col("e_club"),
+          round(lit(2.0) * col("e_club").cast("double") /
+            when(col("n_club") > 1,
+              (col("n_club") * (col("n_club") - 1)).cast("double")),
+            6).as("phi"))
+    }
+    perT.reduce(_ unionAll _).orderBy(col("min_degree"))
+  }
+
   /** Triangle enumeration over the mutual-kNN graph — the clustering-
     * coefficient / community-density primitive. Each triangle surfaces
     * once as (vec_a < vec_b < vec_c).

@@ -47,6 +47,54 @@ class ClusterValiditySpec extends SparkSpec {
     }
   }
 
+  test("richClub: club sizes/edges/phi match a local recomputation " +
+      "from the engine's mutual-kNN edges (sf0.001)") {
+    val edges = Similarity
+      .mutualKnnGraph(Tables.embeddings(spark, dir)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val out = Similarity.richClub(Tables.embeddings(spark, dir))
+      .collect()
+    assert(out.length === 3)
+    val deg = (edges.map(_._1) ++ edges.map(_._2))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    out.foreach { r =>
+      val t = r.getLong(0).toInt
+      val club = deg.filter(_._2 >= t).keySet
+      assert(r.getLong(1) === club.size.toLong, s"t=$t n_club")
+      val eT = edges.count(e => club(e._1) && club(e._2))
+      assert(r.getLong(2) === eT.toLong, s"t=$t e_club")
+      if (!r.isNullAt(3) && club.size > 1)
+        assert(math.abs(r.getDouble(3) -
+          2.0 * eT / (club.size.toDouble * (club.size - 1))) < 1e-6)
+    }
+    // monotone club shrinkage
+    assert(out.map(_.getLong(1)).toSeq ===
+      out.map(_.getLong(1)).toSeq.sorted.reverse)
+  }
+
+  test("sampleSystematic: exact ceil(n/k) size, every k-th rank, " +
+      "membership matches the hash order (sf0.001)") {
+    val docs = Tables.documents(spark, dir)
+    val out = graft.operators.Curation.sampleSystematic(docs).collect()
+    val n = docs.count()
+    val k = graft.operators.Curation.sysK
+    assert(out.length === ((n + k - 1) / k).toInt)
+    assert(out.forall(r => (r.getLong(3) - 1) % k === 0))
+    // membership: recompute the hash order locally
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    val ordered = ids.map { id =>
+      val hex = md5.digest(
+        (graft.operators.Curation.sysSalt + id).getBytes("UTF-8"))
+        .map(x => f"${x & 0xff}%02x").mkString.take(8)
+      (java.lang.Long.parseLong(hex, 16), id)
+    }.sortBy(identity).map(_._2)
+    val expect = ordered.zipWithIndex.collect {
+      case (id, i) if i % k == 0 => id
+    }.toSet
+    assert(out.map(_.getLong(0)).toSet === expect)
+  }
+
   test("ckaHalves: CKA matches a local feature-space recomputation " +
       "and lands in [0,1] (sf0.001)") {
     val out = Similarity
