@@ -119,6 +119,46 @@ SELECT doc_id, n_sentences, n_words, n_syllables,
     + 11.8 * (n_syllables::DOUBLE / n_words) - 15.59, 4) AS fk_grade
 FROM c ORDER BY doc_id""",
     // Zipf rank-frequency profile: per-row ratios over exact counts
+    // BM25 against the fixed query terms: per-doc tf/length from one
+    // exploded aggregate, one-row corpus stats, round-12 idf grid,
+    // fixed term-order score sum, TakeOrdered top-k
+    "text_bm25_top" -> {
+      val terms = graft.operators.TextAnalysis.Bm25Terms
+      val k1 = graft.operators.TextAnalysis.Bm25K1
+      val b = graft.operators.TextAnalysis.Bm25B
+      val tfs = terms.map(t =>
+        s"CAST(sum(CASE WHEN token = '$t' THEN 1 ELSE 0 END)" +
+          s" AS BIGINT) AS tf_$t").mkString(",\n    ")
+      val dfs = terms.map(t =>
+        s"CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END)" +
+          s" AS BIGINT) AS df_$t").mkString(",\n    ")
+      val score = terms.map { t =>
+        s"round(ln((CAST(n_docs AS DOUBLE) - CAST(df_$t AS DOUBLE)" +
+          s" + 0.5) / (CAST(df_$t AS DOUBLE) + 0.5) + 1.0), 12) *\n" +
+          s"    (CAST(tf_$t AS DOUBLE) * ${k1 + 1.0}) /\n" +
+          s"    (CAST(tf_$t AS DOUBLE) + $k1 * (${1.0 - b} +\n" +
+          s"      $b * CAST(dl AS DOUBLE) / avgdl))"
+      }.mkString(" +\n  ")
+      s"""
+WITH ex AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+'))
+    AS token
+  FROM documents),
+pd AS (
+  SELECT doc_id, count(*)::BIGINT AS dl,
+    $tfs
+  FROM ex GROUP BY 1),
+st AS (
+  SELECT count(*)::BIGINT AS n_docs,
+    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+    $dfs
+  FROM pd)
+SELECT doc_id, dl,
+  round($score, 6) AS score
+FROM pd CROSS JOIN st
+ORDER BY score DESC, doc_id
+LIMIT ${graft.operators.TextAnalysis.bm25TopK}"""
+    },
     // MI(lang, source): exact joint counts, round-12 log-term grid,
     // NMI normalized by the marginal-entropy geometric mean
     "text_mi_lang_source" -> """

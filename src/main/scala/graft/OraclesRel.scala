@@ -1293,6 +1293,32 @@ SELECT n_gaps, round(k, 6) AS shape,
   round(cxy * cxy / (CASE WHEN vx * vy <> 0.0 THEN vx * vy END), 6)
     AS r2
 FROM fin""",
+    // seasonal-naive forecast backtest: exact decimal errors,
+    // round-12 relative-error grid, VARCHAR-crossed decimal sums
+    "rel_forecast_naive" -> """
+WITH monthly AS (
+  SELECT EXTRACT(YEAR FROM o_orderdate) * 12 +
+      EXTRACT(MONTH FROM o_orderdate) AS month,
+    sum(o_totalprice::DECIMAL(18,6)) AS rev
+  FROM orders GROUP BY 1),
+j AS (
+  SELECT m.month, m.rev, p.rev AS pred
+  FROM monthly m JOIN monthly p ON m.month = p.month + 12),
+a AS (
+  SELECT count(*)::BIGINT AS n_forecasts,
+    CAST(CAST(sum(rev - pred) AS VARCHAR) AS DOUBLE) AS bias_sum,
+    CAST(CAST(sum(abs(rev - pred)) AS VARCHAR) AS DOUBLE) AS mae_sum,
+    CAST(CAST(sum(CAST(round(
+      CAST(CAST(abs(rev - pred) AS VARCHAR) AS DOUBLE) /
+        (CASE WHEN rev <> 0
+          THEN CAST(CAST(rev AS VARCHAR) AS DOUBLE) END), 12)
+      AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) AS mape_sum
+  FROM j)
+SELECT n_forecasts,
+  round(mae_sum / CAST(n_forecasts AS DOUBLE), 6) AS mae,
+  round(bias_sum / CAST(n_forecasts AS DOUBLE), 6) AS bias,
+  round(mape_sum / CAST(n_forecasts AS DOUBLE), 6) AS mape
+FROM a""",
     // X-11-style additive decomposition: centered 13-term MA trend
     // (half-weight endpoints), zero-centered month-of-year seasonal
     // on the round-6 decimal grid, NULL trend at the edges

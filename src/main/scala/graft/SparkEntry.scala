@@ -826,6 +826,11 @@ object SparkEntry {
     // rich-club coefficient over the mutual-kNN graph
     "sim_rich_club" -> ((s, d) =>
       Similarity.richClub(Tables.embeddings(s, d))),
+    // BM25 top-k against the fixed query-term set
+    "text_bm25_top" -> ((s, d) =>
+      TextAnalysis.bm25Top(Tables.documents(s, d))),
+    // seasonal-naive forecast backtest on monthly revenue
+    "rel_forecast_naive" -> (Relational.forecastNaive _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

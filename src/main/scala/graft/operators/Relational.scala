@@ -2482,6 +2482,44 @@ object Relational {
       .orderBy(col("p_brand"))
   }
 
+  /** Seasonal-naive forecast backtest on monthly revenue: predict
+    * each month with the SAME month one year earlier and score the
+    * forecast — MAE, bias, and MAPE over every month that has a
+    * 12-back observation. The one-line baseline every real
+    * forecasting model must beat before it ships (and the harness
+    * that scores that model is THIS query with `pred` swapped).
+    * Errors are exact decimal differences; per-row relative errors
+    * ride the round-12 grid; the oracle crosses every decimal→double
+    * cast VARCHAR-mediated (revenue magnitudes sit in the 1e7 band).
+    *
+    * Scale: month-grain aggregate + a self-join on the bounded month
+    * grid — metadata-sized end to end after the scan. */
+  def forecastNaive(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .select((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("month"),
+        col("o_totalprice").cast("decimal(18,6)").as("px"))
+      .groupBy(col("month")).agg(sum(col("px")).as("rev"))
+    val pred = monthly.select((col("month") + 12).as("month"),
+      col("rev").as("pred"))
+    val joined = monthly.join(pred, Seq("month"))
+    val e = col("rev") - col("pred")
+    joined.agg(
+        count(lit(1)).as("n_forecasts"),
+        sum(e).cast("double").as("bias_sum"),
+        sum(abs(e)).cast("double").as("mae_sum"),
+        sum(round(abs(e).cast("double") /
+            when(col("rev") =!= 0, col("rev").cast("double")), 12)
+          .cast("decimal(28,12)")).cast("double").as("mape_sum"))
+      .select(col("n_forecasts"),
+        round(col("mae_sum") / col("n_forecasts").cast("double"), 6)
+          .as("mae"),
+        round(col("bias_sum") / col("n_forecasts").cast("double"), 6)
+          .as("bias"),
+        round(col("mape_sum") / col("n_forecasts").cast("double"), 6)
+          .as("mape"))
+  }
+
   /** Classical seasonal decomposition of monthly revenue (the X-11
     * additive core): trend = centered 13-term moving average with
     * half-weight endpoints (the symmetric MA that kills a 12-month

@@ -194,6 +194,54 @@ object TextAnalysis {
   }
 
   /** Top-k for [[zipf]] — shared with the oracle generator. */
+  /** BM25 parameters and the fixed query — shared with the oracle. */
+  val Bm25Terms = Seq("spark", "join", "merge", "window")
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val bm25TopK = 20
+
+  /** BM25 retrieval scoring of the corpus against the fixed
+    * [[Bm25Terms]] query: the Robertson/Sparck-Jones ranking function
+    * with term-frequency saturation (k1) and length normalization (b)
+    * that tf-idf lacks — the engine's full-text-search primitive.
+    * Per-doc term frequencies and lengths come from one exploded
+    * hash aggregate; corpus stats (N, df per term, avg length) are a
+    * one-row broadcast; each idf rides the round-12 grid and the
+    * ≤|terms| score sum is stated in fixed term order. Top-k is a
+    * TakeOrderedAndProject.
+    *
+    * Scale: one explode + one doc-grain aggregate + a broadcast
+    * scalar — no data-sized join or window anywhere. */
+  def bm25Top(documents: DataFrame, k: Int = bm25TopK): DataFrame = {
+    val perDoc = documents
+      .select(col("doc_id"), explode(toks).as("token"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dl"),
+        Bm25Terms.map(t =>
+          sum(when(col("token") === t, 1L).otherwise(0L))
+            .as(s"tf_$t")): _*)
+    val stats = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") /
+        count(lit(1)).cast("double")).as("avgdl") +:
+        Bm25Terms.map(t =>
+          sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L))
+            .as(s"df_$t")): _*)
+    val nd = col("n_docs").cast("double")
+    val score = Bm25Terms.map { t =>
+      val tf = col(s"tf_$t").cast("double")
+      val df = col(s"df_$t").cast("double")
+      val idf = round(log((nd - df + 0.5) / (df + 0.5) + 1.0), 12)
+      idf * (tf * lit(Bm25K1 + 1.0)) /
+        (tf + lit(Bm25K1) * (lit(1.0 - Bm25B) +
+          lit(Bm25B) * col("dl").cast("double") / col("avgdl")))
+    }.reduce(_ + _)
+    perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("dl"), round(score, 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Mutual information between document language and source:
     * MI = Σ p(l,s)·ln(p(l,s)/(p(l)p(s))) from exact joint counts,
     * plus the marginal entropies and NMI = MI/√(H_l·H_s) — the

@@ -1182,6 +1182,68 @@ class RelationalSpec extends SparkSpec {
     assert(r.getDouble(3) >= 0.0 && r.getDouble(3) < 1.0)
   }
 
+  test("bm25Top: scores match a local BM25 recomputation over the " +
+      "fixed query (sf0.001)") {
+    import graft.operators.TextAnalysis._
+    val out = graft.operators.TextAnalysis
+      .bm25Top(graft.sources.Tables
+        .documents(spark, "/root/testdata/sf0.001")).collect()
+    assert(out.length === bm25TopK)
+    val texts = graft.sources.Tables
+      .documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+      .toMap
+    val n = texts.size
+    val avgdl = texts.values.map(_.length).sum.toDouble / n
+    val dfm = Bm25Terms.map(t =>
+      t -> texts.values.count(_.contains(t))).toMap
+    def score(toks: Seq[String]): Double = Bm25Terms.map { t =>
+      val tf = toks.count(_ == t).toDouble
+      val df = dfm(t).toDouble
+      val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+      idf * (tf * (Bm25K1 + 1.0)) /
+        (tf + Bm25K1 * (1.0 - Bm25B + Bm25B * toks.length / avgdl))
+    }.sum
+    val expect = texts.map { case (id, toks) =>
+      (id, toks.length.toLong, score(toks))
+    }.toSeq.sortBy(t => (-t._3, t._1)).take(bm25TopK)
+    out.sortBy(r => (-r.getDouble(2), r.getLong(0)))
+      .zip(expect).foreach { case (r, (id, dl, s)) =>
+        assert(r.getLong(0) === id, s"doc order ($id)")
+        assert(r.getLong(1) === dl, s"$id dl")
+        assert(math.abs(r.getDouble(2) - s) < 1e-5, s"$id score")
+      }
+  }
+
+  test("forecastNaive: MAE/bias/MAPE match a local month-shifted " +
+      "recomputation (sf0.001)") {
+    val out = graft.operators.Relational
+      .forecastNaive(spark, "/root/testdata/sf0.001").collect()
+    assert(out.length === 1)
+    val r = out.head
+    val monthly = graft.sources.Tables
+      .orders(spark, "/root/testdata/sf0.001")
+      .selectExpr("year(o_orderdate) * 12 + month(o_orderdate) AS m",
+        "CAST(o_totalprice AS DECIMAL(18,6)) AS x")
+      .groupBy("m").agg(org.apache.spark.sql.functions.sum("x").as("x"))
+      .collect().map(x => x.getInt(0) -> x.getDecimal(1)).toMap
+    val pairs = monthly.flatMap { case (m, rev) =>
+      monthly.get(m - 12).map(pred => (rev, pred))
+    }.toSeq
+    assert(r.getLong(0) === pairs.length.toLong)
+    val n = pairs.length.toDouble
+    val errs = pairs.map { case (a, p) => a.subtract(p).doubleValue() }
+    val mae = errs.map(math.abs).sum / n
+    val bias = errs.sum / n
+    val mape = pairs.map { case (a, p) =>
+      math.abs(a.subtract(p).doubleValue()) / a.doubleValue() }.sum / n
+    assert(math.abs(r.getDouble(1) - mae) < 1e-3 * math.max(1.0, mae))
+    assert(math.abs(r.getDouble(2) - bias) <
+      1e-3 * math.max(1.0, math.abs(bias)))
+    assert(math.abs(r.getDouble(3) - mape) < 1e-5)
+  }
+
   test("miLangSource: MI/H/NMI match a local count recomputation, " +
       "0 <= MI <= min(H) (sf0.001)") {
     val out = graft.operators.TextAnalysis
