@@ -91,7 +91,14 @@ object ScaleProbe {
         // minhashPairs front, not add a term of their own
         val (_, kbS) = t(Dedup.keepBest(df).count())
         val (_, dvS) = t(Curation.dedupSavings(df).count())
-        println(f"[scale-probe-docs] x$n%-3d docs=$rows%8d minhashPairs=$mpS%6.2fs($mp) jaccardPairs=$jpS%6.2fs($jp) containmentPairs=$cpS%6.2fs($cp) simhashPairs=$spS%6.2fs($sp) packAssign=$paS%6.2fs shuffleOrder=$soS%6.2fs spanDedup=$sdS%6.2fs substringDedup=$ssS%6.2fs budgetSelect=$bsS%6.2fs novelty=$nvS%6.2fs phashPairs=$phS%6.2fs($php) zorder=$zoS%6.2fs dsir=$dsS%6.2fs liftTable=$ltS%6.2fs calibration=$ccS%6.2fs keepBest=$kbS%6.2fs dedupSavings=$dvS%6.2fs")
+        // round-8 additions: rake is two vocab-grain aggregates + the
+        // hot/cold join; the dhash agreement panel rides the banded
+        // phash candidate front (pair volume, not corpus, is the term)
+        val (_, rkS) = t(graft.operators.TextAnalysis.rake(df).count())
+        val (dha, dhS) =
+          t(graft.operators.Multimodal.dhashAgreement(df).count())
+        val (_, bmS) = t(graft.operators.TextAnalysis.bm25Top(df).count())
+        println(f"[scale-probe-docs] x$n%-3d docs=$rows%8d minhashPairs=$mpS%6.2fs($mp) jaccardPairs=$jpS%6.2fs($jp) containmentPairs=$cpS%6.2fs($cp) simhashPairs=$spS%6.2fs($sp) packAssign=$paS%6.2fs shuffleOrder=$soS%6.2fs spanDedup=$sdS%6.2fs substringDedup=$ssS%6.2fs budgetSelect=$bsS%6.2fs novelty=$nvS%6.2fs phashPairs=$phS%6.2fs($php) zorder=$zoS%6.2fs dsir=$dsS%6.2fs liftTable=$ltS%6.2fs calibration=$ccS%6.2fs keepBest=$kbS%6.2fs dedupSavings=$dvS%6.2fs rake=$rkS%6.2fs dhashAgree=$dhS%6.2fs($dha) bm25=$bmS%6.2fs")
       }
       spark.stop(); return
     }
@@ -179,7 +186,15 @@ object ScaleProbe {
           cells = Similarity.kmK * n).count())
         val (_, lcS) = t(Similarity.lpCommunities(df,
           cells = Similarity.kmK * n).count())
-        println(f"[scale-probe-graph] x$n%-3d vecs=$rows%8d cells=${Similarity.kmK * n}%4d knnGraphMp=$mgS%7.2fs($mg) binaryTopK=$btS%6.2fs rerankTopK=$rrS%6.2fs hardNegatives=$hnS%6.2fs triangles=$tcS%6.2fs($tc) labelProp=$lpS%6.2fs assortativity=$asS%6.2fs linkPred=$lkS%6.2fs($lk) lpCommunities=$lcS%6.2fs")
+        // round-8 additions: dbscan's pair front is the same in-cell
+        // equi-join (cells grow with the corpus); cka is n*d^2 by
+        // construction; richClub rides the mutual-kNN degree table
+        val (dbc, dbS) = t(Similarity.dbscan(df,
+          cells = Similarity.kmK * n).count())
+        val (_, ckS) = t(Similarity.ckaHalves(df).count())
+        val (_, rcS) = t(Similarity.richClub(df,
+          cells = Similarity.kmK * n).count())
+        println(f"[scale-probe-graph] x$n%-3d vecs=$rows%8d cells=${Similarity.kmK * n}%4d knnGraphMp=$mgS%7.2fs($mg) binaryTopK=$btS%6.2fs rerankTopK=$rrS%6.2fs hardNegatives=$hnS%6.2fs triangles=$tcS%6.2fs($tc) labelProp=$lpS%6.2fs assortativity=$asS%6.2fs linkPred=$lkS%6.2fs($lk) lpCommunities=$lcS%6.2fs dbscan=$dbS%6.2fs($dbc) cka=$ckS%6.2fs richClub=$rcS%6.2fs")
       }
       spark.stop(); return
     }
