@@ -100,6 +100,40 @@ SELECT doc_id, chunk_id::BIGINT AS chunk_id,
   least($c, n - chunk_id * $c)::BIGINT AS n_chunk_tokens,
   array_to_string(list_slice(tk, chunk_id * $c + 1, (chunk_id + 1) * $c), ' ') AS chunk_text
 FROM e ORDER BY doc_id, chunk_id""",
+    // chunk-grain exact dedup: portable 64-bit chunk fingerprints,
+    // keep-first-by-(doc,chunk), per-doc duplicate census
+    "doc_chunk_dedup" -> s"""
+WITH $toksCte,
+t AS (SELECT doc_id, tk, len(tk)::BIGINT AS n FROM toks),
+e AS (SELECT doc_id, tk, n,
+  unnest(range(0, (n + ${c - 1}) // $c)) AS chunk_id FROM t),
+ch AS (
+  SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+    array_to_string(list_slice(tk, chunk_id * $c + 1,
+      (chunk_id + 1) * $c), ' ') AS chunk_text
+  FROM e),
+fp AS (
+  SELECT doc_id, chunk_id,
+    CAST(('0x' || substr(md5(chunk_text), 1, 8)) AS BIGINT) AS h_lo,
+    CAST(('0x' || substr(md5(chunk_text), 9, 8)) AS BIGINT) AS h_hi
+  FROM ch),
+fst AS (
+  SELECT h_lo, h_hi,
+    min(doc_id * 1048576 + chunk_id) AS k
+  FROM fp GROUP BY 1, 2),
+fw AS (
+  SELECT f.doc_id, f.chunk_id,
+    fst.k // 1048576 AS first_doc, fst.k % 1048576 AS first_chunk
+  FROM fp f JOIN fst ON f.h_lo = fst.h_lo AND f.h_hi = fst.h_hi)
+SELECT doc_id, count(*)::BIGINT AS n_chunks,
+  CAST(sum(CASE WHEN doc_id <> first_doc OR chunk_id <> first_chunk
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+  CAST(sum(CASE WHEN doc_id <> first_doc THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_cross_doc_dups,
+  round(CAST(sum(CASE WHEN doc_id <> first_doc OR
+      chunk_id <> first_chunk THEN 1 ELSE 0 END) AS DOUBLE) /
+    CAST(count(*) AS DOUBLE), 6) AS dup_share
+FROM fw GROUP BY doc_id ORDER BY doc_id""",
     "doc_chunks_overlap" -> s"""
 WITH $toksCte,
 t AS (SELECT doc_id, tk, len(tk)::BIGINT AS n FROM toks WHERE len(tk) > 0),

@@ -831,6 +831,9 @@ object SparkEntry {
       TextAnalysis.bm25Top(Tables.documents(s, d))),
     // seasonal-naive forecast backtest on monthly revenue
     "rel_forecast_naive" -> (Relational.forecastNaive _),
+    // chunk-grain exact dedup census (sub-document boilerplate signal)
+    "doc_chunk_dedup" -> ((s, d) =>
+      operators.Packing.chunkDedup(Tables.documents(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -82,6 +82,48 @@ object Packing {
             lit(chunkSize))).as("chunk_text"))
       // stream-safe (stateless explode): registration adds the ORDER BY
 
+  /** Chunk-grain exact dedup census: fingerprint every [[chunk]] with
+    * the portable 64-bit hash, keep-first-by-(doc_id, chunk_id), and
+    * report per doc how many of its chunks are duplicates of earlier
+    * material — the sub-document dedup signal (boilerplate headers,
+    * repeated license blocks) that document-level exact dedup cannot
+    * see and near-dup banding only catches when MOST of the doc
+    * matches. Output: per doc, chunk counts, duplicated-chunk count
+    * and share, and how many of those duplicate EARLIER docs (vs
+    * within-doc repeats).
+    *
+    * Scale: fingerprint-before-shuffle (chunks never move as text —
+    * only 2×64-bit hashes shuffle), one hash aggregate to the
+    * fingerprint grain, one doc-grain rollup. */
+  def chunkDedup(documents: DataFrame,
+      chunkSize: Int = chunkTokens): DataFrame = {
+    val fp = chunk(documents, chunkSize)
+      .select(col("doc_id"), col("chunk_id"),
+        graft.functions.Portable.hash32(col("chunk_text")).as("h_lo"),
+        graft.functions.Portable.hash32Hi(col("chunk_text")).as("h_hi"))
+    // keep-first key as one BIGINT: chunk_id < 2^20 by construction
+    // (chunkTokens-sized chunks of bounded docs), so the composite is
+    // the (doc_id, chunk_id) lexicographic min on both engines
+    val first = fp.groupBy(col("h_lo"), col("h_hi"))
+      .agg(min(col("doc_id") * lit(1048576L) + col("chunk_id")).as("k"))
+      .select(col("h_lo"), col("h_hi"),
+        expr("k div 1048576").as("first_doc"),
+        (col("k") % 1048576L).as("first_chunk"))
+    fp.join(first, Seq("h_lo", "h_hi"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("doc_id") =!= col("first_doc") ||
+            col("chunk_id") =!= col("first_chunk"), 1L).otherwise(0L))
+          .as("n_dup_chunks"),
+        sum(when(col("doc_id") =!= col("first_doc"), 1L).otherwise(0L))
+          .as("n_cross_doc_dups"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        col("n_cross_doc_dups"),
+        round(col("n_dup_chunks").cast("double") /
+          col("n_chunks").cast("double"), 6).as("dup_share"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Sliding-window chunking with overlap (stride < chunkSize):
     * consecutive chunks share `chunkSize − stride` tokens — the
     * RAG/context-window layout, vs [[chunk]]'s disjoint shards. Window

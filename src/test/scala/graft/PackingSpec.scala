@@ -325,4 +325,36 @@ class PackingSpec extends SparkSpec {
       assert(math.abs(r.getDouble(3) + r.getDouble(4) - 1.0) < 2e-6)
     }
   }
+
+  test("chunkDedup: planted duplicate chunks are counted with the " +
+      "keep-first rule; clean docs report zero") {
+    import spark.implicits._
+    val c = Packing.chunkTokens
+    val block = (0 until c).map(i => s"w$i").mkString(" ")
+    val other = (0 until c).map(i => s"x$i").mkString(" ")
+    val tail = "unique tail tokens"
+    // doc 1: block + other; doc 2: block twice (one self-dup, one
+    // cross-doc dup); doc 3: clean
+    val d = Seq(
+      (1L, s"$block $other"),
+      (2L, s"$block $block"),
+      (3L, s"$tail"))
+      .map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Packing.chunkDedup(d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((2L, 0L, 0L)))       // first occurrences
+    assert(out(2L) === ((2L, 2L, 2L)))       // both chunks dup doc 1's
+    assert(out(3L) === ((1L, 0L, 0L)))
+    // real data: invariants hold corpus-wide
+    val real = Packing.chunkDedup(docs).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(3) <= r.getLong(2))
+      assert(math.abs(r.getDouble(4) -
+        r.getLong(2).toDouble / r.getLong(1)) < 1e-6)
+    }
+  }
 }
