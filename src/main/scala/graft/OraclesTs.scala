@@ -903,6 +903,28 @@ SELECT ticker, n_triples, n_patterns,
   round(h, 6) AS perm_entropy,
   round(h / ${graft.operators.TimeSeries.peLn6}, 6) AS pe_norm
 FROM m ORDER BY ticker"""),
+    // fractional differencing: generated binomial-weight lag chain
+    // (shared shortest-repr literals), NULL outside the full window
+    "stock_fracdiff" -> (barsCte + {
+      val n = graft.operators.TimeSeries.FracWindow
+      val ws = graft.operators.TimeSeries.fracWeights
+      val lags = (1 until n)
+        .map(k => s"lag(close, $k) OVER tw AS lg$k").mkString(",\n    ")
+      val terms = ws.zipWithIndex.map { case (wk, k) =>
+        val c = if (k == 0) "close" else s"lg$k"
+        s"$c * $wk"
+      }.mkString(" + ")
+      s""",
+wl AS (
+  SELECT ticker, bucket, close,
+    $lags
+  FROM bars
+  WINDOW tw AS (PARTITION BY ticker ORDER BY bucket))
+SELECT ticker, bucket,
+  CASE WHEN lg${n - 1} IS NOT NULL
+    THEN round($terms, 6) END AS fracdiff
+FROM wl ORDER BY ticker, bucket"""
+    }),
     // Kupiec POF + Christoffersen independence VaR backtest: shared
     // ln-p literals, round-12 data logs (args NULL-guarded — DuckDB
     // raises on ln(0)), 0*ln0=0 transition convention

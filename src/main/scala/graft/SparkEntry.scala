@@ -834,6 +834,8 @@ object SparkEntry {
     // chunk-grain exact dedup census (sub-document boilerplate signal)
     "doc_chunk_dedup" -> ((s, d) =>
       operators.Packing.chunkDedup(Tables.documents(s, d))),
+    // fractionally differentiated close series (memory-preserving)
+    "stock_fracdiff" -> (TimeSeries.fracDiff _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1198,6 +1198,53 @@ object TimeSeries {
       .orderBy(col("ticker"))
   }
 
+  /** Fractional-differencing order and window — shared with the
+    * oracle. Weights follow w_0 = 1, w_k = −w_{k−1}·(d−k+1)/k,
+    * computed once in Scala and interpolated as shortest-repr double
+    * literals (the EWMA kernel discipline). */
+  val FracD = 0.4
+  val FracWindow = 12
+  private[graft] val fracWeights: Seq[Double] = {
+    val w = Array.fill(FracWindow)(1.0)
+    for (k <- 1 until FracWindow)
+      w(k) = -w(k - 1) * (FracD - k + 1) / k
+    w.toSeq
+  }
+
+  /** Fractionally differentiated close series (López de Prado ch. 5,
+    * fixed-width window): fd_t = Σ_k w_k·close_{t−k} with the binomial
+    * weights of (1−B)^d at d = [[FracD]] — the minimal differencing
+    * that makes a price series stationary while PRESERVING long-range
+    * memory that full first-differencing (d=1) destroys; the standard
+    * feature transform before fitting anything on levels. The weight
+    * chain is generated from shared constants (both engines parse
+    * bit-identical literals, summation in one textual order); rows
+    * without the full [[FracWindow]]-bar history emit NULL, stated
+    * identically by the oracle.
+    *
+    * Scale: one per-ticker lag window, then a stateless per-row
+    * weighted sum — map-side after the partition sort. */
+  def fracDiff(spark: SparkSession, dir: String): DataFrame =
+    fracDiffBars(closeBars5m(
+      StockPipeline.normalize(Tables.events(spark, dir))))
+
+  private[graft] def fracDiffBars(bars: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("ticker")).orderBy(col("bucket"))
+    val withLags = bars.select(
+      col("ticker") +: col("bucket") +: col("close") +:
+        (1 until FracWindow).map(k =>
+          lag(col("close"), k).over(w).as(s"lg$k")): _*)
+    val sum0 = fracWeights.zipWithIndex.map { case (wk, k) =>
+      val c = if (k == 0) col("close") else col(s"lg$k")
+      c * lit(wk)
+    }.reduce(_ + _)
+    withLags
+      .select(col("ticker"), col("bucket"),
+        when(col(s"lg${FracWindow - 1}").isNotNull,
+          round(sum0, 6)).as("fracdiff"))
+      .orderBy(col("ticker"), col("bucket"))
+  }
+
   /** ln p / ln(1−p) for the [[VarLevel]] coverage — shared literals,
     * so neither engine's libm is in the loop for the constant part. */
   private[graft] val lnVarP = math.log(VarLevel)

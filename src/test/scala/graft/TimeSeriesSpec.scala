@@ -1248,6 +1248,37 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("fracDiff: values match a local binomial-weight recomputation; " +
+      "d=1 weights would be plain differencing (sf0.001)") {
+    val out = TimeSeries.fracDiff(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    // the weight recurrence at d=0.4
+    val n = TimeSeries.FracWindow
+    val w = Array.fill(n)(1.0)
+    for (k <- 1 until n) w(k) = -w(k - 1) * (TimeSeries.FracD - k + 1) / k
+    assert(w(1) === -TimeSeries.FracD)
+    assert(w.drop(1).forall(_ < 0), "all lag weights negative for 0<d<1")
+    val bars = TimeSeries.closeBars5m(graft.operators.StockPipeline
+        .normalize(graft.sources.Tables.events(spark, "/root/testdata/sf0.001")))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val byKey = out.map(r => (r.getString(0), r.getTimestamp(1).getTime) ->
+      (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    bars.foreach { case (t, bs) =>
+      bs.indices.foreach { i =>
+        val got = byKey((t, bs(i)._2))
+        if (i < n - 1) assert(got.isEmpty, s"$t bar $i warmup")
+        else {
+          val expect = (0 until n).map(k => bs(i - k)._3 * w(k)).sum
+          assert(math.abs(got.get - expect) <
+            1e-5 * math.max(1.0, math.abs(expect)), s"$t bar $i")
+        }
+      }
+    }
+  }
+
   test("varBacktest: POF and independence LRs match a local " +
       "recomputation against the empirical quantile (sf0.001)") {
     val out = TimeSeries.varBacktest(spark, "/root/testdata/sf0.001")
