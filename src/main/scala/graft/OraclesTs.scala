@@ -903,6 +903,34 @@ SELECT ticker, n_triples, n_patterns,
   round(h, 6) AS perm_entropy,
   round(h / ${graft.operators.TimeSeries.peLn6}, 6) AS pe_norm
 FROM m ORDER BY ticker"""),
+    // Sortino/Omega: pinned per-row gain/loss splits, decimal sums,
+    // guarded divisors
+    "stock_sortino" -> (barsCte + """,
+rets AS (
+  SELECT ticker, bucket,
+    CASE WHEN lag(close, 1) OVER tw <> 0
+      THEN close / lag(close, 1) OVER tw - 1 END AS r
+  FROM bars
+  WINDOW tw AS (PARTITION BY ticker ORDER BY bucket)
+  QUALIFY r IS NOT NULL),
+m AS (
+  SELECT ticker, count(*)::BIGINT AS n_rets,
+    CAST(sum(CAST(r AS DECIMAL(38,18))) AS DOUBLE) AS sr,
+    CAST(sum(CAST(least(r, 0.0) * least(r, 0.0) AS DECIMAL(38,18)))
+      AS DOUBLE) AS sdd,
+    CAST(sum(CAST(greatest(r, 0.0) AS DECIMAL(38,18))) AS DOUBLE)
+      AS sgain,
+    CAST(sum(CAST(-least(r, 0.0) AS DECIMAL(38,18))) AS DOUBLE)
+      AS sloss
+  FROM rets GROUP BY 1)
+SELECT ticker, n_rets,
+  round(sr / CAST(n_rets AS DOUBLE), 6) AS mean_ret,
+  round(sqrt(sdd / CAST(n_rets AS DOUBLE)), 6) AS downside_dev,
+  round((sr / CAST(n_rets AS DOUBLE)) /
+    (CASE WHEN sqrt(sdd / CAST(n_rets AS DOUBLE)) <> 0.0
+      THEN sqrt(sdd / CAST(n_rets AS DOUBLE)) END), 6) AS sortino,
+  round(sgain / (CASE WHEN sloss <> 0.0 THEN sloss END), 6) AS omega
+FROM m ORDER BY ticker"""),
     // fractional differencing: generated binomial-weight lag chain
     // (shared shortest-repr literals), NULL outside the full window
     "stock_fracdiff" -> (barsCte + {

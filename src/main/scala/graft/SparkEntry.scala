@@ -836,6 +836,8 @@ object SparkEntry {
       operators.Packing.chunkDedup(Tables.documents(s, d))),
     // fractionally differentiated close series (memory-preserving)
     "stock_fracdiff" -> (TimeSeries.fracDiff _),
+    // Sortino + Omega downside risk-adjusted return ratios
+    "stock_sortino" -> (TimeSeries.sortino _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

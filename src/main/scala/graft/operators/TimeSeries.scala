@@ -1198,6 +1198,41 @@ object TimeSeries {
       .orderBy(col("ticker"))
   }
 
+  /** Sortino and Omega ratios per ticker (zero target): downside
+    * deviation √(Σ min(r,0)²/n) penalizes only harmful volatility —
+    * the Sharpe correction for asymmetric return profiles — and
+    * Ω = Σ gains / Σ losses is the full-distribution gain/loss odds
+    * no moment statistic captures. Per-return min/max splits are
+    * pinned per-row expressions; all four sums ride the
+    * DECIMAL(38,18) grid; divisors NULL-guarded.
+    *
+    * Scale: one per-ticker lag window + one map-side-partial hash
+    * aggregate — the [[rollSpread]] shape. */
+  def sortino(spark: SparkSession, dir: String): DataFrame =
+    sortinoBars(closeBars5m(
+      StockPipeline.normalize(Tables.events(spark, dir))))
+
+  private[graft] def sortinoBars(bars: DataFrame): DataFrame = {
+    val rets = simpleRets(bars, "r")
+    val dn = least(col("r"), lit(0.0))
+    val m = rets.groupBy(col("ticker")).agg(
+      count(lit(1)).as("n_rets"),
+      dsum18(col("r")).as("sr"),
+      dsum18(dn * dn).as("sdd"),
+      dsum18(greatest(col("r"), lit(0.0))).as("sgain"),
+      dsum18(-least(col("r"), lit(0.0))).as("sloss"))
+    val nd = col("n_rets").cast("double")
+    val mean = col("sr") / nd
+    val dd = sqrt(col("sdd") / nd)
+    m.select(col("ticker"), col("n_rets"),
+        round(mean, 6).as("mean_ret"),
+        round(dd, 6).as("downside_dev"),
+        round(mean / when(dd =!= 0.0, dd), 6).as("sortino"),
+        round(col("sgain") / when(col("sloss") =!= 0.0, col("sloss")),
+          6).as("omega"))
+      .orderBy(col("ticker"))
+  }
+
   /** Fractional-differencing order and window — shared with the
     * oracle. Weights follow w_0 = 1, w_k = −w_{k−1}·(d−k+1)/k,
     * computed once in Scala and interpolated as shortest-repr double

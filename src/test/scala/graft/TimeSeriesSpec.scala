@@ -1248,6 +1248,42 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("sortino: ratios match a local recomputation; omega > 1 iff " +
+      "gains outweigh losses (sf0.001)") {
+    val out = TimeSeries.sortino(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    val rets = TimeSeries.closeBars5m(graft.operators.StockPipeline
+        .normalize(graft.sources.Tables.events(spark, "/root/testdata/sf0.001")))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getDouble(2)))
+      .groupBy(_._1).view.mapValues { rs =>
+        val closes = rs.sortBy(_._2).map(_._3)
+        closes.zip(closes.drop(1)).collect {
+          case (p, c) if p != 0.0 => c / p - 1 }.toSeq
+      }.toMap
+    out.foreach { r =>
+      val xs = rets(r.getString(0))
+      val n = xs.length.toDouble
+      assert(r.getLong(1) === xs.length.toLong)
+      val mean = xs.sum / n
+      val dd = math.sqrt(xs.map(x => math.min(x, 0.0)).map(x => x * x)
+        .sum / n)
+      val omega = xs.map(x => math.max(x, 0.0)).sum /
+        xs.map(x => -math.min(x, 0.0)).sum
+      assert(math.abs(r.getDouble(2) - mean) <
+        1e-5 * math.max(1.0, math.abs(mean)))
+      assert(math.abs(r.getDouble(3) - dd) < 1e-5)
+      assert(math.abs(r.getDouble(4) - mean / dd) <
+        1e-4 * math.max(1.0, math.abs(mean / dd)))
+      assert(math.abs(r.getDouble(5) - omega) <
+        1e-4 * math.max(1.0, omega))
+      assert((r.getDouble(5) > 1.0) === (mean > 0.0) ||
+        math.abs(mean) < 1e-12,
+        "omega > 1 iff mean return positive (zero target)")
+    }
+  }
+
   test("fracDiff: values match a local binomial-weight recomputation; " +
       "d=1 weights would be plain differencing (sf0.001)") {
     val out = TimeSeries.fracDiff(spark, "/root/testdata/sf0.001")
