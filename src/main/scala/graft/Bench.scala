@@ -74,6 +74,10 @@ object Bench {
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) =>
         only.forall(ps => ps.exists(p => n == p || n.startsWith(p))) }
+    // an empty or typo'd filter must fail loudly, not bench zero queries
+    require(names.nonEmpty, s"SPARK_GRAFT_BENCH_ONLY=" +
+      s"${only.map(_.mkString(",")).getOrElse("")} matches no query " +
+      s"(roster has ${SparkEntry.queries.size})")
     val samples: Seq[Seq[(String, Option[Double])]] =
       (1 to trials).map(_ => names.map { case (n, fn) => n -> timeOnce(n, fn) })
     val byName = samples.flatten.groupBy(_._1).map { case (n, ss) =>

@@ -96,13 +96,17 @@ object GraftSql {
   }
 
   /** End index (exclusive) of the literal opening at `start` with
-    * quote char `qc` (doubled-quote escapes); an unterminated literal
-    * runs to end-of-string (the engine passes it through for the SQL
-    * parser to reject). */
+    * quote char `qc` (doubled-quote AND backslash escapes — the
+    * reference's BigQuery dialect allows both `''`/`""` and `\'`/`\"`
+    * inside a literal, so a backslash consumes the next char whatever
+    * it is); an unterminated literal runs to end-of-string (the engine
+    * passes it through for the SQL parser to reject). */
   private def literalEnd(s: String, start: Int, qc: Char): Int = {
     var i = start + 1
     while (i < s.length) {
-      if (s.charAt(i) == qc) {
+      val c = s.charAt(i)
+      if (c == '\\') i += 2 // backslash escape: skip the escaped char
+      else if (c == qc) {
         if (i + 1 < s.length && s.charAt(i + 1) == qc) i += 2 // escape
         else return i + 1
       } else i += 1

@@ -330,12 +330,16 @@ per AS (
     CAST(sum(len(tk)) AS BIGINT) AS n_tokens
   FROM toks GROUP BY 1),
 sc AS (
+  -- zero-token source => mass 0 (ln arg NULL-guarded, NULL coalesces)
   SELECT source, n_docs, n_tokens,
-    CAST(round(exp(${a(0)} * ln(CAST(n_tokens AS DOUBLE))), 6)
+    CAST(round(coalesce(exp(${a(0)} * ln(CASE WHEN n_tokens > 0
+      THEN CAST(n_tokens AS DOUBLE) END)), 0.0), 6)
       AS DECIMAL(28,6)) AS m03,
-    CAST(round(exp(${a(1)} * ln(CAST(n_tokens AS DOUBLE))), 6)
+    CAST(round(coalesce(exp(${a(1)} * ln(CASE WHEN n_tokens > 0
+      THEN CAST(n_tokens AS DOUBLE) END)), 0.0), 6)
       AS DECIMAL(28,6)) AS m05,
-    CAST(round(exp(${a(2)} * ln(CAST(n_tokens AS DOUBLE))), 6)
+    CAST(round(coalesce(exp(${a(2)} * ln(CASE WHEN n_tokens > 0
+      THEN CAST(n_tokens AS DOUBLE) END)), 0.0), 6)
       AS DECIMAL(28,6)) AS m07
   FROM per),
 t AS (

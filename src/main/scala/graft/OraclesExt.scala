@@ -2187,8 +2187,12 @@ pr0 AS (SELECT node, 1.0::DOUBLE / n AS p FROM nd CROSS JOIN nn)""")
       for (i <- 1 to graft.operators.Similarity.prIters) {
         sb.append(s""",
 fi$i AS (
+  -- VARCHAR-mediated decimal crossings (the engine-wide sub-ulp
+  -- convention): shortest-repr in, exact-digits out — found as a
+  -- 1-ulp pagerank mismatch at sf0.1 (round-9)
   SELECT ged.dst AS node,
-    CAST(sum(CAST(p.p / od.outdeg AS DECIMAL(28,10))) AS DOUBLE) AS inflow
+    CAST(CAST(sum(CAST(CAST(p.p / od.outdeg AS VARCHAR)
+      AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS inflow
   FROM ged JOIN pr${i - 1} p ON ged.src = p.node
   JOIN od ON ged.src = od.src
   GROUP BY ged.dst),
@@ -2198,7 +2202,9 @@ pr$i AS (
   FROM nd CROSS JOIN nn LEFT JOIN fi$i ON nd.node = fi$i.node)""")
       }
       sb.append(s"""
-SELECT node AS vec_id, round(p, 10) AS pagerank
+SELECT node AS vec_id,
+  CAST(CAST(CAST(CAST(p AS VARCHAR) AS DECIMAL(28,10)) AS VARCHAR)
+    AS DOUBLE) AS pagerank
 FROM pr${graft.operators.Similarity.prIters} ORDER BY vec_id""")
       sb.toString
     }),

@@ -237,9 +237,10 @@ SELECT ticker, window_timestamp, open, high, low, close,
 FROM ohlc
 WINDOW tw AS (PARTITION BY ticker ORDER BY window_timestamp)
 ORDER BY ticker, window_timestamp"""),
-    // VPIN: tick-rule signed trades -> equal-volume buckets (integer
-    // cumsum + integer div) -> volume-weighted |buy-sell| imbalance;
-    // exact integers until the one final division
+    // VPIN: tick-rule signed trades (zero ticks inherit the last
+    // non-zero sign — the full ELO rule) -> equal-volume buckets
+    // (integer cumsum + integer div) -> volume-weighted |buy-sell|
+    // imbalance; exact integers until the one final division
     "stock_vpin" -> s"""
 WITH stock AS (
   SELECT event_type AS ticker, ts::TIMESTAMP AS ts, event_id,
@@ -248,14 +249,20 @@ WITH stock AS (
   FROM events
   WHERE value IS NOT NULL AND NOT isnan(value)
     AND TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) IS NOT NULL),
-sgn AS (
-  SELECT ticker, volume,
+sgn0 AS (
+  SELECT ticker, ts, event_id, volume,
     sign(price - lag(price) OVER
-      (PARTITION BY ticker ORDER BY ts, event_id)) AS sgn,
+      (PARTITION BY ticker ORDER BY ts, event_id)) AS sgn0,
     sum(volume) OVER (PARTITION BY ticker ORDER BY ts, event_id
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - volume
       AS cum_excl
   FROM stock),
+sgn AS (
+  SELECT ticker, volume, cum_excl,
+    last_value(CASE WHEN sgn0 <> 0 THEN sgn0 END IGNORE NULLS) OVER
+      (PARTITION BY ticker ORDER BY ts, event_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sgn
+  FROM sgn0),
 tv AS (
   SELECT ticker,
     greatest((CAST(sum(volume) AS BIGINT) + ${graft.operators.TimeSeries.VpinBuckets - 1})

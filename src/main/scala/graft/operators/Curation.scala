@@ -276,9 +276,16 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"),
         sum(size(toks).cast("long")).as("n_tokens"))
       .pin(eager = true)
+    // zero-token source => mass 0 => weight 0 (not NULL): the log
+    // argument is NULL-guarded inline (the engine-wide ln(0)/div-0
+    // convention — a CASE around the whole exp is not vectorization-
+    // safe in every engine), then the NULL mass coalesces to 0 so the
+    // source stays in the output with an explicit zero weight instead
+    // of silently dropping out of the normalizers.
     def mass(a: Double) =
-      round(exp(lit(a) * log(col("n_tokens").cast("double"))), 6)
-        .cast("decimal(28,6)")
+      round(coalesce(exp(lit(a) *
+        log(when(col("n_tokens") > 0, col("n_tokens").cast("double")))),
+        lit(0.0)), 6).cast("decimal(28,6)")
     val scored = per.select(col("source"), col("n_docs"), col("n_tokens"),
       mass(MixAlphas(0)).as("m03"), mass(MixAlphas(1)).as("m05"),
       mass(MixAlphas(2)).as("m07"))

@@ -193,29 +193,29 @@ object Multimodal {
     * Scale: one map-side pass over the blobs — the signature is 4
     * longs per blob regardless of payload size, and all downstream
     * dedup work happens on signatures, never on payloads. */
-  def phash(documents: DataFrame): DataFrame = {
-    // generated FLAT scalar expressions (literal positions, CASE/+) —
-    // higher-order array lambdas here are CodegenFallback and cost
-    // ~ms/row interpreted; the flat form whole-stage-codegens to ~µs.
-    // ssum lives in its own projection below the bands: it is
-    // referenced 64× and non-cheap, so CollapseProject keeps the
-    // boundary and it evaluates once per row.
-    def sample(i: Int): String =
-      s"CAST(ascii(substr(text, CAST($i * length(text) div 64 AS INT) + 1, " +
-        s"1)) AS BIGINT)"
-    val ssum = (0 until 64).map(sample).mkString("(", " + ", ")")
-    def band(b: Int): String = (0 until 16).map { j =>
-      s"(CASE WHEN 64 * ${sample(16 * b + j)} > ssum " +
-        s"THEN ${1L << j}L ELSE 0L END)"
-    }.mkString("(", " + ", ")")
+  // generated FLAT scalar expressions (literal positions, CASE/+) —
+  // higher-order array lambdas here are CodegenFallback and cost
+  // ~ms/row interpreted; the flat form whole-stage-codegens to ~µs.
+  // ssum lives in its own projection below the bands: it is
+  // referenced 64× and non-cheap, so CollapseProject keeps the
+  // boundary and it evaluates once per row.
+  private def aSample(i: Int): String =
+    s"CAST(ascii(substr(text, CAST($i * length(text) div 64 AS INT) + 1, " +
+      s"1)) AS BIGINT)"
+  private val aSsum = (0 until 64).map(aSample).mkString("(", " + ", ")")
+  private def aBand(b: Int): String = (0 until 16).map { j =>
+    s"(CASE WHEN 64 * ${aSample(16 * b + j)} > ssum " +
+      s"THEN ${1L << j}L ELSE 0L END)"
+  }.mkString("(", " + ", ")")
+
+  def phash(documents: DataFrame): DataFrame =
     documents
-      .withColumn("ssum", expr(ssum))
+      .withColumn("ssum", expr(aSsum))
       .select(col("doc_id") +: (0 until 4).map(b =>
-        expr(band(b)).as(s"p$b")): _*)
+        expr(aBand(b)).as(s"p$b")): _*)
     // no presentation sort: the op is stateless map-side (stream-safe —
     // signatures compute per-blob on a live ingest); the registered
     // query adds its ORDER BY
-  }
 
   /** Perceptual near-dup pairs at Hamming ≤ `maxHamming` over the
     * [[phash]] signature — the media-blob twin of SimHash text dedup:
@@ -255,13 +255,19 @@ object Multimodal {
     * kept up to `maxHamming` (filter BEFORE distinct — shrink first).
     * Shared by [[phashPairs]] and [[phashHammingHist]]. */
   private def phashCandidates(documents: DataFrame,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int): DataFrame =
     // pin the signature table: the self-join references every band
     // expression on both sides (join keys + Hamming recheck), and
     // expression propagation through the join would otherwise re-derive
     // the 128-term signature per reference — measured 23.9 s → 0.7 s
     // at 500 docs on the unpinned form
-    val sigs = phash(documents).pin(eager = true)
+    phashCandidatesFromSigs(phash(documents).pin(eager = true), maxHamming)
+
+  /** [[phashCandidates]] over an ALREADY-PINNED (doc_id, p0..p3)
+    * signature table — lets [[dhashAgreement]] derive both fingerprint
+    * families from one shared payload scan. */
+  private def phashCandidatesFromSigs(sigs: DataFrame,
+      maxHamming: Int): DataFrame = {
     val pCols = (0 until 4).map(b => col(s"p$b"))
     val slices = (0 until 4).flatMap(b => Seq(
       (2 * b, col(s"p$b") % 256), (2 * b + 1, shiftright(col(s"p$b"), 8))))
@@ -296,18 +302,18 @@ object Multimodal {
     * the standard second opinion in perceptual dedup stacks. Same
     * flat-codegen generation and 4×16-bit band layout as [[phash]];
     * integer comparisons only. */
-  def dhash(documents: DataFrame): DataFrame = {
-    def sample(i: Int): String =
-      s"CAST(ascii(substr(text, CAST($i * length(text) div 65 AS INT)" +
-        s" + 1, 1)) AS BIGINT)"
-    def band(b: Int): String = (0 until 16).map { j =>
-      val i = 16 * b + j
-      s"(CASE WHEN ${sample(i + 1)} > ${sample(i)} " +
-        s"THEN ${1L << j}L ELSE 0L END)"
-    }.mkString("(", " + ", ")")
+  private def dSample(i: Int): String =
+    s"CAST(ascii(substr(text, CAST($i * length(text) div 65 AS INT)" +
+      s" + 1, 1)) AS BIGINT)"
+  private def dBand(b: Int): String = (0 until 16).map { j =>
+    val i = 16 * b + j
+    s"(CASE WHEN ${dSample(i + 1)} > ${dSample(i)} " +
+      s"THEN ${1L << j}L ELSE 0L END)"
+  }.mkString("(", " + ", ")")
+
+  def dhash(documents: DataFrame): DataFrame =
     documents.select(col("doc_id") +: (0 until 4).map(b =>
-      expr(band(b)).as(s"d$b")): _*)
-  }
+      expr(dBand(b)).as(s"d$b")): _*)
 
   /** Cross-fingerprint agreement panel: every [[phashPairs]] candidate
     * (aHash Hamming ≤ `maxHamming`) re-scored under [[dhash]] — a pair
@@ -322,12 +328,24 @@ object Multimodal {
     * 4-long signature table, payloads untouched. */
   def dhashAgreement(documents: DataFrame,
       maxHamming: Int = 7): DataFrame = {
-    // pin: referenced by both join sides — unpinned, the 128-term
-    // signature expression re-derives through each join branch
-    val d = dhash(documents).pin(eager = true)
+    // ONE payload scan builds BOTH fingerprint families (aHash p0..p3
+    // AND dHash d0..d3 in a single pinned projection — the two builds
+    // used to each sample the payload separately); every downstream
+    // reference (the banded self-join sides, both rescore joins) is a
+    // projection over the pinned 8-long signature table, payloads
+    // untouched after this point
+    val sigs = documents
+      .withColumn("ssum", expr(aSsum))
+      .select(col("doc_id") +:
+        ((0 until 4).map(b => expr(aBand(b)).as(s"p$b")) ++
+         (0 until 4).map(b => expr(dBand(b)).as(s"d$b"))): _*)
+      .pin(eager = true)
     val dhamming = (0 until 4).map(b =>
       bit_count(expr(s"a$b ^ b$b"))).reduce(_ + _).cast("long")
-    phashPairs(documents, maxHamming)
+    val d = sigs.select(col("doc_id") +: (0 until 4).map(c => col(s"d$c")): _*)
+    phashCandidatesFromSigs(
+        sigs.select(col("doc_id") +: (0 until 4).map(c => col(s"p$c")): _*),
+        maxHamming)
       .join(d.select(col("doc_id").as("doc_a") +:
         (0 until 4).map(b => col(s"d$b").as(s"a$b")): _*), Seq("doc_a"))
       .join(d.select(col("doc_id").as("doc_b") +:

@@ -3091,13 +3091,17 @@ object Relational {
     * without a single-task sort; the oracle states the three naive
     * global windows and hash equality proves the rewrite. */
   def rfm(spark: SparkSession, dir: String): DataFrame = {
+    // ONE orders scan: the customer-grain aggregate is pinned eagerly
+    // and every downstream consumer (ref date, n, all three rank
+    // scans) derives from it — ref_date = max(last_order) over
+    // customers IS max(o_orderdate) over orders, so no second scan
     val byCust = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(max(col("o_orderdate")).as("last_order"),
         count(lit(1)).as("frequency"),
         decSum(col("o_totalprice")).as("monetary"))
-    val refDate = Tables.orders(spark, dir)
-      .agg(max(col("o_orderdate")).as("ref_date"))
+      .pin(eager = true)
+    val refDate = byCust.agg(max(col("last_order")).as("ref_date"))
     val n = byCust.agg(count(lit(1)).as("n_cust"))
     def score(rank: org.apache.spark.sql.Column) =
       floor(lit(5) * (rank - 1) / col("n_cust")) + 1

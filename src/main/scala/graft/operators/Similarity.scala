@@ -230,7 +230,7 @@ object Similarity {
     * point reads the k-row broadcast centroid table once; per-cell
     * means are DECIMAL-exact sums of identically-computed doubles.
     * Degenerate points equidistant at 0 score 0. */
-  def silhouette(embeddings: DataFrame, cells: Int = kmK): DataFrame = {
+  def silhouette(embeddings: DataFrame, cells: Int = autoCells): DataFrame = {
     val (asg, cents) = kmeans(embeddings, cells)
     val scored = asg.crossJoin(broadcast(
         cents.select(col("cell").as("c_cell"), col("centroid"))))
@@ -256,7 +256,7 @@ object Similarity {
     * purity = majority/member. One integer hash aggregate on the
     * (cell, label) grain plus a per-cell argmax — evaluation cost is
     * the assignment scan, nothing pairwise. */
-  def clusterPurity(embeddings: DataFrame, cells: Int = kmK): DataFrame = {
+  def clusterPurity(embeddings: DataFrame, cells: Int = autoCells): DataFrame = {
     val (asg, _) = kmeans(embeddings, cells)
     val byLabel = asg
       .join(embeddings.select(col("vec_id"), col("label")), Seq("vec_id"))
@@ -326,7 +326,7 @@ object Similarity {
     * near-constant cell size" assumption every IVF latency bound rests
     * on). Cell-count-sized output; one hash aggregate over the
     * assignment table. */
-  def cellBalance(embeddings: DataFrame, k: Int = kmK,
+  def cellBalance(embeddings: DataFrame, k: Int = autoCells,
       iters: Int = kmIters): DataFrame = {
     val (asg, _) = kmeans(embeddings, k, iters)
     val counts = asg.groupBy(col("cell"))
@@ -404,6 +404,40 @@ object Similarity {
   val kmK = 4
   val kmIters = 3
 
+  /** Sentinel default for every cells-semantic parameter: derive the
+    * cell count from the corpus size via [[sizedCells]]. A caller who
+    * wants a fixed cell count passes it explicitly; the default now
+    * ENCODES the SemDeDup sizing rule (cells ∝ corpus) instead of
+    * documenting it — with fixed cells the in-cell candidate volume is
+    * n²/cells, measured 11–21× super-linear at 10× data, while under
+    * the rule the same queries are near-flat per row (BASELINE.md sf1
+    * table and the 1/4/16× graph-mode ScaleProbe curves). */
+  val autoCells: Int = -1
+
+  /** Vectors per IVF cell the sizing rule targets. 500 anchors the
+    * derivation to the measured ScaleProbe curves (2k→32k vectors at
+    * cells 4→64 = 500/cell) AND keeps every existing oracle valid:
+    * the sf0.01 corpus (500 vectors) and the sf0.1 corpus (2000)
+    * both derive exactly [[kmK]]=4 cells, which is the k the oracles
+    * unroll Lloyd at. */
+  val targetCellSize = 500L
+
+  /** The sizing rule: `max(kmK, ceil(n / targetCellSize))`, capped to
+    * Int range. Keeps vectors-per-cell near-constant so Σ|cell|² pair
+    * work stays linear in the corpus. */
+  def sizedCells(n: Long): Int = {
+    // overflow-safe ceil(n / targetCellSize)
+    val ceil = n / targetCellSize + (if (n % targetCellSize == 0L) 0L else 1L)
+    math.min(math.max(kmK.toLong, ceil), Int.MaxValue.toLong).toInt
+  }
+
+  /** Resolve a cells parameter: explicit values pass through;
+    * [[autoCells]] triggers ONE cheap count of the base (a
+    * column-pruned scan, O(parquet footers) relative to the build
+    * pass it sizes) and applies [[sizedCells]]. */
+  def resolveCells(base: DataFrame, cells: Int): Int =
+    if (cells != autoCells) cells else sizedCells(base.count())
+
   /** Deterministic spherical k-means over the unit vectors — the IVF
     * build pass that [[ivfTopK]]'s label-cell stand-in deferred to
     * production. Fully declarative (no driver-side centroid collect):
@@ -419,16 +453,20 @@ object Similarity {
     *   - argmax ties broken by cell id.
     * Returns (assignments (vec_id, unit, cell), centroids (cell,
     * centroid)). */
-  def kmeans(embeddings: DataFrame, k: Int = kmK,
+  def kmeans(embeddings: DataFrame, k: Int = autoCells,
       iters: Int = kmIters): (DataFrame, DataFrame) =
     kmeansOnUnits(unitized(embeddings).select(col("vec_id"), col("unit")),
       k, iters)
 
   /** [[kmeans]] over a pre-unitized (vec_id, unit) base — lets a
     * composing pipeline ([[ivfPqTopK]]) share ONE normalized corpus
-    * materialization across its build passes. */
-  def kmeansOnUnits(base: DataFrame, k: Int = kmK,
+    * materialization across its build passes. `k` defaults to the
+    * [[autoCells]] sizing rule — resolved HERE, the single funnel every
+    * cells-parameterized operator passes through, so one count sizes a
+    * whole composed pipeline. */
+  def kmeansOnUnits(base: DataFrame, k0: Int = autoCells,
       iters: Int = kmIters): (DataFrame, DataFrame) = {
+    val k = resolveCells(base, k0)
     val seeds = base
       .withColumn("hk", graft.functions.Portable.hash32(
         concat(lit(kmSalt), col("vec_id").cast("string"))))
@@ -513,10 +551,12 @@ object Similarity {
     * all-pairs product. Cost is Σ|cell|², bounded by choosing k
     * proportional to corpus size (the paper's √n-style sizing keeps
     * cells near-constant); the join shuffles once on cell and each
-    * cell's pairing parallelizes independently. k=4 here only because
-    * the oracle unrolls the identical Lloyd iterations ([[kmeans]]). */
+    * cell's pairing parallelizes independently. The default `k` IS that
+    * sizing rule now ([[autoCells]] → [[sizedCells]]); the oracle scales
+    * (sf0.01/sf0.1) both derive [[kmK]]=4, the k the oracle unrolls
+    * Lloyd at ([[kmeans]]). */
   def semDedup(embeddings: DataFrame,
-      threshold: Double = semThreshold, k: Int = kmK): DataFrame = {
+      threshold: Double = semThreshold, k: Int = autoCells): DataFrame = {
     val (asg, _) = kmeans(embeddings, k)
     val a = asg.select(col("cell"), col("vec_id"), col("unit"))
     val pairs = a.as("a")
@@ -547,7 +587,7 @@ object Similarity {
     * unseen — the standard IVF trade, nprobe > 1 being the recall
     * knob); the oracle states the same cell-restricted semantics. */
   def knnGraph(embeddings: DataFrame, k: Int = 3,
-      cells: Int = kmK): DataFrame = {
+      cells: Int = autoCells): DataFrame = {
     val (asg, _) = kmeans(embeddings, cells)
     val a = asg.select(col("cell"), col("vec_id"), col("unit"))
     val pairs = a.as("a")
@@ -574,7 +614,7 @@ object Similarity {
     * semantics (probe ranking by rounded cosine vs the final
     * centroids). */
   def knnGraphMultiProbe(embeddings: DataFrame, k: Int = 3,
-      cells: Int = kmK, nprobe: Int = 2): DataFrame = {
+      cells: Int = autoCells, nprobe: Int = 2): DataFrame = {
     val (asg, cents) = kmeans(embeddings, cells)
     val scored = asg.select(col("vec_id"), col("unit"))
       .crossJoin(broadcast(cents))
@@ -628,7 +668,7 @@ object Similarity {
     * vector, unlike the centroid). One broadcast join of the Lloyd
     * assignment against the k centroids, one per-cell top-1 window —
     * no pair table at any scale. */
-  def cellMedoids(embeddings: DataFrame, cells: Int = kmK): DataFrame = {
+  def cellMedoids(embeddings: DataFrame, cells: Int = autoCells): DataFrame = {
     val (asg, cents) = kmeans(embeddings, cells)
     val scored = asg.join(broadcast(cents), Seq("cell"))
       .select(col("cell"), col("vec_id"),
@@ -666,7 +706,7 @@ object Similarity {
     * the [[pageRank]] iteration shape with integer votes instead of
     * float mass, lineage cut per round. */
   def labelPropagation(embeddings: DataFrame, seeds: Int = lpSeeds,
-      iters: Int = lpIters, k: Int = lpK, cells: Int = kmK): DataFrame =
+      iters: Int = lpIters, k: Int = lpK, cells: Int = autoCells): DataFrame =
     lpLabels(knnGraph(embeddings, k, cells)
         .select(col("vec_id"), col("neighbor_id")).pin(),
         embeddings, seeds, iters)
@@ -715,7 +755,7 @@ object Similarity {
     * edge/degree counts; the only doubles are the per-community
     * closed-form terms, one row per community. */
   def lpCommunities(embeddings: DataFrame, seeds: Int = lpSeeds,
-      iters: Int = lpIters, k: Int = lpK, cells: Int = kmK): DataFrame = {
+      iters: Int = lpIters, k: Int = lpK, cells: Int = autoCells): DataFrame = {
     val edges = knnGraph(embeddings, k, cells)
       .select(col("vec_id"), col("neighbor_id")).pin()
     val labels = lpLabels(edges, embeddings, seeds, iters)
@@ -770,7 +810,7 @@ object Similarity {
     * conductance postprocess touches only the metadata-sized
     * community grid (crossJoin of a broadcast 1-row total). */
   def conductance(embeddings: DataFrame, seeds: Int = lpSeeds,
-      iters: Int = lpIters, k: Int = lpK, cells: Int = kmK): DataFrame = {
+      iters: Int = lpIters, k: Int = lpK, cells: Int = autoCells): DataFrame = {
     // pin: the ≤seeds-row report feeds BOTH the total and the main
     // select — without the cut the whole LP pipeline re-derives per
     // branch (measured 6.2 s vs 3.1 s at sf0.1)
@@ -888,7 +928,7 @@ object Similarity {
     *
     * Scale: one broadcast join member→centroid + one hash aggregate;
     * everything after is k-row algebra. */
-  def daviesBouldin(embeddings: DataFrame, cells: Int = kmK): DataFrame = {
+  def daviesBouldin(embeddings: DataFrame, cells: Int = autoCells): DataFrame = {
     val (asg, cents) = kmeans(embeddings, cells)
     val sWithin = asg.join(broadcast(cents), Seq("cell"))
       .select(col("cell"),
@@ -935,7 +975,7 @@ object Similarity {
     * Scale: W is one broadcast join + scalar aggregate; g is one
     * posexplode hash aggregate to dim rows; B is k-row algebra. */
   def calinskiHarabasz(embeddings: DataFrame,
-      cells: Int = kmK): DataFrame = {
+      cells: Int = autoCells): DataFrame = {
     val (asg, cents) = kmeans(embeddings, cells)
     val w = asg.join(broadcast(cents), Seq("cell"))
       .select((lit(2.0) -
@@ -998,7 +1038,7 @@ object Similarity {
     * isolated core (all neighbors border) keeps its own id via the
     * coalesce — it is a real 1-core cluster, not noise. */
   def dbscan(embeddings: DataFrame, tau: Double = dbscanTau,
-      minPts: Int = dbscanMinPts, cells: Int = kmK): DataFrame = {
+      minPts: Int = dbscanMinPts, cells: Int = autoCells): DataFrame = {
     val (asg, _) = kmeans(embeddings, cells)
     val a = asg.select(col("cell"), col("vec_id"), col("unit"))
     val nbrs = a.as("a")
@@ -1385,7 +1425,7 @@ object Similarity {
     * Cosine is symmetric (same rounded dot both directions), so either
     * side's value is THE edge weight. */
   def mutualKnnGraph(embeddings: DataFrame, k: Int = 3,
-      cells: Int = kmK): DataFrame = {
+      cells: Int = autoCells): DataFrame = {
     val g = knnGraph(embeddings, k, cells)
       .select(col("vec_id"), col("neighbor_id"), col("cosine"))
       .pin(eager = true)
@@ -1412,7 +1452,7 @@ object Similarity {
     * per-threshold memberships are broadcast semi-joins of a
     * metadata-sized club set... the edge list never self-joins. */
   def richClub(embeddings: DataFrame, k: Int = 3,
-      cells: Int = kmK): DataFrame = {
+      cells: Int = autoCells): DataFrame = {
     val edges = mutualKnnGraph(embeddings, k, cells)
       .select(col("vec_a"), col("vec_b"))
       .pin(eager = true)
@@ -1453,7 +1493,7 @@ object Similarity {
     * quadratic blow-up even on a billion-node graph. The edge list is
     * pinned once and reused by all three join legs. */
   def knnTriangles(embeddings: DataFrame, k: Int = 3,
-      cells: Int = kmK): DataFrame =
+      cells: Int = autoCells): DataFrame =
     trianglesFromEdges(mutualKnnGraph(embeddings, k, cells)
       .select(col("vec_a"), col("vec_b"))
       .pin(eager = true))
@@ -1480,7 +1520,7 @@ object Similarity {
     * stage is a bounded hash aggregate; deg=1 nodes yield NULL (ANSI
     * guard, stated identically by the oracle). */
   def clusteringCoeff(embeddings: DataFrame, k: Int = 3,
-      cells: Int = kmK): DataFrame = {
+      cells: Int = autoCells): DataFrame = {
     val e = mutualKnnGraph(embeddings, k, cells)
       .select(col("vec_a"), col("vec_b"))
       .pin(eager = true)
@@ -1514,7 +1554,7 @@ object Similarity {
     * bit-equal across engines); a wedge center has degree ≥ 2 by
     * construction, so ln(degree) never divides by zero. */
   def linkPrediction(embeddings: DataFrame, k: Int = 3,
-      cells: Int = kmK): DataFrame = {
+      cells: Int = autoCells): DataFrame = {
     val e = mutualKnnGraph(embeddings, k, cells)
       .select(col("vec_a"), col("vec_b"))
       .pin(eager = true)
@@ -1614,7 +1654,7 @@ object Similarity {
     * exact duplicate (c₁ = 1) or that lack a second in-cell neighbor
     * drop out, stated identically by the oracle; the ln-μ terms sum
     * on the 1e-12 decimal grid. */
-  def intrinsicDim(embeddings: DataFrame, cells: Int = kmK): DataFrame = {
+  def intrinsicDim(embeddings: DataFrame, cells: Int = autoCells): DataFrame = {
     val g = knnGraph(embeddings, 2, cells)
       .groupBy(col("vec_id"))
       .agg(max(when(col("rank") === 1, col("cosine"))).as("c1"),
@@ -1675,7 +1715,7 @@ object Similarity {
     * in-degree count is one hash aggregate over k·n edges and the
     * report is a single-row reduction. */
   def hubness(embeddings: DataFrame, k: Int = 3,
-      cells: Int = kmK): DataFrame = {
+      cells: Int = autoCells): DataFrame = {
     val g = knnGraph(embeddings, k, cells)
       .groupBy(col("neighbor_id")).agg(count(lit(1)).as("d"))
     val indeg = embeddings.select(col("vec_id"))
@@ -1713,7 +1753,7 @@ object Similarity {
     * closed-form ratio is double math, in one pinned order. Degenerate
     * graphs (all degrees equal → zero variance) yield NULL. */
   def assortativity(embeddings: DataFrame, k: Int = 3,
-      cells: Int = kmK): DataFrame = {
+      cells: Int = autoCells): DataFrame = {
     val e = mutualKnnGraph(embeddings, k, cells)
       .select(col("vec_a"), col("vec_b"))
       .pin(eager = true)
@@ -1769,7 +1809,7 @@ object Similarity {
     * aggregation — O(iters) shuffles on the high-cardinality node key,
     * the textbook distributed PageRank plan. The oracle unrolls the
     * same iterations as chained CTEs. */
-  def knnPageRank(embeddings: DataFrame, k: Int = 3, cells: Int = kmK,
+  def knnPageRank(embeddings: DataFrame, k: Int = 3, cells: Int = autoCells,
       damping: Double = prDamping, iters: Int = prIters): DataFrame = {
     val graph = knnGraph(embeddings, k, cells)
       .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
@@ -2046,6 +2086,193 @@ object Similarity {
       overlap("ivfpq", ivfPqTopK(embeddings, k, nQueries)))
       .reduce(_ unionByName _)
       .orderBy(col("variant"), col("query_id"))
+  }
+
+  /** k-core peel rounds / core threshold for [[kcore]] — shared with
+    * the oracle generator. Rounds are FIXED (unrolled identically by
+    * the oracle): a full decomposition iterates to fixpoint, but a
+    * bounded unroll is the deterministic contract both engines can
+    * state; with max degree ≤ k (mutual-kNN), 3 rounds reach the
+    * fixpoint on every graph this corpus produces (spec-asserted). */
+  val kcoreK = 2
+  val kcoreRounds = 3
+
+  /** Bounded k-core peel over the mutual-kNN graph: [[kcoreRounds]]
+    * rounds of "drop every node with degree < [[kcoreK]], then drop
+    * edges touching a dropped node" — the standard graph-density
+    * filter a curation stack runs to separate a connected semantic
+    * core (candidates for aggressive dedup) from tree-like periphery.
+    * Emits per node: initial degree, post-peel degree, and the in-core
+    * flag.
+    *
+    * Scale: each round is ONE hash aggregate (degrees) + two equi-
+    * joins of the edge list against the surviving-node set — O(rounds)
+    * shuffles on vertex ids, no all-pairs, degrees bounded by k. */
+  def kcore(embeddings: DataFrame, k: Int = 3,
+      cells: Int = autoCells): DataFrame = {
+    val e0 = mutualKnnGraph(embeddings, k, cells)
+      .select(col("vec_a"), col("vec_b")).pin(eager = true)
+    def degrees(e: DataFrame): DataFrame = e
+      .select(explode(array(col("vec_a"), col("vec_b"))).as("vec_id"))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("deg"))
+    val deg0 = degrees(e0).pin(eager = true)
+    var edges = e0
+    for (_ <- 1 to kcoreRounds) {
+      val keep = degrees(edges).filter(col("deg") >= kcoreK)
+        .select(col("vec_id")).pin()
+      edges = edges
+        .join(keep.select(col("vec_id").as("vec_a")), Seq("vec_a"))
+        .join(keep.select(col("vec_id").as("vec_b")), Seq("vec_b"))
+        .select(col("vec_a"), col("vec_b")).pin()
+    }
+    val degF = degrees(edges)
+      .select(col("vec_id"), col("deg").as("deg_final"))
+    deg0.select(col("vec_id"), col("deg").as("deg0"))
+      .join(degF, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("deg0"),
+        coalesce(col("deg_final"), lit(0L)).as("deg_final"),
+        (coalesce(col("deg_final"), lit(0L)) >= kcoreK).as("in_core"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Shared-nearest-neighbor graph (Jarvis–Patrick / SNN clustering's
+    * edge weight): for every pair of vectors whose kNN lists overlap,
+    * the shared-neighbor count and the SNN Jaccard
+    * |N(a)∩N(b)| / |N(a)∪N(b)| — the density-robust similarity that
+    * downweights hub-inflated cosine (two points are SNN-close only if
+    * their NEIGHBORHOODS agree, the standard fix for hubness in
+    * high-dim kNN graphs, cf. [[hubness]]).
+    *
+    * Scale: candidates come from an equi-join of the adjacency list on
+    * the SHARED NEIGHBOR id — candidate volume is Σ indeg(v)², bounded
+    * by the in-degree concentration [[hubness]] measures, never the
+    * corpus square. Degrees are a k-bounded hash aggregate; a heavily
+    * hubbed graph rides [[Skew.hotColdJoin]] on the hot neighbor
+    * keys. */
+  def snnGraph(embeddings: DataFrame, k: Int = 3,
+      cells: Int = autoCells): DataFrame = {
+    val g = knnGraph(embeddings, k, cells)
+      .select(col("vec_id"), col("neighbor_id")).pin(eager = true)
+    val outdeg = g.groupBy(col("vec_id")).agg(count(lit(1)).as("deg"))
+    val shared = g.as("a").join(g.as("b"),
+        col("a.neighbor_id") === col("b.neighbor_id") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .groupBy(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(outdeg.select(col("vec_id").as("vec_a"), col("deg").as("da")),
+        Seq("vec_a"))
+      .join(outdeg.select(col("vec_id").as("vec_b"), col("deg").as("db")),
+        Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("shared"),
+        round(col("shared").cast("double") /
+          (col("da") + col("db") - col("shared")), 6).as("snn_jaccard"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** PQ codebook utilization census: per subspace, how many of the
+    * [[kmK]] codewords the corpus actually uses, the Shannon entropy
+    * of the code distribution (vs the ln k ceiling a balanced codebook
+    * attains), and the hottest code's share — the index-health
+    * diagnostic for [[pqBuild]] (a collapsed codebook quantizes to
+    * garbage long before MSE shows it; cf. [[pqDistortion]] for the
+    * reconstruction-error view).
+    *
+    * Determinism: entropy terms ride the [[TextAnalysis]] recipe —
+    * round(−p·ln p, 12) on exact count ratios, DECIMAL-summed. Scale:
+    * one hash aggregate to the (subspace × code) grain — ≤ pqM·k rows
+    * — off the map-side code table; nothing downstream is data-sized. */
+  def pqCodeEntropy(embeddings: DataFrame): DataFrame = {
+    val (codes, _) = pqBuild(embeddings)
+    val long = codes.select(posexplode(array(
+        (0 until pqM).map(s => col(s"c$s")): _*)).as(Seq("sub", "code")))
+    val hist = long.groupBy(col("sub"), col("code"))
+      .agg(count(lit(1)).as("n"))
+    val tots = hist.groupBy(col("sub"))
+      .agg(sum(col("n")).as("tot"), count(lit(1)).as("n_codes_used"),
+        max(col("n")).as("n_max"))
+    val p = col("n").cast("double") / col("tot")
+    hist.join(broadcast(tots), Seq("sub"))
+      .select(col("sub"), col("n_codes_used"), col("tot"), col("n_max"),
+        round(-p * log(p), 12).cast("decimal(18,12)").as("term"))
+      .groupBy(col("sub"))
+      .agg(max(col("n_codes_used")).as("n_codes_used"),
+        round(sum(col("term")).cast("double"), 6).as("code_entropy"),
+        round(max(col("n_codes_used")).cast("double") / kmK, 6)
+          .as("utilization"),
+        round(max(col("n_max")).cast("double") / max(col("tot")), 6)
+          .as("max_code_share"))
+      .select(col("sub").cast("long").as("sub"), col("n_codes_used"),
+        col("code_entropy"), col("utilization"), col("max_code_share"))
+      .orderBy(col("sub"))
+  }
+
+  /** HNSW layer-draw salt / level cap / inverse-ln(M) multiplier —
+    * shared with the oracle generator. mL = 1/ln 2 is the paper's
+    * default for M = 2 branching. */
+  val hnswSalt = "graft-hnsw:"
+  val hnswMaxLevel = 8
+  val hnswMl: Double = 1.0 / math.log(2.0)
+
+  /** HNSW layer-assignment census: every vector draws its maximum
+    * layer from the geometric distribution level =
+    * ⌊−ln(u)·mL⌋ (Malkov–Yashunin 2016) with u a DETERMINISTIC salted-
+    * hash uniform — the same sealed-RNG-for-reproducibility seam as
+    * [[graft.operators.Relational.dpRelease]]. Emits per level: node
+    * count, the cumulative hierarchy size (nodes with level ≥ L — the
+    * set a level-L search graph contains), and shares — the capacity-
+    * planning table an HNSW build reads to size its upper layers
+    * before constructing anything.
+    *
+    * Scale: one map-side hash + floor per vector, one hash aggregate
+    * to the ≤ [[hnswMaxLevel]]+1-row grid, one tiny cumulative window
+    * over that grid. */
+  def hnswLayers(embeddings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = (graft.functions.Portable.hash32(
+      concat(lit(hnswSalt), col("vec_id").cast("string")))
+      .cast("double") + 0.5) / 4294967296.0
+    val lvl = least(floor(-log(u) * hnswMl), lit(hnswMaxLevel.toLong))
+      .cast("long")
+    val hist = embeddings.select(lvl.as("level"))
+      .groupBy(col("level")).agg(count(lit(1)).as("n_nodes"))
+    val tot = hist.agg(sum(col("n_nodes")).as("n_total"))
+    // cumulative over a ≤ 9-row grid — bounded, not a data-sized window
+    val w = Window.orderBy(col("level").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.crossJoin(broadcast(tot))
+      .select(col("level"), col("n_nodes"),
+        sum(col("n_nodes")).over(w).as("hierarchy_size"),
+        round(col("n_nodes").cast("double") / col("n_total"), 6)
+          .as("share"))
+      .orderBy(col("level"))
+  }
+
+  /** Directed-kNN reciprocity: the share of kNN edges whose reverse
+    * edge also exists — the global asymmetry gauge (a low rate says
+    * cosine neighborhoods are hub-dominated: many vectors choose the
+    * hub, the hub chooses few back — the scalar summary of what
+    * [[hubness]] itemizes and [[mutualKnnGraph]] filters on).
+    *
+    * Scale: one self-equi-join of the edge list on BOTH endpoint ids
+    * (edge-volume-bounded, nodes ≤ n·k rows), two scalar aggregates. */
+  def knnReciprocity(embeddings: DataFrame, k: Int = 3,
+      cells: Int = autoCells): DataFrame = {
+    val g = knnGraph(embeddings, k, cells)
+      .select(col("vec_id"), col("neighbor_id")).pin(eager = true)
+    val mutualPairs = g.as("a").join(g.as("b"),
+        col("a.vec_id") === col("b.neighbor_id") &&
+          col("a.neighbor_id") === col("b.vec_id") &&
+          col("a.vec_id") < col("a.neighbor_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val totals = g.agg(
+      countDistinct(col("vec_id")).as("n_nodes"),
+      count(lit(1)).as("n_edges"))
+    totals.crossJoin(broadcast(mutualPairs))
+      .select(col("n_nodes"), col("n_edges"),
+        (col("n_pairs") * 2).as("n_reciprocal_edges"),
+        round((col("n_pairs") * 2).cast("double") / col("n_edges"), 6)
+          .as("reciprocity"))
   }
 
   def nearDupPairs(embeddings: DataFrame, threshold: Double = 0.9,

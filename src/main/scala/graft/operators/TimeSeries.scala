@@ -795,8 +795,10 @@ object TimeSeries {
   /** VPIN order-flow toxicity (volume-synchronized probability of
     * informed trading, Easley–López de Prado–O'Hara 2012) per ticker:
     * trades are tick-rule signed (price up vs previous trade → buy,
-    * down → sell; first trade and zero-ticks stay unclassified but
-    * still fill buckets), grouped into ~[[VpinBuckets]] equal-volume
+    * down → sell; a ZERO tick carries the previous trade's sign
+    * forward — the full ELO tick rule — so only the leading run before
+    * any price move stays unclassified, though it still fills
+    * buckets), grouped into ~[[VpinBuckets]] equal-volume
     * buckets by exclusive cumulative volume, and VPIN is the
     * volume-weighted bucket imbalance Σ|V_buy−V_sell| / ΣV — the
     * flow-toxicity gauge that spiked ahead of the 2010 flash crash.
@@ -817,8 +819,14 @@ object TimeSeries {
     val signed = stock
       .select(col("ticker"), col("ts"), col("event_id"), col("price"),
         col("volume"))
-      .withColumn("sgn",
+      .withColumn("sgn0",
         signum(col("price") - lag(col("price"), 1).over(w)))
+      // ELO tick rule: zero ticks inherit the last NON-ZERO sign (same
+      // window pass — no extra shuffle); rows before any price move
+      // have no prior sign and stay NULL = unclassified
+      .withColumn("sgn",
+        last(when(col("sgn0") =!= 0.0, col("sgn0")), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("cum_excl",
         sum(col("volume")).over(w.rowsBetween(
           Window.unboundedPreceding, Window.currentRow)) - col("volume"))

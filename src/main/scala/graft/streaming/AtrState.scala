@@ -62,7 +62,9 @@ class AtrProcessor extends StatefulProcessor[String, OhlcRow, AtrRow] {
         MacdState.round6(AtrState.trailingMean(ts, AtrSpan)))
     }
     trs.put(ts.toArray)
-    prevClose.update(pc.get)
+    // pc is None only when the row iterator was empty AND no prior state
+    // exists (e.g. a future timer-driven invocation) — nothing to write
+    pc.foreach(prevClose.update)
     out.iterator
   }
 }

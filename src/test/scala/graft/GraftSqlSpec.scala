@@ -344,6 +344,31 @@ LIMIT 100
       "SELECT '`a.b.c` isn''t a table ref' AS s FROM z")
   }
 
+  test("negative cases: backslash-escaped quotes keep the literal mask " +
+      "in sync (BigQuery allows both \\' and '')") {
+    // the \' must NOT terminate the literal — the FROM and QUALIFY
+    // inside it are data; the real FROM follows
+    val bs = "SELECT 'it\\'s FROM fake QUALIFY' AS s FROM `x.y.z`"
+    assert(GraftSql.rewrite(bs) ===
+      "SELECT 'it\\'s FROM fake QUALIFY' AS s FROM z")
+    // a desynced mask would also mis-place rewrite spans: the function
+    // call AFTER a backslash-escaped literal must still rewrite
+    val after = "SELECT 'a\\'b' AS s, " +
+      "TIMESTAMP_SUB(ts, INTERVAL 5 MINUTE) AS t FROM t"
+    assert(GraftSql.rewrite(after) ===
+      "SELECT 'a\\'b' AS s, (ts - INTERVAL 5 MINUTE) AS t FROM t")
+    // backslash before a non-quote char is a plain escape, not a
+    // terminator hazard
+    val plain = "SELECT 'a\\nb' AS s FROM t QUALIFY rn = 1"
+    assert(GraftSql.rewrite(plain).trim ===
+      "SELECT 'a\\nb' AS s FROM (SELECT *, (rn = 1) AS __keep FROM t) " +
+        "WHERE __keep")
+    // trailing backslash at end-of-string: unterminated literal passes
+    // through shape-preserved (no index overrun)
+    val trail = "SELECT 'oops\\"
+    assert(GraftSql.rewrite(trail) === trail)
+  }
+
   test("literal-in-argument: TIMESTAMP_SUB with a literal first arg " +
       "still rewrites, carrying the literal through verbatim") {
     assert(GraftSql.rewrite(

@@ -1055,6 +1055,58 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("streaming CUSUM (transformWithState) final report is " +
+      "bit-identical to the batch two-pass kernel across split triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{CusumBar, CusumState}
+    val dir = "/root/testdata/sf0.001"
+    val barsDf = graft.operators.TimeSeries.closeBars5m(
+      graft.operators.StockPipeline.normalize(
+        graft.sources.Tables.events(spark, dir)))
+    import spark.implicits._
+    val rows = barsDf.select("ticker", "bucket", "close")
+      .as[CusumBar].collect().sortBy(_.bucket.getTime)
+    val chunks = rows.grouped(math.max(rows.length / 4, 1)).toSeq
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[CusumBar]
+    val q = CusumState.attach(stream.toDS()).writeStream
+      .format("memory").queryName("cusum_tws_sink")
+      .outputMode("append").start()
+    try {
+      chunks.foreach { c =>
+        stream.addData(c.toSeq: _*); q.processAllAvailable()
+      }
+      val emitted = spark.table("cusum_tws_sink").collect()
+      // supersede convention: per ticker the NEWEST report (max n_rets)
+      // is the answer; older emissions are the same kernel over a prefix
+      val streamed = emitted.groupBy(_.getString(0)).map { case (_, rs) =>
+        rs.maxBy(_.getLong(1))
+      }.toSeq.sortBy(_.getString(0))
+      val batch = graft.operators.TimeSeries.cusumBars(barsDf).collect()
+      assert(streamed.length === batch.length && batch.nonEmpty)
+      streamed.zip(batch).foreach { case (s, b) =>
+        assert(s.toSeq === b.toSeq, s"stream $s vs batch $b")
+      }
+      // reports only grow: each ticker's emissions have strictly
+      // increasing n_rets across the 4 triggers (every chunk adds bars)
+      emitted.groupBy(_.getString(0)).foreach { case (t, rs) =>
+        val ns = rs.map(_.getLong(1)).sorted
+        assert(ns.distinct.length === ns.length,
+          s"$t: duplicate n_rets across triggers: ${ns.toSeq}")
+      }
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("vpin: volume conserved per ticker, imbalance <= classified <= " +
       "total, vpin in [0,1], bucket count near the target (sf0.001)") {
     val out = TimeSeries.vpin(spark, "/root/testdata/sf0.001").collect()
