@@ -765,5 +765,32 @@ SELECT doc_id, score, rank,
   ((rank - 1) * ${Curation.curriculumStages}) // n_docs AS stage,
   ('0x' || substr(md5('${Curation.curriculumSalt}' || doc_id::VARCHAR), 1, 8))::BIGINT AS stage_key
 FROM rk ORDER BY doc_id""",
+    // Chinchilla compute-optimal budget table: closed-form doubles off
+    // one exact token count, giant counts rounded at integer precision
+    "corpus_chinchilla" -> {
+      val budgets = Curation.ChinchillaBudgets
+        .map(_.toString).mkString("[", "::DOUBLE, ", "::DOUBLE]")
+      val denom = Curation.ChinchillaFlopsPerTokenParam *
+        Curation.ChinchillaTokensPerParam
+      val tpp = Curation.ChinchillaTokensPerParam
+      s"""
+WITH $toksCte,
+tot AS (
+  SELECT count(*)::BIGINT AS n_docs,
+    CAST(sum(len(tk)) AS BIGINT) AS corpus_tokens
+  FROM toks),
+g AS (SELECT unnest($budgets) AS flops),
+r AS (
+  SELECT flops,
+    round(sqrt(flops / $denom), 0) AS n_params_opt,
+    round($tpp * sqrt(flops / $denom), 0) AS d_tokens_opt,
+    corpus_tokens,
+    round($tpp * sqrt(flops / $denom) / corpus_tokens::DOUBLE, 6)
+      AS epochs_needed
+  FROM g CROSS JOIN tot)
+SELECT flops, n_params_opt, d_tokens_opt, corpus_tokens, epochs_needed,
+  epochs_needed <= ${Curation.EpochRepeatCap} AS feasible
+FROM r ORDER BY flops"""
+    },
   )
 }

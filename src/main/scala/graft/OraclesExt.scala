@@ -632,6 +632,148 @@ SELECT doc_id, count(*)::BIGINT AS n_shingles,
     AS novelty
 FROM shj JOIN dfc USING (h)
 GROUP BY doc_id ORDER BY doc_id""",
+    // duplicated n-gram census per source (n = 3 and 8): exact counts,
+    // dup_share = re-occurrence fraction
+    "text_dup_ngrams" -> {
+      def block(n: Int): String = {
+        val gram = (1 until n).foldLeft("tk[i]")((acc, j) =>
+          s"$acc || ' ' || tk[i+$j]")
+        s"""
+g$n AS (
+  SELECT source, unnest(list_transform(range(1, len(tk) - ${n - 2}),
+    i -> $gram)) AS gram
+  FROM toks WHERE len(tk) >= $n),
+c$n AS (SELECT source, gram, count(*)::BIGINT AS cnt
+  FROM g$n GROUP BY 1, 2),
+r$n AS (
+  SELECT $n::BIGINT AS n, source, CAST(sum(cnt) AS BIGINT) AS n_ngrams,
+    count(*)::BIGINT AS n_distinct, max(cnt)::BIGINT AS max_repeat,
+    round((sum(cnt) - count(*))::DOUBLE / sum(cnt), 6) AS dup_share
+  FROM c$n GROUP BY source)"""
+      }
+      val ns = graft.operators.TextAnalysis.DupNgramNs
+      s"""
+WITH $toksCte,${ns.map(block).mkString(",")}
+${ns.map(n => s"SELECT * FROM r$n").mkString("\nUNION ALL\n")}
+ORDER BY n, source"""
+    },
+    // stopword-profile drift: per-source share + cosine to the corpus
+    // stopword-frequency vector (1e-12-grid decimal term sums)
+    "text_stopword_profile" -> {
+      val sw = graft.operators.TextAnalysis.stopwords
+        .map(w => s"'$w'").mkString("(", ", ", ")")
+      s"""
+WITH $toksCte,
+grid AS (
+  SELECT source, token, count(*)::BIGINT AS n_st
+  FROM (SELECT source, unnest(tk) AS token FROM toks)
+  WHERE token IN $sw GROUP BY 1, 2),
+tt AS (SELECT source, CAST(sum(len(tk)) AS BIGINT) AS n_tokens
+  FROM toks GROUP BY 1),
+ct AS (SELECT token, CAST(sum(n_st) AS BIGINT) AS n_ct
+  FROM grid GROUP BY 1),
+cc AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS n_corpus FROM tt),
+terms AS (
+  SELECT g.source, t.n_tokens, g.n_st,
+    CAST(round((g.n_st::DOUBLE / t.n_tokens) *
+      (c.n_ct::DOUBLE / cc.n_corpus), 12) AS DECIMAL(28,12)) AS pq,
+    CAST(round((g.n_st::DOUBLE / t.n_tokens) *
+      (g.n_st::DOUBLE / t.n_tokens), 12) AS DECIMAL(28,12)) AS pp,
+    CAST(round((c.n_ct::DOUBLE / cc.n_corpus) *
+      (c.n_ct::DOUBLE / cc.n_corpus), 12) AS DECIMAL(28,12)) AS qq
+  FROM grid g JOIN tt t USING (source) JOIN ct c USING (token)
+  CROSS JOIN cc),
+a AS (
+  SELECT source, max(n_tokens) AS n_tokens,
+    CAST(sum(n_st) AS BIGINT) AS stop_tokens,
+    CAST(sum(pq) AS DOUBLE) AS spq, CAST(sum(pp) AS DOUBLE) AS spp,
+    CAST(sum(qq) AS DOUBLE) AS sqq
+  FROM terms GROUP BY source)
+SELECT source, n_tokens, stop_tokens,
+  round(stop_tokens::DOUBLE / n_tokens, 6) AS stop_share,
+  CASE WHEN sqrt(spp) * sqrt(sqq) > 0 THEN
+    round(spq / (CASE WHEN sqrt(spp) * sqrt(sqq) > 0
+      THEN sqrt(spp) * sqrt(sqq) END), 6) END AS profile_cosine
+FROM a ORDER BY source"""
+    },
+    // Heaps-law fit: ln-ln OLS over the ten vocab-growth checkpoints,
+    // decimal moment sums, guarded closed form
+    "text_heaps_fit" -> s"""
+WITH $toksCte,
+fd AS (
+  SELECT token, min(doc_id) AS first_doc
+  FROM (SELECT doc_id, unnest(tk) AS token FROM toks) GROUP BY 1),
+md AS (SELECT max(doc_id) AS max_doc FROM documents),
+st AS (SELECT unnest(range(1, 11)) AS step),
+vg AS (
+  SELECT step, count(*)::BIGINT AS vocab_size
+  FROM (SELECT fd.first_doc, st.step, (md.max_doc * st.step) // 10 AS cutoff
+        FROM fd CROSS JOIN md CROSS JOIN st)
+  WHERE first_doc <= cutoff GROUP BY step),
+pt AS (
+  SELECT st.step, CAST(sum(len(tk)) AS BIGINT) AS prefix_tokens
+  FROM toks CROSS JOIN md CROSS JOIN st
+  WHERE doc_id <= (md.max_doc * st.step) // 10 GROUP BY st.step),
+pts AS (
+  SELECT CAST(round(ln(prefix_tokens::DOUBLE), 12) AS DECIMAL(28,12)) AS x,
+    CAST(round(ln(vocab_size::DOUBLE), 12) AS DECIMAL(28,12)) AS y
+  FROM vg JOIN pt USING (step)),
+p2 AS (
+  SELECT x, y,
+    CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE), 12)
+      AS DECIMAL(28,12)) AS xy,
+    CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 12)
+      AS DECIMAL(28,12)) AS xx,
+    CAST(round(CAST(y AS DOUBLE) * CAST(y AS DOUBLE), 12)
+      AS DECIMAL(28,12)) AS yy
+  FROM pts),
+m AS (
+  SELECT count(*)::BIGINT AS n_steps,
+    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+    CAST(sum(xy) AS DOUBLE) AS sxy, CAST(sum(xx) AS DOUBLE) AS sxx,
+    CAST(sum(yy) AS DOUBLE) AS syy
+  FROM p2),
+f AS (
+  SELECT n_steps, sx, sy,
+    sxx - sx * sx / CAST(n_steps AS DOUBLE) AS vx,
+    syy - sy * sy / CAST(n_steps AS DOUBLE) AS vy,
+    sxy - sx * sy / CAST(n_steps AS DOUBLE) AS cxy
+  FROM m)
+SELECT n_steps,
+  round(cxy / (CASE WHEN vx <> 0 THEN vx END), 6) AS heaps_beta,
+  round(exp((sy - (cxy / (CASE WHEN vx <> 0 THEN vx END)) * sx) /
+    CAST(n_steps AS DOUBLE)), 6) AS heaps_k,
+  CASE WHEN vx <> 0 AND vy <> 0 THEN
+    round(cxy * cxy / (CASE WHEN vx * vy <> 0 THEN vx * vy END), 6)
+  END AS r2
+FROM f""",
+    // segmental TTR: full 50-token segments, per-segment distinct
+    // ratio, decimal-summed doc and source means
+    "text_sttr" -> {
+      val seg = graft.operators.TextAnalysis.SttrSegment
+      s"""
+WITH $toksCte,
+st AS (
+  SELECT source, doc_id, u.p // $seg AS seg, u.t AS token
+  FROM (SELECT source, doc_id,
+          unnest(list_transform(range(1, len(tk) + 1),
+            i -> {'p': i - 1, 't': tk[i]})) AS u
+        FROM toks)),
+ss AS (
+  SELECT source, doc_id, seg, count(*)::BIGINT AS n_tok,
+    count(DISTINCT token)::BIGINT AS n_types
+  FROM st GROUP BY 1, 2, 3
+  HAVING count(*) = $seg),
+dt AS (
+  SELECT source, doc_id, count(*)::BIGINT AS n_segments,
+    CAST(sum(CAST(round(n_types::DOUBLE / $seg, 12) AS DECIMAL(18,12)))
+      AS DOUBLE) / count(*) AS doc_sttr
+  FROM ss GROUP BY 1, 2)
+SELECT source, count(*)::BIGINT AS n_docs_measured,
+  round(CAST(sum(CAST(round(doc_sttr, 12) AS DECIMAL(18,12)))
+    AS DOUBLE) / count(*), 6) AS mean_sttr
+FROM dt GROUP BY source ORDER BY source"""
+    },
   )
 
   // ---------------- dedup ----------------
@@ -951,7 +1093,7 @@ cl AS (SELECT node AS doc_id, min(label) AS cluster_id
 mem AS (
   SELECT cl.doc_id, cl.cluster_id, d.n_chars
   FROM cl JOIN documents d USING (doc_id)),
-kp AS (
+kp AS MATERIALIZED (
   SELECT cluster_id, doc_id AS keeper_id
   FROM mem
   QUALIFY row_number() OVER (PARTITION BY cluster_id
@@ -974,7 +1116,7 @@ cl AS (SELECT node AS doc_id, min(label) AS cluster_id
 mem AS (
   SELECT cl.doc_id, cl.cluster_id, d.n_chars
   FROM cl JOIN documents d USING (doc_id)),
-kp AS (
+kp AS MATERIALIZED (
   SELECT cluster_id, doc_id AS keeper_id
   FROM mem
   QUALIFY row_number() OVER (PARTITION BY cluster_id
@@ -1138,6 +1280,60 @@ sp AS (
   FROM sb a JOIN sb b ON a.band = b.band AND a.key = b.key
     AND a.doc_id < b.doc_id)
 SELECT * FROM sp WHERE hamming <= 3 ORDER BY doc_a, doc_b"""),
+    // content-defined chunking census: 8-byte rolling-window boundary
+    // hash (mod 64), chunk extents via per-doc lag, md5 chunk identity
+    "dedup_cdc_chunks" -> {
+      val win = graft.operators.Dedup.CdcWindow
+      val div = graft.operators.Dedup.CdcDivisor
+      val salt = graft.operators.Dedup.CdcSalt
+      s"""
+WITH wp AS (
+  SELECT doc_id, unnest(list_transform(range(1, length(text) - ${win - 2}),
+    i -> {'i': i, 'w': substr(text, CAST(i AS INT), $win)})) AS u
+  FROM documents WHERE length(text) >= $win),
+be AS (
+  SELECT doc_id, CAST(u.i + ${win - 1} AS BIGINT) AS e FROM wp
+  WHERE ('0x' || substr(md5('$salt' || u.w), 1, 8))::BIGINT % $div = 0),
+le AS (
+  SELECT doc_id, length(text)::BIGINT AS e FROM documents
+  WHERE length(text) >= 1),
+en AS (SELECT DISTINCT doc_id, e FROM
+  (SELECT * FROM be UNION ALL SELECT * FROM le)),
+ex AS (
+  SELECT doc_id,
+    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) + 1 AS s, e
+  FROM en),
+ch AS (
+  SELECT d.source, x.doc_id, x.e - x.s + 1 AS clen,
+    md5(substr(d.text, CAST(x.s AS INT), CAST(x.e - x.s + 1 AS INT)))
+      AS chash
+  FROM ex x JOIN documents d USING (doc_id))
+SELECT source, count(DISTINCT doc_id)::BIGINT AS n_docs,
+  count(*)::BIGINT AS n_chunks,
+  count(DISTINCT chash)::BIGINT AS n_distinct_chunks,
+  round(sum(clen)::DOUBLE / count(*), 2) AS avg_chunk_len,
+  round((count(*) - count(DISTINCT chash))::DOUBLE / count(*), 6)
+    AS dedup_rate
+FROM ch GROUP BY source ORDER BY source"""
+    },
+    // 1-bit minhash fidelity: low-bit agreement over the 16 seeds on
+    // every LSH candidate, estimator max(2A/16 - 1, 0) vs exact Jaccard
+    "dedup_bbit_minhash" -> (minhashPairsCtes + s""",
+bb AS (
+  SELECT j.doc_a, j.doc_b, j.jaccard,
+    CAST(${(0 until graft.operators.Dedup.coeffs.length).map(i =>
+        s"(CASE WHEN sa.mh_$i % 2 = sb.mh_$i % 2 THEN 1 ELSE 0 END)")
+        .mkString(" + ")} AS BIGINT) AS agree_bits
+  FROM jac j JOIN sigs sa ON j.doc_a = sa.doc_id
+  JOIN sigs sb ON j.doc_b = sb.doc_id)
+SELECT doc_a, doc_b, jaccard, agree_bits,
+  round(greatest(2.0 * (agree_bits::DOUBLE /
+    ${graft.operators.Dedup.coeffs.length}) - 1.0, 0.0), 6)
+    AS jaccard_bbit,
+  round(abs(greatest(2.0 * (agree_bits::DOUBLE /
+    ${graft.operators.Dedup.coeffs.length}) - 1.0, 0.0) - jaccard), 6)
+    AS abs_err
+FROM bb ORDER BY doc_a, doc_b"""),
   )
 
   // ---------------- similarity ----------------
@@ -1168,27 +1364,27 @@ q AS (
     val salt = graft.operators.Similarity.kmSalt
     val sb = new StringBuilder
     sb.append(s""",
-sd AS (
+sd AS MATERIALIZED (
   SELECT vec_id, ev,
     ('0x' || substr(md5('$salt' || vec_id::VARCHAR), 1, 8))::BIGINT AS hk
   FROM base),
-c0 AS (
+c0 AS MATERIALIZED (
   SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS cell, ev AS centroid
   FROM (SELECT * FROM sd ORDER BY hk, vec_id LIMIT $k))""")
     for (i <- 1 to iters) {
       sb.append(s""",
-asg$i AS (
+asg$i AS MATERIALIZED (
   SELECT vec_id, ev, cell FROM (
     SELECT b.vec_id, b.ev, c.cell,
       row_number() OVER (PARTITION BY b.vec_id
         ORDER BY list_inner_product(b.ev, c.centroid) DESC, c.cell) AS rn
     FROM base b CROSS JOIN c${i - 1} c)
   WHERE rn = 1),
-cm$i AS (
+cm$i AS MATERIALIZED (
   SELECT cell, pos, CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS cv
   FROM (SELECT cell, unnest(ev) AS v, unnest(range(len(ev))) AS pos FROM asg$i)
   GROUP BY cell, pos),
-c$i AS (
+c$i AS MATERIALIZED (
   SELECT cell, list_transform(centroid,
     x -> x / sqrt(list_inner_product(centroid, centroid))) AS centroid
   FROM (SELECT cell, list(cv ORDER BY pos) AS centroid FROM cm$i GROUP BY cell))""")
@@ -1258,7 +1454,7 @@ $cP$s$i AS (SELECT cell, list(cv ORDER BY pos) AS centroid FROM $mP$s$i GROUP BY
   private val residPqCtes: String = s""",
 cmm AS (SELECT cell, list(cv ORDER BY pos) AS mcent
   FROM cm${graft.operators.Similarity.kmIters} GROUP BY cell),
-resid AS (
+resid AS MATERIALIZED (
   SELECT a.vec_id,
     list_transform(range(len(a.ev)), i -> a.ev[i + 1] - m.mcent[i + 1]) AS rv
   FROM asg${graft.operators.Similarity.kmIters} a
@@ -1373,7 +1569,7 @@ FROM cb, tt ORDER BY cell"""
 WITH toks AS (SELECT *, regexp_split_to_array(trim(text), '\\s+') AS tk
   FROM documents),
 ${OraclesCuration.qualityMCte},
-kp AS (SELECT doc_id, ${OraclesCuration.qKeepExpr} AS keep FROM m),
+kp AS MATERIALIZED (SELECT doc_id, ${OraclesCuration.qKeepExpr} AS keep FROM m),
 base AS (
   SELECT vec_id, ${unitSql("embedding::DOUBLE[]")} AS ev FROM embeddings),
 kb AS (
@@ -1774,13 +1970,13 @@ ORDER BY a.vec_id"""),
     // corpus-wide kNN graph: same Lloyd chain, in-cell pairs, top-k per
     // vector in the classic row_number form
     "sim_knn_graph" -> (simBase + kmeansCtes + s""",
-kp AS (
+kp AS MATERIALIZED (
   SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
     round(list_inner_product(a.ev, b.ev), 6) AS cosine
   FROM asg${graft.operators.Similarity.kmIters} a
   JOIN asg${graft.operators.Similarity.kmIters} b
     ON a.cell = b.cell AND a.vec_id <> b.vec_id),
-kr AS (
+kr AS MATERIALIZED (
   SELECT vec_id, neighbor_id, cosine,
     row_number() OVER (PARTITION BY vec_id
       ORDER BY cosine DESC, neighbor_id)::BIGINT AS rank
@@ -1791,13 +1987,13 @@ ORDER BY vec_id, rank"""),
     // vectors included via the left join), pinned-order closed forms,
     // skew's 3/2 power stated as m2*sqrt(m2) on both engines
     "sim_hubness" -> (simBase + kmeansCtes + s""",
-kp AS (
+kp AS MATERIALIZED (
   SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
     round(list_inner_product(a.ev, b.ev), 6) AS cosine
   FROM asg${graft.operators.Similarity.kmIters} a
   JOIN asg${graft.operators.Similarity.kmIters} b
     ON a.cell = b.cell AND a.vec_id <> b.vec_id),
-kr AS (
+kr AS MATERIALIZED (
   SELECT vec_id, neighbor_id,
     row_number() OVER (PARTITION BY vec_id
       ORDER BY cosine DESC, neighbor_id)::BIGINT AS rank
@@ -1892,11 +2088,11 @@ mpr AS (
         ORDER BY round(list_inner_product(a.ev, c.centroid), 6) DESC, c.cell) AS crank
     FROM asg$it a CROSS JOIN c$it c)
   WHERE crank <= 2),
-kp AS (
+kp AS MATERIALIZED (
   SELECT p.vec_id AS vec_id, b.vec_id AS neighbor_id,
     round(list_inner_product(p.ev, b.ev), 6) AS cosine
   FROM mpr p JOIN asg$it b ON b.cell = p.cell AND b.vec_id <> p.vec_id),
-kr AS (
+kr AS MATERIALIZED (
   SELECT vec_id, neighbor_id, cosine,
     row_number() OVER (PARTITION BY vec_id
       ORDER BY cosine DESC, neighbor_id)::BIGINT AS rank
@@ -1909,16 +2105,16 @@ ORDER BY vec_id, rank"""
     "sim_mutual_knn" -> (simBase + kmeansCtes + {
       val it = graft.operators.Similarity.kmIters
       s""",
-kp AS (
+kp AS MATERIALIZED (
   SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
     round(list_inner_product(a.ev, b.ev), 6) AS cosine
   FROM asg$it a JOIN asg$it b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
-kr AS (
+kr AS MATERIALIZED (
   SELECT vec_id, neighbor_id, cosine,
     row_number() OVER (PARTITION BY vec_id
       ORDER BY cosine DESC, neighbor_id)::BIGINT AS rank
   FROM kp),
-ged AS (SELECT vec_id, neighbor_id, cosine FROM kr WHERE rank <= 3)
+ged AS MATERIALIZED (SELECT vec_id, neighbor_id, cosine FROM kr WHERE rank <= 3)
 SELECT a.vec_id AS vec_a, a.neighbor_id AS vec_b, a.cosine
 FROM ged a JOIN ged b
   ON a.vec_id = b.neighbor_id AND a.neighbor_id = b.vec_id
@@ -1937,17 +2133,17 @@ ORDER BY vec_a, vec_b"""
     JOIN dg db ON e.vec_b = db.node AND db.deg >= $t) AS e_club"""
       }.mkString("\nUNION ALL\n")
       s""",
-kp AS (
+kp AS MATERIALIZED (
   SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
     round(list_inner_product(a.ev, b.ev), 6) AS cosine
   FROM asg$it a JOIN asg$it b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
-kr AS (
+kr AS MATERIALIZED (
   SELECT vec_id, neighbor_id, cosine,
     row_number() OVER (PARTITION BY vec_id
       ORDER BY cosine DESC, neighbor_id)::BIGINT AS rank
   FROM kp),
-ged AS (SELECT vec_id, neighbor_id FROM kr WHERE rank <= 3),
-med AS (
+ged AS MATERIALIZED (SELECT vec_id, neighbor_id FROM kr WHERE rank <= 3),
+med AS MATERIALIZED (
   SELECT a.vec_id AS vec_a, a.neighbor_id AS vec_b
   FROM ged a JOIN ged b
     ON a.vec_id = b.neighbor_id AND a.neighbor_id = b.vec_id
@@ -1971,17 +2167,17 @@ FROM grid ORDER BY min_degree"""
     "sim_triangles" -> (simBase + kmeansCtes + {
       val it = graft.operators.Similarity.kmIters
       s""",
-kp AS (
+kp AS MATERIALIZED (
   SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
     round(list_inner_product(a.ev, b.ev), 6) AS cosine
   FROM asg$it a JOIN asg$it b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
-kr AS (
+kr AS MATERIALIZED (
   SELECT vec_id, neighbor_id, cosine,
     row_number() OVER (PARTITION BY vec_id
       ORDER BY cosine DESC, neighbor_id)::BIGINT AS rank
   FROM kp),
-ged AS (SELECT vec_id, neighbor_id FROM kr WHERE rank <= 3),
-med AS (
+ged AS MATERIALIZED (SELECT vec_id, neighbor_id FROM kr WHERE rank <= 3),
+med AS MATERIALIZED (
   SELECT a.vec_id AS vec_a, a.neighbor_id AS vec_b
   FROM ged a JOIN ged b
     ON a.vec_id = b.neighbor_id AND a.neighbor_id = b.vec_id
@@ -1998,17 +2194,17 @@ ORDER BY vec_a, vec_b, vec_c"""
     "sim_clustering_coeff" -> (simBase + kmeansCtes + {
       val it = graft.operators.Similarity.kmIters
       s""",
-kp AS (
+kp AS MATERIALIZED (
   SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
     round(list_inner_product(a.ev, b.ev), 6) AS cosine
   FROM asg$it a JOIN asg$it b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
-kr AS (
+kr AS MATERIALIZED (
   SELECT vec_id, neighbor_id, cosine,
     row_number() OVER (PARTITION BY vec_id
       ORDER BY cosine DESC, neighbor_id)::BIGINT AS rank
   FROM kp),
-ged AS (SELECT vec_id, neighbor_id FROM kr WHERE rank <= 3),
-med AS (
+ged AS MATERIALIZED (SELECT vec_id, neighbor_id FROM kr WHERE rank <= 3),
+med AS MATERIALIZED (
   SELECT a.vec_id AS vec_a, a.neighbor_id AS vec_b
   FROM ged a JOIN ged b
     ON a.vec_id = b.neighbor_id AND a.neighbor_id = b.vec_id
@@ -2042,11 +2238,11 @@ ORDER BY d.vec_id"""
     "sim_intrinsic_dim" -> (simBase + kmeansCtes + {
       val it = graft.operators.Similarity.kmIters
       s""",
-kp AS (
+kp AS MATERIALIZED (
   SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
     round(list_inner_product(a.ev, b.ev), 6) AS cosine
   FROM asg$it a JOIN asg$it b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
-kr AS (
+kr AS MATERIALIZED (
   SELECT vec_id, neighbor_id, cosine,
     row_number() OVER (PARTITION BY vec_id
       ORDER BY cosine DESC, neighbor_id)::BIGINT AS rank
@@ -2073,17 +2269,17 @@ FROM st CROSS JOIN nv"""
     "sim_assortativity" -> (simBase + kmeansCtes + {
       val it = graft.operators.Similarity.kmIters
       s""",
-kp AS (
+kp AS MATERIALIZED (
   SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
     round(list_inner_product(a.ev, b.ev), 6) AS cosine
   FROM asg$it a JOIN asg$it b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
-kr AS (
+kr AS MATERIALIZED (
   SELECT vec_id, neighbor_id, cosine,
     row_number() OVER (PARTITION BY vec_id
       ORDER BY cosine DESC, neighbor_id)::BIGINT AS rank
   FROM kp),
-ged AS (SELECT vec_id, neighbor_id FROM kr WHERE rank <= 3),
-med AS (
+ged AS MATERIALIZED (SELECT vec_id, neighbor_id FROM kr WHERE rank <= 3),
+med AS MATERIALIZED (
   SELECT a.vec_id AS vec_a, a.neighbor_id AS vec_b
   FROM ged a JOIN ged b
     ON a.vec_id = b.neighbor_id AND a.neighbor_id = b.vec_id
@@ -2126,17 +2322,17 @@ FROM mm CROSS JOIN nn CROSS JOIN ne"""
     "sim_link_prediction" -> (simBase + kmeansCtes + {
       val it = graft.operators.Similarity.kmIters
       s""",
-kp AS (
+kp AS MATERIALIZED (
   SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
     round(list_inner_product(a.ev, b.ev), 6) AS cosine
   FROM asg$it a JOIN asg$it b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
-kr AS (
+kr AS MATERIALIZED (
   SELECT vec_id, neighbor_id, cosine,
     row_number() OVER (PARTITION BY vec_id
       ORDER BY cosine DESC, neighbor_id)::BIGINT AS rank
   FROM kp),
-ged AS (SELECT vec_id, neighbor_id FROM kr WHERE rank <= 3),
-med AS (
+ged AS MATERIALIZED (SELECT vec_id, neighbor_id FROM kr WHERE rank <= 3),
+med AS MATERIALIZED (
   SELECT a.vec_id AS vec_a, a.neighbor_id AS vec_b
   FROM ged a JOIN ged b
     ON a.vec_id = b.neighbor_id AND a.neighbor_id = b.vec_id
@@ -2169,16 +2365,16 @@ GROUP BY 1, 2 ORDER BY vec_a, vec_b"""
       val tele = (1 - d).toString // exact Scala double round-trip
       val sb = new StringBuilder
       sb.append(s""",
-kp AS (
+kp AS MATERIALIZED (
   SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
     round(list_inner_product(a.ev, b.ev), 6) AS cosine
   FROM asg$it a JOIN asg$it b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
-kr AS (
+kr AS MATERIALIZED (
   SELECT vec_id, neighbor_id, cosine,
     row_number() OVER (PARTITION BY vec_id
       ORDER BY cosine DESC, neighbor_id)::BIGINT AS rank
   FROM kp),
-ged AS (SELECT vec_id AS src, neighbor_id AS dst FROM kr WHERE rank <= 3),
+ged AS MATERIALIZED (SELECT vec_id AS src, neighbor_id AS dst FROM kr WHERE rank <= 3),
 od AS (SELECT src, count(*)::BIGINT AS outdeg FROM ged GROUP BY src),
 nd AS (SELECT DISTINCT node FROM
   (SELECT src AS node FROM ged UNION ALL SELECT dst FROM ged)),
@@ -2212,13 +2408,13 @@ FROM pr${graft.operators.Similarity.prIters} ORDER BY vec_id""")
     // (the dedup_clusters oracle pattern over the embedding graph)
     "sim_knn_components" -> ((simBase + kmeansCtes)
       .replaceFirst("WITH ", "WITH RECURSIVE ") + s""",
-kp AS (
+kp AS MATERIALIZED (
   SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
     round(list_inner_product(a.ev, b.ev), 6) AS cosine
   FROM asg${graft.operators.Similarity.kmIters} a
   JOIN asg${graft.operators.Similarity.kmIters} b
     ON a.cell = b.cell AND a.vec_id <> b.vec_id),
-kr AS (
+kr AS MATERIALIZED (
   SELECT vec_id, neighbor_id, cosine,
     row_number() OVER (PARTITION BY vec_id
       ORDER BY cosine DESC, neighbor_id)::BIGINT AS rank
@@ -2749,6 +2945,201 @@ SELECT community, n_nodes, in_edges, degree_sum,
       END), 6) AS conductance
 FROM rep CROSS JOIN vt
 ORDER BY community"""),
+    // bounded k-core peel: kcoreRounds unrolled drop-and-refilter
+    // rounds over the mutual-kNN edge set. Every chain CTE is
+    // MATERIALIZED: e_i and keep_i are each referenced twice per
+    // round, and DuckDB's default inlining re-expands the whole
+    // upstream (kmeans + pair join) EXPONENTIALLY in the round count —
+    // measured as a never-finishing sf0.1 oracle before the hint.
+    "sim_kcore" -> (simBase + kmeansCtes + {
+      val it = graft.operators.Similarity.kmIters
+      val kk = graft.operators.Similarity.kcoreK
+      val rounds = graft.operators.Similarity.kcoreRounds
+      val sb = new StringBuilder
+      sb.append(s""",
+kp AS MATERIALIZED (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+    round(list_inner_product(a.ev, b.ev), 6) AS cosine
+  FROM asg$it a JOIN asg$it b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+kr AS MATERIALIZED (
+  SELECT vec_id, neighbor_id,
+    row_number() OVER (PARTITION BY vec_id
+      ORDER BY cosine DESC, neighbor_id)::BIGINT AS rank
+  FROM kp),
+ged AS MATERIALIZED (SELECT vec_id, neighbor_id FROM kr WHERE rank <= 3),
+e0 AS MATERIALIZED (
+  SELECT a.vec_id AS vec_a, a.neighbor_id AS vec_b
+  FROM ged a JOIN ged b
+    ON a.vec_id = b.neighbor_id AND a.neighbor_id = b.vec_id
+  WHERE a.vec_id < a.neighbor_id),
+d0 AS MATERIALIZED (SELECT node, count(*)::BIGINT AS deg FROM
+  (SELECT vec_a AS node FROM e0 UNION ALL SELECT vec_b FROM e0)
+  GROUP BY 1)""")
+      for (i <- 1 to rounds) {
+        sb.append(s""",
+kp$i AS MATERIALIZED (SELECT node FROM d${i - 1} WHERE deg >= $kk),
+e$i AS MATERIALIZED (
+  SELECT e.vec_a, e.vec_b FROM e${i - 1} e
+  JOIN kp$i ka ON e.vec_a = ka.node
+  JOIN kp$i kb ON e.vec_b = kb.node),
+d$i AS MATERIALIZED (SELECT node, count(*)::BIGINT AS deg FROM
+  (SELECT vec_a AS node FROM e$i UNION ALL SELECT vec_b FROM e$i)
+  GROUP BY 1)""")
+      }
+      sb.append(s"""
+SELECT d0.node AS vec_id, d0.deg AS deg0,
+  CAST(coalesce(d$rounds.deg, 0) AS BIGINT) AS deg_final,
+  coalesce(d$rounds.deg, 0) >= $kk AS in_core
+FROM d0 LEFT JOIN d$rounds ON d0.node = d$rounds.node
+ORDER BY vec_id""")
+      sb.toString
+    }),
+    // shared-nearest-neighbor pairs: adjacency self-join on the shared
+    // neighbor id, SNN Jaccard over k-bounded out-degrees
+    "sim_snn_graph" -> (simBase + kmeansCtes + {
+      val it = graft.operators.Similarity.kmIters
+      s""",
+kp AS MATERIALIZED (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+    round(list_inner_product(a.ev, b.ev), 6) AS cosine
+  FROM asg$it a JOIN asg$it b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+kr AS MATERIALIZED (
+  SELECT vec_id, neighbor_id,
+    row_number() OVER (PARTITION BY vec_id
+      ORDER BY cosine DESC, neighbor_id)::BIGINT AS rank
+  FROM kp),
+ged AS MATERIALIZED (SELECT vec_id, neighbor_id FROM kr WHERE rank <= 3),
+od AS (SELECT vec_id, count(*)::BIGINT AS deg FROM ged GROUP BY 1),
+sh AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, count(*)::BIGINT AS shared
+  FROM ged a JOIN ged b
+    ON a.neighbor_id = b.neighbor_id AND a.vec_id < b.vec_id
+  GROUP BY 1, 2)
+SELECT vec_a, vec_b, shared,
+  round(shared::DOUBLE / (da.deg + db.deg - shared), 6) AS snn_jaccard
+FROM sh JOIN od da ON sh.vec_a = da.vec_id
+JOIN od db ON sh.vec_b = db.vec_id
+ORDER BY vec_a, vec_b"""
+    }),
+    // PQ codebook utilization: per-subspace code histogram, entropy on
+    // the 1e-12 grid, hottest-code share
+    "sim_code_entropy" -> (simBase + pqCtes + {
+      val it = graft.operators.Similarity.kmIters
+      val k = graft.operators.Similarity.kmK
+      val blocks = (0 until graft.operators.Similarity.pqM).map { s =>
+        s"""
+SELECT $s::BIGINT AS sub, max(nu)::BIGINT AS n_codes_used,
+  round(CAST(sum(term) AS DOUBLE), 6) AS code_entropy,
+  round(max(nu)::DOUBLE / $k, 6) AS utilization,
+  round(max(nm)::DOUBLE / max(tot), 6) AS max_code_share
+FROM (
+  SELECT CAST(round(-(n::DOUBLE / tot) * ln(n::DOUBLE / tot), 12)
+      AS DECIMAL(18,12)) AS term, nu, nm, tot
+  FROM (
+    SELECT cell, n, sum(n) OVER () AS tot, count(*) OVER () AS nu,
+      max(n) OVER () AS nm
+    FROM (SELECT cell, count(*)::BIGINT AS n FROM pa$s$it GROUP BY cell)))"""
+      }.mkString("\nUNION ALL")
+      blocks + "\nORDER BY sub"
+    }),
+    // HNSW layer census: geometric level draw from the salted-hash
+    // uniform, cumulative hierarchy sizes over the bounded level grid
+    "sim_hnsw_layers" -> {
+      val ml = graft.operators.Similarity.hnswMl
+      val cap = graft.operators.Similarity.hnswMaxLevel
+      val salt = graft.operators.Similarity.hnswSalt
+      s"""
+WITH lv AS (
+  SELECT least(CAST(floor(-ln(
+    ((('0x' || substr(md5('$salt' || vec_id::VARCHAR), 1, 8))::BIGINT)::DOUBLE
+      + 0.5) / 4294967296.0) * $ml) AS BIGINT), $cap) AS level
+  FROM embeddings),
+h AS (SELECT level, count(*)::BIGINT AS n_nodes FROM lv GROUP BY 1),
+t AS (SELECT CAST(sum(n_nodes) AS BIGINT) AS n_total FROM h)
+SELECT level, n_nodes,
+  CAST(sum(n_nodes) OVER (ORDER BY level DESC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS hierarchy_size,
+  round(n_nodes::DOUBLE / n_total, 6) AS share
+FROM h CROSS JOIN t ORDER BY level"""
+    },
+    // directed-kNN reciprocity: mutual-pair count over the edge count
+    "sim_reciprocity" -> (simBase + kmeansCtes + {
+      val it = graft.operators.Similarity.kmIters
+      s""",
+kp AS MATERIALIZED (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+    round(list_inner_product(a.ev, b.ev), 6) AS cosine
+  FROM asg$it a JOIN asg$it b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+kr AS MATERIALIZED (
+  SELECT vec_id, neighbor_id,
+    row_number() OVER (PARTITION BY vec_id
+      ORDER BY cosine DESC, neighbor_id)::BIGINT AS rank
+  FROM kp),
+ged AS MATERIALIZED (SELECT vec_id, neighbor_id FROM kr WHERE rank <= 3),
+mp AS (
+  SELECT count(*)::BIGINT AS n_pairs
+  FROM ged a JOIN ged b
+    ON a.vec_id = b.neighbor_id AND a.neighbor_id = b.vec_id
+  WHERE a.vec_id < a.neighbor_id),
+t AS (SELECT count(DISTINCT vec_id)::BIGINT AS n_nodes,
+  count(*)::BIGINT AS n_edges FROM ged)
+SELECT n_nodes, n_edges,
+  CAST(n_pairs * 2 AS BIGINT) AS n_reciprocal_edges,
+  round((n_pairs * 2)::DOUBLE / n_edges, 6) AS reciprocity
+FROM t CROSS JOIN mp"""
+    }),
+    // spectral radius: SpecIters unrolled power iterations over the
+    // symmetrized mutual-kNN adjacency; every decimal crossing is
+    // VARCHAR-mediated (the iterated-kernel convention)
+    "sim_spectral_radius" -> (simBase + kmeansCtes + {
+      val it = graft.operators.Similarity.kmIters
+      val iters = graft.operators.Similarity.SpecIters
+      val sb = new StringBuilder
+      sb.append(s""",
+kp AS MATERIALIZED (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+    round(list_inner_product(a.ev, b.ev), 6) AS cosine
+  FROM asg$it a JOIN asg$it b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+kr AS MATERIALIZED (
+  SELECT vec_id, neighbor_id,
+    row_number() OVER (PARTITION BY vec_id
+      ORDER BY cosine DESC, neighbor_id)::BIGINT AS rank
+  FROM kp),
+ged AS MATERIALIZED (SELECT vec_id, neighbor_id FROM kr WHERE rank <= 3),
+med AS MATERIALIZED (
+  SELECT a.vec_id AS vec_a, a.neighbor_id AS vec_b
+  FROM ged a JOIN ged b
+    ON a.vec_id = b.neighbor_id AND a.neighbor_id = b.vec_id
+  WHERE a.vec_id < a.neighbor_id),
+ed AS MATERIALIZED (SELECT vec_a AS src, vec_b AS dst FROM med
+  UNION ALL SELECT vec_b, vec_a FROM med),
+nd AS (SELECT DISTINCT src AS node FROM ed),
+tt AS (SELECT (SELECT count(*) FROM ed)::BIGINT AS n_edges,
+  (SELECT count(*) FROM nd)::BIGINT AS n_nodes),
+v0 AS (SELECT node, 1.0 / sqrt((SELECT n_nodes FROM tt)::DOUBLE) AS x
+  FROM nd)""")
+      for (i <- 1 to iters) {
+        sb.append(s""",
+w$i AS MATERIALIZED (
+  SELECT ed.dst AS node,
+    CAST(CAST(sum(CAST(CAST(v.x AS VARCHAR) AS DECIMAL(28,10)))
+      AS VARCHAR) AS DOUBLE) AS wx
+  FROM ed JOIN v${i - 1} v ON ed.src = v.node
+  GROUP BY ed.dst),
+nm$i AS (
+  SELECT sqrt(CAST(CAST(sum(CAST(round(wx * wx, 12) AS DECIMAL(28,12)))
+    AS VARCHAR) AS DOUBLE)) AS nrm
+  FROM w$i),
+v$i AS MATERIALIZED (
+  SELECT node, wx / (CASE WHEN nrm <> 0 THEN nrm END) AS x
+  FROM w$i CROSS JOIN nm$i)""")
+      }
+      sb.append(s"""
+SELECT n_nodes, n_edges, round(nrm, 6) AS spectral_radius
+FROM nm$iters CROSS JOIN tt""")
+      sb.toString
+    }),
   )
 
   /** Shared label-propagation CTE chain: simBase + the unrolled Lloyd
@@ -2768,26 +3159,26 @@ a$r AS (
   SELECT vec_id, lab FROM v$r
   QUALIFY row_number() OVER (PARTITION BY vec_id
     ORDER BY c DESC, lab) = 1),
-l$r AS (
+l$r AS MATERIALIZED (
   SELECT b.vec_id,
     CASE WHEN b.vec_id < $seeds THEN b.label::BIGINT ELSE a$r.lab END
       AS lab
   FROM base b LEFT JOIN a$r ON b.vec_id = a$r.vec_id)"""
     }.mkString
     s""",
-kp AS (
+kp AS MATERIALIZED (
   SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
     round(list_inner_product(a.ev, b.ev), 6) AS cosine
   FROM asg$it a
   JOIN asg$it b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
-e AS (
+e AS MATERIALIZED (
   SELECT vec_id, neighbor_id FROM (
     SELECT vec_id, neighbor_id,
       row_number() OVER (PARTITION BY vec_id
         ORDER BY cosine DESC, neighbor_id) AS rank
     FROM kp)
   WHERE rank <= $k),
-l0 AS (
+l0 AS MATERIALIZED (
   SELECT vec_id, CASE WHEN vec_id < $seeds THEN label::BIGINT END AS lab
   FROM base)$rounds"""
   }
@@ -3028,6 +3419,54 @@ cc AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node)
 SELECT d.doc_id, coalesce(cc.cluster, d.doc_id)::BIGINT AS group_id
 FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
 ORDER BY d.doc_id"""
+    },
+    // constellation landmark census: 32-byte frame energies (integer),
+    // strict-left/weak-right local maxima, next-peak pairing within
+    // the gap cap, salted landmark hash, per-source discriminability
+    "mm_audio_landmarks" -> {
+      val n = graft.operators.Multimodal.AlFrameBytes
+      val gap = graft.operators.Multimodal.AlMaxGap
+      val salt = graft.operators.Multimodal.AlSalt
+      s"""
+WITH fr AS (
+  SELECT source, doc_id, u.j AS j,
+    CAST(list_sum(list_transform(range(1, $n + 1),
+      p -> ord(substr(u.f, CAST(p AS INT), 1)))) AS BIGINT) AS energy
+  FROM (SELECT source, doc_id,
+          unnest(list_transform(range(0, length(text) // $n),
+            j -> {'j': j, 'f': substr(text, CAST(j * $n + 1 AS INT), $n)}))
+            AS u
+        FROM documents WHERE length(text) >= $n)),
+pk AS (
+  SELECT source, doc_id, j, energy FROM (
+    SELECT source, doc_id, j, energy,
+      coalesce(lag(energy) OVER dw, -1) AS pe,
+      coalesce(lead(energy) OVER dw, -1) AS ne
+    FROM fr WINDOW dw AS (PARTITION BY doc_id ORDER BY j))
+  WHERE energy > pe AND energy >= ne),
+lm AS (
+  SELECT source, doc_id,
+    ('0x' || substr(md5('$salt' || (energy % 256)::VARCHAR || ':' ||
+      (e2 % 256)::VARCHAR || ':' || (j2 - j)::VARCHAR), 1, 8))::BIGINT
+      AS lm_key
+  FROM (
+    SELECT source, doc_id, j, energy,
+      lead(j) OVER pw AS j2, lead(energy) OVER pw AS e2
+    FROM pk WINDOW pw AS (PARTITION BY doc_id ORDER BY j))
+  WHERE j2 IS NOT NULL AND j2 - j <= $gap),
+fc AS (SELECT source, count(*)::BIGINT AS n_frames FROM fr GROUP BY 1),
+pc AS (SELECT source, count(*)::BIGINT AS n_peaks FROM pk GROUP BY 1),
+lc AS (SELECT source, count(*)::BIGINT AS n_landmarks,
+  count(DISTINCT lm_key)::BIGINT AS n_distinct_keys FROM lm GROUP BY 1)
+SELECT fc.source, n_frames,
+  coalesce(n_peaks, 0)::BIGINT AS n_peaks,
+  coalesce(n_landmarks, 0)::BIGINT AS n_landmarks,
+  coalesce(n_distinct_keys, 0)::BIGINT AS n_distinct_keys,
+  CASE WHEN n_landmarks > 0 THEN
+    round(n_distinct_keys::DOUBLE / n_landmarks, 6) END
+    AS key_discriminability
+FROM fc LEFT JOIN pc USING (source) LEFT JOIN lc USING (source)
+ORDER BY source"""
     },
   )
 

@@ -301,5 +301,45 @@ SELECT doc_id, xb, yb, z,
   CAST(row_number() OVER (ORDER BY z, doc_id) - 1 AS BIGINT) AS zrank
 FROM z ORDER BY zrank"""
     },
+    // T5 span-corruption budget: exact integer arithmetic per doc,
+    // guarded ratio columns
+    "pack_span_corruption" -> {
+      val nn = Packing.CorruptNoiseNumer
+      val nd = Packing.CorruptNoiseDenom
+      val ms = Packing.CorruptMeanSpan
+      s"""
+WITH $toksCte,
+pd AS (
+  SELECT source, doc_id, len(tk)::BIGINT AS n_tokens,
+    (len(tk)::BIGINT * $nn) // $nd AS n_corrupted
+  FROM toks),
+pe AS (
+  SELECT source, doc_id, n_tokens, n_corrupted,
+    CASE WHEN n_corrupted > 0
+      THEN greatest(n_corrupted // $ms, 1) ELSE 0 END AS n_spans
+  FROM pd),
+pf AS (
+  SELECT source, doc_id, n_tokens, n_corrupted, n_spans,
+    n_tokens - n_corrupted + n_spans AS input_len,
+    n_corrupted + n_spans + 1 AS target_len
+  FROM pe),
+a AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+    CAST(sum(n_tokens) AS BIGINT) AS raw_tokens,
+    CAST(sum(n_corrupted) AS BIGINT) AS corrupted_tokens,
+    CAST(sum(n_spans) AS BIGINT) AS n_spans,
+    CAST(sum(input_len) AS BIGINT) AS encoder_tokens,
+    CAST(sum(target_len) AS BIGINT) AS decoder_tokens
+  FROM pf GROUP BY source)
+SELECT source, n_docs, raw_tokens, corrupted_tokens, n_spans,
+  encoder_tokens, decoder_tokens,
+  round(corrupted_tokens::DOUBLE /
+    (CASE WHEN raw_tokens > 0 THEN raw_tokens END), 6)
+    AS realized_noise_density,
+  round((encoder_tokens + decoder_tokens)::DOUBLE /
+    (CASE WHEN raw_tokens > 0 THEN raw_tokens END), 6)
+    AS token_overhead
+FROM a ORDER BY source"""
+    },
   )
 }

@@ -1866,5 +1866,33 @@ FROM c
 QUALIFY row_number() OVER (PARTITION BY o_orderpriority
   ORDER BY n_items DESC, l_returnflag) = 1
 ORDER BY o_orderpriority""",
+    // Herfindahl-Hirschman concentration per market segment: decimal
+    // revenue sums, 1e-12-grid share-squared terms, DOJ class labels
+    "rel_hhi" -> """
+WITH cells AS (
+  SELECT c.c_mktsegment, n.n_name,
+    CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2),
+st AS (
+  SELECT c_mktsegment,
+    CAST(sum(CAST(rev AS DECIMAL(18,6))) AS DOUBLE) AS seg_rev
+  FROM cells GROUP BY 1),
+t AS (
+  SELECT cells.c_mktsegment,
+    CAST(round((rev / seg_rev) * (rev / seg_rev), 12)
+      AS DECIMAL(28,12)) AS term
+  FROM cells JOIN st USING (c_mktsegment)),
+a AS (
+  SELECT c_mktsegment, count(*)::BIGINT AS n_nations,
+    round(CAST(sum(term) AS DOUBLE) * 10000.0, 6) AS hhi
+  FROM t GROUP BY 1)
+SELECT c_mktsegment, n_nations, hhi,
+  CASE WHEN hhi < 1500.0 THEN 'competitive'
+       WHEN hhi < 2500.0 THEN 'moderate'
+       ELSE 'concentrated' END AS hhi_class
+FROM a ORDER BY c_mktsegment""",
   )
 }

@@ -1690,5 +1690,116 @@ SELECT ticker, n_tail, round(r_k, 6) AS r_k,
   END AS hill_alpha
 FROM m ORDER BY ticker"""
     }),
+    // Corwin-Schultz high-low spread: two-bar beta/gamma, closed-form
+    // alpha, per-ticker decimal-summed means (raw and 0-floored)
+    "stock_corwin_schultz" -> (Oracles.stockCte + s""",
+ohlc AS (
+  SELECT ticker,
+    date_trunc('minute', ts) + (5 - minute(ts) % 5) * INTERVAL 1 MINUTE
+      AS window_timestamp,
+    max(price) AS high, min(price) AS low, max_by(price, ts) AS close
+  FROM stock GROUP BY 1, 2),
+pr AS (
+  SELECT ticker, high, low,
+    lag(high) OVER tw AS ph, lag(low) OVER tw AS pl
+  FROM ohlc
+  WINDOW tw AS (PARTITION BY ticker ORDER BY window_timestamp)),
+pp AS (SELECT * FROM pr WHERE ph IS NOT NULL AND pl > 0 AND low > 0),
+s1 AS (
+  SELECT ticker,
+    ln(CASE WHEN pl > 0 THEN ph / pl END) AS hl1,
+    ln(CASE WHEN low > 0 THEN high / low END) AS hl2,
+    ln(CASE WHEN least(pl, low) > 0
+      THEN greatest(ph, high) / least(pl, low) END) AS gl
+  FROM pp),
+s2 AS (SELECT ticker, hl1 * hl1 + hl2 * hl2 AS beta, gl * gl AS gamma
+  FROM s1),
+s3 AS (
+  SELECT ticker,
+    (sqrt(2.0 * beta) - sqrt(beta)) / (3 - 2 * sqrt(2.0)) -
+      sqrt(gamma / (3 - 2 * sqrt(2.0))) AS alpha
+  FROM s2),
+s4 AS (SELECT ticker,
+  2.0 * (exp(alpha) - 1) / (1.0 + exp(alpha)) AS s FROM s3)
+SELECT ticker, count(*)::BIGINT AS n_pairs,
+  round(CAST(sum(CAST(round(s, 12) AS DECIMAL(38,18))) AS DOUBLE) /
+    count(*), 6) AS avg_spread_raw,
+  round(CAST(sum(CAST(round(greatest(s, 0.0), 12) AS DECIMAL(38,18)))
+    AS DOUBLE) / count(*), 6) AS avg_spread
+FROM s4 GROUP BY ticker ORDER BY ticker"""),
+    // Parkinson / Rogers-Satchell / close-close volatility panel:
+    // positive-price filter, 1e-12-grid terms, decimal sums, guarded
+    // closing sqrt/ratio math
+    "stock_vol_panel" -> (Oracles.stockCte + """,
+ohlc AS (
+  SELECT ticker,
+    date_trunc('minute', ts) + (5 - minute(ts) % 5) * INTERVAL 1 MINUTE
+      AS window_timestamp,
+    min_by(price, ts) AS open, max(price) AS high,
+    min(price) AS low, max_by(price, ts) AS close
+  FROM stock GROUP BY 1, 2),
+base AS (
+  SELECT ticker, open, high, low, close,
+    lag(close, 1) OVER (PARTITION BY ticker ORDER BY window_timestamp)
+      AS pc
+  FROM ohlc WHERE low > 0 AND open > 0 AND close > 0),
+terms AS (
+  SELECT ticker,
+    round(ln(high / low) * ln(high / low), 12) AS park_t,
+    round(ln(high / close) * ln(high / open) +
+      ln(low / close) * ln(low / open), 12) AS rs_t,
+    round(ln(close / (CASE WHEN pc > 0 THEN pc END)) *
+      ln(close / (CASE WHEN pc > 0 THEN pc END)), 12) AS cc_t
+  FROM base),
+m AS (
+  SELECT ticker, count(*)::BIGINT AS n_bars,
+    CAST(sum(CAST(park_t AS DECIMAL(38,18))) AS DOUBLE) AS sp,
+    CAST(sum(CAST(rs_t AS DECIMAL(38,18))) AS DOUBLE) AS sr,
+    CAST(sum(CAST(cc_t AS DECIMAL(38,18))) AS DOUBLE) AS sc,
+    count(cc_t)::BIGINT AS nc
+  FROM terms GROUP BY ticker)
+SELECT ticker, n_bars,
+  round(sqrt(sp / n_bars / (4 * ln(2.0))), 6) AS vol_parkinson,
+  round(sqrt(greatest(sr / n_bars, 0.0)), 6) AS vol_rogers_satchell,
+  CASE WHEN nc > 0 THEN round(sqrt(sc /
+    CAST(CASE WHEN nc > 0 THEN nc END AS DOUBLE)), 6) END
+    AS vol_close_close,
+  CASE WHEN nc > 0 AND sc > 0.0 THEN
+    round(sqrt(sp / n_bars / (4 * ln(2.0))) /
+      (CASE WHEN sc > 0.0 THEN sqrt(sc /
+        CAST(CASE WHEN nc > 0 THEN nc END AS DOUBLE)) END), 6)
+  END AS park_cc_ratio
+FROM m ORDER BY ticker"""),
+    // Epps effect: the corr_pairs recipe at three bar widths
+    "stock_epps" -> {
+      def block(sec: Int): String = s"""
+SELECT $sec::BIGINT AS width_s, ticker_a, ticker_b, n_buckets, ret_corr
+FROM (
+  SELECT a.ticker AS ticker_a, b.ticker AS ticker_b,
+    count(*)::BIGINT AS n_buckets,
+    round(corr(a.ret, b.ret), 6) AS ret_corr
+  FROM r$sec a JOIN r$sec b
+    ON a.bucket = b.bucket AND a.ticker < b.ticker
+  GROUP BY 1, 2)"""
+      def barsBlock(sec: Int): String = s"""
+b$sec AS (
+  SELECT ticker,
+    make_timestamp((epoch_us(ts::TIMESTAMP) // ${sec}000000)
+      * ${sec}000000) AS bucket,
+    max_by(price, ts) AS close
+  FROM stock GROUP BY 1, 2),
+r$sec AS (
+  SELECT ticker, bucket,
+    CASE WHEN lag(close, 1) OVER tw <> 0
+      THEN close / lag(close, 1) OVER tw - 1 END AS ret
+  FROM b$sec
+  WINDOW tw AS (PARTITION BY ticker ORDER BY bucket)
+  QUALIFY ret IS NOT NULL)"""
+      val ws = graft.operators.TimeSeries.EppsWidths
+      Oracles.stockCte + "," +
+        ws.map(barsBlock).mkString(",") + "\n" +
+        ws.map(block).mkString("\nUNION ALL\n") +
+        "\nORDER BY width_s, ticker_a, ticker_b"
+    },
   )
 }

@@ -838,6 +838,59 @@ object SparkEntry {
     "stock_fracdiff" -> (TimeSeries.fracDiff _),
     // Sortino + Omega downside risk-adjusted return ratios
     "stock_sortino" -> (TimeSeries.sortino _),
+    // bounded k-core peel over the mutual-kNN graph
+    "sim_kcore" -> ((s, d) =>
+      Similarity.kcore(Tables.embeddings(s, d))),
+    // shared-nearest-neighbor graph (Jarvis-Patrick edge weights)
+    "sim_snn_graph" -> ((s, d) =>
+      Similarity.snnGraph(Tables.embeddings(s, d))),
+    // PQ codebook utilization / entropy census
+    "sim_code_entropy" -> ((s, d) =>
+      Similarity.pqCodeEntropy(Tables.embeddings(s, d))),
+    // HNSW layer-assignment census (geometric level draw)
+    "sim_hnsw_layers" -> ((s, d) =>
+      Similarity.hnswLayers(Tables.embeddings(s, d))),
+    // directed-kNN reciprocity rate
+    "sim_reciprocity" -> ((s, d) =>
+      Similarity.knnReciprocity(Tables.embeddings(s, d))),
+    // duplicated word-n-gram census per source (n = 3 and 8)
+    "text_dup_ngrams" -> ((s, d) =>
+      TextAnalysis.dupNgrams(Tables.documents(s, d))),
+    // stopword-profile drift per source (stylometry cosine)
+    "text_stopword_profile" -> ((s, d) =>
+      TextAnalysis.stopwordProfile(Tables.documents(s, d))),
+    // Heaps-law vocabulary-growth fit (log-log OLS over checkpoints)
+    "text_heaps_fit" -> ((s, d) =>
+      TextAnalysis.heapsFit(Tables.documents(s, d))),
+    // Chinchilla compute-optimal data-budget table
+    "corpus_chinchilla" -> ((s, d) =>
+      operators.Curation.chinchillaPlan(Tables.documents(s, d))),
+    // Corwin-Schultz high-low bid-ask spread estimator
+    "stock_corwin_schultz" -> (TimeSeries.corwinSchultz _),
+    // Herfindahl-Hirschman revenue concentration per market segment
+    "rel_hhi" -> (Relational.hhi _),
+    // content-defined chunking census (CDC dedup-at-rest view)
+    "dedup_cdc_chunks" -> ((s, d) =>
+      operators.Dedup.cdcChunks(Tables.documents(s, d))),
+    // Parkinson / Rogers-Satchell / close-close volatility panel
+    "stock_vol_panel" -> (TimeSeries.volPanel _),
+    // Epps effect: pair correlations at 1m/5m/15m sampling
+    "stock_epps" -> (TimeSeries.eppsEffect _),
+    // Shazam-style constellation landmark census over blob payloads
+    "mm_audio_landmarks" -> ((s, d) =>
+      operators.Multimodal.audioLandmarks(Tables.documents(s, d))),
+    // standardized (segmental) type-token ratio per source
+    "text_sttr" -> ((s, d) =>
+      TextAnalysis.sttr(Tables.documents(s, d))),
+    // T5 span-corruption token-budget plan per source
+    "pack_span_corruption" -> ((s, d) =>
+      operators.Packing.spanCorruptionPlan(Tables.documents(s, d))),
+    // 1-bit minhash fidelity vs exact Jaccard on LSH candidates
+    "dedup_bbit_minhash" -> ((s, d) =>
+      operators.Dedup.bbitMinhash(Tables.documents(s, d))),
+    // dominant eigenvalue of the mutual-kNN adjacency (power iteration)
+    "sim_spectral_radius" -> ((s, d) =>
+      Similarity.spectralRadius(Tables.embeddings(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

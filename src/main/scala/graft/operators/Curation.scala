@@ -1430,4 +1430,50 @@ object Curation {
       round((po - pe) /
         when(lit(1.0) - pe =!= 0.0, lit(1.0) - pe), 6).as("kappa"))
   }
+
+  /** Chinchilla planning constants — shared with the oracle generator.
+    * C ≈ [[ChinchillaFlopsPerTokenParam]]·N·D (the 6ND rule) and
+    * D_opt = [[ChinchillaTokensPerParam]]·N_opt (Hoffmann et al. 2022's
+    * ~20 tokens/param compute-optimal ratio), so
+    * N_opt = √(C / 120). The budget grid spans seven decades. */
+  val ChinchillaTokensPerParam = 20.0
+  val ChinchillaFlopsPerTokenParam = 6.0
+  val ChinchillaBudgets: Seq[Double] =
+    Seq(1e18, 1e19, 1e20, 1e21, 1e22, 1e23, 1e24)
+
+  /** Compute-optimal data-budget table: for each FLOP budget in
+    * [[ChinchillaBudgets]], the Chinchilla-optimal parameter and token
+    * counts, how many EPOCHS of THIS corpus that token budget implies,
+    * and whether it clears the [[EpochRepeatCap]] repeat ceiling — the
+    * one-page answer to "which model scales can this corpus feed
+    * compute-optimally" that a data-acquisition plan starts from (the
+    * [[tokenEpochs]] sibling: that allocates a fixed budget across
+    * sources; this sweeps budgets against the whole corpus).
+    *
+    * Determinism: one exact integer token-count aggregate; each row is
+    * closed-form double math on a literal budget (the Scala-double
+    * round-trip convention), giant counts rounded at integer precision
+    * (round(x, 0) — exact on both engines at any magnitude, unlike
+    * fractional rounding), ratios on the 1e-6 grid. Scale: one corpus
+    * scan; the table is 7 rows. */
+  def chinchillaPlan(documents: DataFrame): DataFrame = {
+    val tot = documents.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(toks).cast("long")).as("corpus_tokens"))
+    val grid = ChinchillaBudgets.map(c => (c,
+      math.sqrt(c / (ChinchillaFlopsPerTokenParam * ChinchillaTokensPerParam))))
+    val rows = grid.map { case (c, nOpt) =>
+      tot.select(lit(c).as("flops"),
+        round(lit(nOpt), 0).as("n_params_opt"),
+        round(lit(ChinchillaTokensPerParam * nOpt), 0).as("d_tokens_opt"),
+        col("corpus_tokens"),
+        round(lit(ChinchillaTokensPerParam * nOpt) /
+          col("corpus_tokens").cast("double"), 6).as("epochs_needed"))
+    }
+    rows.reduce(_ unionByName _)
+      .select(col("flops"), col("n_params_opt"), col("d_tokens_opt"),
+        col("corpus_tokens"), col("epochs_needed"),
+        (col("epochs_needed") <= EpochRepeatCap).as("feasible"))
+      .orderBy(col("flops"))
+  }
 }

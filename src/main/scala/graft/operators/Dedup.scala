@@ -914,4 +914,110 @@ object Dedup {
       .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** b-bit MinHash fidelity panel (Li–König 2010, b = 1): every LSH
+    * candidate pair scored by the 1-bit signature — each of the 16
+    * minhash values keeps only its LOW BIT, agreement A over the 16
+    * bits estimates Jaccard as max(2A/16 − 1, 0) — beside the exact
+    * shingle Jaccard and the absolute error. 1-bit signatures are 32×
+    * smaller at rest than the 32-bit minhashes (the storage argument
+    * for b-bit at 100 TB: the whole corpus's signatures fit in memory
+    * tiers the full sketch never could); this panel is the measured
+    * answer to "what accuracy does that compression cost on OUR
+    * corpus".
+    *
+    * Determinism: bit agreement is integer parity compares; the
+    * estimator and error are exact small-integer ratios rounded once.
+    * Scale: candidate-bounded (the LSH band join), two broadcast-sized
+    * signature joins — no new pair front. */
+  def bbitMinhash(documents: DataFrame): DataFrame = {
+    val sh = shingles(documents)
+    val jac = withJaccard(sh, candidatesOf(sh))
+    val sigs = signaturesOf(sh)
+    val agree = (0 until coeffs.length).map(i =>
+      when(pmod(col(s"a_mh_$i"), lit(2L)) === pmod(col(s"b_mh_$i"), lit(2L)),
+        lit(1L)).otherwise(lit(0L))).reduce(_ + _)
+    val est = greatest(
+      lit(2.0) * (col("agree_bits").cast("double") / coeffs.length) - 1.0,
+      lit(0.0))
+    jac
+      .join(sigs.select(col("doc_id").as("doc_a") +:
+        coeffs.indices.map(i => col(s"mh_$i").as(s"a_mh_$i")): _*),
+        Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b") +:
+        coeffs.indices.map(i => col(s"mh_$i").as(s"b_mh_$i")): _*),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        agree.as("agree_bits"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"), col("agree_bits"),
+        round(est, 6).as("jaccard_bbit"),
+        round(abs(est - col("jaccard")), 6).as("abs_err"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Content-defined chunking parameters — shared with the oracle
+    * generator. An 8-byte rolling window whose salted hash masks to 0
+    * mod 64 marks a chunk boundary: expected chunk ≈ 64 bytes, and the
+    * boundary depends only on LOCAL content, so an insertion re-chunks
+    * one neighborhood instead of shifting every downstream chunk — the
+    * property that makes CDC the storage-dedup standard (LBFS/rsync
+    * lineage) where fixed-size blocks lose all alignment after one
+    * edit. This is the unconstrained-gear variant (no min/max chunk
+    * clamp) — boundary-set semantics both engines can state exactly. */
+  val CdcWindow = 8
+  val CdcDivisor = 64L
+  val CdcSalt = "graft-cdc:"
+
+  /** Content-defined-chunking census per source: chunk count, mean
+    * chunk size, and the chunk-grain dedup rate (share of chunk
+    * occurrences whose content hash already appeared) — the
+    * storage-planning view of duplication (the [[exact]]/
+    * [[docChunkDedup]] siblings count whole docs and fixed
+    * paragraph-ish chunks; CDC finds shared SUBSTRINGS at shifted
+    * offsets those grains miss).
+    *
+    * Scale: the window explode emits one slim (doc_id, pos, 8-byte
+    * window) row per byte — O(corpus bytes) map-side, the same grain
+    * [[winnowFingerprints]] already sustains; boundary rows are
+    * ~1/64 of that; chunk extents shuffle WITHOUT payloads and join
+    * back to the doc table once, so the text crosses the wire exactly
+    * once; the census is one hash aggregate. Windows are per-doc
+    * (partitioned — bounded by doc length). */
+  def cdcChunks(documents: DataFrame): DataFrame = {
+    val wpos = documents
+      .filter(length(col("text")) >= CdcWindow)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, length(text) - ${CdcWindow - 1}), " +
+          s"i -> substr(text, i, $CdcWindow))")).as(Seq("p0", "w")))
+      .select(col("doc_id"), (col("p0").cast("long") + 1).as("i"), col("w"))
+    val bends = wpos
+      .filter(pmod(Portable.hash32(concat(lit(CdcSalt), col("w"))),
+        lit(CdcDivisor)) === 0)
+      .select(col("doc_id"), (col("i") + (CdcWindow - 1)).as("e"))
+    val lastEnd = documents.filter(length(col("text")) >= 1)
+      .select(col("doc_id"), length(col("text")).cast("long").as("e"))
+    val ends = bends.unionByName(lastEnd).distinct()
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("e"))
+    val ext = ends
+      .withColumn("s", coalesce(lag(col("e"), 1).over(w), lit(0L)) + 1)
+    val ch = ext
+      .join(documents.select(col("doc_id"), col("source"), col("text")),
+        Seq("doc_id"))
+      .select(col("source"), col("doc_id"),
+        (col("e") - col("s") + 1).as("clen"),
+        md5(expr("substr(text, CAST(s AS INT), CAST(e - s + 1 AS INT))"))
+          .as("chash"))
+    ch.groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        countDistinct(col("chash")).as("n_distinct_chunks"),
+        sum(col("clen")).as("total_bytes"))
+      .select(col("source"), col("n_docs"), col("n_chunks"),
+        col("n_distinct_chunks"),
+        round(col("total_bytes").cast("double") / col("n_chunks"), 2)
+          .as("avg_chunk_len"),
+        round((col("n_chunks") - col("n_distinct_chunks")).cast("double") /
+          col("n_chunks"), 6).as("dedup_rate"))
+      .orderBy(col("source"))
+  }
 }

@@ -388,4 +388,79 @@ object Multimodal {
           "transform(sequence(0, 7), i -> substring(text, 1 + i * 16, 1))"))
           .cast("binary"))).as("stride_sample_hex"))
       .orderBy(col("doc_id"))
+
+  /** Audio-landmark parameters — shared with the oracle generator.
+    * 32-byte frames (the STFT-frame stand-in over the byte-domain
+    * payload), landmark pairs capped at an 8-frame fan-out gap. */
+  val AlFrameBytes = 32
+  val AlMaxGap = 8L
+  val AlSalt = "graft-al:"
+
+  /** Shazam-style constellation fingerprint census per source: frame
+    * the payload into [[AlFrameBytes]]-byte blocks, take each frame's
+    * integer energy (byte sum — the spectral-peak stand-in; a real
+    * deployment swaps in FFT peaks through the [[decode]] seam and
+    * changes NOTHING downstream), keep strict local maxima as peaks,
+    * pair each peak with its next peak within [[AlMaxGap]] frames, and
+    * hash (energy₁ mod 256, energy₂ mod 256, Δframes) into the
+    * landmark key — the anchor–target combinatorial hash of
+    * Wang 2003. The census reports landmark volume and key
+    * discriminability (distinct/total — a collapsing key space makes
+    * retrieval un-indexable), the health check before building the
+    * inverted landmark index.
+    *
+    * Determinism: integer energies, integer compares (peak rule:
+    * > previous, ≥ next, boundary frames compare against −1), salted
+    * 32-bit landmark hash — no floats until the final share. Scale:
+    * frames are one map-side explode (O(payload bytes), the
+    * [[graft.operators.Dedup.cdcChunks]] grain); peaks/landmarks are
+    * per-doc lag windows over frame rows (PARTITIONED — bounded by
+    * payload length); the census is one hash aggregate. */
+  def audioLandmarks(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = AlFrameBytes
+    val frames = documents
+      .filter(length(col("text")) >= n)
+      .select(col("source"), col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, length(text) div $n - 1), " +
+          s"j -> substr(text, j * $n + 1, $n))")).as(Seq("j", "fr")))
+      .select(col("source"), col("doc_id"), col("j").cast("long").as("j"),
+        expr(s"aggregate(transform(sequence(1, $n), " +
+          s"p -> CAST(ascii(substr(fr, p, 1)) AS BIGINT)), " +
+          s"CAST(0 AS BIGINT), (a, x) -> a + x)").as("energy"))
+      .pin()
+    val fw = Window.partitionBy(col("doc_id")).orderBy(col("j"))
+    val peaks = frames
+      .withColumn("pe", coalesce(lag(col("energy"), 1).over(fw), lit(-1L)))
+      .withColumn("ne", coalesce(lead(col("energy"), 1).over(fw), lit(-1L)))
+      .filter(col("energy") > col("pe") && col("energy") >= col("ne"))
+      .select(col("source"), col("doc_id"), col("j"), col("energy"))
+    val lm = peaks
+      .withColumn("j2", lead(col("j"), 1).over(fw))
+      .withColumn("e2", lead(col("energy"), 1).over(fw))
+      .filter(col("j2").isNotNull && col("j2") - col("j") <= AlMaxGap)
+      .select(col("source"), col("doc_id"),
+        graft.functions.Portable.hash32(concat(lit(AlSalt),
+          pmod(col("energy"), lit(256L)).cast("string"), lit(":"),
+          pmod(col("e2"), lit(256L)).cast("string"), lit(":"),
+          (col("j2") - col("j")).cast("string"))).as("lm_key"))
+    val fcount = frames.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_frames"))
+    val pcount = peaks.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_peaks"))
+    val lcount = lm.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_landmarks"),
+        countDistinct(col("lm_key")).as("n_distinct_keys"))
+    fcount
+      .join(pcount, Seq("source"), "left")
+      .join(lcount, Seq("source"), "left")
+      .select(col("source"), col("n_frames"),
+        coalesce(col("n_peaks"), lit(0L)).as("n_peaks"),
+        coalesce(col("n_landmarks"), lit(0L)).as("n_landmarks"),
+        coalesce(col("n_distinct_keys"), lit(0L)).as("n_distinct_keys"),
+        when(col("n_landmarks") > 0,
+          round(col("n_distinct_keys").cast("double") /
+            col("n_landmarks"), 6)).as("key_discriminability"))
+      .orderBy(col("source"))
+  }
 }

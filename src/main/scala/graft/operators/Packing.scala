@@ -449,4 +449,58 @@ object Packing {
       .select("doc_id", "xb", "yb", "z", "zrank")
       .orderBy(col("zrank"))
   }
+
+  /** T5 span-corruption plan parameters — shared with the oracle
+    * generator: 15% noise density, mean span length 3 (Raffel et al.
+    * 2020's defaults). Stated in exact integer arithmetic:
+    * corrupted = (n·15) div 100, spans = max(1, corrupted div 3). */
+  val CorruptNoiseNumer = 15L
+  val CorruptNoiseDenom = 100L
+  val CorruptMeanSpan = 3L
+
+  /** Span-corruption budget plan (T5 denoising objective): per doc,
+    * how many tokens the 15%/mean-3 recipe corrupts, how many spans
+    * (= sentinel tokens) that creates, and the resulting encoder/
+    * decoder sequence lengths — input = kept tokens + one sentinel per
+    * span, target = corrupted tokens + sentinels (+1 final sentinel).
+    * The source rollup gives the numbers a pretraining-data plan needs
+    * BEFORE tokenizing anything: total encoder/decoder token volume
+    * and the overhead ratio vs raw tokens.
+    *
+    * Determinism: pure integer arithmetic per doc off the token count;
+    * the two ratio columns are exact-integer divisions rounded once.
+    * Scale: one map-side projection + one source-grain hash
+    * aggregate. */
+  def spanCorruptionPlan(documents: DataFrame): DataFrame = {
+    val nTok = size(toks).cast("long")
+    val perDoc = documents
+      .select(col("source"), col("doc_id"), nTok.as("n_tokens"))
+      .withColumn("n_corrupted",
+        expr(s"(n_tokens * $CorruptNoiseNumer) div $CorruptNoiseDenom"))
+      .withColumn("n_spans",
+        when(col("n_corrupted") > 0,
+          greatest(expr(s"n_corrupted div $CorruptMeanSpan"), lit(1L)))
+          .otherwise(lit(0L)))
+      .withColumn("input_len",
+        col("n_tokens") - col("n_corrupted") + col("n_spans"))
+      .withColumn("target_len",
+        col("n_corrupted") + col("n_spans") + lit(1L))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("raw_tokens"),
+        sum(col("n_corrupted")).as("corrupted_tokens"),
+        sum(col("n_spans")).as("n_spans"),
+        sum(col("input_len")).as("encoder_tokens"),
+        sum(col("target_len")).as("decoder_tokens"))
+      .select(col("source"), col("n_docs"), col("raw_tokens"),
+        col("corrupted_tokens"), col("n_spans"), col("encoder_tokens"),
+        col("decoder_tokens"),
+        round(col("corrupted_tokens").cast("double") /
+          when(col("raw_tokens") > 0, col("raw_tokens")), 6)
+          .as("realized_noise_density"),
+        round((col("encoder_tokens") + col("decoder_tokens"))
+          .cast("double") / when(col("raw_tokens") > 0, col("raw_tokens")),
+          6).as("token_overhead"))
+      .orderBy(col("source"))
+  }
 }

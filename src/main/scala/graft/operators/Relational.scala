@@ -3253,4 +3253,44 @@ object Relational {
       .filter(col("rn") === 1).drop("rn")
       .orderBy(col("o_orderpriority"))
   }
+
+  /** Herfindahl–Hirschman market-concentration index per market
+    * segment: each customer nation's revenue share within the segment,
+    * squared and summed onto the conventional 0–10000 scale, with the
+    * DOJ merger-guideline class labels (< 1500 competitive, < 2500
+    * moderate, else concentrated) — the antitrust-style concentration
+    * read beside [[revenueConcentration]]'s Pareto view (that one asks
+    * "how much do the top x% hold", this one scores the whole
+    * distribution in one number).
+    *
+    * Determinism: revenue sums are exact DECIMAL; shares are one
+    * decimal→double crossing per (segment, nation) cell; each share²
+    * rounds to the 1e-12 grid and sums as DECIMAL — order-independent.
+    * Scale: one orders×customer×nation equi-join chain (nation
+    * broadcast), one hash aggregate to the bounded segment×nation
+    * grid; everything after is grid-sized. */
+  def hhi(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_mktsegment"), col("n_name"))
+      .agg(decSum(col("o_totalprice")).as("rev"))
+    val segTot = cells.groupBy(col("c_mktsegment"))
+      .agg(sum(col("rev").cast("decimal(18,6)")).cast("double")
+        .as("seg_rev"))
+    val share = col("rev") / col("seg_rev")
+    val hhiCol = round(sum(col("term")).cast("double") * 10000.0, 6)
+    cells.join(broadcast(segTot), Seq("c_mktsegment"))
+      .select(col("c_mktsegment"),
+        round(share * share, 12).cast("decimal(28,12)").as("term"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_nations"), hhiCol.as("hhi"))
+      .select(col("c_mktsegment"), col("n_nations"), col("hhi"),
+        when(col("hhi") < 1500.0, "competitive")
+          .when(col("hhi") < 2500.0, "moderate")
+          .otherwise("concentrated").as("hhi_class"))
+      .orderBy(col("c_mktsegment"))
+  }
 }

@@ -2275,6 +2275,62 @@ object Similarity {
           .as("reciprocity"))
   }
 
+  /** Power-iteration count for [[spectralRadius]] — shared with the
+    * oracle generator (which unrolls the same iterations). */
+  val SpecIters = 3
+
+  /** Spectral radius (dominant eigenvalue) of the mutual-kNN
+    * adjacency, by [[SpecIters]] unrolled power iterations from the
+    * uniform unit vector — the one-number graph-connectivity gauge
+    * (λ₁ sits between the average and maximum degree; λ₁ → k says the
+    * graph is near-regular and well-mixed, λ₁ ≪ k says fragmentation —
+    * the spectral sibling of [[knnComponents]]). The estimate is the
+    * Rayleigh-free norm ‖A v_t‖ after the last matvec of a unit v_t.
+    *
+    * Determinism: each matvec accumulates neighbor values as
+    * DECIMAL(28,10) (order-independent; the oracle states the same
+    * sums through VARCHAR crossings — the iterated-kernel convention);
+    * each normalization is one decimal-summed norm with the
+    * NULL-divisor guard. Scale: O(iters) edge-list joins + node-grain
+    * aggregates — the [[knnPageRank]] plan shape exactly; degrees ≤ k
+    * bound the matvec fan-out. */
+  def spectralRadius(embeddings: DataFrame, k: Int = 3,
+      cells: Int = autoCells): DataFrame = {
+    val med = mutualKnnGraph(embeddings, k, cells)
+      .select(col("vec_a"), col("vec_b"))
+    val edges = med.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      .unionByName(
+        med.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+      .pin(eager = true)
+    val nodes = edges.select(col("src").as("node")).distinct()
+      .pin(eager = true)
+    val totals = edges.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(nodes.agg(count(lit(1)).as("n_nodes"))))
+    val n = nodes.count()
+    var v = nodes.withColumn("x",
+      lit(if (n > 0) 1.0 / math.sqrt(n.toDouble) else 0.0))
+    var lastNorm = v.limit(0)
+      .select(lit(0.0).as("nrm")) // replaced in the loop
+    for (i <- 1 to SpecIters) {
+      val wv = edges
+        .join(v.select(col("node").as("src"), col("x")), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("x").cast("decimal(28,10)")).cast("double").as("wx"))
+        .pin()
+      val nrm = wv.agg(sqrt(
+        sum(round(col("wx") * col("wx"), 12).cast("decimal(28,12)"))
+          .cast("double")).as("nrm"))
+      lastNorm = nrm
+      v = wv.crossJoin(broadcast(nrm))
+        .select(col("node"),
+          (col("wx") / when(col("nrm") =!= 0.0, col("nrm"))).as("x"))
+        .pin(eager = i == SpecIters)
+    }
+    lastNorm.crossJoin(broadcast(totals))
+      .select(col("n_nodes"), col("n_edges"),
+        round(col("nrm"), 6).as("spectral_radius"))
+  }
+
   def nearDupPairs(embeddings: DataFrame, threshold: Double = 0.9,
       dim: Int = 64): DataFrame = {
     val sig = unitized(embeddings).withColumn("sig", srpSignature(col("unit"), dim))

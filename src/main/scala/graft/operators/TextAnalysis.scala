@@ -960,4 +960,206 @@ object TextAnalysis {
           .as("fk_grade"))
       .orderBy(col("doc_id"))
   }
+
+  /** n-gram sizes the duplication census reports — shared with the
+    * oracle generator. 3 is the repetition-analysis standard; 8 is the
+    * long-gram grain where only genuine copies collide. */
+  val DupNgramNs: Seq[Int] = Seq(3, 8)
+
+  /** Duplicated-n-gram census per source (Lee et al. 2022's
+    * "deduplicating training data" corpus diagnostic, at corpus grain
+    * rather than pair grain): for each n in [[DupNgramNs]], the
+    * source's total and distinct word-n-gram counts, the hottest
+    * gram's repeat count, and the duplicate share
+    * (total − distinct) / total — the fraction of n-gram occurrences
+    * that are re-occurrences. High short-gram share = repetitive
+    * prose; ANY long-gram share = copied passages the pair-grain dedup
+    * family ([[graft.operators.Dedup]]) should be pointed at.
+    *
+    * Scale: one explode + hash aggregate to the (source, gram) grain
+    * per n — vocab-sized intermediates with map-side partials, no
+    * window, no pairs. */
+  def dupNgrams(documents: DataFrame): DataFrame = {
+    def forN(n: Int): DataFrame = {
+      val gram = (0 until n).map(j => s"tk[i+$j]").mkString(", ")
+      val counts = documents
+        .withColumn("tk", toks)
+        .filter(size(col("tk")) >= n)
+        .select(col("source"), explode(expr(
+          s"transform(sequence(0, size(tk) - $n), " +
+            s"i -> concat_ws(' ', $gram))")).as("gram"))
+        .groupBy(col("source"), col("gram"))
+        .agg(count(lit(1)).as("cnt"))
+      counts.groupBy(col("source"))
+        .agg(sum(col("cnt")).as("n_ngrams"),
+          count(lit(1)).as("n_distinct"),
+          max(col("cnt")).as("max_repeat"))
+        .select(lit(n.toLong).as("n"), col("source"), col("n_ngrams"),
+          col("n_distinct"), col("max_repeat"),
+          round((col("n_ngrams") - col("n_distinct")).cast("double") /
+            col("n_ngrams"), 6).as("dup_share"))
+    }
+    DupNgramNs.map(forN).reduce(_ unionByName _)
+      .orderBy(col("n"), col("source"))
+  }
+
+  /** Stopword-profile drift per source: the source's total stopword
+    * share plus the cosine between its per-stopword frequency vector
+    * and the corpus-wide one — the register/style drift gauge
+    * (function-word distributions are the classic stylometry signal:
+    * content-independent, so a source that diverges here writes
+    * DIFFERENTLY, not just about different things). Vectors live on
+    * the fixed [[stopwords]] axis.
+    *
+    * Determinism: shares are exact integer-count ratios (identical
+    * doubles both engines); every cosine term (p·q, p², q²) rounds to
+    * the 1e-12 grid and sums as DECIMAL — order-independent; the final
+    * ratio is double math with the NULL-divisor guard on zero norms.
+    * Scale: one conditional hash aggregate to the (source × 8) grid;
+    * the corpus profile is a broadcast of that grid's rollup. */
+  def stopwordProfile(documents: DataFrame): DataFrame = {
+    val grid = documents
+      .select(col("source"), explode(toks).as("token"))
+      .filter(col("token").isin(stopwords: _*))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("n_st"))
+    val totals = documents
+      .select(col("source"), size(toks).cast("long").as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
+    val corpusTok = grid.groupBy(col("token"))
+      .agg(sum(col("n_st")).as("n_ct"))
+    val corpusTot = totals.agg(sum(col("n_tokens")).as("n_corpus"))
+    val terms = grid
+      .join(totals, Seq("source"))
+      .join(broadcast(corpusTok), Seq("token"))
+      .crossJoin(broadcast(corpusTot))
+    val p = col("n_st").cast("double") / col("n_tokens")
+    val q = col("n_ct").cast("double") / col("n_corpus")
+    val agg = terms
+      .select(col("source"), col("n_tokens"), col("n_st"),
+        round(p * q, 12).cast("decimal(28,12)").as("pq"),
+        round(p * p, 12).cast("decimal(28,12)").as("pp"),
+        round(q * q, 12).cast("decimal(28,12)").as("qq"))
+      .groupBy(col("source"))
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        sum(col("n_st")).as("stop_tokens"),
+        sum(col("pq")).cast("double").as("spq"),
+        sum(col("pp")).cast("double").as("spp"),
+        sum(col("qq")).cast("double").as("sqq"))
+    val den = sqrt(col("spp")) * sqrt(col("sqq"))
+    agg.select(col("source"), col("n_tokens"), col("stop_tokens"),
+        round(col("stop_tokens").cast("double") / col("n_tokens"), 6)
+          .as("stop_share"),
+        when(den > 0.0, round(col("spq") / when(den > 0.0, den), 6))
+          .as("profile_cosine"))
+      .orderBy(col("source"))
+  }
+
+  /** Heaps-law fit over the [[vocabGrowth]] checkpoints: OLS of
+    * ln V on ln N (V = distinct vocabulary, N = prefix token count at
+    * the same ten doc-id cutoffs) — the scaling-law read of the growth
+    * curve: β near 1 says vocabulary still grows linearly with data
+    * (more data keeps buying new tokens), β near 0 says saturation;
+    * K is the fitted prefactor. The capacity question "how much new
+    * vocabulary does the next 10× buy" is exp of this fit.
+    *
+    * Determinism: checkpoint counts are exact integers (the
+    * [[vocabGrowth]] first-doc reduction plus one conditional
+    * token-count aggregate); the ln terms round to the 1e-12 grid and
+    * the five OLS moment sums accumulate as DECIMAL over the ten-row
+    * grid; the closed form is double math in one pinned order with
+    * NULL-divisor guards. Scale: two corpus-scan hash aggregates;
+    * everything after is a ten-row reduction. */
+  def heapsFit(documents: DataFrame, steps: Int = 10): DataFrame = {
+    val growth = vocabGrowth(documents, steps)
+      .select(col("step"), col("max_doc_id"), col("vocab_size"))
+    val maxDoc = documents.agg(max(col("doc_id")).as("max_doc"))
+    val prefixTokens = documents
+      .select(col("doc_id"), size(toks).cast("long").as("nt"))
+      .crossJoin(broadcast(maxDoc))
+      .select(col("doc_id"), col("nt"),
+        explode(sequence(lit(1), lit(steps))).as("step"))
+      .filter(col("doc_id") <= expr(s"(max_doc * step) div $steps"))
+      .groupBy(col("step").cast("long").as("step"))
+      .agg(sum(col("nt")).as("prefix_tokens"))
+    val pts = growth.join(prefixTokens, Seq("step"))
+      .select(
+        round(log(col("prefix_tokens").cast("double")), 12)
+          .cast("decimal(28,12)").as("x"),
+        round(log(col("vocab_size").cast("double")), 12)
+          .cast("decimal(28,12)").as("y"))
+      .select(col("x"), col("y"),
+        round(col("x").cast("double") * col("y").cast("double"), 12)
+          .cast("decimal(28,12)").as("xy"),
+        round(col("x").cast("double") * col("x").cast("double"), 12)
+          .cast("decimal(28,12)").as("xx"),
+        round(col("y").cast("double") * col("y").cast("double"), 12)
+          .cast("decimal(28,12)").as("yy"))
+    val m = pts.agg(count(lit(1)).as("n_steps"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("y")).cast("double").as("sy"),
+      sum(col("xy")).cast("double").as("sxy"),
+      sum(col("xx")).cast("double").as("sxx"),
+      sum(col("yy")).cast("double").as("syy"))
+    val nd = col("n_steps").cast("double")
+    val vx = col("sxx") - col("sx") * col("sx") / nd
+    val vy = col("syy") - col("sy") * col("sy") / nd
+    val cxy = col("sxy") - col("sx") * col("sy") / nd
+    m.select(col("n_steps"), col("sx"), col("sy"), vx.as("vx"),
+        vy.as("vy"), cxy.as("cxy"))
+      .select(col("n_steps"),
+        round(col("cxy") / when(col("vx") =!= 0.0, col("vx")), 6)
+          .as("heaps_beta"),
+        round(exp((col("sy") - (col("cxy") /
+          when(col("vx") =!= 0.0, col("vx"))) * col("sx")) /
+          col("n_steps").cast("double")), 6).as("heaps_k"),
+        when(col("vx") =!= 0.0 && col("vy") =!= 0.0,
+          round(col("cxy") * col("cxy") /
+            when(col("vx") * col("vy") =!= 0.0, col("vx") * col("vy")), 6))
+          .as("r2"))
+  }
+
+  /** STTR segment length — shared with the oracle generator. */
+  val SttrSegment = 50
+
+  /** Standardized (segmental) type–token ratio per source: each doc
+    * splits into [[SttrSegment]]-token segments, TTR = distinct/size is
+    * computed per FULL segment, and docs average their segments —
+    * the length-robust lexical-diversity measure (plain TTR falls with
+    * doc length mechanically, so [[lexicalDiversity]]-style whole-doc
+    * ratios can't compare a tweet to a book chapter; STTR can).
+    * Source rollup: mean doc STTR + how many docs were measurable
+    * (≥ 1 full segment).
+    *
+    * Determinism: distinct counts are exact integers; each segment TTR
+    * and each doc mean rides the 1e-12-grid DECIMAL sum recipe; one
+    * final 1e-6 round. Scale: one explode + two hash aggregates
+    * ((doc, segment, token) → (doc, segment) → doc), one source
+    * aggregate — no windows, no pairs. */
+  def sttr(documents: DataFrame): DataFrame = {
+    val segTokens = documents
+      .select(col("source"), col("doc_id"),
+        posexplode(toks).as(Seq("pos", "token")))
+      .select(col("source"), col("doc_id"),
+        expr(s"pos div $SttrSegment").cast("long").as("seg"), col("token"))
+    val segSizes = segTokens.groupBy(col("source"), col("doc_id"), col("seg"))
+      .agg(count(lit(1)).as("n_tok"),
+        countDistinct(col("token")).as("n_types"))
+      .filter(col("n_tok") === SttrSegment) // full segments only
+    val docTtr = segSizes
+      .select(col("source"), col("doc_id"),
+        round(col("n_types").cast("double") / SttrSegment, 12)
+          .cast("decimal(18,12)").as("ttr"))
+      .groupBy(col("source"), col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        (sum(col("ttr")).cast("double") / count(lit(1))).as("doc_sttr"))
+    docTtr
+      .select(col("source"),
+        round(col("doc_sttr"), 12).cast("decimal(18,12)").as("ds"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_measured"),
+        round(sum(col("ds")).cast("double") / count(lit(1)), 6)
+          .as("mean_sttr"))
+      .orderBy(col("source"))
+  }
 }

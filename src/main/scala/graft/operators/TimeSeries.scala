@@ -2292,4 +2292,145 @@ object TimeSeries {
           .as("lead_corr"))
       .orderBy(col("ticker_lead"), col("ticker_lag"))
   }
+
+  /** Range-based volatility estimator panel per ticker over the
+    * 5-minute OHLC bars: Parkinson (1980) — ln²(H/L) scaled by
+    * 1/(4 ln 2), ~5× more efficient than close-close when there are no
+    * jumps; Rogers–Satchell (1991) — ln(H/C)ln(H/O) + ln(L/C)ln(L/O),
+    * drift-robust; and the plain close-close realized vol as the
+    * anchor, plus the Parkinson/close-close efficiency ratio (≫1 says
+    * the bars trend within themselves — jump/drift contamination; ≈1
+    * says ranges add nothing). The estimator-selection panel a vol
+    * desk reads before trusting any single estimator.
+    *
+    * Determinism: bars with any non-positive price are excluded
+    * upfront (ln-domain, both engines state the filter); every
+    * per-bar term is closed-form double math rounded to the 1e-12
+    * grid and summed as DECIMAL(38,18); the closing sqrt/ratio math is
+    * pinned-order doubles with NULL-divisor guards. Scale: one bar
+    * window pass + one hash aggregate per ticker. */
+  def volPanel(spark: SparkSession, dir: String): DataFrame =
+    volPanelOhlc(StockPipeline.ohlc5m(
+      StockPipeline.normalize(Tables.events(spark, dir))))
+
+  private[graft] def volPanelOhlc(ohlc: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("ticker")).orderBy(col("window_timestamp"))
+    val base = ohlc
+      .filter(col("low") > 0.0 && col("open") > 0.0 && col("close") > 0.0)
+      .select(col("ticker"), col("open"), col("high"), col("low"),
+        col("close"), lag(col("close"), 1).over(w).as("pc"))
+    val lhl = log(col("high") / col("low"))
+    val rsT = log(col("high") / col("close")) * log(col("high") / col("open")) +
+      log(col("low") / col("close")) * log(col("low") / col("open"))
+    val ccT = log(col("close") / when(col("pc") > 0.0, col("pc")))
+    val terms = base.select(col("ticker"),
+      round(lhl * lhl, 12).as("park_t"),
+      round(rsT, 12).as("rs_t"),
+      round(ccT * ccT, 12).as("cc_t"))
+    val fourLn2 = lit(4.0 * math.log(2.0))
+    val m = terms.groupBy(col("ticker"))
+      .agg(count(lit(1)).as("n_bars"),
+        dsum18(col("park_t")).as("sp"),
+        dsum18(col("rs_t")).as("sr"),
+        dsum18(col("cc_t")).as("sc"),
+        count(col("cc_t")).as("nc"))
+    m.select(col("ticker"), col("n_bars"),
+        round(sqrt(col("sp") / col("n_bars") / fourLn2), 6)
+          .as("vol_parkinson"),
+        round(sqrt(greatest(col("sr") / col("n_bars"), lit(0.0))), 6)
+          .as("vol_rogers_satchell"),
+        when(col("nc") > 0,
+          round(sqrt(col("sc") / when(col("nc") > 0, col("nc"))
+            .cast("double")), 6)).as("vol_close_close"),
+        when(col("nc") > 0 && col("sc") > 0.0,
+          round(sqrt(col("sp") / col("n_bars") / fourLn2) /
+            when(col("sc") > 0.0,
+              sqrt(col("sc") / when(col("nc") > 0, col("nc"))
+                .cast("double"))), 6)).as("park_cc_ratio"))
+      .orderBy(col("ticker"))
+  }
+
+  /** Bar widths (seconds) for the Epps-effect panel — shared with the
+    * oracle generator. */
+  val EppsWidths: Seq[Int] = Seq(60, 300, 900)
+
+  /** Epps effect panel: every ticker pair's return correlation at
+    * 1-minute, 5-minute and 15-minute sampling — the classic
+    * microstructure finding (Epps 1979) that measured cross-correlation
+    * DECAYS as the sampling grid gets finer, because trades are
+    * asynchronous across symbols. A correlation consumer (risk model,
+    * pairs strategy) reads this panel to pick the coarsest grid whose
+    * correlation has converged.
+    *
+    * Determinism: per width, the exact [[corrPairsBars]] recipe —
+    * identical bucketing/returns, native `corr` with NaN→NULL, 1e-6
+    * grid. Scale: per width one bar aggregate + a bucket-keyed pair
+    * join (fan-out = #tickers² per bucket, fixed universe); three
+    * widths = three independent slim passes. */
+  def eppsEffect(spark: SparkSession, dir: String): DataFrame = {
+    val stock = StockPipeline.normalize(Tables.events(spark, dir))
+    val panels = EppsWidths.map { sec =>
+      val bars = stock
+        .groupBy(col("ticker"),
+          timestamp_seconds(expr(s"unix_timestamp(ts) div $sec") * sec)
+            .as("bucket"))
+        .agg(max_by(col("price"), col("ts")).as("close"))
+      corrPairsBars(bars)
+        .select(lit(sec.toLong).as("width_s"), col("ticker_a"),
+          col("ticker_b"), col("n_buckets"), col("ret_corr"))
+    }
+    panels.reduce(_ unionByName _)
+      .orderBy(col("width_s"), col("ticker_a"), col("ticker_b"))
+  }
+
+  /** Corwin–Schultz (2012) high–low spread estimator per ticker: over
+    * every consecutive 5-minute OHLC bar pair, β = ln²(H₁/L₁) +
+    * ln²(H₂/L₂), γ = ln²(H₂ᵇᵃʳ/L₂ᵇᵃʳ) over the two-bar high/low span,
+    * α = (√(2β) − √β)/(3 − 2√2) − √(γ/(3 − 2√2)), and the implied
+    * proportional spread s = 2(eᵅ − 1)/(1 + eᵅ) — the classic
+    * estimate-the-bid-ask-spread-without-quotes trick (negative pair
+    * estimates floor at 0 in the standard convention; the raw mean is
+    * reported beside it, as the paper recommends checking).
+    *
+    * Determinism: the pair block is a single lag window; every pair's
+    * spread is closed-form double math on identical inputs with the ln
+    * arguments NULL-guarded (L > 0 — the engine-wide ln-domain
+    * convention); the per-ticker means accumulate as DECIMAL(38,18) of
+    * 1e-12-grid terms. Scale: bars per ticker, one window pass + one
+    * hash aggregate — never event-grain. */
+  def corwinSchultz(spark: SparkSession, dir: String): DataFrame =
+    corwinSchultzOhlc(StockPipeline.ohlc5m(
+      StockPipeline.normalize(Tables.events(spark, dir))))
+
+  private[graft] def corwinSchultzOhlc(ohlc: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("ticker")).orderBy(col("window_timestamp"))
+    val ph = lag(col("high"), 1).over(w)
+    val pl = lag(col("low"), 1).over(w)
+    val pairs = ohlc.select(col("ticker"), col("high"), col("low"),
+        ph.as("ph"), pl.as("pl"))
+      .filter(col("ph").isNotNull &&
+        col("pl") > 0.0 && col("low") > 0.0)
+    val hl1 = log(when(col("pl") > 0.0, col("ph") / col("pl")))
+    val hl2 = log(when(col("low") > 0.0, col("high") / col("low")))
+    val h2 = greatest(col("ph"), col("high"))
+    val l2 = least(col("pl"), col("low"))
+    val gln = log(when(l2 > 0.0, h2 / l2))
+    val k = lit(3.0 - 2.0 * math.sqrt(2.0))
+    val scored = pairs
+      .select(col("ticker"),
+        (hl1 * hl1 + hl2 * hl2).as("beta"), (gln * gln).as("gamma"))
+      .select(col("ticker"),
+        ((sqrt(lit(2.0) * col("beta")) - sqrt(col("beta"))) / k -
+          sqrt(col("gamma") / k)).as("alpha"))
+      .select(col("ticker"),
+        (lit(2.0) * (exp(col("alpha")) - 1) /
+          (lit(1.0) + exp(col("alpha")))).as("s"))
+    scored.groupBy(col("ticker"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(dsum18(round(col("s"), 12)) / count(lit(1)), 6)
+          .as("avg_spread_raw"),
+        round(dsum18(round(greatest(col("s"), lit(0.0)), 12)) /
+          count(lit(1)), 6).as("avg_spread"))
+      .orderBy(col("ticker"))
+  }
 }

@@ -116,7 +116,7 @@ class PlanAuditSpec extends SparkSpec {
     */
   private val boundedGroupKeys = Set(
     "bucket", "__bucket", "band", "decile", "month", "duration", "df",
-    "hamming", "z")
+    "hamming", "z", "level")
 
   test("no registered query plans an unpartitioned Window over an " +
       "unbounded input (global windows single-task the data at scale)") {
