@@ -43,10 +43,16 @@ agg1m AS (
   FROM stock GROUP BY 1, 2
 ),
 sma5m AS (
+  -- exact DECIMAL(38,18) mean with VARCHAR crossings (a double avg is
+  -- accumulation-order-dependent across engines) and the VARCHAR-round
+  -- that reproduces Spark's half-up round(x, 4) bit-for-bit
   SELECT
     ticker,
     date_trunc('minute', ts) + i * INTERVAL 1 MINUTE AS window_timestamp,
-    round(avg(price), 4) AS sma_5m
+    CAST(CAST(CAST(CAST(
+      CAST(CAST(sum(CAST(CAST(price AS VARCHAR) AS DECIMAL(38,18)))
+        AS VARCHAR) AS DOUBLE) / count(*)
+      AS VARCHAR) AS DECIMAL(18,4)) AS VARCHAR) AS DOUBLE) AS sma_5m
   FROM stock, (SELECT unnest([1, 2, 3, 4, 5]) AS i)
   GROUP BY 1, 2
 ),

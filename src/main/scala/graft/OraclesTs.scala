@@ -316,8 +316,11 @@ SELECT ticker,
     AS bucket,
   CAST(sum(volume) AS BIGINT) AS volume,
   CASE WHEN CAST(sum(volume) AS BIGINT) > 0 THEN
-    round(CAST(sum(CAST(price * volume AS DECIMAL(28,10))) AS DOUBLE) /
-      CAST(sum(volume) AS BIGINT), 6)
+    CAST(CAST(CAST(CAST(
+      CAST(CAST(sum(CAST(CAST(price * volume AS VARCHAR)
+        AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) /
+        CAST(sum(volume) AS BIGINT)
+      AS VARCHAR) AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE)
   END AS vwap
 FROM stock GROUP BY 1, 2
 ORDER BY ticker, bucket""",
@@ -411,7 +414,8 @@ k AS (
 SELECT ticker_a, ticker_b, bucket, CAST(n AS BIGINT) AS n_obs,
   CASE WHEN n > 1 AND n * sxx - sx * sx > 0.0 AND n * syy - sy * sy > 0.0
     THEN round((n * sxy - sx * sy) /
-      sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) END AS roll_corr
+      sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) + 0.0
+  END AS roll_corr
 FROM k ORDER BY ticker_a, ticker_b, bucket"""),
     "stock_streaks" -> (barsCte + """,
 sg AS (

@@ -185,7 +185,13 @@ object StockPipeline {
   def sma5m(stock: DataFrame): DataFrame =
     stock
       .groupBy(window(col("ts"), "5 minutes", "1 minute"), col("ticker"))
-      .agg(round(avg(col("price")), 4).as("sma_5m"))
+      // DECIMAL(38,18) mean: a double avg is accumulation-order-
+      // dependent, and at sf0.1 the engines' different orders crossed
+      // the 4dp rounding grid (found by the round-9 full-roster sf0.1
+      // sweep); the decimal sum is order-independent and the oracle
+      // states the identical crossing via VARCHAR
+      .agg(round(sum(col("price").cast("decimal(38,18)")).cast("double") /
+        count(lit(1)), 4).as("sma_5m"))
       .select(col("ticker"), col("window.end").as("window_timestamp"),
         col("sma_5m"))
 
@@ -201,7 +207,7 @@ object StockPipeline {
         sum(col("volume")).as("total_volume_1m"),
         round(sum(col("price") * col("volume")), 4).as("total_value_1m"),
         max_by(col("event_id"), col("ts")).as("latest_event_id"),
-        sum(col("price")).as("sum_price_1m"),
+        sum(col("price").cast("decimal(38,18)")).as("sum_price_1m"),
         count(lit(1)).as("n_events_1m"))
       .select(col("ticker"), col("window.end").as("window_timestamp"),
         col("latest_price"), col("high_price_1m"), col("total_volume_1m"),
@@ -242,7 +248,10 @@ object StockPipeline {
         max(when(col("off") === 0, col("total_volume_1m"))).as("total_volume_1m"),
         max(when(col("off") === 0, col("total_value_1m"))).as("total_value_1m"),
         max(when(col("off") === 0, col("latest_event_id"))).as("latest_event_id"),
-        round(sum(col("sum_price_1m")) / sum(col("n_events_1m")), 4).as("sma_5m"),
+        // decimal partials re-sum EXACTLY (associative), so the
+        // two-level mean is bit-equal to the one-level sma5m mean
+        round(sum(col("sum_price_1m")).cast("double") /
+          sum(col("n_events_1m")), 4).as("sma_5m"),
         max(when(col("off") === 0, lit(1))).as("has_1m"))
       .filter(col("has_1m") === 1)
       .select(col("ticker"), col("w_end").as("window_timestamp"),

@@ -28,6 +28,8 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == 0.0:
+            return 0.0  # -0.0 == 0.0 but repr-sorts differently
         return v
     return v
 
