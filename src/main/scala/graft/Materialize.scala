@@ -52,6 +52,12 @@ object Materialize {
       * `eager = true` when the cut must happen BEFORE a side effect —
       * e.g. reading a path the caller is about to overwrite). */
     def pin(eager: Boolean = false): Dataset[T] = mode match {
+      // dev/test escape hatch: identity pin, so plan-inspection specs
+      // can see THROUGH materialization boundaries (a checkpoint wraps
+      // everything upstream in a LogicalRDD, hiding scans from the
+      // final plan). Never the right production mode: the iterative
+      // operators rely on pins for lineage truncation.
+      case "none" => ds
       case "reliable" =>
         val sc = ds.sparkSession.sparkContext
         if (sc.getCheckpointDir.isEmpty) {

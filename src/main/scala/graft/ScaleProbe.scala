@@ -98,7 +98,19 @@ object ScaleProbe {
         val (dha, dhS) =
           t(graft.operators.Multimodal.dhashAgreement(df).count())
         val (_, bmS) = t(graft.operators.TextAnalysis.bm25Top(df).count())
-        println(f"[scale-probe-docs] x$n%-3d docs=$rows%8d minhashPairs=$mpS%6.2fs($mp) jaccardPairs=$jpS%6.2fs($jp) containmentPairs=$cpS%6.2fs($cp) simhashPairs=$spS%6.2fs($sp) packAssign=$paS%6.2fs shuffleOrder=$soS%6.2fs spanDedup=$sdS%6.2fs substringDedup=$ssS%6.2fs budgetSelect=$bsS%6.2fs novelty=$nvS%6.2fs phashPairs=$phS%6.2fs($php) zorder=$zoS%6.2fs dsir=$dsS%6.2fs liftTable=$ltS%6.2fs calibration=$ccS%6.2fs keepBest=$kbS%6.2fs dedupSavings=$dvS%6.2fs rake=$rkS%6.2fs dhashAgree=$dhS%6.2fs($dha) bm25=$bmS%6.2fs")
+        // round-9 additions: cdc + landmarks are byte-grain explodes
+        // (the winnowing cost family); dup-ngram/sttr/stopword are
+        // vocab/segment-grain hash aggs; bbit rides the LSH candidate
+        // front; spanCorruption is one map-side projection + source agg
+        val (cdc, cdS) = t(Dedup.cdcChunks(df).count())
+        val (_, bbS) = t(Dedup.bbitMinhash(df).count())
+        val (_, dgS) = t(graft.operators.TextAnalysis.dupNgrams(df).count())
+        val (_, stS) = t(graft.operators.TextAnalysis.sttr(df).count())
+        val (_, swS) =
+          t(graft.operators.TextAnalysis.stopwordProfile(df).count())
+        val (_, alS) = t(graft.operators.Multimodal.audioLandmarks(df).count())
+        val (_, scS) = t(Packing.spanCorruptionPlan(df).count())
+        println(f"[scale-probe-docs] x$n%-3d docs=$rows%8d minhashPairs=$mpS%6.2fs($mp) jaccardPairs=$jpS%6.2fs($jp) containmentPairs=$cpS%6.2fs($cp) simhashPairs=$spS%6.2fs($sp) packAssign=$paS%6.2fs shuffleOrder=$soS%6.2fs spanDedup=$sdS%6.2fs substringDedup=$ssS%6.2fs budgetSelect=$bsS%6.2fs novelty=$nvS%6.2fs phashPairs=$phS%6.2fs($php) zorder=$zoS%6.2fs dsir=$dsS%6.2fs liftTable=$ltS%6.2fs calibration=$ccS%6.2fs keepBest=$kbS%6.2fs dedupSavings=$dvS%6.2fs rake=$rkS%6.2fs dhashAgree=$dhS%6.2fs($dha) bm25=$bmS%6.2fs cdc=$cdS%6.2fs($cdc) bbit=$bbS%6.2fs dupNgrams=$dgS%6.2fs sttr=$stS%6.2fs stopword=$swS%6.2fs landmarks=$alS%6.2fs spanCorrupt=$scS%6.2fs")
       }
       spark.stop(); return
     }
@@ -131,9 +143,9 @@ object ScaleProbe {
         val df = multipliedEmb(n).pin(eager = true)
         val rows = df.count()
         val t0 = System.nanoTime()
-        val out = Similarity.semDedup(df, k = Similarity.kmK * n).count()
+        val out = Similarity.semDedup(df).count() // autoCells = 4n here
         val sec = (System.nanoTime() - t0) / 1e9
-        println(f"[scale-probe-emb] x$n%-3d vecs=$rows%8d cells=${Similarity.kmK * n}%4d outRows=$out%8d time=$sec%7.2fs")
+        println(f"[scale-probe-emb] x$n%-3d vecs=$rows%8d cells=${Similarity.sizedCells(rows)}%4d outRows=$out%8d time=$sec%7.2fs")
       }
       spark.stop(); return
     }
@@ -169,32 +181,35 @@ object ScaleProbe {
           val t0 = System.nanoTime(); val c = f
           (c, (System.nanoTime() - t0) / 1e9)
         }
-        val (mg, mgS) = t(Similarity.knnGraphMultiProbe(df,
-          cells = Similarity.kmK * n).count())
+        // round-9: every cells-parameterized call now uses the DEFAULT
+        // (autoCells) — on this grid sizedCells(2000n) = 4n, the exact
+        // values the probes previously passed by hand, so the curves
+        // stay comparable AND the default path is what's measured
+        val (mg, mgS) = t(Similarity.knnGraphMultiProbe(df).count())
         val (_, btS) = t(Similarity.binaryTopK(df).count())
         val (_, rrS) = t(Similarity.rerankTopK(df).count())
         val (_, hnS) = t(Similarity.hardNegatives(df).count())
-        val (tc, tcS) = t(Similarity.knnTriangles(df,
-          cells = Similarity.kmK * n).count())
-        val (_, lpS) = t(Similarity.labelPropagation(df,
-          cells = Similarity.kmK * n).count())
+        val (tc, tcS) = t(Similarity.knnTriangles(df).count())
+        val (_, lpS) = t(Similarity.labelPropagation(df).count())
         // round-7 graph stats: every wedge/join fan-out is bounded by
         // degree ≤ k, so these must track the kNN-graph build's slope
-        val (_, asS) = t(Similarity.assortativity(df,
-          cells = Similarity.kmK * n).count())
-        val (lk, lkS) = t(Similarity.linkPrediction(df,
-          cells = Similarity.kmK * n).count())
-        val (_, lcS) = t(Similarity.lpCommunities(df,
-          cells = Similarity.kmK * n).count())
+        val (_, asS) = t(Similarity.assortativity(df).count())
+        val (lk, lkS) = t(Similarity.linkPrediction(df).count())
+        val (_, lcS) = t(Similarity.lpCommunities(df).count())
         // round-8 additions: dbscan's pair front is the same in-cell
         // equi-join (cells grow with the corpus); cka is n*d^2 by
         // construction; richClub rides the mutual-kNN degree table
-        val (dbc, dbS) = t(Similarity.dbscan(df,
-          cells = Similarity.kmK * n).count())
+        val (dbc, dbS) = t(Similarity.dbscan(df).count())
         val (_, ckS) = t(Similarity.ckaHalves(df).count())
-        val (_, rcS) = t(Similarity.richClub(df,
-          cells = Similarity.kmK * n).count())
-        println(f"[scale-probe-graph] x$n%-3d vecs=$rows%8d cells=${Similarity.kmK * n}%4d knnGraphMp=$mgS%7.2fs($mg) binaryTopK=$btS%6.2fs rerankTopK=$rrS%6.2fs hardNegatives=$hnS%6.2fs triangles=$tcS%6.2fs($tc) labelProp=$lpS%6.2fs assortativity=$asS%6.2fs linkPred=$lkS%6.2fs($lk) lpCommunities=$lcS%6.2fs dbscan=$dbS%6.2fs($dbc) cka=$ckS%6.2fs richClub=$rcS%6.2fs")
+        val (_, rcS) = t(Similarity.richClub(df).count())
+        // round-9 additions: kcore/snn/reciprocity ride the same
+        // degree-bounded edge list; spectralRadius is the pagerank
+        // plan shape (3 matvecs on a k-bounded adjacency)
+        val (_, kcS) = t(Similarity.kcore(df).count())
+        val (sn, snS) = t(Similarity.snnGraph(df).count())
+        val (_, srS) = t(Similarity.spectralRadius(df).count())
+        val (_, rpS) = t(Similarity.knnReciprocity(df).count())
+        println(f"[scale-probe-graph] x$n%-3d vecs=$rows%8d cells=${Similarity.sizedCells(rows)}%4d knnGraphMp=$mgS%7.2fs($mg) binaryTopK=$btS%6.2fs rerankTopK=$rrS%6.2fs hardNegatives=$hnS%6.2fs triangles=$tcS%6.2fs($tc) labelProp=$lpS%6.2fs assortativity=$asS%6.2fs linkPred=$lkS%6.2fs($lk) lpCommunities=$lcS%6.2fs dbscan=$dbS%6.2fs($dbc) cka=$ckS%6.2fs richClub=$rcS%6.2fs kcore=$kcS%6.2fs snn=$snS%6.2fs($sn) spectral=$srS%6.2fs reciprocity=$rpS%6.2fs")
       }
       spark.stop(); return
     }

@@ -3108,12 +3108,19 @@ object Relational {
     val base = byCust.crossJoin(broadcast(refDate))
       .withColumn("recency_days",
         datediff(col("ref_date"), col("last_order")).cast("long"))
-    val ranked = bandedRank(
-      bandedRank(
-        bandedRank(base, "recency_days", "o_custkey", "__r_rank",
-          desc = true),
-        "frequency", "o_custkey", "__f_rank", desc = false),
-      "monetary", "o_custkey", "__m_rank", desc = false)
+      .pin(eager = true)
+    // the three rank scans run as PARALLEL slim branches off the one
+    // pinned base and re-join on custkey, instead of a chain that
+    // drags every carried column through each level's band join
+    // (measured: 1.48 s chained -> parallel slim branches, sf0.1)
+    def rankOf(valueCol: String, name: String, desc: Boolean) =
+      bandedRank(base.select(col("o_custkey"), col(valueCol)),
+        valueCol, "o_custkey", name, desc = desc)
+        .select(col("o_custkey"), col(name))
+    val ranked = base
+      .join(rankOf("recency_days", "__r_rank", desc = true), Seq("o_custkey"))
+      .join(rankOf("frequency", "__f_rank", desc = false), Seq("o_custkey"))
+      .join(rankOf("monetary", "__m_rank", desc = false), Seq("o_custkey"))
     ranked.crossJoin(broadcast(n))
       .withColumn("r_score", score(col("__r_rank")))
       .withColumn("f_score", score(col("__f_rank")))

@@ -172,12 +172,24 @@ class PushdownSpec extends SparkSpec {
   test("round-7 additions prune their scans: RFM reads three orders " +
       "columns, rolling-corr ignores user_id, readability/zipf/dsir " +
       "never drag n_chars, expectations is ONE orders scan") {
-    val rfm = scansOf(planOf("rel_rfm"), "orders")
-    assert(rfm.nonEmpty)
-    rfm.foreach { s =>
-      val rs = readSchemaOf(s)
-      assert(!rs.contains("o_orderpriority") && !rs.contains("o_orderstatus"),
-        s"rfm needs only custkey/date/price: $rs")
+    // rfm pins its customer-grain aggregate (round-9), which wraps the
+    // orders scan in a LogicalRDD in the default mode — inspect the
+    // plan with pins disabled so the scan is visible again
+    val prevMode = sys.props.get(graft.Materialize.modeProp)
+    sys.props(graft.Materialize.modeProp) = "none"
+    try {
+      val rfm = scansOf(planOf("rel_rfm"), "orders")
+      assert(rfm.nonEmpty)
+      rfm.foreach { s =>
+        val rs = readSchemaOf(s)
+        assert(!rs.contains("o_orderpriority") && !rs.contains("o_orderstatus"),
+          s"rfm needs only custkey/date/price: $rs")
+      }
+    } finally {
+      prevMode match {
+        case Some(v) => sys.props(graft.Materialize.modeProp) = v
+        case None => sys.props.remove(graft.Materialize.modeProp)
+      }
     }
     val rc = scansOf(planOf("stock_rolling_corr"), "events")
     assert(rc.nonEmpty)

@@ -1107,6 +1107,52 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("streaming Corwin-Schultz (transformWithState) final report is " +
+      "bit-identical to the batch pair kernel across split triggers, " +
+      "with CONSTANT per-key state") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{CorwinSchultzState, OhlcRow}
+    val dir = "/root/testdata/sf0.001"
+    val ohlcDf = graft.operators.StockPipeline.ohlc5m(
+      graft.operators.StockPipeline.normalize(
+        graft.sources.Tables.events(spark, dir)))
+    import spark.implicits._
+    val rows = ohlcDf
+      .select("ticker", "window_timestamp", "high", "low", "close")
+      .as[OhlcRow].collect().sortBy(_.window_timestamp.getTime)
+    val chunks = rows.grouped(math.max(rows.length / 4, 1)).toSeq
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[OhlcRow]
+    val q = CorwinSchultzState.attach(stream.toDS()).writeStream
+      .format("memory").queryName("cs_tws_sink")
+      .outputMode("append").start()
+    try {
+      chunks.foreach { c =>
+        stream.addData(c.toSeq: _*); q.processAllAvailable()
+      }
+      val streamed = spark.table("cs_tws_sink").collect()
+        .groupBy(_.getString(0)).map { case (_, rs) =>
+          rs.maxBy(_.getLong(1))
+        }.toSeq.sortBy(_.getString(0))
+      val batch = graft.operators.TimeSeries.corwinSchultzOhlc(ohlcDf)
+        .collect()
+      assert(streamed.length === batch.length && batch.nonEmpty)
+      streamed.zip(batch).foreach { case (s, b) =>
+        assert(s.toSeq === b.toSeq, s"stream $s vs batch $b")
+      }
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("vpin: volume conserved per ticker, imbalance <= classified <= " +
       "total, vpin in [0,1], bucket count near the target (sf0.001)") {
     val out = TimeSeries.vpin(spark, "/root/testdata/sf0.001").collect()
