@@ -2945,16 +2945,21 @@ SELECT community, n_nodes, in_edges, degree_sum,
       END), 6) AS conductance
 FROM rep CROSS JOIN vt
 ORDER BY community"""),
-    // bounded k-core peel: kcoreRounds unrolled drop-and-refilter
-    // rounds over the mutual-kNN edge set. Every chain CTE is
-    // MATERIALIZED: e_i and keep_i are each referenced twice per
-    // round, and DuckDB's default inlining re-expands the whole
-    // upstream (kmeans + pair join) EXPONENTIALLY in the round count —
-    // measured as a never-finishing sf0.1 oracle before the hint.
+    // convergence-ASSERTED k-core peel: kcoreOracleRounds unrolled
+    // drop-and-refilter rounds over the mutual-kNN edge set, with a
+    // final error() guard proving the last two rounds agree — SQL
+    // cannot loop, so the unroll is generous and the assert makes a
+    // too-shallow bound a LOUD failure instead of a vacuous hash
+    // match on an under-peeled graph (the Spark side peels to true
+    // convergence). Every chain CTE is MATERIALIZED: e_i and keep_i
+    // are each referenced twice per round, and DuckDB's default
+    // inlining re-expands the whole upstream (kmeans + pair join)
+    // EXPONENTIALLY in the round count — measured as a
+    // never-finishing sf0.1 oracle before the hint.
     "sim_kcore" -> (simBase + kmeansCtes + {
       val it = graft.operators.Similarity.kmIters
       val kk = graft.operators.Similarity.kcoreK
-      val rounds = graft.operators.Similarity.kcoreRounds
+      val rounds = graft.operators.Similarity.kcoreOracleRounds
       val sb = new StringBuilder
       sb.append(s""",
 kp AS MATERIALIZED (
@@ -2986,11 +2991,17 @@ d$i AS MATERIALIZED (SELECT node, count(*)::BIGINT AS deg FROM
   (SELECT vec_a AS node FROM e$i UNION ALL SELECT vec_b FROM e$i)
   GROUP BY 1)""")
       }
-      sb.append(s"""
+      sb.append(s""",
+converged AS MATERIALIZED (
+  SELECT CASE WHEN (SELECT count(*) FROM e$rounds) =
+                   (SELECT count(*) FROM e${rounds - 1})
+    THEN 1 ELSE error('sim_kcore oracle unroll of $rounds rounds did ' ||
+      'not converge - raise Similarity.kcoreOracleRounds') END AS ok)
 SELECT d0.node AS vec_id, d0.deg AS deg0,
   CAST(coalesce(d$rounds.deg, 0) AS BIGINT) AS deg_final,
   coalesce(d$rounds.deg, 0) >= $kk AS in_core
 FROM d0 LEFT JOIN d$rounds ON d0.node = d$rounds.node
+WHERE (SELECT ok FROM converged) = 1
 ORDER BY vec_id""")
       sb.toString
     }),

@@ -17,7 +17,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val mode = args.lift(1).filter(Set("docs", "asof", "emb", "graph",
-      "ts", "rel")).getOrElse("events")
+      "hub", "ts", "rel")).getOrElse("events")
     val docsMode = mode == "docs"
     val multiples = {
       val rest = if (mode != "events") args.drop(2) else args.drop(1)
@@ -210,6 +210,40 @@ object ScaleProbe {
         val (_, srS) = t(Similarity.spectralRadius(df).count())
         val (_, rpS) = t(Similarity.knnReciprocity(df).count())
         println(f"[scale-probe-graph] x$n%-3d vecs=$rows%8d cells=${Similarity.sizedCells(rows)}%4d knnGraphMp=$mgS%7.2fs($mg) binaryTopK=$btS%6.2fs rerankTopK=$rrS%6.2fs hardNegatives=$hnS%6.2fs triangles=$tcS%6.2fs($tc) labelProp=$lpS%6.2fs assortativity=$asS%6.2fs linkPred=$lkS%6.2fs($lk) lpCommunities=$lcS%6.2fs dbscan=$dbS%6.2fs($dbc) cka=$ckS%6.2fs richClub=$rcS%6.2fs kcore=$kcS%6.2fs snn=$snS%6.2fs($sn) spectral=$srS%6.2fs reciprocity=$rpS%6.2fs")
+      }
+      spark.stop(); return
+    }
+
+    // Hub probe: a deliberately hub-concentrated adjacency — every
+    // node points at ONE hub (indeg = n−1) plus a ring successor — so
+    // the snn self-join's candidate mass (Σ indeg² ≈ n²) sits on a
+    // single key. The hot/cold split must beat the all-cold plain
+    // join as n grows (the plain join serializes the hub's n²/2 pair
+    // emissions into one task; the broadcast branch spreads them
+    // across every probe partition). Output is quadratic BY DESIGN on
+    // this shape — the probe compares STRATEGIES at equal output, not
+    // linearity.
+    if (mode == "hub") {
+      import graft.operators.Similarity
+      def hubbed(n: Int): DataFrame = spark.range(1, n.toLong)
+        .select(col("id").as("vec_id"),
+          explode(array(lit(0L),
+            pmod(col("id"), lit(n.toLong - 1)) + 1)).as("neighbor_id"))
+      multiples.foreach { m =>
+        val n = 2000 * m
+        val g = hubbed(n).pin(eager = true)
+        g.count()
+        def t(f: => Long): (Long, Double) = {
+          val t0 = System.nanoTime(); val c = f
+          (c, (System.nanoTime() - t0) / 1e9)
+        }
+        val (pc, plainS) = t(Similarity.snnSharedCounts(g, 0)
+          .agg(count(lit(1))).head().getLong(0))
+        val (sc, splitS) = t(
+          Similarity.snnSharedCounts(g, Similarity.snnHotKeys)
+            .agg(count(lit(1))).head().getLong(0))
+        require(pc == sc, s"hot/cold split changed rows: $pc vs $sc")
+        println(f"[scale-probe-hub] x$m%-3d nodes=$n%8d pairs=$pc%12d plainJoin=$plainS%7.2fs hotCold=$splitS%7.2fs speedup=${plainS / splitS}%5.2fx")
       }
       spark.stop(); return
     }

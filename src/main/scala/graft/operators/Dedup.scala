@@ -167,9 +167,6 @@ object Dedup {
 
   /** LSH bucket rows: (doc_id, band, key) — key concatenates the band's
     * minhash rows. Docs sharing (band, key) are candidate pairs. */
-  def lshBuckets(documents: DataFrame): DataFrame =
-    bucketsOf(shingles(documents))
-
   private def bucketsOf(sh: DataFrame): DataFrame = {
     val sigs = signaturesOf(sh)
     val bandCols = (0 until numBands).map { b =>

@@ -2088,42 +2088,84 @@ object Similarity {
       .orderBy(col("variant"), col("query_id"))
   }
 
-  /** k-core peel rounds / core threshold for [[kcore]] — shared with
-    * the oracle generator. Rounds are FIXED (unrolled identically by
-    * the oracle): a full decomposition iterates to fixpoint, but a
-    * bounded unroll is the deterministic contract both engines can
-    * state; with max degree ≤ k (mutual-kNN), 3 rounds reach the
-    * fixpoint on every graph this corpus produces (spec-asserted). */
+  /** k-core threshold for [[kcore]] — shared with the oracle
+    * generator. */
   val kcoreK = 2
-  val kcoreRounds = 3
 
-  /** Bounded k-core peel over the mutual-kNN graph: [[kcoreRounds]]
-    * rounds of "drop every node with degree < [[kcoreK]], then drop
-    * edges touching a dropped node" — the standard graph-density
-    * filter a curation stack runs to separate a connected semantic
-    * core (candidates for aggressive dedup) from tree-like periphery.
-    * Emits per node: initial degree, post-peel degree, and the in-core
-    * flag.
+  /** Safety cap on [[kcore]] peel rounds. Cascade depth is data-
+    * dependent (a path peels one layer per round), so the peel runs
+    * to CONVERGENCE; the cap exists only to fail LOUD on a pathology
+    * (an adversarial chain deeper than the cap) instead of silently
+    * under-peeling the way a fixed small unroll would. */
+  val kcoreMaxRounds = 64
+
+  /** Unroll depth the DuckDB oracle states for [[kcore]]. SQL cannot
+    * loop, so the oracle unrolls this many peel rounds and ASSERTS
+    * convergence (last two degree tables equal, else `error()`): a
+    * too-shallow unroll becomes a loud oracle failure, never a
+    * vacuous hash agreement on an under-peeled graph. Rounds past the
+    * fixpoint are no-ops over an already-stable edge set, so the
+    * bound is generous, not tight. */
+  val kcoreOracleRounds = 16
+
+  /** k-core peel to CONVERGENCE over the mutual-kNN graph: repeat
+    * "drop every node with degree < [[kcoreK]], then drop edges
+    * touching a dropped node" until the edge set is stable — the
+    * standard graph-density filter a curation stack runs to separate
+    * a connected semantic core (candidates for aggressive dedup) from
+    * tree-like periphery. Emits per node: initial degree, post-peel
+    * degree, and the in-core flag.
     *
     * Scale: each round is ONE hash aggregate (degrees) + two equi-
-    * joins of the edge list against the surviving-node set — O(rounds)
-    * shuffles on vertex ids, no all-pairs, degrees bounded by k. */
+    * joins of the edge list against the surviving-node set — shuffles
+    * on vertex ids only, no all-pairs, degrees bounded by k. Round
+    * count is the peel cascade depth (data-dependent); convergence is
+    * detected by the per-round edge COUNT — the edge set only ever
+    * shrinks, so count equality IS set equality, the same monotone
+    * stability check [[Dedup.clustersBigStar]] uses — with each round
+    * pinned so the plan cannot double per iteration. */
   def kcore(embeddings: DataFrame, k: Int = 3,
-      cells: Int = autoCells): DataFrame = {
-    val e0 = mutualKnnGraph(embeddings, k, cells)
-      .select(col("vec_a"), col("vec_b")).pin(eager = true)
+      cells: Int = autoCells): DataFrame =
+    kcorePeel(mutualKnnGraph(embeddings, k, cells)
+      .select(col("vec_a"), col("vec_b")))
+
+  /** The convergent peel itself, over ANY (vec_a, vec_b) edge frame —
+    * split from [[kcore]] so deep-cascade graphs (paths, which peel
+    * exactly one layer per round) can be fed directly in specs
+    * proving the stability check. */
+  def kcorePeel(edges0: DataFrame): DataFrame = {
+    val e0 = edges0.select(col("vec_a"), col("vec_b")).pin(eager = true)
     def degrees(e: DataFrame): DataFrame = e
       .select(explode(array(col("vec_a"), col("vec_b"))).as("vec_id"))
       .groupBy(col("vec_id")).agg(count(lit(1)).as("deg"))
     val deg0 = degrees(e0).pin(eager = true)
     var edges = e0
-    for (_ <- 1 to kcoreRounds) {
+    var nEdges = edges.count()
+    var converged = nEdges == 0L
+    var rounds = 0
+    while (!converged) {
+      rounds += 1
+      if (rounds > kcoreMaxRounds) throw new IllegalStateException(
+        s"kcore peel did not converge within $kcoreMaxRounds rounds " +
+          s"($nEdges edges still shrinking) — raise kcoreMaxRounds")
       val keep = degrees(edges).filter(col("deg") >= kcoreK)
         .select(col("vec_id")).pin()
-      edges = edges
-        .join(keep.select(col("vec_id").as("vec_a")), Seq("vec_a"))
-        .join(keep.select(col("vec_id").as("vec_b")), Seq("vec_b"))
-        .select(col("vec_a"), col("vec_b")).pin()
+      // LEFT SEMI, not inner, for the keep-filters: same rows (keep is
+      // unique by construction), a build side that carries no output
+      // columns — and, critically for a convergence loop, linear stats:
+      // inner-join sizeInBytes is the PRODUCT of the children's, so a
+      // pinned estimate would grow 3^round digits and the checkpoint's
+      // stats rewrite itself becomes the bottleneck by round ~20
+      // (measured: BigInteger.multiplyToomCook3 pegging the driver).
+      // LeftSemi stats are the left child's — constant per round.
+      val next = edges
+        .join(keep.select(col("vec_id").as("vec_a")), Seq("vec_a"), "left_semi")
+        .join(keep.select(col("vec_id").as("vec_b")), Seq("vec_b"), "left_semi")
+        .select(col("vec_a"), col("vec_b")).pin(eager = true)
+      val n = next.count()
+      converged = n == nEdges
+      edges = next
+      nEdges = n
     }
     val degF = degrees(edges)
       .select(col("vec_id"), col("deg").as("deg_final"))
@@ -2144,21 +2186,28 @@ object Similarity {
     * high-dim kNN graphs, cf. [[hubness]]).
     *
     * Scale: candidates come from an equi-join of the adjacency list on
-    * the SHARED NEIGHBOR id — candidate volume is Σ indeg(v)², bounded
-    * by the in-degree concentration [[hubness]] measures, never the
-    * corpus square. Degrees are a k-bounded hash aggregate; a heavily
-    * hubbed graph rides [[Skew.hotColdJoin]] on the hot neighbor
-    * keys. */
+    * the SHARED NEIGHBOR id — candidate volume is Σ indeg(v)², the
+    * in-degree concentration [[hubness]] measures (out-degree is
+    * k-bounded; in-degree is NOT). That sum is the true output bound
+    * for any exact SNN — no join strategy shrinks it — but a plain
+    * shuffle self-join ALSO serializes each hot key's indeg² candidate
+    * work into ONE task. So the join is hot/cold split on neighbor
+    * in-degree (the self-join analog of [[Skew.hotColdJoin]]): the
+    * [[snnHotKeys]] hottest neighbor ids join with a BROADCAST build
+    * side — the hub's candidate work spreads across every probe-side
+    * partition instead of one straggler — and the k-bounded tail
+    * shuffle-joins as before. Hot and cold partition the adjacency on
+    * the join key, so the union is row-for-row the plain self-join
+    * (the oracle states the plain join; the hash proves equality).
+    * `snnHotKeys` is a pure performance knob; the broadcast branch is
+    * bounded by the top-K in-degree mass, the executor-memory limit
+    * any hub-adjacency approach shares. */
   def snnGraph(embeddings: DataFrame, k: Int = 3,
       cells: Int = autoCells): DataFrame = {
     val g = knnGraph(embeddings, k, cells)
       .select(col("vec_id"), col("neighbor_id")).pin(eager = true)
     val outdeg = g.groupBy(col("vec_id")).agg(count(lit(1)).as("deg"))
-    val shared = g.as("a").join(g.as("b"),
-        col("a.neighbor_id") === col("b.neighbor_id") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .groupBy(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      .agg(count(lit(1)).as("shared"))
+    val shared = snnSharedCounts(g)
     shared
       .join(outdeg.select(col("vec_id").as("vec_a"), col("deg").as("da")),
         Seq("vec_a"))
@@ -2168,6 +2217,37 @@ object Similarity {
         round(col("shared").cast("double") /
           (col("da") + col("db") - col("shared")), 6).as("snn_jaccard"))
       .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** How many hottest neighbor ids [[snnGraph]] routes through the
+    * broadcast branch — performance knob only, any value yields
+    * identical rows (SnnHotColdSpec proves it across splits). */
+  val snnHotKeys = 64
+
+  /** Shared-neighbor pair counts with the hot/cold split self-join
+    * described on [[snnGraph]]. `g` is the pinned (vec_id,
+    * neighbor_id) adjacency. */
+  private[graft] def snnSharedCounts(g: DataFrame,
+      hotK: Int = snnHotKeys): DataFrame = {
+    val hot = g.groupBy(col("neighbor_id")).agg(count(lit(1)).as("indeg"))
+      .orderBy(col("indeg").desc, col("neighbor_id").asc)
+      .limit(hotK) // TakeOrderedAndProject: no global sort
+      .select(col("neighbor_id"))
+    val gHot = g.join(broadcast(hot), Seq("neighbor_id"))
+      .pin(eager = true)
+    val gCold = g.join(broadcast(hot), Seq("neighbor_id"), "left_anti")
+    def pairs(a: DataFrame, b: DataFrame): DataFrame =
+      a.as("a").join(b.as("b"),
+        col("a.neighbor_id") === col("b.neighbor_id") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+    // hot keys: broadcast build side — each task pairs ITS probe rows
+    // against the full hub adjacency; cold keys: plain shuffle join,
+    // per-key work bounded by the tail's in-degree
+    pairs(gHot, broadcast(gHot))
+      .unionByName(pairs(gCold, gCold))
+      .groupBy(col("vec_a"), col("vec_b"))
+      .agg(count(lit(1)).as("shared"))
   }
 
   /** PQ codebook utilization census: per subspace, how many of the

@@ -11,7 +11,7 @@ import graft.operators.{Dedup, Multimodal, Similarity}
 class Round9OpsSpec extends SparkSpec {
   import spark.implicits._
 
-  test("kcore: kcoreRounds peels reach the TRUE fixpoint on the " +
+  test("kcore: the convergent peel reaches the TRUE fixpoint on the " +
       "sf0.001 corpus graph (a driver-side peel-to-convergence agrees)") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val out = Similarity.kcore(emb).collect()
@@ -37,6 +37,29 @@ class Round9OpsSpec extends SparkSpec {
     out.filterNot(_.getBoolean(3)).foreach { r =>
       assert(r.getLong(2) < Similarity.kcoreK,
         s"dropped node with core-worthy degree: $r")
+    }
+  }
+
+  test("kcorePeel: a deliberately deep cascade (20-node path, one " +
+      "layer per round) fully peels while an attached triangle " +
+      "survives — the stability check, not a fixed unroll, decides") {
+    // path 0-1-...-19 (peels endpoint-inward: ~10 rounds for k=2,
+    // far past any small fixed unroll) plus a disjoint triangle
+    // 100-101-102 (the true 2-core)
+    val path = (0L until 19L).map(i => (i, i + 1))
+    val tri = Seq((100L, 101L), (101L, 102L), (100L, 102L))
+    val edges = (path ++ tri).toDF("vec_a", "vec_b")
+    val out = Similarity.kcorePeel(edges).collect()
+    val core = out.filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    assert(core === Set(100L, 101L, 102L),
+      s"2-core of path+triangle must be the triangle, got $core")
+    // every path node fully peeled: deg_final 0
+    out.filter(r => r.getLong(0) < 100L).foreach { r =>
+      assert(r.getLong(2) === 0L, s"path node not fully peeled: $r")
+    }
+    // triangle keeps both edges per node
+    out.filter(r => r.getLong(0) >= 100L).foreach { r =>
+      assert(r.getLong(2) === 2L, s"triangle node degree wrong: $r")
     }
   }
 

@@ -732,6 +732,94 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("streaming RSI (transformWithState) is bit-identical to the " +
+      "batch lag-chain kernel across split triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{BarRow, RsiState}
+    val dir = "/root/testdata/sf0.001"
+    val barsDf = graft.operators.TimeSeries.closeBars5m(
+      graft.operators.StockPipeline.normalize(
+        graft.sources.Tables.events(spark, dir)))
+    import spark.implicits._
+    val rows = barsDf.as[BarRow].collect().sortBy(_.bucket.getTime)
+    val chunks = rows.grouped(math.max(rows.length / 3, 1)).toSeq
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[BarRow]
+    val q = RsiState.attach(stream.toDS()).writeStream
+      .format("memory").queryName("rsi_tws_sink")
+      .outputMode("append").start()
+    try {
+      chunks.foreach { c =>
+        stream.addData(c.toSeq: _*); q.processAllAvailable()
+      }
+      val streamed = spark.table("rsi_tws_sink")
+        .orderBy("ticker", "bucket").collect()
+      val batch = graft.operators.TimeSeries.rsiBars(barsDf)
+        .orderBy("ticker", "bucket").collect()
+      assert(streamed.length === batch.length && batch.nonEmpty)
+      // the leading edge must be exercised: every ticker's first bar
+      // is a NULL rsi on both sides
+      assert(batch.exists(_.isNullAt(3)))
+      streamed.zip(batch).foreach { case (s, b) =>
+        assert(s.toSeq === b.toSeq, s"stream $s vs batch $b")
+      }
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("streaming Bollinger (transformWithState) is bit-identical to " +
+      "the batch lag-chain kernel across split triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{BarRow, BollingerState}
+    val dir = "/root/testdata/sf0.001"
+    val barsDf = graft.operators.TimeSeries.closeBars5m(
+      graft.operators.StockPipeline.normalize(
+        graft.sources.Tables.events(spark, dir)))
+    import spark.implicits._
+    val rows = barsDf.as[BarRow].collect().sortBy(_.bucket.getTime)
+    val chunks = rows.grouped(math.max(rows.length / 3, 1)).toSeq
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[BarRow]
+    val q = BollingerState.attach(stream.toDS()).writeStream
+      .format("memory").queryName("boll_tws_sink")
+      .outputMode("append").start()
+    try {
+      chunks.foreach { c =>
+        stream.addData(c.toSeq: _*); q.processAllAvailable()
+      }
+      val streamed = spark.table("boll_tws_sink")
+        .orderBy("ticker", "bucket").collect()
+      val batch = graft.operators.TimeSeries.bollingerBars(barsDf)
+        .orderBy("ticker", "bucket").collect()
+      assert(streamed.length === batch.length && batch.nonEmpty)
+      // the n = 1 edge must be exercised: every ticker's first bar has
+      // NULL bands on both sides
+      assert(batch.exists(_.isNullAt(4)))
+      streamed.zip(batch).foreach { case (s, b) =>
+        assert(s.toSeq === b.toSeq, s"stream $s vs batch $b")
+      }
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("hurstBars: a deterministic coin-flip walk pins H near 0.5 and " +
       "matches direct decimal-grid recomputation exactly; a constant-" +
       "return geometric series degenerates to zero variances and NULL") {
