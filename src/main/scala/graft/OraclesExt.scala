@@ -3005,6 +3005,77 @@ WHERE (SELECT ok FROM converged) = 1
 ORDER BY vec_id""")
       sb.toString
     }),
+    // convergence-ASSERTED k-truss peel over the mutual-kNN edge set:
+    // same contract as sim_kcore — unrolled rounds, error() if the
+    // last two edge sets differ, every chain CTE MATERIALIZED (und_i
+    // and e_i are referenced 2-3 times per round)
+    "sim_ktruss" -> (simBase + kmeansCtes + {
+      val it = graft.operators.Similarity.kmIters
+      val kk = graft.operators.Similarity.ktrussK
+      val rounds = graft.operators.Similarity.ktrussOracleRounds
+      val sb = new StringBuilder
+      sb.append(s""",
+kp AS MATERIALIZED (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+    round(list_inner_product(a.ev, b.ev), 6) AS cosine
+  FROM asg$it a JOIN asg$it b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+kr AS MATERIALIZED (
+  SELECT vec_id, neighbor_id,
+    row_number() OVER (PARTITION BY vec_id
+      ORDER BY cosine DESC, neighbor_id)::BIGINT AS rank
+  FROM kp),
+ged AS MATERIALIZED (SELECT vec_id, neighbor_id FROM kr WHERE rank <= 3),
+e0 AS MATERIALIZED (
+  SELECT a.vec_id AS vec_a, a.neighbor_id AS vec_b
+  FROM ged a JOIN ged b
+    ON a.vec_id = b.neighbor_id AND a.neighbor_id = b.vec_id
+  WHERE a.vec_id < a.neighbor_id)""")
+      def roundCtes(i: Int): String = s""",
+und$i AS MATERIALIZED (
+  SELECT vec_a AS u, vec_b AS c FROM e${i - 1}
+  UNION ALL SELECT vec_b AS u, vec_a AS c FROM e${i - 1}),
+sup$i AS MATERIALIZED (
+  SELECT e.vec_a, e.vec_b, count(*)::BIGINT AS support
+  FROM e${i - 1} e
+  JOIN und$i na ON e.vec_a = na.u
+  JOIN und$i nb ON e.vec_b = nb.u AND na.c = nb.c
+  GROUP BY 1, 2),
+e$i AS MATERIALIZED (
+  SELECT vec_a, vec_b FROM sup$i WHERE support >= ${kk - 2})"""
+      for (i <- 1 to rounds) sb.append(roundCtes(i))
+      sb.append(s""",
+sup0 AS MATERIALIZED (
+  SELECT e.vec_a, e.vec_b, count(*)::BIGINT AS support
+  FROM e0 e
+  JOIN und1 na ON e.vec_a = na.u
+  JOIN und1 nb ON e.vec_b = nb.u AND na.c = nb.c
+  GROUP BY 1, 2),
+supf AS MATERIALIZED (
+  SELECT e.vec_a, e.vec_b, count(*)::BIGINT AS support
+  FROM e$rounds e
+  JOIN (SELECT vec_a AS u, vec_b AS c FROM e$rounds
+    UNION ALL SELECT vec_b AS u, vec_a AS c FROM e$rounds) na
+    ON e.vec_a = na.u
+  JOIN (SELECT vec_a AS u, vec_b AS c FROM e$rounds
+    UNION ALL SELECT vec_b AS u, vec_a AS c FROM e$rounds) nb
+    ON e.vec_b = nb.u AND na.c = nb.c
+  GROUP BY 1, 2),
+converged AS MATERIALIZED (
+  SELECT CASE WHEN (SELECT count(*) FROM e$rounds) =
+                   (SELECT count(*) FROM e${rounds - 1})
+    THEN 1 ELSE error('sim_ktruss oracle unroll of $rounds rounds did ' ||
+      'not converge - raise Similarity.ktrussOracleRounds') END AS ok)
+SELECT e0.vec_a, e0.vec_b,
+  CAST(coalesce(sup0.support, 0) AS BIGINT) AS sup0,
+  CAST(coalesce(supf.support, 0) AS BIGINT) AS sup_final,
+  supf.support IS NOT NULL AS in_truss
+FROM e0
+LEFT JOIN sup0 ON e0.vec_a = sup0.vec_a AND e0.vec_b = sup0.vec_b
+LEFT JOIN supf ON e0.vec_a = supf.vec_a AND e0.vec_b = supf.vec_b
+WHERE (SELECT ok FROM converged) = 1
+ORDER BY e0.vec_a, e0.vec_b""")
+      sb.toString
+    }),
     // shared-nearest-neighbor pairs: adjacency self-join on the shared
     // neighbor id, SNN Jaccard over k-bounded out-degrees
     "sim_snn_graph" -> (simBase + kmeansCtes + {

@@ -741,6 +741,42 @@ FROM m ORDER BY ticker"""
     // return ACF at lags 1-5: per-lag window pairs, DuckDB corr (NULL
     // on degenerate) vs Spark nanToNull(corr) — round-6 parity proven
     // by stock_corr_pairs
+    // Bartlett realized kernel: per-lag cross products on the 1e-12
+    // grid + decimal sums, 2·w_h literals interpolated from the SAME
+    // Scala constants the engine uses, coalesce-0 short series
+    "stock_realized_kernel" -> (barsCte + {
+      val lags = 1 to graft.operators.TimeSeries.RkLags
+      val lagCols = lags.map(h =>
+        s"    lag(r, $h) OVER tw2 AS rl$h").mkString(",\n")
+      val gCols = lags.map(h =>
+        s"""    CAST(sum(CAST(r * rl$h AS DECIMAL(38,18)))
+      AS DOUBLE) AS g$h""").mkString(",\n")
+      val rkExpr = "g0" + lags.map(h =>
+        s" + ${graft.operators.TimeSeries.rkWeight2(h)} * coalesce(g$h, 0.0)")
+        .mkString
+      s""",
+rets AS (
+  SELECT ticker, bucket,
+    CASE WHEN lag(close, 1) OVER tw <> 0
+      THEN close / lag(close, 1) OVER tw - 1 END AS r
+  FROM bars
+  WINDOW tw AS (PARTITION BY ticker ORDER BY bucket)
+  QUALIFY r IS NOT NULL),
+lagd AS (
+  SELECT ticker, r,
+$lagCols
+  FROM rets WINDOW tw2 AS (PARTITION BY ticker ORDER BY bucket)),
+m AS (
+  SELECT ticker, count(*)::BIGINT AS n_rets,
+    CAST(sum(CAST(r * r AS DECIMAL(38,18))) AS DOUBLE) AS g0,
+$gCols
+  FROM lagd GROUP BY ticker)
+SELECT ticker, n_rets, round(g0, 6) AS rv,
+  round($rkExpr, 6) AS rk,
+  round(($rkExpr) / (CASE WHEN g0 > 0.0 THEN g0 END), 6)
+    AS kernel_ratio
+FROM m ORDER BY ticker"""
+    }),
     "stock_acf" -> (barsCte + {
       val blocks = graft.operators.TimeSeries.AcfLags.map { k =>
         s"""

@@ -844,6 +844,13 @@ object SparkEntry {
     // shared-nearest-neighbor graph (Jarvis-Patrick edge weights)
     "sim_snn_graph" -> ((s, d) =>
       Similarity.snnGraph(Tables.embeddings(s, d))),
+    // convergent k-truss peel over the mutual-kNN graph (edge-grain
+    // sibling of sim_kcore; convergence-asserted oracle unroll)
+    "sim_ktruss" -> ((s, d) =>
+      Similarity.ktruss(Tables.embeddings(s, d))),
+    // Bartlett realized-kernel variance vs plain RV (microstructure-
+    // noise-robust volatility panel)
+    "stock_realized_kernel" -> (TimeSeries.realizedKernel _),
     // PQ codebook utilization / entropy census
     "sim_code_entropy" -> ((s, d) =>
       Similarity.pqCodeEntropy(Tables.embeddings(s, d))),

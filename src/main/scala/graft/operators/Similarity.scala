@@ -2177,6 +2177,100 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** k-truss threshold for [[ktruss]] — an edge survives while it
+    * sits in at least `ktrussK − 2` triangles among surviving edges.
+    * 4 (≥ 2 triangles) is the smallest threshold with REAL peel
+    * cascades: at 3, dropping triangle-free edges can never destroy a
+    * triangle (a triangle's own edges all have support ≥ 1), so the
+    * peel is one round by theorem. Sub-threshold edges are simply
+    * ABSENT from the per-round support aggregate on both engines (a
+    * support-0 edge produces no wedge row), so no left-join-back is
+    * needed inside the loop. */
+  val ktrussK = 4
+
+  /** Safety cap on [[ktruss]] peel rounds — same fail-LOUD contract
+    * as [[kcoreMaxRounds]] (truss cascades chain like core cascades:
+    * dropping one edge can strip its neighbors' last triangle). */
+  val ktrussMaxRounds = 64
+
+  /** Unroll depth the DuckDB oracle states for [[ktruss]], with the
+    * same `error()` convergence assert as [[kcoreOracleRounds]] —
+    * rounds past the fixpoint are no-ops, a too-shallow bound fails
+    * loud. */
+  val ktrussOracleRounds = 12
+
+  /** k-truss peel to CONVERGENCE over the mutual-kNN graph: repeat
+    * "drop every edge in fewer than [[ktrussK]]−2 triangles" until the
+    * edge set is stable — the edge-grain sibling of [[kcore]] (a core
+    * keeps dense NODES, a truss keeps edges embedded in dense
+    * NEIGHBORHOOD OVERLAP), the standard cohesion filter for "which
+    * near-dup links are corroborated by a third document". Emits per
+    * initial edge: initial support, final support, and the in-truss
+    * flag.
+    *
+    * Scale: per round one wedge join (edge list against the
+    * undirected adjacency on both endpoints — fan-out Σ deg², degrees
+    * k-bounded on a mutual-kNN graph) + a LEFT SEMI refilter of the
+    * edge list (the [[kcorePeel]] lesson: semi-join stats stay linear
+    * where an inner join's size estimate would grow 3^round digits
+    * and stall the per-round checkpoint). Convergence by edge count —
+    * monotone shrink, count equality is set equality. */
+  def ktruss(embeddings: DataFrame, k: Int = 3,
+      cells: Int = autoCells): DataFrame =
+    ktrussPeel(mutualKnnGraph(embeddings, k, cells)
+      .select(col("vec_a"), col("vec_b")))
+
+  /** The convergent truss peel over ANY (vec_a, vec_b) edge frame
+    * (vec_a < vec_b, deduplicated) — split from [[ktruss]] for
+    * deep-cascade specs, like [[kcorePeel]]. */
+  def ktrussPeel(edges0: DataFrame): DataFrame = {
+    val e0 = edges0.select(col("vec_a"), col("vec_b")).pin(eager = true)
+    // support = triangles through each edge: common neighbors of the
+    // endpoints in the undirected adjacency
+    def support(e: DataFrame): DataFrame = {
+      val und = e.select(col("vec_a").as("u"), col("vec_b").as("c"))
+        .unionAll(e.select(col("vec_b").as("u"), col("vec_a").as("c")))
+        .pin()
+      e.as("e")
+        .join(und.as("na"), col("e.vec_a") === col("na.u"))
+        .join(und.as("nb"), col("e.vec_b") === col("nb.u") &&
+          col("na.c") === col("nb.c"))
+        .groupBy(col("e.vec_a").as("vec_a"), col("e.vec_b").as("vec_b"))
+        .agg(count(lit(1)).as("support"))
+    }
+    val sup0 = support(e0)
+      .select(col("vec_a"), col("vec_b"), col("support").as("sup0"))
+      .pin(eager = true)
+    var edges = e0
+    var nEdges = edges.count()
+    var converged = nEdges == 0L
+    var rounds = 0
+    while (!converged) {
+      rounds += 1
+      if (rounds > ktrussMaxRounds) throw new IllegalStateException(
+        s"ktruss peel did not converge within $ktrussMaxRounds rounds " +
+          s"($nEdges edges still shrinking) — raise ktrussMaxRounds")
+      val qual = support(edges)
+        .filter(col("support") >= ktrussK - 2)
+        .select(col("vec_a"), col("vec_b"))
+      val next = edges.join(qual, Seq("vec_a", "vec_b"), "left_semi")
+        .pin(eager = true)
+      val n = next.count()
+      converged = n == nEdges
+      edges = next
+      nEdges = n
+    }
+    val supF = support(edges)
+      .select(col("vec_a"), col("vec_b"), col("support").as("sup_final"))
+    e0.join(sup0, Seq("vec_a", "vec_b"), "left")
+      .join(supF, Seq("vec_a", "vec_b"), "left")
+      .select(col("vec_a"), col("vec_b"),
+        coalesce(col("sup0"), lit(0L)).as("sup0"),
+        coalesce(col("sup_final"), lit(0L)).as("sup_final"),
+        col("sup_final").isNotNull.as("in_truss"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   /** Shared-nearest-neighbor graph (Jarvis–Patrick / SNN clustering's
     * edge weight): for every pair of vectors whose kNN lists overlap,
     * the shared-neighbor count and the SNN Jaccard
@@ -2189,25 +2283,24 @@ object Similarity {
     * the SHARED NEIGHBOR id — candidate volume is Σ indeg(v)², the
     * in-degree concentration [[hubness]] measures (out-degree is
     * k-bounded; in-degree is NOT). That sum is the true output bound
-    * for any exact SNN — no join strategy shrinks it — but a plain
-    * shuffle self-join ALSO serializes each hot key's indeg² candidate
-    * work into ONE task. So the join is hot/cold split on neighbor
-    * in-degree (the self-join analog of [[Skew.hotColdJoin]]): the
-    * [[snnHotKeys]] hottest neighbor ids join with a BROADCAST build
-    * side — the hub's candidate work spreads across every probe-side
-    * partition instead of one straggler — and the k-bounded tail
-    * shuffle-joins as before. Hot and cold partition the adjacency on
-    * the join key, so the union is row-for-row the plain self-join
-    * (the oracle states the plain join; the hash proves equality).
-    * `snnHotKeys` is a pure performance knob; the broadcast branch is
-    * bounded by the top-K in-degree mass, the executor-memory limit
-    * any hub-adjacency approach shares. */
+    * for any exact SNN — no join strategy shrinks it. The per-key
+    * straggler risk (one hub key's indeg² pairs in one task) is
+    * handled at RUNTIME by AQE's skew-join split, and the hub-axis
+    * ScaleProbe measured that as the better plan: an explicit
+    * hot/cold broadcast split ([[snnSharedCounts]] with
+    * hotK = [[snnHotKeys]]) ran 15–40 % SLOWER than the plain join +
+    * AQE at every probe point (2k/8k/16k nodes, single 2M–128M-pair
+    * hub), because the split pays an extra degree scan, pin and
+    * broadcast for parallelism AQE already provides. So the default
+    * is the plain self-join; the split stays available as an explicit
+    * knob for deployments where AQE is off (SnnHotColdSpec proves any
+    * hotK is row-for-row identical). */
   def snnGraph(embeddings: DataFrame, k: Int = 3,
-      cells: Int = autoCells): DataFrame = {
+      cells: Int = autoCells, hotK: Int = 0): DataFrame = {
     val g = knnGraph(embeddings, k, cells)
       .select(col("vec_id"), col("neighbor_id")).pin(eager = true)
     val outdeg = g.groupBy(col("vec_id")).agg(count(lit(1)).as("deg"))
-    val shared = snnSharedCounts(g)
+    val shared = snnSharedCounts(g, hotK)
     shared
       .join(outdeg.select(col("vec_id").as("vec_a"), col("deg").as("da")),
         Seq("vec_a"))
@@ -2219,34 +2312,42 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  /** How many hottest neighbor ids [[snnGraph]] routes through the
-    * broadcast branch — performance knob only, any value yields
-    * identical rows (SnnHotColdSpec proves it across splits). */
+  /** Hot-key count for [[snnSharedCounts]]'s explicit split —
+    * performance knob only, any value yields identical rows
+    * (SnnHotColdSpec proves it across splits). */
   val snnHotKeys = 64
 
-  /** Shared-neighbor pair counts with the hot/cold split self-join
-    * described on [[snnGraph]]. `g` is the pinned (vec_id,
-    * neighbor_id) adjacency. */
+  /** Shared-neighbor pair counts. hotK = 0 (the [[snnGraph]] default):
+    * one shuffle self-join on the shared-neighbor id, hub keys
+    * runtime-split by AQE. hotK > 0: the explicit hot/cold split —
+    * the hotK highest-in-degree neighbor ids pair through a BROADCAST
+    * build side (the hub's indeg² candidate work spreads across every
+    * probe-side partition by plan, not by AQE), the tail through the
+    * shuffle join. Hot and cold partition the adjacency on the join
+    * key, so the union is row-for-row the plain join — use it where
+    * AQE is unavailable; measured slower than AQE's split where AQE
+    * is on (see [[snnGraph]]). */
   private[graft] def snnSharedCounts(g: DataFrame,
-      hotK: Int = snnHotKeys): DataFrame = {
-    val hot = g.groupBy(col("neighbor_id")).agg(count(lit(1)).as("indeg"))
-      .orderBy(col("indeg").desc, col("neighbor_id").asc)
-      .limit(hotK) // TakeOrderedAndProject: no global sort
-      .select(col("neighbor_id"))
-    val gHot = g.join(broadcast(hot), Seq("neighbor_id"))
-      .pin(eager = true)
-    val gCold = g.join(broadcast(hot), Seq("neighbor_id"), "left_anti")
+      hotK: Int = 0): DataFrame = {
     def pairs(a: DataFrame, b: DataFrame): DataFrame =
       a.as("a").join(b.as("b"),
         col("a.neighbor_id") === col("b.neighbor_id") &&
           col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-    // hot keys: broadcast build side — each task pairs ITS probe rows
-    // against the full hub adjacency; cold keys: plain shuffle join,
-    // per-key work bounded by the tail's in-degree
-    pairs(gHot, broadcast(gHot))
-      .unionByName(pairs(gCold, gCold))
-      .groupBy(col("vec_a"), col("vec_b"))
+    val cand =
+      if (hotK <= 0) pairs(g, g)
+      else {
+        val hot = g.groupBy(col("neighbor_id"))
+          .agg(count(lit(1)).as("indeg"))
+          .orderBy(col("indeg").desc, col("neighbor_id").asc)
+          .limit(hotK) // TakeOrderedAndProject: no global sort
+          .select(col("neighbor_id"))
+        val gHot = g.join(broadcast(hot), Seq("neighbor_id"))
+          .pin(eager = true)
+        val gCold = g.join(broadcast(hot), Seq("neighbor_id"), "left_anti")
+        pairs(gHot, broadcast(gHot)).unionByName(pairs(gCold, gCold))
+      }
+    cand.groupBy(col("vec_a"), col("vec_b"))
       .agg(count(lit(1)).as("shared"))
   }
 

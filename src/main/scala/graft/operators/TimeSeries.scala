@@ -358,6 +358,67 @@ object TimeSeries {
       .orderBy(col("ticker"))
   }
 
+  /** Bartlett-kernel lag depth for [[realizedKernel]] — shared with
+    * the oracle generator. */
+  val RkLags = 5
+
+  /** Bartlett weight × 2 for lag h: 2·(1 − h/(H+1)). Computed ONCE in
+    * Scala so both engines parse the identical IEEE literal (the
+    * [[HurstFiveLn2]] convention). */
+  def rkWeight2(h: Int): Double = 2.0 * (1.0 - h.toDouble / (RkLags + 1))
+
+  /** Realized-kernel variance per ticker (Barndorff-Nielsen et al.):
+    * plain realized variance Σr² is biased upward by microstructure
+    * noise (bid-ask bounce makes consecutive returns negatively
+    * autocorrelated — the same effect [[rollSpread]] inverts into a
+    * spread); the kernel estimate adds Bartlett-weighted
+    * autocovariances, RK = γ₀ + Σ_{h=1..H} 2·(1−h/(H+1))·γ_h, which
+    * soaks the noise back out. The panel a realized-vol consumer
+    * reads next to [[rvSignature]]: rv, rk, and their ratio (< 1 =
+    * bounce-dominated, ≈ 1 = noise-free sampling).
+    *
+    * Determinism: per-lag cross products decimal-sum raw (the
+    * [[jumpDetection]] convention — synthetic-price returns reach 1e4
+    * magnitudes where a 1e-12 term grid is itself float-lossy);
+    * order-independent under any partitioning; the weighted
+    * combination is double math in one pinned textual order with the
+    * 2·w_h literals interpolated from [[rkWeight2]] on both engines;
+    * short series contribute literal-0 autocovariances via coalesce,
+    * identically stated. Scale: one window pass for H lags + one hash
+    * aggregate — bar-grain, H fixed. */
+  def realizedKernel(spark: SparkSession, dir: String): DataFrame =
+    realizedKernelBars(closeBars5m(
+      StockPipeline.normalize(Tables.events(spark, dir))))
+
+  private[graft] def realizedKernelBars(bars: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("ticker")).orderBy(col("bucket"))
+    val prev = lag(col("close"), 1).over(w)
+    val rets = bars
+      .select(col("ticker"), col("bucket"),
+        when(prev =!= 0.0, col("close") / prev - 1).as("r"))
+      .filter(col("r").isNotNull)
+    val withLags = rets.select(
+      col("ticker") +: col("r") +:
+        (1 to RkLags).map(h => lag(col("r"), h).over(
+          Window.partitionBy(col("ticker")).orderBy(col("bucket")))
+          .as(s"rl$h")): _*)
+    val aggCols = count(lit(1)).as("n_rets") +:
+      dsum18(col("r") * col("r")).as("g0") +:
+      (1 to RkLags).map(h =>
+        dsum18(col("r") * col(s"rl$h")).as(s"g$h"))
+    val m = withLags.groupBy(col("ticker"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val rk = (1 to RkLags).foldLeft(col("g0")) { (acc, h) =>
+      acc + lit(rkWeight2(h)) * coalesce(col(s"g$h"), lit(0.0))
+    }
+    m.select(col("ticker"), col("n_rets"),
+        round(col("g0"), 6).as("rv"),
+        round(rk, 6).as("rk"),
+        round(rk / when(col("g0") > 0.0, col("g0")), 6)
+          .as("kernel_ratio"))
+      .orderBy(col("ticker"))
+  }
+
   /** Garman–Klass / Parkinson range-based volatility per ticker: the
     * OHLC estimators that extract ~5–7× more information per bar than
     * close-to-close variance (range sees the intrabar path). Per-bar

@@ -550,6 +550,49 @@ class TimeSeriesSpec extends SparkSpec {
     assert(nB === 3L && covB === 0.0 && rollB === None)
   }
 
+  test("realizedKernelBars: a bouncing series' negative lag-1 " +
+      "autocovariance pulls RK below RV (the bounce correction), " +
+      "matching direct decimal-grid recomputation exactly") {
+    // closes 100, 101, 100, 101, ... -> returns alternate +1/100,
+    // -1/101: strong negative lag-1 autocorrelation (pure bounce)
+    val a = (0 until 12).map(i =>
+      ("A", i * 5, if (i % 2 == 0) 100.0 else 101.0))
+    // single-return ticker: all lagged sums NULL -> coalesce-0 path
+    val b = (0 until 2).map(i => ("B", i * 5, 100.0 + i))
+    val out = TimeSeries.realizedKernelBars(bars((a ++ b): _*))
+      .collect().map(r => r.getString(0) -> r).toMap
+    def g18(x: Double) =
+      BigDecimal(x).setScale(18, BigDecimal.RoundingMode.HALF_UP)
+    def rN(x: Double, n: Int) =
+      BigDecimal(x).setScale(n, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // mirror of the engine math on ticker A
+    val rets = (1 until 12).map { i =>
+      val (p, c) = (if ((i - 1) % 2 == 0) 100.0 else 101.0,
+        if (i % 2 == 0) 100.0 else 101.0)
+      c / p - 1
+    }
+    val g0 = rets.map(r => g18(r * r)).sum.toDouble
+    val gs = (1 to TimeSeries.RkLags).map { h =>
+      rets.drop(h).zip(rets).map { case (r, rl) => g18(r * rl) }
+        .sum.toDouble
+    }
+    val rk = (1 to TimeSeries.RkLags).foldLeft(g0) { (acc, h) =>
+      acc + TimeSeries.rkWeight2(h) * gs(h - 1)
+    }
+    val rowA = out("A")
+    assert(rowA.getLong(1) === 11L)
+    assert(rowA.getDouble(2) === rN(g0, 6))
+    assert(rowA.getDouble(3) === rN(rk, 6))
+    assert(rowA.getDouble(4) === rN(rk / g0, 6))
+    assert(rk < g0, "bounce must pull RK below RV")
+    // B: one return, every gamma_h NULL -> rk falls back to g0 via
+    // the coalesce-0 terms, ratio exactly 1
+    val rowB = out("B")
+    assert(rowB.getLong(1) === 1L)
+    assert(rowB.getDouble(2) === rowB.getDouble(3))
+    assert(rowB.getDouble(4) === 1.0)
+  }
+
   test("gkBars: hand-built OHLC bars match the closed-form estimators; " +
       "a flat bar contributes zero to both") {
     val ohlc = Seq(

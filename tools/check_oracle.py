@@ -14,6 +14,7 @@ Dev-only tooling; NOT part of the shipped engine.
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -51,8 +52,13 @@ def row_key(row):
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
+        # driver testdata ships single files; MakeScale output is a
+        # Spark-style directory of part files — read either shape
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path += "/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
