@@ -3076,6 +3076,133 @@ WHERE (SELECT ok FROM converged) = 1
 ORDER BY e0.vec_a, e0.vec_b""")
       sb.toString
     }),
+    // full core decomposition: three convergence-asserted kcore
+    // unrolls (thresholds 1..3), core number = highest surviving
+    // threshold — all-integer, same MATERIALIZED-chain discipline
+    "sim_coreness" -> (simBase + kmeansCtes + {
+      val it = graft.operators.Similarity.kmIters
+      val rounds = graft.operators.Similarity.kcoreOracleRounds
+      val maxK = 3
+      val sb = new StringBuilder
+      sb.append(s""",
+kp AS MATERIALIZED (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+    round(list_inner_product(a.ev, b.ev), 6) AS cosine
+  FROM asg$it a JOIN asg$it b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+kr AS MATERIALIZED (
+  SELECT vec_id, neighbor_id,
+    row_number() OVER (PARTITION BY vec_id
+      ORDER BY cosine DESC, neighbor_id)::BIGINT AS rank
+  FROM kp),
+ged AS MATERIALIZED (SELECT vec_id, neighbor_id FROM kr WHERE rank <= 3),
+e0 AS MATERIALIZED (
+  SELECT a.vec_id AS vec_a, a.neighbor_id AS vec_b
+  FROM ged a JOIN ged b
+    ON a.vec_id = b.neighbor_id AND a.neighbor_id = b.vec_id
+  WHERE a.vec_id < a.neighbor_id),
+d0 AS MATERIALIZED (SELECT node, count(*)::BIGINT AS deg FROM
+  (SELECT vec_a AS node FROM e0 UNION ALL SELECT vec_b FROM e0)
+  GROUP BY 1)""")
+      for (c <- 1 to maxK) {
+        sb.append(s""",
+c${c}e0 AS MATERIALIZED (SELECT vec_a, vec_b FROM e0),
+c${c}d0 AS MATERIALIZED (SELECT node, deg FROM d0)""")
+        for (i <- 1 to rounds) {
+          sb.append(s""",
+c${c}kp$i AS MATERIALIZED (SELECT node FROM c${c}d${i - 1} WHERE deg >= $c),
+c${c}e$i AS MATERIALIZED (
+  SELECT e.vec_a, e.vec_b FROM c${c}e${i - 1} e
+  JOIN c${c}kp$i ka ON e.vec_a = ka.node
+  JOIN c${c}kp$i kb ON e.vec_b = kb.node),
+c${c}d$i AS MATERIALIZED (SELECT node, count(*)::BIGINT AS deg FROM
+  (SELECT vec_a AS node FROM c${c}e$i UNION ALL SELECT vec_b FROM c${c}e$i)
+  GROUP BY 1)""")
+        }
+      }
+      val allConv = (1 to maxK).map(c =>
+        s"""(SELECT count(*) FROM c${c}e$rounds) =
+   (SELECT count(*) FROM c${c}e${rounds - 1})""").mkString(" AND\n  ")
+      val coreCase = (maxK to 1 by -1).map(c =>
+        s"WHEN coalesce(c${c}f.deg, 0) >= $c THEN $c").mkString("\n    ")
+      val joins = (1 to maxK).map(c =>
+        s"LEFT JOIN c${c}d$rounds c${c}f ON d0.node = c${c}f.node")
+        .mkString("\n")
+      sb.append(s""",
+converged AS MATERIALIZED (
+  SELECT CASE WHEN $allConv
+    THEN 1 ELSE error('sim_coreness oracle unroll did not converge - ' ||
+      'raise Similarity.kcoreOracleRounds') END AS ok)
+SELECT d0.node AS vec_id, d0.deg AS deg0,
+  CAST(CASE $coreCase
+    ELSE 0 END AS BIGINT) AS coreness
+FROM d0
+$joins
+WHERE (SELECT ok FROM converged) = 1
+ORDER BY vec_id""")
+      sb.toString
+    }),
+    // multi-source BFS from component representatives (recursive-CTE
+    // min-label CC for the seeds, then a convergence-asserted layered
+    // relaxation unroll for the distances)
+    "sim_bfs_radius" -> ((simBase + kmeansCtes)
+      .replaceFirst("\nWITH ", "\nWITH RECURSIVE ") + {
+      val it = graft.operators.Similarity.kmIters
+      val rounds = graft.operators.Similarity.bfsOracleRounds
+      val sb = new StringBuilder
+      sb.append(s""",
+kp AS MATERIALIZED (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+    round(list_inner_product(a.ev, b.ev), 6) AS cosine
+  FROM asg$it a JOIN asg$it b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+kr AS MATERIALIZED (
+  SELECT vec_id, neighbor_id,
+    row_number() OVER (PARTITION BY vec_id
+      ORDER BY cosine DESC, neighbor_id)::BIGINT AS rank
+  FROM kp),
+ged AS MATERIALIZED (SELECT vec_id, neighbor_id FROM kr WHERE rank <= 3),
+e0 AS MATERIALIZED (
+  SELECT a.vec_id AS vec_a, a.neighbor_id AS vec_b
+  FROM ged a JOIN ged b
+    ON a.vec_id = b.neighbor_id AND a.neighbor_id = b.vec_id
+  WHERE a.vec_id < a.neighbor_id),
+bedges AS MATERIALIZED (
+  SELECT vec_a AS a, vec_b AS b FROM e0
+  UNION SELECT vec_b AS a, vec_a AS b FROM e0),
+reach(node, label) AS (
+  SELECT a, a FROM bedges
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN bedges e ON r.node = e.a),
+seeds AS MATERIALIZED (
+  SELECT DISTINCT min(label) OVER (PARTITION BY node) AS seed
+  FROM reach),
+bd0 AS MATERIALIZED (
+  SELECT seed, seed AS node, 0::BIGINT AS dist FROM seeds)""")
+      for (i <- 1 to rounds) {
+        sb.append(s""",
+bd$i AS MATERIALIZED (
+  SELECT seed, node, CAST(min(dist) AS BIGINT) AS dist FROM (
+    SELECT seed, node, dist FROM bd${i - 1}
+    UNION ALL
+    SELECT r.seed, e.b AS node, r.dist + 1 AS dist
+    FROM bd${i - 1} r JOIN bedges e ON r.node = e.a)
+  GROUP BY seed, node)""")
+      }
+      sb.append(s""",
+converged AS MATERIALIZED (
+  SELECT CASE WHEN (SELECT count(*) FROM bd$rounds) =
+                   (SELECT count(*) FROM bd${rounds - 1})
+    THEN 1 ELSE error('sim_bfs_radius oracle unroll of $rounds rounds ' ||
+      'did not converge - raise Similarity.bfsOracleRounds') END AS ok)
+SELECT seed, count(*)::BIGINT AS n_reached,
+  max(dist) AS eccentricity,
+  round(CAST(sum(dist) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+    AS mean_dist
+FROM bd$rounds
+WHERE (SELECT ok FROM converged) = 1
+GROUP BY seed
+ORDER BY seed""")
+      sb.toString
+    }),
     // shared-nearest-neighbor pairs: adjacency self-join on the shared
     // neighbor id, SNN Jaccard over k-bounded out-degrees
     "sim_snn_graph" -> (simBase + kmeansCtes + {

@@ -848,6 +848,12 @@ object SparkEntry {
     // sibling of sim_kcore; convergence-asserted oracle unroll)
     "sim_ktruss" -> ((s, d) =>
       Similarity.ktruss(Tables.embeddings(s, d))),
+    // full core decomposition (core number per node, thresholds 1..k)
+    "sim_coreness" -> ((s, d) =>
+      Similarity.coreness(Tables.embeddings(s, d))),
+    // multi-source BFS eccentricity census from component reps
+    "sim_bfs_radius" -> ((s, d) =>
+      Similarity.bfsRadius(Tables.embeddings(s, d))),
     // Bartlett realized-kernel variance vs plain RV (microstructure-
     // noise-robust volatility panel)
     "stock_realized_kernel" -> (TimeSeries.realizedKernel _),

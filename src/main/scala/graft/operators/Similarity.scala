@@ -2132,8 +2132,9 @@ object Similarity {
   /** The convergent peel itself, over ANY (vec_a, vec_b) edge frame —
     * split from [[kcore]] so deep-cascade graphs (paths, which peel
     * exactly one layer per round) can be fed directly in specs
-    * proving the stability check. */
-  def kcorePeel(edges0: DataFrame): DataFrame = {
+    * proving the stability check. `coreK` is the degree threshold
+    * ([[kcoreK]] for the flagship query; [[coreness]] sweeps it). */
+  def kcorePeel(edges0: DataFrame, coreK: Int = kcoreK): DataFrame = {
     val e0 = edges0.select(col("vec_a"), col("vec_b")).pin(eager = true)
     def degrees(e: DataFrame): DataFrame = e
       .select(explode(array(col("vec_a"), col("vec_b"))).as("vec_id"))
@@ -2148,7 +2149,7 @@ object Similarity {
       if (rounds > kcoreMaxRounds) throw new IllegalStateException(
         s"kcore peel did not converge within $kcoreMaxRounds rounds " +
           s"($nEdges edges still shrinking) — raise kcoreMaxRounds")
-      val keep = degrees(edges).filter(col("deg") >= kcoreK)
+      val keep = degrees(edges).filter(col("deg") >= coreK)
         .select(col("vec_id")).pin()
       // LEFT SEMI, not inner, for the keep-filters: same rows (keep is
       // unique by construction), a build side that carries no output
@@ -2173,8 +2174,109 @@ object Similarity {
       .join(degF, Seq("vec_id"), "left")
       .select(col("vec_id"), col("deg0"),
         coalesce(col("deg_final"), lit(0L)).as("deg_final"),
-        (coalesce(col("deg_final"), lit(0L)) >= kcoreK).as("in_core"))
+        (coalesce(col("deg_final"), lit(0L)) >= coreK).as("in_core"))
       .orderBy(col("vec_id"))
+  }
+
+  /** Full core decomposition over the mutual-kNN graph: each node's
+    * CORE NUMBER — the largest c such that the node survives the
+    * c-core peel — swept by running [[kcorePeel]] to convergence at
+    * every threshold 1..k (mutual out-degree is k-bounded, so core
+    * numbers are too; k peels of a k-bounded edge list, each the
+    * audited convergent loop). The density ladder a curation stack
+    * reads instead of one [[kcore]] slice: coreness 0 = isolated
+    * after trivial peel, k = the densest nucleus.
+    *
+    * All-integer output — no float crossings anywhere. */
+  def coreness(embeddings: DataFrame, k: Int = 3,
+      cells: Int = autoCells): DataFrame = {
+    val e0 = mutualKnnGraph(embeddings, k, cells)
+      .select(col("vec_a"), col("vec_b")).pin(eager = true)
+    val flags = (1 to k).map { c =>
+      kcorePeel(e0, c).select(col("vec_id"), col("deg0"),
+        col("in_core").as(s"c$c"))
+    }
+    val joined = flags.reduce { (a, b) =>
+      a.join(b.drop("deg0"), Seq("vec_id"))
+    }
+    // fold ascending so the HIGHEST surviving threshold is the
+    // outermost when(): c3 shadows c2 shadows c1
+    val core = (1 to k).foldLeft(lit(0L)) { (acc, c) =>
+      when(col(s"c$c"), lit(c.toLong)).otherwise(acc)
+    }
+    joined.select(col("vec_id"), col("deg0"), core.as("coreness"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Safety cap on [[bfsRadius]] frontier rounds — BFS depth is the
+    * component diameter (data-dependent); exceed = fail LOUD. */
+  val bfsMaxRounds = 256
+
+  /** Unroll depth the DuckDB oracle states for [[bfsRadius]], with
+    * the standard `error()` convergence assert — layered unit-weight
+    * relaxation assigns each node its final distance on first reach,
+    * so a stable count IS a stable distance table. */
+  val bfsOracleRounds = 64
+
+  /** Multi-source BFS eccentricity census over the mutual-kNN graph:
+    * from each connected component's representative (its minimum
+    * vec_id, the [[graft.operators.Dedup.clustersBigStar]] label),
+    * expand unit-weight frontiers to EXHAUSTION and emit the
+    * component size, the representative's eccentricity (its longest
+    * shortest path — the radius-grade diameter proxy), and the mean
+    * distance — the "how stringy are my near-dup blobs" diagnostic
+    * that separates chain-shaped semantic drift from tight balls.
+    *
+    * Scale: one CC pass (the audited big-star loop), then one
+    * frontier join per BFS layer — each a frontier×adjacency equi-
+    * join anti-joined against visited, all k-bounded; layer count is
+    * the component diameter, convergence is frontier EXHAUSTION
+    * (count 0), rounds capped loud at [[bfsMaxRounds]]. All-integer
+    * output except the exact-int mean division. */
+  def bfsRadius(embeddings: DataFrame, k: Int = 3,
+      cells: Int = autoCells): DataFrame = {
+    val e0 = mutualKnnGraph(embeddings, k, cells)
+      .select(col("vec_a"), col("vec_b")).pin(eager = true)
+    val und = e0.select(col("vec_a").as("u"), col("vec_b").as("c"))
+      .unionAll(e0.select(col("vec_b").as("u"), col("vec_a").as("c")))
+      .pin(eager = true)
+    val seeds = Dedup.clustersBigStar(
+        e0.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .select(col("cluster_id").as("seed")).distinct()
+    var dist = seeds
+      .select(col("seed"), col("seed").as("node"), lit(0L).as("dist"))
+      .pin(eager = true)
+    var frontier = dist
+    var nf = frontier.count()
+    var rounds = 0
+    while (nf > 0) {
+      rounds += 1
+      if (rounds > bfsMaxRounds) throw new IllegalStateException(
+        s"bfsRadius did not exhaust frontiers within $bfsMaxRounds " +
+          s"rounds ($nf nodes still expanding) — raise bfsMaxRounds")
+      val expanded = frontier.join(und, col("node") === col("u"))
+        .select(col("seed"), col("c").as("nnode"),
+          (col("dist") + lit(1L)).as("ndist"))
+        .groupBy(col("seed"), col("nnode"))
+        .agg(min(col("ndist")).as("ndist"))
+        .select(col("seed"), col("nnode").as("node"),
+          col("ndist").as("dist"))
+      val next = expanded
+        .join(dist.select(col("seed"), col("node")),
+          Seq("seed", "node"), "left_anti")
+        .pin(eager = true)
+      nf = next.count()
+      if (nf > 0) {
+        dist = dist.unionByName(next).pin(eager = true)
+        frontier = next
+      }
+    }
+    dist.groupBy(col("seed")).agg(
+        count(lit(1)).as("n_reached"),
+        max(col("dist")).as("eccentricity"),
+        round(sum(col("dist")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_dist"))
+      .orderBy(col("seed"))
   }
 
   /** k-truss threshold for [[ktruss]] — an edge survives while it

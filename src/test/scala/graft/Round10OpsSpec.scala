@@ -76,6 +76,77 @@ class Round10OpsSpec extends SparkSpec {
       "fixture must cascade past round 1 to prove the loop matters")
   }
 
+  test("coreness on the sf0.001 corpus equals driver-side convergent " +
+      "peels at every threshold (highest surviving wins)") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Similarity.coreness(emb).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out.nonEmpty)
+    val e0 = Similarity.mutualKnnGraph(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def corePeel(edges: Set[(Long, Long)], k: Int): Set[Long] = {
+      var es = edges
+      var changed = true
+      while (changed) {
+        val deg = es.toSeq.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).map { case (n, xs) => n -> xs.size }
+        val keep = deg.filter(_._2 >= k).keySet
+        val next = es.filter(e => keep(e._1) && keep(e._2))
+        changed = next != es
+        es = next
+      }
+      es.toSeq.flatMap(e => Seq(e._1, e._2)).toSet
+    }
+    val cores = (1 to 3).map(k => k -> corePeel(e0, k)).toMap
+    out.foreach { case (node, c) =>
+      val expect = (1 to 3).filter(k => cores(k)(node)).lastOption.getOrElse(0)
+      assert(c === expect.toLong, s"coreness of $node")
+    }
+    // the decomposition must actually be a ladder on this corpus:
+    // some nodes peel out between thresholds
+    assert(out.values.toSet.size > 1, "corpus coreness must not be flat")
+  }
+
+  test("bfsRadius on the sf0.001 corpus equals driver-side BFS from " +
+      "every component's min-id representative") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Similarity.bfsRadius(emb).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out.nonEmpty)
+    val e0 = Similarity.mutualKnnGraph(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (e0 ++ e0.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).toSet }
+    // components by min-label flood, BFS from each min id
+    var label = adj.keys.map(n => n -> n).toMap
+    var changed = true
+    while (changed) {
+      val next = label.map { case (n, l) =>
+        n -> (adj(n).map(label) + l).min }
+      changed = next != label
+      label = next
+    }
+    val seeds = label.values.toSet
+    assert(out.keySet === seeds)
+    seeds.foreach { s =>
+      var dist = Map(s -> 0L)
+      var frontier = Set(s)
+      while (frontier.nonEmpty) {
+        val nxt = frontier.flatMap(adj).diff(dist.keySet)
+        val d = dist(frontier.head) + 1
+        dist ++= nxt.map(_ -> d)
+        frontier = nxt
+      }
+      val (n, ecc, mean) = out(s)
+      assert(n === dist.size.toLong, s"n_reached of seed $s")
+      assert(ecc === dist.values.max, s"eccentricity of seed $s")
+      val expect = BigDecimal(dist.values.sum.toDouble / dist.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(mean === expect, s"mean_dist of seed $s")
+    }
+  }
+
   test("ktruss on the sf0.001 corpus graph equals the driver-side " +
       "convergent peel (same fixpoint contract as kcore)") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")

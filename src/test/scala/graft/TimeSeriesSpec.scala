@@ -550,6 +550,48 @@ class TimeSeriesSpec extends SparkSpec {
     assert(nB === 3L && covB === 0.0 && rollB === None)
   }
 
+  test("streaming OBV (transformWithState) is exactly identical to " +
+      "the batch running-window kernel across split triggers " +
+      "(all-integer flow)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{ObvBarRow, ObvState}
+    val dir = "/root/testdata/sf0.001"
+    val barsDf = graft.operators.TimeSeries.closeVolBars5m(
+      graft.operators.StockPipeline.normalize(
+        graft.sources.Tables.events(spark, dir)))
+    import spark.implicits._
+    val rows = barsDf.as[ObvBarRow].collect().sortBy(_.bucket.getTime)
+    val chunks = rows.grouped(math.max(rows.length / 3, 1)).toSeq
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[ObvBarRow]
+    val q = ObvState.attach(stream.toDS()).writeStream
+      .format("memory").queryName("obv_tws_sink")
+      .outputMode("append").start()
+    try {
+      chunks.foreach { c =>
+        stream.addData(c.toSeq: _*); q.processAllAvailable()
+      }
+      val streamed = spark.table("obv_tws_sink")
+        .orderBy("ticker", "bucket").collect()
+      val batch = graft.operators.TimeSeries.obvBars(barsDf)
+        .orderBy("ticker", "bucket").collect()
+      assert(streamed.length === batch.length && batch.nonEmpty)
+      streamed.zip(batch).foreach { case (s, b) =>
+        assert(s.toSeq === b.toSeq, s"stream $s vs batch $b")
+      }
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("realizedKernelBars: a bouncing series' negative lag-1 " +
       "autocovariance pulls RK below RV (the bounce correction), " +
       "matching direct decimal-grid recomputation exactly") {
