@@ -209,7 +209,13 @@ object ScaleProbe {
         val (sn, snS) = t(Similarity.snnGraph(df).count())
         val (_, srS) = t(Similarity.spectralRadius(df).count())
         val (_, rpS) = t(Similarity.knnReciprocity(df).count())
-        println(f"[scale-probe-graph] x$n%-3d vecs=$rows%8d cells=${Similarity.sizedCells(rows)}%4d knnGraphMp=$mgS%7.2fs($mg) binaryTopK=$btS%6.2fs rerankTopK=$rrS%6.2fs hardNegatives=$hnS%6.2fs triangles=$tcS%6.2fs($tc) labelProp=$lpS%6.2fs assortativity=$asS%6.2fs linkPred=$lkS%6.2fs($lk) lpCommunities=$lcS%6.2fs dbscan=$dbS%6.2fs($dbc) cka=$ckS%6.2fs richClub=$rcS%6.2fs kcore=$kcS%6.2fs snn=$snS%6.2fs($sn) spectral=$srS%6.2fs reciprocity=$rpS%6.2fs")
+        // round-10 additions: the convergent-loop family — rounds are
+        // data-dependent (cascade depth / diameter), so the probe
+        // watches for depth growing with corpus size, not just volume
+        val (_, ktS) = t(Similarity.ktruss(df).count())
+        val (_, cnS) = t(Similarity.coreness(df).count())
+        val (bf, bfS) = t(Similarity.bfsRadius(df).count())
+        println(f"[scale-probe-graph] x$n%-3d vecs=$rows%8d cells=${Similarity.sizedCells(rows)}%4d knnGraphMp=$mgS%7.2fs($mg) binaryTopK=$btS%6.2fs rerankTopK=$rrS%6.2fs hardNegatives=$hnS%6.2fs triangles=$tcS%6.2fs($tc) labelProp=$lpS%6.2fs assortativity=$asS%6.2fs linkPred=$lkS%6.2fs($lk) lpCommunities=$lcS%6.2fs dbscan=$dbS%6.2fs($dbc) cka=$ckS%6.2fs richClub=$rcS%6.2fs kcore=$kcS%6.2fs snn=$snS%6.2fs($sn) spectral=$srS%6.2fs reciprocity=$rpS%6.2fs ktruss=$ktS%6.2fs coreness=$cnS%6.2fs bfsRadius=$bfS%6.2fs($bf)")
       }
       spark.stop(); return
     }

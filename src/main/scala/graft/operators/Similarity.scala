@@ -2136,10 +2136,26 @@ object Similarity {
     * ([[kcoreK]] for the flagship query; [[coreness]] sweeps it). */
   def kcorePeel(edges0: DataFrame, coreK: Int = kcoreK): DataFrame = {
     val e0 = edges0.select(col("vec_a"), col("vec_b")).pin(eager = true)
-    def degrees(e: DataFrame): DataFrame = e
-      .select(explode(array(col("vec_a"), col("vec_b"))).as("vec_id"))
-      .groupBy(col("vec_id")).agg(count(lit(1)).as("deg"))
-    val deg0 = degrees(e0).pin(eager = true)
+    val deg0 = nodeDegrees(e0).pin(eager = true)
+    val edges = kcoreEdges(e0, coreK)
+    val degF = nodeDegrees(edges)
+      .select(col("vec_id"), col("deg").as("deg_final"))
+    deg0.select(col("vec_id"), col("deg").as("deg0"))
+      .join(degF, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("deg0"),
+        coalesce(col("deg_final"), lit(0L)).as("deg_final"),
+        (coalesce(col("deg_final"), lit(0L)) >= coreK).as("in_core"))
+      .orderBy(col("vec_id"))
+  }
+
+  private def nodeDegrees(e: DataFrame): DataFrame = e
+    .select(explode(array(col("vec_a"), col("vec_b"))).as("vec_id"))
+    .groupBy(col("vec_id")).agg(count(lit(1)).as("deg"))
+
+  /** The peel loop itself: the surviving edge set of the `coreK`-core
+    * of an already-PINNED (vec_a, vec_b) frame. Shared by
+    * [[kcorePeel]] and the threshold chain in [[coreness]]. */
+  private[graft] def kcoreEdges(e0: DataFrame, coreK: Int): DataFrame = {
     var edges = e0
     var nEdges = edges.count()
     var converged = nEdges == 0L
@@ -2149,7 +2165,7 @@ object Similarity {
       if (rounds > kcoreMaxRounds) throw new IllegalStateException(
         s"kcore peel did not converge within $kcoreMaxRounds rounds " +
           s"($nEdges edges still shrinking) — raise kcoreMaxRounds")
-      val keep = degrees(edges).filter(col("deg") >= coreK)
+      val keep = nodeDegrees(edges).filter(col("deg") >= coreK)
         .select(col("vec_id")).pin()
       // LEFT SEMI, not inner, for the keep-filters: same rows (keep is
       // unique by construction), a build side that carries no output
@@ -2168,14 +2184,7 @@ object Similarity {
       edges = next
       nEdges = n
     }
-    val degF = degrees(edges)
-      .select(col("vec_id"), col("deg").as("deg_final"))
-    deg0.select(col("vec_id"), col("deg").as("deg0"))
-      .join(degF, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("deg0"),
-        coalesce(col("deg_final"), lit(0L)).as("deg_final"),
-        (coalesce(col("deg_final"), lit(0L)) >= coreK).as("in_core"))
-      .orderBy(col("vec_id"))
+    edges
   }
 
   /** Full core decomposition over the mutual-kNN graph: each node's
@@ -2192,15 +2201,25 @@ object Similarity {
       cells: Int = autoCells): DataFrame = {
     val e0 = mutualKnnGraph(embeddings, k, cells)
       .select(col("vec_a"), col("vec_b")).pin(eager = true)
+    val deg0 = nodeDegrees(e0).pin(eager = true)
+    // CHAIN the peels: the c-core equals the c-core of the (c−1)-core
+    // (cores nest), so each threshold starts from the previous
+    // survivors — strictly less work than k independent peels, same
+    // fixpoints (the oracle states the independent form; the hash
+    // proves equality). A node is in the c-core iff it remains an
+    // endpoint of the surviving edge set.
+    var cur = e0
     val flags = (1 to k).map { c =>
-      kcorePeel(e0, c).select(col("vec_id"), col("deg0"),
-        col("in_core").as(s"c$c"))
+      cur = kcoreEdges(cur, c)
+      nodeDegrees(cur).select(col("vec_id"), lit(true).as(s"c$c"))
     }
-    val joined = flags.reduce { (a, b) =>
-      a.join(b.drop("deg0"), Seq("vec_id"))
+    val joined = flags.foldLeft(
+      deg0.select(col("vec_id"), col("deg").as("deg0"))) { (acc, f) =>
+      acc.join(f, Seq("vec_id"), "left")
     }
     // fold ascending so the HIGHEST surviving threshold is the
-    // outermost when(): c3 shadows c2 shadows c1
+    // outermost when(): c3 shadows c2 shadows c1 (a NULL flag falls
+    // through to the lower-threshold branch)
     val core = (1 to k).foldLeft(lit(0L)) { (acc, c) =>
       when(col(s"c$c"), lit(c.toLong)).otherwise(acc)
     }
@@ -2243,10 +2262,14 @@ object Similarity {
     val seeds = Dedup.clustersBigStar(
         e0.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
       .select(col("cluster_id").as("seed")).distinct()
-    var dist = seeds
+    val d0 = seeds
       .select(col("seed"), col("seed").as("node"), lit(0L).as("dist"))
       .pin(eager = true)
-    var frontier = dist
+    // layers accumulate as a lazy union of PINNED frontiers — no
+    // re-materialization of the whole visited set per round (each
+    // layer is cut once; the union plan is flat LogicalRDDs)
+    var layers = List(d0)
+    var frontier = d0
     var nf = frontier.count()
     var rounds = 0
     while (nf > 0) {
@@ -2254,6 +2277,8 @@ object Similarity {
       if (rounds > bfsMaxRounds) throw new IllegalStateException(
         s"bfsRadius did not exhaust frontiers within $bfsMaxRounds " +
           s"rounds ($nf nodes still expanding) — raise bfsMaxRounds")
+      val visited = layers.reduce(_ unionByName _)
+        .select(col("seed"), col("node"))
       val expanded = frontier.join(und, col("node") === col("u"))
         .select(col("seed"), col("c").as("nnode"),
           (col("dist") + lit(1L)).as("ndist"))
@@ -2262,16 +2287,15 @@ object Similarity {
         .select(col("seed"), col("nnode").as("node"),
           col("ndist").as("dist"))
       val next = expanded
-        .join(dist.select(col("seed"), col("node")),
-          Seq("seed", "node"), "left_anti")
+        .join(visited, Seq("seed", "node"), "left_anti")
         .pin(eager = true)
       nf = next.count()
       if (nf > 0) {
-        dist = dist.unionByName(next).pin(eager = true)
+        layers ::= next
         frontier = next
       }
     }
-    dist.groupBy(col("seed")).agg(
+    layers.reduce(_ unionByName _).groupBy(col("seed")).agg(
         count(lit(1)).as("n_reached"),
         max(col("dist")).as("eccentricity"),
         round(sum(col("dist")).cast("double") /
