@@ -155,6 +155,98 @@ bars AS (
   }
 
   val all: Map[String, String] = Map(
+    // Donchian channel: pure max/min lag-chains (greatest/least skip
+    // NULLs on both engines), one identical midpoint division
+    "stock_donchian" -> (Oracles.stockCte + {
+      val span = graft.operators.TimeSeries.DonchianSpan
+      def ch(c: String, f: String): String = (0 until span).map {
+        case 0 => c
+        case i => s"lag($c, $i) OVER tw"
+      }.mkString(s"$f(", ", ", ")")
+      s""",
+ohlc AS (
+  SELECT ticker,
+    date_trunc('minute', ts) + (5 - minute(ts) % 5) * INTERVAL 1 MINUTE
+      AS window_timestamp,
+    max(price) AS high, min(price) AS low, max_by(price, ts) AS close
+  FROM stock GROUP BY 1, 2),
+ch AS (
+  SELECT ticker, window_timestamp, close,
+    ${ch("high", "greatest")} AS dcu,
+    ${ch("low", "least")} AS dcd
+  FROM ohlc
+  WINDOW tw AS (PARTITION BY ticker ORDER BY window_timestamp))
+SELECT ticker, window_timestamp, close,
+  round(dcu, 6) AS dc_up, round(dcd, 6) AS dc_dn,
+  round((dcu + dcd) / 2.0, 6) AS dc_mid
+FROM ch ORDER BY ticker, window_timestamp"""
+    }),
+    // ADX: Wilder directional system as two-level lag-chains — DM/TR
+    // per bar, trailing DI sums, DX spread, trailing-mean ADX; every
+    // ratio tier NULL-divisor-guarded like the Spark kernel
+    "stock_adx" -> (Oracles.stockCte + {
+      val span = graft.operators.TimeSeries.AdxSpan
+      def lg(c: String, i: Int): String =
+        if (i == 0) c else s"lag($c, $i) OVER tw2"
+      def chain(c: String): String = (0 until span).map(i =>
+        s"CASE WHEN ${lg(c, i)} IS NOT NULL THEN ${lg(c, i)} ELSE 0.0 END")
+        .mkString(" + ")
+      def cnt(c: String): String = (0 until span).map(i =>
+        s"CASE WHEN ${lg(c, i)} IS NOT NULL THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s""",
+ohlc AS (
+  SELECT ticker,
+    date_trunc('minute', ts) + (5 - minute(ts) % 5) * INTERVAL 1 MINUTE
+      AS window_timestamp,
+    max(price) AS high, min(price) AS low, max_by(price, ts) AS close
+  FROM stock GROUP BY 1, 2),
+b1 AS (
+  SELECT ticker, window_timestamp,
+    CASE WHEN lag(high, 1) OVER tw IS NOT NULL THEN
+      CASE WHEN (high - lag(high, 1) OVER tw) >
+                (lag(low, 1) OVER tw - low)
+            AND (high - lag(high, 1) OVER tw) > 0.0
+        THEN high - lag(high, 1) OVER tw ELSE 0.0 END END AS dmp,
+    CASE WHEN lag(high, 1) OVER tw IS NOT NULL THEN
+      CASE WHEN (lag(low, 1) OVER tw - low) >
+                (high - lag(high, 1) OVER tw)
+            AND (lag(low, 1) OVER tw - low) > 0.0
+        THEN lag(low, 1) OVER tw - low ELSE 0.0 END END AS dmm,
+    CASE WHEN lag(close, 1) OVER tw IS NOT NULL THEN
+      greatest(high - low, abs(high - lag(close, 1) OVER tw),
+        abs(low - lag(close, 1) OVER tw)) END AS tr
+  FROM ohlc
+  WINDOW tw AS (PARTITION BY ticker ORDER BY window_timestamp)),
+b2 AS (
+  SELECT ticker, window_timestamp,
+    ${chain("dmp")} AS sp,
+    ${chain("dmm")} AS sm,
+    ${chain("tr")} AS st
+  FROM b1
+  WINDOW tw2 AS (PARTITION BY ticker ORDER BY window_timestamp)),
+b3 AS (
+  SELECT ticker, window_timestamp,
+    100.0 * sp / (CASE WHEN st <> 0.0 THEN st END) AS pdi,
+    100.0 * sm / (CASE WHEN st <> 0.0 THEN st END) AS mdi
+  FROM b2),
+b4 AS (
+  SELECT ticker, window_timestamp, pdi, mdi,
+    100.0 * abs(pdi - mdi) /
+      (CASE WHEN pdi + mdi <> 0.0 THEN pdi + mdi END) AS dxv
+  FROM b3),
+b5 AS (
+  SELECT ticker, window_timestamp, pdi, mdi, dxv,
+    ${chain("dxv")} AS sdx,
+    ${cnt("dxv")} AS ndx
+  FROM b4
+  WINDOW tw2 AS (PARTITION BY ticker ORDER BY window_timestamp))
+SELECT ticker, window_timestamp,
+  round(pdi, 6) AS plus_di, round(mdi, 6) AS minus_di,
+  round(dxv, 6) AS dx,
+  CASE WHEN ndx > 0 THEN round(sdx / ndx, 6) END AS adx_14
+FROM b5 ORDER BY ticker, window_timestamp"""
+    }),
     "stock_atr" -> (Oracles.stockCte + s""",
 ohlc AS (
   SELECT ticker,

@@ -857,6 +857,10 @@ object SparkEntry {
     // Bartlett realized-kernel variance vs plain RV (microstructure-
     // noise-robust volatility panel)
     "stock_realized_kernel" -> (TimeSeries.realizedKernel _),
+    // Donchian breakout channel (pure max/min lag-chain)
+    "stock_donchian" -> (TimeSeries.donchian _),
+    // Wilder ADX trend-strength system (two-level lag-chain)
+    "stock_adx" -> (TimeSeries.adx _),
     // PQ codebook utilization / entropy census
     "sim_code_entropy" -> ((s, d) =>
       Similarity.pqCodeEntropy(Tables.embeddings(s, d))),

@@ -1963,6 +1963,104 @@ object TimeSeries {
       .orderBy(col("ticker"), col("window_timestamp"))
   }
 
+  /** Donchian lookback, shared with the oracle generator. */
+  val DonchianSpan = 20
+
+  /** Donchian channel over the 5-minute OHLC bars: trailing
+    * [[DonchianSpan]]-bar highest high / lowest low and their
+    * midpoint — the breakout-system channel (Turtle rules). NO float
+    * summation anywhere: the channel is pure max/min over exact bar
+    * prices (both engines' `greatest`/`least` skip NULLs — spec- and
+    * probe-verified), so the kernel is bit-exact by construction; the
+    * midpoint is one identical (up+dn)/2 per row. The leading edge
+    * needs no special case — lag 0 is the current bar, so the chain
+    * is never all-NULL. */
+  def donchian(spark: SparkSession, dir: String): DataFrame =
+    donchianOhlc(StockPipeline.ohlc5m(
+      StockPipeline.normalize(Tables.events(spark, dir))))
+
+  private[graft] def donchianOhlc(ohlc: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("ticker")).orderBy(col("window_timestamp"))
+    val up = greatest((0 until DonchianSpan)
+      .map(i => lag(col("high"), i).over(w)): _*)
+    val dn = least((0 until DonchianSpan)
+      .map(i => lag(col("low"), i).over(w)): _*)
+    ohlc.select(col("ticker"), col("window_timestamp"), col("close"),
+        up.as("dcu"), dn.as("dcd"))
+      .select(col("ticker"), col("window_timestamp"), col("close"),
+        round(col("dcu"), 6).as("dc_up"),
+        round(col("dcd"), 6).as("dc_dn"),
+        round((col("dcu") + col("dcd")) / 2.0, 6).as("dc_mid"))
+      .orderBy(col("ticker"), col("window_timestamp"))
+  }
+
+  /** ADX lookback, shared with the oracle generator. */
+  val AdxSpan = 14
+
+  /** Average Directional Index over the 5-minute OHLC bars: Wilder's
+    * trend-strength system as truncated lag-chains — per bar the
+    * directional movements (+DM = up-move when it beats the down-move
+    * and is positive, −DM symmetric) and the true range; trailing
+    * [[AdxSpan]]-bar sums give +DI/−DI = 100·ΣDM/ΣTR, the DX spread
+    * 100·|+DI−−DI|/(+DI+−DI), and ADX as the trailing mean of DX —
+    * a SECOND-level lag-chain over the first chain's output, the
+    * deepest composition in the indicator family.
+    *
+    * Determinism: every sum is a pinned-textual-order lag-chain
+    * (identical fp order on both engines — no decimal grid needed);
+    * first-bar rows carry NULL DM/TR and contribute the same
+    * literal 0.0 as out-of-range lags; all three ratio tiers use the
+    * NULL-divisor guard (zero ΣTR → NULL DI, zero DI sum → NULL DX,
+    * no DX yet → NULL ADX), stated identically by the oracle. */
+  def adx(spark: SparkSession, dir: String): DataFrame =
+    adxOhlc(StockPipeline.ohlc5m(
+      StockPipeline.normalize(Tables.events(spark, dir))))
+
+  private[graft] def adxOhlc(ohlc: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("ticker")).orderBy(col("window_timestamp"))
+    val ph = lag(col("high"), 1).over(w)
+    val pl = lag(col("low"), 1).over(w)
+    val pc = lag(col("close"), 1).over(w)
+    val up = col("high") - ph
+    val dn = pl - col("low")
+    val base = ohlc.select(col("ticker"), col("window_timestamp"),
+      when(ph.isNotNull,
+        when(up > dn && up > 0.0, up).otherwise(lit(0.0))).as("dmp"),
+      when(ph.isNotNull,
+        when(dn > up && dn > 0.0, dn).otherwise(lit(0.0))).as("dmm"),
+      when(pc.isNotNull,
+        greatest(col("high") - col("low"), abs(col("high") - pc),
+          abs(col("low") - pc))).as("tr"))
+    val w2 = Window.partitionBy(col("ticker")).orderBy(col("window_timestamp"))
+    def chain(c: String): org.apache.spark.sql.Column =
+      (0 until AdxSpan).map { i =>
+      val x = lag(col(c), i).over(w2)
+      when(x.isNotNull, x).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    val sp = chain("dmp")
+    val sm = chain("dmm")
+    val st = chain("tr")
+    val pdi = lit(100.0) * sp / when(st =!= 0.0, st)
+    val mdi = lit(100.0) * sm / when(st =!= 0.0, st)
+    val dx = lit(100.0) * abs(pdi - mdi) /
+      when(pdi + mdi =!= 0.0, pdi + mdi)
+    val scored = base.select(col("ticker"), col("window_timestamp"),
+      pdi.as("pdi"), mdi.as("mdi"), dx.as("dxv"))
+    val adxTerms = (0 until AdxSpan).map { i =>
+      val x = lag(col("dxv"), i).over(w2)
+      (when(x.isNotNull, x).otherwise(lit(0.0)),
+        when(x.isNotNull, lit(1L)).otherwise(lit(0L)))
+    }
+    val sdx = adxTerms.map(_._1).reduce(_ + _)
+    val ndx = adxTerms.map(_._2).reduce(_ + _)
+    scored.select(col("ticker"), col("window_timestamp"),
+        round(col("pdi"), 6).as("plus_di"),
+        round(col("mdi"), 6).as("minus_di"),
+        round(col("dxv"), 6).as("dx"),
+        when(ndx > 0, round(sdx / ndx, 6)).as("adx_14"))
+      .orderBy(col("ticker"), col("window_timestamp"))
+  }
+
   /** RSI lookback, shared with the oracle generator ([[graft.OraclesTs]]). */
   val RsiSpan = 14
 

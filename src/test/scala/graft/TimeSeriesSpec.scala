@@ -635,6 +635,53 @@ class TimeSeriesSpec extends SparkSpec {
     assert(rowB.getDouble(4) === 1.0)
   }
 
+  test("donchianOhlc: monotone highs/lows make the channel the " +
+      "running extremes and the midpoint exactly zero") {
+    val ohlc = (0 until 25).map(i =>
+      ("A", i, i.toDouble, -i.toDouble, 0.0))
+      .toDF("ticker", "window_timestamp", "high", "low", "close")
+    val out = TimeSeries.donchianOhlc(ohlc).collect()
+    assert(out.length === 25)
+    out.foreach { r =>
+      val i = r.getInt(1)
+      assert(r.getDouble(3) === i.toDouble, s"dc_up at $i")
+      assert(r.getDouble(4) === -i.toDouble, s"dc_dn at $i")
+      assert(r.getDouble(5) === 0.0, s"dc_mid at $i")
+    }
+    // past the span the channel must FORGET old extremes: descending
+    // highs after bar 24 would shrink dc_up — checked via a second
+    // ticker whose high spikes once then flattens
+    val spike = (0 until 25).map(i =>
+      ("B", i, if (i == 0) 100.0 else 1.0, 0.0, 0.5))
+      .toDF("ticker", "window_timestamp", "high", "low", "close")
+    val o2 = TimeSeries.donchianOhlc(spike).collect()
+    assert(o2.find(_.getInt(1) == 10).get.getDouble(3) === 100.0)
+    assert(o2.find(_.getInt(1) == 24).get.getDouble(3) === 1.0,
+      "bar-0 spike must age out of the 20-bar channel")
+  }
+
+  test("adxOhlc: a steady up-trend pins +DI = 100, -DI = 0, DX = 100 " +
+      "and ADX = 100 once a DX exists; the first bar is NULL-tier") {
+    val ohlc = (0 until 20).map(i =>
+      ("A", i, 10.0 + i, 9.0 + i, 9.5 + i))
+      .toDF("ticker", "window_timestamp", "high", "low", "close")
+    val out = TimeSeries.adxOhlc(ohlc).collect().sortBy(_.getInt(1))
+    // bar 0: no prior bar -> all chains empty -> every tier NULL
+    assert(out.head.isNullAt(2) && out.head.isNullAt(4) &&
+      out.head.isNullAt(5))
+    // every later bar: +DM = 1 but TR = 1.5 per pair (the |high −
+    // prev close| gap term beats the intrabar range) -> +DI is the
+    // constant 100/1.5 at every chain length, −DI = 0, DX/ADX = 100
+    val pdi = BigDecimal(100.0 * 1.0 / 1.5)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out.tail.foreach { r =>
+      assert(r.getDouble(2) === pdi, s"plus_di at ${r.getInt(1)}")
+      assert(r.getDouble(3) === 0.0, s"minus_di at ${r.getInt(1)}")
+      assert(r.getDouble(4) === 100.0, s"dx at ${r.getInt(1)}")
+      assert(r.getDouble(5) === 100.0, s"adx at ${r.getInt(1)}")
+    }
+  }
+
   test("gkBars: hand-built OHLC bars match the closed-form estimators; " +
       "a flat bar contributes zero to both") {
     val ohlc = Seq(
