@@ -817,14 +817,25 @@ wl AS (
   SELECT ticker, r, lag(r, 1) OVER tw2 AS rl
   FROM rets WINDOW tw2 AS (PARTITION BY ticker ORDER BY bucket)),
 m AS (
+  -- VARCHAR crossings on BOTH decimal casts (cross-engine sub-ulp at
+  -- the ~1e8 magnitudes MakeScale's sf1 returns reach: Spark casts
+  -- double->decimal via shortest repr, DuckDB via the exact binary
+  -- expansion - found as a 1-ulp realized_var edge in the round-10
+  -- sf1 sweep), and the 6dp rounds stated as VARCHAR-mediated decimal
+  -- rounds (DuckDB's float-scaled round(x, 6) is lossy at x*1e6 >
+  -- ~1e14; the VARCHAR round is Spark's BigDecimal HALF_UP exactly)
   SELECT ticker, count(r)::BIGINT AS n_rets,
-    CAST(sum(CAST(r * r AS DECIMAL(38,18))) AS DOUBLE) AS rv,
-    CAST(sum(CAST(CASE WHEN rl IS NOT NULL
-      THEN abs(r) * abs(rl) END AS DECIMAL(38,18))) AS DOUBLE) AS bvs
+    CAST(CAST(sum(CAST(CAST(r * r AS VARCHAR) AS DECIMAL(38,18)))
+      AS VARCHAR) AS DOUBLE) AS rv,
+    CAST(CAST(sum(CAST(CAST(CASE WHEN rl IS NOT NULL
+      THEN abs(r) * abs(rl) END AS VARCHAR) AS DECIMAL(38,18)))
+      AS VARCHAR) AS DOUBLE) AS bvs
   FROM wl GROUP BY 1)
 SELECT ticker, n_rets,
-  round(rv, 6) AS realized_var,
-  round($halfPi * coalesce(bvs, 0.0), 6) AS bipower_var,
+  CAST(CAST(CAST(CAST(rv AS VARCHAR) AS DECIMAL(38,6)) AS VARCHAR)
+    AS DOUBLE) AS realized_var,
+  CAST(CAST(CAST(CAST($halfPi * coalesce(bvs, 0.0) AS VARCHAR)
+    AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS bipower_var,
   CASE WHEN rv > 0.0 THEN
     round(greatest(0.0,
       1.0 - $halfPi * coalesce(bvs, 0.0) / rv), 6) END AS jump_share
@@ -841,8 +852,8 @@ FROM m ORDER BY ticker"""
       val lagCols = lags.map(h =>
         s"    lag(r, $h) OVER tw2 AS rl$h").mkString(",\n")
       val gCols = lags.map(h =>
-        s"""    CAST(sum(CAST(r * rl$h AS DECIMAL(38,18)))
-      AS DOUBLE) AS g$h""").mkString(",\n")
+        s"""    CAST(CAST(sum(CAST(CAST(r * rl$h AS VARCHAR)
+      AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS g$h""").mkString(",\n")
       val rkExpr = "g0" + lags.map(h =>
         s" + ${graft.operators.TimeSeries.rkWeight2(h)} * coalesce(g$h, 0.0)")
         .mkString
@@ -860,11 +871,15 @@ $lagCols
   FROM rets WINDOW tw2 AS (PARTITION BY ticker ORDER BY bucket)),
 m AS (
   SELECT ticker, count(*)::BIGINT AS n_rets,
-    CAST(sum(CAST(r * r AS DECIMAL(38,18))) AS DOUBLE) AS g0,
+    CAST(CAST(sum(CAST(CAST(r * r AS VARCHAR) AS DECIMAL(38,18)))
+      AS VARCHAR) AS DOUBLE) AS g0,
 $gCols
   FROM lagd GROUP BY ticker)
-SELECT ticker, n_rets, round(g0, 6) AS rv,
-  round($rkExpr, 6) AS rk,
+SELECT ticker, n_rets,
+  CAST(CAST(CAST(CAST(g0 AS VARCHAR) AS DECIMAL(38,6)) AS VARCHAR)
+    AS DOUBLE) AS rv,
+  CAST(CAST(CAST(CAST($rkExpr AS VARCHAR) AS DECIMAL(38,6)) AS VARCHAR)
+    AS DOUBLE) AS rk,
   round(($rkExpr) / (CASE WHEN g0 > 0.0 THEN g0 END), 6)
     AS kernel_ratio
 FROM m ORDER BY ticker"""

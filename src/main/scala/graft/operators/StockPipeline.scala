@@ -295,23 +295,45 @@ object StockPipeline {
     * (ticker, time-bucket) instead of ticker alone — parallelism becomes
     * #tickers × #buckets instead of #tickers (the ceiling measured by
     * `graft.ScaleProbe`). Exactness across bucket boundaries comes from
-    * carrying each bucket's last 10 rows into the next bucket as
-    * frame-only rows (they feed the ROWS 10 PRECEDING frame, then are
-    * dropped from the output).
+    * carrying, into EVERY non-empty bucket, the ticker's globally-last
+    * 10 rows that precede it, as frame-only rows (they feed the
+    * ROWS 10 PRECEDING frame, then are dropped from the output).
     *
-    * Precondition for exact equivalence with [[withSpike]]: every
-    * (ticker, bucket) in a ticker's active range is non-empty with ≥10
-    * rows — i.e. buckets much longer than 10 emission intervals (a day
-    * of minutes easily qualifies). `SpikeParitySpec` asserts equality on
-    * the real data. */
+    * Why "globally-last 10", not "previous bucket's last 10": with
+    * GAPPY data (empty buckets — a bursty feed, a market holiday) the
+    * next non-empty bucket can be many buckets later, and the 10
+    * preceding rows can even SPAN several sparse buckets. Round 10's
+    * sf1 sweep caught exactly this on MakeScale's bursty copies: a
+    * bucket+1-only carry starved the frame and flipped 37 spike
+    * booleans. The carry therefore derives from a TAIL table — each
+    * bucket's last ≤10 rows (any row deeper than 10-from-bucket-end
+    * can never be within 10 global rows of a later bucket) — joined to
+    * every later non-empty bucket and re-ranked to the last 10 per
+    * target. Both stages are metadata-sized: ≤10 rows per (ticker,
+    * bucket) on one side, distinct (ticker, bucket) on the other, so
+    * the ticker-equi join's fan-out is bounded by 10 × #buckets² per
+    * ticker — days-squared, independent of event volume.
+    * `SpikeParitySpec` asserts equality with [[withSpike]] on the real
+    * data AND on a deliberately gappy fixture. */
   def withSpikeBucketed(joinedDf: DataFrame, bucketMinutes: Int = 1440): DataFrame = {
     val bucketed = joinedDf.withColumn("bucket",
       expr(s"unix_timestamp(window_timestamp) div ${bucketMinutes * 60}"))
     val wDesc = Window.partitionBy(col("ticker"), col("bucket"))
       .orderBy(col("window_timestamp").desc)
-    val carry = bucketed
+    val tails = bucketed
       .withColumn("rd", row_number().over(wDesc)).filter(col("rd") <= 10).drop("rd")
-      .withColumn("bucket", col("bucket") + 1)
+      .pin()
+    val targets = bucketed.select(col("ticker"), col("bucket")).distinct()
+      .withColumnRenamed("bucket", "tbucket")
+    val carry = tails
+      .join(targets, Seq("ticker"))
+      .filter(col("bucket") < col("tbucket"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("ticker"), col("tbucket"))
+          .orderBy(col("window_timestamp").desc)))
+      .filter(col("rk") <= 10)
+      .drop("rk", "bucket")
+      .withColumnRenamed("tbucket", "bucket")
       .withColumn("is_carry", lit(true))
     val all = bucketed.withColumn("is_carry", lit(false)).unionByName(carry)
     val w = Window.partitionBy(col("ticker"), col("bucket"))
