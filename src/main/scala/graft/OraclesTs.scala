@@ -719,7 +719,13 @@ WITH stock AS (
         s"""
 SELECT ticker, ${sec / 60}::BIGINT AS freq_minutes,
   count(*)::BIGINT AS n_rets,
-  round(CAST(sum(CAST(r * r AS DECIMAL(38,18))) AS DOUBLE), 6)
+  -- VARCHAR crossings + VARCHAR-mediated 6dp round: rv reaches ~2e9
+  -- at sf1 where the engines' double->decimal casts diverge sub-ulp
+  -- and DuckDB's float-scaled round(x, 6) is lossy (round-10 sweep)
+  CAST(CAST(CAST(CAST(
+    CAST(CAST(sum(CAST(CAST(r * r AS VARCHAR) AS DECIMAL(38,18)))
+      AS VARCHAR) AS DOUBLE)
+    AS VARCHAR) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE)
     AS realized_var
 FROM (
   SELECT ticker,
