@@ -1358,8 +1358,20 @@ q AS (
     * iterations), generated from the same constants as
     * [[graft.operators.Similarity.kmeans]]. Ends with `asg<iters>`
     * (vec_id, ev, cell) and `c<iters>` (cell, centroid). */
-  private val kmeansCtes: String = {
-    val k = graft.operators.Similarity.kmK
+  /** The IVF cell count the sim oracles unroll Lloyd at. The ENGINE
+    * derives cells from the corpus via `Similarity.autoCells` →
+    * `sizedCells` (4 at sf0.01/sf0.1 — the driver-gate scales — 40 at
+    * sf1); a static SQL oracle cannot count rows, so a scaled sweep
+    * sets `-Dgraft.oracle.simCells=<sizedCells(n)>` before the Verify
+    * dump and the generated chains state the same constant. Default
+    * (`kmK` = 4) keeps the driver's sf0.01 gate flag-free. NOT the PQ
+    * codebook size: per-subspace codebooks are fixed-k by design and
+    * keep reading `kmK` directly. */
+  private def simOracleCells: Int = sys.props.get("graft.oracle.simCells")
+    .map(_.toInt).getOrElse(graft.operators.Similarity.kmK)
+
+  private def kmeansCtes: String = {
+    val k = simOracleCells
     val iters = graft.operators.Similarity.kmIters
     val salt = graft.operators.Similarity.kmSalt
     val sb = new StringBuilder
@@ -1482,7 +1494,7 @@ sb AS (
   SELECT base.vec_id, ev, sig % 256 AS band0, sig // 256 AS band1
   FROM base JOIN sigs USING (vec_id))"""
 
-  val similarity: Map[String, String] = Map(
+  def similarity: Map[String, String] = Map(
     "sim_bruteforce_topk" -> (simBase + s""",
 scored AS (
   SELECT query_id, vec_id AS neighbor_id, ${cosSql("qv", "ev")} AS cosine

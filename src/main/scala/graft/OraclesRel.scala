@@ -1464,8 +1464,8 @@ g AS (
   SELECT grp, count(*)::BIGINT AS n_g, CAST(sum(mr2) AS BIGINT) AS sum2
   FROM rows_ JOIN mr USING (y) GROUP BY 1),
 ties AS (
-  SELECT CAST(CAST(sum(cnt::DECIMAL(12,0) * cnt::DECIMAL(12,0) *
-    cnt::DECIMAL(12,0) - cnt::DECIMAL(12,0)) AS VARCHAR) AS DOUBLE)
+  SELECT CAST(CAST(sum(cnt::DECIMAL(19,0) * cnt::DECIMAL(19,0) *
+    cnt::DECIMAL(19,0) - cnt::DECIMAL(19,0)) AS VARCHAR) AS DOUBLE)
     AS tie_sum
   FROM rt),
 tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n, count(*)::BIGINT AS k
@@ -1481,8 +1481,8 @@ ss AS (
   FROM g CROSS JOIN tot),
 cc AS (
   SELECT n, k, ssum, tie_sum,
-    CAST(CAST(n::DECIMAL(12,0) * n::DECIMAL(12,0) * n::DECIMAL(12,0)
-      - n::DECIMAL(12,0) AS VARCHAR) AS DOUBLE) AS ncube
+    CAST(CAST(n::DECIMAL(19,0) * n::DECIMAL(19,0) * n::DECIMAL(19,0)
+      - n::DECIMAL(19,0) AS VARCHAR) AS DOUBLE) AS ncube
   FROM ss CROSS JOIN ties)
 SELECT n AS n_rows, k AS k_groups,
   round((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)))
@@ -1672,18 +1672,27 @@ x AS (
     CAST((year(month) - 1992) * 12 + month(month) - 1 AS BIGINT) AS x
   FROM m),
 a AS (
+  -- VARCHAR crossings on the decimal->double sums and VARCHAR-mediated
+  -- 6dp output rounds: sf1 intercepts reach ~2e8 where the engines'
+  -- decimal->double paths diverge sub-ulp and DuckDB's float-scaled
+  -- round(x, 6) is lossy (round-10 sf1 sweep, 1-ulp intercept edge)
   SELECT n_name, count(*) AS n_months,
     CAST(sum(x) AS DOUBLE) AS sxd, CAST(sum(x * x) AS DOUBLE) AS sxxd,
-    CAST(sum(rev) AS DOUBLE) AS sy, CAST(sum(rev * x) AS DOUBLE) AS sxy
+    CAST(CAST(sum(rev) AS VARCHAR) AS DOUBLE) AS sy,
+    CAST(CAST(sum(rev * x) AS VARCHAR) AS DOUBLE) AS sxy
   FROM x GROUP BY 1)
 SELECT n_name, n_months,
   CASE WHEN CAST(n_months AS DOUBLE) * sxxd - sxd * sxd <> 0.0 THEN
-    round((CAST(n_months AS DOUBLE) * sxy - sxd * sy) /
-      (CAST(n_months AS DOUBLE) * sxxd - sxd * sxd), 6) END AS slope,
+    CAST(CAST(CAST(CAST(
+      (CAST(n_months AS DOUBLE) * sxy - sxd * sy) /
+      (CAST(n_months AS DOUBLE) * sxxd - sxd * sxd)
+    AS VARCHAR) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) END AS slope,
   CASE WHEN CAST(n_months AS DOUBLE) * sxxd - sxd * sxd <> 0.0 THEN
-    round((sy - (CAST(n_months AS DOUBLE) * sxy - sxd * sy) /
+    CAST(CAST(CAST(CAST(
+      (sy - (CAST(n_months AS DOUBLE) * sxy - sxd * sy) /
         (CAST(n_months AS DOUBLE) * sxxd - sxd * sxd) * sxd) /
-      CAST(n_months AS DOUBLE), 6) END AS intercept
+      CAST(n_months AS DOUBLE)
+    AS VARCHAR) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) END AS intercept
 FROM a ORDER BY n_name""",
     // Weighted median: pure integer cumulative-weight arithmetic over
     // the (brand, price) grain — exact on both engines.
