@@ -2105,8 +2105,10 @@ object Similarity {
     * too-shallow unroll becomes a loud oracle failure, never a
     * vacuous hash agreement on an under-peeled graph. Rounds past the
     * fixpoint are no-ops over an already-stable edge set, so the
-    * bound is generous, not tight. */
-  val kcoreOracleRounds = 16
+    * bound is generous, not tight (the sf1 corpus graph measured a
+    * cascade deeper than 16 — the assert fired as designed and the
+    * bound was raised; each materialized no-op round is cheap). */
+  val kcoreOracleRounds = 48
 
   /** k-core peel to CONVERGENCE over the mutual-kNN graph: repeat
     * "drop every node with degree < [[kcoreK]], then drop edges
