@@ -247,6 +247,230 @@ SELECT ticker, window_timestamp,
   CASE WHEN ndx > 0 THEN round(sdx / ndx, 6) END AS adx_14
 FROM b5 ORDER BY ticker, window_timestamp"""
     }),
+    // Keltner: EMA(20) mid line (generated weighted chain — same
+    // Double.toString weights and textual order as the Spark fold) ±
+    // 2× the trailing-10 mean true range
+    "stock_keltner" -> (Oracles.stockCte + {
+      val span = graft.operators.TimeSeries.KeltSpan
+      val atrSpan = graft.operators.TimeSeries.KeltAtrSpan
+      val alpha = 2.0 / (span + 1)
+      val decay = 1.0 - alpha
+      val emaTerms = (0 until span).map { i =>
+        val wt = math.pow(decay, i).toString
+        (s"CASE WHEN lag(close, $i) OVER tw2 IS NOT NULL" +
+          s" THEN lag(close, $i) OVER tw2 * $wt ELSE 0.0 END",
+          s"CASE WHEN lag(close, $i) OVER tw2 IS NOT NULL" +
+            s" THEN CAST($wt AS DOUBLE) ELSE 0.0 END")
+      }
+      val num = emaTerms.map(_._1).mkString("(", " + ", ")")
+      val den = emaTerms.map(_._2).mkString("(", " + ", ")")
+      val atrSum = (0 until atrSpan).map(i =>
+        s"CASE WHEN lag(tr, $i) OVER tw2 IS NOT NULL" +
+          s" THEN lag(tr, $i) OVER tw2 ELSE 0.0 END")
+        .mkString(" + ")
+      val atrCnt = (0 until atrSpan).map(i =>
+        s"CASE WHEN lag(tr, $i) OVER tw2 IS NOT NULL" +
+          " THEN 1 ELSE 0 END").mkString(" + ")
+      s""",
+ohlc AS (
+  SELECT ticker,
+    date_trunc('minute', ts) + (5 - minute(ts) % 5) * INTERVAL 1 MINUTE
+      AS window_timestamp,
+    max(price) AS high, min(price) AS low, max_by(price, ts) AS close
+  FROM stock GROUP BY 1, 2),
+b1 AS (
+  SELECT ticker, window_timestamp, close,
+    CASE WHEN lag(close, 1) OVER tw IS NOT NULL THEN
+      greatest(high - low, abs(high - lag(close, 1) OVER tw),
+        abs(low - lag(close, 1) OVER tw)) END AS tr
+  FROM ohlc
+  WINDOW tw AS (PARTITION BY ticker ORDER BY window_timestamp)),
+b2 AS (
+  SELECT ticker, window_timestamp, close,
+    $num / $den AS mid,
+    CASE WHEN ($atrCnt) > 0
+      THEN ($atrSum) / ($atrCnt) END AS atrc
+  FROM b1
+  WINDOW tw2 AS (PARTITION BY ticker ORDER BY window_timestamp))
+SELECT ticker, window_timestamp, close,
+  round(mid, 6) AS kc_mid,
+  round(mid + 2.0 * atrc, 6) AS kc_up,
+  round(mid - 2.0 * atrc, 6) AS kc_dn
+FROM b2 ORDER BY ticker, window_timestamp"""
+    }),
+    // CCI: two-level chain — trailing mean of typical price, then the
+    // mean absolute deviation from that CURRENT mean (Lambert)
+    "stock_cci" -> (Oracles.stockCte + {
+      val span = graft.operators.TimeSeries.CciSpan
+      def sumC(expr: Int => String): String =
+        (0 until span).map(expr).mkString(" + ")
+      val smaSum = sumC(i =>
+        s"CASE WHEN lag(tp, $i) OVER tw IS NOT NULL" +
+          s" THEN lag(tp, $i) OVER tw ELSE 0.0 END")
+      val smaCnt = sumC(i =>
+        s"CASE WHEN lag(tp, $i) OVER tw IS NOT NULL THEN 1 ELSE 0 END")
+      val mdSum = sumC(i =>
+        s"CASE WHEN lag(tp, $i) OVER tw IS NOT NULL" +
+          s" THEN abs(lag(tp, $i) OVER tw - sma) ELSE 0.0 END")
+      s""",
+ohlc AS (
+  SELECT ticker,
+    date_trunc('minute', ts) + (5 - minute(ts) % 5) * INTERVAL 1 MINUTE
+      AS window_timestamp,
+    max(price) AS high, min(price) AS low, max_by(price, ts) AS close
+  FROM stock GROUP BY 1, 2),
+b0 AS (
+  SELECT ticker, window_timestamp,
+    (high + low + close) / 3.0 AS tp
+  FROM ohlc),
+b1 AS (
+  SELECT ticker, window_timestamp, tp,
+    ($smaSum) / ($smaCnt) AS sma
+  FROM b0
+  WINDOW tw AS (PARTITION BY ticker ORDER BY window_timestamp)),
+b2 AS (
+  SELECT ticker, window_timestamp, tp, sma,
+    ($mdSum) / ($smaCnt) AS md
+  FROM b1
+  WINDOW tw AS (PARTITION BY ticker ORDER BY window_timestamp))
+SELECT ticker, window_timestamp,
+  round(tp, 6) AS tp, round(sma, 6) AS tp_sma,
+  round(md, 6) AS mean_dev,
+  CASE WHEN md <> 0.0
+    THEN round((tp - sma) / (0.015 * md), 6) + 0.0 END AS cci_20
+FROM b2 ORDER BY ticker, window_timestamp"""
+    }),
+    // Williams %R: frame max/min (order-insensitive) on the 14-bar span
+    "stock_williams_r" -> (Oracles.stockCte + s""",
+ohlc AS (
+  SELECT ticker,
+    date_trunc('minute', ts) + (5 - minute(ts) % 5) * INTERVAL 1 MINUTE
+      AS window_timestamp,
+    max(price) AS high, min(price) AS low, max_by(price, ts) AS close
+  FROM stock GROUP BY 1, 2),
+k AS (
+  SELECT ticker, window_timestamp, close,
+    max(high) OVER sw AS hh0, min(low) OVER sw AS ll0
+  FROM ohlc
+  WINDOW sw AS (PARTITION BY ticker ORDER BY window_timestamp
+    ROWS BETWEEN ${graft.operators.TimeSeries.WillSpan - 1} PRECEDING
+    AND CURRENT ROW))
+SELECT ticker, window_timestamp, close,
+  round(hh0, 6) AS hh, round(ll0, 6) AS ll,
+  CASE WHEN hh0 <> ll0
+    THEN round(-100.0 * (hh0 - close) / (hh0 - ll0), 6) + 0.0
+  END AS williams_r
+FROM k ORDER BY ticker, window_timestamp"""),
+    // Aroon: bar-age of the frame extremes, most-recent tie rule as an
+    // ascending-lag CASE chain (same stated rule as the Spark kernel)
+    "stock_aroon" -> (Oracles.stockCte + {
+      val span = graft.operators.TimeSeries.AroonSpan
+      def age(c: String, anchor: String): String =
+        (0 until span).map(i =>
+          s"WHEN lag($c, $i) OVER tw = $anchor THEN $i")
+          .mkString("CASE ", " ", " END")
+      s""",
+ohlc AS (
+  SELECT ticker,
+    date_trunc('minute', ts) + (5 - minute(ts) % 5) * INTERVAL 1 MINUTE
+      AS window_timestamp,
+    max(price) AS high, min(price) AS low, max_by(price, ts) AS close
+  FROM stock GROUP BY 1, 2),
+k AS (
+  SELECT ticker, window_timestamp,
+    ${age("high", "max(high) OVER sw")} AS age_hh,
+    ${age("low", "min(low) OVER sw")} AS age_ll
+  FROM ohlc
+  WINDOW sw AS (PARTITION BY ticker ORDER BY window_timestamp
+    ROWS BETWEEN ${span - 1} PRECEDING AND CURRENT ROW),
+  tw AS (PARTITION BY ticker ORDER BY window_timestamp))
+SELECT ticker, window_timestamp,
+  age_hh AS bars_since_hh, age_ll AS bars_since_ll,
+  round(100.0 * (${span - 1}.0 - age_hh) / ${span - 1}.0, 6) AS aroon_up,
+  round(100.0 * (${span - 1}.0 - age_ll) / ${span - 1}.0, 6) AS aroon_dn,
+  round(100.0 * (${span - 1}.0 - age_hh) / ${span - 1}.0 -
+    100.0 * (${span - 1}.0 - age_ll) / ${span - 1}.0, 6) + 0.0 AS aroon_osc
+FROM k ORDER BY ticker, window_timestamp"""
+    }),
+    // Vortex: |H−prevL| / |L−prevH| vs true range over 14-bar chains
+    "stock_vortex" -> (Oracles.stockCte + {
+      val span = graft.operators.TimeSeries.VortexSpan
+      def chain(c: String): String = (0 until span).map(i =>
+        s"CASE WHEN lag($c, $i) OVER tw2 IS NOT NULL" +
+          s" THEN lag($c, $i) OVER tw2 ELSE 0.0 END")
+        .mkString("(", " + ", ")")
+      s""",
+ohlc AS (
+  SELECT ticker,
+    date_trunc('minute', ts) + (5 - minute(ts) % 5) * INTERVAL 1 MINUTE
+      AS window_timestamp,
+    max(price) AS high, min(price) AS low, max_by(price, ts) AS close
+  FROM stock GROUP BY 1, 2),
+b1 AS (
+  SELECT ticker, window_timestamp,
+    CASE WHEN lag(low, 1) OVER tw IS NOT NULL
+      THEN abs(high - lag(low, 1) OVER tw) END AS vmp,
+    CASE WHEN lag(high, 1) OVER tw IS NOT NULL
+      THEN abs(low - lag(high, 1) OVER tw) END AS vmm,
+    CASE WHEN lag(close, 1) OVER tw IS NOT NULL THEN
+      greatest(high - low, abs(high - lag(close, 1) OVER tw),
+        abs(low - lag(close, 1) OVER tw)) END AS tr
+  FROM ohlc
+  WINDOW tw AS (PARTITION BY ticker ORDER BY window_timestamp)),
+b2 AS (
+  SELECT ticker, window_timestamp,
+    ${chain("vmp")} AS sp, ${chain("vmm")} AS sm, ${chain("tr")} AS st
+  FROM b1
+  WINDOW tw2 AS (PARTITION BY ticker ORDER BY window_timestamp))
+SELECT ticker, window_timestamp,
+  CASE WHEN st <> 0.0 THEN round(sp / st, 6) END AS vi_plus,
+  CASE WHEN st <> 0.0 THEN round(sm / st, 6) END AS vi_minus,
+  CASE WHEN st <> 0.0 THEN round(sp / st - sm / st, 6) + 0.0 END AS vi_diff
+FROM b2 ORDER BY ticker, window_timestamp"""
+    }),
+    // MFI: tp·volume classified by tp direction, 14-bar flow chains
+    "stock_mfi" -> (Oracles.stockCte + {
+      val span = graft.operators.TimeSeries.MfiSpan
+      def chain(c: String, zero: String): String = (0 until span).map(i =>
+        s"CASE WHEN lag($c, $i) OVER tw2 IS NOT NULL" +
+          s" THEN lag($c, $i) OVER tw2 ELSE $zero END")
+        .mkString("(", " + ", ")")
+      s""",
+ohlc AS (
+  SELECT ticker,
+    date_trunc('minute', ts) + (5 - minute(ts) % 5) * INTERVAL 1 MINUTE
+      AS window_timestamp,
+    max(price) AS high, min(price) AS low, max_by(price, ts) AS close,
+    CAST(sum(volume) AS BIGINT) AS volume
+  FROM stock GROUP BY 1, 2),
+b0 AS (
+  SELECT ticker, window_timestamp,
+    (high + low + close) / 3.0 AS tp, volume
+  FROM ohlc),
+b1 AS (
+  SELECT ticker, window_timestamp,
+    CASE WHEN lag(tp, 1) OVER tw IS NOT NULL
+        AND tp > lag(tp, 1) OVER tw
+      THEN tp * volume ELSE 0.0 END AS mfp,
+    CASE WHEN lag(tp, 1) OVER tw IS NOT NULL
+        AND tp < lag(tp, 1) OVER tw
+      THEN tp * volume ELSE 0.0 END AS mfm,
+    CASE WHEN lag(tp, 1) OVER tw IS NOT NULL
+      THEN 1 ELSE 0 END AS scored
+  FROM b0
+  WINDOW tw AS (PARTITION BY ticker ORDER BY window_timestamp)),
+b2 AS (
+  SELECT ticker, window_timestamp,
+    ${chain("mfp", "0.0")} AS sp, ${chain("mfm", "0.0")} AS sm,
+    ${chain("scored", "0")} AS sn
+  FROM b1
+  WINDOW tw2 AS (PARTITION BY ticker ORDER BY window_timestamp))
+SELECT ticker, window_timestamp,
+  CAST(sn AS BIGINT) AS n_scored,
+  CASE WHEN sp + sm <> 0.0
+    THEN round(100.0 * sp / (sp + sm), 6) END AS mfi_14
+FROM b2 ORDER BY ticker, window_timestamp"""
+    }),
     "stock_atr" -> (Oracles.stockCte + s""",
 ohlc AS (
   SELECT ticker,

@@ -861,6 +861,18 @@ object SparkEntry {
     "stock_donchian" -> (TimeSeries.donchian _),
     // Wilder ADX trend-strength system (two-level lag-chain)
     "stock_adx" -> (TimeSeries.adx _),
+    // Keltner channel (EMA mid ± 2×ATR band)
+    "stock_keltner" -> (TimeSeries.keltner _),
+    // Commodity Channel Index (two-level mean-deviation chain)
+    "stock_cci" -> (TimeSeries.cci _),
+    // Williams %R overbought/oversold gauge (frame max/min)
+    "stock_williams_r" -> (TimeSeries.williamsR _),
+    // Aroon trend-age indicator (extremum-age CASE chain)
+    "stock_aroon" -> (TimeSeries.aroon _),
+    // Vortex trend-reversal indicator (cross-bar extremum chains)
+    "stock_vortex" -> (TimeSeries.vortex _),
+    // Money Flow Index (volume-weighted RSI)
+    "stock_mfi" -> (TimeSeries.mfi _),
     // PQ codebook utilization / entropy census
     "sim_code_entropy" -> ((s, d) =>
       Similarity.pqCodeEntropy(Tables.embeddings(s, d))),

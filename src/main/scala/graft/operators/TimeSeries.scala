@@ -2592,4 +2592,262 @@ object TimeSeries {
           count(lit(1)), 6).as("avg_spread"))
       .orderBy(col("ticker"))
   }
+
+  /** Keltner EMA / ATR lookbacks, shared with the oracle generator. */
+  val KeltSpan = 20
+  val KeltAtrSpan = 10
+  private val KeltAlpha = 2.0 / (KeltSpan + 1)
+
+  /** Keltner channel over the 5-minute OHLC bars: middle line = a
+    * [[KeltSpan]]-bar EMA of the close ([[ewmaBars]]'s truncated
+    * weighted lag-chain — one pinned summation order on both
+    * engines), band half-width = 2 × the trailing [[KeltAtrSpan]]-bar
+    * mean true range ([[atr]]'s chain). The volatility-adaptive
+    * sibling of [[donchian]]: same breakout consumer, ATR-scaled
+    * instead of extremum-scaled.
+    *
+    * Determinism: both chains are textual-order lag sums (no decimal
+    * grid needed — no aggregate crosses rows outside the pinned
+    * chains); first-bar TR is NULL and contributes the same literal
+    * 0.0 on both engines; a bar with zero TR observations (never past
+    * the first bar) yields NULL bands via the count guard. */
+  def keltner(spark: SparkSession, dir: String): DataFrame =
+    keltnerOhlc(StockPipeline.ohlc5m(
+      StockPipeline.normalize(Tables.events(spark, dir))))
+
+  private[graft] def keltnerOhlc(ohlc: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("ticker")).orderBy(col("window_timestamp"))
+    val pc = lag(col("close"), 1).over(w)
+    val base = ohlc.select(col("ticker"), col("window_timestamp"),
+      col("close"),
+      when(pc.isNotNull,
+        greatest(col("high") - col("low"), abs(col("high") - pc),
+          abs(col("low") - pc))).as("tr"))
+    val w2 = Window.partitionBy(col("ticker")).orderBy(col("window_timestamp"))
+    val decay = 1.0 - KeltAlpha
+    val emaTerms = (0 until KeltSpan).map { i =>
+      val x = lag(col("close"), i).over(w2)
+      val wt = math.pow(decay, i)
+      (when(x.isNotNull, x * lit(wt)).otherwise(lit(0.0)),
+        when(x.isNotNull, lit(wt)).otherwise(lit(0.0)))
+    }
+    val mid = emaTerms.map(_._1).reduce(_ + _) /
+      emaTerms.map(_._2).reduce(_ + _)
+    val atrTerms = (0 until KeltAtrSpan).map { i =>
+      val x = lag(col("tr"), i).over(w2)
+      (when(x.isNotNull, x).otherwise(lit(0.0)),
+        when(x.isNotNull, lit(1L)).otherwise(lit(0L)))
+    }
+    val atrSum = atrTerms.map(_._1).reduce(_ + _)
+    val atrCnt = atrTerms.map(_._2).reduce(_ + _)
+    val atrC = when(atrCnt > 0, atrSum / atrCnt)
+    base.select(col("ticker"), col("window_timestamp"), col("close"),
+        round(mid, 6).as("kc_mid"),
+        round(mid + lit(2.0) * atrC, 6).as("kc_up"),
+        round(mid - lit(2.0) * atrC, 6).as("kc_dn"))
+      .orderBy(col("ticker"), col("window_timestamp"))
+  }
+
+  /** CCI lookback, shared with the oracle generator. */
+  val CciSpan = 20
+
+  /** Commodity Channel Index over the 5-minute OHLC bars: typical
+    * price tp = (H+L+C)/3, its trailing [[CciSpan]]-bar mean, the
+    * mean ABSOLUTE deviation of the window's tp values from the
+    * CURRENT window mean (Lambert's definition — deviation from one
+    * anchor, not per-row means), and CCI = (tp − sma)/(0.015·md).
+    * A two-level lag-chain like [[adx]]: level 1 pins the sma chain,
+    * level 2 re-lags tp against the level-1 sma.
+    *
+    * Determinism: both chains are pinned textual-order sums over
+    * identical double inputs; zero mean-deviation (a constant-tp
+    * window) yields NULL CCI via the ≠0 guard on both engines. */
+  def cci(spark: SparkSession, dir: String): DataFrame =
+    cciOhlc(StockPipeline.ohlc5m(
+      StockPipeline.normalize(Tables.events(spark, dir))))
+
+  private[graft] def cciOhlc(ohlc: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("ticker")).orderBy(col("window_timestamp"))
+    val base = ohlc.select(col("ticker"), col("window_timestamp"),
+      ((col("high") + col("low") + col("close")) / 3.0).as("tp"))
+    val smaTerms = (0 until CciSpan).map { i =>
+      val x = lag(col("tp"), i).over(w)
+      (when(x.isNotNull, x).otherwise(lit(0.0)),
+        when(x.isNotNull, lit(1L)).otherwise(lit(0L)))
+    }
+    val sma = smaTerms.map(_._1).reduce(_ + _) /
+      smaTerms.map(_._2).reduce(_ + _)
+    val lvl1 = base.select(col("ticker"), col("window_timestamp"),
+      col("tp"), sma.as("sma"))
+    val mdTerms = (0 until CciSpan).map { i =>
+      val x = lag(col("tp"), i).over(w)
+      (when(x.isNotNull, abs(x - col("sma"))).otherwise(lit(0.0)),
+        when(x.isNotNull, lit(1L)).otherwise(lit(0L)))
+    }
+    val md = mdTerms.map(_._1).reduce(_ + _) /
+      mdTerms.map(_._2).reduce(_ + _)
+    lvl1.select(col("ticker"), col("window_timestamp"),
+        round(col("tp"), 6).as("tp"),
+        round(col("sma"), 6).as("tp_sma"),
+        round(md, 6).as("mean_dev"),
+        when(md =!= 0.0,
+          round((col("tp") - col("sma")) / (lit(0.015) * md), 6))
+          .as("cci_20"))
+      .orderBy(col("ticker"), col("window_timestamp"))
+  }
+
+  /** Williams %R lookback, shared with the oracle generator. */
+  val WillSpan = 14
+
+  /** Williams %R over the 5-minute OHLC bars: −100·(HH−close)/(HH−LL)
+    * over the trailing [[WillSpan]] bars — [[stochastic]]'s %K
+    * reflected to the −100..0 scale, the overbought/oversold gauge.
+    * HH/LL are frame max/min (order-insensitive — no chain needed);
+    * a flat window (HH = LL) yields NULL via the ≠ guard. */
+  def williamsR(spark: SparkSession, dir: String): DataFrame =
+    williamsROhlc(StockPipeline.ohlc5m(
+      StockPipeline.normalize(Tables.events(spark, dir))))
+
+  private[graft] def williamsROhlc(ohlc: DataFrame): DataFrame = {
+    val tw = Window.partitionBy(col("ticker")).orderBy(col("window_timestamp"))
+    val span = tw.rowsBetween(-(WillSpan - 1), Window.currentRow)
+    val hh = max(col("high")).over(span)
+    val ll = min(col("low")).over(span)
+    ohlc.select(col("ticker"), col("window_timestamp"), col("close"),
+        round(hh, 6).as("hh"), round(ll, 6).as("ll"),
+        when(hh =!= ll,
+          round(lit(-100.0) * (hh - col("close")) / (hh - ll), 6))
+          .as("williams_r"))
+      .orderBy(col("ticker"), col("window_timestamp"))
+  }
+
+  /** Aroon lookback, shared with the oracle generator. */
+  val AroonSpan = 25
+
+  /** Aroon indicator over the 5-minute OHLC bars: within the trailing
+    * [[AroonSpan]]-bar window, the bar-age of the highest high and
+    * lowest low (MOST-RECENT attainment wins ties — a stated rule,
+    * evaluated as an ascending-lag CASE chain, not argmax luck);
+    * aroon_up = 100·(span−1−age_hh)/(span−1), aroon_dn symmetric,
+    * and the oscillator up−dn. The age probe compares each lagged
+    * double against the frame max/min — bit-identical stored values
+    * on both engines, so equality is engine-stable. */
+  def aroon(spark: SparkSession, dir: String): DataFrame =
+    aroonOhlc(StockPipeline.ohlc5m(
+      StockPipeline.normalize(Tables.events(spark, dir))))
+
+  private[graft] def aroonOhlc(ohlc: DataFrame): DataFrame = {
+    val tw = Window.partitionBy(col("ticker")).orderBy(col("window_timestamp"))
+    val span = tw.rowsBetween(-(AroonSpan - 1), Window.currentRow)
+    val hh = max(col("high")).over(span)
+    val ll = min(col("low")).over(span)
+    def age(c: String, anchor: org.apache.spark.sql.Column) = {
+      val cases = (0 until AroonSpan).map { i =>
+        (lag(col(c), i).over(tw) === anchor, lit(i))
+      }
+      cases.tail.foldLeft(when(cases.head._1, cases.head._2)) {
+        (acc, c) => acc.when(c._1, c._2)
+      }
+    }
+    val ageHH = age("high", hh)
+    val ageLL = age("low", ll)
+    val den = lit((AroonSpan - 1).toDouble)
+    ohlc.select(col("ticker"), col("window_timestamp"),
+        ageHH.as("bars_since_hh"), ageLL.as("bars_since_ll"),
+        round(lit(100.0) * (den - ageHH) / den, 6).as("aroon_up"),
+        round(lit(100.0) * (den - ageLL) / den, 6).as("aroon_dn"),
+        round(lit(100.0) * (den - ageHH) / den -
+          lit(100.0) * (den - ageLL) / den, 6).as("aroon_osc"))
+      .orderBy(col("ticker"), col("window_timestamp"))
+  }
+
+  /** Vortex lookback, shared with the oracle generator. */
+  val VortexSpan = 14
+
+  /** Vortex indicator over the 5-minute OHLC bars: per bar the
+    * vortex movements VM+ = |H − prev L| and VM− = |L − prev H| and
+    * the true range; VI± = ΣVM±/ΣTR over the trailing
+    * [[VortexSpan]]-bar chains — the trend-reversal gauge whose
+    * crossovers mirror [[adx]]'s DI pair but with cross-bar extremum
+    * distances instead of directional moves.
+    *
+    * Determinism: one lag window then pinned textual-order chains;
+    * first-bar VM/TR are NULL → literal 0.0; zero ΣTR → NULL via the
+    * divisor guard, identical in the oracle. */
+  def vortex(spark: SparkSession, dir: String): DataFrame =
+    vortexOhlc(StockPipeline.ohlc5m(
+      StockPipeline.normalize(Tables.events(spark, dir))))
+
+  private[graft] def vortexOhlc(ohlc: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("ticker")).orderBy(col("window_timestamp"))
+    val ph = lag(col("high"), 1).over(w)
+    val pl = lag(col("low"), 1).over(w)
+    val pc = lag(col("close"), 1).over(w)
+    val base = ohlc.select(col("ticker"), col("window_timestamp"),
+      when(pl.isNotNull, abs(col("high") - pl)).as("vmp"),
+      when(ph.isNotNull, abs(col("low") - ph)).as("vmm"),
+      when(pc.isNotNull,
+        greatest(col("high") - col("low"), abs(col("high") - pc),
+          abs(col("low") - pc))).as("tr"))
+    val w2 = Window.partitionBy(col("ticker")).orderBy(col("window_timestamp"))
+    def chain(c: String) = (0 until VortexSpan).map { i =>
+      val x = lag(col(c), i).over(w2)
+      when(x.isNotNull, x).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    val sp = chain("vmp")
+    val sm = chain("vmm")
+    val st = chain("tr")
+    base.select(col("ticker"), col("window_timestamp"),
+        when(st =!= 0.0, round(sp / st, 6)).as("vi_plus"),
+        when(st =!= 0.0, round(sm / st, 6)).as("vi_minus"),
+        when(st =!= 0.0, round(sp / st - sm / st, 6)).as("vi_diff"))
+      .orderBy(col("ticker"), col("window_timestamp"))
+  }
+
+  /** MFI lookback, shared with the oracle generator. */
+  val MfiSpan = 14
+
+  /** Money Flow Index over the 5-minute OHLC bars: typical price
+    * tp = (H+L+C)/3, raw money flow = tp · bar volume, classified
+    * positive/negative by tp vs the previous bar's tp (equal tp
+    * contributes to NEITHER side — the standard convention); MFI =
+    * 100·ΣMF⁺/(ΣMF⁺+ΣMF⁻) over the trailing [[MfiSpan]]-bar chains —
+    * the volume-weighted RSI.
+    *
+    * Determinism: volume is integral (BIGINT sums per bar), tp·vol is
+    * one double product per bar, chains are pinned textual order;
+    * zero total flow → NULL via the divisor guard. */
+  def mfi(spark: SparkSession, dir: String): DataFrame =
+    mfiOhlc(StockPipeline.ohlc5m(
+      StockPipeline.normalize(Tables.events(spark, dir))))
+
+  private[graft] def mfiOhlc(ohlc: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("ticker")).orderBy(col("window_timestamp"))
+    val base0 = ohlc.select(col("ticker"), col("window_timestamp"),
+      ((col("high") + col("low") + col("close")) / 3.0).as("tp"),
+      col("volume"))
+    val ptp = lag(col("tp"), 1).over(w)
+    val base = base0.select(col("ticker"), col("window_timestamp"),
+      when(ptp.isNotNull && col("tp") > ptp,
+        col("tp") * col("volume")).otherwise(lit(0.0)).as("mfp"),
+      when(ptp.isNotNull && col("tp") < ptp,
+        col("tp") * col("volume")).otherwise(lit(0.0)).as("mfm"),
+      when(ptp.isNotNull, lit(1L)).otherwise(lit(0L)).as("scored"))
+    val w2 = Window.partitionBy(col("ticker")).orderBy(col("window_timestamp"))
+    def chain(c: String) = (0 until MfiSpan).map { i =>
+      val x = lag(col(c), i).over(w2)
+      when(x.isNotNull, x).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    val sp = chain("mfp")
+    val sm = chain("mfm")
+    val sn = (0 until MfiSpan).map { i =>
+      val x = lag(col("scored"), i).over(w2)
+      when(x.isNotNull, x).otherwise(lit(0L))
+    }.reduce(_ + _)
+    base.select(col("ticker"), col("window_timestamp"),
+        sn.as("n_scored"),
+        when(sp + sm =!= 0.0, round(lit(100.0) * sp / (sp + sm), 6))
+          .as("mfi_14"))
+      .orderBy(col("ticker"), col("window_timestamp"))
+  }
 }

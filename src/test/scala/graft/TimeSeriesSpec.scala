@@ -682,6 +682,128 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("keltnerOhlc: constant bars collapse the channel onto the " +
+      "close ± 2×range; the first bar has NULL bands") {
+    // constant H/L/C: EMA mid = close = 10; TR = H−L = 2 on every
+    // bar past the first (the |gap| terms equal the range), so
+    // up/dn = 10 ± 4
+    val ohlc = (0 until 30).map(i => ("A", i, 11.0, 9.0, 10.0))
+      .toDF("ticker", "window_timestamp", "high", "low", "close")
+    val out = TimeSeries.keltnerOhlc(ohlc).collect().sortBy(_.getInt(1))
+    assert(out.head.isNullAt(4) && out.head.isNullAt(5),
+      "first bar: no TR yet -> NULL bands")
+    out.foreach(r => assert(r.getDouble(3) === 10.0,
+      s"kc_mid at ${r.getInt(1)}"))
+    out.tail.foreach { r =>
+      assert(r.getDouble(4) === 14.0, s"kc_up at ${r.getInt(1)}")
+      assert(r.getDouble(5) === 6.0, s"kc_dn at ${r.getInt(1)}")
+    }
+  }
+
+  test("cciOhlc: a constant-tp window yields NULL CCI (zero mean " +
+      "deviation); an alternating tp series scores ±100·(2/3)/0.015") {
+    val flat = (0 until 25).map(i => ("A", i, 12.0, 8.0, 10.0))
+      .toDF("ticker", "window_timestamp", "high", "low", "close")
+    val out = TimeSeries.cciOhlc(flat).collect()
+    out.foreach { r =>
+      assert(r.getDouble(2) === 10.0)
+      assert(r.getDouble(3) === 10.0)
+      assert(r.getDouble(4) === 0.0)
+      assert(r.isNullAt(5), "flat tp -> zero mean dev -> NULL CCI")
+    }
+    // tp alternates 9/11 -> at even counts sma = 10, md = 1,
+    // cci = ±1/0.015 = ±66.666667
+    val alt = (0 until 40).map(i =>
+      ("B", i, if (i % 2 == 0) 9.0 else 11.0))
+      .toDF("ticker", "window_timestamp", "tp0")
+      .selectExpr("ticker", "window_timestamp",
+        "tp0 as high", "tp0 as low", "tp0 as close")
+    val o2 = TimeSeries.cciOhlc(alt).collect().sortBy(_.getInt(1))
+    val late = o2.drop(TimeSeries.CciSpan - 1) // full windows only
+    late.foreach { r =>
+      val expect = if (r.getInt(1) % 2 == 0) -66.666667 else 66.666667
+      assert(r.getDouble(5) === expect, s"cci at ${r.getInt(1)}")
+    }
+  }
+
+  test("williamsROhlc: close at the window high reads 0, at the low " +
+      "reads -100; a flat window is NULL") {
+    val ohlc = Seq(
+      ("A", 0, 10.0, 5.0, 10.0),  // close = hh -> 0
+      ("A", 1, 10.0, 5.0, 5.0),   // close = ll -> -100
+      ("A", 2, 10.0, 5.0, 7.5),   // midpoint -> -50
+      ("B", 0, 3.0, 3.0, 3.0))    // flat -> NULL
+      .toDF("ticker", "window_timestamp", "high", "low", "close")
+    val out = TimeSeries.williamsROhlc(ohlc).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r).toMap
+    assert(out(("A", 0)).getDouble(5) === 0.0)
+    assert(out(("A", 1)).getDouble(5) === -100.0)
+    assert(out(("A", 2)).getDouble(5) === -50.0)
+    assert(out(("B", 0)).isNullAt(5))
+  }
+
+  test("aroonOhlc: a fresh high pins aroon_up = 100; an aging " +
+      "extremum decays by 100/24 per bar; ties pick the most recent") {
+    val n = 32 // bar 5's spike leaves the 25-bar window at bar 30
+    // high spikes at bar 5 then decays; low constant (ties -> the
+    // most RECENT bar attains the min, so aroon_dn stays 100)
+    val ohlc = (0 until n).map(i =>
+      ("A", i, if (i == 5) 50.0 else 10.0, 1.0, 5.0))
+      .toDF("ticker", "window_timestamp", "high", "low", "close")
+    val out = TimeSeries.aroonOhlc(ohlc).collect()
+      .sortBy(_.getInt(1))
+    assert(out(5).getInt(2) === 0, "spike bar: age 0")
+    assert(out(5).getDouble(4) === 100.0)
+    assert(out(10).getInt(2) === 5, "5 bars later: age 5")
+    assert(out(10).getDouble(4) ===
+      BigDecimal(100.0 * 19 / 24).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // past bar 5+24 the spike leaves the window; ties (all 10.0)
+    // resolve to the most recent bar -> age 0 again
+    assert(out(n - 1).getInt(2) === 0, "spike aged out, tie -> recent")
+    out.foreach(r => assert(r.getInt(3) === 0 &&
+      r.getDouble(5) === 100.0, "constant low: most-recent tie"))
+  }
+
+  test("vortexOhlc: a steady up-trend makes VI+ > 1 > VI-; the " +
+      "ratios are exact on constant-increment bars") {
+    val ohlc = (0 until 20).map(i =>
+      ("A", i, 10.0 + i, 9.0 + i, 9.5 + i))
+      .toDF("ticker", "window_timestamp", "high", "low", "close")
+    val out = TimeSeries.vortexOhlc(ohlc).collect().sortBy(_.getInt(1))
+    assert(out.head.isNullAt(2), "first bar: zero TR chain -> NULL")
+    // per pair: VM+ = |10+i − (9+i−1)| = 2, VM− = |9+i − (10+i−1)| = 0,
+    // TR = max(1, |10+i − (9.5+i−1)|, |9+i − 9.5−i+1|) = 1.5
+    out.tail.foreach { r =>
+      assert(r.getDouble(2) ===
+        BigDecimal(2.0 / 1.5).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble,
+        s"vi_plus at ${r.getInt(1)}")
+      assert(r.getDouble(3) === 0.0, s"vi_minus at ${r.getInt(1)}")
+    }
+  }
+
+  test("mfiOhlc: strictly rising tp pins MFI = 100, strictly falling " +
+      "pins 0, constant tp yields NULL (zero flow both sides)") {
+    def bars(t: String, f: Int => Double) = (0 until 20).map(i =>
+      (t, i, f(i) + 1.0, f(i) - 1.0, f(i), 100L))
+    val ohlc = (bars("UP", i => 10.0 + i) ++
+      bars("DN", i => 50.0 - i) ++ bars("FLAT", _ => 10.0))
+      .toDF("ticker", "window_timestamp", "high", "low", "close",
+        "volume")
+    val out = TimeSeries.mfiOhlc(ohlc).collect()
+    out.filter(_.getString(0) == "UP").filter(_.getInt(1) > 0)
+      .foreach(r => assert(r.getDouble(3) === 100.0))
+    out.filter(_.getString(0) == "DN").filter(_.getInt(1) > 0)
+      .foreach(r => assert(r.getDouble(3) === 0.0))
+    out.filter(_.getString(0) == "FLAT")
+      .foreach(r => assert(r.isNullAt(3)))
+    // n_scored counts the bars with a prior bar, capped by the span
+    assert(out.filter(_.getString(0) == "UP")
+      .find(_.getInt(1) == 19).get.getLong(2) ===
+      TimeSeries.MfiSpan.toLong)
+  }
+
   test("gkBars: hand-built OHLC bars match the closed-form estimators; " +
       "a flat bar contributes zero to both") {
     val ohlc = Seq(
