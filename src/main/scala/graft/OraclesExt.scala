@@ -2069,6 +2069,29 @@ SELECT n_vecs,
 FROM m""",
     // hapax/vocabulary-richness report: exact integer counts from two
     // hash aggregates, ln on exact longs, pinned-order Honore R
+    // Yule/Simpson: integer freq-of-freq moments, squares taken AFTER
+    // the double cast (same 100-TB overflow rule as the Spark side)
+    "text_yule_simpson" -> s"""
+WITH $toksCte,
+tf AS (
+  SELECT lang, token, count(*)::BIGINT AS freq
+  FROM (SELECT lang, unnest(tk) AS token FROM toks)
+  GROUP BY 1, 2),
+fof AS (
+  SELECT lang, freq AS m, count(*)::BIGINT AS fm FROM tf GROUP BY 1, 2),
+agg AS (
+  SELECT lang, CAST(sum(m * fm) AS BIGINT) AS n_tokens,
+    CAST(sum(fm) AS BIGINT) AS vocab,
+    CAST(sum(fm * m * m) AS BIGINT) AS s2,
+    CAST(sum(fm * m * (m - 1)) AS BIGINT) AS rep2
+  FROM fof GROUP BY 1)
+SELECT lang, n_tokens, vocab,
+  round(10000.0 * (s2 - n_tokens) /
+    (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)), 6) AS yule_k,
+  CASE WHEN n_tokens > 1 THEN round(rep2 /
+    (CAST(n_tokens AS DOUBLE) * (CAST(n_tokens AS DOUBLE) - 1.0)), 6)
+  END AS simpson_d
+FROM agg ORDER BY lang""",
     "text_hapax" -> s"""
 WITH $toksCte,
 tf AS (
@@ -2413,6 +2436,54 @@ pr$i AS (
 SELECT node AS vec_id,
   CAST(CAST(CAST(CAST(p AS VARCHAR) AS DECIMAL(28,10)) AS VARCHAR)
     AS DOUBLE) AS pagerank
+FROM pr${graft.operators.Similarity.prIters} ORDER BY vec_id""")
+      sb.toString
+    }),
+    // personalized PageRank: the pagerank unroll with a seed-set
+    // teleport (node % pprSeedMod = 0), same VARCHAR-decimal crossings
+    "sim_personalized_pagerank" -> (simBase + kmeansCtes + {
+      val it = graft.operators.Similarity.kmIters
+      val d = graft.operators.Similarity.prDamping
+      val tele = (1 - d).toString
+      val sm = graft.operators.Similarity.pprSeedMod
+      val sb = new StringBuilder
+      sb.append(s""",
+kp AS MATERIALIZED (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+    round(list_inner_product(a.ev, b.ev), 6) AS cosine
+  FROM asg$it a JOIN asg$it b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+kr AS MATERIALIZED (
+  SELECT vec_id, neighbor_id, cosine,
+    row_number() OVER (PARTITION BY vec_id
+      ORDER BY cosine DESC, neighbor_id)::BIGINT AS rank
+  FROM kp),
+ged AS MATERIALIZED (SELECT vec_id AS src, neighbor_id AS dst FROM kr WHERE rank <= 3),
+od AS (SELECT src, count(*)::BIGINT AS outdeg FROM ged GROUP BY src),
+nd AS (SELECT DISTINCT node FROM
+  (SELECT src AS node FROM ged UNION ALL SELECT dst FROM ged)),
+pr0 AS (SELECT node,
+  CASE WHEN node % $sm = 0 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS p
+  FROM nd)""")
+      for (i <- 1 to graft.operators.Similarity.prIters) {
+        sb.append(s""",
+fi$i AS (
+  SELECT ged.dst AS node,
+    CAST(CAST(sum(CAST(CAST(p.p / od.outdeg AS VARCHAR)
+      AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS inflow
+  FROM ged JOIN pr${i - 1} p ON ged.src = p.node
+  JOIN od ON ged.src = od.src
+  GROUP BY ged.dst),
+pr$i AS (
+  SELECT nd.node,
+    ($tele::DOUBLE *
+      CASE WHEN nd.node % $sm = 0 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END)
+      + $d::DOUBLE * coalesce(inflow, 0.0::DOUBLE) AS p
+  FROM nd LEFT JOIN fi$i ON nd.node = fi$i.node)""")
+      }
+      sb.append(s"""
+SELECT node AS vec_id, node % $sm = 0 AS is_seed,
+  CAST(CAST(CAST(CAST(p AS VARCHAR) AS DECIMAL(28,10)) AS VARCHAR)
+    AS DOUBLE) AS ppr
 FROM pr${graft.operators.Similarity.prIters} ORDER BY vec_id""")
       sb.toString
     }),

@@ -333,6 +333,9 @@ object SparkEntry {
     // graph centrality over the kNN graph (unrolled power iteration)
     "sim_pagerank" -> ((s, d) =>
       Similarity.knnPageRank(Tables.embeddings(s, d))),
+    // seed-set diffusion (graph-proximity contamination/quality score)
+    "sim_personalized_pagerank" -> ((s, d) =>
+      Similarity.personalizedPagerank(Tables.embeddings(s, d))),
     // radius search: all neighbors above a rounded-cosine floor
     "sim_range_search" -> ((s, d) =>
       Similarity.rangeSearch(Tables.embeddings(s, d))),
@@ -701,6 +704,9 @@ object SparkEntry {
     // hapax/vocabulary-richness report per language (TTR, Honore R)
     "text_hapax" -> ((s, d) =>
       TextAnalysis.hapaxReport(Tables.documents(s, d))),
+    // Yule's K / Simpson's D lexical-concentration pair
+    "text_yule_simpson" -> ((s, d) =>
+      TextAnalysis.yuleSimpson(Tables.documents(s, d))),
     // kNN-graph hubness report (in-degree skew, antihub share)
     "sim_hubness" -> ((s, d) =>
       Similarity.hubness(Tables.embeddings(s, d))),

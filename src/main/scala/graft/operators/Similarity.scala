@@ -1837,6 +1837,64 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Seed-set modulus for [[personalizedPagerank]] — every node with
+    * `vec_id % pprSeedMod == 0` teleports mass (shared with the
+    * oracle generator; a deterministic stand-in for "the flagged
+    * quality/contamination set" a curation pipeline would supply). */
+  val pprSeedMod = 10
+
+  /** Personalized PageRank over the kNN graph: [[knnPageRank]] with
+    * the uniform teleport replaced by a SEED-SET teleport —
+    * F₊(v) = (1−d)·Y(v) + d·Σ_{u→v} F(u)/outdeg(u), Y = the indicator
+    * of the seed set — graph-diffusion proximity to a flagged set.
+    * The curation read: seed the known-contaminated (or known-good)
+    * documents and the score ranks every OTHER document by how
+    * embedded it is in the seeds' neighborhood — the diffusion
+    * sibling of [[semanticDecontaminate]]'s direct-cosine flag (a
+    * paraphrase cluster two hops from a benchmark lights up here
+    * before any direct cosine crosses a threshold). Honest
+    * bounded-N contract: exactly [[prIters]] rounds, no fixpoint
+    * claim, the oracle states the same unroll.
+    *
+    * Determinism: per-round inflows sum as DECIMAL(28,10) (the
+    * [[knnPageRank]] discipline — order-free under any partitioning);
+    * the final 1e-10 grid crossing matches the oracle's
+    * VARCHAR-mediated decimal. Scale: same per-round shape as
+    * pagerank — one edge-grain join + hash aggregate, k-bounded
+    * fan-out, lazy intermediates with one eager pin at the end. */
+  def personalizedPagerank(embeddings: DataFrame, k: Int = 3,
+      cells: Int = autoCells, damping: Double = prDamping,
+      iters: Int = prIters): DataFrame = {
+    val graph = knnGraph(embeddings, k, cells)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      .pin(eager = true)
+    val outdeg = graph.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val edges = graph.join(outdeg, Seq("src")).pin(eager = true)
+    val nodes = graph
+      .select(explode(array(col("src"), col("dst"))).as("node")).distinct()
+      .pin(eager = true)
+    val seed = when(col("node") % pprSeedMod === 0, lit(1.0))
+      .otherwise(lit(0.0))
+    var ranks = nodes.withColumn("p", seed)
+    for (i <- 1 to iters) {
+      val inflow = edges
+        .join(ranks.select(col("node").as("src"), col("p")), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum((col("p") / col("outdeg")).cast("decimal(28,10)"))
+          .cast("double").as("inflow"))
+      ranks = nodes.join(inflow, Seq("node"), "left")
+        .select(col("node"),
+          (lit(1 - damping) * seed +
+            lit(damping) * coalesce(col("inflow"), lit(0.0))).as("p"))
+        .pin(eager = i == iters)
+    }
+    ranks
+      .select(col("node").as("vec_id"),
+        (col("node") % pprSeedMod === 0).as("is_seed"),
+        round(col("p"), 10).as("ppr"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Flagging threshold for [[semanticDecontaminate]] — shared with the
     * oracle generator. 0.4 sits just under this corpus's max cross-set
     * cosine (~0.49), so both the flagged and clean branches carry

@@ -733,6 +733,44 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
+  /** Yule's K and Simpson's D lexical-concentration indices per
+    * language — the frequency-of-frequencies pair (how dominated the
+    * corpus is by its head types, the repetition signal at the VOCAB
+    * grain where [[TextAnalysis.repetitionReport]] works at the doc
+    * grain): K = 10⁴·(Σ fₘm² − N)/N², D = Σ f(f−1) / (N(N−1)) — the
+    * probability two random tokens are the same type. A curation
+    * consumer reads a rising K/D as template/boilerplate flooding
+    * that per-doc filters miss.
+    *
+    * Determinism: every sum is INTEGER (freq-of-freq moments); the
+    * only float ops are the two final divisions on exact BIGINTs
+    * (squares taken AFTER the double cast — a 100-TB corpus's N²
+    * overflows int64, so the cast order is load-bearing at scale,
+    * stated identically in the oracle). Scale: two hash aggregates
+    * (token → freq → freq-of-freq) then a per-lang fold; the
+    * vocab-grain middle table is the largest stage and it is exactly
+    * [[hapaxReport]]'s, which measures flat. */
+  def yuleSimpson(documents: DataFrame): DataFrame = {
+    val tf = documents
+      .select(col("lang"), explode(toks).as("token"))
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("freq"))
+    val fof = tf.groupBy(col("lang"), col("freq").as("m"))
+      .agg(count(lit(1)).as("fm"))
+    val nd = col("n_tokens").cast("double")
+    fof.groupBy(col("lang"))
+      .agg(sum(col("m") * col("fm")).as("n_tokens"),
+        sum(col("fm")).as("vocab"),
+        sum(col("fm") * col("m") * col("m")).as("s2"),
+        sum(col("fm") * col("m") * (col("m") - 1)).as("rep2"))
+      .select(col("lang"), col("n_tokens"), col("vocab"),
+        round(lit(10000.0) * (col("s2") - col("n_tokens")) / (nd * nd), 6)
+          .as("yule_k"),
+        when(col("n_tokens") > 1,
+          round(col("rep2") / (nd * (nd - lit(1.0))), 6)).as("simpson_d"))
+      .orderBy(col("lang"))
+  }
+
   /** Corpus entropy rate: the unigram Shannon entropy H(W) and the
     * bigram conditional entropy H(W₂|W₁) — the information-theoretic
     * complexity pair (their gap is the mutual information a 1-token

@@ -165,4 +165,51 @@ class Round10OpsSpec extends SparkSpec {
         s"dropped edge with truss-worthy support: $r")
     }
   }
+
+  test("yuleSimpson: hand corpus — freq-of-freq moments give the " +
+      "closed-form K and D") {
+    val docs = Seq((1L, "a a b", "x"), (2L, "a c", "x"))
+      .toDF("doc_id", "text", "lang")
+    val out = graft.operators.TextAnalysis.yuleSimpson(docs).collect()
+    assert(out.length === 1)
+    val r = out.head
+    // freqs a=3 b=1 c=1: N=5, V=3, s2=11, rep2=6
+    assert(r.getLong(1) === 5L && r.getLong(2) === 3L)
+    assert(r.getDouble(3) === 10000.0 * (11 - 5) / 25.0, "yule_k")
+    assert(r.getDouble(4) === 0.3, "simpson_d")
+  }
+
+  test("personalizedPagerank on the sf0.001 corpus matches driver-side " +
+      "seeded diffusion and flags exactly the mod-class seeds") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Similarity.personalizedPagerank(emb).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getDouble(2)))).toMap
+    assert(out.nonEmpty)
+    out.foreach { case (v, (isSeed, _)) =>
+      assert(isSeed === (v % Similarity.pprSeedMod == 0), s"seed flag $v")
+    }
+    // driver-side plain-double diffusion (the decimal crossings only
+    // perturb below 1e-9 over prIters rounds)
+    val edges = Similarity.knnGraph(emb)
+      .select("vec_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val outdeg = edges.groupBy(_._1).map { case (u, xs) => u -> xs.length }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    def seed(v: Long) = if (v % Similarity.pprSeedMod == 0) 1.0 else 0.0
+    var p = nodes.map(v => v -> seed(v)).toMap
+    for (_ <- 1 to Similarity.prIters) {
+      val inflow = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map(e => p(e._1) / outdeg(e._1)).sum
+      }
+      p = nodes.map(v => v -> ((1 - Similarity.prDamping) * seed(v) +
+        Similarity.prDamping * inflow.getOrElse(v, 0.0))).toMap
+    }
+    p.foreach { case (v, expect) =>
+      assert(math.abs(out(v)._2 - expect) < 1e-8, s"ppr of $v")
+    }
+    // the diffusion must actually spread: some NON-seed node carries
+    // positive mass (it sits downstream of a seed)
+    assert(out.exists { case (v, (s, score)) => !s && score > 0.0 },
+      "no non-seed received diffused mass")
+  }
 }
