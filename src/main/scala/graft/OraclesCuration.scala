@@ -496,6 +496,23 @@ SELECT doc_id, n_tokens, mean_word_len, punct_ratio, n_stopwords,
   (n_stopwords >= ${Curation.minStopwords}) AS r_stopwords,
   (r_token_count AND r_mean_word_len AND r_punct_ratio AND r_stopwords) AS keep
 FROM m ORDER BY doc_id""",
+    // Pareto frontier: pure NOT-EXISTS dominance semantics — the
+    // engine's banded running-max plan must hash-match this
+    "corpus_pareto_docs" -> s"""
+WITH $toksCte,
+$qualityMCte,
+sig AS (
+  SELECT d.lang, m.doc_id, m.n_tokens, m.punct_ratio
+  FROM m JOIN documents d ON m.doc_id = d.doc_id)
+SELECT lang, doc_id, n_tokens, punct_ratio
+FROM sig s1
+WHERE NOT EXISTS (
+  SELECT 1 FROM sig s2
+  WHERE s2.lang = s1.lang
+    AND s2.punct_ratio <= s1.punct_ratio
+    AND s2.n_tokens >= s1.n_tokens
+    AND (s2.punct_ratio < s1.punct_ratio OR s2.n_tokens > s1.n_tokens))
+ORDER BY lang, punct_ratio, doc_id""",
     "corpus_report" -> s"""
 WITH $toksCte,
 $qualityMCte,

@@ -155,6 +155,9 @@ object SparkEntry {
       operators.Curation.lengthAdaptive(Tables.documents(s, d))),
     "corpus_report" -> ((s, d) =>
       operators.Curation.corpusReport(Tables.documents(s, d))),
+    // per-lang Pareto frontier on (n_tokens up, punct_ratio down)
+    "corpus_pareto_docs" -> ((s, d) =>
+      operators.Curation.paretoDocs(Tables.documents(s, d))),
     // order-insensitive reproducibility manifest
     "corpus_checksum" -> ((s, d) =>
       operators.Curation.corpusChecksum(Tables.documents(s, d))),

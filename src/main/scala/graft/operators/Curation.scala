@@ -71,6 +71,44 @@ object Curation {
         "n_stopwords", "r_token_count", "r_mean_word_len", "r_punct_ratio",
         "r_stopwords", "keep")
 
+  /** Pareto frontier of documents per language on the two primary
+    * selection axes — n_tokens (more is better: long coherent docs)
+    * vs punct_ratio (less is better: markup/boilerplate noise) — the
+    * multi-objective "which documents are undominated tradeoffs"
+    * selection view (a budgeted curation pass keeps the frontier
+    * first, then fills from the dominated interior by a scalar
+    * score; cf. [[Relational.partSkyline]], whose banded plan this
+    * reuses). A document is dominated iff another same-language doc
+    * is no worse on both axes and strictly better on one; exact
+    * signal ties stay on the frontier together (standard skyline tie
+    * semantics).
+    *
+    * Scale: NO pairwise join and NO global window — max(n_tokens)
+    * per DISTINCT (lang, punct_ratio) (map-side combine collapses
+    * the data grain), a running-max window over the distinct-ratio
+    * band (punct_ratio is 4dp-rounded, so ≤ 3001 rows per language
+    * REGARDLESS of corpus size), and one join-back. The oracle
+    * states the pure NOT-EXISTS dominance semantics; hash equality
+    * certifies the banded plan equivalent. */
+  def paretoDocs(documents: DataFrame): DataFrame = {
+    val sig = qualityFilter(documents)
+      .select(col("doc_id"), col("n_tokens"), col("punct_ratio"))
+    val docs = documents.select(col("doc_id"), col("lang"))
+      .join(sig, Seq("doc_id"))
+    val perRatio = docs.groupBy(col("lang"), col("punct_ratio"))
+      .agg(max(col("n_tokens")).as("ratio_max"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("punct_ratio"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val verdict = perRatio
+      .withColumn("prev_max", max(col("ratio_max")).over(w))
+    docs.join(verdict, Seq("lang", "punct_ratio"))
+      .filter(!(coalesce(col("prev_max") >= col("n_tokens"), lit(false)) ||
+        col("ratio_max") > col("n_tokens")))
+      .select(col("lang"), col("doc_id"), col("n_tokens"),
+        col("punct_ratio"))
+      .orderBy(col("lang"), col("punct_ratio"), col("doc_id"))
+  }
+
   /** Corpus composition report — the per-(language, source) dashboard a
     * curation run starts and ends with: document and token counts,
     * quality-gate pass rate, exact-duplicate rate. Pure composition of

@@ -179,6 +179,21 @@ class Round10OpsSpec extends SparkSpec {
     assert(r.getDouble(4) === 0.3, "simpson_d")
   }
 
+  test("paretoDocs: hand corpus — dominated docs drop, signal ties " +
+      "stay on the frontier together") {
+    def doc(id: Long, text: String) = (id, text, "x", text.length.toLong)
+    val docs = Seq(
+      doc(1L, "aaa bbb"),        // 2 toks, punct 0   — dominated by 3
+      doc(2L, "a, b,"),          // 2 toks, punct 0.4 — dominated by 3
+      doc(3L, "aaa bbb ccc"),    // 3 toks, punct 0   — frontier
+      doc(4L, "x, y, z, w,"),    // 4 toks, punct>0   — frontier (most toks)
+      doc(5L, "ddd eee fff"))    // ties doc 3 exactly — stays with it
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val out = graft.operators.Curation.paretoDocs(docs).collect()
+      .map(_.getLong(1)).toSet
+    assert(out === Set(3L, 4L, 5L))
+  }
+
   test("personalizedPagerank on the sf0.001 corpus matches driver-side " +
       "seeded diffusion and flags exactly the mod-class seeds") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
