@@ -1626,6 +1626,37 @@ SELECT pos, n,
     s1 / CAST(n AS DOUBLE) * (s1 / CAST(n AS DOUBLE)), 0.0), 6)
     AS dim_var
 FROM m ORDER BY pos""",
+    // participation ratio over the 6dp per-dim variances; both folds
+    // are VARCHAR-grade decimal sums of grid values
+    "sim_participation_ratio" -> """
+WITH dv AS (
+  SELECT pos, v::DOUBLE AS v FROM (
+    SELECT unnest(embedding::DOUBLE[]) AS v,
+      unnest(range(len(embedding))) AS pos
+    FROM embeddings)),
+m AS (
+  SELECT CAST(pos AS BIGINT) AS pos, count(*) AS n,
+    CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) AS s1,
+    CAST(sum(CAST(v * v AS DECIMAL(28,10))) AS DOUBLE) AS s2
+  FROM dv GROUP BY 1),
+vars AS (
+  SELECT round(greatest(s2 / CAST(n AS DOUBLE) -
+    s1 / CAST(n AS DOUBLE) * (s1 / CAST(n AS DOUBLE)), 0.0), 6)
+    AS dim_var
+  FROM m),
+agg AS (
+  SELECT count(*)::BIGINT AS n_dims,
+    CAST(CAST(sum(CAST(CAST(dim_var AS VARCHAR) AS DECIMAL(38,18)))
+      AS VARCHAR) AS DOUBLE) AS vt,
+    CAST(CAST(sum(CAST(CAST(round(dim_var * dim_var, 12) AS VARCHAR)
+      AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS v2t
+  FROM vars)
+SELECT n_dims, round(vt, 6) AS total_var,
+  CASE WHEN v2t <> 0.0 THEN round(vt * vt / v2t, 6)
+  END AS participation_ratio,
+  CASE WHEN v2t <> 0.0 THEN round(vt * vt / v2t / n_dims, 6)
+  END AS pr_share
+FROM agg""",
     // nearest-centroid classifier self-accuracy per label
     "sim_ncc_accuracy" -> (simBase + s""",
 cent AS (
@@ -2069,6 +2100,28 @@ SELECT n_vecs,
 FROM m""",
     // hapax/vocabulary-richness report: exact integer counts from two
     // hash aggregates, ln on exact longs, pinned-order Honore R
+    // head coverage: integer token-mass sums at the rank cuts; the
+    // rank order (freq desc, token) is a stated total order
+    "text_head_coverage" -> {
+      val shares = graft.operators.TextAnalysis.HeadKs.map(k =>
+        s"round(sum(CASE WHEN rank <= $k THEN freq ELSE 0 END) /" +
+          s" CAST(sum(freq) AS DOUBLE), 6) AS top${k}_share").mkString(",\n  ")
+      s"""
+WITH $toksCte,
+tf AS (
+  SELECT lang, token, count(*)::BIGINT AS freq
+  FROM (SELECT lang, unnest(tk) AS token FROM toks)
+  GROUP BY 1, 2),
+rk AS (
+  SELECT lang, freq,
+    row_number() OVER (PARTITION BY lang
+      ORDER BY freq DESC, token) AS rank
+  FROM tf)
+SELECT lang, CAST(sum(freq) AS BIGINT) AS n_tokens,
+  count(*)::BIGINT AS vocab,
+  $shares
+FROM rk GROUP BY lang ORDER BY lang"""
+    },
     // Yule/Simpson: integer freq-of-freq moments, squares taken AFTER
     // the double cast (same 100-TB overflow rule as the Spark side)
     "text_yule_simpson" -> s"""

@@ -710,6 +710,12 @@ object SparkEntry {
     // Yule's K / Simpson's D lexical-concentration pair
     "text_yule_simpson" -> ((s, d) =>
       TextAnalysis.yuleSimpson(Tables.documents(s, d))),
+    // top-10/100/1000 token-mass coverage per language
+    "text_head_coverage" -> ((s, d) =>
+      TextAnalysis.headCoverage(Tables.documents(s, d))),
+    // effective dimensionality (variance participation ratio)
+    "sim_participation_ratio" -> ((s, d) =>
+      Similarity.participationRatio(Tables.embeddings(s, d))),
     // kNN-graph hubness report (in-degree skew, antihub share)
     "sim_hubness" -> ((s, d) =>
       Similarity.hubness(Tables.embeddings(s, d))),

@@ -191,6 +191,37 @@ object Similarity {
       .orderBy(col("pos"))
   }
 
+  /** Participation ratio of the per-dimension variance spectrum —
+    * the effective dimensionality scalar PR = (Σ σ²_d)² / Σ σ⁴_d
+    * (equals n_dims for an isotropic cloud, 1 for rank-1 collapse;
+    * the eigen-free proxy every embedding-health dashboard wants
+    * next to [[dimVariance]]'s per-axis view and
+    * [[intrinsicDim]]'s neighbor-based estimate: PR reads GLOBAL
+    * anisotropy, the TwoNN reads local manifold dim). Axis-aligned
+    * by construction (variances, not eigenvalues) — stated as such.
+    *
+    * Determinism: consumes [[dimVariance]]'s 6dp-rounded variances;
+    * both folds over the 64-row dim grid are VARCHAR-grade
+    * DECIMAL(38,18) sums of grid values (the engine-wide convention),
+    * so the two scalars are order-free. Scale: everything after the
+    * dimVariance aggregate is O(n_dims). */
+  def participationRatio(embeddings: DataFrame): DataFrame = {
+    val vars = dimVariance(embeddings).select(col("dim_var"))
+    vars
+      .agg(count(lit(1)).as("n_dims"),
+        sum(col("dim_var").cast("decimal(38,18)")).cast("double").as("vt"),
+        sum(round(col("dim_var") * col("dim_var"), 12)
+          .cast("decimal(38,18)")).cast("double").as("v2t"))
+      .select(col("n_dims"),
+        round(col("vt"), 6).as("total_var"),
+        when(col("v2t") =!= 0.0,
+          round(col("vt") * col("vt") / col("v2t"), 6))
+          .as("participation_ratio"),
+        when(col("v2t") =!= 0.0,
+          round(col("vt") * col("vt") / col("v2t") / col("n_dims"), 6))
+          .as("pr_share"))
+  }
+
   /** Nearest-centroid-classifier self-accuracy per label: every vector
     * is classified to its highest-cosine LABEL centroid (rounded
     * cosine, ties to the smallest label) and scored against its true

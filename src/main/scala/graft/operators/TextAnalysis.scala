@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
@@ -768,6 +769,42 @@ object TextAnalysis {
           .as("yule_k"),
         when(col("n_tokens") > 1,
           round(col("rep2") / (nd * (nd - lit(1.0))), 6)).as("simpson_d"))
+      .orderBy(col("lang"))
+  }
+
+  /** Head-coverage thresholds, shared with the oracle generator. */
+  val HeadKs = Seq(10, 100, 1000)
+
+  /** Token-mass head coverage per language: the share of all token
+    * occurrences covered by the top-10/100/1000 types (rank by freq,
+    * ties broken by token — a stated total order) — the curve a
+    * tokenizer/stopword design reads ([[zipfReport]] fits the slope;
+    * this reports the actionable cumulative mass at the cut points a
+    * vocab budget actually uses).
+    *
+    * Determinism: all sums are integer token counts; the only float
+    * op is the final share division. Scale: one token hash aggregate,
+    * then a rank window over the VOCAB grain (distinct types per
+    * language — the [[zipfReport]] shape, orders of magnitude under
+    * the data grain) and one per-lang fold. */
+  def headCoverage(documents: DataFrame): DataFrame = {
+    val tf = documents
+      .select(col("lang"), explode(toks).as("token"))
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("freq").desc, col("token"))
+    val ranked = tf.withColumn("rank", row_number().over(w))
+    val aggs = HeadKs.map(k =>
+      sum(when(col("rank") <= k, col("freq")).otherwise(lit(0L)))
+        .as(s"top$k"))
+    ranked.groupBy(col("lang"))
+      .agg(sum(col("freq")).as("n_tokens"),
+        (count(lit(1)).as("vocab") +: aggs): _*)
+      .select(col("lang") +: col("n_tokens") +: col("vocab") +:
+        HeadKs.map(k =>
+          round(col(s"top$k") / col("n_tokens"), 6)
+            .as(s"top${k}_share")): _*)
       .orderBy(col("lang"))
   }
 

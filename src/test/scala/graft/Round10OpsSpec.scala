@@ -194,6 +194,38 @@ class Round10OpsSpec extends SparkSpec {
     assert(out === Set(3L, 4L, 5L))
   }
 
+  test("headCoverage: 12-type hand corpus — top-10 mass excludes " +
+      "exactly the two tail types") {
+    // type ti repeats (13-i) times: freqs 12..1, N = 78
+    val text = (1 to 12).flatMap(i => Seq.fill(13 - i)(f"t$i%02d"))
+      .mkString(" ")
+    val docs = Seq((1L, text, "x")).toDF("doc_id", "text", "lang")
+    val out = graft.operators.TextAnalysis.headCoverage(docs).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(1) === 78L && r.getLong(2) === 12L)
+    assert(r.getDouble(3) ===
+      BigDecimal(75.0 / 78.0).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble, "top10_share")
+    assert(r.getDouble(4) === 1.0 && r.getDouble(5) === 1.0)
+  }
+
+  test("participationRatio: isotropic cloud reads n_dims, rank-1 " +
+      "collapse reads 1") {
+    val iso = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(-1.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val r1 = Similarity.participationRatio(iso).collect().head
+    assert(r1.getLong(0) === 2L)
+    assert(r1.getDouble(2) === 2.0, "isotropic PR = n_dims")
+    assert(r1.getDouble(3) === 1.0, "isotropic share = 1")
+    val flat = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val r2 = Similarity.participationRatio(flat).collect().head
+    assert(r2.getDouble(2) === 1.0, "rank-1 PR = 1")
+  }
+
   test("personalizedPagerank on the sf0.001 corpus matches driver-side " +
       "seeded diffusion and flags exactly the mod-class seeds") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
