@@ -110,7 +110,14 @@ object ScaleProbe {
           t(graft.operators.TextAnalysis.stopwordProfile(df).count())
         val (_, alS) = t(graft.operators.Multimodal.audioLandmarks(df).count())
         val (_, scS) = t(Packing.spanCorruptionPlan(df).count())
-        println(f"[scale-probe-docs] x$n%-3d docs=$rows%8d minhashPairs=$mpS%6.2fs($mp) jaccardPairs=$jpS%6.2fs($jp) containmentPairs=$cpS%6.2fs($cp) simhashPairs=$spS%6.2fs($sp) packAssign=$paS%6.2fs shuffleOrder=$soS%6.2fs spanDedup=$sdS%6.2fs substringDedup=$ssS%6.2fs budgetSelect=$bsS%6.2fs novelty=$nvS%6.2fs phashPairs=$phS%6.2fs($php) zorder=$zoS%6.2fs dsir=$dsS%6.2fs liftTable=$ltS%6.2fs calibration=$ccS%6.2fs keepBest=$kbS%6.2fs dedupSavings=$dvS%6.2fs rake=$rkS%6.2fs dhashAgree=$dhS%6.2fs($dha) bm25=$bmS%6.2fs cdc=$cdS%6.2fs($cdc) bbit=$bbS%6.2fs dupNgrams=$dgS%6.2fs sttr=$stS%6.2fs stopword=$swS%6.2fs landmarks=$alS%6.2fs spanCorrupt=$scS%6.2fs")
+        // round-10 session additions: pareto is the banded skyline
+        // (distinct-ratio window, ≤3001 rows/lang by the 4dp grid);
+        // yule/headCoverage are vocab-grain aggregates in the
+        // hapax/zipf cost family
+        val (pf, pfS) = t(Curation.paretoDocs(df).count())
+        val (_, ysS) = t(graft.operators.TextAnalysis.yuleSimpson(df).count())
+        val (_, hcS) = t(graft.operators.TextAnalysis.headCoverage(df).count())
+        println(f"[scale-probe-docs] x$n%-3d docs=$rows%8d minhashPairs=$mpS%6.2fs($mp) jaccardPairs=$jpS%6.2fs($jp) containmentPairs=$cpS%6.2fs($cp) simhashPairs=$spS%6.2fs($sp) packAssign=$paS%6.2fs shuffleOrder=$soS%6.2fs spanDedup=$sdS%6.2fs substringDedup=$ssS%6.2fs budgetSelect=$bsS%6.2fs novelty=$nvS%6.2fs phashPairs=$phS%6.2fs($php) zorder=$zoS%6.2fs dsir=$dsS%6.2fs liftTable=$ltS%6.2fs calibration=$ccS%6.2fs keepBest=$kbS%6.2fs dedupSavings=$dvS%6.2fs rake=$rkS%6.2fs dhashAgree=$dhS%6.2fs($dha) bm25=$bmS%6.2fs cdc=$cdS%6.2fs($cdc) bbit=$bbS%6.2fs dupNgrams=$dgS%6.2fs sttr=$stS%6.2fs stopword=$swS%6.2fs landmarks=$alS%6.2fs spanCorrupt=$scS%6.2fs pareto=$pfS%6.2fs($pf) yule=$ysS%6.2fs headCov=$hcS%6.2fs")
       }
       spark.stop(); return
     }
@@ -215,7 +222,12 @@ object ScaleProbe {
         val (_, ktS) = t(Similarity.ktruss(df).count())
         val (_, cnS) = t(Similarity.coreness(df).count())
         val (bf, bfS) = t(Similarity.bfsRadius(df).count())
-        println(f"[scale-probe-graph] x$n%-3d vecs=$rows%8d cells=${Similarity.sizedCells(rows)}%4d knnGraphMp=$mgS%7.2fs($mg) binaryTopK=$btS%6.2fs rerankTopK=$rrS%6.2fs hardNegatives=$hnS%6.2fs triangles=$tcS%6.2fs($tc) labelProp=$lpS%6.2fs assortativity=$asS%6.2fs linkPred=$lkS%6.2fs($lk) lpCommunities=$lcS%6.2fs dbscan=$dbS%6.2fs($dbc) cka=$ckS%6.2fs richClub=$rcS%6.2fs kcore=$kcS%6.2fs snn=$snS%6.2fs($sn) spectral=$srS%6.2fs reciprocity=$rpS%6.2fs ktruss=$ktS%6.2fs coreness=$cnS%6.2fs bfsRadius=$bfS%6.2fs($bf)")
+        // round-10 session additions: PPR is the pagerank plan with a
+        // seeded teleport (same per-round join+agg); participation
+        // ratio is one dim-grain aggregate (flat by construction)
+        val (_, ppS) = t(Similarity.personalizedPagerank(df).count())
+        val (_, prS) = t(Similarity.participationRatio(df).count())
+        println(f"[scale-probe-graph] x$n%-3d vecs=$rows%8d cells=${Similarity.sizedCells(rows)}%4d knnGraphMp=$mgS%7.2fs($mg) binaryTopK=$btS%6.2fs rerankTopK=$rrS%6.2fs hardNegatives=$hnS%6.2fs triangles=$tcS%6.2fs($tc) labelProp=$lpS%6.2fs assortativity=$asS%6.2fs linkPred=$lkS%6.2fs($lk) lpCommunities=$lcS%6.2fs dbscan=$dbS%6.2fs($dbc) cka=$ckS%6.2fs richClub=$rcS%6.2fs kcore=$kcS%6.2fs snn=$snS%6.2fs($sn) spectral=$srS%6.2fs reciprocity=$rpS%6.2fs ktruss=$ktS%6.2fs coreness=$cnS%6.2fs bfsRadius=$bfS%6.2fs($bf) ppr=$ppS%6.2fs participation=$prS%6.2fs")
       }
       spark.stop(); return
     }
