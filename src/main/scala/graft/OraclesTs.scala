@@ -428,6 +428,46 @@ SELECT ticker, window_timestamp,
   CASE WHEN st <> 0.0 THEN round(sp / st - sm / st, 6) + 0.0 END AS vi_diff
 FROM b2 ORDER BY ticker, window_timestamp"""
     }),
+    // tick rule: uptick/downtick classification with zero-tick carry
+    // (last_value IGNORE NULLS over the (ts, event_id) total order)
+    "stock_tick_rule" -> """
+WITH stock AS (
+  SELECT event_id, event_type AS ticker, ts::TIMESTAMP AS ts,
+    value::DOUBLE AS price,
+    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS volume
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+    AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL),
+tks AS (
+  SELECT ticker, ts, volume, event_id,
+    CASE WHEN price - lag(price, 1) OVER tw > 0.0 THEN 1
+         WHEN price - lag(price, 1) OVER tw < 0.0 THEN -1 END AS tick
+  FROM stock
+  WINDOW tw AS (PARTITION BY ticker ORDER BY ts, event_id)),
+sided AS (
+  SELECT ticker, ts, volume,
+    last_value(tick IGNORE NULLS) OVER (
+      PARTITION BY ticker ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS side
+  FROM tks),
+bars AS (
+  SELECT ticker,
+    date_trunc('minute', ts) + (5 - minute(ts) % 5) * INTERVAL 1 MINUTE
+      AS window_timestamp,
+    count(*)::BIGINT AS n_events,
+    CAST(sum(CASE WHEN side = 1 THEN volume ELSE 0 END) AS BIGINT)
+      AS buy_vol,
+    CAST(sum(CASE WHEN side = -1 THEN volume ELSE 0 END) AS BIGINT)
+      AS sell_vol,
+    CAST(sum(CASE WHEN side IS NULL THEN volume ELSE 0 END) AS BIGINT)
+      AS unclassified_vol
+  FROM sided GROUP BY 1, 2)
+SELECT ticker, window_timestamp, n_events, buy_vol, sell_vol,
+  unclassified_vol,
+  CASE WHEN buy_vol + sell_vol > 0
+    THEN round((buy_vol - sell_vol) / (buy_vol + sell_vol), 6) + 0.0
+  END AS ofi
+FROM bars ORDER BY ticker, window_timestamp""",
     // MFI: tp·volume classified by tp direction, 14-bar flow chains
     "stock_mfi" -> (Oracles.stockCte + {
       val span = graft.operators.TimeSeries.MfiSpan

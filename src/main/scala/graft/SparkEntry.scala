@@ -888,6 +888,8 @@ object SparkEntry {
     "stock_vortex" -> (TimeSeries.vortex _),
     // Money Flow Index (volume-weighted RSI)
     "stock_mfi" -> (TimeSeries.mfi _),
+    // tick-rule trade classification + order-flow imbalance
+    "stock_tick_rule" -> (TimeSeries.tickRule _),
     // PQ codebook utilization / entropy census
     "sim_code_entropy" -> ((s, d) =>
       Similarity.pqCodeEntropy(Tables.embeddings(s, d))),

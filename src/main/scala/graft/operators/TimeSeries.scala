@@ -2804,6 +2804,55 @@ object TimeSeries {
       .orderBy(col("ticker"), col("window_timestamp"))
   }
 
+  /** Tick-rule trade classification + order-flow imbalance per
+    * 5-minute bar: each event is buyer-initiated (+1) when its price
+    * upticks, seller-initiated (−1) on a downtick, and INHERITS the
+    * last classification on a zero tick (the Lee–Ready tick-rule
+    * carry, expressed as `last(tick, ignoreNulls)` over the
+    * (ts, event_id)-ordered per-ticker stream — a stated total order,
+    * no lag-on-ties luck); the leading unclassified run stays NULL
+    * and is reported as its own volume bucket. Per bar: signed volume
+    * split and OFI = (buy−sell)/(buy+sell) — the order-flow pressure
+    * signal [[kyleLambda]] regresses against and [[vpin]] buckets.
+    *
+    * Determinism: classification is integer; volumes are integral
+    * sums; OFI is one guarded integer-ratio division (oracle
+    * normalizes the −0.0 edge). Scale: ONE event-grain window pass
+    * partitioned by ticker (the per-key ordered-stream shape — at
+    * 100 TB this sub-partitions by trading day with a boundary-carry
+    * state row, the [[graft.streaming]] twin recipe), then a bar-grain
+    * hash aggregate. */
+  def tickRule(spark: SparkSession, dir: String): DataFrame =
+    tickRuleEvents(StockPipeline.normalize(Tables.events(spark, dir)))
+
+  private[graft] def tickRuleEvents(stock: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("ticker"))
+      .orderBy(col("ts"), col("event_id"))
+    val diff = col("price") - lag(col("price"), 1).over(w)
+    val ticked = stock.select(col("ticker"), col("ts"), col("volume"),
+      col("event_id"),
+      when(diff > 0.0, lit(1)).when(diff < 0.0, lit(-1)).as("tick"))
+    val sided = ticked.select(col("ticker"), col("ts"), col("volume"),
+      last(col("tick"), ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("side"))
+    val buy = sum(when(col("side") === 1, col("volume")).otherwise(lit(0L)))
+    val sell = sum(when(col("side") === -1, col("volume")).otherwise(lit(0L)))
+    sided
+      .groupBy(window(col("ts"), "5 minutes"), col("ticker"))
+      .agg(count(lit(1)).as("n_events"),
+        buy.as("buy_vol"), sell.as("sell_vol"),
+        sum(when(col("side").isNull, col("volume")).otherwise(lit(0L)))
+          .as("unclassified_vol"))
+      .select(col("ticker"), col("window.end").as("window_timestamp"),
+        col("n_events"), col("buy_vol"), col("sell_vol"),
+        col("unclassified_vol"),
+        when(col("buy_vol") + col("sell_vol") > 0,
+          round((col("buy_vol") - col("sell_vol")) /
+            (col("buy_vol") + col("sell_vol")), 6)).as("ofi"))
+      .orderBy(col("ticker"), col("window_timestamp"))
+  }
+
   /** MFI lookback, shared with the oracle generator. */
   val MfiSpan = 14
 

@@ -984,6 +984,27 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("tickRuleEvents: upticks buy, downticks sell, zero ticks carry " +
+      "the last side, the leading run stays unclassified") {
+    import java.sql.Timestamp
+    def t(s: Int) = Timestamp.valueOf(f"2024-01-01 10:00:$s%02d")
+    val ev = Seq(
+      ("A", t(1), 10.0, 1L, 1L),   // first: unclassified
+      ("A", t(2), 11.0, 2L, 2L),   // uptick -> buy
+      ("A", t(3), 11.0, 4L, 3L),   // zero tick -> carries buy
+      ("A", t(4), 10.0, 8L, 4L),   // downtick -> sell
+      ("A", t(5), 10.0, 16L, 5L))  // zero tick -> carries sell
+      .toDF("ticker", "ts", "price", "volume", "event_id")
+    val out = TimeSeries.tickRuleEvents(ev).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(2) === 5L, "n_events")
+    assert(r.getLong(3) === 6L, "buy_vol = 2+4")
+    assert(r.getLong(4) === 24L, "sell_vol = 8+16")
+    assert(r.getLong(5) === 1L, "unclassified_vol")
+    assert(r.getDouble(6) === -0.6, "ofi = (6-24)/30")
+  }
+
   test("gkBars: hand-built OHLC bars match the closed-form estimators; " +
       "a flat bar contributes zero to both") {
     val ohlc = Seq(
