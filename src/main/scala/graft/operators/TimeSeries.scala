@@ -2825,17 +2825,23 @@ object TimeSeries {
   def tickRule(spark: SparkSession, dir: String): DataFrame =
     tickRuleEvents(StockPipeline.normalize(Tables.events(spark, dir)))
 
-  private[graft] def tickRuleEvents(stock: DataFrame): DataFrame = {
+  /** The classified event stream the bar aggregate folds — split out
+    * for the [[graft.streaming.TickState]] twin's parity spec. */
+  private[graft] def tickSides(stock: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("ticker"))
       .orderBy(col("ts"), col("event_id"))
     val diff = col("price") - lag(col("price"), 1).over(w)
     val ticked = stock.select(col("ticker"), col("ts"), col("volume"),
       col("event_id"),
       when(diff > 0.0, lit(1)).when(diff < 0.0, lit(-1)).as("tick"))
-    val sided = ticked.select(col("ticker"), col("ts"), col("volume"),
+    ticked.select(col("ticker"), col("ts"), col("event_id"), col("volume"),
       last(col("tick"), ignoreNulls = true)
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .as("side"))
+  }
+
+  private[graft] def tickRuleEvents(stock: DataFrame): DataFrame = {
+    val sided = tickSides(stock)
     val buy = sum(when(col("side") === 1, col("volume")).otherwise(lit(0L)))
     val sell = sum(when(col("side") === -1, col("volume")).otherwise(lit(0L)))
     sided

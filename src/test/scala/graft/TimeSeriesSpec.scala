@@ -1005,6 +1005,52 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r.getDouble(6) === -0.6, "ofi = (6-24)/30")
   }
 
+  test("streaming tick classification (transformWithState) is " +
+      "identical to the batch carry window across split triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{TickState, TickEventRow}
+    val dir = "/root/testdata/sf0.001"
+    val evDf = graft.operators.StockPipeline.normalize(
+      graft.sources.Tables.events(spark, dir))
+    import spark.implicits._
+    val rows = evDf.select("ticker", "ts", "price", "volume", "event_id")
+      .as[TickEventRow].collect()
+      .sortBy(r => (r.ts.getTime, r.event_id))
+    val chunks = rows.grouped(math.max(rows.length / 3, 1)).toSeq
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[TickEventRow]
+    val q = TickState.attach(stream.toDS()).writeStream
+      .format("memory").queryName("tick_tws_sink")
+      .outputMode("append").start()
+    try {
+      chunks.foreach { c =>
+        stream.addData(c.toSeq: _*); q.processAllAvailable()
+      }
+      val streamed = spark.table("tick_tws_sink")
+        .orderBy("ticker", "ts", "event_id").collect()
+      val batch = graft.operators.TimeSeries.tickSides(evDf)
+        .select("ticker", "ts", "event_id", "volume", "side")
+        .orderBy("ticker", "ts", "event_id").collect()
+      assert(streamed.length === batch.length && batch.nonEmpty)
+      // both classification tiers must be live on this corpus
+      assert(batch.exists(_.isNullAt(4)), "no unclassified leading run")
+      assert(batch.exists(r => !r.isNullAt(4)), "no classified events")
+      streamed.zip(batch).foreach { case (s, b) =>
+        assert(s.toSeq === b.toSeq, s"stream $s vs batch $b")
+      }
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("gkBars: hand-built OHLC bars match the closed-form estimators; " +
       "a flat bar contributes zero to both") {
     val ohlc = Seq(
