@@ -428,6 +428,41 @@ SELECT ticker, window_timestamp,
   CASE WHEN st <> 0.0 THEN round(sp / st - sm / st, 6) + 0.0 END AS vi_diff
 FROM b2 ORDER BY ticker, window_timestamp"""
     }),
+    // volume profile: 20 equal price buckets per ticker, VPOC ties to
+    // the lowest bucket; the window runs on the bucket grid only
+    "stock_volume_profile" -> (Oracles.stockCte + s""",
+bounds AS (
+  SELECT ticker, min(price) AS p_min, max(price) AS p_max
+  FROM stock GROUP BY 1),
+binned AS (
+  SELECT s.ticker, b.p_min, b.p_max,
+    CASE WHEN b.p_max = b.p_min THEN 0
+      ELSE least(CAST(floor((s.price - b.p_min) /
+        (b.p_max - b.p_min) * ${graft.operators.TimeSeries.VpBuckets})
+        AS BIGINT), ${graft.operators.TimeSeries.VpBuckets - 1}) END
+      AS bucket,
+    s.volume
+  FROM stock s JOIN bounds b USING (ticker)),
+grid AS (
+  SELECT ticker, p_min, p_max, CAST(bucket AS BIGINT) AS bucket,
+    CAST(sum(volume) AS BIGINT) AS volume, count(*)::BIGINT AS n_events
+  FROM binned GROUP BY 1, 2, 3, 4),
+tiered AS (
+  SELECT ticker, bucket,
+    round(p_min + bucket *
+      ((p_max - p_min) / ${graft.operators.TimeSeries.VpBuckets}), 6)
+      AS bucket_lo,
+    round(p_min + (bucket + 1) *
+      ((p_max - p_min) / ${graft.operators.TimeSeries.VpBuckets}), 6)
+      AS bucket_hi,
+    volume, n_events,
+    round(volume / CAST(sum(volume) OVER tw AS DOUBLE), 6) AS share,
+    volume = max(volume) OVER tw AS at_max
+  FROM grid WINDOW tw AS (PARTITION BY ticker))
+SELECT ticker, bucket, bucket_lo, bucket_hi, volume, n_events, share,
+  (at_max AND bucket = min(CASE WHEN at_max THEN bucket END)
+    OVER (PARTITION BY ticker)) AS is_vpoc
+FROM tiered ORDER BY ticker, bucket"""),
     // tick rule: uptick/downtick classification with zero-tick carry
     // (last_value IGNORE NULLS over the (ts, event_id) total order)
     "stock_tick_rule" -> """

@@ -890,6 +890,8 @@ object SparkEntry {
     "stock_mfi" -> (TimeSeries.mfi _),
     // tick-rule trade classification + order-flow imbalance
     "stock_tick_rule" -> (TimeSeries.tickRule _),
+    // volume-at-price profile with point of control
+    "stock_volume_profile" -> (TimeSeries.volumeProfile _),
     // PQ codebook utilization / entropy census
     "sim_code_entropy" -> ((s, d) =>
       Similarity.pqCodeEntropy(Tables.embeddings(s, d))),

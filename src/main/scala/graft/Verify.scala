@@ -48,7 +48,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter { case (k, _) => keep(k) }
+    // the FULL oracle map regardless of filter: the checker only reads
+    // keys matching dumped result dirs, and a complete map lets a
+    // scaled sweep regenerate cell-resolved SQL (-Dgraft.oracle
+    // .simCells) without re-running any query
+    val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

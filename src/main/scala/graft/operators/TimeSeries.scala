@@ -2859,6 +2859,59 @@ object TimeSeries {
       .orderBy(col("ticker"), col("window_timestamp"))
   }
 
+  /** Volume-profile bucket count, shared with the oracle generator. */
+  val VpBuckets = 20
+
+  /** Volume-at-price profile per ticker: the session's traded volume
+    * binned into [[VpBuckets]] equal price buckets between the
+    * ticker's min and max trade price, with each bucket's share and
+    * the point of control (VPOC — the highest-volume bucket, ties to
+    * the LOWEST bucket, a stated rule) — the market-profile view a
+    * liquidity consumer reads next to [[vwap]] (where is volume
+    * CONCENTRATED, not just its mean).
+    *
+    * Determinism: bucket = floor((p−min)/(max−min)·20) clamped to 19
+    * — identical double ops on both engines; volumes are integral;
+    * shares are one integer-ratio division; a flat ticker (max = min)
+    * puts everything in bucket 0 via the range guard. Scale: one
+    * min/max aggregate + one bucket aggregate (both map-side
+    * combining), then a 20-row-per-ticker grid — the window runs on
+    * the GRID, never the data. */
+  def volumeProfile(spark: SparkSession, dir: String): DataFrame =
+    volumeProfileEvents(StockPipeline.normalize(Tables.events(spark, dir)))
+
+  private[graft] def volumeProfileEvents(stock: DataFrame): DataFrame = {
+    val bounds = stock.groupBy(col("ticker"))
+      .agg(min(col("price")).as("p_min"), max(col("price")).as("p_max"))
+    val b = lit(VpBuckets)
+    val bucket = when(col("p_max") === col("p_min"), lit(0L))
+      .otherwise(least(
+        floor((col("price") - col("p_min")) /
+          (col("p_max") - col("p_min")) * b).cast("long"),
+        lit(VpBuckets - 1L)))
+    val binned = stock.join(bounds, Seq("ticker"))
+      .select(col("ticker"), col("p_min"), col("p_max"), col("volume"),
+        bucket.as("bucket"))
+      .groupBy(col("ticker"), col("p_min"), col("p_max"), col("bucket"))
+      .agg(sum(col("volume")).as("volume"), count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("ticker"))
+    val width = (col("p_max") - col("p_min")) / b
+    val tiered = binned
+      .select(col("ticker"), col("bucket"),
+        round(col("p_min") + col("bucket") * width, 6).as("bucket_lo"),
+        round(col("p_min") + (col("bucket") + 1) * width, 6)
+          .as("bucket_hi"),
+        col("volume"), col("n_events"),
+        round(col("volume") / sum(col("volume")).over(w), 6).as("share"),
+        (col("volume") === max(col("volume")).over(w)).as("at_max"))
+    tiered
+      .select(col("ticker"), col("bucket"), col("bucket_lo"),
+        col("bucket_hi"), col("volume"), col("n_events"), col("share"),
+        (col("at_max") && col("bucket") ===
+          min(when(col("at_max"), col("bucket"))).over(w)).as("is_vpoc"))
+      .orderBy(col("ticker"), col("bucket"))
+  }
+
   /** MFI lookback, shared with the oracle generator. */
   val MfiSpan = 14
 

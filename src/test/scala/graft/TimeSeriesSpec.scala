@@ -1051,6 +1051,34 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("volumeProfileEvents: buckets span min..max, shares sum to 1, " +
+      "VPOC ties resolve to the lowest bucket, flat price -> bucket 0") {
+    import java.sql.Timestamp
+    def t(s: Int) = Timestamp.valueOf(f"2024-01-01 10:00:$s%02d")
+    val ev = Seq(
+      // A: prices 0..10 -> buckets 0..19; volume concentrated at the
+      // bottom AND top equally -> VPOC tie resolves to bucket 0
+      ("A", t(1), 0.0, 50L, 1L),    // bucket 0
+      ("A", t(2), 10.0, 50L, 2L),   // bucket 19 (clamped)
+      ("A", t(3), 5.0, 10L, 3L),    // bucket 10
+      // B: constant price -> everything in bucket 0
+      ("B", t(1), 7.0, 5L, 4L),
+      ("B", t(2), 7.0, 5L, 5L))
+      .toDF("ticker", "ts", "price", "volume", "event_id")
+    val out = TimeSeries.volumeProfileEvents(ev).collect()
+    val a = out.filter(_.getString(0) == "A")
+      .map(r => r.getLong(1) -> r).toMap
+    assert(a.keySet === Set(0L, 10L, 19L))
+    assert(a(0L).getBoolean(7) === true, "tie -> lowest bucket is VPOC")
+    assert(a(19L).getBoolean(7) === false)
+    assert(a(0L).getDouble(6) ===
+      BigDecimal(50.0 / 110.0).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val b = out.filter(_.getString(0) == "B")
+    assert(b.length === 1 && b.head.getLong(1) === 0L &&
+      b.head.getBoolean(7) && b.head.getDouble(6) === 1.0)
+  }
+
   test("gkBars: hand-built OHLC bars match the closed-form estimators; " +
       "a flat bar contributes zero to both") {
     val ohlc = Seq(

@@ -60,8 +60,13 @@ def main(sf_dir, out_dir):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracle.items()):
+        # Verify writes the FULL oracle map even for filtered dumps —
+        # check only what was actually dumped
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            n_skip += 1
+            continue
         try:
             spark_rel = con.sql(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
@@ -101,7 +106,8 @@ def main(sf_dir, out_dir):
         else:
             print(f"PASS {name} ({len(srows)} rows)")
             n_pass += 1
-    print(f"== {n_pass} pass, {n_fail} fail ==")
+    skipped = f", {n_skip} not dumped" if n_skip else ""
+    print(f"== {n_pass} pass, {n_fail} fail{skipped} ==")
     return 1 if n_fail else 0
 
 
