@@ -1123,6 +1123,95 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("streaming CCI (transformWithState) is bit-identical to the " +
+      "batch two-level mean-deviation chain across split triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{CciState, OhlcRow}
+    val dir = "/root/testdata/sf0.001"
+    val ohlcDf = graft.operators.StockPipeline.ohlc5m(
+      graft.operators.StockPipeline.normalize(
+        graft.sources.Tables.events(spark, dir)))
+    import spark.implicits._
+    val rows = ohlcDf
+      .select("ticker", "window_timestamp", "high", "low", "close")
+      .as[OhlcRow].collect().sortBy(_.window_timestamp.getTime)
+    val chunks = rows.grouped(math.max(rows.length / 3, 1)).toSeq
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[OhlcRow]
+    val q = CciState.attach(stream.toDS()).writeStream
+      .format("memory").queryName("cci_tws_sink")
+      .outputMode("append").start()
+    try {
+      chunks.foreach { c =>
+        stream.addData(c.toSeq: _*); q.processAllAvailable()
+      }
+      val streamed = spark.table("cci_tws_sink")
+        .orderBy("ticker", "window_timestamp").collect()
+      val batch = graft.operators.TimeSeries.cciOhlc(ohlcDf)
+        .orderBy("ticker", "window_timestamp").collect()
+      assert(streamed.length === batch.length && batch.nonEmpty)
+      streamed.zip(batch).foreach { case (s, b) =>
+        assert(s.toSeq === b.toSeq, s"stream $s vs batch $b")
+      }
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("streaming Keltner (transformWithState) is bit-identical to " +
+      "the batch weighted-chain kernel across split triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{KeltnerState, OhlcRow}
+    val dir = "/root/testdata/sf0.001"
+    val ohlcDf = graft.operators.StockPipeline.ohlc5m(
+      graft.operators.StockPipeline.normalize(
+        graft.sources.Tables.events(spark, dir)))
+    import spark.implicits._
+    val rows = ohlcDf
+      .select("ticker", "window_timestamp", "high", "low", "close")
+      .as[OhlcRow].collect().sortBy(_.window_timestamp.getTime)
+    val chunks = rows.grouped(math.max(rows.length / 3, 1)).toSeq
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[OhlcRow]
+    val q = KeltnerState.attach(stream.toDS()).writeStream
+      .format("memory").queryName("kelt_tws_sink")
+      .outputMode("append").start()
+    try {
+      chunks.foreach { c =>
+        stream.addData(c.toSeq: _*); q.processAllAvailable()
+      }
+      val streamed = spark.table("kelt_tws_sink")
+        .orderBy("ticker", "window_timestamp").collect()
+      val batch = graft.operators.TimeSeries.keltnerOhlc(ohlcDf)
+        .orderBy("ticker", "window_timestamp").collect()
+      assert(streamed.length === batch.length && batch.nonEmpty)
+      // the zero-ATR-count edge: every ticker's first bar has NULL
+      // bands on both sides
+      assert(batch.exists(_.isNullAt(4)))
+      streamed.zip(batch).foreach { case (s, b) =>
+        assert(s.toSeq === b.toSeq, s"stream $s vs batch $b")
+      }
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("gkBars: hand-built OHLC bars match the closed-form estimators; " +
       "a flat bar contributes zero to both") {
     val ohlc = Seq(
