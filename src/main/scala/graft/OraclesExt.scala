@@ -812,7 +812,7 @@ com AS (
   FROM cand JOIN sh sa ON cand.doc_a = sa.doc_id
             JOIN sh sb ON cand.doc_b = sb.doc_id AND sa.sh = sb.sh
   GROUP BY doc_a, doc_b),
-jac AS (
+jac AS MATERIALIZED (
   SELECT doc_a, doc_b,
     round(n_common::DOUBLE / (ca.n_sh + cb.n_sh - n_common), 6) AS jaccard
   FROM com JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id)
@@ -820,13 +820,20 @@ jac AS (
 
   /** Shared CTE chain ending in `jac` (candidate pairs with exact
     * Jaccard) — used by the pairs query, the clusters query, and the
-    * curated-corpus capstone ([[OraclesCuration]]). */
+    * curated-corpus capstone ([[OraclesCuration]]). The expensive
+    * links (sigs, cand, jac) are MATERIALIZED: DuckDB inlines
+    * multiply-referenced CTEs per reference (the round-9 sim-family
+    * lesson), and threshold_sweep's per-threshold UNION blocks would
+    * otherwise re-run the whole LSH chain once per threshold — pure
+    * caching, values unchanged. */
   private[graft] val minhashPairsCtes: String = (minhashCte + """,
-cand AS (
+cand AS MATERIALIZED (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
     AND a.doc_id < b.doc_id),""" + jaccardTail)
-    .replace("cand AS (", s"bk AS (\n  $bandSelects),\ncand AS (")
+    .replace("cand AS MATERIALIZED (",
+      s"bk AS (\n  $bandSelects),\ncand AS MATERIALIZED (")
+    .replace("sigs AS (", "sigs AS MATERIALIZED (")
 
   // 64-bit simhash as two 32-bit halves (sim_lo from md5 chars 1-8,
   // sim_hi from chars 9-16) — mirrors Dedup.simhash exactly; no half
