@@ -1010,18 +1010,34 @@ LIMIT 20""",
     // see rel_fuzzy_names for the completeness argument); the
     // engine's blocking + star-rounds CC must land on identical
     // component minima.
+    // the closure runs over the NAME graph, then maps custkeys: a
+    // name's copies all join its cluster through any shared fuzzy
+    // partner (A1—B—A2), so custkey-component = copies of the name
+    // cluster's members and its min custkey = min over member names'
+    // custkeys — equivalent to the custkey-graph closure but
+    // invariant to copy multiplicity (the custkey-graph recursion is
+    // 100× the edges on MakeScale data); isolated names keep their
+    // own custkey via the same LEFT JOIN / coalesce
+    // name-id mapping: nid = min custkey per name. The custkey-graph
+    // component's min custkey equals min over member NAMES of each
+    // name's min custkey (the component contains every copy of every
+    // member name), so closing over integer nids yields the same
+    // entity labels with BIGINT recursion keys (an order of magnitude
+    // cheaper than string labels) and cost invariant to MakeScale's
+    // copy multiplicity
     "rel_entity_groups" -> s"""
-WITH RECURSIVE n AS (SELECT DISTINCT c_name AS name FROM customer),
+WITH RECURSIVE nm AS (
+  SELECT c_name AS name, min(c_custkey) AS nid FROM customer GROUP BY 1),
+n AS (SELECT name FROM nm),
 $delVarCte,
 fp AS (
   SELECT DISTINCT a.name AS name_a, b.name AS name_b
   FROM var a JOIN var b ON a.v = b.v AND a.name < b.name
   WHERE levenshtein(a.name, b.name) = 1),
 e AS (
-  SELECT ca.c_custkey AS a, cb.c_custkey AS b
-  FROM fp
-  JOIN customer ca ON name_a = ca.c_name
-  JOIN customer cb ON name_b = cb.c_name),
+  SELECT na.nid AS a, nb.nid AS b
+  FROM fp JOIN nm na ON fp.name_a = na.name
+  JOIN nm nb ON fp.name_b = nb.name),
 edges(a, b) AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
 reach(node, label) AS (
   SELECT a, a FROM edges
@@ -1030,7 +1046,9 @@ reach(node, label) AS (
 cc AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node)
 SELECT c.c_custkey, c.c_name,
   coalesce(cc.cluster, c.c_custkey)::BIGINT AS entity_id
-FROM customer c LEFT JOIN cc ON c.c_custkey = cc.node
+FROM customer c
+LEFT JOIN nm ON c.c_name = nm.name
+LEFT JOIN cc ON nm.nid = cc.node
 ORDER BY c.c_custkey""",
     // Gini: the oracle states the one-window global rank; the engine
     // runs the banded two-level rank — hash equality proves the
