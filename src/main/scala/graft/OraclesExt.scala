@@ -2129,8 +2129,10 @@ SELECT lang, CAST(sum(freq) AS BIGINT) AS n_tokens,
   $shares
 FROM rk GROUP BY lang ORDER BY lang"""
     },
-    // Yule/Simpson: integer freq-of-freq moments, squares taken AFTER
-    // the double cast (same 100-TB overflow rule as the Spark side)
+    // Yule/Simpson: the second moments ride int128 (HUGEINT — DuckDB's
+    // twin of the Spark side's DECIMAL(38,0) grid): fm·m² overflows
+    // BIGINT once a head token's frequency passes ~3e9, and both wide
+    // grids are exact integers, so the final doubles agree bit-for-bit
     "text_yule_simpson" -> s"""
 WITH $toksCte,
 tf AS (
@@ -2142,13 +2144,13 @@ fof AS (
 agg AS (
   SELECT lang, CAST(sum(m * fm) AS BIGINT) AS n_tokens,
     CAST(sum(fm) AS BIGINT) AS vocab,
-    CAST(sum(fm * m * m) AS BIGINT) AS s2,
-    CAST(sum(fm * m * (m - 1)) AS BIGINT) AS rep2
+    sum(fm * CAST(m AS HUGEINT) * m) AS s2,
+    sum(fm * CAST(m AS HUGEINT) * (m - 1)) AS rep2
   FROM fof GROUP BY 1)
 SELECT lang, n_tokens, vocab,
-  round(10000.0 * (s2 - n_tokens) /
+  round(10000.0 * CAST(s2 - n_tokens AS DOUBLE) /
     (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)), 6) AS yule_k,
-  CASE WHEN n_tokens > 1 THEN round(rep2 /
+  CASE WHEN n_tokens > 1 THEN round(CAST(rep2 AS DOUBLE) /
     (CAST(n_tokens AS DOUBLE) * (CAST(n_tokens AS DOUBLE) - 1.0)), 6)
   END AS simpson_d
 FROM agg ORDER BY lang""",

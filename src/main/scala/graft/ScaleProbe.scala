@@ -310,7 +310,13 @@ object ScaleProbe {
         val (_, etS) = t(Relational.eventTransitionsOn(df).count())
         val (rc, rcS) = t(TimeSeries.rollingCorrBars(bars).count())
         val (_, mdS) = t(TimeSeries.macdBars(bars).count())
-        println(f"[scale-probe-ts] x$n%-3d events=$rows%9d gapfill=$gfS%6.2fs($gf) ewma=$ewS%6.2fs corrPairs=$cpS%6.2fs transitions=$etS%6.2fs rollingCorr=$rcS%6.2fs($rc) macd=$mdS%6.2fs")
+        // tick rule is EVENT-grain (not bar-grain): the probe point
+        // that shows the round-11 bucketed rewrite holds its per-row
+        // cost as the per-ticker history grows (the global-window form
+        // was one task per ticker — super-linear wall time on this axis)
+        val (tr, trS) = t(
+          TimeSeries.tickRuleEvents(StockPipeline.normalize(df)).count())
+        println(f"[scale-probe-ts] x$n%-3d events=$rows%9d gapfill=$gfS%6.2fs($gf) ewma=$ewS%6.2fs corrPairs=$cpS%6.2fs transitions=$etS%6.2fs rollingCorr=$rcS%6.2fs($rc) macd=$mdS%6.2fs tickRule=$trS%6.2fs($tr)")
       }
       spark.stop(); return
     }

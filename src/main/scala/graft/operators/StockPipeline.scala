@@ -316,8 +316,13 @@ object StockPipeline {
     * `SpikeParitySpec` asserts equality with [[withSpike]] on the real
     * data AND on a deliberately gappy fixture. */
   def withSpikeBucketed(joinedDf: DataFrame, bucketMinutes: Int = 1440): DataFrame = {
+    // pin the minute table ONCE: three branches read it (tails,
+    // targets, the output union), and joinedDf is itself the whole
+    // agg1m ⋈ sma5m pipeline — without the cut every consumer of the
+    // analysis table recomputes that pipeline three times (the
+    // round-10 q4–q10/stock_analysis ~2.4× drift cluster)
     val bucketed = joinedDf.withColumn("bucket",
-      expr(s"unix_timestamp(window_timestamp) div ${bucketMinutes * 60}"))
+      expr(s"unix_timestamp(window_timestamp) div ${bucketMinutes * 60}")).pin()
     val wDesc = Window.partitionBy(col("ticker"), col("bucket"))
       .orderBy(col("window_timestamp").desc)
     val tails = bucketed

@@ -759,11 +759,16 @@ object TextAnalysis {
     val fof = tf.groupBy(col("lang"), col("freq").as("m"))
       .agg(count(lit(1)).as("fm"))
     val nd = col("n_tokens").cast("double")
+    // second moments ride a DECIMAL(38,0) grid: fm·m² overflows int64
+    // once a head token's frequency passes ~3e9 (plausible at corpus
+    // scale), and 38 integer digits cover fm·m² for any m < 1e12 —
+    // exact and order-independent, unlike a double sum
+    val mDec = col("m").cast("decimal(38,0)")
     fof.groupBy(col("lang"))
       .agg(sum(col("m") * col("fm")).as("n_tokens"),
         sum(col("fm")).as("vocab"),
-        sum(col("fm") * col("m") * col("m")).as("s2"),
-        sum(col("fm") * col("m") * (col("m") - 1)).as("rep2"))
+        sum(col("fm") * mDec * mDec).as("s2"),
+        sum(col("fm") * mDec * (mDec - 1)).as("rep2"))
       .select(col("lang"), col("n_tokens"), col("vocab"),
         round(lit(10000.0) * (col("s2") - col("n_tokens")) / (nd * nd), 6)
           .as("yule_k"),
@@ -783,24 +788,38 @@ object TextAnalysis {
     * vocab budget actually uses).
     *
     * Determinism: all sums are integer token counts; the only float
-    * op is the final share division. Scale: one token hash aggregate,
-    * then a rank window over the VOCAB grain (distinct types per
-    * language — the [[zipfReport]] shape, orders of magnitude under
-    * the data grain) and one per-lang fold. */
+    * op is the final share division. Scale: totals (n_tokens, vocab)
+    * come from the UNRANKED per-language aggregate — no window ever
+    * sees the full vocabulary — and head mass from a per-language
+    * top-max([[HeadKs]]) slice: the rank filter sits directly on the
+    * `row_number`, so the window-group-limit rewrite bounds every
+    * language's sort to max(HeadKs) rows per task (the
+    * [[vocabCoverage]] recipe, per group; `TextPlanShapeSpec` asserts
+    * the limit is in the plan). A web-scale vocabulary is unbounded;
+    * the head cut is not. */
   def headCoverage(documents: DataFrame): DataFrame = {
+    // pinned: both the totals branch and the head branch read the
+    // term-frequency table — without the cut each re-runs the
+    // corpus-grain explode+count (the expensive stage; tf itself is
+    // vocab-grain, the cheap thing to materialize)
     val tf = documents
       .select(col("lang"), explode(toks).as("token"))
       .groupBy(col("lang"), col("token"))
       .agg(count(lit(1)).as("freq"))
+      .pin()
+    val totals = tf.groupBy(col("lang"))
+      .agg(sum(col("freq")).as("n_tokens"), count(lit(1)).as("vocab"))
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("freq").desc, col("token"))
-    val ranked = tf.withColumn("rank", row_number().over(w))
+    // rank filter IMMEDIATELY over the row_number: the group-limit
+    // rewrite turns the per-language sort into a bounded top-k
+    val head = tf.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= HeadKs.max)
     val aggs = HeadKs.map(k =>
       sum(when(col("rank") <= k, col("freq")).otherwise(lit(0L)))
         .as(s"top$k"))
-    ranked.groupBy(col("lang"))
-      .agg(sum(col("freq")).as("n_tokens"),
-        (count(lit(1)).as("vocab") +: aggs): _*)
+    val heads = head.groupBy(col("lang")).agg(aggs.head, aggs.tail: _*)
+    totals.join(heads, Seq("lang"))
       .select(col("lang") +: col("n_tokens") +: col("vocab") +:
         HeadKs.map(k =>
           round(col(s"top$k") / col("n_tokens"), 6)

@@ -2817,17 +2817,38 @@ object TimeSeries {
     *
     * Determinism: classification is integer; volumes are integral
     * sums; OFI is one guarded integer-ratio division (oracle
-    * normalizes the −0.0 edge). Scale: ONE event-grain window pass
-    * partitioned by ticker (the per-key ordered-stream shape — at
-    * 100 TB this sub-partitions by trading day with a boundary-carry
-    * state row, the [[graft.streaming]] twin recipe), then a bar-grain
-    * hash aggregate. */
+    * normalizes the −0.0 edge). Scale: the event-grain windows run
+    * per (ticker, day-bucket) — parallelism is symbols × days, never
+    * one task per symbol's whole history — with exactness across
+    * bucket boundaries restored by two O(buckets) carry summaries
+    * (the [[StockPipeline.withSpikeBucketed]] recipe; here the carry
+    * is even cheaper — ONE price and ONE side per boundary, vs
+    * spike's last-10 tail). Then a bar-grain hash aggregate. */
   def tickRule(spark: SparkSession, dir: String): DataFrame =
     tickRuleEvents(StockPipeline.normalize(Tables.events(spark, dir)))
 
+  /** Day-bucket width for [[tickSides]] — wide enough that the two
+    * bucket-grain carry summaries stay metadata-sized (symbols × days
+    * rows), narrow enough that no single in-bucket sort outgrows a
+    * task at exchange feed rates. */
+  private[graft] val TickBucketSeconds = 86400L
+
   /** The classified event stream the bar aggregate folds — split out
-    * for the [[graft.streaming.TickState]] twin's parity spec. */
-  private[graft] def tickSides(stock: DataFrame): DataFrame = {
+    * for the [[graft.streaming.TickState]] twin's parity spec.
+    * Delegates to the bucketed form; [[tickSidesGlobal]] is the
+    * single-window statement the oracle mirrors and
+    * `TickRuleParitySpec` proves equal. */
+  private[graft] def tickSides(stock: DataFrame): DataFrame =
+    tickSidesBucketed(stock, TickBucketSeconds)
+
+  /** The tick-rule classifier as ONE ticker-partitioned running
+    * window — the semantics statement (and the shape the DuckDB
+    * oracle states verbatim). Correct at any scale but serial per
+    * symbol: one task sorts a ticker's entire trade history, the
+    * exact single-task-per-key ceiling the spike operator hit in
+    * round 1. Kept for the row-for-row parity proof only; the
+    * registered query runs [[tickSidesBucketed]]. */
+  private[graft] def tickSidesGlobal(stock: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("ticker"))
       .orderBy(col("ts"), col("event_id"))
     val diff = col("price") - lag(col("price"), 1).over(w)
@@ -2838,6 +2859,68 @@ object TimeSeries {
       last(col("tick"), ignoreNulls = true)
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .as("side"))
+  }
+
+  /** [[tickSidesGlobal]] at scale: ONE event-grain window pass
+    * classifies within (ticker, day-bucket) windows — the head row's
+    * tick is deliberately left NULL there — and a bucket-grain
+    * summary restores cross-boundary exactness: each bucket's HEAD
+    * tick is computable at summary grain (first price vs the previous
+    * NON-EMPTY bucket's closing price — a `lag` over the summary, so
+    * multi-day gaps are handled by construction: empty buckets simply
+    * have no summary row), and a bucket-leading unclassified run
+    * inherits the last non-null tick of any earlier bucket (a running
+    * `last ignoreNulls` over the same summary grain, where a bucket's
+    * last tick is its last in-bucket tick, else its head tick).
+    *
+    * A row's global side is then exactly
+    * `coalesce(in-bucket running last, head_tick, carry_side)`: local
+    * ticks (rows ≥ 2) are always LATER than the head tick, which is
+    * always later than anything carried in — row-for-row proven by
+    * `TickRuleParitySpec` on real data and a bursty multi-day-gap
+    * fixture. One event-grain materialization, one O(symbols × days)
+    * summary, one (ticker, bucket) equi-join back. */
+  private[graft] def tickSidesBucketed(stock: DataFrame,
+      bucketSeconds: Long): DataFrame = {
+    val wB = Window.partitionBy(col("ticker"), col("bucket"))
+      .orderBy(col("ts"), col("event_id"))
+    val diff = col("price") - lag(col("price"), 1).over(wB)
+    val local = stock
+      .select(col("ticker"), col("ts"), col("event_id"), col("volume"),
+        col("price"),
+        expr(s"unix_timestamp(ts) div $bucketSeconds").as("bucket"))
+      .select(col("ticker"), col("bucket"), col("ts"), col("event_id"),
+        col("volume"), col("price"),
+        when(diff > 0.0, lit(1)).when(diff < 0.0, lit(-1)).as("tick"))
+      .withColumn("side_local",
+        last(col("tick"), ignoreNulls = true)
+          .over(wB.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+      .pin()
+    val wSum = Window.partitionBy(col("ticker")).orderBy(col("bucket"))
+    val summary = local.groupBy(col("ticker"), col("bucket"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("price")))
+          .getField("price").as("first_price"),
+        max(struct(col("ts"), col("event_id"), col("price")))
+          .getField("price").as("last_price"),
+        max(when(col("tick").isNotNull,
+            struct(col("ts"), col("event_id"), col("tick"))))
+          .getField("tick").as("last_local_tick"))
+    val headDiff = col("first_price") - lag(col("last_price"), 1).over(wSum)
+    val carries = summary
+      .withColumn("head_tick",
+        when(headDiff > 0.0, lit(1)).when(headDiff < 0.0, lit(-1)))
+      .withColumn("carry_side",
+        last(coalesce(col("last_local_tick"), col("head_tick")),
+            ignoreNulls = true)
+          .over(wSum.rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("ticker"), col("bucket"), col("head_tick"),
+        col("carry_side"))
+    local.join(carries, Seq("ticker", "bucket"))
+      .select(col("ticker"), col("ts"), col("event_id"), col("volume"),
+        coalesce(col("side_local"), col("head_tick"), col("carry_side"))
+          .as("side"))
   }
 
   private[graft] def tickRuleEvents(stock: DataFrame): DataFrame = {

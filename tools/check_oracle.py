@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Local mimic of the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [--partial]
 
 For each query result parquet under verifyOutDir, runs the matching SQL
 from oracle_sql.json in DuckDB (with views over the sfDir parquet tables)
@@ -10,6 +10,13 @@ including floats (every registered query is designed bit-identical
 across engines; tolerance would hide drift). Both row lists are sorted
 on a canonical key before comparison, so the check does not depend on
 parquet part-file order or on ORDER BY surviving the column projection.
+
+An oracle key with NO result dir is a FAILURE by default: Verify
+catches per-query exceptions and writes no dir for a crashed query, so
+a silent skip would let a full-roster run with a crash exit 0. Pass
+--partial ONLY for intentionally-filtered Verify dumps (a name/prefix
+filter arg was given to Verify) — then missing dirs are counted as
+skips and the exit code ignores them.
 Dev-only tooling; NOT part of the shipped engine.
 """
 import json
@@ -49,7 +56,7 @@ def row_key(row):
     return tuple(repr(norm(v)) for v in row)
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, partial=False):
     con = duckdb.connect()
     for t in TABLES:
         # driver testdata ships single files; MakeScale output is a
@@ -62,10 +69,17 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracle.items()):
-        # Verify writes the FULL oracle map even for filtered dumps —
-        # check only what was actually dumped
+        # Verify writes the FULL oracle map even for filtered dumps.
+        # Under --partial a missing dir is an intentional filter skip;
+        # otherwise it means the query CRASHED in Verify (the per-query
+        # catch writes no dir) and must fail the gate.
         if not os.path.isdir(f"{out_dir}/{name}"):
-            n_skip += 1
+            if partial:
+                n_skip += 1
+            else:
+                print(f"FAIL {name}: no result dir (query crashed in "
+                      f"Verify, or pass --partial for a filtered dump)")
+                n_fail += 1
             continue
         try:
             spark_rel = con.sql(
@@ -112,4 +126,8 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    flags = [a for a in sys.argv[3:] if a.startswith("--")]
+    unknown = [f for f in flags if f != "--partial"]
+    if unknown:
+        sys.exit(f"unknown flag(s): {unknown} (only --partial)")
+    sys.exit(main(sys.argv[1], sys.argv[2], partial="--partial" in flags))
