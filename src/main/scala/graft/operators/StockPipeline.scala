@@ -328,7 +328,10 @@ object StockPipeline {
     val tails = bucketed
       .withColumn("rd", row_number().over(wDesc)).filter(col("rd") <= 10).drop("rd")
       .pin()
-    val targets = bucketed.select(col("ticker"), col("bucket")).distinct()
+    // every non-empty bucket has ≥1 tail row, so the target-bucket set
+    // comes from the ≤10-rows-per-bucket tails frame, not another full
+    // pass over the minute table
+    val targets = tails.select(col("ticker"), col("bucket")).distinct()
       .withColumnRenamed("bucket", "tbucket")
     val carry = tails
       .join(targets, Seq("ticker"))
