@@ -109,13 +109,15 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("q4_health / q2_trend_signals: one pipeline instance + cheap clock") {
-    // the injected clock must come from a bare scan+max branch, not a
-    // second run of the minute pipeline: exactly 2 scans (pipeline +
-    // clock) and 1 window fan-out Generate
+    // one pipeline instance is now guaranteed BY MATERIALIZATION: the
+    // round-11 spike fix pins the minute table once (Scan ExistingRDD),
+    // so the only parquet scan left in the plan is the injected clock's
+    // bare scan+max branch — a second "Scan parquet" would mean the
+    // minute pipeline is being re-run for the clock again
     Seq("q4_health", "q2_trend_signals").foreach { q =>
       val p = plan(q)
-      assert(countOf(p, "Scan parquet") == 2, s"$q:\n$p")
-      assert(countOf(p, "Generate") == 1, s"$q:\n$p")
+      assert(countOf(p, "Scan parquet") == 1, s"$q:\n$p")
+      assert(countOf(p, "Scan ExistingRDD") >= 1, s"$q:\n$p")
     }
   }
 
