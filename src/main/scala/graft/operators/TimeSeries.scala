@@ -869,28 +869,23 @@ object TimeSeries {
     * the single final division, rounded to the 1e-6 grid; the trade
     * order is pinned by (ts, event_id).
     *
-    * Scale: one per-ticker window pass (tick sign + cumulative
-    * volume), a broadcast per-ticker volume-target table, then two
+    * Scale: the sign AND the cumulative volume both come from
+    * [[tickSides]] — the (ticker, day-bucket)-windowed classifier
+    * whose carry summaries make it exact at any history length (the
+    * round-12 plan audit flagged this operator's original
+    * whole-history per-ticker window as the last instance of the
+    * tickSides class; `TickRuleParitySpec` proves side and `cum_excl`
+    * row-for-row against the single-window statement the oracle
+    * keeps). Then a broadcast per-ticker volume-target table and two
     * hash aggregates whose grain is the bounded bucket grid
     * (#tickers × ~[[VpinBuckets]]) — no data-sized output. */
   def vpin(spark: SparkSession, dir: String): DataFrame = {
     val stock = StockPipeline.normalize(Tables.events(spark, dir))
-    val w = Window.partitionBy(col("ticker"))
-      .orderBy(col("ts"), col("event_id"))
-    val signed = stock
-      .select(col("ticker"), col("ts"), col("event_id"), col("price"),
-        col("volume"))
-      .withColumn("sgn0",
-        signum(col("price") - lag(col("price"), 1).over(w)))
-      // ELO tick rule: zero ticks inherit the last NON-ZERO sign (same
-      // window pass — no extra shuffle); rows before any price move
-      // have no prior sign and stay NULL = unclassified
-      .withColumn("sgn",
-        last(when(col("sgn0") =!= 0.0, col("sgn0")), ignoreNulls = true)
-          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("cum_excl",
-        sum(col("volume")).over(w.rowsBetween(
-          Window.unboundedPreceding, Window.currentRow)) - col("volume"))
+    // side: the full ELO tick rule (zero ticks inherit the last
+    // non-zero sign; rows before any price move stay NULL =
+    // unclassified); cum_excl: exclusive running volume — both from
+    // the one bucketed event-grain window pass
+    val signed = tickSides(stock)
     val tot = stock.groupBy(col("ticker"))
       .agg(sum(col("volume")).as("tv"))
       .select(col("ticker"),
@@ -899,12 +894,12 @@ object TimeSeries {
     val buckets = signed.join(broadcast(tot), Seq("ticker"))
       .select(col("ticker"), col("v_target"),
         expr("cum_excl div v_target").as("bucket"),
-        col("sgn"), col("volume"))
+        col("side"), col("volume"))
       .groupBy(col("ticker"), col("v_target"), col("bucket"))
       .agg(
-        sum(when(col("sgn") === 1.0, col("volume")).otherwise(lit(0L)))
+        sum(when(col("side") === 1, col("volume")).otherwise(lit(0L)))
           .as("v_buy"),
-        sum(when(col("sgn") === -1.0, col("volume")).otherwise(lit(0L)))
+        sum(when(col("side") === -1, col("volume")).otherwise(lit(0L)))
           .as("v_sell"),
         sum(col("volume")).as("v_bucket"))
     buckets.groupBy(col("ticker"))
@@ -2858,7 +2853,10 @@ object TimeSeries {
     ticked.select(col("ticker"), col("ts"), col("event_id"), col("volume"),
       last(col("tick"), ignoreNulls = true)
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .as("side"))
+        .as("side"),
+      (sum(col("volume"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) -
+        col("volume")).as("cum_excl"))
   }
 
   /** [[tickSidesGlobal]] at scale: ONE event-grain window pass
@@ -2879,7 +2877,13 @@ object TimeSeries {
     * always later than anything carried in — row-for-row proven by
     * `TickRuleParitySpec` on real data and a bursty multi-day-gap
     * fixture. One event-grain materialization, one O(symbols × days)
-    * summary, one (ticker, bucket) equi-join back. */
+    * summary, one (ticker, bucket) equi-join back.
+    *
+    * Also emits `cum_excl`, the EXCLUSIVE running volume in the same
+    * (ts, event_id) order — in-bucket cumsum + the previous buckets'
+    * exclusive volume prefix, both riding window frames that already
+    * exist in the pass ([[vpin]] sequences its equal-volume buckets on
+    * it; the parity spec proves it against the global running sum). */
   private[graft] def tickSidesBucketed(stock: DataFrame,
       bucketSeconds: Long): DataFrame = {
     val wB = Window.partitionBy(col("ticker"), col("bucket"))
@@ -2896,6 +2900,14 @@ object TimeSeries {
         last(col("tick"), ignoreNulls = true)
           .over(wB.rowsBetween(Window.unboundedPreceding,
             Window.currentRow)))
+      // exclusive in-bucket volume cumsum: same running frame (and so
+      // the same WindowExec) as side_local — consumers that sequence
+      // by traded volume (vpin) get the global cumsum from this plus
+      // the bucket-grain volume offset below, never a second
+      // event-grain window pass
+      .withColumn("cum_in",
+        sum(col("volume")).over(wB.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)) - col("volume"))
       .pin()
     val wSum = Window.partitionBy(col("ticker")).orderBy(col("bucket"))
     val summary = local.groupBy(col("ticker"), col("bucket"))
@@ -2906,7 +2918,8 @@ object TimeSeries {
           .getField("price").as("last_price"),
         max(when(col("tick").isNotNull,
             struct(col("ts"), col("event_id"), col("tick"))))
-          .getField("tick").as("last_local_tick"))
+          .getField("tick").as("last_local_tick"),
+        sum(col("volume")).as("bucket_vol"))
     val headDiff = col("first_price") - lag(col("last_price"), 1).over(wSum)
     val carries = summary
       .withColumn("head_tick",
@@ -2915,12 +2928,17 @@ object TimeSeries {
         last(coalesce(col("last_local_tick"), col("head_tick")),
             ignoreNulls = true)
           .over(wSum.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("vol_offset",
+        sum(col("bucket_vol"))
+          .over(wSum.rowsBetween(Window.unboundedPreceding, -1)))
       .select(col("ticker"), col("bucket"), col("head_tick"),
-        col("carry_side"))
+        col("carry_side"), col("vol_offset"))
     local.join(carries, Seq("ticker", "bucket"))
       .select(col("ticker"), col("ts"), col("event_id"), col("volume"),
         coalesce(col("side_local"), col("head_tick"), col("carry_side"))
-          .as("side"))
+          .as("side"),
+        (coalesce(col("vol_offset"), lit(0L)) + col("cum_in"))
+          .as("cum_excl"))
   }
 
   private[graft] def tickRuleEvents(stock: DataFrame): DataFrame = {

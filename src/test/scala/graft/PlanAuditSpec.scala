@@ -116,7 +116,8 @@ class PlanAuditSpec extends SparkSpec {
     */
   private val boundedGroupKeys = Set(
     "bucket", "__bucket", "band", "decile", "month", "duration", "df",
-    "hamming", "z", "level")
+    "hamming", "z", "level",
+    "punct_ratio") // round(x,4) of a [0,1] ratio: ≤ 10001 distinct values
 
   test("no registered query plans an unpartitioned Window over an " +
       "unbounded input (global windows single-task the data at scale)") {
@@ -184,6 +185,168 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty,
       "unpartitioned Window over an unbounded input (rewrite with the " +
         "two-level band scan, or pre-limit): " + offenders.mkString(" | "))
+  }
+
+  /** Structurally-LOW-CARDINALITY dimension columns — the repo's known
+    * dimension vocabulary (symbols, languages, sources, labels). A
+    * window PARTITIONED solely by these over an EVENT-GRAIN input is
+    * the round-10 `tickSides` defect class: the hash exchange sends
+    * every row of one ticker/language to ONE task, whose sort grows
+    * with data volume while parallelism stays capped at the
+    * dimension's cardinality — the existing unpartitioned-window audit
+    * passed it because the window WAS partitioned. Same naming
+    * contract as [[boundedGroupKeys]]: these names are reserved for
+    * bounded dimensions engine-wide. */
+  private val lowCardDims = Set(
+    "ticker", "symbol", "lang", "source", "split", "label",
+    "event_type", "lang_pred", "side", "verdict")
+
+  /** Time/bucket-GRAIN column names: an aggregate grouped by
+    * (lowCardDim..., one of these) emits a bar-grain frame whose
+    * per-dimension row count is bounded by the data's TIME SPAN (or a
+    * fixed grid), not its event volume — the documented safe input for
+    * per-dimension lag-chain windows (the indicator kernels). A pinned
+    * frame (LogicalRDD) carrying one of these columns is classified
+    * bar-grain by the same contract. */
+  private val grainCols = Set(
+    "minute", "window", "bucket", "__bucket", "day", "date", "month",
+    "week", "hour", "bar_ts", "ts_min")
+
+  /** True iff every data path below `p` passes a grain reducer before
+    * reaching a data-sized leaf: a limit/top-k, an aggregate whose
+    * grouping keys are all dimension/grain/bounded-grid names, or a
+    * bar-grain pin. Broadcast build sides are bounded by the engine's
+    * broadcast discipline (the BNLJ audit owns that claim). */
+  private def grainReduced(p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val groupable = lowCardDims ++ grainCols ++ boundedGroupKeys
+    p match {
+      case _: TakeOrderedAndProjectExec | _: GlobalLimitExec |
+           _: LocalLimitExec => true
+      case a: aggregate.BaseAggregateExec =>
+        a.groupingExpressions.isEmpty ||
+          a.groupingExpressions.forall(g => groupable(g.name)) ||
+          // inline grouping expressions are pulled out as
+          // `_groupingexpression#N`; the user-facing alias survives on
+          // the aggregate's OUTPUT — a grain column there means the
+          // grouping included a time/bucket grid (bar-grain). The
+          // contract cuts both ways: never alias an AGGREGATE VALUE to
+          // a grain-column name over an unreduced grain.
+          a.output.exists(o => grainCols(o.name))
+      case g: graft.plans.GroupedTopKExec =>
+        g.partitionExprs.forall {
+          case attr: org.apache.spark.sql.catalyst.expressions.Attribute =>
+            groupable(attr.name)
+          case _ => false
+        }
+      case r: RDDScanExec => // a pin: classify by schema (grain contract)
+        r.output.exists(a => grainCols(a.name))
+      case j: joins.BaseJoinExec =>
+        j.children.filterNot {
+          case _: exchange.BroadcastExchangeExec => true
+          case q: QueryStageExec =>
+            q.plan.isInstanceOf[exchange.BroadcastExchangeExec]
+          case _ => false
+        }.forall(grainReduced)
+      case a: AdaptiveSparkPlanExec => grainReduced(a.executedPlan)
+      case q: QueryStageExec => grainReduced(q.plan)
+      case leaf if leaf.children.isEmpty => false // scans: event-grain
+      case other => other.children.forall(grainReduced)
+    }
+  }
+
+  /** The offending shapes: a Window (or sort-backed window group
+    * limit) partitioned ONLY by low-cardinality dimensions over a
+    * non-grain-reduced input. GroupedTopKExec is exempt — its partial
+    * stage prunes per-task heaps before the shuffle, so no single task
+    * ever sorts a whole dimension's history. */
+  private def eventGrainLowCardWindows(
+      p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    def allLowCard(spec: Seq[Expression]): Boolean =
+      spec.nonEmpty && spec.forall {
+        case a: Attribute => lowCardDims(a.name)
+        case _ => false
+      }
+    val here = p match {
+      case w: WindowExec
+          if allLowCard(w.partitionSpec) && !grainReduced(w.child) =>
+        Seq("Window[" + w.partitionSpec.collect {
+          case a: Attribute => a.name }.mkString(",") + "]")
+      case g: WindowGroupLimitExec
+          if allLowCard(g.partitionSpec) && !grainReduced(g.child) =>
+        Seq("WindowGroupLimit[" + g.partitionSpec.collect {
+          case a: Attribute => a.name }.mkString(",") + "]")
+      case _ => Nil
+    }
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case o => o.children
+    }
+    here ++ (kids ++ p.subqueries).flatMap(eventGrainLowCardWindows)
+  }
+
+  test("audit self-test: an event-grain window partitioned only by a " +
+      "low-card dimension is flagged; bar-grain inputs are not") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, dir)
+    // (a) the planted tickSidesGlobal shape: per-language lag chain
+    // directly over the document scan — one task per language
+    val planted = docs.withColumn("prev",
+      lag(col("n_chars"), 1).over(W.partitionBy(col("lang"))
+        .orderBy(col("doc_id"))))
+    assert(eventGrainLowCardWindows(
+      planted.queryExecution.executedPlan).nonEmpty,
+      "the audit must flag a per-dimension window over a raw scan")
+    // (b) the same window over a pinned EVENT-grain frame still flags
+    // (the pin's schema carries no grain column)
+    import graft.Materialize.PinOps
+    val plantedPinned = docs.select("doc_id", "lang", "n_chars").pin()
+      .withColumn("prev", lag(col("n_chars"), 1)
+        .over(W.partitionBy(col("lang")).orderBy(col("doc_id"))))
+    assert(eventGrainLowCardWindows(
+      plantedPinned.queryExecution.executedPlan).nonEmpty,
+      "an event-grain pin must not launder the window's input grain")
+    // (c) bar-grain negative: the same lag over a (lang, bucket)
+    // aggregate — rows per language bounded by the bucket grid
+    val barGrain = docs.groupBy(col("lang"),
+        (col("n_chars") / 100).cast("int").as("bucket"))
+      .agg(sum(col("n_chars")).as("mass"))
+      .withColumn("prev", lag(col("mass"), 1)
+        .over(W.partitionBy(col("lang")).orderBy(col("bucket"))))
+    assert(eventGrainLowCardWindows(
+      barGrain.queryExecution.executedPlan).isEmpty,
+      "a bar-grain aggregate input must pass")
+    // (d) bar-grain PIN negative: same frame pinned first — classified
+    // by the grain column in the pin's schema
+    val barPinned = docs.groupBy(col("lang"),
+        (col("n_chars") / 100).cast("int").as("bucket"))
+      .agg(sum(col("n_chars")).as("mass")).pin()
+      .withColumn("prev", lag(col("mass"), 1)
+        .over(W.partitionBy(col("lang")).orderBy(col("bucket"))))
+    assert(eventGrainLowCardWindows(
+      barPinned.queryExecution.executedPlan).isEmpty,
+      "a pinned bar-grain frame must pass via the schema contract")
+  }
+
+  test("no registered query plans an event-grain Window partitioned " +
+      "only by low-cardinality dimensions (the tickSides class)") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val hits = eventGrainLowCardWindows(
+          fn(spark, dir).queryExecution.executedPlan)
+        if (hits.isEmpty) Nil else Seq(s"$name: ${hits.mkString("; ")}")
+    }
+    assert(offenders.isEmpty,
+      "per-dimension window over an event-grain input — one task sorts " +
+        "a whole dimension's history at scale; bucket the window " +
+        "(tickSidesBucketed pattern) or reduce the grain first: " +
+        offenders.mkString(" | "))
   }
 
   test("no registered query plans a cartesian or unbounded nested-loop join") {
