@@ -764,16 +764,25 @@ object TextAnalysis {
     // scale), and 38 integer digits cover fm·m² for any m < 1e12 —
     // exact and order-independent, unlike a double sum
     val mDec = col("m").cast("decimal(38,0)")
+    // fail-loud overflow guard: Spark's non-ANSI DECIMAL(38,0) sum
+    // returns NULL on overflow while the oracle's HUGEINT stays exact
+    // to ~1.7e38 — past 1e38 the gate would read as a confusing
+    // NULL-vs-value mismatch, so raise instead (a moment grid that
+    // wide means the grid itself needs rethinking, not a quiet NULL)
+    def checked(c: Column, nm: String): Column = coalesce(c,
+      raise_error(lit(s"yuleSimpson: $nm overflowed DECIMAL(38,0)")))
     fof.groupBy(col("lang"))
       .agg(sum(col("m") * col("fm")).as("n_tokens"),
         sum(col("fm")).as("vocab"),
         sum(col("fm") * mDec * mDec).as("s2"),
         sum(col("fm") * mDec * (mDec - 1)).as("rep2"))
       .select(col("lang"), col("n_tokens"), col("vocab"),
-        round(lit(10000.0) * (col("s2") - col("n_tokens")) / (nd * nd), 6)
+        round(lit(10000.0) * (checked(col("s2"), "s2") - col("n_tokens")) /
+            (nd * nd), 6)
           .as("yule_k"),
         when(col("n_tokens") > 1,
-          round(col("rep2") / (nd * (nd - lit(1.0))), 6)).as("simpson_d"))
+          round(checked(col("rep2"), "rep2") / (nd * (nd - lit(1.0))), 6))
+          .as("simpson_d"))
       .orderBy(col("lang"))
   }
 

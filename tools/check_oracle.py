@@ -56,7 +56,7 @@ def row_key(row):
     return tuple(repr(norm(v)) for v in row)
 
 
-def main(sf_dir, out_dir, partial=False):
+def main(sf_dir, out_dir, partial=False, sql_over=None):
     con = duckdb.connect()
     for t in TABLES:
         # driver testdata ships single files; MakeScale output is a
@@ -85,20 +85,48 @@ def main(sf_dir, out_dir, partial=False):
             spark_rel = con.sql(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
             scols = sorted(spark_rel.columns)
-            srows = sorted(con.sql(
-                f"SELECT {', '.join(scols)} FROM spark_rel").fetchall(),
-                key=row_key)
             duck_rel = con.sql(sql)
             dcols = sorted(duck_rel.columns)
+            if scols != dcols:
+                print(f"FAIL {name}: cols spark={scols} duck={dcols}")
+                n_fail += 1
+                continue
+            cols = ", ".join(scols)
+            if sql_over is not None:
+                # BULK PATH (scaled sweeps): counts + one-direction
+                # EXCEPT ALL entirely inside DuckDB. Exact multiset
+                # equality — |A| = |B| and A∖B = ∅ imply A = B — with
+                # the SAME value semantics as the python compare
+                # (verified on this engine: NaN = NaN, -0.0 = 0.0,
+                # NULL = NULL in set ops), but no 250M-row python
+                # repr-sort. Positional column match via the shared
+                # sorted projection.
+                n_s = con.sql("SELECT count(*) FROM spark_rel"
+                              ).fetchone()[0]
+                n_d = con.sql("SELECT count(*) FROM duck_rel").fetchone()[0]
+                if n_s != n_d:
+                    print(f"FAIL {name}: rows spark={n_s} duck={n_d}")
+                    n_fail += 1
+                    continue
+                if n_s > sql_over:
+                    diff = con.sql(
+                        f"SELECT {cols} FROM spark_rel EXCEPT ALL "
+                        f"SELECT {cols} FROM duck_rel LIMIT 1").fetchall()
+                    if diff:
+                        print(f"FAIL {name}: spark-only row {diff[0]!r}")
+                        n_fail += 1
+                    else:
+                        print(f"PASS {name} ({n_s} rows, sql-compared)")
+                        n_pass += 1
+                    continue
+            srows = sorted(con.sql(
+                f"SELECT {cols} FROM spark_rel").fetchall(),
+                key=row_key)
             drows = sorted(con.sql(
-                f"SELECT {', '.join(dcols)} FROM duck_rel").fetchall(),
+                f"SELECT {cols} FROM duck_rel").fetchall(),
                 key=row_key)
         except Exception as e:
             print(f"FAIL {name}: exception {e}")
-            n_fail += 1
-            continue
-        if scols != dcols:
-            print(f"FAIL {name}: cols spark={scols} duck={dcols}")
             n_fail += 1
             continue
         if len(srows) != len(drows):
@@ -127,7 +155,25 @@ def main(sf_dir, out_dir, partial=False):
 
 if __name__ == "__main__":
     flags = [a for a in sys.argv[3:] if a.startswith("--")]
+    sql_over = None
+    for f in list(flags):
+        if f.startswith("--sql-over="):
+            # results larger than N rows compare inside DuckDB
+            # (EXCEPT ALL) instead of the python repr-sort — same
+            # exact multiset semantics, for scaled sweeps whose pair
+            # emitters produce 10^8-row outputs. Default (flag absent)
+            # keeps the python path for everything.
+            sql_over = int(f.split("=", 1)[1])
+            flags.remove(f)
     unknown = [f for f in flags if f != "--partial"]
     if unknown:
-        sys.exit(f"unknown flag(s): {unknown} (only --partial)")
-    sys.exit(main(sys.argv[1], sys.argv[2], partial="--partial" in flags))
+        sys.exit(f"unknown flag(s): {unknown} (only --partial / --sql-over=N)")
+    stray = [a for a in sys.argv[3:] if not a.startswith("--")]
+    if stray:
+        # a mistyped "partial" (no dashes) must not silently keep the
+        # strict no-skip gate on while the caller believes it's off
+        sys.exit(f"unexpected positional argument(s): {stray} "
+                 f"(usage: check_oracle.py <sfDir> <verifyOutDir> "
+                 f"[--partial] [--sql-over=N])")
+    sys.exit(main(sys.argv[1], sys.argv[2], partial="--partial" in flags,
+                  sql_over=sql_over))
