@@ -1716,22 +1716,45 @@ object Relational {
     * neighborhood matching with the size-adaptive connected-components
     * operator ([[Dedup.clustersBigStar]] — single-task union-find
     * below the edge threshold, O(log n) star rounds above), then one
-    * left join restores the singletons. */
+    * left join restores the singletons.
+    *
+    * The closure runs at NAME grain, not customer grain (round-12; the
+    * same rewrite the sf1 ORACLE needed): matching is a property of
+    * the name string, so k customers sharing a name multiply every
+    * name-pair into k² custkey edges — ~100× the edge set on
+    * copy-multiplied data — while the name-id graph (nid = min custkey
+    * per name) carries one edge per matched pair. Value-identical by
+    * construction: (1) two custkeys are in one component iff their
+    * names are name-graph-connected — same-name custkeys attach to the
+    * same nid, and a name with no match stays out of the edge set in
+    * BOTH forms (same-name customers with no fuzzy partner were never
+    * merged by the custkey form either: no pair, no edge); (2) the
+    * component's min custkey equals the min over its names' per-name
+    * min custkeys (min of a union is the min of per-part mins) — so
+    * `cluster_id = min nid` IS the stated entity id. Oracle unchanged;
+    * hash-green at sf0.01/sf0.1/sf1. */
   def entityGroups(spark: SparkSession, dir: String): DataFrame =
     entityGroupsOf(Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_name")))
 
   private[graft] def entityGroupsOf(cust: DataFrame): DataFrame = {
     val pairs = fuzzyPairsOf(cust.select(col("c_name").as("name")))
+    val nameIds = cust.groupBy(col("c_name"))
+      .agg(min(col("c_custkey")).as("nid"))
+      .pin(eager = true)
     val edges = pairs
-      .join(cust.select(col("c_custkey").as("doc_a"),
-        col("c_name").as("name_a")), Seq("name_a"))
-      .join(cust.select(col("c_custkey").as("doc_b"),
-        col("c_name").as("name_b")), Seq("name_b"))
+      .join(nameIds.select(col("c_name").as("name_a"),
+        col("nid").as("doc_a")), Seq("name_a"))
+      .join(nameIds.select(col("c_name").as("name_b"),
+        col("nid").as("doc_b")), Seq("name_b"))
       .select(col("doc_a"), col("doc_b"))
     val cc = Dedup.clustersBigStar(edges)
-      .select(col("doc_id").as("c_custkey"), col("cluster_id"))
-    cust.join(cc, Seq("c_custkey"), "left")
+      .select(col("doc_id").as("nid"), col("cluster_id"))
+    cust
+      // left: a NULL name never matches a grouping key in a join, but
+      // the custkey-form kept such rows as singletons — so must this
+      .join(nameIds, Seq("c_name"), "left")
+      .join(cc, Seq("nid"), "left")
       .select(col("c_custkey"), col("c_name"),
         coalesce(col("cluster_id"), col("c_custkey")).as("entity_id"))
       .orderBy(col("c_custkey"))
