@@ -56,8 +56,12 @@ def row_key(row):
     return tuple(repr(norm(v)) for v in row)
 
 
-def main(sf_dir, out_dir, partial=False, sql_over=None):
+def main(sf_dir, out_dir, partial=False, sql_over=None, mem=None):
     con = duckdb.connect()
+    if mem:
+        # scaled sweeps run several checker processes in parallel;
+        # DuckDB's default (~80% of RAM) would overcommit the host
+        con.execute(f"SET memory_limit='{mem}'")
     for t in TABLES:
         # driver testdata ships single files; MakeScale output is a
         # Spark-style directory of part files — read either shape
@@ -156,7 +160,13 @@ def main(sf_dir, out_dir, partial=False, sql_over=None):
 if __name__ == "__main__":
     flags = [a for a in sys.argv[3:] if a.startswith("--")]
     sql_over = None
+    mem = None
     for f in list(flags):
+        if f.startswith("--mem="):
+            # per-process DuckDB memory cap, e.g. --mem=24GB
+            mem = f.split("=", 1)[1]
+            flags.remove(f)
+            continue
         if f.startswith("--sql-over="):
             # results larger than N rows compare inside DuckDB
             # (EXCEPT ALL) instead of the python repr-sort — same
@@ -167,13 +177,14 @@ if __name__ == "__main__":
             flags.remove(f)
     unknown = [f for f in flags if f != "--partial"]
     if unknown:
-        sys.exit(f"unknown flag(s): {unknown} (only --partial / --sql-over=N)")
+        sys.exit(f"unknown flag(s): {unknown} "
+                 f"(only --partial / --sql-over=N / --mem=SIZE)")
     stray = [a for a in sys.argv[3:] if not a.startswith("--")]
     if stray:
         # a mistyped "partial" (no dashes) must not silently keep the
         # strict no-skip gate on while the caller believes it's off
         sys.exit(f"unexpected positional argument(s): {stray} "
                  f"(usage: check_oracle.py <sfDir> <verifyOutDir> "
-                 f"[--partial] [--sql-over=N])")
+                 f"[--partial] [--sql-over=N] [--mem=SIZE])")
     sys.exit(main(sys.argv[1], sys.argv[2], partial="--partial" in flags,
-                  sql_over=sql_over))
+                  sql_over=sql_over, mem=mem))
