@@ -191,11 +191,18 @@ g AS (
     CAST(sum(n_tokens * n_tokens) AS BIGINT) AS s2
   FROM pa GROUP BY pack_id)
 SELECT pack_id, n_docs, n_tokens,
+  -- VARCHAR-DECIMAL round (the stock_vwap idiom): DuckDB's float-scaled
+  -- round(x, 6) splits from Spark's BigDecimal HALF_UP at a 6dp
+  -- boundary (first seen at sf10: within_share 0.032525 vs 0.032524);
+  -- rounding the double's shortest decimal repr through DECIMAL(18,6)
+  -- states the same HALF_UP grid Spark uses
   CASE WHEN n_tokens > 0 THEN
-    round(s2 / CAST(n_tokens * n_tokens AS DOUBLE), 6) END
+    CAST(CAST(CAST(CAST(s2 / CAST(n_tokens * n_tokens AS DOUBLE)
+      AS VARCHAR) AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) END
     AS within_share,
   CASE WHEN n_tokens > 0 THEN
-    round(1.0 - s2 / CAST(n_tokens * n_tokens AS DOUBLE), 6) END
+    CAST(CAST(CAST(CAST(1.0 - s2 / CAST(n_tokens * n_tokens AS DOUBLE)
+      AS VARCHAR) AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) END
     AS cross_share
 FROM g ORDER BY pack_id""",
     // the same global cumsum chain budgeted in greedy merge-table
