@@ -235,7 +235,7 @@ sid AS (
 SELECT ticker, min(ts) AS session_start,
   max(ts) + INTERVAL 30 MINUTE AS session_end,
   count(*) AS n_events,
-  CAST(sum(CAST(price AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_price
+  CAST(CAST(sum(CAST(price AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_price
 FROM sid GROUP BY ticker, sid
 ORDER BY ticker, session_start"""),
     // Long->wide pivot of the minute aggregation (pinned ticker columns).

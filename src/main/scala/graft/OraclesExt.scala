@@ -3556,6 +3556,20 @@ l0 AS MATERIALIZED (
     s"CAST(list_sum(list_transform(range(16), j -> " +
       s"CASE WHEN 64 * sv[CAST(${16 * b} + j AS INT) + 1] > ssum " +
       s"THEN 1::BIGINT << CAST(j AS INT) ELSE 0::BIGINT END)) AS BIGINT) AS p$b"
+  /** Banded candidate pairs as a UNION of eight band equi-joins over
+    * a (materialized) fingerprint table: one arm per 8-bit band
+    * (lo/hi byte of p0..p3). Identical to the OR-disjunction join --
+    * a pair appears iff SOME band matches, and UNION dedups -- but
+    * every arm is a hash join where the disjunctive predicate forces
+    * DuckDB into a blockwise nested loop (quadratic in docs). */
+  private def bandArmUnion(tbl: String): String =
+    (0 until 4).flatMap(b => Seq(
+      s"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM $tbl a " +
+        s"JOIN $tbl b ON a.doc_id < b.doc_id AND a.p$b % 256 = b.p$b % 256",
+      s"SELECT a.doc_id, b.doc_id FROM $tbl a " +
+        s"JOIN $tbl b ON a.doc_id < b.doc_id AND a.p$b // 256 = b.p$b // 256"))
+      .mkString("\n  UNION\n  ")
+
   private val phashCtes: String = s"""
 WITH s AS (
   SELECT doc_id,
@@ -3725,20 +3739,28 @@ SELECT DISTINCT doc_a, doc_b, hamming FROM cand
 WHERE hamming <= 7 ORDER BY doc_a, doc_b"""
     },
     // Hamming histogram over the band-collision candidates: threshold
-    // calibration for the phash maxHamming bound
-    "mm_hamming_hist" -> {
-      val bandEq = (0 until 4).flatMap(b => Seq(
-        s"a.p$b % 256 = b.p$b % 256", s"a.p$b // 256 = b.p$b // 256"))
-        .mkString(" OR ")
-      s"""
+    // calibration for the phash maxHamming bound.
+    // The candidate front is stated as a UNION of eight band
+    // equi-joins rather than one OR-disjunction join: DuckDB executes
+    // a disjunctive join predicate as a blockwise nested loop --
+    // quadratic in docs, hours at sf10's 500k rows -- while the union
+    // form hash-joins per band and UNION-dedups, the same banding the
+    // engine's LSH path declares. Identical pair set by construction
+    // (a pair survives iff SOME band matches); value-invariance
+    // re-proven hash-green at sf0.01/sf0.1/sf1 before adoption.
+    "mm_hamming_hist" -> s"""
 $phashCtes,
+phm AS MATERIALIZED (SELECT doc_id, p0, p1, p2, p3 FROM ph),
+bnd AS MATERIALIZED (
+  ${bandArmUnion("phm")}),
 cand AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-    CAST(bit_count(xor(a.p0, b.p0)) + bit_count(xor(a.p1, b.p1)) +
-         bit_count(xor(a.p2, b.p2)) + bit_count(xor(a.p3, b.p3)) AS BIGINT)
-      AS hamming
-  FROM ph a JOIN ph b ON a.doc_id < b.doc_id AND ($bandEq)),
-dp AS (SELECT DISTINCT doc_a, doc_b, hamming FROM cand
+  SELECT bnd.doc_a, bnd.doc_b,
+    CAST(bit_count(xor(pa.p0, pb.p0)) + bit_count(xor(pa.p1, pb.p1)) +
+         bit_count(xor(pa.p2, pb.p2)) + bit_count(xor(pa.p3, pb.p3))
+      AS BIGINT) AS hamming
+  FROM bnd JOIN phm pa ON pa.doc_id = bnd.doc_a
+  JOIN phm pb ON pb.doc_id = bnd.doc_b),
+dp AS (SELECT doc_a, doc_b, hamming FROM cand
   WHERE hamming <= 32),
 hh AS (SELECT hamming, count(*)::BIGINT AS n_pairs FROM dp GROUP BY 1),
 ht AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS n_total FROM hh)
@@ -3749,21 +3771,29 @@ SELECT hamming, n_pairs,
 FROM hh CROSS JOIN ht
 WINDOW cw AS (ORDER BY hamming ROWS BETWEEN UNBOUNDED PRECEDING
   AND CURRENT ROW)
-ORDER BY hamming"""
-    },
+ORDER BY hamming""",
     // media-dedup capstone: recursive-CTE CC over the phash pairs,
-    // singletons grouped with themselves
-    "mm_phash_groups" -> {
-      val bandEq = (0 until 4).flatMap(b => Seq(
-        s"a.p$b % 256 = b.p$b % 256", s"a.p$b // 256 = b.p$b // 256"))
-        .mkString(" OR ")
-      phashCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + s""",
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM ph a JOIN ph b ON a.doc_id < b.doc_id AND ($bandEq)
-  WHERE bit_count(xor(a.p0, b.p0)) + bit_count(xor(a.p1, b.p1)) +
-        bit_count(xor(a.p2, b.p2)) + bit_count(xor(a.p3, b.p3)) <= 7),
-edges(a, b) AS (
+    // singletons grouped with themselves. Same union-of-band-equi-join
+    // candidate front as mm_hamming_hist, for one more reason here:
+    // DuckDB INLINES non-materialized CTEs, so inside WITH RECURSIVE
+    // the un-pinned candidate join would be re-expanded into every
+    // closure iteration -- the sf10 checker burned 40+ CPU-hours on
+    // exactly that before this restatement. MATERIALIZED pins the
+    // pair front and the edge list once; the recursion then only
+    // scans. The reach/min-label closure itself is the proven
+    // dedup_clusters shape (green at sf10).
+    "mm_phash_groups" ->
+      (phashCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + s""",
+phm AS MATERIALIZED (SELECT doc_id, p0, p1, p2, p3 FROM ph),
+bnd AS MATERIALIZED (
+  ${bandArmUnion("phm")}),
+cand AS MATERIALIZED (
+  SELECT bnd.doc_a, bnd.doc_b
+  FROM bnd JOIN phm pa ON pa.doc_id = bnd.doc_a
+  JOIN phm pb ON pb.doc_id = bnd.doc_b
+  WHERE bit_count(xor(pa.p0, pb.p0)) + bit_count(xor(pa.p1, pb.p1)) +
+        bit_count(xor(pa.p2, pb.p2)) + bit_count(xor(pa.p3, pb.p3)) <= 7),
+edges(a, b) AS MATERIALIZED (
   SELECT doc_a, doc_b FROM cand UNION SELECT doc_b, doc_a FROM cand),
 reach(node, label) AS (
   SELECT a, a FROM edges
@@ -3772,8 +3802,7 @@ reach(node, label) AS (
 cc AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node)
 SELECT d.doc_id, coalesce(cc.cluster, d.doc_id)::BIGINT AS group_id
 FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
-ORDER BY d.doc_id"""
-    },
+ORDER BY d.doc_id"""),
     // constellation landmark census: 32-byte frame energies (integer),
     // strict-left/weak-right local maxima, next-peak pairing within
     // the gap cap, salted landmark hash, per-source discriminability

@@ -9,7 +9,16 @@ object OraclesRel {
 
   // Scale 6 matches the expressions' exact decimal scale — see
   // Relational.decSum for why scale 4 would hit tie-rounding divergence.
-  private def dsum(e: String) = s"CAST(sum(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
+  // The exact decimal sum is routed to DOUBLE **through VARCHAR**:
+  // DuckDB's direct DECIMAL→DOUBLE cast divides the int128 scaled value
+  // by 10^scale in floating point — two roundings, up to 1 ULP off the
+  // correctly-rounded value (at sf10 an integer-exact 1.24e12 sum came
+  // back as x.0002 while Spark's BigDecimal.doubleValue was exact).
+  // DECIMAL→VARCHAR is exact digits and VARCHAR→DOUBLE is a correctly-
+  // rounded parse, matching Java semantics at every magnitude; wherever
+  // the direct cast was already correct the two paths are bit-equal, so
+  // the restatement is value-invariant for every previously-green scale.
+  private def dsum(e: String) = s"CAST(CAST(sum(CAST($e AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)"
 
   // Deletion neighborhood over distinct names `n(name)`: pos 0 keeps
   // the name itself, pos i deletes character i — MATERIALIZED because
@@ -409,7 +418,7 @@ SELECT ${dsum("l_extendedprice")} / 7.0 AS avg_yearly,
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE p_brand = 'Brand#1'
   AND l_quantity < (
-    SELECT CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+    SELECT CAST(CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
       / count(*) * 0.2
     FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""",
     // the oracle states the PLAIN join: hash equality proves the salted
@@ -848,14 +857,14 @@ SELECT ${pct}::BIGINT AS top_pct,
   round((SELECT quantile_cont(rev, $p) FROM rev), 6) AS threshold,
   count(*) FILTER (rev >= (SELECT quantile_cont(rev, $p) FROM rev))::BIGINT
     AS n_customers,
-  round(CAST(sum(CAST(CASE WHEN rev >= (SELECT quantile_cont(rev, $p) FROM rev)
-      THEN rev ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) /
-    (SELECT CAST(sum(CAST(rev AS DECIMAL(18,6))) AS DOUBLE) FROM rev), 6)
+  round(CAST(CAST(sum(CAST(CASE WHEN rev >= (SELECT quantile_cont(rev, $p) FROM rev)
+      THEN rev ELSE 0.0 END AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) /
+    (SELECT CAST(CAST(sum(CAST(rev AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) FROM rev), 6)
     AS revenue_share
 FROM rev"""
       """
 WITH rev AS (
-  SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+  SELECT o_custkey, CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
     AS rev
   FROM orders GROUP BY o_custkey)""" +
         Seq(row(1, 0.99), row(5, 0.95), row(10, 0.90))
@@ -1130,7 +1139,7 @@ ORDER BY period_days"""
     "rel_theil" -> """
 WITH rev AS (
   SELECT o_custkey,
-    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS x
+    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS x
   FROM orders GROUP BY 1),
 rc AS (
   SELECT n.n_name, r.x
@@ -1168,16 +1177,16 @@ SELECT n_name, n_customers,
 FROM ag ORDER BY n_name""",
     "rel_gini" -> """
 WITH rev AS (
-  SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+  SELECT o_custkey, CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
     AS rev
   FROM orders GROUP BY o_custkey),
 r AS (
   SELECT rev, row_number() OVER (ORDER BY rev, o_custkey)::BIGINT AS rank
   FROM rev)
 SELECT count(*)::BIGINT AS n_customers,
-  CAST(sum(CAST(rev AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue,
-  round(2.0 * CAST(sum(CAST(rev AS DECIMAL(18,6)) * rank) AS DOUBLE) /
-      (count(*) * CAST(sum(CAST(rev AS DECIMAL(18,6))) AS DOUBLE)) -
+  CAST(CAST(sum(CAST(rev AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total_revenue,
+  round(2.0 * CAST(CAST(sum(CAST(rev AS DECIMAL(18,6)) * rank) AS VARCHAR) AS DOUBLE) /
+      (count(*) * CAST(CAST(sum(CAST(rev AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)) -
     CAST(count(*) + 1 AS DOUBLE) / count(*), 6) AS gini
 FROM r""",
     "rel_time_to_convert" -> """
@@ -1259,13 +1268,13 @@ FROM m ORDER BY p_brand""",
     "rel_dp_release" -> """
 WITH pc AS (
   SELECT o_custkey,
-    least(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE),
+    least(CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE),
       100000.0) AS rev_clipped
   FROM orders GROUP BY 1),
 bn AS (
   SELECT n_name, count(*)::BIGINT AS n_cust,
-    CAST(sum(CAST(round(coalesce(rev_clipped, 0.0), 6)
-      AS DECIMAL(18,6))) AS DOUBLE) AS rev_sum
+    CAST(CAST(sum(CAST(round(coalesce(rev_clipped, 0.0), 6)
+      AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS rev_sum
   FROM customer
   JOIN nation ON c_nationkey = n_nationkey
   LEFT JOIN pc ON c_custkey = o_custkey
@@ -1384,15 +1393,25 @@ b AS (
     EXTRACT(MONTH FROM month) AS moy, revenue - trend AS d
   FROM tr),
 se AS (
-  SELECT moy, CAST(sum(CAST(round(d, 6) AS DECIMAL(18,6))) AS DOUBLE) /
+  -- VARCHAR-mediated 6dp grids (the stock_vwap idiom): at month-revenue
+  -- magnitudes (~1e9 at sf10) DuckDB's float-scaled round(x, 6)
+  -- computes round(x*1e6)/1e6 where x*1e6 sits at ULP 0.125 -- the 6th
+  -- decimal is unresolvable -- while Spark rounds the shortest decimal
+  -- repr HALF_UP exactly; VARCHAR->DECIMAL states that same grid
+  SELECT moy, CAST(CAST(sum(CAST(CAST(d AS VARCHAR) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) /
     count(*) AS s_raw
   FROM b WHERE d IS NOT NULL GROUP BY 1),
-sb AS (SELECT CAST(sum(CAST(round(s_raw, 6) AS DECIMAL(18,6)))
-  AS DOUBLE) / count(*) AS sbar FROM se)
-SELECT b.month, round(b.revenue, 2) AS revenue,
-  round(b.trend, 6) AS trend,
-  round(se.s_raw - sb.sbar, 6) AS seasonal,
-  round(b.d - (se.s_raw - sb.sbar), 6) AS residual
+sb AS (SELECT CAST(CAST(sum(CAST(CAST(s_raw AS VARCHAR) AS DECIMAL(28,6)))
+  AS VARCHAR) AS DOUBLE) / count(*) AS sbar FROM se)
+SELECT b.month,
+  CAST(CAST(CAST(CAST(b.revenue AS VARCHAR) AS DECIMAL(28,2))
+    AS VARCHAR) AS DOUBLE) AS revenue,
+  CAST(CAST(CAST(CAST(b.trend AS VARCHAR) AS DECIMAL(28,6))
+    AS VARCHAR) AS DOUBLE) AS trend,
+  CAST(CAST(CAST(CAST(se.s_raw - sb.sbar AS VARCHAR) AS DECIMAL(28,6))
+    AS VARCHAR) AS DOUBLE) AS seasonal,
+  CAST(CAST(CAST(CAST(b.d - (se.s_raw - sb.sbar) AS VARCHAR)
+    AS DECIMAL(28,6)) AS VARCHAR) AS DOUBLE) AS residual
 FROM b LEFT JOIN se ON b.moy = se.moy CROSS JOIN sb
 ORDER BY b.month""",
     // Categorical naive Bayes: Laplace-smoothed count likelihoods,
@@ -1922,14 +1941,14 @@ ORDER BY o_orderpriority""",
     "rel_hhi" -> """
 WITH cells AS (
   SELECT c.c_mktsegment, n.n_name,
-    CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS rev
+    CAST(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS rev
   FROM orders o
   JOIN customer c ON o.o_custkey = c.c_custkey
   JOIN nation n ON c.c_nationkey = n.n_nationkey
   GROUP BY 1, 2),
 st AS (
   SELECT c_mktsegment,
-    CAST(sum(CAST(rev AS DECIMAL(18,6))) AS DOUBLE) AS seg_rev
+    CAST(CAST(sum(CAST(rev AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS seg_rev
   FROM cells GROUP BY 1),
 t AS (
   SELECT cells.c_mktsegment,
