@@ -276,15 +276,22 @@ FROM stock ORDER BY ts, ticker"""),
     // event_id) order — the oracle recomputes the contiguous index
     // with row_number, independently of the engine's distributed
     // zipWithIndex construction
+    // The modulo is PROJECTED onto the tick axis before the join: with
+    // the scalar subquery inside the join predicate DuckDB planned a
+    // BLOCKWISE_NL_JOIN (9M ticks x 6M bars at sf10 -- unfinishable);
+    // as a projected column the join is a plain hash equi-join on
+    // midx = idx. Same schedule by construction.
     "stock_replay" -> """
 WITH b AS (
   SELECT event_id, event_type, user_id,
     (row_number() OVER (ORDER BY ts, event_id) - 1)::BIGINT AS idx
   FROM events),
+n AS (SELECT count(*)::BIGINT AS cnt FROM events),
 t AS (
-  SELECT unnest(range((SELECT count(*) * 3 // 2 FROM events)))::BIGINT AS tick)
+  SELECT unnest(range((SELECT cnt * 3 // 2 FROM n)))::BIGINT AS tick),
+tm AS (SELECT tick, tick % (SELECT cnt FROM n) AS midx FROM t)
 SELECT tick, idx, event_id, event_type, user_id
-FROM t JOIN b ON tick % (SELECT count(*) FROM events) = idx
+FROM tm JOIN b ON midx = idx
 ORDER BY tick""",
   )
 

@@ -94,7 +94,7 @@ eb AS (
       x -> x / sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS ev
   FROM embeddings),
 ecm AS (
-  SELECT label, pos, CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS cv
+  SELECT label, pos, CAST(CAST(sum(CAST(x AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / count(*) AS cv
   FROM (SELECT label, unnest(ev) AS x, unnest(range(len(ev))) AS pos FROM eb)
   GROUP BY label, pos),
 ect AS (
@@ -189,14 +189,14 @@ bins AS (
   FROM j GROUP BY 1),
 tot AS (
   SELECT count(*)::BIGINT AS n,
-    CAST(sum(CAST(err * err AS DECIMAL(38,18))) AS DOUBLE) AS sq_err
+    CAST(CAST(sum(CAST(err * err AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS sq_err
   FROM j),
 s AS (
   SELECT max(n) AS n_docs, count(*)::BIGINT AS n_bins,
-    CAST(sum(CAST((CAST(n_b AS DOUBLE) / CAST(n AS DOUBLE)) *
+    CAST(CAST(sum(CAST((CAST(n_b AS DOUBLE) / CAST(n AS DOUBLE)) *
       abs(CAST(n_keep AS DOUBLE) / CAST(n_b AS DOUBLE) -
         s_score / CAST(n_b AS DOUBLE)) AS DECIMAL(38,18)))
-      AS DOUBLE) AS ece_raw,
+      AS VARCHAR) AS DOUBLE) AS ece_raw,
     max(abs(CAST(n_keep AS DOUBLE) / CAST(n_b AS DOUBLE) -
       s_score / CAST(n_b AS DOUBLE))) AS max_gap_raw,
     max(sq_err / CAST(n AS DOUBLE)) AS brier_raw
@@ -369,7 +369,7 @@ tp AS (
     n_tokens::DOUBLE / total_tokens AS share,
     sqrt(n_tokens::DOUBLE / total_tokens) AS tw
   FROM ps CROSS JOIN tt),
-nz AS (SELECT CAST(sum(CAST(tw AS DECIMAL(28,12))) AS DOUBLE) AS z
+nz AS (SELECT CAST(CAST(sum(CAST(tw AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) AS z
   FROM tp)
 SELECT source, n_docs, n_tokens,
   round(share, 6) AS share,
@@ -480,7 +480,7 @@ tp AS (
     n_tokens::DOUBLE / total_tokens AS share,
     sqrt(n_tokens::DOUBLE / total_tokens) AS tw
   FROM pl CROSS JOIN tt),
-nz AS (SELECT CAST(sum(CAST(tw AS DECIMAL(28,12))) AS DOUBLE) AS z FROM tp)
+nz AS (SELECT CAST(CAST(sum(CAST(tw AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) AS z FROM tp)
 SELECT lang, n_docs, n_tokens,
   round(share, 6) AS share,
   round(tw / z, 6) AS tempered_share,

@@ -171,23 +171,23 @@ ml AS (SELECT lang, CAST(sum(nls) AS BIGINT) AS nl
 ms AS (SELECT source, CAST(sum(nls) AS BIGINT) AS ns
   FROM joint GROUP BY 1),
 mi AS (
-  SELECT CAST(sum(CAST(round(
+  SELECT CAST(CAST(sum(CAST(round(
     (CAST(nls AS DOUBLE) / CAST(n AS DOUBLE)) *
       ln((CAST(nls AS DOUBLE) / CAST(n AS DOUBLE)) /
         ((CAST(nl AS DOUBLE) / CAST(n AS DOUBLE)) *
           (CAST(ns AS DOUBLE) / CAST(n AS DOUBLE)))), 12)
-    AS DECIMAL(28,12))) AS DOUBLE) AS mi
+    AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) AS mi
   FROM joint JOIN ml USING (lang) JOIN ms USING (source)
   CROSS JOIN tot),
 hl AS (
-  SELECT CAST(sum(CAST(round(-((CAST(nl AS DOUBLE) /
+  SELECT CAST(CAST(sum(CAST(round(-((CAST(nl AS DOUBLE) /
       CAST(n AS DOUBLE)) * ln(CAST(nl AS DOUBLE) /
-      CAST(n AS DOUBLE))), 12) AS DECIMAL(28,12))) AS DOUBLE) AS hl
+      CAST(n AS DOUBLE))), 12) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) AS hl
   FROM ml CROSS JOIN tot),
 hs AS (
-  SELECT CAST(sum(CAST(round(-((CAST(ns AS DOUBLE) /
+  SELECT CAST(CAST(sum(CAST(round(-((CAST(ns AS DOUBLE) /
       CAST(n AS DOUBLE)) * ln(CAST(ns AS DOUBLE) /
-      CAST(n AS DOUBLE))), 12) AS DECIMAL(28,12))) AS DOUBLE) AS hs
+      CAST(n AS DOUBLE))), 12) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) AS hs
   FROM ms CROSS JOIN tot)
 SELECT n AS n_docs, round(mi, 6) AS mi, round(hl, 6) AS h_lang,
   round(hs, 6) AS h_source,
@@ -226,8 +226,8 @@ ph AS (
   SELECT wl.doc_id, wl.phrase_id,
     string_agg(wl.token, ' ' ORDER BY wl.pos) AS phrase,
     count(*)::BIGINT AS n_words,
-    CAST(sum(CAST(round(CAST(ws.deg AS DOUBLE) /
-      CAST(ws.freq AS DOUBLE), 12) AS DECIMAL(28,12))) AS DOUBLE)
+    CAST(CAST(sum(CAST(round(CAST(ws.deg AS DOUBLE) /
+      CAST(ws.freq AS DOUBLE), 12) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE)
       AS score
   FROM wl JOIN ws ON wl.token = ws.token
   GROUP BY 1, 2),
@@ -395,8 +395,8 @@ t AS (
   FROM c GROUP BY 1)
 SELECT source, max(n_langs)::BIGINT AS n_langs,
   CAST(max(tot) AS BIGINT) AS n_docs,
-  round(CAST(sum(CAST(round(-(n::DOUBLE / tot) * ln(n::DOUBLE / tot), 12)
-    AS DECIMAL(18,12))) AS DOUBLE), 6) AS lang_entropy
+  round(CAST(CAST(sum(CAST(round(-(n::DOUBLE / tot) * ln(n::DOUBLE / tot), 12)
+    AS DECIMAL(18,12))) AS VARCHAR) AS DOUBLE), 6) AS lang_entropy
 FROM c JOIN t USING (source)
 GROUP BY source ORDER BY source""",
     // DSIR-ranked selection: top-N by mean importance log-ratio
@@ -599,9 +599,9 @@ c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bg GROUP BY 1, 2),
 c1 AS (SELECT w1, count(*)::BIGINT AS c1 FROM bg GROUP BY 1),
 nbt AS (SELECT count(*)::BIGINT AS nb FROM bg),
 cond AS (
-  SELECT round(CAST(sum(CAST(round(
+  SELECT round(CAST(CAST(sum(CAST(round(
       -(c12.c12::DOUBLE / nb) * ln(c12.c12::DOUBLE / c1.c1), 12)
-      AS DECIMAL(18,12))) AS DOUBLE), 6) AS entropy_rate
+      AS DECIMAL(18,12))) AS VARCHAR) AS DOUBLE), 6) AS entropy_rate
   FROM c12 JOIN c1 USING (w1) CROSS JOIN nbt),
 u AS (
   SELECT t, count(*)::BIGINT AS c
@@ -610,8 +610,8 @@ mt AS (
   SELECT CAST(sum(c) AS BIGINT) AS m, count(*)::BIGINT AS vocab FROM u),
 uni AS (
   SELECT m, vocab,
-    round(CAST(sum(CAST(round(-(c::DOUBLE / m) * ln(c::DOUBLE / m), 12)
-      AS DECIMAL(18,12))) AS DOUBLE), 6) AS unigram_entropy
+    round(CAST(CAST(sum(CAST(round(-(c::DOUBLE / m) * ln(c::DOUBLE / m), 12)
+      AS DECIMAL(18,12))) AS VARCHAR) AS DOUBLE), 6) AS unigram_entropy
   FROM u CROSS JOIN mt GROUP BY 1, 2)
 SELECT m AS n_tokens, vocab, unigram_entropy, entropy_rate,
   round(unigram_entropy - entropy_rate, 6) AS mutual_info
@@ -766,12 +766,12 @@ ss AS (
   HAVING count(*) = $seg),
 dt AS (
   SELECT source, doc_id, count(*)::BIGINT AS n_segments,
-    CAST(sum(CAST(round(n_types::DOUBLE / $seg, 12) AS DECIMAL(18,12)))
-      AS DOUBLE) / count(*) AS doc_sttr
+    CAST(CAST(sum(CAST(round(n_types::DOUBLE / $seg, 12) AS DECIMAL(18,12)))
+      AS VARCHAR) AS DOUBLE) / count(*) AS doc_sttr
   FROM ss GROUP BY 1, 2)
 SELECT source, count(*)::BIGINT AS n_docs_measured,
-  round(CAST(sum(CAST(round(doc_sttr, 12) AS DECIMAL(18,12)))
-    AS DOUBLE) / count(*), 6) AS mean_sttr
+  round(CAST(CAST(sum(CAST(round(doc_sttr, 12) AS DECIMAL(18,12)))
+    AS VARCHAR) AS DOUBLE) / count(*), 6) AS mean_sttr
 FROM dt GROUP BY source ORDER BY source"""
     },
   )
@@ -1024,10 +1024,10 @@ SELECT count(*)::BIGINT AS n_candidates,
   count(*) FILTER (jaccard >= 0.5)::BIGINT AS n_verified,
   round(count(*) FILTER (jaccard >= 0.5)::DOUBLE / count(*), 6)
     AS cand_precision,
-  round(CAST(sum(CAST(round(abs(est_j - jaccard), 6) AS DECIMAL(18,6)))
-    AS DOUBLE) / count(*), 6) AS est_mae,
-  round(CAST(sum(CAST(round(est_j - jaccard, 6) AS DECIMAL(18,6)))
-    AS DOUBLE) / count(*), 6) AS est_bias
+  round(CAST(CAST(sum(CAST(round(abs(est_j - jaccard), 6) AS DECIMAL(18,6)))
+    AS VARCHAR) AS DOUBLE) / count(*), 6) AS est_mae,
+  round(CAST(CAST(sum(CAST(round(est_j - jaccard, 6) AS DECIMAL(18,6)))
+    AS VARCHAR) AS DOUBLE) / count(*), 6) AS est_bias
 FROM pr"""),
     // leakage-free split: the dedup_clusters recursive chain gives each
     // doc its near-dup group; the split hash is taken on the GROUP id
@@ -1400,7 +1400,7 @@ asg$i AS MATERIALIZED (
     FROM base b CROSS JOIN c${i - 1} c)
   WHERE rn = 1),
 cm$i AS MATERIALIZED (
-  SELECT cell, pos, CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS cv
+  SELECT cell, pos, CAST(CAST(sum(CAST(v AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / count(*) AS cv
   FROM (SELECT cell, unnest(ev) AS v, unnest(range(len(ev))) AS pos FROM asg$i)
   GROUP BY cell, pos),
 c$i AS MATERIALIZED (
@@ -1454,7 +1454,7 @@ $aP$s$i AS (
     FROM $subP$s b CROSS JOIN $cP$s${i - 1} c)
   WHERE rn = 1),
 $mP$s$i AS (
-  SELECT cell, pos, CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS cv
+  SELECT cell, pos, CAST(CAST(sum(CAST(x AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / count(*) AS cv
   FROM (SELECT cell, unnest(v) AS x, unnest(range(len(v))) AS pos FROM $aP$s$i)
   GROUP BY cell, pos),
 $cP$s$i AS (SELECT cell, list(cv ORDER BY pos) AS centroid FROM $mP$s$i GROUP BY cell)""")
@@ -1529,8 +1529,8 @@ up AS (
   FROM base),
 pr AS (
   SELECT up.vec_id, sgn.j,
-    CAST(sum(CAST(sgn.sv[pos + 1] * up.v AS DECIMAL(28,12)))
-      AS DOUBLE) AS pv
+    CAST(CAST(sum(CAST(sgn.sv[pos + 1] * up.v AS DECIMAL(28,12)))
+      AS VARCHAR) AS DOUBLE) AS pv
   FROM up CROSS JOIN sgn GROUP BY 1, 2),
 pl AS (SELECT vec_id, list(pv ORDER BY j) AS p FROM pr GROUP BY 1),
 pun AS (
@@ -1598,15 +1598,15 @@ cent AS (
   SELECT keep, ${unitSql("centroid")} AS cunit FROM (
     SELECT keep, list(cv ORDER BY pos) AS centroid FROM (
       SELECT keep, pos,
-        CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS cv
+        CAST(CAST(sum(CAST(v AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / count(*) AS cv
       FROM (SELECT keep, unnest(ev) AS v, unnest(range(len(ev))) AS pos
         FROM kb)
       GROUP BY keep, pos)
     GROUP BY keep)),
 coh AS (
   SELECT kb.keep, count(*)::BIGINT AS n_docs,
-    round(CAST(sum(CAST(list_inner_product(kb.ev, c.cunit)
-      AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS cohesion
+    round(CAST(CAST(sum(CAST(list_inner_product(kb.ev, c.cunit)
+      AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / count(*), 6) AS cohesion
   FROM kb JOIN cent c ON kb.keep = c.keep GROUP BY kb.keep),
 cx AS (
   SELECT a.keep, round(list_inner_product(a.cunit, b.cunit), 6)
@@ -1624,8 +1624,8 @@ WITH dv AS (
     FROM embeddings)),
 m AS (
   SELECT CAST(pos AS BIGINT) AS pos, count(*) AS n,
-    CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) AS s1,
-    CAST(sum(CAST(v * v AS DECIMAL(28,10))) AS DOUBLE) AS s2
+    CAST(CAST(sum(CAST(v AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS s1,
+    CAST(CAST(sum(CAST(v * v AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS s2
   FROM dv GROUP BY 1)
 SELECT pos, n,
   round(s1 / CAST(n AS DOUBLE), 6) AS dim_mean,
@@ -1643,8 +1643,8 @@ WITH dv AS (
     FROM embeddings)),
 m AS (
   SELECT CAST(pos AS BIGINT) AS pos, count(*) AS n,
-    CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) AS s1,
-    CAST(sum(CAST(v * v AS DECIMAL(28,10))) AS DOUBLE) AS s2
+    CAST(CAST(sum(CAST(v AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS s1,
+    CAST(CAST(sum(CAST(v * v AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS s2
   FROM dv GROUP BY 1),
 vars AS (
   SELECT round(greatest(s2 / CAST(n AS DOUBLE) -
@@ -1670,7 +1670,7 @@ cent AS (
   SELECT label, ${unitSql("centroid")} AS cunit FROM (
     SELECT label, list(cv ORDER BY pos) AS centroid FROM (
       SELECT label, pos,
-        CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS cv
+        CAST(CAST(sum(CAST(v AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / count(*) AS cv
       FROM (
         SELECT label, unnest(embedding::DOUBLE[]) AS v,
                unnest(range(len(embedding))) AS pos
@@ -1710,7 +1710,7 @@ sil_s AS (
       ELSE 0.0 END AS s
   FROM sil_p)
 SELECT cell, count(*)::BIGINT AS n_members,
-  round(CAST(sum(CAST(s AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6)
+  round(CAST(CAST(sum(CAST(s AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / count(*), 6)
     AS mean_silhouette
 FROM sil_s GROUP BY cell ORDER BY cell"""
     }),
@@ -1723,33 +1723,33 @@ ex AS (
 xs AS (SELECT vec_id, pos AS i, v AS xi FROM ex WHERE pos < 32),
 ys AS (SELECT vec_id, pos - 32 AS j, v AS yj FROM ex WHERE pos >= 32),
 n1 AS (SELECT count(*)::BIGINT AS n FROM base),
-si AS (SELECT i, CAST(sum(CAST(xi AS DECIMAL(38,18))) AS DOUBLE)
+si AS (SELECT i, CAST(CAST(sum(CAST(xi AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)
   AS si FROM xs GROUP BY 1),
-sj AS (SELECT j, CAST(sum(CAST(yj AS DECIMAL(38,18))) AS DOUBLE)
+sj AS (SELECT j, CAST(CAST(sum(CAST(yj AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)
   AS sj FROM ys GROUP BY 1),
 cxy AS (
-  SELECT i, j, CAST(sum(CAST(xi * yj AS DECIMAL(38,18))) AS DOUBLE)
+  SELECT i, j, CAST(CAST(sum(CAST(xi * yj AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)
     AS sij
   FROM xs JOIN ys USING (vec_id) GROUP BY 1, 2),
 hxy AS (
-  SELECT CAST(sum(CAST(c * c AS DECIMAL(38,18))) AS DOUBLE) AS hxy
+  SELECT CAST(CAST(sum(CAST(c * c AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS hxy
   FROM (SELECT sij - si.si * sj.sj / CAST(n AS DOUBLE) AS c
     FROM cxy JOIN si USING (i) JOIN sj USING (j) CROSS JOIN n1)),
 cxx AS (
   SELECT a.i AS i, b.i AS i2,
-    CAST(sum(CAST(a.xi * b.xi AS DECIMAL(38,18))) AS DOUBLE) AS sij
+    CAST(CAST(sum(CAST(a.xi * b.xi AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS sij
   FROM xs a JOIN xs b USING (vec_id) GROUP BY 1, 2),
 hxx AS (
-  SELECT CAST(sum(CAST(c * c AS DECIMAL(38,18))) AS DOUBLE) AS hxx
+  SELECT CAST(CAST(sum(CAST(c * c AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS hxx
   FROM (SELECT sij - s1.si * s2.si / CAST(n AS DOUBLE) AS c
     FROM cxx JOIN si s1 ON cxx.i = s1.i JOIN si s2 ON cxx.i2 = s2.i
     CROSS JOIN n1)),
 cyy AS (
   SELECT a.j AS j, b.j AS j2,
-    CAST(sum(CAST(a.yj * b.yj AS DECIMAL(38,18))) AS DOUBLE) AS sij
+    CAST(CAST(sum(CAST(a.yj * b.yj AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS sij
   FROM ys a JOIN ys b USING (vec_id) GROUP BY 1, 2),
 hyy AS (
-  SELECT CAST(sum(CAST(c * c AS DECIMAL(38,18))) AS DOUBLE) AS hyy
+  SELECT CAST(CAST(sum(CAST(c * c AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS hyy
   FROM (SELECT sij - s1.sj * s2.sj / CAST(n AS DOUBLE) AS c
     FROM cyy JOIN sj s1 ON cyy.j = s1.j JOIN sj s2 ON cyy.j2 = s2.j
     CROSS JOIN n1))
@@ -1765,8 +1765,8 @@ FROM n1 CROSS JOIN hxy CROSS JOIN hxx CROSS JOIN hyy"""),
       s""",
 sw AS (
   SELECT a.cell, count(*)::BIGINT AS n_members,
-    CAST(sum(CAST(1.0 - round(list_inner_product(a.ev, c.centroid), 6)
-      AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS si
+    CAST(CAST(sum(CAST(1.0 - round(list_inner_product(a.ev, c.centroid), 6)
+      AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / count(*) AS si
   FROM asg$it a JOIN c$it c ON a.cell = c.cell
   GROUP BY a.cell),
 cp AS (
@@ -1778,7 +1778,7 @@ dm AS (
     max((s1.si + s2.si) / (CASE WHEN cp.m <> 0.0 THEN cp.m END)) AS di
   FROM cp JOIN sw s1 ON cp.ci = s1.cell JOIN sw s2 ON cp.cj = s2.cell
   GROUP BY 1),
-db AS (SELECT CAST(sum(CAST(di AS DECIMAL(28,10))) AS DOUBLE) /
+db AS (SELECT CAST(CAST(sum(CAST(di AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) /
   count(*) AS db FROM dm)
 SELECT sw.cell, sw.n_members, round(sw.si, 6) AS s_within,
   round(dm.di, 6) AS r_max, round(db.db, 6) AS db_index
@@ -1792,12 +1792,12 @@ ORDER BY sw.cell"""
       s""",
 w AS (
   SELECT count(*)::BIGINT AS n_vectors,
-    CAST(sum(CAST(2.0 - 2.0 *
+    CAST(CAST(sum(CAST(2.0 - 2.0 *
       round(list_inner_product(a.ev, c.centroid), 6)
-      AS DECIMAL(28,10))) AS DOUBLE) AS w_ss
+      AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS w_ss
   FROM asg$it a JOIN c$it c ON a.cell = c.cell),
 gm AS (
-  SELECT pos, CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) /
+  SELECT pos, CAST(CAST(sum(CAST(v AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) /
     count(*) AS gv
   FROM (SELECT unnest(ev) AS v, unnest(range(len(ev))) AS pos
     FROM asg$it)
@@ -1806,10 +1806,10 @@ gg AS (SELECT list(gv ORDER BY pos) AS g FROM gm),
 sz AS (SELECT cell, count(*)::BIGINT AS n_i FROM asg$it GROUP BY 1),
 b AS (
   SELECT count(*)::BIGINT AS k_cells,
-    CAST(sum(CAST(CAST(n_i AS DOUBLE) *
+    CAST(CAST(sum(CAST(CAST(n_i AS DOUBLE) *
       (1.0 - 2.0 * round(list_inner_product(c.centroid, gg.g), 6) +
         round(list_inner_product(gg.g, gg.g), 6)) AS DECIMAL(28,10)))
-      AS DOUBLE) AS b_ss
+      AS VARCHAR) AS DOUBLE) AS b_ss
   FROM c$it c JOIN sz ON c.cell = sz.cell CROSS JOIN gg)
 SELECT n_vectors, k_cells, round(w_ss, 6) AS w_ss,
   round(b_ss, 6) AS b_ss,
@@ -1889,7 +1889,7 @@ cent AS (
   SELECT label, ${unitSql("centroid")} AS cunit FROM (
     SELECT label, list(cv ORDER BY pos) AS centroid FROM (
       SELECT label, pos,
-        CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS cv FROM (
+        CAST(CAST(sum(CAST(v AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / count(*) AS cv FROM (
         SELECT label, unnest(embedding::DOUBLE[]) AS v,
                unnest(range(len(embedding))) AS pos
         FROM embeddings)
@@ -1897,8 +1897,8 @@ cent AS (
     GROUP BY label)),
 coh AS (
   SELECT b.label::BIGINT AS label, count(*)::BIGINT AS n_vecs,
-    round(CAST(sum(CAST(list_inner_product(b.ev, c.cunit)
-      AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS cohesion
+    round(CAST(CAST(sum(CAST(list_inner_product(b.ev, c.cunit)
+      AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / count(*), 6) AS cohesion
   FROM base b JOIN cent c ON b.label = c.label GROUP BY b.label),
 pairs AS (
   SELECT a.label AS label, b.label AS label_b,
@@ -1917,7 +1917,7 @@ cent AS (
   SELECT label, ${unitSql("centroid")} AS cunit FROM (
     SELECT label, list(cv ORDER BY pos) AS centroid FROM (
       SELECT label, pos,
-        CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS cv FROM (
+        CAST(CAST(sum(CAST(v AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / count(*) AS cv FROM (
         SELECT label, unnest(embedding::DOUBLE[]) AS v,
                unnest(range(len(embedding))) AS pos
         FROM embeddings)
@@ -1983,7 +1983,7 @@ ORDER BY query_id, rank"""),
     // bottom-k cosine per label
     "sim_outliers" -> (simBase + s""",
 cm AS (
-  SELECT label, pos, CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS cv
+  SELECT label, pos, CAST(CAST(sum(CAST(v AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / count(*) AS cv
   FROM (SELECT label, unnest(ev) AS v, unnest(range(len(ev))) AS pos FROM base)
   GROUP BY label, pos),
 ct AS (
@@ -2446,8 +2446,8 @@ opn AS (
   FROM wed w LEFT JOIN med m ON w.vec_a = m.vec_a AND w.vec_b = m.vec_b
   WHERE m.vec_a IS NULL)
 SELECT o.vec_a, o.vec_b, count(*)::BIGINT AS common_neighbors,
-  round(CAST(sum(CAST(1.0 / ln(d.degree) AS DECIMAL(28,10)))
-    AS DOUBLE), 6) AS adamic_adar
+  round(CAST(CAST(sum(CAST(1.0 / ln(d.degree) AS DECIMAL(28,10)))
+    AS VARCHAR) AS DOUBLE), 6) AS adamic_adar
 FROM opn o JOIN deg d ON o.mid = d.vec_id
 GROUP BY 1, 2 ORDER BY vec_a, vec_b"""
     }),
@@ -2736,13 +2736,13 @@ SELECT sub, n_vectors, round(mseu, 6) AS mse,
   round(1.0 - mseu / powu, 6) AS explained
 FROM (
   SELECT $s::BIGINT AS sub, count(*)::BIGINT AS n_vectors,
-    CAST(sum(CAST(round(
+    CAST(CAST(sum(CAST(round(
       list_inner_product(a.v, a.v) -
         2 * list_inner_product(a.v, c.centroid) +
         list_inner_product(c.centroid, c.centroid), 12)
-      AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mseu,
-    CAST(sum(CAST(round(list_inner_product(a.v, a.v), 12)
-      AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS powu
+      AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) / count(*) AS mseu,
+    CAST(CAST(sum(CAST(round(list_inner_product(a.v, a.v), 12)
+      AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) / count(*) AS powu
   FROM pa$s$it a JOIN pc$s$it c USING (cell))"""
       }.mkString("\nUNION ALL")
       blocks + "\nORDER BY sub"
@@ -2937,7 +2937,7 @@ cent AS (
   SELECT label, ${unitSql("centroid")} AS cunit FROM (
     SELECT label, list(cv ORDER BY pos) AS centroid FROM (
       SELECT label, pos,
-        CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS cv FROM (
+        CAST(CAST(sum(CAST(v AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / count(*) AS cv FROM (
         SELECT label, unnest(embedding::DOUBLE[]) AS v,
                unnest(range(len(embedding))) AS pos
         FROM embeddings)

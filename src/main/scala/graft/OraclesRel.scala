@@ -749,8 +749,8 @@ pi$i AS (
   FROM st s
   LEFT JOIN (
     SELECT tp.to_type AS state,
-      CAST(sum(CAST(round(pi.p * tp.p, 12) AS DECIMAL(28,12)))
-        AS DOUBLE) AS v
+      CAST(CAST(sum(CAST(round(pi.p * tp.p, 12) AS DECIMAL(28,12)))
+        AS VARCHAR) AS DOUBLE) AS v
     FROM $prev pi JOIN tp ON pi.state = tp.from_type
     GROUP BY 1) inf ON s.state = inf.state
   LEFT JOIN (
@@ -1112,11 +1112,11 @@ SELECT $p::BIGINT AS period_days, nd AS n_days,
     round((a * a + b * b) / (nd * sst), 6) END AS power_share
 FROM (
   SELECT nd,
-    CAST(sum(CAST(round(xc * cos($twoPi * (t % $p)::DOUBLE / $p), 10)
-      AS DECIMAL(28,10))) AS DOUBLE) AS a,
-    CAST(sum(CAST(round(xc * sin($twoPi * (t % $p)::DOUBLE / $p), 10)
-      AS DECIMAL(28,10))) AS DOUBLE) AS b,
-    CAST(sum(CAST(round(xc * xc, 10) AS DECIMAL(28,10))) AS DOUBLE)
+    CAST(CAST(sum(CAST(round(xc * cos($twoPi * (t % $p)::DOUBLE / $p), 10)
+      AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS a,
+    CAST(CAST(sum(CAST(round(xc * sin($twoPi * (t % $p)::DOUBLE / $p), 10)
+      AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS b,
+    CAST(CAST(sum(CAST(round(xc * xc, 10) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
       AS sst
   FROM based GROUP BY nd)"""
       }.mkString("\nUNION ALL")
@@ -1148,11 +1148,11 @@ rc AS (
   WHERE r.x > 0),
 pn AS (
   SELECT n_name, count(*)::BIGINT AS n_g,
-    CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS s_g
+    CAST(CAST(sum(CAST(x AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS s_g
   FROM rc GROUP BY 1),
 t AS (
   SELECT CAST(sum(n_g) AS BIGINT) AS n_tot,
-    CAST(sum(CAST(s_g AS DECIMAL(28,6))) AS DOUBLE) AS s_tot
+    CAST(CAST(sum(CAST(s_g AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS s_tot
   FROM pn),
 st AS (
   SELECT n_name, n_g, s_g, n_tot, s_tot,
@@ -1616,7 +1616,7 @@ grid AS (
 t AS (
   SELECT max(n) AS n_rows, max(n_status) AS n_status,
     max(n_priority) AS n_priority,
-    CAST(sum(CAST(
+    CAST(CAST(sum(CAST(
       CASE WHEN CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) /
           CAST(n AS DOUBLE) > 0.0
         THEN (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
@@ -1624,7 +1624,7 @@ t AS (
           (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
             / CAST(n AS DOUBLE)) /
           (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
-        ELSE 0.0 END AS DECIMAL(38,18))) AS DOUBLE) AS chi2_raw
+        ELSE 0.0 END AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS chi2_raw
   FROM grid)
 SELECT n_rows, n_status, n_priority,
   CAST((n_status - 1) * (n_priority - 1) AS BIGINT) AS df,

@@ -689,7 +689,7 @@ SELECT ticker, CAST(hour(ts) AS BIGINT) AS hour_utc,
   count(*)::BIGINT AS n_events,
   CAST(sum(volume) AS BIGINT) AS total_volume,
   CASE WHEN CAST(sum(volume) AS BIGINT) > 0 THEN
-    round(CAST(sum(CAST(price * volume AS DECIMAL(28,10))) AS DOUBLE) /
+    round(CAST(CAST(sum(CAST(price * volume AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) /
       CAST(sum(volume) AS BIGINT), 6)
   END AS vwap
 FROM stock GROUP BY 1, 2
@@ -842,10 +842,10 @@ rets AS (
   QUALIFY r IS NOT NULL),
 m AS (
   SELECT ticker, count(*) AS n_rets,
-    CAST(sum(CAST(r AS DECIMAL(38,18))) AS DOUBLE) AS s1,
-    CAST(sum(CAST(r * r AS DECIMAL(38,18))) AS DOUBLE) AS s2,
-    CAST(sum(CAST(CASE WHEN r < 0.0 THEN r * r ELSE 0.0 END
-      AS DECIMAL(38,18))) AS DOUBLE) AS s2d
+    CAST(CAST(sum(CAST(r AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS s1,
+    CAST(CAST(sum(CAST(r * r AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS s2,
+    CAST(CAST(sum(CAST(CASE WHEN r < 0.0 THEN r * r ELSE 0.0 END
+      AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS s2d
   FROM rets GROUP BY ticker),
 d AS (
   SELECT ticker, n_rets, CAST(n_rets AS DOUBLE) AS nd,
@@ -871,14 +871,14 @@ rets AS (
   QUALIFY r IS NOT NULL),
 mkt AS (
   SELECT bucket,
-    CAST(sum(CAST(r AS DECIMAL(28,14))) AS DOUBLE) / count(*) AS m
+    CAST(CAST(sum(CAST(r AS DECIMAL(28,14))) AS VARCHAR) AS DOUBLE) / count(*) AS m
   FROM rets GROUP BY bucket),
 mo AS (
   SELECT ticker, count(*) AS n_obs,
-    CAST(sum(CAST(r AS DECIMAL(38,18))) AS DOUBLE) AS sr,
-    CAST(sum(CAST(m AS DECIMAL(38,18))) AS DOUBLE) AS sm,
-    CAST(sum(CAST(r * m AS DECIMAL(38,18))) AS DOUBLE) AS srm,
-    CAST(sum(CAST(m * m AS DECIMAL(38,18))) AS DOUBLE) AS smm
+    CAST(CAST(sum(CAST(r AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS sr,
+    CAST(CAST(sum(CAST(m AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS sm,
+    CAST(CAST(sum(CAST(r * m AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS srm,
+    CAST(CAST(sum(CAST(m * m AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS smm
   FROM rets JOIN mkt USING (bucket) GROUP BY ticker)
 SELECT ticker, n_obs,
   CASE WHEN n_obs >= ${graft.operators.TimeSeries.VarMinObs}
@@ -929,10 +929,10 @@ rets AS (
   QUALIFY r IS NOT NULL),
 m AS (
   SELECT ticker, count(*) AS n_rets,
-    CAST(sum(CAST(r AS DECIMAL(38,18))) AS DOUBLE) AS s1,
-    CAST(sum(CAST(r * r AS DECIMAL(38,18))) AS DOUBLE) AS s2,
-    CAST(sum(CAST(r * r * r AS DECIMAL(38,18))) AS DOUBLE) AS s3,
-    CAST(sum(CAST(r * r * r * r AS DECIMAL(38,18))) AS DOUBLE) AS s4
+    CAST(CAST(sum(CAST(r AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS s1,
+    CAST(CAST(sum(CAST(r * r AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS s2,
+    CAST(CAST(sum(CAST(r * r * r AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS s3,
+    CAST(CAST(sum(CAST(r * r * r * r AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS s4
   FROM rets GROUP BY ticker),
 d AS (
   SELECT ticker, n_rets, s1, s2, s3, s4,
@@ -964,9 +964,9 @@ pp AS (
   QUALIFY dx IS NOT NULL AND dy IS NOT NULL),
 m AS (
   SELECT ticker, count(*)::BIGINT AS n_pairs,
-    CAST(sum(CAST(dx AS DECIMAL(38,18))) AS DOUBLE) AS sx,
-    CAST(sum(CAST(dy AS DECIMAL(38,18))) AS DOUBLE) AS sy,
-    CAST(sum(CAST(dx * dy AS DECIMAL(38,18))) AS DOUBLE) AS sxy
+    CAST(CAST(sum(CAST(dx AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS sx,
+    CAST(CAST(sum(CAST(dy AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS sy,
+    CAST(CAST(sum(CAST(dx * dy AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS sxy
   FROM pp GROUP BY 1),
 dcv AS (
   SELECT ticker, n_pairs,
@@ -1056,7 +1056,7 @@ bars AS (
     make_timestamp((epoch_us(ts::TIMESTAMP) // 300000000) * 300000000)
       AS bucket,
     max_by(price, ts) AS close,
-    CAST(sum(CAST(price * volume AS DECIMAL(38,10))) AS DOUBLE) AS dv
+    CAST(CAST(sum(CAST(price * volume AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS dv
   FROM stock GROUP BY 1, 2),
 rets AS (
   SELECT ticker,
@@ -1066,7 +1066,7 @@ rets AS (
   WINDOW tw AS (PARTITION BY ticker ORDER BY bucket)),
 m AS (
   SELECT ticker, count(x)::BIGINT AS n_bars,
-    CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx
+    CAST(CAST(sum(CAST(x AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS sx
   FROM rets GROUP BY 1)
 SELECT ticker, n_bars,
   CASE WHEN n_bars > 0 THEN round(sx / n_bars * 1000000.0, 6) END
@@ -1088,11 +1088,11 @@ rets AS (
 m AS (
   SELECT ticker,
     count(r1)::BIGINT AS n1,
-    CAST(sum(CAST(r1 AS DECIMAL(38,18))) AS DOUBLE) AS a1,
-    CAST(sum(CAST(r1 * r1 AS DECIMAL(38,18))) AS DOUBLE) AS b1,
+    CAST(CAST(sum(CAST(r1 AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS a1,
+    CAST(CAST(sum(CAST(r1 * r1 AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS b1,
     count(rq)::BIGINT AS nq,
-    CAST(sum(CAST(rq AS DECIMAL(38,18))) AS DOUBLE) AS aq,
-    CAST(sum(CAST(rq * rq AS DECIMAL(38,18))) AS DOUBLE) AS bq
+    CAST(CAST(sum(CAST(rq AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS aq,
+    CAST(CAST(sum(CAST(rq * rq AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS bq
   FROM rets GROUP BY 1),
 d AS (
   SELECT ticker, n1, nq,
@@ -1219,11 +1219,11 @@ ORDER BY ticker, lag"""
         .mkString(",\n")
       val sumCols = ks.map { k =>
         s"""    count(rl$k)::BIGINT AS np$k,
-    CAST(sum(CAST(CASE WHEN rl$k IS NOT NULL THEN r * rl$k END
-      AS DECIMAL(38,18))) AS DOUBLE) AS sxy$k,
-    CAST(sum(CAST(CASE WHEN rl$k IS NOT NULL THEN r END
-      AS DECIMAL(38,18))) AS DOUBLE) AS sx$k,
-    CAST(sum(CAST(rl$k AS DECIMAL(38,18))) AS DOUBLE) AS sl$k"""
+    CAST(CAST(sum(CAST(CASE WHEN rl$k IS NOT NULL THEN r * rl$k END
+      AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS sxy$k,
+    CAST(CAST(sum(CAST(CASE WHEN rl$k IS NOT NULL THEN r END
+      AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS sx$k,
+    CAST(CAST(sum(CAST(rl$k AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS sl$k"""
       }.mkString(",\n")
       val passthrough = ks.map(k => s"np$k, sxy$k, sx$k, sl$k")
         .mkString(", ")
@@ -1253,8 +1253,8 @@ $lagCols
   FROM rets WINDOW tw2 AS (PARTITION BY ticker ORDER BY bucket)),
 sums AS (
   SELECT ticker, count(*)::BIGINT AS n,
-    CAST(sum(CAST(r AS DECIMAL(38,18))) AS DOUBLE) AS sr,
-    CAST(sum(CAST(r * r AS DECIMAL(38,18))) AS DOUBLE) AS srr,
+    CAST(CAST(sum(CAST(r AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS sr,
+    CAST(CAST(sum(CAST(r * r AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS srr,
 $sumCols
   FROM lagged GROUP BY 1),
 named AS (
@@ -1374,12 +1374,12 @@ rets AS (
   QUALIFY r IS NOT NULL),
 m AS (
   SELECT ticker, count(*)::BIGINT AS n_rets,
-    CAST(sum(CAST(r AS DECIMAL(38,18))) AS DOUBLE) AS sr,
-    CAST(sum(CAST(least(r, 0.0) * least(r, 0.0) AS DECIMAL(38,18)))
-      AS DOUBLE) AS sdd,
-    CAST(sum(CAST(greatest(r, 0.0) AS DECIMAL(38,18))) AS DOUBLE)
+    CAST(CAST(sum(CAST(r AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS sr,
+    CAST(CAST(sum(CAST(least(r, 0.0) * least(r, 0.0) AS DECIMAL(38,18)))
+      AS VARCHAR) AS DOUBLE) AS sdd,
+    CAST(CAST(sum(CAST(greatest(r, 0.0) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)
       AS sgain,
-    CAST(sum(CAST(-least(r, 0.0) AS DECIMAL(38,18))) AS DOUBLE)
+    CAST(CAST(sum(CAST(-least(r, 0.0) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)
       AS sloss
   FROM rets GROUP BY 1)
 SELECT ticker, n_rets,
@@ -1523,11 +1523,11 @@ rets AS (
 m AS (
   SELECT a.ticker AS ticker_a, b.ticker AS ticker_b,
     count(*)::BIGINT AS n_steps,
-    CAST(sum(CAST(a.r AS DECIMAL(38,18))) AS DOUBLE) AS sx,
-    CAST(sum(CAST(b.r AS DECIMAL(38,18))) AS DOUBLE) AS sy,
-    CAST(sum(CAST(a.r * a.r AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
-    CAST(sum(CAST(b.r * b.r AS DECIMAL(38,18))) AS DOUBLE) AS syy,
-    CAST(sum(CAST(a.r * b.r AS DECIMAL(38,18))) AS DOUBLE) AS sxy
+    CAST(CAST(sum(CAST(a.r AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS sx,
+    CAST(CAST(sum(CAST(b.r AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS sy,
+    CAST(CAST(sum(CAST(a.r * a.r AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS sxx,
+    CAST(CAST(sum(CAST(b.r * b.r AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS syy,
+    CAST(CAST(sum(CAST(a.r * b.r AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS sxy
   FROM rets a JOIN rets b
     ON a.bucket = b.bucket AND a.ticker < b.ticker
   GROUP BY 1, 2),
@@ -1591,10 +1591,10 @@ FROM wr ORDER BY ticker, bucket"""
         s"""SELECT ticker, n_rets, $p::BIGINT AS period,
   (a * a + b * b) AS power FROM (
   SELECT ticker, max(n_rets) AS n_rets,
-    CAST(sum(CAST(round(xc * cos($twoPi * CAST(t % $p AS DOUBLE) /
-      ${p.toDouble}), 10) AS DECIMAL(28,10))) AS DOUBLE) AS a,
-    CAST(sum(CAST(round(xc * sin($twoPi * CAST(t % $p AS DOUBLE) /
-      ${p.toDouble}), 10) AS DECIMAL(28,10))) AS DOUBLE) AS b
+    CAST(CAST(sum(CAST(round(xc * cos($twoPi * CAST(t % $p AS DOUBLE) /
+      ${p.toDouble}), 10) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS a,
+    CAST(CAST(sum(CAST(round(xc * sin($twoPi * CAST(t % $p AS DOUBLE) /
+      ${p.toDouble}), 10) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS b
   FROM based GROUP BY ticker)"""
       }.mkString("\nUNION ALL\n")
       s""",
@@ -1610,7 +1610,7 @@ rt AS (
   FROM rets WINDOW tw2 AS (PARTITION BY ticker ORDER BY bucket)),
 means AS (
   SELECT ticker, count(*)::BIGINT AS n_rets,
-    CAST(sum(CAST(r AS DECIMAL(38,18))) AS DOUBLE) AS sr
+    CAST(CAST(sum(CAST(r AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS sr
   FROM rt GROUP BY 1),
 based AS (
   SELECT rt.ticker, m.n_rets, rt.t,
@@ -1620,7 +1620,7 @@ powers AS (
 $branches),
 tot AS (
   SELECT ticker,
-    CAST(sum(CAST(round(power, 10) AS DECIMAL(28,10))) AS DOUBLE)
+    CAST(CAST(sum(CAST(round(power, 10) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
       AS ptot
   FROM powers GROUP BY 1),
 shares AS (
@@ -1629,9 +1629,9 @@ shares AS (
   FROM powers p JOIN tot t ON p.ticker = t.ticker),
 ent AS (
   SELECT ticker, max(n_rets) AS n_rets,
-    CAST(sum(CAST(coalesce(CASE WHEN s > 0.0
+    CAST(CAST(sum(CAST(coalesce(CASE WHEN s > 0.0
       THEN round(-(s * ln(s)), 12) END, 0.0) AS DECIMAL(28,12)))
-      AS DOUBLE) AS h
+      AS VARCHAR) AS DOUBLE) AS h
   FROM shares GROUP BY 1),
 pk AS (
   SELECT ticker, period AS peak_period, round(s, 6) AS peak_share
@@ -1669,15 +1669,15 @@ lagged AS (
   WHERE x1 IS NOT NULL AND x2 IS NOT NULL),
 m AS (
   SELECT cause, effect, count(*)::BIGINT AS n_steps,
-    CAST(sum(CAST(x1 AS DECIMAL(38,18))) AS DOUBLE) AS sx1,
-    CAST(sum(CAST(x2 AS DECIMAL(38,18))) AS DOUBLE) AS sx2,
-    CAST(sum(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
-    CAST(sum(CAST(x1 * x1 AS DECIMAL(38,18))) AS DOUBLE) AS sx1x1,
-    CAST(sum(CAST(x1 * x2 AS DECIMAL(38,18))) AS DOUBLE) AS sx1x2,
-    CAST(sum(CAST(x2 * x2 AS DECIMAL(38,18))) AS DOUBLE) AS sx2x2,
-    CAST(sum(CAST(x1 * y AS DECIMAL(38,18))) AS DOUBLE) AS sx1y,
-    CAST(sum(CAST(x2 * y AS DECIMAL(38,18))) AS DOUBLE) AS sx2y,
-    CAST(sum(CAST(y * y AS DECIMAL(38,18))) AS DOUBLE) AS syy
+    CAST(CAST(sum(CAST(x1 AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS sx1,
+    CAST(CAST(sum(CAST(x2 AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS sx2,
+    CAST(CAST(sum(CAST(y AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS sy,
+    CAST(CAST(sum(CAST(x1 * x1 AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS sx1x1,
+    CAST(CAST(sum(CAST(x1 * x2 AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS sx1x2,
+    CAST(CAST(sum(CAST(x2 * x2 AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS sx2x2,
+    CAST(CAST(sum(CAST(x1 * y AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS sx1y,
+    CAST(CAST(sum(CAST(x2 * y AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS sx2y,
+    CAST(CAST(sum(CAST(y * y AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS syy
   FROM lagged GROUP BY 1, 2),
 cen AS (
   SELECT cause, effect, n_steps,
@@ -1726,11 +1726,11 @@ pairs AS (
   QUALIFY x IS NOT NULL),
 m AS (
   SELECT ticker, count(*)::BIGINT AS n_pairs,
-    CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
-    CAST(sum(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
-    CAST(sum(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
-    CAST(sum(CAST(y * y AS DECIMAL(38,18))) AS DOUBLE) AS syy,
-    CAST(sum(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy
+    CAST(CAST(sum(CAST(x AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS sx,
+    CAST(CAST(sum(CAST(y AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS sy,
+    CAST(CAST(sum(CAST(x * x AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS sxx,
+    CAST(CAST(sum(CAST(y * y AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS syy,
+    CAST(CAST(sum(CAST(x * y AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS sxy
   FROM pairs GROUP BY 1)
 SELECT ticker, n_pairs,
   round((sxy - sx * sy / CAST(n_pairs AS DOUBLE)) /
@@ -1760,10 +1760,10 @@ FROM m ORDER BY ticker"""),
       val lagCols = lags
         .map(k => s"lag(r, $k) OVER tw2 AS rl$k").mkString(",\n    ")
       val moments = lags.map { k =>
-        s"""    CAST(sum(CAST(r * rl$k AS DECIMAL(38,18))) AS DOUBLE) AS p$k,
-    CAST(sum(CAST(CASE WHEN rl$k IS NOT NULL THEN r END
-      AS DECIMAL(38,18))) AS DOUBLE) AS a$k,
-    CAST(sum(CAST(rl$k AS DECIMAL(38,18))) AS DOUBLE) AS b$k,
+        s"""    CAST(CAST(sum(CAST(r * rl$k AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS p$k,
+    CAST(CAST(sum(CAST(CASE WHEN rl$k IS NOT NULL THEN r END
+      AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS a$k,
+    CAST(CAST(sum(CAST(rl$k AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS b$k,
     count(rl$k)::BIGINT AS n$k"""
       }.mkString(",\n")
       val stages = graft.operators.TimeSeries.pacfStages
@@ -1793,8 +1793,8 @@ withlags AS (
   WINDOW tw2 AS (PARTITION BY ticker ORDER BY bucket)),
 m AS (
   SELECT ticker, count(*)::BIGINT AS n_rets,
-    CAST(sum(CAST(r AS DECIMAL(38,18))) AS DOUBLE) AS s,
-    CAST(sum(CAST(r * r AS DECIMAL(38,18))) AS DOUBLE) AS p0,
+    CAST(CAST(sum(CAST(r AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS s,
+    CAST(CAST(sum(CAST(r * r AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS p0,
 $moments
   FROM withlags GROUP BY 1),
 $stageCtes
@@ -2039,7 +2039,7 @@ bars AS (
     make_timestamp((epoch_us(ts::TIMESTAMP) // 300000000) * 300000000)
       AS bucket,
     max_by(price, ts) AS close,
-    CAST(sum(CAST(price * volume AS DECIMAL(38,10))) AS DOUBLE) AS dv
+    CAST(CAST(sum(CAST(price * volume AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS dv
   FROM stock GROUP BY 1, 2),
 pairs AS (
   SELECT ticker,
@@ -2174,10 +2174,10 @@ s3 AS (
 s4 AS (SELECT ticker,
   2.0 * (exp(alpha) - 1) / (1.0 + exp(alpha)) AS s FROM s3)
 SELECT ticker, count(*)::BIGINT AS n_pairs,
-  round(CAST(sum(CAST(round(s, 12) AS DECIMAL(38,18))) AS DOUBLE) /
+  round(CAST(CAST(sum(CAST(round(s, 12) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) /
     count(*), 6) AS avg_spread_raw,
-  round(CAST(sum(CAST(round(greatest(s, 0.0), 12) AS DECIMAL(38,18)))
-    AS DOUBLE) / count(*), 6) AS avg_spread
+  round(CAST(CAST(sum(CAST(round(greatest(s, 0.0), 12) AS DECIMAL(38,18)))
+    AS VARCHAR) AS DOUBLE) / count(*), 6) AS avg_spread
 FROM s4 GROUP BY ticker ORDER BY ticker"""),
     // Parkinson / Rogers-Satchell / close-close volatility panel:
     // positive-price filter, 1e-12-grid terms, decimal sums, guarded
@@ -2205,9 +2205,9 @@ terms AS (
   FROM base),
 m AS (
   SELECT ticker, count(*)::BIGINT AS n_bars,
-    CAST(sum(CAST(park_t AS DECIMAL(38,18))) AS DOUBLE) AS sp,
-    CAST(sum(CAST(rs_t AS DECIMAL(38,18))) AS DOUBLE) AS sr,
-    CAST(sum(CAST(cc_t AS DECIMAL(38,18))) AS DOUBLE) AS sc,
+    CAST(CAST(sum(CAST(park_t AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS sp,
+    CAST(CAST(sum(CAST(rs_t AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS sr,
+    CAST(CAST(sum(CAST(cc_t AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS sc,
     count(cc_t)::BIGINT AS nc
   FROM terms GROUP BY ticker)
 SELECT ticker, n_bars,
