@@ -56,6 +56,46 @@ def row_key(row):
     return tuple(repr(norm(v)) for v in row)
 
 
+def nl_audit(sf_dir, out_dir):
+    """EXPLAIN every oracle and report non-hash join operators.
+
+    Diagnostic for scaled sweeps: a BLOCKWISE_NL/NESTED_LOOP join whose
+    sides both scale with the data is quadratic and will hang the next
+    decade (the round-12 sf10 sweep lost hours each to an OR-disjunction
+    band join and a scalar subquery inside a join predicate before their
+    restatements). Most hits are benign -- CROSS_PRODUCT against 1-row
+    scalar subqueries, NL joins over bounded grids (months, tickers,
+    sample points), and the deliberate brute-force baselines -- so this
+    is a REPORT to triage before a new decade, not a gate; the
+    string-level gate for the two known-fatal idioms is
+    OracleIdiomSpec."""
+    con = duckdb.connect()
+    con.execute("SET memory_limit='4GB'")
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path += "/*.parquet"
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    ops = ("BLOCKWISE_NL_JOIN", "NESTED_LOOP_JOIN", "CROSS_PRODUCT",
+           "PIECEWISE_MERGE_JOIN")
+    n_hit = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            plan = "\n".join(
+                r[1] for r in con.sql("EXPLAIN " + sql).fetchall())
+        except Exception as e:
+            print(f"EXPLAIN-ERROR {name}: {e}")
+            continue
+        hit = [o for o in ops if o in plan]
+        if hit:
+            n_hit += 1
+            print(f"NL {name}: {','.join(hit)}")
+    print(f"== {n_hit}/{len(oracle)} oracles with non-hash-join operators ==")
+    return 0
+
+
 def main(sf_dir, out_dir, partial=False, sql_over=None, mem=None):
     con = duckdb.connect()
     if mem:
@@ -175,16 +215,19 @@ if __name__ == "__main__":
             # keeps the python path for everything.
             sql_over = int(f.split("=", 1)[1])
             flags.remove(f)
-    unknown = [f for f in flags if f != "--partial"]
+    unknown = [f for f in flags if f not in ("--partial", "--nl-audit")]
     if unknown:
         sys.exit(f"unknown flag(s): {unknown} "
-                 f"(only --partial / --sql-over=N / --mem=SIZE)")
+                 f"(only --partial / --sql-over=N / --mem=SIZE / "
+                 f"--nl-audit)")
     stray = [a for a in sys.argv[3:] if not a.startswith("--")]
     if stray:
         # a mistyped "partial" (no dashes) must not silently keep the
         # strict no-skip gate on while the caller believes it's off
         sys.exit(f"unexpected positional argument(s): {stray} "
                  f"(usage: check_oracle.py <sfDir> <verifyOutDir> "
-                 f"[--partial] [--sql-over=N] [--mem=SIZE])")
+                 f"[--partial] [--sql-over=N] [--mem=SIZE] [--nl-audit])")
+    if "--nl-audit" in flags:
+        sys.exit(nl_audit(sys.argv[1], sys.argv[2]))
     sys.exit(main(sys.argv[1], sys.argv[2], partial="--partial" in flags,
                   sql_over=sql_over, mem=mem))
