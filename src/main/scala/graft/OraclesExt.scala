@@ -3748,21 +3748,39 @@ WHERE hamming <= 7 ORDER BY doc_a, doc_b"""
     // engine's LSH path declares. Identical pair set by construction
     // (a pair survives iff SOME band matches); value-invariance
     // re-proven hash-green at sf0.01/sf0.1/sf1 before adoption.
+    // ALSO fingerprint-multiplicity compressed (the engine's round-12
+    // form): the histogram's wide <=32 radius makes the doc-grain pair
+    // front quadratic in copy multiplicity, so both engines state it
+    // over DISTINCT signatures -- cross pairs weighted m_a*m_b, plus
+    // C(m,2) at Hamming 0 per repeated signature (identical signatures
+    // always collide; distinct ones can never sit at Hamming 0, so the
+    // two terms partition the pair set). HammingHistSpec proves the
+    // compressed form row-identical to the doc-grain statement.
     "mm_hamming_hist" -> s"""
 $phashCtes,
-phm AS MATERIALIZED (SELECT doc_id, p0, p1, p2, p3 FROM ph),
+phm AS MATERIALIZED (
+  SELECT min(doc_id) AS doc_id, p0, p1, p2, p3, count(*)::BIGINT AS m
+  FROM ph GROUP BY p0, p1, p2, p3),
 bnd AS MATERIALIZED (
   ${bandArmUnion("phm")}),
 cand AS (
   SELECT bnd.doc_a, bnd.doc_b,
     CAST(bit_count(xor(pa.p0, pb.p0)) + bit_count(xor(pa.p1, pb.p1)) +
          bit_count(xor(pa.p2, pb.p2)) + bit_count(xor(pa.p3, pb.p3))
-      AS BIGINT) AS hamming
+      AS BIGINT) AS hamming,
+    pa.m * pb.m AS weight
   FROM bnd JOIN phm pa ON pa.doc_id = bnd.doc_a
   JOIN phm pb ON pb.doc_id = bnd.doc_b),
-dp AS (SELECT doc_a, doc_b, hamming FROM cand
-  WHERE hamming <= 32),
-hh AS (SELECT hamming, count(*)::BIGINT AS n_pairs FROM dp GROUP BY 1),
+dp AS (
+  SELECT hamming, CAST(sum(weight) AS BIGINT) AS n_pairs
+  FROM cand WHERE hamming <= 32 GROUP BY 1
+  UNION ALL
+  SELECT 0::BIGINT AS hamming,
+    CAST(sum(m * (m - 1) // 2) AS BIGINT) AS n_pairs
+  FROM phm WHERE m > 1
+  HAVING sum(m * (m - 1) // 2) > 0),
+hh AS (SELECT hamming, CAST(sum(n_pairs) AS BIGINT) AS n_pairs
+  FROM dp GROUP BY 1),
 ht AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS n_total FROM hh)
 SELECT hamming, n_pairs,
   CAST(sum(n_pairs) OVER cw AS BIGINT) AS cum_pairs,

@@ -254,7 +254,7 @@ object Multimodal {
   /** Band-collision candidate pairs with their full Hamming distance,
     * kept up to `maxHamming` (filter BEFORE distinct — shrink first).
     * Shared by [[phashPairs]] and [[phashHammingHist]]. */
-  private def phashCandidates(documents: DataFrame,
+  private[graft] def phashCandidates(documents: DataFrame,
       maxHamming: Int): DataFrame =
     // pin the signature table: the self-join references every band
     // expression on both sides (join keys + Hamming recheck), and
@@ -358,8 +358,36 @@ object Multimodal {
 
   def phashHammingHist(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hist = phashCandidates(documents, 32)
-      .groupBy(col("hamming")).agg(count(lit(1)).as("n_pairs"))
+    // Fingerprint-multiplicity compression (round 12): the histogram's
+    // wide ≤32 radius makes the DOC-grain candidate front quadratic in
+    // copy multiplicity — at sf10's ~100-copy shape the distinct pair
+    // shuffle passed 70 GB and outgrew the bench host. Docs with the
+    // same 64-bit signature contribute identically, so the histogram
+    // is computed on the DISTINCT-signature table with multiplicities:
+    // a band-colliding signature pair (s_a ≠ s_b) at Hamming h
+    // contributes m_a·m_b pairs, and each signature with m > 1
+    // contributes C(m,2) pairs at Hamming 0 (identical signatures
+    // always band-collide; distinct signatures can never sit at
+    // Hamming 0, so the two terms partition the pair set). The
+    // candidate front shrinks from |docs|² to |signatures|²-bounded —
+    // the same banding, two decades smaller. HammingHistSpec proves
+    // the compressed form row-identical to the doc-grain statement;
+    // the oracle states the same compression over the documents table.
+    val sigs = phash(documents)
+      .groupBy((0 until 4).map(b => col(s"p$b")): _*)
+      .agg(count(lit(1)).cast("long").as("m"),
+        min(col("doc_id")).as("doc_id"))
+      .pin(eager = true)
+    val cross = phashCandidatesWeighted(sigs)
+      .filter(col("hamming") <= 32)
+      .groupBy(col("hamming")).agg(sum(col("weight")).as("n_pairs"))
+    val within = sigs.filter(col("m") > 1)
+      .agg(coalesce(sum(col("m") * (col("m") - 1) / 2), lit(0L))
+        .cast("long").as("n_pairs"))
+      .select(lit(0L).as("hamming"), col("n_pairs"))
+      .filter(col("n_pairs") > 0)
+    val hist = cross.unionByName(within)
+      .groupBy(col("hamming")).agg(sum(col("n_pairs")).as("n_pairs"))
     val tot = hist.agg(sum(col("n_pairs")).as("n_total"))
     val w = Window.orderBy(col("hamming"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -370,6 +398,30 @@ object Multimodal {
           col("n_total"), 6).as("cum_share"),
         (col("hamming") <= 7).as("in_recall_band"))
       .orderBy(col("hamming"))
+  }
+
+  /** Band-collision pairs over a pinned DISTINCT-signature table
+    * carrying multiplicities: (doc_id key, p0..p3, m). Emits one row
+    * per colliding signature pair with its Hamming distance and the
+    * m_a·m_b doc-pair weight. The [[phashCandidatesFromSigs]] banding
+    * with the pair weight threaded through the distinct. */
+  private def phashCandidatesWeighted(sigs: DataFrame): DataFrame = {
+    val pCols = (0 until 4).map(b => col(s"p$b"))
+    val slices = (0 until 4).flatMap(b => Seq(
+      (2 * b, col(s"p$b") % 256), (2 * b + 1, shiftright(col(s"p$b"), 8))))
+    val banded = sigs.select(col("doc_id") +: col("m") +: pCols :+
+        explode(array(slices.map { case (b, k) =>
+          struct(lit(b).as("band"), k.as("key")) }: _*)).as("bb"): _*)
+      .select(col("doc_id") +: col("m") +: pCols :+
+        col("bb.band").as("band") :+ col("bb.key").as("key"): _*)
+    banded.as("a")
+      .join(banded.as("b"), col("a.band") === col("b.band") &&
+        col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (0 until 4).map(b => bit_count(expr(s"a.p$b ^ b.p$b")))
+          .reduce(_ + _).cast("long").as("hamming"),
+        (col("a.m") * col("b.m")).cast("long").as("weight"))
+      .distinct()
   }
 
   /** Metadata/byte-level features as pure column expressions (oracle-
