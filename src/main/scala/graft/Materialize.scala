@@ -51,7 +51,20 @@ object Materialize {
       * (use when the frame might not be consumed on every path; use
       * `eager = true` when the cut must happen BEFORE a side effect —
       * e.g. reading a path the caller is about to overwrite). */
-    def pin(eager: Boolean = false): Dataset[T] = mode match {
+    def pin(eager: Boolean = false): Dataset[T] = {
+      // dev seam: -Dgraft.explain.pins=true prints every pinned
+      // subchain's physical plan — the only way to SEE what a
+      // checkpoint materializes (the final query plan shows pinned
+      // frames as opaque `Scan ExistingRDD`). Used by the round-12
+      // plans/r12 evidence dumps.
+      if (sys.props.get("graft.explain.pins").contains("true")) {
+        println(s"=== pinned subplan (eager=$eager) ===")
+        println(ds.queryExecution.executedPlan.toString)
+      }
+      pinImpl(eager)
+    }
+
+    private def pinImpl(eager: Boolean): Dataset[T] = mode match {
       // dev/test escape hatch: identity pin, so plan-inspection specs
       // can see THROUGH materialization boundaries (a checkpoint wraps
       // everything upstream in a LogicalRDD, hiding scans from the

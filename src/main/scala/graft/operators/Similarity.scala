@@ -618,6 +618,19 @@ object Similarity {
     * unseen — the standard IVF trade, nprobe > 1 being the recall
     * knob); the oracle states the same cell-restricted semantics. */
   def knnGraph(embeddings: DataFrame, k: Int = 3,
+      cells: Int = autoCells): DataFrame =
+    knnGraphEdges(embeddings, k, cells).orderBy(col("vec_id"), col("rank"))
+
+  /** [[knnGraph]] WITHOUT the presentation ORDER BY — the form every
+    * composing operator consumes. A pinned consumer materializes its
+    * input plan as-is, so the registered query's total order would
+    * otherwise cost each composite a range-partitioning exchange (its
+    * sampling pass included) plus a full sort of the edge list, for
+    * row order the next join/aggregate destroys anyway (guide §2.4:
+    * an ORDER BY used only to make output deterministic is an
+    * accidental shuffle). Row CONTENT is identical to [[knnGraph]];
+    * only the registered query states the total order. */
+  def knnGraphEdges(embeddings: DataFrame, k: Int = 3,
       cells: Int = autoCells): DataFrame = {
     val (asg, _) = kmeans(embeddings, cells)
     val a = asg.select(col("cell"), col("vec_id"), col("unit"))
@@ -629,7 +642,6 @@ object Similarity {
     TopK.perKey(pairs, Seq("vec_id"),
         Seq("cosine" -> true, "neighbor_id" -> false), k, rankCol = "rank")
       .withColumn("rank", col("rank").cast("long"))
-      .orderBy(col("vec_id"), col("rank"))
   }
 
   /** Multi-probe kNN graph — [[knnGraph]] with the standard IVF recall
@@ -738,7 +750,7 @@ object Similarity {
     * float mass, lineage cut per round. */
   def labelPropagation(embeddings: DataFrame, seeds: Int = lpSeeds,
       iters: Int = lpIters, k: Int = lpK, cells: Int = autoCells): DataFrame =
-    lpLabels(knnGraph(embeddings, k, cells)
+    lpLabels(knnGraphEdges(embeddings, k, cells)
         .select(col("vec_id"), col("neighbor_id")).pin(),
         embeddings, seeds, iters)
       .select(col("vec_id"), (col("vec_id") < seeds).as("is_seed"),
@@ -787,7 +799,7 @@ object Similarity {
     * closed-form terms, one row per community. */
   def lpCommunities(embeddings: DataFrame, seeds: Int = lpSeeds,
       iters: Int = lpIters, k: Int = lpK, cells: Int = autoCells): DataFrame = {
-    val edges = knnGraph(embeddings, k, cells)
+    val edges = knnGraphEdges(embeddings, k, cells)
       .select(col("vec_id"), col("neighbor_id")).pin()
     val labels = lpLabels(edges, embeddings, seeds, iters)
       .filter(col("lab").isNotNull)
@@ -880,7 +892,7 @@ object Similarity {
   def knnComponents(embeddings: DataFrame,
       threshold: Double = knnComponentThreshold): DataFrame =
     Dedup.clustersBigStar(
-        knnGraph(embeddings)
+        knnGraphEdges(embeddings)
           .filter(col("cosine") >= threshold)
           .select(col("vec_id").as("doc_a"), col("neighbor_id").as("doc_b")))
       .withColumnRenamed("doc_id", "vec_id")
@@ -1456,8 +1468,16 @@ object Similarity {
     * Cosine is symmetric (same rounded dot both directions), so either
     * side's value is THE edge weight. */
   def mutualKnnGraph(embeddings: DataFrame, k: Int = 3,
+      cells: Int = autoCells): DataFrame =
+    mutualKnnEdges(embeddings, k, cells).orderBy(col("vec_a"), col("vec_b"))
+
+  /** [[mutualKnnGraph]] without the presentation ORDER BY — see
+    * [[knnGraphEdges]] for why composing operators consume this form
+    * (every graph-algorithm consumer pins this frame, and a pinned
+    * ORDER BY is a paid-for sort the next operator discards). */
+  def mutualKnnEdges(embeddings: DataFrame, k: Int = 3,
       cells: Int = autoCells): DataFrame = {
-    val g = knnGraph(embeddings, k, cells)
+    val g = knnGraphEdges(embeddings, k, cells)
       .select(col("vec_id"), col("neighbor_id"), col("cosine"))
       .pin(eager = true)
     g.as("a").join(g.as("b"),
@@ -1466,7 +1486,6 @@ object Similarity {
           col("a.vec_id") < col("a.neighbor_id"))
       .select(col("a.vec_id").as("vec_a"),
         col("a.neighbor_id").as("vec_b"), col("a.cosine").as("cosine"))
-      .orderBy(col("vec_a"), col("vec_b"))
   }
 
   /** Rich-club coefficient over the mutual-kNN graph: for each degree
@@ -1484,7 +1503,7 @@ object Similarity {
     * metadata-sized club set... the edge list never self-joins. */
   def richClub(embeddings: DataFrame, k: Int = 3,
       cells: Int = autoCells): DataFrame = {
-    val edges = mutualKnnGraph(embeddings, k, cells)
+    val edges = mutualKnnEdges(embeddings, k, cells)
       .select(col("vec_a"), col("vec_b"))
       .pin(eager = true)
     val deg = edges.select(col("vec_a").as("node"))
@@ -1525,7 +1544,7 @@ object Similarity {
     * pinned once and reused by all three join legs. */
   def knnTriangles(embeddings: DataFrame, k: Int = 3,
       cells: Int = autoCells): DataFrame =
-    trianglesFromEdges(mutualKnnGraph(embeddings, k, cells)
+    trianglesFromEdges(mutualKnnEdges(embeddings, k, cells)
       .select(col("vec_a"), col("vec_b"))
       .pin(eager = true))
       .orderBy(col("vec_a"), col("vec_b"), col("vec_c"))
@@ -1552,7 +1571,7 @@ object Similarity {
     * guard, stated identically by the oracle). */
   def clusteringCoeff(embeddings: DataFrame, k: Int = 3,
       cells: Int = autoCells): DataFrame = {
-    val e = mutualKnnGraph(embeddings, k, cells)
+    val e = mutualKnnEdges(embeddings, k, cells)
       .select(col("vec_a"), col("vec_b"))
       .pin(eager = true)
     val deg = e.select(col("vec_a").as("vec_id"))
@@ -1586,7 +1605,7 @@ object Similarity {
     * construction, so ln(degree) never divides by zero. */
   def linkPrediction(embeddings: DataFrame, k: Int = 3,
       cells: Int = autoCells): DataFrame = {
-    val e = mutualKnnGraph(embeddings, k, cells)
+    val e = mutualKnnEdges(embeddings, k, cells)
       .select(col("vec_a"), col("vec_b"))
       .pin(eager = true)
     val adj = e.select(col("vec_a").as("vec_id"), col("vec_b").as("nbr"))
@@ -1686,7 +1705,7 @@ object Similarity {
     * drop out, stated identically by the oracle; the ln-μ terms sum
     * on the 1e-12 decimal grid. */
   def intrinsicDim(embeddings: DataFrame, cells: Int = autoCells): DataFrame = {
-    val g = knnGraph(embeddings, 2, cells)
+    val g = knnGraphEdges(embeddings, 2, cells)
       .groupBy(col("vec_id"))
       .agg(max(when(col("rank") === 1, col("cosine"))).as("c1"),
         max(when(col("rank") === 2, col("cosine"))).as("c2"))
@@ -1747,7 +1766,7 @@ object Similarity {
     * report is a single-row reduction. */
   def hubness(embeddings: DataFrame, k: Int = 3,
       cells: Int = autoCells): DataFrame = {
-    val g = knnGraph(embeddings, k, cells)
+    val g = knnGraphEdges(embeddings, k, cells)
       .groupBy(col("neighbor_id")).agg(count(lit(1)).as("d"))
     val indeg = embeddings.select(col("vec_id"))
       .join(g, col("vec_id") === col("neighbor_id"), "left")
@@ -1785,7 +1804,7 @@ object Similarity {
     * graphs (all degrees equal → zero variance) yield NULL. */
   def assortativity(embeddings: DataFrame, k: Int = 3,
       cells: Int = autoCells): DataFrame = {
-    val e = mutualKnnGraph(embeddings, k, cells)
+    val e = mutualKnnEdges(embeddings, k, cells)
       .select(col("vec_a"), col("vec_b"))
       .pin(eager = true)
     val adjm = e.select(col("vec_a").as("src"), col("vec_b").as("dst"))
@@ -1842,7 +1861,7 @@ object Similarity {
     * same iterations as chained CTEs. */
   def knnPageRank(embeddings: DataFrame, k: Int = 3, cells: Int = autoCells,
       damping: Double = prDamping, iters: Int = prIters): DataFrame = {
-    val graph = knnGraph(embeddings, k, cells)
+    val graph = knnGraphEdges(embeddings, k, cells)
       .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
       .pin(eager = true)
     val outdeg = graph.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
@@ -1896,7 +1915,7 @@ object Similarity {
   def personalizedPagerank(embeddings: DataFrame, k: Int = 3,
       cells: Int = autoCells, damping: Double = prDamping,
       iters: Int = prIters): DataFrame = {
-    val graph = knnGraph(embeddings, k, cells)
+    val graph = knnGraphEdges(embeddings, k, cells)
       .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
       .pin(eager = true)
     val outdeg = graph.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
@@ -2217,7 +2236,7 @@ object Similarity {
     * pinned so the plan cannot double per iteration. */
   def kcore(embeddings: DataFrame, k: Int = 3,
       cells: Int = autoCells): DataFrame =
-    kcorePeel(mutualKnnGraph(embeddings, k, cells)
+    kcorePeel(mutualKnnEdges(embeddings, k, cells)
       .select(col("vec_a"), col("vec_b")))
 
   /** The convergent peel itself, over ANY (vec_a, vec_b) edge frame —
@@ -2290,7 +2309,7 @@ object Similarity {
     * All-integer output — no float crossings anywhere. */
   def coreness(embeddings: DataFrame, k: Int = 3,
       cells: Int = autoCells): DataFrame = {
-    val e0 = mutualKnnGraph(embeddings, k, cells)
+    val e0 = mutualKnnEdges(embeddings, k, cells)
       .select(col("vec_a"), col("vec_b")).pin(eager = true)
     val deg0 = nodeDegrees(e0).pin(eager = true)
     // CHAIN the peels: the c-core equals the c-core of the (c−1)-core
@@ -2345,7 +2364,7 @@ object Similarity {
     * output except the exact-int mean division. */
   def bfsRadius(embeddings: DataFrame, k: Int = 3,
       cells: Int = autoCells): DataFrame = {
-    val e0 = mutualKnnGraph(embeddings, k, cells)
+    val e0 = mutualKnnEdges(embeddings, k, cells)
       .select(col("vec_a"), col("vec_b")).pin(eager = true)
     val und = e0.select(col("vec_a").as("u"), col("vec_b").as("c"))
       .unionAll(e0.select(col("vec_b").as("u"), col("vec_a").as("c")))
@@ -2365,35 +2384,59 @@ object Similarity {
     // hop counts) — so anti-joining against the last TWO layers alone
     // is exact, and total anti-join scan work is O(reached) across
     // the whole census instead of O(depth × reached).
+    // DOUBLE-STEPPED loop (round-12 optimization): each pinned SQL
+    // execution computes TWO BFS layers — l1 = nbrs(frontier) minus
+    // the last two layers, l2 = nbrs(l1) minus (frontier ∪ l1) —
+    // because the dominant per-round cost at every measured scale is
+    // the fixed price of one SQL execution + checkpoint (planning,
+    // AQE stage scheduling, block writes), not the per-row work.
+    // Layer semantics are UNCHANGED: l1 rows carry dist d+1, l2 rows
+    // d+2, the anti-join sets are exactly the two layers that can
+    // contain an already-reached neighbor (the triangle-inequality
+    // argument above, applied once per hop), and l1's subtree is
+    // shared inside the one plan (AQE stage reuse) instead of being
+    // its own pinned round. One eager pin + one two-number aggregate
+    // per DOUBLE layer, so the execution count halves at any depth.
     var layers = List(d0)
     var frontier = d0
     var lastTwo = d0.select(col("seed"), col("node"))
     var nf = frontier.count()
     var rounds = 0
-    while (nf > 0) {
-      rounds += 1
-      if (rounds > bfsMaxRounds) throw new IllegalStateException(
-        s"bfsRadius did not exhaust frontiers within $bfsMaxRounds " +
-          s"rounds ($nf nodes still expanding) — raise bfsMaxRounds")
-      val expanded = frontier.join(und, col("node") === col("u"))
+    def expand(f: DataFrame): DataFrame =
+      f.join(und, col("node") === col("u"))
         .select(col("seed"), col("c").as("nnode"),
           (col("dist") + lit(1L)).as("ndist"))
         .groupBy(col("seed"), col("nnode"))
         .agg(min(col("ndist")).as("ndist"))
         .select(col("seed"), col("nnode").as("node"),
           col("ndist").as("dist"))
-      val next = expanded
+    while (nf > 0) {
+      rounds += 2
+      if (rounds > bfsMaxRounds) throw new IllegalStateException(
+        s"bfsRadius did not exhaust frontiers within $bfsMaxRounds " +
+          s"rounds ($nf nodes still expanding) — raise bfsMaxRounds")
+      val l1 = expand(frontier)
         .join(lastTwo, Seq("seed", "node"), "left_anti")
+      val anti2 = frontier.select(col("seed"), col("node"))
+        .unionByName(l1.select(col("seed"), col("node")))
+      val l2 = expand(l1)
+        .join(anti2, Seq("seed", "node"), "left_anti")
+      val both = l1.withColumn("layer", lit(1))
+        .unionByName(l2.withColumn("layer", lit(2)))
         .pin(eager = true)
-      nf = next.count()
-      if (nf > 0) {
-        // both halves are already-pinned layers — the union is a flat
-        // two-RDD scan, no extra materialization
-        lastTwo = frontier.select(col("seed"), col("node"))
-          .unionByName(next.select(col("seed"), col("node")))
-        layers ::= next
-        frontier = next
+      val r = both.agg(count(lit(1)),
+        sum(when(col("layer") === 2, lit(1L)).otherwise(lit(0L)))).head()
+      val n2 = if (r.isNullAt(1)) 0L else r.getLong(1)
+      val n1 = r.getLong(0) - n2
+      if (n1 > 0) layers ::= both.filter(col("layer") === 1).drop("layer")
+      if (n2 > 0) {
+        layers ::= both.filter(col("layer") === 2).drop("layer")
+        // l1 ∪ l2 ARE the two layers preceding the new frontier —
+        // slices of the one pinned frame, no extra materialization
+        lastTwo = both.select(col("seed"), col("node"))
+        frontier = both.filter(col("layer") === 2).drop("layer")
       }
+      nf = n2
     }
     layers.reduce(_ unionByName _).groupBy(col("seed")).agg(
         count(lit(1)).as("n_reached"),
@@ -2443,7 +2486,7 @@ object Similarity {
     * monotone shrink, count equality is set equality. */
   def ktruss(embeddings: DataFrame, k: Int = 3,
       cells: Int = autoCells): DataFrame =
-    ktrussPeel(mutualKnnGraph(embeddings, k, cells)
+    ktrussPeel(mutualKnnEdges(embeddings, k, cells)
       .select(col("vec_a"), col("vec_b")))
 
   /** The convergent truss peel over ANY (vec_a, vec_b) edge frame
@@ -2523,7 +2566,7 @@ object Similarity {
     * hotK is row-for-row identical). */
   def snnGraph(embeddings: DataFrame, k: Int = 3,
       cells: Int = autoCells, hotK: Int = 0): DataFrame = {
-    val g = knnGraph(embeddings, k, cells)
+    val g = knnGraphEdges(embeddings, k, cells)
       .select(col("vec_id"), col("neighbor_id")).pin(eager = true)
     val outdeg = g.groupBy(col("vec_id")).agg(count(lit(1)).as("deg"))
     val shared = snnSharedCounts(g, hotK)
@@ -2665,7 +2708,7 @@ object Similarity {
     * (edge-volume-bounded, nodes ≤ n·k rows), two scalar aggregates. */
   def knnReciprocity(embeddings: DataFrame, k: Int = 3,
       cells: Int = autoCells): DataFrame = {
-    val g = knnGraph(embeddings, k, cells)
+    val g = knnGraphEdges(embeddings, k, cells)
       .select(col("vec_id"), col("neighbor_id")).pin(eager = true)
     val mutualPairs = g.as("a").join(g.as("b"),
         col("a.vec_id") === col("b.neighbor_id") &&
@@ -2703,7 +2746,7 @@ object Similarity {
     * bound the matvec fan-out. */
   def spectralRadius(embeddings: DataFrame, k: Int = 3,
       cells: Int = autoCells): DataFrame = {
-    val med = mutualKnnGraph(embeddings, k, cells)
+    val med = mutualKnnEdges(embeddings, k, cells)
       .select(col("vec_a"), col("vec_b"))
     val edges = med.select(col("vec_a").as("src"), col("vec_b").as("dst"))
       .unionByName(
