@@ -96,20 +96,23 @@ object Bench {
         (1024.0 * 1024.0) / math.max(trials, 1)
       s"\"$n\":${math.rint(mb * 100) / 100}"
     }.mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"shuffle_mb_per_trial":$sh,"sf":"$sfDir"}"""
-    println(json)
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"queries":$qs,"errors":$errs,"shuffle_mb_per_trial":$sh,"sf":"$sfDir"}"""
     // persist the full per-query map to cwd: the driver captures only a
     // tail of stdout, and round 3 lost the totals to truncation
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json + "\n")
-    // LAST stdout line: a compact bounded-size summary that survives any
-    // tail-capture window (round-3 BENCH had parsed:null because the full
-    // per-query line outgrew it). Top-5 slowest included so the headline
-    // costs are visible even when only this line is captured.
+    // Compact bounded-size summary FIRST, full per-query map LAST: the
+    // round-12 cross-round PERF diff matched zero queries because the
+    // r11 tail-capture latched onto the compact line and the r12 one
+    // onto the full line. The canonical (tail-most) line must be the
+    // per-query map; the compact line survives only as a human-readable
+    // header. Top-5 slowest included so the headline costs are visible
+    // at a glance.
     val top5 = ok.sortBy(n => -byName(n).min).take(5)
       .map(n => s"\"$n\":${math.rint(byName(n).min * 100) / 100}")
       .mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n":${names.size},"errors":$errs,"slowest":$top5,"sf":"$sfDir","full":"bench.json"}"""
+    val compact = s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n":${names.size},"cpus":$cpus,"errors":$errs,"slowest":$top5,"sf":"$sfDir","full":"bench.json"}"""
     println(compact)
+    println(json)
     if (failed.nonEmpty)
       System.err.println(s"BENCH FAILURES: ${failed.mkString(", ")}")
     spark.stop()

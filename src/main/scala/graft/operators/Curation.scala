@@ -642,12 +642,28 @@ object Curation {
     val cos = Similarity.centroidCosines(embeddings)
       .select(col("vec_id").as("doc_id"),
         col("cosine").as("centroid_cosine"))
-    val thresholds = Quantiles.exactPercentiles(
-        pp.select(col("perplexity").as("v")), Seq(0.5))
-      .select(round(element_at(col("bs"), 1), 6).as("pp_median"))
-      .crossJoin(broadcast(Quantiles.exactPercentiles(
-          cos.select(col("centroid_cosine").as("v")), Seq(0.1))
-        .select(round(element_at(col("bs"), 1), 6).as("cos_p10"))))
+    // ONE grouped percentile pass over a tagged union instead of two
+    // independent exactPercentiles trees: the banding machinery (min/max
+    // aggregate, band offsets window, cumulative window, probe
+    // resolution) runs once, grouped by signal tag — per-group results
+    // are bit-identical to the per-subset ungrouped calls (same
+    // interpolation on the same per-group lo/hi/n). Both requested
+    // fractions are computed for both groups; each branch reads its own.
+    // The isNotNull gate restores the old empty-input contract: either
+    // percentile input empty → no thresholds row → empty output (the
+    // crossJoin of an empty one-row frame did the same).
+    val thresholds = Quantiles.exactPercentilesBy(
+        pp.select(lit("pp").as("sig"), col("perplexity").as("v"))
+          .unionByName(cos.select(lit("cos").as("sig"),
+            col("centroid_cosine").as("v"))),
+        Seq("sig"), Seq(0.5, 0.1))
+      .groupBy()
+      .agg(
+        max(when(col("sig") === "pp",
+          round(element_at(col("bs"), 1), 6))).as("pp_median"),
+        max(when(col("sig") === "cos",
+          round(element_at(col("bs"), 2), 6))).as("cos_p10"))
+      .filter(col("pp_median").isNotNull && col("cos_p10").isNotNull)
     documents.select(col("doc_id"))
       .join(q, Seq("doc_id"))
       .join(pp, Seq("doc_id"), "left")

@@ -2266,32 +2266,49 @@ object Similarity {
     * of an already-PINNED (vec_a, vec_b) frame. Shared by
     * [[kcorePeel]] and the threshold chain in [[coreness]]. */
   private[graft] def kcoreEdges(e0: DataFrame, coreK: Int): DataFrame = {
+    // One peel layer: drop every node with degree < coreK, then every
+    // edge touching a dropped node. No pin on the keep set: its
+    // aggregate subtree appears in both semi-joins and AQE stage reuse
+    // dedupes it (measured round 12: kcore 97->87 jobs, coreness
+    // 127->114, task time unchanged).
+    // LEFT SEMI, not inner, for the keep-filters: same rows (keep is
+    // unique by construction), a build side that carries no output
+    // columns — and, critically for a convergence loop, linear stats:
+    // inner-join sizeInBytes is the PRODUCT of the children's, so a
+    // pinned estimate would grow 3^round digits and the checkpoint's
+    // stats rewrite itself becomes the bottleneck by round ~20
+    // (measured: BigInteger.multiplyToomCook3 pegging the driver).
+    // LeftSemi stats are the left child's — constant per round.
+    def peelOnce(edges: DataFrame): DataFrame = {
+      val keep = nodeDegrees(edges).filter(col("deg") >= coreK)
+        .select(col("vec_id"))
+      edges
+        .join(keep.select(col("vec_id").as("vec_a")), Seq("vec_a"), "left_semi")
+        .join(keep.select(col("vec_id").as("vec_b")), Seq("vec_b"), "left_semi")
+        .select(col("vec_a"), col("vec_b"))
+    }
     var edges = e0
     var nEdges = edges.count()
     var converged = nEdges == 0L
     var rounds = 0
     while (!converged) {
-      rounds += 1
+      rounds += 2
       if (rounds > kcoreMaxRounds) throw new IllegalStateException(
         s"kcore peel did not converge within $kcoreMaxRounds rounds " +
           s"($nEdges edges still shrinking) — raise kcoreMaxRounds")
-      // no pin on the keep set: its aggregate subtree appears in both
-      // semi-joins and AQE stage reuse dedupes it (measured: kcore
-      // 97->87 jobs, coreness 127->114, task time unchanged)
-      val keep = nodeDegrees(edges).filter(col("deg") >= coreK)
-        .select(col("vec_id"))
-      // LEFT SEMI, not inner, for the keep-filters: same rows (keep is
-      // unique by construction), a build side that carries no output
-      // columns — and, critically for a convergence loop, linear stats:
-      // inner-join sizeInBytes is the PRODUCT of the children's, so a
-      // pinned estimate would grow 3^round digits and the checkpoint's
-      // stats rewrite itself becomes the bottleneck by round ~20
-      // (measured: BigInteger.multiplyToomCook3 pegging the driver).
-      // LeftSemi stats are the left child's — constant per round.
-      val next = edges
-        .join(keep.select(col("vec_id").as("vec_a")), Seq("vec_a"), "left_semi")
-        .join(keep.select(col("vec_id").as("vec_b")), Seq("vec_b"), "left_semi")
-        .select(col("vec_a"), col("vec_b")).pin(eager = true)
+      // TWO peel layers per pinned SQL execution (the bfsRadius
+      // double-step argument, round 12): per-round cost is dominated by
+      // the fixed price of an execution (planning + AQE stage
+      // scheduling + checkpoint write), so halving the execution count
+      // halves the serial chain — a depth-D cascade pays D/2 round
+      // latencies. Exactness: peeling only removes edges, so
+      // next ⊆ mid ⊆ edges; count(next) == count(edges) forces all
+      // three sets equal, i.e. count equality across the DOUBLE round
+      // still detects the single-step fixpoint exactly (a cascade that
+      // converges at an odd layer just makes the second layer a no-op).
+      // The mid layer's exchanges are shared across its three consumers
+      // via AQE stage reuse, same as the keep set's.
+      val next = peelOnce(peelOnce(edges)).pin(eager = true)
       val n = next.count()
       converged = n == nEdges
       edges = next

@@ -63,6 +63,36 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("kcorePeel: ODD-depth cascade (triangle + one pendant edge — " +
+      "exactly one peel layer to the fixpoint) — the double-layer " +
+      "round's second layer is a no-op and the fixpoint is exact") {
+    // pendant node 0 hangs off triangle node 102: k=2 removes it in
+    // ONE layer, so a double-layer round does layer + no-op; the count
+    // stability check must still stop at the true (non-empty) core.
+    val tri = Seq((100L, 101L), (101L, 102L), (100L, 102L))
+    val edges = (tri :+ ((102L, 0L))).toDF("vec_a", "vec_b")
+    val out = Similarity.kcorePeel(edges).collect()
+    val core = out.filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    assert(core === Set(100L, 101L, 102L),
+      s"2-core must be the triangle, got $core")
+    val pendant = out.filter(_.getLong(0) == 0L).head
+    assert(pendant.getLong(1) === 1L && pendant.getLong(2) === 0L,
+      s"pendant must start at degree 1 and peel to 0: $pendant")
+    // parity against a driver-side SINGLE-step peel to convergence
+    var es = (tri :+ ((102L, 0L))).toSet
+    var changed = true
+    while (changed) {
+      val deg = es.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (n, xs) => n -> xs.size }
+      val keep = deg.filter(_._2 >= 2).keySet
+      val next = es.filter(e => keep(e._1) && keep(e._2))
+      changed = next != es
+      es = next
+    }
+    assert(es.toSeq.flatMap(e => Seq(e._1, e._2)).toSet === core,
+      "double-layer peel must equal the single-step fixpoint")
+  }
+
   // three mutually-nearest vectors => the mutual-kNN graph is a
   // triangle; useful closed forms exist for everything downstream
   private def triangleEmb: DataFrame = Seq(
