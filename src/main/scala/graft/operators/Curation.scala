@@ -635,13 +635,20 @@ object Curation {
       embeddings: DataFrame): DataFrame = {
     val q = qualityFilter(documents)
       .select(col("doc_id"), col("keep").as("q_keep"))
+    // pp and cos each feed BOTH the threshold pass and the per-doc
+    // join; the pins keep the bigram-LM / centroid machinery
+    // single-pass (the ccnetBuckets lesson: without the cut each
+    // consumer re-plans and re-executes the post-exchange tail of a
+    // corpus-sized pipeline)
     val pp = TextAnalysis.perplexity(documents)
       .select(col("doc_id"), col("perplexity"))
+      .pin(eager = true)
     val cls = TextAnalysis.classifierScore(documents)
       .select(col("doc_id"), col("score").as("cls_score"))
     val cos = Similarity.centroidCosines(embeddings)
       .select(col("vec_id").as("doc_id"),
         col("cosine").as("centroid_cosine"))
+      .pin(eager = true)
     // ONE grouped percentile pass over a tagged union instead of two
     // independent exactPercentiles trees: the banding machinery (min/max
     // aggregate, band offsets window, cumulative window, probe

@@ -63,16 +63,29 @@ object Similarity {
   /** Per-query top-k through the engine's own [[graft.plans.GroupedTopK]]
     * operator (bounded heap, no per-partition sort) — same semantics as
     * row_number-over-window + filter, which the oracles still state. */
-  private def topK(scored: DataFrame, k: Int): DataFrame =
+  private def topKUnordered(scored: DataFrame, k: Int): DataFrame =
     TopK.perKey(scored, Seq("query_id"),
         Seq("cosine" -> true, "neighbor_id" -> false), k, rankCol = "rank")
       .withColumn("rank", col("rank").cast("long"))
-      .orderBy(col("query_id"), col("rank"))
+
+  private def topK(scored: DataFrame, k: Int): DataFrame =
+    topKUnordered(scored, k).orderBy(col("query_id"), col("rank"))
 
   /** Exact brute-force cosine top-k neighbors for queries vec_id <
     * nQueries: (query_id, neighbor_id, cosine, rank). */
   def bruteForceTopK(embeddings: DataFrame, k: Int = 5,
-      nQueries: Int = 20): DataFrame = {
+      nQueries: Int = 20): DataFrame =
+    bruteForceTopKEdges(embeddings, k, nQueries)
+      .orderBy(col("query_id"), col("rank"))
+
+  /** [[bruteForceTopK]] WITHOUT the registered query's presentation
+    * ORDER BY — the form composing operators ([[matryoshkaFidelity]],
+    * [[recallReport]]) pin as their exact reference set: a pinned
+    * frame materializes its plan as-is, so the total sort + range
+    * exchange would be paid for row order the overlap join destroys
+    * (the round-12 knnGraphEdges lesson). Identical row content. */
+  private[operators] def bruteForceTopKEdges(embeddings: DataFrame,
+      k: Int = 5, nQueries: Int = 20): DataFrame = {
     val base = unitized(embeddings)
     val queries = base.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("unit").as("qu"))
@@ -80,7 +93,7 @@ object Similarity {
         col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosineUnit(col("qu"), col("unit")).as("cosine"))
-    topK(scored, k)
+    topKUnordered(scored, k)
   }
 
   /** Contrastive hard-negative mining: for each query vector, the k
@@ -798,7 +811,19 @@ object Similarity {
     * edge/degree counts; the only doubles are the per-community
     * closed-form terms, one row per community. */
   def lpCommunities(embeddings: DataFrame, seeds: Int = lpSeeds,
-      iters: Int = lpIters, k: Int = lpK, cells: Int = autoCells): DataFrame = {
+      iters: Int = lpIters, k: Int = lpK, cells: Int = autoCells): DataFrame =
+    lpCommunityReport(embeddings, seeds, iters, k, cells)
+      .orderBy(col("community"))
+
+  /** [[lpCommunities]] WITHOUT the registered query's presentation
+    * ORDER BY — the form composing operators ([[conductance]]) pin:
+    * a pinned frame materializes its plan as-is, so the total sort +
+    * range exchange would be paid for row order the next join or
+    * aggregate destroys (the round-12 knnGraphEdges lesson). Identical
+    * row content. */
+  private[operators] def lpCommunityReport(embeddings: DataFrame,
+      seeds: Int = lpSeeds, iters: Int = lpIters, k: Int = lpK,
+      cells: Int = autoCells): DataFrame = {
     val edges = knnGraphEdges(embeddings, k, cells)
       .select(col("vec_id"), col("neighbor_id")).pin()
     val labels = lpLabels(edges, embeddings, seeds, iters)
@@ -836,7 +861,6 @@ object Similarity {
             (lit(2.0) * md)) *
           (coalesce(col("degree_sum"), lit(0L)).cast("double") /
             (lit(2.0) * md)), 6).as("modularity_term"))
-      .orderBy(col("community"))
   }
 
   /** Per-community conductance over the label-propagation communities
@@ -856,8 +880,10 @@ object Similarity {
       iters: Int = lpIters, k: Int = lpK, cells: Int = autoCells): DataFrame = {
     // pin: the ≤seeds-row report feeds BOTH the total and the main
     // select — without the cut the whole LP pipeline re-derives per
-    // branch (measured 6.2 s vs 3.1 s at sf0.1)
-    val report = lpCommunities(embeddings, seeds, iters, k, cells)
+    // branch (measured 6.2 s vs 3.1 s at sf0.1). The UNORDERED report
+    // form: the pin would otherwise materialize lpCommunities' total
+    // sort + range exchange for order the crossJoin destroys.
+    val report = lpCommunityReport(embeddings, seeds, iters, k, cells)
       .select(col("community"), col("n_nodes"), col("in_edges"),
         col("degree_sum"))
       .pin(eager = true)
@@ -2139,14 +2165,14 @@ object Similarity {
     * O(queries·k) ranked lists — metadata-sized at any corpus. */
   def matryoshkaFidelity(embeddings: DataFrame, k: Int = 10,
       nQueries: Int = 20, dims: Seq[Int] = mrlDims): DataFrame = {
-    val full = bruteForceTopK(embeddings, k, nQueries)
+    val full = bruteForceTopKEdges(embeddings, k, nQueries)
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
       .pin() // the reference set, re-read once per dim
     dims.map { d =>
       // one left join + one aggregate: every query keeps its k rows
       // through the left join, so zero-overlap queries survive the
       // groupBy without a separate restore pass
-      bruteForceTopK(
+      bruteForceTopKEdges(
         embeddings.select(col("vec_id"), col("label"),
           slice(col("embedding"), 1, d).as("embedding")),
         k, nQueries)
@@ -2176,7 +2202,7 @@ object Similarity {
     // exact top-k is the SPINE (always k rows per query), the variant
     // joins in as a hit marker — a query whose probed cells return
     // fewer than k (or zero) candidates still reports its recall
-    val exact = bruteForceTopK(embeddings, k, nQueries)
+    val exact = bruteForceTopKEdges(embeddings, k, nQueries)
       .select(col("query_id"), col("neighbor_id"))
       .pin() // the reference set, re-read once per variant
     def overlap(name: String, approx: DataFrame): DataFrame =
@@ -2340,8 +2366,17 @@ object Similarity {
     // endpoint of the surviving edge set.
     var cur = e0
     val flags = (1 to k).map { c =>
-      cur = kcoreEdges(cur, c)
-      nodeDegrees(cur).select(col("vec_id"), lit(true).as(s"c$c"))
+      if (c == 1) {
+        // The 1-core of ANY edge list is the edge list itself: every
+        // endpoint has degree ≥ 1 by construction, so the c=1 peel is
+        // provably the identity — its flag set is exactly deg0's node
+        // set, and running the convergent loop for it would spend one
+        // full execution + pin + two counts to discover a no-op.
+        deg0.select(col("vec_id"), lit(true).as("c1"))
+      } else {
+        cur = kcoreEdges(cur, c)
+        nodeDegrees(cur).select(col("vec_id"), lit(true).as(s"c$c"))
+      }
     }
     val joined = flags.foldLeft(
       deg0.select(col("vec_id"), col("deg").as("deg0"))) { (acc, f) =>
@@ -2404,19 +2439,20 @@ object Similarity {
     // hop counts) — so anti-joining against the last TWO layers alone
     // is exact, and total anti-join scan work is O(reached) across
     // the whole census instead of O(depth × reached).
-    // DOUBLE-STEPPED loop (round-12 optimization): each pinned SQL
-    // execution computes TWO BFS layers — l1 = nbrs(frontier) minus
-    // the last two layers, l2 = nbrs(l1) minus (frontier ∪ l1) —
+    // MULTI-STEPPED loop (round-12 double step, widened round 13):
+    // each pinned SQL execution computes a CHAIN of BFS layers,
     // because the dominant per-round cost at every measured scale is
     // the fixed price of one SQL execution + checkpoint (planning,
     // AQE stage scheduling, block writes), not the per-row work.
-    // Layer semantics are UNCHANGED: l1 rows carry dist d+1, l2 rows
-    // d+2, the anti-join sets are exactly the two layers that can
-    // contain an already-reached neighbor (the triangle-inequality
-    // argument above, applied once per hop), and l1's subtree is
+    // Layer semantics are UNCHANGED: layer i rows carry dist d+i, the
+    // anti-join set of each layer is the union of the two layers
+    // immediately below it — exactly the layers that can contain an
+    // already-reached neighbor (the triangle-inequality argument
+    // above, applied once per hop) — and each layer's subtree is
     // shared inside the one plan (AQE stage reuse) instead of being
-    // its own pinned round. One eager pin + one two-number aggregate
-    // per DOUBLE layer, so the execution count halves at any depth.
+    // its own pinned round. One eager pin + one per-layer-count
+    // aggregate per CHAIN, so the execution count divides by the
+    // chain length at any depth.
     var layers = List(d0)
     var frontier = d0
     var lastTwo = d0.select(col("seed"), col("node"))
@@ -2430,33 +2466,54 @@ object Similarity {
         .agg(min(col("ndist")).as("ndist"))
         .select(col("seed"), col("nnode").as("node"),
           col("ndist").as("dist"))
+    // layers per pinned execution: the chain l1..lN generalizes the
+    // double step — each layer anti-joins the union of the TWO layers
+    // immediately below it (the same triangle-inequality set, applied
+    // once per hop), so exactness is hop-local and N is a pure
+    // fixed-cost knob. A layer coming up empty means the census is
+    // exhausted (its nodes have no unvisited neighbors), so every
+    // later layer in the round is empty too and the per-layer counts
+    // from ONE aggregate over the pinned tagged union decide both
+    // convergence and the next round's frontier slices.
+    val layersPerRound = 4
     while (nf > 0) {
-      rounds += 2
+      rounds += layersPerRound
       if (rounds > bfsMaxRounds) throw new IllegalStateException(
         s"bfsRadius did not exhaust frontiers within $bfsMaxRounds " +
           s"rounds ($nf nodes still expanding) — raise bfsMaxRounds")
-      val l1 = expand(frontier)
-        .join(lastTwo, Seq("seed", "node"), "left_anti")
-      val anti2 = frontier.select(col("seed"), col("node"))
-        .unionByName(l1.select(col("seed"), col("node")))
-      val l2 = expand(l1)
-        .join(anti2, Seq("seed", "node"), "left_anti")
-      val both = l1.withColumn("layer", lit(1))
-        .unionByName(l2.withColumn("layer", lit(2)))
-        .pin(eager = true)
-      val r = both.agg(count(lit(1)),
-        sum(when(col("layer") === 2, lit(1L)).otherwise(lit(0L)))).head()
-      val n2 = if (r.isNullAt(1)) 0L else r.getLong(1)
-      val n1 = r.getLong(0) - n2
-      if (n1 > 0) layers ::= both.filter(col("layer") === 1).drop("layer")
-      if (n2 > 0) {
-        layers ::= both.filter(col("layer") === 2).drop("layer")
-        // l1 ∪ l2 ARE the two layers preceding the new frontier —
-        // slices of the one pinned frame, no extra materialization
-        lastTwo = both.select(col("seed"), col("node"))
-        frontier = both.filter(col("layer") === 2).drop("layer")
+      var antiSet = lastTwo
+      var cur = frontier
+      val built = (1 to layersPerRound).map { _ =>
+        val li = expand(cur).join(antiSet, Seq("seed", "node"), "left_anti")
+        antiSet = cur.select(col("seed"), col("node"))
+          .unionByName(li.select(col("seed"), col("node")))
+        cur = li
+        li
       }
-      nf = n2
+      val tagged = built.zipWithIndex
+        .map { case (l, i) => l.withColumn("layer", lit(i + 1)) }
+        .reduce(_ unionByName _)
+        .pin(eager = true)
+      val nByLayer = {
+        val m = tagged.groupBy(col("layer"))
+          .agg(count(lit(1)).as("n")).collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        (1 to layersPerRound).map(i => m.getOrElse(i, 0L))
+      }
+      (1 to layersPerRound).foreach { i =>
+        if (nByLayer(i - 1) > 0)
+          layers ::= tagged.filter(col("layer") === i).drop("layer")
+      }
+      nf = nByLayer.last
+      if (nf > 0) {
+        // the round's top two layers ARE the two preceding the new
+        // frontier — slices of the one pinned frame, no extra
+        // materialization
+        lastTwo = tagged.filter(col("layer") >= layersPerRound - 1)
+          .select(col("seed"), col("node"))
+        frontier = tagged.filter(col("layer") === layersPerRound)
+          .drop("layer")
+      }
     }
     layers.reduce(_ unionByName _).groupBy(col("seed")).agg(
         count(lit(1)).as("n_reached"),
@@ -2534,6 +2591,13 @@ object Similarity {
     var nEdges = edges.count()
     var converged = nEdges == 0L
     var rounds = 0
+    // NOT double-stepped, unlike kcoreEdges/bfsRadius: measured in
+    // round 13 (3 alternating A/B pairs), two truss layers per pinned
+    // execution read jobs 43→47, tasks 47→53, task-s 2.2→3.2 — the
+    // unpinned mid layer is consumed on DIFFERENT keys (wedge join on
+    // each endpoint vs the semi-join pair key), so nothing below it is
+    // reused and the whole wedge front recomputes per consumer — the
+    // same shape that made the round-12 und-pin drop regress.
     while (!converged) {
       rounds += 1
       if (rounds > ktrussMaxRounds) throw new IllegalStateException(

@@ -147,9 +147,16 @@ object TextAnalysis {
     * ride the grouped banded percentile scan and broadcast back —
     * O(#langs) thresholds at any corpus size. */
   def ccnetBuckets(documents: DataFrame): DataFrame = {
+    // The (doc_id, perplexity, lang) frame feeds BOTH the per-language
+    // tercile thresholds and the bucket assignment; without the pin the
+    // whole bigram-LM pipeline appears twice in one plan (exchange
+    // reuse shares the shuffles but each consumer re-plans and
+    // re-executes the post-exchange tail). One eager cut keeps the LM
+    // machinery single-pass and both consumers' trees leaf-short.
     val withLang = perplexity(documents)
       .select(col("doc_id"), col("perplexity"))
       .join(documents.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .pin(eager = true)
     val th = Quantiles.exactPercentilesBy(
       withLang.select(col("lang"), col("perplexity").as("v")),
       Seq("lang"), Seq(1.0 / 3, 2.0 / 3))
