@@ -2470,7 +2470,10 @@ object Similarity {
     // double step — each layer anti-joins the union of the TWO layers
     // immediately below it (the same triangle-inequality set, applied
     // once per hop), so exactness is hop-local and N is a pure
-    // fixed-cost knob. A layer coming up empty means the census is
+    // fixed-cost knob. N is NOT free to raise: each layer's plan
+    // references the previous layer TWICE (expand input + anti set),
+    // so the unpinned tree grows ~2^N — N=8 was measured to stall in
+    // Catalyst (planning explosion), N=4 plans in normal time. A layer coming up empty means the census is
     // exhausted (its nodes have no unvisited neighbors), so every
     // later layer in the round is empty too and the per-layer counts
     // from ONE aggregate over the pinned tagged union decide both
